@@ -1,0 +1,198 @@
+"""Single-pass sufficient-statistics collection for TableOne.
+
+The whole engine runs at most THREE Spark jobs, independent of the
+number of analyzed variables (the reference runs ~16 scans *per
+continuous variable*, tableone_pyspark.py:325-437, plus a full-column
+``toPandas`` per p-value, :453/:500):
+
+  job 1  strat-group row counts (or plain ``count()`` unstratified)
+         — scans only the strat column (parquet column pruning).
+  job 2  ONE ``rollup(strat)`` aggregation computing, for EVERY
+         continuous variable at once: count, min, max, avg,
+         stddev_samp, var_samp and the exact-tuned
+         ``percentile_approx`` triple. The rollup's grand-total row is
+         the "All_Patients" column; per-strat rows are the pivot.
+  job 3  ONE melted count for EVERY categorical variable at once:
+         ``stack`` the columns into (var, value) pairs, then
+         ``groupBy(var, value[, strat]).count()``. Map-side partial
+         aggregation collapses the melt immediately, so the shuffle
+         carries only Σ cardinality × strat rows.
+
+Only aggregated scalars ever reach the driver. The collected sizes are
+O(V·k) and O(Σ cardinalities · k) — independent of row count, so the
+same plan runs at 100 TB. Jobs 2 and 3 are submitted concurrently
+(threads; Spark schedules both into the shared local cluster).
+"""
+
+from __future__ import annotations
+
+from concurrent.futures import ThreadPoolExecutor
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, functions as F
+
+from tableone_pyspark_spark.core.sanitize import MISSING, clean_strat_col
+
+#: internal strat column name — namespaced to avoid user-column clashes
+STRAT = "__t1_strat__"
+
+
+@dataclass(frozen=True)
+class ContStat:
+    """All sufficient statistics for one (variable, group) cell."""
+
+    n: int
+    min: object
+    max: object
+    mean: float | None
+    stddev: float | None
+    var: float | None
+    q25: object
+    q50: object
+    q75: object
+
+
+@dataclass
+class Sufficient:
+    """Everything TableOne needs, collected from ≤3 jobs."""
+
+    total: int
+    strat_counts: dict[str, int] = field(default_factory=dict)  # cleaned value -> rows
+    # cont[var][strat_value] ; strat_value None == global / All_Patients
+    cont: dict[str, dict[str | None, ContStat]] = field(default_factory=dict)
+    # cat[var][(value, strat_value)] -> count ; strat_value None when unstratified
+    cat: dict[str, dict[tuple[str, str | None], int]] = field(default_factory=dict)
+
+
+def _quote(name: str) -> str:
+    return "`" + name.replace("`", "``") + "`"
+
+
+def _sql_str(name: str) -> str:
+    return "'" + name.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
+def _cont_aggs(cont_vars: list[str], accuracy: int) -> list:
+    aggs = []
+    for i, v in enumerate(cont_vars):
+        c = F.col(v)
+        aggs += [
+            F.count(c).alias(f"n__{i}"),
+            F.min(c).alias(f"mn__{i}"),
+            F.max(c).alias(f"mx__{i}"),
+            F.avg(c).alias(f"av__{i}"),
+            F.stddev_samp(c).alias(f"sd__{i}"),
+            F.var_samp(c).alias(f"vr__{i}"),
+            # Exact-tuned percentiles (reference :384-388): accuracy
+            # >= n+1 makes percentile_approx exact; one call returns
+            # all three quartiles from a single sketch.
+            F.percentile_approx(c, [0.25, 0.5, 0.75], F.lit(accuracy)).alias(f"q__{i}"),
+        ]
+    return aggs
+
+
+def _row_to_stats(row, i: int) -> ContStat:
+    q = row[f"q__{i}"] or [None, None, None]
+    return ContStat(
+        n=row[f"n__{i}"] or 0,
+        min=row[f"mn__{i}"],
+        max=row[f"mx__{i}"],
+        mean=row[f"av__{i}"],
+        stddev=row[f"sd__{i}"],
+        var=row[f"vr__{i}"],
+        q25=q[0],
+        q50=q[1],
+        q75=q[2],
+    )
+
+
+def collect_sufficient(
+    df: DataFrame,
+    col_to_strat: str,
+    cat_vars: list[str],
+    cont_vars: list[str],
+    exact_percentile_cap: int = 10_000_000,
+    strat_cardinality_limit: int = 1_000,
+) -> Sufficient:
+    """Run the ≤3 jobs and return every statistic TableOne needs."""
+    stratified = col_to_strat != ""
+    select_cols = [F.col(_quote(v)) for v in dict.fromkeys(cat_vars + cont_vars)]
+    if stratified:
+        select_cols.append(clean_strat_col(col_to_strat).alias(STRAT))
+    work = df.select(*select_cols)
+
+    out = Sufficient(total=0)
+
+    # ---- job 1: strat group counts / total ------------------------------
+    if stratified:
+        rows = (
+            df.select(clean_strat_col(col_to_strat).alias(STRAT))
+            .groupBy(STRAT)
+            .count()
+            .collect()
+        )
+        out.strat_counts = {r[STRAT]: r["count"] for r in rows}
+        if len(out.strat_counts) > strat_cardinality_limit:
+            raise ValueError(
+                f"stratification column {col_to_strat!r} has "
+                f"{len(out.strat_counts)} distinct values "
+                f"(> limit {strat_cardinality_limit}); the output schema grows "
+                "with strat cardinality — raise strat_cardinality_limit "
+                "explicitly if this is intended"
+            )
+        out.total = sum(out.strat_counts.values())
+    else:
+        out.total = work.count()
+
+    # ---- jobs 2 + 3 (submitted concurrently) ----------------------------
+    def run_cont():
+        # reference :384-388: accuracy = max(n+1, 10000) makes the
+        # quartiles exact; capped so the sketch stays bounded at scale
+        # (documented deviation above the cap).
+        accuracy = min(max(out.total + 1, 10_000), exact_percentile_cap)
+        aggs = _cont_aggs(cont_vars, accuracy)
+        if stratified:
+            # rollup == grouping sets {(strat), ()}: per-strat cells AND
+            # the grand total in ONE pass. Cleaned strat is never null,
+            # so the null-strat row is unambiguously the total.
+            return work.rollup(STRAT).agg(*aggs).collect()
+        return work.groupBy().agg(*aggs).collect()
+
+    def run_cat():
+        pairs = ", ".join(f"{_sql_str(v)}, {_quote(v)}" for v in cat_vars)
+        stack = F.expr(f"stack({len(cat_vars)}, {pairs}) as (t1_var, t1_val)")
+        melted = work.select(*([STRAT] if stratified else []), stack)
+        melted = melted.withColumn("t1_val", F.coalesce(F.col("t1_val"), F.lit(MISSING)))
+        keys = ["t1_var", "t1_val"] + ([STRAT] if stratified else [])
+        return melted.groupBy(*keys).agg(F.count(F.lit(1)).alias("ct")).collect()
+
+    cont_rows: list = []
+    cat_rows: list = []
+    if cont_vars and cat_vars:
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            f_cont = pool.submit(run_cont)
+            f_cat = pool.submit(run_cat)
+            cont_rows, cat_rows = f_cont.result(), f_cat.result()
+    elif cont_vars:
+        cont_rows = run_cont()
+    elif cat_vars:
+        cat_rows = run_cat()
+
+    # ---- unpack ---------------------------------------------------------
+    for i, v in enumerate(cont_vars):
+        out.cont[v] = {}
+    for row in cont_rows:
+        key = row[STRAT] if stratified else None
+        for i, v in enumerate(cont_vars):
+            out.cont[v][key] = _row_to_stats(row, i)
+    if stratified and cont_vars and None not in out.cont[cont_vars[0]]:
+        # defensive: rollup always emits the grand-total row
+        raise RuntimeError("rollup produced no grand-total row")
+
+    for v in cat_vars:
+        out.cat[v] = {}
+    for row in cat_rows:
+        key = row[STRAT] if stratified else None
+        out.cat[row["t1_var"]][(row["t1_val"], key)] = row["ct"]
+
+    return out

@@ -1,0 +1,303 @@
+"""Unit tests for the TableOne engine output contract on the canonical
+patients fixture (reference testing.py:18-29; contract SURVEY §1.2)."""
+
+from __future__ import annotations
+
+import math
+import warnings
+
+import pytest
+
+from tableone_pyspark_spark import tableone
+
+from conftest import approx, rows_by_index
+
+
+# ---------------------------------------------------------------------------
+# unstratified
+# ---------------------------------------------------------------------------
+
+
+def test_unstratified_schema_and_total(patients):
+    out = tableone(patients, cols_to_analyze=["name", "age"])
+    assert out.columns == [
+        "Pivoted_column", "Index", "Characteristics", "Variable_type",
+        "Values", "All_Patients", "All_Patients_%",
+    ]
+    rows = rows_by_index(out)
+    total = rows[(0.0, "ALL")]
+    assert total["Characteristics"] == "Total"
+    assert total["All_Patients"] == 10.0  # double: continuous var present
+    assert total["All_Patients_%"] == 1.0
+    assert total["Variable_type"] is None
+
+
+def test_unstratified_categorical_counts_and_order(patients):
+    rows = rows_by_index(tableone(patients, cols_to_analyze=["name"]))
+    # name: John×3, Sally×4, Susi×1, MISSING×2; alpha order then MISSING last
+    assert rows[(1.01, "John")]["All_Patients"] == 3
+    assert rows[(1.02, "Sally")]["All_Patients"] == 4
+    assert rows[(1.03, "Susi")]["All_Patients"] == 1
+    assert rows[(1.04, "MISSING")]["All_Patients"] == 2
+    assert approx(rows[(1.01, "John")]["All_Patients_%"], 0.3)
+    assert rows[(1.01, "John")]["Variable_type"] == "category"
+    # only categorical vars -> counts stay integral (long)
+    assert dict(tableone(patients, cols_to_analyze=["name"]).dtypes)["All_Patients"] == "bigint"
+
+
+def test_unstratified_continuous_stats(patients):
+    rows = rows_by_index(tableone(patients, cols_to_analyze=["age"]))
+    ages = [18, 25, 21, 55, 65, 70, 85, 19, 34, 28]
+    n = len(ages)
+    mean = sum(ages) / n
+    var = sum((a - mean) ** 2 for a in ages) / (n - 1)
+    assert rows[(1.1, "n")]["All_Patients"] == 10.0
+    assert rows[(1.2, "min")]["All_Patients"] == 18.0
+    assert rows[(1.3, "max")]["All_Patients"] == 85.0
+    assert approx(rows[(1.4, "mean")]["All_Patients"], mean)
+    assert approx(rows[(1.5, "stddev")]["All_Patients"], math.sqrt(var))
+    # exact percentiles: value at ceil(p*n)-th element (Spark returns a
+    # real data value at accuracy >= n+1)
+    s = sorted(ages)
+    assert rows[(1.6, "25th percentile")]["All_Patients"] == float(s[2])  # 21
+    assert rows[(1.7, "50th percentile")]["All_Patients"] == float(s[4])  # 28
+    assert rows[(1.8, "75th percentile")]["All_Patients"] == float(s[7])  # 65
+    # continuous rows carry null percents
+    assert rows[(1.4, "mean")]["All_Patients_%"] is None
+
+
+def test_null_skipping_continuous_n(patients):
+    # number_of_claims has 2 NaN (stored as NaN double, not null) — the
+    # reference's pandas NaNs become Spark NaNs via testing.py; our
+    # fixture uses real NaN doubles, which Spark count() includes but
+    # avg/stddev poison. The *null* path: build variant with real nulls.
+    variant = patients.selectExpr(
+        "*", "CASE WHEN isnan(number_of_claims) THEN NULL ELSE number_of_claims END AS claims"
+    )
+    rows = rows_by_index(tableone(variant, cols_to_analyze=["claims"]))
+    assert rows[(1.1, "n")]["All_Patients"] == 8.0  # nulls skipped
+    vals = [10.0, 20.0, 15.0, 29.0, 55.0, 20.0, 16.0, 18.0]
+    assert approx(rows[(1.4, "mean")]["All_Patients"], sum(vals) / len(vals))
+
+
+# ---------------------------------------------------------------------------
+# stratified
+# ---------------------------------------------------------------------------
+
+
+def test_stratified_pivot_columns_and_total(patients):
+    out = tableone(patients, col_to_strat="plan", cols_to_analyze=["name", "age"])
+    # plan: PPO×4, HMO×2, FFS×2, null×2 → FFS, HMO, PPO, MISSING
+    assert out.columns == [
+        "Pivoted_column", "Index", "Characteristics", "Variable_type", "Values",
+        "All_Patients", "All_Patients_%", "FFS", "FFS_%", "HMO", "HMO_%",
+        "PPO", "PPO_%", "MISSING", "MISSING_%",
+    ]
+    rows = rows_by_index(out)
+    total = rows[(0.0, "ALL")]
+    assert (total["FFS"], total["HMO"], total["PPO"], total["MISSING"]) == (2.0, 2.0, 4.0, 2.0)
+    assert total["All_Patients"] == 10.0
+    assert total["FFS_%"] == 1.0
+    assert rows[(0.0, "ALL")]["Pivoted_column"] == "plan"
+
+
+def test_stratified_categorical_zero_fill_and_percents(patients):
+    rows = rows_by_index(
+        tableone(patients, col_to_strat="plan", cols_to_analyze=["name"])
+    )
+    john = rows[(1.01, "John")]
+    # John: PPO×2 (PID 1,7), HMO×1 (PID 3) — zero-filled FFS/MISSING
+    assert (john["FFS"], john["HMO"], john["PPO"], john["MISSING"]) == (0, 1, 2, 0)
+    assert approx(john["PPO_%"], 2 / 4)
+    assert approx(john["FFS_%"], 0.0)
+    assert approx(john["All_Patients_%"], 3 / 10)
+    missing = rows[(1.04, "MISSING")]
+    # name-MISSING: PID 6 (plan null→MISSING), PID 9 (HMO)
+    assert (missing["HMO"], missing["MISSING"]) == (1, 1)
+
+
+def test_yes_no_missing_ordering(spark):
+    df = spark.createDataFrame(
+        [(v,) for v in ["No", "Yes", "alpha", "Unknown", "No", None, "beta"]],
+        "yn string",
+    )
+    rows = rows_by_index(tableone(df, cols_to_analyze=["yn"]))
+    order = [rows[k]["Values"] for k in sorted(rows) if k[0] > 0]
+    assert order == ["Yes", "No", "alpha", "beta", "Unknown", "MISSING"]
+
+
+def test_strat_value_sanitization(spark):
+    df = spark.createDataFrame(
+        [("gold plan", 1.0), ("café", 2.0), (None, 3.0), ("gold plan", 4.0)],
+        "strat string, x double",
+    )
+    out = tableone(df, col_to_strat="strat", cols_to_analyze=["x"])
+    assert "gold_plan" in out.columns
+    assert "caf?" in out.columns
+    assert "MISSING" in out.columns
+
+
+def test_stratified_continuous_per_group(patients):
+    rows = rows_by_index(
+        tableone(patients, col_to_strat="plan", cols_to_analyze=["age"])
+    )
+    # PPO ages: 18, 25, 55, 85 ; HMO: 21, 34 ; FFS: 65, 19 ; MISSING: 70, 28
+    assert rows[(1.1, "n")]["PPO"] == 4.0
+    assert rows[(1.2, "min")]["PPO"] == 18.0
+    assert rows[(1.3, "max")]["PPO"] == 85.0
+    assert approx(rows[(1.4, "mean")]["HMO"], 27.5)
+    assert approx(rows[(1.4, "mean")]["MISSING"], 49.0)
+    assert rows[(1.1, "n")]["All_Patients"] == 10.0
+
+
+# ---------------------------------------------------------------------------
+# p-values
+# ---------------------------------------------------------------------------
+
+
+def _f_oneway(groups):
+    """Textbook one-way ANOVA, computed from raw data (independent of
+    the engine's moments-based path)."""
+    k = len(groups)
+    n = sum(len(g) for g in groups)
+    grand = sum(sum(g) for g in groups) / n
+    ssb = sum(len(g) * (sum(g) / len(g) - grand) ** 2 for g in groups)
+    ssw = sum(sum((x - sum(g) / len(g)) ** 2 for x in g) for g in groups)
+    f = (ssb / (k - 1)) / (ssw / (n - k))
+    from tableone_pyspark_spark.core import special
+
+    return f, special.f_sf(f, k - 1, n - k)
+
+
+def test_p_values_anova_and_chisq(patients):
+    out = tableone(
+        patients, col_to_strat="plan", cols_to_analyze=["name", "age"], p_values=True
+    )
+    rows = rows_by_index(out)
+    # age: 4 strat groups → ANOVA on the n row
+    anchor = rows[(2.1, "n")]
+    assert anchor["test_name"] == "ANOVA"
+    groups = [[18, 25, 55, 85], [21, 34], [65, 19], [70, 28]]
+    f, p = _f_oneway(groups)
+    assert approx(anchor["test_value"], float(f), tol=1e-9)
+    assert approx(anchor["p_value"], float(p), tol=1e-9)
+    # name: chi-square anchored on first category row
+    cat_anchor = rows[(1.01, "John")]
+    assert cat_anchor["test_name"] == "Chi-Square"
+    # non-anchor rows carry nulls
+    assert rows[(2.4, "mean")]["test_name"] is None
+    assert rows[(1.02, "Sally")]["p_value"] is None
+
+
+def test_p_values_t_test_two_groups(spark):
+    data = [("A", 1.0), ("A", 2.0), ("A", 4.0), ("B", 2.0), ("B", 5.0), ("B", 9.0)]
+    df = spark.createDataFrame(data, "g string, x double")
+    rows = rows_by_index(
+        tableone(df, col_to_strat="g", cols_to_analyze=["x"], p_values=True)
+    )
+    anchor = rows[(1.1, "n")]
+    # textbook pooled-variance t from raw data
+    a, b = [1.0, 2.0, 4.0], [2.0, 5.0, 9.0]
+    ma, mb = sum(a) / 3, sum(b) / 3
+    va = sum((x - ma) ** 2 for x in a) / 2
+    vb = sum((x - mb) ** 2 for x in b) / 2
+    sp2 = (2 * va + 2 * vb) / 4
+    t = (ma - mb) / math.sqrt(sp2 * (2 / 3))
+    from tableone_pyspark_spark.core import special
+
+    p = special.t_sf_two_sided(t, 4)
+    assert anchor["test_name"] == "t-test"
+    assert approx(abs(anchor["test_value"]), abs(t))
+    assert approx(anchor["p_value"], p)
+
+
+def test_chi_square_not_done_gate(spark):
+    # <5 non-MISSING rows → NOT DONE (reference :503-516)
+    data = [("a", "X"), ("b", "Y"), (None, "X"), (None, "Y"), ("a", "X")]
+    df = spark.createDataFrame(data, "c string, g string")
+    rows = rows_by_index(
+        tableone(df, col_to_strat="g", cols_to_analyze=["c"], p_values=True)
+    )
+    anchor = rows[(1.01, "a")]
+    assert anchor["test_name"] == "NOT DONE"
+    assert math.isnan(anchor["p_value"])
+
+
+def test_p_values_forced_off_unstratified(patients):
+    out = tableone(patients, cols_to_analyze=["age"], p_values=True)
+    assert "p_value" not in out.columns
+
+
+# ---------------------------------------------------------------------------
+# hardening / quirks
+# ---------------------------------------------------------------------------
+
+
+def test_empty_cols_raises(patients):
+    with pytest.raises(ValueError):
+        tableone(patients, cols_to_analyze=[])
+
+
+def test_unknown_column_raises(patients):
+    with pytest.raises(ValueError):
+        tableone(patients, cols_to_analyze=["nope"])
+
+
+def test_unsupported_dtype_skipped(spark):
+    df = spark.createDataFrame(
+        [(True, 1.0), (False, 2.0)], "flag boolean, x double"
+    )
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        out = tableone(df, cols_to_analyze=["flag", "x"])
+    assert any("Not supported" in str(x.message) for x in w)
+    chars = {r["Characteristics"] for r in out.collect()}
+    assert chars == {"Total", "x"}
+
+
+def test_numeric_strat_cast(spark):
+    # Q11: numeric strat works (reference silently no-ops the fillna)
+    df = spark.createDataFrame([(1, 5.0), (2, 6.0), (None, 7.0)], "g int, x double")
+    out = tableone(df, col_to_strat="g", cols_to_analyze=["x"])
+    assert {"1", "2", "MISSING"}.issubset(set(out.columns))
+
+
+def test_beautify(patients):
+    out = tableone(
+        patients, col_to_strat="plan", cols_to_analyze=["name", "age"], beautify=True
+    )
+    assert "Pivoted_column" not in out.columns
+    assert "Variable_type" not in out.columns
+    rows = out.collect()
+    # each Characteristics appears exactly once (first row of its block)
+    named = [r["Characteristics"] for r in rows if r["Characteristics"] is not None]
+    assert sorted(named) == ["Total", "age", "name"]
+
+
+def test_partition_invariance(patients):
+    base = {
+        (r["Index"], r["Values"]): r["All_Patients"]
+        for r in tableone(patients, col_to_strat="plan", cols_to_analyze=["name", "age"]).collect()
+    }
+    for k in (1, 7):
+        got = {
+            (r["Index"], r["Values"]): r["All_Patients"]
+            for r in tableone(
+                patients.repartition(k), col_to_strat="plan", cols_to_analyze=["name", "age"]
+            ).collect()
+        }
+        assert got.keys() == base.keys()
+        for key in base:
+            # float aggregation order differs across partitionings → ulp drift
+            assert approx(got[key], base[key], tol=1e-12), (key, got[key], base[key])
+
+
+def test_percent_sums(patients):
+    rows = rows_by_index(
+        tableone(patients, col_to_strat="plan", cols_to_analyze=["name"])
+    )
+    cat = [v for k, v in rows.items() if 1.0 < k[0] < 2.0]
+    for col in ["All_Patients_%", "FFS_%", "HMO_%", "PPO_%", "MISSING_%"]:
+        assert approx(sum(r[col] for r in cat), 1.0)
+    for col in ["All_Patients", "FFS", "HMO", "PPO", "MISSING"]:
+        assert sum(r[col] for r in cat) == rows[(0.0, "ALL")][col]
