@@ -83,6 +83,12 @@ class TableOneConfig:
     strat_cardinality_limit: int = 1_000
     #: warn when a variable has ≥100 categories (Index collision, Q10)
     index_collision_warn: int = 100
+    #: quartile semantics: "data" = an actual data value via exact-tuned
+    #: percentile_approx (reference :384-388 parity; bounded-memory scale
+    #: path); "interpolated" = exact linear interpolation (R type-7 /
+    #: duckdb quantile_cont — well-defined, oracle-checkable, but
+    #: O(distinct-per-group) memory)
+    quantile_mode: str = "data"
 
 
 def _num(x) -> float | None:
@@ -148,6 +154,7 @@ def tableone(
         cont_vars,
         exact_percentile_cap=cfg.exact_percentile_cap,
         strat_cardinality_limit=cfg.strat_cardinality_limit,
+        quantile_mode=cfg.quantile_mode,
     )
 
     return _assemble(
@@ -296,7 +303,9 @@ def _cat_rows(
     for rank, v in enumerate(values, start=1):
         r = {
             "Pivoted_column": col_to_strat,
-            "Index": idx + rank * 0.01,
+            # round: idx + rank*0.01 must equal the decimal literal
+            # (1.01, 1.02, …) bit-for-bit for oracle comparison
+            "Index": round(idx + rank * 0.01, 10),
             "Characteristics": col_i,
             "Variable_type": "category",
             "Values": v,

@@ -72,10 +72,21 @@ def _sql_str(name: str) -> str:
     return "'" + name.replace("\\", "\\\\").replace("'", "\\'") + "'"
 
 
-def _cont_aggs(cont_vars: list[str], accuracy: int) -> list:
+def _cont_aggs(cont_vars: list[str], accuracy: int, quantile_mode: str) -> list:
     aggs = []
     for i, v in enumerate(cont_vars):
         c = F.col(v)
+        if quantile_mode == "interpolated":
+            # exact linear-interpolated quartiles (R type-7, same rule as
+            # duckdb quantile_cont / numpy percentile). Memory is
+            # O(distinct values per group) — prefer "data" at extreme
+            # scale.
+            q = F.expr(f"percentile({_quote(v)}, array(0.25D, 0.5D, 0.75D))")
+        else:
+            # "data": exact-tuned percentile_approx (reference :384-388):
+            # accuracy >= n+1 makes it exact; returns an actual data
+            # value; one call returns all three quartiles from one sketch.
+            q = F.percentile_approx(c, [0.25, 0.5, 0.75], F.lit(accuracy))
         aggs += [
             F.count(c).alias(f"n__{i}"),
             F.min(c).alias(f"mn__{i}"),
@@ -83,10 +94,7 @@ def _cont_aggs(cont_vars: list[str], accuracy: int) -> list:
             F.avg(c).alias(f"av__{i}"),
             F.stddev_samp(c).alias(f"sd__{i}"),
             F.var_samp(c).alias(f"vr__{i}"),
-            # Exact-tuned percentiles (reference :384-388): accuracy
-            # >= n+1 makes percentile_approx exact; one call returns
-            # all three quartiles from a single sketch.
-            F.percentile_approx(c, [0.25, 0.5, 0.75], F.lit(accuracy)).alias(f"q__{i}"),
+            q.alias(f"q__{i}"),
         ]
     return aggs
 
@@ -113,6 +121,7 @@ def collect_sufficient(
     cont_vars: list[str],
     exact_percentile_cap: int = 10_000_000,
     strat_cardinality_limit: int = 1_000,
+    quantile_mode: str = "data",
 ) -> Sufficient:
     """Run the ≤3 jobs and return every statistic TableOne needs."""
     stratified = col_to_strat != ""
@@ -150,7 +159,7 @@ def collect_sufficient(
         # quartiles exact; capped so the sketch stays bounded at scale
         # (documented deviation above the cap).
         accuracy = min(max(out.total + 1, 10_000), exact_percentile_cap)
-        aggs = _cont_aggs(cont_vars, accuracy)
+        aggs = _cont_aggs(cont_vars, accuracy, quantile_mode)
         if stratified:
             # rollup == grouping sets {(strat), ()}: per-strat cells AND
             # the grand total in ONE pass. Cleaned strat is never null,

@@ -1,0 +1,209 @@
+"""Distributed statistical operators (DataFrame-native building blocks).
+
+These are the engine's operator inventory re-expressed Spark-first
+(reference sites in each docstring). Each returns a DataFrame whose
+column names are stable so the driver's DuckDB oracle can hash-match
+(see ``__spark_entry__.py``). All heavy computation happens in one
+aggregation pass; post-aggregation shaping operates on k-row frames.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _q(name: str) -> str:
+    return "`" + name.replace("`", "``") + "`"
+
+
+def categorical_counts(df: DataFrame, col: str, missing: str = "MISSING") -> DataFrame:
+    """Frequency table with fraction-of-total (reference :269-273, :186-187).
+
+    Output: val, ct, pct — one hash-agg pass; the denominator is a
+    window sum over the aggregated k rows (no second scan).
+    """
+    counts = (
+        df.select(F.coalesce(F.col(col), F.lit(missing)).alias("val"))
+        .groupBy("val")
+        .agg(F.count(F.lit(1)).alias("ct"))
+    )
+    total = F.sum("ct").over(Window.partitionBy())
+    return counts.withColumn("pct", F.col("ct") / total)
+
+
+def pivoted_counts(
+    df: DataFrame,
+    col: str,
+    strat: str,
+    strat_values: list[str] | None = None,
+    missing: str = "MISSING",
+) -> DataFrame:
+    """Zero-filled (category × strat) count matrix (reference :279-280).
+
+    ``strat_values`` should be passed when known — it skips the eager
+    distinct job the reference pays per pivot (SURVEY §2 A2).
+    """
+    base = df.select(
+        F.coalesce(F.col(col), F.lit(missing)).alias("val"),
+        F.coalesce(F.col(strat), F.lit(missing)).alias("strat"),
+    )
+    pivot = base.groupBy("val").pivot("strat", values=strat_values) if strat_values else base.groupBy("val").pivot("strat")
+    return pivot.agg(F.count(F.lit(1))).na.fill(0)
+
+
+#: melted continuous stats: (label, agg builder) — reference :325-434
+def _stat_exprs(col: str, quantile_mode: str) -> list[tuple[str, Column]]:
+    c = F.col(col)
+    if quantile_mode == "interpolated":
+        q = F.expr(f"percentile({_q(col)}, array(0.25D, 0.5D, 0.75D))")
+    else:
+        q = F.percentile_approx(c, [0.25, 0.5, 0.75], 10_000_000)
+    return [
+        ("n", F.count(c).cast("double")),
+        ("min", F.min(c).cast("double")),
+        ("max", F.max(c).cast("double")),
+        ("mean", F.avg(c)),
+        ("stddev", F.stddev_samp(c)),
+        ("q25", q[0].cast("double")),
+        ("q50", q[1].cast("double")),
+        ("q75", q[2].cast("double")),
+    ]
+
+
+def continuous_stats_melted(
+    df: DataFrame, col: str, quantile_mode: str = "interpolated"
+) -> DataFrame:
+    """The 8-stat block as (stat, value) rows — ONE aggregation melted
+    with ``stack`` (vs. the reference's 8 jobs + 8 joins, :325-437)."""
+    labeled = [(name, expr.alias(f"s_{name}")) for name, expr in _stat_exprs(col, quantile_mode)]
+    agg = df.agg(*[e for _, e in labeled])
+    pairs = ", ".join(f"'{name}', s_{name}" for name, _ in labeled)
+    return agg.select(F.expr(f"stack({len(labeled)}, {pairs}) as (stat, value)"))
+
+
+def continuous_stats_by_group(
+    df: DataFrame, col: str, strat: str, quantile_mode: str = "interpolated",
+    missing: str = "MISSING",
+) -> DataFrame:
+    """Per-strat wide stat row (reference :319-434's pivoted aggs, one
+    pass). Output: grp, n, min, max, mean, stddev, q25, q50, q75."""
+    base = df.select(
+        F.coalesce(F.col(strat).cast("string"), F.lit(missing)).alias("grp"),
+        F.col(col),
+    )
+    exprs = [expr.alias(name) for name, expr in _stat_exprs(col, quantile_mode)]
+    return base.groupBy("grp").agg(*exprs)
+
+
+def group_moments(df: DataFrame, col: str, strat: str, missing: str = "MISSING") -> DataFrame:
+    """Per-group sufficient statistics (n, mean, var_samp) — the
+    distributed half of every continuous hypothesis test (SURVEY §2.8)."""
+    return (
+        df.select(
+            F.coalesce(F.col(strat).cast("string"), F.lit(missing)).alias("grp"),
+            F.col(col).alias("x"),
+        )
+        .filter(F.col("x").isNotNull())
+        .groupBy("grp")
+        .agg(
+            F.count("x").alias("n"),
+            F.avg("x").alias("m"),
+            F.var_samp("x").alias("v"),
+        )
+    )
+
+
+def ttest_statistic(df: DataFrame, col: str, strat: str) -> DataFrame:
+    """Pooled-variance two-sample t from distributed moments
+    (replaces reference :453-465's full-column toPandas).
+
+    Groups are ordered by group name (ascending) so the sign is
+    deterministic. Output 1 row: g1, g2, n1, n2, t_stat, dof.
+    """
+    g = group_moments(df, col, strat)
+    arr = g.agg(
+        F.array_sort(F.collect_list(F.struct("grp", "n", "m", "v"))).alias("a")
+    ).select(
+        F.col("a")[0].alias("a1"), F.col("a")[1].alias("a2"), F.size("a").alias("k")
+    )
+    sp2 = (
+        (F.col("a1.n") - 1) * F.col("a1.v") + (F.col("a2.n") - 1) * F.col("a2.v")
+    ) / (F.col("a1.n") + F.col("a2.n") - 2)
+    t = (F.col("a1.m") - F.col("a2.m")) / F.sqrt(
+        sp2 * (1.0 / F.col("a1.n") + 1.0 / F.col("a2.n"))
+    )
+    return arr.filter(F.col("k") == 2).select(
+        F.col("a1.grp").alias("g1"),
+        F.col("a2.grp").alias("g2"),
+        F.col("a1.n").alias("n1"),
+        F.col("a2.n").alias("n2"),
+        t.alias("t_stat"),
+        (F.col("a1.n") + F.col("a2.n") - 2).cast("long").alias("dof"),
+    )
+
+
+def anova_f_statistic(df: DataFrame, col: str, strat: str) -> DataFrame:
+    """One-way ANOVA F from distributed moments (reference :467-473 via
+    sufficient statistics). Output 1 row: k, n_total, f_stat, dfn, dfd."""
+    g = group_moments(df, col, strat)
+    w = Window.partitionBy()
+    g = g.withColumn("grand", F.sum(F.col("n") * F.col("m")).over(w) / F.sum("n").over(w))
+    agg = g.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("n").alias("n_total"),
+        F.sum(F.col("n") * (F.col("m") - F.col("grand")) ** 2).alias("ssb"),
+        F.sum((F.col("n") - 1) * F.col("v")).alias("ssw"),
+    )
+    dfn = F.col("k") - 1
+    dfd = F.col("n_total") - F.col("k")
+    return agg.select(
+        "k",
+        "n_total",
+        ((F.col("ssb") / dfn) / (F.col("ssw") / dfd)).alias("f_stat"),
+        dfn.cast("long").alias("dfn"),
+        dfd.cast("long").alias("dfd"),
+    )
+
+
+def chi2_statistic(
+    df: DataFrame, col: str, strat: str, missing: str = "MISSING"
+) -> DataFrame:
+    """Chi-square independence statistic from grouped counts
+    (reference :507-510 via pd.crosstab, distributed).
+
+    Zero cells of the full (observed levels × observed levels) grid
+    contribute their expected count, as crosstab does. Yates continuity
+    correction applies only to 2×2 (scipy default). MISSING analysis
+    values are excluded (reference :500); null strat joins as MISSING.
+    Output 1 row: chi2_stat, dof, n_obs.
+    """
+    obs = (
+        df.select(
+            F.col(col).alias("a"),
+            F.coalesce(F.col(strat).cast("string"), F.lit(missing)).alias("b"),
+        )
+        .filter(F.col("a").isNotNull() & (F.col("a") != missing))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("o"))
+    )
+    # full grid = distinct(a) × distinct(b): tiny post-agg frames
+    grid = obs.select("a").distinct().crossJoin(obs.select("b").distinct())
+    cells = grid.join(obs, ["a", "b"], "left").na.fill({"o": 0})
+    w_all = Window.partitionBy()
+    cells = (
+        cells.withColumn("row_tot", F.sum("o").over(Window.partitionBy("a")))
+        .withColumn("col_tot", F.sum("o").over(Window.partitionBy("b")))
+        .withColumn("total", F.sum("o").over(w_all))
+        .withColumn("n_rows", F.size(F.collect_set("a").over(w_all)))
+        .withColumn("n_cols", F.size(F.collect_set("b").over(w_all)))
+    )
+    e = F.col("row_tot") * F.col("col_tot") / F.col("total")
+    d = F.abs(F.col("o") - e)
+    yates = (F.col("n_rows") == 2) & (F.col("n_cols") == 2)
+    d = F.when(yates, F.greatest(d - 0.5, F.lit(0.0))).otherwise(d)
+    return cells.agg(
+        F.sum(d * d / e).alias("chi2_stat"),
+        ((F.first("n_rows") - 1) * (F.first("n_cols") - 1)).cast("long").alias("dof"),
+        F.sum("o").cast("long").alias("n_obs"),
+    )
