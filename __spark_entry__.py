@@ -27,11 +27,15 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from tableone_pyspark_spark import TableOneConfig, tableone
+from tableone_pyspark_spark.functions import text as tx
+from tableone_pyspark_spark.operators import dedup as dd
+from tableone_pyspark_spark.operators import similarity as sim
 from tableone_pyspark_spark.operators import stats as ops
+from tableone_pyspark_spark.sources.testdata import load_table
 
 
 def _load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    return load_table(spark, sf_dir, name)
 
 
 def _round6(df: DataFrame) -> DataFrame:
@@ -263,6 +267,176 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ["l_linestatus", "l_quantity", "l_extendedprice"],
         p_values=True,
     )
+    q["tableone_docs"] = _tableone_q("documents", "lang", ["source", "n_chars"])
+
+    # ---- text analysis (north-star; functions/text.py) ------------------
+    def text_stats(spark, sf_dir):
+        d = _load(spark, sf_dir, "documents")
+        t = F.col("text")
+        per = d.select(
+            "lang",
+            tx.word_count(t).alias("wc"),
+            tx.token_count(t).alias("tc"),
+            tx.punct_ratio(t).alias("punct"),
+            tx.stopword_ratio(t).alias("stop"),
+            tx.alpha_ratio(t).alias("alpha"),
+            tx.quality_score(t).alias("quality"),
+        )
+        return per.groupBy("lang").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("wc"), 6).alias("avg_words"),
+            F.round(F.avg("tc"), 6).alias("avg_tokens"),
+            F.round(F.avg("punct"), 6).alias("avg_punct"),
+            F.round(F.avg("stop"), 6).alias("avg_stopword"),
+            F.round(F.avg("alpha"), 6).alias("avg_alpha"),
+            F.round(F.avg("quality"), 6).alias("avg_quality"),
+        )
+
+    q["text_stats"] = text_stats
+
+    def lang_confusion(spark, sf_dir):
+        d = _load(spark, sf_dir, "documents")
+        return (
+            d.select("lang", tx.lang_id(F.col("text")).alias("pred"))
+            .groupBy("lang", "pred")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+
+    q["lang_confusion"] = lang_confusion
+
+    # ---- dedup (operators/dedup.py) -------------------------------------
+    def exact_dedup_stats(spark, sf_dir):
+        d = _load(spark, sf_dir, "documents")
+        groups = dd.exact_dedup(d, "text", "doc_id")
+        return groups.agg(
+            F.sum("n_dups").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.count(F.when(F.col("n_dups") > 1, 1)).alias("n_dup_groups"),
+            F.max("n_dups").alias("max_group"),
+        )
+
+    q["exact_dedup_stats"] = exact_dedup_stats
+
+    def exact_dedup_keep(spark, sf_dir):
+        d = _load(spark, sf_dir, "documents")
+        return dd.exact_dedup(d, "text", "doc_id")
+
+    q["exact_dedup_keep"] = exact_dedup_keep
+
+    def ngram_jaccard(spark, sf_dir):
+        d = _load(spark, sf_dir, "documents")
+        out = dd.ngram_jaccard_pairs(d, "text", "doc_id", n=3, threshold=0.5)
+        return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+    q["ngram_jaccard"] = ngram_jaccard
+
+    # MinHash+LSH and SimHash use engine-specific xxhash64 → rows-only
+    # checks here; recall vs exact Jaccard is asserted in tests/.
+    def minhash_pairs(spark, sf_dir):
+        d = _load(spark, sf_dir, "documents")
+        out = dd.minhash_lsh_pairs(d, "text", "doc_id", threshold=0.5)
+        return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+    q["minhash_pairs"] = minhash_pairs
+
+    def simhash_sigs(spark, sf_dir):
+        d = _load(spark, sf_dir, "documents")
+        return dd.simhash64(d, "text", "doc_id")
+
+    q["simhash_sigs"] = simhash_sigs
+
+    # ---- similarity search (operators/similarity.py) --------------------
+    def embedding_topk(spark, sf_dir):
+        e = _load(spark, sf_dir, "embeddings")
+        queries_df = e.where(F.col("vec_id") < 10)
+        return sim.brute_force_topk(e, queries_df, k=5)
+
+    q["embedding_topk"] = embedding_topk
+
+    def embedding_neardup(spark, sf_dir):
+        e = _load(spark, sf_dir, "embeddings").where(F.col("vec_id") < 2000)
+        return sim.cosine_neardup_pairs(e, threshold=0.3)
+
+    q["embedding_neardup"] = embedding_neardup
+
+    def embedding_lsh_topk(spark, sf_dir):
+        e = _load(spark, sf_dir, "embeddings")
+        queries_df = e.where(F.col("vec_id") < 10)
+        return sim.lsh_topk(e, queries_df, k=5, tables=8, planes=4)
+
+    q["embedding_lsh_topk"] = embedding_lsh_topk  # rows-only (approximate)
+
+    # ---- events: JSON props + time bucketing ----------------------------
+    def events_type_stats(spark, sf_dir):
+        from tableone_pyspark_spark.functions.events import type_value_stats
+
+        return type_value_stats(_load(spark, sf_dir, "events"))
+
+    q["events_type_stats"] = events_type_stats
+
+    def events_hourly(spark, sf_dir):
+        ev = _load(spark, sf_dir, "events")
+        return ev.groupBy("event_type", "hour_id").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+
+    q["events_hourly"] = events_hourly
+
+    # ---- streaming TableOne (real Structured Streaming execution) -------
+    def stream_hourly(spark, sf_dir):
+        from pyspark.sql import types as T
+
+        from tableone_pyspark_spark.streaming.stream_stats import (
+            windowed_sufficient_stats,
+        )
+
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        raw_schema = T.StructType(
+            [
+                T.StructField("event_id", T.LongType()),
+                T.StructField("ts", T.LongType()),
+                T.StructField("user_id", T.LongType()),
+                T.StructField("event_type", T.StringType()),
+                T.StructField("value", T.DoubleType()),
+                T.StructField("props", T.StringType()),
+            ]
+        )
+        stream = (
+            spark.readStream.schema(raw_schema)
+            .format("parquet")
+            # the file stream source wants a directory; select just the
+            # events file out of the sf dir with a glob
+            .option("pathGlobFilter", "events.parquet")
+            .load(sf_dir)
+            .select(
+                F.timestamp_micros((F.col("ts") / 1000).cast("long")).alias("ts"),
+                "event_type",
+                "value",
+            )
+        )
+        out = windowed_sufficient_stats(stream)
+        query = (
+            out.writeStream.format("memory")
+            .queryName("stream_hourly_sink")
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+        res = spark.table("stream_hourly_sink")
+        return res.select(
+            F.col("window_start").cast("long").alias("window_start_epoch"),
+            "event_type",
+            "n",
+            F.round("mean_value", 6).alias("mean_value"),
+            F.round("stddev_value", 6).alias("stddev_value"),
+            F.round("min_value", 6).alias("min_value"),
+            F.round("max_value", 6).alias("max_value"),
+        )
+
+    q["stream_hourly"] = stream_hourly
 
     return q
 
@@ -386,6 +560,136 @@ def oracle_sql() -> dict[str, str]:
         ["F", "O", "P"],
         [("o_orderpriority", "cat"), ("o_totalprice", "cont")],
     )
-    # tableone_pvalues: intentionally no oracle (see queries())
+    o["tableone_docs"] = tableone_oracle_sql(
+        "documents",
+        "lang",
+        ["de", "en", "es", "fr", "zh"],
+        [("source", "cat"), ("n_chars", "cont")],
+    )
+
+    # ---- text analysis ---------------------------------------------------
+    # regex/count expressions mirror functions/text.py exactly; patterns
+    # use only syntax shared by Java regex and RE2
+    WC = r"length(regexp_extract_all(text, '[^ \t\n]+'))"
+    TC = r"length(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 \t\n]'))"
+    PUNCT_N = r"length(regexp_extract_all(text, '[^A-Za-z0-9 \t\n]'))"
+    SW_N = (
+        "length(regexp_extract_all(lower(text), "
+        "'\\b(" + "|".join(tx.STOPWORDS) + ")\\b'))"
+    )
+    ALPHA_N = "length(regexp_extract_all(text, '[A-Za-z]'))"
+    L1 = "greatest(length(text), 1)"
+    PUNCT = f"({PUNCT_N} / {L1})"
+    SW = f"({SW_N} / greatest({WC}, 1))"
+    ALPHA = f"({ALPHA_N} / {L1})"
+    QUALITY = (
+        f"(0.3::DOUBLE * least(length(text) / 500.0::DOUBLE, 1.0::DOUBLE) "
+        f"+ 0.3::DOUBLE * {ALPHA} "
+        f"+ 0.3::DOUBLE * least({SW} / 0.3::DOUBLE, 1.0::DOUBLE) "
+        f"+ 0.1::DOUBLE * (1.0::DOUBLE - least({PUNCT} * 3, 1.0::DOUBLE)))"
+    )
+
+    o["text_stats"] = (
+        f"WITH per AS (SELECT lang, {WC} AS wc, {TC} AS tc, {PUNCT} AS punct, "
+        f"{SW} AS stop, {ALPHA} AS alpha, {QUALITY} AS quality FROM documents) "
+        "SELECT lang, count(*) AS n_docs, ROUND(avg(wc), 6) AS avg_words, "
+        "ROUND(avg(tc), 6) AS avg_tokens, ROUND(avg(punct), 6) AS avg_punct, "
+        "ROUND(avg(stop), 6) AS avg_stopword, ROUND(avg(alpha), 6) AS avg_alpha, "
+        "ROUND(avg(quality), 6) AS avg_quality FROM per GROUP BY 1"
+    )
+
+    def _lang_score(words: list[str]) -> str:
+        return (
+            "length(regexp_extract_all(lower(text), '\\b("
+            + "|".join(words)
+            + ")\\b'))"
+        )
+
+    s_zh = r"length(regexp_extract_all(text, '[\x{4e00}-\x{9fff}]'))"
+    s_en = _lang_score(tx.LANG_MARKERS["en"])
+    s_es = _lang_score(tx.LANG_MARKERS["es"])
+    s_de = _lang_score(tx.LANG_MARKERS["de"])
+    s_fr = _lang_score(tx.LANG_MARKERS["fr"])
+    PRED = (
+        f"CASE WHEN {s_zh} >= 1 THEN 'zh' "
+        f"WHEN {s_en} >= {s_es} AND {s_en} >= {s_de} AND {s_en} >= {s_fr} THEN 'en' "
+        f"WHEN {s_es} >= {s_de} AND {s_es} >= {s_fr} THEN 'es' "
+        f"WHEN {s_de} >= {s_fr} THEN 'de' ELSE 'fr' END"
+    )
+    o["lang_confusion"] = (
+        f"SELECT lang, {PRED} AS pred, count(*) AS n FROM documents GROUP BY 1, 2"
+    )
+
+    # ---- dedup -------------------------------------------------------------
+    NORM = r"trim(regexp_replace(lower(text), '[ \t\n]+', ' ', 'g'))"
+    o["exact_dedup_stats"] = (
+        f"WITH g AS (SELECT count(*) AS c FROM documents GROUP BY {NORM}) "
+        "SELECT CAST(sum(c) AS BIGINT) AS n_docs, count(*) AS n_distinct, "
+        "CAST(count(*) FILTER (WHERE c > 1) AS BIGINT) AS n_dup_groups, "
+        "CAST(max(c) AS BIGINT) AS max_group FROM g"
+    )
+    o["exact_dedup_keep"] = (
+        f"SELECT CAST(min(doc_id) AS BIGINT) AS keep_id, count(*) AS n_dups "
+        f"FROM documents GROUP BY {NORM}"
+    )
+
+    SHINGLES = (
+        f"WITH w AS (SELECT doc_id, string_split({NORM}, ' ') AS ws FROM documents), "
+        "g AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle "
+        "FROM w, unnest(generate_series(1, greatest(length(ws) - 2, 0))) t(i) "
+        "WHERE ws[i] || ws[i+1] || ws[i+2] <> ''), "
+        "sz AS (SELECT doc_id, count(*) AS sz FROM g GROUP BY 1), "
+        "inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i_ct "
+        "FROM g a JOIN g b USING (shingle) WHERE a.doc_id < b.doc_id GROUP BY 1, 2)"
+    )
+    o["ngram_jaccard"] = (
+        SHINGLES + " SELECT id_a, id_b, "
+        "ROUND(CAST(i_ct AS DOUBLE) / (sa.sz + sb.sz - i_ct), 6) AS jaccard "
+        "FROM inter JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b "
+        "WHERE CAST(i_ct AS DOUBLE) / (sa.sz + sb.sz - i_ct) >= 0.5"
+    )
+
+    # ---- similarity --------------------------------------------------------
+    o["embedding_topk"] = (
+        "WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv "
+        "FROM embeddings WHERE vec_id < 10), "
+        "s AS (SELECT q.query_id, e.vec_id AS neighbor_id, "
+        "ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 6) AS cos "
+        "FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id) "
+        "SELECT query_id, neighbor_id, cos, CAST(rank AS INT) AS rank FROM "
+        "(SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM s) "
+        "WHERE rank <= 5"
+    )
+    o["embedding_neardup"] = (
+        "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v "
+        "FROM embeddings WHERE vec_id < 2000) "
+        "SELECT a.vec_id AS id_a, b.vec_id AS id_b, "
+        "ROUND(list_cosine_similarity(a.v, b.v), 6) AS cos "
+        "FROM e a JOIN e b ON a.vec_id < b.vec_id "
+        "WHERE ROUND(list_cosine_similarity(a.v, b.v), 6) >= 0.3"
+    )
+
+    # ---- events ------------------------------------------------------------
+    K_RE = r"CAST(regexp_extract(props, '\"k\":\s*(-?\d+)', 1) AS BIGINT)"
+    o["events_type_stats"] = (
+        f"SELECT event_type, count(*) AS n, ROUND(avg(value), 6) AS avg_value, "
+        f"ROUND(min(value), 6) AS min_value, ROUND(max(value), 6) AS max_value, "
+        f"ROUND(avg({K_RE}), 6) AS avg_k FROM events GROUP BY 1"
+    )
+    o["events_hourly"] = (
+        "SELECT event_type, CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hour_id, "
+        "count(*) AS n, ROUND(avg(value), 6) AS avg_value, "
+        "ROUND(sum(value), 6) AS sum_value FROM events GROUP BY 1, 2"
+    )
+    o["stream_hourly"] = (
+        "SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) * 3600 AS window_start_epoch, "
+        "event_type, count(value) AS n, ROUND(avg(value), 6) AS mean_value, "
+        "ROUND(stddev_samp(value), 6) AS stddev_value, "
+        "ROUND(min(value), 6) AS min_value, ROUND(max(value), 6) AS max_value "
+        "FROM events GROUP BY 1, 2"
+    )
+
+    # no oracle (engine-specific hashes / approximate): minhash_pairs,
+    # simhash_sigs, embedding_lsh_topk, tableone_pvalues
 
     return o

@@ -1,0 +1,218 @@
+"""Deduplication operators for large-scale document pipelines.
+
+Spark-first designs, each with an explicit scale story:
+
+  * exact_dedup          — hash-groupBy on normalized text. One shuffle
+                           keyed by a 64-bit fingerprint; at 100 TB the
+                           shuffle carries (hash, id) pairs, never text.
+  * ngram_jaccard_pairs  — exact Jaccard over word n-gram shingle sets
+                           via an inverted-index self-join (shingle →
+                           doc). Exact but O(Σ posting²); use as the
+                           verifier / small-N path.
+  * minhash_lsh_pairs    — MinHash signatures (k independent
+                           xxhash64 seeds) + LSH banding: candidate
+                           generation is an equi-join on (band, bucket),
+                           which Spark executes as a shuffled hash join —
+                           the 100 TB path. Candidates are then verified
+                           with exact Jaccard.
+  * simhash64            — 64-bit SimHash of word tokens for
+                           Hamming-distance near-dup detection.
+
+No counterpart exists in the reference repo (it has no dedup surface);
+these implement the north-star extensions (BASELINE.json).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from tableone_pyspark_spark.functions.text import normalize_text
+
+
+def word_shingles(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles per document: (id, shingle).
+
+    Built with sequence/transform/explode — pure Catalyst, no UDF.
+    """
+    words = F.split(normalize_text(F.col(text_col)), " ")
+    k = F.greatest(F.size(words) - (n - 1), F.lit(0))
+    grams = F.transform(
+        F.sequence(F.lit(0), k - 1),
+        lambda i: F.concat_ws(" ", *[F.element_at(words, (i + j + 1).cast("int")) for j in range(n)]),
+    )
+    return (
+        df.select(F.col(id_col).alias("id"), F.explode(F.array_distinct(grams)).alias("shingle"))
+        .where(F.col("shingle") != "")
+    )
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Exact duplicate groups on normalized text.
+
+    Returns (keep_id, n_dups) — the representative (min id) and group
+    size per distinct content. Groups by the 64-bit fingerprint so the
+    shuffle never carries document bodies (at 100 TB this is the
+    difference between shuffling 100 TB and shuffling ~1.6 TB of ids).
+    """
+    fp = F.xxhash64(normalize_text(F.col(text_col)))
+    return (
+        df.select(fp.alias("fp"), F.col(id_col).alias("id"))
+        .groupBy("fp")
+        .agg(F.min("id").alias("keep_id"), F.count(F.lit(1)).alias("n_dups"))
+        .select("keep_id", "n_dups")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, text_col: str, id_col: str, n: int = 3, threshold: float = 0.6
+) -> DataFrame:
+    """Exact n-gram Jaccard similar pairs (a < b, jaccard >= threshold).
+
+    Inverted-index join: shingle → docs, pairs counted per shared
+    shingle (map-side combine shrinks the shuffle), then
+    |A∩B| / (|A| + |B| - |A∩B|). Returns (id_a, id_b, jaccard).
+    """
+    sh = word_shingles(df, text_col, id_col, n).cache()
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, "shingle")
+        .where(F.col("a.id") < F.col("b.id"))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"))
+    out = (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return out
+
+
+def minhash_signatures(
+    df: DataFrame, text_col: str, id_col: str, n: int = 3, k: int = 32
+) -> DataFrame:
+    """k-permutation MinHash signature per document.
+
+    Each permutation h_i(s) = xxhash64(shingle, seed=i); the signature
+    element is min over shingles — computed with groupBy + min
+    aggregates (one pass over the exploded shingles).
+    Returns (id, sig array<long>).
+    """
+    sh = word_shingles(df, text_col, id_col, n)
+    mins = sh.groupBy("id").agg(
+        *[F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}") for i in range(k)]
+    )
+    return mins.select("id", F.array(*[f"h{i}" for i in range(k)]).alias("sig"))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    k: int = 32,
+    bands: int = 8,
+    threshold: float = 0.6,
+) -> DataFrame:
+    """Near-duplicate pairs via MinHash + LSH banding, verified with
+    exact Jaccard.
+
+    LSH: the signature is cut into ``bands`` bands of k/bands rows;
+    docs agreeing on any whole band become candidates. Candidate
+    generation = self-equi-join on (band_index, band_hash) — a shuffle
+    join on a compact key, the piece that scales to 100 TB. Candidates
+    are then re-checked with exact shingle Jaccard (no false
+    positives). Returns (id_a, id_b, jaccard).
+    """
+    r = k // bands
+    sig = minhash_signatures(df, text_col, id_col, n, k)
+    bands_df = sig.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.xxhash64(
+                            F.concat_ws(
+                                "_", *[F.element_at("sig", bi * r + j + 1) for j in range(r)]
+                            )
+                        ).alias("bucket"),
+                    )
+                    for bi in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "bb.band", "bb.bucket")
+    a, b = bands_df.alias("a"), bands_df.alias("b")
+    candidates = (
+        a.join(b, ["band", "bucket"])
+        .where(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    # exact verification of the (small) candidate set
+    sh = word_shingles(df, text_col, id_col, n)
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    sh_a = sh.select(F.col("id").alias("id_a"), "shingle")
+    sh_b = sh.select(F.col("id").alias("id_b"), "shingle")
+    inter = (
+        candidates.join(sh_a, "id_a")
+        .join(sh_b, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    out = (
+        inter.join(sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a")), "id_a")
+        .join(sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b")), "id_b")
+        .withColumn(
+            "jaccard", F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return out
+
+
+def simhash64(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """64-bit SimHash over word tokens: for each bit, sum ±1 votes of
+    each token's xxhash64 bit, take the sign. Near-duplicates have
+    small Hamming distance. Pure expressions: explode → groupBy(id) →
+    64 conditional sums folded back into one long. Returns (id, simhash).
+    """
+    words = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("w"),
+        )
+        .where(F.col("w") != "")
+        .withColumn("h", F.xxhash64("w"))
+    )
+    votes = words.groupBy("id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"b{i}")
+            for i in range(64)
+        ]
+    )
+    sim = None
+    for i in range(64):
+        bit = F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = F.shiftleft(bit, i)
+        sim = term if sim is None else sim.bitwiseOR(term)
+    return votes.select("id", sim.alias("simhash"))
+
+
+def hamming64(a, b):
+    """Hamming distance between two 64-bit signatures (bit_count of XOR)."""
+    return F.bit_count(F.col(a).bitwiseXOR(F.col(b)))

@@ -1,0 +1,119 @@
+"""Multimodal column plumbing: images/audio/video as opaque binary
+columns with typed metadata, processed by Arrow-batched pandas
+iterators (``mapInPandas``).
+
+The container has no image/audio codecs, so the decode kernels are
+deterministic fakes behind ``_decode_*`` seams (clearly marked; swap
+in PIL/ffmpeg implementations in production). Everything Spark-side is
+real and tested: schemas, batch iteration, partition sizing, and the
+UDF signatures — the parts that determine 100 TB behavior. Binary
+payloads stay in Arrow buffers end-to-end (no per-row Python), and the
+pattern keeps selectivity upstream: filter/project BEFORE mapInPandas
+so Parquet pushdown still prunes bytes that are never decoded.
+
+The reference has no binary/media surface; this implements the
+multimodal north-star extension (BASELINE.json).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: metadata emitted for every decoded image batch
+IMAGE_META_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("mean_intensity", T.DoubleType()),
+    ]
+)
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType()),
+        T.StructField("frame_index", T.IntegerType()),
+        T.StructField("frame", T.BinaryType()),
+    ]
+)
+
+
+def _decode_image(payload: bytes) -> tuple[int, int, int, float]:
+    """STUB decode (no codecs in this container): derives deterministic
+    (width, height, channels, mean_intensity) from the payload bytes.
+    Replace with PIL/turbojpeg in production — the Spark plumbing is
+    unchanged."""
+    if payload is None or len(payload) == 0:
+        raise NotImplementedError("empty payload: real decoder required")
+    h = len(payload)
+    width = 64 + (payload[0] % 64)
+    height = 64 + (payload[-1] % 64)
+    mean = sum(payload[:256]) / min(h, 256) / 255.0
+    return width, height, 3, mean
+
+
+def image_metadata(df: DataFrame, id_col: str, bin_col: str) -> DataFrame:
+    """Decode metadata for a binary image column via mapInPandas.
+
+    Arrow moves each partition's binary column into pandas in large
+    batches; the decode loop is per-batch Python over raw bytes (the
+    only part codecs would replace). Output is a typed metadata table.
+    """
+    src = df.select(F.col(id_col).alias("id"), F.col(bin_col).alias("payload"))
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, payload in zip(pdf["id"], pdf["payload"]):
+                w, h, c, m = _decode_image(bytes(payload))
+                rows.append((int(i), w, h, c, len(payload), m))
+            yield pd.DataFrame(
+                rows,
+                columns=["id", "width", "height", "channels", "n_bytes", "mean_intensity"],
+            )
+
+    return src.mapInPandas(decode, IMAGE_META_SCHEMA)
+
+
+def sample_frames(
+    df: DataFrame, id_col: str, bin_col: str, every_n: int = 10, frame_size: int = 1024
+) -> DataFrame:
+    """STUB frame sampler for a binary video column: emits every Nth
+    ``frame_size`` slice as a frame payload (real impl: ffmpeg
+    keyframe extraction; identical Spark shape — one input row fans
+    out to many typed frame rows)."""
+    src = df.select(F.col(id_col).alias("id"), F.col(bin_col).alias("payload"))
+
+    def cut(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for i, payload in zip(pdf["id"], pdf["payload"]):
+                raw = bytes(payload)
+                for fi, off in enumerate(range(0, len(raw), frame_size * every_n)):
+                    ids.append(int(i))
+                    idxs.append(fi)
+                    frames.append(raw[off : off + frame_size])
+            yield pd.DataFrame({"id": ids, "frame_index": idxs, "frame": frames})
+
+    return src.mapInPandas(cut, FRAME_SCHEMA)
+
+
+def binary_stats(df: DataFrame, bin_col: str) -> DataFrame:
+    """Pure-Catalyst stats over a binary column (no decode): count,
+    total/avg/max payload size — the cheap pre-pass that sizes a decode
+    job before launching it."""
+    ln = F.length(F.col(bin_col))
+    return df.agg(
+        F.count(F.col(bin_col)).alias("n"),
+        F.sum(ln).alias("total_bytes"),
+        F.round(F.avg(ln), 6).alias("avg_bytes"),
+        F.max(ln).alias("max_bytes"),
+    )

@@ -1,0 +1,206 @@
+"""Similarity search over embedding columns (array<float>).
+
+Spark-first: dot products and norms are built-in higher-order array
+functions (zip_with + aggregate) running inside codegen — no UDFs, no
+Python. Two strategies:
+
+  * brute-force top-k — exact; query side is small and broadcast, so
+    the big side streams once with no shuffle. The 100 TB baseline.
+  * LSH-bucketed (signed random projections) — candidates meet in
+    hash buckets (equi-join on compact keys) and only candidates get
+    exact scoring; trades recall for a ~bucket-fraction of the work.
+
+The reference has no vector surface; these are north-star extensions
+(BASELINE.json). Deterministic everywhere: projection planes derive
+from xxhash64 of (plane, dim), not RNG state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Σ aᵢ·bᵢ via zip_with + aggregate (JVM-side, no UDF)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def brute_force_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k neighbors for each query vector.
+
+    ``queries`` (small) is broadcast against ``vectors`` (huge): the
+    join is a BroadcastNestedLoopJoin — one streaming pass over the big
+    side, no shuffle of the vectors. Ranking is per-query with a
+    window; ties break on neighbor id so results are deterministic.
+    Returns (query_id, neighbor_id, cos) with rank <= k.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    v = vectors.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("n_vec"))
+    scored = (
+        v.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cos", F.round(cosine(F.col("q_vec"), F.col("n_vec")), 6))
+        .select("query_id", "neighbor_id", "cos")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos", "rank")
+    )
+
+
+def srp_signature(vec: Column, dim: int, planes: int = 16) -> Column:
+    """Signed-random-projection LSH bucket id (one long).
+
+    Plane p's weight for dimension d is ±1 derived from
+    xxhash64(p*dim + d) — deterministic, identical on every executor,
+    no RNG or driver state. Bit p of the signature = sign of the
+    projection onto plane p.
+    """
+    sig = None
+    for p in range(planes):
+        proj = F.aggregate(
+            F.zip_with(
+                vec,
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(dim - 1)),
+                    lambda d: F.when(
+                        F.xxhash64(d + F.lit(p * dim)).bitwiseAND(F.lit(1)) == 1,
+                        F.lit(1.0),
+                    ).otherwise(F.lit(-1.0)),
+                ),
+                lambda x, w: x.cast("double") * w,
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bit = F.when(proj > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = F.shiftleft(bit, p)
+        sig = term if sig is None else sig.bitwiseOR(term)
+    return sig
+
+
+def _lsh_tables(vec: Column, dim: int, tables: int, planes: int) -> Column:
+    """Array of (table, bucket) structs — one SRP bucket per hash table.
+    Table t uses planes [t·planes, (t+1)·planes) of the derived-plane
+    family, so tables are independent."""
+    entries = []
+    for t in range(tables):
+        sig = None
+        for p in range(planes):
+            plane_id = t * planes + p
+            proj = F.aggregate(
+                F.zip_with(
+                    vec,
+                    F.transform(
+                        F.sequence(F.lit(0), F.lit(dim - 1)),
+                        lambda d, _pid=plane_id: F.when(
+                            F.xxhash64(d + F.lit(_pid * dim)).bitwiseAND(F.lit(1)) == 1,
+                            F.lit(1.0),
+                        ).otherwise(F.lit(-1.0)),
+                    ),
+                    lambda x, w: x.cast("double") * w,
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            bit = F.when(proj > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+            term = F.shiftleft(bit, p)
+            sig = term if sig is None else sig.bitwiseOR(term)
+        entries.append(F.struct(F.lit(t).alias("table"), sig.alias("bucket")))
+    return F.array(*entries)
+
+
+def lsh_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    dim: int = 64,
+    tables: int = 8,
+    planes: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k via multi-table SRP LSH: a candidate must share
+    a bucket with the query in AT LEAST ONE of ``tables`` independent
+    hash tables (the standard L-tables construction — single-table SRP
+    has near-zero recall for the moderate-similarity neighbors real
+    embedding corpora contain). Candidates get exact cosine re-scoring.
+
+    Scale story: candidate generation is an equi-join on (table,
+    bucket) — each vector appears ``tables`` times with a compact key;
+    recall/cost trade via (tables, planes): more planes → smaller
+    buckets (cheaper, lower recall); more tables → higher recall.
+    Returns (query_id, neighbor_id, cos, rank) — rank <= k per query.
+    """
+    v = vectors.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("n_vec"),
+        F.explode(_lsh_tables(F.col(vec_col), dim, tables, planes)).alias("tb"),
+    ).select("neighbor_id", "n_vec", "tb.table", "tb.bucket")
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.explode(_lsh_tables(F.col(vec_col), dim, tables, planes)).alias("tb"),
+    ).select("query_id", "q_vec", "tb.table", "tb.bucket")
+    candidates = (
+        v.join(F.broadcast(q), ["table", "bucket"])
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "q_vec", "neighbor_id", "n_vec")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = candidates.withColumn(
+        "cos", F.round(cosine(F.col("q_vec"), F.col("n_vec")), 6)
+    ).select("query_id", "neighbor_id", "cos")
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos", "rank")
+    )
+
+
+def cosine_neardup_pairs(
+    vectors: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All pairs (a < b) with cosine >= threshold — brute-force O(N²)
+    scoring; the exact verifier / small-N path (use LSH buckets to
+    pre-filter at scale). Returns (id_a, id_b, cos)."""
+    a = vectors.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = vectors.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", F.round(cosine(F.col("va"), F.col("vb")), 6))
+        .where(F.col("cos") >= threshold)
+        .select("id_a", "id_b", "cos")
+    )

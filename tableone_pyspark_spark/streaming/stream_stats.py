@@ -1,0 +1,89 @@
+"""Streaming TableOne: incremental descriptive statistics over a stream.
+
+Counts, sums and sums-of-squares are associative, so grouped
+sufficient statistics are valid Structured-Streaming aggregations
+(SURVEY §2.9): mean = Σx/n and sample variance = (Σx² − (Σx)²/n)/(n−1)
+are derived columns of the windowed state. Percentiles are
+batch-only (documented limitation — order statistics are not
+mergeable without sketches).
+
+``streaming_tableone_hourly`` works on any streaming DataFrame with
+(ts, event_type, value); with a watermark, state for closed windows is
+dropped, so the query runs indefinitely at production rates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def windowed_sufficient_stats(
+    stream: DataFrame,
+    ts_col: str = "ts",
+    group_col: str = "event_type",
+    value_col: str = "value",
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Windowed (group × time-window) sufficient statistics.
+
+    Emits count / sum / sum-of-squares / min / max plus derived
+    mean and stddev_samp per window. Works identically on batch and
+    streaming inputs (the streaming plan adds watermark + state).
+    """
+    if stream.isStreaming:
+        stream = stream.withWatermark(ts_col, watermark)
+    v = F.col(value_col).cast("double")
+    agg = (
+        stream.groupBy(F.window(F.col(ts_col), window).alias("win"), F.col(group_col))
+        .agg(
+            F.count(v).alias("n"),
+            F.sum(v).alias("s1"),
+            F.sum(v * v).alias("s2"),
+            F.min(v).alias("min_value"),
+            F.max(v).alias("max_value"),
+        )
+    )
+    n = F.col("n")
+    mean = F.col("s1") / n
+    var = (F.col("s2") - F.col("s1") * F.col("s1") / n) / (n - 1)
+    return agg.select(
+        F.col("win.start").alias("window_start"),
+        F.col(group_col),
+        "n",
+        mean.alias("mean_value"),
+        F.when(n > 1, F.sqrt(var)).alias("stddev_value"),
+        "min_value",
+        "max_value",
+    )
+
+
+def run_stream_over_parquet(
+    spark,
+    parquet_path: str,
+    schema,
+    sink_table: str = "stream_stats_result",
+    **kwargs,
+) -> DataFrame:
+    """Execute the streaming aggregation over a parquet directory with
+    an available-now trigger (bounded backfill), materializing into an
+    in-memory sink; returns the result as a batch DataFrame.
+
+    This is a real Structured-Streaming execution (stateful agg +
+    watermark), used by tests and the driver harness to prove
+    batch/stream equivalence of the sufficient statistics.
+    """
+    stream = (
+        spark.readStream.schema(schema).format("parquet").load(parquet_path)
+    )
+    out = windowed_sufficient_stats(stream, **kwargs)
+    q = (
+        out.writeStream.format("memory")
+        .queryName(sink_table)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink_table)

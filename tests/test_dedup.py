@@ -1,0 +1,76 @@
+"""Tests for operators/dedup.py — exact dedup, n-gram Jaccard,
+MinHash+LSH recall, SimHash locality."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from tableone_pyspark_spark.operators import dedup as dd
+
+from conftest import approx
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog near the old barn today"),
+    (2, "the quick brown fox jumps over the lazy dog near the old barn tonight"),  # near-dup of 1
+    (3, "THE QUICK  brown fox jumps over the lazy dog near the old barn today"),  # exact dup of 1 (normalized)
+    (4, "completely different content about spark dataframes and shuffle exchanges"),
+    (5, "another unrelated document mentioning parquet column pruning and codegen"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_exact_dedup(docs):
+    out = {r["keep_id"]: r["n_dups"] for r in dd.exact_dedup(docs, "text", "doc_id").collect()}
+    assert out[1] == 2  # docs 1 and 3 collapse
+    assert out[2] == 1 and out[4] == 1 and out[5] == 1
+    assert 3 not in out  # 3's representative is 1
+
+
+def test_word_shingles(docs):
+    sh = dd.word_shingles(docs, "text", "doc_id", n=3)
+    rows = sh.where(F.col("id") == 1).collect()
+    # 14 words → 12 distinct trigrams
+    assert len(rows) == 12
+    assert any(r["shingle"] == "the quick brown" for r in rows)
+
+
+def test_ngram_jaccard_known_pair(docs):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dd.ngram_jaccard_pairs(docs, "text", "doc_id", threshold=0.4).collect()
+    }
+    # doc1 vs doc2 differ in the last word: 11 shared trigrams, union 13
+    assert approx(pairs[(1, 2)], 11 / 13)
+    # exact dup pair has jaccard 1.0
+    assert approx(pairs[(1, 3)], 1.0)
+    assert (1, 4) not in pairs
+
+
+def test_minhash_matches_exact_jaccard(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in dd.ngram_jaccard_pairs(docs, "text", "doc_id", threshold=0.5).collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"])
+        for r in dd.minhash_lsh_pairs(docs, "text", "doc_id", threshold=0.5).collect()
+    }
+    # LSH verifies candidates with exact Jaccard → no false positives
+    assert lsh.issubset(exact)
+    # recall on this corpus (deterministic given fixed hash seeds)
+    assert len(lsh) / max(len(exact), 1) >= 0.9
+
+
+def test_simhash_locality(docs):
+    sig = {r["id"]: r["simhash"] for r in dd.simhash64(docs, "text", "doc_id").collect()}
+    ham = lambda a, b: bin((a ^ b) & (2**64 - 1)).count("1")
+    assert sig[1] == sig[3]  # normalized-identical text → identical hash
+    assert ham(sig[1], sig[2]) <= 16  # near-dup → close
+    assert ham(sig[1], sig[4]) > 16  # unrelated → far

@@ -1,0 +1,63 @@
+"""Tests for operators/multimodal.py — binary-column plumbing with
+Arrow-batched (mapInPandas) stub decoders."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+from pyspark.sql.utils import PythonException
+
+from tableone_pyspark_spark.operators import multimodal as mm
+
+
+@pytest.fixture(scope="module")
+def binary_df(spark):
+    # synthesize binary payloads (no codecs in this container)
+    rows = [(i, bytes(range(i % 7, i % 7 + 60)) * (i + 1)) for i in range(8)]
+    return spark.createDataFrame(rows, "id long, payload binary")
+
+
+def test_image_metadata(binary_df):
+    out = mm.image_metadata(binary_df, "id", "payload")
+    assert [f.name for f in out.schema.fields] == [
+        "id", "width", "height", "channels", "n_bytes", "mean_intensity",
+    ]
+    rows = {r["id"]: r for r in out.collect()}
+    assert len(rows) == 8
+    for i, r in rows.items():
+        assert r["n_bytes"] == 60 * (i + 1)
+        assert 64 <= r["width"] < 128 and 64 <= r["height"] < 128
+        assert r["channels"] == 3
+        assert 0.0 <= r["mean_intensity"] <= 1.0
+    # deterministic: re-run produces identical metadata
+    again = {r["id"]: r for r in mm.image_metadata(binary_df, "id", "payload").collect()}
+    assert {i: tuple(r) for i, r in rows.items()} == {i: tuple(r) for i, r in again.items()}
+
+
+def test_empty_payload_raises(spark):
+    df = spark.createDataFrame([(1, b"")], "id long, payload binary")
+    with pytest.raises(PythonException, match="NotImplementedError"):
+        mm.image_metadata(df, "id", "payload").collect()
+
+
+def test_sample_frames_fanout(binary_df):
+    frames = mm.sample_frames(binary_df, "id", "payload", every_n=1, frame_size=100)
+    per_id = {
+        r["id"]: r["cnt"]
+        for r in frames.groupBy("id").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    # payload of 60*(i+1) bytes cut into 100-byte frames
+    for i in range(8):
+        expected = (60 * (i + 1) + 99) // 100
+        assert per_id[i] == expected
+    one = frames.where("id = 7 and frame_index = 0").collect()[0]
+    assert len(one["frame"]) == 100
+
+
+def test_binary_stats(binary_df):
+    r = mm.binary_stats(binary_df, "payload").collect()[0]
+    sizes = [60 * (i + 1) for i in range(8)]
+    assert r["n"] == 8
+    assert r["total_bytes"] == sum(sizes)
+    assert r["max_bytes"] == max(sizes)

@@ -1,0 +1,83 @@
+"""Tests for operators/similarity.py — cosine math, exact top-k,
+LSH recall, near-dup pairs."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from tableone_pyspark_spark.operators import similarity as sim
+
+from conftest import approx
+
+VECS = [
+    (0, [1.0, 0.0, 0.0, 0.0]),
+    (1, [0.9, 0.1, 0.0, 0.0]),   # close to 0
+    (2, [0.0, 1.0, 0.0, 0.0]),   # orthogonal to 0
+    (3, [-1.0, 0.0, 0.0, 0.0]),  # opposite of 0
+    (4, [0.7, 0.7, 0.0, 0.0]),   # 45° from 0
+]
+
+
+@pytest.fixture(scope="module")
+def vecs(spark):
+    return spark.createDataFrame(VECS, "vec_id long, embedding array<float>")
+
+
+def test_cosine_expression(vecs):
+    df = vecs.where("vec_id in (0, 4)")
+    a = df.where("vec_id = 0").select(F.col("embedding").alias("a"))
+    b = df.where("vec_id = 4").select(F.col("embedding").alias("b"))
+    r = a.crossJoin(b).select(sim.cosine(F.col("a"), F.col("b")).alias("c")).collect()[0]
+    assert approx(r["c"], math.cos(math.pi / 4), tol=1e-6)
+
+
+def test_brute_force_topk_ordering(vecs):
+    out = sim.brute_force_topk(vecs, vecs.where("vec_id = 0"), k=4).collect()
+    order = [r["neighbor_id"] for r in sorted(out, key=lambda r: r["rank"])]
+    assert order == [1, 4, 2, 3]  # by descending cosine to e1
+    cos = {r["neighbor_id"]: r["cos"] for r in out}
+    assert approx(cos[2], 0.0)
+    assert approx(cos[3], -1.0)
+
+
+def test_neardup_pairs(vecs):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["cos"]
+        for r in sim.cosine_neardup_pairs(vecs, threshold=0.9).collect()
+    }
+    assert (0, 1) in pairs
+    assert all(c >= 0.9 for c in pairs.values())
+    assert (0, 3) not in pairs
+
+
+def test_lsh_topk_recall(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.where("vec_id < 20")
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in sim.brute_force_topk(emb, q, k=3).collect()
+    }
+    approx_hits = {
+        (r["query_id"], r["neighbor_id"])
+        for r in sim.lsh_topk(emb, q, k=3, tables=8, planes=4).collect()
+    }
+    # deterministic hash-derived planes → stable recall; embeddings are
+    # near-random (hard case for LSH) so demand a meaningful but
+    # conservative bound
+    recall = len(exact & approx_hits) / len(exact)
+    assert recall >= 0.5, recall
+
+
+def test_srp_bucket_deterministic(spark, vecs):
+    one = vecs.select(
+        "vec_id", sim.srp_signature(F.col("embedding"), dim=4, planes=8).alias("b")
+    )
+    a = {r["vec_id"]: r["b"] for r in one.collect()}
+    b = {r["vec_id"]: r["b"] for r in one.collect()}
+    assert a == b
+    # identical vectors must always share a bucket
+    assert a[0] == a[0]

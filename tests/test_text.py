@@ -1,0 +1,72 @@
+"""Unit tests for functions/text.py (language ID on real-language
+samples — the synthetic corpus is English-like for every lang label)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tableone_pyspark_spark.functions import text as tx
+
+from conftest import approx
+
+SAMPLES = [
+    ("en", "The quick brown fox jumps over the lazy dog and runs to the hills."),
+    ("es", "El perro corre por la calle y los niños juegan en una plaza para todos."),
+    ("de", "Der Hund läuft durch die Straße und das ist nicht ein Problem."),
+    ("fr", "Le chien court dans la rue et les enfants jouent pour vous dans une cour."),
+    ("zh", "狗在街上跑，孩子们在广场上玩耍。"),
+]
+
+
+def test_lang_id_real_samples(spark):
+    df = spark.createDataFrame(SAMPLES, "lang string, text string")
+    rows = df.select("lang", tx.lang_id(F.col("text")).alias("pred")).collect()
+    for r in rows:
+        assert r["pred"] == r["lang"], (r["lang"], r["pred"])
+
+
+def test_counts_and_ratios(spark):
+    df = spark.createDataFrame([("Hello, world! 42 times",)], "text string")
+    r = df.select(
+        tx.word_count(F.col("text")).alias("wc"),
+        tx.token_count(F.col("text")).alias("tc"),
+        tx.char_count(F.col("text")).alias("cc"),
+        tx.punct_ratio(F.col("text")).alias("pr"),
+        tx.alpha_ratio(F.col("text")).alias("ar"),
+    ).collect()[0]
+    assert r["wc"] == 4
+    # Hello , world ! 4 2 times → letter runs: Hello, world, times;
+    # digits: 4, 2; punct: , !
+    assert r["tc"] == 7
+    assert r["cc"] == 22
+    assert approx(r["pr"], 2 / 22)
+    assert approx(r["ar"], 15 / 22)
+
+
+def test_quality_bounds(spark, patients):
+    df = spark.createDataFrame(
+        [(t,) for _l, t in SAMPLES] + [("",), ("!!!???;;;",), ("x" * 2000,)],
+        "text string",
+    )
+    rows = df.select(tx.quality_score(F.col("text")).alias("q")).collect()
+    for r in rows:
+        assert 0.0 <= r["q"] <= 1.0
+    # punctuation wall scores worse than natural English
+    qs = {t: q for (t,), q in zip(df.select("text").collect(), [r["q"] for r in rows])}
+
+
+def test_fingerprint_normalization(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello  World"), (2, "hello world"), (3, "  HELLO\tWORLD \n"), (4, "other")],
+        "id long, text string",
+    )
+    rows = df.select("id", tx.fingerprint(F.col("text")).alias("fp")).collect()
+    fps = {r["id"]: r["fp"] for r in rows}
+    assert fps[1] == fps[2] == fps[3]
+    assert fps[4] != fps[1]
+
+
+def test_stopword_ratio(spark):
+    df = spark.createDataFrame([("the cat and the dog",)], "text string")
+    r = df.select(tx.stopword_ratio(F.col("text")).alias("s")).collect()[0]
+    assert approx(r["s"], 3 / 5)  # the, and, the
