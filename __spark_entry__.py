@@ -268,6 +268,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         p_values=True,
     )
     q["tableone_docs"] = _tableone_q("documents", "lang", ["source", "n_chars"])
+    q["tableone_beautify"] = _tableone_q(
+        "lineitem",
+        "l_returnflag",
+        ["l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
+        beautify=True,
+    )
 
     # ---- text analysis (north-star; functions/text.py) ------------------
     def text_stats(spark, sf_dir):
@@ -560,6 +566,20 @@ def oracle_sql() -> dict[str, str]:
         ["F", "O", "P"],
         [("o_orderpriority", "cat"), ("o_totalprice", "cont")],
     )
+    # beautify (reference :245-257): drop Pivoted_column/Variable_type,
+    # blank repeated Characteristics, "_"→" " on each group's first row
+    o["tableone_beautify"] = (
+        "WITH base AS (" + o["tableone_strat"] + "), "
+        'r AS (SELECT *, row_number() OVER (PARTITION BY "Characteristics" '
+        'ORDER BY "Index", "Values") AS rn FROM base) '
+        'SELECT "Index", CASE WHEN rn = 1 THEN replace("Characteristics", \'_\', \' \') '
+        'END AS "Characteristics", "Values", '
+        + ", ".join(
+            f'"{c}", "{c}_%"' for c in ["All_Patients", "A", "N", "R"]
+        )
+        + " FROM r"
+    )
+
     o["tableone_docs"] = tableone_oracle_sql(
         "documents",
         "lang",

@@ -75,9 +75,14 @@ class TableOneConfig:
     """Engine knobs (all scale guards, none change small-data results)."""
 
     #: percentile_approx accuracy is max(n+1, 10000) (exact, reference
-    #: :384-388) but never above this cap — an unbounded n+1 sketch is
-    #: not viable at 100 TB. Documented deviation above the cap.
-    exact_percentile_cap: int = 10_000_000
+    #: :384-388) but never above this cap — the sketch holds
+    #: O(accuracy·log(n/accuracy)) samples PER (group × column), so an
+    #: unbounded n+1 is not viable at 100 TB. Above the cap quartiles
+    #: have ≤1/cap relative rank error (documented deviation).
+    exact_percentile_cap: int = 1_000_000
+    #: driver-collect guard: Σ (category cardinality × strat values)
+    #: across all categorical variables must stay under this
+    cat_cells_limit: int = 1_000_000
     #: output schema grows 2 columns per distinct strat value; fail fast
     #: beyond this rather than building a 100k-column table.
     strat_cardinality_limit: int = 1_000
@@ -155,6 +160,7 @@ def tableone(
         exact_percentile_cap=cfg.exact_percentile_cap,
         strat_cardinality_limit=cfg.strat_cardinality_limit,
         quantile_mode=cfg.quantile_mode,
+        cat_cells_limit=cfg.cat_cells_limit,
     )
 
     return _assemble(

@@ -119,9 +119,10 @@ def collect_sufficient(
     col_to_strat: str,
     cat_vars: list[str],
     cont_vars: list[str],
-    exact_percentile_cap: int = 10_000_000,
+    exact_percentile_cap: int = 1_000_000,
     strat_cardinality_limit: int = 1_000,
     quantile_mode: str = "data",
+    cat_cells_limit: int = 1_000_000,
 ) -> Sufficient:
     """Run the ≤3 jobs and return every statistic TableOne needs."""
     stratified = col_to_strat != ""
@@ -173,7 +174,19 @@ def collect_sufficient(
         melted = work.select(*([STRAT] if stratified else []), stack)
         melted = melted.withColumn("t1_val", F.coalesce(F.col("t1_val"), F.lit(MISSING)))
         keys = ["t1_var", "t1_val"] + ([STRAT] if stratified else [])
-        return melted.groupBy(*keys).agg(F.count(F.lit(1)).alias("ct")).collect()
+        agg = melted.groupBy(*keys).agg(F.count(F.lit(1)).alias("ct"))
+        # guard the driver collect: the result has Σ cardinality × strat
+        # rows; a high-cardinality "categorical" column (ids, free text)
+        # must fail fast, not OOM the driver
+        rows = agg.limit(cat_cells_limit + 1).collect()
+        if len(rows) > cat_cells_limit:
+            raise ValueError(
+                f"categorical variables {cat_vars} produce more than "
+                f"{cat_cells_limit} (value × strat) cells — a column is "
+                "not actually categorical (ids? free text?); drop it or "
+                "raise cat_cells_limit explicitly"
+            )
+        return rows
 
     cont_rows: list = []
     cat_rows: list = []
