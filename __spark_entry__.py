@@ -360,7 +360,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["embedding_topk"] = embedding_topk
 
     def embedding_neardup(spark, sf_dir):
-        e = _load(spark, sf_dir, "embeddings").where(F.col("vec_id") < 2000)
+        # brute-force is the exact verifier; bounded to 1000 vectors
+        # (0.5M pairs) — the scale path is LSH bucketing
+        e = _load(spark, sf_dir, "embeddings").where(F.col("vec_id") < 1000)
         return sim.cosine_neardup_pairs(e, threshold=0.3)
 
     q["embedding_neardup"] = embedding_neardup
@@ -682,7 +684,7 @@ def oracle_sql() -> dict[str, str]:
     )
     o["embedding_neardup"] = (
         "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v "
-        "FROM embeddings WHERE vec_id < 2000) "
+        "FROM embeddings WHERE vec_id < 1000) "
         "SELECT a.vec_id AS id_a, b.vec_id AS id_b, "
         "ROUND(list_cosine_similarity(a.v, b.v), 6) AS cos "
         "FROM e a JOIN e b ON a.vec_id < b.vec_id "

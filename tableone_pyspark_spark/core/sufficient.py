@@ -134,32 +134,32 @@ def collect_sufficient(
     out = Sufficient(total=0)
 
     # ---- job 1: strat group counts / total ------------------------------
-    if stratified:
-        rows = (
-            df.select(clean_strat_col(col_to_strat).alias(STRAT))
-            .groupBy(STRAT)
-            .count()
-            .collect()
-        )
-        out.strat_counts = {r[STRAT]: r["count"] for r in rows}
-        if len(out.strat_counts) > strat_cardinality_limit:
-            raise ValueError(
-                f"stratification column {col_to_strat!r} has "
-                f"{len(out.strat_counts)} distinct values "
-                f"(> limit {strat_cardinality_limit}); the output schema grows "
-                "with strat cardinality — raise strat_cardinality_limit "
-                "explicitly if this is intended"
+    def run_counts():
+        if stratified:
+            rows = (
+                df.select(clean_strat_col(col_to_strat).alias(STRAT))
+                .groupBy(STRAT)
+                .count()
+                .collect()
             )
-        out.total = sum(out.strat_counts.values())
-    else:
-        out.total = work.count()
+            counts = {r[STRAT]: r["count"] for r in rows}
+            if len(counts) > strat_cardinality_limit:
+                raise ValueError(
+                    f"stratification column {col_to_strat!r} has "
+                    f"{len(counts)} distinct values "
+                    f"(> limit {strat_cardinality_limit}); the output schema grows "
+                    "with strat cardinality — raise strat_cardinality_limit "
+                    "explicitly if this is intended"
+                )
+            return counts, sum(counts.values())
+        return {}, work.count()
 
-    # ---- jobs 2 + 3 (submitted concurrently) ----------------------------
-    def run_cont():
+    def run_cont(total: int):
         # reference :384-388: accuracy = max(n+1, 10000) makes the
         # quartiles exact; capped so the sketch stays bounded at scale
-        # (documented deviation above the cap).
-        accuracy = min(max(out.total + 1, 10_000), exact_percentile_cap)
+        # (documented deviation above the cap). Interpolated mode does
+        # not use the accuracy knob at all.
+        accuracy = min(max(total + 1, 10_000), exact_percentile_cap)
         aggs = _cont_aggs(cont_vars, accuracy, quantile_mode)
         if stratified:
             # rollup == grouping sets {(strat), ()}: per-strat cells AND
@@ -188,17 +188,27 @@ def collect_sufficient(
             )
         return rows
 
+    # ---- schedule the ≤3 jobs with maximal overlap ----------------------
+    # job 3 (categorical melt) never depends on job 1; job 2 depends on
+    # job 1 only in "data" mode (the exactness-tuned accuracy needs the
+    # row count). Everything independent runs concurrently — Spark's
+    # scheduler interleaves the jobs across the cluster.
     cont_rows: list = []
     cat_rows: list = []
-    if cont_vars and cat_vars:
-        with ThreadPoolExecutor(max_workers=2) as pool:
-            f_cont = pool.submit(run_cont)
-            f_cat = pool.submit(run_cat)
-            cont_rows, cat_rows = f_cont.result(), f_cat.result()
-    elif cont_vars:
-        cont_rows = run_cont()
-    elif cat_vars:
-        cat_rows = run_cat()
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        f_cat = pool.submit(run_cat) if cat_vars else None
+        if cont_vars and quantile_mode == "interpolated":
+            f_counts = pool.submit(run_counts)
+            f_cont = pool.submit(run_cont, 0)
+            out.strat_counts, out.total = f_counts.result()
+            cont_rows = f_cont.result()
+        elif cont_vars:
+            out.strat_counts, out.total = run_counts()
+            cont_rows = pool.submit(run_cont, out.total).result()
+        else:
+            out.strat_counts, out.total = run_counts()
+        if f_cat is not None:
+            cat_rows = f_cat.result()
 
     # ---- unpack ---------------------------------------------------------
     for i, v in enumerate(cont_vars):

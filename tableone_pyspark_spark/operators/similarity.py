@@ -44,6 +44,14 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (l2_norm(a) * l2_norm(b))
 
 
+def unit_normalize(a: Column) -> Column:
+    """Scale to unit L2 norm — do this ONCE per vector before any
+    pairwise stage; cosine then degenerates to a plain dot product
+    (3× less array arithmetic in the O(N²)/O(candidates) inner loop)."""
+    n = l2_norm(a)
+    return F.transform(a, lambda x: x.cast("double") / n)
+
+
 def brute_force_topk(
     vectors: DataFrame,
     queries: DataFrame,
@@ -60,12 +68,16 @@ def brute_force_topk(
     Returns (query_id, neighbor_id, cos) with rank <= k.
     """
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+        F.col(id_col).alias("query_id"),
+        unit_normalize(F.col(vec_col)).alias("q_vec"),
     )
-    v = vectors.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("n_vec"))
+    v = vectors.select(
+        F.col(id_col).alias("neighbor_id"),
+        unit_normalize(F.col(vec_col)).alias("n_vec"),
+    )
     scored = (
         v.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cos", F.round(cosine(F.col("q_vec"), F.col("n_vec")), 6))
+        .withColumn("cos", F.round(dot(F.col("q_vec"), F.col("n_vec")), 6))
         .select("query_id", "neighbor_id", "cos")
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
@@ -76,31 +88,30 @@ def brute_force_topk(
     )
 
 
-def srp_signature(vec: Column, dim: int, planes: int = 16) -> Column:
-    """Signed-random-projection LSH bucket id (one long).
+def _plane_weights(plane_id: int, dim: int) -> list[float]:
+    """Deterministic ±1 weights for one projection plane, derived from
+    md5(plane_id:d) — no RNG state, identical everywhere, computed once
+    on the driver and shipped as a constant array literal (Catalyst
+    folds it; nothing is recomputed per row)."""
+    import hashlib
 
-    Plane p's weight for dimension d is ±1 derived from
-    xxhash64(p*dim + d) — deterministic, identical on every executor,
-    no RNG or driver state. Bit p of the signature = sign of the
-    projection onto plane p.
-    """
+    out = []
+    for d in range(dim):
+        h = hashlib.md5(f"{plane_id}:{d}".encode()).digest()
+        out.append(1.0 if h[0] & 1 else -1.0)
+    return out
+
+
+def _plane_lit(plane_id: int, dim: int) -> Column:
+    return F.array(*[F.lit(w) for w in _plane_weights(plane_id, dim)])
+
+
+def srp_signature(vec: Column, dim: int, planes: int = 16, base: int = 0) -> Column:
+    """Signed-random-projection LSH bucket id (one long): bit p is the
+    sign of the projection onto constant plane ``base + p``."""
     sig = None
     for p in range(planes):
-        proj = F.aggregate(
-            F.zip_with(
-                vec,
-                F.transform(
-                    F.sequence(F.lit(0), F.lit(dim - 1)),
-                    lambda d: F.when(
-                        F.xxhash64(d + F.lit(p * dim)).bitwiseAND(F.lit(1)) == 1,
-                        F.lit(1.0),
-                    ).otherwise(F.lit(-1.0)),
-                ),
-                lambda x, w: x.cast("double") * w,
-            ),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
+        proj = dot(vec, _plane_lit(base + p, dim))
         bit = F.when(proj > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
         term = F.shiftleft(bit, p)
         sig = term if sig is None else sig.bitwiseOR(term)
@@ -109,31 +120,11 @@ def srp_signature(vec: Column, dim: int, planes: int = 16) -> Column:
 
 def _lsh_tables(vec: Column, dim: int, tables: int, planes: int) -> Column:
     """Array of (table, bucket) structs — one SRP bucket per hash table.
-    Table t uses planes [t·planes, (t+1)·planes) of the derived-plane
+    Table t uses planes [t·planes, (t+1)·planes) of the constant-plane
     family, so tables are independent."""
     entries = []
     for t in range(tables):
-        sig = None
-        for p in range(planes):
-            plane_id = t * planes + p
-            proj = F.aggregate(
-                F.zip_with(
-                    vec,
-                    F.transform(
-                        F.sequence(F.lit(0), F.lit(dim - 1)),
-                        lambda d, _pid=plane_id: F.when(
-                            F.xxhash64(d + F.lit(_pid * dim)).bitwiseAND(F.lit(1)) == 1,
-                            F.lit(1.0),
-                        ).otherwise(F.lit(-1.0)),
-                    ),
-                    lambda x, w: x.cast("double") * w,
-                ),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
-            )
-            bit = F.when(proj > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
-            term = F.shiftleft(bit, p)
-            sig = term if sig is None else sig.bitwiseOR(term)
+        sig = srp_signature(vec, dim, planes, base=t * planes)
         entries.append(F.struct(F.lit(t).alias("table"), sig.alias("bucket")))
     return F.array(*entries)
 
@@ -162,12 +153,12 @@ def lsh_topk(
     """
     v = vectors.select(
         F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("n_vec"),
+        unit_normalize(F.col(vec_col)).alias("n_vec"),
         F.explode(_lsh_tables(F.col(vec_col), dim, tables, planes)).alias("tb"),
     ).select("neighbor_id", "n_vec", "tb.table", "tb.bucket")
     q = queries.select(
         F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("q_vec"),
+        unit_normalize(F.col(vec_col)).alias("q_vec"),
         F.explode(_lsh_tables(F.col(vec_col), dim, tables, planes)).alias("tb"),
     ).select("query_id", "q_vec", "tb.table", "tb.bucket")
     candidates = (
@@ -177,7 +168,7 @@ def lsh_topk(
         .dropDuplicates(["query_id", "neighbor_id"])
     )
     scored = candidates.withColumn(
-        "cos", F.round(cosine(F.col("q_vec"), F.col("n_vec")), 6)
+        "cos", F.round(dot(F.col("q_vec"), F.col("n_vec")), 6)
     ).select("query_id", "neighbor_id", "cos")
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (
@@ -196,11 +187,14 @@ def cosine_neardup_pairs(
     """All pairs (a < b) with cosine >= threshold — brute-force O(N²)
     scoring; the exact verifier / small-N path (use LSH buckets to
     pre-filter at scale). Returns (id_a, id_b, cos)."""
-    a = vectors.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    b = vectors.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    normed = vectors.select(
+        F.col(id_col).alias("id_a"), unit_normalize(F.col(vec_col)).alias("va")
+    )
+    a = normed
+    b = normed.select(F.col("id_a").alias("id_b"), F.col("va").alias("vb"))
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
-        .withColumn("cos", F.round(cosine(F.col("va"), F.col("vb")), 6))
+        .withColumn("cos", F.round(dot(F.col("va"), F.col("vb")), 6))
         .where(F.col("cos") >= threshold)
         .select("id_a", "id_b", "cos")
     )
