@@ -275,6 +275,85 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         beautify=True,
     )
 
+    # ---- relational: joins, windows, cube, as-of, sessions ---------------
+    def tableone_joined(spark, sf_dir):
+        from tableone_pyspark_spark.operators.relational import analysis_table
+
+        at = analysis_table(
+            _load(spark, sf_dir, "lineitem"),
+            _load(spark, sf_dir, "orders"),
+            _load(spark, sf_dir, "customer"),
+        )
+        return _round6(
+            tableone(
+                at,
+                col_to_strat="o_orderstatus",
+                cols_to_analyze=["c_mktsegment", "l_quantity", "o_totalprice"],
+                config=_INTERP,
+            )
+        )
+
+    q["tableone_joined"] = tableone_joined
+
+    def revenue_by_nation(spark, sf_dir):
+        from tableone_pyspark_spark.operators import relational as rel
+
+        li = _load(spark, sf_dir, "lineitem").withColumn(
+            "l_extendedprice", F.col("l_extendedprice").cast("decimal(18,2)")
+        ).withColumn("l_discount", F.col("l_discount").cast("decimal(18,2)"))
+        out = rel.revenue_by_nation(
+            li,
+            _load(spark, sf_dir, "orders"),
+            _load(spark, sf_dir, "customer"),
+            _load(spark, sf_dir, "nation"),
+        )
+        # decimal sum is exact and engine-independent; normalize scale
+        return out.select(
+            "n_name", "n_orders", F.col("revenue").cast("decimal(30,4)").alias("revenue")
+        )
+
+    q["revenue_by_nation"] = revenue_by_nation
+
+    def top_orders(spark, sf_dir):
+        from tableone_pyspark_spark.operators.relational import top_orders_per_group
+
+        return top_orders_per_group(_load(spark, sf_dir, "orders"), k=3)
+
+    q["top_orders"] = top_orders
+
+    def sales_cube(spark, sf_dir):
+        from tableone_pyspark_spark.operators.relational import sales_cube as cube
+
+        return cube(_load(spark, sf_dir, "lineitem"))
+
+    q["sales_cube"] = sales_cube
+
+    def asof_events(spark, sf_dir):
+        from tableone_pyspark_spark.operators.relational import asof_prior_event
+
+        out = asof_prior_event(_load(spark, sf_dir, "events"))
+        # DuckDB truncates parquet TIMESTAMP(NANOS) to microseconds on
+        # read; compare at µs precision (the as-of match itself still
+        # uses full nanosecond ordering)
+        # integer `div`, not float division: ns values (~1.7e18) exceed
+        # double's 53-bit integer range, so x/1000 drifts by ±1 µs
+        return out.selectExpr(
+            "event_id",
+            "user_id",
+            "ts_ns div 1000 AS ts_us",
+            "prior_ts_ns div 1000 AS prior_ts_us",
+            "(ts_ns div 1000) - (prior_ts_ns div 1000) AS gap_us",
+        )
+
+    q["asof_events"] = asof_events
+
+    def user_sessions(spark, sf_dir):
+        from tableone_pyspark_spark.operators.relational import sessionize
+
+        return sessionize(_load(spark, sf_dir, "events"))
+
+    q["user_sessions"] = user_sessions
+
     # ---- text analysis (north-star; functions/text.py) ------------------
     def text_stats(spark, sf_dir):
         d = _load(spark, sf_dir, "documents")
@@ -419,9 +498,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .option("pathGlobFilter", "events.parquet")
             .load(sf_dir)
             .select(
-                F.timestamp_micros((F.col("ts") / 1000).cast("long")).alias("ts"),
-                "event_type",
-                "value",
+                F.expr("timestamp_micros(ts div 1000)").alias("ts"),
+                F.col("event_type"),
+                F.col("value"),
             )
         )
         out = windowed_sufficient_stats(stream)
@@ -568,6 +647,55 @@ def oracle_sql() -> dict[str, str]:
         ["F", "O", "P"],
         [("o_orderpriority", "cat"), ("o_totalprice", "cont")],
     )
+    # ---- relational -------------------------------------------------------
+    o["tableone_joined"] = tableone_oracle_sql(
+        "(SELECT c_mktsegment, l_quantity, o_totalprice, o_orderstatus "
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+        "JOIN customer ON o_custkey = c_custkey) jt",
+        "o_orderstatus",
+        ["F", "O", "P"],
+        [("c_mktsegment", "cat"), ("l_quantity", "cont"), ("o_totalprice", "cont")],
+    )
+    o["revenue_by_nation"] = (
+        "SELECT n_name, count(DISTINCT o_orderkey) AS n_orders, "
+        "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) "
+        "* (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(30,4)) AS revenue "
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+        "JOIN customer ON o_custkey = c_custkey "
+        "JOIN nation ON c_nationkey = n_nationkey GROUP BY 1"
+    )
+    o["top_orders"] = (
+        "SELECT o_orderpriority, o_orderkey, o_totalprice, CAST(rank AS INT) AS rank "
+        "FROM (SELECT o_orderpriority, o_orderkey, o_totalprice, "
+        "row_number() OVER (PARTITION BY o_orderpriority "
+        "ORDER BY o_totalprice DESC, o_orderkey) AS rank FROM orders) WHERE rank <= 3"
+    )
+    o["sales_cube"] = (
+        "SELECT l_returnflag, l_linestatus, count(*) AS n, "
+        "ROUND(sum(l_quantity), 6) AS sum_qty, "
+        "ROUND(avg(l_extendedprice), 6) AS avg_price "
+        "FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)"
+    )
+    o["asof_events"] = (
+        "WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events "
+        "WHERE event_type = 'purchase'), "
+        "c AS (SELECT user_id, epoch_us(ts) AS ts_us FROM events "
+        "WHERE event_type = 'click') "
+        "SELECT p.event_id, p.user_id, p.ts_us, c.ts_us AS prior_ts_us, "
+        "p.ts_us - c.ts_us AS gap_us "
+        "FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts_us >= c.ts_us"
+    )
+    o["user_sessions"] = (
+        "WITH e AS (SELECT user_id, event_id, epoch_ns(ts) AS ts_ns FROM events), "
+        "l AS (SELECT *, lag(ts_ns) OVER (PARTITION BY user_id ORDER BY ts_ns, event_id) AS prev FROM e), "
+        "t AS (SELECT *, sum(CASE WHEN prev IS NULL OR ts_ns - prev > 1800000000000 "
+        "THEN 1 ELSE 0 END) OVER (PARTITION BY user_id ORDER BY ts_ns, event_id "
+        "ROWS UNBOUNDED PRECEDING) AS session_idx FROM l), "
+        "s AS (SELECT user_id, session_idx, count(*) AS c FROM t GROUP BY 1, 2) "
+        "SELECT user_id, CAST(sum(c) AS BIGINT) AS n_events, count(*) AS n_sessions, "
+        "CAST(max(c) AS BIGINT) AS max_session_events FROM s GROUP BY 1"
+    )
+
     # beautify (reference :245-257): drop Pivoted_column/Variable_type,
     # blank repeated Characteristics, "_"→" " on each group's first row
     o["tableone_beautify"] = (

@@ -1,0 +1,165 @@
+"""Relational operators over the star schema: joins, window top-k,
+cube/grouping-sets, as-of join, sessionization.
+
+These extend the engine past the reference's surface (its only joins
+are degenerate 1-row glue joins, SURVEY §2.3) with the join shapes a
+real analytics workload needs, written so Catalyst/AQE pick the right
+physical strategy:
+
+  * dimension tables are broadcast (`F.broadcast`) — no shuffle of the
+    fact table for customer/nation/region lookups;
+  * fact⋈fact joins (lineitem⋈orders) shuffle on the join key and are
+    AQE-sized;
+  * the as-of join avoids a range join entirely: union both sides and
+    run one window pass (sort within user partitions) — at 100 TB this
+    is a single shuffle by user, not an O(N·M) interval probe.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def analysis_table(
+    lineitem: DataFrame, orders: DataFrame, customer: DataFrame
+) -> DataFrame:
+    """customer ⋈ orders ⋈ lineitem analysis view (BASELINE.md's B
+    workload input): the fact-fact join shuffles on o_orderkey; the
+    customer dimension is broadcast."""
+    return (
+        lineitem.join(orders, lineitem["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(customer), orders["o_custkey"] == customer["c_custkey"])
+    )
+
+
+def revenue_by_nation(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    nation: DataFrame,
+) -> DataFrame:
+    """Revenue Σ l_extendedprice·(1−l_discount) per customer nation.
+
+    Classic star aggregation: one shuffle for lineitem⋈orders, all
+    dimensions broadcast, then a hash aggregation on the (tiny) nation
+    key. Output: n_name, n_orders, revenue.
+    """
+    joined = (
+        lineitem.join(orders, lineitem["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(customer), orders["o_custkey"] == customer["c_custkey"])
+        .join(F.broadcast(nation), customer["c_nationkey"] == nation["n_nationkey"])
+    )
+    return joined.groupBy("n_name").agg(
+        F.count_distinct("o_orderkey").alias("n_orders"),
+        F.round(
+            F.sum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))), 4
+        ).alias("revenue"),
+    )
+
+
+def top_orders_per_group(
+    orders: DataFrame, group_col: str = "o_orderpriority", k: int = 3
+) -> DataFrame:
+    """Top-k orders by o_totalprice per group — ranking window with a
+    deterministic tie-break on the key. At scale this is one shuffle on
+    the group column; no global sort."""
+    w = Window.partitionBy(group_col).orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        orders.select(group_col, "o_orderkey", "o_totalprice")
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
+def sales_cube(lineitem: DataFrame) -> DataFrame:
+    """CUBE over (l_returnflag, l_linestatus): counts and quantity sums
+    for every subtotal combination in one pass (grouping-sets Expand +
+    hash agg — the idiom the reference's per-pivot jobs approximate,
+    SURVEY §2.4). Aggregated-out dimensions are null."""
+    return lineitem.cube("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("l_quantity"), 6).alias("sum_qty"),
+        F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+    )
+
+
+def asof_prior_event(
+    events: DataFrame,
+    left_type: str = "purchase",
+    right_type: str = "click",
+) -> DataFrame:
+    """As-of join within one event stream: for every ``left_type``
+    event, the most recent ``right_type`` event by the same user with
+    ts <= the left event's ts.
+
+    Spark has no ASOF JOIN; the scalable formulation is union-and-scan:
+    filter both sides, sort each user partition by (ts, type) once, and
+    carry the latest right-side ts forward with ``last(..., ignoreNulls)``
+    over rows up to the current one. One shuffle on user_id, linear
+    scan per partition — no range-join blowup. Ties (equal ts) match,
+    like SQL ASOF's >= semantics. Output: event_id, user_id, ts_ns,
+    prior_ts_ns (null if none), gap_ns.
+    """
+    both = events.where(F.col("event_type").isin([left_type, right_type])).select(
+        "event_id", "user_id", "event_type", "ts_ns"
+    )
+    # event_type ascending puts "click" before "purchase" on equal ts →
+    # an equal-ts right event is visible to the left event (>= match)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_ns", "event_type", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tagged = both.withColumn(
+        "prior_ts_ns",
+        F.last(
+            F.when(F.col("event_type") == right_type, F.col("ts_ns")), ignorenulls=True
+        ).over(w),
+    )
+    return (
+        tagged.where(F.col("event_type") == left_type)
+        .select(
+            "event_id",
+            "user_id",
+            "ts_ns",
+            "prior_ts_ns",
+            (F.col("ts_ns") - F.col("prior_ts_ns")).alias("gap_ns"),
+        )
+    )
+
+
+def sessionize(
+    events: DataFrame, gap_minutes: int = 30
+) -> DataFrame:
+    """Gap-based sessionization: a new session starts when a user's
+    inter-event gap exceeds ``gap_minutes``. lag + running sum over one
+    user-partitioned window — single shuffle, linear per partition.
+    Output per user: n_events, n_sessions, max session length.
+    """
+    gap_ns = gap_minutes * 60 * 1_000_000_000
+    w = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+    new_session = (
+        F.when(
+            F.lag("ts_ns").over(w).isNull()
+            | ((F.col("ts_ns") - F.lag("ts_ns").over(w)) > gap_ns),
+            1,
+        ).otherwise(0)
+    )
+    tagged = events.select("user_id", "event_id", "ts_ns").withColumn(
+        "session_idx",
+        F.sum(new_session).over(
+            Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    per_session = tagged.groupBy("user_id", "session_idx").agg(
+        F.count(F.lit(1)).alias("session_events")
+    )
+    return per_session.groupBy("user_id").agg(
+        F.sum("session_events").alias("n_events"),
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.max("session_events").alias("max_session_events"),
+    )

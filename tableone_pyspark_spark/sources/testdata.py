@@ -36,13 +36,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # integer `div`, never float division: int64 nanos (~1.7e18) exceed
+    # double's 53-bit exact-integer range, so x/1000 drifts by ±1 µs
     return raw.select(
-        "event_id",
-        F.timestamp_micros((F.col("ts") / 1000).cast("long")).alias("ts"),
+        F.col("event_id"),
+        F.expr("timestamp_micros(ts div 1000)").alias("ts"),
         F.col("ts").alias("ts_ns"),
-        F.floor(F.col("ts") / F.lit(NS_PER_HOUR)).cast("long").alias("hour_id"),
-        "user_id",
-        "event_type",
-        "value",
-        "props",
+        F.expr(f"ts div {NS_PER_HOUR}").alias("hour_id"),
+        F.col("user_id"),
+        F.col("event_type"),
+        F.col("value"),
+        F.col("props"),
     )

@@ -29,9 +29,10 @@ def test_events_schema(events):
     assert types["ts"] == "timestamp"
     assert types["ts_ns"] == "bigint"
     assert types["hour_id"] == "bigint"
-    # hour_id consistent with the nanosecond timestamp
+    # hour_id consistent with the nanosecond timestamp (integer div —
+    # float division is off by ±1 at int64-nanosecond magnitudes)
     bad = events.where(
-        F.col("hour_id") != F.floor(F.col("ts_ns") / F.lit(3_600_000_000_000))
+        F.col("hour_id") != F.expr("ts_ns div 3600000000000")
     ).count()
     assert bad == 0
 

@@ -1,0 +1,76 @@
+"""Tests for operators/relational.py — as-of join, sessionization,
+top-k window, cube."""
+
+from __future__ import annotations
+
+import pytest
+
+from tableone_pyspark_spark.operators import relational as rel
+
+MIN = 60 * 1_000_000_000  # ns
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    rows = [
+        # (event_id, user_id, event_type, ts_ns)
+        (1, 1, "click", 100 * MIN),
+        (2, 1, "purchase", 105 * MIN),   # prior click = 100
+        (3, 1, "click", 110 * MIN),
+        (4, 1, "purchase", 110 * MIN),   # same-ts click matches (>=)
+        (5, 1, "purchase", 111 * MIN),   # prior click = 110
+        (6, 2, "purchase", 50 * MIN),    # user 2 never clicked → null
+        (7, 3, "click", 10 * MIN),
+    ]
+    return spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts_ns long"
+    )
+
+
+def test_asof_prior_event(events):
+    out = {r["event_id"]: r for r in rel.asof_prior_event(events).collect()}
+    assert set(out) == {2, 4, 5, 6}
+    assert out[2]["prior_ts_ns"] == 100 * MIN and out[2]["gap_ns"] == 5 * MIN
+    assert out[4]["prior_ts_ns"] == 110 * MIN and out[4]["gap_ns"] == 0
+    assert out[5]["prior_ts_ns"] == 110 * MIN
+    assert out[6]["prior_ts_ns"] is None and out[6]["gap_ns"] is None
+
+
+def test_sessionize(spark):
+    rows = [
+        (1, 1, 0 * MIN), (2, 1, 10 * MIN), (3, 1, 20 * MIN),   # session 1 (gaps 10m)
+        (4, 1, 60 * MIN),                                        # session 2 (gap 40m)
+        (5, 2, 0 * MIN),                                         # user 2: one session
+    ]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, ts_ns long")
+    out = {r["user_id"]: r for r in rel.sessionize(df, gap_minutes=30).collect()}
+    assert out[1]["n_sessions"] == 2
+    assert out[1]["n_events"] == 4
+    assert out[1]["max_session_events"] == 3
+    assert out[2]["n_sessions"] == 1
+
+
+def test_top_orders_per_group(spark):
+    rows = [
+        (1, "HIGH", 300.0), (2, "HIGH", 200.0), (3, "HIGH", 100.0), (4, "HIGH", 50.0),
+        (5, "LOW", 10.0), (6, "LOW", 10.0),  # tie → orderkey breaks it
+    ]
+    df = spark.createDataFrame(rows, "o_orderkey long, o_orderpriority string, o_totalprice double")
+    out = rel.top_orders_per_group(df, k=2).collect()
+    got = {(r["o_orderpriority"], r["rank"]): r["o_orderkey"] for r in out}
+    assert got[("HIGH", 1)] == 1 and got[("HIGH", 2)] == 2
+    assert got[("LOW", 1)] == 5 and got[("LOW", 2)] == 6
+    assert len(out) == 4
+
+
+def test_sales_cube_subtotals(spark):
+    rows = [("A", "F", 1.0), ("A", "O", 2.0), ("R", "F", 3.0)]
+    df = spark.createDataFrame(rows, "l_returnflag string, l_linestatus string, l_quantity double")
+    df = df.withColumn("l_extendedprice", df["l_quantity"] * 10)
+    out = rel.sales_cube(df).collect()
+    cells = {(r["l_returnflag"], r["l_linestatus"]): r["n"] for r in out}
+    assert cells[(None, None)] == 3          # grand total
+    assert cells[("A", None)] == 2           # per-flag subtotal
+    assert cells[(None, "F")] == 2           # per-status subtotal
+    assert cells[("A", "F")] == 1
+    assert len(out) == 3 + 2 + 2 + 1  # detail cells + flag + status + grand
