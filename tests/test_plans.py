@@ -1,0 +1,88 @@
+"""Plan-shape regression tests: the scale promises the engine makes
+(pruned scans, pushdown, broadcasts, bounded shuffle counts) asserted
+against the actual physical plans. A correctness-preserving change
+that breaks one of these is a 100 TB regression even if every value
+test stays green."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from tableone_pyspark_spark.operators import relational as rel
+from tableone_pyspark_spark.operators import stats as ops
+from tableone_pyspark_spark.plans import inspect
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def lineitem(spark):
+    return spark.read.parquet(f"{SF}/lineitem.parquet")
+
+
+def test_sufficient_stats_scan_pruning(lineitem):
+    # the rollup job must read ONLY the analyzed + strat columns
+    from tableone_pyspark_spark.core.sanitize import clean_strat_col
+    from tableone_pyspark_spark.core.sufficient import STRAT, _cont_aggs
+
+    work = lineitem.select(
+        F.col("l_quantity"), clean_strat_col("l_returnflag").alias(STRAT)
+    )
+    plan = work.rollup(STRAT).agg(*_cont_aggs(["l_quantity"], 10_000, "data"))
+    inspect.assert_scan_pruned(plan, {"l_quantity", "l_returnflag"})
+    facts = inspect.plan_facts(plan)
+    assert facts.n_exchanges == 1  # exactly one shuffle: partial → final agg
+
+
+def test_categorical_melt_single_shuffle(lineitem):
+    out = ops.categorical_counts(lineitem, "l_returnflag")
+    inspect.assert_scan_pruned(out, {"l_returnflag"})
+    # one shuffle for the groupBy; the window total over k rows adds
+    # a single-partition exchange of the aggregated rows only
+    facts = inspect.plan_facts(out)
+    assert facts.n_exchanges <= 2
+
+
+def test_filter_pushdown_reaches_scan(lineitem):
+    flt = lineitem.where(F.col("l_quantity") > 40).select("l_quantity", "l_returnflag")
+    facts = inspect.plan_facts(flt)
+    pushed = " ".join(facts.pushed_filters)
+    assert "l_quantity" in pushed, facts.pushed_filters
+
+
+def test_revenue_joins_broadcast(spark):
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    customer = spark.read.parquet(f"{SF}/customer.parquet")
+    nation = spark.read.parquet(f"{SF}/nation.parquet")
+    out = rel.revenue_by_nation(li, orders, customer, nation)
+    out.collect()  # AQE finalizes the plan on execution
+    facts = inspect.plan_facts(out)
+    # customer and nation are explicitly broadcast (AQE's plan string
+    # shows initial+final subtrees, so counts are lower bounds, not
+    # exact); at this sf nothing should fall back to sort-merge
+    assert facts.n_broadcast_joins >= 2
+    assert facts.n_sortmerge_joins == 0
+    assert "CartesianProduct" not in inspect.executed_plan(out)
+
+
+def test_topk_single_shuffle(spark):
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    out = rel.top_orders_per_group(orders, k=3)
+    facts = inspect.plan_facts(out)
+    # one hash-partition exchange on the group column; no global sort
+    assert facts.n_exchanges == 1
+    inspect.assert_scan_pruned(
+        out, {"o_orderpriority", "o_orderkey", "o_totalprice"}
+    )
+
+
+def test_tableone_has_no_repartition_one(lineitem):
+    # the reference serializes through repartition(1) at 13 sites; the
+    # engine's output is a tiny local relation — no exchanges at all
+    from tableone_pyspark_spark import tableone
+
+    out = tableone(lineitem, col_to_strat="l_returnflag", cols_to_analyze=["l_quantity"])
+    assert "Exchange" not in inspect.executed_plan(out)
