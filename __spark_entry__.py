@@ -453,6 +453,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["embedding_lsh_topk"] = embedding_lsh_topk  # rows-only (approximate)
 
+    def embedding_ivf_topk(spark, sf_dir):
+        from tableone_pyspark_spark.operators.ml_lsh import ivf_topk
+
+        e = _load(spark, sf_dir, "embeddings")
+        return ivf_topk(e, e.where(F.col("vec_id") < 10), k=5)
+
+    q["embedding_ivf_topk"] = embedding_ivf_topk  # rows-only (approximate)
+
+    def ml_minhash(spark, sf_dir):
+        from tableone_pyspark_spark.operators.ml_lsh import ml_minhash_pairs
+
+        d = _load(spark, sf_dir, "documents")
+        out = ml_minhash_pairs(d, "text", "doc_id", jaccard_threshold=0.5)
+        return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+    q["ml_minhash"] = ml_minhash  # rows-only (probabilistic recall)
+
     # ---- events: JSON props + time bucketing ----------------------------
     def events_type_stats(spark, sf_dir):
         from tableone_pyspark_spark.functions.events import type_value_stats

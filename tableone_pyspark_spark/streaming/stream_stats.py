@@ -59,6 +59,24 @@ def windowed_sufficient_stats(
     )
 
 
+def streaming_dedup(
+    stream: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming exact deduplication on ``key_cols``.
+
+    With the watermark, Spark keeps dedup state only for keys newer
+    than (max event time − watermark) — bounded state, runs forever.
+    Late duplicates older than the watermark may be re-emitted
+    (documented streaming trade-off; exact global dedup is a batch op).
+    """
+    if stream.isStreaming:
+        stream = stream.withWatermark(ts_col, watermark)
+    return stream.dropDuplicates(key_cols)
+
+
 def run_stream_over_parquet(
     spark,
     parquet_path: str,

@@ -1,0 +1,99 @@
+"""Tests for the MLlib-backed approximate operators (MinHashLSH, IVF)
+and streaming dedup."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from tableone_pyspark_spark.operators import dedup as dd
+from tableone_pyspark_spark.operators import ml_lsh
+from tableone_pyspark_spark.operators import similarity as sim
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_ml_minhash_recall_and_precision(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    ml = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ml_lsh.ml_minhash_pairs(
+            docs, "text", "doc_id", jaccard_threshold=0.5
+        ).collect()
+    }
+    exact = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dd.ngram_jaccard_pairs(docs, "text", "doc_id", threshold=0.5).collect()
+    }
+    # approxSimilarityJoin distances are exact Jaccard → no false
+    # positives, and on this corpus recall is total
+    assert set(ml) == set(exact)
+    for pair, j in ml.items():
+        assert abs(j - exact[pair]) < 1e-9
+
+
+def test_ivf_topk_recall(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = emb.where("vec_id < 20")
+    ivf = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ml_lsh.ivf_topk(emb, q, k=3, n_centroids=16, n_probe=4).collect()
+    }
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in sim.brute_force_topk(emb, q, k=3).collect()
+    }
+    recall = len(ivf & exact) / len(exact)
+    # seeded KMeans → deterministic; random vectors are IVF's worst
+    # case, still must beat 0.5 at 4/16 probes
+    assert recall >= 0.5, recall
+    # every query keeps exactly k survivors
+    assert len(ivf) == len(exact)
+
+
+def test_streaming_dedup(spark):
+    import pyspark.sql.types as T
+
+    from tableone_pyspark_spark.streaming.stream_stats import streaming_dedup
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .format("parquet")
+        .option("pathGlobFilter", "events.parquet")
+        .load(SF)
+        .select(
+            F.expr("timestamp_micros(ts div 1000)").alias("ts"),
+            "user_id",
+            "event_type",
+        )
+    )
+    deduped = streaming_dedup(stream, ["user_id", "event_type"])
+    assert deduped.isStreaming
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("t_stream_dedup")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.table("t_stream_dedup").count()
+    want = (
+        spark.read.parquet(f"{SF}/events.parquet")
+        .select("user_id", "event_type")
+        .distinct()
+        .count()
+    )
+    assert got == want
