@@ -28,13 +28,25 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from tableone_pyspark_spark.functions.text import normalize_text
+from tableone_pyspark_spark.plans.layout import rebalance
 
+
+
+def _rotl64(c, i):
+    """64-bit rotate-left by a constant — wraps, never overflows (ANSI-safe)."""
+    i = i % 64
+    if i == 0:
+        return c
+    return F.shiftleft(c, i).bitwiseOR(F.shiftrightunsigned(c, 64 - i))
 
 def word_shingles(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame:
     """Distinct word n-gram shingles per document: (id, shingle).
 
     Built with sequence/transform/explode — pure Catalyst, no UDF.
+    Shingling is CPU-bound per row, so the input is rebalanced first
+    (no-op when the scan is already wider than the cluster).
     """
+    df = rebalance(df.select(id_col, text_col))
     words = F.split(normalize_text(F.col(text_col)), " ")
     k = F.greatest(F.size(words) - (n - 1), F.lit(0))
     grams = F.transform(
@@ -102,14 +114,19 @@ def minhash_signatures(
 ) -> DataFrame:
     """k-permutation MinHash signature per document.
 
-    Each permutation h_i(s) = xxhash64(shingle, seed=i); the signature
-    element is min over shingles — computed with groupBy + min
-    aggregates (one pass over the exploded shingles).
-    Returns (id, sig array<long>).
+    Permutations use XOR-rotate double hashing:
+    h_i(s) = h1(s) ⊕ rotl(h2(s), i) over two independent xxhash64
+    seeds — 2 string hashes per shingle instead of k, with collision
+    behavior equivalent to independent permutations for MinHash
+    banding, and pure bit ops (no ANSI overflow). The signature
+    element is min over shingles — groupBy + k min aggregates, one
+    pass over the exploded shingles. Returns (id, sig array<long>).
     """
-    sh = word_shingles(df, text_col, id_col, n)
+    sh = word_shingles(df, text_col, id_col, n).withColumns(
+        {"h1": F.xxhash64("shingle"), "h2": F.xxhash64("shingle", F.lit(0x9E3779B9))}
+    )
     mins = sh.groupBy("id").agg(
-        *[F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}") for i in range(k)]
+        *[F.min(F.col("h1").bitwiseXOR(_rotl64(F.col("h2"), i))).alias(f"h{i}") for i in range(k)]
     )
     return mins.select("id", F.array(*[f"h{i}" for i in range(k)]).alias("sig"))
 
@@ -134,7 +151,16 @@ def minhash_lsh_pairs(
     positives). Returns (id_a, id_b, jaccard).
     """
     r = k // bands
-    sig = minhash_signatures(df, text_col, id_col, n, k)
+    # one shingle pass feeds BOTH signature generation and the exact
+    # verification join — cache it (it is the expensive projection)
+    sh = word_shingles(df, text_col, id_col, n).cache()
+    hashed = sh.withColumns(
+        {"h1": F.xxhash64("shingle"), "h2": F.xxhash64("shingle", F.lit(0x9E3779B9))}
+    )
+    mins = hashed.groupBy("id").agg(
+        *[F.min(F.col("h1").bitwiseXOR(_rotl64(F.col("h2"), i))).alias(f"h{i}") for i in range(k)]
+    )
+    sig = mins.select("id", F.array(*[f"h{i}" for i in range(k)]).alias("sig"))
     bands_df = sig.select(
         "id",
         F.explode(
@@ -160,8 +186,8 @@ def minhash_lsh_pairs(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
-    # exact verification of the (small) candidate set
-    sh = word_shingles(df, text_col, id_col, n)
+    # exact verification of the (small) candidate set — reuses the
+    # cached shingles from signature generation
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     sh_a = sh.select(F.col("id").alias("id_a"), "shingle")
     sh_b = sh.select(F.col("id").alias("id_b"), "shingle")
@@ -190,7 +216,8 @@ def simhash64(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     64 conditional sums folded back into one long. Returns (id, simhash).
     """
     words = (
-        df.select(
+        rebalance(df.select(id_col, text_col))
+        .select(
             F.col(id_col).alias("id"),
             F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("w"),
         )

@@ -32,19 +32,22 @@ def ml_minhash_pairs(
 
     from tableone_pyspark_spark.operators.dedup import word_shingles
 
+    # cached: the vocabulary fit AND the transform both scan it.
+    # CountVectorizer keeps the vocab on the driver — bounded by
+    # vocabSize; for truly unbounded corpora switch to HashingTF
+    # (stateless, at the cost of exact-Jaccard distances).
     shingle_sets = (
         word_shingles(df, text_col, id_col, n)
         .groupBy("id")
         .agg(F.collect_list("shingle").alias("shingles"))
+        .cache()
     )
     cv = CountVectorizer(
         inputCol="shingles", outputCol="features", binary=True, minDF=1.0
     )
     model = cv.fit(shingle_sets)
-    feats = model.transform(shingle_sets).where(
-        # MinHashLSH requires at least one non-zero entry
-        F.expr("aggregate(transform(shingles, x -> 1), 0, (a, b) -> a + b)") > 0
-    )
+    # MinHashLSH requires at least one non-zero entry
+    feats = model.transform(shingle_sets).where(F.size("shingles") > 0)
     mh = MinHashLSH(
         inputCol="features", outputCol="hashes", numHashTables=num_hash_tables, seed=42
     )
@@ -92,8 +95,9 @@ def ivf_topk(
     from pyspark.sql import Window
 
     from tableone_pyspark_spark.operators.similarity import dot, unit_normalize
+    from tableone_pyspark_spark.plans.layout import rebalance
 
-    v = _to_mlvec(vectors, vec_col)
+    v = _to_mlvec(rebalance(vectors.select(id_col, vec_col)), vec_col)
     km = KMeans(k=n_centroids, seed=42, featuresCol="__mlvec", predictionCol="cell")
     model = km.fit(v)
 

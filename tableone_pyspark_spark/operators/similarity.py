@@ -20,6 +20,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from tableone_pyspark_spark.plans.layout import rebalance
+
 
 def dot(a: Column, b: Column) -> Column:
     """Σ aᵢ·bᵢ via zip_with + aggregate (JVM-side, no UDF)."""
@@ -71,7 +73,7 @@ def brute_force_topk(
         F.col(id_col).alias("query_id"),
         unit_normalize(F.col(vec_col)).alias("q_vec"),
     )
-    v = vectors.select(
+    v = rebalance(vectors.select(id_col, vec_col)).select(
         F.col(id_col).alias("neighbor_id"),
         unit_normalize(F.col(vec_col)).alias("n_vec"),
     )
@@ -151,25 +153,37 @@ def lsh_topk(
     buckets (cheaper, lower recall); more tables → higher recall.
     Returns (query_id, neighbor_id, cos, rank) — rank <= k per query.
     """
-    v = vectors.select(
+    normed = rebalance(vectors.select(id_col, vec_col)).select(
         F.col(id_col).alias("neighbor_id"),
         unit_normalize(F.col(vec_col)).alias("n_vec"),
-        F.explode(_lsh_tables(F.col(vec_col), dim, tables, planes)).alias("tb"),
-    ).select("neighbor_id", "n_vec", "tb.table", "tb.bucket")
-    q = queries.select(
+    )
+    v = normed.select(
+        "neighbor_id",
+        F.explode(_lsh_tables(F.col("n_vec"), dim, tables, planes)).alias("tb"),
+    ).select("neighbor_id", "tb.table", "tb.bucket")
+    q_normed = queries.select(
         F.col(id_col).alias("query_id"),
         unit_normalize(F.col(vec_col)).alias("q_vec"),
-        F.explode(_lsh_tables(F.col(vec_col), dim, tables, planes)).alias("tb"),
-    ).select("query_id", "q_vec", "tb.table", "tb.bucket")
+    )
+    q = q_normed.select(
+        "query_id",
+        F.explode(_lsh_tables(F.col("q_vec"), dim, tables, planes)).alias("tb"),
+    ).select("query_id", "tb.table", "tb.bucket")
+    # candidate generation and dedup carry ONLY compact (query, neighbor)
+    # id pairs — the vectors are joined back afterwards, so the distinct
+    # shuffle moves 16-byte rows instead of kilobyte embedding payloads
     candidates = (
         v.join(F.broadcast(q), ["table", "bucket"])
         .where(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "q_vec", "neighbor_id", "n_vec")
-        .dropDuplicates(["query_id", "neighbor_id"])
+        .select("query_id", "neighbor_id")
+        .distinct()
     )
-    scored = candidates.withColumn(
-        "cos", F.round(dot(F.col("q_vec"), F.col("n_vec")), 6)
-    ).select("query_id", "neighbor_id", "cos")
+    scored = (
+        candidates.join(normed, "neighbor_id")
+        .join(F.broadcast(q_normed), "query_id")
+        .withColumn("cos", F.round(dot(F.col("q_vec"), F.col("n_vec")), 6))
+        .select("query_id", "neighbor_id", "cos")
+    )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -187,7 +201,7 @@ def cosine_neardup_pairs(
     """All pairs (a < b) with cosine >= threshold — brute-force O(N²)
     scoring; the exact verifier / small-N path (use LSH buckets to
     pre-filter at scale). Returns (id_a, id_b, cos)."""
-    normed = vectors.select(
+    normed = rebalance(vectors.select(id_col, vec_col)).select(
         F.col(id_col).alias("id_a"), unit_normalize(F.col(vec_col)).alias("va")
     )
     a = normed
