@@ -1,6 +1,6 @@
 """MLlib-backed approximate similarity operators — alternates to the
 hand-rolled LSH in dedup.py / similarity.py, built on pyspark.ml
-(MinHashLSH, BucketedRandomProjectionLSH, KMeans-IVF).
+(MinHashLSH) plus a sampled-quantizer IVF.
 
 When to use which:
   * ``dedup.minhash_lsh_pairs`` (hand-rolled) — fully deterministic,
@@ -65,12 +65,26 @@ def ml_minhash_pairs(
     )
 
 
-def _to_mlvec(df: DataFrame, vec_col: str) -> DataFrame:
-    from pyspark.ml.functions import array_to_vector
+def _kmeans_numpy(X, k: int, iters: int = 12, seed: int = 42):
+    """Lloyd's KMeans on a driver-side sample (numpy, deterministic).
 
-    return df.withColumn(
-        "__mlvec", array_to_vector(F.col(vec_col).cast("array<double>"))
-    )
+    The IVF coarse quantizer never needs the full corpus — training on
+    a bounded sample is the standard construction (FAISS does the
+    same); the distributed data is only ever *assigned*, one pass.
+    """
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    C = X[rng.choice(len(X), size=min(k, len(X)), replace=False)].astype(np.float64)
+    for _ in range(iters):
+        # ||x-c||² = ||x||² - 2x·c + ||c||² ; ||x||² constant in argmin
+        d2 = -2.0 * (X @ C.T) + (C * C).sum(axis=1)
+        a = d2.argmin(axis=1)
+        for j in range(len(C)):
+            members = X[a == j]
+            if len(members):
+                C[j] = members.mean(axis=0)
+    return C
 
 
 def ivf_topk(
@@ -81,35 +95,57 @@ def ivf_topk(
     n_probe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    train_limit: int = 16384,
 ) -> DataFrame:
-    """IVF (inverted-file) approximate top-k: seeded KMeans partitions
-    the corpus into ``n_centroids`` cells; each query scores only the
-    ``n_probe`` cells whose centroids are nearest.
+    """IVF (inverted-file) approximate top-k: a sampled KMeans coarse
+    quantizer partitions the corpus into ``n_centroids`` cells; each
+    query scores only the ``n_probe`` cells whose centroids are nearest.
 
-    Scale story: the fit is a one-time sampled KMeans; cell assignment
-    is one streaming pass; the probe is an equi-join on cell id that
-    touches ~n_probe/n_centroids of the corpus. Exact cosine re-scores
-    survivors. Returns (query_id, neighbor_id, cos, rank).
+    Scale story: the quantizer trains on a bounded driver-side sample
+    (≤ ``train_limit`` rows — never the corpus); cell assignment is one
+    Arrow-vectorized streaming pass (numpy argmin per batch); the probe
+    is an equi-join on cell id touching ~n_probe/n_centroids of the
+    corpus. Exact cosine re-scores survivors.
+    Returns (query_id, neighbor_id, cos, rank).
     """
-    from pyspark.ml.clustering import KMeans
+    import numpy as np
+    import pandas as pd
+
     from pyspark.sql import Window
 
     from tableone_pyspark_spark.operators.similarity import dot, unit_normalize
     from tableone_pyspark_spark.plans.layout import rebalance
 
-    v = _to_mlvec(rebalance(vectors.select(id_col, vec_col)), vec_col)
-    km = KMeans(k=n_centroids, seed=42, featuresCol="__mlvec", predictionCol="cell")
-    model = km.fit(v)
+    train = np.array(
+        [
+            np.asarray(r[0], dtype=np.float64)
+            for r in vectors.select(F.col(vec_col).cast("array<double>"))
+            .limit(train_limit)
+            .collect()
+        ]
+    )
+    C = _kmeans_numpy(train, n_centroids)
+    c_norm2 = (C * C).sum(axis=1)
 
-    assigned = model.transform(v).select(
+    def assign(vecs):
+        if vecs.empty:
+            return pd.Series([], dtype="int32")
+        V = np.vstack([np.asarray(x, dtype=np.float64) for x in vecs])
+        d2 = -2.0 * (V @ C.T) + c_norm2
+        return pd.Series(d2.argmin(axis=1).astype("int32"))
+
+    assign_udf = F.pandas_udf(assign, "int")
+
+    v = rebalance(vectors.select(id_col, vec_col))
+    assigned = v.select(
         F.col(id_col).alias("neighbor_id"),
         unit_normalize(F.col(vec_col)).alias("n_vec"),
-        "cell",
+        assign_udf(F.col(vec_col).cast("array<double>")).alias("cell"),
     )
 
     # centroid table is tiny: broadcast-join it against the queries and
     # keep each query's n_probe nearest cells
-    centroids = [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())]
+    centroids = [(i, [float(x) for x in c]) for i, c in enumerate(C)]
     cdf = queries.sparkSession.createDataFrame(centroids, "cell int, centroid array<double>")
     q = queries.select(
         F.col(id_col).alias("query_id"),

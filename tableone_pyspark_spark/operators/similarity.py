@@ -131,6 +131,51 @@ def _lsh_tables(vec: Column, dim: int, tables: int, planes: int) -> Column:
     return F.array(*entries)
 
 
+def _srp_buckets_arrow(dim: int, tables: int, planes: int):
+    """Arrow-vectorized SRP bucketing: ONE pandas UDF computes every
+    table's bucket id as a (tables·planes × dim) numpy matmul per batch.
+
+    Produces bit-identical buckets to the pure-Catalyst
+    ``_lsh_tables`` path (same ``_plane_weights`` family, same sign
+    convention — pinned by tests), but the plan carries a single
+    compact UDF call instead of tables·planes expanded dot-product
+    expression trees, whose whole-stage-codegen compile alone costs
+    seconds. Dense linear algebra is the documented carve-out for
+    Pandas UDFs (batch matmul is not expressible efficiently in
+    builtin array functions). Returns array<long> indexed by table.
+    """
+    import numpy as np
+    import pandas as pd
+
+    W = np.array(
+        [_plane_weights(t * planes + p, dim) for t in range(tables) for p in range(planes)]
+    )  # (tables·planes, dim)
+    pow2 = 1 << np.arange(planes, dtype=np.int64)
+
+    def buckets(vecs):
+        if vecs.empty:
+            return pd.Series([], dtype=object)
+        V = np.vstack([np.asarray(v, dtype=np.float64) for v in vecs])
+        bits = (V @ W.T) > 0  # (n, tables·planes)
+        B = bits.reshape(len(V), tables, planes).astype(np.int64) @ pow2
+        return pd.Series(list(B))
+
+    # positional form: the `from __future__ import annotations` in this
+    # module would stringify pd.Series hints beyond the resolver's reach
+    return F.pandas_udf(buckets, "array<long>")
+
+
+def _lsh_table_structs(vec: Column, dim: int, tables: int, planes: int, arrow: bool) -> Column:
+    """(table, bucket) struct array via either implementation."""
+    if not arrow:
+        return _lsh_tables(vec, dim, tables, planes)
+    b = _srp_buckets_arrow(dim, tables, planes)(vec)
+    return F.transform(
+        b,
+        lambda bucket, t: F.struct(t.alias("table"), bucket.alias("bucket")),
+    )
+
+
 def lsh_topk(
     vectors: DataFrame,
     queries: DataFrame,
@@ -140,6 +185,7 @@ def lsh_topk(
     planes: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    arrow: bool = True,
 ) -> DataFrame:
     """Approximate top-k via multi-table SRP LSH: a candidate must share
     a bucket with the query in AT LEAST ONE of ``tables`` independent
@@ -159,7 +205,7 @@ def lsh_topk(
     )
     v = normed.select(
         "neighbor_id",
-        F.explode(_lsh_tables(F.col("n_vec"), dim, tables, planes)).alias("tb"),
+        F.explode(_lsh_table_structs(F.col("n_vec"), dim, tables, planes, arrow)).alias("tb"),
     ).select("neighbor_id", "tb.table", "tb.bucket")
     q_normed = queries.select(
         F.col(id_col).alias("query_id"),
@@ -167,7 +213,7 @@ def lsh_topk(
     )
     q = q_normed.select(
         "query_id",
-        F.explode(_lsh_tables(F.col("q_vec"), dim, tables, planes)).alias("tb"),
+        F.explode(_lsh_table_structs(F.col("q_vec"), dim, tables, planes, arrow)).alias("tb"),
     ).select("query_id", "tb.table", "tb.bucket")
     # candidate generation and dedup carry ONLY compact (query, neighbor)
     # id pairs — the vectors are joined back afterwards, so the distinct

@@ -81,3 +81,22 @@ def test_srp_bucket_deterministic(spark, vecs):
     assert a == b
     # identical vectors must always share a bucket
     assert a[0] == a[0]
+
+
+def test_srp_arrow_matches_catalyst(spark):
+    """The Arrow (numpy matmul) and pure-Catalyst SRP bucket paths must
+    produce bit-identical (table, bucket) assignments."""
+    from pyspark.sql import functions as F
+
+    from tableone_pyspark_spark.operators import similarity as sim
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(200)
+    cat = e.select(
+        "vec_id",
+        F.explode(sim._lsh_table_structs(F.col("embedding"), 64, 4, 4, arrow=False)).alias("tb"),
+    ).select("vec_id", "tb.table", "tb.bucket")
+    arw = e.select(
+        "vec_id",
+        F.explode(sim._lsh_table_structs(F.col("embedding"), 64, 4, 4, arrow=True)).alias("tb"),
+    ).select("vec_id", "tb.table", "tb.bucket")
+    assert sorted(map(tuple, cat.collect())) == sorted(map(tuple, arw.collect()))
