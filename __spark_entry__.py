@@ -470,6 +470,49 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ml_minhash"] = ml_minhash  # rows-only (probabilistic recall)
 
+    # ---- multimodal binary columns (operators/multimodal.py) ------------
+    # documents.text encoded to UTF-8 bytes stands in for an opaque
+    # media payload: the decode stub is deterministic byte arithmetic,
+    # so the whole mapInPandas pipeline is DuckDB-oracle-checkable.
+    def multimodal_meta(spark, sf_dir):
+        from tableone_pyspark_spark.operators.multimodal import image_metadata
+
+        d = _load(spark, sf_dir, "documents").select(
+            "doc_id", F.encode("text", "UTF-8").alias("payload")
+        )
+        out = image_metadata(d, "doc_id", "payload")
+        return out.select(
+            "id", "width", "height", "channels", "n_bytes",
+            F.round("mean_intensity", 6).alias("mean_intensity"),
+        )
+
+    q["multimodal_meta"] = multimodal_meta
+
+    def frame_stats(spark, sf_dir):
+        from tableone_pyspark_spark.operators.multimodal import sample_frames
+
+        d = _load(spark, sf_dir, "documents").select(
+            "doc_id", F.encode("text", "UTF-8").alias("payload")
+        )
+        frames = sample_frames(d, "doc_id", "payload", every_n=1, frame_size=64)
+        return frames.groupBy("id").agg(
+            F.count(F.lit(1)).alias("n_frames"),
+            F.sum(F.length("frame")).alias("frame_bytes"),
+            F.max(F.length("frame")).alias("max_frame_bytes"),
+        )
+
+    q["frame_stats"] = frame_stats
+
+    def binary_stats(spark, sf_dir):
+        from tableone_pyspark_spark.operators.multimodal import binary_stats as bs
+
+        d = _load(spark, sf_dir, "documents").select(
+            F.encode("text", "UTF-8").alias("payload")
+        )
+        return bs(d, "payload")
+
+    q["binary_stats"] = binary_stats
+
     # ---- events: JSON props + time bucketing ----------------------------
     def events_type_stats(spark, sf_dir):
         from tableone_pyspark_spark.functions.events import type_value_stats
@@ -854,6 +897,33 @@ def oracle_sql() -> dict[str, str]:
         "ROUND(stddev_samp(value), 6) AS stddev_value, "
         "ROUND(min(value), 6) AS min_value, ROUND(max(value), 6) AS max_value "
         "FROM events GROUP BY 1, 2"
+    )
+
+    # ---- multimodal (documents.text bytes as the opaque payload; the
+    # decode stub is deterministic byte arithmetic — text is pure ASCII
+    # in the testdata, so ascii(substr(..)) == the UTF-8 byte) ----------
+    o["multimodal_meta"] = (
+        "SELECT doc_id AS id, "
+        "64 + ascii(substr(text, 1, 1)) % 64 AS width, "
+        "64 + ascii(substr(text, length(text), 1)) % 64 AS height, "
+        "3 AS channels, CAST(length(text) AS BIGINT) AS n_bytes, "
+        "ROUND(list_sum(list_transform(range(1, least(length(text), 256) + 1), "
+        "i -> ascii(substr(text, i, 1)))) / least(length(text), 256) / 255.0, 6) "
+        "AS mean_intensity FROM documents"
+    )
+
+    o["frame_stats"] = (
+        # every_n=1, frame_size=64 → contiguous 64-byte slices: ceil(len/64)
+        # frames covering every byte exactly once
+        "SELECT doc_id AS id, CAST(ceil(length(text) / 64.0) AS BIGINT) AS n_frames, "
+        "CAST(length(text) AS BIGINT) AS frame_bytes, "
+        "CAST(least(64, length(text)) AS INT) AS max_frame_bytes FROM documents"
+    )
+
+    o["binary_stats"] = (
+        "SELECT count(*) AS n, CAST(sum(length(text)) AS BIGINT) AS total_bytes, "
+        "ROUND(avg(length(text)), 6) AS avg_bytes, "
+        "CAST(max(length(text)) AS INT) AS max_bytes FROM documents"
     )
 
     # no oracle (engine-specific hashes / approximate): minhash_pairs,
