@@ -113,7 +113,7 @@ def ivf_topk(
 
     from pyspark.sql import Window
 
-    from tableone_pyspark_spark.operators.similarity import dot, unit_normalize
+    from tableone_pyspark_spark.operators.similarity import _seq_dot, _vstack, dot_arrow
     from tableone_pyspark_spark.plans.layout import rebalance
 
     train = np.array(
@@ -127,55 +127,51 @@ def ivf_topk(
     C = _kmeans_numpy(train, n_centroids)
     c_norm2 = (C * C).sum(axis=1)
 
-    def assign(vecs):
+    # ONE Arrow pass per side fuses unit-normalization with cell
+    # assignment (||x-c||² argmin via batch matmul) — no centroid
+    # crossJoin, no probe-ranking window, no per-element interpreted
+    # HOF math in the plan.
+    def corpus_feat(vecs):
         if vecs.empty:
-            return pd.Series([], dtype="int32")
-        V = np.vstack([np.asarray(x, dtype=np.float64) for x in vecs])
+            return pd.DataFrame({"n_vec": [], "cell": pd.Series([], dtype="int32")})
+        V = _vstack(vecs)
+        n = np.sqrt(_seq_dot(V, V))
+        cells = (-2.0 * (V @ C.T) + c_norm2).argmin(axis=1)
+        return pd.DataFrame({"n_vec": list(V / n[:, None]), "cell": cells.astype("int32")})
+
+    corpus_udf = F.pandas_udf(corpus_feat, "n_vec array<double>, cell int")
+
+    def query_feat(vecs):
+        if vecs.empty:
+            return pd.DataFrame({"q_vec": [], "cells": []})
+        V = _vstack(vecs)
+        n = np.sqrt(_seq_dot(V, V))
         d2 = -2.0 * (V @ C.T) + c_norm2
-        return pd.Series(d2.argmin(axis=1).astype("int32"))
+        # stable argsort ⇒ ties break on the lower cell id
+        cells = np.argsort(d2, axis=1, kind="stable")[:, :n_probe]
+        return pd.DataFrame(
+            {"q_vec": list(V / n[:, None]), "cells": list(cells.astype("int32"))}
+        )
 
-    assign_udf = F.pandas_udf(assign, "int")
+    query_udf = F.pandas_udf(query_feat, "q_vec array<double>, cells array<int>")
 
-    v = rebalance(vectors.select(id_col, vec_col))
-    assigned = v.select(
+    assigned = rebalance(vectors.select(id_col, vec_col)).select(
         F.col(id_col).alias("neighbor_id"),
-        unit_normalize(F.col(vec_col)).alias("n_vec"),
-        assign_udf(F.col(vec_col).cast("array<double>")).alias("cell"),
-    )
+        corpus_udf(F.col(vec_col).cast("array<double>")).alias("f"),
+    ).select("neighbor_id", "f.n_vec", "f.cell")
 
-    # centroid table is tiny: broadcast-join it against the queries and
-    # keep each query's n_probe nearest cells
-    centroids = [(i, [float(x) for x in c]) for i, c in enumerate(C)]
-    cdf = queries.sparkSession.createDataFrame(centroids, "cell int, centroid array<double>")
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        unit_normalize(F.col(vec_col)).alias("q_vec"),
-        F.col(vec_col).cast("array<double>").alias("q_raw"),
-    )
     probes = (
-        q.crossJoin(F.broadcast(cdf))
-        .withColumn(
-            "dist2",
-            F.aggregate(
-                F.zip_with("q_raw", "centroid", lambda a, b: (a - b) * (a - b)),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            ),
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            query_udf(F.col(vec_col).cast("array<double>")).alias("f"),
         )
-        .withColumn(
-            "probe_rank",
-            F.row_number().over(
-                Window.partitionBy("query_id").orderBy(F.asc("dist2"), F.asc("cell"))
-            ),
-        )
-        .where(F.col("probe_rank") <= n_probe)
-        .select("query_id", "q_vec", "cell")
+        .select("query_id", "f.q_vec", F.explode("f.cells").alias("cell"))
     )
 
     scored = (
         assigned.join(F.broadcast(probes), "cell")
         .where(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cos", F.round(dot(F.col("q_vec"), F.col("n_vec")), 6))
+        .withColumn("cos", F.round(dot_arrow()(F.col("q_vec"), F.col("n_vec")), 6))
         .select("query_id", "neighbor_id", "cos")
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
