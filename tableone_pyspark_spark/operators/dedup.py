@@ -39,15 +39,40 @@ def _rotl64(c, i):
         return c
     return F.shiftleft(c, i).bitwiseOR(F.shiftrightunsigned(c, 64 - i))
 
-def word_shingles(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame:
+def word_shingles(
+    df: DataFrame, text_col: str, id_col: str, n: int = 3, arrow: bool = True
+) -> DataFrame:
     """Distinct word n-gram shingles per document: (id, shingle).
 
-    Built with sequence/transform/explode — pure Catalyst, no UDF.
+    Normalization + word split stay Catalyst (one regexp pass, cheap);
+    gram assembly defaults to a compact Arrow UDF over the word arrays —
+    the pure-Catalyst ``transform(sequence, …)`` alternative
+    (``arrow=False``) evaluates interpreted per gram AND costs seconds
+    of whole-stage-codegen compile for its n·element_at expression
+    tree. Both paths emit identical shingles (parity-pinned by test).
     Shingling is CPU-bound per row, so the input is rebalanced first
     (no-op when the scan is already wider than the cluster).
     """
     df = rebalance(df.select(id_col, text_col))
     words = F.split(normalize_text(F.col(text_col)), " ")
+    if arrow:
+        import pandas as pd
+
+        def _grams(word_arrays):
+            out = []
+            for ws in word_arrays:
+                ws = list(ws)
+                seen = dict.fromkeys(
+                    " ".join(ws[i : i + n]) for i in range(max(len(ws) - n + 1, 0))
+                )
+                seen.pop("", None)
+                out.append(list(seen))
+            return pd.Series(out, dtype=object)
+
+        grams = F.pandas_udf(_grams, "array<string>")(words)
+        return df.select(
+            F.col(id_col).alias("id"), F.explode(grams).alias("shingle")
+        )
     k = F.greatest(F.size(words) - (n - 1), F.lit(0))
     grams = F.transform(
         F.sequence(F.lit(0), k - 1),

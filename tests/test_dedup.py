@@ -74,3 +74,12 @@ def test_simhash_locality(docs):
     assert sig[1] == sig[3]  # normalized-identical text → identical hash
     assert ham(sig[1], sig[2]) <= 16  # near-dup → close
     assert ham(sig[1], sig[4]) > 16  # unrelated → far
+
+
+def test_shingles_arrow_matches_catalyst(spark):
+    """Arrow and pure-Catalyst shingle paths emit identical (id, shingle)
+    sets on real testdata."""
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(300)
+    a = set(map(tuple, dd.word_shingles(d, "text", "doc_id", arrow=True).collect()))
+    c = set(map(tuple, dd.word_shingles(d, "text", "doc_id", arrow=False).collect()))
+    assert a == c and len(a) > 0
