@@ -28,5 +28,29 @@ Design (vs. reference):
 
 from tableone_pyspark_spark.core.engine import tableone, TableOneConfig
 
-__all__ = ["tableone", "TableOneConfig"]
+
+def tableone_pyspark(
+    df,
+    spark_session=None,
+    col_to_strat: str = "",
+    cols_to_analyze_list=None,
+    beautify: bool = False,
+    p_values: bool = False,
+):
+    """Drop-in compatibility shim with the reference's exact signature
+    (``/root/reference/tableone_pyspark.py:20``) — same parameter names
+    and order, so existing callers switch engines by changing only the
+    import. ``spark_session`` is accepted and ignored (the session is
+    taken from ``df``; the reference only used it to build driver-side
+    literal frames)."""
+    return tableone(
+        df,
+        col_to_strat=col_to_strat,
+        cols_to_analyze=list(cols_to_analyze_list or []),
+        beautify=beautify,
+        p_values=p_values,
+    )
+
+
+__all__ = ["tableone", "tableone_pyspark", "TableOneConfig"]
 __version__ = "0.1.0"

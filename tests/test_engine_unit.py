@@ -301,3 +301,17 @@ def test_percent_sums(patients):
         assert approx(sum(r[col] for r in cat), 1.0)
     for col in ["All_Patients", "FFS", "HMO", "PPO", "MISSING"]:
         assert sum(r[col] for r in cat) == rows[(0.0, "ALL")][col]
+
+
+def test_compat_shim_signature(spark, patients):
+    """tableone_pyspark(...) accepts the reference's exact parameter
+    names/order (reference :20) and matches tableone(...) output."""
+    from tableone_pyspark_spark import tableone, tableone_pyspark
+
+    a = tableone_pyspark(
+        patients, spark, col_to_strat="plan",
+        cols_to_analyze_list=["name", "age"], beautify=False, p_values=False,
+    )
+    b = tableone(patients, col_to_strat="plan", cols_to_analyze=["name", "age"])
+    assert a.columns == b.columns
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
