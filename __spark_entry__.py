@@ -585,6 +585,45 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["stream_hourly"] = stream_hourly
 
+    def stream_sessions(spark, sf_dir):
+        from pyspark.sql import types as T
+
+        from tableone_pyspark_spark.streaming.stream_stats import streaming_sessionize
+
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        raw_schema = T.StructType(
+            [
+                T.StructField("event_id", T.LongType()),
+                T.StructField("ts", T.LongType()),
+                T.StructField("user_id", T.LongType()),
+                T.StructField("event_type", T.StringType()),
+                T.StructField("value", T.DoubleType()),
+                T.StructField("props", T.StringType()),
+            ]
+        )
+        stream = (
+            spark.readStream.schema(raw_schema)
+            .format("parquet")
+            .option("pathGlobFilter", "events.parquet")
+            .load(sf_dir)
+            .select(
+                "user_id",
+                F.expr("timestamp_micros(ts div 1000)").alias("ts"),
+            )
+        )
+        out = streaming_sessionize(stream, gap_minutes=30)
+        qry = (
+            out.writeStream.format("memory")
+            .queryName("stream_sessions_sink")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        qry.awaitTermination()
+        return spark.table("stream_sessions_sink")
+
+    q["stream_sessions"] = stream_sessions
+
     return q
 
 
@@ -924,6 +963,28 @@ def oracle_sql() -> dict[str, str]:
         "SELECT count(*) AS n, CAST(sum(length(text)) AS BIGINT) AS total_bytes, "
         "ROUND(avg(length(text)), 6) AS avg_bytes, "
         "CAST(max(length(text)) AS INT) AS max_bytes FROM documents"
+    )
+
+    # ---- streaming sessionize (applyInPandasWithState) ----------------
+    # closed sessions = every non-final session (closed by a gap) plus
+    # final sessions whose event-time timeout (last + gap, ms) fires
+    # before the terminal watermark (= max event ts, delay 0)
+    o["stream_sessions"] = (
+        "WITH e AS (SELECT user_id, epoch_ns(ts) // 1000 AS ts_us "
+        "FROM events), "
+        "t AS (SELECT user_id, ts_us, CASE WHEN lag(ts_us) OVER w IS NULL "
+        "OR ts_us - lag(ts_us) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_s "
+        "FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)), "
+        "g AS (SELECT user_id, ts_us, sum(new_s) OVER "
+        "(PARTITION BY user_id ORDER BY ts_us ROWS UNBOUNDED PRECEDING) AS sid FROM t), "
+        "s AS (SELECT user_id, sid, min(ts_us) AS session_start_us, "
+        "max(ts_us) AS session_end_us, count(*) AS n_events FROM g GROUP BY 1, 2), "
+        "f AS (SELECT user_id, max(sid) AS last_sid FROM s GROUP BY 1), "
+        "mx AS (SELECT max(ts_us) AS m FROM e) "
+        "SELECT s.user_id, session_start_us, session_end_us, n_events "
+        "FROM s JOIN f ON s.user_id = f.user_id, mx "
+        "WHERE s.sid <> f.last_sid "
+        "OR (session_end_us + 1800000000) // 1000 + 1 < mx.m // 1000"
     )
 
     # no oracle (engine-specific hashes / approximate): minhash_pairs,

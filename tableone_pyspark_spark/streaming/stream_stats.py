@@ -77,6 +77,83 @@ def streaming_dedup(
     return stream.dropDuplicates(key_cols)
 
 
+def streaming_sessionize(
+    stream: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_minutes: int = 30,
+    watermark: str = "0 seconds",
+) -> DataFrame:
+    """Gap-based sessionization as a CUSTOM STATEFUL streaming operator
+    (``applyInPandasWithState`` — the extension point for semantics no
+    builtin streaming agg expresses; SURVEY §2.9 / Phase F).
+
+    State per user = the one open session (start, last-event, count) —
+    O(users) state, independent of event volume. Each micro-batch folds
+    its (sorted) events into that session, APPENDS every session closed
+    by a gap, and arms an event-time timeout at last_event + gap so
+    idle sessions flush when the watermark passes — no unbounded state,
+    runs indefinitely. The session a user still has open at shutdown is
+    intentionally never emitted (it is not finished).
+
+    Batch twin: ``operators.relational.sessionize`` (lag + running-sum
+    window) — equivalence is pinned by test. Returns (user_id,
+    session_start_us, session_end_us, n_events), timestamps in epoch µs.
+    """
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    gap_us = gap_minutes * 60 * 1_000_000
+    out_schema = (
+        f"{user_col} long, session_start_us long, session_end_us long, n_events long"
+    )
+    state_schema = "start long, last long, n long"
+    cols = [user_col, "session_start_us", "session_end_us", "n_events"]
+
+    def fold(key, pdfs, state):
+        uid = key[0]
+        if state.hasTimedOut:
+            s, last, n = state.get
+            state.remove()
+            yield pd.DataFrame([(uid, s, last, n)], columns=cols)
+            return
+        import numpy as np
+
+        batches = [pdf["__ts_us"].to_numpy("int64") for pdf in pdfs]
+        ts = np.sort(np.concatenate(batches)) if batches else np.array([], "int64")
+        s = last = None
+        n = 0
+        if state.exists:
+            s, last, n = state.get
+        closed = []
+        for x in ts:
+            x = int(x)
+            if s is None:
+                s, last, n = x, x, 1
+            elif x - last > gap_us:
+                closed.append((uid, s, last, n))
+                s, last, n = x, x, 1
+            else:
+                last, n = x, n + 1
+        if s is not None:
+            state.update((s, last, n))
+            # event-time timeout: fire once the watermark passes the
+            # open session's gap horizon (API takes epoch ms)
+            state.setTimeoutTimestamp((last + gap_us) // 1000 + 1)
+        if closed:
+            yield pd.DataFrame(closed, columns=cols)
+
+    prepared = (
+        stream.withWatermark(ts_col, watermark)
+        if stream.isStreaming
+        else stream
+    ).withColumn("__ts_us", F.unix_micros(F.col(ts_col)))
+    return prepared.groupBy(user_col).applyInPandasWithState(
+        fold, out_schema, state_schema, "append", GroupStateTimeout.EventTimeTimeout
+    )
+
+
 def run_stream_over_parquet(
     spark,
     parquet_path: str,

@@ -100,3 +100,87 @@ def test_stream_equals_batch(spark, events):
         assert streamed[k]["n"] == batch[k]["n"]
         assert approx(streamed[k]["mean_value"], batch[k]["mean_value"], tol=1e-9)
         assert approx(streamed[k]["stddev_value"], batch[k]["stddev_value"], tol=1e-6)
+
+
+def test_streaming_sessionize_matches_batch(spark):
+    """The applyInPandasWithState sessionizer's closed sessions must be
+    exactly the batch (lag + running-sum) sessions, minus each user's
+    final session (never closed by a later event or timeout)."""
+    import pyspark.sql.types as T
+
+    from pyspark.sql import Window
+    from tableone_pyspark_spark.streaming.stream_stats import streaming_sessionize
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .format("parquet")
+        .option("pathGlobFilter", "events.parquet")
+        .load(SF)
+        .select(
+            "user_id",
+            F.expr("timestamp_micros(ts div 1000)").alias("ts"),
+        )
+    )
+    out = streaming_sessionize(stream, gap_minutes=30)
+    assert out.isStreaming
+    qry = (
+        out.writeStream.format("memory")
+        .queryName("t_stream_sessions")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    qry.awaitTermination()
+    streamed = {
+        (r["user_id"], r["session_start_us"], r["session_end_us"], r["n_events"])
+        for r in spark.table("t_stream_sessions").collect()
+    }
+
+    # batch twin: per-session rows via the same lag/running-sum idiom as
+    # relational.sessionize
+    ev = (
+        spark.read.parquet(f"{SF}/events.parquet")
+        .select("user_id", F.expr("ts div 1000").alias("ts_us"))
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us")
+    gap_us = 30 * 60 * 1_000_000
+    tagged = ev.withColumn(
+        "new_s",
+        F.when(
+            F.lag("ts_us").over(w).isNull()
+            | ((F.col("ts_us") - F.lag("ts_us").over(w)) > gap_us),
+            1,
+        ).otherwise(0),
+    ).withColumn(
+        "sid",
+        F.sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    sessions = tagged.groupBy("user_id", "sid").agg(
+        F.min("ts_us").alias("s"), F.max("ts_us").alias("e"), F.count(F.lit(1)).alias("n")
+    )
+    last_sid = sessions.groupBy("user_id").agg(F.max("sid").alias("last_sid"))
+    closed_batch = {
+        (r["user_id"], r["s"], r["e"], r["n"])
+        for r in sessions.join(last_sid, "user_id")
+        .where(F.col("sid") != F.col("last_sid"))
+        .collect()
+    }
+    assert len(streamed) > 0
+    # streamed closed sessions == batch sessions minus (at most) the
+    # per-user final session; timeout flushing may close some of those
+    # too, so allow streamed ⊇ closed_batch within all batch sessions
+    all_batch = {
+        (r["user_id"], r["s"], r["e"], r["n"]) for r in sessions.collect()
+    }
+    assert closed_batch <= streamed <= all_batch
