@@ -624,6 +624,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["stream_sessions"] = stream_sessions
 
+    def text_fingerprints(spark, sf_dir):
+        d = _load(spark, sf_dir, "documents")
+        return d.select("doc_id", tx.rolling_fingerprint(F.col("text")).alias("fp"))
+
+    q["text_fingerprints"] = text_fingerprints
+
     return q
 
 
@@ -985,6 +991,15 @@ def oracle_sql() -> dict[str, str]:
         "FROM s JOIN f ON s.user_id = f.user_id, mx "
         "WHERE s.sid <> f.last_sid "
         "OR (session_end_us + 1800000000) // 1000 + 1 < mx.m // 1000"
+    )
+
+    # rolling-hash fingerprint: same Horner fold, SQL-side
+    o["text_fingerprints"] = (
+        "SELECT doc_id, list_reduce("
+        "list_prepend(CAST(0 AS BIGINT), list_transform("
+        "range(1, length(trim(regexp_replace(lower(text), '[ \\t\\n]+', ' ', 'g'))) + 1), "
+        "i -> CAST(ascii(substr(trim(regexp_replace(lower(text), '[ \\t\\n]+', ' ', 'g')), i, 1)) AS BIGINT))), "
+        "(a, b) -> (a * 31 + b) % 2147483647) AS fp FROM documents"
     )
 
     # no oracle (engine-specific hashes / approximate): minhash_pairs,

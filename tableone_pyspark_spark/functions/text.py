@@ -123,3 +123,20 @@ def fingerprint(c: Column) -> Column:
     """64-bit content fingerprint of the normalized text (xxhash64 —
     engine-specific values; use for grouping, not cross-engine compare)."""
     return F.xxhash64(normalize_text(c))
+
+
+def rolling_fingerprint(c: Column, base: int = 31, mod: int = (1 << 31) - 1) -> Column:
+    """Polynomial (Rabin-Karp) rolling-hash fingerprint of the
+    normalized text: Horner fold ``acc = (acc·base + code) % mod`` over
+    the character codes. Unlike :func:`fingerprint` (xxhash64), the
+    value is defined by arithmetic any engine reproduces exactly —
+    oracle-checkable — and the rolling structure extends to windowed
+    substring hashing. ``mod`` < 2³¹ keeps every intermediate below
+    2⁶³ (no overflow under ANSI). Pure Catalyst fold; use for
+    grouping/content-addressing, not cryptographic integrity."""
+    chars = F.split(normalize_text(c), "")
+    return F.aggregate(
+        chars,
+        F.lit(0).cast("long"),
+        lambda acc, ch: (acc * base + F.ascii(ch)) % mod,
+    )

@@ -70,3 +70,16 @@ def test_stopword_ratio(spark):
     df = spark.createDataFrame([("the cat and the dog",)], "text string")
     r = df.select(tx.stopword_ratio(F.col("text")).alias("s")).collect()[0]
     assert approx(r["s"], 3 / 5)  # the, and, the
+
+
+def test_rolling_fingerprint(spark):
+    from tableone_pyspark_spark.functions.text import rolling_fingerprint
+
+    df = spark.createDataFrame(
+        [("abc",), ("abd",), ("  ABC \t",), ("",)], "t string"
+    )
+    fps = [r[0] for r in df.select(rolling_fingerprint(F.col("t"))).collect()]
+    # Horner over 'abc' = ((0*31+97)*31+98)*31+99 = 96354
+    assert fps[0] == ((97 * 31 + 98) * 31 + 99) % ((1 << 31) - 1)
+    assert fps[0] != fps[1]            # single-char change flips the hash
+    assert fps[2] == fps[0]            # normalization: case + whitespace
