@@ -630,6 +630,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["text_fingerprints"] = text_fingerprints
 
+    def range_join_ship(spark, sf_dir):
+        from tableone_pyspark_spark.operators.relational import bucketed_range_join
+
+        epoch = F.to_date(F.lit("1970-01-01"))
+        points = _load(spark, sf_dir, "lineitem").select(
+            F.datediff(F.col("l_shipdate"), epoch).alias("ship_day")
+        )
+        intervals = (
+            _load(spark, sf_dir, "orders")
+            .where(F.col("o_custkey") < 10)
+            .select(
+                "o_orderkey",
+                F.datediff(F.col("o_orderdate"), epoch).alias("start_day"),
+                (F.datediff(F.col("o_orderdate"), epoch) + 7).alias("end_day"),
+            )
+        )
+        out = bucketed_range_join(points, intervals, "ship_day", "start_day", "end_day", bucket=7)
+        return out.groupBy("o_orderkey").agg(F.count(F.lit(1)).alias("n_in_window"))
+
+    q["range_join_ship"] = range_join_ship
+
     return q
 
 
@@ -1000,6 +1021,15 @@ def oracle_sql() -> dict[str, str]:
         "range(1, length(trim(regexp_replace(lower(text), '[ \\t\\n]+', ' ', 'g'))) + 1), "
         "i -> CAST(ascii(substr(trim(regexp_replace(lower(text), '[ \\t\\n]+', ' ', 'g')), i, 1)) AS BIGINT))), "
         "(a, b) -> (a * 31 + b) % 2147483647) AS fp FROM documents"
+    )
+
+    # bucketed range join == plain inclusive BETWEEN join
+    o["range_join_ship"] = (
+        "SELECT o_orderkey, count(*) AS n_in_window "
+        "FROM orders o JOIN lineitem l "
+        "ON CAST(l.l_shipdate AS DATE) BETWEEN CAST(o.o_orderdate AS DATE) "
+        "AND CAST(o.o_orderdate AS DATE) + INTERVAL 7 DAY "
+        "WHERE o.o_custkey < 10 GROUP BY 1"
     )
 
     # no oracle (engine-specific hashes / approximate): minhash_pairs,

@@ -131,6 +131,45 @@ def asof_prior_event(
     )
 
 
+def bucketed_range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    start_col: str,
+    end_col: str,
+    bucket: int,
+) -> DataFrame:
+    """Non-equi range join — point ∈ [start, end] — via bucketing.
+
+    A naive range join is a BroadcastNestedLoopJoin: |points|·|intervals|
+    comparisons, unusable at scale. The scale path: quantize the range
+    dimension into ``bucket``-wide cells; each interval EXPLODES into
+    the cells it covers, each point maps to one cell, and the join
+    becomes a shuffled EQUI-join on the cell id, followed by the exact
+    range predicate on the (tiny) per-cell candidate set. Work drops to
+    Σ per-cell |points|·|intervals|; pick ``bucket`` ≈ the typical
+    interval width so intervals explode into O(1) cells.
+
+    ``point_col``/``start_col``/``end_col`` must be numeric (cast dates
+    to day numbers first). Returns points ⋈ intervals columns.
+    """
+    cell = "__t1_cell__"
+    p = points.withColumn(cell, F.floor(F.col(point_col) / bucket))
+    iv = intervals.withColumn(
+        cell,
+        F.explode(
+            F.sequence(
+                F.floor(F.col(start_col) / bucket), F.floor(F.col(end_col) / bucket)
+            )
+        ),
+    )
+    return (
+        p.join(iv, cell)
+        .where(F.col(point_col).between(F.col(start_col), F.col(end_col)))
+        .drop(cell)
+    )
+
+
 def sessionize(
     events: DataFrame, gap_minutes: int = 30
 ) -> DataFrame:

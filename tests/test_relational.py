@@ -5,6 +5,8 @@ from __future__ import annotations
 
 import pytest
 
+from pyspark.sql import functions as F
+
 from tableone_pyspark_spark.operators import relational as rel
 
 MIN = 60 * 1_000_000_000  # ns
@@ -74,3 +76,29 @@ def test_sales_cube_subtotals(spark):
     assert cells[(None, "F")] == 2           # per-status subtotal
     assert cells[("A", "F")] == 1
     assert len(out) == 3 + 2 + 2 + 1  # detail cells + flag + status + grand
+
+
+def test_bucketed_range_join_is_equi_join(spark):
+    """The bucketed range join must plan as a hash/sort-merge EQUI join
+    on the cell id — never a BroadcastNestedLoopJoin."""
+    from tableone_pyspark_spark.operators.relational import bucketed_range_join
+
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    od = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    epoch = F.to_date(F.lit("1970-01-01"))
+    points = li.select(F.datediff("l_shipdate", epoch).alias("d"))
+    iv = od.where(F.col("o_custkey") < 5).select(
+        "o_orderkey",
+        F.datediff("o_orderdate", epoch).alias("s"),
+        (F.datediff("o_orderdate", epoch) + 7).alias("e"),
+    )
+    out = bucketed_range_join(points, iv, "d", "s", "e", bucket=7)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan
+    assert "Join" in plan
+
+    # correctness vs the naive theta join
+    naive = points.crossJoin(iv).where(F.col("d").between(F.col("s"), F.col("e")))
+    assert sorted(map(tuple, out.select("d", "o_orderkey").collect())) == sorted(
+        map(tuple, naive.select("d", "o_orderkey").collect())
+    )
