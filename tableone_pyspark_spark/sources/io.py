@@ -80,3 +80,31 @@ def write_table(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.options(**options).format(fmt).save(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    path: str,
+    bucket_cols: list[str],
+    n_buckets: int = 32,
+    mode: str = "overwrite",
+) -> None:
+    """Persist ``df`` as a bucketed+sorted parquet table (external, at
+    ``path``) registered as ``table`` in the session catalog.
+
+    Bucketing pre-shuffles ONCE at write time: two tables bucketed on
+    the same key with the same bucket count join with NO exchange and
+    (sorted buckets) no sort — the shuffle that dominates repeated
+    large-table joins is paid a single time and amortized over every
+    subsequent join/aggregation on that key. This is the co-location
+    strategy for 100 TB fact-fact joins; verified shuffle-free by test.
+    """
+    (
+        df.write.mode(mode)
+        .option("path", path)
+        .bucketBy(n_buckets, *bucket_cols)
+        .sortBy(*bucket_cols)
+        .format("parquet")
+        .saveAsTable(table)
+    )

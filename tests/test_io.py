@@ -51,3 +51,28 @@ def test_bad_format_rejected(spark, tmp_path):
         read_table(spark, "/tmp/x", fmt="avro")
     with pytest.raises(ValueError):
         write_table(_nation(spark), str(tmp_path / "x"), fmt="xml")
+
+
+def test_bucketed_join_is_shuffle_free(spark, tmp_path):
+    """Two tables bucketed on the join key must sort-merge-join with no
+    Exchange on either side (the write-time shuffle is amortized)."""
+    from tableone_pyspark_spark.sources.io import write_bucketed
+
+    orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    write_bucketed(orders, "t_bk_orders", str(tmp_path / "o"), ["o_orderkey"], 8)
+    write_bucketed(
+        li.withColumnRenamed("l_orderkey", "o_orderkey"),
+        "t_bk_lineitem", str(tmp_path / "l"), ["o_orderkey"], 8,
+    )
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table("t_bk_orders").join(spark.table("t_bk_lineitem"), "o_orderkey")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan
+        assert joined.count() == li.count()
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS t_bk_orders")
+        spark.sql("DROP TABLE IF EXISTS t_bk_lineitem")
