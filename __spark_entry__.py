@@ -651,6 +651,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["range_join_ship"] = range_join_ship
 
+    def profile_lineitem(spark, sf_dir):
+        li = _load(spark, sf_dir, "lineitem")
+        return ops.data_profile(
+            li, ["l_orderkey", "l_quantity", "l_returnflag", "l_shipdate"]
+        )
+
+    q["profile_lineitem"] = profile_lineitem
+
+    def simhash_neardup(spark, sf_dir):
+        d = _load(spark, sf_dir, "documents")
+        return dd.simhash_neardup_pairs(d, "text", "doc_id", max_hamming=8)
+
+    q["simhash_neardup"] = simhash_neardup  # rows-only (xxhash signatures)
+
     return q
 
 
@@ -1030,6 +1044,20 @@ def oracle_sql() -> dict[str, str]:
         "ON CAST(l.l_shipdate AS DATE) BETWEEN CAST(o.o_orderdate AS DATE) "
         "AND CAST(o.o_orderdate AS DATE) + INTERVAL 7 DAY "
         "WHERE o.o_custkey < 10 GROUP BY 1"
+    )
+
+    o["profile_lineitem"] = (
+        "SELECT col, n_rows, n_rows - n_non_null AS n_nulls, n_distinct, "
+        "min_value, max_value, ROUND(mean_value, 6) AS mean_value FROM ("
+        "  SELECT 'l_orderkey' AS col, count(*) AS n_rows, count(l_orderkey) AS n_non_null, "
+        "  count(DISTINCT l_orderkey) AS n_distinct, CAST(min(l_orderkey) AS DOUBLE) AS min_value, "
+        "  CAST(max(l_orderkey) AS DOUBLE) AS max_value, avg(l_orderkey) AS mean_value FROM lineitem "
+        "  UNION ALL SELECT 'l_quantity', count(*), count(l_quantity), count(DISTINCT l_quantity), "
+        "  CAST(min(l_quantity) AS DOUBLE), CAST(max(l_quantity) AS DOUBLE), avg(l_quantity) FROM lineitem "
+        "  UNION ALL SELECT 'l_returnflag', count(*), count(l_returnflag), count(DISTINCT l_returnflag), "
+        "  NULL, NULL, NULL FROM lineitem "
+        "  UNION ALL SELECT 'l_shipdate', count(*), count(l_shipdate), count(DISTINCT l_shipdate), "
+        "  NULL, NULL, NULL FROM lineitem)"
     )
 
     # no oracle (engine-specific hashes / approximate): minhash_pairs,

@@ -268,3 +268,50 @@ def simhash64(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 def hamming64(a, b):
     """Hamming distance between two 64-bit signatures (bit_count of XOR)."""
     return F.bit_count(F.col(a).bitwiseXOR(F.col(b)))
+
+
+def simhash_neardup_pairs(
+    df: DataFrame, text_col: str, id_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """All pairs with SimHash Hamming distance ≤ ``max_hamming``,
+    found WITHOUT the O(N²) all-pairs scan.
+
+    Pigeonhole construction (the web-dedup classic): split the 64-bit
+    signature into ``max_hamming + 1`` disjoint chunks — any pair
+    within distance d differs in at most d chunks, so it must AGREE on
+    at least one. Candidate generation is therefore an equi-join on
+    (chunk_index, chunk_value) — a compact shuffled hash join, the
+    100 TB path — and candidates are verified with the exact
+    ``bit_count(xor)``. No false negatives; false positives are
+    filtered by the verify step. Returns (id_a, id_b, hamming).
+    """
+    k = max_hamming + 1
+    width = 64 // k
+    sig = simhash64(df, text_col, id_col)
+    chunk_structs = []
+    for i in range(k):
+        w = width if i < k - 1 else 64 - width * (k - 1)
+        piece = F.shiftrightunsigned(F.col("simhash"), i * width).bitwiseAND(
+            F.lit((1 << w) - 1)
+        )
+        chunk_structs.append(F.struct(F.lit(i).alias("ci"), piece.alias("cv")))
+    chunked = sig.select(
+        "id", "simhash", F.explode(F.array(*chunk_structs)).alias("c")
+    ).select("id", "simhash", "c.ci", "c.cv")
+    a = chunked.select(
+        F.col("id").alias("id_a"), F.col("simhash").alias("sig_a"), "ci", "cv"
+    )
+    b = chunked.select(
+        F.col("id").alias("id_b"), F.col("simhash").alias("sig_b"), "ci", "cv"
+    )
+    return (
+        a.join(b, ["ci", "cv"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
+    )

@@ -207,3 +207,57 @@ def chi2_statistic(
         ((F.first("n_rows") - 1) * (F.first("n_cols") - 1)).cast("long").alias("dof"),
         F.sum("o").cast("long").alias("n_obs"),
     )
+
+
+def data_profile(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    """Per-column data-quality profile in ONE aggregation pass: rows,
+    nulls, distinct (exact), min/max/mean (numeric columns; null
+    otherwise) — the monitoring pre-pass a pipeline runs before and
+    after every transform stage. One job regardless of column count;
+    count_distinct adds an Expand (one row per profiled column) but
+    stays a single shuffle. Long-format output: (col, n_rows, n_nulls,
+    n_distinct, min_value, max_value, mean_value).
+    """
+    cols = cols or df.columns
+    numeric = {
+        f.name
+        for f in df.schema.fields
+        if f.dataType.typeName()
+        in ("byte", "short", "integer", "long", "float", "double", "decimal")
+    }
+    aggs: list[Column] = [F.count(F.lit(1)).alias("__rows")]
+    for i, c in enumerate(cols):
+        col = F.col(_q(c))
+        aggs += [
+            F.count(col).alias(f"nn_{i}"),
+            F.count_distinct(col).alias(f"nd_{i}"),
+        ]
+        if c in numeric:
+            aggs += [
+                F.min(col).cast("double").alias(f"mi_{i}"),
+                F.max(col).cast("double").alias(f"ma_{i}"),
+                F.avg(col).alias(f"me_{i}"),
+            ]
+        else:
+            aggs += [
+                F.lit(None).cast("double").alias(f"mi_{i}"),
+                F.lit(None).cast("double").alias(f"ma_{i}"),
+                F.lit(None).cast("double").alias(f"me_{i}"),
+            ]
+    one = df.agg(*aggs)
+    stack = ", ".join(
+        f"'{c}', nn_{i}, nd_{i}, mi_{i}, ma_{i}, me_{i}" for i, c in enumerate(cols)
+    )
+    return one.selectExpr(
+        "__rows as n_rows",
+        f"stack({len(cols)}, {stack}) as "
+        "(col, n_non_null, n_distinct, min_value, max_value, mean_value)",
+    ).select(
+        "col",
+        "n_rows",
+        (F.col("n_rows") - F.col("n_non_null")).alias("n_nulls"),
+        "n_distinct",
+        "min_value",
+        "max_value",
+        F.round("mean_value", 6).alias("mean_value"),
+    )

@@ -83,3 +83,29 @@ def test_shingles_arrow_matches_catalyst(spark):
     a = set(map(tuple, dd.word_shingles(d, "text", "doc_id", arrow=True).collect()))
     c = set(map(tuple, dd.word_shingles(d, "text", "doc_id", arrow=False).collect()))
     assert a == c and len(a) > 0
+
+
+def test_simhash_neardup_pairs_matches_bruteforce(spark):
+    """Pigeonhole chunk-join pairs == brute-force all-pairs Hamming
+    filter (no false negatives, verify kills false positives)."""
+    from pyspark.sql import functions as F
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(200)
+    fast = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in dd.simhash_neardup_pairs(d, "text", "doc_id", max_hamming=8).collect()
+    }
+    sig = dd.simhash64(d, "text", "doc_id")
+    a = sig.select(F.col("id").alias("id_a"), F.col("simhash").alias("sa"))
+    b = sig.select(F.col("id").alias("id_b"), F.col("simhash").alias("sb"))
+    brute = {
+        (r["id_a"], r["id_b"], r["h"])
+        for r in a.join(b, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b",
+            F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))).alias("h"),
+        )
+        .where(F.col("h") <= 8)
+        .collect()
+    }
+    assert fast == brute
