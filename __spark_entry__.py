@@ -665,6 +665,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["simhash_neardup"] = simhash_neardup  # rows-only (xxhash signatures)
 
+    def curate_documents(spark, sf_dir):
+        # the end-to-end curation filter: keep mid-quality-or-better
+        # docs with a sane token count — one pruned scan, predicate on
+        # derived columns, no shuffle at all
+        d = _load(spark, sf_dir, "documents")
+        scored = d.select(
+            "doc_id",
+            "lang",
+            tx.token_count(F.col("text")).alias("n_tokens"),
+            tx.quality_score(F.col("text")).alias("q"),
+        )
+        return scored.where(
+            (F.col("q") >= 0.55) & F.col("n_tokens").between(10, 1000)
+        ).select("doc_id", "lang", "n_tokens", F.round("q", 6).alias("quality"))
+
+    q["curate_documents"] = curate_documents
+
     return q
 
 
@@ -886,6 +903,13 @@ def oracle_sql() -> dict[str, str]:
         "ROUND(avg(tc), 6) AS avg_tokens, ROUND(avg(punct), 6) AS avg_punct, "
         "ROUND(avg(stop), 6) AS avg_stopword, ROUND(avg(alpha), 6) AS avg_alpha, "
         "ROUND(avg(quality), 6) AS avg_quality FROM per GROUP BY 1"
+    )
+
+    o["curate_documents"] = (
+        f"WITH per AS (SELECT doc_id, lang, {TC} AS n_tokens, {QUALITY} AS q "
+        "FROM documents) "
+        "SELECT doc_id, lang, n_tokens, ROUND(q, 6) AS quality FROM per "
+        "WHERE q >= 0.55 AND n_tokens BETWEEN 10 AND 1000"
     )
 
     def _lang_score(words: list[str]) -> str:
