@@ -268,6 +268,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         p_values=True,
     )
     q["tableone_docs"] = _tableone_q("documents", "lang", ["source", "n_chars"])
+    q["tableone_part"] = _tableone_q(
+        "part", "p_type", ["p_brand", "p_size", "p_retailprice"]
+    )
+    q["tableone_supplier"] = _tableone_q("supplier", "", ["s_name", "s_acctbal"])
     q["tableone_beautify"] = _tableone_q(
         "lineitem",
         "l_returnflag",
@@ -803,6 +807,15 @@ def oracle_sql() -> dict[str, str]:
         "o_orderstatus",
         ["F", "O", "P"],
         [("o_orderpriority", "cat"), ("o_totalprice", "cont")],
+    )
+    o["tableone_part"] = tableone_oracle_sql(
+        "part",
+        "p_type",
+        ["ECONOMY", "LARGE", "MEDIUM", "PROMO", "SMALL", "STANDARD"],
+        [("p_brand", "cat"), ("p_size", "cont"), ("p_retailprice", "cont")],
+    )
+    o["tableone_supplier"] = _unstrat_oracle(
+        "supplier", [("s_name", "cat"), ("s_acctbal", "cont")]
     )
     # ---- relational -------------------------------------------------------
     o["tableone_joined"] = tableone_oracle_sql(
