@@ -686,6 +686,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["curate_documents"] = curate_documents
 
+    def label_centroids(spark, sf_dir):
+        e = _load(spark, sf_dir, "embeddings")
+        return sim.label_centroids(e, "label", "embedding")
+
+    q["label_centroids"] = label_centroids
+
     return q
 
 
@@ -916,6 +922,12 @@ def oracle_sql() -> dict[str, str]:
         "ROUND(avg(tc), 6) AS avg_tokens, ROUND(avg(punct), 6) AS avg_punct, "
         "ROUND(avg(stop), 6) AS avg_stopword, ROUND(avg(alpha), 6) AS avg_alpha, "
         "ROUND(avg(quality), 6) AS avg_quality FROM per GROUP BY 1"
+    )
+
+    o["label_centroids"] = (
+        "WITH flat AS (SELECT label, generate_subscripts(embedding, 1) - 1 AS pos, "
+        "unnest(embedding) AS x FROM embeddings) "
+        "SELECT label, pos, ROUND(avg(x), 6) AS centroid FROM flat GROUP BY 1, 2"
     )
 
     o["curate_documents"] = (

@@ -306,6 +306,29 @@ def lsh_topk(
     )
 
 
+def label_centroids(
+    vectors: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-label centroid of an embedding column, long format
+    (label, pos, centroid).
+
+    posexplode → groupBy(label, pos) → avg is the idiomatic distributed
+    centroid: partial aggregation collapses each map partition to at
+    most |labels|·dim partial (sum, count) pairs before the shuffle, so
+    the exchange is tiny regardless of row count — the same sufficient-
+    statistics shape as the TableOne core. (A per-row array fold can't
+    aggregate ACROSS rows; a pandas UDAF would leave codegen for no
+    gain.)
+    """
+    return (
+        vectors.select(label_col, F.posexplode(vec_col).alias("pos", "x"))
+        .groupBy(label_col, "pos")
+        .agg(F.round(F.avg("x"), 6).alias("centroid"))
+    )
+
+
 def cosine_neardup_pairs(
     vectors: DataFrame,
     threshold: float = 0.95,
