@@ -692,6 +692,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["label_centroids"] = label_centroids
 
+    def split_documents(spark, sf_dir):
+        from tableone_pyspark_spark.operators.sampling import hash_split
+
+        d = _load(spark, sf_dir, "documents")
+        return hash_split(d, "doc_id", test_fraction=0.2).select("doc_id", "split")
+
+    q["split_documents"] = split_documents
+
     return q
 
 
@@ -928,6 +936,17 @@ def oracle_sql() -> dict[str, str]:
         "WITH flat AS (SELECT label, generate_subscripts(embedding, 1) - 1 AS pos, "
         "unnest(embedding) AS x FROM embeddings) "
         "SELECT label, pos, ROUND(avg(x), 6) AS centroid FROM flat GROUP BY 1, 2"
+    )
+
+    # deterministic hash split: same Horner fold + two Lehmer steps
+    o["split_documents"] = (
+        "WITH h AS (SELECT doc_id, list_reduce("
+        "list_prepend(CAST(0 AS BIGINT), list_transform("
+        "range(1, length('split-v1:' || CAST(doc_id AS VARCHAR)) + 1), "
+        "i -> CAST(ascii(substr('split-v1:' || CAST(doc_id AS VARCHAR), i, 1)) AS BIGINT))), "
+        "(a, b) -> (a * 31 + b) % 2147483647) AS v FROM documents) "
+        "SELECT doc_id, CASE WHEN (v * 48271 % 2147483647) * 48271 % 2147483647 "
+        "% 10000 < 2000 THEN 'test' ELSE 'train' END AS split FROM h"
     )
 
     o["curate_documents"] = (

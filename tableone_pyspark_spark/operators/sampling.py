@@ -1,0 +1,77 @@
+"""Deterministic sampling / splitting for training-data pipelines.
+
+``DataFrame.sample``/``sampleBy`` draw per-partition pseudo-random
+rows: results change with partitioning, Spark version, and retries —
+unacceptable for a train/test split that must be reproducible across
+engines and re-runs of a 100 TB job. These operators assign rows by a
+POLYNOMIAL HASH of a key column instead: pure arithmetic, identical in
+any engine (oracle-checkable), stable under repartitioning, and
+consistent across tables that share the key (a doc and its features
+always land in the same split).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+MOD = (1 << 31) - 1
+BUCKETS = 10_000
+
+
+def _poly_hash(s: Column, base: int = 31, mod: int = MOD) -> Column:
+    """Horner fold over raw character codes (no normalization — keys
+    are identifiers, not text)."""
+    return F.aggregate(
+        F.split(s, ""),
+        F.lit(0).cast("long"),
+        lambda acc, ch: (acc * base + F.ascii(ch)) % mod,
+    )
+
+
+def split_bucket(key: Column, salt: str = "split-v1") -> Column:
+    """Stable bucket in [0, BUCKETS) for a key — the unit both
+    operators share. Salting decorrelates independent splits drawn
+    from the same key space.
+
+    The Horner hash alone has weak avalanche (consecutive ids land in
+    consecutive buckets); two Lehmer steps (h·48271 mod 2³¹−1, the
+    MINSTD full-period multiplier) scatter them while staying plain
+    64-bit-safe modular arithmetic any engine reproduces."""
+    h = _poly_hash(F.concat(F.lit(salt + ":"), key.cast("string")))
+    h = (h * 48271) % MOD
+    h = (h * 48271) % MOD
+    return h % BUCKETS
+
+
+def hash_split(
+    df: DataFrame,
+    key_col: str,
+    test_fraction: float = 0.2,
+    salt: str = "split-v1",
+    split_col: str = "split",
+) -> DataFrame:
+    """Add a 'train' / 'test' column by hashed key.
+
+    A key is 'test' iff its bucket falls below ``test_fraction`` of the
+    bucket space — so the assignment is a pure function of (key, salt):
+    re-runs, other engines, and other tables joining on the same key
+    all agree. No shuffle, no state; the split is a projection.
+    """
+    cut = int(BUCKETS * test_fraction)
+    return df.withColumn(
+        split_col,
+        F.when(split_bucket(F.col(key_col), salt) < cut, F.lit("test")).otherwise(
+            F.lit("train")
+        ),
+    )
+
+
+def deterministic_sample(
+    df: DataFrame, key_col: str, fraction: float, salt: str = "sample-v1"
+) -> DataFrame:
+    """Keep ~``fraction`` of rows, chosen by hashed key — the
+    reproducible alternative to ``df.sample`` (which is partitioning-
+    dependent). Filter is a scan-level predicate: no shuffle."""
+    cut = int(BUCKETS * fraction)
+    return df.where(split_bucket(F.col(key_col), salt) < cut)
