@@ -700,6 +700,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["split_documents"] = split_documents
 
+    def tableone_sessions(spark, sf_dir):
+        # composition: pipeline operator (sessionize) feeding the
+        # analytics engine — session-level descriptive statistics
+        from tableone_pyspark_spark.operators.relational import sessionize
+
+        st = sessionize(_load(spark, sf_dir, "events"))
+        return _round6(
+            tableone(
+                st,
+                cols_to_analyze=["n_events", "n_sessions", "max_session_events"],
+                config=_INTERP,
+            )
+        )
+
+    q["tableone_sessions"] = tableone_sessions
+
     return q
 
 
@@ -878,6 +894,12 @@ def oracle_sql() -> dict[str, str]:
         "s AS (SELECT user_id, session_idx, count(*) AS c FROM t GROUP BY 1, 2) "
         "SELECT user_id, CAST(sum(c) AS BIGINT) AS n_events, count(*) AS n_sessions, "
         "CAST(max(c) AS BIGINT) AS max_session_events FROM s GROUP BY 1"
+    )
+
+    # composed: TableOne over the sessionize output (same session SQL)
+    o["tableone_sessions"] = _unstrat_oracle(
+        "(" + o["user_sessions"] + ") st",
+        [("n_events", "cont"), ("n_sessions", "cont"), ("max_session_events", "cont")],
     )
 
     # beautify (reference :245-257): drop Pivoted_column/Variable_type,
