@@ -137,11 +137,32 @@ def collect_sufficient(
     def run_counts():
         if stratified:
             rows = (
-                df.select(clean_strat_col(col_to_strat).alias(STRAT))
+                df.select(
+                    F.col(_quote(col_to_strat)).alias("__raw"),
+                    clean_strat_col(col_to_strat).alias(STRAT),
+                )
                 .groupBy(STRAT)
-                .count()
+                .agg(
+                    F.count(F.lit(1)).alias("count"),
+                    # sanitization-collision detection (SURVEY Q9): >1
+                    # distinct raw value mapping onto one cleaned value
+                    # means categories silently merged ("a b" ≡ "a_b";
+                    # distinct non-ASCII runs ≡ "?"); same shuffle, no
+                    # extra pass
+                    F.count_distinct(F.col("__raw")).alias("__nraw"),
+                )
                 .collect()
             )
+            collided = sorted(r[STRAT] for r in rows if r["__nraw"] > 1)
+            if collided:
+                import warnings
+
+                warnings.warn(
+                    f"strat sanitization merged distinct raw values into "
+                    f"{collided} (spaces→'_', non-ASCII→'?'; reference "
+                    ":89-92 semantics, SURVEY Q9)",
+                    stacklevel=4,
+                )
             counts = {r[STRAT]: r["count"] for r in rows}
             if len(counts) > strat_cardinality_limit:
                 raise ValueError(

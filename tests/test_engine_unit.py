@@ -315,3 +315,29 @@ def test_compat_shim_signature(spark, patients):
     b = tableone(patients, col_to_strat="plan", cols_to_analyze=["name", "age"])
     assert a.columns == b.columns
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_sanitization_collision_warns(spark):
+    """SURVEY Q9: distinct raw strat values merged by sanitization
+    ('a b' ≡ 'a_b') must emit a warning, and counts merge."""
+    df = spark.createDataFrame(
+        [("a b", 1.0), ("a_b", 2.0), ("ok", 3.0)], "strat string, x double"
+    )
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        out = tableone(df, col_to_strat="strat", cols_to_analyze=["x"]).collect()
+    assert any("merged" in str(x.message) for x in w)
+    total = [r for r in out if r["Characteristics"] == "Total"][0]
+    assert total["a_b"] == 2.0  # the two raw values merged into one pivot
+
+
+def test_index_collision_warns(spark):
+    """SURVEY Q10: >=100 categories in one variable warns (fractional
+    Index would collide with the next variable)."""
+    df = spark.createDataFrame(
+        [(f"cat_{i:03d}",) for i in range(105)], "c string"
+    )
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        tableone(df, cols_to_analyze=["c"]).collect()
+    assert any("categories" in str(x.message) for x in w)
