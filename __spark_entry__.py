@@ -716,6 +716,54 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["tableone_sessions"] = tableone_sessions
 
+    def stream_dedup(spark, sf_dir):
+        # real streaming dedup: the same source unioned with itself
+        # (every event arrives twice) must come out exactly once
+        from pyspark.sql import types as T
+
+        from tableone_pyspark_spark.streaming.stream_stats import streaming_dedup
+
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        raw_schema = T.StructType(
+            [
+                T.StructField("event_id", T.LongType()),
+                T.StructField("ts", T.LongType()),
+                T.StructField("user_id", T.LongType()),
+                T.StructField("event_type", T.StringType()),
+                T.StructField("value", T.DoubleType()),
+                T.StructField("props", T.StringType()),
+            ]
+        )
+
+        def src():
+            return (
+                spark.readStream.schema(raw_schema)
+                .format("parquet")
+                .option("pathGlobFilter", "events.parquet")
+                .load(sf_dir)
+                .select(
+                    "event_id",
+                    F.expr("timestamp_micros(ts div 1000)").alias("ts"),
+                    "event_type",
+                )
+            )
+
+        doubled = src().union(src())
+        out = streaming_dedup(doubled, ["event_id"], ts_col="ts")
+        qry = (
+            out.writeStream.format("memory")
+            .queryName("stream_dedup_sink")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        qry.awaitTermination()
+        return spark.table("stream_dedup_sink").groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n_unique")
+        )
+
+    q["stream_dedup"] = stream_dedup
+
     return q
 
 
@@ -894,6 +942,12 @@ def oracle_sql() -> dict[str, str]:
         "s AS (SELECT user_id, session_idx, count(*) AS c FROM t GROUP BY 1, 2) "
         "SELECT user_id, CAST(sum(c) AS BIGINT) AS n_events, count(*) AS n_sessions, "
         "CAST(max(c) AS BIGINT) AS max_session_events FROM s GROUP BY 1"
+    )
+
+    # streaming dedup of a doubled source == one row per distinct event
+    o["stream_dedup"] = (
+        "SELECT event_type, count(DISTINCT event_id) AS n_unique "
+        "FROM events GROUP BY 1"
     )
 
     # composed: TableOne over the sessionize output (same session SQL)
