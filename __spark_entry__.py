@@ -764,6 +764,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["stream_dedup"] = stream_dedup
 
+    def embedding_norms(spark, sf_dir):
+        e = _load(spark, sf_dir, "embeddings")
+        return e.select(
+            "vec_id",
+            F.round(sim.l2_norm(F.col("embedding")), 6).alias("l2"),
+            F.round(sim.dot(F.col("embedding"), F.col("embedding")), 6).alias("self_dot"),
+        )
+
+    q["embedding_norms"] = embedding_norms
+
     return q
 
 
@@ -942,6 +952,17 @@ def oracle_sql() -> dict[str, str]:
         "s AS (SELECT user_id, session_idx, count(*) AS c FROM t GROUP BY 1, 2) "
         "SELECT user_id, CAST(sum(c) AS BIGINT) AS n_events, count(*) AS n_sessions, "
         "CAST(max(c) AS BIGINT) AS max_session_events FROM s GROUP BY 1"
+    )
+
+    # vector primitives: same left-fold arithmetic via list_reduce
+    _SELF_DOT = (
+        "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        "list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), "
+        "(a, b) -> a + b)"
+    )
+    o["embedding_norms"] = (
+        f"SELECT vec_id, ROUND(sqrt({_SELF_DOT}), 6) AS l2, "
+        f"ROUND({_SELF_DOT}, 6) AS self_dot FROM embeddings"
     )
 
     # streaming dedup of a doubled source == one row per distinct event
