@@ -774,6 +774,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["embedding_norms"] = embedding_norms
 
+    def resize_stats(spark, sf_dir):
+        from tableone_pyspark_spark.operators.multimodal import resize_images
+
+        d = _load(spark, sf_dir, "documents").select(
+            "doc_id", F.encode("text", "UTF-8").alias("payload")
+        )
+        out = resize_images(d, "doc_id", "payload", target_bytes=64)
+        return out.select("id", "n_bytes_out", "checksum")
+
+    q["resize_stats"] = resize_stats
+
     return q
 
 
@@ -952,6 +963,16 @@ def oracle_sql() -> dict[str, str]:
         "s AS (SELECT user_id, session_idx, count(*) AS c FROM t GROUP BY 1, 2) "
         "SELECT user_id, CAST(sum(c) AS BIGINT) AS n_events, count(*) AS n_sessions, "
         "CAST(max(c) AS BIGINT) AS max_session_events FROM s GROUP BY 1"
+    )
+
+    # stride-resample resize stub: every ceil(len/64)-th byte
+    o["resize_stats"] = (
+        "WITH p AS (SELECT doc_id AS id, length(text) AS n, "
+        "CAST(ceil(length(text) / 64.0) AS BIGINT) AS step FROM documents) "
+        "SELECT id, CAST((n - 1) // step + 1 AS INT) AS n_bytes_out, "
+        "(SELECT list_sum(list_transform(range(1, n + 1, step), "
+        "i -> ascii(substr(d.text, CAST(i AS INT), 1)))) % 2147483647 "
+        "FROM documents d WHERE d.doc_id = p.id) AS checksum FROM p"
     )
 
     # vector primitives: same left-fold arithmetic via list_reduce

@@ -106,6 +106,46 @@ def sample_frames(
     return src.mapInPandas(cut, FRAME_SCHEMA)
 
 
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType()),
+        T.StructField("resized", T.BinaryType()),
+        T.StructField("n_bytes_out", T.IntegerType()),
+        T.StructField("checksum", T.LongType()),
+    ]
+)
+
+
+def resize_images(
+    df: DataFrame, id_col: str, bin_col: str, target_bytes: int = 64
+) -> DataFrame:
+    """STUB resize for a binary image column: deterministic stride
+    resample — keep every ceil(len/target)-th byte (a real impl swaps
+    in PIL/turbojpeg bilinear resize; the Spark shape — mapInPandas
+    over Arrow batches, binary in/binary out, typed side metadata — is
+    identical). Emits the resized payload plus (n_bytes_out, checksum)
+    so downstream stages and tests can verify without decoding.
+    """
+    src = df.select(F.col(id_col).alias("id"), F.col(bin_col).alias("payload"))
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, outs, sizes, sums = [], [], [], []
+            for i, payload in zip(pdf["id"], pdf["payload"]):
+                raw = bytes(payload)
+                step = max(1, -(-len(raw) // target_bytes))  # ceil
+                out = raw[::step]
+                ids.append(int(i))
+                outs.append(out)
+                sizes.append(len(out))
+                sums.append(sum(out) % ((1 << 31) - 1))
+            yield pd.DataFrame(
+                {"id": ids, "resized": outs, "n_bytes_out": sizes, "checksum": sums}
+            )
+
+    return src.mapInPandas(resize, RESIZE_SCHEMA)
+
+
 def binary_stats(df: DataFrame, bin_col: str) -> DataFrame:
     """Pure-Catalyst stats over a binary column (no decode): count,
     total/avg/max payload size — the cheap pre-pass that sizes a decode

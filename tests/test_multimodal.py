@@ -61,3 +61,18 @@ def test_binary_stats(binary_df):
     assert r["n"] == 8
     assert r["total_bytes"] == sum(sizes)
     assert r["max_bytes"] == max(sizes)
+
+
+def test_resize_images_stride(spark):
+    from pyspark.sql import functions as F
+
+    from tableone_pyspark_spark.operators.multimodal import resize_images
+
+    d = spark.createDataFrame([(1, bytes(range(200))), (2, b"xy")], "id long, b binary")
+    rows = {r["id"]: r for r in resize_images(d, "id", "b", target_bytes=64).collect()}
+    # len 200 → step ceil(200/64)=4 → bytes 0,4,8,...,196 → 50 bytes
+    assert rows[1]["n_bytes_out"] == 50
+    assert bytes(rows[1]["resized"]) == bytes(range(200))[::4]
+    assert rows[1]["checksum"] == sum(range(0, 200, 4))
+    # shorter than target → kept whole
+    assert bytes(rows[2]["resized"]) == b"xy" and rows[2]["n_bytes_out"] == 2
