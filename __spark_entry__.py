@@ -785,6 +785,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["resize_stats"] = resize_stats
 
+    def audio_meta(spark, sf_dir):
+        from tableone_pyspark_spark.operators.multimodal import audio_metadata
+
+        d = _load(spark, sf_dir, "documents").select(
+            "doc_id", F.encode("text", "UTF-8").alias("payload")
+        )
+        out = audio_metadata(d, "doc_id", "payload")
+        return out.select(
+            "id", "sample_rate", "n_samples",
+            F.round("duration_s", 6).alias("duration_s"),
+            F.round("rms", 6).alias("rms"),
+        )
+
+    q["audio_meta"] = audio_meta
+
     return q
 
 
@@ -963,6 +978,18 @@ def oracle_sql() -> dict[str, str]:
         "s AS (SELECT user_id, session_idx, count(*) AS c FROM t GROUP BY 1, 2) "
         "SELECT user_id, CAST(sum(c) AS BIGINT) AS n_events, count(*) AS n_sessions, "
         "CAST(max(c) AS BIGINT) AS max_session_events FROM s GROUP BY 1"
+    )
+
+    # headerless-PCM audio probe stub: payload-derived rate, rms of bytes
+    o["audio_meta"] = (
+        "SELECT doc_id AS id, "
+        "8000 * (1 + ascii(substr(text, 1, 1)) % 3) AS sample_rate, "
+        "CAST(length(text) // 2 AS BIGINT) AS n_samples, "
+        "ROUND((length(text) // 2) / (8000 * (1 + ascii(substr(text, 1, 1)) % 3)), 6) "
+        "AS duration_s, "
+        "ROUND(sqrt(list_sum(list_transform(range(1, length(text) + 1), "
+        "i -> CAST(ascii(substr(text, i, 1)) AS BIGINT) * ascii(substr(text, i, 1)))) "
+        "/ length(text)), 6) AS rms FROM documents"
     )
 
     # stride-resample resize stub: every ceil(len/64)-th byte

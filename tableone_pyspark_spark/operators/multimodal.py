@@ -106,6 +106,48 @@ def sample_frames(
     return src.mapInPandas(cut, FRAME_SCHEMA)
 
 
+AUDIO_META_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("duration_s", T.DoubleType()),
+        T.StructField("rms", T.DoubleType()),
+    ]
+)
+
+
+def audio_metadata(
+    df: DataFrame, id_col: str, bin_col: str, bytes_per_sample: int = 2
+) -> DataFrame:
+    """STUB audio probe (no codecs in container): treats the payload as
+    headerless PCM — sample_rate derived deterministically from the
+    first byte (real impl: ffprobe/soundfile header parse; identical
+    mapInPandas shape), n_samples = len/bytes_per_sample, duration =
+    n_samples/rate, rms over the raw bytes. Typed metadata out, payload
+    never leaves the executor."""
+    src = df.select(F.col(id_col).alias("id"), F.col(bin_col).alias("payload"))
+
+    def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import math
+
+        for pdf in batches:
+            rows = []
+            for i, payload in zip(pdf["id"], pdf["payload"]):
+                raw = bytes(payload)
+                if not raw:
+                    raise NotImplementedError("empty payload: real probe required")
+                rate = 8000 * (1 + raw[0] % 3)  # 8/16/24 kHz, payload-derived
+                n = len(raw) // bytes_per_sample
+                rms = math.sqrt(sum(b * b for b in raw) / len(raw))
+                rows.append((int(i), rate, n, n / rate, rms))
+            yield pd.DataFrame(
+                rows, columns=["id", "sample_rate", "n_samples", "duration_s", "rms"]
+            )
+
+    return src.mapInPandas(probe, AUDIO_META_SCHEMA)
+
+
 RESIZE_SCHEMA = T.StructType(
     [
         T.StructField("id", T.LongType()),

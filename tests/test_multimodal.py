@@ -76,3 +76,17 @@ def test_resize_images_stride(spark):
     assert rows[1]["checksum"] == sum(range(0, 200, 4))
     # shorter than target → kept whole
     assert bytes(rows[2]["resized"]) == b"xy" and rows[2]["n_bytes_out"] == 2
+
+
+def test_audio_metadata_probe(spark):
+    import math
+
+    from tableone_pyspark_spark.operators.multimodal import audio_metadata
+
+    payload = bytes([65] * 16000)  # 'A' → rate 8000*(1+65%3)=24000
+    d = spark.createDataFrame([(1, payload)], "id long, b binary")
+    r = audio_metadata(d, "id", "b").collect()[0]
+    assert r["sample_rate"] == 24000
+    assert r["n_samples"] == 8000
+    assert abs(r["duration_s"] - 8000 / 24000) < 1e-12
+    assert abs(r["rms"] - 65.0) < 1e-9
