@@ -419,18 +419,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ngram_jaccard"] = ngram_jaccard
 
-    # MinHash+LSH and SimHash use engine-specific xxhash64 → rows-only
-    # checks here; recall vs exact Jaccard is asserted in tests/.
+    # MinHash+LSH and SimHash run in hash_fn="poly" here — the
+    # cross-engine arithmetic mode whose signatures/candidates/pairs a
+    # SQL oracle reproduces EXACTLY (xxhash64 stays the perf default;
+    # its recall vs exact Jaccard is asserted in tests/).
     def minhash_pairs(spark, sf_dir):
         d = _load(spark, sf_dir, "documents")
-        out = dd.minhash_lsh_pairs(d, "text", "doc_id", threshold=0.5)
+        out = dd.minhash_lsh_pairs(d, "text", "doc_id", threshold=0.5, hash_fn="poly")
         return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
     q["minhash_pairs"] = minhash_pairs
 
     def simhash_sigs(spark, sf_dir):
         d = _load(spark, sf_dir, "documents")
-        return dd.simhash64(d, "text", "doc_id")
+        return dd.simhash64(d, "text", "doc_id", hash_fn="poly")
 
     q["simhash_sigs"] = simhash_sigs
 
@@ -665,9 +667,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def simhash_neardup(spark, sf_dir):
         d = _load(spark, sf_dir, "documents")
-        return dd.simhash_neardup_pairs(d, "text", "doc_id", max_hamming=8)
+        out = dd.simhash_neardup_pairs(
+            d, "text", "doc_id", max_hamming=8, hash_fn="poly"
+        )
+        return out.select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
 
-    q["simhash_neardup"] = simhash_neardup  # rows-only (xxhash signatures)
+    q["simhash_neardup"] = simhash_neardup
 
     def curate_documents(spark, sf_dir):
         # the end-to-end curation filter: keep mid-quality-or-better
@@ -1152,6 +1157,103 @@ def oracle_sql() -> dict[str, str]:
         "WHERE CAST(i_ct AS DOUBLE) / (sa.sz + sb.sz - i_ct) >= 0.5"
     )
 
+    # ---- MinHash / SimHash in hash_fn="poly" mode: the identical
+    # polynomial/affine integer arithmetic (dedup.poly_coeffs constants,
+    # POLY_MOD = 2^31-1) replayed in SQL — signatures, LSH banding and
+    # verified pairs all match EXACTLY, not just row counts -----------
+    from tableone_pyspark_spark.operators.dedup import POLY_MOD, poly_coeffs
+
+    def _polyh(expr: str) -> str:
+        """DuckDB Horner fold == functions.text.poly_hash(expr)."""
+        return (
+            f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+            f"list_transform(range(1, length({expr}) + 1), "
+            f"i -> CAST(ascii(substr({expr}, i, 1)) AS BIGINT))), "
+            f"(a, b) -> (a * 31 + b) % {POLY_MOD})"
+        )
+
+    def _simhash_sql() -> str:
+        cf = poly_coeffs(64)
+        votes = ", ".join(
+            f"sum(CASE WHEN ((h*{a}+{b}) % {POLY_MOD}) % 2 = 1 THEN 1 ELSE -1 END) AS b{i}"
+            for i, (a, b) in enumerate(cf)
+        )
+        terms = [
+            f"(CASE WHEN b{i} > 0 THEN CAST(1 AS BIGINT) << {i} ELSE CAST(0 AS BIGINT) END)"
+            for i in range(63)
+        ]
+        # bit 63: 1<<63 overflows DuckDB's checked shift — add min-long
+        terms.append(
+            "(CASE WHEN b63 > 0 THEN CAST(-9223372036854775807 - 1 AS BIGINT) "
+            "ELSE CAST(0 AS BIGINT) END)"
+        )
+        return (
+            f"WITH w AS (SELECT doc_id, unnest(string_split({NORM}, ' ')) AS wd FROM documents), "
+            f"h AS (SELECT doc_id, {_polyh('wd')} AS h FROM w WHERE wd <> ''), "
+            f"v AS (SELECT doc_id, {votes} FROM h GROUP BY 1) "
+            f"SELECT doc_id AS id, {' + '.join(terms)} AS simhash FROM v"
+        )
+
+    o["simhash_sigs"] = _simhash_sql()
+    # brute-force all-pairs verification — doubles as a no-false-negative
+    # check on the Spark side's pigeonhole candidate generation
+    o["simhash_neardup"] = (
+        f"WITH s AS ({_simhash_sql()}) "
+        "SELECT a.id AS id_a, b.id AS id_b, "
+        "CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming "
+        "FROM s a JOIN s b ON a.id < b.id "
+        "WHERE bit_count(xor(a.simhash, b.simhash)) <= 8"
+    )
+
+    def _minhash_sql(k: int = 32, bands: int = 8, threshold: float = 0.5) -> str:
+        cf = poly_coeffs(k)
+        r = k // bands
+        mins = ", ".join(
+            f"min((h*{a}+{b}) % {POLY_MOD}) AS h{i}" for i, (a, b) in enumerate(cf)
+        )
+        band_rows = []
+        for bi in range(bands):
+            expr = "CAST(0 AS BIGINT)"
+            for j in range(r):
+                expr = f"(({expr}) * 1000003 + h{bi * r + j}) % {POLY_MOD}"
+            band_rows.append(f"SELECT doc_id, {bi} AS band, {expr} AS bucket FROM sig")
+        return (
+            f"WITH w AS (SELECT doc_id, string_split({NORM}, ' ') AS ws FROM documents), "
+            f"g AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle "
+            f"FROM w, unnest(generate_series(1, greatest(length(ws) - 2, 0))) t(i) "
+            f"WHERE ws[i] || ws[i+1] || ws[i+2] <> ''), "
+            f"hs AS (SELECT doc_id, {_polyh('shingle')} AS h FROM g), "
+            f"sig AS (SELECT doc_id, {mins} FROM hs GROUP BY 1), "
+            f"bnd AS ({' UNION ALL '.join(band_rows)}), "
+            f"cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b "
+            f"FROM bnd a JOIN bnd b USING (band, bucket) WHERE a.doc_id < b.doc_id), "
+            f"sz AS (SELECT doc_id, count(*) AS sz FROM g GROUP BY 1), "
+            f"inter AS (SELECT id_a, id_b, count(*) AS i_ct FROM cand "
+            f"JOIN g ga ON ga.doc_id = id_a "
+            f"JOIN g gb ON gb.doc_id = id_b AND gb.shingle = ga.shingle "
+            f"GROUP BY 1, 2) "
+            f"SELECT id_a, id_b, "
+            f"ROUND(CAST(i_ct AS DOUBLE) / (sa.sz + sb.sz - i_ct), 6) AS jaccard "
+            f"FROM inter JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b "
+            f"WHERE CAST(i_ct AS DOUBLE) / (sa.sz + sb.sz - i_ct) >= {threshold}"
+        )
+
+    o["minhash_pairs"] = _minhash_sql()
+
+    # MLlib MinHashLSH (seed=42) deterministically finds every true
+    # pair at this scale, and approxSimilarityJoin VERIFIES candidates
+    # with the exact set distance — so the result set equals the exact
+    # Jaccard pairs. The oracle replays MLlib's float path: distance
+    # d = 1 - i/u (double), kept pairs d < 1 - threshold (STRICT, per
+    # approxSimilarityJoin), reported jaccard = 1.0 - d (the roundtrip
+    # matters: 1-(1-j) can differ from j in the last ulp).
+    o["ml_minhash"] = (
+        SHINGLES + " SELECT id_a, id_b, "
+        "ROUND(1.0 - (1.0 - CAST(i_ct AS DOUBLE) / (sa.sz + sb.sz - i_ct)), 6) AS jaccard "
+        "FROM inter JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b "
+        "WHERE (1.0 - CAST(i_ct AS DOUBLE) / (sa.sz + sb.sz - i_ct)) < 0.5"
+    )
+
     # ---- similarity --------------------------------------------------------
     o["embedding_topk"] = (
         "WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv "
@@ -1273,7 +1375,7 @@ def oracle_sql() -> dict[str, str]:
         "  NULL, NULL, NULL FROM lineitem)"
     )
 
-    # no oracle (engine-specific hashes / approximate): minhash_pairs,
-    # simhash_sigs, embedding_lsh_topk, tableone_pvalues
+    # no oracle (approximate results): embedding_lsh_topk,
+    # embedding_ivf_topk
 
     return o

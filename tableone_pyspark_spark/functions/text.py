@@ -125,18 +125,25 @@ def fingerprint(c: Column) -> Column:
     return F.xxhash64(normalize_text(c))
 
 
-def rolling_fingerprint(c: Column, base: int = 31, mod: int = (1 << 31) - 1) -> Column:
-    """Polynomial (Rabin-Karp) rolling-hash fingerprint of the
-    normalized text: Horner fold ``acc = (acc·base + code) % mod`` over
-    the character codes. Unlike :func:`fingerprint` (xxhash64), the
-    value is defined by arithmetic any engine reproduces exactly —
-    oracle-checkable — and the rolling structure extends to windowed
-    substring hashing. ``mod`` < 2³¹ keeps every intermediate below
-    2⁶³ (no overflow under ANSI). Pure Catalyst fold; use for
-    grouping/content-addressing, not cryptographic integrity."""
-    chars = F.split(normalize_text(c), "")
+def poly_hash(c: Column, base: int = 31, mod: int = (1 << 31) - 1) -> Column:
+    """Polynomial (Rabin-Karp) Horner fold ``acc = (acc·base + code) %
+    mod`` over the character codes of ``c`` (no normalization). The
+    value is defined by pure arithmetic any engine reproduces exactly —
+    the cross-engine-checkable alternative to xxhash64. ``mod`` < 2³¹
+    keeps every intermediate below 2⁶³ (no overflow under ANSI). Pure
+    Catalyst fold; use for grouping/content-addressing, not
+    cryptographic integrity."""
+    chars = F.split(c, "")
     return F.aggregate(
         chars,
         F.lit(0).cast("long"),
         lambda acc, ch: (acc * base + F.ascii(ch)) % mod,
     )
+
+
+def rolling_fingerprint(c: Column, base: int = 31, mod: int = (1 << 31) - 1) -> Column:
+    """:func:`poly_hash` of the normalized text — the oracle-checkable
+    document fingerprint (vs :func:`fingerprint`'s engine-specific
+    xxhash64); the rolling structure extends to windowed substring
+    hashing."""
+    return poly_hash(normalize_text(c), base, mod)

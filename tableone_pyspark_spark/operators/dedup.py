@@ -27,9 +27,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from tableone_pyspark_spark.functions.text import normalize_text
+from tableone_pyspark_spark.functions.text import normalize_text, poly_hash
 from tableone_pyspark_spark.plans.layout import rebalance
 
+#: modulus for the cross-engine polynomial hash family (< 2³¹ so every
+#: a·h + b stays below 2⁶² — no ANSI overflow in Spark OR DuckDB)
+POLY_MOD = (1 << 31) - 1
 
 
 def _rotl64(c, i):
@@ -38,6 +41,48 @@ def _rotl64(c, i):
     if i == 0:
         return c
     return F.shiftleft(c, i).bitwiseOR(F.shiftrightunsigned(c, 64 - i))
+
+
+def poly_coeffs(k: int, seed: int = 1234567) -> list[tuple[int, int]]:
+    """k deterministic affine-permutation coefficient pairs (a, b) for
+    the universal-hash family h_i(x) = (a·x + b) mod POLY_MOD, a ≥ 1.
+    A fixed LCG (not ``random``) so the exact constants are trivially
+    reproducible inside an oracle SQL generator."""
+    out, state = [], seed
+    for _ in range(k):
+        state = (state * 1103515245 + 12345) % (1 << 31)
+        a = state % (POLY_MOD - 1) + 1
+        state = (state * 1103515245 + 12345) % (1 << 31)
+        b = state % POLY_MOD
+        out.append((a, b))
+    return out
+
+
+def _perm_cols(hash_fn: str, k: int):
+    """Per-shingle permutation-hash expressions h_0..h_{k-1} over a
+    frame that already carries the base hash column(s)
+    (:func:`_with_base_hash`).
+
+    ``xxhash64`` (default): h_i = h1 ⊕ rotl(h2, i) — two 64-bit string
+    hashes per shingle, engine-specific values (fastest).
+    ``poly``: h_i = (a_i·h + b_i) mod POLY_MOD over one polynomial
+    string hash — pure cross-engine arithmetic, exactly reproducible by
+    any SQL engine (the oracle-checkable mode). Same banding/collision
+    behavior; ~31-bit hash space is ample for MinHash banding.
+    """
+    if hash_fn == "poly":
+        return [
+            (F.col("h") * a + b) % POLY_MOD for a, b in poly_coeffs(k)
+        ]
+    return [F.col("h1").bitwiseXOR(_rotl64(F.col("h2"), i)) for i in range(k)]
+
+
+def _with_base_hash(sh: DataFrame, hash_fn: str) -> DataFrame:
+    if hash_fn == "poly":
+        return sh.withColumn("h", poly_hash(F.col("shingle")))
+    return sh.withColumns(
+        {"h1": F.xxhash64("shingle"), "h2": F.xxhash64("shingle", F.lit(0x9E3779B9))}
+    )
 
 def word_shingles(
     df: DataFrame, text_col: str, id_col: str, n: int = 3, arrow: bool = True
@@ -73,11 +118,21 @@ def word_shingles(
         return df.select(
             F.col(id_col).alias("id"), F.explode(grams).alias("shingle")
         )
-    k = F.greatest(F.size(words) - (n - 1), F.lit(0))
-    grams = F.transform(
-        F.sequence(F.lit(0), k - 1),
-        lambda i: F.concat_ws(" ", *[F.element_at(words, (i + j + 1).cast("int")) for j in range(n)]),
-    )
+    # short docs (< n words): k <= 0 would make sequence(0, k-1) DESCEND
+    # ([0, -1]) and element_at past the array end throws under ANSI —
+    # clamp the sequence end and guard the whole gram array behind
+    # F.when so the output matches the Arrow path's empty set.
+    k = F.size(words) - (n - 1)
+    grams = F.when(
+        k >= 1,
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(k, F.lit(1)) - 1),
+            lambda i: F.concat_ws(
+                " ",
+                *[F.try_element_at(words, (i + j + 1).cast("int")) for j in range(n)],
+            ),
+        ),
+    ).otherwise(F.array(F.lit("")).cast("array<string>"))
     return (
         df.select(F.col(id_col).alias("id"), F.explode(F.array_distinct(grams)).alias("shingle"))
         .where(F.col("shingle") != "")
@@ -135,25 +190,45 @@ def ngram_jaccard_pairs(
 
 
 def minhash_signatures(
-    df: DataFrame, text_col: str, id_col: str, n: int = 3, k: int = 32
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    k: int = 32,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """k-permutation MinHash signature per document.
 
-    Permutations use XOR-rotate double hashing:
+    Default permutations use XOR-rotate double hashing:
     h_i(s) = h1(s) ⊕ rotl(h2(s), i) over two independent xxhash64
     seeds — 2 string hashes per shingle instead of k, with collision
     behavior equivalent to independent permutations for MinHash
-    banding, and pure bit ops (no ANSI overflow). The signature
-    element is min over shingles — groupBy + k min aggregates, one
-    pass over the exploded shingles. Returns (id, sig array<long>).
+    banding, and pure bit ops (no ANSI overflow).
+    ``hash_fn="poly"`` swaps in the cross-engine affine family over a
+    polynomial string hash (see :func:`_perm_cols`) so signatures are
+    exactly reproducible by a SQL oracle. The signature element is min
+    over shingles — groupBy + k min aggregates, one pass over the
+    exploded shingles. Returns (id, sig array<long>).
     """
-    sh = word_shingles(df, text_col, id_col, n).withColumns(
-        {"h1": F.xxhash64("shingle"), "h2": F.xxhash64("shingle", F.lit(0x9E3779B9))}
-    )
-    mins = sh.groupBy("id").agg(
-        *[F.min(F.col("h1").bitwiseXOR(_rotl64(F.col("h2"), i))).alias(f"h{i}") for i in range(k)]
-    )
+    sh = _with_base_hash(word_shingles(df, text_col, id_col, n), hash_fn)
+    perms = _perm_cols(hash_fn, k)
+    mins = sh.groupBy("id").agg(*[F.min(p).alias(f"h{i}") for i, p in enumerate(perms)])
     return mins.select("id", F.array(*[f"h{i}" for i in range(k)]).alias("sig"))
+
+
+def _band_bucket(sig_col: str, bi: int, r: int, hash_fn: str):
+    """Bucket id for band ``bi``: xxhash64 of the joined elements
+    (default), or a polynomial fold mod POLY_MOD (cross-engine)."""
+    if hash_fn == "poly":
+        bucket = F.lit(0).cast("long")
+        for j in range(r):
+            bucket = (
+                bucket * 1000003 + F.element_at(sig_col, bi * r + j + 1)
+            ) % POLY_MOD
+        return bucket
+    return F.xxhash64(
+        F.concat_ws("_", *[F.element_at(sig_col, bi * r + j + 1) for j in range(r)])
+    )
 
 
 def minhash_lsh_pairs(
@@ -164,6 +239,7 @@ def minhash_lsh_pairs(
     k: int = 32,
     bands: int = 8,
     threshold: float = 0.6,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash + LSH banding, verified with
     exact Jaccard.
@@ -173,17 +249,18 @@ def minhash_lsh_pairs(
     generation = self-equi-join on (band_index, band_hash) — a shuffle
     join on a compact key, the piece that scales to 100 TB. Candidates
     are then re-checked with exact shingle Jaccard (no false
-    positives). Returns (id_a, id_b, jaccard).
+    positives). ``hash_fn="poly"`` makes the whole pipeline pure
+    cross-engine arithmetic (exactly SQL-oracle-reproducible; xxhash64
+    stays the perf default). Returns (id_a, id_b, jaccard).
     """
     r = k // bands
     # one shingle pass feeds BOTH signature generation and the exact
     # verification join — cache it (it is the expensive projection)
     sh = word_shingles(df, text_col, id_col, n).cache()
-    hashed = sh.withColumns(
-        {"h1": F.xxhash64("shingle"), "h2": F.xxhash64("shingle", F.lit(0x9E3779B9))}
-    )
+    hashed = _with_base_hash(sh, hash_fn)
+    perms = _perm_cols(hash_fn, k)
     mins = hashed.groupBy("id").agg(
-        *[F.min(F.col("h1").bitwiseXOR(_rotl64(F.col("h2"), i))).alias(f"h{i}") for i in range(k)]
+        *[F.min(p).alias(f"h{i}") for i, p in enumerate(perms)]
     )
     sig = mins.select("id", F.array(*[f"h{i}" for i in range(k)]).alias("sig"))
     bands_df = sig.select(
@@ -193,11 +270,7 @@ def minhash_lsh_pairs(
                 *[
                     F.struct(
                         F.lit(bi).alias("band"),
-                        F.xxhash64(
-                            F.concat_ws(
-                                "_", *[F.element_at("sig", bi * r + j + 1) for j in range(r)]
-                            )
-                        ).alias("bucket"),
+                        _band_bucket("sig", bi, r, hash_fn).alias("bucket"),
                     )
                     for bi in range(bands)
                 ]
@@ -234,11 +307,19 @@ def minhash_lsh_pairs(
     return out
 
 
-def simhash64(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+def simhash64(
+    df: DataFrame, text_col: str, id_col: str, hash_fn: str = "xxhash64"
+) -> DataFrame:
     """64-bit SimHash over word tokens: for each bit, sum ±1 votes of
-    each token's xxhash64 bit, take the sign. Near-duplicates have
-    small Hamming distance. Pure expressions: explode → groupBy(id) →
-    64 conditional sums folded back into one long. Returns (id, simhash).
+    each token's hash bit, take the sign. Near-duplicates have small
+    Hamming distance. Pure expressions: explode → groupBy(id) → 64
+    conditional sums folded back into one long.
+
+    Default bit source is the token's xxhash64 bits (engine-specific).
+    ``hash_fn="poly"`` derives bit i as ((a_i·h + b_i) mod POLY_MOD)
+    mod 2 over one polynomial token hash — 64 universal-hash bits of
+    pure cross-engine arithmetic, exactly reproducible by a SQL oracle
+    (same constants via :func:`poly_coeffs`). Returns (id, simhash).
     """
     words = (
         rebalance(df.select(id_col, text_col))
@@ -247,14 +328,17 @@ def simhash64(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
             F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("w"),
         )
         .where(F.col("w") != "")
-        .withColumn("h", F.xxhash64("w"))
     )
+    if hash_fn == "poly":
+        words = words.withColumn("h", poly_hash(F.col("w")))
+        bits = [((F.col("h") * a + b) % POLY_MOD) % 2 for a, b in poly_coeffs(64)]
+    else:
+        words = words.withColumn("h", F.xxhash64("w"))
+        bits = [F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) for i in range(64)]
     votes = words.groupBy("id").agg(
         *[
-            F.sum(
-                F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-            ).alias(f"b{i}")
-            for i in range(64)
+            F.sum(F.when(bit == 1, 1).otherwise(-1)).alias(f"b{i}")
+            for i, bit in enumerate(bits)
         ]
     )
     sim = None
@@ -271,7 +355,11 @@ def hamming64(a, b):
 
 
 def simhash_neardup_pairs(
-    df: DataFrame, text_col: str, id_col: str, max_hamming: int = 3
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_hamming: int = 3,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """All pairs with SimHash Hamming distance ≤ ``max_hamming``,
     found WITHOUT the O(N²) all-pairs scan.
@@ -287,13 +375,15 @@ def simhash_neardup_pairs(
     """
     k = max_hamming + 1
     width = 64 // k
-    sig = simhash64(df, text_col, id_col)
+    sig = simhash64(df, text_col, id_col, hash_fn=hash_fn)
     chunk_structs = []
     for i in range(k):
         w = width if i < k - 1 else 64 - width * (k - 1)
-        piece = F.shiftrightunsigned(F.col("simhash"), i * width).bitwiseAND(
-            F.lit((1 << w) - 1)
-        )
+        piece = F.shiftrightunsigned(F.col("simhash"), i * width)
+        if w < 64:
+            # w == 64 (max_hamming=0): the chunk IS the signature — a
+            # (1<<64)-1 literal would overflow LongType, so skip the mask
+            piece = piece.bitwiseAND(F.lit((1 << w) - 1))
         chunk_structs.append(F.struct(F.lit(i).alias("ci"), piece.alias("cv")))
     chunked = sig.select(
         "id", "simhash", F.explode(F.array(*chunk_structs)).alias("c")

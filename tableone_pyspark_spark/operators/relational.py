@@ -50,11 +50,14 @@ def revenue_by_nation(
         .join(F.broadcast(customer), orders["o_custkey"] == customer["c_custkey"])
         .join(F.broadcast(nation), customer["c_nationkey"] == nation["n_nationkey"])
     )
+    # `1` as a decimal literal: with decimal inputs the whole expression
+    # (and the sum) stays decimal — exact and order-independent. A
+    # double literal would coerce everything to float and make the sum
+    # nondeterministic under parallel aggregation.
+    one = F.lit(1).cast("decimal(18,2)")
     return joined.groupBy("n_name").agg(
         F.count_distinct("o_orderkey").alias("n_orders"),
-        F.round(
-            F.sum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))), 4
-        ).alias("revenue"),
+        F.sum(F.col("l_extendedprice") * (one - F.col("l_discount"))).alias("revenue"),
     )
 
 
@@ -106,11 +109,14 @@ def asof_prior_event(
     both = events.where(F.col("event_type").isin([left_type, right_type])).select(
         "event_id", "user_id", "event_type", "ts_ns"
     )
-    # event_type ascending puts "click" before "purchase" on equal ts →
-    # an equal-ts right event is visible to the left event (>= match)
+    # On equal ts the right-side event must sort BEFORE the left event
+    # so the >= match sees it. Raw event_type ordering only works when
+    # right_type happens to sort lexicographically first; an explicit
+    # priority column holds for any type pair.
+    type_priority = F.when(F.col("event_type") == right_type, 0).otherwise(1)
     w = (
         Window.partitionBy("user_id")
-        .orderBy("ts_ns", "event_type", "event_id")
+        .orderBy("ts_ns", type_priority, "event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     tagged = both.withColumn(
