@@ -123,6 +123,12 @@ def tableone(
     NameError (:216, Q1), empty column list raises instead of
     IndexError (:76, Q2), numeric strat columns are cast to string so
     null→MISSING applies (Q11), unions are by-name (Q13).
+
+    Scale note: above ``config.exact_percentile_cap`` rows (default
+    100k) the default ``quantile_mode="data"`` quartiles become
+    approximate (a warning is emitted); use
+    ``quantile_mode="interpolated"`` or raise the cap when exact
+    quartiles are required on larger inputs.
     """
     cfg = config or TableOneConfig()
     if not cols_to_analyze:

@@ -181,6 +181,17 @@ def collect_sufficient(
         # (documented deviation above the cap). Interpolated mode does
         # not use the accuracy knob at all.
         accuracy = min(max(total + 1, 10_000), exact_percentile_cap)
+        if quantile_mode == "data" and total + 1 > exact_percentile_cap:
+            import warnings
+
+            warnings.warn(
+                f"{total} rows exceed exact_percentile_cap="
+                f"{exact_percentile_cap}: quartiles are approximate "
+                f"(<=1/{exact_percentile_cap} relative rank error), not "
+                "the reference's exact data values. Raise the cap or use "
+                'quantile_mode="interpolated" for exact quartiles.',
+                stacklevel=5,
+            )
         aggs = _cont_aggs(cont_vars, accuracy, quantile_mode)
         if stratified:
             # rollup == grouping sets {(strat), ()}: per-strat cells AND

@@ -109,3 +109,56 @@ def test_simhash_neardup_pairs_matches_bruteforce(spark):
         .collect()
     }
     assert fast == brute
+
+def test_shingles_short_docs_both_paths(spark):
+    """Docs with fewer than n words must yield zero shingles on BOTH
+    paths (the Catalyst path used to throw under ANSI: sequence(0, k-1)
+    descends when k<=0 and element_at past the end errors)."""
+    d = spark.createDataFrame(
+        [(1, "one"), (2, "two words"), (3, ""), (4, "exactly three words here")],
+        "doc_id long, text string",
+    )
+    a = sorted(map(tuple, dd.word_shingles(d, "text", "doc_id", n=3, arrow=True).collect()))
+    c = sorted(map(tuple, dd.word_shingles(d, "text", "doc_id", n=3, arrow=False).collect()))
+    assert a == c
+    assert {t[0] for t in a} == {4}  # only the 4-word doc shingles (2 trigrams)
+
+
+def test_minhash_poly_mode_matches_xxhash_semantics(docs):
+    """hash_fn='poly' verified pairs carry the same exact Jaccard values
+    as the default mode on the same near-dup corpus (candidates differ
+    only via hash family; the verify step pins semantics)."""
+    px = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dd.minhash_lsh_pairs(docs, "text", "doc_id", threshold=0.4).collect()
+    }
+    pp = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dd.minhash_lsh_pairs(
+            docs, "text", "doc_id", threshold=0.4, hash_fn="poly"
+        ).collect()
+    }
+    # the obvious near-dup and exact-dup pairs surface in both modes
+    # with identical exact-Jaccard values
+    for pair in [(1, 2), (1, 3)]:
+        assert approx(pp[pair], px[pair])
+
+
+def test_simhash_poly_locality_and_determinism(docs):
+    sig1 = {r["id"]: r["simhash"] for r in dd.simhash64(docs, "text", "doc_id", hash_fn="poly").collect()}
+    sig2 = {r["id"]: r["simhash"] for r in dd.simhash64(docs, "text", "doc_id", hash_fn="poly").collect()}
+    assert sig1 == sig2  # pure arithmetic → run-to-run identical
+    ham = lambda a, b: bin((a ^ b) & (2**64 - 1)).count("1")
+    assert sig1[1] == sig1[3]
+    assert ham(sig1[1], sig1[2]) <= 16
+    assert ham(sig1[1], sig1[4]) > 16
+
+
+def test_simhash_neardup_max_hamming_zero(docs):
+    """max_hamming=0 → single 64-bit chunk (the mask literal used to
+    overflow LongType); finds exactly the normalized-identical pair."""
+    out = sorted(
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in dd.simhash_neardup_pairs(docs, "text", "doc_id", max_hamming=0).collect()
+    )
+    assert out == [(1, 3, 0)]

@@ -341,3 +341,25 @@ def test_index_collision_warns(spark):
         warnings.simplefilter("always")
         tableone(df, cols_to_analyze=["c"]).collect()
     assert any("categories" in str(x.message) for x in w)
+
+
+def test_percentile_cap_truncation_warns(spark):
+    """When n+1 exceeds exact_percentile_cap in the default "data" mode,
+    the engine must say quartiles are no longer reference-exact."""
+    from tableone_pyspark_spark import TableOneConfig
+
+    df = spark.range(500).selectExpr("CAST(id AS DOUBLE) AS x")
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        tableone(df, cols_to_analyze=["x"], config=TableOneConfig(exact_percentile_cap=100)).collect()
+    assert any("exact_percentile_cap" in str(w.message) for w in caught)
+
+    # interpolated mode never warns (the knob is unused)
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        tableone(
+            df,
+            cols_to_analyze=["x"],
+            config=TableOneConfig(exact_percentile_cap=100, quantile_mode="interpolated"),
+        ).collect()
+    assert not any("exact_percentile_cap" in str(w.message) for w in caught)

@@ -38,6 +38,26 @@ def test_asof_prior_event(events):
     assert out[6]["prior_ts_ns"] is None and out[6]["gap_ns"] is None
 
 
+def test_asof_tie_holds_for_any_type_pair(spark):
+    """Equal-ts right events must match regardless of how the type names
+    sort lexicographically (explicit priority, not raw event_type
+    ordering — 'view' sorts AFTER 'click' yet must still be seen)."""
+    rows = [
+        (1, 1, "view", 100 * MIN),
+        (2, 1, "click", 100 * MIN),  # same-ts view must match (>= semantics)
+        (3, 1, "click", 105 * MIN),  # prior view = 100
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts_ns long"
+    )
+    out = {
+        r["event_id"]: r
+        for r in rel.asof_prior_event(df, left_type="click", right_type="view").collect()
+    }
+    assert out[2]["prior_ts_ns"] == 100 * MIN and out[2]["gap_ns"] == 0
+    assert out[3]["prior_ts_ns"] == 100 * MIN
+
+
 def test_sessionize(spark):
     rows = [
         (1, 1, 0 * MIN), (2, 1, 10 * MIN), (3, 1, 20 * MIN),   # session 1 (gaps 10m)
