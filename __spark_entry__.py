@@ -86,15 +86,49 @@ _ORDER_KEY = (
 
 
 def tableone_oracle_sql(
-    table: str, strat: str, strat_vals: list[str], cols: list[tuple[str, str]]
+    table: str,
+    strat: str,
+    strat_vals: list[str],
+    cols: list[tuple[str, str]],
+    pv: dict[str, tuple[float, float, str]] | None = None,
 ) -> str:
     """DuckDB SQL reproducing ``tableone(...)`` (interpolated quartiles,
     floats rounded to 6) for a table whose strat column has no nulls and
     already-clean values (true for the TPC-H-ish testdata).
 
-    ``cols`` = [(name, 'cat'|'cont'), ...] in call order.
+    ``cols`` = [(name, 'cat'|'cont'), ...] in call order. ``pv`` maps a
+    column to its precomputed (p_value, test_value, test_name) fixture
+    (see :func:`_pvalues_fixture`); when given, the three p-value
+    columns are emitted — values on each variable's anchor row (the
+    x.01 category row / the x.1 "n" row), NULL elsewhere, matching the
+    engine's literal-anchor attach.
     """
     count_cols = ["All_Patients"] + strat_vals
+
+    def pv_cols(col: str | None, anchored: str = "TRUE") -> str:
+        """The three p-value columns for one SELECT part."""
+        if pv is None:
+            return ""
+        if col is None or col not in pv:
+            return (
+                ', CAST(NULL AS DOUBLE) AS "p_value", '
+                'CAST(NULL AS DOUBLE) AS "test_value", '
+                'CAST(NULL AS VARCHAR) AS "test_name"'
+            )
+        p, t, name = pv[col]
+
+        def dlit(x: float) -> str:
+            # full-precision literal, rounded BY DUCKDB so the rounding
+            # rule matches every other ROUND(x, 6) comparison
+            if x != x:
+                return "CAST('NaN' AS DOUBLE)"
+            return f"ROUND(CAST({x!r} AS DOUBLE), 6)"
+
+        return (
+            f', CASE WHEN {anchored} THEN {dlit(p)} END AS "p_value"'
+            f', CASE WHEN {anchored} THEN {dlit(t)} END AS "test_value"'
+            f", CASE WHEN {anchored} THEN '{name}' END AS \"test_name\""
+        )
 
     def flt(v: str | None) -> str:
         return "" if v is None else f" FILTER (WHERE {strat} = '{v}')"
@@ -124,7 +158,7 @@ def tableone_oracle_sql(
     parts.append(
         f"SELECT {sel(header)}, CAST(0 AS DOUBLE) AS \"Index\", "
         f"'Total' AS \"Characteristics\", CAST(NULL AS VARCHAR) AS \"Variable_type\", "
-        f"'ALL' AS \"Values\", {sel(total_counts)} FROM d"
+        f"'ALL' AS \"Values\", {sel(total_counts)}{pv_cols(None)} FROM d"
     )
 
     idx = 0
@@ -138,11 +172,12 @@ def tableone_oracle_sql(
             for i, c in enumerate(count_cols):
                 counts.append(f'ROUND(CAST(ct_{i} AS DOUBLE), 6) AS "{c}"')
                 counts.append(f'ROUND(CAST(ct_{i} AS DOUBLE) / d_{i}, 6) AS "{c}_%"')
+            anchor = f"row_number() OVER (ORDER BY {_ORDER_KEY}, val) = 1"
             parts.append(
                 f"SELECT {sel(header)}, "
                 f"CAST({idx} + 0.01 * row_number() OVER (ORDER BY {_ORDER_KEY}, val) AS DOUBLE) AS \"Index\", "
                 f"'{col}' AS \"Characteristics\", 'category' AS \"Variable_type\", "
-                f'val AS "Values", {sel(counts)} '
+                f'val AS "Values", {sel(counts)}{pv_cols(col, anchor)} '
                 f"FROM (SELECT {sel(g_fields)} FROM {table} GROUP BY 1) CROSS JOIN d"
             )
         else:
@@ -161,7 +196,8 @@ def tableone_oracle_sql(
                 parts.append(
                     f"SELECT {sel(header)}, CAST({idx}.{off} AS DOUBLE) AS \"Index\", "
                     f"'{col}' AS \"Characteristics\", 'continuous' AS \"Variable_type\", "
-                    f"'{label}' AS \"Values\", {sel(vals)} FROM {src}"
+                    f"'{label}' AS \"Values\", {sel(vals)}"
+                    f"{pv_cols(col, 'TRUE') if off == 1 else pv_cols(None)} FROM {src}"
                 )
 
     return sql[0] + "\n" + "\nUNION ALL\n".join(parts)
@@ -170,6 +206,44 @@ def tableone_oracle_sql(
 def _unstrat_oracle(table: str, cols: list[tuple[str, str]]) -> str:
     sql = tableone_oracle_sql(table, "__none__", [], cols)
     return sql.replace("'__none__' AS \"Pivoted_column\"", "'' AS \"Pivoted_column\"")
+
+
+def _pvalues_fixture(
+    sf_dir: str = "/root/testdata/sf0.01",
+) -> dict[str, tuple[float, float, str]]:
+    """(p_value, test_value, test_name) per analyzed column of the
+    tableone_pvalues query, computed INDEPENDENTLY of Spark: sufficient
+    statistics come from DuckDB over the same parquet, tail
+    probabilities from the package's own scipy-free ``core.special``
+    (pinned against published tables in tests/test_special.py). This
+    closes the oracle loop on the p-value attach path — the one piece
+    plain SQL cannot express."""
+    import duckdb
+
+    from tableone_pyspark_spark.core.hypothesis import (
+        GroupMoments,
+        chi_square,
+        continuous_test,
+    )
+
+    con = duckdb.connect()
+    li = f"read_parquet('{sf_dir}/lineitem.parquet')"
+    out: dict[str, tuple[float, float, str]] = {}
+    cnt = con.execute(
+        f"SELECT l_linestatus, l_returnflag, count(*) FROM {li} GROUP BY 1, 2"
+    ).fetchall()
+    name, p, stat = chi_square({(r[0], r[1]): r[2] for r in cnt})
+    out["l_linestatus"] = (p, stat, name)
+    for col in ("l_quantity", "l_extendedprice"):
+        g = con.execute(
+            f"SELECT l_returnflag, count({col}), avg({col}), var_samp({col}) "
+            f"FROM {li} GROUP BY 1 ORDER BY 1"
+        ).fetchall()
+        name, p, stat = continuous_test(
+            [GroupMoments(n=r[1], mean=r[2], var=r[3]) for r in g]
+        )
+        out[col] = (p, stat, name)
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -927,6 +1001,23 @@ def oracle_sql() -> dict[str, str]:
         ["F", "O", "P"],
         [("o_orderpriority", "cat"), ("o_totalprice", "cont")],
     )
+    try:
+        # p-value fixture needs the sf0.01 parquet on disk at oracle-
+        # build time (the driver's gate SF); fall back to the rows-only
+        # check anywhere the testdata is absent
+        o["tableone_pvalues"] = tableone_oracle_sql(
+            "lineitem",
+            "l_returnflag",
+            ["A", "N", "R"],
+            [
+                ("l_linestatus", "cat"),
+                ("l_quantity", "cont"),
+                ("l_extendedprice", "cont"),
+            ],
+            pv=_pvalues_fixture(),
+        )
+    except Exception:
+        pass
     o["tableone_part"] = tableone_oracle_sql(
         "part",
         "p_type",
