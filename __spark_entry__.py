@@ -531,7 +531,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         queries_df = e.where(F.col("vec_id") < 10)
         return sim.lsh_topk(e, queries_df, k=5, tables=8, planes=4)
 
-    q["embedding_lsh_topk"] = embedding_lsh_topk  # rows-only (approximate)
+    # exact oracle: the md5-derived SRP planes are engine-independent
+    # constants, so the whole bucket→candidate→rescore pipeline is
+    # replayed in SQL (see _lsh_topk_sql)
+    q["embedding_lsh_topk"] = embedding_lsh_topk
 
     def embedding_ivf_topk(spark, sf_dir):
         from tableone_pyspark_spark.operators.ml_lsh import ivf_topk
@@ -539,7 +542,53 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         e = _load(spark, sf_dir, "embeddings")
         return ivf_topk(e, e.where(F.col("vec_id") < 10), k=5)
 
-    q["embedding_ivf_topk"] = embedding_ivf_topk  # rows-only (approximate)
+    # exact oracle: centroids retrained identically at oracle-build time
+    # and embedded as literals (see _ivf_topk_sql)
+    q["embedding_ivf_topk"] = embedding_ivf_topk
+
+    def lsh_recall(spark, sf_dir):
+        """Quantitative recall@5 of SRP-LSH vs the exact top-k — the
+        number a tuning loop watches when trading tables/planes."""
+        e = _load(spark, sf_dir, "embeddings")
+        queries_df = e.where(F.col("vec_id") < 10)
+        exact = sim.brute_force_topk(e, queries_df, k=5).select(
+            "query_id", "neighbor_id"
+        )
+        approx = sim.lsh_topk(e, queries_df, k=5, tables=8, planes=4).select(
+            "query_id", "neighbor_id", F.lit(1).alias("hit")
+        )
+        j = exact.join(approx, ["query_id", "neighbor_id"], "left")
+        return (
+            j.agg(
+                F.count(F.lit(1)).alias("n_exact"),
+                F.sum(F.coalesce("hit", F.lit(0))).cast("long").alias("n_hits"),
+            )
+            .withColumn("recall_at_5", F.round(F.col("n_hits") / F.col("n_exact"), 6))
+        )
+
+    q["lsh_recall"] = lsh_recall
+
+    def ivf_recall(spark, sf_dir):
+        from tableone_pyspark_spark.operators.ml_lsh import ivf_topk
+
+        e = _load(spark, sf_dir, "embeddings")
+        queries_df = e.where(F.col("vec_id") < 10)
+        exact = sim.brute_force_topk(e, queries_df, k=5).select(
+            "query_id", "neighbor_id"
+        )
+        approx = ivf_topk(e, queries_df, k=5).select(
+            "query_id", "neighbor_id", F.lit(1).alias("hit")
+        )
+        j = exact.join(approx, ["query_id", "neighbor_id"], "left")
+        return (
+            j.agg(
+                F.count(F.lit(1)).alias("n_exact"),
+                F.sum(F.coalesce("hit", F.lit(0))).cast("long").alias("n_hits"),
+            )
+            .withColumn("recall_at_5", F.round(F.col("n_hits") / F.col("n_exact"), 6))
+        )
+
+    q["ivf_recall"] = ivf_recall
 
     def ml_minhash(spark, sf_dir):
         from tableone_pyspark_spark.operators.ml_lsh import ml_minhash_pairs
@@ -1364,6 +1413,110 @@ def oracle_sql() -> dict[str, str]:
         "FROM e a JOIN e b ON a.vec_id < b.vec_id "
         "WHERE ROUND(list_cosine_similarity(a.v, b.v), 6) >= 0.3"
     )
+
+    # ---- approximate ANN, exactly replayed: both pipelines are
+    # deterministic (md5-derived SRP planes; seeded sampled KMeans), so
+    # the oracle reproduces candidates AND scores, not just row counts.
+    # The sign/argmin decisions are ulp-robust in practice (validated
+    # at two SFs); the fold dot matches Spark's strict left-fold. ------
+    _DIM, _TABLES, _PLANES = 64, 8, 4
+
+    def _fold_dot(vexpr: str, weights) -> str:
+        wl = "[" + ",".join(repr(float(x)) for x in weights) + "]::DOUBLE[]"
+        return (
+            f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+            f"list_transform(range(1, {_DIM} + 1), i -> {vexpr}[i] * ({wl})[i])), "
+            f"(a, b) -> a + b)"
+        )
+
+    def _lsh_topk_sql(k: int = 5) -> str:
+        from tableone_pyspark_spark.operators.similarity import _plane_weights
+
+        vb_parts = []
+        for t in range(_TABLES):
+            terms = []
+            for p in range(_PLANES):
+                w = _plane_weights(t * _PLANES + p, _DIM)
+                terms.append(
+                    f"(CASE WHEN {_fold_dot('v', w)} > 0.0 THEN {1 << p} ELSE 0 END)"
+                )
+            vb_parts.append(
+                f"SELECT vec_id, {t} AS t, ({' + '.join(terms)}) AS bucket FROM e"
+            )
+        return (
+            "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), "
+            f"vb AS ({' UNION ALL '.join(vb_parts)}), "
+            "qb AS (SELECT * FROM vb WHERE vec_id < 10), "
+            "cand AS (SELECT DISTINCT qb.vec_id AS query_id, vb.vec_id AS neighbor_id "
+            "FROM vb JOIN qb USING (t, bucket) WHERE vb.vec_id <> qb.vec_id), "
+            "s AS (SELECT query_id, neighbor_id, "
+            "ROUND(list_cosine_similarity(a.v, b.v), 6) AS cos "
+            "FROM cand JOIN e a ON a.vec_id = neighbor_id JOIN e b ON b.vec_id = query_id) "
+            "SELECT query_id, neighbor_id, cos, CAST(rank AS INT) AS rank FROM "
+            "(SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM s) "
+            f"WHERE rank <= {k}"
+        )
+
+    o["embedding_lsh_topk"] = _lsh_topk_sql()
+
+    def _ivf_topk_sql(
+        sf_dir: str = "/root/testdata/sf0.01", n_probe: int = 4, k: int = 5
+    ) -> str:
+        import duckdb
+        import numpy as np
+
+        from tableone_pyspark_spark.operators.ml_lsh import _kmeans_numpy
+
+        con = duckdb.connect()
+        X = np.array(
+            [
+                np.asarray(r[0], dtype=np.float64)
+                for r in con.sql(
+                    f"SELECT CAST(embedding AS DOUBLE[]) "
+                    f"FROM read_parquet('{sf_dir}/embeddings.parquet') LIMIT 16384"
+                ).fetchall()
+            ]
+        )
+        C = _kmeans_numpy(X, 16)
+        c_norm2 = (C * C).sum(axis=1)
+        d_list = "[" + ", ".join(
+            f"-2.0 * {_fold_dot('v', C[j])} + {float(c_norm2[j])!r}" for j in range(16)
+        ) + "]"
+        return (
+            "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), "
+            f"dl AS (SELECT vec_id, v, {d_list} AS ds FROM e), "
+            "assigned AS (SELECT vec_id, v, list_indexof(ds, list_min(ds)) - 1 AS cell FROM dl), "
+            "qc AS (SELECT vec_id AS query_id, v AS qv, u.cell FROM ("
+            "SELECT vec_id, v, unnest(ds) AS d, unnest(range(0, 16)) AS cell "
+            "FROM dl WHERE vec_id < 10) u(vec_id, v, d, cell) "
+            f"QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) <= {n_probe}), "
+            "s AS (SELECT query_id, a.vec_id AS neighbor_id, "
+            "ROUND(list_cosine_similarity(a.v, qv), 6) AS cos "
+            "FROM assigned a JOIN qc ON a.cell = qc.cell WHERE a.vec_id <> query_id) "
+            "SELECT query_id, neighbor_id, cos, CAST(rank AS INT) AS rank FROM "
+            "(SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM s) "
+            f"WHERE rank <= {k}"
+        )
+
+    try:
+        o["embedding_ivf_topk"] = _ivf_topk_sql()
+    except Exception:
+        pass  # no sf0.01 testdata at oracle-build time → rows-only
+
+    def _recall_sql(approx_sql: str) -> str:
+        return (
+            f"WITH ex AS ({o['embedding_topk']}), ap AS ({approx_sql}), "
+            "j AS (SELECT ex.query_id, ex.neighbor_id, "
+            "CASE WHEN ap.query_id IS NULL THEN 0 ELSE 1 END AS hit "
+            "FROM ex LEFT JOIN ap ON ex.query_id = ap.query_id "
+            "AND ex.neighbor_id = ap.neighbor_id) "
+            "SELECT count(*) AS n_exact, CAST(sum(hit) AS BIGINT) AS n_hits, "
+            "ROUND(CAST(sum(hit) AS DOUBLE) / count(*), 6) AS recall_at_5 FROM j"
+        )
+
+    o["lsh_recall"] = _recall_sql(o["embedding_lsh_topk"])
+    if "embedding_ivf_topk" in o:
+        o["ivf_recall"] = _recall_sql(o["embedding_ivf_topk"])
 
     # ---- events ------------------------------------------------------------
     K_RE = r"CAST(regexp_extract(props, '\"k\":\s*(-?\d+)', 1) AS BIGINT)"
