@@ -335,23 +335,66 @@ def cosine_neardup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     arrow: bool = False,
+    strategy: str = "auto",
+    dim: int = 64,
+    tables: int = 8,
+    planes: int = 4,
+    brute_force_limit: int = 100_000,
 ) -> DataFrame:
-    """All pairs (a < b) with cosine >= threshold — brute-force O(N²)
-    scoring; the exact verifier / small-N path (use LSH buckets to
-    pre-filter at scale). ``arrow`` defaults off: the O(N²) pair
-    explosion would ship every duplicated vector across the Arrow
-    boundary — in-JVM interpreted dot is ~10× faster here (measured).
+    """All pairs (a < b) with cosine >= threshold.
+
+    Two physical strategies, both applying the EXACT cosine predicate:
+
+    * ``"brute"`` — O(N²) theta join (BroadcastNestedLoopJoin). Exact
+      recall; only viable for bounded inputs (the verifier path).
+    * ``"lsh"`` — SRP bucketing generates candidates via a shuffled
+      EQUI-join on (table, bucket); only candidates are scored. The
+      100 TB path: work scales with bucket occupancy, not N², at the
+      cost of (tunable, multi-table) candidate recall. High-similarity
+      pairs — the near-dup regime this operator exists for — collide
+      with probability 1-(1-(1-θ/π)^planes)^tables per pair.
+    * ``"auto"`` (default) — one metadata-cheap ``count()`` picks:
+      brute force up to ``brute_force_limit`` rows, LSH above it, so
+      the public default can never launch an unbounded cartesian.
+
+    ``arrow`` defaults off for brute (the pair explosion would ship
+    duplicated vectors across the Arrow boundary — in-JVM interpreted
+    dot is ~10× faster there, measured); the LSH path always uses the
+    Arrow bucket kernel (same measured carve-out as :func:`lsh_topk`).
     Returns (id_a, id_b, cos)."""
+    if strategy == "auto":
+        strategy = "brute" if vectors.count() <= brute_force_limit else "lsh"
     norm = unit_normalize_arrow() if arrow else unit_normalize
     dotf = dot_arrow() if arrow else dot
     normed = rebalance(vectors.select(id_col, vec_col)).select(
         F.col(id_col).alias("id_a"), norm(F.col(vec_col)).alias("va")
     )
-    a = normed
-    b = normed.select(F.col("id_a").alias("id_b"), F.col("va").alias("vb"))
+    if strategy == "lsh":
+        tb = normed.select(
+            "id_a",
+            F.explode(
+                _lsh_table_structs(F.col("va"), dim, tables, planes, arrow=True)
+            ).alias("tb"),
+        ).select("id_a", "tb.table", "tb.bucket")
+        # candidate shuffle carries only compact (id, id) pairs
+        cand = (
+            tb.join(
+                tb.select(F.col("id_a").alias("id_b"), "table", "bucket"),
+                ["table", "bucket"],
+            )
+            .where(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .distinct()
+        )
+        pairs = cand.join(normed, "id_a").join(
+            normed.select(F.col("id_a").alias("id_b"), F.col("va").alias("vb")),
+            "id_b",
+        )
+    else:
+        b = normed.select(F.col("id_a").alias("id_b"), F.col("va").alias("vb"))
+        pairs = normed.join(b, F.col("id_a") < F.col("id_b"))
     return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
-        .withColumn("cos", F.round(dotf(F.col("va"), F.col("vb")), 6))
+        pairs.withColumn("cos", F.round(dotf(F.col("va"), F.col("vb")), 6))
         .where(F.col("cos") >= threshold)
         .select("id_a", "id_b", "cos")
     )

@@ -100,3 +100,47 @@ def test_srp_arrow_matches_catalyst(spark):
         F.explode(sim._lsh_table_structs(F.col("embedding"), 64, 4, 4, arrow=True)).alias("tb"),
     ).select("vec_id", "tb.table", "tb.bucket")
     assert sorted(map(tuple, cat.collect())) == sorted(map(tuple, arw.collect()))
+
+
+def test_neardup_lsh_path_no_cartesian(spark):
+    """The scale strategy must plan as an equi-join on (table, bucket) —
+    a BroadcastNestedLoopJoin anywhere in the plan means the O(N²)
+    cartesian leaked back in."""
+    from tableone_pyspark_spark.plans.inspect import executed_plan
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    lsh = sim.cosine_neardup_pairs(e, threshold=0.9, strategy="lsh")
+    assert "BroadcastNestedLoopJoin" not in executed_plan(lsh)
+    brute = sim.cosine_neardup_pairs(e, threshold=0.9, strategy="brute")
+    assert "BroadcastNestedLoopJoin" in executed_plan(brute)
+
+
+def test_neardup_auto_picks_by_size(spark):
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    auto_small = sim.cosine_neardup_pairs(e, threshold=0.9)  # n=500 <= limit
+    assert "BroadcastNestedLoopJoin" in auto_small._jdf.queryExecution().executedPlan().toString()
+    auto_big = sim.cosine_neardup_pairs(e, threshold=0.9, brute_force_limit=100)
+    assert "BroadcastNestedLoopJoin" not in auto_big._jdf.queryExecution().executedPlan().toString()
+
+
+def test_neardup_lsh_subset_with_exact_scores(spark):
+    """LSH candidates are verified with the exact cosine: every emitted
+    pair appears in the brute-force result with an identical score, and
+    recall on the high-similarity regime stays high."""
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    brute = {
+        (r["id_a"], r["id_b"]): r["cos"]
+        for r in sim.cosine_neardup_pairs(e, threshold=0.3, strategy="brute").collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"]): r["cos"]
+        for r in sim.cosine_neardup_pairs(e, threshold=0.3, strategy="lsh").collect()
+    }
+    assert len(brute) > 0
+    assert set(lsh).issubset(set(brute))
+    for pair, cos in lsh.items():
+        assert cos == brute[pair]
+    # measured 0.699 on this corpus at cos>=0.3 — the moderate-similarity
+    # regime (true near-dups at cos>=0.9 collide with prob ~1); the
+    # planes are deterministic constants so the number is pinnable
+    assert len(lsh) / len(brute) >= 0.65
