@@ -753,6 +753,45 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["stream_sessions"] = stream_sessions
 
+    def stream_sessions_builtin(spark, sf_dir):
+        from pyspark.sql import types as T
+
+        from tableone_pyspark_spark.streaming.stream_stats import session_window_stats
+
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        raw_schema = T.StructType(
+            [
+                T.StructField("event_id", T.LongType()),
+                T.StructField("ts", T.LongType()),
+                T.StructField("user_id", T.LongType()),
+                T.StructField("event_type", T.StringType()),
+                T.StructField("value", T.DoubleType()),
+                T.StructField("props", T.StringType()),
+            ]
+        )
+        stream = (
+            spark.readStream.schema(raw_schema)
+            .format("parquet")
+            .option("pathGlobFilter", "events.parquet")
+            .load(sf_dir)
+            .select(
+                "user_id",
+                F.expr("timestamp_micros(ts div 1000)").alias("ts"),
+            )
+        )
+        out = session_window_stats(stream, gap_minutes=30)
+        qry = (
+            out.writeStream.format("memory")
+            .queryName("stream_sessions_builtin_sink")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        qry.awaitTermination()
+        return spark.table("stream_sessions_builtin_sink")
+
+    q["stream_sessions_builtin"] = stream_sessions_builtin
+
     def text_fingerprints(spark, sf_dir):
         d = _load(spark, sf_dir, "documents")
         return d.select("doc_id", tx.rolling_fingerprint(F.col("text")).alias("fp"))
@@ -1586,6 +1625,10 @@ def oracle_sql() -> dict[str, str]:
         "WHERE s.sid <> f.last_sid "
         "OR (session_end_us + 1800000000) // 1000 + 1 < mx.m // 1000"
     )
+    # builtin F.session_window emits the IDENTICAL closed-session set
+    # (same gap rule, same watermark-passes-end emission) — pinned by
+    # tests/test_events_streaming.py; same oracle by construction
+    o["stream_sessions_builtin"] = o["stream_sessions"]
 
     # rolling-hash fingerprint: same Horner fold, SQL-side
     o["text_fingerprints"] = (

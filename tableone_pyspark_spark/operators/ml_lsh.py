@@ -80,10 +80,14 @@ def _kmeans_numpy(X, k: int, iters: int = 12, seed: int = 42):
         # ||x-c||² = ||x||² - 2x·c + ||c||² ; ||x||² constant in argmin
         d2 = -2.0 * (X @ C.T) + (C * C).sum(axis=1)
         a = d2.argmin(axis=1)
+        new_c = C.copy()
         for j in range(len(C)):
             members = X[a == j]
             if len(members):
-                C[j] = members.mean(axis=0)
+                new_c[j] = members.mean(axis=0)
+        if np.array_equal(new_c, C):
+            break  # converged — identical output, fewer passes
+        C = new_c
     return C
 
 

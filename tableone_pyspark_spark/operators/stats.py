@@ -209,16 +209,26 @@ def chi2_statistic(
     )
 
 
-def data_profile(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+def data_profile(
+    df: DataFrame, cols: list[str] | None = None, approx_distinct: bool = False
+) -> DataFrame:
     """Per-column data-quality profile in ONE aggregation pass: rows,
-    nulls, distinct (exact), min/max/mean (numeric columns; null
-    otherwise) — the monitoring pre-pass a pipeline runs before and
-    after every transform stage. One job regardless of column count;
-    count_distinct adds an Expand (one row per profiled column) but
-    stays a single shuffle. Long-format output: (col, n_rows, n_nulls,
-    n_distinct, min_value, max_value, mean_value).
+    nulls, distinct, min/max/mean (numeric columns; null otherwise) —
+    the monitoring pre-pass a pipeline runs before and after every
+    transform stage. One job regardless of column count.
+
+    ``approx_distinct=False`` (default, oracle-checked): exact
+    ``count_distinct`` — adds an Expand (one input row per profiled
+    column) and shuffles every distinct value. At 100 TB a
+    high-cardinality column (ids, text) makes that shuffle THE
+    bottleneck of the whole profile. ``approx_distinct=True`` swaps in
+    ``approx_count_distinct`` (HyperLogLog++, default rsd 5%): fixed
+    ~few-KB sketch per (column) aggregated map-side, no distinct-value
+    shuffle — profiling cost becomes independent of cardinality, the
+    right default for monitoring at scale.
     """
     cols = cols or df.columns
+    distinct_agg = F.approx_count_distinct if approx_distinct else F.count_distinct
     numeric = {
         f.name
         for f in df.schema.fields
@@ -230,7 +240,7 @@ def data_profile(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
         col = F.col(_q(c))
         aggs += [
             F.count(col).alias(f"nn_{i}"),
-            F.count_distinct(col).alias(f"nd_{i}"),
+            distinct_agg(col).alias(f"nd_{i}"),
         ]
         if c in numeric:
             aggs += [

@@ -154,6 +154,48 @@ def streaming_sessionize(
     )
 
 
+def session_window_stats(
+    stream: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_minutes: int = 30,
+    watermark: str = "0 seconds",
+) -> DataFrame:
+    """Gap sessionization via the BUILTIN ``F.session_window`` — the
+    Catalyst-native alternative to :func:`streaming_sessionize` for the
+    common per-key gap-merge case (state merging stays in the JVM; no
+    Python worker round-trip, no custom state schema).
+
+    ``session_window`` spans [min event, max event + gap); the emitted
+    ``session_end_us`` subtracts the gap back so the output schema and
+    values line up with :func:`streaming_sessionize` (session_end =
+    last event). In streaming append mode a session emits once the
+    watermark passes its window END (= last + gap), matching the custom
+    operator's event-time timeout. Use the custom operator when the
+    fold logic outgrows what a gap window can express; equivalence on
+    the common case is pinned by test and oracle.
+    Returns (user_id, session_start_us, session_end_us, n_events).
+    """
+    gap_us = gap_minutes * 60 * 1_000_000
+    if stream.isStreaming:
+        stream = stream.withWatermark(ts_col, watermark)
+    return (
+        stream.groupBy(
+            F.session_window(F.col(ts_col), f"{gap_minutes} minutes"),
+            F.col(user_col),
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col(user_col),
+            F.unix_micros(F.col("session_window.start")).alias("session_start_us"),
+            (F.unix_micros(F.col("session_window.end")) - gap_us).alias(
+                "session_end_us"
+            ),
+            "n_events",
+        )
+    )
+
+
 def run_stream_over_parquet(
     spark,
     parquet_path: str,

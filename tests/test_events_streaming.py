@@ -184,3 +184,61 @@ def test_streaming_sessionize_matches_batch(spark):
         (r["user_id"], r["s"], r["e"], r["n"]) for r in sessions.collect()
     }
     assert closed_batch <= streamed <= all_batch
+
+
+def test_session_window_builtin_matches_custom_sessionize(spark):
+    """F.session_window (builtin, JVM-side state merge) must emit the
+    IDENTICAL closed-session set as the applyInPandasWithState operator
+    under the same gap and watermark: same gap rule, same
+    watermark-passes-end emission. This pins the builtin as a drop-in
+    for the common case."""
+    import pyspark.sql.types as T
+
+    from tableone_pyspark_spark.streaming.stream_stats import (
+        session_window_stats,
+        streaming_sessionize,
+    )
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+
+    def mkstream():
+        return (
+            spark.readStream.schema(raw_schema)
+            .format("parquet")
+            .option("pathGlobFilter", "events.parquet")
+            .load(SF)
+            .select("user_id", F.expr("timestamp_micros(ts div 1000)").alias("ts"))
+        )
+
+    for name, fn in [("t_sw_builtin", session_window_stats), ("t_sw_custom", streaming_sessionize)]:
+        out = fn(mkstream(), gap_minutes=30)
+        qry = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        qry.awaitTermination()
+    builtin = set(map(tuple, spark.table("t_sw_builtin").collect()))
+    custom = set(map(tuple, spark.table("t_sw_custom").collect()))
+    assert len(builtin) > 0
+    assert builtin == custom
+
+    # batch mode emits EVERY session (no emission filter): a superset
+    # containing each user's final session too
+    ev = spark.read.parquet(f"{SF}/events.parquet").select(
+        "user_id", F.expr("timestamp_micros(ts div 1000)").alias("ts")
+    )
+    allsess = set(map(tuple, session_window_stats(ev, gap_minutes=30).collect()))
+    assert builtin.issubset(allsess) and len(allsess) > len(builtin)

@@ -86,3 +86,24 @@ def test_tableone_has_no_repartition_one(lineitem):
 
     out = tableone(lineitem, col_to_strat="l_returnflag", cols_to_analyze=["l_quantity"])
     assert "Exchange" not in inspect.executed_plan(out)
+
+
+def test_profile_approx_distinct_drops_expand(lineitem):
+    """Exact distinct profiling needs an Expand (input × #columns);
+    the HLL mode must profile with NO Expand and NO distinct-value
+    shuffle — that difference IS the 100 TB scale story."""
+    exact = ops.data_profile(lineitem, ["l_orderkey", "l_quantity", "l_returnflag"])
+    approx = ops.data_profile(
+        lineitem, ["l_orderkey", "l_quantity", "l_returnflag"], approx_distinct=True
+    )
+    assert "Expand" in inspect.executed_plan(exact)
+    assert "Expand" not in inspect.executed_plan(approx)
+
+    ex = {r["col"]: r for r in exact.collect()}
+    ap = {r["col"]: r for r in approx.collect()}
+    for c in ex:
+        # HLL++ at default rsd: within 5%ish of exact; everything else identical
+        assert abs(ap[c]["n_distinct"] - ex[c]["n_distinct"]) <= 0.1 * ex[c]["n_distinct"] + 1
+        assert ap[c]["n_rows"] == ex[c]["n_rows"]
+        assert ap[c]["n_nulls"] == ex[c]["n_nulls"]
+        assert ap[c]["mean_value"] == ex[c]["mean_value"]
