@@ -590,6 +590,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ivf_recall"] = ivf_recall
 
+    def tfidf_terms(spark, sf_dir):
+        from tableone_pyspark_spark.operators.terms import tfidf_top_terms
+
+        d = _load(spark, sf_dir, "documents")
+        return tfidf_top_terms(d, "text", "doc_id", k=3)
+
+    q["tfidf_terms"] = tfidf_terms
+
+    def winnow_fps(spark, sf_dir):
+        from tableone_pyspark_spark.operators.terms import winnow_fingerprints
+
+        d = _load(spark, sf_dir, "documents")
+        return winnow_fingerprints(d, "text", "doc_id", n=3, window=4)
+
+    q["winnow_fps"] = winnow_fps
+
+    def winnow_overlap(spark, sf_dir):
+        from tableone_pyspark_spark.operators.terms import winnow_overlap_pairs
+
+        d = _load(spark, sf_dir, "documents")
+        return winnow_overlap_pairs(d, "text", "doc_id", n=3, window=4, min_shared=2)
+
+    q["winnow_overlap"] = winnow_overlap
+
+    def kmeans_profile(spark, sf_dir):
+        from tableone_pyspark_spark.operators.ml_lsh import kmeans_profile as kp
+
+        e = _load(spark, sf_dir, "embeddings")
+        return kp(e, n_centroids=16)
+
+    q["kmeans_profile"] = kmeans_profile
+
     def ml_minhash(spark, sf_dir):
         from tableone_pyspark_spark.operators.ml_lsh import ml_minhash_pairs
 
@@ -1419,6 +1451,45 @@ def oracle_sql() -> dict[str, str]:
 
     o["minhash_pairs"] = _minhash_sql()
 
+    # ---- term-level text ops -------------------------------------------
+    _TERMS = (
+        f"t AS (SELECT doc_id AS id, unnest(string_split({NORM}, ' ')) AS term "
+        "FROM documents), tt AS (SELECT id, term FROM t WHERE term <> '')"
+    )
+    o["tfidf_terms"] = (
+        f"WITH {_TERMS}, "
+        "tf AS (SELECT id, term, count(*) AS tf FROM tt GROUP BY 1, 2), "
+        "dfq AS (SELECT term, count(DISTINCT id) AS df FROM tt GROUP BY 1), "
+        "nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents), "
+        "s AS (SELECT id, tf.term, tf, df, "
+        "ROUND(tf * ln(CAST(n_docs AS DOUBLE) / df), 6) AS tfidf "
+        "FROM tf JOIN dfq USING (term), nd) "
+        "SELECT id, term, tf, df, tfidf, CAST(rank AS INT) AS rank FROM "
+        "(SELECT *, row_number() OVER (PARTITION BY id ORDER BY tfidf DESC, term) AS rank FROM s) "
+        "WHERE rank <= 3"
+    )
+
+    # ordered shingles (0-based pos) + poly hash + sliding window min —
+    # the winnowing construction, replayed exactly
+    _WINNOW = (
+        f"w AS (SELECT doc_id, string_split({NORM}, ' ') AS ws FROM documents), "
+        "g AS (SELECT doc_id, i - 1 AS pos, "
+        "ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS gram "
+        "FROM w, unnest(generate_series(1, greatest(length(ws) - 2, 0))) t(i) "
+        "WHERE ws[i] || ws[i+1] || ws[i+2] <> ''), "
+        f"h AS (SELECT doc_id, pos, {_polyh('gram')} AS h FROM g), "
+        "m AS (SELECT doc_id, pos, min(h) OVER (PARTITION BY doc_id ORDER BY pos "
+        "ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS win_min FROM h), "
+        "fp AS (SELECT DISTINCT doc_id AS id, win_min AS fingerprint FROM m WHERE pos >= 3)"
+    )
+    o["winnow_fps"] = f"WITH {_WINNOW} SELECT id, fingerprint FROM fp"
+    o["winnow_overlap"] = (
+        f"WITH {_WINNOW} "
+        "SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_shared "
+        "FROM fp a JOIN fp b USING (fingerprint) WHERE a.id < b.id "
+        "GROUP BY 1, 2 HAVING count(*) >= 2"
+    )
+
     # MLlib MinHashLSH (seed=42) deterministically finds every true
     # pair at this scale, and approxSimilarityJoin VERIFIES candidates
     # with the exact set distance — so the result set equals the exact
@@ -1498,9 +1569,9 @@ def oracle_sql() -> dict[str, str]:
 
     o["embedding_lsh_topk"] = _lsh_topk_sql()
 
-    def _ivf_topk_sql(
-        sf_dir: str = "/root/testdata/sf0.01", n_probe: int = 4, k: int = 5
-    ) -> str:
+    def _ivf_centroids(sf_dir: str = "/root/testdata/sf0.01"):
+        """Retrain the IVF quantizer EXACTLY as ivf_topk/kmeans_profile
+        do (same seeded numpy KMeans on the same driver sample)."""
         import duckdb
         import numpy as np
 
@@ -1517,7 +1588,12 @@ def oracle_sql() -> dict[str, str]:
             ]
         )
         C = _kmeans_numpy(X, 16)
-        c_norm2 = (C * C).sum(axis=1)
+        return C, (C * C).sum(axis=1)
+
+    def _ivf_topk_sql(
+        sf_dir: str = "/root/testdata/sf0.01", n_probe: int = 4, k: int = 5
+    ) -> str:
+        C, c_norm2 = _ivf_centroids(sf_dir)
         d_list = "[" + ", ".join(
             f"-2.0 * {_fold_dot('v', C[j])} + {float(c_norm2[j])!r}" for j in range(16)
         ) + "]"
@@ -1537,8 +1613,30 @@ def oracle_sql() -> dict[str, str]:
             f"WHERE rank <= {k}"
         )
 
+    def _kmeans_profile_sql(sf_dir: str = "/root/testdata/sf0.01") -> str:
+        C, c_norm2 = _ivf_centroids(sf_dir)
+        dots = "[" + ", ".join(_fold_dot("v", C[j]) for j in range(16)) + "]"
+        cn2 = "[" + ",".join(repr(float(x)) for x in c_norm2) + "]::DOUBLE[]"
+        selfdot = (
+            "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+            "list_transform(v, x -> x * x)), (a, b) -> a + b)"
+        )
+        return (
+            "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), "
+            f"dd AS (SELECT vec_id, v, {dots} AS dots FROM e), "
+            f"dl AS (SELECT vec_id, v, dots, list_transform(range(1, 17), "
+            f"j -> -2.0 * dots[j] + ({cn2})[j]) AS ds FROM dd), "
+            "a AS (SELECT vec_id, v, dots, list_indexof(ds, list_min(ds)) - 1 AS cell FROM dl), "
+            # dist2 reproduces the operator's fold order exactly:
+            # (selfdot - 2·dot_assigned) + ||c||²
+            f"d AS (SELECT cell, ({selfdot} - 2.0 * dots[cell + 1]) + ({cn2})[cell + 1] AS dist2 FROM a) "
+            "SELECT cell, count(*) AS n, ROUND(avg(dist2), 6) AS mean_dist2 "
+            "FROM d GROUP BY 1"
+        )
+
     try:
         o["embedding_ivf_topk"] = _ivf_topk_sql()
+        o["kmeans_profile"] = _kmeans_profile_sql()
     except Exception:
         pass  # no sf0.01 testdata at oracle-build time → rows-only
 

@@ -91,6 +91,74 @@ def _kmeans_numpy(X, k: int, iters: int = 12, seed: int = 42):
     return C
 
 
+def kmeans_profile(
+    vectors: DataFrame,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    train_limit: int = 16384,
+) -> DataFrame:
+    """Cluster-size profile of an embedding corpus under the same
+    sampled-KMeans coarse quantizer IVF uses: (cell, n, mean_dist2)
+    per cluster, where dist2 is the squared euclidean distance to the
+    assigned centroid.
+
+    The training sample is driver-bounded (never the corpus) and the
+    assignment + distance is ONE Arrow-vectorized streaming pass
+    feeding a partial-aggregated groupBy on the (tiny) cell key — the
+    skew/balance diagnostic a pipeline checks before committing to an
+    IVF index or a clustering-based curriculum split.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from tableone_pyspark_spark.plans.layout import rebalance
+
+    train = np.array(
+        [
+            np.asarray(r[0], dtype=np.float64)
+            for r in vectors.select(F.col(vec_col).cast("array<double>"))
+            .limit(train_limit)
+            .collect()
+        ]
+    )
+    C = _kmeans_numpy(train, n_centroids)
+    c_norm2 = (C * C).sum(axis=1)
+
+    from tableone_pyspark_spark.operators.similarity import _seq_dot
+
+    def assign(vecs):
+        if vecs.empty:
+            return pd.DataFrame(
+                {
+                    "cell": pd.Series([], dtype="int32"),
+                    "dist2": pd.Series([], dtype="float64"),
+                }
+            )
+        V = np.vstack([np.asarray(v, dtype=np.float64) for v in vecs])
+        d2 = -2.0 * (V @ C.T) + c_norm2
+        cells = d2.argmin(axis=1)
+        # the REPORTED distance re-derives both dot products with the
+        # strict left fold (matmul only picks the argmin), so each row's
+        # dist2 — and the SQL oracle's list_reduce twin — is
+        # bit-identical
+        full = (_seq_dot(V, V) - 2.0 * _seq_dot(V, C[cells])) + c_norm2[cells]
+        return pd.DataFrame({"cell": cells.astype("int32"), "dist2": full})
+
+    assign_udf = F.pandas_udf(assign, "cell int, dist2 double")
+    assigned = rebalance(vectors.select(id_col, vec_col)).select(
+        assign_udf(F.col(vec_col).cast("array<double>")).alias("f")
+    ).select("f.cell", "f.dist2")
+    return (
+        assigned.groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("dist2"), 6).alias("mean_dist2"),
+        )
+        .orderBy("cell")
+    )
+
+
 def ivf_topk(
     vectors: DataFrame,
     queries: DataFrame,

@@ -1,0 +1,158 @@
+"""Corpus/term-level text operators: TF-IDF term ranking and winnowing
+document fingerprints.
+
+Spark-first shapes with explicit 100 TB stories:
+
+  * tfidf_top_terms — two partial-aggregated shuffles (term frequency,
+    document frequency), one join on the term, one per-doc ranking
+    window. No driver-side vocabulary, no UDFs — every step is a
+    Catalyst aggregate over (id, term) pairs.
+  * winnow_fingerprints — the winnowing scheme of Schleimer, Wilkerson
+    & Aiken (SIGMOD 2003, "Winnowing: Local Algorithms for Document
+    Fingerprinting") applied at word-shingle granularity: each sliding
+    window of ``window`` consecutive shingle hashes contributes its
+    minimum, guaranteeing any sufficiently long match between two
+    documents shares a fingerprint. One window pass per document
+    partition — a single shuffle on the doc id; fingerprints use the
+    cross-engine polynomial hash, so results are SQL-oracle-exact.
+
+No counterpart in the reference repo (no text surface); these extend
+the LLM-pipeline operator family (BASELINE.json north star).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from tableone_pyspark_spark.functions.text import normalize_text, poly_hash
+from tableone_pyspark_spark.plans.layout import rebalance
+
+
+def doc_terms(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, term) rows — one per word OCCURRENCE of the normalized
+    text (the melt every term-level aggregate starts from)."""
+    return (
+        rebalance(df.select(id_col, text_col))
+        .select(
+            F.col(id_col).alias("id"),
+            F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("term"),
+        )
+        .where(F.col("term") != "")
+    )
+
+
+def tfidf_top_terms(
+    df: DataFrame, text_col: str, id_col: str, k: int = 3
+) -> DataFrame:
+    """Top-k characteristic terms per document by TF-IDF.
+
+    tf = occurrences of the term in the doc; idf = ln(N / df) with df =
+    number of docs containing the term. Both are partial-aggregated
+    groupBys (the shuffles carry (id, term) / (term) keys, never text
+    bodies beyond the terms themselves); the corpus size N joins in as
+    a broadcast scalar, and ranking is one per-doc window with a
+    deterministic (score desc, term asc) tie-break.
+    Returns (id, term, tf, df, tfidf, rank).
+    """
+    terms = doc_terms(df, text_col, id_col)
+    tf = terms.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    # document frequency derives from tf's rows (one per (doc, term)) —
+    # no second melt over the corpus, and the tf exchange is reused
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.select(F.count_distinct(F.col(id_col)).alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6),
+        )
+    )
+    w = Window.partitionBy("id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("id", "term", "tf", "df", "tfidf", "rank")
+    )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing fingerprints over word ``n``-gram shingles: the
+    distinct set of per-window minimum shingle hashes, one window per
+    consecutive run of ``window`` shingles.
+
+    Guarantee (Schleimer et al. 2003 §2): two documents sharing a run
+    of at least ``window + n - 1`` words share at least one
+    fingerprint — so candidate retrieval is an equi-join on the
+    fingerprint, the same bucketed shape as MinHash banding, but with a
+    LOCALITY guarantee (contiguous-match detection, e.g. quotation /
+    boilerplate / plagiarism discovery) instead of a set-similarity
+    one. Hashes are the cross-engine polynomial family, so the whole
+    operator is SQL-oracle-exact.
+
+    Shingles stay in document order (posexplode — NOT the distinct set
+    ``word_shingles`` emits); the sliding minimum is a rows-window over
+    each doc partition: one shuffle on the id, linear per partition.
+    Returns distinct (id, fingerprint).
+    """
+    words = F.split(normalize_text(F.col(text_col)), " ")
+    k = F.size(words) - (n - 1)
+    grams = F.when(
+        k >= 1,
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(k, F.lit(1)) - 1),
+            lambda i: F.concat_ws(
+                " ",
+                *[F.try_element_at(words, (i + j + 1).cast("int")) for j in range(n)],
+            ),
+        ),
+    ).otherwise(F.array(F.lit("")).cast("array<string>"))
+    ordered = (
+        rebalance(df.select(id_col, text_col))
+        .select(F.col(id_col).alias("id"), F.posexplode(grams).alias("pos", "g"))
+        .where(F.col("g") != "")
+        .withColumn("h", poly_hash(F.col("g")))
+    )
+    w = (
+        Window.partitionBy("id")
+        .orderBy("pos")
+        .rowsBetween(-(window - 1), Window.currentRow)
+    )
+    return (
+        ordered.withColumn("win_min", F.min("h").over(w))
+        .where(F.col("pos") >= window - 1)  # only full windows select
+        .select("id", F.col("win_min").alias("fingerprint"))
+        .distinct()
+    )
+
+
+def winnow_overlap_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    window: int = 4,
+    min_shared: int = 2,
+) -> DataFrame:
+    """Document pairs sharing >= ``min_shared`` winnowing fingerprints
+    (a < b) — contiguous-overlap candidates. The join is a shuffled
+    equi-join on the fingerprint; the pair count is a partial-aggregated
+    groupBy of compact (id, id) keys. Returns (id_a, id_b, n_shared).
+    """
+    fp = winnow_fingerprints(df, text_col, id_col, n, window)
+    a = fp.select(F.col("id").alias("id_a"), "fingerprint")
+    b = fp.select(F.col("id").alias("id_b"), "fingerprint")
+    return (
+        a.join(b, "fingerprint")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+    )

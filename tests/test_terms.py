@@ -1,0 +1,84 @@
+"""Tests for operators/terms.py (TF-IDF, winnowing) and
+ml_lsh.kmeans_profile."""
+
+from __future__ import annotations
+
+import pytest
+
+from tableone_pyspark_spark.operators import terms as tm
+
+DOCS = [
+    (1, "spark shuffles data between stages and spark plans joins"),
+    (2, "the quick brown fox jumps over the lazy dog near the barn"),
+    (3, "a quick brown fox jumps over the lazy dog near a barn"),  # shares a long run with 2
+    (4, "parquet column pruning reduces scan bytes dramatically"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_tfidf_ranks_distinctive_terms(docs):
+    out = tm.tfidf_top_terms(docs, "text", "doc_id", k=2)
+    rows = {(r["id"], r["rank"]): r for r in out.collect()}
+    # doc 1's top term is its repeated corpus-unique word
+    top1 = rows[(1, 1)]
+    assert top1["term"] == "spark" and top1["tf"] == 2 and top1["df"] == 1
+    # every doc gets exactly k rows; ranks are 1..k
+    by_doc = {}
+    for (i, r), _ in rows.items():
+        by_doc.setdefault(i, []).append(r)
+    assert all(sorted(v) == [1, 2] for v in by_doc.values())
+
+
+def test_tfidf_common_term_scores_zero(docs):
+    """A term present in every document has idf = ln(N/N) = 0."""
+    out = tm.tfidf_top_terms(docs, "text", "doc_id", k=50).collect()
+    # 'the'/'over' etc. appear in docs 2 and 3 only; construct the check
+    # from df: any term with df == n_docs must have tfidf 0
+    for r in out:
+        if r["df"] == 4:
+            assert r["tfidf"] == 0.0
+
+
+def test_winnow_shared_run_guarantee(docs):
+    """Docs 2 and 3 share the 8-word run 'quick brown fox jumps over the
+    lazy dog' >= window + n - 1 = 6 words → MUST share a fingerprint
+    (the winnowing locality guarantee), and the overlap query surfaces
+    the pair."""
+    fp = tm.winnow_fingerprints(docs, "text", "doc_id", n=3, window=4)
+    by_doc = {}
+    for r in fp.collect():
+        by_doc.setdefault(r["id"], set()).add(r["fingerprint"])
+    assert by_doc[2] & by_doc[3]
+    # unrelated docs share nothing
+    assert not (by_doc[1] & by_doc[4])
+
+    pairs = {
+        (r["id_a"], r["id_b"]): r["n_shared"]
+        for r in tm.winnow_overlap_pairs(
+            docs, "text", "doc_id", n=3, window=4, min_shared=1
+        ).collect()
+    }
+    assert (2, 3) in pairs
+
+
+def test_winnow_short_docs_empty(spark):
+    d = spark.createDataFrame([(1, "just five words is not"), (2, "tiny")], "doc_id long, text string")
+    # doc 2 has < n words; doc 1 has 5 words → 3 shingles < window=4 →
+    # no full window → no fingerprints for either
+    out = tm.winnow_fingerprints(d, "text", "doc_id", n=3, window=4).collect()
+    assert out == []
+
+
+def test_kmeans_profile_partitions_corpus(spark):
+    from tableone_pyspark_spark.operators.ml_lsh import kmeans_profile
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    total = e.count()
+    rows = kmeans_profile(e, n_centroids=8).collect()
+    assert sum(r["n"] for r in rows) == total
+    assert len(rows) <= 8
+    assert all(r["mean_dist2"] >= 0 for r in rows)
