@@ -824,6 +824,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["stream_sessions_builtin"] = stream_sessions_builtin
 
+    def stream_join(spark, sf_dir):
+        """Real stream-stream interval join: clicks attributed to
+        purchases of the same user within the preceding hour."""
+        from pyspark.sql import types as T
+
+        from tableone_pyspark_spark.streaming.stream_stats import (
+            streaming_interval_join,
+        )
+
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        raw_schema = T.StructType(
+            [
+                T.StructField("event_id", T.LongType()),
+                T.StructField("ts", T.LongType()),
+                T.StructField("user_id", T.LongType()),
+                T.StructField("event_type", T.StringType()),
+                T.StructField("value", T.DoubleType()),
+                T.StructField("props", T.StringType()),
+            ]
+        )
+
+        def source(etype):
+            return (
+                spark.readStream.schema(raw_schema)
+                .format("parquet")
+                .option("pathGlobFilter", "events.parquet")
+                .load(sf_dir)
+                .where(F.col("event_type") == etype)
+                .select(
+                    "event_id",
+                    "user_id",
+                    F.expr("timestamp_micros(ts div 1000)").alias("ts"),
+                )
+            )
+
+        out = streaming_interval_join(
+            source("click"), source("purchase"), within_minutes=60
+        )
+        qry = (
+            out.writeStream.format("memory")
+            .queryName("stream_join_sink")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        qry.awaitTermination()
+        return spark.table("stream_join_sink")
+
+    q["stream_join"] = stream_join
+
     def text_fingerprints(spark, sf_dir):
         d = _load(spark, sf_dir, "documents")
         return d.select("doc_id", tx.rolling_fingerprint(F.col("text")).alias("fp"))
@@ -1727,6 +1777,21 @@ def oracle_sql() -> dict[str, str]:
     # (same gap rule, same watermark-passes-end emission) — pinned by
     # tests/test_events_streaming.py; same oracle by construction
     o["stream_sessions_builtin"] = o["stream_sessions"]
+
+    # stream-stream interval join == the plain batch interval join at
+    # µs granularity (the Spark side truncates ns→µs on ingest; the
+    # availableNow backfill is one batch, so no watermark eviction
+    # before the join sees both sides)
+    o["stream_join"] = (
+        "WITH c AS (SELECT event_id, user_id, epoch_ns(ts) // 1000 AS ts_us "
+        "FROM events WHERE event_type = 'click'), "
+        "p AS (SELECT event_id, user_id, epoch_ns(ts) // 1000 AS ts_us "
+        "FROM events WHERE event_type = 'purchase') "
+        "SELECT c.user_id, c.event_id AS left_id, p.event_id AS right_id, "
+        "p.ts_us - c.ts_us AS gap_us "
+        "FROM c JOIN p ON c.user_id = p.user_id "
+        "AND c.ts_us <= p.ts_us AND c.ts_us > p.ts_us - 3600000000"
+    )
 
     # rolling-hash fingerprint: same Horner fold, SQL-side
     o["text_fingerprints"] = (

@@ -196,6 +196,57 @@ def session_window_stats(
     )
 
 
+def streaming_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    within_minutes: int = 60,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked stream-stream INNER join: each right-side event
+    matched to same-user left-side events in the window
+    (right.ts − within, right.ts].
+
+    The canonical attribution shape (click → purchase). Spark requires
+    watermarks on BOTH sides plus a time-range join condition so the
+    state store can evict rows older than the horizon — state is
+    bounded by (watermark + within) of per-user history, independent of
+    stream length; the join itself is a shuffled equi-join on user with
+    the range predicate applied inside each key group. Works
+    identically on batch inputs (same plan minus state).
+    Returns (user_id, left_id, right_id, gap_us).
+    """
+    l = left.select(
+        F.col(user_col).alias("l_user"),
+        F.col("event_id").alias("left_id"),
+        F.col(ts_col).alias("left_ts"),
+    )
+    r = right.select(
+        F.col(user_col).alias("r_user"),
+        F.col("event_id").alias("right_id"),
+        F.col(ts_col).alias("right_ts"),
+    )
+    if left.isStreaming:
+        l = l.withWatermark("left_ts", watermark)
+    if right.isStreaming:
+        r = r.withWatermark("right_ts", watermark)
+    cond = (
+        (F.col("l_user") == F.col("r_user"))
+        & (F.col("left_ts") <= F.col("right_ts"))
+        & (
+            F.col("left_ts")
+            > F.col("right_ts") - F.expr(f"INTERVAL {within_minutes} MINUTES")
+        )
+    )
+    return l.join(r, cond, "inner").select(
+        F.col("l_user").alias("user_id"),
+        "left_id",
+        "right_id",
+        (F.unix_micros("right_ts") - F.unix_micros("left_ts")).alias("gap_us"),
+    )
+
+
 def run_stream_over_parquet(
     spark,
     parquet_path: str,

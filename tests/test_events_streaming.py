@@ -242,3 +242,58 @@ def test_session_window_builtin_matches_custom_sessionize(spark):
     )
     allsess = set(map(tuple, session_window_stats(ev, gap_minutes=30).collect()))
     assert builtin.issubset(allsess) and len(allsess) > len(builtin)
+
+
+def test_stream_interval_join_matches_batch(spark):
+    """The watermarked stream-stream interval join must emit exactly the
+    batch interval-join pairs when the backfill fits one batch."""
+    import pyspark.sql.types as T
+
+    from tableone_pyspark_spark.streaming.stream_stats import streaming_interval_join
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+
+    def stream_source(etype):
+        return (
+            spark.readStream.schema(raw_schema)
+            .format("parquet")
+            .option("pathGlobFilter", "events.parquet")
+            .load(SF)
+            .where(F.col("event_type") == etype)
+            .select("event_id", "user_id", F.expr("timestamp_micros(ts div 1000)").alias("ts"))
+        )
+
+    out = streaming_interval_join(stream_source("click"), stream_source("purchase"))
+    assert out.isStreaming
+    qry = (
+        out.writeStream.format("memory")
+        .queryName("t_stream_join")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    qry.awaitTermination()
+    streamed = set(map(tuple, spark.table("t_stream_join").collect()))
+
+    def batch_source(etype):
+        return (
+            spark.read.parquet(f"{SF}/events.parquet")
+            .where(F.col("event_type") == etype)
+            .select("event_id", "user_id", F.expr("timestamp_micros(ts div 1000)").alias("ts"))
+        )
+
+    batch = set(
+        map(tuple, streaming_interval_join(batch_source("click"), batch_source("purchase")).collect())
+    )
+    assert len(batch) > 0
+    assert streamed == batch
