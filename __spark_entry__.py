@@ -590,6 +590,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ivf_recall"] = ivf_recall
 
+    def skew_profile(spark, sf_dir):
+        ev = _load(spark, sf_dir, "events")
+        return ops.key_skew_profile(ev, "user_id", top=10)
+
+    q["skew_profile"] = skew_profile
+
+    def quantize_profile(spark, sf_dir):
+        from tableone_pyspark_spark.operators.similarity import quantize_int8_profile
+
+        e = _load(spark, sf_dir, "embeddings")
+        return quantize_int8_profile(e)
+
+    q["quantize_profile"] = quantize_profile
+
     def tfidf_terms(spark, sf_dir):
         from tableone_pyspark_spark.operators.terms import tfidf_top_terms
 
@@ -1500,6 +1514,26 @@ def oracle_sql() -> dict[str, str]:
         )
 
     o["minhash_pairs"] = _minhash_sql()
+
+    o["skew_profile"] = (
+        "WITH c AS (SELECT CAST(user_id AS VARCHAR) AS key, count(*) AS n "
+        "FROM events GROUP BY 1), "
+        "t AS (SELECT count(*) AS total FROM events), "
+        "r AS (SELECT key, n, row_number() OVER (ORDER BY n DESC, key) AS rank FROM c) "
+        "SELECT CAST(rank AS INT) AS rank, key, n, "
+        "ROUND(CAST(n AS DOUBLE) / total, 6) AS share FROM r, t WHERE rank <= 10"
+    )
+
+    _QV = "CAST(embedding AS DOUBLE[])"
+    _QSCALE = f"list_max(list_transform({_QV}, x -> abs(x))) / 127.0"
+    _QDIV = f"(CASE WHEN ({_QSCALE}) > 0 THEN ({_QSCALE}) ELSE 1.0 END)"
+    o["quantize_profile"] = (
+        f"SELECT vec_id AS id, ROUND({_QSCALE}, 6) AS scale, "
+        f"ROUND(list_max(list_transform({_QV}, "
+        f"x -> abs(floor(x / {_QDIV} + 0.5) * ({_QSCALE}) - x))), 6) AS max_abs_err, "
+        f"CAST(list_sum(list_transform({_QV}, x -> floor(x / {_QDIV} + 0.5))) AS BIGINT) AS sum_q "
+        "FROM embeddings"
+    )
 
     # ---- term-level text ops -------------------------------------------
     _TERMS = (

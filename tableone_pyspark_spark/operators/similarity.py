@@ -329,6 +329,45 @@ def label_centroids(
     )
 
 
+def quantize_int8_profile(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-vector symmetric int8 quantization profile: scale =
+    max|xᵢ|/127, qᵢ = floor(xᵢ/scale + 0.5) (round-half-up — identical
+    rule in every engine), reporting reconstruction error and the
+    quantized checksum WITHOUT materializing the int8 payload.
+
+    The 4×-compression dry-run an embedding pipeline evaluates before
+    re-encoding 100 TB of vectors: pure per-row Catalyst array math
+    (no shuffle at all — the plan is scan → project), so it composes
+    with any downstream write. Returns
+    (id, scale, max_abs_err, sum_q) — sum_q pins the exact quantized
+    values in aggregate, max_abs_err the fidelity.
+    """
+    v = F.col(vec_col)
+    scale = F.array_max(F.transform(v, lambda x: F.abs(x.cast("double")))) / F.lit(
+        127.0
+    )
+    # all-zero vectors: divide by 1 instead of 0 (q = zeros, err = 0,
+    # reported scale stays 0)
+    div = F.when(scale > 0, scale).otherwise(F.lit(1.0))
+    q = F.transform(v, lambda x: F.floor(x.cast("double") / div + F.lit(0.5)))
+    err = F.array_max(
+        F.zip_with(
+            q, v, lambda qi, xi: F.abs(qi.cast("double") * scale - xi.cast("double"))
+        )
+    )
+    sum_q = F.aggregate(q, F.lit(0).cast("long"), lambda acc, x: acc + x)
+    return vectors.select(
+        F.col(id_col).alias("id"),
+        F.round(scale, 6).alias("scale"),
+        F.round(err, 6).alias("max_abs_err"),
+        sum_q.alias("sum_q"),
+    )
+
+
 def cosine_neardup_pairs(
     vectors: DataFrame,
     threshold: float = 0.95,

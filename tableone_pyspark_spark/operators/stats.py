@@ -209,6 +209,37 @@ def chi2_statistic(
     )
 
 
+def key_skew_profile(df: DataFrame, key_col: str, top: int = 10) -> DataFrame:
+    """Top-N hottest keys with their share of all rows — the diagnostic
+    run BEFORE committing a groupBy/join to a key at scale (a max share
+    near 1/parallelism or above means the shuffle will straggle and
+    `plans/skew.salted_agg` or AQE skew handling is warranted).
+
+    One partial-aggregated groupBy + a single ranking window over the
+    (already tiny) per-key counts; the total joins in as a broadcast
+    scalar. Returns (rank, key, n, share).
+    """
+    counts = df.groupBy(F.col(key_col).cast("string").alias("key")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    total = df.agg(F.count(F.lit(1)).alias("total"))
+    # orderBy+limit plans as TakeOrderedAndProject — a distributed
+    # top-k, NOT a single-partition global sort; the ranking window
+    # then runs over <= `top` rows
+    top_keys = counts.orderBy(F.desc("n"), F.asc("key")).limit(top)
+    w = Window.orderBy(F.desc("n"), F.asc("key"))
+    return (
+        top_keys.withColumn("rank", F.row_number().over(w))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "rank",
+            "key",
+            "n",
+            F.round(F.col("n") / F.col("total"), 6).alias("share"),
+        )
+    )
+
+
 def data_profile(
     df: DataFrame, cols: list[str] | None = None, approx_distinct: bool = False
 ) -> DataFrame:

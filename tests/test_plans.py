@@ -107,3 +107,19 @@ def test_profile_approx_distinct_drops_expand(lineitem):
         assert ap[c]["n_rows"] == ex[c]["n_rows"]
         assert ap[c]["n_nulls"] == ex[c]["n_nulls"]
         assert ap[c]["mean_value"] == ex[c]["mean_value"]
+
+
+def test_skew_profile_distributed_topk(spark):
+    """The hot-key ranking must plan as TakeOrderedAndProject (distributed
+    top-k), never a global single-partition sort of all keys."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    df = ops.key_skew_profile(ev, "user_id", top=5)
+    plan = inspect.executed_plan(df)
+    assert "TakeOrderedAndProject" in plan
+    rows = df.collect()
+    assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+    assert all(0 < r["share"] < 1 for r in rows)
+    # descending by count
+    ns = [r["n"] for r in rows]
+    assert ns == sorted(ns, reverse=True)

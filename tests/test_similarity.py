@@ -144,3 +144,26 @@ def test_neardup_lsh_subset_with_exact_scores(spark):
     # regime (true near-dups at cos>=0.9 collide with prob ~1); the
     # planes are deterministic constants so the number is pinnable
     assert len(lsh) / len(brute) >= 0.65
+
+
+def test_quantize_int8_profile(spark):
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    rows = sim.quantize_int8_profile(e).collect()
+    assert len(rows) == e.count()
+    for r in rows:
+        # round-half-up reconstruction error is bounded by scale/2
+        # (both sides independently ROUND(6)-ed → allow 1e-6 slack)
+        assert r["max_abs_err"] <= r["scale"] / 2 + 1e-6
+
+    # zero vector: scale 0, no error, q = zeros
+    z = spark.createDataFrame([(1, [0.0] * 4)], "vec_id long, embedding array<double>")
+    r = sim.quantize_int8_profile(z).collect()[0]
+    assert (r["scale"], r["max_abs_err"], r["sum_q"]) == (0.0, 0.0, 0)
+
+
+def test_quantize_profile_no_shuffle(spark):
+    from tableone_pyspark_spark.plans.inspect import plan_facts
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    f = plan_facts(sim.quantize_int8_profile(e))
+    assert f.n_exchanges == 0  # scan -> project, nothing else
