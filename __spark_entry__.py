@@ -493,6 +493,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ngram_jaccard"] = ngram_jaccard
 
+    def dedup_clusters(spark, sf_dir):
+        # connected components over the exact-Jaccard near-dup graph:
+        # every doc gets its component-min cluster id (singletons map
+        # to themselves) — the canonical keep-one-per-cluster key
+        d = _load(spark, sf_dir, "documents")
+        pairs = dd.ngram_jaccard_pairs(d, "text", "doc_id", n=3, threshold=0.5)
+        return dd.dedup_cluster_assign(d, "doc_id", pairs)
+
+    q["dedup_clusters"] = dedup_clusters
+
+    def dedup_cluster_stats(spark, sf_dir):
+        d = _load(spark, sf_dir, "documents")
+        pairs = dd.ngram_jaccard_pairs(d, "text", "doc_id", n=3, threshold=0.5)
+        assign = dd.dedup_cluster_assign(d, "doc_id", pairs)
+        return (
+            assign.groupBy("cluster_id")
+            .agg(F.count(F.lit(1)).alias("n_docs"))
+            .where(F.col("n_docs") >= 2)
+        )
+
+    q["dedup_cluster_stats"] = dedup_cluster_stats
+
     # MinHash+LSH and SimHash run in hash_fn="poly" here — the
     # cross-engine arithmetic mode whose signatures/candidates/pairs a
     # SQL oracle reproduces EXACTLY (xxhash64 stays the perf default;
@@ -1430,6 +1452,28 @@ def oracle_sql() -> dict[str, str]:
         "ROUND(CAST(i_ct AS DOUBLE) / (sa.sz + sb.sz - i_ct), 6) AS jaccard "
         "FROM inter JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b "
         "WHERE CAST(i_ct AS DOUBLE) / (sa.sz + sb.sz - i_ct) >= 0.5"
+    )
+
+    # connected components = min reachable vertex id, via a recursive
+    # CTE over the symmetrized near-dup edge list (same Jaccard >= 0.5
+    # graph as ngram_jaccard); singletons fall back to their own id
+    CLUSTERS = (
+        SHINGLES.replace("WITH ", "WITH RECURSIVE ", 1)
+        + ", p AS (SELECT id_a, id_b FROM inter "
+        "JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b "
+        "WHERE CAST(i_ct AS DOUBLE) / (sa.sz + sb.sz - i_ct) >= 0.5), "
+        "e AS (SELECT id_a AS a, id_b AS b FROM p "
+        "UNION SELECT id_b, id_a FROM p), "
+        "walk(id, lbl) AS (SELECT a, a FROM e "
+        "UNION SELECT e.a, walk.lbl FROM e JOIN walk ON walk.id = e.b), "
+        "comp AS (SELECT id, min(lbl) AS cluster_id FROM walk GROUP BY 1), "
+        "assign AS (SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id "
+        "FROM documents d LEFT JOIN comp c ON c.id = d.doc_id)"
+    )
+    o["dedup_clusters"] = CLUSTERS + " SELECT doc_id, cluster_id FROM assign"
+    o["dedup_cluster_stats"] = (
+        CLUSTERS + " SELECT cluster_id, count(*) AS n_docs FROM assign "
+        "GROUP BY 1 HAVING count(*) >= 2"
     )
 
     # ---- MinHash / SimHash in hash_fn="poly" mode: the identical

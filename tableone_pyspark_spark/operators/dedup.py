@@ -409,3 +409,86 @@ def simhash_neardup_pairs(
         .where(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 30,
+) -> DataFrame:
+    """Connected components of an undirected near-dup pair graph.
+
+    Returns ``(id, cluster_id)`` for every vertex appearing in at least
+    one pair, where ``cluster_id`` is the component's minimum vertex id
+    — the canonical representative every large-scale dedup pipeline
+    keys its "keep one per cluster" step on.
+
+    Min-label propagation: each round joins the current labels onto the
+    symmetrized edge list and takes the minimum neighbor label per
+    vertex — exactly one shuffle keyed by vertex id per round, with
+    map-side partial ``min`` combine, so a round's cost is one pass
+    over the edges regardless of cluster count.  Convergence takes
+    O(graph diameter) rounds; LSH/banding near-dup graphs are unions of
+    near-cliques (diameter 2–4), so 3–5 rounds in practice.
+    ``localCheckpoint`` truncates lineage each round so the physical
+    plan stays flat instead of growing per iteration, and convergence
+    is detected from a single scalar: labels only ever decrease, so an
+    unchanged ``sum(lbl)`` is a fixpoint — one cheap agg per round, no
+    driver-side label materialization.
+    """
+    e = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    e = (
+        e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        e.groupBy("a")
+        .agg(F.min("b").alias("mn"))
+        .select(F.col("a").alias("id"), F.least("a", "mn").alias("lbl"))
+        .localCheckpoint()
+    )
+    prev_sum = labels.agg(F.sum("lbl")).collect()[0][0]
+    for _ in range(max_iter):
+        nbr = (
+            e.join(labels.select(F.col("id").alias("b"), "lbl"), "b")
+            .groupBy("a")
+            .agg(F.min("lbl").alias("nlbl"))
+            .select(F.col("a").alias("id"), "nlbl")
+        )
+        labels = (
+            labels.join(nbr, "id", "left")
+            .select(
+                "id", F.least("lbl", F.coalesce("nlbl", "lbl")).alias("lbl")
+            )
+            .localCheckpoint()
+        )
+        cur_sum = labels.agg(F.sum("lbl")).collect()[0][0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels.select("id", F.col("lbl").alias("cluster_id"))
+
+
+def dedup_cluster_assign(
+    df: DataFrame, id_col: str, pairs: DataFrame, src: str = "id_a", dst: str = "id_b"
+) -> DataFrame:
+    """Cluster assignment for EVERY document: near-dup components get
+    their component-min id, singletons map to themselves.  The
+    component labels are tiny relative to the corpus (only docs in >=1
+    pair), so the attach join broadcasts at any realistic dup rate.
+    Returns ``(<id_col>, cluster_id)``.
+    """
+    cc = connected_components(pairs, src, dst)
+    return (
+        df.select(id_col)
+        .join(
+            F.broadcast(cc.select(F.col("id").alias(id_col), "cluster_id")),
+            id_col,
+            "left",
+        )
+        .select(
+            id_col, F.coalesce("cluster_id", F.col(id_col)).alias("cluster_id")
+        )
+    )

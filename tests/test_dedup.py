@@ -162,3 +162,28 @@ def test_simhash_neardup_max_hamming_zero(docs):
         for r in dd.simhash_neardup_pairs(docs, "text", "doc_id", max_hamming=0).collect()
     )
     assert out == [(1, 3, 0)]
+
+
+def test_connected_components_chain_and_islands(spark):
+    # chain 1-2-3-4-5 (worst-case diameter) + island {10,11} + isolated
+    # vertices never appear (they come from the assign step)
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4), (4, 5), (10, 11)], "id_a long, id_b long"
+    )
+    got = {r["id"]: r["cluster_id"] for r in dd.connected_components(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10}
+
+
+def test_dedup_cluster_assign_singletons(docs):
+    pairs = dd.ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.5)
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dd.dedup_cluster_assign(docs, "doc_id", pairs).collect()
+    }
+    # 1, 2, 3 are one near-dup cluster keyed by min id; 4 and 5 are singletons
+    assert got == {1: 1, 2: 1, 3: 1, 4: 4, 5: 5}
+
+
+def test_connected_components_empty_edges(spark):
+    edges = spark.createDataFrame([], "id_a long, id_b long")
+    assert dd.connected_components(edges).count() == 0
