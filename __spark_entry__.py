@@ -467,6 +467,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["lang_confusion"] = lang_confusion
 
+    def repetition_stats(spark, sf_dir):
+        # Gopher-style repetition profile: pure projection (sort+fold
+        # per row for the bigram mode), no aggregation stage at all
+        d = _load(spark, sf_dir, "documents")
+        cols = tx.repetition_cols(F.col("text"))
+        return d.select(
+            "doc_id",
+            cols["n_words"].cast("long").alias("n_words"),
+            F.round(cols["dup_word_frac"], 6).alias("dup_word_frac"),
+            F.round(cols["top_bigram_frac"], 6).alias("top_bigram_frac"),
+            F.round(cols["dup_trigram_frac"], 6).alias("dup_trigram_frac"),
+        )
+
+    q["repetition_stats"] = repetition_stats
+
     # ---- dedup (operators/dedup.py) -------------------------------------
     def exact_dedup_stats(spark, sf_dir):
         d = _load(spark, sf_dir, "documents")
@@ -1471,6 +1486,33 @@ def oracle_sql() -> dict[str, str]:
         "FROM documents d LEFT JOIN comp c ON c.id = d.doc_id)"
     )
     o["dedup_clusters"] = CLUSTERS + " SELECT doc_id, cluster_id FROM assign"
+
+    # Gopher-style repetition signals: the oracle recomputes the
+    # per-occurrence gram multisets with unnest + group-by (the Spark
+    # side is a row-local sort+fold — same semantics, different shape)
+    o["repetition_stats"] = (
+        f"WITH w AS (SELECT doc_id, string_split({NORM}, ' ') AS ws FROM documents), "
+        "g2 AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] AS g FROM w, "
+        "unnest(generate_series(1, greatest(length(ws) - 1, 0))) t(i)), "
+        "g2a AS (SELECT doc_id, count(*) AS total, count(DISTINCT g) AS dist, "
+        "max(c) AS mx FROM (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY 1, 2) "
+        "GROUP BY 1), "
+        "g3 AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS g FROM w, "
+        "unnest(generate_series(1, greatest(length(ws) - 2, 0))) t(i)), "
+        "g3a AS (SELECT doc_id, count(*) AS total, count(DISTINCT g) AS dist "
+        "FROM g3 GROUP BY 1), "
+        "base AS (SELECT doc_id, length(ws) AS n_words, "
+        "length(list_distinct(ws)) AS d_words FROM w) "
+        "SELECT b.doc_id, b.n_words, "
+        "ROUND(CASE WHEN b.n_words > 0 THEN "
+        "CAST(b.n_words - b.d_words AS DOUBLE) / b.n_words END, 6) AS dup_word_frac, "
+        "ROUND(CASE WHEN g2a.total > 0 THEN "
+        "CAST(g2a.mx AS DOUBLE) / g2a.total END, 6) AS top_bigram_frac, "
+        "ROUND(CASE WHEN g3a.total > 0 THEN "
+        "CAST(g3a.total - g3a.dist AS DOUBLE) / g3a.total END, 6) AS dup_trigram_frac "
+        "FROM base b LEFT JOIN g2a ON g2a.doc_id = b.doc_id "
+        "LEFT JOIN g3a ON g3a.doc_id = b.doc_id"
+    )
     o["dedup_cluster_stats"] = (
         CLUSTERS + " SELECT cluster_id, count(*) AS n_docs FROM assign "
         "GROUP BY 1 HAVING count(*) >= 2"

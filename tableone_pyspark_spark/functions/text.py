@@ -147,3 +147,79 @@ def rolling_fingerprint(c: Column, base: int = 31, mod: int = (1 << 31) - 1) -> 
     xxhash64); the rolling structure extends to windowed substring
     hashing."""
     return poly_hash(normalize_text(c), base, mod)
+
+
+def word_grams(words: Column, n: int) -> Column:
+    """Per-OCCURRENCE word n-grams of a word-array column (unlike the
+    dedup shingles, duplicates are kept — repetition analysis needs the
+    multiset). Short arrays (< n words) yield an empty array; the
+    sequence end is clamped so nothing descends or reads past the array
+    under ANSI mode."""
+    k = F.size(words) - (n - 1)
+    return F.when(
+        k >= 1,
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(k, F.lit(1)) - 1),
+            lambda i: F.concat_ws(
+                " ",
+                *[F.try_element_at(words, (i + j + 1).cast("int")) for j in range(n)],
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def max_run_count(arr: Column) -> Column:
+    """Highest frequency of any single element in an array column:
+    ``array_sort`` then one fold counting the longest equal run —
+    O(n log n) per ROW, entirely inside whole-stage codegen, zero
+    shuffle. This is the scale-safe alternative to explode + groupBy
+    for per-document mode statistics."""
+
+    def step(acc, x):
+        run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            F.greatest(acc["best"], run).alias("best"),
+        )
+
+    return F.aggregate(
+        F.array_sort(arr),
+        F.struct(
+            F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+        ),
+        step,
+        lambda acc: acc["best"],
+    )
+
+
+def repetition_cols(c: Column) -> dict[str, Column]:
+    """Gopher-style repetition signals for LLM-corpus curation, all
+    row-local (the whole profile is a projection — at 100 TB it
+    parallelizes perfectly with no aggregation stage):
+
+      * ``n_words``          — whitespace token count
+      * ``dup_word_frac``    — 1 − distinct/total words: bulk word reuse
+      * ``top_bigram_frac``  — occurrences of the most frequent word
+                               bigram over all bigram occurrences
+      * ``dup_trigram_frac`` — fraction of trigram occurrences that are
+                               repeats of an earlier trigram
+
+    High values flag boilerplate / keyword-stuffed / looping documents
+    (Rae et al. 2021 "Scaling Language Models" repetition filters).
+    """
+    words = F.split(normalize_text(c), " ")
+    g2 = word_grams(words, 2)
+    g3 = word_grams(words, 3)
+    n_words = F.size(words)
+    frac = lambda num, den: F.when(den > 0, num / den)  # noqa: E731
+    return {
+        "n_words": n_words,
+        "dup_word_frac": frac(
+            (n_words - F.size(F.array_distinct(words))).cast("double"), n_words
+        ),
+        "top_bigram_frac": frac(max_run_count(g2).cast("double"), F.size(g2)),
+        "dup_trigram_frac": frac(
+            (F.size(g3) - F.size(F.array_distinct(g3))).cast("double"), F.size(g3)
+        ),
+    }
