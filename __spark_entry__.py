@@ -473,16 +473,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["lang_confusion"] = lang_confusion
 
     def repetition_stats(spark, sf_dir):
-        # Gopher-style repetition profile: pure projection (sort+fold
-        # per row for the bigram mode), no aggregation stage at all
+        # Gopher-style repetition profile: pure projection (Arrow-batched
+        # Counter kernel; the Catalyst sort+fold twin is parity-pinned in
+        # tests/test_text.py), no aggregation stage at all
         d = _load(spark, sf_dir, "documents")
-        cols = tx.repetition_cols(F.col("text"))
-        return d.select(
+        out = tx.repetition_profile(d, "doc_id", "text")
+        return out.select(
             "doc_id",
-            cols["n_words"].cast("long").alias("n_words"),
-            F.round(cols["dup_word_frac"], 6).alias("dup_word_frac"),
-            F.round(cols["top_bigram_frac"], 6).alias("top_bigram_frac"),
-            F.round(cols["dup_trigram_frac"], 6).alias("dup_trigram_frac"),
+            F.col("n_words").cast("long").alias("n_words"),
+            F.round("dup_word_frac", 6).alias("dup_word_frac"),
+            F.round("top_bigram_frac", 6).alias("top_bigram_frac"),
+            F.round("dup_trigram_frac", 6).alias("dup_trigram_frac"),
         )
 
     q["repetition_stats"] = repetition_stats

@@ -193,6 +193,78 @@ def max_run_count(arr: Column) -> Column:
     )
 
 
+def repetition_profile(df, id_col: str, text_col: str, arrow: bool = True):
+    """Gopher-style repetition profile as a DataFrame:
+    ``(id_col, n_words, dup_word_frac, top_bigram_frac, dup_trigram_frac)``.
+
+    Same signals as :func:`repetition_cols`, but the per-document gram
+    counting defaults to one Arrow-batched pandas UDF (per-row
+    ``collections.Counter``) instead of Catalyst higher-order-function
+    folds — Spark evaluates HOF lambdas *interpreted, per element*, which
+    made the fold path the suite's hot spot (71 s at sf0.1 vs <4 s
+    vectorized; same pattern as ``word_shingles``'s Arrow default).
+    Normalization + word split stay Catalyst so both paths tokenize
+    identically; outputs are parity-pinned by test. Still a pure
+    projection — row-local, zero shuffle, scales linearly at 100 TB.
+    ``arrow=False`` keeps the pure-Catalyst twin.
+    """
+    from tableone_pyspark_spark.plans.layout import rebalance
+
+    if not arrow:
+        cols = repetition_cols(F.col(text_col))
+        return df.select(
+            id_col,
+            cols["n_words"].cast("int").alias("n_words"),
+            cols["dup_word_frac"].alias("dup_word_frac"),
+            cols["top_bigram_frac"].alias("top_bigram_frac"),
+            cols["dup_trigram_frac"].alias("dup_trigram_frac"),
+        )
+
+    import pandas as pd
+
+    def _prof(word_arrays):
+        from collections import Counter
+
+        rows = []
+        for ws in word_arrays:
+            if ws is None:
+                rows.append((None, None, None, None))
+                continue
+            ws = list(ws)
+            n = len(ws)
+            dup_w = float(n - len(set(ws))) / n if n > 0 else None
+            n2 = n - 1
+            if n2 > 0:
+                c2 = Counter(zip(ws, ws[1:]))
+                top2 = float(max(c2.values())) / n2
+            else:
+                top2 = None
+            n3 = n - 2
+            if n3 > 0:
+                dup3 = float(n3 - len(set(zip(ws, ws[1:], ws[2:])))) / n3
+            else:
+                dup3 = None
+            rows.append((n, dup_w, top2, dup3))
+        return pd.DataFrame(
+            rows,
+            columns=[
+                "n_words", "dup_word_frac", "top_bigram_frac", "dup_trigram_frac"
+            ],
+        )
+
+    words = F.split(normalize_text(F.col(text_col)), " ")
+    prof = F.pandas_udf(
+        _prof,
+        "struct<n_words:int,dup_word_frac:double,"
+        "top_bigram_frac:double,dup_trigram_frac:double>",
+    )(words)
+    return (
+        rebalance(df.select(id_col, text_col))
+        .select(F.col(id_col), prof.alias("_p"))
+        .select(id_col, "_p.*")
+    )
+
+
 def repetition_cols(c: Column) -> dict[str, Column]:
     """Gopher-style repetition signals for LLM-corpus curation, all
     row-local (the whole profile is a projection — at 100 TB it

@@ -83,3 +83,41 @@ def test_rolling_fingerprint(spark):
     assert fps[0] == ((97 * 31 + 98) * 31 + 99) % ((1 << 31) - 1)
     assert fps[0] != fps[1]            # single-char change flips the hash
     assert fps[2] == fps[0]            # normalization: case + whitespace
+
+
+def test_repetition_profile_arrow_catalyst_parity(spark):
+    # adversarial cases: repeated words, looped bigrams, short docs
+    # (0/1/2 words), empty text, whitespace runs, mixed case
+    docs = [
+        (1, "the cat sat on the mat the cat sat again"),
+        (2, "buy now buy now buy now buy now"),
+        (3, "one"),
+        (4, "two words"),
+        (5, ""),
+        (6, "  A  a\ta \n A  "),
+        (7, "x y z " * 50),
+        (8, "unique tokens only here nothing repeats ever"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    cols = ["n_words", "dup_word_frac", "top_bigram_frac", "dup_trigram_frac"]
+    fast = {
+        r["doc_id"]: r
+        for r in tx.repetition_profile(df, "doc_id", "text", arrow=True).collect()
+    }
+    slow = {
+        r["doc_id"]: r
+        for r in tx.repetition_profile(df, "doc_id", "text", arrow=False).collect()
+    }
+    assert fast.keys() == slow.keys()
+    for k in fast:
+        for c in cols:
+            a, b = fast[k][c], slow[k][c]
+            assert (a is None and b is None) or approx(a, b), (k, c, a, b)
+    # spot-check semantics: doc 2 = "buy now"×4 → 8 words, top bigram
+    # "buy now" occurs 4 of 7 bigram slots
+    assert fast[2]["n_words"] == 8
+    assert approx(fast[2]["top_bigram_frac"], 4 / 7)
+    assert approx(fast[2]["dup_word_frac"], 6 / 8)
+    # doc 5: normalize("")→"" splits to [""] → 1 word, no bigrams
+    assert fast[5]["n_words"] == 1
+    assert fast[5]["top_bigram_frac"] is None
