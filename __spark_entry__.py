@@ -1790,8 +1790,11 @@ def oracle_sql() -> dict[str, str]:
             [
                 np.asarray(r[0], dtype=np.float64)
                 for r in con.sql(
+                    # ORDER BY vec_id = the engine's order-independent
+                    # training sample (bare LIMIT depends on file order)
                     f"SELECT CAST(embedding AS DOUBLE[]) "
-                    f"FROM read_parquet('{sf_dir}/embeddings.parquet') LIMIT 16384"
+                    f"FROM read_parquet('{sf_dir}/embeddings.parquet') "
+                    f"ORDER BY vec_id LIMIT 16384"
                 ).fetchall()
             ]
         )

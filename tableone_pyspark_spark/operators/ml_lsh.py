@@ -65,6 +65,57 @@ def ml_minhash_pairs(
     )
 
 
+#: session-level IVF index memo — an IVF index is built ONCE per corpus
+#: and queried many times (the FAISS usage model); repeated entry-point
+#: queries over the same corpus (topk + recall gate) must not retrain
+#: the quantizer or re-assign the corpus. Keyed by the corpus plan's
+#: semantic hash + parameters; values are (C, c_norm2) for quantizers
+#: and cached DataFrames for assigned corpora.
+_IVF_QUANTIZERS: dict = {}
+_IVF_ASSIGNED: dict = {}
+
+
+def _memo_key(df: DataFrame, *params):
+    """Cache key for a per-corpus artifact: Catalyst's semantic hash of
+    the (analyzed) corpus plan + the training parameters. Falls back to
+    None (no caching) where semanticHash is unavailable (e.g. Connect)."""
+    try:
+        return (df.semanticHash(), *params)
+    except Exception:
+        return None
+
+
+def _train_quantizer(
+    vectors: DataFrame, vec_col: str, n_centroids: int, train_limit: int, id_col: str
+):
+    """Seeded KMeans centroids from a bounded, ORDER-INDEPENDENT driver
+    sample: the ``train_limit`` lowest ``id_col`` rows. (A bare
+    ``limit(n)`` depends on file/partition order — fine for one file,
+    silently different for multi-file inputs, which would break the
+    exact-replay oracle.) Memoized per corpus plan."""
+    import numpy as np
+
+    key = _memo_key(vectors, vec_col, n_centroids, train_limit, id_col)
+    if key is not None and key in _IVF_QUANTIZERS:
+        return _IVF_QUANTIZERS[key]
+    train = np.array(
+        [
+            np.asarray(r[0], dtype=np.float64)
+            for r in vectors.select(
+                F.col(vec_col).cast("array<double>"), F.col(id_col)
+            )
+            .orderBy(id_col)
+            .limit(train_limit)
+            .collect()
+        ]
+    )
+    C = _kmeans_numpy(train, n_centroids)
+    out = (C, (C * C).sum(axis=1))
+    if key is not None:
+        _IVF_QUANTIZERS[key] = out
+    return out
+
+
 def _kmeans_numpy(X, k: int, iters: int = 12, seed: int = 42):
     """Lloyd's KMeans on a driver-side sample (numpy, deterministic).
 
@@ -114,16 +165,7 @@ def kmeans_profile(
 
     from tableone_pyspark_spark.plans.layout import rebalance
 
-    train = np.array(
-        [
-            np.asarray(r[0], dtype=np.float64)
-            for r in vectors.select(F.col(vec_col).cast("array<double>"))
-            .limit(train_limit)
-            .collect()
-        ]
-    )
-    C = _kmeans_numpy(train, n_centroids)
-    c_norm2 = (C * C).sum(axis=1)
+    C, c_norm2 = _train_quantizer(vectors, vec_col, n_centroids, train_limit, id_col)
 
     from tableone_pyspark_spark.operators.similarity import _seq_dot
 
@@ -188,16 +230,7 @@ def ivf_topk(
     from tableone_pyspark_spark.operators.similarity import _seq_dot, _vstack, dot_arrow
     from tableone_pyspark_spark.plans.layout import rebalance
 
-    train = np.array(
-        [
-            np.asarray(r[0], dtype=np.float64)
-            for r in vectors.select(F.col(vec_col).cast("array<double>"))
-            .limit(train_limit)
-            .collect()
-        ]
-    )
-    C = _kmeans_numpy(train, n_centroids)
-    c_norm2 = (C * C).sum(axis=1)
+    C, c_norm2 = _train_quantizer(vectors, vec_col, n_centroids, train_limit, id_col)
 
     # ONE Arrow pass per side fuses unit-normalization with cell
     # assignment (||x-c||² argmin via batch matmul) — no centroid
@@ -213,6 +246,26 @@ def ivf_topk(
 
     corpus_udf = F.pandas_udf(corpus_feat, "n_vec array<double>, cell int")
 
+    # the assigned+normalized corpus IS the IVF index: build once per
+    # corpus plan, reuse across queries (topk, the recall gate, repeat
+    # lookups). `.cache()` materializes on first use; entries are tiny
+    # (id, unit vector, cell) relative to the raw table.
+    akey = _memo_key(vectors, id_col, vec_col, n_centroids, train_limit)
+    if akey is not None and akey in _IVF_ASSIGNED:
+        assigned = _IVF_ASSIGNED[akey]
+    else:
+        assigned = (
+            rebalance(vectors.select(id_col, vec_col))
+            .select(
+                F.col(id_col).alias("neighbor_id"),
+                corpus_udf(F.col(vec_col).cast("array<double>")).alias("f"),
+            )
+            .select("neighbor_id", "f.n_vec", "f.cell")
+            .cache()
+        )
+        if akey is not None:
+            _IVF_ASSIGNED[akey] = assigned
+
     def query_feat(vecs):
         if vecs.empty:
             return pd.DataFrame({"q_vec": [], "cells": []})
@@ -226,11 +279,6 @@ def ivf_topk(
         )
 
     query_udf = F.pandas_udf(query_feat, "q_vec array<double>, cells array<int>")
-
-    assigned = rebalance(vectors.select(id_col, vec_col)).select(
-        F.col(id_col).alias("neighbor_id"),
-        corpus_udf(F.col(vec_col).cast("array<double>")).alias("f"),
-    ).select("neighbor_id", "f.n_vec", "f.cell")
 
     probes = (
         queries.select(
