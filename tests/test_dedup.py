@@ -187,3 +187,18 @@ def test_dedup_cluster_assign_singletons(docs):
 def test_connected_components_empty_edges(spark):
     edges = spark.createDataFrame([], "id_a long, id_b long")
     assert dd.connected_components(edges).count() == 0
+
+
+def test_connected_components_nonconvergence_raises(spark):
+    import pytest
+
+    # a 12-vertex path graph has diameter 11: min-label propagation
+    # moves the min one hop per round, so max_iter=2 cannot converge
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(11)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dd.connected_components(edges, max_iter=2)
+    # and with the default budget the same graph collapses to one cluster
+    got = {r["cluster_id"] for r in dd.connected_components(edges).collect()}
+    assert got == {0}

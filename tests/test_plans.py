@@ -123,3 +123,18 @@ def test_skew_profile_distributed_topk(spark):
     # descending by count
     ns = [r["n"] for r in rows]
     assert ns == sorted(ns, reverse=True)
+
+
+def test_neardup_auto_never_cartesian_above_limit(spark):
+    # strategy="auto" must flip to LSH bucketing above brute_force_limit:
+    # the plan may not contain a nested-loop/cartesian O(N^2) join
+    from tableone_pyspark_spark.operators.similarity import cosine_neardup_pairs
+
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    above = cosine_neardup_pairs(e, threshold=0.3, brute_force_limit=e.count() - 1)
+    plan = inspect.executed_plan(above)
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    # and below the limit the exact verifier path IS the theta join
+    below = cosine_neardup_pairs(e, threshold=0.3, brute_force_limit=10**9)
+    plan_b = inspect.executed_plan(below)
+    assert "BroadcastNestedLoopJoin" in plan_b or "CartesianProduct" in plan_b
