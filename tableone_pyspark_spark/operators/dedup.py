@@ -193,6 +193,36 @@ def ngram_jaccard_pairs(
     return out
 
 
+def duplicate_ngram_fraction(
+    df: DataFrame, text_col: str, id_col: str, n: int = 3
+) -> DataFrame:
+    """Per-doc fraction of distinct word n-grams that also appear in
+    some OTHER document: ``(id, n_grams, n_dup, dup_frac)``.
+
+    The line-/passage-level dedup signal (CCNet, RefinedWeb): a doc
+    whose grams are mostly corpus-duplicated is boilerplate even when
+    no single whole-doc duplicate exists.
+
+    Two bounded shuffles, neither carrying text: (1) per-shingle
+    document frequency over 64-bit gram fingerprints with map-side
+    combine; (2) per-doc roll-up of two counters. The join back is
+    fingerprint-to-fingerprint on already-aggregated rows.
+    """
+    sh = word_shingles(df, text_col, id_col, n).select(
+        "id", F.xxhash64("shingle").alias("g")
+    )
+    docfreq = sh.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        sh.join(docfreq, "g")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum((F.col("df") > 1).cast("long")).alias("n_dup"),
+        )
+        .withColumn("dup_frac", F.col("n_dup") / F.col("n_grams"))
+    )
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str,

@@ -75,3 +75,38 @@ def deterministic_sample(
     dependent). Filter is a scan-level predicate: no shuffle."""
     cut = int(BUCKETS * fraction)
     return df.where(split_bucket(F.col(key_col), salt) < cut)
+
+
+def quota_sample(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    quota: int,
+    salt: str = "quota-v1",
+    rank_col: str = "rk",
+) -> DataFrame:
+    """At most ``quota`` rows per group, chosen by hashed key.
+
+    The per-source quota is how a web-scale corpus keeps one crawl
+    domain from dominating the mix: cap every source at N documents,
+    selected deterministically. Rows rank within their group by
+    (split_bucket(key), key) — a pure function of the data, so the
+    same rows survive on any engine, partitioning, or re-run — and
+    ranks > quota are dropped. ``rank_col`` (1-based) is kept so a
+    later stage can tighten the quota without re-shuffling.
+
+    One hash-partition shuffle on ``group_col``; the running state per
+    group is a single counter, and output is bounded at
+    quota x n_groups no matter how skewed the source mix is. (A TopK
+    per group, not a full sort: Spark plans the bounded-rank filter as
+    WindowGroupLimit, pushing the cap before the final sort at scale.)
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(
+        split_bucket(F.col(key_col), salt), F.col(key_col)
+    )
+    return (
+        df.withColumn(rank_col, F.row_number().over(w))
+        .where(F.col(rank_col) <= quota)
+    )

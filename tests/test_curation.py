@@ -1,0 +1,147 @@
+"""Curation operators: PII profile/redaction, per-source quota
+sampling, benchmark decontamination, duplicate-n-gram fraction."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tableone_pyspark_spark.functions.pii import pii_profile, redact_pii
+from tableone_pyspark_spark.operators.decontam import (
+    benchmark_overlap,
+    decontaminate,
+)
+from tableone_pyspark_spark.operators.dedup import duplicate_ngram_fraction
+from tableone_pyspark_spark.operators.sampling import quota_sample
+
+
+def _docs(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+
+# ---------------------------------------------------------------- PII
+
+PII_ROWS = [
+    (1, "reach me at alice@example.com or 22-123-456-7890 today"),
+    (2, "server 10.0.250.1 rebooted; ping bob.smith+x@mail.co too"),
+    (3, "no contact info here at all"),
+    (4, "twice: a@b.io then c@d.org"),
+]
+
+
+def test_pii_profile_counts_and_redaction(spark):
+    df = spark.createDataFrame(PII_ROWS, ["id", "text"])
+    got = {r["id"]: r.asDict() for r in pii_profile(df, "id", "text").collect()}
+    assert got[1]["n_email"] == 1 and got[1]["n_phone"] == 1
+    assert got[2]["n_email"] == 1 and got[2]["n_ipv4"] == 1
+    assert got[3]["n_pii"] == 0
+    assert got[4]["n_email"] == 2 and got[4]["n_pii"] == 2
+    # untouched doc keeps its length; redacted docs change length
+    assert got[3]["redacted_len"] == got[3]["orig_len"]
+    assert got[1]["redacted_len"] != got[1]["orig_len"]
+
+
+def test_redact_replaces_with_placeholders(spark):
+    df = spark.createDataFrame(PII_ROWS, ["id", "text"])
+    red = {
+        r["id"]: r["red"]
+        for r in df.select("id", redact_pii(F.col("text")).alias("red")).collect()
+    }
+    assert "<EMAIL>" in red[1] and "<PHONE>" in red[1]
+    assert "alice@example.com" not in red[1]
+    assert "<IPV4>" in red[2] and "10.0.250.1" not in red[2]
+    assert red[3] == PII_ROWS[2][1]
+    # email redaction runs before ipv4, so dotted domains never
+    # half-match the dotted-quad pattern
+    assert red[4].count("<EMAIL>") == 2
+
+
+# -------------------------------------------------------- quota sample
+
+
+def test_quota_caps_each_group(spark):
+    d = _docs(spark)
+    out = quota_sample(d, "source", "doc_id", quota=3)
+    per = {r["source"]: r["n"] for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    full = {r["source"]: r["n"] for r in d.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    for src, n in per.items():
+        assert n == min(3, full[src])
+    assert out.where(F.col("rk") > 3).count() == 0
+
+
+def test_quota_deterministic_and_partition_invariant(spark):
+    d = _docs(spark)
+    a = {r["doc_id"] for r in quota_sample(d, "source", "doc_id", 5).collect()}
+    b = {r["doc_id"] for r in quota_sample(d.repartition(17), "source", "doc_id", 5).collect()}
+    assert a == b and len(a) > 0
+
+
+def test_quota_rank_allows_tightening(spark):
+    d = _docs(spark)
+    five = quota_sample(d, "source", "doc_id", 5)
+    two_direct = {r["doc_id"] for r in quota_sample(d, "source", "doc_id", 2).collect()}
+    two_nested = {r["doc_id"] for r in five.where(F.col("rk") <= 2).collect()}
+    assert two_direct == two_nested
+
+
+# ------------------------------------------------------- decontam
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog"),
+    (2, "pack my box with five dozen liquor jugs"),
+    (3, "the quick brown fox naps all day long"),  # shares 2 grams w/ 1
+    (4, "completely different words entirely here now"),
+]
+BENCH = [(100, "the quick brown fox is the benchmark sentence")]
+
+
+def test_benchmark_overlap_counts_shared_grams(spark):
+    train = spark.createDataFrame(DOCS, ["doc_id", "text"])
+    bench = spark.createDataFrame(BENCH, ["doc_id", "text"])
+    got = {
+        r["id"]: r["n_shared"]
+        for r in benchmark_overlap(train, bench, "text", "doc_id").collect()
+    }
+    # docs 1 and 3 share "the quick brown" / "quick brown fox"
+    assert got[1] == 2 and got[3] == 2
+    assert 2 not in got and 4 not in got
+
+
+def test_decontaminate_drops_only_hits(spark):
+    train = spark.createDataFrame(DOCS, ["doc_id", "text"])
+    bench = spark.createDataFrame(BENCH, ["doc_id", "text"])
+    kept = {r["doc_id"] for r in decontaminate(train, bench, "text", "doc_id").collect()}
+    assert kept == {2, 4}
+    # higher threshold keeps everything (max shared here is 2)
+    kept3 = {
+        r["doc_id"]
+        for r in decontaminate(train, bench, "text", "doc_id", min_shared=3).collect()
+    }
+    assert kept3 == {1, 2, 3, 4}
+
+
+# ------------------------------------------------- dup n-gram fraction
+
+
+def test_dup_ngram_fraction_bounds_and_exact_values(spark):
+    rows = [
+        (1, "a b c d e"),  # grams: abc bcd cde
+        (2, "a b c x y"),  # grams: abc bcx cxy  -> shares abc with 1
+        (3, "p q r s t"),  # disjoint
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r["id"]: r.asDict()
+        for r in duplicate_ngram_fraction(df, "text", "doc_id").collect()
+    }
+    assert got[1]["n_grams"] == 3 and got[1]["n_dup"] == 1
+    assert abs(got[1]["dup_frac"] - 1 / 3) < 1e-12
+    assert got[2]["n_dup"] == 1
+    assert got[3]["n_dup"] == 0 and got[3]["dup_frac"] == 0.0
+
+
+def test_dup_ngram_fraction_on_corpus(spark):
+    d = _docs(spark)
+    out = duplicate_ngram_fraction(d, "text", "doc_id")
+    assert out.count() == d.count()
+    bad = out.where((F.col("dup_frac") < 0) | (F.col("dup_frac") > 1)).count()
+    assert bad == 0
