@@ -1,0 +1,92 @@
+"""Sequence packing: lay a corpus out as fixed-length training windows.
+
+The GPT-style pretraining layout concatenates every document's tokens
+in a fixed order and chunks the stream every ``max_tokens`` — each doc
+therefore owns a global token OFFSET, and its window assignment is
+pure arithmetic on that offset. The hard part at 100 TB is the offset
+itself: a naive global-order window function plans as a SINGLE
+partition (Spark has to see the whole stream in order), which is a
+non-starter.
+
+This operator computes the global prefix sum the distributed way:
+
+  1. shard every doc by hashed key (deterministic, engine-independent);
+  2. LOCAL cumulative sums per shard — the window partitions by shard,
+     so all shards scan in parallel;
+  3. per-shard totals (one row per shard) collect to the driver —
+     ``n_shards`` scalars, not data — and an exclusive prefix over
+     them gives each shard's global base offset;
+  4. base offsets broadcast-join back; offset = base + local.
+
+The concat order is (shard, key): deterministic, reproducible on any
+engine — a single-node oracle reproduces it with one ORDER BY — while
+the computation never materializes a global sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .sampling import split_bucket
+
+
+def pack_sequences(
+    df: DataFrame,
+    key_col: str,
+    tokens_col: str,
+    max_tokens: int,
+    n_shards: int = 64,
+    salt: str = "pack-v1",
+) -> DataFrame:
+    """Assign every doc its place in the packed token stream.
+
+    Returns ``(id, n_tokens, offset, seq_id, pos_in_seq, end_seq_id)``:
+    ``offset`` is the doc's first token's position in the global
+    stream, ``seq_id`` / ``pos_in_seq`` locate it inside its
+    ``max_tokens`` window, and ``end_seq_id`` is the window of its
+    last token (> seq_id when the doc straddles window boundaries).
+
+    Scale shape: one hash shuffle on the shard id, per-shard window
+    scans in parallel, an ``n_shards``-row driver collect, and a
+    broadcast join of the base-offset table. No global sort, no
+    single-partition window.
+    """
+    sharded = df.select(
+        F.col(key_col).alias("id"),
+        F.col(tokens_col).cast("long").alias("n_tokens"),
+        (split_bucket(F.col(key_col), salt) % n_shards).alias("_shard"),
+    )
+    w = Window.partitionBy("_shard").orderBy("id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    local = sharded.withColumn(
+        "_local_end", F.sum("n_tokens").over(w)
+    )
+
+    totals = {
+        r["_shard"]: r["t"]
+        for r in sharded.groupBy("_shard")
+        .agg(F.sum("n_tokens").alias("t"))
+        .collect()
+    }
+    bases, acc = [], 0
+    for s in sorted(totals):
+        bases.append((s, acc))
+        acc += totals[s]
+    base_df = local.sparkSession.createDataFrame(
+        bases, ["_shard", "_base"]
+    )
+
+    out = local.join(F.broadcast(base_df), "_shard")
+    offset = F.col("_base") + F.col("_local_end") - F.col("n_tokens")
+    # empty doc: define its end window as its start window
+    last = offset + F.greatest(F.col("n_tokens") - 1, F.lit(0))
+    return out.select(
+        "id",
+        "n_tokens",
+        offset.alias("offset"),
+        F.floor(offset / max_tokens).alias("seq_id"),
+        (offset % max_tokens).alias("pos_in_seq"),
+        F.floor(last / max_tokens).alias("end_seq_id"),
+    )

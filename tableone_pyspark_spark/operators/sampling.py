@@ -110,3 +110,21 @@ def quota_sample(
         df.withColumn(rank_col, F.row_number().over(w))
         .where(F.col(rank_col) <= quota)
     )
+
+
+def weighted_sample(
+    df: DataFrame, key_col: str, weight: Column, salt: str = "wsample-v1"
+) -> DataFrame:
+    """Keep each row with probability ``weight`` (clamped to [0, 1]),
+    decided by hashed key — deterministic importance sampling.
+
+    The quality-resampling step of a curation pipeline: rows keep
+    proportional-to-weight (e.g. a model-based quality score), yet the
+    draw is a pure function of (key, salt) — reproducible across
+    engines, partitionings, and re-runs, and consistent for the same
+    key in other tables. Scan-level predicate: no shuffle.
+    """
+    rate = F.least(F.greatest(weight, F.lit(0.0)), F.lit(1.0))
+    return df.where(
+        split_bucket(F.col(key_col), salt) < F.floor(rate * BUCKETS)
+    )

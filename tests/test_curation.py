@@ -145,3 +145,81 @@ def test_dup_ngram_fraction_on_corpus(spark):
     assert out.count() == d.count()
     bad = out.where((F.col("dup_frac") < 0) | (F.col("dup_frac") > 1)).count()
     assert bad == 0
+
+
+# ---------------------------------------------------- sequence packing
+
+
+def test_pack_sequences_is_a_permutation_of_the_stream(spark):
+    from tableone_pyspark_spark.operators.packing import pack_sequences
+    from tableone_pyspark_spark.functions.text import token_count
+
+    d = _docs(spark).select(
+        "doc_id", token_count(F.col("text")).alias("n_tok")
+    )
+    out = pack_sequences(d, "doc_id", "n_tok", max_tokens=512).collect()
+    total = sum(r["n_tokens"] for r in out)
+    # offsets tile the stream exactly: sorted spans are contiguous
+    spans = sorted((r["offset"], r["n_tokens"]) for r in out)
+    pos = 0
+    for off, n in spans:
+        assert off == pos
+        pos += n
+    assert pos == total
+    for r in out:
+        assert r["seq_id"] == r["offset"] // 512
+        assert r["pos_in_seq"] == r["offset"] % 512
+        assert r["end_seq_id"] >= r["seq_id"]
+
+
+def test_pack_sequences_partition_invariant(spark):
+    from tableone_pyspark_spark.operators.packing import pack_sequences
+    from tableone_pyspark_spark.functions.text import token_count
+
+    d = _docs(spark).select("doc_id", token_count(F.col("text")).alias("n_tok"))
+    a = {r["id"]: r["offset"] for r in pack_sequences(d, "doc_id", "n_tok", 512).collect()}
+    b = {
+        r["id"]: r["offset"]
+        for r in pack_sequences(d.repartition(11), "doc_id", "n_tok", 512).collect()
+    }
+    assert a == b
+
+
+def test_pack_sequences_no_global_sort(spark):
+    from tableone_pyspark_spark.operators.packing import pack_sequences
+    from tableone_pyspark_spark.functions.text import token_count
+    from tableone_pyspark_spark.plans import inspect
+
+    d = _docs(spark).select("doc_id", token_count(F.col("text")).alias("n_tok"))
+    out = pack_sequences(d, "doc_id", "n_tok", 512)
+    exe = inspect.executed_plan(out)
+    # the window must partition by shard — a global-order window would
+    # plan a single-partition Exchange
+    assert "SinglePartition" not in exe
+    assert inspect.plan_facts(out).n_broadcast_joins == 1
+
+
+# ---------------------------------------------------- weighted sample
+
+
+def test_weighted_sample_extremes_and_rate(spark):
+    from tableone_pyspark_spark.operators.sampling import weighted_sample
+
+    d = _docs(spark)
+    assert weighted_sample(d, "doc_id", F.lit(0.0)).count() == 0
+    assert weighted_sample(d, "doc_id", F.lit(1.0)).count() == d.count()
+    assert weighted_sample(d, "doc_id", F.lit(7.5)).count() == d.count()  # clamped
+    n = weighted_sample(d, "doc_id", F.lit(0.5)).count()
+    assert 0.35 <= n / d.count() <= 0.65
+
+
+def test_weighted_sample_favors_high_weight(spark):
+    from tableone_pyspark_spark.operators.sampling import weighted_sample
+
+    d = _docs(spark)
+    # weight by length: long docs should survive more often
+    w = (F.col("n_chars") / F.lit(600.0))
+    kept = weighted_sample(d, "doc_id", w)
+    med_all = d.approxQuantile("n_chars", [0.5], 0.0)[0]
+    med_kept = kept.approxQuantile("n_chars", [0.5], 0.0)[0]
+    assert med_kept > med_all

@@ -138,3 +138,39 @@ def test_neardup_auto_never_cartesian_above_limit(spark):
     below = cosine_neardup_pairs(e, threshold=0.3, brute_force_limit=10**9)
     plan_b = inspect.executed_plan(below)
     assert "BroadcastNestedLoopJoin" in plan_b or "CartesianProduct" in plan_b
+
+
+def test_pii_profile_is_shuffle_free_pruned_projection(spark):
+    from tableone_pyspark_spark.functions.pii import pii_profile
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    out = pii_profile(d, "doc_id", "text")
+    inspect.assert_scan_pruned(out, {"doc_id", "text"})
+    facts = inspect.plan_facts(out)
+    assert facts.n_exchanges == 0  # detect + redact is a pure projection
+
+
+def test_quota_sample_uses_window_group_limit(spark):
+    from tableone_pyspark_spark.operators.sampling import quota_sample
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    out = quota_sample(d, "source", "doc_id", quota=3)
+    exe = inspect.executed_plan(out)
+    # the bounded-rank filter must plan as WindowGroupLimit (partial
+    # top-K before the exchange), not a full per-group sort
+    assert "WindowGroupLimit" in exe
+    assert inspect.plan_facts(out).n_exchanges == 1  # one hash shuffle
+
+
+def test_decontam_broadcasts_benchmark_side(spark):
+    from tableone_pyspark_spark.operators.decontam import benchmark_overlap
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    bench = d.where(F.col("doc_id") % 20 == 0)
+    train = d.where(F.col("doc_id") % 20 != 0)
+    out = benchmark_overlap(train, bench, "text", "doc_id")
+    facts = inspect.plan_facts(out)
+    # the corpus joins the (small) benchmark shingle set by broadcast —
+    # never via a corpus-wide join shuffle
+    assert facts.n_broadcast_joins == 1
+    assert facts.n_sortmerge_joins == 0 and facts.n_shuffled_hash_joins == 0
