@@ -755,36 +755,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # ---- streaming TableOne (real Structured Streaming execution) -------
     def stream_hourly(spark, sf_dir):
-        from pyspark.sql import types as T
-
+        from tableone_pyspark_spark.sources.testdata import events_stream
         from tableone_pyspark_spark.streaming.stream_stats import (
             windowed_sufficient_stats,
         )
 
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        raw_schema = T.StructType(
-            [
-                T.StructField("event_id", T.LongType()),
-                T.StructField("ts", T.LongType()),
-                T.StructField("user_id", T.LongType()),
-                T.StructField("event_type", T.StringType()),
-                T.StructField("value", T.DoubleType()),
-                T.StructField("props", T.StringType()),
-            ]
-        )
-        stream = (
-            spark.readStream.schema(raw_schema)
-            .format("parquet")
-            # the file stream source wants a directory; select just the
-            # events file out of the sf dir with a glob
-            .option("pathGlobFilter", "events.parquet")
-            .load(sf_dir)
-            .select(
-                F.expr("timestamp_micros(ts div 1000)").alias("ts"),
-                F.col("event_type"),
-                F.col("value"),
-            )
-        )
+        stream = events_stream(spark, sf_dir).select("ts", "event_type", "value")
         out = windowed_sufficient_stats(stream)
         query = (
             out.writeStream.format("memory")
@@ -808,31 +784,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["stream_hourly"] = stream_hourly
 
     def stream_sessions(spark, sf_dir):
-        from pyspark.sql import types as T
-
+        from tableone_pyspark_spark.sources.testdata import events_stream
         from tableone_pyspark_spark.streaming.stream_stats import streaming_sessionize
 
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        raw_schema = T.StructType(
-            [
-                T.StructField("event_id", T.LongType()),
-                T.StructField("ts", T.LongType()),
-                T.StructField("user_id", T.LongType()),
-                T.StructField("event_type", T.StringType()),
-                T.StructField("value", T.DoubleType()),
-                T.StructField("props", T.StringType()),
-            ]
-        )
-        stream = (
-            spark.readStream.schema(raw_schema)
-            .format("parquet")
-            .option("pathGlobFilter", "events.parquet")
-            .load(sf_dir)
-            .select(
-                "user_id",
-                F.expr("timestamp_micros(ts div 1000)").alias("ts"),
-            )
-        )
+        stream = events_stream(spark, sf_dir).select("user_id", "ts")
         out = streaming_sessionize(stream, gap_minutes=30)
         qry = (
             out.writeStream.format("memory")
@@ -847,31 +802,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["stream_sessions"] = stream_sessions
 
     def stream_sessions_builtin(spark, sf_dir):
-        from pyspark.sql import types as T
-
+        from tableone_pyspark_spark.sources.testdata import events_stream
         from tableone_pyspark_spark.streaming.stream_stats import session_window_stats
 
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        raw_schema = T.StructType(
-            [
-                T.StructField("event_id", T.LongType()),
-                T.StructField("ts", T.LongType()),
-                T.StructField("user_id", T.LongType()),
-                T.StructField("event_type", T.StringType()),
-                T.StructField("value", T.DoubleType()),
-                T.StructField("props", T.StringType()),
-            ]
-        )
-        stream = (
-            spark.readStream.schema(raw_schema)
-            .format("parquet")
-            .option("pathGlobFilter", "events.parquet")
-            .load(sf_dir)
-            .select(
-                "user_id",
-                F.expr("timestamp_micros(ts div 1000)").alias("ts"),
-            )
-        )
+        stream = events_stream(spark, sf_dir).select("user_id", "ts")
         out = session_window_stats(stream, gap_minutes=30)
         qry = (
             out.writeStream.format("memory")
@@ -888,36 +822,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def stream_join(spark, sf_dir):
         """Real stream-stream interval join: clicks attributed to
         purchases of the same user within the preceding hour."""
-        from pyspark.sql import types as T
-
+        from tableone_pyspark_spark.sources.testdata import events_stream
         from tableone_pyspark_spark.streaming.stream_stats import (
             streaming_interval_join,
         )
 
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        raw_schema = T.StructType(
-            [
-                T.StructField("event_id", T.LongType()),
-                T.StructField("ts", T.LongType()),
-                T.StructField("user_id", T.LongType()),
-                T.StructField("event_type", T.StringType()),
-                T.StructField("value", T.DoubleType()),
-                T.StructField("props", T.StringType()),
-            ]
-        )
-
         def source(etype):
             return (
-                spark.readStream.schema(raw_schema)
-                .format("parquet")
-                .option("pathGlobFilter", "events.parquet")
-                .load(sf_dir)
+                events_stream(spark, sf_dir)
                 .where(F.col("event_type") == etype)
-                .select(
-                    "event_id",
-                    "user_id",
-                    F.expr("timestamp_micros(ts div 1000)").alias("ts"),
-                )
+                .select("event_id", "user_id", "ts")
             )
 
         out = streaming_interval_join(
@@ -1029,34 +943,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def stream_dedup(spark, sf_dir):
         # real streaming dedup: the same source unioned with itself
         # (every event arrives twice) must come out exactly once
-        from pyspark.sql import types as T
-
+        from tableone_pyspark_spark.sources.testdata import events_stream
         from tableone_pyspark_spark.streaming.stream_stats import streaming_dedup
 
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        raw_schema = T.StructType(
-            [
-                T.StructField("event_id", T.LongType()),
-                T.StructField("ts", T.LongType()),
-                T.StructField("user_id", T.LongType()),
-                T.StructField("event_type", T.StringType()),
-                T.StructField("value", T.DoubleType()),
-                T.StructField("props", T.StringType()),
-            ]
-        )
-
         def src():
-            return (
-                spark.readStream.schema(raw_schema)
-                .format("parquet")
-                .option("pathGlobFilter", "events.parquet")
-                .load(sf_dir)
-                .select(
-                    "event_id",
-                    F.expr("timestamp_micros(ts div 1000)").alias("ts"),
-                    "event_type",
-                )
-            )
+            return events_stream(spark, sf_dir).select("event_id", "ts", "event_type")
 
         doubled = src().union(src())
         out = streaming_dedup(doubled, ["event_id"], ts_col="ts")

@@ -79,13 +79,13 @@ def main() -> None:
     # query's own cost instead of charging JVM/worker cold-start to whichever
     # query happens to sort first (the headline workload above already uses
     # warm-up + median-of-3 for the same reason).
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    from tableone_pyspark_spark.sources.testdata import load_table
+
     for tbl in ("lineitem", "orders", "customer", "nation", "region", "part",
                 "supplier", "events", "documents", "embeddings"):
         p = Path(sf_dir) / f"{tbl}.parquet"
         if p.exists():
-            spark.read.parquet(str(p)).limit(1).collect()
-    spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+            load_table(spark, sf_dir, tbl).limit(1).collect()
     import pandas as pd  # noqa: F401
     from pyspark.sql import functions as F
 

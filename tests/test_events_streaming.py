@@ -8,7 +8,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from tableone_pyspark_spark.functions import events as evf
-from tableone_pyspark_spark.sources.testdata import load_events
+from tableone_pyspark_spark.sources.testdata import events_stream, load_events
 from tableone_pyspark_spark.streaming.stream_stats import (
     run_stream_over_parquet,
     windowed_sufficient_stats,
@@ -35,6 +35,11 @@ def test_events_schema(events):
         F.col("hour_id") != F.expr("ts_ns div 3600000000000")
     ).count()
     assert bad == 0
+    # ts (microsecond timestamp) and ts_ns agree
+    bad_ts = events.where(
+        F.expr("unix_micros(ts) != ts_ns div 1000")
+    ).count()
+    assert bad_ts == 0
 
 
 def test_props_k_extraction(spark):
@@ -53,30 +58,7 @@ def test_type_value_stats(events):
 
 
 def test_stream_equals_batch(spark, events):
-    import pyspark.sql.types as T
-
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw_schema = T.StructType(
-        [
-            T.StructField("event_id", T.LongType()),
-            T.StructField("ts", T.LongType()),
-            T.StructField("user_id", T.LongType()),
-            T.StructField("event_type", T.StringType()),
-            T.StructField("value", T.DoubleType()),
-            T.StructField("props", T.StringType()),
-        ]
-    )
-    stream = (
-        spark.readStream.schema(raw_schema)
-        .format("parquet")
-        .option("pathGlobFilter", "events.parquet")
-        .load(SF)
-        .select(
-            F.timestamp_micros((F.col("ts") / 1000).cast("long")).alias("ts"),
-            "event_type",
-            "value",
-        )
-    )
+    stream = events_stream(spark, SF).select("ts", "event_type", "value")
     out = windowed_sufficient_stats(stream)
     assert out.isStreaming
     qry = (
@@ -106,32 +88,10 @@ def test_streaming_sessionize_matches_batch(spark):
     """The applyInPandasWithState sessionizer's closed sessions must be
     exactly the batch (lag + running-sum) sessions, minus each user's
     final session (never closed by a later event or timeout)."""
-    import pyspark.sql.types as T
-
     from pyspark.sql import Window
     from tableone_pyspark_spark.streaming.stream_stats import streaming_sessionize
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw_schema = T.StructType(
-        [
-            T.StructField("event_id", T.LongType()),
-            T.StructField("ts", T.LongType()),
-            T.StructField("user_id", T.LongType()),
-            T.StructField("event_type", T.StringType()),
-            T.StructField("value", T.DoubleType()),
-            T.StructField("props", T.StringType()),
-        ]
-    )
-    stream = (
-        spark.readStream.schema(raw_schema)
-        .format("parquet")
-        .option("pathGlobFilter", "events.parquet")
-        .load(SF)
-        .select(
-            "user_id",
-            F.expr("timestamp_micros(ts div 1000)").alias("ts"),
-        )
-    )
+    stream = events_stream(spark, SF).select("user_id", "ts")
     out = streaming_sessionize(stream, gap_minutes=30)
     assert out.isStreaming
     qry = (
@@ -149,9 +109,8 @@ def test_streaming_sessionize_matches_batch(spark):
 
     # batch twin: per-session rows via the same lag/running-sum idiom as
     # relational.sessionize
-    ev = (
-        spark.read.parquet(f"{SF}/events.parquet")
-        .select("user_id", F.expr("ts div 1000").alias("ts_us"))
+    ev = load_events(spark, SF).select(
+        "user_id", F.expr("ts_ns div 1000").alias("ts_us")
     )
     w = Window.partitionBy("user_id").orderBy("ts_us")
     gap_us = 30 * 60 * 1_000_000
@@ -192,33 +151,13 @@ def test_session_window_builtin_matches_custom_sessionize(spark):
     under the same gap and watermark: same gap rule, same
     watermark-passes-end emission. This pins the builtin as a drop-in
     for the common case."""
-    import pyspark.sql.types as T
-
     from tableone_pyspark_spark.streaming.stream_stats import (
         session_window_stats,
         streaming_sessionize,
     )
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw_schema = T.StructType(
-        [
-            T.StructField("event_id", T.LongType()),
-            T.StructField("ts", T.LongType()),
-            T.StructField("user_id", T.LongType()),
-            T.StructField("event_type", T.StringType()),
-            T.StructField("value", T.DoubleType()),
-            T.StructField("props", T.StringType()),
-        ]
-    )
-
     def mkstream():
-        return (
-            spark.readStream.schema(raw_schema)
-            .format("parquet")
-            .option("pathGlobFilter", "events.parquet")
-            .load(SF)
-            .select("user_id", F.expr("timestamp_micros(ts div 1000)").alias("ts"))
-        )
+        return events_stream(spark, SF).select("user_id", "ts")
 
     for name, fn in [("t_sw_builtin", session_window_stats), ("t_sw_custom", streaming_sessionize)]:
         out = fn(mkstream(), gap_minutes=30)
@@ -237,9 +176,7 @@ def test_session_window_builtin_matches_custom_sessionize(spark):
 
     # batch mode emits EVERY session (no emission filter): a superset
     # containing each user's final session too
-    ev = spark.read.parquet(f"{SF}/events.parquet").select(
-        "user_id", F.expr("timestamp_micros(ts div 1000)").alias("ts")
-    )
+    ev = load_events(spark, SF).select("user_id", "ts")
     allsess = set(map(tuple, session_window_stats(ev, gap_minutes=30).collect()))
     assert builtin.issubset(allsess) and len(allsess) > len(builtin)
 
@@ -247,30 +184,13 @@ def test_session_window_builtin_matches_custom_sessionize(spark):
 def test_stream_interval_join_matches_batch(spark):
     """The watermarked stream-stream interval join must emit exactly the
     batch interval-join pairs when the backfill fits one batch."""
-    import pyspark.sql.types as T
-
     from tableone_pyspark_spark.streaming.stream_stats import streaming_interval_join
-
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw_schema = T.StructType(
-        [
-            T.StructField("event_id", T.LongType()),
-            T.StructField("ts", T.LongType()),
-            T.StructField("user_id", T.LongType()),
-            T.StructField("event_type", T.StringType()),
-            T.StructField("value", T.DoubleType()),
-            T.StructField("props", T.StringType()),
-        ]
-    )
 
     def stream_source(etype):
         return (
-            spark.readStream.schema(raw_schema)
-            .format("parquet")
-            .option("pathGlobFilter", "events.parquet")
-            .load(SF)
+            events_stream(spark, SF)
             .where(F.col("event_type") == etype)
-            .select("event_id", "user_id", F.expr("timestamp_micros(ts div 1000)").alias("ts"))
+            .select("event_id", "user_id", "ts")
         )
 
     out = streaming_interval_join(stream_source("click"), stream_source("purchase"))
@@ -287,9 +207,9 @@ def test_stream_interval_join_matches_batch(spark):
 
     def batch_source(etype):
         return (
-            spark.read.parquet(f"{SF}/events.parquet")
+            load_events(spark, SF)
             .where(F.col("event_type") == etype)
-            .select("event_id", "user_id", F.expr("timestamp_micros(ts div 1000)").alias("ts"))
+            .select("event_id", "user_id", "ts")
         )
 
     batch = set(

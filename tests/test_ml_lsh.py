@@ -53,32 +53,10 @@ def test_ivf_topk_recall(spark):
 
 
 def test_streaming_dedup(spark):
-    import pyspark.sql.types as T
-
+    from tableone_pyspark_spark.sources.testdata import events_stream
     from tableone_pyspark_spark.streaming.stream_stats import streaming_dedup
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw_schema = T.StructType(
-        [
-            T.StructField("event_id", T.LongType()),
-            T.StructField("ts", T.LongType()),
-            T.StructField("user_id", T.LongType()),
-            T.StructField("event_type", T.StringType()),
-            T.StructField("value", T.DoubleType()),
-            T.StructField("props", T.StringType()),
-        ]
-    )
-    stream = (
-        spark.readStream.schema(raw_schema)
-        .format("parquet")
-        .option("pathGlobFilter", "events.parquet")
-        .load(SF)
-        .select(
-            F.expr("timestamp_micros(ts div 1000)").alias("ts"),
-            "user_id",
-            "event_type",
-        )
-    )
+    stream = events_stream(spark, SF).select("ts", "user_id", "event_type")
     deduped = streaming_dedup(stream, ["user_id", "event_type"])
     assert deduped.isStreaming
     q = (
@@ -90,8 +68,10 @@ def test_streaming_dedup(spark):
     )
     q.awaitTermination()
     got = spark.table("t_stream_dedup").count()
+    from tableone_pyspark_spark.sources.testdata import load_events
+
     want = (
-        spark.read.parquet(f"{SF}/events.parquet")
+        load_events(spark, SF)
         .select("user_id", "event_type")
         .distinct()
         .count()

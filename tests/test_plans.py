@@ -112,8 +112,9 @@ def test_profile_approx_distinct_drops_expand(lineitem):
 def test_skew_profile_distributed_topk(spark):
     """The hot-key ranking must plan as TakeOrderedAndProject (distributed
     top-k), never a global single-partition sort of all keys."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    from tableone_pyspark_spark.sources.testdata import load_events
+
+    ev = load_events(spark, "/root/testdata/sf0.001")
     df = ops.key_skew_profile(ev, "user_id", top=5)
     plan = inspect.executed_plan(df)
     assert "TakeOrderedAndProject" in plan
