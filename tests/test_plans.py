@@ -175,3 +175,22 @@ def test_decontam_broadcasts_benchmark_side(spark):
     # never via a corpus-wide join shuffle
     assert facts.n_broadcast_joins == 1
     assert facts.n_sortmerge_joins == 0 and facts.n_shuffled_hash_joins == 0
+
+
+def test_neardup_auto_never_cartesian_above_limit(spark):
+    """The strategy="auto" switch (VERDICT r2 stretch): above
+    brute_force_limit the public default must plan the SRP-bucketed
+    equi-join path — no BroadcastNestedLoopJoin / CartesianProduct
+    anywhere in the plan. Below the limit the brute theta-join is
+    expected (the exact verifier path)."""
+    from tableone_pyspark_spark.operators.similarity import cosine_neardup_pairs
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+    big = cosine_neardup_pairs(emb, threshold=0.9, brute_force_limit=1)
+    plan = inspect.executed_plan(big)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+    small = cosine_neardup_pairs(emb, threshold=0.9, brute_force_limit=10**9)
+    assert "BroadcastNestedLoopJoin" in inspect.executed_plan(small)
