@@ -286,7 +286,34 @@ def minhash_lsh_pairs(
     positives). ``hash_fn="poly"`` makes the whole pipeline pure
     cross-engine arithmetic (exactly SQL-oracle-reproducible; xxhash64
     stays the perf default). Returns (id_a, id_b, jaccard).
+
+    The verified pair graph is a session-memoized per-corpus artifact
+    (see :mod:`core.memo`): clustering, keep-one assignment and the
+    pair-listing query all consume the same graph, and must not
+    re-shingle/re-sign the corpus each time.
     """
+    from tableone_pyspark_spark.core.memo import memo_df, memo_key
+
+    mkey = memo_key(df, text_col, id_col, n, k, bands, threshold, hash_fn)
+    return memo_df(
+        "minhash_lsh_pairs",
+        mkey,
+        lambda: _minhash_lsh_pairs_build(
+            df, text_col, id_col, n, k, bands, threshold, hash_fn
+        ),
+    )
+
+
+def _minhash_lsh_pairs_build(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int,
+    k: int,
+    bands: int,
+    threshold: float,
+    hash_fn: str,
+) -> DataFrame:
     r = k // bands
     # one shingle pass feeds BOTH signature generation and the exact
     # verification join — cache it (it is the expensive projection)
@@ -522,8 +549,20 @@ def dedup_cluster_assign(
     component labels are tiny relative to the corpus (only docs in >=1
     pair), so the attach join broadcasts at any realistic dup rate.
     Returns ``(<id_col>, cluster_id)``.
+
+    Component labels are session-memoized per pair graph (the CC loop
+    runs eagerly — ``localCheckpoint`` + a convergence collect per
+    round — so rebuilding it for every consumer of the same graph
+    would repeat the whole iteration).
     """
-    cc = connected_components(pairs, src, dst)
+    from tableone_pyspark_spark.core.memo import memo, memo_key
+
+    mkey = memo_key(pairs, src, dst)
+    cc = memo(
+        "connected_components",
+        mkey,
+        lambda: connected_components(pairs, src, dst),
+    )
     return (
         df.select(id_col)
         .join(

@@ -65,24 +65,12 @@ def ml_minhash_pairs(
     )
 
 
-#: session-level IVF index memo — an IVF index is built ONCE per corpus
-#: and queried many times (the FAISS usage model); repeated entry-point
-#: queries over the same corpus (topk + recall gate) must not retrain
-#: the quantizer or re-assign the corpus. Keyed by the corpus plan's
-#: semantic hash + parameters; values are (C, c_norm2) for quantizers
-#: and cached DataFrames for assigned corpora.
-_IVF_QUANTIZERS: dict = {}
-_IVF_ASSIGNED: dict = {}
-
-
-def _memo_key(df: DataFrame, *params):
-    """Cache key for a per-corpus artifact: Catalyst's semantic hash of
-    the (analyzed) corpus plan + the training parameters. Falls back to
-    None (no caching) where semanticHash is unavailable (e.g. Connect)."""
-    try:
-        return (df.semanticHash(), *params)
-    except Exception:
-        return None
+# The IVF index is built ONCE per corpus and queried many times (the
+# FAISS usage model); repeated entry-point queries over the same corpus
+# (topk + recall gate) must not retrain the quantizer or re-assign the
+# corpus. Session-scope memo via core.memo (semantic plan hash +
+# parameters + owning application id).
+from tableone_pyspark_spark.core.memo import memo, memo_key as _memo_key
 
 
 def _train_quantizer(
@@ -95,25 +83,23 @@ def _train_quantizer(
     exact-replay oracle.) Memoized per corpus plan."""
     import numpy as np
 
+    def build():
+        train = np.array(
+            [
+                np.asarray(r[0], dtype=np.float64)
+                for r in vectors.select(
+                    F.col(vec_col).cast("array<double>"), F.col(id_col)
+                )
+                .orderBy(id_col)
+                .limit(train_limit)
+                .collect()
+            ]
+        )
+        C = _kmeans_numpy(train, n_centroids)
+        return (C, (C * C).sum(axis=1))
+
     key = _memo_key(vectors, vec_col, n_centroids, train_limit, id_col)
-    if key is not None and key in _IVF_QUANTIZERS:
-        return _IVF_QUANTIZERS[key]
-    train = np.array(
-        [
-            np.asarray(r[0], dtype=np.float64)
-            for r in vectors.select(
-                F.col(vec_col).cast("array<double>"), F.col(id_col)
-            )
-            .orderBy(id_col)
-            .limit(train_limit)
-            .collect()
-        ]
-    )
-    C = _kmeans_numpy(train, n_centroids)
-    out = (C, (C * C).sum(axis=1))
-    if key is not None:
-        _IVF_QUANTIZERS[key] = out
-    return out
+    return memo("ivf_quantizer", key, build)
 
 
 def _kmeans_numpy(X, k: int, iters: int = 12, seed: int = 42):
@@ -251,10 +237,10 @@ def ivf_topk(
     # lookups). `.cache()` materializes on first use; entries are tiny
     # (id, unit vector, cell) relative to the raw table.
     akey = _memo_key(vectors, id_col, vec_col, n_centroids, train_limit)
-    if akey is not None and akey in _IVF_ASSIGNED:
-        assigned = _IVF_ASSIGNED[akey]
-    else:
-        assigned = (
+    assigned = memo(
+        "ivf_assigned",
+        akey,
+        lambda: (
             rebalance(vectors.select(id_col, vec_col))
             .select(
                 F.col(id_col).alias("neighbor_id"),
@@ -262,9 +248,8 @@ def ivf_topk(
             )
             .select("neighbor_id", "f.n_vec", "f.cell")
             .cache()
-        )
-        if akey is not None:
-            _IVF_ASSIGNED[akey] = assigned
+        ),
+    )
 
     def query_feat(vecs):
         if vecs.empty:
