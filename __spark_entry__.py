@@ -683,6 +683,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["kmeans_profile"] = kmeans_profile
 
+    def semantic_dedup_keep(spark, sf_dir):
+        from tableone_pyspark_spark.operators.ml_lsh import semantic_dedup
+
+        # 0.4 on the synthetic diffuse embeddings (within-cell cosines
+        # top out ≈0.49; the real-corpus default 0.97 would be a no-op
+        # here and leave the drop path unexercised)
+        e = _load(spark, sf_dir, "embeddings")
+        return semantic_dedup(e, threshold=0.4, n_centroids=16)
+
+    q["semantic_dedup_keep"] = semantic_dedup_keep
+
+    def value_histogram(spark, sf_dir):
+        li = _load(spark, sf_dir, "lineitem")
+        return ops.numeric_histogram(li, "l_extendedprice", bins=20)
+
+    q["value_histogram"] = value_histogram
+
     def ml_minhash(spark, sf_dir):
         from tableone_pyspark_spark.operators.ml_lsh import ml_minhash_pairs
 
@@ -1108,16 +1125,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters", "dedup_cluster_stats",
         "embedding_ivf_topk", "ivf_recall", "kmeans_profile", "ml_minhash",
         "tableone_strat", "tableone_pvalues",
-        # new this round (curation); displaced 6 twice-green keepers
-        # (top_orders, sales_cube, asof_events, user_sessions,
-        #  events_type_stats, events_hourly)
+        # new this round (curation + semdedup + histogram); displaced 8
+        # twice-green keepers (top_orders, sales_cube, asof_events,
+        # user_sessions, events_type_stats, events_hourly, text_stats,
+        # binary_stats)
         "pii_profile", "quota_sample", "decontam_stats", "dup_ngram_stats",
         "pack_sequences", "weighted_sample",
-        "text_stats", "lang_confusion", "exact_dedup_stats", "ngram_jaccard",
+        "semantic_dedup_keep", "value_histogram",
+        "lang_confusion", "exact_dedup_stats", "ngram_jaccard",
         "minhash_pairs", "simhash_sigs", "embedding_topk",
         "embedding_neardup", "embedding_lsh_topk", "lsh_recall",
         "skew_profile", "quantize_profile", "tfidf_terms", "winnow_fps",
-        "winnow_overlap", "multimodal_meta", "frame_stats", "binary_stats",
+        "winnow_overlap", "multimodal_meta", "frame_stats",
         "stream_hourly",
     ]
     assert len(_front) == 50 and len(set(_front)) == 50
@@ -1730,6 +1749,20 @@ def oracle_sql() -> dict[str, str]:
         "ROUND(CAST(n AS DOUBLE) / total, 6) AS share FROM r, t WHERE rank <= 10"
     )
 
+    o["value_histogram"] = (
+        "WITH mm AS (SELECT CAST(min(l_extendedprice) AS DOUBLE) AS lo, "
+        "CAST(max(l_extendedprice) AS DOUBLE) AS hi FROM lineitem), "
+        "b AS (SELECT CAST(least(19, greatest(0, CAST(floor("
+        "(CAST(l_extendedprice AS DOUBLE) - lo) / ((hi - lo) / 20)) AS BIGINT))) AS INT) "
+        "AS bucket FROM lineitem, mm WHERE l_extendedprice IS NOT NULL), "
+        "c AS (SELECT bucket, count(*) AS n FROM b GROUP BY 1), "
+        "r AS (SELECT CAST(range AS INT) AS bucket FROM range(20)) "
+        "SELECT r.bucket, ROUND(lo + r.bucket * ((hi - lo) / 20), 6) AS lo_edge, "
+        "ROUND(lo + (r.bucket + 1) * ((hi - lo) / 20), 6) AS hi_edge, "
+        "COALESCE(c.n, CAST(0 AS BIGINT)) AS n "
+        "FROM r CROSS JOIN mm LEFT JOIN c ON r.bucket = c.bucket"
+    )
+
     _QV = "CAST(embedding AS DOUBLE[])"
     _QSCALE = f"list_max(list_transform({_QV}, x -> abs(x))) / 127.0"
     _QDIV = f"(CASE WHEN ({_QSCALE}) > 0 THEN ({_QSCALE}) ELSE 1.0 END)"
@@ -1927,9 +1960,29 @@ def oracle_sql() -> dict[str, str]:
             "FROM d GROUP BY 1"
         )
 
+    def _semantic_dedup_sql(
+        sf_dir: str = "/root/testdata/sf0.01", threshold: float = 0.97
+    ) -> str:
+        C, c_norm2 = _ivf_centroids(sf_dir)
+        d_list = "[" + ", ".join(
+            f"-2.0 * {_fold_dot('v', C[j])} + {float(c_norm2[j])!r}" for j in range(16)
+        ) + "]"
+        return (
+            "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), "
+            f"dl AS (SELECT vec_id, v, {d_list} AS ds FROM e), "
+            "a AS (SELECT vec_id, v, CAST(list_indexof(ds, list_min(ds)) - 1 AS INT) AS cell FROM dl), "
+            "p AS (SELECT x.vec_id AS dup_id FROM a x JOIN a y "
+            "ON x.cell = y.cell AND y.vec_id < x.vec_id "
+            f"WHERE ROUND(list_cosine_similarity(x.v, y.v), 6) >= {threshold!r} "
+            "GROUP BY 1) "
+            "SELECT a.vec_id, a.cell, p.dup_id IS NULL AS keep "
+            "FROM a LEFT JOIN p ON a.vec_id = p.dup_id"
+        )
+
     try:
         o["embedding_ivf_topk"] = _ivf_topk_sql()
         o["kmeans_profile"] = _kmeans_profile_sql()
+        o["semantic_dedup_keep"] = _semantic_dedup_sql(threshold=0.4)
     except Exception:
         pass  # no sf0.01 testdata at oracle-build time → rows-only
 

@@ -187,6 +187,59 @@ def kmeans_profile(
     )
 
 
+def ivf_assign(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    train_limit: int = 16384,
+) -> DataFrame:
+    """The IVF index: every corpus vector unit-normalized and assigned
+    to its nearest coarse-quantizer cell. ONE Arrow pass fuses
+    normalization with assignment (||x-c||² argmin via batch matmul) —
+    no centroid crossJoin, no probe-ranking window, no per-element
+    interpreted HOF math in the plan.
+
+    Session-memoized + persisted per (corpus plan, parameters): the
+    index is built once and shared by every consumer (``ivf_topk``, the
+    recall gate, ``semantic_dedup``) — the FAISS build-once/query-many
+    model. Entries are tiny (id, unit vector, cell) relative to the raw
+    table. Returns (neighbor_id, n_vec, cell).
+    """
+    import numpy as np
+    import pandas as pd
+
+    from tableone_pyspark_spark.operators.similarity import _seq_dot, _vstack
+    from tableone_pyspark_spark.plans.layout import rebalance
+
+    C, c_norm2 = _train_quantizer(vectors, vec_col, n_centroids, train_limit, id_col)
+
+    def corpus_feat(vecs):
+        if vecs.empty:
+            return pd.DataFrame({"n_vec": [], "cell": pd.Series([], dtype="int32")})
+        V = _vstack(vecs)
+        n = np.sqrt(_seq_dot(V, V))
+        cells = (-2.0 * (V @ C.T) + c_norm2).argmin(axis=1)
+        return pd.DataFrame({"n_vec": list(V / n[:, None]), "cell": cells.astype("int32")})
+
+    corpus_udf = F.pandas_udf(corpus_feat, "n_vec array<double>, cell int")
+
+    akey = _memo_key(vectors, id_col, vec_col, n_centroids, train_limit)
+    return memo(
+        "ivf_assigned",
+        akey,
+        lambda: (
+            rebalance(vectors.select(id_col, vec_col))
+            .select(
+                F.col(id_col).alias("neighbor_id"),
+                corpus_udf(F.col(vec_col).cast("array<double>")).alias("f"),
+            )
+            .select("neighbor_id", "f.n_vec", "f.cell")
+            .cache()
+        ),
+    )
+
+
 def ivf_topk(
     vectors: DataFrame,
     queries: DataFrame,
@@ -214,42 +267,9 @@ def ivf_topk(
     from pyspark.sql import Window
 
     from tableone_pyspark_spark.operators.similarity import _seq_dot, _vstack, dot_arrow
-    from tableone_pyspark_spark.plans.layout import rebalance
 
     C, c_norm2 = _train_quantizer(vectors, vec_col, n_centroids, train_limit, id_col)
-
-    # ONE Arrow pass per side fuses unit-normalization with cell
-    # assignment (||x-c||² argmin via batch matmul) — no centroid
-    # crossJoin, no probe-ranking window, no per-element interpreted
-    # HOF math in the plan.
-    def corpus_feat(vecs):
-        if vecs.empty:
-            return pd.DataFrame({"n_vec": [], "cell": pd.Series([], dtype="int32")})
-        V = _vstack(vecs)
-        n = np.sqrt(_seq_dot(V, V))
-        cells = (-2.0 * (V @ C.T) + c_norm2).argmin(axis=1)
-        return pd.DataFrame({"n_vec": list(V / n[:, None]), "cell": cells.astype("int32")})
-
-    corpus_udf = F.pandas_udf(corpus_feat, "n_vec array<double>, cell int")
-
-    # the assigned+normalized corpus IS the IVF index: build once per
-    # corpus plan, reuse across queries (topk, the recall gate, repeat
-    # lookups). `.cache()` materializes on first use; entries are tiny
-    # (id, unit vector, cell) relative to the raw table.
-    akey = _memo_key(vectors, id_col, vec_col, n_centroids, train_limit)
-    assigned = memo(
-        "ivf_assigned",
-        akey,
-        lambda: (
-            rebalance(vectors.select(id_col, vec_col))
-            .select(
-                F.col(id_col).alias("neighbor_id"),
-                corpus_udf(F.col(vec_col).cast("array<double>")).alias("f"),
-            )
-            .select("neighbor_id", "f.n_vec", "f.cell")
-            .cache()
-        ),
-    )
+    assigned = ivf_assign(vectors, id_col, vec_col, n_centroids, train_limit)
 
     def query_feat(vecs):
         if vecs.empty:
@@ -284,4 +304,62 @@ def ivf_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cos", "rank")
+    )
+
+
+def semantic_dedup(
+    vectors: DataFrame,
+    threshold: float = 0.97,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    train_limit: int = 16384,
+) -> DataFrame:
+    """SemDedup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    near-duplicate removal with the quadratic bounded by clustering.
+    Corpus vectors are assigned to coarse KMeans cells (the shared,
+    memoized IVF index — see :func:`ivf_assign`); pairwise cosine is
+    computed only WITHIN a cell; a vector is dropped when some
+    lower-id vector in its cell has cosine >= ``threshold``, so every
+    semantic-duplicate group keeps its lowest id deterministically.
+
+    Scale story: all-pairs over N is infeasible; within-cell pairs cost
+    ~N²/k for k balanced cells, so ``n_centroids`` must grow with the
+    corpus (SemDedup uses k in the tens of thousands at 100M+ docs —
+    keep expected cell size in the low thousands). The pair join is a
+    cell equi-join of the id+unit-vector index (never raw payloads),
+    and the drop set joins back id-only. Returns (<id_col>, cell,
+    keep) for every input row.
+    """
+    assigned = ivf_assign(vectors, id_col, vec_col, n_centroids, train_limit)
+
+    from tableone_pyspark_spark.operators.similarity import dot_arrow
+
+    a = assigned.select(
+        F.col("neighbor_id").alias("id_a"), F.col("n_vec").alias("va"), "cell"
+    )
+    b = assigned.select(
+        F.col("neighbor_id").alias("id_b"), F.col("n_vec").alias("vb"), "cell"
+    )
+    # id_b < id_a: a row is dropped iff a LOWER-id cell-mate is close
+    # enough; the rounded cosine is the cross-engine contract value
+    dropped = (
+        a.join(b, "cell")
+        .where(F.col("id_b") < F.col("id_a"))
+        .where(F.round(dot_arrow()(F.col("va"), F.col("vb")), 6) >= threshold)
+        .select(F.col("id_a").alias("dup_id"))
+        .distinct()
+    )
+    return (
+        assigned.select(F.col("neighbor_id").alias(id_col), "cell")
+        .join(
+            F.broadcast(dropped),
+            F.col(id_col) == F.col("dup_id"),
+            "left",
+        )
+        .select(
+            id_col,
+            "cell",
+            F.col("dup_id").isNull().alias("keep"),
+        )
     )

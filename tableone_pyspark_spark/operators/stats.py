@@ -302,3 +302,51 @@ def data_profile(
         "max_value",
         F.round("mean_value", 6).alias("mean_value"),
     )
+
+
+def numeric_histogram(
+    df: DataFrame,
+    col: str,
+    bins: int = 20,
+    lo: float | None = None,
+    hi: float | None = None,
+) -> DataFrame:
+    """Fixed-width histogram of a numeric column — the distribution
+    diagnostic a pipeline runs on features/lengths/scores before
+    choosing filter thresholds.
+
+    When ``lo``/``hi`` are not given they come from one scalar min/max
+    aggregation (a 2-value collect — bounded driver state, same pattern
+    as the sufficient-stats engine). The bucketing pass is then pure
+    arithmetic projection + a partial-aggregated groupBy on at most
+    ``bins`` keys: map-side combine reduces every partition to ≤ bins
+    rows, so the shuffle is O(bins × partitions) regardless of data
+    size. Empty buckets are filled from a range frame so the output
+    always has exactly ``bins`` rows: (bucket, lo_edge, hi_edge, n).
+    """
+    c = F.col(_q(col)).cast("double")
+    if lo is None or hi is None:
+        row = df.agg(F.min(c).alias("lo"), F.max(c).alias("hi")).first()
+        lo = float(row["lo"]) if lo is None else lo
+        hi = float(row["hi"]) if hi is None else hi
+    width = (hi - lo) / bins or 1.0
+    bucket = F.least(
+        F.lit(bins - 1),
+        F.greatest(F.lit(0), F.floor((c - F.lit(lo)) / F.lit(width))),
+    ).cast("int")
+    counts = (
+        df.where(c.isNotNull())
+        .select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    frame = df.sparkSession.range(bins).select(F.col("id").cast("int").alias("bucket"))
+    return (
+        frame.join(counts, "bucket", "left")
+        .select(
+            "bucket",
+            F.round(F.lit(lo) + F.col("bucket") * F.lit(width), 6).alias("lo_edge"),
+            F.round(F.lit(lo) + (F.col("bucket") + 1) * F.lit(width), 6).alias("hi_edge"),
+            F.coalesce(F.col("n"), F.lit(0)).alias("n"),
+        )
+    )

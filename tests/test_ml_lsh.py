@@ -77,3 +77,35 @@ def test_streaming_dedup(spark):
         .count()
     )
     assert got == want
+
+
+def test_semantic_dedup_keeps_lowest_id(spark):
+    # two exact-duplicate groups + singletons; the quadratic stays
+    # within KMeans cells, and each dup group keeps its lowest id
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [1.0, 0.001, 0.0]),   # ~dup of 0
+        (2, [0.0, 1.0, 0.0]),
+        (3, [0.0, 1.0, 0.001]),   # ~dup of 2
+        (4, [0.0, 0.0, 1.0]),     # singleton
+        (5, [-1.0, 0.0, 0.0]),    # anti-parallel to 0: cos=-1, kept
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {
+        r["vec_id"]: r["keep"]
+        for r in ml_lsh.semantic_dedup(
+            df, threshold=0.99, n_centroids=3, train_limit=6
+        ).collect()
+    }
+    assert len(out) == 6  # every input row present exactly once
+    assert out[0] and out[2] and out[4] and out[5]
+    assert not out[1] and not out[3]
+
+
+def test_semantic_dedup_shares_ivf_index(spark):
+    # the assignment is the memoized IVF index: the same corpus plan
+    # must return the identical (cached) DataFrame object
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    a = ml_lsh.ivf_assign(emb)
+    b = ml_lsh.ivf_assign(spark.read.parquet(f"{SF}/embeddings.parquet"))
+    assert a is b

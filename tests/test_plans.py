@@ -194,3 +194,16 @@ def test_neardup_auto_never_cartesian_above_limit(spark):
 
     small = cosine_neardup_pairs(emb, threshold=0.9, brute_force_limit=10**9)
     assert "BroadcastNestedLoopJoin" in inspect.executed_plan(small)
+
+
+def test_numeric_histogram_exact_and_filled(spark):
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    h = ops.numeric_histogram(li, "l_quantity", bins=10).orderBy("bucket").collect()
+    assert len(h) == 10 and [r["bucket"] for r in h] == list(range(10))
+    assert sum(r["n"] for r in h) == li.where("l_quantity IS NOT NULL").count()
+    # edges tile [min, max] with no gaps
+    for a, b in zip(h, h[1:]):
+        assert abs(a["hi_edge"] - b["lo_edge"]) < 1e-9
+    # explicit bounds: out-of-range values clamp into edge buckets
+    h2 = ops.numeric_histogram(li, "l_quantity", bins=4, lo=10.0, hi=20.0).collect()
+    assert sum(r["n"] for r in h2) == li.where("l_quantity IS NOT NULL").count()
