@@ -927,6 +927,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["curate_documents"] = curate_documents
 
+    def filter_funnel(spark, sf_dir):
+        d = _load(spark, sf_dir, "documents")
+        return ops.filter_funnel(
+            d,
+            [
+                ("lang_en", F.col("lang") == "en"),
+                ("len_ok", F.col("n_chars").between(150, 450)),
+                ("tokens_ok", tx.token_count(F.col("text")).between(10, 1000)),
+                ("quality", tx.quality_score(F.col("text")) >= 0.55),
+            ],
+        )
+
+    q["filter_funnel"] = filter_funnel
+
+    def mixture_weights(spark, sf_dir):
+        from tableone_pyspark_spark.operators.sampling import mixture_weights as mw
+
+        d = _load(spark, sf_dir, "documents")
+        # deterministic non-uniform target derived from the source name
+        # (suffix mod 4 + 1), so the query is sf-independent and the
+        # oracle replays it exactly
+        sources = [r[0] for r in d.select("source").distinct().collect()]
+        target = {s: float(int(s[3:]) % 4 + 1) for s in sources}
+        return mw(d, "source", target)
+
+    q["mixture_weights"] = mixture_weights
+
     def label_centroids(spark, sf_dir):
         e = _load(spark, sf_dir, "embeddings")
         return sim.label_centroids(e, "label", "embedding")
@@ -1125,14 +1152,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters", "dedup_cluster_stats",
         "embedding_ivf_topk", "ivf_recall", "kmeans_profile", "ml_minhash",
         "tableone_strat", "tableone_pvalues",
-        # new this round (curation + semdedup + histogram); displaced 8
-        # twice-green keepers (top_orders, sales_cube, asof_events,
-        # user_sessions, events_type_stats, events_hourly, text_stats,
-        # binary_stats)
+        # new this round (curation + semdedup + histogram + funnel +
+        # mixture); displaced 10 twice-green keepers (top_orders,
+        # sales_cube, asof_events, user_sessions, events_type_stats,
+        # events_hourly, text_stats, binary_stats, lang_confusion,
+        # exact_dedup_stats)
         "pii_profile", "quota_sample", "decontam_stats", "dup_ngram_stats",
         "pack_sequences", "weighted_sample",
         "semantic_dedup_keep", "value_histogram",
-        "lang_confusion", "exact_dedup_stats", "ngram_jaccard",
+        "filter_funnel", "mixture_weights",
+        "ngram_jaccard",
         "minhash_pairs", "simhash_sigs", "embedding_topk",
         "embedding_neardup", "embedding_lsh_topk", "lsh_recall",
         "skew_profile", "quantize_profile", "tfidf_terms", "winnow_fps",
@@ -1528,6 +1557,40 @@ def oracle_sql() -> dict[str, str]:
         "FROM documents) "
         "SELECT doc_id, lang, n_tokens, ROUND(q, 6) AS quality FROM per "
         "WHERE q >= 0.55 AND n_tokens BETWEEN 10 AND 1000"
+    )
+
+    o["filter_funnel"] = (
+        f"WITH per AS (SELECT lang, n_chars, {TC} AS n_tokens, {QUALITY} AS q "
+        "FROM documents), "
+        "c AS (SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS c0, "
+        "CASE WHEN lang = 'en' AND n_chars BETWEEN 150 AND 450 THEN 1 ELSE 0 END AS c1, "
+        "CASE WHEN lang = 'en' AND n_chars BETWEEN 150 AND 450 "
+        "AND n_tokens BETWEEN 10 AND 1000 THEN 1 ELSE 0 END AS c2, "
+        "CASE WHEN lang = 'en' AND n_chars BETWEEN 150 AND 450 "
+        "AND n_tokens BETWEEN 10 AND 1000 AND q >= 0.55 THEN 1 ELSE 0 END AS c3 "
+        "FROM per), "
+        "a AS (SELECT count(*) AS s_in, CAST(sum(c0) AS BIGINT) AS s0, "
+        "CAST(sum(c1) AS BIGINT) AS s1, CAST(sum(c2) AS BIGINT) AS s2, "
+        "CAST(sum(c3) AS BIGINT) AS s3 FROM c), "
+        "r AS (SELECT 0 AS stage, 'lang_en' AS filter_name, s_in AS n_in, s0 AS n_out FROM a "
+        "UNION ALL SELECT 1, 'len_ok', s0, s1 FROM a "
+        "UNION ALL SELECT 2, 'tokens_ok', s1, s2 FROM a "
+        "UNION ALL SELECT 3, 'quality', s2, s3 FROM a) "
+        "SELECT stage, filter_name, n_in, n_out, n_in - n_out AS n_dropped, "
+        "CASE WHEN n_in > 0 THEN ROUND(CAST(n_in - n_out AS DOUBLE) / n_in, 6) END "
+        "AS drop_rate FROM r"
+    )
+
+    o["mixture_weights"] = (
+        "WITH cnt AS (SELECT source, count(*) AS n FROM documents GROUP BY 1), "
+        "w AS (SELECT source, n, CAST(CAST(substr(source, 4) AS INT) % 4 + 1 AS DOUBLE) AS tw FROM cnt), "
+        "nw AS (SELECT source, n, tw / (SELECT sum(tw) FROM w) AS tf FROM w), "
+        "g AS (SELECT (SELECT sum(n) FROM nw) AS total, "
+        "(SELECT min(n / tf) FROM nw WHERE tf > 0) AS m) "
+        "SELECT source, n, ROUND(CAST(n AS DOUBLE) / total, 6) AS frac, "
+        "ROUND(tf, 6) AS target_frac, "
+        "ROUND(CASE WHEN tf > 0 THEN m * tf / n ELSE 0.0 END, 6) AS sample_rate "
+        "FROM nw CROSS JOIN g"
     )
 
     def _lang_score(words: list[str]) -> str:

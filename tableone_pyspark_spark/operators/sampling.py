@@ -128,3 +128,54 @@ def weighted_sample(
     return df.where(
         split_bucket(F.col(key_col), salt) < F.floor(rate * BUCKETS)
     )
+
+
+def mixture_weights(
+    df: DataFrame, source_col: str, target: dict[str, float]
+) -> DataFrame:
+    """Per-source sampling rates that re-weight a corpus to a target
+    mixture — the data-mixing step of a training pipeline (e.g. "30%
+    web, 30% books, 40% code" from whatever the crawl produced).
+
+    The plan is one groupBy(source) count (k rows), a broadcast join
+    against the (tiny) literal target table, and window aggregates
+    over the k-row result — the full corpus is scanned once and only
+    (source, count) pairs shuffle. The largest-feasible-subset rule:
+    m = min_s(n_s / target_s) is the biggest total for which no source
+    is oversubscribed; keep m * target_s of source s, i.e.
+    rate_s = m * target_s / n_s (= 1.0 for the binding source).
+    Sources missing from ``target`` get target_frac 0 → rate 0.
+    Returns (source, n, frac, target_frac, sample_rate).
+    """
+    from pyspark.sql import Window
+
+    spark = df.sparkSession
+    tot_w = sum(target.values()) or 1.0
+    tgt = spark.createDataFrame(
+        [(k, v / tot_w) for k, v in target.items()], f"{source_col} string, tf double"
+    )
+    counts = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy()
+    joined = (
+        counts.join(F.broadcast(tgt), source_col, "left")
+        .withColumn("tf", F.coalesce(F.col("tf"), F.lit(0.0)))
+        .withColumn("total", F.sum("n").over(w))
+        .withColumn(
+            "m",
+            F.min(
+                F.when(F.col("tf") > 0, F.col("n") / F.col("tf"))
+            ).over(w),
+        )
+    )
+    return joined.select(
+        source_col,
+        "n",
+        F.round(F.col("n") / F.col("total"), 6).alias("frac"),
+        F.round("tf", 6).alias("target_frac"),
+        F.round(
+            F.when(F.col("tf") > 0, F.col("m") * F.col("tf") / F.col("n")).otherwise(
+                F.lit(0.0)
+            ),
+            6,
+        ).alias("sample_rate"),
+    )

@@ -350,3 +350,45 @@ def numeric_histogram(
             F.coalesce(F.col("n"), F.lit(0)).alias("n"),
         )
     )
+
+
+def filter_funnel(
+    df: DataFrame, filters: list[tuple[str, Column]]
+) -> DataFrame:
+    """Attrition report for an ordered filter cascade — the diagnostic
+    a curation pipeline emits so every quality gate's cost is visible
+    before committing to it (how many documents each stage drops, and
+    cumulatively).
+
+    ONE aggregation pass regardless of stage count: stage predicates
+    are AND-folded into cumulative booleans and summed in a single
+    scalar agg (map-side partial, no shuffle of row data, no re-scan
+    per stage — at 100 TB a per-stage count() would be k full scans).
+    Returns (stage, filter_name, n_in, n_out, n_dropped, drop_rate), one
+    row per stage in application order.
+    """
+    aggs: list[Column] = [F.count(F.lit(1)).alias("s_in")]
+    cum: Column | None = None
+    for i, (_, pred) in enumerate(filters):
+        cum = pred if cum is None else (cum & pred)
+        # null predicate result = row dropped (SQL three-valued AND
+        # would propagate null; a filter drops nulls)
+        aggs.append(F.sum(F.coalesce(cum, F.lit(False)).cast("long")).alias(f"s_{i}"))
+    one = df.agg(*aggs)
+    rows = ", ".join(
+        f"{i}, '{name}', {'s_in' if i == 0 else f's_{i - 1}'}, s_{i}"
+        for i, (name, _) in enumerate(filters)
+    )
+    return one.selectExpr(
+        f"stack({len(filters)}, {rows}) as (stage, filter_name, n_in, n_out)"
+    ).select(
+        "stage",
+        "filter_name",
+        "n_in",
+        "n_out",
+        (F.col("n_in") - F.col("n_out")).alias("n_dropped"),
+        F.when(
+            F.col("n_in") > 0,
+            F.round((F.col("n_in") - F.col("n_out")) / F.col("n_in"), 6),
+        ).alias("drop_rate"),
+    )

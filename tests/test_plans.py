@@ -11,6 +11,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from tableone_pyspark_spark.operators import relational as rel
+from tableone_pyspark_spark.operators import sampling
 from tableone_pyspark_spark.operators import stats as ops
 from tableone_pyspark_spark.plans import inspect
 
@@ -207,3 +208,42 @@ def test_numeric_histogram_exact_and_filled(spark):
     # explicit bounds: out-of-range values clamp into edge buckets
     h2 = ops.numeric_histogram(li, "l_quantity", bins=4, lo=10.0, hi=20.0).collect()
     assert sum(r["n"] for r in h2) == li.where("l_quantity IS NOT NULL").count()
+
+
+def test_filter_funnel_single_job_and_counts(spark):
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = ops.filter_funnel(
+        d,
+        [
+            ("en", F.col("lang") == "en"),
+            ("long", F.col("n_chars") >= 200),
+        ],
+    ).orderBy("stage").collect()
+    n = d.count()
+    n_en = d.where("lang = 'en'").count()
+    n_both = d.where("lang = 'en' AND n_chars >= 200").count()
+    assert [(r["n_in"], r["n_out"]) for r in out] == [(n, n_en), (n_en, n_both)]
+    assert out[0]["n_dropped"] == n - n_en
+    # null predicate results count as dropped, not as null-poisoned sums
+    out2 = ops.filter_funnel(
+        d.withColumn("x", F.when(F.col("doc_id") % 2 == 0, F.lit("a"))),
+        [("notnull_eq", F.col("x") == "a")],
+    ).collect()[0]
+    assert out2["n_out"] == d.where("doc_id % 2 = 0").count()
+
+
+def test_mixture_weights_largest_feasible(spark):
+    rows = [("a",)] * 60 + [("b",)] * 30 + [("c",)] * 10
+    df = spark.createDataFrame(rows, "source string")
+    out = {r["source"]: r for r in sampling.mixture_weights(
+        df, "source", {"a": 1.0, "b": 1.0, "c": 2.0}
+    ).collect()}
+    # c binds: m = 10 / 0.5 = 20 → keep a=5, b=5, c=10
+    assert out["c"]["sample_rate"] == 1.0
+    assert abs(out["a"]["sample_rate"] - 5 / 60) < 5e-7  # round-6 output
+    assert abs(out["b"]["sample_rate"] - 5 / 30) < 5e-7
+    # unknown source → rate 0
+    out2 = {r["source"]: r["sample_rate"] for r in sampling.mixture_weights(
+        df, "source", {"a": 1.0}
+    ).collect()}
+    assert out2["b"] == 0.0 and out2["c"] == 0.0 and out2["a"] == 1.0
