@@ -112,6 +112,63 @@ def unit_normalize(a: Column) -> Column:
     return F.transform(a, lambda x: x.cast("double") / n)
 
 
+def _normed_corpus(
+    vectors: DataFrame, id_col: str, vec_col: str, arrow: bool
+) -> DataFrame:
+    """Unit-normalized corpus (``_id``, ``n_vec``) — session-memoized +
+    persisted per (corpus plan, params): every similarity consumer
+    (brute/LSH top-k, near-dup pairs, recall gates) needs exactly this
+    projection, and re-normalizing the corpus per query is pure waste.
+    Consumers re-alias ``_id`` to their own id name (zero-cost
+    projection over the persisted frame)."""
+    from tableone_pyspark_spark.core.memo import memo, memo_key
+
+    norm = unit_normalize_arrow() if arrow else unit_normalize
+    key = memo_key(vectors, id_col, vec_col, bool(arrow), "normed-v1")
+    return memo(
+        "normed_corpus",
+        key,
+        lambda: rebalance(vectors.select(id_col, vec_col))
+        .select(F.col(id_col).alias("_id"), norm(F.col(vec_col)).alias("n_vec"))
+        .persist(),
+    )
+
+
+def _srp_bucket_index(
+    vectors: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    tables: int,
+    planes: int,
+    norm_arrow: bool,
+    bucket_arrow: bool,
+) -> DataFrame:
+    """Exploded multi-table SRP bucket index (``_id``, table, bucket)
+    over the memoized normalized corpus — itself memoized + persisted:
+    the bucket index is the LSH analogue of the IVF assignment, built
+    once per corpus and probed by every LSH consumer."""
+    from tableone_pyspark_spark.core.memo import memo, memo_key
+
+    normed = _normed_corpus(vectors, id_col, vec_col, norm_arrow)
+    key = memo_key(
+        vectors, id_col, vec_col, dim, tables, planes,
+        bool(norm_arrow), bool(bucket_arrow), "srp-v1",
+    )
+    return memo(
+        "srp_buckets",
+        key,
+        lambda: normed.select(
+            "_id",
+            F.explode(
+                _lsh_table_structs(F.col("n_vec"), dim, tables, planes, bucket_arrow)
+            ).alias("tb"),
+        )
+        .select("_id", "tb.table", "tb.bucket")
+        .persist(),
+    )
+
+
 def brute_force_topk(
     vectors: DataFrame,
     queries: DataFrame,
@@ -139,9 +196,8 @@ def brute_force_topk(
         F.col(id_col).alias("query_id"),
         norm(F.col(vec_col)).alias("q_vec"),
     )
-    v = rebalance(vectors.select(id_col, vec_col)).select(
-        F.col(id_col).alias("neighbor_id"),
-        norm(F.col(vec_col)).alias("n_vec"),
+    v = _normed_corpus(vectors, id_col, vec_col, arrow).select(
+        F.col("_id").alias("neighbor_id"), "n_vec"
     )
     scored = (
         v.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
@@ -267,14 +323,12 @@ def lsh_topk(
     """
     norm = unit_normalize_arrow() if arrow else unit_normalize
     dotf = dot_arrow() if arrow else dot
-    normed = rebalance(vectors.select(id_col, vec_col)).select(
-        F.col(id_col).alias("neighbor_id"),
-        norm(F.col(vec_col)).alias("n_vec"),
+    normed = _normed_corpus(vectors, id_col, vec_col, arrow).select(
+        F.col("_id").alias("neighbor_id"), "n_vec"
     )
-    v = normed.select(
-        "neighbor_id",
-        F.explode(_lsh_table_structs(F.col("n_vec"), dim, tables, planes, arrow)).alias("tb"),
-    ).select("neighbor_id", "tb.table", "tb.bucket")
+    v = _srp_bucket_index(
+        vectors, id_col, vec_col, dim, tables, planes, arrow, arrow
+    ).select(F.col("_id").alias("neighbor_id"), "table", "bucket")
     q_normed = queries.select(
         F.col(id_col).alias("query_id"),
         norm(F.col(vec_col)).alias("q_vec"),
@@ -402,19 +456,18 @@ def cosine_neardup_pairs(
     Arrow bucket kernel (same measured carve-out as :func:`lsh_topk`).
     Returns (id_a, id_b, cos)."""
     if strategy == "auto":
-        strategy = "brute" if vectors.count() <= brute_force_limit else "lsh"
-    norm = unit_normalize_arrow() if arrow else unit_normalize
+        from tableone_pyspark_spark.core.memo import memo, memo_key
+
+        n = memo("corpus_count", memo_key(vectors), lambda: vectors.count())
+        strategy = "brute" if n <= brute_force_limit else "lsh"
     dotf = dot_arrow() if arrow else dot
-    normed = rebalance(vectors.select(id_col, vec_col)).select(
-        F.col(id_col).alias("id_a"), norm(F.col(vec_col)).alias("va")
+    normed = _normed_corpus(vectors, id_col, vec_col, arrow).select(
+        F.col("_id").alias("id_a"), F.col("n_vec").alias("va")
     )
     if strategy == "lsh":
-        tb = normed.select(
-            "id_a",
-            F.explode(
-                _lsh_table_structs(F.col("va"), dim, tables, planes, arrow=True)
-            ).alias("tb"),
-        ).select("id_a", "tb.table", "tb.bucket")
+        tb = _srp_bucket_index(
+            vectors, id_col, vec_col, dim, tables, planes, arrow, True
+        ).select(F.col("_id").alias("id_a"), "table", "bucket")
         # candidate shuffle carries only compact (id, id) pairs
         cand = (
             tb.join(
