@@ -381,7 +381,23 @@ def simhash64(
     mod 2 over one polynomial token hash — 64 universal-hash bits of
     pure cross-engine arithmetic, exactly reproducible by a SQL oracle
     (same constants via :func:`poly_coeffs`). Returns (id, simhash).
+
+    The signature table is a session-memoized per-corpus artifact
+    (:mod:`core.memo`): the signature listing and the pigeonhole
+    near-dup join both consume it, and must not re-tokenize and
+    re-vote the corpus each time.
     """
+    from tableone_pyspark_spark.core.memo import memo_df, memo_key
+
+    mkey = memo_key(df, text_col, id_col, hash_fn, "simhash-v1")
+    return memo_df(
+        "simhash64", mkey, lambda: _simhash64_build(df, text_col, id_col, hash_fn)
+    )
+
+
+def _simhash64_build(
+    df: DataFrame, text_col: str, id_col: str, hash_fn: str
+) -> DataFrame:
     words = (
         rebalance(df.select(id_col, text_col))
         .select(
