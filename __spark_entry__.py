@@ -437,6 +437,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["user_sessions"] = user_sessions
 
+    def event_funnel(spark, sf_dir):
+        from tableone_pyspark_spark.operators.relational import event_funnel as ef
+
+        ev = _load(spark, sf_dir, "events")
+        return ef(ev, ["view", "click", "purchase"], horizon_hours=72)
+
+    q["event_funnel"] = event_funnel
+
+    def incremental_dedup(spark, sf_dir):
+        from tableone_pyspark_spark.operators.terms import incremental_dedup as inc
+
+        d = _load(spark, sf_dir, "documents")
+        return inc(
+            d.where(F.col("doc_id") >= 250),
+            d.where(F.col("doc_id") < 250),
+            "text",
+            "doc_id",
+            min_shared=2,
+        )
+
+    q["incremental_dedup"] = incremental_dedup
+
     # ---- text analysis (north-star; functions/text.py) ------------------
     def text_stats(spark, sf_dir):
         d = _load(spark, sf_dir, "documents")
@@ -1153,19 +1175,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_ivf_topk", "ivf_recall", "kmeans_profile", "ml_minhash",
         "tableone_strat", "tableone_pvalues",
         # new this round (curation + semdedup + histogram + funnel +
-        # mixture); displaced 10 twice-green keepers (top_orders,
-        # sales_cube, asof_events, user_sessions, events_type_stats,
-        # events_hourly, text_stats, binary_stats, lang_confusion,
-        # exact_dedup_stats)
+        # mixture + event funnel + incremental dedup); displaced 12
+        # twice-green unchanged keepers (top_orders, sales_cube,
+        # asof_events, user_sessions, events_type_stats, events_hourly,
+        # text_stats, binary_stats, lang_confusion, exact_dedup_stats,
+        # ngram_jaccard, multimodal_meta); queries whose code paths the
+        # round-3 memo refactor touched (minhash/simhash/embedding
+        # families) stay in-window
         "pii_profile", "quota_sample", "decontam_stats", "dup_ngram_stats",
         "pack_sequences", "weighted_sample",
         "semantic_dedup_keep", "value_histogram",
         "filter_funnel", "mixture_weights",
-        "ngram_jaccard",
+        "event_funnel", "incremental_dedup",
         "minhash_pairs", "simhash_sigs", "embedding_topk",
         "embedding_neardup", "embedding_lsh_topk", "lsh_recall",
         "skew_profile", "quantize_profile", "tfidf_terms", "winnow_fps",
-        "winnow_overlap", "multimodal_meta", "frame_stats",
+        "winnow_overlap", "frame_stats",
         "stream_hourly",
     ]
     assert len(_front) == 50 and len(set(_front)) == 50
@@ -1367,6 +1392,25 @@ def oracle_sql() -> dict[str, str]:
         "s AS (SELECT user_id, session_idx, count(*) AS c FROM t GROUP BY 1, 2) "
         "SELECT user_id, CAST(sum(c) AS BIGINT) AS n_events, count(*) AS n_sessions, "
         "CAST(max(c) AS BIGINT) AS max_session_events FROM s GROUP BY 1"
+    )
+
+    o["event_funnel"] = (
+        "WITH e AS (SELECT user_id AS u, event_type AS et, ts AS t FROM events), "
+        "s0 AS (SELECT u, min(t) AS t FROM e WHERE et = 'view' GROUP BY 1), "
+        "s1 AS (SELECT e.u, min(e.t) AS t FROM e JOIN s0 ON e.u = s0.u "
+        "AND e.t > s0.t AND e.t <= s0.t + INTERVAL 72 HOUR "
+        "WHERE e.et = 'click' GROUP BY 1), "
+        "s2 AS (SELECT e.u, min(e.t) AS t FROM e JOIN s1 ON e.u = s1.u "
+        "AND e.t > s1.t AND e.t <= s1.t + INTERVAL 72 HOUR "
+        "WHERE e.et = 'purchase' GROUP BY 1), "
+        "c AS (SELECT 0 AS step, 'view' AS step_name, count(*) AS n_users FROM s0 "
+        "UNION ALL SELECT 1, 'click', count(*) FROM s1 "
+        "UNION ALL SELECT 2, 'purchase', count(*) FROM s2) "
+        "SELECT step, step_name, n_users, "
+        "ROUND(CAST(n_users AS DOUBLE) / lag(n_users) OVER (ORDER BY step), 6) "
+        "AS conv_from_prev, "
+        "ROUND(CAST(n_users AS DOUBLE) / first_value(n_users) OVER (ORDER BY step), 6) "
+        "AS conv_from_first FROM c"
     )
 
     # headerless-PCM audio probe stub: payload-derived rate, rms of bytes
@@ -1869,6 +1913,16 @@ def oracle_sql() -> dict[str, str]:
         "fp AS (SELECT DISTINCT doc_id AS id, win_min AS fingerprint FROM m WHERE pos >= 3)"
     )
     o["winnow_fps"] = f"WITH {_WINNOW} SELECT id, fingerprint FROM fp"
+    o["incremental_dedup"] = (
+        f"WITH {_WINNOW}, "
+        "nf AS (SELECT id, fingerprint FROM fp WHERE id >= 250), "
+        "sf AS (SELECT DISTINCT fingerprint FROM fp WHERE id < 250), "
+        "sh AS (SELECT id, count(*) AS n_shared FROM nf JOIN sf USING (fingerprint) "
+        "GROUP BY 1) "
+        "SELECT d.doc_id AS id, CAST(COALESCE(sh.n_shared, 0) AS BIGINT) AS n_shared, "
+        "COALESCE(sh.n_shared, 0) >= 2 AS is_dup "
+        "FROM documents d LEFT JOIN sh ON d.doc_id = sh.id WHERE d.doc_id >= 250"
+    )
     o["winnow_overlap"] = (
         f"WITH {_WINNOW} "
         "SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_shared "

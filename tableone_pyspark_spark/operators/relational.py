@@ -208,3 +208,69 @@ def sessionize(
         F.count(F.lit(1)).alias("n_sessions"),
         F.max("session_events").alias("max_session_events"),
     )
+
+
+def event_funnel(
+    events: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    horizon_hours: int | None = None,
+) -> DataFrame:
+    """Ordered k-step conversion funnel over an event log: a user
+    reaches step i+1 at their EARLIEST step-(i+1) event strictly after
+    their step-i time (greedy earliest-first matching), optionally
+    within ``horizon_hours`` of the previous step.
+
+    Scale story: each step is one filtered aggregation to a per-user
+    row plus an equi-join on the user key against the previous step's
+    (user, time) frame — shuffle volume is bounded by users, never
+    events², and each step's event filter prunes at the scan. The
+    final shaping runs on a k-row frame. Returns (step, step_name,
+    n_users, conv_from_prev, conv_from_first).
+    """
+    from functools import reduce
+
+    ev = events.select(
+        F.col(user_col).alias("u"),
+        F.col(type_col).alias("et"),
+        F.col(ts_col).cast("timestamp").alias("t"),
+    )
+    per_step = [
+        ev.where(F.col("et") == steps[0]).groupBy("u").agg(F.min("t").alias("t"))
+    ]
+    for s in steps[1:]:
+        nxt = (
+            ev.where(F.col("et") == s)
+            .join(per_step[-1].select("u", F.col("t").alias("tp")), "u")
+            .where(F.col("t") > F.col("tp"))
+        )
+        if horizon_hours is not None:
+            nxt = nxt.where(
+                F.col("t") <= F.col("tp") + F.expr(f"INTERVAL {int(horizon_hours)} HOURS")
+            )
+        per_step.append(nxt.groupBy("u").agg(F.min("t").alias("t")))
+    counts = reduce(
+        DataFrame.unionByName,
+        [
+            ps.agg(F.count(F.lit(1)).alias("n_users")).select(
+                F.lit(i).alias("step"),
+                F.lit(steps[i]).alias("step_name"),
+                "n_users",
+            )
+            for i, ps in enumerate(per_step)
+        ],
+    )
+    w = Window.orderBy("step")
+    return counts.select(
+        "step",
+        "step_name",
+        "n_users",
+        F.round(F.col("n_users") / F.lag("n_users").over(w), 6).alias(
+            "conv_from_prev"
+        ),
+        F.round(F.col("n_users") / F.first("n_users").over(w), 6).alias(
+            "conv_from_first"
+        ),
+    )

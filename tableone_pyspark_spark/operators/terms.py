@@ -156,3 +156,49 @@ def winnow_overlap_pairs(
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .where(F.col("n_shared") >= min_shared)
     )
+
+
+def incremental_dedup(
+    new_df: DataFrame,
+    seen_df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    window: int = 4,
+    min_shared: int = 2,
+) -> DataFrame:
+    """Incremental near-dup flagging of a NEW batch against an already
+    ingested corpus — the incremental-crawl shape. The accumulated side
+    participates ONLY as its distinct winnowing-fingerprint set (in a
+    real pipeline that set is the persisted index; here it derives from
+    ``seen_df``): the new batch is fingerprinted once, candidates meet
+    in a fingerprint equi-join, and no document text is ever compared
+    cross-batch. A new doc is a duplicate when it shares at least
+    ``min_shared`` distinct fingerprints with the seen set — the same
+    contiguous-overlap evidence as :func:`winnow_overlap_pairs`.
+
+    Scale story: the join ships (fingerprint, id) pairs only; the seen
+    side is pre-distinct so its size is the index size, not the corpus
+    size; the per-doc count is a partial-agg groupBy on the new ids.
+    Returns (id, n_shared, is_dup) for every row of ``new_df``.
+    """
+    new_fps = winnow_fingerprints(new_df, text_col, id_col, n, window)
+    seen_fps = (
+        winnow_fingerprints(seen_df, text_col, id_col, n, window)
+        .select("fingerprint")
+        .distinct()
+    )
+    shared = (
+        new_fps.join(seen_fps, "fingerprint")
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return (
+        new_df.select(F.col(id_col).alias("id"))
+        .join(shared, "id", "left")
+        .select(
+            "id",
+            F.coalesce("n_shared", F.lit(0)).alias("n_shared"),
+            (F.coalesce("n_shared", F.lit(0)) >= min_shared).alias("is_dup"),
+        )
+    )

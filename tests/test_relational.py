@@ -122,3 +122,31 @@ def test_bucketed_range_join_is_equi_join(spark):
     assert sorted(map(tuple, out.select("d", "o_orderkey").collect())) == sorted(
         map(tuple, naive.select("d", "o_orderkey").collect())
     )
+
+
+def test_event_funnel_ordering_and_horizon(spark):
+    rows = [
+        # u1 completes view->click->purchase in order
+        (1, "view", "2024-01-01 00:00:00"),
+        (1, "click", "2024-01-01 01:00:00"),
+        (1, "purchase", "2024-01-01 02:00:00"),
+        # u2 clicks BEFORE viewing -> stops at view
+        (2, "click", "2024-01-01 00:00:00"),
+        (2, "view", "2024-01-01 01:00:00"),
+        # u3 converts but outside the horizon
+        (3, "view", "2024-01-01 00:00:00"),
+        (3, "click", "2024-01-05 00:00:00"),
+        # u4 never views -> not in the funnel at all
+        (4, "purchase", "2024-01-01 00:00:00"),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, event_type string, ts string")
+    from tableone_pyspark_spark.operators.relational import event_funnel
+
+    out = {r["step_name"]: r for r in event_funnel(
+        ev, ["view", "click", "purchase"], horizon_hours=24
+    ).collect()}
+    assert out["view"]["n_users"] == 3
+    assert out["click"]["n_users"] == 1          # only u1 (u3 outside horizon)
+    assert out["purchase"]["n_users"] == 1
+    assert out["view"]["conv_from_prev"] is None
+    assert abs(out["click"]["conv_from_first"] - 1 / 3) < 5e-7

@@ -82,3 +82,27 @@ def test_kmeans_profile_partitions_corpus(spark):
     assert sum(r["n"] for r in rows) == total
     assert len(rows) <= 8
     assert all(r["mean_dist2"] >= 0 for r in rows)
+
+
+def test_incremental_dedup_flags_overlap(spark):
+    from tableone_pyspark_spark.operators.terms import incremental_dedup
+
+    seen = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog near the river bank")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            # contiguous overlap with the seen doc -> dup
+            (10, "the quick brown fox jumps over the lazy dog near the old barn"),
+            # disjoint text -> kept
+            (11, "completely different words about spark partitions and shuffles here"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["id"]: r for r in incremental_dedup(
+        new, seen, "text", "doc_id", min_shared=2
+    ).collect()}
+    assert len(out) == 2
+    assert out[10]["is_dup"] and out[10]["n_shared"] >= 2
+    assert not out[11]["is_dup"] and out[11]["n_shared"] == 0
