@@ -247,3 +247,38 @@ def test_mixture_weights_largest_feasible(spark):
         df, "source", {"a": 1.0}
     ).collect()}
     assert out2["b"] == 0.0 and out2["c"] == 0.0 and out2["a"] == 1.0
+
+
+def test_new_curation_ops_plan_shapes(spark):
+    """Plan pins for the round-3 curation operators: pruned scans,
+    pushed predicates, no quadratic joins."""
+    from tableone_pyspark_spark.operators.relational import event_funnel
+    from tableone_pyspark_spark.operators.terms import incremental_dedup
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+
+    fn = ops.filter_funnel(
+        d, [("en", F.col("lang") == "en"), ("long", F.col("n_chars") >= 200)]
+    )
+    facts = inspect.plan_facts(fn)
+    assert facts.n_exchanges == 1  # one scalar agg, no row shuffle
+    inspect.assert_scan_pruned(fn, {"lang", "n_chars"})
+
+    h = ops.numeric_histogram(li, "l_quantity", bins=10)
+    inspect.assert_scan_pruned(h, {"l_quantity"})
+    assert inspect.plan_facts(h).n_sortmerge_joins == 0
+
+    efn = event_funnel(ev, ["view", "click", "purchase"], horizon_hours=72)
+    pushed = " ".join(inspect.plan_facts(efn).pushed_filters)
+    # each step's type filter must reach its scan
+    for step in ("view", "click", "purchase"):
+        assert f"EqualTo(event_type,{step})" in pushed, pushed
+    assert "CartesianProduct" not in inspect.executed_plan(efn)
+
+    inc = incremental_dedup(
+        d.where("doc_id >= 25"), d.where("doc_id < 25"), "text", "doc_id"
+    )
+    exe = inspect.executed_plan(inc)
+    assert "CartesianProduct" not in exe and "BroadcastNestedLoopJoin" not in exe
