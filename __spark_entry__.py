@@ -445,6 +445,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["event_funnel"] = event_funnel
 
+    def retention_cohorts(spark, sf_dir):
+        from tableone_pyspark_spark.operators.relational import (
+            retention_cohorts as rc,
+        )
+
+        # the synthetic users fire events every week, which collapses
+        # the triangle to one fully-retained cohort; a sparse
+        # deterministic slice (~1% of events) staggers first-activity
+        # weeks so the cohort/offset/retention shape is exercised
+        ev = _load(spark, sf_dir, "events").where(F.col("event_id") % 97 == 0)
+        return rc(ev)
+
+    q["retention_cohorts"] = retention_cohorts
+
     def incremental_dedup(spark, sf_dir):
         from tableone_pyspark_spark.operators.terms import incremental_dedup as inc
 
@@ -1179,18 +1193,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # twice-green unchanged keepers (top_orders, sales_cube,
         # asof_events, user_sessions, events_type_stats, events_hourly,
         # text_stats, binary_stats, lang_confusion, exact_dedup_stats,
-        # ngram_jaccard, multimodal_meta); queries whose code paths the
+        # ngram_jaccard, multimodal_meta, frame_stats); queries whose code paths the
         # round-3 memo refactor touched (minhash/simhash/embedding
         # families) stay in-window
         "pii_profile", "quota_sample", "decontam_stats", "dup_ngram_stats",
         "pack_sequences", "weighted_sample",
         "semantic_dedup_keep", "value_histogram",
         "filter_funnel", "mixture_weights",
-        "event_funnel", "incremental_dedup",
+        "event_funnel", "incremental_dedup", "retention_cohorts",
         "minhash_pairs", "simhash_sigs", "embedding_topk",
         "embedding_neardup", "embedding_lsh_topk", "lsh_recall",
         "skew_profile", "quantize_profile", "tfidf_terms", "winnow_fps",
-        "winnow_overlap", "frame_stats",
+        "winnow_overlap",
         "stream_hourly",
     ]
     assert len(_front) == 50 and len(set(_front)) == 50
@@ -1411,6 +1425,24 @@ def oracle_sql() -> dict[str, str]:
         "AS conv_from_prev, "
         "ROUND(CAST(n_users AS DOUBLE) / first_value(n_users) OVER (ORDER BY step), 6) "
         "AS conv_from_first FROM c"
+    )
+
+    o["retention_cohorts"] = (
+        "WITH e AS (SELECT user_id AS u, "
+        "CAST(date_trunc('week', ts) AS DATE) AS wk FROM events "
+        "WHERE event_id % 97 = 0), "
+        "f AS (SELECT u, min(wk) AS cohort_week FROM e GROUP BY 1), "
+        "a AS (SELECT DISTINCT u, wk FROM e), "
+        "h AS (SELECT cohort_week, "
+        "CAST(date_diff('day', cohort_week, wk) // 7 AS INT) AS week_offset, "
+        "count(*) AS n_active "
+        "FROM a JOIN f USING (u) "
+        "WHERE date_diff('day', cohort_week, wk) // 7 <= 8 "
+        "GROUP BY 1, 2) "
+        "SELECT cohort_week, week_offset, n_active, "
+        "ROUND(CAST(n_active AS DOUBLE) / max(CASE WHEN week_offset = 0 "
+        "THEN n_active END) OVER (PARTITION BY cohort_week), 6) AS retention "
+        "FROM h"
     )
 
     # headerless-PCM audio probe stub: payload-derived rate, rms of bytes

@@ -274,3 +274,51 @@ def event_funnel(
             "conv_from_first"
         ),
     )
+
+
+def retention_cohorts(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    max_week_offset: int = 8,
+) -> DataFrame:
+    """Weekly cohort retention triangle: users are cohorted by the ISO
+    week of their first event; a cohort's week-k retention is the
+    fraction of its users active in cohort_week + k.
+
+    Scale story: two aggregations bounded by users — per-user first
+    week (one groupBy) and distinct (user, week) activity (map-side
+    partial dedup) — joined on the user key; the final count runs on
+    (cohort, offset) pairs, a frame bounded by weeks², and the
+    denominator joins back from the offset-0 row via a cohort window.
+    Events themselves are scanned once per aggregation and never
+    pairwise-joined. Returns (cohort_week, week_offset, n_active,
+    retention).
+    """
+    ev = events.select(
+        F.col(user_col).alias("u"),
+        F.date_trunc("week", F.col(ts_col).cast("timestamp")).cast("date").alias("wk"),
+    )
+    first = ev.groupBy("u").agg(F.min("wk").alias("cohort_week"))
+    active = ev.distinct()
+    hits = (
+        active.join(first, "u")
+        .select(
+            "cohort_week",
+            (F.datediff(F.col("wk"), F.col("cohort_week")) / 7)
+            .cast("int")
+            .alias("week_offset"),
+            "u",
+        )
+        .where(F.col("week_offset") <= max_week_offset)
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
+    w = Window.partitionBy("cohort_week")
+    base = F.max(F.when(F.col("week_offset") == 0, F.col("n_active"))).over(w)
+    return hits.select(
+        "cohort_week",
+        "week_offset",
+        "n_active",
+        F.round(F.col("n_active") / base, 6).alias("retention"),
+    )

@@ -150,3 +150,24 @@ def test_event_funnel_ordering_and_horizon(spark):
     assert out["purchase"]["n_users"] == 1
     assert out["view"]["conv_from_prev"] is None
     assert abs(out["click"]["conv_from_first"] - 1 / 3) < 5e-7
+
+
+def test_retention_cohorts_triangle(spark):
+    from tableone_pyspark_spark.operators.relational import retention_cohorts
+
+    rows = [
+        # cohort week of Jan 1: u1 active weeks 0,1; u2 week 0 only
+        (1, "2024-01-01 10:00:00"), (1, "2024-01-08 10:00:00"),
+        (2, "2024-01-02 10:00:00"),
+        # cohort week of Jan 8: u3 active weeks 0 and 2
+        (3, "2024-01-10 10:00:00"), (3, "2024-01-22 10:00:00"),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts string")
+    out = {(str(r["cohort_week"]), r["week_offset"]): r
+           for r in retention_cohorts(ev).collect()}
+    assert out[("2024-01-01", 0)]["n_active"] == 2
+    assert out[("2024-01-01", 1)]["n_active"] == 1
+    assert out[("2024-01-01", 1)]["retention"] == 0.5
+    assert out[("2024-01-08", 0)]["n_active"] == 1
+    assert out[("2024-01-08", 2)]["retention"] == 1.0
+    assert ("2024-01-08", 1) not in out  # no activity -> no row
