@@ -111,8 +111,12 @@ def main() -> None:
                 "timings are SINGLE-RUN inside one long shared session on a "
                 "shared host: deltas under ~2x between rounds are noise "
                 "(BASELINE.md protocol note); re-measure solo before "
-                "grading a regression (r2 example: curate_documents read "
-                "14.3 s in the loop, solo median 1.0 s, code unchanged).",
+                "grading a regression (r3 example: a contended run read "
+                "curate_documents at 39 s vs 1.5 s quiet-machine solo, "
+                "code unchanged). Memoized artifact families (minhash "
+                "pair graph, IVF index, SRP buckets, simhash signatures) "
+                "pay their build in the FIRST family query of the loop; "
+                "later members read the persisted artifact.",
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
