@@ -806,6 +806,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["events_hourly"] = events_hourly
 
+    def daily_quantiles(spark, sf_dir):
+        from tableone_pyspark_spark.functions.events import daily_value_quantiles
+
+        return daily_value_quantiles(_load(spark, sf_dir, "events"))
+
+    q["daily_quantiles"] = daily_quantiles
+
+    def hourly_anomalies(spark, sf_dir):
+        from tableone_pyspark_spark.functions.events import hourly_count_anomalies
+
+        return hourly_count_anomalies(_load(spark, sf_dir, "events"))
+
+    q["hourly_anomalies"] = hourly_anomalies
+
     # ---- streaming TableOne (real Structured Streaming execution) -------
     def stream_hourly(spark, sf_dir):
         from tableone_pyspark_spark.sources.testdata import events_stream
@@ -2161,6 +2175,28 @@ def oracle_sql() -> dict[str, str]:
         "SELECT event_type, CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hour_id, "
         "count(*) AS n, ROUND(avg(value), 6) AS avg_value, "
         "ROUND(sum(value), 6) AS sum_value FROM events GROUP BY 1, 2"
+    )
+    o["daily_quantiles"] = (
+        "SELECT CAST(date_trunc('day', ts) AS DATE) AS day, "
+        "count(value) AS n, "
+        "ROUND(quantile_cont(value, 0.25), 6) AS q25, "
+        "ROUND(quantile_cont(value, 0.50), 6) AS q50, "
+        "ROUND(quantile_cont(value, 0.75), 6) AS q75, "
+        "ROUND(quantile_cont(value, 0.95), 6) AS q95 "
+        "FROM events GROUP BY 1"
+    )
+    o["hourly_anomalies"] = (
+        "WITH c AS (SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hour_id, "
+        "count(*) AS n FROM events GROUP BY 1), "
+        "w AS (SELECT hour_id, n, count(n) OVER win AS bn, avg(n) OVER win AS m, "
+        "stddev_samp(CAST(n AS DOUBLE)) OVER win AS s FROM c "
+        "WINDOW win AS (ORDER BY hour_id ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)) "
+        "SELECT hour_id, n, "
+        "ROUND(CASE WHEN bn = 24 THEN m END, 6) AS base_mean, "
+        "ROUND(CASE WHEN bn = 24 THEN s END, 6) AS base_std, "
+        "ROUND(CASE WHEN bn = 24 AND s > 0 THEN (n - m) / s END, 6) AS z, "
+        "COALESCE(abs(CASE WHEN bn = 24 AND s > 0 THEN (n - m) / s END) >= 3.0, "
+        "false) AS is_anomaly FROM w"
     )
     o["stream_hourly"] = (
         "SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) * 3600 AS window_start_epoch, "

@@ -62,3 +62,83 @@ def type_value_stats(events: DataFrame) -> DataFrame:
             F.round(F.avg("k"), 6).alias("avg_k"),
         )
     )
+
+
+def daily_value_quantiles(
+    events: DataFrame,
+    value_col: str = "value",
+    ts_col: str = "ts",
+    probs: tuple = (0.25, 0.5, 0.75, 0.95),
+) -> DataFrame:
+    """Per-day exact (interpolated) quantiles of a value column — the
+    distribution-over-time monitor a pipeline watches for drift that
+    means/sums hide.
+
+    One groupBy(day): Spark's sort-based exact ``percentile`` holds the
+    per-group values in the aggregation buffer, so memory is bounded by
+    the largest single day — right for monitoring granularities (a day
+    of one metric), wrong for whole-corpus groups; at unbounded group
+    sizes switch to ``percentile_approx`` and accept sketch error.
+    Returns (day, n, q25, q50, q75, q95).
+    """
+    day = F.date_trunc("day", F.col(ts_col).cast("timestamp")).cast("date")
+    pct = F.percentile(F.col(value_col), F.array(*[F.lit(p) for p in probs]))
+    return (
+        events.select(day.alias("day"), value_col)
+        .groupBy("day")
+        .agg(F.count(F.col(value_col)).alias("n"), pct.alias("q"))
+        .select(
+            "day",
+            "n",
+            *[
+                F.round(F.col("q")[i], 6).alias(f"q{int(p * 100)}")
+                for i, p in enumerate(probs)
+            ],
+        )
+    )
+
+
+def hourly_count_anomalies(
+    events: DataFrame,
+    ts_col: str = "ts",
+    trailing_hours: int = 24,
+    z_threshold: float = 3.0,
+) -> DataFrame:
+    """Hourly event-count anomaly flags: each hour's count scored
+    against the mean/stddev of the TRAILING ``trailing_hours`` fully
+    preceding hours (self excluded — the baseline an alert would have
+    had at the time). The pattern behind every volume monitor.
+
+    One count aggregation to an hours-sized frame, then rows-window
+    stats over that frame — the window runs over per-hour counts, never
+    raw events, so the full corpus is scanned once and the window state
+    is O(trailing_hours). Hours with no complete baseline (fewer than
+    ``trailing_hours`` predecessors) emit null z / false flag.
+    Returns (hour_id, n, base_mean, base_std, z, is_anomaly).
+    """
+    from pyspark.sql import Window
+
+    hour = (F.unix_timestamp(F.col(ts_col).cast("timestamp")) / 3600).cast("bigint")
+    counts = (
+        events.select(hour.alias("hour_id"))
+        .groupBy("hour_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = (
+        Window.orderBy("hour_id")
+        .rowsBetween(-trailing_hours, -1)
+    )
+    base_n = F.count("n").over(w)
+    mean = F.avg("n").over(w)
+    std = F.stddev_samp(F.col("n").cast("double")).over(w)
+    z = F.when(
+        (base_n == trailing_hours) & (std > 0), (F.col("n") - mean) / std
+    )
+    return counts.select(
+        "hour_id",
+        "n",
+        F.round(F.when(base_n == trailing_hours, mean), 6).alias("base_mean"),
+        F.round(F.when(base_n == trailing_hours, std), 6).alias("base_std"),
+        F.round(z, 6).alias("z"),
+        F.coalesce(F.abs(z) >= z_threshold, F.lit(False)).alias("is_anomaly"),
+    )

@@ -217,3 +217,50 @@ def test_stream_interval_join_matches_batch(spark):
     )
     assert len(batch) > 0
     assert streamed == batch
+
+
+def test_daily_value_quantiles_exact(spark):
+    rows = [(f"2024-01-0{d} 0{h}:00:00", float(v))
+            for d, vals in ((1, [1, 2, 3, 4]), (2, [10, 20, 30, 40]))
+            for h, v in enumerate(vals)]
+    ev = spark.createDataFrame(rows, "ts string, value double")
+    from tableone_pyspark_spark.functions.events import daily_value_quantiles
+
+    out = {str(r["day"]): r for r in daily_value_quantiles(ev).collect()}
+    # linear interpolation: q25 of [1,2,3,4] = 1.75, q50 = 2.5
+    assert out["2024-01-01"]["n"] == 4
+    assert out["2024-01-01"]["q25"] == 1.75
+    assert out["2024-01-01"]["q50"] == 2.5
+    assert out["2024-01-02"]["q75"] == 32.5
+
+
+def test_hourly_count_anomalies_trailing_baseline(spark):
+    # 24 calm hours of 10 events, then one 100-event spike hour
+    rows = []
+    for h in range(24):
+        rows += [(f"2024-01-01 {h:02d}:00:{s:02d}",) for s in range(10)]
+    rows += [("2024-01-02 00:00:%02d" % s,) for s in range(40)]
+    ev = spark.createDataFrame(rows, "ts string")
+    from tableone_pyspark_spark.functions.events import hourly_count_anomalies
+
+    out = sorted(
+        hourly_count_anomalies(ev).collect(), key=lambda r: r["hour_id"]
+    )
+    # first 24 hours: incomplete baseline -> no z, not anomalous
+    assert all(r["z"] is None and not r["is_anomaly"] for r in out[:24])
+    # the spike hour has a full 24h flat baseline: std == 0 -> z null,
+    # flag false (degenerate-baseline policy), but base_mean reported
+    assert out[24]["base_mean"] == 10.0 and out[24]["base_std"] == 0.0
+    assert out[24]["z"] is None and not out[24]["is_anomaly"]
+    # perturb: two extra events in hour 3 give the baseline variance,
+    # so the spike hour now gets a real z and flags
+    ev2 = spark.createDataFrame(
+        rows + [("2024-01-01 03:00:59",), ("2024-01-01 03:00:58",)],
+        "ts string",
+    )
+    out2 = sorted(
+        hourly_count_anomalies(ev2).collect(), key=lambda r: r["hour_id"]
+    )
+    spike = out2[-1]
+    assert spike["n"] == 40 and spike["base_std"] > 0
+    assert spike["is_anomaly"] and spike["z"] > 3
