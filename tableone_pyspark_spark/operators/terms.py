@@ -101,7 +101,23 @@ def winnow_fingerprints(
     ``word_shingles`` emits); the sliding minimum is a rows-window over
     each doc partition: one shuffle on the id, linear per partition.
     Returns distinct (id, fingerprint).
+
+    The fingerprint table is a session-memoized per-corpus artifact
+    (:mod:`core.memo`): the listing query, overlap pairing and
+    incremental dedup all consume it, and must not re-shingle and
+    re-window the corpus each time.
     """
+    from tableone_pyspark_spark.core.memo import memo_df, memo_key
+
+    mkey = memo_key(df, text_col, id_col, n, window, "winnow-v1")
+    return memo_df(
+        "winnow_fps", mkey, lambda: _winnow_fingerprints_build(df, text_col, id_col, n, window)
+    )
+
+
+def _winnow_fingerprints_build(
+    df: DataFrame, text_col: str, id_col: str, n: int, window: int
+) -> DataFrame:
     words = F.split(normalize_text(F.col(text_col)), " ")
     k = F.size(words) - (n - 1)
     grams = F.when(
