@@ -730,6 +730,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["semantic_dedup_keep"] = semantic_dedup_keep
 
+    def cell_quality(spark, sf_dir):
+        from tableone_pyspark_spark.operators.ml_lsh import cell_quality_profile
+
+        e = _load(spark, sf_dir, "embeddings")
+        d = _load(spark, sf_dir, "documents")
+        return cell_quality_profile(e, d, n_centroids=16)
+
+    q["cell_quality"] = cell_quality
+
     def value_histogram(spark, sf_dir):
         li = _load(spark, sf_dir, "lineitem")
         return ops.numeric_histogram(li, "l_extendedprice", bins=20)
@@ -2142,10 +2151,26 @@ def oracle_sql() -> dict[str, str]:
             "FROM a LEFT JOIN p ON a.vec_id = p.dup_id"
         )
 
+    def _cell_quality_sql(sf_dir: str = "/root/testdata/sf0.01") -> str:
+        C, c_norm2 = _ivf_centroids(sf_dir)
+        d_list = "[" + ", ".join(
+            f"-2.0 * {_fold_dot('v', C[j])} + {float(c_norm2[j])!r}" for j in range(16)
+        ) + "]"
+        return (
+            "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), "
+            f"dl AS (SELECT vec_id, v, {d_list} AS ds FROM e), "
+            "a AS (SELECT vec_id, CAST(list_indexof(ds, list_min(ds)) - 1 AS INT) AS cell FROM dl), "
+            f"f AS (SELECT doc_id, {QUALITY} AS q, {TC} AS t FROM documents) "
+            "SELECT cell, count(*) AS n, ROUND(avg(q), 6) AS avg_quality, "
+            "ROUND(avg(t), 6) AS avg_tokens "
+            "FROM a JOIN f ON a.vec_id = f.doc_id GROUP BY 1"
+        )
+
     try:
         o["embedding_ivf_topk"] = _ivf_topk_sql()
         o["kmeans_profile"] = _kmeans_profile_sql()
         o["semantic_dedup_keep"] = _semantic_dedup_sql(threshold=0.4)
+        o["cell_quality"] = _cell_quality_sql()
     except Exception:
         pass  # no sf0.01 testdata at oracle-build time → rows-only
 

@@ -363,3 +363,47 @@ def semantic_dedup(
             F.col("dup_id").isNull().alias("keep"),
         )
     )
+
+
+def cell_quality_profile(
+    vectors: DataFrame,
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "vec_id",
+    doc_id_col: str = "doc_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    train_limit: int = 16384,
+) -> DataFrame:
+    """Per-semantic-cell text-quality profile: the cross-modal curation
+    diagnostic ("which semantic regions of the corpus are low
+    quality?") behind cluster-aware filtering and curriculum mixing.
+    Joins the memoized IVF cell assignment (:func:`ivf_assign` — built
+    once, shared with top-k/recall/SemDedup) against per-document
+    quality and token features on the id key.
+
+    Scale story: the feature side is a pruned projection of the
+    documents scan (quality/token expressions are pure Catalyst); the
+    join is id-keyed equi (no payloads beyond two doubles); the final
+    aggregation lands on n_centroids rows. Returns (cell, n,
+    avg_quality, avg_tokens).
+    """
+    from tableone_pyspark_spark.functions.text import quality_score, token_count
+
+    assigned = ivf_assign(vectors, id_col, vec_col, n_centroids, train_limit).select(
+        F.col("neighbor_id").alias("_jid"), "cell"
+    )
+    feats = docs.select(
+        F.col(doc_id_col).alias("_jid"),
+        quality_score(F.col(text_col)).alias("q"),
+        token_count(F.col(text_col)).alias("t"),
+    )
+    return (
+        assigned.join(feats, "_jid")
+        .groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("q"), 6).alias("avg_quality"),
+            F.round(F.avg("t"), 6).alias("avg_tokens"),
+        )
+    )

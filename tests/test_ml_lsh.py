@@ -109,3 +109,15 @@ def test_semantic_dedup_shares_ivf_index(spark):
     a = ml_lsh.ivf_assign(emb)
     b = ml_lsh.ivf_assign(spark.read.parquet(f"{SF}/embeddings.parquet"))
     assert a is b
+
+
+def test_cell_quality_profile_covers_corpus(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    out = ml_lsh.cell_quality_profile(emb, docs).collect()
+    joined = emb.join(
+        docs, emb.vec_id == docs.doc_id, "inner"
+    ).count()
+    assert sum(r["n"] for r in out) == joined  # every joined doc in exactly one cell
+    assert all(0.0 <= r["avg_quality"] <= 1.0 for r in out)
+    assert all(r["avg_tokens"] > 0 for r in out)
