@@ -350,10 +350,14 @@ def semantic_dedup(
         .select(F.col("id_a").alias("dup_id"))
         .distinct()
     )
+    # NO broadcast hint on the attach join: unlike CC labels (tiny at
+    # any realistic exact-dup rate), a SemDedup drop set can be a large
+    # fraction of a web corpus — let AQE pick broadcast only when the
+    # runtime size allows
     return (
         assigned.select(F.col("neighbor_id").alias(id_col), "cell")
         .join(
-            F.broadcast(dropped),
+            dropped,
             F.col(id_col) == F.col("dup_id"),
             "left",
         )

@@ -327,6 +327,11 @@ def numeric_histogram(
     c = F.col(_q(col)).cast("double")
     if lo is None or hi is None:
         row = df.agg(F.min(c).alias("lo"), F.max(c).alias("hi")).first()
+        if row["lo"] is None or row["hi"] is None:
+            raise ValueError(
+                f"numeric_histogram: '{col}' has no non-null values; "
+                "pass explicit lo/hi to bucket an empty input"
+            )
         lo = float(row["lo"]) if lo is None else lo
         hi = float(row["hi"]) if hi is None else hi
     width = (hi - lo) / bins or 1.0
