@@ -1013,6 +1013,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["mixture_weights"] = mixture_weights
 
+    def profile_drift(spark, sf_dir):
+        orders = _load(spark, sf_dir, "orders")
+        return ops.profile_drift(
+            orders.where(F.col("o_orderkey") % 2 == 0),
+            orders.where(F.col("o_orderkey") % 2 == 1),
+            ["o_totalprice", "o_orderstatus", "o_custkey"],
+        )
+
+    q["profile_drift"] = profile_drift
+
     def label_centroids(spark, sf_dir):
         e = _load(spark, sf_dir, "embeddings")
         return sim.label_centroids(e, "label", "embedding")
@@ -2316,6 +2326,39 @@ def oracle_sql() -> dict[str, str]:
         "AND CAST(o.o_orderdate AS DATE) + INTERVAL 7 DAY "
         "WHERE o.o_custkey < 10 GROUP BY 1"
     )
+
+    def _profile_drift_sql() -> str:
+        cols = [("o_totalprice", True), ("o_orderstatus", False), ("o_custkey", True)]
+
+        def melt(side_pred: str) -> str:
+            parts = []
+            for c, numeric in cols:
+                # every branch MUST aggregate: a constant-NULL select
+                # FROM orders would emit one row per input row and blow
+                # up the (col, metric) join
+                null_agg = "CAST(max(CAST(NULL AS DOUBLE)) AS DOUBLE)"
+                mn = f"CAST(min({c}) AS DOUBLE)" if numeric else null_agg
+                mx = f"CAST(max({c}) AS DOUBLE)" if numeric else null_agg
+                me = f"ROUND(avg({c}), 6)" if numeric else null_agg
+                parts += [
+                    f"SELECT '{c}' AS col, 'n_rows' AS metric, CAST(count(*) AS DOUBLE) AS value FROM orders WHERE {side_pred}",
+                    f"SELECT '{c}', 'n_nulls', CAST(count(*) - count({c}) AS DOUBLE) FROM orders WHERE {side_pred}",
+                    f"SELECT '{c}', 'n_distinct', CAST(count(DISTINCT {c}) AS DOUBLE) FROM orders WHERE {side_pred}",
+                    f"SELECT '{c}', 'min_value', {mn} FROM orders WHERE {side_pred}",
+                    f"SELECT '{c}', 'max_value', {mx} FROM orders WHERE {side_pred}",
+                    f"SELECT '{c}', 'mean_value', {me} FROM orders WHERE {side_pred}",
+                ]
+            return " UNION ALL ".join(parts)
+
+        return (
+            f"WITH ma AS ({melt('o_orderkey % 2 = 0')}), "
+            f"mb AS ({melt('o_orderkey % 2 = 1')}) "
+            "SELECT col, metric, ma.value AS value_a, mb.value AS value_b, "
+            "ROUND(mb.value - ma.value, 6) AS delta "
+            "FROM ma FULL JOIN mb USING (col, metric)"
+        )
+
+    o["profile_drift"] = _profile_drift_sql()
 
     o["profile_lineitem"] = (
         "SELECT col, n_rows, n_rows - n_non_null AS n_nulls, n_distinct, "

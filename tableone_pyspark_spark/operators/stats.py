@@ -397,3 +397,45 @@ def filter_funnel(
             F.round((F.col("n_in") - F.col("n_out")) / F.col("n_in"), 6),
         ).alias("drop_rate"),
     )
+
+
+def profile_drift(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    cols: list[str] | None = None,
+    approx_distinct: bool = False,
+) -> DataFrame:
+    """Snapshot-to-snapshot profile diff — the gate a pipeline runs
+    between ingests to catch schema drift, null-rate spikes, and
+    cardinality collapse before they poison downstream stages.
+
+    Two one-pass profiles (:func:`data_profile` — so the HLL mode's
+    cardinality-independent scaling applies here too) melted to
+    (col, metric, value) and FULL-outer-joined on (col, metric):
+    columns present in only one snapshot — the schema-drift case —
+    surface as rows with one side null instead of vanishing. All
+    post-profile shaping runs on k-columns × 6-metrics rows.
+    Returns (col, metric, value_a, value_b, delta).
+    """
+    melt_expr = (
+        "stack(6, "
+        "'n_rows', CAST(n_rows AS DOUBLE), "
+        "'n_nulls', CAST(n_nulls AS DOUBLE), "
+        "'n_distinct', CAST(n_distinct AS DOUBLE), "
+        "'min_value', min_value, "
+        "'max_value', max_value, "
+        "'mean_value', mean_value) AS (metric, value)"
+    )
+    pa = data_profile(df_a, cols, approx_distinct).selectExpr("col", melt_expr)
+    pb = data_profile(df_b, cols, approx_distinct).selectExpr("col", melt_expr)
+    return (
+        pa.withColumnRenamed("value", "value_a")
+        .join(pb.withColumnRenamed("value", "value_b"), ["col", "metric"], "full_outer")
+        .select(
+            "col",
+            "metric",
+            "value_a",
+            "value_b",
+            F.round(F.col("value_b") - F.col("value_a"), 6).alias("delta"),
+        )
+    )

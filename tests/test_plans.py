@@ -282,3 +282,16 @@ def test_new_curation_ops_plan_shapes(spark):
     )
     exe = inspect.executed_plan(inc)
     assert "CartesianProduct" not in exe and "BroadcastNestedLoopJoin" not in exe
+
+
+def test_profile_drift_schema_change_survives(spark):
+    a = spark.createDataFrame([(1, "x"), (2, None)], "id long, s string")
+    b = spark.createDataFrame([(1.0,), (2.0,), (3.0,)], "id double")
+    out = {(r["col"], r["metric"]): r for r in ops.profile_drift(a, b).collect()}
+    # column present in both: real delta
+    assert out[("id", "n_rows")]["delta"] == 1.0
+    # column dropped in snapshot b surfaces with value_b null (schema drift)
+    assert out[("s", "n_rows")]["value_b"] is None
+    assert out[("s", "n_nulls")]["value_a"] == 1.0
+    # all 6 metrics × union of columns present
+    assert len(out) == 12
