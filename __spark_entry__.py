@@ -1237,8 +1237,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_pairs", "simhash_sigs", "embedding_topk",
         "embedding_neardup", "embedding_lsh_topk", "lsh_recall",
         "skew_profile", "quantize_profile", "tfidf_terms", "winnow_fps",
-        "winnow_overlap",
-        "stream_hourly",
+        "winnow_overlap", "cell_quality",
     ]
     assert len(_front) == 50 and len(set(_front)) == 50
     assert set(_front) <= set(q), sorted(set(_front) - set(q))
