@@ -108,3 +108,73 @@ def write_bucketed(
         .format("parquet")
         .saveAsTable(table)
     )
+
+
+def zorder_value(df: DataFrame, cols: list[str], bits: int = 16):
+    """Z-order (Morton) key over numeric columns as a pure-Catalyst
+    expression: each column is range-scaled to ``bits`` fixed-point
+    bits (one bounded min/max collect), then bit-interleaved. Rows
+    close in z are close in EVERY dimension, so range-partitioning by
+    z gives each output file a narrow min/max rectangle across all
+    ``cols`` at once — the multi-column data-skipping layout a single
+    sort column cannot provide.
+    """
+    from pyspark.sql import functions as F
+
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.min(F.col(c).cast("double")).alias(f"mn_{c}"),
+            F.max(F.col(c).cast("double")).alias(f"mx_{c}"),
+        ]
+    row = df.agg(*aggs).first()
+    scaled = []
+    top = (1 << bits) - 1
+    for c in cols:
+        lo, hi = float(row[f"mn_{c}"]), float(row[f"mx_{c}"])
+        width = (hi - lo) or 1.0
+        s = F.least(
+            F.lit(top),
+            F.greatest(
+                F.lit(0),
+                F.floor((F.col(c).cast("double") - F.lit(lo)) / F.lit(width) * top),
+            ),
+        ).cast("long")
+        scaled.append(s)
+    z = F.lit(0).cast("long")
+    for b in range(bits):
+        for i, s in enumerate(scaled):
+            z = z.bitwiseOR(
+                F.shiftleft(
+                    F.shiftright(s, b).bitwiseAND(F.lit(1)), b * len(cols) + i
+                )
+            )
+    return z
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    zorder_by: list[str],
+    n_files: int = 32,
+    bits: int = 16,
+    mode: str = "overwrite",
+) -> None:
+    """Write parquet laid out by Z-order over ``zorder_by``: range
+    partition on the interleaved key, sort within partitions, write.
+    Each output file then spans a narrow min/max range in EVERY
+    z-ordered column, so parquet row-group/file stats prune scans
+    filtered on ANY of them — the layout step behind data-skipping
+    on 100 TB fact tables (one extra range shuffle at write time,
+    amortized over every subsequent selective read).
+    """
+    z = zorder_value(df, zorder_by, bits)
+    (
+        df.withColumn("__z", z)
+        .repartitionByRange(n_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode(mode)
+        .format("parquet")
+        .save(path)
+    )

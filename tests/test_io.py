@@ -76,3 +76,45 @@ def test_bucketed_join_is_shuffle_free(spark, tmp_path):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS t_bk_orders")
         spark.sql("DROP TABLE IF EXISTS t_bk_lineitem")
+
+
+def test_zorder_write_narrow_file_rectangles(spark, tmp_path):
+    import pyarrow.parquet as pq
+    from pathlib import Path
+
+    from tableone_pyspark_spark.sources.io import write_zordered
+
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").select(
+        "l_orderkey", "l_partkey", "l_quantity"
+    )
+    out = str(tmp_path / "zorder")
+    write_zordered(li, out, ["l_orderkey", "l_partkey"], n_files=8)
+
+    files = sorted(Path(out).glob("*.parquet"))
+    assert len(files) >= 4
+    total = 0
+    ranges = {"l_orderkey": [], "l_partkey": []}
+    for f in files:
+        md = pq.read_metadata(str(f))
+        total += md.num_rows
+        if md.num_rows == 0:
+            continue
+        sch = pq.read_schema(str(f))
+        for col in ranges:
+            idx = sch.names.index(col)
+            mins, maxs = [], []
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                mins.append(st.min); maxs.append(st.max)
+            ranges[col].append(max(maxs) - min(mins))
+    assert total == li.count()  # layout is a permutation, no loss
+    # each file's rectangle must be materially narrower than the global
+    # range in BOTH interleaved dimensions (a single-column sort would
+    # leave the second dimension at ~full width in every file)
+    for col, spans in ranges.items():
+        stats = li.agg(
+            F.min(col).alias("mn"), F.max(col).alias("mx")
+        ).first()
+        global_span = stats["mx"] - stats["mn"]
+        avg_span = sum(spans) / len(spans)
+        assert avg_span < 0.6 * global_span, (col, avg_span, global_span)
