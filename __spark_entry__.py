@@ -859,6 +859,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["stream_hourly"] = stream_hourly
 
+    def stream_enriched(spark, sf_dir):
+        from tableone_pyspark_spark.sources.testdata import events_stream
+        from tableone_pyspark_spark.streaming.stream_stats import (
+            streaming_enriched_stats,
+        )
+
+        stream = events_stream(spark, sf_dir).select("ts", "user_id", "value")
+        dim = _load(spark, sf_dir, "customer")
+        out = streaming_enriched_stats(stream, dim)
+        query = (
+            out.writeStream.format("memory")
+            .queryName("stream_enriched_sink")
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+        res = spark.table("stream_enriched_sink")
+        return res.select(
+            F.col("window_start").cast("long").alias("window_start_epoch"),
+            "c_mktsegment",
+            "n",
+            "sum_value",
+        )
+
+    q["stream_enriched"] = stream_enriched
+
     def stream_sessions(spark, sf_dir):
         from tableone_pyspark_spark.sources.testdata import events_stream
         from tableone_pyspark_spark.streaming.stream_stats import streaming_sessionize
@@ -2231,6 +2258,12 @@ def oracle_sql() -> dict[str, str]:
         "ROUND(CASE WHEN bn = 24 AND s > 0 THEN (n - m) / s END, 6) AS z, "
         "COALESCE(abs(CASE WHEN bn = 24 AND s > 0 THEN (n - m) / s END) >= 3.0, "
         "false) AS is_anomaly FROM w"
+    )
+    o["stream_enriched"] = (
+        "SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) * 3600 AS window_start_epoch, "
+        "c_mktsegment, count(value) AS n, ROUND(sum(value), 6) AS sum_value "
+        "FROM events JOIN customer ON events.user_id = customer.c_custkey "
+        "GROUP BY 1, 2"
     )
     o["stream_hourly"] = (
         "SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) * 3600 AS window_start_epoch, "

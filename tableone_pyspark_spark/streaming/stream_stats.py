@@ -275,3 +275,47 @@ def run_stream_over_parquet(
     )
     q.awaitTermination()
     return spark.table(sink_table)
+
+
+def streaming_enriched_stats(
+    stream: DataFrame,
+    dim: DataFrame,
+    join_keys: tuple = ("user_id", "c_custkey"),
+    enrich_col: str = "c_mktsegment",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-static enrichment join + windowed rollup — the canonical
+    Structured-Streaming dimension pattern: each micro-batch of events
+    joins a STATIC dimension table (no state needed for the static
+    side; Spark plans it as a per-batch broadcast when the dim is
+    small), then aggregates by (window × enriched attribute).
+
+    Scale story: the static side never enters streaming state — state
+    is only the (window × attribute) aggregates, dropped past the
+    watermark; a 100 TB event stream joins a dimension by broadcast
+    exactly as the batch star join does. Returns (window_start,
+    <enrich_col>, n, sum_value).
+    """
+    s_key, d_key = join_keys
+    if stream.isStreaming:
+        stream = stream.withWatermark(ts_col, watermark)
+    enriched = stream.join(
+        F.broadcast(dim.select(F.col(d_key).alias(s_key), enrich_col)),
+        s_key,
+    )
+    v = F.col(value_col).cast("double")
+    return (
+        enriched.groupBy(
+            F.window(F.col(ts_col), window).alias("win"), F.col(enrich_col)
+        )
+        .agg(F.count(v).alias("n"), F.round(F.sum(v), 6).alias("sum_value"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            enrich_col,
+            "n",
+            "sum_value",
+        )
+    )

@@ -264,3 +264,34 @@ def test_hourly_count_anomalies_trailing_baseline(spark):
     spike = out2[-1]
     assert spike["n"] == 40 and spike["base_std"] > 0
     assert spike["is_anomaly"] and spike["z"] > 3
+
+
+def test_stream_static_enrichment_equals_batch(spark):
+    from tableone_pyspark_spark.sources.testdata import events_stream, load_events
+    from tableone_pyspark_spark.streaming.stream_stats import streaming_enriched_stats
+
+    sf = "/root/testdata/sf0.001"
+    dim = spark.read.parquet(f"{sf}/customer.parquet")
+    stream = events_stream(spark, sf).select("ts", "user_id", "value")
+    out = streaming_enriched_stats(stream, dim)
+    assert out.isStreaming
+    q = (
+        out.writeStream.format("memory")
+        .queryName("t_enriched")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["window_start"], r["c_mktsegment"]): (r["n"], r["sum_value"])
+        for r in spark.table("t_enriched").collect()
+    }
+    batch = streaming_enriched_stats(
+        load_events(spark, sf).select("ts", "user_id", "value"), dim
+    )
+    want = {
+        (r["window_start"], r["c_mktsegment"]): (r["n"], r["sum_value"])
+        for r in batch.collect()
+    }
+    assert got == want  # real streaming run ≡ identical batch plan
