@@ -1050,6 +1050,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["profile_drift"] = profile_drift
 
+    def corr_matrix(spark, sf_dir):
+        li = _load(spark, sf_dir, "lineitem")
+        return ops.correlation_matrix(
+            li, ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+        )
+
+    q["corr_matrix"] = corr_matrix
+
     def label_centroids(spark, sf_dir):
         e = _load(spark, sf_dir, "embeddings")
         return sim.label_centroids(e, "label", "embedding")
@@ -2391,6 +2399,29 @@ def oracle_sql() -> dict[str, str]:
         )
 
     o["profile_drift"] = _profile_drift_sql()
+
+    def _corr_matrix_sql() -> str:
+        cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+        parts = []
+        for i in range(len(cols)):
+            for j in range(i + 1, len(cols)):
+                a, b = cols[i], cols[j]
+                parts.append(
+                    f"SELECT '{a}' AS col_a, '{b}' AS col_b, count(*) AS n, "
+                    "sum(x) AS sx, sum(y) AS sy, sum(x*x) AS sxx, "
+                    "sum(y*y) AS syy, sum(x*y) AS sxy FROM ("
+                    f"SELECT CAST({a} AS DOUBLE) AS x, CAST({b} AS DOUBLE) AS y "
+                    f"FROM lineitem WHERE {a} IS NOT NULL AND {b} IS NOT NULL) t"
+                )
+        union = " UNION ALL ".join(parts)
+        return (
+            f"WITH m AS ({union}) SELECT col_a, col_b, n, "
+            "ROUND(CASE WHEN sqrt(n*sxx - sx*sx) * sqrt(n*syy - sy*sy) > 0 "
+            "THEN (n*sxy - sx*sy) / (sqrt(n*sxx - sx*sx) * sqrt(n*syy - sy*sy)) "
+            "END, 6) AS r FROM m"
+        )
+
+    o["corr_matrix"] = _corr_matrix_sql()
 
     o["profile_lineitem"] = (
         "SELECT col, n_rows, n_rows - n_non_null AS n_nulls, n_distinct, "

@@ -439,3 +439,50 @@ def profile_drift(
             F.round(F.col("value_b") - F.col("value_a"), 6).alias("delta"),
         )
     )
+
+
+def correlation_matrix(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Pairwise Pearson correlations for k numeric columns in ONE
+    aggregation pass — the feature-redundancy screen a pipeline runs
+    before training or mixture design.
+
+    All k(k+1)/2 sufficient sums (n, Σx, Σx², Σxy per pair, computed
+    over rows where BOTH columns are non-null) come from a single
+    scalar agg — one scan regardless of k; the melt to pair rows
+    happens on the 1-row aggregate. r is derived with the textbook
+    formula on both engines so the oracle replays it exactly.
+    Returns (col_a, col_b, n, r) for a < b pairs.
+    """
+    pairs = [(i, j) for i in range(len(cols)) for j in range(len(cols)) if i < j]
+    aggs: list[Column] = []
+    for pi, (i, j) in enumerate(pairs):
+        a = F.col(_q(cols[i])).cast("double")
+        b = F.col(_q(cols[j])).cast("double")
+        both = a.isNotNull() & b.isNotNull()
+        a2, b2 = F.when(both, a), F.when(both, b)
+        aggs += [
+            F.count(a2).alias(f"n_{pi}"),
+            F.sum(a2).alias(f"sx_{pi}"),
+            F.sum(b2).alias(f"sy_{pi}"),
+            F.sum(a2 * a2).alias(f"sxx_{pi}"),
+            F.sum(b2 * b2).alias(f"syy_{pi}"),
+            F.sum(a2 * b2).alias(f"sxy_{pi}"),
+        ]
+    one = df.agg(*aggs)
+    rows = ", ".join(
+        f"'{cols[i]}', '{cols[j]}', n_{pi}, sx_{pi}, sy_{pi}, sxx_{pi}, syy_{pi}, sxy_{pi}"
+        for pi, (i, j) in enumerate(pairs)
+    )
+    melted = one.selectExpr(
+        f"stack({len(pairs)}, {rows}) as (col_a, col_b, n, sx, sy, sxx, syy, sxy)"
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.sqrt(F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")) * F.sqrt(
+        F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    )
+    return melted.select(
+        "col_a",
+        "col_b",
+        "n",
+        F.round(F.when(den > 0, num / den), 6).alias("r"),
+    )

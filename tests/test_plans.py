@@ -295,3 +295,21 @@ def test_profile_drift_schema_change_survives(spark):
     assert out[("s", "n_nulls")]["value_a"] == 1.0
     # all 6 metrics × union of columns present
     assert len(out) == 12
+
+
+def test_correlation_matrix_one_pass_and_exact(spark, lineitem):
+    out = ops.correlation_matrix(lineitem, ["l_quantity", "l_extendedprice", "l_discount"])
+    # one scalar aggregation: a single exchange, pruned scan
+    assert inspect.plan_facts(out).n_exchanges == 1
+    inspect.assert_scan_pruned(out, {"l_quantity", "l_extendedprice", "l_discount"})
+    rows = {(r["col_a"], r["col_b"]): r for r in out.collect()}
+    assert len(rows) == 3
+    # cross-check one pair against Spark's own corr aggregate
+    want = lineitem.agg(F.corr("l_quantity", "l_extendedprice")).first()[0]
+    got = rows[("l_quantity", "l_extendedprice")]["r"]
+    assert abs(got - want) < 1e-6
+    # self-correlation of a column with itself is 1 by construction
+    self_r = ops.correlation_matrix(
+        lineitem.withColumn("l_q2", F.col("l_quantity")), ["l_quantity", "l_q2"]
+    ).collect()[0]["r"]
+    assert self_r == 1.0
