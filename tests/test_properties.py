@@ -85,3 +85,89 @@ def test_row_order_and_partition_invariance(spark, rows, seed):
                 ), (ra, rb)
             else:
                 assert va == vb, (ra, rb)
+
+
+# ---- round-3 curation operator invariants --------------------------------
+
+funnel_rows = st.lists(
+    st.tuples(st.sampled_from(["en", "de", "fr"]), st.integers(0, 500)),
+    min_size=1,
+    max_size=30,
+)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(rows=funnel_rows)
+def test_filter_funnel_chain_invariants(spark, rows):
+    from pyspark.sql import functions as F
+    from tableone_pyspark_spark.operators.stats import filter_funnel
+
+    df = spark.createDataFrame(rows, "lang string, n_chars long")
+    out = sorted(
+        filter_funnel(
+            df,
+            [("en", F.col("lang") == "en"), ("long", F.col("n_chars") >= 200)],
+        ).collect(),
+        key=lambda r: r["stage"],
+    )
+    # stage 0 sees every row; each stage can only shrink; chain links
+    assert out[0]["n_in"] == len(rows)
+    for r in out:
+        assert 0 <= r["n_out"] <= r["n_in"]
+        assert r["n_dropped"] == r["n_in"] - r["n_out"]
+    assert out[1]["n_in"] == out[0]["n_out"]
+    # final survivor count equals a direct filter
+    want = sum(1 for lang, n in rows if lang == "en" and n >= 200)
+    assert out[-1]["n_out"] == want
+
+
+hist_rows = st.lists(
+    st.one_of(st.none(), st.floats(-1e4, 1e4, allow_nan=False)),
+    min_size=1,
+    max_size=40,
+).filter(lambda xs: any(x is not None for x in xs))
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(vals=hist_rows, bins=st.integers(1, 12))
+def test_numeric_histogram_partition_of_rows(spark, vals, bins):
+    from tableone_pyspark_spark.operators.stats import numeric_histogram
+
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    out = sorted(
+        numeric_histogram(df, "x", bins=bins).collect(), key=lambda r: r["bucket"]
+    )
+    assert len(out) == bins and sorted(r["bucket"] for r in out) == list(range(bins))
+    # histogram is a partition: counts sum to the non-null rows
+    assert sum(r["n"] for r in out) == sum(1 for v in vals if v is not None)
+    # edges tile the [min, max] range
+    lo = min(v for v in vals if v is not None)
+    hi = max(v for v in vals if v is not None)
+    assert math.isclose(out[0]["lo_edge"], round(lo, 6), abs_tol=1e-6)
+
+
+mix_rows = st.lists(
+    st.sampled_from(["a", "b", "c", "d"]), min_size=1, max_size=40
+)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(srcs=mix_rows, tw=st.lists(st.floats(0.1, 5.0), min_size=4, max_size=4))
+def test_mixture_weights_feasible_and_proportional(spark, srcs, tw):
+    from tableone_pyspark_spark.operators.sampling import mixture_weights
+
+    df = spark.createDataFrame([(s,) for s in srcs], "source string")
+    target = dict(zip(["a", "b", "c", "d"], tw))
+    out = {r["source"]: r for r in mixture_weights(df, "source", target).collect()}
+    kept = {}
+    for s, r in out.items():
+        assert 0.0 <= r["sample_rate"] <= 1.0 + 1e-9  # never oversample
+        kept[s] = r["sample_rate"] * r["n"]
+    # at least one source is fully kept (the binding constraint)
+    assert any(math.isclose(r["sample_rate"], 1.0, abs_tol=1e-6) for r in out.values())
+    # kept counts are proportional to target fractions (within round-6)
+    tot_w = sum(target[s] for s in out)
+    base = {s: kept[s] / (target[s] / tot_w) for s in out if kept[s] > 0}
+    if len(base) > 1:
+        vals = list(base.values())
+        assert max(vals) - min(vals) < 1e-2 * max(vals) + 1e-6
