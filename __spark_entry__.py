@@ -1058,6 +1058,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["corr_matrix"] = corr_matrix
 
+    def chunk_docs(spark, sf_dir):
+        from tableone_pyspark_spark.operators.packing import chunk_documents
+
+        d = _load(spark, sf_dir, "documents")
+        return chunk_documents(d, "text", "doc_id", chunk_words=32, overlap=8)
+
+    q["chunk_docs"] = chunk_docs
+
     def label_centroids(spark, sf_dir):
         e = _load(spark, sf_dir, "embeddings")
         return sim.label_centroids(e, "label", "embedding")
@@ -2399,6 +2407,21 @@ def oracle_sql() -> dict[str, str]:
         )
 
     o["profile_drift"] = _profile_drift_sql()
+
+    o["chunk_docs"] = (
+        # stride = 32 - 8 = 24; last start = max(ceil((n-32)/24), 0)*24
+        "WITH w AS (SELECT doc_id, list_filter(string_split_regex(trim(text), "
+        "'\\s+'), x -> x <> '') AS ws FROM documents "
+        "WHERE length(trim(text)) > 0), "
+        "s AS (SELECT doc_id, ws, unnest(range(0, "
+        "greatest(CAST(ceil((len(ws) - 32) / 24.0) AS BIGINT), 0) * 24 + 1, 24)) "
+        "AS start, unnest(range(0, greatest(CAST(ceil((len(ws) - 32) / 24.0) "
+        "AS BIGINT), 0) + 1)) AS chunk_id FROM w), "
+        "p AS (SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id, "
+        "ws[start + 1 : start + 32] AS piece FROM s) "
+        "SELECT doc_id, chunk_id, CAST(len(piece) AS INT) AS n_tokens, "
+        "array_to_string(piece, ' ') AS chunk_text FROM p"
+    )
 
     def _corr_matrix_sql() -> str:
         cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]

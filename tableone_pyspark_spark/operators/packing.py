@@ -90,3 +90,52 @@ def pack_sequences(
         (offset % max_tokens).alias("pos_in_seq"),
         F.floor(last / max_tokens).alias("end_seq_id"),
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    chunk_words: int = 64,
+    overlap: int = 16,
+) -> DataFrame:
+    """Sliding-window document chunking — the context-window prep step
+    for training/RAG: each document's whitespace tokens are split into
+    ``chunk_words``-token windows advancing by ``chunk_words −
+    overlap``, so consecutive chunks share ``overlap`` tokens and no
+    token is dropped (the final, possibly short, window keeps the
+    tail).
+
+    Pure Catalyst: the window starts are a ``sequence`` over the token
+    count, each chunk a ``slice`` + ``concat_ws`` — no UDFs, and the
+    explode multiplies rows by ~n/stride with only (id, chunk) payloads
+    downstream. Returns (<id_col>, chunk_id, n_tokens, chunk_text).
+    """
+    if overlap >= chunk_words:
+        raise ValueError("overlap must be smaller than chunk_words")
+    stride = chunk_words - overlap
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    n = F.size(words)
+    # start positions 0, stride, 2·stride … covering every token; a doc
+    # shorter than one chunk still emits its single (short) window
+    starts = F.sequence(
+        F.lit(0),
+        F.greatest(F.ceil((n - F.lit(chunk_words)) / F.lit(stride)), F.lit(0))
+        * stride,
+        F.lit(stride),
+    )
+    exploded = (
+        df.where(F.length(F.trim(F.col(text_col))) > 0)
+        .select(
+            F.col(id_col),
+            F.posexplode(starts).alias("chunk_id", "start"),
+            words.alias("__w"),
+        )
+    )
+    piece = F.slice(F.col("__w"), F.col("start") + 1, chunk_words)
+    return exploded.select(
+        id_col,
+        "chunk_id",
+        F.size(piece).alias("n_tokens"),
+        F.concat_ws(" ", piece).alias("chunk_text"),
+    )

@@ -48,3 +48,31 @@ def test_salt_decorrelates(spark):
     a = {r["doc_id"] for r in deterministic_sample(d, "doc_id", 0.5, salt="a").collect()}
     b = {r["doc_id"] for r in deterministic_sample(d, "doc_id", 0.5, salt="b").collect()}
     assert a != b  # different salts draw different halves
+
+
+def test_chunk_documents_coverage_and_overlap(spark):
+    from tableone_pyspark_spark.operators.packing import chunk_documents
+
+    text = " ".join(f"w{i}" for i in range(100))
+    df = spark.createDataFrame([(1, text), (2, "short doc"), (3, "  ")],
+                               "doc_id long, text string")
+    out = sorted(
+        chunk_documents(df, "text", "doc_id", chunk_words=40, overlap=10).collect(),
+        key=lambda r: (r["doc_id"], r["chunk_id"]),
+    )
+    d1 = [r for r in out if r["doc_id"] == 1]
+    # stride 30: starts 0, 30, 60 -> 3 chunks; last is short (40 tokens from 60)
+    assert [r["chunk_id"] for r in d1] == [0, 1, 2]
+    assert [r["n_tokens"] for r in d1] == [40, 40, 40]
+    # every token covered: union of chunks = original words
+    seen = set()
+    for r in d1:
+        seen.update(r["chunk_text"].split(" "))
+    assert seen == {f"w{i}" for i in range(100)}
+    # consecutive chunks share exactly `overlap` tokens
+    a = d1[0]["chunk_text"].split(" "); b = d1[1]["chunk_text"].split(" ")
+    assert a[-10:] == b[:10]
+    # short doc -> one short chunk; whitespace-only doc -> no rows
+    d2 = [r for r in out if r["doc_id"] == 2]
+    assert len(d2) == 1 and d2[0]["n_tokens"] == 2
+    assert not [r for r in out if r["doc_id"] == 3]
