@@ -1066,6 +1066,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["chunk_docs"] = chunk_docs
 
+    def winsorize_prices(spark, sf_dir):
+        li = _load(spark, sf_dir, "lineitem")
+        return ops.winsorize_stats(li, "l_extendedprice", lower=0.01, upper=0.99)
+
+    q["winsorize_prices"] = winsorize_prices
+
     def label_centroids(spark, sf_dir):
         e = _load(spark, sf_dir, "embeddings")
         return sim.label_centroids(e, "label", "embedding")
@@ -2407,6 +2413,18 @@ def oracle_sql() -> dict[str, str]:
         )
 
     o["profile_drift"] = _profile_drift_sql()
+
+    o["winsorize_prices"] = (
+        "WITH p AS (SELECT quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.01) AS pl, "
+        "quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.99) AS ph FROM lineitem) "
+        "SELECT ROUND(any_value(pl), 6) AS p_low, ROUND(any_value(ph), 6) AS p_high, "
+        "count(l_extendedprice) AS n, "
+        "CAST(sum(CASE WHEN l_extendedprice < pl THEN 1 ELSE 0 END) AS BIGINT) AS n_below, "
+        "CAST(sum(CASE WHEN l_extendedprice > ph THEN 1 ELSE 0 END) AS BIGINT) AS n_above, "
+        "ROUND(avg(CAST(l_extendedprice AS DOUBLE)), 6) AS mean_before, "
+        "ROUND(avg(least(greatest(CAST(l_extendedprice AS DOUBLE), pl), ph)), 6) "
+        "AS mean_after FROM lineitem, p"
+    )
 
     o["chunk_docs"] = (
         # stride = 32 - 8 = 24; last start = max(ceil((n-32)/24), 0)*24

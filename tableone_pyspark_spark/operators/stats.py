@@ -486,3 +486,37 @@ def correlation_matrix(df: DataFrame, cols: list[str]) -> DataFrame:
         "n",
         F.round(F.when(den > 0, num / den), 6).alias("r"),
     )
+
+
+def winsorize_stats(
+    df: DataFrame,
+    col: str,
+    lower: float = 0.01,
+    upper: float = 0.99,
+) -> DataFrame:
+    """Winsorization dry-run for a numeric column: the exact
+    (interpolated) clip thresholds at the ``lower``/``upper`` quantiles
+    and what clipping would do — the outlier-handling decision a
+    feature pipeline makes before training.
+
+    Two bounded passes: one exact percentile aggregation (sort-based
+    buffer — same cap caveat as the engine's quantile path), then one
+    scalar aggregation of clip counts and before/after means; nothing
+    but the two thresholds ever reaches the driver. Returns one row
+    (p_low, p_high, n, n_below, n_above, mean_before, mean_after).
+    """
+    c = F.col(_q(col)).cast("double")
+    row = df.agg(
+        F.percentile(c, F.array(F.lit(lower), F.lit(upper))).alias("p")
+    ).first()
+    p_low, p_high = float(row["p"][0]), float(row["p"][1])
+    clipped = F.least(F.greatest(c, F.lit(p_low)), F.lit(p_high))
+    return df.agg(
+        F.round(F.lit(p_low), 6).alias("p_low"),
+        F.round(F.lit(p_high), 6).alias("p_high"),
+        F.count(c).alias("n"),
+        F.sum((c < p_low).cast("long")).alias("n_below"),
+        F.sum((c > p_high).cast("long")).alias("n_above"),
+        F.round(F.avg(c), 6).alias("mean_before"),
+        F.round(F.avg(clipped), 6).alias("mean_after"),
+    )

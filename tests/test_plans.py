@@ -313,3 +313,14 @@ def test_correlation_matrix_one_pass_and_exact(spark, lineitem):
         lineitem.withColumn("l_q2", F.col("l_quantity")), ["l_quantity", "l_q2"]
     ).collect()[0]["r"]
     assert self_r == 1.0
+
+
+def test_winsorize_stats_clip_semantics(spark):
+    df = spark.createDataFrame([(float(i),) for i in range(1, 101)], "x double")
+    r = ops.winsorize_stats(df, "x", lower=0.10, upper=0.90).collect()[0]
+    # interpolated p10/p90 of 1..100
+    assert r["p_low"] == 10.9 and r["p_high"] == 90.1
+    assert r["n"] == 100 and r["n_below"] == 10 and r["n_above"] == 10
+    assert r["mean_before"] == 50.5
+    # clipping is symmetric here, so the mean is preserved
+    assert r["mean_after"] == 50.5
