@@ -1072,6 +1072,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["winsorize_prices"] = winsorize_prices
 
+    def weighted_stats(spark, sf_dir):
+        # quantity weighted by discount+tax-adjusted price weight proxy:
+        # a deterministic positive weight column exercises the weighted
+        # sufficient-sum path end-to-end
+        li = _load(spark, sf_dir, "lineitem")
+        return ops.weighted_group_stats(
+            li.withColumn("w", F.col("l_extendedprice") / 1000.0),
+            "l_quantity",
+            "w",
+            "l_returnflag",
+        )
+
+    q["weighted_stats"] = weighted_stats
+
     def label_centroids(spark, sf_dir):
         e = _load(spark, sf_dir, "embeddings")
         return sim.label_centroids(e, "label", "embedding")
@@ -2413,6 +2427,19 @@ def oracle_sql() -> dict[str, str]:
         )
 
     o["profile_drift"] = _profile_drift_sql()
+
+    o["weighted_stats"] = (
+        "WITH b AS (SELECT COALESCE(CAST(l_returnflag AS VARCHAR), 'MISSING') AS grp, "
+        "CAST(l_quantity AS DOUBLE) AS x, "
+        "CAST(l_extendedprice AS DOUBLE) / 1000.0 AS w FROM lineitem "
+        "WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL "
+        "AND l_extendedprice / 1000.0 > 0), "
+        "a AS (SELECT grp, sum(w) AS sw, sum(w * x) AS swx, sum(w * x * x) AS swxx "
+        "FROM b GROUP BY 1) "
+        "SELECT grp, ROUND(sw, 6) AS w_n, ROUND(swx / sw, 6) AS w_mean, "
+        "ROUND(CASE WHEN sw > 1 THEN sqrt((swxx - swx * swx / sw) / (sw - 1)) END, 6) "
+        "AS w_stddev FROM a"
+    )
 
     o["winsorize_prices"] = (
         "WITH p AS (SELECT quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.01) AS pl, "

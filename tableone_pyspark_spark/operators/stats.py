@@ -520,3 +520,45 @@ def winsorize_stats(
         F.round(F.avg(c), 6).alias("mean_before"),
         F.round(F.avg(clipped), 6).alias("mean_after"),
     )
+
+
+def weighted_group_stats(
+    df: DataFrame,
+    col: str,
+    weight_col: str,
+    strat: str,
+    missing: str = "MISSING",
+) -> DataFrame:
+    """Weight-aware grouped moments — the TableOne shape for an
+    importance-weighted corpus (survey weights, mixture sampling rates,
+    dedup multiplicities): weighted n, mean, and frequency-weight
+    sample stddev per stratum, one aggregation pass.
+
+    Every statistic derives from three weighted sufficient sums
+    (Σw, Σwx, Σwx²) — associative, map-side combined, k-row output;
+    the variance uses the frequency-weight form
+    (Σwx² − (Σwx)²/Σw) / (Σw − 1). Rows with null value or null/≤0
+    weight are excluded. Returns (grp, w_n, w_mean, w_stddev).
+    """
+    x = F.col(_q(col)).cast("double")
+    w = F.col(_q(weight_col)).cast("double")
+    base = df.select(
+        F.coalesce(F.col(_q(strat)).cast("string"), F.lit(missing)).alias("grp"),
+        x.alias("x"),
+        w.alias("w"),
+    ).where(F.col("x").isNotNull() & F.col("w").isNotNull() & (F.col("w") > 0))
+    agg = base.groupBy("grp").agg(
+        F.sum("w").alias("sw"),
+        F.sum(F.col("w") * F.col("x")).alias("swx"),
+        F.sum(F.col("w") * F.col("x") * F.col("x")).alias("swxx"),
+    )
+    mean = F.col("swx") / F.col("sw")
+    var = (F.col("swxx") - F.col("swx") * F.col("swx") / F.col("sw")) / (
+        F.col("sw") - 1
+    )
+    return agg.select(
+        "grp",
+        F.round("sw", 6).alias("w_n"),
+        F.round(mean, 6).alias("w_mean"),
+        F.round(F.when(F.col("sw") > 1, F.sqrt(var)), 6).alias("w_stddev"),
+    )

@@ -324,3 +324,30 @@ def test_winsorize_stats_clip_semantics(spark):
     assert r["mean_before"] == 50.5
     # clipping is symmetric here, so the mean is preserved
     assert r["mean_after"] == 50.5
+
+
+def test_weighted_group_stats_reduces_to_unweighted(spark, lineitem):
+    # unit weights: weighted stats must equal the plain group moments
+    df = lineitem.withColumn("one", F.lit(1.0))
+    got = {r["grp"]: r for r in ops.weighted_group_stats(
+        df, "l_quantity", "one", "l_returnflag"
+    ).collect()}
+    want = {r["grp"]: r for r in ops.group_moments(
+        lineitem, "l_quantity", "l_returnflag"
+    ).collect()}
+    assert got.keys() == want.keys()
+    for g in want:
+        assert got[g]["w_n"] == want[g]["n"]
+        assert abs(got[g]["w_mean"] - want[g]["m"]) < 1e-6
+        assert abs(got[g]["w_stddev"] - want[g]["v"] ** 0.5) < 1e-6
+    # integer weights k behave as k-fold row duplication
+    small = spark.createDataFrame(
+        [("a", 1.0, 2.0), ("a", 3.0, 1.0)], "g string, x double, w double"
+    )
+    dup = spark.createDataFrame(
+        [("a", 1.0), ("a", 1.0), ("a", 3.0)], "g string, x double"
+    )
+    r1 = ops.weighted_group_stats(small, "x", "w", "g").collect()[0]
+    r2 = ops.continuous_stats_by_group(dup, "x", "g").collect()[0]
+    assert r1["w_n"] == r2["n"] and abs(r1["w_mean"] - r2["mean"]) < 5e-7
+    assert abs(r1["w_stddev"] - r2["stddev"]) < 5e-7
