@@ -1086,6 +1086,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["weighted_stats"] = weighted_stats
 
+    def image_phash(spark, sf_dir):
+        from tableone_pyspark_spark.operators.multimodal import image_phash as ph
+
+        d = _load(spark, sf_dir, "documents").select(
+            "doc_id", F.encode("text", "UTF-8").alias("payload")
+        )
+        return ph(d, "doc_id", "payload")
+
+    q["image_phash"] = image_phash
+
     def label_centroids(spark, sf_dir):
         e = _load(spark, sf_dir, "embeddings")
         return sim.label_centroids(e, "label", "embedding")
@@ -2427,6 +2437,25 @@ def oracle_sql() -> dict[str, str]:
         )
 
     o["profile_drift"] = _profile_drift_sql()
+
+    # dHash stub replay: 65 stride-sampled bytes (ASCII text ⇒ byte ==
+    # codepoint, same convention audio_meta proves), gradient bits 0-62
+    _PH_STEP = "CAST(ceil(length(text) / 65.0) AS BIGINT)"
+
+    def _ph_b(i: int) -> str:
+        return f"ascii(substr(text, CAST(least({i} * step + 1, length(text)) AS BIGINT), 1))"
+
+    o["image_phash"] = (
+        f"WITH s AS (SELECT doc_id, text, {_PH_STEP} AS step FROM documents), "
+        "b AS (SELECT doc_id, "
+        + ", ".join(f"{_ph_b(i)} AS b{i}" for i in range(65))
+        + " FROM s) SELECT doc_id AS id, "
+        + " + ".join(
+            f"CASE WHEN b{i + 1} > b{i} THEN CAST({1 << i} AS BIGINT) ELSE 0 END"
+            for i in range(63)
+        )
+        + " AS dhash FROM b"
+    )
 
     o["weighted_stats"] = (
         "WITH b AS (SELECT COALESCE(CAST(l_returnflag AS VARCHAR), 'MISSING') AS grp, "

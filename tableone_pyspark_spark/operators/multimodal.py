@@ -211,3 +211,45 @@ def binary_stats(df: DataFrame, bin_col: str) -> DataFrame:
         F.round(F.avg(ln), 6).alias("avg_bytes"),
         F.max(ln).alias("max_bytes"),
     )
+
+
+PHASH_SCHEMA = T.StructType(
+    [T.StructField("id", T.LongType()), T.StructField("dhash", T.LongType())]
+)
+
+
+def image_phash(df: DataFrame, id_col: str, bin_col: str) -> DataFrame:
+    """STUB perceptual hash (dHash) for image payloads: sample 64
+    stride-spaced bytes as the "thumbnail row" and set bit i when
+    sample[i+1] > sample[i] — the gradient signature real dHash
+    computes on a 9×8 grayscale resize (no codecs in this container;
+    a real decoder slots into the same Arrow kernel). 63 bits keep the
+    value positive in a signed long on every engine.
+
+    Near-identical images differ in few gradient bits, so the
+    signature feeds the SAME pigeonhole chunk join as
+    :func:`tableone_pyspark_spark.operators.dedup.simhash_neardup_pairs`
+    for image near-dup at scale. One Arrow pass, payloads never leave
+    the executor. Returns (id, dhash).
+    """
+    src = df.select(F.col(id_col).alias("id"), F.col(bin_col).alias("payload"))
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        weights = 1 << np.arange(63, dtype=np.int64)
+        for pdf in batches:
+            rows = []
+            for i, payload in zip(pdf["id"], pdf["payload"]):
+                raw = bytes(payload)
+                if not raw:
+                    raise NotImplementedError("empty payload: real decoder required")
+                arr = np.frombuffer(raw, dtype=np.uint8)
+                step = -(-len(arr) // 65)  # ceil
+                idx = np.minimum(np.arange(65, dtype=np.int64) * step, len(arr) - 1)
+                s = arr[idx].astype(np.int64)
+                bits = (s[1:64] > s[0:63]).astype(np.int64)
+                rows.append((int(i), int((bits * weights).sum())))
+            yield pd.DataFrame(rows, columns=["id", "dhash"])
+
+    return src.mapInPandas(kernel, PHASH_SCHEMA)

@@ -90,3 +90,26 @@ def test_audio_metadata_probe(spark):
     assert r["n_samples"] == 8000
     assert abs(r["duration_s"] - 8000 / 24000) < 1e-12
     assert abs(r["rms"] - 65.0) < 1e-9
+
+
+def test_image_phash_gradient_signature(spark):
+    from tableone_pyspark_spark.operators.multimodal import image_phash
+
+    # ascending payload: every gradient bit set -> 2^63 - 1
+    asc = bytes(range(65))
+    flat = bytes([7] * 65)
+    df = spark.createDataFrame(
+        [(1, bytearray(asc)), (2, bytearray(flat))],
+        "id long, payload binary",
+    )
+    out = {r["id"]: r["dhash"] for r in image_phash(df, "id", "payload").collect()}
+    assert out[1] == (1 << 63) - 1
+    assert out[2] == 0
+    # near-identical payloads differ in few bits (the near-dup premise)
+    a = bytes([(i * 7) % 251 for i in range(130)])
+    b = bytearray(a); b[64] = (b[64] + 1) % 251
+    df2 = spark.createDataFrame(
+        [(1, bytearray(a)), (2, b)], "id long, payload binary"
+    )
+    h = {r["id"]: r["dhash"] for r in image_phash(df2, "id", "payload").collect()}
+    assert bin(h[1] ^ h[2]).count("1") <= 2
