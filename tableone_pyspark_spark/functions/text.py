@@ -295,3 +295,41 @@ def repetition_cols(c: Column) -> dict[str, Column]:
             (F.size(g3) - F.size(F.array_distinct(g3))).cast("double"), F.size(g3)
         ),
     }
+
+
+def sentence_split_catalyst(df, text_col: str, id_col: str):
+    """Sentence segmentation, Catalyst path: split on `.!?` runs +
+    posexplode — whole-stage codegen, the production default.
+    Returns (id, sent_id, sentence)."""
+    sents = F.split(F.col(text_col), r"[.!?]+")
+    return (
+        df.select(F.col(id_col).alias("id"), F.posexplode(sents).alias("sent_id", "s"))
+        .select("id", "sent_id", F.trim(F.col("s")).alias("sentence"))
+        .where(F.col("sentence") != "")
+    )
+
+
+def make_sentence_udtf():
+    """The SAME segmentation as a Python UDTF (Spark 4 table function)
+    — the extension seam for segmenters that outgrow regex (spaCy,
+    pysbd, …): swap the `eval` body, keep the lateral-join plan.
+    Row-at-a-time Python: keep it OFF hot paths; the Catalyst twin is
+    the default and a test pins their equivalence.
+    """
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="sent_id int, sentence string")
+    class SentenceSplit:
+        def eval(self, text: str):
+            import re
+
+            if text is None:
+                return
+            out_id = 0
+            for part in re.split(r"[.!?]+", text):
+                part = part.strip()
+                if part:
+                    yield (out_id, part)
+                out_id += 1
+
+    return SentenceSplit

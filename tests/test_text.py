@@ -121,3 +121,27 @@ def test_repetition_profile_arrow_catalyst_parity(spark):
     # doc 5: normalize("")→"" splits to [""] → 1 word, no bigrams
     assert fast[5]["n_words"] == 1
     assert fast[5]["top_bigram_frac"] is None
+
+
+def test_sentence_udtf_matches_catalyst_twin(spark):
+    from tableone_pyspark_spark.functions.text import (
+        make_sentence_udtf,
+        sentence_split_catalyst,
+    )
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(50)
+    cat = {
+        (r["id"], r["sent_id"], r["sentence"])
+        for r in sentence_split_catalyst(d, "text", "doc_id").collect()
+    }
+    spark.udtf.register("sentence_split", make_sentence_udtf())
+    d.createOrReplaceTempView("t_sent_docs")
+    via_udtf = {
+        (r["id"], r["sent_id"], r["sentence"])
+        for r in spark.sql(
+            "SELECT doc_id AS id, s.sent_id, s.sentence "
+            "FROM t_sent_docs, LATERAL sentence_split(text) s"
+        ).collect()
+    }
+    assert len(cat) > 0
+    assert cat == via_udtf  # UDTF seam ≡ Catalyst default, row for row
