@@ -829,6 +829,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["hourly_anomalies"] = hourly_anomalies
 
+    def seasonality(spark, sf_dir):
+        from tableone_pyspark_spark.functions.events import seasonality_profile
+
+        return seasonality_profile(_load(spark, sf_dir, "events"))
+
+    q["seasonality"] = seasonality
+
+    def data_gaps(spark, sf_dir):
+        from tableone_pyspark_spark.functions.events import data_gaps as dg
+
+        # the dense synthetic feed has no 30-min holes; a sparse
+        # deterministic slice (~1/29 of events) opens real gaps so the
+        # detector path is exercised
+        ev = _load(spark, sf_dir, "events").where(F.col("event_id") % 29 == 0)
+        return dg(ev, min_gap_minutes=30)
+
+    q["data_gaps"] = data_gaps
+
     # ---- streaming TableOne (real Structured Streaming execution) -------
     def stream_hourly(spark, sf_dir):
         from tableone_pyspark_spark.sources.testdata import events_stream
@@ -2304,6 +2322,21 @@ def oracle_sql() -> dict[str, str]:
         "ROUND(CASE WHEN bn = 24 AND s > 0 THEN (n - m) / s END, 6) AS z, "
         "COALESCE(abs(CASE WHEN bn = 24 AND s > 0 THEN (n - m) / s END) >= 3.0, "
         "false) AS is_anomaly FROM w"
+    )
+    o["seasonality"] = (
+        "WITH c AS (SELECT dayofweek(ts) + 1 AS dow, CAST(hour(ts) AS INT) AS hour, "
+        "count(*) AS n FROM events GROUP BY 1, 2), "
+        "t AS (SELECT sum(n) AS total FROM c) "
+        "SELECT CAST(dow AS INT) AS dow, hour, n, "
+        "ROUND(CAST(n AS DOUBLE) / total, 6) AS share FROM c, t"
+    )
+    o["data_gaps"] = (
+        "WITH m AS (SELECT date_trunc('minute', ts) AS m FROM events "
+        "WHERE event_id % 29 = 0 GROUP BY 1), "
+        "l AS (SELECT lag(m) OVER (ORDER BY m) AS gap_start, m AS gap_end, "
+        "(epoch(m) - epoch(lag(m) OVER (ORDER BY m))) / 60.0 AS gap_minutes FROM m) "
+        "SELECT gap_start, gap_end, ROUND(gap_minutes, 6) AS gap_minutes "
+        "FROM l WHERE gap_minutes > 30"
     )
     o["stream_enriched"] = (
         "SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) * 3600 AS window_start_epoch, "

@@ -142,3 +142,61 @@ def hourly_count_anomalies(
         F.round(z, 6).alias("z"),
         F.coalesce(F.abs(z) >= z_threshold, F.lit(False)).alias("is_anomaly"),
     )
+
+
+def seasonality_profile(events: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """Hour-of-day × day-of-week traffic profile — the seasonal
+    baseline behind anomaly thresholds and capacity planning. One
+    partial-aggregated groupBy to a ≤168-row frame; the share
+    denominator is a window sum over that frame, never a second scan.
+    Returns (dow, hour, n, share). dow: 1=Sunday … 7=Saturday
+    (Spark ``dayofweek`` ≡ DuckDB ``dayofweek + 1``).
+    """
+    from pyspark.sql import Window
+
+    t = F.col(ts_col).cast("timestamp")
+    counts = (
+        events.select(
+            F.dayofweek(t).alias("dow"), F.hour(t).alias("hour")
+        )
+        .groupBy("dow", "hour")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    total = F.sum("n").over(Window.partitionBy())
+    return counts.select(
+        "dow", "hour", "n", F.round(F.col("n") / total, 6).alias("share")
+    )
+
+
+def data_gaps(
+    events: DataFrame, ts_col: str = "ts", min_gap_minutes: int = 30
+) -> DataFrame:
+    """Ingestion-gap detector: spans with NO events longer than
+    ``min_gap_minutes`` — the "did the feed stop?" monitor.
+
+    The lag window runs over per-MINUTE event counts (one aggregation
+    first), so the ordered pass handles ≤ minutes-of-history rows, not
+    raw events; a year is ~526k rows. Returns (gap_start, gap_end,
+    gap_minutes) for each detected gap.
+    """
+    from pyspark.sql import Window
+
+    t = F.col(ts_col).cast("timestamp")
+    minutes = (
+        events.select(F.date_trunc("minute", t).alias("m")).groupBy("m").agg(
+            F.count(F.lit(1)).alias("n")
+        )
+    )
+    w = Window.orderBy("m")
+    prev = F.lag("m").over(w)
+    gap_min = (F.unix_timestamp("m") - F.unix_timestamp(prev)) / 60.0
+    return (
+        minutes.select(prev.alias("gap_start"), F.col("m").alias("gap_end"),
+                       gap_min.alias("gap_minutes"))
+        .where(F.col("gap_minutes") > min_gap_minutes)
+        .select(
+            "gap_start",
+            "gap_end",
+            F.round("gap_minutes", 6).alias("gap_minutes"),
+        )
+    )

@@ -295,3 +295,25 @@ def test_stream_static_enrichment_equals_batch(spark):
         for r in batch.collect()
     }
     assert got == want  # real streaming run ≡ identical batch plan
+
+
+def test_seasonality_profile_covers_all_events(spark, events):
+    from tableone_pyspark_spark.functions.events import seasonality_profile
+
+    out = seasonality_profile(events).collect()
+    assert sum(r["n"] for r in out) == events.count()
+    assert abs(sum(r["share"] for r in out) - 1.0) < 1e-4
+    assert all(1 <= r["dow"] <= 7 and 0 <= r["hour"] <= 23 for r in out)
+
+
+def test_data_gaps_detects_holes(spark):
+    from tableone_pyspark_spark.functions.events import data_gaps
+
+    rows = [("2024-01-01 00:00:00",), ("2024-01-01 00:10:00",),
+            ("2024-01-01 02:00:00",),  # 110-minute hole
+            ("2024-01-01 02:05:00",)]
+    ev = spark.createDataFrame(rows, "ts string")
+    out = data_gaps(ev, min_gap_minutes=30).collect()
+    assert len(out) == 1
+    assert out[0]["gap_minutes"] == 110.0
+    assert str(out[0]["gap_start"]).startswith("2024-01-01 00:10")
