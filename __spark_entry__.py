@@ -1585,9 +1585,9 @@ def oracle_sql() -> dict[str, str]:
         "WITH p AS (SELECT doc_id AS id, length(text) AS n, "
         "CAST(ceil(length(text) / 64.0) AS BIGINT) AS step FROM documents) "
         "SELECT id, CAST((n - 1) // step + 1 AS INT) AS n_bytes_out, "
-        "(SELECT list_sum(list_transform(range(1, n + 1, step), "
+        "CAST((SELECT list_sum(list_transform(range(1, n + 1, step), "
         "i -> ascii(substr(d.text, CAST(i AS INT), 1)))) % 2147483647 "
-        "FROM documents d WHERE d.doc_id = p.id) AS checksum FROM p"
+        "FROM documents d WHERE d.doc_id = p.id) AS BIGINT) AS checksum FROM p"
     )
 
     # vector primitives: same left-fold arithmetic via list_reduce
@@ -1707,8 +1707,9 @@ def oracle_sql() -> dict[str, str]:
         f"WITH t AS (SELECT doc_id, CAST({TC} AS BIGINT) AS n FROM documents), "
         f"h AS (SELECT doc_id, n, ({_bucket('doc_id', 'pack-v1')}) % 16 AS shard "
         "FROM t), "
-        "c AS (SELECT doc_id, n, COALESCE(sum(n) OVER (ORDER BY shard, doc_id "
-        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off FROM h) "
+        "c AS (SELECT doc_id, n, CAST(COALESCE(sum(n) OVER (ORDER BY shard, "
+        "doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) "
+        "AS BIGINT) AS off FROM h) "
         "SELECT doc_id AS id, n AS n_tokens, off AS offset, "
         "off // 512 AS seq_id, off % 512 AS pos_in_seq, "
         "(off + greatest(n - 1, 0)) // 512 AS end_seq_id FROM c"
