@@ -1284,11 +1284,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from tableone_pyspark_spark.operators.sampling import weighted_sample
 
         d = _load(spark, sf_dir, "documents")
-        out = weighted_sample(d, "doc_id", tx.quality_score(F.col("text")))
-        return out.select(
-            "doc_id",
-            F.round(tx.quality_score(F.col("text")), 6).alias("quality"),
+        # weight_col => quality_score is evaluated once (fenced), not
+        # re-inlined into the filter by predicate pushdown
+        out = weighted_sample(
+            d, "doc_id", tx.quality_score(F.col("text")), weight_col="q"
         )
+        return out.select("doc_id", F.round("q", 6).alias("quality"))
 
     q["weighted_sample"] = weighted_sample_q
 

@@ -113,7 +113,11 @@ def quota_sample(
 
 
 def weighted_sample(
-    df: DataFrame, key_col: str, weight: Column, salt: str = "wsample-v1"
+    df: DataFrame,
+    key_col: str,
+    weight: Column,
+    salt: str = "wsample-v1",
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Keep each row with probability ``weight`` (clamped to [0, 1]),
     decided by hashed key — deterministic importance sampling.
@@ -123,9 +127,25 @@ def weighted_sample(
     draw is a pure function of (key, salt) — reproducible across
     engines, partitionings, and re-runs, and consistent for the same
     key in other tables. Scan-level predicate: no shuffle.
+
+    ``weight_col``: when set, the computed weight is kept as this
+    output column and is evaluated ONCE — an optimizer fence
+    (``plans.fence.once``) stops predicate pushdown from re-inlining
+    the expression into the filter, which would otherwise run an
+    expensive weight (model score, regex stack) twice per surviving
+    row. Pass it whenever the caller needs the weight downstream.
     """
-    rate = F.least(F.greatest(weight, F.lit(0.0)), F.lit(1.0))
-    return df.where(
+    if weight_col is None:
+        rate = F.least(F.greatest(weight, F.lit(0.0)), F.lit(1.0))
+        return df.where(
+            split_bucket(F.col(key_col), salt) < F.floor(rate * BUCKETS)
+        )
+
+    from tableone_pyspark_spark.plans.fence import once
+
+    out = df.withColumn(weight_col, once(weight))
+    rate = F.least(F.greatest(F.col(weight_col), F.lit(0.0)), F.lit(1.0))
+    return out.where(
         split_bucket(F.col(key_col), salt) < F.floor(rate * BUCKETS)
     )
 
