@@ -1545,10 +1545,12 @@ def oracle_sql() -> dict[str, str]:
         "UNION ALL SELECT 1, 'click', count(*) FROM s1 "
         "UNION ALL SELECT 2, 'purchase', count(*) FROM s2) "
         "SELECT step, step_name, n_users, "
+        "CASE WHEN lag(n_users) OVER (ORDER BY step) > 0 THEN "
         "ROUND(CAST(n_users AS DOUBLE) / lag(n_users) OVER (ORDER BY step), 6) "
-        "AS conv_from_prev, "
+        "END AS conv_from_prev, "
+        "CASE WHEN first_value(n_users) OVER (ORDER BY step) > 0 THEN "
         "ROUND(CAST(n_users AS DOUBLE) / first_value(n_users) OVER (ORDER BY step), 6) "
-        "AS conv_from_first FROM c"
+        "END AS conv_from_first FROM c"
     )
 
     o["retention_cohorts"] = (
@@ -2013,16 +2015,22 @@ def oracle_sql() -> dict[str, str]:
         "ROUND(CAST(n AS DOUBLE) / total, 6) AS share FROM r, t WHERE rank <= 10"
     )
 
+    # width mirrors numeric_histogram's zero-width fallback
+    # ((hi - lo) / bins or 1.0) so an all-equal column grades green
     o["value_histogram"] = (
         "WITH mm AS (SELECT CAST(min(l_extendedprice) AS DOUBLE) AS lo, "
-        "CAST(max(l_extendedprice) AS DOUBLE) AS hi FROM lineitem), "
+        "CAST(max(l_extendedprice) AS DOUBLE) AS hi, "
+        "CASE WHEN max(l_extendedprice) > min(l_extendedprice) "
+        "THEN (CAST(max(l_extendedprice) AS DOUBLE) "
+        "- CAST(min(l_extendedprice) AS DOUBLE)) / 20 ELSE 1.0 END AS w "
+        "FROM lineitem), "
         "b AS (SELECT CAST(least(19, greatest(0, CAST(floor("
-        "(CAST(l_extendedprice AS DOUBLE) - lo) / ((hi - lo) / 20)) AS BIGINT))) AS INT) "
+        "(CAST(l_extendedprice AS DOUBLE) - lo) / w) AS BIGINT))) AS INT) "
         "AS bucket FROM lineitem, mm WHERE l_extendedprice IS NOT NULL), "
         "c AS (SELECT bucket, count(*) AS n FROM b GROUP BY 1), "
         "r AS (SELECT CAST(range AS INT) AS bucket FROM range(20)) "
-        "SELECT r.bucket, ROUND(lo + r.bucket * ((hi - lo) / 20), 6) AS lo_edge, "
-        "ROUND(lo + (r.bucket + 1) * ((hi - lo) / 20), 6) AS hi_edge, "
+        "SELECT r.bucket, ROUND(lo + r.bucket * w, 6) AS lo_edge, "
+        "ROUND(lo + (r.bucket + 1) * w, 6) AS hi_edge, "
         "COALESCE(c.n, CAST(0 AS BIGINT)) AS n "
         "FROM r CROSS JOIN mm LEFT JOIN c ON r.bucket = c.bucket"
     )

@@ -27,6 +27,7 @@ Design (vs. reference):
 """
 
 from tableone_pyspark_spark.core.engine import tableone, TableOneConfig
+from tableone_pyspark_spark.core.memo import memo_clear
 
 
 def tableone_pyspark(
@@ -52,5 +53,5 @@ def tableone_pyspark(
     )
 
 
-__all__ = ["tableone", "tableone_pyspark", "TableOneConfig"]
+__all__ = ["tableone", "tableone_pyspark", "TableOneConfig", "memo_clear"]
 __version__ = "0.1.0"

@@ -70,7 +70,7 @@ def ml_minhash_pairs(
 # (topk + recall gate) must not retrain the quantizer or re-assign the
 # corpus. Session-scope memo via core.memo (semantic plan hash +
 # parameters + owning application id).
-from tableone_pyspark_spark.core.memo import memo, memo_key as _memo_key
+from tableone_pyspark_spark.core.memo import memo, memo_df, memo_key as _memo_key
 
 
 def _train_quantizer(
@@ -225,7 +225,7 @@ def ivf_assign(
     corpus_udf = F.pandas_udf(corpus_feat, "n_vec array<double>, cell int")
 
     akey = _memo_key(vectors, id_col, vec_col, n_centroids, train_limit)
-    return memo(
+    return memo_df(
         "ivf_assigned",
         akey,
         lambda: (
@@ -235,7 +235,6 @@ def ivf_assign(
                 corpus_udf(F.col(vec_col).cast("array<double>")).alias("f"),
             )
             .select("neighbor_id", "f.n_vec", "f.cell")
-            .cache()
         ),
     )
 

@@ -263,16 +263,20 @@ def event_funnel(
         ],
     )
     w = Window.orderBy("step")
+    # zero-denominator guard: a dead prior step yields NULL conv (not
+    # engine-dependent 0/0 — Spark non-ANSI nulls, DuckDB floats inf)
+    prev_n = F.lag("n_users").over(w)
+    first_n = F.first("n_users").over(w)
     return counts.select(
         "step",
         "step_name",
         "n_users",
-        F.round(F.col("n_users") / F.lag("n_users").over(w), 6).alias(
-            "conv_from_prev"
-        ),
-        F.round(F.col("n_users") / F.first("n_users").over(w), 6).alias(
-            "conv_from_first"
-        ),
+        F.when(
+            prev_n > 0, F.round(F.col("n_users") / prev_n, 6)
+        ).alias("conv_from_prev"),
+        F.when(
+            first_n > 0, F.round(F.col("n_users") / first_n, 6)
+        ).alias("conv_from_first"),
     )
 
 

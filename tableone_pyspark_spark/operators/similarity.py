@@ -121,16 +121,16 @@ def _normed_corpus(
     projection, and re-normalizing the corpus per query is pure waste.
     Consumers re-alias ``_id`` to their own id name (zero-cost
     projection over the persisted frame)."""
-    from tableone_pyspark_spark.core.memo import memo, memo_key
+    from tableone_pyspark_spark.core.memo import memo_df, memo_key
 
     norm = unit_normalize_arrow() if arrow else unit_normalize
     key = memo_key(vectors, id_col, vec_col, bool(arrow), "normed-v1")
-    return memo(
+    return memo_df(
         "normed_corpus",
         key,
-        lambda: rebalance(vectors.select(id_col, vec_col))
-        .select(F.col(id_col).alias("_id"), norm(F.col(vec_col)).alias("n_vec"))
-        .persist(),
+        lambda: rebalance(vectors.select(id_col, vec_col)).select(
+            F.col(id_col).alias("_id"), norm(F.col(vec_col)).alias("n_vec")
+        ),
     )
 
 
@@ -148,14 +148,14 @@ def _srp_bucket_index(
     over the memoized normalized corpus — itself memoized + persisted:
     the bucket index is the LSH analogue of the IVF assignment, built
     once per corpus and probed by every LSH consumer."""
-    from tableone_pyspark_spark.core.memo import memo, memo_key
+    from tableone_pyspark_spark.core.memo import memo_df, memo_key
 
     normed = _normed_corpus(vectors, id_col, vec_col, norm_arrow)
     key = memo_key(
         vectors, id_col, vec_col, dim, tables, planes,
         bool(norm_arrow), bool(bucket_arrow), "srp-v1",
     )
-    return memo(
+    return memo_df(
         "srp_buckets",
         key,
         lambda: normed.select(
@@ -163,9 +163,7 @@ def _srp_bucket_index(
             F.explode(
                 _lsh_table_structs(F.col("n_vec"), dim, tables, planes, bucket_arrow)
             ).alias("tb"),
-        )
-        .select("_id", "tb.table", "tb.bucket")
-        .persist(),
+        ).select("_id", "tb.table", "tb.bucket"),
     )
 
 

@@ -286,13 +286,20 @@ def data_profile(
                 F.lit(None).cast("double").alias(f"me_{i}"),
             ]
     one = df.agg(*aggs)
-    stack = ", ".join(
-        f"'{c}', nn_{i}, nd_{i}, mi_{i}, ma_{i}, me_{i}" for i, c in enumerate(cols)
-    )
-    return one.selectExpr(
-        "__rows as n_rows",
-        f"stack({len(cols)}, {stack}) as "
-        "(col, n_non_null, n_distinct, min_value, max_value, mean_value)",
+    # native F.stack with F.lit labels, not string-built selectExpr: a
+    # column name containing a quote must not break the SQL parse
+    stack_args: list[Column] = [F.lit(len(cols))]
+    for i, c in enumerate(cols):
+        stack_args += [
+            F.lit(c), F.col(f"nn_{i}"), F.col(f"nd_{i}"),
+            F.col(f"mi_{i}"), F.col(f"ma_{i}"), F.col(f"me_{i}"),
+        ]
+    return one.select(
+        F.col("__rows").alias("n_rows"),
+        F.stack(*stack_args).alias(
+            "col", "n_non_null", "n_distinct",
+            "min_value", "max_value", "mean_value",
+        ),
     ).select(
         "col",
         "n_rows",
@@ -380,12 +387,16 @@ def filter_funnel(
         # would propagate null; a filter drops nulls)
         aggs.append(F.sum(F.coalesce(cum, F.lit(False)).cast("long")).alias(f"s_{i}"))
     one = df.agg(*aggs)
-    rows = ", ".join(
-        f"{i}, '{name}', {'s_in' if i == 0 else f's_{i - 1}'}, s_{i}"
-        for i, (name, _) in enumerate(filters)
-    )
-    return one.selectExpr(
-        f"stack({len(filters)}, {rows}) as (stage, filter_name, n_in, n_out)"
+    # native F.stack with F.lit names (a filter name with a quote must
+    # not break a string-built SQL parse)
+    stack_args: list[Column] = [F.lit(len(filters))]
+    for i, (name, _) in enumerate(filters):
+        stack_args += [
+            F.lit(i), F.lit(name),
+            F.col("s_in" if i == 0 else f"s_{i - 1}"), F.col(f"s_{i}"),
+        ]
+    return one.select(
+        F.stack(*stack_args).alias("stage", "filter_name", "n_in", "n_out")
     ).select(
         "stage",
         "filter_name",
@@ -469,12 +480,17 @@ def correlation_matrix(df: DataFrame, cols: list[str]) -> DataFrame:
             F.sum(a2 * b2).alias(f"sxy_{pi}"),
         ]
     one = df.agg(*aggs)
-    rows = ", ".join(
-        f"'{cols[i]}', '{cols[j]}', n_{pi}, sx_{pi}, sy_{pi}, sxx_{pi}, syy_{pi}, sxy_{pi}"
-        for pi, (i, j) in enumerate(pairs)
-    )
-    melted = one.selectExpr(
-        f"stack({len(pairs)}, {rows}) as (col_a, col_b, n, sx, sy, sxx, syy, sxy)"
+    stack_args: list[Column] = [F.lit(len(pairs))]
+    for pi, (i, j) in enumerate(pairs):
+        stack_args += [
+            F.lit(cols[i]), F.lit(cols[j]),
+            F.col(f"n_{pi}"), F.col(f"sx_{pi}"), F.col(f"sy_{pi}"),
+            F.col(f"sxx_{pi}"), F.col(f"syy_{pi}"), F.col(f"sxy_{pi}"),
+        ]
+    melted = one.select(
+        F.stack(*stack_args).alias(
+            "col_a", "col_b", "n", "sx", "sy", "sxx", "syy", "sxy"
+        )
     )
     num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
     den = F.sqrt(F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")) * F.sqrt(

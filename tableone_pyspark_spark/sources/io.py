@@ -118,8 +118,28 @@ def zorder_value(df: DataFrame, cols: list[str], bits: int = 16):
     z gives each output file a narrow min/max rectangle across all
     ``cols`` at once — the multi-column data-skipping layout a single
     sort column cannot provide.
+
+    ``bits * len(cols)`` must fit in the 63 value bits of a signed
+    64-bit key: bit 63 is the sign (an interleave landing there breaks
+    the z ordering), and ``shiftleft`` wraps its distance mod 64, which
+    would silently scramble the interleave for wider requests. ``bits``
+    is auto-shrunk to ``63 // len(cols)`` with a warning rather than
+    producing a corrupt layout.
     """
+    import warnings
+
     from pyspark.sql import functions as F
+
+    if not cols:
+        raise ValueError("zorder_value needs at least one column")
+    max_bits = 63 // len(cols)
+    if bits > max_bits:
+        warnings.warn(
+            f"zorder bits={bits} x {len(cols)} cols exceeds the 63-bit "
+            f"signed key; shrinking to bits={max_bits}",
+            stacklevel=2,
+        )
+        bits = max_bits
 
     aggs = []
     for c in cols:

@@ -118,3 +118,27 @@ def test_zorder_write_narrow_file_rectangles(spark, tmp_path):
         global_span = stats["mx"] - stats["mn"]
         avg_span = sum(spans) / len(spans)
         assert avg_span < 0.6 * global_span, (col, avg_span, global_span)
+
+
+def test_zorder_bits_guard_auto_shrinks(spark):
+    """bits*len(cols) > 63 must not wrap shiftleft mod 64 (ADVICE r3):
+    the guard shrinks bits and warns, and the key stays non-negative."""
+    import warnings
+
+    from tableone_pyspark_spark.sources.io import zorder_value
+
+    li = spark.read.parquet(
+        "/root/testdata/sf0.001/lineitem.parquet"
+    ).limit(1000)
+    cols = ["l_orderkey", "l_partkey", "l_suppkey", "l_quantity", "l_tax"]
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        z = zorder_value(li, cols, bits=16)  # 16*5=80 > 63
+        assert any("shrinking" in str(w.message) for w in caught)
+    mn = li.select(F.min(z).alias("mn")).first()["mn"]
+    assert mn >= 0  # sign bit never set
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        zorder_value(li, [], bits=8)

@@ -351,3 +351,24 @@ def test_weighted_group_stats_reduces_to_unweighted(spark, lineitem):
     r2 = ops.continuous_stats_by_group(dup, "x", "g").collect()[0]
     assert r1["w_n"] == r2["n"] and abs(r1["w_mean"] - r2["mean"]) < 5e-7
     assert abs(r1["w_stddev"] - r2["stddev"]) < 5e-7
+
+
+def test_filter_funnel_quoted_names_survive(spark):
+    """Filter names are data, not SQL: quotes/backticks must not break
+    the melt (ADVICE r3 — stack is now built natively, not via
+    selectExpr interpolation)."""
+    from tableone_pyspark_spark.operators.stats import filter_funnel
+
+    d = spark.range(100)
+    out = filter_funnel(
+        d,
+        [
+            ("has ' quote", F.col("id") < 50),
+            ('has " and `tick`', F.col("id") < 10),
+        ],
+    ).collect()
+    assert [r["filter_name"] for r in out] == [
+        "has ' quote",
+        'has " and `tick`',
+    ]
+    assert [r["n_out"] for r in out] == [50, 10]

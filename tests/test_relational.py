@@ -171,3 +171,23 @@ def test_retention_cohorts_triangle(spark):
     assert out[("2024-01-08", 0)]["n_active"] == 1
     assert out[("2024-01-08", 2)]["retention"] == 1.0
     assert ("2024-01-08", 1) not in out  # no activity -> no row
+
+
+def test_event_funnel_dead_step_yields_null_conversions(spark):
+    """A step matching zero events must produce n_users=0 with NULL
+    conversion ratios (ADVICE r3: not engine-dependent 0/0)."""
+    from tableone_pyspark_spark.operators.relational import event_funnel
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    rows = {
+        r["step_name"]: r
+        for r in event_funnel(
+            ev, steps=["view", "no_such_type", "click"]
+        ).collect()
+    }
+    dead = rows["no_such_type"]
+    assert dead["n_users"] == 0
+    assert dead["conv_from_first"] is not None  # first step is alive
+    after = rows["click"]
+    assert after["n_users"] == 0
+    assert after["conv_from_prev"] is None  # 0/0 -> NULL, both engines
