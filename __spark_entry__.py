@@ -51,11 +51,11 @@ def _round6(df: DataFrame) -> DataFrame:
 _INTERP = TableOneConfig(quantile_mode="interpolated")
 
 
-def _tableone_q(table: str, strat: str, cols: list[str], **kw):
+def _tableone_q(table: str, strat: str, cols: list[str], config=_INTERP, **kw):
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         df = _load(spark, sf_dir, table)
         return _round6(
-            tableone(df, col_to_strat=strat, cols_to_analyze=cols, config=_INTERP, **kw)
+            tableone(df, col_to_strat=strat, cols_to_analyze=cols, config=config, **kw)
         )
 
     return run
@@ -91,10 +91,18 @@ def tableone_oracle_sql(
     strat_vals: list[str],
     cols: list[tuple[str, str]],
     pv: dict[str, tuple[float, float, str]] | None = None,
+    quantile_fn: str = "quantile_cont",
 ) -> str:
     """DuckDB SQL reproducing ``tableone(...)`` (interpolated quartiles,
     floats rounded to 6) for a table whose strat column has no nulls and
     already-clean values (true for the TPC-H-ish testdata).
+
+    ``quantile_fn="quantile_disc"`` pins the engine's DEFAULT
+    ``quantile_mode="data"`` semantics instead (reference
+    tableone_pyspark.py:384-388): exact-tuned ``percentile_approx``
+    returns an actual data value, and its boundary-rank rule matches
+    DuckDB's ``quantile_disc`` exactly (verified rank-by-rank for
+    n=1..12 at every quartile) whenever n+1 <= the accuracy cap.
 
     ``cols`` = [(name, 'cat'|'cont'), ...] in call order. ``pv`` maps a
     column to its precomputed (p_value, test_value, test_name) fixture
@@ -183,6 +191,7 @@ def tableone_oracle_sql(
         else:
             s_fields = []
             for si, (_label, _off, tmpl) in enumerate(_CONT_STATS):
+                tmpl = tmpl.replace("quantile_cont", quantile_fn)
                 for i, c in enumerate(count_cols):
                     s_fields.append(
                         tmpl.format(c=col, f=flt(group_of(c))) + f" AS s_{si}_{i}"
@@ -331,6 +340,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
     q["tableone_orders"] = _tableone_q(
         "orders", "o_orderstatus", ["o_orderpriority", "o_totalprice"]
+    )
+    # the engine DEFAULT quartile path (quantile_mode="data",
+    # reference :384-388): accuracy-tuned percentile_approx returns a
+    # data value. Graded on customer (1500 rows at sf0.01) because the
+    # sketch matches quantile_disc EXACTLY only while the accuracy
+    # floor dominates (n < 10000): at accuracy == n+1 the error budget
+    # n/(n+1) lets the returned rank sit one below quantile_disc
+    # (measured, deterministic across partitionings) — a documented
+    # property of the reference's own accuracy formula, not a bug here.
+    q["tableone_strat_dataq"] = _tableone_q(
+        "customer",
+        "c_mktsegment",
+        ["c_nationkey", "c_acctbal"],
+        config=TableOneConfig(),
     )
     # p-value path: tail probabilities are not expressible in DuckDB SQL
     # → rows-only check (statistics themselves are oracle-checked by
@@ -1450,6 +1473,16 @@ def oracle_sql() -> dict[str, str]:
             ("l_extendedprice", "cont"),
             ("l_discount", "cont"),
         ],
+    )
+    o["tableone_strat_dataq"] = tableone_oracle_sql(
+        "customer",
+        "c_mktsegment",
+        ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"],
+        [
+            ("c_nationkey", "cont"),
+            ("c_acctbal", "cont"),
+        ],
+        quantile_fn="quantile_disc",
     )
     o["tableone_orders"] = tableone_oracle_sql(
         "orders",

@@ -74,8 +74,10 @@ _NUMERIC = (
 class TableOneConfig:
     """Engine knobs (all scale guards, none change small-data results)."""
 
-    #: percentile_approx accuracy is max(n+1, 10000) (exact, reference
-    #: :384-388) but never above this cap — the sketch holds
+    #: percentile_approx accuracy is max(n+1, 10000) (reference
+    #: :384-388 parity; quantile_disc-exact for n < 10000, one rank
+    #: below quantile_disc at accuracy == n+1 — see core/sufficient.py)
+    #: but never above this cap — the sketch holds
     #: O(accuracy·log(n/accuracy)) samples PER (group × column), so an
     #: unbounded n+1 is not viable at 100 TB. Above the cap quartiles
     #: have ≤1/cap relative rank error (documented deviation). Measured

@@ -83,9 +83,15 @@ def _cont_aggs(cont_vars: list[str], accuracy: int, quantile_mode: str) -> list:
             # scale.
             q = F.expr(f"percentile({_quote(v)}, array(0.25D, 0.5D, 0.75D))")
         else:
-            # "data": exact-tuned percentile_approx (reference :384-388):
-            # accuracy >= n+1 makes it exact; returns an actual data
-            # value; one call returns all three quartiles from one sketch.
+            # "data": accuracy-tuned percentile_approx (reference
+            # :384-388): returns an actual data value; one call returns
+            # all three quartiles from one sketch. Measured boundary
+            # semantics: while the 10k accuracy floor dominates
+            # (n < 10000) the result matches DuckDB quantile_disc
+            # rank-for-rank; at accuracy == n+1 the sketch's error
+            # budget n/(n+1) lets the returned rank sit exactly one
+            # below quantile_disc (deterministic, partitioning-
+            # independent — oracle-pinned in tableone_strat_dataq).
             q = F.percentile_approx(c, [0.25, 0.5, 0.75], F.lit(accuracy))
         aggs += [
             F.count(c).alias(f"n__{i}"),
