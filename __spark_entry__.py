@@ -702,6 +702,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["skew_profile"] = skew_profile
 
+    def salted_join_q(spark, sf_dir):
+        # the skew path's row-level contract: a salted join IS the
+        # plain join (salt spreads reducers, never changes the result),
+        # so the oracle is the unsalted SQL join
+        from tableone_pyspark_spark.plans.skew import salted_join
+
+        li = _load(spark, sf_dir, "lineitem").select(
+            F.col("l_orderkey").alias("orderkey"),
+            "l_partkey",
+            "l_extendedprice",
+        )
+        orders = _load(spark, sf_dir, "orders").select(
+            F.col("o_orderkey").alias("orderkey"), "o_totalprice"
+        )
+        return salted_join(li, orders, ["orderkey"], n_salt=8).select(
+            "orderkey",
+            "l_partkey",
+            F.round("l_extendedprice", 6).alias("price"),
+            F.round("o_totalprice", 6).alias("total"),
+        )
+
+    q["salted_join"] = salted_join_q
+
+    def salted_collect_q(spark, sf_dir):
+        # two-stage salted aggregation == plain distinct pairs
+        from tableone_pyspark_spark.plans.skew import salted_collect_set
+
+        ev = _load(spark, sf_dir, "events")
+        agg = salted_collect_set(ev, ["user_id"], "event_type", n_salt=16)
+        return agg.select(
+            "user_id", F.explode("values").alias("event_type")
+        )
+
+    q["salted_collect"] = salted_collect_q
+
     def quantize_profile(spark, sf_dir):
         from tableone_pyspark_spark.operators.similarity import quantize_int8_profile
 
@@ -2046,6 +2081,17 @@ def oracle_sql() -> dict[str, str]:
         "r AS (SELECT key, n, row_number() OVER (ORDER BY n DESC, key) AS rank FROM c) "
         "SELECT CAST(rank AS INT) AS rank, key, n, "
         "ROUND(CAST(n AS DOUBLE) / total, 6) AS share FROM r, t WHERE rank <= 10"
+    )
+
+    # salting never changes results — the oracles are the UNsalted ops
+    o["salted_join"] = (
+        "SELECT l.l_orderkey AS orderkey, l.l_partkey, "
+        "ROUND(l.l_extendedprice, 6) AS price, "
+        "ROUND(o.o_totalprice, 6) AS total "
+        "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey"
+    )
+    o["salted_collect"] = (
+        "SELECT DISTINCT user_id, event_type FROM events"
     )
 
     # width mirrors numeric_histogram's zero-width fallback
