@@ -114,9 +114,16 @@ def main() -> None:
                 "grading a regression (r3 example: a contended run read "
                 "curate_documents at 39 s vs 1.5 s quiet-machine solo, "
                 "code unchanged). Memoized artifact families (minhash "
-                "pair graph, IVF index, SRP buckets, simhash signatures) "
-                "pay their build in the FIRST family query of the loop; "
-                "later members read the persisted artifact.",
+                "pair graph, IVF index, SRP buckets, simhash signatures, "
+                "winnow fingerprints) pay their build in the FIRST family "
+                "query of the loop; later members read the persisted "
+                "artifact. r4 solo check of the r3 winnow_fps "
+                "'regression': 8.7 s cold (fingerprint build + session "
+                "cold-start), 0.41 s memo-hit, winnow_overlap 0.94 s - "
+                "the r3 delta was the build cost migrating between "
+                "family members after the memo refactor, family total "
+                "flat; deliberately NOT pre-built in warm-up so the "
+                "table keeps showing the true first-build cost.",
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
