@@ -962,6 +962,49 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["stream_enriched"] = stream_enriched
 
+    def stream_tableone(spark, sf_dir):
+        # the SURVEY §7 Phase F north star: the full TableOne long
+        # table as ONE watermark-bounded streaming aggregation
+        from tableone_pyspark_spark.sources.testdata import events_stream
+        from tableone_pyspark_spark.streaming.stream_stats import (
+            streaming_tableone,
+        )
+
+        stream = events_stream(spark, sf_dir).select(
+            "ts", "event_type", "user_id", "value"
+        )
+        stream = stream.withColumn(
+            "seg", (F.col("user_id") % 3).cast("string")
+        )
+        out = streaming_tableone(
+            stream,
+            "event_type",
+            cont_vars=["value"],
+            cat_vars={"seg": ["0", "1", "2"]},
+            window="1 day",
+        )
+        query = (
+            out.writeStream.format("memory")
+            .queryName("stream_tableone_sink")
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+        res = spark.table("stream_tableone_sink")
+        return res.select(
+            F.col("window_start").cast("long").alias("window_start_epoch"),
+            "event_type",
+            "Index",
+            "Characteristics",
+            "Variable_type",
+            "Values",
+            F.round("value", 6).alias("value"),
+            "frac",
+        )
+
+    q["stream_tableone"] = stream_tableone
+
     def stream_sessions(spark, sf_dir):
         from tableone_pyspark_spark.sources.testdata import events_stream
         from tableone_pyspark_spark.streaming.stream_stats import streaming_sessionize
@@ -2440,6 +2483,53 @@ def oracle_sql() -> dict[str, str]:
         "ROUND(min(value), 6) AS min_value, ROUND(max(value), 6) AS max_value "
         "FROM events GROUP BY 1, 2"
     )
+
+    # streaming TableOne: batch SQL twin of the one-agg long table
+    # (1-day windows x event_type; seg = user_id % 3 declared cats)
+    def _stream_t1_oracle() -> str:
+        base = (
+            "WITH b AS (SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) "
+            "* 86400 AS w, event_type, "
+            "CAST(user_id % 3 AS VARCHAR) AS seg, "
+            "CAST(value AS DOUBLE) AS v FROM events), "
+            "g AS (SELECT w, event_type, count(*) AS rws, "
+            "count(v) AS n0, min(v) AS mn0, max(v) AS mx0, "
+            "avg(v) AS me0, stddev_samp(v) AS sd0, "
+            + ", ".join(
+                f"count(*) FILTER (WHERE seg = '{s}') AS c0{k}"
+                for k, s in enumerate("012")
+            )
+            + " FROM b GROUP BY 1, 2)"
+        )
+        parts = []
+        for k, s in enumerate("012"):
+            parts.append(
+                f"SELECT w AS window_start_epoch, event_type, "
+                f'CAST({round(1 + 0.01 * (k + 1), 2)!r} AS DOUBLE) AS "Index", '
+                f"'seg' AS \"Characteristics\", 'category' AS \"Variable_type\", "
+                f"'{s}' AS \"Values\", CAST(c0{k} AS DOUBLE) AS value, "
+                f"CASE WHEN rws > 0 THEN ROUND(CAST(c0{k} AS DOUBLE) / rws, 6) "
+                f"END AS frac FROM g"
+            )
+        cont = [
+            ("n", 2.1, "CAST(n0 AS DOUBLE)"),
+            ("min", 2.2, "ROUND(mn0, 6)"),
+            ("max", 2.3, "ROUND(mx0, 6)"),
+            ("mean", 2.4, "CASE WHEN n0 > 0 THEN ROUND(me0, 6) END"),
+            ("stddev", 2.5, "CASE WHEN n0 > 1 THEN ROUND(sd0, 6) END"),
+        ]
+        for label, idx, expr in cont:
+            parts.append(
+                f"SELECT w AS window_start_epoch, event_type, "
+                f'CAST({idx!r} AS DOUBLE) AS "Index", '
+                f"'value' AS \"Characteristics\", "
+                f"'continuous' AS \"Variable_type\", '{label}' AS \"Values\", "
+                f'CAST({expr} AS DOUBLE) AS value, '
+                f'CAST(NULL AS DOUBLE) AS frac FROM g'
+            )
+        return base + " " + " UNION ALL ".join(parts)
+
+    o["stream_tableone"] = _stream_t1_oracle()
 
     # ---- multimodal (documents.text bytes as the opaque payload; the
     # decode stub is deterministic byte arithmetic — text is pure ASCII

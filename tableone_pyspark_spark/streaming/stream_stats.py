@@ -319,3 +319,119 @@ def streaming_enriched_stats(
             "sum_value",
         )
     )
+
+
+def streaming_tableone(
+    stream: DataFrame,
+    strat_col: str,
+    cont_vars: list[str],
+    cat_vars: dict[str, list[str]] | None = None,
+    ts_col: str = "ts",
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    missing: str = "MISSING",
+) -> DataFrame:
+    """TableOne over a stream: the long-format descriptive table per
+    (time window x strat value), from ONE streaming aggregation
+    (SURVEY §7 Phase F north star).
+
+    The batch engine's insight carries over unchanged: every emitted
+    statistic is a derived column of associative sufficient statistics
+    (n, Σx, Σx², min, max, per-category conditional counts), so the
+    whole table is a single watermark-bounded windowed agg — state is
+    O(windows x strats x (5·|cont| + Σ|categories|)) scalars,
+    independent of row count, and closed windows are dropped. The
+    long-row melt is a stateless post-aggregation ``F.stack``.
+
+    Deltas from batch ``tableone`` (both inherent to streaming):
+      * percentile rows are absent — order statistics are not
+        incrementally mergeable without sketches (module docstring);
+      * categorical variables need their category values declared
+        up front (``cat_vars={col: [values...]}``) because a
+        streaming schema cannot depend on the data — the same
+        restriction as Spark's own streaming pivot. Values outside
+        the list land in the ``missing`` bucket.
+
+    Output: (window_start, <strat_col>, Index, Characteristics,
+    Variable_type, Values, value, frac) — Index follows the batch
+    contract (var i: cats i.01... by declared order, cont i.1-i.5 =
+    n/min/max/mean/stddev); ``value`` holds counts for category rows
+    and the statistic for continuous rows; ``frac`` is the
+    within-(window x strat) category fraction, NULL on cont rows.
+
+    Works identically on batch and streaming inputs, which is how the
+    equivalence test pins it.
+    """
+    cat_vars = cat_vars or {}
+    if stream.isStreaming:
+        stream = stream.withWatermark(ts_col, watermark)
+
+    aggs: list = [F.count(F.lit(1)).alias("rows")]
+    for i, v in enumerate(cont_vars):
+        c = F.col(v).cast("double")
+        aggs += [
+            F.count(c).alias(f"n_{i}"),
+            F.min(c).alias(f"mn_{i}"),
+            F.max(c).alias(f"mx_{i}"),
+            F.sum(c).alias(f"s1_{i}"),
+            F.sum(c * c).alias(f"s2_{i}"),
+        ]
+    for j, (v, vals) in enumerate(cat_vars.items()):
+        cv = F.coalesce(F.col(v).cast("string"), F.lit(missing))
+        for k, val in enumerate(vals):
+            aggs.append(
+                F.sum((cv == F.lit(val)).cast("long")).alias(f"c_{j}_{k}")
+            )
+
+    agg = stream.groupBy(
+        F.window(F.col(ts_col), window).alias("win"), F.col(strat_col)
+    ).agg(*aggs)
+
+    # stateless melt to the long contract (native F.stack, names are data)
+    n_vars = 0
+    stack_args: list = []
+    rows_total = F.col("rows").cast("double")
+    for v, vals in cat_vars.items():
+        j = list(cat_vars).index(v)
+        n_vars += 1
+        for k, val in enumerate(vals):
+            ct = F.col(f"c_{j}_{k}").cast("double")
+            stack_args += [
+                F.lit(round(n_vars + 0.01 * (k + 1), 2)),
+                F.lit(v), F.lit("category"), F.lit(val),
+                ct,
+                F.when(rows_total > 0, F.round(ct / rows_total, 6)),
+            ]
+    for i, v in enumerate(cont_vars):
+        n_vars += 1
+        n = F.col(f"n_{i}").cast("double")
+        mean = F.col(f"s1_{i}") / n
+        var = (F.col(f"s2_{i}") - F.col(f"s1_{i}") * F.col(f"s1_{i}") / n) / (
+            n - 1
+        )
+        stats = [
+            ("n", 1, n),
+            ("min", 2, F.col(f"mn_{i}")),
+            ("max", 3, F.col(f"mx_{i}")),
+            # n-guards: an all-null value column must give NULL, not
+            # the IEEE 0/0 NaN DuckDB's avg would disagree with
+            ("mean", 4, F.when(n > 0, F.round(mean, 6))),
+            ("stddev", 5, F.when(n > 1, F.round(F.sqrt(var), 6))),
+        ]
+        for label, off, expr in stats:
+            stack_args += [
+                F.lit(round(n_vars + off / 10, 1)),
+                F.lit(v), F.lit("continuous"), F.lit(label),
+                expr.cast("double"),
+                F.lit(None).cast("double"),
+            ]
+
+    n_rows = len(stack_args) // 6
+    return agg.select(
+        F.col("win.start").alias("window_start"),
+        F.col(strat_col),
+        F.stack(F.lit(n_rows), *stack_args).alias(
+            "Index", "Characteristics", "Variable_type", "Values",
+            "value", "frac",
+        ),
+    )

@@ -317,3 +317,46 @@ def test_data_gaps_detects_holes(spark):
     assert len(out) == 1
     assert out[0]["gap_minutes"] == 110.0
     assert str(out[0]["gap_start"]).startswith("2024-01-01 00:10")
+
+
+def test_streaming_tableone_equals_batch(spark, events):
+    """The one-agg streaming TableOne must emit the same long table on
+    a real streaming execution as on the identical batch input."""
+    from tableone_pyspark_spark.streaming.stream_stats import (
+        streaming_tableone,
+    )
+
+    def prep(df):
+        return df.select("ts", "event_type", "user_id", "value").withColumn(
+            "seg", (F.col("user_id") % 3).cast("string")
+        )
+
+    kw = dict(
+        strat_col="event_type",
+        cont_vars=["value"],
+        cat_vars={"seg": ["0", "1", "2"]},
+        window="1 day",
+    )
+    out = streaming_tableone(prep(events_stream(spark, SF)), **kw)
+    assert out.isStreaming
+    qry = (
+        out.writeStream.format("memory")
+        .queryName("t_stream_t1")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    qry.awaitTermination()
+
+    def key(r):
+        return (r["window_start"], r["event_type"], r["Index"], r["Values"])
+
+    streamed = {key(r): r for r in spark.table("t_stream_t1").collect()}
+    batch = {key(r): r for r in streaming_tableone(prep(events), **kw).collect()}
+    assert streamed.keys() == batch.keys() and len(batch) > 0
+    for k in batch:
+        assert approx(streamed[k]["value"], batch[k]["value"], tol=1e-9), k
+        assert approx(streamed[k]["frac"], batch[k]["frac"], tol=1e-9), k
+    # contract shape: 3 cat rows + 5 cont rows per (window x strat)
+    n_groups = len({(r["window_start"], r["event_type"]) for r in batch.values()})
+    assert len(batch) == n_groups * 8
