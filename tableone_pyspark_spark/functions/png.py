@@ -1,0 +1,178 @@
+"""Pure-Python PNG codec (stdlib zlib/struct + numpy) for the
+multimodal operators.
+
+The container ships no image codecs, but PNG's baseline format needs
+only inflate + per-scanline unfiltering — both expressible with the
+stdlib. This upgrades the multimodal kernels from byte-stub to real
+pixel semantics for PNG payloads while keeping the same Arrow kernel
+shape (see operators/multimodal.py): payload bytes in, typed
+metadata/pixels out, nothing leaves the executor.
+
+Supported: 8-bit depth, color types 0 (gray), 2 (RGB), 4 (gray+alpha),
+6 (RGBA), non-interlaced, all five scanline filters. Palette (3),
+16-bit, and Adam7 interlace raise ``NotImplementedError`` — the honest
+boundary of a dependency-free decoder (production swaps in PIL/
+turbojpeg behind the same seam).
+
+Performance note: filters 1/3/4 carry a byte-serial data dependency
+(each byte needs the reconstructed byte ``bpp`` to its left), so those
+rows decode in a Python loop — fine for thumbnails/fixtures, not for
+4K photos; filter 0/2 rows are vectorized. The encoder always writes
+filter 0, so round-trips of our own output stay on the fast path.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+#: color type -> samples per pixel
+_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def is_png(payload: bytes) -> bool:
+    return payload is not None and payload[:8] == PNG_MAGIC
+
+
+def _chunks(data: bytes):
+    pos = 8
+    while pos + 8 <= len(data):
+        (length,) = struct.unpack_from(">I", data, pos)
+        tag = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + length]
+        (crc,) = struct.unpack_from(">I", data, pos + 8 + length)
+        if zlib.crc32(tag + body) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {tag!r}: CRC mismatch")
+        yield tag, body
+        pos += 12 + length
+        if tag == b"IEND":
+            return
+    raise ValueError("PNG truncated: no IEND chunk")
+
+
+def png_meta(payload: bytes) -> tuple[int, int, int, int]:
+    """(width, height, channels, bit_depth) from IHDR only — no
+    decompression, the cheap pre-pass for sizing a decode job."""
+    if not is_png(payload):
+        raise ValueError("not a PNG payload")
+    tag, body = next(_chunks(payload))
+    if tag != b"IHDR" or len(body) != 13:
+        raise ValueError("PNG: first chunk is not a valid IHDR")
+    w, h, depth, color, comp, filt, interlace = struct.unpack(">IIBBBBB", body)
+    if color not in _CHANNELS:
+        raise NotImplementedError(f"PNG color type {color} (palette?) unsupported")
+    if depth != 8:
+        raise NotImplementedError(f"PNG bit depth {depth} unsupported (8 only)")
+    if interlace != 0:
+        raise NotImplementedError("Adam7 interlaced PNG unsupported")
+    if comp != 0 or filt != 0:
+        raise ValueError("PNG: nonstandard compression/filter method")
+    return w, h, _CHANNELS[color], depth
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """Decode to a (height, width, channels) uint8 array."""
+    w, h, channels, _depth = png_meta(payload)
+    idat = b"".join(body for tag, body in _chunks(payload) if tag == b"IDAT")
+    raw = zlib.decompress(idat)
+    stride = w * channels
+    if len(raw) != h * (stride + 1):
+        raise ValueError(
+            f"PNG: decompressed size {len(raw)} != expected {h * (stride + 1)}"
+        )
+    bpp = channels  # 8-bit depth: bytes per pixel == channels
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    pos = 0
+    for y in range(h):
+        f = raw[pos]
+        pos += 1
+        cur = np.frombuffer(raw, dtype=np.uint8, count=stride, offset=pos).copy()
+        pos += stride
+        if f == 0:
+            pass
+        elif f == 2:  # Up — vectorized, uint8 addition wraps mod 256
+            cur += prev
+        elif f == 1:  # Sub — serial in x (needs reconstructed left byte)
+            for x in range(bpp, stride):
+                cur[x] = (int(cur[x]) + int(cur[x - bpp])) & 0xFF
+        elif f == 3:  # Average
+            for x in range(stride):
+                a = int(cur[x - bpp]) if x >= bpp else 0
+                cur[x] = (cur[x] + ((a + int(prev[x])) >> 1)) & 0xFF
+        elif f == 4:  # Paeth
+            for x in range(stride):
+                a = int(cur[x - bpp]) if x >= bpp else 0
+                b = int(prev[x])
+                c = int(prev[x - bpp]) if x >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                cur[x] = (cur[x] + pred) & 0xFF
+        else:
+            raise ValueError(f"PNG: unknown filter type {f} on row {y}")
+        out[y] = cur
+        prev = out[y]
+    return out.reshape(h, w, channels)
+
+
+def encode_png(arr: np.ndarray) -> bytes:
+    """Minimal PNG writer (8-bit, filter 0, one IDAT) for fixtures and
+    the resize kernel's output. Accepts (h, w) or (h, w, c), c≤4."""
+    arr = np.asarray(arr, dtype=np.uint8)
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w, c = arr.shape
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[c]
+    raw = b"".join(b"\x00" + arr[y].tobytes() for y in range(h))
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (
+        PNG_MAGIC
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw, 6))
+        + chunk(b"IEND", b"")
+    )
+
+
+def resize_nearest(arr: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """Nearest-neighbor resample of an (h, w, c) array — pure index
+    arithmetic, the deterministic baseline every engine reproduces."""
+    h, w = arr.shape[:2]
+    ys = np.minimum((np.arange(out_h) * h) // out_h, h - 1)
+    xs = np.minimum((np.arange(out_w) * w) // out_w, w - 1)
+    return arr[ys][:, xs]
+
+
+def grayscale(arr: np.ndarray) -> np.ndarray:
+    """(h, w, c) -> (h, w) luma. RGB(A) uses integer-weighted BT.601
+    (exact: (77R + 150G + 29B) >> 8); gray(+alpha) takes channel 0."""
+    if arr.shape[2] >= 3:
+        r = arr[:, :, 0].astype(np.int64)
+        g = arr[:, :, 1].astype(np.int64)
+        b = arr[:, :, 2].astype(np.int64)
+        return ((77 * r + 150 * g + 29 * b) >> 8).astype(np.uint8)
+    return arr[:, :, 0]
+
+
+def dhash63(arr: np.ndarray) -> int:
+    """Real dHash on decoded pixels: grayscale -> 9x8 nearest resize ->
+    row-wise gradient bits, keeping 63 bits so the value stays positive
+    in a signed long on every engine (same contract as the byte-stub
+    signature in operators/multimodal.py)."""
+    g = resize_nearest(grayscale(arr)[:, :, None], 9, 8)[:, :, 0].astype(np.int64)
+    bits = (g[:, 1:] > g[:, :-1]).astype(np.int64).ravel()[:63]
+    weights = 1 << np.arange(bits.size, dtype=np.int64)
+    return int((bits * weights).sum())

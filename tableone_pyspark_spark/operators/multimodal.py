@@ -2,11 +2,15 @@
 columns with typed metadata, processed by Arrow-batched pandas
 iterators (``mapInPandas``).
 
-The container has no image/audio codecs, so the decode kernels are
-deterministic fakes behind ``_decode_*`` seams (clearly marked; swap
-in PIL/ffmpeg implementations in production). Everything Spark-side is
-real and tested: schemas, batch iteration, partition sizing, and the
-UDF signatures — the parts that determine 100 TB behavior. Binary
+PNG payloads decode for REAL via the dependency-free codec in
+``functions/png.py`` (magic-byte dispatch): true pixels feed
+``image_metadata``/``image_phash``/``resize_png``. Other formats have
+no codec in this container, so their kernels remain deterministic
+fakes behind the same ``_decode_*`` seams (clearly marked; swap in
+PIL/ffmpeg implementations in production). Everything Spark-side is
+real and tested either way: schemas, batch iteration, partition
+sizing, and the UDF signatures — the parts that determine 100 TB
+behavior. Binary
 payloads stay in Arrow buffers end-to-end (no per-row Python), and the
 pattern keeps selectivity upstream: filter/project BEFORE mapInPandas
 so Parquet pushdown still prunes bytes that are never decoded.
@@ -47,13 +51,23 @@ FRAME_SCHEMA = T.StructType(
 
 
 def _decode_image(payload: bytes) -> tuple[int, int, int, float]:
-    """STUB decode (no codecs in this container): derives deterministic
-    (width, height, channels, mean_intensity) from the payload bytes.
-    Replace with PIL/turbojpeg in production — the Spark plumbing is
-    unchanged."""
+    """Decode (width, height, channels, mean_intensity).
+
+    PNG payloads (magic-byte sniff) decode for REAL via the pure-Python
+    codec in ``functions/png.py`` — actual pixels, actual mean. Any
+    other payload falls back to the deterministic byte-stub (no other
+    codecs in this container; production swaps PIL/turbojpeg into this
+    same seam — the Spark plumbing is unchanged either way)."""
     if payload is None or len(payload) == 0:
         raise NotImplementedError("empty payload: real decoder required")
     import numpy as np
+
+    from tableone_pyspark_spark.functions import png
+
+    if png.is_png(payload):
+        arr = png.decode_png(payload)
+        hh, ww, cc = arr.shape
+        return ww, hh, cc, float(arr.mean() / 255.0)
 
     h = len(payload)
     width = 64 + (payload[0] % 64)
@@ -237,6 +251,8 @@ def image_phash(df: DataFrame, id_col: str, bin_col: str) -> DataFrame:
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
 
+        from tableone_pyspark_spark.functions import png
+
         weights = 1 << np.arange(63, dtype=np.int64)
         for pdf in batches:
             rows = []
@@ -244,6 +260,10 @@ def image_phash(df: DataFrame, id_col: str, bin_col: str) -> DataFrame:
                 raw = bytes(payload)
                 if not raw:
                     raise NotImplementedError("empty payload: real decoder required")
+                if png.is_png(raw):
+                    # real pixels: grayscale -> 9x8 -> gradient bits
+                    rows.append((int(i), png.dhash63(png.decode_png(raw))))
+                    continue
                 arr = np.frombuffer(raw, dtype=np.uint8)
                 step = -(-len(arr) // 65)  # ceil
                 idx = np.minimum(np.arange(65, dtype=np.int64) * step, len(arr) - 1)
@@ -253,3 +273,57 @@ def image_phash(df: DataFrame, id_col: str, bin_col: str) -> DataFrame:
             yield pd.DataFrame(rows, columns=["id", "dhash"])
 
     return src.mapInPandas(kernel, PHASH_SCHEMA)
+
+
+RESIZE_PNG_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType()),
+        T.StructField("resized", T.BinaryType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_bytes_out", T.IntegerType()),
+    ]
+)
+
+
+def resize_png(
+    df: DataFrame, id_col: str, bin_col: str, out_w: int = 32, out_h: int = 32
+) -> DataFrame:
+    """REAL image resize for PNG payloads: decode (functions/png.py),
+    nearest-neighbor resample to (out_w, out_h), re-encode — binary in,
+    binary out, typed side metadata, same Arrow kernel shape as the
+    byte-stub :func:`resize_images`. Non-PNG payloads raise (use
+    :func:`resize_images` for opaque bytes): a silent wrong-codec
+    fallback would corrupt a training corpus undetectably.
+    """
+    src = df.select(F.col(id_col).alias("id"), F.col(bin_col).alias("payload"))
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from tableone_pyspark_spark.functions import png
+
+        for pdf in batches:
+            ids, outs, ws, hs, sizes = [], [], [], [], []
+            for i, payload in zip(pdf["id"], pdf["payload"]):
+                raw = bytes(payload)
+                if not png.is_png(raw):
+                    raise ValueError(
+                        f"resize_png: row {i} is not a PNG payload"
+                    )
+                small = png.resize_nearest(png.decode_png(raw), out_w, out_h)
+                data = png.encode_png(small)
+                ids.append(int(i))
+                outs.append(data)
+                ws.append(out_w)
+                hs.append(out_h)
+                sizes.append(len(data))
+            yield pd.DataFrame(
+                {
+                    "id": ids,
+                    "resized": outs,
+                    "width": ws,
+                    "height": hs,
+                    "n_bytes_out": sizes,
+                }
+            )
+
+    return src.mapInPandas(kernel, RESIZE_PNG_SCHEMA)

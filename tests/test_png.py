@@ -1,0 +1,199 @@
+"""Pure-Python PNG codec + its multimodal kernel integration.
+
+Decode correctness is pinned against hand-filtered scanlines (every
+PNG filter type forward-applied in the test, so the decoder must
+invert them exactly), and the Spark kernels are driven with real PNG
+payloads end-to-end."""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from tableone_pyspark_spark.functions import png
+
+
+def _rng(seed=0):
+    return np.random.default_rng(seed)
+
+
+# ---------------------------------------------------------------------------
+# codec
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("channels", [1, 2, 3, 4])
+def test_round_trip_all_color_types(channels):
+    arr = _rng(channels).integers(0, 256, size=(13, 7, channels), dtype=np.uint8)
+    out = png.decode_png(png.encode_png(arr))
+    assert out.shape == arr.shape
+    assert np.array_equal(out, arr)
+
+
+def test_meta_without_decode():
+    arr = _rng(1).integers(0, 256, size=(5, 9, 3), dtype=np.uint8)
+    assert png.png_meta(png.encode_png(arr)) == (9, 5, 3, 8)
+
+
+def _forward_filter(arr: np.ndarray, ftypes: list[int]) -> bytes:
+    """Apply PNG filters row-by-row (the encoder side of RFC 2083
+    §6.1) so the decoder's inverse is tested against the spec."""
+    h, w, c = arr.shape
+    stride, bpp = w * c, c
+    flat = arr.reshape(h, stride).astype(np.int64)
+    out = b""
+    for y, f in enumerate(ftypes):
+        cur = flat[y]
+        prev = flat[y - 1] if y > 0 else np.zeros(stride, dtype=np.int64)
+        filt = np.zeros(stride, dtype=np.int64)
+        for x in range(stride):
+            a = cur[x - bpp] if x >= bpp else 0
+            b = prev[x]
+            cc = prev[x - bpp] if x >= bpp else 0
+            if f == 0:
+                pred = 0
+            elif f == 1:
+                pred = a
+            elif f == 2:
+                pred = b
+            elif f == 3:
+                pred = (a + b) >> 1
+            else:  # Paeth
+                p = a + b - cc
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - cc)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else cc)
+            filt[x] = (cur[x] - pred) & 0xFF
+        out += bytes([f]) + bytes(filt.astype(np.uint8))
+    return out
+
+
+def _chunk(tag: bytes, body: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(body))
+        + tag
+        + body
+        + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+    )
+
+
+def _assemble(arr: np.ndarray, ftypes: list[int]) -> bytes:
+    h, w, c = arr.shape
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, {1: 0, 2: 4, 3: 2, 4: 6}[c], 0, 0, 0)
+    return (
+        png.PNG_MAGIC
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(_forward_filter(arr, ftypes)))
+        + _chunk(b"IEND", b"")
+    )
+
+
+def test_decoder_inverts_every_filter_type():
+    arr = _rng(42).integers(0, 256, size=(10, 6, 3), dtype=np.uint8)
+    # one row of each filter, then repeats — exercises row-to-row state
+    ftypes = [0, 1, 2, 3, 4, 4, 3, 2, 1, 0]
+    assert np.array_equal(png.decode_png(_assemble(arr, ftypes)), arr)
+
+
+def test_crc_corruption_detected():
+    data = bytearray(png.encode_png(np.zeros((4, 4), dtype=np.uint8)))
+    data[40] ^= 0xFF  # flip a byte inside IDAT
+    with pytest.raises(ValueError, match="CRC"):
+        png.decode_png(bytes(data))
+
+
+def test_unsupported_variants_raise():
+    # palette color type
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0)
+    pal = png.PNG_MAGIC + _chunk(b"IHDR", ihdr) + _chunk(b"IEND", b"")
+    with pytest.raises(NotImplementedError, match="palette"):
+        png.png_meta(pal)
+    # 16-bit depth
+    ihdr16 = struct.pack(">IIBBBBB", 2, 2, 16, 0, 0, 0, 0)
+    deep = png.PNG_MAGIC + _chunk(b"IHDR", ihdr16) + _chunk(b"IEND", b"")
+    with pytest.raises(NotImplementedError, match="depth"):
+        png.png_meta(deep)
+    with pytest.raises(ValueError, match="not a PNG"):
+        png.png_meta(b"GIF89a...")
+
+
+def test_resize_and_grayscale_primitives():
+    arr = _rng(3).integers(0, 256, size=(8, 8, 3), dtype=np.uint8)
+    small = png.resize_nearest(arr, 4, 2)
+    assert small.shape == (2, 4, 3)
+    assert np.array_equal(small[0, 0], arr[0, 0])  # nearest keeps corners
+    g = png.grayscale(arr)
+    r, gg, b = (arr[..., i].astype(np.int64) for i in range(3))
+    assert np.array_equal(g, ((77 * r + 150 * gg + 29 * b) >> 8).astype(np.uint8))
+
+
+# ---------------------------------------------------------------------------
+# Spark kernels on real PNGs
+# ---------------------------------------------------------------------------
+
+
+def _png_df(spark, arrays):
+    rows = [(i, bytearray(png.encode_png(a))) for i, a in enumerate(arrays)]
+    return spark.createDataFrame(rows, "id long, payload binary")
+
+
+def test_image_metadata_real_pixels(spark):
+    from tableone_pyspark_spark.operators.multimodal import image_metadata
+
+    arrs = [
+        np.full((4, 6, 3), 100, dtype=np.uint8),
+        _rng(9).integers(0, 256, size=(12, 5, 1), dtype=np.uint8),
+    ]
+    out = {r["id"]: r for r in image_metadata(_png_df(spark, arrs), "id", "payload").collect()}
+    assert (out[0]["width"], out[0]["height"], out[0]["channels"]) == (6, 4, 3)
+    assert out[0]["mean_intensity"] == pytest.approx(100 / 255.0)
+    assert (out[1]["width"], out[1]["height"], out[1]["channels"]) == (5, 12, 1)
+    assert out[1]["mean_intensity"] == pytest.approx(float(arrs[1].mean()) / 255.0)
+
+
+def test_image_metadata_mixed_payloads_fall_back_to_stub(spark):
+    from tableone_pyspark_spark.operators.multimodal import image_metadata
+
+    arr = np.full((4, 4, 3), 7, dtype=np.uint8)
+    rows = [
+        (0, bytearray(png.encode_png(arr))),
+        (1, bytearray(b"not-an-image-payload")),
+    ]
+    df = spark.createDataFrame(rows, "id long, payload binary")
+    out = {r["id"]: r for r in image_metadata(df, "id", "payload").collect()}
+    assert out[0]["width"] == 4  # real decode
+    assert out[1]["width"] == 64 + (ord("n") % 64)  # deterministic stub
+
+
+def test_image_phash_real_gradients(spark):
+    from tableone_pyspark_spark.operators.multimodal import image_phash
+
+    base = _rng(5).integers(0, 256, size=(16, 16, 3), dtype=np.uint8)
+    near = base.copy()
+    near[0, 0] = 255 - near[0, 0]  # one-pixel change
+    far = _rng(6).integers(0, 256, size=(16, 16, 3), dtype=np.uint8)
+    out = {
+        r["id"]: r["dhash"]
+        for r in image_phash(_png_df(spark, [base, near, far]), "id", "payload").collect()
+    }
+    assert all(v >= 0 for v in out.values())  # 63-bit: positive longs
+    ham = lambda a, b: bin(a ^ b).count("1")
+    assert ham(out[0], out[1]) <= 8  # near-dup: few gradient bits move
+    assert ham(out[0], out[2]) > ham(out[0], out[1])
+    # pinned to the pure-python reference implementation
+    assert out[0] == png.dhash63(base)
+
+
+def test_resize_png_round_trip(spark):
+    from tableone_pyspark_spark.operators.multimodal import resize_png
+
+    arr = _rng(11).integers(0, 256, size=(32, 48, 3), dtype=np.uint8)
+    out = resize_png(_png_df(spark, [arr]), "id", "payload", out_w=12, out_h=8).first()
+    assert (out["width"], out["height"]) == (12, 8)
+    got = png.decode_png(bytes(out["resized"]))
+    assert np.array_equal(got, png.resize_nearest(arr, 12, 8))
+    with pytest.raises(Exception):  # non-PNG input must fail loudly
+        df = spark.createDataFrame([(0, bytearray(b"xx"))], "id long, payload binary")
+        resize_png(df, "id", "payload").collect()
