@@ -1215,6 +1215,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["image_phash"] = image_phash
 
+    def png_decode_stats(spark, sf_dir):
+        # REAL codec round trip with a SQL oracle: synthesize a 16x16
+        # gray PNG per doc from its text bytes (pure function of the
+        # data), then drive the real decoder — decoded stats must
+        # reproduce the source-byte arithmetic exactly
+        from tableone_pyspark_spark.operators.multimodal import (
+            image_metadata,
+            synthesize_png_corpus,
+        )
+
+        d = (
+            _load(spark, sf_dir, "documents")
+            .where(F.length("text") > 0)
+            .select("doc_id", "text")
+        )
+        imgs = synthesize_png_corpus(d, "doc_id", "text", w=16, h=16)
+        meta = image_metadata(imgs, "id", "payload")
+        return meta.select(
+            "id",
+            "width",
+            "height",
+            "channels",
+            F.round("mean_intensity", 6).alias("mean_intensity"),
+        )
+
+    q["png_decode_stats"] = png_decode_stats
+
     def label_centroids(spark, sf_dir):
         e = _load(spark, sf_dir, "embeddings")
         return sim.label_centroids(e, "label", "embedding")
@@ -2542,6 +2569,17 @@ def oracle_sql() -> dict[str, str]:
         "ROUND(list_sum(list_transform(range(1, least(length(text), 256) + 1), "
         "i -> ascii(substr(text, i, 1)))) / least(length(text), 256) / 255.0, 6) "
         "AS mean_intensity FROM documents"
+    )
+
+    # real PNG round trip: pixel (r,c) = text byte ((r*16+c) mod len),
+    # so the decoded mean is the mean of those 256 source bytes (text
+    # is pure ASCII in the testdata: ascii(substr) == the byte)
+    o["png_decode_stats"] = (
+        "SELECT doc_id AS id, 16 AS width, 16 AS height, 1 AS channels, "
+        "ROUND(list_sum(list_transform(range(0, 256), "
+        "i -> ascii(substr(text, CAST(i % length(text) AS INT) + 1, 1)))) "
+        "/ 256.0 / 255.0, 6) AS mean_intensity "
+        "FROM documents WHERE length(text) > 0"
     )
 
     o["frame_stats"] = (

@@ -327,3 +327,46 @@ def resize_png(
             )
 
     return src.mapInPandas(kernel, RESIZE_PNG_SCHEMA)
+
+
+PNG_CORPUS_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+    ]
+)
+
+
+def synthesize_png_corpus(
+    df: DataFrame, id_col: str, text_col: str, w: int = 16, h: int = 16
+) -> DataFrame:
+    """Deterministic PNG-per-row fixture generator: pixel (r, c) of a
+    w x h grayscale image is byte ``(r*w + c) mod len`` of the row's
+    text — a pure function of the data, so decoded statistics are
+    SQL-checkable on any engine. This is how the REAL decode path gets
+    an oracle despite the testdata shipping no image bytes: encode
+    here, decode in :func:`image_metadata`, and the round trip must
+    reproduce the arithmetic of the source bytes exactly. Also the
+    scale-test corpus generator for image-pipeline benchmarks (one
+    Arrow pass, no payload leaves the executor)."""
+    src = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("txt"))
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from tableone_pyspark_spark.functions import png as _png
+
+        for pdf in batches:
+            ids, payloads = [], []
+            for i, txt in zip(pdf["id"], pdf["txt"]):
+                raw = txt.encode("utf-8")
+                if not raw:
+                    continue  # no pixels to derive; mirrored by the
+                    # length(text) > 0 filter in oracle queries
+                idx = np.arange(w * h, dtype=np.int64) % len(raw)
+                arr = np.frombuffer(raw, dtype=np.uint8)[idx].reshape(h, w)
+                ids.append(int(i))
+                payloads.append(_png.encode_png(arr))
+            yield pd.DataFrame({"id": ids, "payload": payloads})
+
+    return src.mapInPandas(kernel, PNG_CORPUS_SCHEMA)
