@@ -982,6 +982,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             cont_vars=["value"],
             cat_vars={"seg": ["0", "1", "2"]},
             window="1 day",
+            # mergeable GK sketch; every (day x type) group at sf<=0.01
+            # is far under the 10k accuracy -> exact quantile_disc rows
+            quartiles=True,
         )
         query = (
             out.writeStream.format("memory")
@@ -2521,6 +2524,8 @@ def oracle_sql() -> dict[str, str]:
             "g AS (SELECT w, event_type, count(*) AS rws, "
             "count(v) AS n0, min(v) AS mn0, max(v) AS mx0, "
             "avg(v) AS me0, stddev_samp(v) AS sd0, "
+            "quantile_disc(v, 0.25) AS q25, quantile_disc(v, 0.5) AS q50, "
+            "quantile_disc(v, 0.75) AS q75, "
             + ", ".join(
                 f"count(*) FILTER (WHERE seg = '{s}') AS c0{k}"
                 for k, s in enumerate("012")
@@ -2543,6 +2548,9 @@ def oracle_sql() -> dict[str, str]:
             ("max", 2.3, "ROUND(mx0, 6)"),
             ("mean", 2.4, "CASE WHEN n0 > 0 THEN ROUND(me0, 6) END"),
             ("stddev", 2.5, "CASE WHEN n0 > 1 THEN ROUND(sd0, 6) END"),
+            ("25th percentile", 2.6, "ROUND(q25, 6)"),
+            ("50th percentile", 2.7, "ROUND(q50, 6)"),
+            ("75th percentile", 2.8, "ROUND(q75, 6)"),
         ]
         for label, idx, expr in cont:
             parts.append(

@@ -3,9 +3,11 @@
 Counts, sums and sums-of-squares are associative, so grouped
 sufficient statistics are valid Structured-Streaming aggregations
 (SURVEY §2.9): mean = Σx/n and sample variance = (Σx² − (Σx)²/n)/(n−1)
-are derived columns of the windowed state. Percentiles are
-batch-only (documented limitation — order statistics are not
-mergeable without sketches).
+are derived columns of the windowed state. Percentiles ride the same
+agg as ``percentile_approx``'s mergeable GK sketch where requested
+(``streaming_tableone(quartiles=True)``) — exact while groups stay
+under the sketch accuracy, rank-bounded beyond; the plain
+``windowed_sufficient_stats`` keeps scalar-only state.
 
 ``streaming_tableone_hourly`` works on any streaming DataFrame with
 (ts, event_type, value); with a watermark, state for closed windows is
@@ -330,6 +332,8 @@ def streaming_tableone(
     window: str = "1 hour",
     watermark: str = "2 hours",
     missing: str = "MISSING",
+    quartiles: bool = False,
+    quartile_accuracy: int = 10_000,
 ) -> DataFrame:
     """TableOne over a stream: the long-format descriptive table per
     (time window x strat value), from ONE streaming aggregation
@@ -344,8 +348,15 @@ def streaming_tableone(
     long-row melt is a stateless post-aggregation ``F.stack``.
 
     Deltas from batch ``tableone`` (both inherent to streaming):
-      * percentile rows are absent — order statistics are not
-        incrementally mergeable without sketches (module docstring);
+      * quartile rows are opt-in (``quartiles=True``): they ride the
+        same single agg via ``percentile_approx``'s MERGEABLE GK
+        sketch (a TypedImperativeAggregate, so it is a legal
+        streaming aggregate) — exact quantile_disc semantics while
+        every (window x strat) group stays under
+        ``quartile_accuracy`` rows, rank-bounded approximation
+        beyond, the same regime property as the batch "data" mode;
+        state grows by O(accuracy) per open group, so size the
+        accuracy to the expected group cardinality;
       * categorical variables need their category values declared
         up front (``cat_vars={col: [values...]}``) because a
         streaming schema cannot depend on the data — the same
@@ -376,6 +387,12 @@ def streaming_tableone(
             F.sum(c).alias(f"s1_{i}"),
             F.sum(c * c).alias(f"s2_{i}"),
         ]
+        if quartiles:
+            aggs.append(
+                F.percentile_approx(
+                    c, [0.25, 0.5, 0.75], F.lit(quartile_accuracy)
+                ).alias(f"q_{i}")
+            )
     for j, (v, vals) in enumerate(cat_vars.items()):
         cv = F.coalesce(F.col(v).cast("string"), F.lit(missing))
         for k, val in enumerate(vals):
@@ -418,6 +435,11 @@ def streaming_tableone(
             ("mean", 4, F.when(n > 0, F.round(mean, 6))),
             ("stddev", 5, F.when(n > 1, F.round(F.sqrt(var), 6))),
         ]
+        if quartiles:
+            stats += [
+                (f"{p}th percentile", 5 + k + 1, F.col(f"q_{i}")[k])
+                for k, p in enumerate((25, 50, 75))
+            ]
         for label, off, expr in stats:
             stack_args += [
                 F.lit(round(n_vars + off / 10, 1)),
