@@ -372,3 +372,66 @@ def test_filter_funnel_quoted_names_survive(spark):
         'has " and `tick`',
     ]
     assert [r["n_out"] for r in out] == [50, 10]
+
+
+def test_salted_join_plan_spreads_key_and_preserves_columns(spark, lineitem):
+    """The salted join must (a) join on (keys + salt) so a hot key
+    spreads over n_salt reducers, (b) never broadcast the skewed left
+    side, and (c) emit exactly the plain join's column set."""
+    from tableone_pyspark_spark.plans.skew import SALT, salted_join
+
+    orders = spark.read.parquet(f"{SF}/orders.parquet").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_totalprice"
+    )
+    out = salted_join(lineitem, orders, ["l_orderkey"], n_salt=8)
+    assert set(out.columns) == set(lineitem.columns) | {"o_totalprice"}
+    exe = inspect.executed_plan(out)
+    assert SALT in exe  # the salt is a real join key in the plan
+    plain = lineitem.join(orders, ["l_orderkey"]).collect()
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, plain))
+
+
+def test_png_pipeline_is_shuffle_free(spark):
+    """synthesize -> decode is two chained Arrow kernels: the plan must
+    contain NO exchange (pure per-partition pipeline) and prune the
+    scan to the two used columns."""
+    from tableone_pyspark_spark.operators.multimodal import (
+        image_metadata,
+        synthesize_png_corpus,
+    )
+
+    d = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    meta = image_metadata(
+        synthesize_png_corpus(d, "doc_id", "text"), "id", "payload"
+    )
+    facts = inspect.plan_facts(meta)
+    assert facts.n_exchanges == 0
+    inspect.assert_scan_pruned(meta, {"doc_id", "text"})
+
+
+def test_streaming_tableone_single_stateful_agg(spark):
+    """The whole streaming TableOne must plan as ONE stateful
+    aggregation (one StateStoreSave), not one per variable."""
+    from tableone_pyspark_spark.sources.testdata import events_stream
+    from tableone_pyspark_spark.streaming.stream_stats import (
+        streaming_tableone,
+    )
+
+    st = events_stream(spark, SF).select("ts", "event_type", "user_id", "value")
+    st = st.withColumn("seg", (F.col("user_id") % 3).cast("string"))
+    out = streaming_tableone(
+        st, "event_type", ["value"], {"seg": ["0", "1", "2"]},
+        window="1 day", quartiles=True,
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("t_plan_stream_t1")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    progress = q.lastProgress
+    assert progress is not None
+    ops_states = progress["stateOperators"]
+    assert len(ops_states) == 1, ops_states  # ONE stateful operator
