@@ -566,6 +566,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["exact_dedup_keep"] = exact_dedup_keep
 
+    def paragraph_dedup_q(spark, sf_dir):
+        # CCNet-style boilerplate-paragraph removal; on this corpus no
+        # paragraph repeats, so the contract graded is the full
+        # explode -> md5 -> anti-join -> ordered-reassembly round trip
+        # (text must come back byte-for-byte); removal semantics are
+        # pinned in tests/test_dedup.py on synthetic boilerplate
+        d = _load(spark, sf_dir, "documents")
+        return dd.paragraph_dedup(d, "doc_id", "text")
+
+    q["paragraph_dedup"] = paragraph_dedup_q
+
     def ngram_jaccard(spark, sf_dir):
         d = _load(spark, sf_dir, "documents")
         out = dd.ngram_jaccard_pairs(d, "text", "doc_id", n=3, threshold=0.5)
@@ -1435,7 +1446,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # suite has been graded at least once. NOT in-window (stale-2 after
     # r4 -> must lead r5): text_stats, lang_confusion, exact_dedup_stats,
     # exact_dedup_keep, ngram_jaccard, frame_stats, binary_stats,
-    # events_type_stats, events_hourly, stream_hourly.
+    # events_type_stats, events_hourly, stream_hourly, tableone_supplier.
     _front = [
         # never graded (round-3 cohort)
         "daily_quantiles", "hourly_anomalies", "seasonality", "data_gaps",
@@ -1458,9 +1469,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cat_counts", "cat_pivot", "cont_stats", "cont_stats_by_group",
         "ttest_stat", "anova_stat", "chi2_stat", "tableone_unstrat",
         "tableone_orders", "tableone_docs", "tableone_part",
-        "tableone_supplier", "tableone_beautify", "tableone_joined",
+        "paragraph_dedup", "tableone_beautify", "tableone_joined",
         "top_orders", "sales_cube", "asof_events", "user_sessions",
     ]
+    # paragraph_dedup (new, never graded) displaces tableone_supplier
+    # (its family has 9 other graded variants) -> supplier joins the
+    # stale-2 r5 leaders listed above
     assert len(_front) == 50 and len(set(_front)) == 50
     assert set(_front) <= set(q), sorted(set(_front) - set(q))
     rotated = {k: q[k] for k in _front}
@@ -1969,6 +1983,25 @@ def oracle_sql() -> dict[str, str]:
     o["exact_dedup_keep"] = (
         f"SELECT CAST(min(doc_id) AS BIGINT) AS keep_id, count(*) AS n_dups "
         f"FROM documents GROUP BY {NORM}"
+    )
+    # md5 is bit-identical across engines, so the whole paragraph
+    # pipeline (split, count, anti-join, ordered reassembly) replays
+    _PSEP = "chr(10) || chr(10)"
+    o["paragraph_dedup"] = (
+        f"WITH l AS (SELECT doc_id, string_split(text, {_PSEP}) AS ps "
+        "FROM documents), "
+        "p AS (SELECT doc_id, unnest(ps) AS para, "
+        "generate_subscripts(ps, 1) AS pos FROM l), "
+        "c AS (SELECT md5(para) AS ph, count(*) AS cnt FROM p GROUP BY 1), "
+        "k AS (SELECT doc_id, pos, para FROM p JOIN c ON md5(para) = c.ph "
+        "WHERE c.cnt < 2), "
+        "t AS (SELECT doc_id, count(*) AS n_paras FROM p GROUP BY 1), "
+        f"a AS (SELECT doc_id, string_agg(para, {_PSEP} ORDER BY pos) AS text, "
+        "count(*) AS n_kept FROM k GROUP BY 1) "
+        "SELECT t.doc_id, COALESCE(a.text, '') AS text, "
+        "CAST(t.n_paras AS BIGINT) AS n_paras, "
+        "CAST(t.n_paras - COALESCE(a.n_kept, 0) AS BIGINT) AS n_removed "
+        "FROM t LEFT JOIN a ON t.doc_id = a.doc_id"
     )
 
     SHINGLES = (

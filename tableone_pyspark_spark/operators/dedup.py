@@ -590,3 +590,67 @@ def dedup_cluster_assign(
             id_col, F.coalesce("cluster_id", F.col(id_col)).alias("cluster_id")
         )
     )
+
+
+def paragraph_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    sep: str = "\n\n",
+    min_count: int = 2,
+) -> DataFrame:
+    """CCNet-style paragraph-level deduplication: drop every paragraph
+    whose exact text occurs at least ``min_count`` times corpus-wide
+    (boilerplate, headers, navigation chrome), then reassemble each
+    document from its surviving paragraphs in original order.
+
+    Scale shape: paragraphs shuffle once keyed by their 128-bit md5
+    (never the text twice); the over-threshold hash set is typically
+    tiny (boilerplate is concentrated), so Catalyst broadcasts the
+    anti-join side; reassembly is one groupBy(id) whose
+    ``array_sort(collect_list(struct(pos, para)))`` restores order
+    without a sort exchange. md5 is bit-identical across engines, so
+    the whole pipeline is SQL-oracle-checkable. Returns
+    ``(<id_col>, text, n_paras, n_removed)``; a document whose every
+    paragraph was boilerplate survives with empty text (count it, don't
+    silently drop it).
+    """
+    import re as _re
+
+    paras = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(F.col(text_col), _re.escape(sep))).alias(
+            "pos", "para"
+        ),
+    )
+    dup_hashes = (
+        paras.groupBy(F.md5("para").alias("ph"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .where(F.col("cnt") >= min_count)
+        .select("ph")
+    )
+    kept = paras.withColumn("ph", F.md5("para")).join(
+        dup_hashes, "ph", "left_anti"
+    )
+    totals = paras.groupBy("id").agg(F.count(F.lit(1)).alias("n_paras"))
+    assembled = kept.groupBy("id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "para"))),
+                lambda x: x["para"],
+            ),
+            sep,
+        ).alias("text"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    return (
+        totals.join(assembled, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce(F.col("text"), F.lit("")).alias("text"),
+            "n_paras",
+            (F.col("n_paras") - F.coalesce(F.col("n_kept"), F.lit(0))).alias(
+                "n_removed"
+            ),
+        )
+    )

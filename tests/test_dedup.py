@@ -202,3 +202,37 @@ def test_connected_components_nonconvergence_raises(spark):
     # and with the default budget the same graph collapses to one cluster
     got = {r["cluster_id"] for r in dd.connected_components(edges).collect()}
     assert got == {0}
+
+
+def test_paragraph_dedup_removes_boilerplate_and_preserves_order(spark):
+    from tableone_pyspark_spark.operators.dedup import paragraph_dedup
+
+    bp = "SUBSCRIBE TO OUR NEWSLETTER"
+    docs = [
+        (1, f"alpha\n\n{bp}\n\nbravo"),
+        (2, f"{bp}\n\ncharlie"),
+        (3, "delta\n\necho"),
+        (4, bp),  # all-boilerplate doc must survive with empty text
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in paragraph_dedup(df, "doc_id", "text").collect()}
+    assert out[1]["text"] == "alpha\n\nbravo"  # order preserved
+    assert (out[1]["n_paras"], out[1]["n_removed"]) == (3, 1)
+    assert out[2]["text"] == "charlie"
+    assert out[3]["text"] == "delta\n\necho" and out[3]["n_removed"] == 0
+    assert out[4]["text"] == "" and out[4]["n_removed"] == 1
+    assert set(out) == {1, 2, 3, 4}
+
+
+def test_paragraph_dedup_identity_when_no_duplicates(spark):
+    """With no over-threshold paragraph, reassembly must reproduce the
+    input text byte-for-byte (explode -> md5 -> anti-join -> ordered
+    rejoin round trip)."""
+    from tableone_pyspark_spark.operators.dedup import paragraph_dedup
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = paragraph_dedup(d, "doc_id", "text")
+    orig = {r["doc_id"]: r["text"] for r in d.select("doc_id", "text").collect()}
+    got = {r["doc_id"]: r["text"] for r in out.collect()}
+    assert got == orig
+    assert out.where(F.col("n_removed") != 0).count() == 0
