@@ -632,7 +632,13 @@ def paragraph_dedup(
     kept = paras.withColumn("ph", F.md5("para")).join(
         dup_hashes, "ph", "left_anti"
     )
-    totals = paras.groupBy("id").agg(F.count(F.lit(1)).alias("n_paras"))
+    # per-doc totals need no explode/shuffle: size(split()) at the scan
+    totals = df.select(
+        F.col(id_col).alias("id"),
+        F.size(F.split(F.col(text_col), _re.escape(sep)))
+        .cast("long")
+        .alias("n_paras"),
+    )
     assembled = kept.groupBy("id").agg(
         F.array_join(
             F.transform(

@@ -197,3 +197,22 @@ def test_resize_png_round_trip(spark):
     with pytest.raises(Exception):  # non-PNG input must fail loudly
         df = spark.createDataFrame([(0, bytearray(b"xx"))], "id long, payload binary")
         resize_png(df, "id", "payload").collect()
+
+
+# property: round-trip holds for arbitrary shapes/channels/content
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    w=st.integers(1, 40),
+    h=st.integers(1, 40),
+    c=st.integers(1, 4),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_round_trip_property(w, h, c, seed):
+    arr = np.random.default_rng(seed).integers(
+        0, 256, size=(h, w, c), dtype=np.uint8
+    )
+    assert np.array_equal(png.decode_png(png.encode_png(arr)), arr)
