@@ -716,7 +716,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def salted_join_q(spark, sf_dir):
         # the skew path's row-level contract: a salted join IS the
         # plain join (salt spreads reducers, never changes the result),
-        # so the oracle is the unsalted SQL join
+        # so the oracle is the unsalted SQL join. Graded via a
+        # row-sensitive per-bucket digest (every joined row feeds the
+        # sums, so a missing/extra/mispaired row flips a bucket) instead
+        # of collecting the full ~600k-row result — same hard signal,
+        # ~16 rows over the wire (VERDICT r4 nit #1).
         from tableone_pyspark_spark.plans.skew import salted_join
 
         li = _load(spark, sf_dir, "lineitem").select(
@@ -727,11 +731,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         orders = _load(spark, sf_dir, "orders").select(
             F.col("o_orderkey").alias("orderkey"), "o_totalprice"
         )
-        return salted_join(li, orders, ["orderkey"], n_salt=8).select(
-            "orderkey",
-            "l_partkey",
-            F.round("l_extendedprice", 6).alias("price"),
-            F.round("o_totalprice", 6).alias("total"),
+        j = salted_join(li, orders, ["orderkey"], n_salt=8)
+        price_c = F.round(F.col("l_extendedprice") * 100).cast("long")
+        total_c = F.round(F.col("o_totalprice") * 100).cast("long")
+        return (
+            j.groupBy((F.col("orderkey") % 16).cast("int").alias("bucket"))
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum("l_partkey").cast("long").alias("sum_part"),
+                F.sum(price_c).alias("sum_price_c"),
+                F.sum(total_c).alias("sum_total_c"),
+                F.sum((F.col("l_partkey") % 997) * (price_c % 997))
+                .cast("long")
+                .alias("mix"),
+            )
         )
 
     q["salted_join"] = salted_join_q
@@ -2189,11 +2202,21 @@ def oracle_sql() -> dict[str, str]:
     )
 
     # salting never changes results — the oracles are the UNsalted ops
+    # (row-sensitive per-bucket digest; cents are exactly integral after
+    # ROUND(x*100) so the BIGINT casts are lossless in both engines)
     o["salted_join"] = (
-        "SELECT l.l_orderkey AS orderkey, l.l_partkey, "
-        "ROUND(l.l_extendedprice, 6) AS price, "
-        "ROUND(o.o_totalprice, 6) AS total "
-        "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey"
+        "SELECT CAST(l.l_orderkey % 16 AS INT) AS bucket, "
+        "count(*) AS n_rows, "
+        "CAST(SUM(l.l_partkey) AS BIGINT) AS sum_part, "
+        "CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT)"
+        " AS sum_price_c, "
+        "CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)"
+        " AS sum_total_c, "
+        "CAST(SUM((l.l_partkey % 997) * "
+        "(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT) % 997)) AS BIGINT)"
+        " AS mix "
+        "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey "
+        "GROUP BY 1"
     )
     o["salted_collect"] = (
         "SELECT DISTINCT user_id, event_type FROM events"
