@@ -2001,7 +2001,8 @@ def oracle_sql() -> dict[str, str]:
     # pipeline (split, count, anti-join, ordered reassembly) replays
     _PSEP = "chr(10) || chr(10)"
     o["paragraph_dedup"] = (
-        f"WITH l AS (SELECT doc_id, string_split(text, {_PSEP}) AS ps "
+        "WITH l AS (SELECT doc_id, "
+        f"string_split(COALESCE(text, ''), {_PSEP}) AS ps "
         "FROM documents), "
         "p AS (SELECT doc_id, unnest(ps) AS para, "
         "generate_subscripts(ps, 1) AS pos FROM l), "
@@ -2637,8 +2638,11 @@ def oracle_sql() -> dict[str, str]:
     # real PNG round trip: pixel (r,c) = text byte ((r*16+c) mod len),
     # so the decoded mean is the mean of those 256 source bytes (text
     # is pure ASCII in the testdata: ascii(substr) == the byte)
+    # odd ids are palette-encoded (identity gray PLTE -> 3 channels,
+    # same mean), even ids plain grayscale (1 channel)
     o["png_decode_stats"] = (
-        "SELECT doc_id AS id, 16 AS width, 16 AS height, 1 AS channels, "
+        "SELECT doc_id AS id, 16 AS width, 16 AS height, "
+        "CAST(CASE WHEN doc_id % 2 = 1 THEN 3 ELSE 1 END AS INT) AS channels, "
         "ROUND(list_sum(list_transform(range(0, 256), "
         "i -> ascii(substr(text, CAST(i % length(text) AS INT) + 1, 1)))) "
         "/ 256.0 / 255.0, 6) AS mean_intensity "

@@ -8,11 +8,18 @@ pixel semantics for PNG payloads while keeping the same Arrow kernel
 shape (see operators/multimodal.py): payload bytes in, typed
 metadata/pixels out, nothing leaves the executor.
 
-Supported: 8-bit depth, color types 0 (gray), 2 (RGB), 4 (gray+alpha),
-6 (RGBA), non-interlaced, all five scanline filters. Palette (3),
-16-bit, and Adam7 interlace raise ``NotImplementedError`` — the honest
+Supported: 8-bit depth, color types 0 (gray), 2 (RGB), 3 (palette,
+expanded to RGB via PLTE), 4 (gray+alpha), 6 (RGBA), non-interlaced,
+all five scanline filters. 16-bit, sub-byte palette depths, palette
+tRNS, and Adam7 interlace raise ``NotImplementedError`` — the honest
 boundary of a dependency-free decoder (production swaps in PIL/
 turbojpeg behind the same seam).
+
+Hostile-input hardening (the corpora are untrusted web crawl): IHDR
+dimensions are bounded by ``MAX_PIXELS`` before any allocation, and
+IDAT inflates incrementally with a hard output cap, so a decompression
+bomb or absurd declared size fails fast with ``ValueError`` instead of
+OOMing the executor.
 
 Performance note: filters 1/3/4 carry a byte-serial data dependency
 (each byte needs the reconstructed byte ``bpp`` to its left), so those
@@ -30,8 +37,13 @@ import numpy as np
 
 PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 
-#: color type -> samples per pixel
-_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+#: color type -> samples per pixel IN THE CODED STREAM (palette = 1
+#: index byte per pixel; it expands to 3 output channels post-lookup)
+_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+#: hard cap on w*h before any allocation (PIL's MAX_IMAGE_PIXELS-style
+#: bomb guard; ~89M matches PIL's default). Overridable per call.
+MAX_PIXELS = 89_478_485
 
 
 def is_png(payload: bytes) -> bool:
@@ -42,6 +54,8 @@ def _chunks(data: bytes):
     pos = 8
     while pos + 8 <= len(data):
         (length,) = struct.unpack_from(">I", data, pos)
+        if pos + 12 + length > len(data):
+            raise ValueError("PNG truncated mid-chunk")
         tag = data[pos + 4 : pos + 8]
         body = data[pos + 8 : pos + 8 + length]
         (crc,) = struct.unpack_from(">I", data, pos + 8 + length)
@@ -54,9 +68,9 @@ def _chunks(data: bytes):
     raise ValueError("PNG truncated: no IEND chunk")
 
 
-def png_meta(payload: bytes) -> tuple[int, int, int, int]:
-    """(width, height, channels, bit_depth) from IHDR only — no
-    decompression, the cheap pre-pass for sizing a decode job."""
+def _ihdr(payload: bytes, max_pixels: int) -> tuple[int, int, int, int]:
+    """Validated (w, h, depth, color) from IHDR; raises on anything the
+    decoder can't honestly handle, BEFORE any buffer is sized."""
     if not is_png(payload):
         raise ValueError("not a PNG payload")
     tag, body = next(_chunks(payload))
@@ -64,27 +78,68 @@ def png_meta(payload: bytes) -> tuple[int, int, int, int]:
         raise ValueError("PNG: first chunk is not a valid IHDR")
     w, h, depth, color, comp, filt, interlace = struct.unpack(">IIBBBBB", body)
     if color not in _CHANNELS:
-        raise NotImplementedError(f"PNG color type {color} (palette?) unsupported")
+        raise NotImplementedError(f"PNG color type {color} unsupported")
     if depth != 8:
         raise NotImplementedError(f"PNG bit depth {depth} unsupported (8 only)")
     if interlace != 0:
         raise NotImplementedError("Adam7 interlaced PNG unsupported")
     if comp != 0 or filt != 0:
         raise ValueError("PNG: nonstandard compression/filter method")
-    return w, h, _CHANNELS[color], depth
-
-
-def decode_png(payload: bytes) -> np.ndarray:
-    """Decode to a (height, width, channels) uint8 array."""
-    w, h, channels, _depth = png_meta(payload)
-    idat = b"".join(body for tag, body in _chunks(payload) if tag == b"IDAT")
-    raw = zlib.decompress(idat)
-    stride = w * channels
-    if len(raw) != h * (stride + 1):
+    if w == 0 or h == 0:
+        raise ValueError("PNG: zero-dimension image")
+    if w * h > max_pixels:
         raise ValueError(
-            f"PNG: decompressed size {len(raw)} != expected {h * (stride + 1)}"
+            f"PNG: {w}x{h} exceeds max_pixels={max_pixels} (bomb guard)"
         )
-    bpp = channels  # 8-bit depth: bytes per pixel == channels
+    return w, h, depth, color
+
+
+def png_meta(
+    payload: bytes, max_pixels: int = MAX_PIXELS
+) -> tuple[int, int, int, int]:
+    """(width, height, out_channels, bit_depth) from IHDR only — no
+    decompression, the cheap pre-pass for sizing a decode job.
+    ``out_channels`` is the DECODED channel count (palette -> 3)."""
+    w, h, depth, color = _ihdr(payload, max_pixels)
+    return w, h, (3 if color == 3 else _CHANNELS[color]), depth
+
+
+def decode_png(payload: bytes, max_pixels: int = MAX_PIXELS) -> np.ndarray:
+    """Decode to a (height, width, channels) uint8 array."""
+    w, h, _depth, color = _ihdr(payload, max_pixels)
+    channels = _CHANNELS[color]  # coded samples/pixel (palette: 1)
+    plte = None
+    trns = False
+    idat_parts = []
+    for tag, body in _chunks(payload):
+        if tag == b"IDAT":
+            idat_parts.append(body)
+        elif tag == b"PLTE":
+            plte = body
+        elif tag == b"tRNS":
+            trns = True
+    idat = b"".join(idat_parts)
+    stride = w * channels
+    expected = h * (stride + 1)
+    # incremental inflate with a hard cap: a zip bomb overflows the cap
+    # and fails fast instead of materializing gigabytes
+    d = zlib.decompressobj()
+    raw = d.decompress(idat, expected + 1)
+    if len(raw) > expected:
+        raise ValueError(
+            f"PNG: decompressed stream exceeds expected {expected} bytes "
+            "(decompression bomb?)"
+        )
+    if len(raw) != expected:
+        raise ValueError(
+            f"PNG: decompressed size {len(raw)} != expected {expected}"
+        )
+    if color == 3:
+        if plte is None or len(plte) % 3 != 0 or len(plte) == 0:
+            raise ValueError("PNG: palette image without a valid PLTE chunk")
+        if trns:
+            raise NotImplementedError("PNG palette transparency (tRNS) unsupported")
+    bpp = channels  # 8-bit depth: bytes per pixel == coded channels
     out = np.zeros((h, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.uint8)
     pos = 0
@@ -117,6 +172,14 @@ def decode_png(payload: bytes) -> np.ndarray:
             raise ValueError(f"PNG: unknown filter type {f} on row {y}")
         out[y] = cur
         prev = out[y]
+    if color == 3:
+        # PLTE lookup: the unfiltered plane holds palette indices;
+        # vectorized fancy-index expands to RGB
+        pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+        idx = out.reshape(h, w)
+        if int(idx.max(initial=0)) >= pal.shape[0]:
+            raise ValueError("PNG: palette index out of PLTE range")
+        return pal[idx]
     return out.reshape(h, w, channels)
 
 
@@ -142,6 +205,38 @@ def encode_png(arr: np.ndarray) -> bytes:
     return (
         PNG_MAGIC
         + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw, 6))
+        + chunk(b"IEND", b"")
+    )
+
+
+def encode_png_palette(idx: np.ndarray, palette: np.ndarray) -> bytes:
+    """Minimal color-type-3 writer: ``idx`` is an (h, w) uint8 index
+    plane, ``palette`` an (n<=256, 3) uint8 RGB table written as PLTE.
+    Filter 0 rows, one IDAT — the palette twin of :func:`encode_png`,
+    used by fixtures to exercise the PLTE decode path."""
+    idx = np.asarray(idx, dtype=np.uint8)
+    palette = np.asarray(palette, dtype=np.uint8)
+    if idx.ndim != 2 or palette.ndim != 2 or palette.shape[1] != 3:
+        raise ValueError("idx must be (h, w), palette (n, 3)")
+    if palette.shape[0] > 256:
+        raise ValueError("palette larger than 256 entries")
+    h, w = idx.shape
+    raw = b"".join(b"\x00" + idx[y].tobytes() for y in range(h))
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 0)
+    return (
+        PNG_MAGIC
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"PLTE", palette.tobytes())
         + chunk(b"IDAT", zlib.compress(raw, 6))
         + chunk(b"IEND", b"")
     )

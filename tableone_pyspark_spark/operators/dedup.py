@@ -613,15 +613,16 @@ def paragraph_dedup(
     the whole pipeline is SQL-oracle-checkable. Returns
     ``(<id_col>, text, n_paras, n_removed)``; a document whose every
     paragraph was boilerplate survives with empty text (count it, don't
-    silently drop it).
+    silently drop it).  NULL text is coalesced to ``''`` first (one
+    empty paragraph, ``n_paras=1``) so null-text docs keep a defined
+    row instead of diverging between split-on-null semantics.
     """
     import re as _re
 
+    txt = F.coalesce(F.col(text_col), F.lit(""))
     paras = df.select(
         F.col(id_col).alias("id"),
-        F.posexplode(F.split(F.col(text_col), _re.escape(sep))).alias(
-            "pos", "para"
-        ),
+        F.posexplode(F.split(txt, _re.escape(sep))).alias("pos", "para"),
     )
     dup_hashes = (
         paras.groupBy(F.md5("para").alias("ph"))
@@ -635,9 +636,7 @@ def paragraph_dedup(
     # per-doc totals need no explode/shuffle: size(split()) at the scan
     totals = df.select(
         F.col(id_col).alias("id"),
-        F.size(F.split(F.col(text_col), _re.escape(sep)))
-        .cast("long")
-        .alias("n_paras"),
+        F.size(F.split(txt, _re.escape(sep))).cast("long").alias("n_paras"),
     )
     assembled = kept.groupBy("id").agg(
         F.array_join(

@@ -348,7 +348,14 @@ def synthesize_png_corpus(
     here, decode in :func:`image_metadata`, and the round trip must
     reproduce the arithmetic of the source bytes exactly. Also the
     scale-test corpus generator for image-pipeline benchmarks (one
-    Arrow pass, no payload leaves the executor)."""
+    Arrow pass, no payload leaves the executor).
+
+    Format variety: ODD ids encode as palette PNGs (color type 3,
+    identity 256-gray PLTE), even ids as plain grayscale — so the
+    corpus exercises both decode paths. The identity palette maps
+    index v to (v, v, v), so decoded mean intensity is unchanged;
+    only ``channels`` differs (3 vs 1), which oracles express as
+    ``CASE WHEN id % 2 = 1 THEN 3 ELSE 1 END``."""
     src = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("txt"))
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -356,6 +363,9 @@ def synthesize_png_corpus(
 
         from tableone_pyspark_spark.functions import png as _png
 
+        gray_pal = np.repeat(
+            np.arange(256, dtype=np.uint8)[:, None], 3, axis=1
+        )
         for pdf in batches:
             ids, payloads = [], []
             for i, txt in zip(pdf["id"], pdf["txt"]):
@@ -366,7 +376,10 @@ def synthesize_png_corpus(
                 idx = np.arange(w * h, dtype=np.int64) % len(raw)
                 arr = np.frombuffer(raw, dtype=np.uint8)[idx].reshape(h, w)
                 ids.append(int(i))
-                payloads.append(_png.encode_png(arr))
+                if int(i) % 2 == 1:
+                    payloads.append(_png.encode_png_palette(arr, gray_pal))
+                else:
+                    payloads.append(_png.encode_png(arr))
             yield pd.DataFrame({"id": ids, "payload": payloads})
 
     return src.mapInPandas(kernel, PNG_CORPUS_SCHEMA)

@@ -360,8 +360,11 @@ def streaming_tableone(
       * categorical variables need their category values declared
         up front (``cat_vars={col: [values...]}``) because a
         streaming schema cannot depend on the data — the same
-        restriction as Spark's own streaming pivot. Values outside
-        the list land in the ``missing`` bucket.
+        restriction as Spark's own streaming pivot. NULLs and values
+        outside the declared list are folded into the ``missing``
+        bucket (a real catch-all, so category counts always sum to
+        the group's row count); include ``missing`` in the declared
+        values to get that bucket its own output row.
 
     Output: (window_start, <strat_col>, Index, Characteristics,
     Variable_type, Values, value, frac) — Index follows the batch
@@ -394,7 +397,11 @@ def streaming_tableone(
                 ).alias(f"q_{i}")
             )
     for j, (v, vals) in enumerate(cat_vars.items()):
-        cv = F.coalesce(F.col(v).cast("string"), F.lit(missing))
+        # catch-all: NULL *and* out-of-list values fold into `missing`
+        # (isin(NULL) is NULL -> otherwise branch), so declared-category
+        # counts + the missing bucket always partition the group
+        sv = F.col(v).cast("string")
+        cv = F.when(sv.isin(list(vals)), sv).otherwise(F.lit(missing))
         for k, val in enumerate(vals):
             aggs.append(
                 F.sum((cv == F.lit(val)).cast("long")).alias(f"c_{j}_{k}")

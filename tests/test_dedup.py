@@ -224,6 +224,22 @@ def test_paragraph_dedup_removes_boilerplate_and_preserves_order(spark):
     assert set(out) == {1, 2, 3, 4}
 
 
+def test_paragraph_dedup_null_text_gets_defined_row(spark):
+    """NULL text coalesces to '' (one empty paragraph): the doc keeps a
+    row with n_paras=1 instead of vanishing (split-on-null would drop
+    it from the explode and NULL out the totals)."""
+    from tableone_pyspark_spark.operators.dedup import paragraph_dedup
+
+    docs = [(1, None), (2, "alpha\n\nbravo"), (3, None)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in paragraph_dedup(df, "doc_id", "text").collect()}
+    assert set(out) == {1, 2, 3}
+    # the two empty paragraphs duplicate each other -> both removed
+    assert (out[1]["text"], out[1]["n_paras"], out[1]["n_removed"]) == ("", 1, 1)
+    assert (out[3]["text"], out[3]["n_paras"], out[3]["n_removed"]) == ("", 1, 1)
+    assert out[2]["text"] == "alpha\n\nbravo" and out[2]["n_removed"] == 0
+
+
 def test_paragraph_dedup_identity_when_no_duplicates(spark):
     """With no over-threshold paragraph, reassembly must reproduce the
     input text byte-for-byte (explode -> md5 -> anti-join -> ordered

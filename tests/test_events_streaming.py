@@ -360,3 +360,35 @@ def test_streaming_tableone_equals_batch(spark, events):
     # contract shape: 3 cat rows + 5 cont rows per (window x strat)
     n_groups = len({(r["window_start"], r["event_type"]) for r in batch.values()})
     assert len(batch) == n_groups * 8
+
+
+def test_streaming_tableone_out_of_list_goes_to_missing(spark):
+    """Non-null values OUTSIDE the declared category list must land in
+    the catch-all `missing` bucket (not vanish): counts partition the
+    group and fractions sum to 1."""
+    from tableone_pyspark_spark.streaming.stream_stats import (
+        streaming_tableone,
+    )
+
+    rows = [
+        ("2024-01-01 00:10:00", "click", "a", 1.0),
+        ("2024-01-01 00:20:00", "click", "b", 2.0),
+        ("2024-01-01 00:30:00", "click", "ROGUE", 3.0),  # out-of-list
+        ("2024-01-01 00:40:00", "click", None, 4.0),     # NULL
+    ]
+    df = spark.createDataFrame(
+        rows, "ts string, event_type string, seg string, value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = streaming_tableone(
+        df,
+        "event_type",
+        cont_vars=["value"],
+        cat_vars={"seg": ["a", "b", "MISSING"]},
+        window="1 day",
+    ).collect()
+    cats = {r["Values"]: r for r in out if r["Variable_type"] == "category"}
+    assert cats["a"]["value"] == 1.0
+    assert cats["b"]["value"] == 1.0
+    # ROGUE + NULL both fold into MISSING
+    assert cats["MISSING"]["value"] == 2.0
+    assert abs(sum(r["frac"] for r in cats.values()) - 1.0) < 1e-9

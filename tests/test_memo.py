@@ -65,3 +65,33 @@ def test_memo_clear_scoped_by_tag(spark):
     # tag_b survives a scoped clear
     assert memo("test_tag_b", memo_key(d, 1), lambda: "REBUILT") == "B"
     assert memo_clear() >= 1
+
+
+def test_memo_key_same_name_overwrite_is_documented_stale_hit(spark, tmp_path):
+    """The documented residual hole (core/memo.py module docstring):
+    a byte-level overwrite of an existing file under the SAME name
+    produces an IDENTICAL key — a stale HIT, by design, because no
+    parquet writer rewrites in place and chasing mtimes would add a
+    filesystem stat per query. This test pins the documented behavior
+    and the documented escape hatch (memo_clear)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    f = str(tmp_path / "same" / "part-0.parquet")
+    (tmp_path / "same").mkdir()
+    pq.write_table(pa.table({"id": [1, 2, 3]}), f)
+    d1 = spark.read.parquet(f)
+    k1 = memo_key(d1, "x")
+    got = memo("test_overwrite", k1, lambda: d1.count())
+    assert got == 3
+
+    # overwrite IN PLACE: same file name, different bytes
+    pq.write_table(pa.table({"id": [1, 2, 3, 4, 5]}), f)
+    d2 = spark.read.parquet(f)
+    k2 = memo_key(d2, "x")
+    assert k2 == k1  # same name -> same key: the documented stale hit
+    assert memo("test_overwrite", k2, lambda: d2.count()) == 3  # stale
+
+    # the documented hatch: clear, then the rebuild sees the new bytes
+    memo_clear("test_overwrite")
+    assert memo("test_overwrite", k2, lambda: d2.count()) == 5

@@ -435,3 +435,31 @@ def test_streaming_tableone_single_stateful_agg(spark):
     assert progress is not None
     ops_states = progress["stateOperators"]
     assert len(ops_states) == 1, ops_states  # ONE stateful operator
+
+
+def test_weighted_sample_fence_single_evaluation(spark):
+    """Pin the optimizer fence (plans/fence.once): the expensive weight
+    expression in weighted_sample(weight_col=...) must appear exactly
+    once in the optimized plan. If a future Spark adds float-identity
+    simplification (x + 0.0 -> x), predicate pushdown would re-inline a
+    second copy into the Filter and this count doubles — a silent 2x
+    perf regression that should fail CI instead (ADVICE r4)."""
+    from tableone_pyspark_spark.functions import text as tx
+
+    df = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    out = sampling.weighted_sample(
+        df, "doc_id", tx.quality_score(F.col("text")), weight_col="q"
+    )
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+
+    # self-calibrating marker count: a plain single-evaluation project
+    # of the same expression tells us how many regexp_count calls ONE
+    # copy contains; the fenced plan must contain exactly that many
+    ref = df.select(tx.quality_score(F.col("text")).alias("q"))
+    ref_plan = ref._jdf.queryExecution().optimizedPlan().toString()
+    marker = "regexp_extract_all"
+    one_copy = ref_plan.count(marker)
+    assert one_copy > 0, "marker vanished — pick a new one"
+    assert plan.count(marker) == one_copy, plan
+    # and the fence itself is present (rand() makes the field opaque)
+    assert "rand(" in plan

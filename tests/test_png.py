@@ -105,18 +105,90 @@ def test_crc_corruption_detected():
 
 
 def test_unsupported_variants_raise():
-    # palette color type
-    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0)
-    pal = png.PNG_MAGIC + _chunk(b"IHDR", ihdr) + _chunk(b"IEND", b"")
-    with pytest.raises(NotImplementedError, match="palette"):
-        png.png_meta(pal)
     # 16-bit depth
     ihdr16 = struct.pack(">IIBBBBB", 2, 2, 16, 0, 0, 0, 0)
     deep = png.PNG_MAGIC + _chunk(b"IHDR", ihdr16) + _chunk(b"IEND", b"")
     with pytest.raises(NotImplementedError, match="depth"):
         png.png_meta(deep)
+    # Adam7 interlace
+    ihdr_i = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 1)
+    inter = png.PNG_MAGIC + _chunk(b"IHDR", ihdr_i) + _chunk(b"IEND", b"")
+    with pytest.raises(NotImplementedError, match="interlaced"):
+        png.png_meta(inter)
     with pytest.raises(ValueError, match="not a PNG"):
         png.png_meta(b"GIF89a...")
+    # palette transparency (tRNS) — decodes refuse, meta is fine
+    idx = np.zeros((2, 2), dtype=np.uint8)
+    pal = np.zeros((1, 3), dtype=np.uint8)
+    body = png.encode_png_palette(idx, pal)
+    iend = body[-12:]
+    with_trns = body[:-12] + _chunk(b"tRNS", b"\x80") + iend
+    assert png.png_meta(with_trns) == (2, 2, 3, 8)
+    with pytest.raises(NotImplementedError, match="tRNS"):
+        png.decode_png(with_trns)
+
+
+def test_palette_decode_expands_plte():
+    # spec pin: each index byte maps through PLTE to its RGB triple
+    idx = np.array([[0, 1], [2, 1]], dtype=np.uint8)
+    pal = np.array(
+        [[255, 0, 0], [0, 255, 0], [0, 0, 128]], dtype=np.uint8
+    )
+    out = png.decode_png(png.encode_png_palette(idx, pal))
+    assert out.shape == (2, 2, 3)
+    assert np.array_equal(out, pal[idx])
+    # meta reports DECODED channels (3), not the coded index plane
+    assert png.png_meta(png.encode_png_palette(idx, pal)) == (2, 2, 3, 8)
+
+
+def test_palette_identity_gray_matches_grayscale_decode():
+    # the fixture-generator trick: identity palette == grayscale pixels
+    arr = _rng(7).integers(0, 256, size=(6, 5), dtype=np.uint8)
+    gray_pal = np.repeat(np.arange(256, dtype=np.uint8)[:, None], 3, axis=1)
+    out = png.decode_png(png.encode_png_palette(arr, gray_pal))
+    assert np.array_equal(out[:, :, 0], arr)
+    assert np.array_equal(out[:, :, 1], arr)
+    assert np.array_equal(out[:, :, 2], arr)
+
+
+def test_palette_index_out_of_range_raises():
+    idx = np.full((2, 2), 5, dtype=np.uint8)
+    pal = np.zeros((3, 3), dtype=np.uint8)  # only indices 0-2 valid
+    with pytest.raises(ValueError, match="PLTE range"):
+        png.decode_png(png.encode_png_palette(idx, pal))
+
+
+def test_bomb_guards():
+    # absurd declared dimensions fail before any allocation
+    ihdr = struct.pack(">IIBBBBB", 1 << 20, 1 << 20, 8, 0, 0, 0, 0)
+    huge = png.PNG_MAGIC + _chunk(b"IHDR", ihdr) + _chunk(b"IEND", b"")
+    with pytest.raises(ValueError, match="bomb guard"):
+        png.png_meta(huge)
+    with pytest.raises(ValueError, match="bomb guard"):
+        png.decode_png(huge)
+    # per-call override tightens the cap
+    small = png.encode_png(np.zeros((8, 8), dtype=np.uint8))
+    with pytest.raises(ValueError, match="bomb guard"):
+        png.png_meta(small, max_pixels=16)
+    # oversize IDAT stream (bomb body behind honest IHDR) fails fast:
+    # 10 MB of zeros declared as a 2x2 gray image
+    bomb_raw = zlib.compress(b"\x00" * (10 << 20), 9)
+    ihdr2 = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0)
+    bomb = (
+        png.PNG_MAGIC
+        + _chunk(b"IHDR", ihdr2)
+        + _chunk(b"IDAT", bomb_raw)
+        + _chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="bomb"):
+        png.decode_png(bomb)
+
+
+def test_truncated_mid_chunk_raises_value_error():
+    data = png.encode_png(np.zeros((4, 4), dtype=np.uint8))
+    # cut inside the final chunk: length field survives, body doesn't
+    with pytest.raises(ValueError, match="truncated"):
+        png.decode_png(data[:-5])
 
 
 def test_resize_and_grayscale_primitives():
