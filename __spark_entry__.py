@@ -85,6 +85,37 @@ _ORDER_KEY = (
 )
 
 
+def _weighted_stat_sql(
+    si: int, col: str, w: str, strat: str, sval: str | None, src: str
+) -> str:
+    """DuckDB SQL for one weighted continuous stat (frequency-weight
+    semantics, mirrors core/sufficient.py): weighted n = Σw over
+    non-null values, mean = Σwx/Σw, sample variance with (Σw − 1)
+    denominator, quartiles = weighted quantile_disc via an uncorrelated
+    running-Σw scalar subquery (RANGE window frame ties match Spark)."""
+    sc = "" if sval is None else f" AND {strat} = '{sval}'"
+    f = "" if sval is None else f" FILTER (WHERE {strat} = '{sval}')"
+    wn = f"CAST(sum({w}) FILTER (WHERE {col} IS NOT NULL{sc}) AS DOUBLE)"
+    if si == 0:
+        return wn
+    if si == 1:
+        return f"CAST(min({col}){f} AS DOUBLE)"
+    if si == 2:
+        return f"CAST(max({col}){f} AS DOUBLE)"
+    swx = f"sum({w} * {col}){f}"
+    if si == 3:
+        return f"({swx} / {wn})"
+    if si == 4:
+        swxx = f"sum({w} * {col} * {col}){f}"
+        return f"sqrt(({swxx} - {swx} * {swx} / {wn}) / ({wn} - 1))"
+    p = {5: "0.25", 6: "0.5", 7: "0.75"}[si]
+    return (
+        f"(SELECT min(x) FROM (SELECT {col} AS x, "
+        f"sum({w}) OVER (ORDER BY {col}) AS cw, sum({w}) OVER () AS tw "
+        f"FROM {src} WHERE {col} IS NOT NULL{sc}) WHERE cw >= {p} * tw)"
+    )
+
+
 def tableone_oracle_sql(
     table: str,
     strat: str,
@@ -92,6 +123,7 @@ def tableone_oracle_sql(
     cols: list[tuple[str, str]],
     pv: dict[str, tuple[float, float, str]] | None = None,
     quantile_fn: str = "quantile_cont",
+    weight: str | None = None,
 ) -> str:
     """DuckDB SQL reproducing ``tableone(...)`` (interpolated quartiles,
     floats rounded to 6) for a table whose strat column has no nulls and
@@ -144,11 +176,20 @@ def tableone_oracle_sql(
     def group_of(c: str) -> str | None:
         return None if c == "All_Patients" else c
 
+    # weighted mode reads from the w-filtered source everywhere and
+    # swaps count(*) -> sum(w) (frequency weights; engine parity)
+    src = (
+        f"(SELECT * FROM {table} WHERE {weight} IS NOT NULL AND {weight} > 0)"
+        if weight
+        else table
+    )
+    ct_agg = f"sum({weight})" if weight else "count(*)"
+
     # denominators
     d_fields = ", ".join(
-        f"count(*){flt(group_of(c))} AS d_{i}" for i, c in enumerate(count_cols)
+        f"{ct_agg}{flt(group_of(c))} AS d_{i}" for i, c in enumerate(count_cols)
     )
-    sql = [f"WITH d AS (SELECT {d_fields} FROM {table})"]
+    sql = [f"WITH d AS (SELECT {d_fields} FROM {src})"]
 
     def sel(pieces: list[str]) -> str:
         return ", ".join(pieces)
@@ -175,7 +216,7 @@ def tableone_oracle_sql(
         if kind == "cat":
             g_fields = [f"coalesce({col}, 'MISSING') AS val"]
             for i, c in enumerate(count_cols):
-                g_fields.append(f"count(*){flt(group_of(c))} AS ct_{i}")
+                g_fields.append(f"{ct_agg}{flt(group_of(c))} AS ct_{i}")
             counts = []
             for i, c in enumerate(count_cols):
                 counts.append(f'ROUND(CAST(ct_{i} AS DOUBLE), 6) AS "{c}"')
@@ -186,17 +227,21 @@ def tableone_oracle_sql(
                 f"CAST({idx} + 0.01 * row_number() OVER (ORDER BY {_ORDER_KEY}, val) AS DOUBLE) AS \"Index\", "
                 f"'{col}' AS \"Characteristics\", 'category' AS \"Variable_type\", "
                 f'val AS "Values", {sel(counts)}{pv_cols(col, anchor)} '
-                f"FROM (SELECT {sel(g_fields)} FROM {table} GROUP BY 1) CROSS JOIN d"
+                f"FROM (SELECT {sel(g_fields)} FROM {src} GROUP BY 1) CROSS JOIN d"
             )
         else:
             s_fields = []
             for si, (_label, _off, tmpl) in enumerate(_CONT_STATS):
                 tmpl = tmpl.replace("quantile_cont", quantile_fn)
                 for i, c in enumerate(count_cols):
-                    s_fields.append(
-                        tmpl.format(c=col, f=flt(group_of(c))) + f" AS s_{si}_{i}"
-                    )
-            src = f"(SELECT {sel(s_fields)} FROM {table})"
+                    if weight:
+                        expr = _weighted_stat_sql(
+                            si, col, weight, strat, group_of(c), src
+                        )
+                    else:
+                        expr = tmpl.format(c=col, f=flt(group_of(c)))
+                    s_fields.append(expr + f" AS s_{si}_{i}")
+            stat_src = f"(SELECT {sel(s_fields)} FROM {src})"
             for si, (label, off, _tmpl) in enumerate(_CONT_STATS):
                 vals = []
                 for i, c in enumerate(count_cols):
@@ -206,7 +251,7 @@ def tableone_oracle_sql(
                     f"SELECT {sel(header)}, CAST({idx}.{off} AS DOUBLE) AS \"Index\", "
                     f"'{col}' AS \"Characteristics\", 'continuous' AS \"Variable_type\", "
                     f"'{label}' AS \"Values\", {sel(vals)}"
-                    f"{pv_cols(col, 'TRUE') if off == 1 else pv_cols(None)} FROM {src}"
+                    f"{pv_cols(col, 'TRUE') if off == 1 else pv_cols(None)} FROM {stat_src}"
                 )
 
     return sql[0] + "\n" + "\nUNION ALL\n".join(parts)
@@ -340,6 +385,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
     q["tableone_orders"] = _tableone_q(
         "orders", "o_orderstatus", ["o_orderpriority", "o_totalprice"]
+    )
+    # weighted TableOne (survey-weighted cohort extension): l_quantity
+    # as a frequency weight — integral-valued, so every Σw is exact in
+    # double and the oracle replays the weighted counts bit-for-bit;
+    # weighted quartiles are exact weighted quantile_disc (see
+    # core/sufficient.py run_wq)
+    q["tableone_weighted"] = _tableone_q(
+        "lineitem",
+        "l_returnflag",
+        ["l_linestatus", "l_extendedprice", "l_discount"],
+        weight_col="l_quantity",
     )
     # the engine DEFAULT quartile path (quantile_mode="data",
     # reference :384-388): accuracy-tuned percentile_approx returns a
@@ -1597,6 +1653,17 @@ def oracle_sql() -> dict[str, str]:
         ("l_discount", "cont"),
     ]
     o["tableone_unstrat"] = _unstrat_oracle("lineitem", mixed)
+    o["tableone_weighted"] = tableone_oracle_sql(
+        "lineitem",
+        "l_returnflag",
+        ["A", "N", "R"],
+        [
+            ("l_linestatus", "cat"),
+            ("l_extendedprice", "cont"),
+            ("l_discount", "cont"),
+        ],
+        weight="l_quantity",
+    )
     o["tableone_strat"] = tableone_oracle_sql(
         "lineitem",
         "l_returnflag",

@@ -117,6 +117,7 @@ def tableone(
     beautify: bool = False,
     p_values: bool = False,
     config: TableOneConfig | None = None,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Compute the "Table 1" descriptive-statistics summary.
 
@@ -131,6 +132,21 @@ def tableone(
     approximate (a warning is emitted); use
     ``quantile_mode="interpolated"`` or raise the cap when exact
     quartiles are required on larger inputs.
+
+    ``weight_col``: sample-weighted Table 1 (survey-weighted cohorts —
+    an extension; the reference has no weights). Weights are FREQUENCY
+    weights: every count becomes Σw, means/stddevs use Σwx/Σwx² with
+    the frequency-weight sample variance, category percents are
+    Σw-fractions, quartiles are exact weighted ``quantile_disc``
+    (min x with cumΣw ≥ p·Σw, an extra bounded job — see
+    core/sufficient.py), and hypothesis tests consume the weighted
+    moments/counts (valid for frequency weights; probability-survey
+    designs need design-effect corrections that are out of scope).
+    Defined behavior: integer weights reproduce the unweighted table
+    on a row-replicated frame exactly (pinned by test). Rows with
+    null/non-positive weight are excluded; min/max describe the
+    surviving rows. Count columns are typed double (Σw is fractional
+    in general). ``quantile_mode`` is ignored in weighted mode.
     """
     cfg = config or TableOneConfig()
     if not cols_to_analyze:
@@ -138,6 +154,14 @@ def tableone(
     missing_cols = [c for c in cols_to_analyze if c not in df.columns]
     if col_to_strat and col_to_strat not in df.columns:
         missing_cols.append(col_to_strat)
+    if weight_col is not None:
+        if weight_col not in df.columns:
+            missing_cols.append(weight_col)
+        elif not isinstance(df.schema[weight_col].dataType, _NUMERIC):
+            raise ValueError(
+                f"weight_col {weight_col!r} must be numeric, got "
+                f"{df.schema[weight_col].dataType.simpleString()}"
+            )
     if missing_cols:
         raise ValueError(f"columns not in DataFrame: {missing_cols}")
 
@@ -175,6 +199,7 @@ def tableone(
         strat_cardinality_limit=cfg.strat_cardinality_limit,
         quantile_mode=cfg.quantile_mode,
         cat_cells_limit=cfg.cat_cells_limit,
+        weight_col=weight_col,
     )
 
     return _assemble(
@@ -185,6 +210,7 @@ def tableone(
         beautify=beautify,
         p_values=p_values,
         cfg=cfg,
+        weighted=weight_col is not None,
     )
 
 
@@ -201,6 +227,7 @@ def _assemble(
     beautify: bool,
     p_values: bool,
     cfg: TableOneConfig,
+    weighted: bool = False,
 ) -> DataFrame:
     stratified = col_to_strat != ""
     # pivot column order: Yes, No, <sorted>, MISSING (reference :100-115)
@@ -213,8 +240,9 @@ def _assemble(
     # union type coercion in the reference makes the count columns
     # double as soon as any continuous stat row is stacked (:230/:382);
     # long when only categorical counts exist.
-    count_type = T.DoubleType() if has_cont else T.LongType()
-    cast_count = _num if has_cont else (lambda x: x)
+    # (weighted counts are Σw — double always)
+    count_type = T.DoubleType() if (has_cont or weighted) else T.LongType()
+    cast_count = _num if (has_cont or weighted) else (lambda x: x)
 
     rows: list[dict] = []
 

@@ -22,10 +22,23 @@ Only aggregated scalars ever reach the driver. The collected sizes are
 O(V·k) and O(Σ cardinalities · k) — independent of row count, so the
 same plan runs at 100 TB. Jobs 2 and 3 are submitted concurrently
 (threads; Spark schedules both into the shared local cluster).
+
+Weighted mode (``weight_col``): weights are FREQUENCY weights — the
+results are defined to equal the unweighted results on a row-replicated
+frame (exactly true for integer weights; pinned by test). Rows with
+null/non-positive weight are excluded everywhere. The same ≤3 jobs
+collect Σw / Σwx / Σwx² instead of counts, plus ONE extra bounded job
+for weighted quartiles: melt the continuous vars, compress to distinct
+(var, value[, strat]) with their Σw (map-side combined — the shuffle
+carries distinct values, not rows), one running-sum window per
+(var, strat) partition, then ``min(x WHERE cumΣw >= p·Σw)`` — the
+weighted generalization of ``quantile_disc`` (reduces to it at w=1).
+Memory is O(distinct values per group), the interpolated-mode regime.
 """
 
 from __future__ import annotations
 
+import math
 from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass, field
 
@@ -35,6 +48,8 @@ from tableone_pyspark_spark.core.sanitize import MISSING, clean_strat_col
 
 #: internal strat column name — namespaced to avoid user-column clashes
 STRAT = "__t1_strat__"
+#: internal weight column name (weighted mode only)
+WEIGHT = "__t1_w__"
 
 
 @dataclass(frozen=True)
@@ -120,6 +135,54 @@ def _row_to_stats(row, i: int) -> ContStat:
     )
 
 
+def _cont_aggs_weighted(cont_vars: list[str]) -> list:
+    """Weighted sufficient sums per variable: Σw (over non-null x),
+    min, max, Σwx, Σwx² — moments derive driver-side. Quartiles come
+    from the separate weighted-quantile job."""
+    aggs = []
+    w = F.col(WEIGHT)
+    for i, v in enumerate(cont_vars):
+        c = F.col(v).cast("double")
+        aggs += [
+            F.sum(F.when(c.isNotNull(), w)).alias(f"sw__{i}"),
+            F.min(c).alias(f"mn__{i}"),
+            F.max(c).alias(f"mx__{i}"),
+            F.sum(w * c).alias(f"swx__{i}"),
+            F.sum(w * c * c).alias(f"swxx__{i}"),
+        ]
+    return aggs
+
+
+def _row_to_stats_weighted(row, i: int, quarts: tuple) -> ContStat:
+    """Frequency-weight moments from (Σw, Σwx, Σwx²): mean = Σwx/Σw,
+    sample variance = (Σwx² − (Σwx)²/Σw)/(Σw − 1) — identical to the
+    unweighted formulas on a row-replicated frame."""
+    sw = row[f"sw__{i}"]
+    mean = var = stddev = None
+    if sw is not None and sw > 0:
+        swx, swxx = row[f"swx__{i}"], row[f"swxx__{i}"]
+        mean = swx / sw
+        if sw > 1:
+            var = (swxx - swx * swx / sw) / (sw - 1.0)
+            # NaN propagates (NaN-poisoned columns match scipy, Q6);
+            # clamp only the float-cancellation sliver below zero
+            stddev = math.sqrt(var) if var >= 0 else (var if var != var else 0.0)
+            if var < 0 and var == var:
+                var = 0.0
+                stddev = 0.0
+    return ContStat(
+        n=sw or 0,
+        min=row[f"mn__{i}"],
+        max=row[f"mx__{i}"],
+        mean=mean,
+        stddev=stddev,
+        var=var,
+        q25=quarts[0],
+        q50=quarts[1],
+        q75=quarts[2],
+    )
+
+
 def collect_sufficient(
     df: DataFrame,
     col_to_strat: str,
@@ -129,27 +192,42 @@ def collect_sufficient(
     strat_cardinality_limit: int = 1_000,
     quantile_mode: str = "data",
     cat_cells_limit: int = 1_000_000,
+    weight_col: str | None = None,
 ) -> Sufficient:
-    """Run the ≤3 jobs and return every statistic TableOne needs."""
+    """Run the ≤3 jobs (+1 weighted-quantile job in weighted mode) and
+    return every statistic TableOne needs."""
     stratified = col_to_strat != ""
+    weighted = weight_col is not None
+    base = df
+    if weighted:
+        wc = F.col(_quote(weight_col)).cast("double")
+        base = df.where(wc.isNotNull() & (wc > 0))
     select_cols = [F.col(_quote(v)) for v in dict.fromkeys(cat_vars + cont_vars)]
     if stratified:
         select_cols.append(clean_strat_col(col_to_strat).alias(STRAT))
-    work = df.select(*select_cols)
+    if weighted:
+        select_cols.append(F.col(_quote(weight_col)).cast("double").alias(WEIGHT))
+    work = base.select(*select_cols)
 
     out = Sufficient(total=0)
+    count_agg = (
+        F.sum(F.col(_quote(weight_col)).cast("double"))
+        if weighted
+        else F.count(F.lit(1))
+    )
 
     # ---- job 1: strat group counts / total ------------------------------
     def run_counts():
         if stratified:
             rows = (
-                df.select(
+                base.select(
                     F.col(_quote(col_to_strat)).alias("__raw"),
                     clean_strat_col(col_to_strat).alias(STRAT),
+                    *([F.col(_quote(weight_col))] if weighted else []),
                 )
                 .groupBy(STRAT)
                 .agg(
-                    F.count(F.lit(1)).alias("count"),
+                    count_agg.alias("count"),
                     # sanitization-collision detection (SURVEY Q9): >1
                     # distinct raw value mapping onto one cleaned value
                     # means categories silently merged ("a b" ≡ "a_b";
@@ -179,6 +257,9 @@ def collect_sufficient(
                     "explicitly if this is intended"
                 )
             return counts, sum(counts.values())
+        if weighted:
+            row = work.agg(F.sum(WEIGHT).alias("t")).collect()[0]
+            return {}, row["t"] or 0.0
         return {}, work.count()
 
     def run_cont(total: int):
@@ -198,7 +279,11 @@ def collect_sufficient(
                 'quantile_mode="interpolated" for exact quartiles.',
                 stacklevel=5,
             )
-        aggs = _cont_aggs(cont_vars, accuracy, quantile_mode)
+        aggs = (
+            _cont_aggs_weighted(cont_vars)
+            if weighted
+            else _cont_aggs(cont_vars, accuracy, quantile_mode)
+        )
         if stratified:
             # rollup == grouping sets {(strat), ()}: per-strat cells AND
             # the grand total in ONE pass. Cleaned strat is never null,
@@ -206,13 +291,59 @@ def collect_sufficient(
             return work.rollup(STRAT).agg(*aggs).collect()
         return work.groupBy().agg(*aggs).collect()
 
+    def run_wq():
+        # weighted quartiles: compress to distinct (var, value[, strat])
+        # with Σw (ONE shuffle, map-side combined — carries distinct
+        # values, not rows), derive the global cells from the per-strat
+        # ones WITHOUT rescanning, then a running-sum window per
+        # (var, strat) partition picks min(x | cumΣw >= p·Σw) — weighted
+        # quantile_disc (== quantile_disc at w=1: min{k: k >= p·n} is
+        # ceil(p·n)).
+        from pyspark.sql import Window
+
+        casts = ", ".join(
+            f"{_sql_str(v)}, CAST({_quote(v)} AS DOUBLE)" for v in cont_vars
+        )
+        stack = F.expr(f"stack({len(cont_vars)}, {casts}) as (t1_var, t1_x)")
+        melted = work.select(
+            *([STRAT] if stratified else []), F.col(WEIGHT), stack
+        ).where(F.col("t1_x").isNotNull())
+        keys = ["t1_var", "t1_x"] + ([STRAT] if stratified else [])
+        g = melted.groupBy(*keys).agg(F.sum(WEIGHT).alias("sw"))
+        if stratified:
+            g_all = (
+                g.groupBy("t1_var", "t1_x")
+                .agg(F.sum("sw").alias("sw"))
+                .withColumn(STRAT, F.lit(None).cast("string"))
+            )
+            g = g.unionByName(g_all)
+        part = ["t1_var"] + ([STRAT] if stratified else [])
+        cum = F.sum("sw").over(Window.partitionBy(*part).orderBy("t1_x"))
+        tot = F.sum("sw").over(Window.partitionBy(*part))
+        ranked = g.select(
+            *part, "t1_x", cum.alias("cw"), tot.alias("tw")
+        )
+        qaggs = [
+            F.min(
+                F.when(F.col("cw") >= F.lit(p) * F.col("tw"), F.col("t1_x"))
+            ).alias(f"wq_{int(p * 100)}")
+            for p in (0.25, 0.5, 0.75)
+        ]
+        return ranked.groupBy(*part).agg(*qaggs).collect()
+
     def run_cat():
         pairs = ", ".join(f"{_sql_str(v)}, {_quote(v)}" for v in cat_vars)
         stack = F.expr(f"stack({len(cat_vars)}, {pairs}) as (t1_var, t1_val)")
-        melted = work.select(*([STRAT] if stratified else []), stack)
+        melted = work.select(
+            *([STRAT] if stratified else []),
+            *([WEIGHT] if weighted else []),
+            stack,
+        )
         melted = melted.withColumn("t1_val", F.coalesce(F.col("t1_val"), F.lit(MISSING)))
         keys = ["t1_var", "t1_val"] + ([STRAT] if stratified else [])
-        agg = melted.groupBy(*keys).agg(F.count(F.lit(1)).alias("ct"))
+        agg = melted.groupBy(*keys).agg(
+            (F.sum(WEIGHT) if weighted else F.count(F.lit(1))).alias("ct")
+        )
         # guard the driver collect: the result has Σ cardinality × strat
         # rows; a high-cardinality "categorical" column (ids, free text)
         # must fail fast, not OOM the driver
@@ -233,9 +364,19 @@ def collect_sufficient(
     # scheduler interleaves the jobs across the cluster.
     cont_rows: list = []
     cat_rows: list = []
-    with ThreadPoolExecutor(max_workers=3) as pool:
+    wq_rows: list = []
+    with ThreadPoolExecutor(max_workers=4) as pool:
         f_cat = pool.submit(run_cat) if cat_vars else None
-        if cont_vars and quantile_mode == "interpolated":
+        if weighted and cont_vars:
+            # weighted moments need no accuracy tuning -> all 4 jobs
+            # are independent; run everything concurrently
+            f_counts = pool.submit(run_counts)
+            f_cont = pool.submit(run_cont, 0)
+            f_wq = pool.submit(run_wq)
+            out.strat_counts, out.total = f_counts.result()
+            cont_rows = f_cont.result()
+            wq_rows = f_wq.result()
+        elif cont_vars and quantile_mode == "interpolated":
             f_counts = pool.submit(run_counts)
             f_cont = pool.submit(run_cont, 0)
             out.strat_counts, out.total = f_counts.result()
@@ -249,12 +390,22 @@ def collect_sufficient(
             cat_rows = f_cat.result()
 
     # ---- unpack ---------------------------------------------------------
+    quarts: dict[tuple[str, str | None], tuple] = {}
+    for row in wq_rows:
+        key = row[STRAT] if stratified else None
+        quarts[(row["t1_var"], key)] = (
+            row["wq_25"], row["wq_50"], row["wq_75"],
+        )
     for i, v in enumerate(cont_vars):
         out.cont[v] = {}
     for row in cont_rows:
         key = row[STRAT] if stratified else None
         for i, v in enumerate(cont_vars):
-            out.cont[v][key] = _row_to_stats(row, i)
+            if weighted:
+                q = quarts.get((v, key), (None, None, None))
+                out.cont[v][key] = _row_to_stats_weighted(row, i, q)
+            else:
+                out.cont[v][key] = _row_to_stats(row, i)
     if stratified and cont_vars and None not in out.cont[cont_vars[0]]:
         # defensive: rollup always emits the grand-total row
         raise RuntimeError("rollup produced no grand-total row")

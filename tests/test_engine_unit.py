@@ -363,3 +363,82 @@ def test_percentile_cap_truncation_warns(spark):
             config=TableOneConfig(exact_percentile_cap=100, quantile_mode="interpolated"),
         ).collect()
     assert not any("exact_percentile_cap" in str(w.message) for w in caught)
+
+
+# ---------------------------------------------------------------------------
+# weighted TableOne (weight_col; extension — reference has no weights)
+# ---------------------------------------------------------------------------
+
+
+def test_weighted_tableone_equals_replicated_rows(spark):
+    """THE semantic pin for frequency weights: tableone(weight_col=w)
+    with integer w must reproduce tableone() on the row-replicated
+    frame EXACTLY — every count, percent, moment, quartile, and
+    p-value (weighted quantile_disc reduces to quantile_disc at
+    integer w)."""
+    from pyspark.sql import functions as F
+
+    li = (
+        spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+        .where(F.col("l_orderkey") % 7 == 0)
+        .withColumn("w", (F.col("l_orderkey") % 4 + 1).cast("int"))
+        .select(
+            "l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "w"
+        )
+    )
+    cols = ["l_linestatus", "l_quantity", "l_extendedprice"]
+    weighted = tableone(
+        li, col_to_strat="l_returnflag", cols_to_analyze=cols,
+        p_values=True, weight_col="w",
+    )
+    replicated = li.withColumn(
+        "__r", F.explode(F.array_repeat(F.lit(1), F.col("w")))
+    )
+    plain = tableone(
+        replicated, col_to_strat="l_returnflag", cols_to_analyze=cols,
+        p_values=True,
+    )
+    a = rows_by_index(weighted)
+    b = rows_by_index(plain)
+    assert a.keys() == b.keys() and len(a) > 10
+    for k in a:
+        for col in a[k]:
+            assert approx(a[k][col], b[k][col], tol=1e-7), (k, col, a[k][col], b[k][col])
+
+
+def test_weighted_tableone_excludes_nonpositive_weights(spark):
+    rows = [("a", 10.0, 2.0), ("a", 20.0, 0.0), ("b", 30.0, None), ("b", 40.0, 1.5)]
+    df = spark.createDataFrame(rows, "g string, x double, w double")
+    out = rows_by_index(tableone(df, cols_to_analyze=["g", "x"], weight_col="w"))
+    # only the w=2.0 and w=1.5 rows survive: total Sigma-w = 3.5
+    assert out[(0.0, "ALL")]["All_Patients"] == 3.5
+    assert out[(1.01, "a")]["All_Patients"] == 2.0
+    assert out[(1.02, "b")]["All_Patients"] == 1.5
+    assert approx(out[(1.01, "a")]["All_Patients_%"], 2.0 / 3.5)
+    # weighted mean of x over surviving rows: (2*10 + 1.5*40)/3.5
+    assert approx(out[(2.4, "mean")]["All_Patients"], (2 * 10 + 1.5 * 40) / 3.5)
+    # weighted n row
+    assert out[(2.1, "n")]["All_Patients"] == 3.5
+
+
+def test_weighted_quantile_disc_fractional_weights(spark):
+    """Weighted quartile = min x with cumSigma-w >= p*Sigma-w, checked
+    by hand with fractional weights."""
+    rows = [(1.0, 0.5), (2.0, 0.25), (3.0, 0.125), (4.0, 2.0)]
+    df = spark.createDataFrame(rows, "x double, w double")
+    out = rows_by_index(tableone(df, cols_to_analyze=["x"], weight_col="w"))
+    # total w = 2.875; p=.25 -> 0.71875: cum(1)=0.5 < .71875, cum(2)=0.75 -> 2
+    assert out[(1.6, "25th percentile")]["All_Patients"] == 2.0
+    # p=.5 -> 1.4375: cum(3)=0.875 < 1.4375, cum(4)=2.875 -> 4
+    assert out[(1.7, "50th percentile")]["All_Patients"] == 4.0
+    assert out[(1.8, "75th percentile")]["All_Patients"] == 4.0
+    assert out[(1.2, "min")]["All_Patients"] == 1.0
+    assert out[(1.3, "max")]["All_Patients"] == 4.0
+
+
+def test_weighted_tableone_rejects_bad_weight_col(spark):
+    df = spark.createDataFrame([("a", "x")], "g string, w string")
+    with pytest.raises(ValueError, match="must be numeric"):
+        tableone(df, cols_to_analyze=["g"], weight_col="w")
+    with pytest.raises(ValueError, match="not in DataFrame"):
+        tableone(df, cols_to_analyze=["g"], weight_col="nope")
