@@ -1,0 +1,584 @@
+"""Pure-Python baseline JPEG codec (stdlib + numpy) for the
+multimodal operators — the JFIF twin of ``functions/png.py``.
+
+The container ships no image codecs; baseline (sequential DCT,
+8-bit, Huffman) JPEG needs only bit twiddling + an 8x8 IDCT, both
+expressible with numpy. This upgrades the majority image format from
+byte-stub to real pixel semantics behind the same Arrow-kernel seam
+(``operators/multimodal.py``): payload bytes in, typed metadata /
+pixels out, nothing leaves the executor.
+
+Supported: baseline DCT (SOF0), 8-bit, grayscale (1 component) and
+YCbCr 4:4:4 (3 components, no subsampling), restart markers, standard
+Huffman/quantization table syntax. Progressive (SOF2), arithmetic
+coding, 12-bit, and subsampled chroma raise ``NotImplementedError`` —
+the honest boundary of a dependency-free decoder (production swaps
+PIL/turbojpeg behind the same seam).
+
+Determinism contract (what makes decoded stats SQL-oracle-checkable):
+quantization uses ``floor(x/q + 0.5)`` and pixel reconstruction uses
+``floor(x + 0.5)`` — explicit round-half-up, never banker's rounding —
+and the IDCT is the exact orthonormal float64 matrix transform. For a
+FLAT 8x8 block of source value v the full encode→decode round trip
+therefore collapses to closed-form integer arithmetic
+
+    decoded(v) = clip(floor(floor(8*(v-128)/q0 + 0.5) * q0 / 8 + 0.5) + 128)
+
+(F00 of a flat shifted block is exactly 8*(v-128); every AC
+coefficient is exactly 0), which a DuckDB oracle replays bit-for-bit.
+``synthesize_jpeg_corpus`` (operators/multimodal.py) exploits exactly
+this regime; general non-flat blocks decode correctly too (round-trip
+property-tested within quantization error).
+
+Hostile-input hardening mirrors png.py: SOF dimensions are bounded by
+``MAX_PIXELS`` before any allocation and the scan walker validates
+segment lengths, so truncated/hostile payloads fail fast with
+``ValueError``.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+JPEG_MAGIC = b"\xff\xd8"
+
+#: w*h bomb guard (same default as png.py / PIL)
+MAX_PIXELS = 89_478_485
+
+#: zigzag order: zz index -> (row, col) flattened index
+_ZIGZAG = np.array([
+     0,  1,  8, 16,  9,  2,  3, 10,
+    17, 24, 32, 25, 18, 11,  4,  5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13,  6,  7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63,
+], dtype=np.int64)
+
+#: ITU-T T.81 Annex K.1 luminance quantization table (quality 50), in
+#: NATURAL (row-major) order
+_QTABLE_LUMA = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+], dtype=np.int64)
+
+# Annex K.3 typical Huffman tables: (bits[1..16] counts, values)
+_DC_LUMA_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+_DC_LUMA_VALS = list(range(12))
+_AC_LUMA_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+_AC_LUMA_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+    0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+    0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+    0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+    0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+    0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+    0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+    0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+    0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+    0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+    0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+    0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+    0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+]
+
+
+def _dct_matrix() -> np.ndarray:
+    """Orthonormal 8x8 DCT-II matrix C: forward F = C A C^T, inverse
+    A = C^T F C (float64 — the exact transform both codec halves use)."""
+    x = np.arange(8, dtype=np.float64)
+    u = x[:, None]
+    c = np.cos((2 * x[None, :] + 1) * u * np.pi / 16) / 2.0
+    c[0, :] *= 1.0 / np.sqrt(2.0)
+    return c
+
+
+_C = _dct_matrix()
+
+
+def _half_up(x: np.ndarray) -> np.ndarray:
+    """floor(x + 0.5): explicit round-half-up (NOT numpy banker's) —
+    the determinism contract the SQL oracles replay."""
+    return np.floor(x + 0.5)
+
+
+def is_jpeg(payload: bytes) -> bool:
+    return payload is not None and payload[:2] == JPEG_MAGIC
+
+
+# ---------------------------------------------------------------------------
+# Huffman
+# ---------------------------------------------------------------------------
+
+
+def _build_decode_table(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
+    """(length, code) -> symbol, canonical JPEG code assignment."""
+    table: dict[tuple[int, int], int] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[(length, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def _build_encode_table(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """symbol -> (code, length)."""
+    return {
+        sym: (code, length)
+        for (length, code), sym in _build_decode_table(bits, vals).items()
+    }
+
+
+class _BitReader:
+    """Entropy-segment bit reader with 0xFF00 destuffing.
+
+    Any real marker (RSTn, EOI, next segment) is NEVER consumed by the
+    prefetch: ``_fill`` pads with 1-bits without advancing ``pos``
+    (T.81 F.2.2.5 behavior at segment end), so the marker is still at
+    ``pos`` when ``sync_restart`` explicitly consumes it — prefetch
+    and restart handling cannot race."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.buf = 0
+        self.nbits = 0
+
+    def _fill(self) -> None:
+        while self.nbits <= 24:
+            if self.pos >= len(self.data):
+                raise ValueError("JPEG truncated inside entropy data")
+            b = self.data[self.pos]
+            if b == 0xFF:
+                if self.pos + 1 >= len(self.data):
+                    raise ValueError("JPEG truncated at marker")
+                if self.data[self.pos + 1] == 0x00:  # stuffed FF
+                    self.pos += 2
+                else:  # marker: pad with 1s, do NOT advance
+                    self.buf = (self.buf << 8) | 0xFF
+                    self.nbits += 8
+                    continue
+            else:
+                self.pos += 1
+            self.buf = (self.buf << 8) | b
+            self.nbits += 8
+
+    def bits(self, n: int) -> int:
+        if n == 0:
+            return 0
+        if self.nbits < n:
+            self._fill()
+        self.nbits -= n
+        out = (self.buf >> self.nbits) & ((1 << n) - 1)
+        self.buf &= (1 << self.nbits) - 1
+        return out
+
+    def huff(self, table: dict[tuple[int, int], int]) -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | self.bits(1)
+            sym = table.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("JPEG: invalid Huffman code")
+
+    def sync_restart(self) -> None:
+        """Drop pad bits and consume the expected RSTn marker."""
+        self.buf = 0
+        self.nbits = 0
+        if (
+            self.pos + 1 < len(self.data)
+            and self.data[self.pos] == 0xFF
+            and 0xD0 <= self.data[self.pos + 1] <= 0xD7
+        ):
+            self.pos += 2
+            return
+        raise ValueError("JPEG: expected restart marker (DRI interval)")
+
+
+def _extend(v: int, size: int) -> int:
+    """JPEG EXTEND: map a ``size``-bit magnitude to its signed value."""
+    if size == 0:
+        return 0
+    return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+
+
+# ---------------------------------------------------------------------------
+# decode
+# ---------------------------------------------------------------------------
+
+
+def jpeg_meta(payload: bytes, max_pixels: int = MAX_PIXELS) -> tuple[int, int, int, int]:
+    """(width, height, channels, bit_depth) from the SOF0 header only."""
+    hdr = _parse_headers(payload, max_pixels, need_tables=False)
+    return hdr["w"], hdr["h"], len(hdr["comps"]), hdr["precision"]
+
+
+def _parse_headers(payload: bytes, max_pixels: int, need_tables: bool = True) -> dict:
+    if not is_jpeg(payload):
+        raise ValueError("not a JPEG payload")
+    pos = 2
+    qtables: dict[int, np.ndarray] = {}
+    htables: dict[tuple[int, int], dict] = {}  # (class 0=DC/1=AC, id)
+    out: dict = {"dri": 0}
+    n = len(payload)
+    while True:
+        if pos + 4 > n:
+            raise ValueError("JPEG truncated before SOS")
+        if payload[pos] != 0xFF:
+            raise ValueError("JPEG: expected marker")
+        marker = payload[pos + 1]
+        pos += 2
+        if marker == 0xD9:  # EOI before SOS
+            raise ValueError("JPEG: no scan data")
+        (seglen,) = struct.unpack_from(">H", payload, pos)
+        if seglen < 2 or pos + seglen > n:
+            raise ValueError("JPEG truncated mid-segment")
+        body = payload[pos + 2 : pos + seglen]
+        if marker == 0xC0:  # SOF0 baseline
+            prec, h, w, nc = struct.unpack_from(">BHHB", body, 0)
+            if prec != 8:
+                raise NotImplementedError(f"JPEG precision {prec} unsupported")
+            if w == 0 or h == 0:
+                raise ValueError("JPEG: zero-dimension image")
+            if w * h > max_pixels:
+                raise ValueError(
+                    f"JPEG: {w}x{h} exceeds max_pixels={max_pixels} (bomb guard)"
+                )
+            comps = []
+            for i in range(nc):
+                cid, samp, tq = struct.unpack_from(">BBB", body, 6 + 3 * i)
+                hs, vs = samp >> 4, samp & 0xF
+                if (hs, vs) != (1, 1):
+                    raise NotImplementedError(
+                        "JPEG subsampled chroma unsupported (4:4:4 only)"
+                    )
+                comps.append({"id": cid, "tq": tq})
+            out.update(w=w, h=h, precision=prec, comps=comps)
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+            raise NotImplementedError(
+                f"JPEG SOF{marker - 0xC0} (non-baseline) unsupported"
+            )
+        elif marker == 0xDB:  # DQT
+            p = 0
+            while p < len(body):
+                pq_tq = body[p]
+                if pq_tq >> 4 != 0:
+                    raise NotImplementedError("JPEG 16-bit qtables unsupported")
+                q = np.frombuffer(body, dtype=np.uint8, count=64, offset=p + 1)
+                tbl = np.zeros(64, dtype=np.int64)
+                tbl[_ZIGZAG] = q  # stored zigzag -> natural order
+                qtables[pq_tq & 0xF] = tbl
+                p += 65
+        elif marker == 0xC4:  # DHT
+            p = 0
+            while p < len(body):
+                tc_th = body[p]
+                bits = list(body[p + 1 : p + 17])
+                nv = sum(bits)
+                vals = list(body[p + 17 : p + 17 + nv])
+                htables[(tc_th >> 4, tc_th & 0xF)] = _build_decode_table(bits, vals)
+                p += 17 + nv
+        elif marker == 0xDD:  # DRI
+            (out["dri"],) = struct.unpack_from(">H", body, 0)
+        elif marker == 0xDA:  # SOS
+            ns = body[0]
+            scomps = []
+            for i in range(ns):
+                cs, tdta = struct.unpack_from(">BB", body, 1 + 2 * i)
+                scomps.append({"id": cs, "td": tdta >> 4, "ta": tdta & 0xF})
+            out.update(
+                scan=scomps, qtables=qtables, htables=htables, data_pos=pos + seglen
+            )
+            if "w" not in out:
+                raise ValueError("JPEG: SOS before SOF")
+            return out
+        # APPn / COM / others: skip
+        pos += seglen
+    raise ValueError("JPEG: no SOS segment")  # pragma: no cover
+
+
+def decode_jpeg(payload: bytes, max_pixels: int = MAX_PIXELS) -> np.ndarray:
+    """Decode baseline JPEG to an (h, w, channels) uint8 array
+    (grayscale -> 1 channel, YCbCr 4:4:4 -> 3 RGB channels)."""
+    hdr = _parse_headers(payload, max_pixels)
+    w, h, comps = hdr["w"], hdr["h"], hdr["comps"]
+    nc = len(comps)
+    bw, bh = (w + 7) // 8, (h + 7) // 8
+    reader = _BitReader(payload, hdr["data_pos"])
+    planes = [np.zeros((bh * 8, bw * 8), dtype=np.float64) for _ in range(nc)]
+    pred = [0] * nc
+    scan_by_id = {s["id"]: s for s in hdr["scan"]}
+    dri = hdr["dri"]
+    mcu = 0
+    for by in range(bh):
+        for bx in range(bw):
+            if dri and mcu and mcu % dri == 0:
+                reader.sync_restart()
+                pred = [0] * nc
+            for ci, comp in enumerate(comps):
+                s = scan_by_id[comp["id"]]
+                dc_tab = hdr["htables"].get((0, s["td"]))
+                ac_tab = hdr["htables"].get((1, s["ta"]))
+                qt = hdr["qtables"].get(comp["tq"])
+                if dc_tab is None or ac_tab is None or qt is None:
+                    raise ValueError("JPEG: missing Huffman/quant table")
+                zz = np.zeros(64, dtype=np.int64)
+                size = reader.huff(dc_tab)
+                diff = _extend(reader.bits(size), size)
+                pred[ci] += diff
+                zz[0] = pred[ci]
+                k = 1
+                while k < 64:
+                    rs = reader.huff(ac_tab)
+                    r, sz = rs >> 4, rs & 0xF
+                    if sz == 0:
+                        if r == 15:  # ZRL
+                            k += 16
+                            continue
+                        break  # EOB
+                    k += r
+                    if k > 63:
+                        raise ValueError("JPEG: AC index overrun")
+                    zz[k] = _extend(reader.bits(sz), sz)
+                    k += 1
+                coef = np.zeros(64, dtype=np.float64)
+                coef[_ZIGZAG] = zz * qt[_ZIGZAG]  # dequant in natural order
+                coef = coef.reshape(8, 8)
+                # IDCT with the DC term added as an exact constant
+                # (F00/8; the matrix product would carry ~1e-13 error,
+                # enough to flip the half-up rounding the SQL oracle
+                # replays for DC-only blocks)
+                dc = coef[0, 0] / 8.0
+                coef[0, 0] = 0.0
+                block = _C.T @ coef @ _C + dc
+                planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = block
+            mcu += 1
+    # level shift + deterministic rounding, crop padding
+    out = [
+        np.clip(_half_up(p[:h, :w] + 128.0), 0, 255).astype(np.uint8)
+        for p in planes
+    ]
+    if nc == 1:
+        return out[0][:, :, None]
+    if nc == 3:
+        y = out[0].astype(np.float64)
+        cb = out[1].astype(np.float64) - 128.0
+        cr = out[2].astype(np.float64) - 128.0
+        r = _half_up(y + 1.402 * cr)
+        g = _half_up(y - 0.344136 * cb - 0.714136 * cr)
+        b = _half_up(y + 1.772 * cb)
+        return np.clip(np.stack([r, g, b], axis=2), 0, 255).astype(np.uint8)
+    raise NotImplementedError(f"JPEG with {nc} components unsupported")
+
+
+# ---------------------------------------------------------------------------
+# encode (grayscale baseline — the fixture generator)
+# ---------------------------------------------------------------------------
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | code
+        self.n += length
+        while self.n >= 8:
+            self.n -= 8
+            b = (self.acc >> self.n) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)  # byte stuffing
+        self.acc &= (1 << self.n) - 1
+
+    def flush(self) -> bytes:
+        if self.n:
+            pad = 8 - self.n
+            self.write((1 << pad) - 1, pad)  # pad with 1s
+        return bytes(self.out)
+
+
+def _category(v: int) -> int:
+    return 0 if v == 0 else int(abs(v)).bit_length()
+
+
+def _pad_plane(plane: np.ndarray, bw: int, bh: int) -> np.ndarray:
+    h, w = plane.shape
+    padded = np.empty((bh * 8, bw * 8), dtype=np.float64)
+    padded[:h, :w] = plane
+    padded[h:, :w] = plane[-1:, :]  # edge-replicate padding
+    padded[:, w:] = padded[:, w - 1 : w]
+    return padded - 128.0
+
+
+def _encode_block(
+    writer: _BitWriter,
+    blk: np.ndarray,
+    qt: np.ndarray,
+    dc_enc: dict,
+    ac_enc: dict,
+    pred: int,
+) -> int:
+    coef = _C @ blk @ _C.T  # forward orthonormal DCT
+    # exact DC (Σ/8 of integral samples — no float drift at the
+    # quantizer's half boundary; twin of the decoder's exact DC)
+    coef[0, 0] = blk.sum() / 8.0
+    lvl = np.floor(coef / qt.reshape(8, 8) + 0.5).astype(np.int64)
+    zz = lvl.reshape(64)[_ZIGZAG.argsort()]  # natural -> zigzag
+    diff = int(zz[0]) - pred
+    sz = _category(diff)
+    code, length = dc_enc[sz]
+    writer.write(code, length)
+    if sz:
+        writer.write(diff if diff >= 0 else diff + (1 << sz) - 1, sz)
+    run = 0
+    last_nz = max([k for k in range(1, 64) if zz[k]], default=0)
+    for k in range(1, last_nz + 1):
+        v = int(zz[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, length = ac_enc[0xF0]  # ZRL
+            writer.write(code, length)
+            run -= 16
+        s = _category(v)
+        code, length = ac_enc[(run << 4) | s]
+        writer.write(code, length)
+        writer.write(v if v >= 0 else v + (1 << s) - 1, s)
+        run = 0
+    if last_nz < 63:
+        code, length = ac_enc[0x00]  # EOB
+        writer.write(code, length)
+    return int(zz[0])
+
+
+def _seg(marker: int, body: bytes) -> bytes:
+    return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+
+def _encode_planes(
+    planes: list[np.ndarray],
+    w: int,
+    h: int,
+    qt: np.ndarray,
+    restart_interval: int = 0,
+) -> bytes:
+    """Shared baseline writer: 1 plane = grayscale, 3 = YCbCr 4:4:4
+    (every component uses quant/Huffman table 0 — legal and simple)."""
+    nc = len(planes)
+    dc_enc = _build_encode_table(_DC_LUMA_BITS, _DC_LUMA_VALS)
+    ac_enc = _build_encode_table(_AC_LUMA_BITS, _AC_LUMA_VALS)
+    bw, bh = (w + 7) // 8, (h + 7) // 8
+    padded = [_pad_plane(p, bw, bh) for p in planes]
+
+    writer = _BitWriter()
+    pred = [0] * nc
+    mcu = 0
+    rst = 0
+    chunks: list[bytes] = []
+    for by in range(bh):
+        for bx in range(bw):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                chunks.append(writer.flush())
+                chunks.append(bytes([0xFF, 0xD0 + (rst % 8)]))
+                rst += 1
+                writer = _BitWriter()
+                pred = [0] * nc
+            for ci in range(nc):
+                blk = padded[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+                pred[ci] = _encode_block(writer, blk, qt, dc_enc, ac_enc, pred[ci])
+            mcu += 1
+    chunks.append(writer.flush())
+    scan = b"".join(chunks)
+
+    zz_qt = qt.reshape(64)[_ZIGZAG.argsort()].astype(np.uint8).tobytes()
+    dqt = _seg(0xDB, b"\x00" + zz_qt)
+    sof_comps = b"".join(bytes([i + 1, 0x11, 0]) for i in range(nc))
+    sof = _seg(0xC0, struct.pack(">BHHB", 8, h, w, nc) + sof_comps)
+    dht = _seg(
+        0xC4,
+        b"\x00" + bytes(_DC_LUMA_BITS) + bytes(_DC_LUMA_VALS)
+        + b"\x10" + bytes(_AC_LUMA_BITS) + bytes(_AC_LUMA_VALS),
+    )
+    dri = _seg(0xDD, struct.pack(">H", restart_interval)) if restart_interval else b""
+    sos_comps = b"".join(bytes([i + 1, 0x00]) for i in range(nc))
+    sos = _seg(0xDA, bytes([nc]) + sos_comps + bytes([0, 63, 0]))
+    return JPEG_MAGIC + dqt + sof + dht + dri + sos + scan + b"\xff\xd9"
+
+
+def encode_jpeg_gray(
+    arr: np.ndarray,
+    qtable: np.ndarray | None = None,
+    restart_interval: int = 0,
+) -> bytes:
+    """Minimal baseline grayscale writer (Annex K tables by default):
+    the fixture generator for the real decode path. Quantization is
+    ``floor(F/q + 0.5)`` (round-half-up) — see the module determinism
+    contract."""
+    arr = np.asarray(arr, dtype=np.uint8)
+    if arr.ndim == 3:
+        if arr.shape[2] != 1:
+            raise ValueError("encode_jpeg_gray takes a single-channel image")
+        arr = arr[:, :, 0]
+    h, w = arr.shape
+    qt = _QTABLE_LUMA if qtable is None else np.asarray(qtable, dtype=np.int64)
+    return _encode_planes([arr.astype(np.float64)], w, h, qt, restart_interval)
+
+
+def encode_jpeg_rgb(
+    arr: np.ndarray,
+    qtable: np.ndarray | None = None,
+    restart_interval: int = 0,
+) -> bytes:
+    """Baseline YCbCr 4:4:4 color writer (JFIF color transform,
+    half-up rounding) — exercises the decoder's 3-component path."""
+    arr = np.asarray(arr, dtype=np.uint8)
+    if arr.ndim != 3 or arr.shape[2] != 3:
+        raise ValueError("encode_jpeg_rgb takes an (h, w, 3) image")
+    h, w = arr.shape[:2]
+    r = arr[:, :, 0].astype(np.float64)
+    g = arr[:, :, 1].astype(np.float64)
+    b = arr[:, :, 2].astype(np.float64)
+    y = np.clip(_half_up(0.299 * r + 0.587 * g + 0.114 * b), 0, 255)
+    cb = np.clip(_half_up(-0.168736 * r - 0.331264 * g + 0.5 * b + 128.0), 0, 255)
+    cr = np.clip(_half_up(0.5 * r - 0.418688 * g - 0.081312 * b + 128.0), 0, 255)
+    qt = _QTABLE_LUMA if qtable is None else np.asarray(qtable, dtype=np.int64)
+    return _encode_planes([y, cb, cr], w, h, qt, restart_interval)
+
+
+def flat_block_decode_value(v: int, q0: int = int(_QTABLE_LUMA[0])) -> int:
+    """Closed-form decoded value of a FLAT 8x8 block of source value
+    ``v`` under this codec (the SQL-oracle arithmetic): F00 = 8(v-128),
+    quantize floor(F00/q0 + 0.5), dequantize, IDCT of a DC-only block
+    is constant F00'/8, reconstruct floor(x + 128.5), clip."""
+    import math
+
+    lvl = math.floor(8.0 * (v - 128) / q0 + 0.5)
+    x = lvl * q0 / 8.0
+    return int(min(255, max(0, math.floor(x + 128.5))))

@@ -53,19 +53,24 @@ FRAME_SCHEMA = T.StructType(
 def _decode_image(payload: bytes) -> tuple[int, int, int, float]:
     """Decode (width, height, channels, mean_intensity).
 
-    PNG payloads (magic-byte sniff) decode for REAL via the pure-Python
-    codec in ``functions/png.py`` — actual pixels, actual mean. Any
-    other payload falls back to the deterministic byte-stub (no other
-    codecs in this container; production swaps PIL/turbojpeg into this
-    same seam — the Spark plumbing is unchanged either way)."""
+    PNG and baseline-JPEG payloads (magic-byte sniff) decode for REAL
+    via the pure-Python codecs in ``functions/png.py`` /
+    ``functions/jpeg.py`` — actual pixels, actual mean. Any other
+    payload falls back to the deterministic byte-stub (no other codecs
+    in this container; production swaps PIL/turbojpeg into this same
+    seam — the Spark plumbing is unchanged either way)."""
     if payload is None or len(payload) == 0:
         raise NotImplementedError("empty payload: real decoder required")
     import numpy as np
 
-    from tableone_pyspark_spark.functions import png
+    from tableone_pyspark_spark.functions import jpeg, png
 
     if png.is_png(payload):
         arr = png.decode_png(payload)
+        hh, ww, cc = arr.shape
+        return ww, hh, cc, float(arr.mean() / 255.0)
+    if jpeg.is_jpeg(payload):
+        arr = jpeg.decode_jpeg(payload)
         hh, ww, cc = arr.shape
         return ww, hh, cc, float(arr.mean() / 255.0)
 
@@ -251,7 +256,7 @@ def image_phash(df: DataFrame, id_col: str, bin_col: str) -> DataFrame:
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
 
-        from tableone_pyspark_spark.functions import png
+        from tableone_pyspark_spark.functions import jpeg, png
 
         weights = 1 << np.arange(63, dtype=np.int64)
         for pdf in batches:
@@ -263,6 +268,9 @@ def image_phash(df: DataFrame, id_col: str, bin_col: str) -> DataFrame:
                 if png.is_png(raw):
                     # real pixels: grayscale -> 9x8 -> gradient bits
                     rows.append((int(i), png.dhash63(png.decode_png(raw))))
+                    continue
+                if jpeg.is_jpeg(raw):
+                    rows.append((int(i), png.dhash63(jpeg.decode_jpeg(raw))))
                     continue
                 arr = np.frombuffer(raw, dtype=np.uint8)
                 step = -(-len(arr) // 65)  # ceil
@@ -380,6 +388,43 @@ def synthesize_png_corpus(
                     payloads.append(_png.encode_png_palette(arr, gray_pal))
                 else:
                     payloads.append(_png.encode_png(arr))
+            yield pd.DataFrame({"id": ids, "payload": payloads})
+
+    return src.mapInPandas(kernel, PNG_CORPUS_SCHEMA)
+
+
+def synthesize_jpeg_corpus(
+    df: DataFrame, id_col: str, text_col: str, blocks: int = 4
+) -> DataFrame:
+    """JPEG twin of :func:`synthesize_png_corpus`, built for the DC-only
+    regime that keeps the REAL lossy decode SQL-checkable: each payload
+    is a (blocks*8 × 8) grayscale baseline JPEG of FLAT 8x8 blocks,
+    block k's value = byte ``k mod len`` of the row's text. A flat
+    block survives encode→decode as closed-form integer arithmetic
+    (``functions/jpeg.py`` determinism contract:
+    ``decoded(v) = clip(floor(floor(8(v-128)/q0+0.5)·q0/8 + 128.5))``),
+    so a DuckDB oracle replays the decoded mean exactly — a true
+    end-to-end grade of a real entropy-coded DCT codec. One Arrow
+    pass; payloads never leave the executor."""
+    src = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("txt"))
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from tableone_pyspark_spark.functions import jpeg as _jpeg
+
+        for pdf in batches:
+            ids, payloads = [], []
+            for i, txt in zip(pdf["id"], pdf["txt"]):
+                raw = txt.encode("utf-8")
+                if not raw:
+                    continue  # mirrored by length(text) > 0 in oracles
+                vals = np.frombuffer(raw, dtype=np.uint8)[
+                    np.arange(blocks, dtype=np.int64) % len(raw)
+                ]
+                arr = np.repeat(np.repeat(vals.reshape(-1, 1), 8, axis=0), 8, axis=1)
+                ids.append(int(i))
+                payloads.append(_jpeg.encode_jpeg_gray(arr))
             yield pd.DataFrame({"id": ids, "payload": payloads})
 
     return src.mapInPandas(kernel, PNG_CORPUS_SCHEMA)

@@ -1,0 +1,165 @@
+"""Pure-Python baseline JPEG codec + its multimodal integration.
+
+Spec pins: the flat-block (DC-only) closed form must hold for every
+source value (this is what makes the lossy codec SQL-oracle-checkable),
+restart markers must not change output, color 4:4:4 must round-trip
+within quantization error, and hostile payloads must fail fast."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from tableone_pyspark_spark.functions import jpeg
+
+
+def _rng(seed=0):
+    return np.random.default_rng(seed)
+
+
+def _flat_grid():
+    """16x16 blocks, one flat 8x8 block per source value 0..255."""
+    return np.repeat(
+        np.repeat(np.arange(256, dtype=np.uint8).reshape(16, 16), 8, axis=0),
+        8,
+        axis=1,
+    )
+
+
+def test_flat_block_closed_form_all_256_values():
+    a = _flat_grid()
+    d = jpeg.decode_jpeg(jpeg.encode_jpeg_gray(a))[:, :, 0]
+    for i in range(16):
+        for j in range(16):
+            v = int(a[i * 8, j * 8])
+            blk = d[i * 8 : i * 8 + 8, j * 8 : j * 8 + 8]
+            assert np.all(blk == jpeg.flat_block_decode_value(v)), v
+
+
+def test_meta_without_full_decode():
+    a = _rng(1).integers(0, 256, size=(24, 17), dtype=np.uint8)
+    assert jpeg.jpeg_meta(jpeg.encode_jpeg_gray(a)) == (17, 24, 1, 8)
+    rgb = _rng(2).integers(0, 256, size=(9, 11, 3), dtype=np.uint8)
+    assert jpeg.jpeg_meta(jpeg.encode_jpeg_rgb(rgb)) == (11, 9, 3, 8)
+
+
+def test_restart_markers_do_not_change_pixels():
+    a = _flat_grid()
+    base = jpeg.decode_jpeg(jpeg.encode_jpeg_gray(a))
+    for dri in (1, 3, 5):
+        with_rst = jpeg.decode_jpeg(jpeg.encode_jpeg_gray(a, restart_interval=dri))
+        assert np.array_equal(base, with_rst), dri
+
+
+def test_gray_round_trip_bounded_by_quantization():
+    # smooth content: error bounded well under the largest quant step
+    y, x = np.mgrid[0:32, 0:24]
+    g = ((y * 3 + x * 2) // 2 % 200 + 20).astype(np.uint8)
+    d = jpeg.decode_jpeg(jpeg.encode_jpeg_gray(g))[:, :, 0]
+    err = np.abs(d.astype(int) - g.astype(int))
+    assert err.max() <= 16 and err.mean() < 6
+
+
+def test_color_444_round_trip():
+    y, x = np.mgrid[0:24, 0:24]
+    rgb = np.stack([(y * 5) % 256, (x * 5) % 256, ((x + y) * 3) % 256], axis=2)
+    rgb = rgb.astype(np.uint8)
+    dec = jpeg.decode_jpeg(jpeg.encode_jpeg_rgb(rgb))
+    assert dec.shape == (24, 24, 3)
+    err = np.abs(dec.astype(int) - rgb.astype(int))
+    assert err.max() <= 48 and err.mean() < 12
+    # flat gray-in-RGB stays within DC quantization of the luma plane
+    flat = np.full((8, 8, 3), 77, dtype=np.uint8)
+    dflat = jpeg.decode_jpeg(jpeg.encode_jpeg_rgb(flat))
+    assert np.abs(dflat.astype(int) - 77).max() <= 2
+    # and restart markers are pixel-neutral in color too
+    dec_rst = jpeg.decode_jpeg(jpeg.encode_jpeg_rgb(rgb, restart_interval=2))
+    assert np.array_equal(dec, dec_rst)
+
+
+def test_nonaligned_dimensions_edge_padding():
+    a = _rng(5).integers(0, 256, size=(13, 7), dtype=np.uint8)
+    d = jpeg.decode_jpeg(jpeg.encode_jpeg_gray(a))
+    assert d.shape == (13, 7, 1)  # padding cropped
+
+
+def test_unsupported_and_hostile_variants():
+    a = np.zeros((8, 8), dtype=np.uint8)
+    payload = jpeg.encode_jpeg_gray(a)
+    with pytest.raises(ValueError, match="not a JPEG"):
+        jpeg.jpeg_meta(b"\x89PNG....")
+    # progressive SOF2 flagged as unsupported, not misdecoded
+    prog = bytearray(payload)
+    sof_at = prog.find(b"\xff\xc0")
+    prog[sof_at + 1] = 0xC2
+    with pytest.raises(NotImplementedError, match="non-baseline"):
+        jpeg.decode_jpeg(bytes(prog))
+    # subsampled chroma refused
+    sub = bytearray(jpeg.encode_jpeg_rgb(np.zeros((8, 8, 3), dtype=np.uint8)))
+    sof_at = sub.find(b"\xff\xc0")
+    sub[sof_at + 11] = 0x22  # Y sampling 2x2
+    with pytest.raises(NotImplementedError, match="subsampled"):
+        jpeg.decode_jpeg(bytes(sub))
+    # truncated entropy data
+    with pytest.raises(ValueError, match="truncated"):
+        jpeg.decode_jpeg(payload[: len(payload) // 2])
+    # bomb guard: absurd declared dimensions fail before allocation
+    big = bytearray(payload)
+    sof_at = big.find(b"\xff\xc0")
+    struct.pack_into(">HH", big, sof_at + 5, 60000, 60000)
+    with pytest.raises(ValueError, match="bomb guard"):
+        jpeg.decode_jpeg(bytes(big))
+    with pytest.raises(ValueError, match="bomb guard"):
+        jpeg.jpeg_meta(payload, max_pixels=16)
+
+
+def test_dc_differential_coding_across_blocks():
+    # DC prediction chain: alternating extremes stress diff categories
+    a = np.zeros((8, 64), dtype=np.uint8)
+    a[:, 8:16] = 255
+    a[:, 24:32] = 255
+    a[:, 40:48] = 1
+    d = jpeg.decode_jpeg(jpeg.encode_jpeg_gray(a))[:, :, 0]
+    for bx in range(8):
+        v = int(a[0, bx * 8])
+        assert np.all(d[:, bx * 8 : bx * 8 + 8] == jpeg.flat_block_decode_value(v))
+
+
+# ---------------------------------------------------------------------------
+# Spark kernel integration
+# ---------------------------------------------------------------------------
+
+
+def test_image_metadata_decodes_jpeg_for_real(spark):
+    from tableone_pyspark_spark.operators.multimodal import (
+        image_metadata,
+        synthesize_jpeg_corpus,
+    )
+
+    rows = [(1, "hello world"), (2, "abcdefgh"), (3, "Z")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    imgs = synthesize_jpeg_corpus(df, "doc_id", "text", blocks=4)
+    out = {r["id"]: r for r in image_metadata(imgs, "id", "payload").collect()}
+    assert set(out) == {1, 2, 3}
+    for doc_id, text in rows:
+        raw = text.encode()
+        want = sum(
+            jpeg.flat_block_decode_value(raw[k % len(raw)]) for k in range(4)
+        ) / 4 / 255.0
+        r = out[doc_id]
+        assert (r["width"], r["height"], r["channels"]) == (8, 32, 1)
+        assert abs(r["mean_intensity"] - want) < 1e-12
+
+
+def test_image_phash_jpeg_payloads(spark):
+    from tableone_pyspark_spark.operators.multimodal import image_phash
+    from tableone_pyspark_spark.functions import png
+
+    grad = np.tile(np.arange(0, 256, 16, dtype=np.uint8), (16, 1))
+    payload = jpeg.encode_jpeg_gray(grad)
+    df = spark.createDataFrame([(1, bytearray(payload))], "id long, p binary")
+    got = image_phash(df, "id", "p").collect()[0]["dhash"]
+    assert got == png.dhash63(jpeg.decode_jpeg(payload))
+    assert got > 0
