@@ -9,11 +9,12 @@ byte-stub to real pixel semantics behind the same Arrow-kernel seam
 pixels out, nothing leaves the executor.
 
 Supported: baseline DCT (SOF0), 8-bit, grayscale (1 component) and
-YCbCr 4:4:4 (3 components, no subsampling), restart markers, standard
-Huffman/quantization table syntax. Progressive (SOF2), arithmetic
-coding, 12-bit, and subsampled chroma raise ``NotImplementedError`` —
-the honest boundary of a dependency-free decoder (production swaps
-PIL/turbojpeg behind the same seam).
+YCbCr with sampling factors 1-2 per axis (4:4:4, 4:2:0, 4:2:2 —
+chroma upsampled by T.81-legal sample replication), restart markers,
+standard Huffman/quantization table syntax. Progressive (SOF2),
+arithmetic coding, 12-bit, and sampling factors >2 raise
+``NotImplementedError`` — the honest boundary of a dependency-free
+decoder (production swaps PIL/turbojpeg behind the same seam).
 
 Determinism contract (what makes decoded stats SQL-oracle-checkable):
 quantization uses ``floor(x/q + 0.5)`` and pixel reconstruction uses
@@ -271,11 +272,15 @@ def _parse_headers(payload: bytes, max_pixels: int, need_tables: bool = True) ->
             for i in range(nc):
                 cid, samp, tq = struct.unpack_from(">BBB", body, 6 + 3 * i)
                 hs, vs = samp >> 4, samp & 0xF
-                if (hs, vs) != (1, 1):
+                if hs not in (1, 2) or vs not in (1, 2):
                     raise NotImplementedError(
-                        "JPEG subsampled chroma unsupported (4:4:4 only)"
+                        f"JPEG sampling factor {hs}x{vs} unsupported"
                     )
-                comps.append({"id": cid, "tq": tq})
+                comps.append({"id": cid, "tq": tq, "hs": hs, "vs": vs})
+            if nc == 1 and (comps[0]["hs"], comps[0]["vs"]) != (1, 1):
+                # single-component scans ignore sampling factors (T.81
+                # A.2.2) — normalize so the MCU walk is 1 block
+                comps[0]["hs"] = comps[0]["vs"] = 1
             out.update(w=w, h=h, precision=prec, comps=comps)
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
             raise NotImplementedError(
@@ -320,21 +325,61 @@ def _parse_headers(payload: bytes, max_pixels: int, need_tables: bool = True) ->
     raise ValueError("JPEG: no SOS segment")  # pragma: no cover
 
 
+def _decode_block(reader: _BitReader, dc_tab, ac_tab, qt, pred: int):
+    """One entropy-coded 8x8 block -> (reconstructed block, new pred)."""
+    zz = np.zeros(64, dtype=np.int64)
+    size = reader.huff(dc_tab)
+    diff = _extend(reader.bits(size), size)
+    pred += diff
+    zz[0] = pred
+    k = 1
+    while k < 64:
+        rs = reader.huff(ac_tab)
+        r, sz = rs >> 4, rs & 0xF
+        if sz == 0:
+            if r == 15:  # ZRL
+                k += 16
+                continue
+            break  # EOB
+        k += r
+        if k > 63:
+            raise ValueError("JPEG: AC index overrun")
+        zz[k] = _extend(reader.bits(sz), sz)
+        k += 1
+    coef = np.zeros(64, dtype=np.float64)
+    coef[_ZIGZAG] = zz * qt[_ZIGZAG]  # dequant in natural order
+    coef = coef.reshape(8, 8)
+    # IDCT with the DC term added as an exact constant (F00/8; the
+    # matrix product would carry ~1e-13 error, enough to flip the
+    # half-up rounding the SQL oracle replays for DC-only blocks)
+    dc = coef[0, 0] / 8.0
+    coef[0, 0] = 0.0
+    return _C.T @ coef @ _C + dc, pred
+
+
 def decode_jpeg(payload: bytes, max_pixels: int = MAX_PIXELS) -> np.ndarray:
     """Decode baseline JPEG to an (h, w, channels) uint8 array
-    (grayscale -> 1 channel, YCbCr 4:4:4 -> 3 RGB channels)."""
+    (grayscale -> 1 channel, YCbCr -> 3 RGB channels). Sampling
+    factors 1-2 per axis (4:4:4, 4:2:0, 4:2:2) are supported; chroma
+    upsampling is sample replication (T.81-legal nearest)."""
     hdr = _parse_headers(payload, max_pixels)
     w, h, comps = hdr["w"], hdr["h"], hdr["comps"]
     nc = len(comps)
-    bw, bh = (w + 7) // 8, (h + 7) // 8
+    hmax = max(c["hs"] for c in comps)
+    vmax = max(c["vs"] for c in comps)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
     reader = _BitReader(payload, hdr["data_pos"])
-    planes = [np.zeros((bh * 8, bw * 8), dtype=np.float64) for _ in range(nc)]
+    planes = [
+        np.zeros((mcuy * c["vs"] * 8, mcux * c["hs"] * 8), dtype=np.float64)
+        for c in comps
+    ]
     pred = [0] * nc
     scan_by_id = {s["id"]: s for s in hdr["scan"]}
     dri = hdr["dri"]
     mcu = 0
-    for by in range(bh):
-        for bx in range(bw):
+    for by in range(mcuy):
+        for bx in range(mcux):
             if dri and mcu and mcu % dri == 0:
                 reader.sync_restart()
                 pred = [0] * nc
@@ -345,42 +390,27 @@ def decode_jpeg(payload: bytes, max_pixels: int = MAX_PIXELS) -> np.ndarray:
                 qt = hdr["qtables"].get(comp["tq"])
                 if dc_tab is None or ac_tab is None or qt is None:
                     raise ValueError("JPEG: missing Huffman/quant table")
-                zz = np.zeros(64, dtype=np.int64)
-                size = reader.huff(dc_tab)
-                diff = _extend(reader.bits(size), size)
-                pred[ci] += diff
-                zz[0] = pred[ci]
-                k = 1
-                while k < 64:
-                    rs = reader.huff(ac_tab)
-                    r, sz = rs >> 4, rs & 0xF
-                    if sz == 0:
-                        if r == 15:  # ZRL
-                            k += 16
-                            continue
-                        break  # EOB
-                    k += r
-                    if k > 63:
-                        raise ValueError("JPEG: AC index overrun")
-                    zz[k] = _extend(reader.bits(sz), sz)
-                    k += 1
-                coef = np.zeros(64, dtype=np.float64)
-                coef[_ZIGZAG] = zz * qt[_ZIGZAG]  # dequant in natural order
-                coef = coef.reshape(8, 8)
-                # IDCT with the DC term added as an exact constant
-                # (F00/8; the matrix product would carry ~1e-13 error,
-                # enough to flip the half-up rounding the SQL oracle
-                # replays for DC-only blocks)
-                dc = coef[0, 0] / 8.0
-                coef[0, 0] = 0.0
-                block = _C.T @ coef @ _C + dc
-                planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = block
+                for v in range(comp["vs"]):
+                    for u in range(comp["hs"]):
+                        block, pred[ci] = _decode_block(
+                            reader, dc_tab, ac_tab, qt, pred[ci]
+                        )
+                        y0 = (by * comp["vs"] + v) * 8
+                        x0 = (bx * comp["hs"] + u) * 8
+                        planes[ci][y0 : y0 + 8, x0 : x0 + 8] = block
             mcu += 1
-    # level shift + deterministic rounding, crop padding
-    out = [
-        np.clip(_half_up(p[:h, :w] + 128.0), 0, 255).astype(np.uint8)
-        for p in planes
-    ]
+    # upsample subsampled planes (sample replication), level shift +
+    # deterministic rounding, crop padding
+    out = []
+    for ci, comp in enumerate(comps):
+        p = planes[ci]
+        if comp["hs"] < hmax:
+            p = np.repeat(p, hmax // comp["hs"], axis=1)
+        if comp["vs"] < vmax:
+            p = np.repeat(p, vmax // comp["vs"], axis=0)
+        out.append(
+            np.clip(_half_up(p[:h, :w] + 128.0), 0, 255).astype(np.uint8)
+        )
     if nc == 1:
         return out[0][:, :, None]
     if nc == 3:
@@ -488,22 +518,33 @@ def _encode_planes(
     h: int,
     qt: np.ndarray,
     restart_interval: int = 0,
+    sampling: list[tuple[int, int]] | None = None,
 ) -> bytes:
-    """Shared baseline writer: 1 plane = grayscale, 3 = YCbCr 4:4:4
-    (every component uses quant/Huffman table 0 — legal and simple)."""
+    """Shared baseline writer: 1 plane = grayscale, 3 = YCbCr (every
+    component uses quant/Huffman table 0 — legal and simple).
+    ``sampling`` gives (hs, vs) per component (default all 1x1 =
+    4:4:4); each plane must already be at its subsampled resolution
+    (ceil(w*hs/hmax) x ceil(h*vs/vmax))."""
     nc = len(planes)
+    samp = sampling or [(1, 1)] * nc
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
     dc_enc = _build_encode_table(_DC_LUMA_BITS, _DC_LUMA_VALS)
     ac_enc = _build_encode_table(_AC_LUMA_BITS, _AC_LUMA_VALS)
-    bw, bh = (w + 7) // 8, (h + 7) // 8
-    padded = [_pad_plane(p, bw, bh) for p in planes]
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    padded = [
+        _pad_plane(p, mcux * s[0], mcuy * s[1])
+        for p, s in zip(planes, samp)
+    ]
 
     writer = _BitWriter()
     pred = [0] * nc
     mcu = 0
     rst = 0
     chunks: list[bytes] = []
-    for by in range(bh):
-        for bx in range(bw):
+    for by in range(mcuy):
+        for bx in range(mcux):
             if restart_interval and mcu and mcu % restart_interval == 0:
                 chunks.append(writer.flush())
                 chunks.append(bytes([0xFF, 0xD0 + (rst % 8)]))
@@ -511,15 +552,24 @@ def _encode_planes(
                 writer = _BitWriter()
                 pred = [0] * nc
             for ci in range(nc):
-                blk = padded[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
-                pred[ci] = _encode_block(writer, blk, qt, dc_enc, ac_enc, pred[ci])
+                hs, vs = samp[ci]
+                for v in range(vs):
+                    for u in range(hs):
+                        y0 = (by * vs + v) * 8
+                        x0 = (bx * hs + u) * 8
+                        blk = padded[ci][y0 : y0 + 8, x0 : x0 + 8]
+                        pred[ci] = _encode_block(
+                            writer, blk, qt, dc_enc, ac_enc, pred[ci]
+                        )
             mcu += 1
     chunks.append(writer.flush())
     scan = b"".join(chunks)
 
     zz_qt = qt.reshape(64)[_ZIGZAG.argsort()].astype(np.uint8).tobytes()
     dqt = _seg(0xDB, b"\x00" + zz_qt)
-    sof_comps = b"".join(bytes([i + 1, 0x11, 0]) for i in range(nc))
+    sof_comps = b"".join(
+        bytes([i + 1, (samp[i][0] << 4) | samp[i][1], 0]) for i in range(nc)
+    )
     sof = _seg(0xC0, struct.pack(">BHHB", 8, h, w, nc) + sof_comps)
     dht = _seg(
         0xC4,
@@ -551,13 +601,27 @@ def encode_jpeg_gray(
     return _encode_planes([arr.astype(np.float64)], w, h, qt, restart_interval)
 
 
+def _downsample2(p: np.ndarray) -> np.ndarray:
+    """2x2 box mean with half-up rounding (edge-replicated to even)."""
+    h, w = p.shape
+    if h % 2:
+        p = np.vstack([p, p[-1:, :]])
+    if w % 2:
+        p = np.hstack([p, p[:, -1:]])
+    q = (p[0::2, 0::2] + p[0::2, 1::2] + p[1::2, 0::2] + p[1::2, 1::2]) / 4.0
+    return _half_up(q)
+
+
 def encode_jpeg_rgb(
     arr: np.ndarray,
     qtable: np.ndarray | None = None,
     restart_interval: int = 0,
+    subsampling: str = "444",
 ) -> bytes:
-    """Baseline YCbCr 4:4:4 color writer (JFIF color transform,
-    half-up rounding) — exercises the decoder's 3-component path."""
+    """Baseline YCbCr color writer (JFIF color transform, half-up
+    rounding) — exercises the decoder's 3-component path.
+    ``subsampling``: "444" (no chroma subsampling) or "420" (2x2 box
+    chroma downsampling, the common web-JPEG layout)."""
     arr = np.asarray(arr, dtype=np.uint8)
     if arr.ndim != 3 or arr.shape[2] != 3:
         raise ValueError("encode_jpeg_rgb takes an (h, w, 3) image")
@@ -569,7 +633,15 @@ def encode_jpeg_rgb(
     cb = np.clip(_half_up(-0.168736 * r - 0.331264 * g + 0.5 * b + 128.0), 0, 255)
     cr = np.clip(_half_up(0.5 * r - 0.418688 * g - 0.081312 * b + 128.0), 0, 255)
     qt = _QTABLE_LUMA if qtable is None else np.asarray(qtable, dtype=np.int64)
-    return _encode_planes([y, cb, cr], w, h, qt, restart_interval)
+    if subsampling == "444":
+        return _encode_planes([y, cb, cr], w, h, qt, restart_interval)
+    if subsampling == "420":
+        return _encode_planes(
+            [y, _downsample2(cb), _downsample2(cr)],
+            w, h, qt, restart_interval,
+            sampling=[(2, 2), (1, 1), (1, 1)],
+        )
+    raise ValueError(f"subsampling {subsampling!r} not in ('444', '420')")
 
 
 def flat_block_decode_value(v: int, q0: int = int(_QTABLE_LUMA[0])) -> int:

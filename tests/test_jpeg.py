@@ -79,6 +79,40 @@ def test_color_444_round_trip():
     assert np.array_equal(dec, dec_rst)
 
 
+def test_420_subsampled_round_trip():
+    """4:2:0 (the common web layout): 2x2-block MCUs, chroma at half
+    resolution, replication upsampling. Luma detail survives; chroma
+    error bounded by the 2x2 box average."""
+    # smooth non-wrapping ramps (a 255->0 wrap edge would be LEGITIMATE
+    # chroma-box error up to ~1.77*128 — not what this pin is for)
+    y, x = np.mgrid[0:24, 0:40]
+    rgb = np.stack(
+        [40 + y * 5, 30 + x * 4, 60 + (x + y) * 2], axis=2
+    ).astype(np.uint8)
+    payload = jpeg.encode_jpeg_rgb(rgb, subsampling="420")
+    assert jpeg.jpeg_meta(payload) == (40, 24, 3, 8)
+    dec = jpeg.decode_jpeg(payload)
+    assert dec.shape == (24, 40, 3)
+    err = np.abs(dec.astype(int) - rgb.astype(int))
+    # Annex-K q50 tables are coarse: 4:4:4 itself shows mean ~6.8 /
+    # max ~43 on this ramp; 420 adds bounded chroma-box loss on top
+    assert err.mean() < 15 and err.max() <= 90
+    # 420 must be strictly smaller than 444 on the same image
+    assert len(payload) < len(jpeg.encode_jpeg_rgb(rgb, subsampling="444"))
+    # grayscale content: chroma planes are flat 128 -> 420 == 444 luma
+    gray3 = np.repeat(
+        _rng(9).integers(0, 256, size=(16, 16, 1), dtype=np.uint8), 3, axis=2
+    )
+    d420 = jpeg.decode_jpeg(jpeg.encode_jpeg_rgb(gray3, subsampling="420"))
+    d444 = jpeg.decode_jpeg(jpeg.encode_jpeg_rgb(gray3, subsampling="444"))
+    assert np.array_equal(d420, d444)
+    # restart markers pixel-neutral with multi-block MCUs too
+    d_rst = jpeg.decode_jpeg(
+        jpeg.encode_jpeg_rgb(rgb, subsampling="420", restart_interval=2)
+    )
+    assert np.array_equal(dec, d_rst)
+
+
 def test_nonaligned_dimensions_edge_padding():
     a = _rng(5).integers(0, 256, size=(13, 7), dtype=np.uint8)
     d = jpeg.decode_jpeg(jpeg.encode_jpeg_gray(a))
@@ -96,11 +130,11 @@ def test_unsupported_and_hostile_variants():
     prog[sof_at + 1] = 0xC2
     with pytest.raises(NotImplementedError, match="non-baseline"):
         jpeg.decode_jpeg(bytes(prog))
-    # subsampled chroma refused
+    # sampling factors beyond 2 refused (4:1:1 layouts)
     sub = bytearray(jpeg.encode_jpeg_rgb(np.zeros((8, 8, 3), dtype=np.uint8)))
     sof_at = sub.find(b"\xff\xc0")
-    sub[sof_at + 11] = 0x22  # Y sampling 2x2
-    with pytest.raises(NotImplementedError, match="subsampled"):
+    sub[sof_at + 11] = 0x41  # Y sampling 4x1
+    with pytest.raises(NotImplementedError, match="sampling factor"):
         jpeg.decode_jpeg(bytes(sub))
     # truncated entropy data
     with pytest.raises(ValueError, match="truncated"):
