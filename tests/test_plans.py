@@ -463,3 +463,64 @@ def test_weighted_sample_fence_single_evaluation(spark):
     assert plan.count(marker) == one_copy, plan
     # and the fence itself is present (rand() makes the field opaque)
     assert "rand(" in plan
+
+
+def test_jpeg_pipeline_is_shuffle_free(spark):
+    """synthesize -> decode (JPEG twin): two chained Arrow kernels, no
+    exchange, scan pruned to the two used columns."""
+    from tableone_pyspark_spark.operators.multimodal import (
+        image_metadata,
+        synthesize_jpeg_corpus,
+    )
+
+    d = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    meta = image_metadata(
+        synthesize_jpeg_corpus(d, "doc_id", "text"), "id", "payload"
+    )
+    facts = inspect.plan_facts(meta)
+    assert facts.n_exchanges == 0
+    inspect.assert_scan_pruned(meta, {"doc_id", "text"})
+
+
+def test_weighted_quantile_job_never_global_window(spark):
+    """The weighted-quartile pass (core/sufficient.py run_wq) must plan
+    its running-sum windows partitioned by (var[, strat]) — a global
+    (empty-partition) window would serialize the whole corpus through
+    one task. Pin: no 'Window' operator without a partition spec, and
+    the melt compresses through a partial aggregate before the window
+    shuffle."""
+    from tableone_pyspark_spark import tableone
+
+    li = (
+        spark.read.parquet(f"{SF}/lineitem.parquet")
+        .select("l_returnflag", "l_quantity", "l_extendedprice")
+        .withColumn("w", F.col("l_quantity"))
+    )
+    out = tableone(
+        li, col_to_strat="l_returnflag",
+        cols_to_analyze=["l_quantity", "l_extendedprice"], weight_col="w",
+    )
+    assert out.count() > 0  # runs end-to-end (collect-side assembly)
+    # reconstruct the wq plan shape directly (the engine collects it
+    # eagerly, so pin the same construction)
+    from pyspark.sql import Window
+
+    g = (
+        li.select("l_returnflag", F.col("l_quantity").cast("double").alias("x"),
+                  F.col("w").cast("double").alias("wt"))
+        .groupBy("l_returnflag", "x").agg(F.sum("wt").alias("sw"))
+    )
+    cum = F.sum("sw").over(Window.partitionBy("l_returnflag").orderBy("x"))
+    plan = inspect.executed_plan(
+        g.select("l_returnflag", "x", cum.alias("cw"))
+    )
+    # window must carry a partition spec (no global sort-everything)
+    import re
+
+    for m in re.finditer(r"Window \[", plan):
+        seg = plan[m.start(): m.start() + 400]
+        assert "windowspecdefinition(" in seg and not re.search(
+            r"windowspecdefinition\(x#", seg
+        ), seg
+    # partial_sum before the exchange: melt compressed map-side
+    assert "partial_sum" in plan
