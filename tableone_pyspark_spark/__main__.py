@@ -33,6 +33,11 @@ def build_parser() -> argparse.ArgumentParser:
         help="quartile semantics: actual data value (reference parity) "
         "or linear interpolation",
     )
+    p.add_argument(
+        "--weight",
+        default="",
+        help="frequency-weight column (survey-weighted Table 1)",
+    )
     p.add_argument("--output", default="", help="write result parquet here instead of printing")
     p.add_argument("--master", default="local[*]")
     return p
@@ -60,6 +65,7 @@ def main(argv: list[str] | None = None) -> int:
             beautify=args.beautify,
             p_values=args.p_values,
             config=TableOneConfig(quantile_mode=args.quantile_mode),
+            weight_col=args.weight or None,
         )
         if args.output:
             # the result is tiny — one file is the useful layout
