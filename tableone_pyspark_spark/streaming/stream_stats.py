@@ -334,10 +334,21 @@ def streaming_tableone(
     missing: str = "MISSING",
     quartiles: bool = False,
     quartile_accuracy: int = 10_000,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """TableOne over a stream: the long-format descriptive table per
     (time window x strat value), from ONE streaming aggregation
     (SURVEY §7 Phase F north star).
+
+    ``weight_col``: frequency-weighted variant (same contract as batch
+    ``tableone(weight_col=...)``): counts become Σw, moments use
+    Σwx/Σwx² with the (Σw − 1) sample variance, fractions are
+    Σw-shares; rows with null/non-positive weight are dropped. All
+    weighted statistics remain associative scalars, so the single
+    watermarked agg and its bounded state are unchanged. Quartile rows
+    are refused with weights (``ValueError``): Spark's mergeable GK
+    sketch is unweighted, and a wrong-but-plausible quartile is worse
+    than an honest boundary.
 
     The batch engine's insight carries over unchanged: every emitted
     statistic is a derived column of associative sufficient statistics
@@ -377,18 +388,32 @@ def streaming_tableone(
     equivalence test pins it.
     """
     cat_vars = cat_vars or {}
+    weighted = weight_col is not None
+    if weighted and quartiles:
+        raise ValueError(
+            "quartiles with weight_col are unsupported in streaming "
+            "(no weighted mergeable sketch); set quartiles=False"
+        )
+    if weighted:
+        wc = F.col(weight_col).cast("double")
+        stream = stream.where(wc.isNotNull() & (wc > 0))
     if stream.isStreaming:
         stream = stream.withWatermark(ts_col, watermark)
 
-    aggs: list = [F.count(F.lit(1)).alias("rows")]
+    w = F.col(weight_col).cast("double") if weighted else F.lit(1.0)
+    aggs: list = [
+        (F.sum(w) if weighted else F.count(F.lit(1))).alias("rows")
+    ]
     for i, v in enumerate(cont_vars):
         c = F.col(v).cast("double")
         aggs += [
-            F.count(c).alias(f"n_{i}"),
+            (
+                F.sum(F.when(c.isNotNull(), w)) if weighted else F.count(c)
+            ).alias(f"n_{i}"),
             F.min(c).alias(f"mn_{i}"),
             F.max(c).alias(f"mx_{i}"),
-            F.sum(c).alias(f"s1_{i}"),
-            F.sum(c * c).alias(f"s2_{i}"),
+            F.sum(w * c if weighted else c).alias(f"s1_{i}"),
+            F.sum((w * c * c) if weighted else c * c).alias(f"s2_{i}"),
         ]
         if quartiles:
             aggs.append(
@@ -404,7 +429,11 @@ def streaming_tableone(
         cv = F.when(sv.isin(list(vals)), sv).otherwise(F.lit(missing))
         for k, val in enumerate(vals):
             aggs.append(
-                F.sum((cv == F.lit(val)).cast("long")).alias(f"c_{j}_{k}")
+                F.sum(
+                    F.when(cv == F.lit(val), w).otherwise(F.lit(0.0))
+                    if weighted
+                    else (cv == F.lit(val)).cast("long")
+                ).alias(f"c_{j}_{k}")
             )
 
     agg = stream.groupBy(

@@ -362,6 +362,70 @@ def test_streaming_tableone_equals_batch(spark, events):
     assert len(batch) == n_groups * 8
 
 
+def test_streaming_tableone_weighted_equals_replicated(spark, events):
+    """Frequency-weight pin, streaming edition: integer weights must
+    reproduce the unweighted table on a row-replicated frame — and the
+    weighted variant must run as a REAL streaming query too."""
+    from tableone_pyspark_spark.streaming.stream_stats import (
+        streaming_tableone,
+    )
+
+    def prep(df):
+        return df.select("ts", "event_type", "user_id", "value").withColumn(
+            "seg", (F.col("user_id") % 3).cast("string")
+        ).withColumn("w", (F.col("user_id") % 4 + 1).cast("double"))
+
+    kw = dict(
+        strat_col="event_type",
+        cont_vars=["value"],
+        cat_vars={"seg": ["0", "1", "2"]},
+        window="1 day",
+    )
+    weighted = {
+        (r["window_start"], r["event_type"], r["Index"], r["Values"]): r
+        for r in streaming_tableone(prep(events), weight_col="w", **kw).collect()
+    }
+    replicated = prep(events).withColumn(
+        "__r", F.explode(F.array_repeat(F.lit(1), F.col("w").cast("int")))
+    )
+    plain = {
+        (r["window_start"], r["event_type"], r["Index"], r["Values"]): r
+        for r in streaming_tableone(replicated, **kw).collect()
+    }
+    assert weighted.keys() == plain.keys() and len(weighted) > 0
+    for k in weighted:
+        # melt rounds to 6 decimals; weighted vs replicated sums can
+        # differ by ~1e-12 pre-round and land across a boundary ->
+        # allow one ulp at the 6th decimal
+        assert approx(weighted[k]["value"], plain[k]["value"], tol=2e-6), k
+        assert approx(weighted[k]["frac"], plain[k]["frac"], tol=2e-6), k
+
+    # real streaming execution agrees with the batch run
+    out = streaming_tableone(prep(events_stream(spark, SF)), weight_col="w", **kw)
+    assert out.isStreaming
+    q = (
+        out.writeStream.format("memory")
+        .queryName("t_stream_t1_w")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    streamed = {
+        (r["window_start"], r["event_type"], r["Index"], r["Values"]): r
+        for r in spark.table("t_stream_t1_w").collect()
+    }
+    assert streamed.keys() == weighted.keys()
+    for k in weighted:
+        assert approx(streamed[k]["value"], weighted[k]["value"], tol=1e-9), k
+
+    # honest boundary: weighted quartiles are refused
+    import pytest
+
+    with pytest.raises(ValueError, match="quartiles with weight_col"):
+        streaming_tableone(prep(events), weight_col="w", quartiles=True, **kw)
+
+
 def test_streaming_tableone_out_of_list_goes_to_missing(spark):
     """Non-null values OUTSIDE the declared category list must land in
     the catch-all `missing` bucket (not vanish): counts partition the
