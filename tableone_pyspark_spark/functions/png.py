@@ -8,12 +8,14 @@ pixel semantics for PNG payloads while keeping the same Arrow kernel
 shape (see operators/multimodal.py): payload bytes in, typed
 metadata/pixels out, nothing leaves the executor.
 
-Supported: 8-bit depth, color types 0 (gray), 2 (RGB), 3 (palette,
-expanded to RGB via PLTE), 4 (gray+alpha), 6 (RGBA), non-interlaced,
-all five scanline filters. 16-bit, sub-byte palette depths, palette
-tRNS, and Adam7 interlace raise ``NotImplementedError`` — the honest
-boundary of a dependency-free decoder (production swaps in PIL/
-turbojpeg behind the same seam).
+Supported: 8- and 16-bit depth, color types 0 (gray), 2 (RGB), 3
+(palette, 8-bit, expanded to RGB via PLTE), 4 (gray+alpha), 6 (RGBA),
+non-interlaced, all five scanline filters (byte-wise with the
+per-depth bpp, per spec). Sub-byte depths, palette tRNS, and Adam7
+interlace raise ``NotImplementedError`` — the honest boundary of a
+dependency-free decoder (production swaps in PIL/turbojpeg behind the
+same seam). 16-bit images decode to uint16; ``grayscale`` (and thus
+dHash) down-converts via the high byte.
 
 Hostile-input hardening (the corpora are untrusted web crawl): IHDR
 dimensions are bounded by ``MAX_PIXELS`` before any allocation, and
@@ -79,8 +81,10 @@ def _ihdr(payload: bytes, max_pixels: int) -> tuple[int, int, int, int]:
     w, h, depth, color, comp, filt, interlace = struct.unpack(">IIBBBBB", body)
     if color not in _CHANNELS:
         raise NotImplementedError(f"PNG color type {color} unsupported")
-    if depth != 8:
-        raise NotImplementedError(f"PNG bit depth {depth} unsupported (8 only)")
+    if depth not in (8, 16) or (color == 3 and depth != 8):
+        raise NotImplementedError(
+            f"PNG bit depth {depth} unsupported (8/16; palette 8 only)"
+        )
     if interlace != 0:
         raise NotImplementedError("Adam7 interlaced PNG unsupported")
     if comp != 0 or filt != 0:
@@ -105,8 +109,9 @@ def png_meta(
 
 
 def decode_png(payload: bytes, max_pixels: int = MAX_PIXELS) -> np.ndarray:
-    """Decode to a (height, width, channels) uint8 array."""
-    w, h, _depth, color = _ihdr(payload, max_pixels)
+    """Decode to a (height, width, channels) array — uint8 for 8-bit
+    images, uint16 (big-endian samples per spec) for 16-bit."""
+    w, h, depth, color = _ihdr(payload, max_pixels)
     channels = _CHANNELS[color]  # coded samples/pixel (palette: 1)
     plte = None
     trns = False
@@ -119,7 +124,8 @@ def decode_png(payload: bytes, max_pixels: int = MAX_PIXELS) -> np.ndarray:
         elif tag == b"tRNS":
             trns = True
     idat = b"".join(idat_parts)
-    stride = w * channels
+    sample_bytes = depth // 8
+    stride = w * channels * sample_bytes
     expected = h * (stride + 1)
     # incremental inflate with a hard cap: a zip bomb overflows the cap
     # and fails fast instead of materializing gigabytes
@@ -139,7 +145,9 @@ def decode_png(payload: bytes, max_pixels: int = MAX_PIXELS) -> np.ndarray:
             raise ValueError("PNG: palette image without a valid PLTE chunk")
         if trns:
             raise NotImplementedError("PNG palette transparency (tRNS) unsupported")
-    bpp = channels  # 8-bit depth: bytes per pixel == coded channels
+    # filters operate on BYTES with bpp = bytes per pixel (T.81 §9 /
+    # PNG spec 6.2): at depth 16 each sample is 2 big-endian bytes
+    bpp = channels * sample_bytes
     out = np.zeros((h, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.uint8)
     pos = 0
@@ -180,17 +188,26 @@ def decode_png(payload: bytes, max_pixels: int = MAX_PIXELS) -> np.ndarray:
         if int(idx.max(initial=0)) >= pal.shape[0]:
             raise ValueError("PNG: palette index out of PLTE range")
         return pal[idx]
+    if depth == 16:
+        # big-endian sample assembly after byte-wise unfiltering
+        b16 = out.reshape(h, w * channels, 2).astype(np.uint16)
+        return ((b16[:, :, 0] << 8) | b16[:, :, 1]).reshape(h, w, channels)
     return out.reshape(h, w, channels)
 
 
 def encode_png(arr: np.ndarray) -> bytes:
-    """Minimal PNG writer (8-bit, filter 0, one IDAT) for fixtures and
-    the resize kernel's output. Accepts (h, w) or (h, w, c), c≤4."""
-    arr = np.asarray(arr, dtype=np.uint8)
+    """Minimal PNG writer (filter 0, one IDAT) for fixtures and the
+    resize kernel's output. Accepts (h, w) or (h, w, c), c≤4; uint8
+    writes 8-bit, uint16 writes 16-bit (big-endian samples)."""
+    arr = np.asarray(arr)
+    depth = 16 if arr.dtype == np.uint16 else 8
+    arr = arr.astype(np.uint16 if depth == 16 else np.uint8)
     if arr.ndim == 2:
         arr = arr[:, :, None]
     h, w, c = arr.shape
     color_type = {1: 0, 2: 4, 3: 2, 4: 6}[c]
+    if depth == 16:
+        arr = arr.astype(">u2")
     raw = b"".join(b"\x00" + arr[y].tobytes() for y in range(h))
 
     def chunk(tag: bytes, body: bytes) -> bytes:
@@ -201,7 +218,7 @@ def encode_png(arr: np.ndarray) -> bytes:
             + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
         )
 
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, color_type, 0, 0, 0)
     return (
         PNG_MAGIC
         + chunk(b"IHDR", ihdr)
@@ -253,7 +270,10 @@ def resize_nearest(arr: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
 
 def grayscale(arr: np.ndarray) -> np.ndarray:
     """(h, w, c) -> (h, w) luma. RGB(A) uses integer-weighted BT.601
-    (exact: (77R + 150G + 29B) >> 8); gray(+alpha) takes channel 0."""
+    (exact: (77R + 150G + 29B) >> 8); gray(+alpha) takes channel 0.
+    16-bit input is down-converted via the high byte first."""
+    if arr.dtype == np.uint16:
+        arr = (arr >> 8).astype(np.uint8)
     if arr.shape[2] >= 3:
         r = arr[:, :, 0].astype(np.int64)
         g = arr[:, :, 1].astype(np.int64)

@@ -68,7 +68,8 @@ def _decode_image(payload: bytes) -> tuple[int, int, int, float]:
     if png.is_png(payload):
         arr = png.decode_png(payload)
         hh, ww, cc = arr.shape
-        return ww, hh, cc, float(arr.mean() / 255.0)
+        scale = 65535.0 if arr.dtype == np.uint16 else 255.0
+        return ww, hh, cc, float(arr.mean() / scale)
     if jpeg.is_jpeg(payload):
         arr = jpeg.decode_jpeg(payload)
         hh, ww, cc = arr.shape

@@ -105,11 +105,16 @@ def test_crc_corruption_detected():
 
 
 def test_unsupported_variants_raise():
-    # 16-bit depth
-    ihdr16 = struct.pack(">IIBBBBB", 2, 2, 16, 0, 0, 0, 0)
-    deep = png.PNG_MAGIC + _chunk(b"IHDR", ihdr16) + _chunk(b"IEND", b"")
+    # sub-byte depth
+    ihdr4 = struct.pack(">IIBBBBB", 2, 2, 4, 0, 0, 0, 0)
+    shallow = png.PNG_MAGIC + _chunk(b"IHDR", ihdr4) + _chunk(b"IEND", b"")
     with pytest.raises(NotImplementedError, match="depth"):
-        png.png_meta(deep)
+        png.png_meta(shallow)
+    # 16-bit palette (PLTE is 8-bit-indexed only)
+    ihdr16p = struct.pack(">IIBBBBB", 2, 2, 16, 3, 0, 0, 0)
+    deep_pal = png.PNG_MAGIC + _chunk(b"IHDR", ihdr16p) + _chunk(b"IEND", b"")
+    with pytest.raises(NotImplementedError, match="depth"):
+        png.png_meta(deep_pal)
     # Adam7 interlace
     ihdr_i = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 1)
     inter = png.PNG_MAGIC + _chunk(b"IHDR", ihdr_i) + _chunk(b"IEND", b"")
@@ -288,3 +293,41 @@ def test_round_trip_property(w, h, c, seed):
         0, 256, size=(h, w, c), dtype=np.uint8
     )
     assert np.array_equal(png.decode_png(png.encode_png(arr)), arr)
+
+
+def test_16bit_round_trip_and_filters():
+    """16-bit samples: byte-wise unfiltering with bpp = 2*channels,
+    big-endian assembly. Round trip must be exact for gray and RGB,
+    and meta reports depth 16."""
+    rng = _rng(16)
+    g16 = rng.integers(0, 65536, size=(9, 5), dtype=np.uint16)
+    out = png.decode_png(png.encode_png(g16))
+    assert out.dtype == np.uint16 and out.shape == (9, 5, 1)
+    assert np.array_equal(out[:, :, 0], g16)
+    assert png.png_meta(png.encode_png(g16)) == (5, 9, 1, 16)
+    rgb16 = rng.integers(0, 65536, size=(4, 7, 3), dtype=np.uint16)
+    out3 = png.decode_png(png.encode_png(rgb16))
+    assert out3.dtype == np.uint16 and np.array_equal(out3, rgb16)
+    # hand-filtered Sub row at 16-bit: decoder must invert byte-wise
+    # with bpp=2 (filtering operates on bytes, not samples)
+    row = np.array([[1000, 2000, 3000]], dtype=np.uint16)
+    enc = png.encode_png(row)
+    dec = png.decode_png(enc)
+    assert np.array_equal(dec[0, :, 0], row[0])
+
+
+def test_16bit_grayscale_and_metadata_scale(spark):
+    """grayscale() down-converts 16-bit via the high byte; the decode
+    kernel normalizes mean by 65535."""
+    v = np.full((8, 8), 0x8000, dtype=np.uint16)  # mid-gray
+    arr = png.decode_png(png.encode_png(v))
+    g = png.grayscale(arr)
+    assert g.dtype == np.uint8 and np.all(g == 0x80)
+
+    from tableone_pyspark_spark.operators.multimodal import image_metadata
+
+    payload = png.encode_png(v)
+    df = spark.createDataFrame([(1, bytearray(payload))], "id long, p binary")
+    r = image_metadata(df, "id", "p").collect()[0]
+    assert (r["width"], r["height"], r["channels"]) == (8, 8, 1)
+    assert abs(r["mean_intensity"] - 0x8000 / 65535.0) < 1e-12
