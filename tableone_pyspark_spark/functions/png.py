@@ -10,12 +10,13 @@ metadata/pixels out, nothing leaves the executor.
 
 Supported: 8- and 16-bit depth, color types 0 (gray), 2 (RGB), 3
 (palette, 8-bit, expanded to RGB via PLTE), 4 (gray+alpha), 6 (RGBA),
-non-interlaced, all five scanline filters (byte-wise with the
-per-depth bpp, per spec). Sub-byte depths, palette tRNS, and Adam7
-interlace raise ``NotImplementedError`` — the honest boundary of a
-dependency-free decoder (production swaps in PIL/turbojpeg behind the
-same seam). 16-bit images decode to uint16; ``grayscale`` (and thus
-dHash) down-converts via the high byte.
+all five scanline filters (byte-wise with the per-depth bpp, per
+spec), and Adam7 interlace (seven independently-filtered sub-images
+scattered back). Sub-byte depths and palette tRNS raise
+``NotImplementedError`` — the honest boundary of a dependency-free
+decoder (production swaps in PIL/turbojpeg behind the same seam).
+16-bit images decode to uint16; ``grayscale`` (and thus dHash)
+down-converts via the high byte.
 
 Hostile-input hardening (the corpora are untrusted web crawl): IHDR
 dimensions are bounded by ``MAX_PIXELS`` before any allocation, and
@@ -70,9 +71,10 @@ def _chunks(data: bytes):
     raise ValueError("PNG truncated: no IEND chunk")
 
 
-def _ihdr(payload: bytes, max_pixels: int) -> tuple[int, int, int, int]:
-    """Validated (w, h, depth, color) from IHDR; raises on anything the
-    decoder can't honestly handle, BEFORE any buffer is sized."""
+def _ihdr(payload: bytes, max_pixels: int) -> tuple[int, int, int, int, int]:
+    """Validated (w, h, depth, color, interlace) from IHDR; raises on
+    anything the decoder can't honestly handle, BEFORE any buffer is
+    sized."""
     if not is_png(payload):
         raise ValueError("not a PNG payload")
     tag, body = next(_chunks(payload))
@@ -85,8 +87,8 @@ def _ihdr(payload: bytes, max_pixels: int) -> tuple[int, int, int, int]:
         raise NotImplementedError(
             f"PNG bit depth {depth} unsupported (8/16; palette 8 only)"
         )
-    if interlace != 0:
-        raise NotImplementedError("Adam7 interlaced PNG unsupported")
+    if interlace not in (0, 1):
+        raise ValueError(f"PNG: invalid interlace method {interlace}")
     if comp != 0 or filt != 0:
         raise ValueError("PNG: nonstandard compression/filter method")
     if w == 0 or h == 0:
@@ -95,7 +97,7 @@ def _ihdr(payload: bytes, max_pixels: int) -> tuple[int, int, int, int]:
         raise ValueError(
             f"PNG: {w}x{h} exceeds max_pixels={max_pixels} (bomb guard)"
         )
-    return w, h, depth, color
+    return w, h, depth, color, interlace
 
 
 def png_meta(
@@ -104,54 +106,18 @@ def png_meta(
     """(width, height, out_channels, bit_depth) from IHDR only — no
     decompression, the cheap pre-pass for sizing a decode job.
     ``out_channels`` is the DECODED channel count (palette -> 3)."""
-    w, h, depth, color = _ihdr(payload, max_pixels)
+    w, h, depth, color, _interlace = _ihdr(payload, max_pixels)
     return w, h, (3 if color == 3 else _CHANNELS[color]), depth
 
 
-def decode_png(payload: bytes, max_pixels: int = MAX_PIXELS) -> np.ndarray:
-    """Decode to a (height, width, channels) array — uint8 for 8-bit
-    images, uint16 (big-endian samples per spec) for 16-bit."""
-    w, h, depth, color = _ihdr(payload, max_pixels)
-    channels = _CHANNELS[color]  # coded samples/pixel (palette: 1)
-    plte = None
-    trns = False
-    idat_parts = []
-    for tag, body in _chunks(payload):
-        if tag == b"IDAT":
-            idat_parts.append(body)
-        elif tag == b"PLTE":
-            plte = body
-        elif tag == b"tRNS":
-            trns = True
-    idat = b"".join(idat_parts)
-    sample_bytes = depth // 8
-    stride = w * channels * sample_bytes
-    expected = h * (stride + 1)
-    # incremental inflate with a hard cap: a zip bomb overflows the cap
-    # and fails fast instead of materializing gigabytes
-    d = zlib.decompressobj()
-    raw = d.decompress(idat, expected + 1)
-    if len(raw) > expected:
-        raise ValueError(
-            f"PNG: decompressed stream exceeds expected {expected} bytes "
-            "(decompression bomb?)"
-        )
-    if len(raw) != expected:
-        raise ValueError(
-            f"PNG: decompressed size {len(raw)} != expected {expected}"
-        )
-    if color == 3:
-        if plte is None or len(plte) % 3 != 0 or len(plte) == 0:
-            raise ValueError("PNG: palette image without a valid PLTE chunk")
-        if trns:
-            raise NotImplementedError("PNG palette transparency (tRNS) unsupported")
-    # filters operate on BYTES with bpp = bytes per pixel (T.81 §9 /
-    # PNG spec 6.2): at depth 16 each sample is 2 big-endian bytes
-    bpp = channels * sample_bytes
-    out = np.zeros((h, stride), dtype=np.uint8)
+def _unfilter(
+    raw: bytes, pos: int, n_rows: int, stride: int, bpp: int
+) -> tuple[np.ndarray, int]:
+    """Invert the five scanline filters over ``n_rows`` rows starting
+    at ``pos``; returns the (n_rows, stride) byte plane + new pos."""
+    out = np.zeros((n_rows, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.uint8)
-    pos = 0
-    for y in range(h):
+    for y in range(n_rows):
         f = raw[pos]
         pos += 1
         cur = np.frombuffer(raw, dtype=np.uint8, count=stride, offset=pos).copy()
@@ -180,6 +146,90 @@ def decode_png(payload: bytes, max_pixels: int = MAX_PIXELS) -> np.ndarray:
             raise ValueError(f"PNG: unknown filter type {f} on row {y}")
         out[y] = cur
         prev = out[y]
+    return out, pos
+
+
+#: Adam7 pass grid: (x_start, y_start, x_step, y_step)
+_ADAM7 = [
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+]
+
+
+def _adam7_pass_dims(w: int, h: int) -> list[tuple[int, int]]:
+    return [
+        (max(0, (w - x0 + dx - 1) // dx), max(0, (h - y0 + dy - 1) // dy))
+        for x0, y0, dx, dy in _ADAM7
+    ]
+
+
+def _deinterlace_adam7(raw: bytes, w: int, h: int, bpp: int) -> np.ndarray:
+    """Seven sequential sub-images (each filtered independently, spec
+    §8.2) scattered back onto the full byte plane."""
+    out = np.zeros((h, w, bpp), dtype=np.uint8)
+    pos = 0
+    for (x0, y0, dx, dy), (pw, ph) in zip(_ADAM7, _adam7_pass_dims(w, h)):
+        if pw == 0 or ph == 0:
+            continue
+        rows, pos = _unfilter(raw, pos, ph, pw * bpp, bpp)
+        ys = y0 + np.arange(ph) * dy
+        xs = x0 + np.arange(pw) * dx
+        out[np.ix_(ys, xs)] = rows.reshape(ph, pw, bpp)
+    return out.reshape(h, w * bpp)
+
+
+def decode_png(payload: bytes, max_pixels: int = MAX_PIXELS) -> np.ndarray:
+    """Decode to a (height, width, channels) array — uint8 for 8-bit
+    images, uint16 (big-endian samples per spec) for 16-bit."""
+    w, h, depth, color, interlace = _ihdr(payload, max_pixels)
+    channels = _CHANNELS[color]  # coded samples/pixel (palette: 1)
+    plte = None
+    trns = False
+    idat_parts = []
+    for tag, body in _chunks(payload):
+        if tag == b"IDAT":
+            idat_parts.append(body)
+        elif tag == b"PLTE":
+            plte = body
+        elif tag == b"tRNS":
+            trns = True
+    idat = b"".join(idat_parts)
+    sample_bytes = depth // 8
+    bpb = channels * sample_bytes  # bytes per pixel
+    stride = w * bpb
+    if interlace:
+        expected = sum(
+            ph * (1 + pw * bpb)
+            for pw, ph in _adam7_pass_dims(w, h)
+            if pw and ph
+        )
+    else:
+        expected = h * (stride + 1)
+    # incremental inflate with a hard cap: a zip bomb overflows the cap
+    # and fails fast instead of materializing gigabytes
+    d = zlib.decompressobj()
+    raw = d.decompress(idat, expected + 1)
+    if len(raw) > expected:
+        raise ValueError(
+            f"PNG: decompressed stream exceeds expected {expected} bytes "
+            "(decompression bomb?)"
+        )
+    if len(raw) != expected:
+        raise ValueError(
+            f"PNG: decompressed size {len(raw)} != expected {expected}"
+        )
+    if color == 3:
+        if plte is None or len(plte) % 3 != 0 or len(plte) == 0:
+            raise ValueError("PNG: palette image without a valid PLTE chunk")
+        if trns:
+            raise NotImplementedError("PNG palette transparency (tRNS) unsupported")
+    # filters operate on BYTES with bpp = bytes per pixel (PNG spec
+    # 6.2): at depth 16 each sample is 2 big-endian bytes
+    bpp = channels * sample_bytes
+    if interlace:
+        out = _deinterlace_adam7(raw, w, h, bpp)
+    else:
+        out, _pos = _unfilter(raw, 0, h, stride, bpp)
     if color == 3:
         # PLTE lookup: the unfiltered plane holds palette indices;
         # vectorized fancy-index expands to RGB

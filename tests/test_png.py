@@ -115,10 +115,10 @@ def test_unsupported_variants_raise():
     deep_pal = png.PNG_MAGIC + _chunk(b"IHDR", ihdr16p) + _chunk(b"IEND", b"")
     with pytest.raises(NotImplementedError, match="depth"):
         png.png_meta(deep_pal)
-    # Adam7 interlace
-    ihdr_i = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 1)
+    # invalid interlace method byte
+    ihdr_i = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 7)
     inter = png.PNG_MAGIC + _chunk(b"IHDR", ihdr_i) + _chunk(b"IEND", b"")
-    with pytest.raises(NotImplementedError, match="interlaced"):
+    with pytest.raises(ValueError, match="interlace"):
         png.png_meta(inter)
     with pytest.raises(ValueError, match="not a PNG"):
         png.png_meta(b"GIF89a...")
@@ -331,3 +331,38 @@ def test_16bit_grayscale_and_metadata_scale(spark):
     r = image_metadata(df, "id", "p").collect()[0]
     assert (r["width"], r["height"], r["channels"]) == (8, 8, 1)
     assert abs(r["mean_intensity"] - 0x8000 / 65535.0) < 1e-12
+
+
+def _assemble_adam7(arr: np.ndarray) -> bytes:
+    """Hand-build an interlaced PNG: each Adam7 pass's sub-image as
+    filter-0 scanlines, in spec pass order — the decoder must scatter
+    them back exactly."""
+    h, w, c = arr.shape
+    passes = [
+        (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+        (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+    ]
+    raw = b""
+    for x0, y0, dx, dy in passes:
+        sub = arr[y0::dy, x0::dx]
+        if sub.size == 0:
+            continue
+        for y in range(sub.shape[0]):
+            raw += b"\x00" + sub[y].tobytes()
+    ihdr = struct.pack(
+        ">IIBBBBB", w, h, 8, {1: 0, 2: 4, 3: 2, 4: 6}[c], 0, 0, 1
+    )
+    return (
+        png.PNG_MAGIC
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(raw))
+        + _chunk(b"IEND", b"")
+    )
+
+
+@pytest.mark.parametrize("shape", [(8, 8, 1), (13, 7, 3), (5, 11, 4), (1, 1, 1)])
+def test_adam7_interlaced_decode(shape):
+    arr = _rng(sum(shape)).integers(0, 256, size=shape, dtype=np.uint8)
+    out = png.decode_png(_assemble_adam7(arr))
+    assert out.shape == arr.shape
+    assert np.array_equal(out, arr)
