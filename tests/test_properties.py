@@ -171,3 +171,59 @@ def test_mixture_weights_feasible_and_proportional(spark, srcs, tw):
     if len(base) > 1:
         vals = list(base.values())
         assert max(vals) - min(vals) < 1e-2 * max(vals) + 1e-6
+
+
+wq_rows = st.lists(
+    st.tuples(
+        st.sampled_from(["a", "b"]),                      # strat
+        st.integers(-50, 50).map(float),                  # x (tie-prone)
+        st.one_of(                                        # weight
+            st.integers(1, 5).map(float),                 # integral
+            st.floats(0.125, 4.0, allow_nan=False).map(   # dyadic — exact
+                lambda f: round(f * 8) / 8.0 or 0.125
+            ),
+        ),
+    ),
+    min_size=2,
+    max_size=60,
+)
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(rows=wq_rows)
+def test_weighted_quantiles_match_numpy_reference(spark, rows):
+    """The bucketed parallel prefix-sum quantile (core/sufficient.py
+    run_wq) must equal the direct definition min{x : cumΣw >= p·Σw}
+    computed by numpy over the same weighted multiset — per strat AND
+    globally. Weights are integral or dyadic so every partial sum is
+    exact in double (no rounding-boundary flakes)."""
+    import numpy as np
+
+    df = spark.createDataFrame(rows, "strat string, x double, w double")
+    got = {
+        (r["Index"], r["Values"]): r
+        for r in tableone(
+            df, col_to_strat="strat", cols_to_analyze=["x"], weight_col="w"
+        ).collect()
+    }
+
+    def ref(sub):
+        xs = np.array(sorted({x for _s, x, _w in sub}))
+        ws = np.array(
+            [sum(w for _s, x2, w in sub if x2 == x) for x in xs]
+        )
+        cum = np.cumsum(ws)
+        tot = cum[-1]
+        out = []
+        for p in (0.25, 0.5, 0.75):
+            out.append(xs[np.searchsorted(cum, p * tot)])
+        return out
+
+    strat_names = sorted({s for s, _x, _w in rows})
+    label = {0.25: "25th percentile", 0.5: "50th percentile", 0.75: "75th percentile"}
+    for k, p in enumerate((0.25, 0.5, 0.75)):
+        row = got[(round(1 + (6 + k) / 10, 10), label[p])]
+        assert row["All_Patients"] == ref(rows)[k]
+        for s in strat_names:
+            sub = [r for r in rows if r[0] == s]
+            assert row[s] == ref(sub)[k], (s, p)
