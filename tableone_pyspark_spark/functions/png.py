@@ -8,15 +8,16 @@ pixel semantics for PNG payloads while keeping the same Arrow kernel
 shape (see operators/multimodal.py): payload bytes in, typed
 metadata/pixels out, nothing leaves the executor.
 
-Supported: 8- and 16-bit depth, color types 0 (gray), 2 (RGB), 3
-(palette, 8-bit, expanded to RGB via PLTE), 4 (gray+alpha), 6 (RGBA),
-all five scanline filters (byte-wise with the per-depth bpp, per
-spec), and Adam7 interlace (seven independently-filtered sub-images
-scattered back). Sub-byte depths and palette tRNS raise
-``NotImplementedError`` — the honest boundary of a dependency-free
-decoder (production swaps in PIL/turbojpeg behind the same seam).
-16-bit images decode to uint16; ``grayscale`` (and thus dHash)
-down-converts via the high byte.
+Supported: every spec-valid (depth × color type) combination — gray
+1/2/4/8/16, palette 1/2/4/8 (expanded to RGB via PLTE), RGB /
+gray+alpha / RGBA 8/16 — all five scanline filters (byte-wise with the
+per-depth bpp, per spec), and Adam7 interlace (seven
+independently-filtered sub-images scattered back). The one remaining
+``NotImplementedError`` is palette tRNS (transparency) — the honest
+boundary of a dependency-free decoder (production swaps in
+PIL/turbojpeg behind the same seam). 16-bit images decode to uint16
+(``grayscale``/dHash down-convert via the high byte); sub-byte gray
+scales to 8-bit presentation exactly (255/(2^d−1) is integral).
 
 Hostile-input hardening (the corpora are untrusted web crawl): IHDR
 dimensions are bounded by ``MAX_PIXELS`` before any allocation, and
@@ -83,9 +84,12 @@ def _ihdr(payload: bytes, max_pixels: int) -> tuple[int, int, int, int, int]:
     w, h, depth, color, comp, filt, interlace = struct.unpack(">IIBBBBB", body)
     if color not in _CHANNELS:
         raise NotImplementedError(f"PNG color type {color} unsupported")
-    if depth not in (8, 16) or (color == 3 and depth != 8):
-        raise NotImplementedError(
-            f"PNG bit depth {depth} unsupported (8/16; palette 8 only)"
+    # spec-valid depth per color type (11.2.2); we support all except
+    # 16-bit is excluded for palette by the spec itself
+    valid = {0: (1, 2, 4, 8, 16), 3: (1, 2, 4, 8)}.get(color, (8, 16))
+    if depth not in valid:
+        raise ValueError(
+            f"PNG bit depth {depth} invalid for color type {color}"
         )
     if interlace not in (0, 1):
         raise ValueError(f"PNG: invalid interlace method {interlace}")
@@ -194,12 +198,17 @@ def decode_png(payload: bytes, max_pixels: int = MAX_PIXELS) -> np.ndarray:
         elif tag == b"tRNS":
             trns = True
     idat = b"".join(idat_parts)
-    sample_bytes = depth // 8
-    bpb = channels * sample_bytes  # bytes per pixel
-    stride = w * bpb
+
+    def row_bytes(n_px: int) -> int:
+        return (n_px * channels * depth + 7) // 8
+
+    # bytes per pixel for FILTERING (spec 7.2: sub-byte packs round up
+    # to one byte)
+    bpb = max(1, channels * depth // 8)
+    stride = row_bytes(w)
     if interlace:
         expected = sum(
-            ph * (1 + pw * bpb)
+            ph * (1 + row_bytes(pw))
             for pw, ph in _adam7_pass_dims(w, h)
             if pw and ph
         )
@@ -223,26 +232,58 @@ def decode_png(payload: bytes, max_pixels: int = MAX_PIXELS) -> np.ndarray:
             raise ValueError("PNG: palette image without a valid PLTE chunk")
         if trns:
             raise NotImplementedError("PNG palette transparency (tRNS) unsupported")
-    # filters operate on BYTES with bpp = bytes per pixel (PNG spec
-    # 6.2): at depth 16 each sample is 2 big-endian bytes
-    bpp = channels * sample_bytes
+    if depth < 8:
+        # sub-byte gray/palette: unfilter byte-wise (bpp=1), unpack
+        # big-endian bit groups to one sample per pixel
+        if interlace:
+            samples = np.zeros((h, w), dtype=np.uint8)
+            pos = 0
+            for (x0, y0, dx, dy), (pw, ph) in zip(
+                _ADAM7, _adam7_pass_dims(w, h)
+            ):
+                if pw == 0 or ph == 0:
+                    continue
+                rows, pos = _unfilter(raw, pos, ph, row_bytes(pw), 1)
+                px = _unpack_subbyte(rows, pw, depth)
+                samples[y0::dy, x0::dx] = px
+        else:
+            rows, _pos = _unfilter(raw, 0, h, stride, 1)
+            samples = _unpack_subbyte(rows, w, depth)
+        if color == 3:
+            return _plte_lookup(samples, plte)
+        # gray presentation scaling: 2^d-1 -> 255 (exact: 255 divisible
+        # by 1, 3, 15)
+        return (
+            samples.astype(np.uint16) * (255 // ((1 << depth) - 1))
+        ).astype(np.uint8)[:, :, None]
+
     if interlace:
-        out = _deinterlace_adam7(raw, w, h, bpp)
+        out = _deinterlace_adam7(raw, w, h, bpb)
     else:
-        out, _pos = _unfilter(raw, 0, h, stride, bpp)
+        out, _pos = _unfilter(raw, 0, h, stride, bpb)
     if color == 3:
-        # PLTE lookup: the unfiltered plane holds palette indices;
-        # vectorized fancy-index expands to RGB
-        pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
-        idx = out.reshape(h, w)
-        if int(idx.max(initial=0)) >= pal.shape[0]:
-            raise ValueError("PNG: palette index out of PLTE range")
-        return pal[idx]
+        return _plte_lookup(out.reshape(h, w), plte)
     if depth == 16:
         # big-endian sample assembly after byte-wise unfiltering
         b16 = out.reshape(h, w * channels, 2).astype(np.uint16)
         return ((b16[:, :, 0] << 8) | b16[:, :, 1]).reshape(h, w, channels)
     return out.reshape(h, w, channels)
+
+
+def _unpack_subbyte(rows: np.ndarray, n_px: int, depth: int) -> np.ndarray:
+    """(n_rows, row_bytes) packed plane -> (n_rows, n_px) samples:
+    big-endian bit groups, high bits first within each byte (spec 7.2)."""
+    bits = np.unpackbits(rows, axis=1)
+    per = bits[:, : n_px * depth].reshape(rows.shape[0], n_px, depth)
+    weights = 1 << np.arange(depth - 1, -1, -1, dtype=np.uint8)
+    return (per * weights).sum(axis=2).astype(np.uint8)
+
+
+def _plte_lookup(idx: np.ndarray, plte: bytes | None) -> np.ndarray:
+    pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+    if int(idx.max(initial=0)) >= pal.shape[0]:
+        raise ValueError("PNG: palette index out of PLTE range")
+    return pal[idx]
 
 
 def encode_png(arr: np.ndarray) -> bytes:

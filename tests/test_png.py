@@ -105,15 +105,14 @@ def test_crc_corruption_detected():
 
 
 def test_unsupported_variants_raise():
-    # sub-byte depth
-    ihdr4 = struct.pack(">IIBBBBB", 2, 2, 4, 0, 0, 0, 0)
-    shallow = png.PNG_MAGIC + _chunk(b"IHDR", ihdr4) + _chunk(b"IEND", b"")
-    with pytest.raises(NotImplementedError, match="depth"):
-        png.png_meta(shallow)
-    # 16-bit palette (PLTE is 8-bit-indexed only)
+    # spec-invalid combos: 4-bit RGB, 16-bit palette
+    ihdr4rgb = struct.pack(">IIBBBBB", 2, 2, 4, 2, 0, 0, 0)
+    bad_rgb = png.PNG_MAGIC + _chunk(b"IHDR", ihdr4rgb) + _chunk(b"IEND", b"")
+    with pytest.raises(ValueError, match="invalid for color type"):
+        png.png_meta(bad_rgb)
     ihdr16p = struct.pack(">IIBBBBB", 2, 2, 16, 3, 0, 0, 0)
     deep_pal = png.PNG_MAGIC + _chunk(b"IHDR", ihdr16p) + _chunk(b"IEND", b"")
-    with pytest.raises(NotImplementedError, match="depth"):
+    with pytest.raises(ValueError, match="invalid for color type"):
         png.png_meta(deep_pal)
     # invalid interlace method byte
     ihdr_i = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 7)
@@ -366,3 +365,79 @@ def test_adam7_interlaced_decode(shape):
     out = png.decode_png(_assemble_adam7(arr))
     assert out.shape == arr.shape
     assert np.array_equal(out, arr)
+
+
+def _pack_subbyte(samples: np.ndarray, depth: int) -> bytes:
+    """Pack (h, w) samples into big-endian bit groups, filter-0 rows."""
+    h, w = samples.shape
+    raw = b""
+    for y in range(h):
+        bits = np.zeros(w * depth, dtype=np.uint8)
+        for x in range(w):
+            v = int(samples[y, x])
+            for b in range(depth):
+                bits[x * depth + b] = (v >> (depth - 1 - b)) & 1
+        raw += b"\x00" + np.packbits(bits).tobytes()
+    return raw
+
+
+@pytest.mark.parametrize("depth", [1, 2, 4])
+def test_subbyte_gray_decode(depth):
+    """Sub-byte grayscale: big-endian bit unpacking + exact 8-bit
+    presentation scaling (255/(2^d-1) is integral)."""
+    maxv = (1 << depth) - 1
+    samples = _rng(depth).integers(0, maxv + 1, size=(5, 11), dtype=np.uint8)
+    ihdr = struct.pack(">IIBBBBB", 11, 5, depth, 0, 0, 0, 0)
+    data = (
+        png.PNG_MAGIC
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(_pack_subbyte(samples, depth)))
+        + _chunk(b"IEND", b"")
+    )
+    assert png.png_meta(data) == (11, 5, 1, depth)
+    out = png.decode_png(data)
+    assert out.shape == (5, 11, 1)
+    assert np.array_equal(out[:, :, 0], samples * (255 // maxv))
+
+
+@pytest.mark.parametrize("depth", [1, 2, 4])
+def test_subbyte_palette_decode(depth):
+    """Sub-byte palette: bit-group indices through PLTE."""
+    maxv = (1 << depth) - 1
+    idx = _rng(10 + depth).integers(0, maxv + 1, size=(4, 7), dtype=np.uint8)
+    pal = _rng(20 + depth).integers(0, 256, size=(maxv + 1, 3), dtype=np.uint8)
+    ihdr = struct.pack(">IIBBBBB", 7, 4, depth, 3, 0, 0, 0)
+    data = (
+        png.PNG_MAGIC
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"PLTE", pal.tobytes())
+        + _chunk(b"IDAT", zlib.compress(_pack_subbyte(idx, depth)))
+        + _chunk(b"IEND", b"")
+    )
+    out = png.decode_png(data)
+    assert out.shape == (4, 7, 3)
+    assert np.array_equal(out, pal[idx])
+
+
+def test_subbyte_interlaced_gray():
+    """1-bit Adam7: per-pass bit rows, scattered back."""
+    samples = _rng(31).integers(0, 2, size=(9, 9), dtype=np.uint8)
+    passes = [
+        (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+        (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+    ]
+    raw = b""
+    for x0, y0, dx, dy in passes:
+        sub = samples[y0::dy, x0::dx]
+        if sub.size == 0:
+            continue
+        raw += _pack_subbyte(sub, 1)
+    ihdr = struct.pack(">IIBBBBB", 9, 9, 1, 0, 0, 0, 1)
+    data = (
+        png.PNG_MAGIC
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(raw))
+        + _chunk(b"IEND", b"")
+    )
+    out = png.decode_png(data)
+    assert np.array_equal(out[:, :, 0], samples * 255)
