@@ -9,15 +9,18 @@ shape (see operators/multimodal.py): payload bytes in, typed
 metadata/pixels out, nothing leaves the executor.
 
 Supported: every spec-valid (depth × color type) combination — gray
-1/2/4/8/16, palette 1/2/4/8 (expanded to RGB via PLTE), RGB /
-gray+alpha / RGBA 8/16 — all five scanline filters (byte-wise with the
-per-depth bpp, per spec), and Adam7 interlace (seven
-independently-filtered sub-images scattered back). The one remaining
-``NotImplementedError`` is palette tRNS (transparency) — the honest
-boundary of a dependency-free decoder (production swaps in
-PIL/turbojpeg behind the same seam). 16-bit images decode to uint16
-(``grayscale``/dHash down-convert via the high byte); sub-byte gray
-scales to 8-bit presentation exactly (255/(2^d−1) is integral).
+1/2/4/8/16, palette 1/2/4/8 (expanded to RGB via PLTE, RGBA with
+tRNS), RGB / gray+alpha / RGBA 8/16 — all five scanline filters
+(byte-wise with the per-depth bpp, per spec), Adam7 interlace (seven
+independently-filtered sub-images scattered back), and tRNS
+transparency (palette alpha table; gray/RGB single-color key → an
+alpha channel is appended). The decoder is feature-complete for
+static PNG; ancillary chunks (gAMA/iCCP/text/...) are skipped by
+design. 16-bit images decode to uint16 (``grayscale``/dHash
+down-convert via the high byte); sub-byte gray scales to 8-bit
+presentation exactly (255/(2^d−1) is integral). ``png_meta`` reports
+IHDR-derived channels only — it does not scan for tRNS, so a
+transparent image's DECODED array may carry one more channel.
 
 Hostile-input hardening (the corpora are untrusted web crawl): IHDR
 dimensions are bounded by ``MAX_PIXELS`` before any allocation, and
@@ -188,7 +191,7 @@ def decode_png(payload: bytes, max_pixels: int = MAX_PIXELS) -> np.ndarray:
     w, h, depth, color, interlace = _ihdr(payload, max_pixels)
     channels = _CHANNELS[color]  # coded samples/pixel (palette: 1)
     plte = None
-    trns = False
+    trns = None
     idat_parts = []
     for tag, body in _chunks(payload):
         if tag == b"IDAT":
@@ -196,7 +199,9 @@ def decode_png(payload: bytes, max_pixels: int = MAX_PIXELS) -> np.ndarray:
         elif tag == b"PLTE":
             plte = body
         elif tag == b"tRNS":
-            trns = True
+            trns = body
+    if color in (4, 6):
+        trns = None  # spec forbids tRNS with an alpha channel; ignore
     idat = b"".join(idat_parts)
 
     def row_bytes(n_px: int) -> int:
@@ -230,8 +235,6 @@ def decode_png(payload: bytes, max_pixels: int = MAX_PIXELS) -> np.ndarray:
     if color == 3:
         if plte is None or len(plte) % 3 != 0 or len(plte) == 0:
             raise ValueError("PNG: palette image without a valid PLTE chunk")
-        if trns:
-            raise NotImplementedError("PNG palette transparency (tRNS) unsupported")
     if depth < 8:
         # sub-byte gray/palette: unfilter byte-wise (bpp=1), unpack
         # big-endian bit groups to one sample per pixel
@@ -250,24 +253,40 @@ def decode_png(payload: bytes, max_pixels: int = MAX_PIXELS) -> np.ndarray:
             rows, _pos = _unfilter(raw, 0, h, stride, 1)
             samples = _unpack_subbyte(rows, w, depth)
         if color == 3:
-            return _plte_lookup(samples, plte)
+            return _plte_lookup(samples, plte, trns)
         # gray presentation scaling: 2^d-1 -> 255 (exact: 255 divisible
-        # by 1, 3, 15)
-        return (
+        # by 1, 3, 15). Color-key compares RAW samples (key is in
+        # sample depth), alpha scales with presentation.
+        gray8 = (
             samples.astype(np.uint16) * (255 // ((1 << depth) - 1))
         ).astype(np.uint8)[:, :, None]
+        if trns is not None:
+            key = int.from_bytes(trns[:2], "big")
+            alpha = np.where(samples == key, 0, 255).astype(np.uint8)
+            return np.concatenate([gray8, alpha[:, :, None]], axis=2)
+        return gray8
 
     if interlace:
         out = _deinterlace_adam7(raw, w, h, bpb)
     else:
         out, _pos = _unfilter(raw, 0, h, stride, bpb)
     if color == 3:
-        return _plte_lookup(out.reshape(h, w), plte)
+        return _plte_lookup(out.reshape(h, w), plte, trns)
     if depth == 16:
         # big-endian sample assembly after byte-wise unfiltering
         b16 = out.reshape(h, w * channels, 2).astype(np.uint16)
-        return ((b16[:, :, 0] << 8) | b16[:, :, 1]).reshape(h, w, channels)
-    return out.reshape(h, w, channels)
+        arr = ((b16[:, :, 0] << 8) | b16[:, :, 1]).reshape(h, w, channels)
+    else:
+        arr = out.reshape(h, w, channels)
+    if trns is not None and color in (0, 2):
+        # color-key transparency: the tRNS chunk names ONE fully-
+        # transparent sample tuple (2 bytes per sample, spec 11.3.2)
+        key = np.frombuffer(trns, dtype=">u2")[:channels].astype(arr.dtype)
+        mask = np.all(arr == key[None, None, :], axis=2)
+        maxa = 65535 if arr.dtype == np.uint16 else 255
+        alpha = np.where(mask, 0, maxa).astype(arr.dtype)
+        return np.concatenate([arr, alpha[:, :, None]], axis=2)
+    return arr
 
 
 def _unpack_subbyte(rows: np.ndarray, n_px: int, depth: int) -> np.ndarray:
@@ -279,11 +298,19 @@ def _unpack_subbyte(rows: np.ndarray, n_px: int, depth: int) -> np.ndarray:
     return (per * weights).sum(axis=2).astype(np.uint8)
 
 
-def _plte_lookup(idx: np.ndarray, plte: bytes | None) -> np.ndarray:
+def _plte_lookup(
+    idx: np.ndarray, plte: bytes | None, trns: bytes | None = None
+) -> np.ndarray:
     pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
     if int(idx.max(initial=0)) >= pal.shape[0]:
         raise ValueError("PNG: palette index out of PLTE range")
-    return pal[idx]
+    if trns is None:
+        return pal[idx]
+    # per-entry alpha table; entries past the chunk default to opaque
+    alpha = np.full(pal.shape[0], 255, dtype=np.uint8)
+    a = np.frombuffer(trns, dtype=np.uint8)[: pal.shape[0]]
+    alpha[: len(a)] = a
+    return np.dstack([pal[idx], alpha[idx]])
 
 
 def encode_png(arr: np.ndarray) -> bytes:

@@ -121,15 +121,14 @@ def test_unsupported_variants_raise():
         png.png_meta(inter)
     with pytest.raises(ValueError, match="not a PNG"):
         png.png_meta(b"GIF89a...")
-    # palette transparency (tRNS) — decodes refuse, meta is fine
+    # png_meta stays IHDR-only: tRNS does not change reported channels
     idx = np.zeros((2, 2), dtype=np.uint8)
     pal = np.zeros((1, 3), dtype=np.uint8)
     body = png.encode_png_palette(idx, pal)
     iend = body[-12:]
     with_trns = body[:-12] + _chunk(b"tRNS", b"\x80") + iend
     assert png.png_meta(with_trns) == (2, 2, 3, 8)
-    with pytest.raises(NotImplementedError, match="tRNS"):
-        png.decode_png(with_trns)
+    assert png.decode_png(with_trns).shape == (2, 2, 4)  # decoded: RGBA
 
 
 def test_palette_decode_expands_plte():
@@ -441,3 +440,45 @@ def test_subbyte_interlaced_gray():
     )
     out = png.decode_png(data)
     assert np.array_equal(out[:, :, 0], samples * 255)
+
+
+def test_trns_palette_alpha_table():
+    """tRNS on palette: per-entry alpha, entries past the chunk opaque."""
+    idx = np.array([[0, 1], [2, 0]], dtype=np.uint8)
+    pal = np.array([[10, 20, 30], [40, 50, 60], [70, 80, 90]], dtype=np.uint8)
+    body = png.encode_png_palette(idx, pal)
+    iend = body[-12:]
+    data = body[:-12] + _chunk(b"tRNS", bytes([0, 128])) + iend
+    out = png.decode_png(data)
+    assert out.shape == (2, 2, 4)
+    assert np.array_equal(out[:, :, :3], pal[idx])
+    # entry 0 -> alpha 0, entry 1 -> 128, entry 2 (past chunk) -> 255
+    assert out[0, 0, 3] == 0 and out[0, 1, 3] == 128 and out[1, 0, 3] == 255
+
+
+def test_trns_gray_and_rgb_color_key():
+    """tRNS on gray/RGB: the named sample tuple becomes alpha 0."""
+    g = np.array([[7, 8], [7, 9]], dtype=np.uint8)
+    body = png.encode_png(g)
+    iend = body[-12:]
+    data = body[:-12] + _chunk(b"tRNS", struct.pack(">H", 7)) + iend
+    out = png.decode_png(data)
+    assert out.shape == (2, 2, 2)  # gray + alpha
+    assert np.array_equal(out[:, :, 0], g)
+    assert np.array_equal(out[:, :, 1], np.where(g == 7, 0, 255))
+
+    rgb = np.zeros((2, 2, 3), dtype=np.uint8)
+    rgb[0, 1] = [9, 9, 9]
+    body = png.encode_png(rgb)
+    iend = body[-12:]
+    data = body[:-12] + _chunk(b"tRNS", struct.pack(">HHH", 9, 9, 9)) + iend
+    out = png.decode_png(data)
+    assert out.shape == (2, 2, 4)
+    assert out[0, 1, 3] == 0 and out[0, 0, 3] == 255
+
+    # RGBA input: tRNS is spec-forbidden alongside alpha -> ignored
+    rgba = np.zeros((2, 2, 4), dtype=np.uint8)
+    body = png.encode_png(rgba)
+    iend = body[-12:]
+    data = body[:-12] + _chunk(b"tRNS", struct.pack(">H", 0)) + iend
+    assert png.decode_png(data).shape == (2, 2, 4)
