@@ -216,7 +216,14 @@ def tableone_oracle_sql(
         if kind == "cat":
             g_fields = [f"coalesce({col}, 'MISSING') AS val"]
             for i, c in enumerate(count_cols):
-                g_fields.append(f"{ct_agg}{flt(group_of(c))} AS ct_{i}")
+                # weighted: sum(w) FILTER over an EMPTY stratum×category
+                # cell is NULL, but the engine emits 0.0 (counts.get
+                # default) — coalesce to keep the oracle cell-exact on
+                # sparse data (count(*) FILTER already yields 0)
+                cell = f"{ct_agg}{flt(group_of(c))}"
+                if weight:
+                    cell = f"COALESCE({cell}, 0)"
+                g_fields.append(f"{cell} AS ct_{i}")
             counts = []
             for i, c in enumerate(count_cols):
                 counts.append(f'ROUND(CAST(ct_{i} AS DOUBLE), 6) AS "{c}"')

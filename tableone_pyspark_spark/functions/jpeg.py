@@ -250,6 +250,9 @@ def _parse_headers(payload: bytes, max_pixels: int, need_tables: bool = True) ->
             raise ValueError("JPEG truncated before SOS")
         if payload[pos] != 0xFF:
             raise ValueError("JPEG: expected marker")
+        # T.81 B.1.1.2: any number of 0xFF fill bytes may pad a marker
+        while pos + 1 < n and payload[pos + 1] == 0xFF:
+            pos += 1
         marker = payload[pos + 1]
         pos += 2
         if marker == 0xD9:  # EOI before SOS
@@ -282,6 +285,10 @@ def _parse_headers(payload: bytes, max_pixels: int, need_tables: bool = True) ->
                 # A.2.2) — normalize so the MCU walk is 1 block
                 comps[0]["hs"] = comps[0]["vs"] = 1
             out.update(w=w, h=h, precision=prec, comps=comps)
+            if not need_tables:
+                # header-only parse (jpeg_meta): stop at SOF
+                out.update(scan=[], qtables={}, htables={}, data_pos=-1)
+                return out
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
             raise NotImplementedError(
                 f"JPEG SOF{marker - 0xC0} (non-baseline) unsupported"
@@ -384,7 +391,16 @@ def decode_jpeg(payload: bytes, max_pixels: int = MAX_PIXELS) -> np.ndarray:
                 reader.sync_restart()
                 pred = [0] * nc
             for ci, comp in enumerate(comps):
-                s = scan_by_id[comp["id"]]
+                s = scan_by_id.get(comp["id"])
+                if s is None:
+                    if len(hdr["scan"]) < len(comps):
+                        raise NotImplementedError(
+                            "JPEG multi-scan (non-interleaved) unsupported"
+                        )
+                    raise ValueError(
+                        f"JPEG: SOS names no entry for SOF component "
+                        f"{comp['id']}"
+                    )
                 dc_tab = hdr["htables"].get((0, s["td"]))
                 ac_tab = hdr["htables"].get((1, s["ta"]))
                 qt = hdr["qtables"].get(comp["tq"])
@@ -479,7 +495,11 @@ def _encode_block(
     # quantizer's half boundary; twin of the decoder's exact DC)
     coef[0, 0] = blk.sum() / 8.0
     lvl = np.floor(coef / qt.reshape(8, 8) + 0.5).astype(np.int64)
-    zz = lvl.reshape(64)[_ZIGZAG.argsort()]  # natural -> zigzag
+    # natural -> zigzag: zz[i] = natural[_ZIGZAG[i]] (the DECODER does
+    # natural[_ZIGZAG] = zz, so indexing BY _ZIGZAG is the inverse;
+    # argsort here was a real bug — zigzag is not an involution, and
+    # flat DC-only fixtures masked it because index 0 is a fixed point)
+    zz = lvl.reshape(64)[_ZIGZAG]
     diff = int(zz[0]) - pred
     sz = _category(diff)
     code, length = dc_enc[sz]
@@ -565,7 +585,7 @@ def _encode_planes(
     chunks.append(writer.flush())
     scan = b"".join(chunks)
 
-    zz_qt = qt.reshape(64)[_ZIGZAG.argsort()].astype(np.uint8).tobytes()
+    zz_qt = qt.reshape(64)[_ZIGZAG].astype(np.uint8).tobytes()
     dqt = _seg(0xDB, b"\x00" + zz_qt)
     sof_comps = b"".join(
         bytes([i + 1, (samp[i][0] << 4) | samp[i][1], 0]) for i in range(nc)

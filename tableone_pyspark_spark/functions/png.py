@@ -313,6 +313,16 @@ def _plte_lookup(
     return np.dstack([pal[idx], alpha[idx]])
 
 
+def _make_chunk(tag: bytes, body: bytes) -> bytes:
+    """Length + tag + body + CRC32 framing shared by both encoders."""
+    return (
+        struct.pack(">I", len(body))
+        + tag
+        + body
+        + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+    )
+
+
 def encode_png(arr: np.ndarray) -> bytes:
     """Minimal PNG writer (filter 0, one IDAT) for fixtures and the
     resize kernel's output. Accepts (h, w) or (h, w, c), c≤4; uint8
@@ -328,20 +338,12 @@ def encode_png(arr: np.ndarray) -> bytes:
         arr = arr.astype(">u2")
     raw = b"".join(b"\x00" + arr[y].tobytes() for y in range(h))
 
-    def chunk(tag: bytes, body: bytes) -> bytes:
-        return (
-            struct.pack(">I", len(body))
-            + tag
-            + body
-            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
-        )
-
     ihdr = struct.pack(">IIBBBBB", w, h, depth, color_type, 0, 0, 0)
     return (
         PNG_MAGIC
-        + chunk(b"IHDR", ihdr)
-        + chunk(b"IDAT", zlib.compress(raw, 6))
-        + chunk(b"IEND", b"")
+        + _make_chunk(b"IHDR", ihdr)
+        + _make_chunk(b"IDAT", zlib.compress(raw, 6))
+        + _make_chunk(b"IEND", b"")
     )
 
 
@@ -359,21 +361,13 @@ def encode_png_palette(idx: np.ndarray, palette: np.ndarray) -> bytes:
     h, w = idx.shape
     raw = b"".join(b"\x00" + idx[y].tobytes() for y in range(h))
 
-    def chunk(tag: bytes, body: bytes) -> bytes:
-        return (
-            struct.pack(">I", len(body))
-            + tag
-            + body
-            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
-        )
-
     ihdr = struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 0)
     return (
         PNG_MAGIC
-        + chunk(b"IHDR", ihdr)
-        + chunk(b"PLTE", palette.tobytes())
-        + chunk(b"IDAT", zlib.compress(raw, 6))
-        + chunk(b"IEND", b"")
+        + _make_chunk(b"IHDR", ihdr)
+        + _make_chunk(b"PLTE", palette.tobytes())
+        + _make_chunk(b"IDAT", zlib.compress(raw, 6))
+        + _make_chunk(b"IEND", b"")
     )
 
 

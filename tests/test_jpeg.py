@@ -59,7 +59,12 @@ def test_gray_round_trip_bounded_by_quantization():
     g = ((y * 3 + x * 2) // 2 % 200 + 20).astype(np.uint8)
     d = jpeg.decode_jpeg(jpeg.encode_jpeg_gray(g))[:, :, 0]
     err = np.abs(d.astype(int) - g.astype(int))
-    assert err.max() <= 16 and err.mean() < 6
+    assert err.max() <= 4 and err.mean() < 2
+    # regression canary for the zigzag permutation direction: a
+    # scrambled-AC encoder reads ~76 mean error on uniform noise
+    a = _rng(0).integers(0, 256, size=(24, 17), dtype=np.uint8)
+    dn = jpeg.decode_jpeg(jpeg.encode_jpeg_gray(a))[:, :, 0]
+    assert np.abs(dn.astype(int) - a.astype(int)).mean() < 25
 
 
 def test_color_444_round_trip():
@@ -69,7 +74,7 @@ def test_color_444_round_trip():
     dec = jpeg.decode_jpeg(jpeg.encode_jpeg_rgb(rgb))
     assert dec.shape == (24, 24, 3)
     err = np.abs(dec.astype(int) - rgb.astype(int))
-    assert err.max() <= 48 and err.mean() < 12
+    assert err.max() <= 12 and err.mean() < 4
     # flat gray-in-RGB stays within DC quantization of the luma plane
     flat = np.full((8, 8, 3), 77, dtype=np.uint8)
     dflat = jpeg.decode_jpeg(jpeg.encode_jpeg_rgb(flat))
@@ -94,9 +99,7 @@ def test_420_subsampled_round_trip():
     dec = jpeg.decode_jpeg(payload)
     assert dec.shape == (24, 40, 3)
     err = np.abs(dec.astype(int) - rgb.astype(int))
-    # Annex-K q50 tables are coarse: 4:4:4 itself shows mean ~6.8 /
-    # max ~43 on this ramp; 420 adds bounded chroma-box loss on top
-    assert err.mean() < 15 and err.max() <= 90
+    assert err.mean() < 6 and err.max() <= 20
     # 420 must be strictly smaller than 444 on the same image
     assert len(payload) < len(jpeg.encode_jpeg_rgb(rgb, subsampling="444"))
     # grayscale content: chroma planes are flat 128 -> 420 == 444 luma
