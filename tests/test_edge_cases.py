@@ -94,3 +94,34 @@ def test_duplicate_analyze_columns(spark):
     rows = rows_by_index(tableone(df, cols_to_analyze=["x", "x"]))
     assert rows[(1.1, "n")]["All_Patients"] == 2.0
     assert rows[(2.1, "n")]["All_Patients"] == 2.0
+
+
+def test_weighted_all_rows_excluded_degenerates_gracefully(spark):
+    """Every weight null/non-positive: total row 0.0, continuous n=0,
+    no category rows (nothing observed), no crash — same shape as an
+    empty unweighted frame."""
+    df = spark.createDataFrame(
+        [("a", 1.0, 0.0), ("b", 2.0, -1.0), ("a", 3.0, None)],
+        "g string, x double, w double",
+    )
+    rows = {
+        (r["Index"], r["Values"]): r
+        for r in tableone(df, cols_to_analyze=["g", "x"], weight_col="w").collect()
+    }
+    assert rows[(0.0, "ALL")]["All_Patients"] == 0.0
+    assert rows[(2.1, "n")]["All_Patients"] == 0.0
+    assert rows[(2.4, "mean")]["All_Patients"] is None
+    assert not any(r["Variable_type"] == "category" for r in rows.values())
+
+
+def test_weighted_fully_excluded_stratum_drops_its_columns(spark):
+    """A stratum whose every row has non-positive weight is unobserved:
+    its pivot columns do not appear (same as filtering those rows)."""
+    df = spark.createDataFrame(
+        [("A", "x", 1.0, 2.0), ("B", "y", 2.0, 0.0)],
+        "s string, c string, v double, w double",
+    )
+    out = tableone(
+        df, col_to_strat="s", cols_to_analyze=["c", "v"], weight_col="w"
+    )
+    assert "A" in out.columns and "B" not in out.columns
