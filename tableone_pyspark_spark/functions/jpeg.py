@@ -8,13 +8,18 @@ byte-stub to real pixel semantics behind the same Arrow-kernel seam
 (``operators/multimodal.py``): payload bytes in, typed metadata /
 pixels out, nothing leaves the executor.
 
-Supported: baseline DCT (SOF0), 8-bit, grayscale (1 component) and
+Supported: baseline DCT (SOF0) and progressive (SOF2, spectral
+selection with EOB-run coding), 8-bit, grayscale (1 component) and
 YCbCr with sampling factors 1-2 per axis (4:4:4, 4:2:0, 4:2:2 —
 chroma upsampled by T.81-legal sample replication), restart markers,
-standard Huffman/quantization table syntax. Progressive (SOF2),
+standard Huffman/quantization table syntax, per-scan table
+redefinition. Successive approximation (progressive Ah/Al != 0),
 arithmetic coding, 12-bit, and sampling factors >2 raise
 ``NotImplementedError`` — the honest boundary of a dependency-free
-decoder (production swaps PIL/turbojpeg behind the same seam).
+decoder (production swaps PIL/turbojpeg behind the same seam);
+successive approximation in particular cannot be validated against an
+external decoder in this container, and a plausible-but-wrong decode
+is worse than a refusal.
 
 Determinism contract (what makes decoded stats SQL-oracle-checkable):
 quantization uses ``floor(x/q + 0.5)`` and pixel reconstruction uses
@@ -261,7 +266,8 @@ def _parse_headers(payload: bytes, max_pixels: int, need_tables: bool = True) ->
         if seglen < 2 or pos + seglen > n:
             raise ValueError("JPEG truncated mid-segment")
         body = payload[pos + 2 : pos + seglen]
-        if marker == 0xC0:  # SOF0 baseline
+        if marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
+            out["progressive"] = marker == 0xC2
             prec, h, w, nc = struct.unpack_from(">BHHB", body, 0)
             if prec != 8:
                 raise NotImplementedError(f"JPEG precision {prec} unsupported")
@@ -289,7 +295,7 @@ def _parse_headers(payload: bytes, max_pixels: int, need_tables: bool = True) ->
                 # header-only parse (jpeg_meta): stop at SOF
                 out.update(scan=[], qtables={}, htables={}, data_pos=-1)
                 return out
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
             raise NotImplementedError(
                 f"JPEG SOF{marker - 0xC0} (non-baseline) unsupported"
             )
@@ -321,8 +327,11 @@ def _parse_headers(payload: bytes, max_pixels: int, need_tables: bool = True) ->
             for i in range(ns):
                 cs, tdta = struct.unpack_from(">BB", body, 1 + 2 * i)
                 scomps.append({"id": cs, "td": tdta >> 4, "ta": tdta & 0xF})
+            ss, se, ahal = struct.unpack_from(">BBB", body, 1 + 2 * ns)
             out.update(
-                scan=scomps, qtables=qtables, htables=htables, data_pos=pos + seglen
+                scan=scomps, qtables=qtables, htables=htables,
+                data_pos=pos + seglen,
+                ss=ss, se=se, ah=ahal >> 4, al=ahal & 0xF,
             )
             if "w" not in out:
                 raise ValueError("JPEG: SOS before SOF")
@@ -330,6 +339,19 @@ def _parse_headers(payload: bytes, max_pixels: int, need_tables: bool = True) ->
         # APPn / COM / others: skip
         pos += seglen
     raise ValueError("JPEG: no SOS segment")  # pragma: no cover
+
+
+def _zz_to_block(zz: np.ndarray, qt: np.ndarray) -> np.ndarray:
+    """Dequantize zigzag-order levels + IDCT with the DC term added as
+    an exact constant (F00/8; the matrix product would carry ~1e-13
+    error, enough to flip the half-up rounding the SQL oracle replays
+    for DC-only blocks)."""
+    coef = np.zeros(64, dtype=np.float64)
+    coef[_ZIGZAG] = zz * qt[_ZIGZAG]  # dequant in natural order
+    coef = coef.reshape(8, 8)
+    dc = coef[0, 0] / 8.0
+    coef[0, 0] = 0.0
+    return _C.T @ coef @ _C + dc
 
 
 def _decode_block(reader: _BitReader, dc_tab, ac_tab, qt, pred: int):
@@ -353,23 +375,50 @@ def _decode_block(reader: _BitReader, dc_tab, ac_tab, qt, pred: int):
             raise ValueError("JPEG: AC index overrun")
         zz[k] = _extend(reader.bits(sz), sz)
         k += 1
-    coef = np.zeros(64, dtype=np.float64)
-    coef[_ZIGZAG] = zz * qt[_ZIGZAG]  # dequant in natural order
-    coef = coef.reshape(8, 8)
-    # IDCT with the DC term added as an exact constant (F00/8; the
-    # matrix product would carry ~1e-13 error, enough to flip the
-    # half-up rounding the SQL oracle replays for DC-only blocks)
-    dc = coef[0, 0] / 8.0
-    coef[0, 0] = 0.0
-    return _C.T @ coef @ _C + dc, pred
+    return _zz_to_block(zz, qt), pred
+
+
+def _planes_to_image(
+    planes: list[np.ndarray], comps: list[dict], w: int, h: int
+) -> np.ndarray:
+    """Shared decode tail: replication-upsample subsampled planes,
+    level shift with deterministic rounding, crop padding, color
+    convert (1 comp -> gray, 3 -> YCbCr->RGB)."""
+    nc = len(comps)
+    hmax = max(c["hs"] for c in comps)
+    vmax = max(c["vs"] for c in comps)
+    out = []
+    for ci, comp in enumerate(comps):
+        p = planes[ci]
+        if comp["hs"] < hmax:
+            p = np.repeat(p, hmax // comp["hs"], axis=1)
+        if comp["vs"] < vmax:
+            p = np.repeat(p, vmax // comp["vs"], axis=0)
+        out.append(
+            np.clip(_half_up(p[:h, :w] + 128.0), 0, 255).astype(np.uint8)
+        )
+    if nc == 1:
+        return out[0][:, :, None]
+    if nc == 3:
+        y = out[0].astype(np.float64)
+        cb = out[1].astype(np.float64) - 128.0
+        cr = out[2].astype(np.float64) - 128.0
+        r = _half_up(y + 1.402 * cr)
+        g = _half_up(y - 0.344136 * cb - 0.714136 * cr)
+        b = _half_up(y + 1.772 * cb)
+        return np.clip(np.stack([r, g, b], axis=2), 0, 255).astype(np.uint8)
+    raise NotImplementedError(f"JPEG with {nc} components unsupported")
 
 
 def decode_jpeg(payload: bytes, max_pixels: int = MAX_PIXELS) -> np.ndarray:
-    """Decode baseline JPEG to an (h, w, channels) uint8 array
-    (grayscale -> 1 channel, YCbCr -> 3 RGB channels). Sampling
-    factors 1-2 per axis (4:4:4, 4:2:0, 4:2:2) are supported; chroma
-    upsampling is sample replication (T.81-legal nearest)."""
+    """Decode JPEG to an (h, w, channels) uint8 array (grayscale -> 1
+    channel, YCbCr -> 3 RGB channels). Baseline (SOF0) and progressive
+    (SOF2, spectral selection) supported; sampling factors 1-2 per axis
+    (4:4:4, 4:2:0, 4:2:2); chroma upsampling is sample replication
+    (T.81-legal nearest)."""
     hdr = _parse_headers(payload, max_pixels)
+    if hdr.get("progressive"):
+        return _decode_progressive(payload, hdr)
     w, h, comps = hdr["w"], hdr["h"], hdr["comps"]
     nc = len(comps)
     hmax = max(c["hs"] for c in comps)
@@ -415,29 +464,235 @@ def decode_jpeg(payload: bytes, max_pixels: int = MAX_PIXELS) -> np.ndarray:
                         x0 = (bx * comp["hs"] + u) * 8
                         planes[ci][y0 : y0 + 8, x0 : x0 + 8] = block
             mcu += 1
-    # upsample subsampled planes (sample replication), level shift +
-    # deterministic rounding, crop padding
-    out = []
-    for ci, comp in enumerate(comps):
-        p = planes[ci]
-        if comp["hs"] < hmax:
-            p = np.repeat(p, hmax // comp["hs"], axis=1)
-        if comp["vs"] < vmax:
-            p = np.repeat(p, vmax // comp["vs"], axis=0)
-        out.append(
-            np.clip(_half_up(p[:h, :w] + 128.0), 0, 255).astype(np.uint8)
+    return _planes_to_image(planes, comps, w, h)
+
+
+def _skip_to_marker(payload: bytes, pos: int) -> int:
+    """Advance past entropy tail/pad/RSTn bytes to the next real marker."""
+    n = len(payload)
+    while pos + 1 < n:
+        if payload[pos] == 0xFF and payload[pos + 1] != 0x00:
+            if 0xD0 <= payload[pos + 1] <= 0xD7 or payload[pos + 1] == 0xFF:
+                pos += 1 if payload[pos + 1] == 0xFF else 2
+                continue
+            return pos
+        pos += 1
+    raise ValueError("JPEG truncated: missing trailing marker")
+
+
+def _decode_progressive(payload: bytes, hdr: dict) -> np.ndarray:
+    """Progressive (SOF2) decode, spectral-selection scans: every scan
+    accumulates coefficient levels into per-component buffers; the
+    single dequantize+IDCT pass runs after EOI. Successive
+    approximation (Ah/Al != 0) raises ``NotImplementedError`` — a
+    deliberate boundary: its refinement coding cannot be validated
+    against an external decoder in this container, and a plausible-but-
+    wrong decode is worse than an honest refusal."""
+    w, h, comps = hdr["w"], hdr["h"], hdr["comps"]
+    hmax = max(c["hs"] for c in comps)
+    vmax = max(c["vs"] for c in comps)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    coefs = [
+        np.zeros((mcuy * c["vs"], mcux * c["hs"], 64), dtype=np.int64)
+        for c in comps
+    ]
+    # unpadded per-component block grids (T.81 A.2.2: non-interleaved
+    # scans raster ceil(comp-size/8) blocks, NOT the MCU-padded grid)
+    eff = []
+    for c in comps:
+        cw = (w * c["hs"] + hmax - 1) // hmax
+        ch = (h * c["vs"] + vmax - 1) // vmax
+        eff.append(((cw + 7) // 8, (ch + 7) // 8))
+    comp_by_id = {c["id"]: (ci, c) for ci, c in enumerate(comps)}
+    htables = dict(hdr["htables"])
+    qtables = dict(hdr["qtables"])
+    dri = hdr["dri"]
+
+    scan = dict(
+        scomps=hdr["scan"], ss=hdr["ss"], se=hdr["se"],
+        ah=hdr["ah"], al=hdr["al"],
+    )
+    pos = hdr["data_pos"]
+    n = len(payload)
+    while True:
+        pos = _decode_progressive_scan(
+            payload, pos, scan, comp_by_id, coefs, eff,
+            htables, dri, mcux, mcuy,
         )
-    if nc == 1:
-        return out[0][:, :, None]
-    if nc == 3:
-        y = out[0].astype(np.float64)
-        cb = out[1].astype(np.float64) - 128.0
-        cr = out[2].astype(np.float64) - 128.0
-        r = _half_up(y + 1.402 * cr)
-        g = _half_up(y - 0.344136 * cb - 0.714136 * cr)
-        b = _half_up(y + 1.772 * cb)
-        return np.clip(np.stack([r, g, b], axis=2), 0, 255).astype(np.uint8)
-    raise NotImplementedError(f"JPEG with {nc} components unsupported")
+        # walk segments to the next SOS (tables may be redefined) / EOI
+        scan = None
+        while True:
+            pos = _skip_to_marker(payload, pos)
+            marker = payload[pos + 1]
+            pos += 2
+            if marker == 0xD9:  # EOI
+                break
+            (seglen,) = struct.unpack_from(">H", payload, pos)
+            if seglen < 2 or pos + seglen > n:
+                raise ValueError("JPEG truncated mid-segment")
+            body = payload[pos + 2 : pos + seglen]
+            if marker == 0xC4:  # DHT
+                p = 0
+                while p < len(body):
+                    tc_th = body[p]
+                    bits = list(body[p + 1 : p + 17])
+                    nv = sum(bits)
+                    vals = list(body[p + 17 : p + 17 + nv])
+                    htables[(tc_th >> 4, tc_th & 0xF)] = _build_decode_table(
+                        bits, vals
+                    )
+                    p += 17 + nv
+            elif marker == 0xDB:  # DQT
+                p = 0
+                while p < len(body):
+                    pq_tq = body[p]
+                    q = np.frombuffer(body, dtype=np.uint8, count=64, offset=p + 1)
+                    tbl = np.zeros(64, dtype=np.int64)
+                    tbl[_ZIGZAG] = q
+                    qtables[pq_tq & 0xF] = tbl
+                    p += 65
+            elif marker == 0xDD:  # DRI
+                (dri,) = struct.unpack_from(">H", body, 0)
+            elif marker == 0xDA:  # next scan
+                ns2 = body[0]
+                scomps = []
+                for i in range(ns2):
+                    cs, tdta = struct.unpack_from(">BB", body, 1 + 2 * i)
+                    scomps.append(
+                        {"id": cs, "td": tdta >> 4, "ta": tdta & 0xF}
+                    )
+                ss, se, ahal = struct.unpack_from(">BBB", body, 1 + 2 * ns2)
+                scan = dict(
+                    scomps=scomps, ss=ss, se=se, ah=ahal >> 4, al=ahal & 0xF
+                )
+                pos += seglen
+                break
+            pos += seglen
+        if scan is None:
+            break
+
+    # single reconstruction pass
+    planes = [
+        np.zeros((mcuy * c["vs"] * 8, mcux * c["hs"] * 8), dtype=np.float64)
+        for c in comps
+    ]
+    for ci, c in enumerate(comps):
+        qt = qtables.get(c["tq"])
+        if qt is None:
+            raise ValueError("JPEG: missing quant table")
+        nby, nbx = coefs[ci].shape[:2]
+        for by in range(nby):
+            for bx in range(nbx):
+                planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                    _zz_to_block(coefs[ci][by, bx], qt)
+                )
+    return _planes_to_image(planes, comps, w, h)
+
+
+def _decode_progressive_scan(
+    payload: bytes,
+    pos: int,
+    scan: dict,
+    comp_by_id: dict,
+    coefs: list,
+    eff: list,
+    htables: dict,
+    dri: int,
+    mcux: int,
+    mcuy: int,
+) -> int:
+    ss, se, ah, al = scan["ss"], scan["se"], scan["ah"], scan["al"]
+    if ah != 0 or al != 0:
+        raise NotImplementedError(
+            "JPEG progressive successive approximation (Ah/Al != 0) "
+            "unsupported"
+        )
+    scomps = scan["scomps"]
+    reader = _BitReader(payload, pos)
+    if len(scomps) > 1:
+        # interleaved scan: progressive allows DC only (T.81 G.1)
+        if ss != 0 or se != 0:
+            raise ValueError("JPEG: interleaved progressive AC scan illegal")
+        pred = {s["id"]: 0 for s in scomps}
+        unit = 0
+        for by in range(mcuy):
+            for bx in range(mcux):
+                if dri and unit and unit % dri == 0:
+                    reader.sync_restart()
+                    pred = {s["id"]: 0 for s in scomps}
+                for s in scomps:
+                    if s["id"] not in comp_by_id:
+                        raise ValueError("JPEG: scan names unknown component")
+                    ci, comp = comp_by_id[s["id"]]
+                    dc_tab = htables.get((0, s["td"]))
+                    if dc_tab is None:
+                        raise ValueError("JPEG: missing DC Huffman table")
+                    for v in range(comp["vs"]):
+                        for u in range(comp["hs"]):
+                            size = reader.huff(dc_tab)
+                            pred[s["id"]] += _extend(reader.bits(size), size)
+                            coefs[ci][by * comp["vs"] + v,
+                                      bx * comp["hs"] + u, 0] = pred[s["id"]]
+                unit += 1
+        return reader.pos
+
+    s = scomps[0]
+    if s["id"] not in comp_by_id:
+        raise ValueError("JPEG: scan names unknown component")
+    ci, comp = comp_by_id[s["id"]]
+    bw_e, bh_e = eff[ci]
+    if ss == 0:
+        if se != 0:
+            raise ValueError("JPEG: progressive DC scan must have Se=0")
+        dc_tab = htables.get((0, s["td"]))
+        if dc_tab is None:
+            raise ValueError("JPEG: missing DC Huffman table")
+        pred0 = 0
+        unit = 0
+        for by in range(bh_e):
+            for bx in range(bw_e):
+                if dri and unit and unit % dri == 0:
+                    reader.sync_restart()
+                    pred0 = 0
+                size = reader.huff(dc_tab)
+                pred0 += _extend(reader.bits(size), size)
+                coefs[ci][by, bx, 0] = pred0
+                unit += 1
+        return reader.pos
+
+    ac_tab = htables.get((1, s["ta"]))
+    if ac_tab is None:
+        raise ValueError("JPEG: missing AC Huffman table")
+    eobrun = 0
+    unit = 0
+    for by in range(bh_e):
+        for bx in range(bw_e):
+            if dri and unit and unit % dri == 0:
+                reader.sync_restart()
+                eobrun = 0
+            unit += 1
+            if eobrun > 0:
+                eobrun -= 1
+                continue
+            zz = coefs[ci][by, bx]
+            k = ss
+            while k <= se:
+                rs = reader.huff(ac_tab)
+                r, sz = rs >> 4, rs & 0xF
+                if sz == 0:
+                    if r == 15:  # ZRL: 16 zeros within the band
+                        k += 16
+                        continue
+                    # EOBn: this block's band tail + (run-1) blocks zero
+                    eobrun = (1 << r) - 1 + (reader.bits(r) if r else 0)
+                    break
+                k += r
+                if k > se:
+                    raise ValueError("JPEG: progressive AC band overrun")
+                zz[k] = _extend(reader.bits(sz), sz)
+                k += 1
+    return reader.pos
 
 
 # ---------------------------------------------------------------------------
@@ -482,6 +737,21 @@ def _pad_plane(plane: np.ndarray, bw: int, bh: int) -> np.ndarray:
     return padded - 128.0
 
 
+def _quantize_block(blk: np.ndarray, qt: np.ndarray) -> np.ndarray:
+    """Forward DCT + half-up quantization -> zigzag-order levels.
+    The DC coefficient is computed exactly (Σ/8 of integral samples —
+    no float drift at the quantizer's half boundary; twin of the
+    decoder's exact DC). natural -> zigzag is zz[i] =
+    natural[_ZIGZAG[i]] (the DECODER does natural[_ZIGZAG] = zz, so
+    indexing BY _ZIGZAG is the inverse; argsort here was a real bug —
+    zigzag is not an involution, and flat DC-only fixtures masked it
+    because index 0 is a fixed point)."""
+    coef = _C @ blk @ _C.T  # forward orthonormal DCT
+    coef[0, 0] = blk.sum() / 8.0
+    lvl = np.floor(coef / qt.reshape(8, 8) + 0.5).astype(np.int64)
+    return lvl.reshape(64)[_ZIGZAG]
+
+
 def _encode_block(
     writer: _BitWriter,
     blk: np.ndarray,
@@ -490,16 +760,7 @@ def _encode_block(
     ac_enc: dict,
     pred: int,
 ) -> int:
-    coef = _C @ blk @ _C.T  # forward orthonormal DCT
-    # exact DC (Σ/8 of integral samples — no float drift at the
-    # quantizer's half boundary; twin of the decoder's exact DC)
-    coef[0, 0] = blk.sum() / 8.0
-    lvl = np.floor(coef / qt.reshape(8, 8) + 0.5).astype(np.int64)
-    # natural -> zigzag: zz[i] = natural[_ZIGZAG[i]] (the DECODER does
-    # natural[_ZIGZAG] = zz, so indexing BY _ZIGZAG is the inverse;
-    # argsort here was a real bug — zigzag is not an involution, and
-    # flat DC-only fixtures masked it because index 0 is a fixed point)
-    zz = lvl.reshape(64)[_ZIGZAG]
+    zz = _quantize_block(blk, qt)
     diff = int(zz[0]) - pred
     sz = _category(diff)
     code, length = dc_enc[sz]
@@ -674,3 +935,188 @@ def flat_block_decode_value(v: int, q0: int = int(_QTABLE_LUMA[0])) -> int:
     lvl = math.floor(8.0 * (v - 128) / q0 + 0.5)
     x = lvl * q0 / 8.0
     return int(min(255, max(0, math.floor(x + 128.5))))
+
+
+# ---------------------------------------------------------------------------
+# progressive encoder (spectral selection; the fixture generator for
+# the SOF2 decode path)
+# ---------------------------------------------------------------------------
+
+
+def _uniform_table(symbols) -> tuple[list[int], list[int], dict]:
+    """Canonical Huffman table with every symbol at one code length L
+    (n <= 2^L - 1 so the all-1s codeword stays reserved, T.81 C.2 —
+    the decoder's 1-bit padding must never decode as a symbol).
+    Returns (bits[16], values, symbol -> (code, L))."""
+    syms = sorted(set(symbols))
+    if not syms:
+        syms = [0]  # a scan with no symbols still needs a legal table
+    L = 1
+    while (1 << L) - 1 < len(syms):
+        L += 1
+    bits = [0] * 16
+    bits[L - 1] = len(syms)
+    enc = {s: (i, L) for i, s in enumerate(syms)}
+    return bits, syms, enc
+
+
+def _dht_segment(tc: int, th: int, bits: list[int], vals: list[int]) -> bytes:
+    return _seg(
+        0xC4, bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals)
+    )
+
+
+def _prog_dc_scan(zzs: list[np.ndarray], emit) -> None:
+    """Non-interleaved spectral DC scan over one component's blocks
+    (``emit(symbol, extra_value, extra_len)``)."""
+    pred = 0
+    for zz in zzs:
+        diff = int(zz[0]) - pred
+        pred = int(zz[0])
+        s = _category(diff)
+        emit(s, diff if diff >= 0 else diff + (1 << s) - 1, s)
+
+
+def _prog_ac_scan(zzs: list[np.ndarray], ss: int, se: int, emit) -> None:
+    """Spectral-selection AC band scan with EOB-run accumulation
+    (T.81 G.1.2.2 shape)."""
+    eobrun = 0
+
+    def flush_eob() -> None:
+        nonlocal eobrun
+        if eobrun == 0:
+            return
+        nbits = eobrun.bit_length() - 1
+        emit(nbits << 4, eobrun - (1 << nbits), nbits)
+        eobrun = 0
+
+    for zz in zzs:
+        r = 0
+        wrote = False
+        for k in range(ss, se + 1):
+            v = int(zz[k])
+            if v == 0:
+                r += 1
+                continue
+            flush_eob()
+            while r > 15:
+                emit(0xF0, 0, 0)  # ZRL
+                r -= 16
+            s = _category(v)
+            emit((r << 4) | s, v if v >= 0 else v + (1 << s) - 1, s)
+            r = 0
+            wrote = True
+        if r > 0 or not wrote:
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                flush_eob()
+    flush_eob()
+
+
+def _encode_scan(build_symbols, tc: int, sos_body: bytes) -> bytes:
+    """Two-pass scan assembly: collect the symbol alphabet, build a
+    per-scan uniform Huffman table, emit DHT + SOS + entropy data."""
+    seen: list[int] = []
+    build_symbols(lambda sym, _v, _n: seen.append(sym))
+    bits, vals, enc = _uniform_table(seen)
+    writer = _BitWriter()
+
+    def emit(sym: int, v: int, nbits: int) -> None:
+        code, length = enc[sym]
+        writer.write(code, length)
+        if nbits:
+            writer.write(v, nbits)
+
+    build_symbols(emit)
+    return _dht_segment(tc, 0, bits, vals) + _seg(0xDA, sos_body) + writer.flush()
+
+
+def encode_jpeg_progressive(
+    arr: np.ndarray,
+    qtable: np.ndarray | None = None,
+    bands: tuple = ((1, 5), (6, 63)),
+) -> bytes:
+    """Progressive (SOF2, spectral selection) writer: one interleaved
+    DC scan, then per-component AC band scans with EOB-run coding and
+    per-scan uniform Huffman tables (EOBn symbols 0x10-0xE0 are not in
+    the Annex K baseline table, so progressive scans carry their own
+    DHT — as real encoders do). Grayscale or RGB 4:4:4. Quantized
+    levels are identical to the baseline encoder's, so progressive
+    decode must reproduce baseline decode EXACTLY (the test pin)."""
+    arr = np.asarray(arr, dtype=np.uint8)
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w, nc = arr.shape
+    if nc not in (1, 3):
+        raise ValueError("encode_jpeg_progressive takes (h,w), (h,w,1) or (h,w,3)")
+    qt = _QTABLE_LUMA if qtable is None else np.asarray(qtable, dtype=np.int64)
+    lo = hi = None
+    for a, b in bands:
+        if not (1 <= a <= b <= 63):
+            raise ValueError(f"invalid spectral band {(a, b)}")
+        if lo is None:
+            lo, hi = a, b
+            if a != 1:
+                raise ValueError("bands must start at 1")
+        else:
+            if a != hi + 1:
+                raise ValueError("bands must be contiguous")
+            hi = b
+    if hi != 63:
+        raise ValueError("bands must end at 63")
+
+    if nc == 3:
+        r = arr[:, :, 0].astype(np.float64)
+        g = arr[:, :, 1].astype(np.float64)
+        b = arr[:, :, 2].astype(np.float64)
+        planes = [
+            np.clip(_half_up(0.299 * r + 0.587 * g + 0.114 * b), 0, 255),
+            np.clip(_half_up(-0.168736 * r - 0.331264 * g + 0.5 * b + 128.0), 0, 255),
+            np.clip(_half_up(0.5 * r - 0.418688 * g - 0.081312 * b + 128.0), 0, 255),
+        ]
+    else:
+        planes = [arr[:, :, 0].astype(np.float64)]
+
+    bw, bh = (w + 7) // 8, (h + 7) // 8
+    zz_by_comp: list[list[np.ndarray]] = []
+    for p in planes:
+        padded = _pad_plane(p, bw, bh)
+        zzs = [
+            _quantize_block(padded[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8], qt)
+            for by in range(bh)
+            for bx in range(bw)
+        ]
+        zz_by_comp.append(zzs)
+
+    zz_qt = qt.reshape(64)[_ZIGZAG].astype(np.uint8).tobytes()
+    dqt = _seg(0xDB, b"\x00" + zz_qt)
+    sof_comps = b"".join(bytes([i + 1, 0x11, 0]) for i in range(nc))
+    sof = _seg(0xC2, struct.pack(">BHHB", 8, h, w, nc) + sof_comps)
+    out = JPEG_MAGIC + dqt + sof
+
+    # scan 1: DC, all components interleaved (per-MCU = per-block at
+    # 1x1 sampling; component order fixed)
+    def dc_all(emit):
+        preds = [0] * nc
+        for bi in range(bh * bw):
+            for ci in range(nc):
+                zz = zz_by_comp[ci][bi]
+                diff = int(zz[0]) - preds[ci]
+                preds[ci] = int(zz[0])
+                s = _category(diff)
+                emit(s, diff if diff >= 0 else diff + (1 << s) - 1, s)
+
+    sos_dc = bytes([nc]) + b"".join(bytes([i + 1, 0x00]) for i in range(nc)) \
+        + bytes([0, 0, 0])
+    out += _encode_scan(dc_all, 0, sos_dc)
+
+    # AC band scans, one per (component, band)
+    for ci in range(nc):
+        for a, b2 in bands:
+            def ac(emit, _ci=ci, _a=a, _b=b2):
+                _prog_ac_scan(zz_by_comp[_ci], _a, _b, emit)
+
+            sos_ac = bytes([1, ci + 1, 0x00, a, b2, 0])
+            out += _encode_scan(ac, 1, sos_ac)
+
+    return out + b"\xff\xd9"

@@ -127,12 +127,21 @@ def test_unsupported_and_hostile_variants():
     payload = jpeg.encode_jpeg_gray(a)
     with pytest.raises(ValueError, match="not a JPEG"):
         jpeg.jpeg_meta(b"\x89PNG....")
-    # progressive SOF2 flagged as unsupported, not misdecoded
-    prog = bytearray(payload)
-    sof_at = prog.find(b"\xff\xc0")
-    prog[sof_at + 1] = 0xC2
-    with pytest.raises(NotImplementedError, match="non-baseline"):
+    # progressive successive approximation flagged, not misdecoded:
+    # patch the DC scan's Ah/Al byte (last SOS-body byte before the
+    # entropy data)
+    prog = bytearray(jpeg.encode_jpeg_progressive(a))
+    sos_at = prog.find(b"\xff\xda")
+    (sos_len,) = struct.unpack_from(">H", prog, sos_at + 2)
+    prog[sos_at + 2 + sos_len - 1] = 0x01  # Al=1
+    with pytest.raises(NotImplementedError, match="successive approximation"):
         jpeg.decode_jpeg(bytes(prog))
+    # hierarchical SOF (e.g. SOF5) still refused outright
+    sof5 = bytearray(payload)
+    sof_at = sof5.find(b"\xff\xc0")
+    sof5[sof_at + 1] = 0xC5
+    with pytest.raises(NotImplementedError, match="non-baseline"):
+        jpeg.decode_jpeg(bytes(sof5))
     # sampling factors beyond 2 refused (4:1:1 layouts)
     sub = bytearray(jpeg.encode_jpeg_rgb(np.zeros((8, 8, 3), dtype=np.uint8)))
     sof_at = sub.find(b"\xff\xc0")
@@ -200,3 +209,43 @@ def test_image_phash_jpeg_payloads(spark):
     got = image_phash(df, "id", "p").collect()[0]["dhash"]
     assert got == png.dhash63(jpeg.decode_jpeg(payload))
     assert got > 0
+
+
+# ---------------------------------------------------------------------------
+# progressive (SOF2, spectral selection)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("shape", [(16, 16), (13, 21), (24, 16, 3), (8, 8)])
+def test_progressive_decode_equals_baseline(shape):
+    """Progressive and baseline encode the SAME quantized levels, so
+    decode must be pixel-identical — a full-strength pin on the SOF2
+    multi-scan accumulation, EOB-run coding, and per-scan tables."""
+    a = _rng(sum(shape)).integers(0, 256, size=shape, dtype=np.uint8)
+    base = jpeg.decode_jpeg(
+        jpeg.encode_jpeg_gray(a) if len(shape) == 2 else jpeg.encode_jpeg_rgb(a)
+    )
+    prog = jpeg.decode_jpeg(jpeg.encode_jpeg_progressive(a))
+    assert np.array_equal(base, prog)
+
+
+def test_progressive_eobrun_and_band_splits():
+    # flat image: every AC band is all-zero -> maximal EOB runs
+    flat = np.full((40, 24), 130, dtype=np.uint8)
+    assert np.array_equal(
+        jpeg.decode_jpeg(jpeg.encode_jpeg_progressive(flat)),
+        jpeg.decode_jpeg(jpeg.encode_jpeg_gray(flat)),
+    )
+    # finer band split exercises multiple AC scans per component
+    a = _rng(77).integers(0, 256, size=(17, 9), dtype=np.uint8)
+    p = jpeg.encode_jpeg_progressive(a, bands=((1, 2), (3, 8), (9, 63)))
+    assert np.array_equal(
+        jpeg.decode_jpeg(p), jpeg.decode_jpeg(jpeg.encode_jpeg_gray(a))
+    )
+    # meta sees SOF2 dimensions without decoding scans
+    assert jpeg.jpeg_meta(p) == (9, 17, 1, 8)
+    # invalid band layouts rejected
+    with pytest.raises(ValueError, match="band"):
+        jpeg.encode_jpeg_progressive(a, bands=((1, 5), (7, 63)))
+    with pytest.raises(ValueError, match="band"):
+        jpeg.encode_jpeg_progressive(a, bands=((1, 50),))
