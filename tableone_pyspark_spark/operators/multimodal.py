@@ -406,7 +406,12 @@ def synthesize_jpeg_corpus(
     ``decoded(v) = clip(floor(floor(8(v-128)/q0+0.5)·q0/8 + 128.5))``),
     so a DuckDB oracle replays the decoded mean exactly — a true
     end-to-end grade of a real entropy-coded DCT codec. One Arrow
-    pass; payloads never leave the executor."""
+    pass; payloads never leave the executor.
+
+    Format variety (mirrors the PNG corpus): ODD ids encode as
+    PROGRESSIVE (SOF2) JPEGs, even ids as baseline — flat blocks
+    decode identically either way, so the same oracle grades both the
+    baseline and the multi-scan progressive decode paths."""
     src = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("txt"))
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -425,7 +430,10 @@ def synthesize_jpeg_corpus(
                 ]
                 arr = np.repeat(np.repeat(vals.reshape(-1, 1), 8, axis=0), 8, axis=1)
                 ids.append(int(i))
-                payloads.append(_jpeg.encode_jpeg_gray(arr))
+                if int(i) % 2 == 1:
+                    payloads.append(_jpeg.encode_jpeg_progressive(arr))
+                else:
+                    payloads.append(_jpeg.encode_jpeg_gray(arr))
             yield pd.DataFrame({"id": ids, "payload": payloads})
 
     return src.mapInPandas(kernel, PNG_CORPUS_SCHEMA)
