@@ -80,8 +80,13 @@ def test_row_order_and_partition_invariance(spark, rows, seed):
     for ra, rb in zip(ka, kb):
         for va, vb in zip(ra, rb):
             if isinstance(va, float) and isinstance(vb, float):
+                # float partition-invariance holds only up to summation
+                # reordering error: with ≤25 terms of |x| ≤ 1e6 the
+                # bound is ~25·eps·1e6 ≈ 3e-9, so abs_tol=1e-6 is sound
+                # (Hypothesis found a catastrophic-cancellation mean of
+                # 0.0 vs 1.4e-136 — both correct IEEE answers)
                 assert (math.isnan(va) and math.isnan(vb)) or math.isclose(
-                    va, vb, rel_tol=1e-9
+                    va, vb, rel_tol=1e-9, abs_tol=1e-6
                 ), (ra, rb)
             else:
                 assert va == vb, (ra, rb)
