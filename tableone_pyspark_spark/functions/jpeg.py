@@ -515,7 +515,15 @@ def _decode_progressive(payload: bytes, hdr: dict) -> np.ndarray:
     )
     pos = hdr["data_pos"]
     n = len(payload)
+    n_scans = 0
     while True:
+        n_scans += 1
+        if n_scans > 1024:
+            # scan-count bomb guard: each scan walks every block, so a
+            # hostile file with thousands of near-empty scans is a CPU
+            # DoS; legal scripts are far below this (≤ comps × bands ×
+            # approximation passes)
+            raise ValueError("JPEG: too many progressive scans (bomb?)")
         pos = _decode_progressive_scan(
             payload, pos, scan, comp_by_id, coefs, eff,
             htables, dri, mcux, mcuy,
