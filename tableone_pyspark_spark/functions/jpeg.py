@@ -237,9 +237,60 @@ def _extend(v: int, size: int) -> int:
 
 
 def jpeg_meta(payload: bytes, max_pixels: int = MAX_PIXELS) -> tuple[int, int, int, int]:
-    """(width, height, channels, bit_depth) from the SOF0 header only."""
+    """(width, height, channels, bit_depth) from the frame header only
+    (SOF0 baseline or SOF2 progressive; the parse stops at SOF)."""
     hdr = _parse_headers(payload, max_pixels, need_tables=False)
     return hdr["w"], hdr["h"], len(hdr["comps"]), hdr["precision"]
+
+
+def _parse_dqt(body: bytes, qtables: dict) -> None:
+    """DQT segment body -> natural-order tables (shared by the header
+    walker and the progressive inter-scan walker, so guards cannot
+    diverge)."""
+    p = 0
+    while p < len(body):
+        pq_tq = body[p]
+        if pq_tq >> 4 != 0:
+            raise NotImplementedError("JPEG 16-bit qtables unsupported")
+        if p + 65 > len(body):
+            raise ValueError("JPEG: truncated DQT segment")
+        q = np.frombuffer(body, dtype=np.uint8, count=64, offset=p + 1)
+        tbl = np.zeros(64, dtype=np.int64)
+        tbl[_ZIGZAG] = q  # stored zigzag -> natural order
+        qtables[pq_tq & 0xF] = tbl
+        p += 65
+
+
+def _parse_dht(body: bytes, htables: dict) -> None:
+    p = 0
+    while p < len(body):
+        if p + 17 > len(body):
+            raise ValueError("JPEG: truncated DHT segment")
+        tc_th = body[p]
+        bits = list(body[p + 1 : p + 17])
+        nv = sum(bits)
+        if p + 17 + nv > len(body):
+            raise ValueError("JPEG: truncated DHT segment")
+        vals = list(body[p + 17 : p + 17 + nv])
+        htables[(tc_th >> 4, tc_th & 0xF)] = _build_decode_table(bits, vals)
+        p += 17 + nv
+
+
+def _parse_sos(body: bytes) -> tuple[list[dict], int, int, int, int]:
+    """SOS body -> (scan components, Ss, Se, Ah, Al) with length
+    validation (a hostile short SOS must be ValueError, never a raw
+    struct.error)."""
+    if len(body) < 1:
+        raise ValueError("JPEG: truncated SOS segment")
+    ns = body[0]
+    if len(body) < 1 + 2 * ns + 3:
+        raise ValueError("JPEG: truncated SOS segment")
+    scomps = []
+    for i in range(ns):
+        cs, tdta = struct.unpack_from(">BB", body, 1 + 2 * i)
+        scomps.append({"id": cs, "td": tdta >> 4, "ta": tdta & 0xF})
+    ss, se, ahal = struct.unpack_from(">BBB", body, 1 + 2 * ns)
+    return scomps, ss, se, ahal >> 4, ahal & 0xF
 
 
 def _parse_headers(payload: bytes, max_pixels: int, need_tables: bool = True) -> dict:
@@ -300,38 +351,16 @@ def _parse_headers(payload: bytes, max_pixels: int, need_tables: bool = True) ->
                 f"JPEG SOF{marker - 0xC0} (non-baseline) unsupported"
             )
         elif marker == 0xDB:  # DQT
-            p = 0
-            while p < len(body):
-                pq_tq = body[p]
-                if pq_tq >> 4 != 0:
-                    raise NotImplementedError("JPEG 16-bit qtables unsupported")
-                q = np.frombuffer(body, dtype=np.uint8, count=64, offset=p + 1)
-                tbl = np.zeros(64, dtype=np.int64)
-                tbl[_ZIGZAG] = q  # stored zigzag -> natural order
-                qtables[pq_tq & 0xF] = tbl
-                p += 65
+            _parse_dqt(body, qtables)
         elif marker == 0xC4:  # DHT
-            p = 0
-            while p < len(body):
-                tc_th = body[p]
-                bits = list(body[p + 1 : p + 17])
-                nv = sum(bits)
-                vals = list(body[p + 17 : p + 17 + nv])
-                htables[(tc_th >> 4, tc_th & 0xF)] = _build_decode_table(bits, vals)
-                p += 17 + nv
+            _parse_dht(body, htables)
         elif marker == 0xDD:  # DRI
             (out["dri"],) = struct.unpack_from(">H", body, 0)
         elif marker == 0xDA:  # SOS
-            ns = body[0]
-            scomps = []
-            for i in range(ns):
-                cs, tdta = struct.unpack_from(">BB", body, 1 + 2 * i)
-                scomps.append({"id": cs, "td": tdta >> 4, "ta": tdta & 0xF})
-            ss, se, ahal = struct.unpack_from(">BBB", body, 1 + 2 * ns)
+            scomps, ss, se, ah, al = _parse_sos(body)
             out.update(
                 scan=scomps, qtables=qtables, htables=htables,
-                data_pos=pos + seglen,
-                ss=ss, se=se, ah=ahal >> 4, al=ahal & 0xF,
+                data_pos=pos + seglen, ss=ss, se=se, ah=ah, al=al,
             )
             if "w" not in out:
                 raise ValueError("JPEG: SOS before SOF")
@@ -540,40 +569,15 @@ def _decode_progressive(payload: bytes, hdr: dict) -> np.ndarray:
             if seglen < 2 or pos + seglen > n:
                 raise ValueError("JPEG truncated mid-segment")
             body = payload[pos + 2 : pos + seglen]
-            if marker == 0xC4:  # DHT
-                p = 0
-                while p < len(body):
-                    tc_th = body[p]
-                    bits = list(body[p + 1 : p + 17])
-                    nv = sum(bits)
-                    vals = list(body[p + 17 : p + 17 + nv])
-                    htables[(tc_th >> 4, tc_th & 0xF)] = _build_decode_table(
-                        bits, vals
-                    )
-                    p += 17 + nv
+            if marker == 0xC4:  # DHT (shared parser — guards identical)
+                _parse_dht(body, htables)
             elif marker == 0xDB:  # DQT
-                p = 0
-                while p < len(body):
-                    pq_tq = body[p]
-                    q = np.frombuffer(body, dtype=np.uint8, count=64, offset=p + 1)
-                    tbl = np.zeros(64, dtype=np.int64)
-                    tbl[_ZIGZAG] = q
-                    qtables[pq_tq & 0xF] = tbl
-                    p += 65
+                _parse_dqt(body, qtables)
             elif marker == 0xDD:  # DRI
                 (dri,) = struct.unpack_from(">H", body, 0)
             elif marker == 0xDA:  # next scan
-                ns2 = body[0]
-                scomps = []
-                for i in range(ns2):
-                    cs, tdta = struct.unpack_from(">BB", body, 1 + 2 * i)
-                    scomps.append(
-                        {"id": cs, "td": tdta >> 4, "ta": tdta & 0xF}
-                    )
-                ss, se, ahal = struct.unpack_from(">BBB", body, 1 + 2 * ns2)
-                scan = dict(
-                    scomps=scomps, ss=ss, se=se, ah=ahal >> 4, al=ahal & 0xF
-                )
+                scomps, ss, se, ah, al = _parse_sos(body)
+                scan = dict(scomps=scomps, ss=ss, se=se, ah=ah, al=al)
                 pos += seglen
                 break
             pos += seglen
@@ -622,26 +626,30 @@ def _decode_progressive_scan(
         # interleaved scan: progressive allows DC only (T.81 G.1)
         if ss != 0 or se != 0:
             raise ValueError("JPEG: interleaved progressive AC scan illegal")
-        pred = {s["id"]: 0 for s in scomps}
+        # resolve (ci, comp, dc table) ONCE per scan, not per MCU
+        resolved = []
+        for s in scomps:
+            if s["id"] not in comp_by_id:
+                raise ValueError("JPEG: scan names unknown component")
+            ci, comp = comp_by_id[s["id"]]
+            dc_tab = htables.get((0, s["td"]))
+            if dc_tab is None:
+                raise ValueError("JPEG: missing DC Huffman table")
+            resolved.append((ci, comp, dc_tab))
+        pred = [0] * len(resolved)
         unit = 0
         for by in range(mcuy):
             for bx in range(mcux):
                 if dri and unit and unit % dri == 0:
                     reader.sync_restart()
-                    pred = {s["id"]: 0 for s in scomps}
-                for s in scomps:
-                    if s["id"] not in comp_by_id:
-                        raise ValueError("JPEG: scan names unknown component")
-                    ci, comp = comp_by_id[s["id"]]
-                    dc_tab = htables.get((0, s["td"]))
-                    if dc_tab is None:
-                        raise ValueError("JPEG: missing DC Huffman table")
+                    pred = [0] * len(resolved)
+                for si, (ci, comp, dc_tab) in enumerate(resolved):
                     for v in range(comp["vs"]):
                         for u in range(comp["hs"]):
                             size = reader.huff(dc_tab)
-                            pred[s["id"]] += _extend(reader.bits(size), size)
+                            pred[si] += _extend(reader.bits(size), size)
                             coefs[ci][by * comp["vs"] + v,
-                                      bx * comp["hs"] + u, 0] = pred[s["id"]]
+                                      bx * comp["hs"] + u, 0] = pred[si]
                 unit += 1
         return reader.pos
 
@@ -972,17 +980,6 @@ def _dht_segment(tc: int, th: int, bits: list[int], vals: list[int]) -> bytes:
     return _seg(
         0xC4, bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals)
     )
-
-
-def _prog_dc_scan(zzs: list[np.ndarray], emit) -> None:
-    """Non-interleaved spectral DC scan over one component's blocks
-    (``emit(symbol, extra_value, extra_len)``)."""
-    pred = 0
-    for zz in zzs:
-        diff = int(zz[0]) - pred
-        pred = int(zz[0])
-        s = _category(diff)
-        emit(s, diff if diff >= 0 else diff + (1 << s) - 1, s)
 
 
 def _prog_ac_scan(zzs: list[np.ndarray], ss: int, se: int, emit) -> None:
