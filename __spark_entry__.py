@@ -107,7 +107,10 @@ def _weighted_stat_sql(
         return f"({swx} / {wn})"
     if si == 4:
         swxx = f"sum({w} * {col} * {col}){f}"
-        return f"sqrt(({swxx} - {swx} * {swx} / {wn}) / ({wn} - 1))"
+        # GREATEST(...,0): float cancellation on a near-constant column
+        # can drive the variance a sliver negative; DuckDB's sqrt raises
+        # on negatives while the engine clamps to 0.0 — mirror the clamp
+        return f"sqrt(GREATEST(({swxx} - {swx} * {swx} / {wn}) / ({wn} - 1), 0))"
     p = {5: "0.25", 6: "0.5", 7: "0.75"}[si]
     return (
         f"(SELECT min(x) FROM (SELECT {col} AS x, "
@@ -2808,8 +2811,10 @@ def oracle_sql() -> dict[str, str]:
             ("mean", 2.4, "CASE WHEN n0 > 0 THEN ROUND(s1 / n0, 6) END"),
             (
                 "stddev", 2.5,
+                # negative-sliver clamp mirrors the engine (see
+                # _weighted_stat_sql): DuckDB sqrt raises on negatives
                 "CASE WHEN n0 > 1 THEN "
-                "ROUND(sqrt((s2 - s1 * s1 / n0) / (n0 - 1)), 6) END",
+                "ROUND(sqrt(GREATEST((s2 - s1 * s1 / n0) / (n0 - 1), 0)), 6) END",
             ),
         ]
         for label, idx, expr in cont:
@@ -3001,7 +3006,8 @@ def oracle_sql() -> dict[str, str]:
         "a AS (SELECT grp, sum(w) AS sw, sum(w * x) AS swx, sum(w * x * x) AS swxx "
         "FROM b GROUP BY 1) "
         "SELECT grp, ROUND(sw, 6) AS w_n, ROUND(swx / sw, 6) AS w_mean, "
-        "ROUND(CASE WHEN sw > 1 THEN sqrt((swxx - swx * swx / sw) / (sw - 1)) END, 6) "
+        "ROUND(CASE WHEN sw > 1 THEN "
+        "sqrt(GREATEST((swxx - swx * swx / sw) / (sw - 1), 0)) END, 6) "
         "AS w_stddev FROM a"
     )
 

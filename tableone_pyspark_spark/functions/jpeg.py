@@ -53,6 +53,25 @@ JPEG_MAGIC = b"\xff\xd8"
 #: w*h bomb guard (same default as png.py / PIL)
 MAX_PIXELS = 89_478_485
 
+#: per-payload allocation budget (bytes) behind the pixel guard. The
+#: flat PIL-style cap above is calibrated for uint8 pixel buffers, but
+#: this decoder allocates up to 16 B/pixel/component (progressive:
+#: int64 coefficient grid + float64 plane; baseline: float64 planes +
+#: RGB staging) — ~24x the bytes/pixel the PNG guard assumes — so a
+#: within-cap hostile SOF could still demand multi-GB buffers. The
+#: effective cap is therefore min(max_pixels, budget / buffer-width),
+#: scaled by component count and decode mode.
+_ALLOC_BUDGET = 1 << 30
+
+
+def _effective_max_pixels(max_pixels: int, nc: int, progressive: bool) -> int:
+    """Scale the pixel cap by the decode path's real bytes/pixel so
+    worst-case within-guard memory matches the PNG path's calibration
+    (grayscale baseline keeps the full cap; 3-component progressive,
+    the widest buffers at 48 B/pixel, caps near 22M pixels)."""
+    bytes_per_pixel = (16 if progressive else 8) * nc
+    return min(max_pixels, _ALLOC_BUDGET // bytes_per_pixel)
+
 #: zigzag order: zz index -> (row, col) flattened index
 _ZIGZAG = np.array([
      0,  1,  8, 16,  9,  2,  3, 10,
@@ -224,6 +243,16 @@ class _BitReader:
         raise ValueError("JPEG: expected restart marker (DRI interval)")
 
 
+def _unpack(fmt: str, buf: bytes, offset: int, what: str) -> tuple:
+    """``struct.unpack_from`` under the hostile-input contract: a short
+    buffer raises ``ValueError`` (module promise), never a raw
+    ``struct.error``. Every segment-body unpack in the header walker
+    and the progressive inter-scan walker goes through here."""
+    if offset + struct.calcsize(fmt) > len(buf):
+        raise ValueError(f"JPEG truncated {what}")
+    return struct.unpack_from(fmt, buf, offset)
+
+
 def _extend(v: int, size: int) -> int:
     """JPEG EXTEND: map a ``size``-bit magnitude to its signed value."""
     if size == 0:
@@ -313,24 +342,25 @@ def _parse_headers(payload: bytes, max_pixels: int, need_tables: bool = True) ->
         pos += 2
         if marker == 0xD9:  # EOI before SOS
             raise ValueError("JPEG: no scan data")
-        (seglen,) = struct.unpack_from(">H", payload, pos)
+        (seglen,) = _unpack(">H", payload, pos, "at segment length")
         if seglen < 2 or pos + seglen > n:
             raise ValueError("JPEG truncated mid-segment")
         body = payload[pos + 2 : pos + seglen]
         if marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
             out["progressive"] = marker == 0xC2
-            prec, h, w, nc = struct.unpack_from(">BHHB", body, 0)
+            prec, h, w, nc = _unpack(">BHHB", body, 0, "SOF segment")
             if prec != 8:
                 raise NotImplementedError(f"JPEG precision {prec} unsupported")
             if w == 0 or h == 0:
                 raise ValueError("JPEG: zero-dimension image")
-            if w * h > max_pixels:
+            eff_max = _effective_max_pixels(max_pixels, nc, out["progressive"])
+            if w * h > eff_max:
                 raise ValueError(
-                    f"JPEG: {w}x{h} exceeds max_pixels={max_pixels} (bomb guard)"
+                    f"JPEG: {w}x{h} exceeds max_pixels={eff_max} (bomb guard)"
                 )
             comps = []
             for i in range(nc):
-                cid, samp, tq = struct.unpack_from(">BBB", body, 6 + 3 * i)
+                cid, samp, tq = _unpack(">BBB", body, 6 + 3 * i, "SOF segment")
                 hs, vs = samp >> 4, samp & 0xF
                 if hs not in (1, 2) or vs not in (1, 2):
                     raise NotImplementedError(
@@ -355,7 +385,7 @@ def _parse_headers(payload: bytes, max_pixels: int, need_tables: bool = True) ->
         elif marker == 0xC4:  # DHT
             _parse_dht(body, htables)
         elif marker == 0xDD:  # DRI
-            (out["dri"],) = struct.unpack_from(">H", body, 0)
+            (out["dri"],) = _unpack(">H", body, 0, "DRI segment")
         elif marker == 0xDA:  # SOS
             scomps, ss, se, ah, al = _parse_sos(body)
             out.update(
@@ -565,7 +595,7 @@ def _decode_progressive(payload: bytes, hdr: dict) -> np.ndarray:
             pos += 2
             if marker == 0xD9:  # EOI
                 break
-            (seglen,) = struct.unpack_from(">H", payload, pos)
+            (seglen,) = _unpack(">H", payload, pos, "at segment length")
             if seglen < 2 or pos + seglen > n:
                 raise ValueError("JPEG truncated mid-segment")
             body = payload[pos + 2 : pos + seglen]
@@ -574,7 +604,7 @@ def _decode_progressive(payload: bytes, hdr: dict) -> np.ndarray:
             elif marker == 0xDB:  # DQT
                 _parse_dqt(body, qtables)
             elif marker == 0xDD:  # DRI
-                (dri,) = struct.unpack_from(">H", body, 0)
+                (dri,) = _unpack(">H", body, 0, "DRI segment")
             elif marker == 0xDA:  # next scan
                 scomps, ss, se, ah, al = _parse_sos(body)
                 scan = dict(scomps=scomps, ss=ss, se=se, ah=ah, al=al)

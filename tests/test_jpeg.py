@@ -161,6 +161,47 @@ def test_unsupported_and_hostile_variants():
         jpeg.jpeg_meta(payload, max_pixels=16)
 
 
+def test_hostile_truncation_is_valueerror_never_struct_error():
+    """Module contract: truncated/hostile payloads fail with ValueError;
+    a raw struct.error escaping any segment parser is a bug (ADVICE r5)."""
+    a = np.zeros((8, 8), dtype=np.uint8)
+    payload = jpeg.encode_jpeg_gray(a)
+    # SOF with seglen=2 (empty body)
+    sof_empty = bytearray(payload)
+    sof_at = sof_empty.find(b"\xff\xc0")
+    struct.pack_into(">H", sof_empty, sof_at + 2, 2)
+    with pytest.raises(ValueError, match="truncated SOF"):
+        jpeg.decode_jpeg(bytes(sof_empty))
+    # DRI with an empty body
+    dri_empty = bytearray(payload)
+    sos_at = dri_empty.find(b"\xff\xda")
+    dri_empty[sos_at:sos_at] = b"\xff\xdd\x00\x02"
+    with pytest.raises(ValueError, match="truncated DRI"):
+        jpeg.decode_jpeg(bytes(dri_empty))
+    # progressive payload cut right after an inter-scan SOS marker: the
+    # walker's segment-length read must not run off the end
+    prog = jpeg.encode_jpeg_progressive(a)
+    first = prog.find(b"\xff\xda")
+    second = prog.find(b"\xff\xda", first + 2)
+    assert second != -1, "progressive encoder should emit multiple scans"
+    with pytest.raises(ValueError, match="truncated"):
+        jpeg.decode_jpeg(prog[: second + 2])
+
+
+def test_bomb_guard_scales_with_component_count_and_buffer_width():
+    """A 3-component progressive SOF inside the flat pixel cap but over
+    the allocation budget must still refuse (ADVICE r5: int64 coef grids
+    are ~16 B/pixel/component, not the PNG guard's uint8)."""
+    assert jpeg._effective_max_pixels(jpeg.MAX_PIXELS, 1, False) == jpeg.MAX_PIXELS
+    assert jpeg._effective_max_pixels(jpeg.MAX_PIXELS, 3, True) == (1 << 30) // 48
+    rgb = bytearray(jpeg.encode_jpeg_progressive(np.zeros((8, 8, 3), dtype=np.uint8)))
+    sof_at = rgb.find(b"\xff\xc2")
+    # 6000x6000 = 36M pixels: under the 89M flat cap, over the scaled cap
+    struct.pack_into(">HH", rgb, sof_at + 5, 6000, 6000)
+    with pytest.raises(ValueError, match="bomb guard"):
+        jpeg.decode_jpeg(bytes(rgb))
+
+
 def test_dc_differential_coding_across_blocks():
     # DC prediction chain: alternating extremes stress diff categories
     a = np.zeros((8, 64), dtype=np.uint8)
