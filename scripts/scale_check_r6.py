@@ -1,0 +1,73 @@
+#!/usr/bin/env python
+"""10x-union scaling spot-checks for round 6 (VERDICT r5 ask #3):
+winsorize_stats' capped percentile path on a near-unique column.
+Protocol identical to earlier rounds: sf0.1 input, local[32], the
+operator at 1x and at the input unioned 10x, wall-clock per run (one
+session warm-up, then timed single runs — knee probes, not medians).
+
+The interesting contrast at 10x (6M near-unique l_extendedprice
+values) is capped (percentile_approx sketch, bounded buffer) vs the
+old unbounded exact percentile (sort-based buffer holding every
+distinct value in one final merge).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from pyspark.sql import DataFrame, SparkSession
+
+SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def x10(df: DataFrame) -> DataFrame:
+    out = df
+    for _ in range(9):
+        out = out.union(df)
+    return out
+
+
+def main() -> None:
+    spark = (
+        SparkSession.builder.master("local[32]")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "8g")
+        .appName("scale_check_r6")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from tableone_pyspark_spark.operators.stats import winsorize_stats
+
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    n1 = li.count()
+    print(f"lineitem={n1} (sf dir {SF})")
+
+    def timed(label: str, fn) -> None:
+        t0 = time.perf_counter()
+        rows = fn().collect()
+        print(f"{label}: {time.perf_counter() - t0:.2f} s  -> {rows[0]}")
+
+    # warm-up
+    winsorize_stats(li, "l_extendedprice").collect()
+
+    timed("winsorize 1x (exact path, 600k rows)",
+          lambda: winsorize_stats(li, "l_extendedprice"))
+    big = x10(li)
+    timed("winsorize 10x capped (approx path, 6M rows, cap=1M)",
+          lambda: winsorize_stats(big, "l_extendedprice"))
+    timed("winsorize 10x UNCAPPED exact (old behavior, cap=100M)",
+          lambda: winsorize_stats(big, "l_extendedprice", exact_cap=100_000_000))
+
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

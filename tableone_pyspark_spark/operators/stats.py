@@ -509,22 +509,34 @@ def winsorize_stats(
     col: str,
     lower: float = 0.01,
     upper: float = 0.99,
+    exact_cap: int = 1_000_000,
 ) -> DataFrame:
-    """Winsorization dry-run for a numeric column: the exact
-    (interpolated) clip thresholds at the ``lower``/``upper`` quantiles
-    and what clipping would do — the outlier-handling decision a
-    feature pipeline makes before training.
+    """Winsorization dry-run for a numeric column: the clip thresholds
+    at the ``lower``/``upper`` quantiles and what clipping would do —
+    the outlier-handling decision a feature pipeline makes before
+    training.
 
-    Two bounded passes: one exact percentile aggregation (sort-based
-    buffer — same cap caveat as the engine's quantile path), then one
-    scalar aggregation of clip counts and before/after means; nothing
-    but the two thresholds ever reaches the driver. Returns one row
-    (p_low, p_high, n, n_below, n_above, mean_before, mean_after).
+    Three bounded passes: a metadata-cheap row count (parquet sources
+    answer count(*) from footer stats without reading data), one
+    percentile aggregation, then one scalar aggregation of clip counts
+    and before/after means; nothing but the two thresholds ever reaches
+    the driver. Up to ``exact_cap`` rows the thresholds are exact
+    interpolated percentiles (sort-based aggregation buffer — O(distinct
+    values) in the final merge, fine at this size); above it the
+    aggregate switches to an accuracy-tuned ``percentile_approx`` sketch
+    (bounded memory, <=1/exact_cap relative rank error, data values
+    rather than interpolated) — the same cap-and-degrade contract as the
+    engine's quantile path (core/sufficient.py run_cont), so a
+    near-unique column at 100x scale can no longer blow the
+    single-reducer merge. Returns one row (p_low, p_high, n, n_below,
+    n_above, mean_before, mean_after).
     """
     c = F.col(_q(col)).cast("double")
-    row = df.agg(
-        F.percentile(c, F.array(F.lit(lower), F.lit(upper))).alias("p")
-    ).first()
+    if df.count() > exact_cap:
+        pct = F.percentile_approx(c, [lower, upper], F.lit(exact_cap))
+    else:
+        pct = F.percentile(c, F.array(F.lit(lower), F.lit(upper)))
+    row = df.agg(pct.alias("p")).first()
     p_low, p_high = float(row["p"][0]), float(row["p"][1])
     clipped = F.least(F.greatest(c, F.lit(p_low)), F.lit(p_high))
     return df.agg(

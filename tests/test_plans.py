@@ -326,6 +326,22 @@ def test_winsorize_stats_clip_semantics(spark):
     assert r["mean_after"] == 50.5
 
 
+def test_winsorize_stats_capped_path_bounded_rank_error(spark):
+    # above exact_cap the thresholds come from an accuracy-tuned
+    # percentile_approx sketch: data values within 1/exact_cap relative
+    # rank error of the exact quantile (the engine's cap-and-degrade
+    # contract), never an unbounded exact sort buffer
+    df = spark.createDataFrame([(float(i),) for i in range(1, 101)], "x double")
+    r = ops.winsorize_stats(df, "x", lower=0.10, upper=0.90, exact_cap=50).collect()[0]
+    # rank error bound: 100/50 = 2 ranks around ranks 10 / 90
+    assert 8.0 <= r["p_low"] <= 13.0 and float(r["p_low"]).is_integer()
+    assert 88.0 <= r["p_high"] <= 93.0 and float(r["p_high"]).is_integer()
+    assert r["n"] == 100
+    # clip counts are consistent with whatever thresholds were picked
+    assert r["n_below"] == int(r["p_low"]) - 1
+    assert r["n_above"] == 100 - int(r["p_high"])
+
+
 def test_weighted_group_stats_reduces_to_unweighted(spark, lineitem):
     # unit weights: weighted stats must equal the plain group moments
     df = lineitem.withColumn("one", F.lit(1.0))
