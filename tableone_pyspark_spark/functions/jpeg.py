@@ -8,18 +8,21 @@ byte-stub to real pixel semantics behind the same Arrow-kernel seam
 (``operators/multimodal.py``): payload bytes in, typed metadata /
 pixels out, nothing leaves the executor.
 
-Supported: baseline DCT (SOF0) and progressive (SOF2, spectral
-selection with EOB-run coding), 8-bit, grayscale (1 component) and
+Supported: baseline DCT (SOF0) and progressive (SOF2, both spectral
+selection with EOB-run coding AND successive approximation — DC/AC
+first scans at Al>0, raw-bit DC refinements, G.1.2.3 AC refinement
+with buffered correction bits), 8-bit, grayscale (1 component) and
 YCbCr with sampling factors 1-2 per axis (4:4:4, 4:2:0, 4:2:2 —
 chroma upsampled by T.81-legal sample replication), restart markers,
 standard Huffman/quantization table syntax, per-scan table
-redefinition. Successive approximation (progressive Ah/Al != 0),
-arithmetic coding, 12-bit, and sampling factors >2 raise
+redefinition. Successive approximation is validated the same way
+spectral selection was: an in-repo SA encoder
+(``encode_jpeg_progressive_sa``) writes full-depth refinement scripts
+whose decode is pinned pixel-identical to the BASELINE decode of the
+same image — three independently-written paths must agree.
+Arithmetic coding, 12-bit, and sampling factors >2 raise
 ``NotImplementedError`` — the honest boundary of a dependency-free
-decoder (production swaps PIL/turbojpeg behind the same seam);
-successive approximation in particular cannot be validated against an
-external decoder in this container, and a plausible-but-wrong decode
-is worse than a refusal.
+decoder (production swaps PIL/turbojpeg behind the same seam).
 
 Determinism contract (what makes decoded stats SQL-oracle-checkable):
 quantization uses ``floor(x/q + 0.5)`` and pixel reconstruction uses
@@ -540,13 +543,12 @@ def _skip_to_marker(payload: bytes, pos: int) -> int:
 
 
 def _decode_progressive(payload: bytes, hdr: dict) -> np.ndarray:
-    """Progressive (SOF2) decode, spectral-selection scans: every scan
-    accumulates coefficient levels into per-component buffers; the
-    single dequantize+IDCT pass runs after EOI. Successive
-    approximation (Ah/Al != 0) raises ``NotImplementedError`` — a
-    deliberate boundary: its refinement coding cannot be validated
-    against an external decoder in this container, and a plausible-but-
-    wrong decode is worse than an honest refusal."""
+    """Progressive (SOF2) decode — spectral selection AND successive
+    approximation: every scan accumulates (approximations of)
+    coefficient levels into per-component buffers; the single
+    dequantize+IDCT pass runs after EOI. A complete SA script (refined
+    to Al=0) reconstructs the exact levels, so its decode equals the
+    baseline decode bit-for-bit (the test pin)."""
     w, h, comps = hdr["w"], hdr["h"], hdr["comps"]
     hmax = max(c["hs"] for c in comps)
     vmax = max(c["vs"] for c in comps)
@@ -645,26 +647,24 @@ def _decode_progressive_scan(
     mcuy: int,
 ) -> int:
     ss, se, ah, al = scan["ss"], scan["se"], scan["ah"], scan["al"]
-    if ah != 0 or al != 0:
-        raise NotImplementedError(
-            "JPEG progressive successive approximation (Ah/Al != 0) "
-            "unsupported"
-        )
     scomps = scan["scomps"]
     reader = _BitReader(payload, pos)
     if len(scomps) > 1:
         # interleaved scan: progressive allows DC only (T.81 G.1)
         if ss != 0 or se != 0:
             raise ValueError("JPEG: interleaved progressive AC scan illegal")
-        # resolve (ci, comp, dc table) ONCE per scan, not per MCU
+        # resolve (ci, comp, dc table) ONCE per scan, not per MCU; a
+        # refinement scan (Ah != 0) reads raw bits, no table needed
         resolved = []
         for s in scomps:
             if s["id"] not in comp_by_id:
                 raise ValueError("JPEG: scan names unknown component")
             ci, comp = comp_by_id[s["id"]]
-            dc_tab = htables.get((0, s["td"]))
-            if dc_tab is None:
-                raise ValueError("JPEG: missing DC Huffman table")
+            dc_tab = None
+            if ah == 0:
+                dc_tab = htables.get((0, s["td"]))
+                if dc_tab is None:
+                    raise ValueError("JPEG: missing DC Huffman table")
             resolved.append((ci, comp, dc_tab))
         pred = [0] * len(resolved)
         unit = 0
@@ -676,10 +676,20 @@ def _decode_progressive_scan(
                 for si, (ci, comp, dc_tab) in enumerate(resolved):
                     for v in range(comp["vs"]):
                         for u in range(comp["hs"]):
-                            size = reader.huff(dc_tab)
-                            pred[si] += _extend(reader.bits(size), size)
-                            coefs[ci][by * comp["vs"] + v,
-                                      bx * comp["hs"] + u, 0] = pred[si]
+                            cell = coefs[ci][by * comp["vs"] + v,
+                                             bx * comp["hs"] + u]
+                            if ah == 0:
+                                size = reader.huff(dc_tab)
+                                pred[si] += _extend(reader.bits(size), size)
+                                cell[0] = pred[si] << al
+                            else:
+                                # DC refinement: one raw bit per block;
+                                # += works for negatives too (the point
+                                # transform is an arithmetic shift, so
+                                # the stored value is (v >> ah) << ah
+                                # and the next bit is two's-complement
+                                # additive)
+                                cell[0] += reader.bits(1) << al
                 unit += 1
         return reader.pos
 
@@ -691,9 +701,11 @@ def _decode_progressive_scan(
     if ss == 0:
         if se != 0:
             raise ValueError("JPEG: progressive DC scan must have Se=0")
-        dc_tab = htables.get((0, s["td"]))
-        if dc_tab is None:
-            raise ValueError("JPEG: missing DC Huffman table")
+        dc_tab = None
+        if ah == 0:
+            dc_tab = htables.get((0, s["td"]))
+            if dc_tab is None:
+                raise ValueError("JPEG: missing DC Huffman table")
         pred0 = 0
         unit = 0
         for by in range(bh_e):
@@ -701,15 +713,22 @@ def _decode_progressive_scan(
                 if dri and unit and unit % dri == 0:
                     reader.sync_restart()
                     pred0 = 0
-                size = reader.huff(dc_tab)
-                pred0 += _extend(reader.bits(size), size)
-                coefs[ci][by, bx, 0] = pred0
+                if ah == 0:
+                    size = reader.huff(dc_tab)
+                    pred0 += _extend(reader.bits(size), size)
+                    coefs[ci][by, bx, 0] = pred0 << al
+                else:
+                    coefs[ci][by, bx, 0] += reader.bits(1) << al
                 unit += 1
         return reader.pos
 
     ac_tab = htables.get((1, s["ta"]))
     if ac_tab is None:
         raise ValueError("JPEG: missing AC Huffman table")
+    if ah != 0:
+        return _decode_ac_refine(
+            reader, ac_tab, coefs[ci], bw_e, bh_e, ss, se, al, dri
+        )
     eobrun = 0
     unit = 0
     for by in range(bh_e):
@@ -736,8 +755,92 @@ def _decode_progressive_scan(
                 k += r
                 if k > se:
                     raise ValueError("JPEG: progressive AC band overrun")
-                zz[k] = _extend(reader.bits(sz), sz)
+                zz[k] = _extend(reader.bits(sz), sz) << al
                 k += 1
+    return reader.pos
+
+
+def _refine_nonzero(reader: _BitReader, zz: np.ndarray, k: int, al: int) -> None:
+    """AC refinement correction bit for an already-nonzero coefficient
+    (T.81 G.1.2.3): a 1-bit moves the magnitude outward by 1<<al if
+    that bit of the approximation is still 0."""
+    if reader.bits(1):
+        bit = 1 << al
+        v = int(zz[k])
+        if abs(v) & bit == 0:
+            zz[k] = v + bit if v > 0 else v - bit
+
+
+def _decode_ac_refine(
+    reader: _BitReader,
+    ac_tab: dict,
+    comp_coefs: np.ndarray,
+    bw_e: int,
+    bh_e: int,
+    ss: int,
+    se: int,
+    al: int,
+    dri: int,
+) -> int:
+    """Successive-approximation AC refinement scan (T.81 G.1.2.3):
+    each Huffman symbol either introduces a newly significant ±1<<al
+    coefficient after a run of zero-HISTORY positions, or starts an
+    EOB run; every already-nonzero coefficient passed on the way (and
+    every one covered by an EOB run) consumes one correction bit."""
+    eobrun = 0
+    unit = 0
+    for by in range(bh_e):
+        for bx in range(bw_e):
+            if dri and unit and unit % dri == 0:
+                reader.sync_restart()
+                eobrun = 0
+            unit += 1
+            zz = comp_coefs[by, bx]
+            k = ss
+            if eobrun == 0:
+                while k <= se:
+                    rs = reader.huff(ac_tab)
+                    r, sz = rs >> 4, rs & 0xF
+                    newval = 0
+                    if sz == 0:
+                        if r != 15:
+                            # EOBn: covers the rest of this block (via
+                            # the refinement sweep below) + (run-1)
+                            # further whole blocks
+                            eobrun = (1 << r) + (reader.bits(r) if r else 0)
+                            break
+                        # ZRL: pass 16 zero-history positions
+                    else:
+                        if sz != 1:
+                            raise ValueError(
+                                "JPEG: AC refinement magnitude must be 1"
+                            )
+                        newval = (1 << al) if reader.bits(1) else -(1 << al)
+                    # advance over r zero-history positions, refining
+                    # every already-nonzero coefficient on the way
+                    while k <= se:
+                        if zz[k] != 0:
+                            _refine_nonzero(reader, zz, k, al)
+                        else:
+                            if r == 0:
+                                break
+                            r -= 1
+                        k += 1
+                    if newval:
+                        if k > se:
+                            raise ValueError(
+                                "JPEG: progressive AC band overrun"
+                            )
+                        zz[k] = newval
+                    k += 1
+            if eobrun > 0:
+                # EOB-covered block: only correction bits for its
+                # nonzero band coefficients
+                while k <= se:
+                    if zz[k] != 0:
+                        _refine_nonzero(reader, zz, k, al)
+                    k += 1
+                eobrun -= 1
     return reader.pos
 
 
@@ -1050,15 +1153,20 @@ def _prog_ac_scan(zzs: list[np.ndarray], ss: int, se: int, emit) -> None:
 
 def _encode_scan(build_symbols, tc: int, sos_body: bytes) -> bytes:
     """Two-pass scan assembly: collect the symbol alphabet, build a
-    per-scan uniform Huffman table, emit DHT + SOS + entropy data."""
+    per-scan uniform Huffman table, emit DHT + SOS + entropy data.
+    ``sym=None`` emits raw (non-Huffman) bits — refinement correction
+    bits in successive-approximation scans."""
     seen: list[int] = []
-    build_symbols(lambda sym, _v, _n: seen.append(sym))
+    build_symbols(
+        lambda sym, _v, _n: seen.append(sym) if sym is not None else None
+    )
     bits, vals, enc = _uniform_table(seen)
     writer = _BitWriter()
 
-    def emit(sym: int, v: int, nbits: int) -> None:
-        code, length = enc[sym]
-        writer.write(code, length)
+    def emit(sym: int | None, v: int, nbits: int) -> None:
+        if sym is not None:
+            code, length = enc[sym]
+            writer.write(code, length)
         if nbits:
             writer.write(v, nbits)
 
@@ -1066,40 +1174,20 @@ def _encode_scan(build_symbols, tc: int, sos_body: bytes) -> bytes:
     return _dht_segment(tc, 0, bits, vals) + _seg(0xDA, sos_body) + writer.flush()
 
 
-def encode_jpeg_progressive(
-    arr: np.ndarray,
-    qtable: np.ndarray | None = None,
-    bands: tuple = ((1, 5), (6, 63)),
-) -> bytes:
-    """Progressive (SOF2, spectral selection) writer: one interleaved
-    DC scan, then per-component AC band scans with EOB-run coding and
-    per-scan uniform Huffman tables (EOBn symbols 0x10-0xE0 are not in
-    the Annex K baseline table, so progressive scans carry their own
-    DHT — as real encoders do). Grayscale or RGB 4:4:4. Quantized
-    levels are identical to the baseline encoder's, so progressive
-    decode must reproduce baseline decode EXACTLY (the test pin)."""
+def _prog_setup(
+    arr: np.ndarray, qtable: np.ndarray | None
+) -> tuple[list[list[np.ndarray]], int, int, int, int, int, bytes]:
+    """Shared head of the progressive writers: color transform,
+    quantized zigzag levels per component, and the DQT+SOF2 prefix."""
     arr = np.asarray(arr, dtype=np.uint8)
     if arr.ndim == 2:
         arr = arr[:, :, None]
     h, w, nc = arr.shape
     if nc not in (1, 3):
-        raise ValueError("encode_jpeg_progressive takes (h,w), (h,w,1) or (h,w,3)")
+        raise ValueError(
+            "progressive encoders take (h,w), (h,w,1) or (h,w,3)"
+        )
     qt = _QTABLE_LUMA if qtable is None else np.asarray(qtable, dtype=np.int64)
-    lo = hi = None
-    for a, b in bands:
-        if not (1 <= a <= b <= 63):
-            raise ValueError(f"invalid spectral band {(a, b)}")
-        if lo is None:
-            lo, hi = a, b
-            if a != 1:
-                raise ValueError("bands must start at 1")
-        else:
-            if a != hi + 1:
-                raise ValueError("bands must be contiguous")
-            hi = b
-    if hi != 63:
-        raise ValueError("bands must end at 63")
-
     if nc == 3:
         r = arr[:, :, 0].astype(np.float64)
         g = arr[:, :, 1].astype(np.float64)
@@ -1127,7 +1215,37 @@ def encode_jpeg_progressive(
     dqt = _seg(0xDB, b"\x00" + zz_qt)
     sof_comps = b"".join(bytes([i + 1, 0x11, 0]) for i in range(nc))
     sof = _seg(0xC2, struct.pack(">BHHB", 8, h, w, nc) + sof_comps)
-    out = JPEG_MAGIC + dqt + sof
+    return zz_by_comp, nc, w, h, bw, bh, JPEG_MAGIC + dqt + sof
+
+
+def encode_jpeg_progressive(
+    arr: np.ndarray,
+    qtable: np.ndarray | None = None,
+    bands: tuple = ((1, 5), (6, 63)),
+) -> bytes:
+    """Progressive (SOF2, spectral selection) writer: one interleaved
+    DC scan, then per-component AC band scans with EOB-run coding and
+    per-scan uniform Huffman tables (EOBn symbols 0x10-0xE0 are not in
+    the Annex K baseline table, so progressive scans carry their own
+    DHT — as real encoders do). Grayscale or RGB 4:4:4. Quantized
+    levels are identical to the baseline encoder's, so progressive
+    decode must reproduce baseline decode EXACTLY (the test pin)."""
+    lo = hi = None
+    for a, b in bands:
+        if not (1 <= a <= b <= 63):
+            raise ValueError(f"invalid spectral band {(a, b)}")
+        if lo is None:
+            lo, hi = a, b
+            if a != 1:
+                raise ValueError("bands must start at 1")
+        else:
+            if a != hi + 1:
+                raise ValueError("bands must be contiguous")
+            hi = b
+    if hi != 63:
+        raise ValueError("bands must end at 63")
+
+    zz_by_comp, nc, w, h, bw, bh, out = _prog_setup(arr, qtable)
 
     # scan 1: DC, all components interleaved (per-MCU = per-block at
     # 1x1 sampling; component order fixed)
@@ -1153,5 +1271,137 @@ def encode_jpeg_progressive(
 
             sos_ac = bytes([1, ci + 1, 0x00, a, b2, 0])
             out += _encode_scan(ac, 1, sos_ac)
+
+    return out + b"\xff\xd9"
+
+
+def _prog_ac_refine_scan(
+    zzs: list[np.ndarray], ss: int, se: int, al: int, emit
+) -> None:
+    """Successive-approximation AC refinement encoder (T.81 G.1.2.3,
+    the jcphuff ``encode_mcu_AC_refine`` shape): ``zzs`` hold the TRUE
+    quantized levels; Ah is implicitly ``al + 1``. Correction bits for
+    already-significant coefficients are buffered and emitted after the
+    next symbol (ZRL / newly-significant / EOBn) — exactly the order
+    the decoder's positional advance consumes them in. ZRLs are only
+    emitted up to the last newly-significant coefficient; trailing
+    runs fold into the EOB run with their buffered bits."""
+    eobrun = 0
+    be_bits: list[int] = []
+
+    def flush_eob() -> None:
+        nonlocal eobrun
+        if eobrun:
+            nbits = eobrun.bit_length() - 1
+            emit(nbits << 4, eobrun - (1 << nbits), nbits)
+            for b in be_bits:
+                emit(None, b, 1)
+            be_bits.clear()
+            eobrun = 0
+
+    for zz in zzs:
+        mags = [abs(int(zz[k])) >> al for k in range(ss, se + 1)]
+        eob_idx = -1  # index of the LAST newly-significant coefficient
+        for i, t in enumerate(mags):
+            if t == 1:
+                eob_idx = i
+        r = 0
+        br: list[int] = []
+        for i, t in enumerate(mags):
+            if t == 0:
+                r += 1
+                continue
+            while r > 15 and i <= eob_idx:
+                flush_eob()
+                emit(0xF0, 0, 0)
+                r -= 16
+                for b in br:
+                    emit(None, b, 1)
+                br = []
+            if t > 1:  # significant in an earlier scan: correction bit
+                br.append(t & 1)
+                continue
+            flush_eob()
+            emit((r << 4) | 1, 1 if int(zz[ss + i]) > 0 else 0, 1)
+            for b in br:
+                emit(None, b, 1)
+            br = []
+            r = 0
+        if r > 0 or br:
+            eobrun += 1
+            be_bits.extend(br)
+            if eobrun == 0x7FFF:
+                flush_eob()
+    flush_eob()
+
+
+def encode_jpeg_progressive_sa(
+    arr: np.ndarray,
+    qtable: np.ndarray | None = None,
+    dc_al: int = 1,
+    ac_al: int = 2,
+) -> bytes:
+    """Progressive (SOF2) writer with SUCCESSIVE APPROXIMATION — the
+    fixture generator that validates the Ah/Al decode path the same way
+    the SOF2 encoder validated spectral selection: the scan script
+    refines every coefficient all the way to Al=0, so the decoded
+    pixels must be IDENTICAL to the baseline decode of the same image
+    (the test pin). Script: interleaved DC first scan at Al=``dc_al``
+    then raw-bit DC refinements down to 0; per component, an AC first
+    scan (1..63) at Al=``ac_al`` then refinement scans down to 0.
+    Grayscale or RGB 4:4:4."""
+    if dc_al < 1 or ac_al < 1:
+        raise ValueError("dc_al and ac_al must be >= 1 for an SA script")
+    zz_by_comp, nc, w, h, bw, bh, out = _prog_setup(arr, qtable)
+    nblocks = bh * bw
+
+    # DC first scan: diffs of the point-transformed values (arithmetic
+    # shift, T.81 G.1.2.1), all components interleaved
+    def dc_first(emit):
+        preds = [0] * nc
+        for bi in range(nblocks):
+            for ci in range(nc):
+                v = int(zz_by_comp[ci][bi][0]) >> dc_al
+                diff = v - preds[ci]
+                preds[ci] = v
+                s = _category(diff)
+                emit(s, diff if diff >= 0 else diff + (1 << s) - 1, s)
+
+    sos_dc = bytes([nc]) + b"".join(bytes([i + 1, 0x00]) for i in range(nc)) \
+        + bytes([0, 0, dc_al])
+    out += _encode_scan(dc_first, 0, sos_dc)
+
+    # DC refinement scans: one raw bit per block per component, no
+    # Huffman table at all (T.81 G.1.2.1)
+    for al in range(dc_al - 1, -1, -1):
+        writer = _BitWriter()
+        for bi in range(nblocks):
+            for ci in range(nc):
+                writer.write((int(zz_by_comp[ci][bi][0]) >> al) & 1, 1)
+        sos = bytes([nc]) + b"".join(
+            bytes([i + 1, 0x00]) for i in range(nc)
+        ) + bytes([0, 0, ((al + 1) << 4) | al])
+        out += _seg(0xDA, sos) + writer.flush()
+
+    # AC scans per component: first scan at ac_al, then refinements
+    for ci in range(nc):
+        transformed = [
+            np.sign(zz) * (np.abs(zz) >> ac_al) for zz in zz_by_comp[ci]
+        ]
+
+        def ac_first(emit, _t=transformed):
+            _prog_ac_scan(_t, 1, 63, emit)
+
+        out += _encode_scan(
+            ac_first, 1, bytes([1, ci + 1, 0x00, 1, 63, ac_al])
+        )
+        for al in range(ac_al - 1, -1, -1):
+            def ac_ref(emit, _ci=ci, _al=al):
+                _prog_ac_refine_scan(zz_by_comp[_ci], 1, 63, _al, emit)
+
+            out += _encode_scan(
+                ac_ref, 1,
+                bytes([1, ci + 1, 0x00, 1, 63, ((al + 1) << 4) | al]),
+            )
 
     return out + b"\xff\xd9"

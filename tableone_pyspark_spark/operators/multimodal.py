@@ -408,10 +408,12 @@ def synthesize_jpeg_corpus(
     end-to-end grade of a real entropy-coded DCT codec. One Arrow
     pass; payloads never leave the executor.
 
-    Format variety (mirrors the PNG corpus): ODD ids encode as
-    PROGRESSIVE (SOF2) JPEGs, even ids as baseline — flat blocks
-    decode identically either way, so the same oracle grades both the
-    baseline and the multi-scan progressive decode paths."""
+    Format variety (mirrors the PNG corpus): even ids encode as
+    baseline, ids % 4 == 1 as PROGRESSIVE (SOF2, spectral selection),
+    ids % 4 == 3 as progressive with SUCCESSIVE APPROXIMATION (Ah/Al
+    refinement scans) — flat blocks decode identically in all three,
+    so the same oracle grades the baseline, multi-scan spectral, and
+    SA-refinement decode paths."""
     src = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("txt"))
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -430,7 +432,9 @@ def synthesize_jpeg_corpus(
                 ]
                 arr = np.repeat(np.repeat(vals.reshape(-1, 1), 8, axis=0), 8, axis=1)
                 ids.append(int(i))
-                if int(i) % 2 == 1:
+                if int(i) % 4 == 3:
+                    payloads.append(_jpeg.encode_jpeg_progressive_sa(arr))
+                elif int(i) % 2 == 1:
                     payloads.append(_jpeg.encode_jpeg_progressive(arr))
                 else:
                     payloads.append(_jpeg.encode_jpeg_gray(arr))

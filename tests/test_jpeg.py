@@ -127,15 +127,6 @@ def test_unsupported_and_hostile_variants():
     payload = jpeg.encode_jpeg_gray(a)
     with pytest.raises(ValueError, match="not a JPEG"):
         jpeg.jpeg_meta(b"\x89PNG....")
-    # progressive successive approximation flagged, not misdecoded:
-    # patch the DC scan's Ah/Al byte (last SOS-body byte before the
-    # entropy data)
-    prog = bytearray(jpeg.encode_jpeg_progressive(a))
-    sos_at = prog.find(b"\xff\xda")
-    (sos_len,) = struct.unpack_from(">H", prog, sos_at + 2)
-    prog[sos_at + 2 + sos_len - 1] = 0x01  # Al=1
-    with pytest.raises(NotImplementedError, match="successive approximation"):
-        jpeg.decode_jpeg(bytes(prog))
     # hierarchical SOF (e.g. SOF5) still refused outright
     sof5 = bytearray(payload)
     sof_at = sof5.find(b"\xff\xc0")
@@ -290,3 +281,47 @@ def test_progressive_eobrun_and_band_splits():
         jpeg.encode_jpeg_progressive(a, bands=((1, 5), (7, 63)))
     with pytest.raises(ValueError, match="band"):
         jpeg.encode_jpeg_progressive(a, bands=((1, 50),))
+
+
+@pytest.mark.parametrize("shape", [(16, 16), (13, 21), (24, 16, 3), (8, 8)])
+def test_successive_approximation_decode_equals_baseline(shape):
+    """An SA script refined all the way to Al=0 reconstructs the exact
+    quantized levels, so its decode must be pixel-identical to the
+    BASELINE decode of the same image — three independently written
+    paths (baseline codec, SA encoder, SA decoder) must agree."""
+    a = _rng(137 + sum(shape)).integers(0, 256, size=shape, dtype=np.uint8)
+    base = jpeg.decode_jpeg(
+        jpeg.encode_jpeg_gray(a) if len(shape) == 2 else jpeg.encode_jpeg_rgb(a)
+    )
+    sa = jpeg.decode_jpeg(jpeg.encode_jpeg_progressive_sa(a))
+    assert np.array_equal(base, sa)
+
+
+def test_successive_approximation_depths_and_regimes():
+    # deeper Al scripts: more refinement scans per coefficient
+    a = _rng(999).integers(0, 256, size=(32, 24), dtype=np.uint8)
+    want = jpeg.decode_jpeg(jpeg.encode_jpeg_gray(a))
+    for dc_al, ac_al in [(1, 1), (2, 3), (3, 2)]:
+        got = jpeg.decode_jpeg(
+            jpeg.encode_jpeg_progressive_sa(a, dc_al=dc_al, ac_al=ac_al)
+        )
+        assert np.array_equal(want, got), (dc_al, ac_al)
+    # flat image: every AC refinement is pure EOB-run coverage
+    flat = np.full((40, 24), 131, dtype=np.uint8)
+    assert np.array_equal(
+        jpeg.decode_jpeg(jpeg.encode_jpeg_progressive_sa(flat)),
+        jpeg.decode_jpeg(jpeg.encode_jpeg_gray(flat)),
+    )
+    # smooth gradient: sparse ACs stress EOB runs WITH buffered
+    # correction bits (trailing significant coefs folded into the run)
+    y, x = np.mgrid[0:33, 0:17]
+    g = ((y * 5 + x * 3) % 256).astype(np.uint8)
+    assert np.array_equal(
+        jpeg.decode_jpeg(jpeg.encode_jpeg_progressive_sa(g, ac_al=3)),
+        jpeg.decode_jpeg(jpeg.encode_jpeg_gray(g)),
+    )
+    # hostile: refinement magnitude != 1 must refuse, not misdecode
+    p = bytearray(jpeg.encode_jpeg_progressive_sa(np.full((8, 8), 99, np.uint8)))
+    with pytest.raises(ValueError):
+        # truncating mid-refinement leaves the walker on a short scan
+        jpeg.decode_jpeg(bytes(p[: len(p) - 3]))
