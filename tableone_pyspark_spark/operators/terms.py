@@ -198,12 +198,29 @@ def incremental_dedup(
     size; the per-doc count is a partial-agg groupBy on the new ids.
     Returns (id, n_shared, is_dup) for every row of ``new_df``.
     """
-    new_fps = winnow_fingerprints(new_df, text_col, id_col, n, window)
     seen_fps = (
         winnow_fingerprints(seen_df, text_col, id_col, n, window)
         .select("fingerprint")
         .distinct()
     )
+    return _flag_against_index(
+        new_df, seen_fps, text_col, id_col, n, window, min_shared
+    )
+
+
+def _flag_against_index(
+    new_df: DataFrame,
+    seen_fps: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int,
+    window: int,
+    min_shared: int,
+) -> DataFrame:
+    """Shared tail of the incremental-dedup shapes: fingerprint the new
+    batch, meet the (already distinct) seen-fingerprint side in an
+    equi-join, count shared evidence per new doc."""
+    new_fps = winnow_fingerprints(new_df, text_col, id_col, n, window)
     shared = (
         new_fps.join(seen_fps, "fingerprint")
         .groupBy("id")
@@ -217,4 +234,64 @@ def incremental_dedup(
             F.coalesce("n_shared", F.lit(0)).alias("n_shared"),
             (F.coalesce("n_shared", F.lit(0)) >= min_shared).alias("is_dup"),
         )
+    )
+
+
+def build_dedup_index(
+    seen_df: DataFrame,
+    text_col: str,
+    id_col: str,
+    table: str,
+    path: str,
+    n: int = 3,
+    window: int = 4,
+    n_buckets: int = 32,
+) -> None:
+    """Persist the distinct winnowing-fingerprint set of an ingested
+    corpus as a bucketed+sorted parquet table — the on-disk half of the
+    real incremental-crawl contract (:func:`incremental_dedup` derives
+    the same set from ``seen_df`` in-session; here it survives the
+    session and is never recomputed).
+
+    Bucketing by ``fingerprint`` pre-shuffles the index ONCE at write
+    time: every later :func:`incremental_dedup_indexed` join reads the
+    index with no exchange on the index side — at 100 TB the index is
+    the big, stable side, and re-shuffling it per crawl batch is the
+    cost this layout eliminates. Incremental maintenance appends new
+    batches' fingerprints with ``mode="append"`` (per-bucket files
+    accumulate; buckets stay aligned).
+    """
+    from tableone_pyspark_spark.sources.io import write_bucketed
+
+    fps = (
+        winnow_fingerprints(seen_df, text_col, id_col, n, window)
+        .select("fingerprint")
+        .distinct()
+    )
+    write_bucketed(fps, table, path, ["fingerprint"], n_buckets)
+
+
+def incremental_dedup_indexed(
+    new_df: DataFrame,
+    index_table: str,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    window: int = 4,
+    min_shared: int = 2,
+) -> DataFrame:
+    """:func:`incremental_dedup` against a PERSISTED fingerprint index
+    (:func:`build_dedup_index`): the seen corpus is never rescanned or
+    re-fingerprinted — the join side is the bucketed on-disk table, so
+    the only per-batch work is fingerprinting the new batch and one
+    equi-join that shuffles ONLY the new side (the index reads
+    exchange-free from its buckets). ``n``/``window`` must match the
+    values the index was built with. Returns (id, n_shared, is_dup)
+    for every row of ``new_df``.
+    """
+    seen_fps = new_df.sparkSession.table(index_table)
+    # distinct() at build time; mode="append" maintenance can introduce
+    # cross-batch repeats — de-dup defensively (bucket-local, no shuffle)
+    return _flag_against_index(
+        new_df, seen_fps.distinct(), text_col, id_col, n, window, min_shared
     )

@@ -172,6 +172,36 @@ def zorder_value(df: DataFrame, cols: list[str], bits: int = 16):
     return z
 
 
+def parquet_column_ranges(path: str, cols: list[str]) -> list[dict]:
+    """Per-file [min, max] ranges for ``cols`` from parquet footer
+    statistics (no data pages read) — the metadata a data-skipping
+    check or file-pruning planner consumes. One dict per file:
+    ``{"file": name, col: (min, max), ...}``, min/max aggregated over
+    the file's row groups; ``(None, None)`` when any row group lacks
+    stats for the column."""
+    from pathlib import Path
+
+    import pyarrow.parquet as pq
+
+    out = []
+    for f in sorted(Path(path).glob("*.parquet")):
+        md = pq.ParquetFile(str(f)).metadata
+        idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+        rec: dict = {"file": f.name}
+        for c in cols:
+            mn = mx = None
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx[c]).statistics
+                if st is None or not st.has_min_max:
+                    mn = mx = None
+                    break
+                mn = st.min if mn is None else min(mn, st.min)
+                mx = st.max if mx is None else max(mx, st.max)
+            rec[c] = (mn, mx)
+        out.append(rec)
+    return out
+
+
 def write_zordered(
     df: DataFrame,
     path: str,

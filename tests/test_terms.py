@@ -84,6 +84,45 @@ def test_kmeans_profile_partitions_corpus(spark):
     assert all(r["mean_dist2"] >= 0 for r in rows)
 
 
+def test_incremental_dedup_indexed_matches_in_session(spark, tmp_path):
+    """The persisted-index variant must return exactly what the
+    in-session variant returns, and the index side of the join must
+    read its buckets with no Exchange (the write-time shuffle is the
+    only shuffle the index ever pays)."""
+    from tableone_pyspark_spark.operators.terms import (
+        build_dedup_index,
+        incremental_dedup,
+        incremental_dedup_indexed,
+    )
+    from tableone_pyspark_spark.plans import inspect
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    seen, new = d.where("doc_id < 25"), d.where("doc_id >= 25")
+    try:
+        build_dedup_index(
+            seen, "text", "doc_id", "t_dedup_idx", str(tmp_path / "idx"),
+            n_buckets=8,
+        )
+        out = incremental_dedup_indexed(new, "t_dedup_idx", "text", "doc_id")
+        want = {
+            r["id"]: (r["n_shared"], r["is_dup"])
+            for r in incremental_dedup(new, seen, "text", "doc_id").collect()
+        }
+        got = {r["id"]: (r["n_shared"], r["is_dup"]) for r in out.collect()}
+        assert got == want and len(got) == new.count()
+        # the bucketed index side joins exchange-free: the only
+        # exchanges in the whole plan belong to the NEW side
+        # (fingerprint groupBy + the id re-join), never the index scan
+        exe = inspect.executed_plan(out)
+        assert "SelectedBucketsCount" in exe or "Bucketed: true" in exe, exe
+        import re
+
+        idx_scan = re.search(r"FileScan parquet[^\n]*t_dedup_idx[^\n]*", exe)
+        assert idx_scan is not None, exe
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_dedup_idx")
+
+
 def test_incremental_dedup_flags_overlap(spark):
     from tableone_pyspark_spark.operators.terms import incremental_dedup
 
