@@ -232,3 +232,98 @@ def test_weighted_quantiles_match_numpy_reference(spark, rows):
         for s in strat_names:
             sub = [r for r in rows if r[0] == s]
             assert row[s] == ref(sub)[k], (s, p)
+
+
+# ---- weighted partition invariance under FRACTIONAL weights ---------------
+
+wfrac_rows = st.lists(
+    st.tuples(
+        st.sampled_from(["a", "b", None]),                     # strat
+        st.one_of(st.none(), st.floats(-1e3, 1e3, allow_nan=False)),
+        st.floats(0.01, 10.0, allow_nan=False),                # fractional w
+    ),
+    min_size=2,
+    max_size=40,
+)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(rows=wfrac_rows, seed=st.integers(0, 2**31 - 1))
+def test_weighted_partition_invariance_fractional_weights(spark, rows, seed):
+    """Weighted TableOne under truly FRACTIONAL weights (the integral /
+    dyadic pin above keeps every cumsum exact; this one does not):
+    moment rows must be partition-invariant up to summation-reorder
+    float error (the ca1b282 bound), and the weighted disc quantiles of
+    BOTH partitionings must satisfy the rank definition
+    min{x : cumSw >= p*Sw} within a cum-weight float tolerance — the
+    honest contract once a cum-weight boundary can land within float
+    noise of p*total, where either adjacent data value is a correct
+    IEEE answer."""
+    import random
+
+    def build(rs):
+        return spark.createDataFrame(
+            rs, "strat string, x double, w double"
+        )
+
+    df1 = build(rows)
+    shuffled = list(rows)
+    random.Random(seed).shuffle(shuffled)
+    df2 = build(shuffled).repartition(7)
+    out1 = tableone(
+        df1, col_to_strat="strat", cols_to_analyze=["x"], weight_col="w"
+    ).collect()
+    out2 = tableone(
+        df2, col_to_strat="strat", cols_to_analyze=["x"], weight_col="w"
+    ).collect()
+
+    k1 = {(r["Index"], r["Values"]): r for r in out1}
+    k2 = {(r["Index"], r["Values"]): r for r in out2}
+    assert k1.keys() == k2.keys()
+    q_label = {"25th percentile": 0.25, "50th percentile": 0.5,
+               "75th percentile": 0.75}
+    strat_cols = sorted({s if s is not None else "MISSING" for s, _x, _w in rows})
+    val_cols = ["All_Patients"] + strat_cols
+
+    for key, ra in k1.items():
+        rb = k2[key]
+        if key[1] in q_label:
+            continue  # graded by the rank-validity check below
+        for c in val_cols:
+            va, vb = ra[c], rb[c]
+            if isinstance(va, float) and isinstance(vb, float):
+                assert (math.isnan(va) and math.isnan(vb)) or math.isclose(
+                    va, vb, rel_tol=1e-9, abs_tol=1e-6
+                ), (key, c)
+            else:
+                assert va == vb, (key, c)
+
+    def sub_rows(col):
+        return [
+            (x, w) for s, x, w in rows
+            if x is not None
+            and (col == "All_Patients" or (s if s is not None else "MISSING") == col)
+        ]
+
+    def q_valid(sub, p, got):
+        if not sub:
+            return got is None
+        xs = sorted({x for x, _ in sub})
+        cum, t = {}, 0.0
+        for x in xs:
+            t = math.fsum([t] + [w for x2, w in sub if x2 == x])
+            cum[x] = t
+        eps = 1e-7 * max(1.0, t)
+        if got not in cum:
+            return False
+        i = xs.index(got)
+        below = cum[xs[i - 1]] if i else 0.0
+        target = p * t
+        return cum[got] >= target - eps and below < target + eps
+
+    for (idx, lab), p in [(k, p) for k in k1 for p in [q_label.get(k[1])] if p]:
+        for col in val_cols:
+            sub = sub_rows(col)
+            for run in (k1, k2):
+                got = run[(idx, lab)][col]
+                assert q_valid(sub, p, got), (lab, col, got)
