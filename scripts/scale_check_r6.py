@@ -66,6 +66,37 @@ def main() -> None:
     timed("winsorize 10x UNCAPPED exact (old behavior, cap=100M)",
           lambda: winsorize_stats(big, "l_extendedprice", exact_cap=100_000_000))
 
+    # indexed incremental dedup: build once (the amortized cost), then
+    # per-batch queries at 1x and 10x-fresh-docs scale — the contrast
+    # vs incremental_dedup is that the seen corpus is NEVER re-read
+    import time as _t
+
+    from tableone_pyspark_spark.operators.terms import (
+        build_dedup_index,
+        incremental_dedup,
+        incremental_dedup_indexed,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    seen = docs.where("doc_id < 2500")
+    new = docs.where("doc_id >= 2500")
+    t0 = _t.perf_counter()
+    build_dedup_index(
+        seen, "text", "doc_id", "t_scale_idx",
+        "/root/repo/spark-warehouse/t_scale_idx",
+    )
+    print(f"index build (one-time, 2.5k docs): {_t.perf_counter() - t0:.2f} s")
+    timed("indexed dedup 1x batch (2.5k new docs)",
+          lambda: incremental_dedup_indexed(new, "t_scale_idx", "text", "doc_id"))
+    timed("indexed dedup 10x batch (25k new docs)",
+          lambda: incremental_dedup_indexed(x10(new), "t_scale_idx", "text", "doc_id"))
+    from tableone_pyspark_spark.core.memo import memo_clear
+
+    memo_clear("winnow_fps")  # fair contrast: no cached fingerprint builds
+    timed("in-session dedup 1x batch (re-fingerprints seen corpus too)",
+          lambda: incremental_dedup(new, seen, "text", "doc_id"))
+    spark.sql("DROP TABLE IF EXISTS t_scale_idx")
+
     spark.stop()
 
 
