@@ -2,8 +2,9 @@
 columns with typed metadata, processed by Arrow-batched pandas
 iterators (``mapInPandas``).
 
-PNG payloads decode for REAL via the dependency-free codec in
-``functions/png.py`` (magic-byte dispatch): true pixels feed
+PNG, baseline/progressive JPEG, and GIF payloads decode for REAL via
+the dependency-free codecs in ``functions/png.py`` / ``jpeg.py`` /
+``gif.py`` (magic-byte dispatch): true pixels feed
 ``image_metadata``/``image_phash``/``resize_png``. Other formats have
 no codec in this container, so their kernels remain deterministic
 fakes behind the same ``_decode_*`` seams (clearly marked; swap in
@@ -53,9 +54,9 @@ FRAME_SCHEMA = T.StructType(
 def _decode_image(payload: bytes) -> tuple[int, int, int, float]:
     """Decode (width, height, channels, mean_intensity).
 
-    PNG and baseline-JPEG payloads (magic-byte sniff) decode for REAL
-    via the pure-Python codecs in ``functions/png.py`` /
-    ``functions/jpeg.py`` — actual pixels, actual mean. Any other
+    PNG, JPEG, and GIF payloads (magic-byte sniff) decode for REAL via
+    the pure-Python codecs in ``functions/png.py`` / ``jpeg.py`` /
+    ``gif.py`` — actual pixels, actual mean. Any other
     payload falls back to the deterministic byte-stub (no other codecs
     in this container; production swaps PIL/turbojpeg into this same
     seam — the Spark plumbing is unchanged either way)."""
@@ -63,7 +64,7 @@ def _decode_image(payload: bytes) -> tuple[int, int, int, float]:
         raise NotImplementedError("empty payload: real decoder required")
     import numpy as np
 
-    from tableone_pyspark_spark.functions import jpeg, png
+    from tableone_pyspark_spark.functions import gif, jpeg, png
 
     if png.is_png(payload):
         arr = png.decode_png(payload)
@@ -72,6 +73,10 @@ def _decode_image(payload: bytes) -> tuple[int, int, int, float]:
         return ww, hh, cc, float(arr.mean() / scale)
     if jpeg.is_jpeg(payload):
         arr = jpeg.decode_jpeg(payload)
+        hh, ww, cc = arr.shape
+        return ww, hh, cc, float(arr.mean() / 255.0)
+    if gif.is_gif(payload):
+        arr = gif.decode_gif(payload)  # first frame on the logical screen
         hh, ww, cc = arr.shape
         return ww, hh, cc, float(arr.mean() / 255.0)
 
@@ -438,6 +443,59 @@ def synthesize_jpeg_corpus(
                     payloads.append(_jpeg.encode_jpeg_progressive(arr))
                 else:
                     payloads.append(_jpeg.encode_jpeg_gray(arr))
+            yield pd.DataFrame({"id": ids, "payload": payloads})
+
+    return src.mapInPandas(kernel, PNG_CORPUS_SCHEMA)
+
+
+def synthesize_gif_corpus(
+    df: DataFrame, id_col: str, text_col: str, w: int = 16, h: int = 16
+) -> DataFrame:
+    """GIF twin of :func:`synthesize_png_corpus`: pixel (r, c) of a
+    w x h frame is byte ``(r*w + c) mod len`` of the row's text,
+    encoded through an identity 256-gray palette — GIF is lossless
+    (LZW over palette indices), so the decoded mean is the exact mean
+    of those source bytes and the SAME SQL oracle arithmetic as the
+    PNG corpus applies (channels always 3: palette expands to RGB).
+
+    Format variety (all four grade through one oracle because pixels
+    are identical): ODD ids write INTERLACED frames (4-pass row
+    reorder), even ids sequential; ids % 4 == 2 write GIF87a headers,
+    the rest GIF89a; ids % 4 == 1 prepend a Graphic Control Extension
+    (delay only, no transparency — pixels unchanged) so the extension
+    walker is exercised under grading. One Arrow pass; payloads never
+    leave the executor."""
+    src = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("txt"))
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from tableone_pyspark_spark.functions import gif as _gif
+
+        gray_pal = np.repeat(
+            np.arange(256, dtype=np.uint8)[:, None], 3, axis=1
+        )
+        for pdf in batches:
+            ids, payloads = [], []
+            for i, txt in zip(pdf["id"], pdf["txt"]):
+                raw = txt.encode("utf-8")
+                if not raw:
+                    continue  # mirrored by length(text) > 0 in oracles
+                idx = np.arange(w * h, dtype=np.int64) % len(raw)
+                arr = np.frombuffer(raw, dtype=np.uint8)[idx].reshape(h, w)
+                i = int(i)
+                version = b"87a" if i % 4 == 2 else b"89a"
+                if i % 4 == 1:
+                    payload = _gif.encode_gif_animation(
+                        [(arr, 0, 0, 0, 5, None)], gray_pal, w, h,
+                        interlace=bool(i % 2), version=version,
+                    )
+                else:
+                    payload = _gif.encode_gif(
+                        arr, gray_pal, interlace=bool(i % 2), version=version
+                    )
+                ids.append(i)
+                payloads.append(payload)
             yield pd.DataFrame({"id": ids, "payload": payloads})
 
     return src.mapInPandas(kernel, PNG_CORPUS_SCHEMA)
