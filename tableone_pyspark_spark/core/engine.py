@@ -137,16 +137,18 @@ def tableone(
     an extension; the reference has no weights). Weights are FREQUENCY
     weights: every count becomes Σw, means/stddevs use Σwx/Σwx² with
     the frequency-weight sample variance, category percents are
-    Σw-fractions, quartiles are exact weighted ``quantile_disc``
-    (min x with cumΣw ≥ p·Σw, an extra bounded job — see
-    core/sufficient.py), and hypothesis tests consume the weighted
+    Σw-fractions, quartiles honor ``quantile_mode`` (an extra bounded
+    job either way — see core/sufficient.py): the default ``"data"``
+    is exact weighted ``quantile_disc`` (min x with cumΣw ≥ p·Σw);
+    ``"interpolated"`` blends at continuous index p·(Σw−1) of the
+    weight-expanded multiset. Hypothesis tests consume the weighted
     moments/counts (valid for frequency weights; probability-survey
     designs need design-effect corrections that are out of scope).
     Defined behavior: integer weights reproduce the unweighted table
-    on a row-replicated frame exactly (pinned by test). Rows with
-    null/non-positive weight are excluded; min/max describe the
-    surviving rows. Count columns are typed double (Σw is fractional
-    in general). ``quantile_mode`` is ignored in weighted mode.
+    on a row-replicated frame exactly in BOTH quantile modes (pinned
+    by test + oracle). Rows with null/non-positive weight are
+    excluded; min/max describe the surviving rows. Count columns are
+    typed double (Σw is fractional in general).
     """
     cfg = config or TableOneConfig()
     if not cols_to_analyze:

@@ -369,12 +369,40 @@ def collect_sufficient(
             F.broadcast(off), part + ["__bk"]
         )
         cum = F.col("__loc") + F.col("__off")
-        qaggs = [
-            F.min(
-                F.when(cum >= F.lit(p) * F.col("tw"), F.col("t1_x"))
-            ).alias(f"wq_{int(p * 100)}")
-            for p in (0.25, 0.5, 0.75)
-        ]
+        if quantile_mode == "interpolated":
+            # expanded-index interpolation: with W = Σw, the quantile
+            # sits at continuous index t = p·(W−1) of the
+            # weight-expanded sorted multiset; value_at(j) =
+            # min{x : cum > j} (inclusive cumΣw), linearly blended
+            # between floor(t) and floor(t)+1. Integral weights
+            # reproduce numpy.percentile(linear) on the row-replicated
+            # array exactly (pinned by test + row-expansion oracle);
+            # fractional weights generalize by treating cumΣw as the
+            # continuous index. t/frac are group constants (tw is), so
+            # F.min just extracts them alongside the conditional mins.
+            qaggs = []
+            for p in (0.25, 0.5, 0.75):
+                t = F.lit(p) * (F.col("tw") - F.lit(1.0))
+                j0 = F.floor(t).cast("double")
+                lo = F.min(F.when(cum > j0, F.col("t1_x")))
+                hi = F.coalesce(
+                    F.min(F.when(cum > j0 + 1, F.col("t1_x"))),
+                    F.max("t1_x"),
+                )
+                frac = F.min(t - j0)
+                qaggs.append(
+                    (lo + frac * (hi - lo)).alias(f"wq_{int(p * 100)}")
+                )
+        else:
+            # "data" mode: weighted quantile_disc — min x with
+            # cumΣw ≥ p·Σw (== quantile_disc at w=1: min{k: k ≥ p·n}
+            # is ceil(p·n))
+            qaggs = [
+                F.min(
+                    F.when(cum >= F.lit(p) * F.col("tw"), F.col("t1_x"))
+                ).alias(f"wq_{int(p * 100)}")
+                for p in (0.25, 0.5, 0.75)
+            ]
         rows = ranked.groupBy(*part).agg(*qaggs).collect()
         if stratified:
             remap = []

@@ -436,6 +436,28 @@ def test_weighted_quantile_disc_fractional_weights(spark):
     assert out[(1.3, "max")]["All_Patients"] == 4.0
 
 
+def test_weighted_quantile_interpolated_fractional_weights(spark):
+    """Interpolated weighted quartile with FRACTIONAL weights, checked
+    by hand: t = p*(SUMw-1); value_at(j) = min x with cumSUMw > j;
+    result = blend(value_at(floor t), value_at(floor t + 1), frac).
+    x=[1,2], w=[1.5,1.5]: W=3, cum=(1.5, 3.0) ->
+    p25: t=0.5 -> lo=hi=1 -> 1.0; p50: t=1.0, frac=0 -> 1.0;
+    p75: t=1.5 -> lo=1 (1.5>1), hi=2 (3>2) -> 1.5."""
+    from tableone_pyspark_spark import TableOneConfig
+
+    rows = [(1.0, 1.5), (2.0, 1.5)]
+    df = spark.createDataFrame(rows, "x double, w double")
+    out = rows_by_index(
+        tableone(
+            df, cols_to_analyze=["x"], weight_col="w",
+            config=TableOneConfig(quantile_mode="interpolated"),
+        )
+    )
+    assert out[(1.6, "25th percentile")]["All_Patients"] == 1.0
+    assert out[(1.7, "50th percentile")]["All_Patients"] == 1.0
+    assert out[(1.8, "75th percentile")]["All_Patients"] == 1.5
+
+
 def test_weighted_tableone_rejects_bad_weight_col(spark):
     df = spark.createDataFrame([("a", "x")], "g string, w string")
     with pytest.raises(ValueError, match="must be numeric"):

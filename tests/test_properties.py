@@ -234,6 +234,60 @@ def test_weighted_quantiles_match_numpy_reference(spark, rows):
             assert row[s] == ref(sub)[k], (s, p)
 
 
+# ---- INTERPOLATED weighted quantiles vs numpy repeat+linear ---------------
+
+wqi_rows = st.lists(
+    st.tuples(
+        st.sampled_from(["a", "b"]),                      # strat
+        st.integers(-50, 50).map(float),                  # x (tie-prone)
+        st.integers(1, 5).map(float),                     # INTEGRAL weight
+    ),
+    min_size=2,
+    max_size=60,
+)
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(rows=wqi_rows)
+def test_interpolated_weighted_quantiles_match_numpy_repeat(spark, rows):
+    """quantile_mode="interpolated" with weight_col (honored since r6):
+    with integral weights the engine's continuous-index blend at
+    p*(SUMw-1) must equal numpy.percentile(method="linear") on the
+    weight-REPLICATED array — per strat AND globally. Every operand
+    (data values, cumSUMw, p*(W-1) for integral W) is exact in double,
+    so the comparison is near-exact (1e-9 slack for the final blend)."""
+    import numpy as np
+
+    from tableone_pyspark_spark import TableOneConfig
+
+    df = spark.createDataFrame(rows, "strat string, x double, w double")
+    got = {
+        (r["Index"], r["Values"]): r
+        for r in tableone(
+            df,
+            col_to_strat="strat",
+            cols_to_analyze=["x"],
+            weight_col="w",
+            config=TableOneConfig(quantile_mode="interpolated"),
+        ).collect()
+    }
+
+    def ref(sub, p):
+        expanded = np.repeat(
+            [x for _s, x, _w in sub], [int(w) for _s, _x, w in sub]
+        )
+        return float(np.percentile(expanded, p * 100, method="linear"))
+
+    strat_names = sorted({s for s, _x, _w in rows})
+    label = {0.25: "25th percentile", 0.5: "50th percentile", 0.75: "75th percentile"}
+    for k, p in enumerate((0.25, 0.5, 0.75)):
+        row = got[(round(1 + (6 + k) / 10, 10), label[p])]
+        assert abs(row["All_Patients"] - ref(rows, p)) < 1e-9, (p, "all")
+        for s in strat_names:
+            sub = [r for r in rows if r[0] == s]
+            assert abs(row[s] - ref(sub, p)) < 1e-9, (s, p)
+
+
 # ---- weighted partition invariance under FRACTIONAL weights ---------------
 
 wfrac_rows = st.lists(
