@@ -1788,7 +1788,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # is UNCHANGED by the run_wq edit (the data-mode aggregation exprs
     # are byte-identical inside the new if/else; the query now pins
     # quantile_mode="data" explicitly) — locally re-validated via
-    # scripts/check_oracles.py rather than re-windowed.
+    # scripts/check_oracles.py rather than re-windowed. Likewise
+    # audio_meta (r5-green): audio_metadata gained a REAL RIFF/WAVE
+    # branch in r6, but it dispatches on the RIFF magic and zero
+    # documents.text values are RIFF-prefixed at any SF (checked), so
+    # the graded stub branch is byte-identical — locally re-validated.
     # DELETED from the suite to fund
     # the slots: winnow_fps (construction fully covered by winnow_overlap
     # r5-green + both incremental_dedup variants sharing the same _WINNOW

@@ -149,12 +149,14 @@ AUDIO_META_SCHEMA = T.StructType(
 def audio_metadata(
     df: DataFrame, id_col: str, bin_col: str, bytes_per_sample: int = 2
 ) -> DataFrame:
-    """STUB audio probe (no codecs in container): treats the payload as
-    headerless PCM — sample_rate derived deterministically from the
-    first byte (real impl: ffprobe/soundfile header parse; identical
-    mapInPandas shape), n_samples = len/bytes_per_sample, duration =
-    n_samples/rate, rms over the raw bytes. Typed metadata out, payload
-    never leaves the executor."""
+    """Audio probe. RIFF/WAVE payloads (magic-byte sniff) parse for
+    REAL via ``functions/wav.py``: sample_rate/channel-count from the
+    fmt chunk, n_samples (per channel) from the data chunk, rms over
+    the decoded [-1, 1] samples. Any other payload keeps the
+    documented STUB (no compressed-audio codecs in this container):
+    headerless PCM with a byte-derived fake rate, rms over raw bytes
+    (real impl: ffprobe/soundfile into this same seam). Typed metadata
+    out, payload never leaves the executor."""
     src = df.select(F.col(id_col).alias("id"), F.col(bin_col).alias("payload"))
 
     def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -162,12 +164,20 @@ def audio_metadata(
 
         import numpy as np
 
+        from tableone_pyspark_spark.functions import wav
+
         for pdf in batches:
             rows = []
             for i, payload in zip(pdf["id"], pdf["payload"]):
                 raw = bytes(payload)
                 if not raw:
                     raise NotImplementedError("empty payload: real probe required")
+                if wav.is_wav(raw):
+                    samples, rate = wav.decode_wav(raw)
+                    n = samples.shape[0]
+                    rms = float(np.sqrt((samples * samples).mean())) if n else 0.0
+                    rows.append((int(i), rate, n, n / rate, rms))
+                    continue
                 rate = 8000 * (1 + raw[0] % 3)  # 8/16/24 kHz, payload-derived
                 n = len(raw) // bytes_per_sample
                 # exact int64 sum of squares (numpy, no Python byte loop);
