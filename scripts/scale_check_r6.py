@@ -97,6 +97,44 @@ def main() -> None:
           lambda: incremental_dedup(new, seen, "text", "doc_id"))
     spark.sql("DROP TABLE IF EXISTS t_scale_idx")
 
+    # GIF synth+decode (r6 codec): like the PNG row in BASELINE.md —
+    # expect linear in payload count (Arrow-batched Python LZW
+    # dominates), shuffle-free plan, so 100x just scales executor CPU
+    from pyspark.sql import functions as F
+
+    from tableone_pyspark_spark.operators.multimodal import (
+        image_metadata,
+        synthesize_gif_corpus,
+    )
+
+    d = docs.where(F.length("text") > 0).select("doc_id", "text")
+    def gif_pipe(src):
+        return image_metadata(
+            synthesize_gif_corpus(src, "doc_id", "text"), "id", "payload"
+        ).agg(F.sum("width").alias("sw"))
+    timed("gif synth+decode 1x (5k payloads)", lambda: gif_pipe(d))
+    timed("gif synth+decode 10x (50k payloads)",
+          lambda: gif_pipe(x10(d).withColumn(
+              "doc_id", F.monotonically_increasing_id())))
+
+    # interpolated weighted quartiles (r6): same bucketed prefix-sum
+    # job as disc mode — the contrast of interest is interpolated vs
+    # disc at 10x on a NEAR-UNIQUE column (6M distinct-ish cells):
+    # both must stay on the 256-bucket parallel cumsum, no single-task
+    # sort, so the two should cost the same
+    from tableone_pyspark_spark import TableOneConfig, tableone
+
+    def t1w(src, mode):
+        return tableone(
+            src, col_to_strat="l_returnflag",
+            cols_to_analyze=["l_extendedprice"], weight_col="l_quantity",
+            config=TableOneConfig(quantile_mode=mode),
+        )
+    timed("weighted tableone 1x disc (600k rows)", lambda: t1w(li, "data"))
+    timed("weighted tableone 1x interpolated", lambda: t1w(li, "interpolated"))
+    timed("weighted tableone 10x disc (6M rows)", lambda: t1w(big, "data"))
+    timed("weighted tableone 10x interpolated", lambda: t1w(big, "interpolated"))
+
     spark.stop()
 
 
