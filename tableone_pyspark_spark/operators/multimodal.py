@@ -272,7 +272,7 @@ def image_phash(df: DataFrame, id_col: str, bin_col: str) -> DataFrame:
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
 
-        from tableone_pyspark_spark.functions import jpeg, png
+        from tableone_pyspark_spark.functions import gif, jpeg, png
 
         weights = 1 << np.arange(63, dtype=np.int64)
         for pdf in batches:
@@ -287,6 +287,9 @@ def image_phash(df: DataFrame, id_col: str, bin_col: str) -> DataFrame:
                     continue
                 if jpeg.is_jpeg(raw):
                     rows.append((int(i), png.dhash63(jpeg.decode_jpeg(raw))))
+                    continue
+                if gif.is_gif(raw):
+                    rows.append((int(i), png.dhash63(gif.decode_gif(raw))))
                     continue
                 arr = np.frombuffer(raw, dtype=np.uint8)
                 step = -(-len(arr) // 65)  # ceil

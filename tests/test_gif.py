@@ -240,3 +240,21 @@ def test_gif_corpus_decode_matches_source_bytes(spark):
         r = got[i]
         assert (r["width"], r["height"], r["channels"]) == (16, 16, 3)
         assert r["mean_intensity"] == pytest.approx(exp, abs=1e-12)
+
+
+def test_image_phash_real_pixels_for_gif(spark):
+    """A GIF and a PNG of the SAME pixels must produce the SAME real
+    dHash (both route through png.dhash63 on decoded pixels), and it
+    must differ from the byte-stub gradient of the GIF's raw bytes."""
+    from tableone_pyspark_spark.functions import png
+    from tableone_pyspark_spark.operators.multimodal import image_phash
+
+    idx = _rng(11).integers(0, 256, (16, 16), dtype=np.uint8)
+    gif_payload = gif.encode_gif(idx, _GRAY_PAL)
+    png_payload = png.encode_png(idx[:, :, None])
+    df = spark.createDataFrame(
+        [(1, bytearray(gif_payload)), (2, bytearray(png_payload))],
+        "id long, payload binary",
+    )
+    got = {r["id"]: r["dhash"] for r in image_phash(df, "id", "payload").collect()}
+    assert got[1] == got[2]
