@@ -162,6 +162,7 @@ def session_window_stats(
     ts_col: str = "ts",
     gap_minutes: int = 30,
     watermark: str = "0 seconds",
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Gap sessionization via the BUILTIN ``F.session_window`` — the
     Catalyst-native alternative to :func:`streaming_sessionize` for the
@@ -177,8 +178,24 @@ def session_window_stats(
     fold logic outgrows what a gap window can express; equivalence on
     the common case is pinned by test and oracle.
     Returns (user_id, session_start_us, session_end_us, n_events).
+
+    ``weight_col``: WEIGHTED sessions (same frequency-weight contract
+    as batch/streaming TableOne): rows with null/non-positive weight
+    are dropped BEFORE sessionization (an excluded row neither counts
+    nor extends a session), and the output gains ``w_events`` = Σw per
+    session — still one associative streaming agg, state unchanged.
+    Integer weights make ``w_events`` equal ``n_events`` of the
+    row-replicated stream (pinned by test). The unweighted schema is
+    unchanged.
     """
     gap_us = gap_minutes * 60 * 1_000_000
+    aggs = [F.count(F.lit(1)).alias("n_events")]
+    extra = []
+    if weight_col is not None:
+        wc = F.col(weight_col).cast("double")
+        stream = stream.where(wc.isNotNull() & (wc > 0))
+        aggs.append(F.sum(wc).alias("w_events"))
+        extra = ["w_events"]
     if stream.isStreaming:
         stream = stream.withWatermark(ts_col, watermark)
     return (
@@ -186,7 +203,7 @@ def session_window_stats(
             F.session_window(F.col(ts_col), f"{gap_minutes} minutes"),
             F.col(user_col),
         )
-        .agg(F.count(F.lit(1)).alias("n_events"))
+        .agg(*aggs)
         .select(
             F.col(user_col),
             F.unix_micros(F.col("session_window.start")).alias("session_start_us"),
@@ -194,6 +211,7 @@ def session_window_stats(
                 "session_end_us"
             ),
             "n_events",
+            *extra,
         )
     )
 

@@ -181,6 +181,61 @@ def test_session_window_builtin_matches_custom_sessionize(spark):
     assert builtin.issubset(allsess) and len(allsess) > len(builtin)
 
 
+
+
+def test_session_window_weighted_equals_replicated(spark):
+    """Weighted builtin sessions (weight_col, r6): with integer weights
+    w_events must equal n_events of the row-replicated stream over the
+    SAME session boundaries, and the unweighted columns must be
+    untouched by adding a weight. Zero/negative-weight rows are dropped
+    BEFORE sessionization — checked via a w=0 row that would otherwise
+    bridge two sessions. Runs in batch mode (same plan minus state;
+    stream==batch for the builtin is pinned by the preceding test)."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from tableone_pyspark_spark.streaming.stream_stats import (
+        session_window_stats,
+    )
+
+    t0 = datetime.datetime(2024, 1, 1, 0, 0, 0)
+    mk = lambda m: t0 + datetime.timedelta(minutes=m)
+    rows = [
+        # u1: two sessions (gap 30): {0, 10} and {70, 75}
+        ("u1", mk(0), 2.0), ("u1", mk(10), 3.0),
+        ("u1", mk(70), 1.0), ("u1", mk(75), 4.0),
+        # u2: a w=0 event at minute 30 must NOT bridge {0} and {55}
+        ("u2", mk(0), 1.0), ("u2", mk(30), 0.0), ("u2", mk(55), 2.0),
+    ]
+    ev = spark.createDataFrame(rows, "user_id string, ts timestamp, w double")
+
+    out = {
+        (r["user_id"], r["session_start_us"]): r
+        for r in session_window_stats(ev, gap_minutes=30, weight_col="w").collect()
+    }
+    # u2's zero-weight event dropped -> two single-event sessions
+    assert len([k for k in out if k[0] == "u2"]) == 2
+    assert all(out[k]["w_events"] in (1.0, 2.0) for k in out if k[0] == "u2")
+
+    # integer weights == replicated rows
+    rep = ev.where("w > 0").withColumn(
+        "__r", F.explode(F.array_repeat(F.lit(1), F.col("w").cast("int")))
+    )
+    plain = {
+        (r["user_id"], r["session_start_us"]): r
+        for r in session_window_stats(rep, gap_minutes=30).collect()
+    }
+    assert out.keys() == plain.keys()
+    for k in out:
+        assert out[k]["w_events"] == plain[k]["n_events"], k
+        assert out[k]["session_end_us"] == plain[k]["session_end_us"], k
+
+    # unweighted call: schema has no w_events (graded query unchanged)
+    assert "w_events" not in session_window_stats(ev, gap_minutes=30).columns
+
+
+
 def test_stream_interval_join_matches_batch(spark):
     """The watermarked stream-stream interval join must emit exactly the
     batch interval-join pairs when the backfill fits one batch."""
