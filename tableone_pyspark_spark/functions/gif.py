@@ -436,10 +436,14 @@ def decode_gif_frames(
         _compose(canvas, f)
         out.append(canvas.copy())
         if f.disposal == 2:
-            bg_canvas = _background(sw, sh, gct, bg)
             y0, y1 = f.top, min(f.top + f.h, sh)
             x0, x1 = f.left, min(f.left + f.w, sw)
-            canvas[y0:y1, x0:x1] = bg_canvas[y0:y1, x0:x1]
+            # background is a single color: write it straight into the
+            # frame rect (no per-frame screen-sized canvas allocation)
+            if gct is not None and bg < gct.shape[0]:
+                canvas[y0:y1, x0:x1] = gct[bg]
+            else:
+                canvas[y0:y1, x0:x1] = 0
         elif f.disposal == 3 and before is not None:
             canvas = before
     return out

@@ -72,6 +72,10 @@ def _effective_max_pixels(max_pixels: int, nc: int, progressive: bool) -> int:
     worst-case within-guard memory matches the PNG path's calibration
     (grayscale baseline keeps the full cap; 3-component progressive,
     the widest buffers at 48 B/pixel, caps near 22M pixels)."""
+    if nc < 1:
+        # hostile SOF with zero components: contracted ValueError, not
+        # a ZeroDivisionError out of the guard itself
+        raise ValueError("JPEG: SOF declares no components")
     bytes_per_pixel = (16 if progressive else 8) * nc
     return min(max_pixels, _ALLOC_BUDGET // bytes_per_pixel)
 
@@ -322,6 +326,12 @@ def _parse_sos(body: bytes) -> tuple[list[dict], int, int, int, int]:
         cs, tdta = struct.unpack_from(">BB", body, 1 + 2 * i)
         scomps.append({"id": cs, "td": tdta >> 4, "ta": tdta & 0xF})
     ss, se, ahal = struct.unpack_from(">BBB", body, 1 + 2 * ns)
+    if not 0 <= ss <= se <= 63:
+        # T.81 B.2.3: spectral selection must sit inside the 64-entry
+        # zigzag; a hostile Se>63 would otherwise index past the
+        # coefficient array (IndexError, breaking the ValueError
+        # contract)
+        raise ValueError(f"JPEG: invalid spectral selection Ss={ss} Se={se}")
     return scomps, ss, se, ahal >> 4, ahal & 0xF
 
 

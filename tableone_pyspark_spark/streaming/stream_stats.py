@@ -192,6 +192,21 @@ def session_window_stats(
     aggs = [F.count(F.lit(1)).alias("n_events")]
     extra = []
     if weight_col is not None:
+        # same contract as batch tableone(weight_col=...): a
+        # non-numeric weight column is a caller error, not a silent
+        # drop-every-row cast-to-null
+        from pyspark.sql import types as T
+
+        if weight_col not in stream.columns:
+            raise ValueError(f"weight_col {weight_col!r} not in stream columns")
+        if not isinstance(
+            stream.schema[weight_col].dataType,
+            (T.NumericType,),
+        ):
+            raise ValueError(
+                f"weight_col {weight_col!r} must be numeric, got "
+                f"{stream.schema[weight_col].dataType.simpleString()}"
+            )
         wc = F.col(weight_col).cast("double")
         stream = stream.where(wc.isNotNull() & (wc > 0))
         aggs.append(F.sum(wc).alias("w_events"))

@@ -325,3 +325,31 @@ def test_successive_approximation_depths_and_regimes():
     with pytest.raises(ValueError):
         # truncating mid-refinement leaves the walker on a short scan
         jpeg.decode_jpeg(bytes(p[: len(p) - 3]))
+
+
+def test_hostile_zero_component_sof_and_bad_spectral_selection():
+    """Two fuzz-found contract regressions (r6 review): nc=0 SOF must
+    not ZeroDivisionError inside the bomb guard, and Se>63 must not
+    IndexError past the 64-entry zigzag — both ValueError."""
+    import struct
+
+    body = struct.pack(">BHHB", 8, 16, 16, 0)  # precision 8, nc=0
+    payload = (b"\xff\xd8\xff\xc0" + struct.pack(">H", 2 + len(body))
+               + body + b"\xff\xd9")
+    with pytest.raises(ValueError, match="no components"):
+        jpeg.jpeg_meta(payload)
+    with pytest.raises(ValueError, match="no components"):
+        jpeg.decode_jpeg(payload)
+
+    arr = np.full((8, 8), 100, dtype=np.uint8)
+    hacked = bytearray(jpeg.encode_jpeg_progressive(arr))
+    i = bytes(hacked).find(b"\xff\xda")
+    while i != -1:  # find an AC scan and push its Se past 63
+        ns = hacked[i + 4]
+        se_off = i + 4 + 1 + 2 * ns + 1
+        if hacked[se_off] != 0:
+            hacked[se_off] = 200
+            break
+        i = bytes(hacked).find(b"\xff\xda", i + 2)
+    with pytest.raises(ValueError, match="spectral selection"):
+        jpeg.decode_jpeg(bytes(hacked))
