@@ -794,17 +794,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["repetition_stats"] = repetition_stats
 
     # ---- dedup (operators/dedup.py) -------------------------------------
-    def exact_dedup_stats(spark, sf_dir):
+    # (exact_dedup_stats was DELETED in r6 to fund lm_perplexity: it
+    # aggregated the SAME exact_dedup frame that exact_dedup_keep,
+    # r5-green, grades row-by-row at 500 rows — strictly weaker signal
+    # over the identical pipeline.)
+
+    def lm_perplexity_q(spark, sf_dir):
+        # CCNet-style LM quality scoring: train a bigram count model on
+        # a hashed 50% reference split, score the other half's
+        # per-document smoothed mean log-prob / perplexity. The oracle
+        # replays the entire pipeline (normalization, bigram melt,
+        # counts, Laplace smoothing, ln/exp) in DuckDB SQL.
+        from tableone_pyspark_spark.operators.lm import (
+            lm_perplexity,
+            train_bigram_lm,
+        )
+        from tableone_pyspark_spark.operators.sampling import split_bucket
+
         d = _load(spark, sf_dir, "documents")
-        groups = dd.exact_dedup(d, "text", "doc_id")
-        return groups.agg(
-            F.sum("n_dups").alias("n_docs"),
-            F.count(F.lit(1)).alias("n_distinct"),
-            F.count(F.when(F.col("n_dups") > 1, 1)).alias("n_dup_groups"),
-            F.max("n_dups").alias("max_group"),
+        bucket = split_bucket(F.col("doc_id"), "lm-v1")
+        ref = d.where(bucket < 5000)
+        test = d.where(bucket >= 5000)
+        bg, ctx, v = train_bigram_lm(ref, "text", "doc_id")
+        out = lm_perplexity(test, bg, ctx, v, "text", "doc_id")
+        return out.select(
+            "id",
+            "n_bigrams",
+            "n_matched",
+            F.round("avg_logp", 6).alias("avg_logp"),
+            F.round("ppl", 3).alias("ppl"),
         )
 
-    q["exact_dedup_stats"] = exact_dedup_stats
+    q["lm_perplexity"] = lm_perplexity_q
 
     def exact_dedup_keep(spark, sf_dir):
         d = _load(spark, sf_dir, "documents")
@@ -1774,17 +1795,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Round 6 (suite = 100): the 3 stale-2 queries (last graded r3) lead,
     # then 41 of the 43 remaining r4-graded queries, then
     # jpeg_decode_stats (codec gained the ValueError truncation contract
-    # + scaled bomb guard this round) and the 5 new queries
+    # + scaled bomb guard this round) and the 6 new queries
     # (incremental_dedup_indexed, zorder_skipping, fence_single_eval,
-    # gif_decode_stats — from-scratch LZW/GIF codec — and
+    # gif_decode_stats — from-scratch LZW/GIF codec —
     # weighted_quantiles_cont — interpolated weighted quartiles, the
-    # run_wq branch added this round). WINDOW DISPLACEMENT to fit the
-    # two codec/quantile queries: cat_counts (green four straight
-    # rounds r1-r4, a trivial grouped count untouched since r1 — the
-    # lowest-risk stale-1 to carry to r7, where it leads the window).
-    # simhash_sigs was DELETED outright (not just displaced): its
-    # signature stage is the first stage of r5-green simhash_neardup
-    # and shares the same oracle replay. tableone_weighted's behavior
+    # run_wq branch added this round — and lm_perplexity — CCNet
+    # bigram-LM scoring). WINDOW DISPLACEMENT to fit the three new
+    # codec/quantile/LM queries: cat_counts and cat_pivot (green four
+    # straight rounds r1-r4, trivial grouped/pivoted counts untouched
+    # since r1 — the lowest-risk stale-1s to carry to r7, where they
+    # lead the window). simhash_sigs and exact_dedup_stats were DELETED
+    # outright (not just displaced): simhash_sigs' signature stage is
+    # the first stage of r5-green simhash_neardup sharing the same
+    # oracle replay, and exact_dedup_stats aggregated the same
+    # exact_dedup frame that exact_dedup_keep grades row-by-row at 500
+    # rows. tableone_weighted's behavior
     # is UNCHANGED by the run_wq edit (the data-mode aggregation exprs
     # are byte-identical inside the new if/else; the query now pins
     # quantile_mode="data" explicitly) — locally re-validated via
@@ -1807,8 +1832,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     _front = [
         # stale-2 (last graded r3) — VERDICT r5 ask #1 priority
         "stream_sessions_builtin", "split_documents", "stream_dedup",
-        # 42 of the 43 r4-graded keepers (cat_counts displaced, see above)
-        "cat_pivot", "cont_stats", "cont_stats_by_group",
+        # 41 of the 43 r4-graded keepers (cat_counts and cat_pivot
+        # displaced, see above)
+        "cont_stats", "cont_stats_by_group",
         "ttest_stat", "anova_stat", "chi2_stat", "tableone_unstrat",
         "tableone_orders", "tableone_strat_dataq", "tableone_docs",
         "tableone_part", "tableone_beautify", "tableone_joined",
@@ -1825,7 +1851,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jpeg_decode_stats",
         # new this round
         "incremental_dedup_indexed", "zorder_skipping", "fence_single_eval",
-        "gif_decode_stats", "weighted_quantiles_cont",
+        "gif_decode_stats", "weighted_quantiles_cont", "lm_perplexity",
     ]
     assert len(_front) == 50 and len(set(_front)) == 50
     assert set(_front) <= set(q), sorted(set(_front) - set(q))
@@ -2394,12 +2420,8 @@ def oracle_sql() -> dict[str, str]:
 
     # ---- dedup -------------------------------------------------------------
     NORM = r"trim(regexp_replace(lower(text), '[ \t\n]+', ' ', 'g'))"
-    o["exact_dedup_stats"] = (
-        f"WITH g AS (SELECT count(*) AS c FROM documents GROUP BY {NORM}) "
-        "SELECT CAST(sum(c) AS BIGINT) AS n_docs, count(*) AS n_distinct, "
-        "CAST(count(*) FILTER (WHERE c > 1) AS BIGINT) AS n_dup_groups, "
-        "CAST(max(c) AS BIGINT) AS max_group FROM g"
-    )
+    # (exact_dedup_stats oracle removed with the query, r6; the group
+    # frame lives on in exact_dedup_keep's row-level replay below.)
     o["exact_dedup_keep"] = (
         f"SELECT CAST(min(doc_id) AS BIGINT) AS keep_id, count(*) AS n_dups "
         f"FROM documents GROUP BY {NORM}"
@@ -2459,6 +2481,38 @@ def oracle_sql() -> dict[str, str]:
         "SELECT g.doc_id AS id, count(*) AS n_shared "
         "FROM g JOIN h USING (doc_id) JOIN bg USING (shingle) "
         "WHERE b >= 500 GROUP BY 1"
+    )
+
+    # bigram-LM perplexity (CCNet): full pipeline replay — hashed 50%
+    # reference split, bigram/context counts, Laplace-smoothed mean
+    # ln-prob and perplexity per scored doc. Integer columns are exact;
+    # avg_logp/ppl agree to rounding (ln/exp are IEEE double on both
+    # engines; drift ~1e-14 against a 1e-6 rounding grid)
+    o["lm_perplexity"] = (
+        f"WITH h AS (SELECT doc_id, {_bucket('doc_id', 'lm-v1')} AS b "
+        "FROM documents), "
+        f"norm AS (SELECT doc_id, string_split({NORM}, ' ') AS L FROM documents), "
+        "occ AS (SELECT n.doc_id, L[i] AS w1, L[i+1] AS w2 FROM norm n, "
+        "unnest(generate_series(1, greatest(length(L) - 1, 0))) t(i) "
+        "WHERE L[i] <> '' AND L[i+1] <> ''), "
+        "refocc AS (SELECT w1, w2 FROM occ JOIN h USING (doc_id) WHERE b < 5000), "
+        "bg AS (SELECT w1, w2, count(*) AS c2 FROM refocc GROUP BY 1, 2), "
+        "cx AS (SELECT w1, count(*) AS c1 FROM refocc GROUP BY 1), "
+        "vs AS (SELECT count(DISTINCT w) AS v FROM (SELECT unnest(L) AS w "
+        "FROM norm JOIN h USING (doc_id) WHERE b < 5000) WHERE w <> ''), "
+        "t AS (SELECT o.doc_id, coalesce(c2, 0) AS c2, coalesce(c1, 0) AS c1 "
+        "FROM occ o JOIN h USING (doc_id) "
+        "LEFT JOIN bg USING (w1, w2) LEFT JOIN cx USING (w1) "
+        "WHERE b >= 5000), "
+        "s AS (SELECT doc_id, count(*) AS n_bigrams, "
+        "CAST(count(*) FILTER (WHERE c2 > 0) AS BIGINT) AS n_matched, "
+        "avg(ln((c2 + 1.0) / (c1 + 1.0 * (SELECT v FROM vs)))) AS avg_logp "
+        "FROM t GROUP BY 1) "
+        "SELECT d.doc_id AS id, coalesce(n_bigrams, 0) AS n_bigrams, "
+        "coalesce(n_matched, 0) AS n_matched, "
+        "ROUND(avg_logp, 6) AS avg_logp, ROUND(exp(-avg_logp), 3) AS ppl "
+        "FROM documents d JOIN h USING (doc_id) LEFT JOIN s USING (doc_id) "
+        "WHERE b >= 5000"
     )
 
     # per-doc duplicated-gram fraction (gram appears in >= 2 docs)

@@ -1,0 +1,130 @@
+"""N-gram language-model quality scoring (CCNet-style perplexity
+filtering, Wenzek et al. 2020 "CCNet: Extracting High Quality
+Monolingual Datasets from Web Crawl Data") — the missing leg of the
+curation triad (heuristic quality + lang-ID + LM perplexity).
+
+Spark-first shapes with explicit 100 TB stories:
+
+  * train_bigram_lm — bigram and unigram counts as TWO partial-
+    aggregated shuffles over (w1, w2) / (w1) pairs derived from pure
+    Catalyst array ops (``arrays_zip(slice, slice)`` — no window, no
+    per-doc sort, no UDF). The model is a DataFrame pair, not a
+    driver-side dict: vocabulary never leaves the cluster, so the
+    reference-corpus model can itself be web-scale.
+  * lm_perplexity — per-document mean log-probability under additive
+    (Laplace-α) smoothing: one explode to bigram occurrences, two
+    equi-joins against the model tables (broadcast when the model is
+    small, AQE-shuffled when it is not), one per-doc aggregation.
+    Shuffle volume is bounded by bigram occurrences, independent of
+    model size; no driver-side loops, no ``collect`` of row data
+    (``vocab_size`` is the single scalar collected at train time).
+
+Determinism: tokenization is the shared ``normalize_text`` (lowercase,
+collapsed whitespace) used by the dedup/TF-IDF family, and the score
+is pure arithmetic (ln of count ratios) — a DuckDB oracle replays it
+exactly; integer columns (n_bigrams, n_matched) are exact, float
+columns agree to rounding.
+
+No counterpart in the reference repo (no text surface); extends the
+LLM-pipeline operator family (BASELINE.json north star).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from tableone_pyspark_spark.functions.text import normalize_text
+
+
+def _bigram_occurrences(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, w1, w2) — one row per ADJACENT word pair occurrence of the
+    normalized text. Pure Catalyst: split → two shifted slices →
+    arrays_zip → explode; a doc with < 2 words yields no rows."""
+    arr = F.split(normalize_text(F.col(text_col)), " ")
+    pairs = F.arrays_zip(
+        F.slice(arr, 1, F.greatest(F.size(arr) - 1, F.lit(0))).alias("w1"),
+        F.slice(arr, 2, F.greatest(F.size(arr) - 1, F.lit(0))).alias("w2"),
+    )
+    return (
+        df.select(F.col(id_col).alias("id"), F.explode(pairs).alias("p"))
+        .select("id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .where((F.col("w1") != "") & (F.col("w2") != ""))
+    )
+
+
+def train_bigram_lm(
+    df: DataFrame, text_col: str, id_col: str
+) -> tuple[DataFrame, DataFrame, int]:
+    """Count model from a reference corpus: returns (bigram_counts
+    ``(w1, w2, c2)``, unigram CONTEXT counts ``(w1, c1)``, vocab_size).
+
+    ``c1`` counts w1 as a bigram CONTEXT (= word occurrences excluding
+    each doc's last word), so Σ_w2 c(w1, w2) == c1 exactly and the
+    smoothed conditionals sum to 1 over the vocabulary. ``vocab_size``
+    is the distinct normalized word count (the α·V mass in the
+    denominator) — the one scalar this returns."""
+    bi = _bigram_occurrences(df, text_col, id_col)
+    bigrams = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    contexts = bi.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    words = (
+        df.select(
+            F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("w")
+        )
+        .where(F.col("w") != "")
+        .agg(F.count_distinct("w").alias("v"))
+        .collect()
+    )
+    return bigrams, contexts, int(words[0]["v"] or 0)
+
+
+def lm_perplexity(
+    df: DataFrame,
+    bigrams: DataFrame,
+    contexts: DataFrame,
+    vocab_size: int,
+    text_col: str,
+    id_col: str,
+    alpha: float = 1.0,
+) -> DataFrame:
+    """Per-document perplexity under the additive-smoothed bigram model:
+
+        P(w2 | w1) = (c(w1,w2) + α) / (c1(w1) + α·V)
+        avg_logp   = mean over the doc's bigrams of ln P
+        ppl        = exp(−avg_logp)
+
+    Unseen bigrams/contexts contribute the smoothed floor (c → 0), so
+    every document scores (the CCNet contract: out-of-domain text gets
+    HIGH perplexity, it doesn't error). Documents with fewer than two
+    words return n_bigrams = 0 and NULL avg_logp/ppl.
+
+    Returns (id, n_bigrams, n_matched, avg_logp, ppl)."""
+    if vocab_size <= 0:
+        raise ValueError("vocab_size must be positive (empty model?)")
+    occ = _bigram_occurrences(df, text_col, id_col)
+    j = (
+        occ.join(bigrams, ["w1", "w2"], "left")
+        .join(contexts, ["w1"], "left")
+        .select(
+            "id",
+            F.coalesce(F.col("c2"), F.lit(0)).alias("c2"),
+            F.coalesce(F.col("c1"), F.lit(0)).alias("c1"),
+        )
+    )
+    logp = F.log(
+        (F.col("c2") + F.lit(float(alpha)))
+        / (F.col("c1") + F.lit(float(alpha) * vocab_size))
+    )
+    scored = j.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.sum(F.when(F.col("c2") > 0, 1).otherwise(0)).alias("n_matched"),
+        F.avg(logp).alias("avg_logp"),
+    )
+    ids = df.select(F.col(id_col).alias("id")).distinct()
+    return ids.join(scored, "id", "left").select(
+        "id",
+        F.coalesce(F.col("n_bigrams"), F.lit(0)).alias("n_bigrams"),
+        F.coalesce(F.col("n_matched"), F.lit(0)).alias("n_matched"),
+        F.col("avg_logp"),
+        F.exp(-F.col("avg_logp")).alias("ppl"),
+    )
