@@ -1,0 +1,209 @@
+"""Distributed BPE tokenizer: train merges on a corpus, encode with
+them (Sennrich, Haddow & Birch 2016, "Neural Machine Translation of
+Rare Words with Subword Units" — the GPT-2/Llama tokenizer family).
+
+Spark-first shapes with explicit 100 TB stories:
+
+  * train_bpe — the classic efficiency trick made distributed: the
+    corpus collapses to a DISTINCT-WORD frequency table in ONE shuffle
+    (map-side combined), and every merge round then runs on word
+    TYPES weighted by counts — vocab-sized work (10-100M rows at web
+    scale), never corpus-sized. Per round: one adjacent-pair weighted
+    count (posexplode + groupBy), one 1-row argmax collect (count
+    DESC, pair ASC — the deterministic tie-break), one pure-Catalyst
+    ``F.aggregate`` fold that applies the merge to each word's token
+    array. ``localCheckpoint`` every few rounds truncates the plan
+    lineage exactly like the connected-components loop in
+    operators/dedup.py. Driver state is just the merge list
+    (n_merges × 2 strings).
+  * bpe_encode — Arrow-batched ``mapInPandas`` applying the ranked
+    merge list per word (the standard greedy lowest-rank loop). This
+    is the documented UDF case: per-word iterative merging with a
+    data-dependent loop bound has no Catalyst expression; the kernel
+    memoizes per distinct word within each batch, payloads never
+    leave the executor.
+
+Word model: whitespace tokens of the shared ``normalize_text``
+(lowercase, collapsed whitespace), each word a character sequence with
+a ``</w>`` end-of-word marker appended to its final character — the
+original BPE convention, so "low" and "lowest" share the "low" prefix
+but "w" vs "w</w>" distinguish word-final contexts.
+
+No counterpart in the reference repo (no text surface); extends the
+LLM-pipeline operator family (BASELINE.json north star).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from tableone_pyspark_spark.functions.text import normalize_text
+
+EOW = "</w>"
+
+
+def word_counts(df: DataFrame, text_col: str) -> DataFrame:
+    """(word, n) — the one corpus-sized pass; everything after runs on
+    word types."""
+    return (
+        df.select(
+            F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("word")
+        )
+        .where(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def _initial_symbols(words: DataFrame) -> DataFrame:
+    """(toks: array<string>, n): each word split into characters with
+    the end-of-word marker fused onto the final one."""
+    chars = F.split(F.col("word"), "")
+    toks = F.concat(
+        F.slice(chars, 1, F.size(chars) - 1),
+        F.array(F.concat(F.element_at(chars, -1), F.lit(EOW))),
+    )
+    return words.select(toks.alias("toks"), "n")
+
+
+def _apply_merge(toks: F.Column, a: str, b: str) -> F.Column:
+    """Replace every adjacent (a, b) in ``toks`` with a||b — a pure
+    Catalyst left fold (greedy leftmost-first, matching the reference
+    algorithm: after merging at i, position i+1 cannot also merge
+    with the freshly created token's tail)."""
+    la, lb = F.lit(a), F.lit(b)
+    return F.aggregate(
+        toks,
+        F.array().cast("array<string>"),
+        lambda acc, t: F.when(
+            (F.size(acc) > 0) & (F.element_at(acc, -1) == la) & (t == lb),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1),
+                F.array(F.concat(la, lb)),
+            ),
+        ).otherwise(F.concat(acc, F.array(t))),
+    )
+
+
+def train_bpe(
+    df: DataFrame,
+    text_col: str,
+    n_merges: int,
+    min_count: int = 1,
+    checkpoint_every: int = 8,
+) -> list[tuple[str, str]]:
+    """Learn ``n_merges`` BPE merges from the corpus; returns the
+    ordered merge list (rank = position). Stops early when no pair
+    reaches ``min_count``. Deterministic: argmax ties break on the
+    lexicographically smallest (a, b)."""
+    words = _initial_symbols(word_counts(df, text_col))
+    words = words.persist()
+    words.count()  # materialize once; each round re-persists
+    merges: list[tuple[str, str]] = []
+    try:
+        for r in range(n_merges):
+            pairs = (
+                words.select(
+                    "n",
+                    F.posexplode(F.slice("toks", 1, F.size("toks") - 1)).alias(
+                        "i", "a"
+                    ),
+                    F.col("toks"),
+                )
+                .select(
+                    "n", "a", F.element_at("toks", F.col("i") + 2).alias("b")
+                )
+                .groupBy("a", "b")
+                .agg(F.sum("n").alias("c"))
+            )
+            top = pairs.orderBy(F.desc("c"), F.asc("a"), F.asc("b")).limit(1).collect()
+            if not top or top[0]["c"] < min_count:
+                break
+            a, b = top[0]["a"], top[0]["b"]
+            merges.append((a, b))
+            nxt = words.select(_apply_merge(F.col("toks"), a, b).alias("toks"), "n")
+            if (r + 1) % checkpoint_every == 0:
+                # truncate the lineage of r chained folds (same pattern
+                # as the label-propagation loop in operators/dedup.py)
+                nxt = nxt.localCheckpoint(eager=True)
+            else:
+                nxt = nxt.persist()
+                nxt.count()
+            words.unpersist()
+            words = nxt
+    finally:
+        words.unpersist()
+    return merges
+
+
+BPE_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType()),
+        T.StructField("n_words", T.LongType()),
+        T.StructField("n_tokens", T.LongType()),
+        T.StructField("tokens", T.ArrayType(T.StringType())),
+    ]
+)
+
+
+def _encode_word(word: str, rank: dict[tuple[str, str], int]) -> list[str]:
+    """Reference greedy algorithm: repeatedly merge the lowest-rank
+    adjacent pair (leftmost on rank ties) until none applies."""
+    toks = list(word[:-1]) + [word[-1] + EOW] if word else []
+    while len(toks) > 1:
+        best = None
+        best_rank = None
+        for i in range(len(toks) - 1):
+            r = rank.get((toks[i], toks[i + 1]))
+            if r is not None and (best_rank is None or r < best_rank):
+                best, best_rank = i, r
+        if best is None:
+            break
+        toks[best : best + 2] = [toks[best] + toks[best + 1]]
+    return toks
+
+
+def bpe_encode(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    merges: list[tuple[str, str]],
+) -> DataFrame:
+    """Tokenize each document with the trained merge list. Returns
+    (id, n_words, n_tokens, tokens). The merge list broadcasts inside
+    the closure (n_merges pairs — KBs); the kernel memoizes encodings
+    per distinct word within each Arrow batch."""
+    rank = {pair: i for i, pair in enumerate(merges)}
+    src = df.select(
+        F.col(id_col).alias("id"),
+        F.split(normalize_text(F.col(text_col)), " ").alias("words"),
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cache: dict[str, list[str]] = {}
+        for pdf in batches:
+            rows = []
+            for i, words in zip(pdf["id"], pdf["words"]):
+                toks: list[str] = []
+                n_words = 0
+                for w in words:
+                    if not w:
+                        continue
+                    n_words += 1
+                    enc = cache.get(w)
+                    if enc is None:
+                        enc = _encode_word(w, rank)
+                        cache[w] = enc
+                    toks.extend(enc)
+                rows.append((int(i), n_words, len(toks), toks))
+            yield pd.DataFrame(
+                rows, columns=["id", "n_words", "n_tokens", "tokens"]
+            )
+
+    return src.mapInPandas(kernel, BPE_SCHEMA)
