@@ -29,6 +29,15 @@ a ``</w>`` end-of-word marker appended to its final character — the
 original BPE convention, so "low" and "lowest" share the "low" prefix
 but "w" vs "w</w>" distinguish word-final contexts.
 
+Documented boundary: the marker is the literal string ``</w>``, so a
+corpus word CONTAINING that substring (markup fragments that survive
+normalization) can mint mid-word tokens string-equal to genuine
+word-final ones, conflating their pair counts and making the
+detokenization rule (replace ``</w>`` with a space) insert spurious
+spaces for those words. The proper fix is byte-level BPE with a
+reserved out-of-alphabet marker (GPT-2); at this operator's seam,
+strip or escape ``</w>`` upstream if the corpus can contain it.
+
 No counterpart in the reference repo (no text surface); extends the
 LLM-pipeline operator family (BASELINE.json north star).
 """
@@ -97,15 +106,26 @@ def train_bpe(
     n_merges: int,
     min_count: int = 1,
     checkpoint_every: int = 8,
+    min_word_count: int = 1,
 ) -> list[tuple[str, str]]:
     """Learn ``n_merges`` BPE merges from the corpus; returns the
     ordered merge list (rank = position). Stops early when no pair
     reaches ``min_count``. Deterministic: argmax ties break on the
-    lexicographically smallest (a, b)."""
-    words = _initial_symbols(word_counts(df, text_col))
+    lexicographically smallest (a, b).
+
+    ``min_word_count`` is the 100 TB lever for large merge counts:
+    training on the frequency-truncated word table (drop types rarer
+    than the threshold) shrinks every round's frame to the Zipf head,
+    which carries nearly all pair mass — merges change negligibly
+    while per-round cost drops by the tail fraction."""
+    wc = word_counts(df, text_col)
+    if min_word_count > 1:
+        wc = wc.where(F.col("n") >= min_word_count)
+    words = _initial_symbols(wc)
     words = words.persist()
     words.count()  # materialize once; each round re-persists
     merges: list[tuple[str, str]] = []
+    prev_ckpt = None  # released when the next checkpoint lands
     try:
         for r in range(n_merges):
             pairs = (
@@ -132,6 +152,14 @@ def train_bpe(
                 # truncate the lineage of r chained folds (same pattern
                 # as the label-propagation loop in operators/dedup.py)
                 nxt = nxt.localCheckpoint(eager=True)
+                if prev_ckpt is not None:
+                    # DataFrame.unpersist() is a no-op for checkpoint
+                    # RDD blocks (the cache manager doesn't track
+                    # LogicalRDD plans) — free the superseded
+                    # checkpoint's blocks explicitly so a 30-50k-round
+                    # production run doesn't pile them up between GCs
+                    _release_checkpoint(prev_ckpt)
+                prev_ckpt = nxt
             else:
                 nxt = nxt.persist()
                 nxt.count()
@@ -139,7 +167,19 @@ def train_bpe(
             words = nxt
     finally:
         words.unpersist()
+        if prev_ckpt is not None:
+            # training is over: the last checkpoint's blocks go too
+            _release_checkpoint(prev_ckpt)
     return merges
+
+
+def _release_checkpoint(df: DataFrame) -> None:
+    """Drop a localCheckpoint'ed DataFrame's RDD blocks (best-effort:
+    storage bookkeeping only, never fails the training loop)."""
+    try:
+        df.rdd.unpersist(False)
+    except Exception:
+        pass
 
 
 BPE_SCHEMA = T.StructType(
@@ -192,6 +232,8 @@ def bpe_encode(
             for i, words in zip(pdf["id"], pdf["words"]):
                 toks: list[str] = []
                 n_words = 0
+                if words is None:  # NULL text: defined empty row, not
+                    words = []     # a task-killing TypeError
                 for w in words:
                     if not w:
                         continue

@@ -63,10 +63,15 @@ def train_bigram_lm(
     each doc's last word), so Σ_w2 c(w1, w2) == c1 exactly and the
     smoothed conditionals sum to 1 over the vocabulary. ``vocab_size``
     is the distinct normalized word count (the α·V mass in the
-    denominator) — the one scalar this returns."""
+    denominator) — the one scalar this returns.
+
+    The context counts are DERIVED from the bigram aggregate
+    (c1 = Σ_w2 c2 — the invariant above), so only ONE corpus-sized
+    shuffle of bigram occurrences runs; the context rollup is a
+    model-sized second aggregation, not a second corpus pass."""
     bi = _bigram_occurrences(df, text_col, id_col)
     bigrams = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
-    contexts = bi.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    contexts = bigrams.groupBy("w1").agg(F.sum("c2").alias("c1"))
     words = (
         df.select(
             F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("w")

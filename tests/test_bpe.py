@@ -32,17 +32,17 @@ def _ref_train(word_counts: dict[str, int], n_merges: int):
             break
         best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[0]
         merges.append(best)
-        words = {_ref_apply(t, best): c for t, c in _merge_dicts(words, best)}
+        words = _merge_dicts(words, best)
     return merges
 
 
 def _merge_dicts(words, best):
-    # group identical post-merge sequences (counts add)
+    # apply the merge and group identical post-merge sequences
     out: dict[tuple, int] = {}
     for t, c in words.items():
         k = _ref_apply(t, best)
         out[k] = out.get(k, 0) + c
-    return [(k, v) for k, v in ((t, c) for t, c in out.items())]
+    return out
 
 
 def _ref_apply(toks: tuple, pair: tuple) -> tuple:
@@ -135,3 +135,22 @@ def test_encode_round_trips_and_counts(spark):
     assert text == "low lower newest widest"
     assert out[2]["n_words"] == 0 and list(out[2]["tokens"]) == []
     assert out[3]["n_words"] == 1 and out[3]["tokens"][0] == "low" + bpe.EOW
+
+
+def test_encode_null_text_defined_row(spark):
+    merges = bpe.train_bpe(_corpus_df(spark), "text", 4)
+    df = spark.createDataFrame(
+        [(1, "low"), (2, None)], "id long, text string"
+    )
+    out = {r["id"]: r for r in bpe.bpe_encode(df, "text", "id", merges).collect()}
+    assert out[2]["n_words"] == 0 and list(out[2]["tokens"]) == []
+    assert out[1]["n_words"] == 1
+
+
+def test_train_min_word_count_truncates_tail(spark):
+    # dropping singleton word types removes "lower"(2 lt 3) etc. from
+    # the table; merges must equal reference-training on the truncated
+    # counts
+    df = _corpus_df(spark)
+    kept = {w: c for w, c in CORPUS if c >= 3}
+    assert bpe.train_bpe(df, "text", 6, min_word_count=3) == _ref_train(kept, 6)
