@@ -1,0 +1,140 @@
+"""DSIR — Data Selection via Importance Resampling (Xie et al. 2023,
+"Data Selection for Language Models via Importance Resampling",
+NeurIPS): pick raw-corpus documents whose hashed-n-gram distribution
+looks like a target corpus, by importance weights under two bag-of-
+hashed-bigram models.
+
+    features : every word bigram of a doc hashes into one of B buckets
+               (cross-engine polynomial hash — SQL-replayable)
+    models   : p̂[b] (target) and q̂[b] (raw), add-α smoothed over B
+    weight   : log ŵ(doc) = Σ_buckets count_b · (ln p̂[b] − ln q̂[b])
+    resample : Gumbel top-k — argmax of (log ŵ + Gumbel noise) draws
+               k docs ~ softmax(log ŵ) without replacement; the noise
+               is hash-derived (−ln(−ln(u)), u from the split_bucket
+               lattice), so selection is a deterministic pure function
+               of (doc key, salt) reproducible on any engine.
+
+Spark shapes, 100 TB story: each model is ONE partial-aggregated
+shuffle of hashed bigrams collapsed to ≤ B rows (B ~ 10⁴: the model
+is broadcast-sized BY CONSTRUCTION — that is DSIR's point); scoring
+is one explode + one broadcast join + one per-doc sum; selection is a
+global top-k (TakeOrderedAndProject — never a full sort). No UDFs,
+no driver-side loops, no collect of row data.
+
+No counterpart in the reference repo; extends the LLM-pipeline
+curation family (BASELINE.json north star) alongside quality_score /
+lang_id / lm_perplexity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from tableone_pyspark_spark.functions.text import normalize_text, poly_hash
+from tableone_pyspark_spark.operators.sampling import BUCKETS, split_bucket
+
+
+def _hashed_bigrams(df: DataFrame, text_col: str, id_col: str, b: int) -> DataFrame:
+    """(id, bucket) — one row per bigram OCCURRENCE, bucketed by the
+    cross-engine polynomial hash of 'w1 w2'."""
+    arr = F.split(normalize_text(F.col(text_col)), " ")
+    pairs = F.arrays_zip(
+        F.slice(arr, 1, F.greatest(F.size(arr) - 1, F.lit(0))).alias("w1"),
+        F.slice(arr, 2, F.greatest(F.size(arr) - 1, F.lit(0))).alias("w2"),
+    )
+    return (
+        df.select(F.col(id_col).alias("id"), F.explode(pairs).alias("p"))
+        .where((F.col("p.w1") != "") & (F.col("p.w2") != ""))
+        .select(
+            "id",
+            (
+                poly_hash(F.concat_ws(" ", F.col("p.w1"), F.col("p.w2"))) % b
+            ).alias("bucket"),
+        )
+    )
+
+
+def fit_hashed_ngram_model(
+    df: DataFrame, text_col: str, id_col: str, n_buckets: int = 10_000
+) -> DataFrame:
+    """(bucket, c) — bucket occurrence counts; ≤ ``n_buckets`` rows, so
+    the fitted model broadcasts regardless of corpus size."""
+    return (
+        _hashed_bigrams(df, text_col, id_col, n_buckets)
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def importance_weights(
+    df: DataFrame,
+    target_model: DataFrame,
+    raw_model: DataFrame,
+    text_col: str,
+    id_col: str,
+    n_buckets: int = 10_000,
+    alpha: float = 1.0,
+) -> DataFrame:
+    """(id, n_features, log_w): per-doc DSIR log importance weight
+    under add-α smoothed bucket models. Docs with no bigram get
+    n_features = 0 and log_w = 0 (weight 1 — no evidence either way).
+    """
+    ratios = (
+        target_model.select("bucket", F.col("c").alias("cp"))
+        .join(raw_model.select("bucket", F.col("c").alias("cq")), "bucket", "outer")
+        .select(
+            "bucket",
+            F.coalesce("cp", F.lit(0)).alias("cp"),
+            F.coalesce("cq", F.lit(0)).alias("cq"),
+        )
+    )
+    tp = ratios.agg(F.sum("cp"), F.sum("cq")).collect()[0]
+    np_, nq = float(tp[0] or 0), float(tp[1] or 0)
+    av = alpha * n_buckets
+    logr = F.log((F.col("cp") + alpha) / F.lit(np_ + av)) - F.log(
+        (F.col("cq") + alpha) / F.lit(nq + av)
+    )
+    ratios = ratios.select("bucket", logr.alias("logr"))
+
+    occ = _hashed_bigrams(df, text_col, id_col, n_buckets)
+    scored = (
+        occ.join(F.broadcast(ratios), "bucket", "left")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_features"),
+            F.sum(F.coalesce("logr", F.lit(0.0))).alias("log_w"),
+        )
+    )
+    ids = df.select(F.col(id_col).alias("id")).distinct()
+    return ids.join(scored, "id", "left").select(
+        "id",
+        F.coalesce("n_features", F.lit(0)).alias("n_features"),
+        F.coalesce("log_w", F.lit(0.0)).alias("log_w"),
+    )
+
+
+def _gumbel(key: Column, salt: str) -> Column:
+    """Deterministic Gumbel(0,1) draw from the hashed-key lattice:
+    u = (bucket + 0.5) / BUCKETS ∈ (0, 1), g = −ln(−ln u). Pure
+    function of (key, salt) — same draw on any engine or re-run."""
+    u = (split_bucket(key, salt) + F.lit(0.5)) / F.lit(float(BUCKETS))
+    return -F.log(-F.log(u))
+
+
+def dsir_select(
+    weights: DataFrame,
+    k: int,
+    salt: str = "dsir-v1",
+) -> DataFrame:
+    """Gumbel top-k over (id, log_w): draws ``k`` docs distributed as
+    softmax(log_w) WITHOUT replacement (Gumbel-max argmax trick),
+    deterministically. Returns (id, n_features, log_w, gumbel_key)
+    ordered by descending key. The plan is a global top-k
+    (TakeOrderedAndProject), never a full sort."""
+    key = (F.col("log_w") + _gumbel(F.col("id"), salt)).alias("gumbel_key")
+    return (
+        weights.select("id", "n_features", "log_w", key)
+        .orderBy(F.desc("gumbel_key"), F.asc("id"))
+        .limit(k)
+    )
