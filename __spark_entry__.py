@@ -451,11 +451,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # n/(n+1) lets the returned rank sit one below quantile_disc
     # (measured, deterministic across partitionings) — a documented
     # property of the reference's own accuracy formula, not a bug here.
+    # lowcard_quartile_max=0 pins this query to the SKETCH path (its
+    # whole purpose is grading the accuracy-tuned percentile_approx
+    # semantics); since r6 the default hybrid would route these
+    # low-cardinality columns to the exact disc path, which the same
+    # oracle also grades — via every other data-mode query — because
+    # sketch == disc while the accuracy floor dominates (n < 10000)
     q["tableone_strat_dataq"] = _tableone_q(
         "customer",
         "c_mktsegment",
         ["c_nationkey", "c_acctbal"],
-        config=TableOneConfig(),
+        config=TableOneConfig(lowcard_quartile_max=0),
     )
     # p-value path: tail probabilities are not expressible in DuckDB SQL
     # → rows-only check (statistics themselves are oracle-checked by

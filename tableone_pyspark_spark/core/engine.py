@@ -16,13 +16,16 @@ where the ``Index`` double encodes row order (total=0; continuous stats
 one anchor row per variable (reference :193,:210,:483,:522).
 
 Execution model (the Spark-first rewrite): ``collect_sufficient`` runs
-≤3 single-pass jobs and ships only O(V·k) aggregated scalars to the
-driver; the output table itself (a few hundred rows at most) is then
-assembled locally and returned as a DataFrame. At 100 TB the heavy
-lifting is exactly those 3 shuffles — nothing else scales with data
-size. Contrast: the reference scans the input ~16× per continuous
-variable (:325-437) and pulls whole columns to the driver for p-values
-(:453, :500).
+two phases of concurrent bounded single-pass jobs (≤6 total, critical
+path 2: counts ∥ moments ∥ categorical melt ∥ cardinality probe, then
+quartiles split by cardinality — exact disc for low-cardinality vars ∥
+capped sketch for near-unique ones) and ships only O(V·k) aggregated
+scalars to the driver; the output table itself (a few hundred rows at
+most) is then assembled locally and returned as a DataFrame. At 100 TB
+the heavy lifting is exactly those bounded shuffles — nothing else
+scales with data size. Contrast: the reference scans the input ~16×
+per continuous variable (:325-437) and pulls whole columns to the
+driver for p-values (:453, :500).
 """
 
 from __future__ import annotations
@@ -102,6 +105,16 @@ class TableOneConfig:
     #: duckdb quantile_cont — well-defined, oracle-checkable, but
     #: O(distinct-per-group) memory)
     quantile_mode: str = "data"
+    #: data-mode quartile STRATEGY split (r6): variables whose global
+    #: approximate distinct count (HLL, deterministic) is at or below
+    #: this threshold skip the sketch entirely and get EXACT
+    #: quantile_disc from distinct-value running counts — bounded
+    #: per-group windows, ~3× cheaper than the exactness-tuned sketch,
+    #: and immune to the sketch's accuracy==n+1 one-below-rank quirk.
+    #: High-cardinality variables keep the capped sketch (the bounded-
+    #: memory path a near-unique column needs at 100 TB). Set to 0 to
+    #: force the sketch for everything (pre-r6 behavior).
+    lowcard_quartile_max: int = 2_048
 
 
 def _num(x) -> float | None:
@@ -202,6 +215,7 @@ def tableone(
         quantile_mode=cfg.quantile_mode,
         cat_cells_limit=cfg.cat_cells_limit,
         weight_col=weight_col,
+        lowcard_quartile_max=cfg.lowcard_quartile_max,
     )
 
     return _assemble(

@@ -1,33 +1,46 @@
 """Single-pass sufficient-statistics collection for TableOne.
 
-The whole engine runs at most THREE Spark jobs, independent of the
-number of analyzed variables (the reference runs ~16 scans *per
-continuous variable*, tableone_pyspark.py:325-437, plus a full-column
-``toPandas`` per p-value, :453/:500):
+The whole engine runs two phases of CONCURRENT bounded Spark jobs (≤6
+total, critical path 2), independent of the number of analyzed
+variables (the reference runs ~16 scans *per continuous variable*,
+tableone_pyspark.py:325-437, plus a full-column ``toPandas`` per
+p-value, :453/:500):
 
-  job 1  strat-group row counts (or plain ``count()`` unstratified)
-         — scans only the strat column (parquet column pruning).
-  job 2  ONE ``rollup(strat)`` aggregation computing, for EVERY
-         continuous variable at once: count, min, max, avg,
-         stddev_samp, var_samp and the exact-tuned
-         ``percentile_approx`` triple. The rollup's grand-total row is
-         the "All_Patients" column; per-strat rows are the pivot.
-  job 3  ONE melted count for EVERY categorical variable at once:
-         ``stack`` the columns into (var, value) pairs, then
-         ``groupBy(var, value[, strat]).count()``. Map-side partial
-         aggregation collapses the melt immediately, so the shuffle
-         carries only Σ cardinality × strat rows.
+  phase 1 (all concurrent)
+    counts   strat-group row counts (or plain ``count()``) — scans
+             only the strat column (parquet column pruning).
+    moments  ONE ``rollup(strat)`` computing, for EVERY continuous
+             variable at once: count, min, max, avg, stddev_samp,
+             var_samp. The rollup's grand-total row is the
+             "All_Patients" column; per-strat rows are the pivot.
+    cats     ONE melted count for EVERY categorical variable at once:
+             ``stack`` into (var, value) pairs, then
+             ``groupBy(var, value[, strat]).count()``. Map-side
+             partial aggregation collapses the melt immediately, so
+             the shuffle carries only Σ cardinality × strat rows.
+    probe    one global HLL pass: approximate distinct count per
+             continuous var — the quartile-strategy selector.
+  phase 2 (data mode, quartiles only, both concurrent)
+    sketch   vars with distinct > lowcard_quartile_max: the
+             exactness-tuned capped ``percentile_approx`` rollup —
+             the bounded-memory path near-unique columns need.
+    disc     vars with distinct ≤ lowcard_quartile_max: EXACT
+             ``quantile_disc`` from distinct-value running counts
+             (bounded per-group windows; no sketch cost, no
+             accuracy==n+1 rank quirk).
+  (interpolated mode replaces phase 2 with exact ``percentile`` inside
+  the moments rollup — one pass, O(distinct-per-group) memory.)
 
 Only aggregated scalars ever reach the driver. The collected sizes are
 O(V·k) and O(Σ cardinalities · k) — independent of row count, so the
-same plan runs at 100 TB. Jobs 2 and 3 are submitted concurrently
-(threads; Spark schedules both into the shared local cluster).
+same plan runs at 100 TB. Independent jobs are submitted
+concurrently (threads; Spark schedules them into the shared cluster).
 
 Weighted mode (``weight_col``): weights are FREQUENCY weights — the
 results are defined to equal the unweighted results on a row-replicated
 frame (exactly true for integer weights; pinned by test). Rows with
-null/non-positive weight are excluded everywhere. The same ≤3 jobs
-collect Σw / Σwx / Σwx² instead of counts, plus ONE extra bounded job
+null/non-positive weight are excluded everywhere. The same bounded
+jobs collect Σw / Σwx / Σwx² instead of counts, plus ONE extra job
 for weighted quartiles: melt the continuous vars, compress to distinct
 (var, value[, strat]) with their Σw (map-side combined — the shuffle
 carries distinct values, not rows), one running-sum window per
@@ -69,7 +82,8 @@ class ContStat:
 
 @dataclass
 class Sufficient:
-    """Everything TableOne needs, collected from ≤3 jobs."""
+    """Everything TableOne needs, collected from ≤6 bounded jobs
+    (critical path 2 phases)."""
 
     total: int
     strat_counts: dict[str, int] = field(default_factory=dict)  # cleaned value -> rows
@@ -120,8 +134,11 @@ def _cont_aggs(cont_vars: list[str], accuracy: int, quantile_mode: str) -> list:
     return aggs
 
 
-def _row_to_stats(row, i: int) -> ContStat:
-    q = row[f"q__{i}"] or [None, None, None]
+def _row_to_stats(row, i: int, q_override: tuple | None = None) -> ContStat:
+    if q_override is not None:
+        q = list(q_override)
+    else:
+        q = row[f"q__{i}"] or [None, None, None]
     return ContStat(
         n=row[f"n__{i}"] or 0,
         min=row[f"mn__{i}"],
@@ -133,6 +150,34 @@ def _row_to_stats(row, i: int) -> ContStat:
         q50=q[1],
         q75=q[2],
     )
+
+
+def _moment_aggs(cont_vars: list[str]) -> list:
+    """Data-mode phase 1: moments only — NO quartile sketch (quartiles
+    come from phase 2, routed by the concurrent cardinality probe)."""
+    aggs = []
+    for i, v in enumerate(cont_vars):
+        c = F.col(v)
+        aggs += [
+            F.count(c).alias(f"n__{i}"),
+            F.min(c).alias(f"mn__{i}"),
+            F.max(c).alias(f"mx__{i}"),
+            F.avg(c).alias(f"av__{i}"),
+            F.stddev_samp(c).alias(f"sd__{i}"),
+            F.var_samp(c).alias(f"vr__{i}"),
+        ]
+    return aggs
+
+
+def _sketch_aggs(pairs: list[tuple[int, str]], accuracy: int) -> list:
+    """Data-mode phase 2a: the accuracy-tuned sketch, only for the
+    high-cardinality vars (original indices preserved in aliases)."""
+    return [
+        F.percentile_approx(F.col(v), [0.25, 0.5, 0.75], F.lit(accuracy)).alias(
+            f"q__{i}"
+        )
+        for i, v in pairs
+    ]
 
 
 def _cont_aggs_weighted(cont_vars: list[str]) -> list:
@@ -193,9 +238,11 @@ def collect_sufficient(
     quantile_mode: str = "data",
     cat_cells_limit: int = 1_000_000,
     weight_col: str | None = None,
+    lowcard_quartile_max: int = 2_048,
 ) -> Sufficient:
-    """Run the ≤3 jobs (+1 weighted-quantile job in weighted mode) and
-    return every statistic TableOne needs."""
+    """Run the bounded job set (two concurrent phases in data mode;
+    +1 weighted-quantile job in weighted mode) and return every
+    statistic TableOne needs."""
     stratified = col_to_strat != ""
     weighted = weight_col is not None
     base = df
@@ -263,26 +310,11 @@ def collect_sufficient(
         return {}, work.count()
 
     def run_cont(total: int):
-        # reference :384-388: accuracy = max(n+1, 10000) makes the
-        # quartiles exact; capped so the sketch stays bounded at scale
-        # (documented deviation above the cap). Interpolated mode does
-        # not use the accuracy knob at all.
-        accuracy = min(max(total + 1, 10_000), exact_percentile_cap)
-        if quantile_mode == "data" and total + 1 > exact_percentile_cap:
-            import warnings
-
-            warnings.warn(
-                f"{total} rows exceed exact_percentile_cap="
-                f"{exact_percentile_cap}: quartiles are approximate "
-                f"(<=1/{exact_percentile_cap} relative rank error), not "
-                "the reference's exact data values. Raise the cap or use "
-                'quantile_mode="interpolated" for exact quartiles.',
-                stacklevel=5,
-            )
+        # weighted / interpolated modes: one pass, unchanged shape.
         aggs = (
             _cont_aggs_weighted(cont_vars)
             if weighted
-            else _cont_aggs(cont_vars, accuracy, quantile_mode)
+            else _cont_aggs(cont_vars, 0, quantile_mode)
         )
         if stratified:
             # rollup == grouping sets {(strat), ()}: per-strat cells AND
@@ -290,6 +322,95 @@ def collect_sufficient(
             # so the null-strat row is unambiguously the total.
             return work.rollup(STRAT).agg(*aggs).collect()
         return work.groupBy().agg(*aggs).collect()
+
+    def run_cont_moments():
+        # data-mode phase 1: moments; quartiles come from phase 2.
+        aggs = _moment_aggs(cont_vars)
+        if stratified:
+            return work.rollup(STRAT).agg(*aggs).collect()
+        return work.groupBy().agg(*aggs).collect()
+
+    def run_cardinality():
+        # the quartile-strategy selector: GLOBAL approximate distinct
+        # counts only (no rollup Expand — per-strat cardinality is
+        # irrelevant to the split), one cheap HLL pass concurrent with
+        # counts + moments. Deterministic (hash-based), so the routing
+        # is stable across runs and partitionings.
+        row = work.groupBy().agg(
+            *[
+                F.approx_count_distinct(F.col(v)).alias(f"cd__{i}")
+                for i, v in enumerate(cont_vars)
+            ]
+        ).collect()[0]
+        return [row[f"cd__{i}"] or 0 for i in range(len(cont_vars))]
+
+    def run_cont_sketch(pairs: list[tuple[int, str]], total: int):
+        # data-mode phase 2a (high-cardinality vars only): the
+        # reference's accuracy = max(n+1, 10000) makes the sketch
+        # return exact data values; capped so it stays bounded at scale
+        # (documented deviation above the cap).
+        accuracy = min(max(total + 1, 10_000), exact_percentile_cap)
+        if total + 1 > exact_percentile_cap:
+            import warnings
+
+            warnings.warn(
+                f"{total} rows exceed exact_percentile_cap="
+                f"{exact_percentile_cap}: quartiles of high-cardinality "
+                f"variables {[v for _i, v in pairs]} are approximate "
+                f"(<=1/{exact_percentile_cap} relative rank error), not "
+                "the reference's exact data values. Raise the cap or use "
+                'quantile_mode="interpolated" for exact quartiles.',
+                stacklevel=6,
+            )
+        aggs = _sketch_aggs(pairs, accuracy)
+        if stratified:
+            return work.rollup(STRAT).agg(*aggs).collect()
+        return work.groupBy().agg(*aggs).collect()
+
+    def run_lowcard_disc(pairs: list[tuple[int, str]]):
+        # data-mode phase 2b: EXACT quantile_disc for low-cardinality
+        # vars via distinct-value running counts. Each (var, strat)
+        # group holds <= lowcard_quartile_max distinct values (that is
+        # what classified it low), so a plain per-group window is
+        # bounded — no range bucketing needed, no sketch cost. Global
+        # cells derive from the per-strat ones without rescanning.
+        from pyspark.sql import Window
+
+        sentinel = "\x00__t1_all__"
+        casts = ", ".join(
+            f"{_sql_str(v)}, CAST({_quote(v)} AS DOUBLE)" for _i, v in pairs
+        )
+        stack = F.expr(f"stack({len(pairs)}, {casts}) as (t1_var, t1_x)")
+        melted = work.select(*([STRAT] if stratified else []), stack).where(
+            F.col("t1_x").isNotNull()
+        )
+        keys = ["t1_var", "t1_x"] + ([STRAT] if stratified else [])
+        g = melted.groupBy(*keys).agg(F.count(F.lit(1)).alias("sw"))
+        if stratified:
+            g_all = (
+                g.groupBy("t1_var", "t1_x")
+                .agg(F.sum("sw").alias("sw"))
+                .withColumn(STRAT, F.lit(sentinel))
+            )
+            g = g.unionByName(g_all)
+        part = ["t1_var"] + ([STRAT] if stratified else [])
+        cum = F.sum("sw").over(Window.partitionBy(*part).orderBy("t1_x"))
+        tw = F.sum("sw").over(Window.partitionBy(*part))
+        ranked = g.select(*part, "t1_x", cum.alias("cum"), tw.alias("tw"))
+        qaggs = [
+            F.min(
+                F.when(F.col("cum") >= F.lit(p) * F.col("tw"), F.col("t1_x"))
+            ).alias(f"wq_{int(p * 100)}")
+            for p in (0.25, 0.5, 0.75)
+        ]
+        rows = ranked.groupBy(*part).agg(*qaggs).collect()
+        out_rows = []
+        for row in rows:
+            d = row.asDict()
+            if stratified and d[STRAT] == sentinel:
+                d[STRAT] = None
+            out_rows.append(d)
+        return out_rows
 
     def run_wq():
         # weighted quartiles: compress to distinct (var, value[, strat])
@@ -440,14 +561,19 @@ def collect_sufficient(
             )
         return rows
 
-    # ---- schedule the ≤3 jobs with maximal overlap ----------------------
-    # job 3 (categorical melt) never depends on job 1; job 2 depends on
-    # job 1 only in "data" mode (the exactness-tuned accuracy needs the
-    # row count). Everything independent runs concurrently — Spark's
-    # scheduler interleaves the jobs across the cluster.
+    # ---- schedule the jobs with maximal overlap -------------------------
+    # The categorical melt never depends on anything else. In "data"
+    # mode the flow is two phases: {counts ∥ moments+HLL ∥ melt}, then
+    # the HLL estimates split the quartile work into {sketch for
+    # high-cardinality vars ∥ exact disc for low-cardinality vars} —
+    # both bounded, both concurrent. Weighted/interpolated keep their
+    # one-pass shapes. Spark's scheduler interleaves the concurrent
+    # jobs across the cluster.
     cont_rows: list = []
     cat_rows: list = []
     wq_rows: list = []
+    sketch_rows: list = []
+    data_mode = (not weighted) and quantile_mode != "interpolated" and cont_vars
     with ThreadPoolExecutor(max_workers=4) as pool:
         f_cat = pool.submit(run_cat) if cat_vars else None
         if weighted and cont_vars:
@@ -465,8 +591,24 @@ def collect_sufficient(
             out.strat_counts, out.total = f_counts.result()
             cont_rows = f_cont.result()
         elif cont_vars:
-            out.strat_counts, out.total = run_counts()
-            cont_rows = pool.submit(run_cont, out.total).result()
+            f_counts = pool.submit(run_counts)
+            f_cont = pool.submit(run_cont_moments)
+            f_card = pool.submit(run_cardinality)
+            cards = f_card.result()
+            out.strat_counts, out.total = f_counts.result()
+            high = []
+            low = []
+            for i, v in enumerate(cont_vars):
+                (low if cards[i] <= lowcard_quartile_max else high).append(
+                    (i, v)
+                )
+            f_sketch = (
+                pool.submit(run_cont_sketch, high, out.total) if high else None
+            )
+            f_low = pool.submit(run_lowcard_disc, low) if low else None
+            cont_rows = f_cont.result()
+            sketch_rows = f_sketch.result() if f_sketch is not None else []
+            wq_rows = f_low.result() if f_low is not None else []
         else:
             out.strat_counts, out.total = run_counts()
         if f_cat is not None:
@@ -474,11 +616,14 @@ def collect_sufficient(
 
     # ---- unpack ---------------------------------------------------------
     quarts: dict[tuple[str, str | None], tuple] = {}
-    for row in wq_rows:
+    for row in wq_rows:  # dict rows from run_wq / run_lowcard_disc
         key = row[STRAT] if stratified else None
         quarts[(row["t1_var"], key)] = (
             row["wq_25"], row["wq_50"], row["wq_75"],
         )
+    sketch_by_key: dict[str | None, object] = {}
+    for row in sketch_rows:
+        sketch_by_key[row[STRAT] if stratified else None] = row
     for i, v in enumerate(cont_vars):
         out.cont[v] = {}
     for row in cont_rows:
@@ -487,6 +632,16 @@ def collect_sufficient(
             if weighted:
                 q = quarts.get((v, key), (None, None, None))
                 out.cont[v][key] = _row_to_stats_weighted(row, i, q)
+            elif data_mode:
+                if (v, key) in quarts:
+                    q = quarts[(v, key)]
+                else:
+                    srow = sketch_by_key.get(key)
+                    qv = (srow[f"q__{i}"] if srow is not None else None) or [
+                        None, None, None,
+                    ]
+                    q = (qv[0], qv[1], qv[2])
+                out.cont[v][key] = _row_to_stats(row, i, q_override=q)
             else:
                 out.cont[v][key] = _row_to_stats(row, i)
     if stratified and cont_vars and None not in out.cont[cont_vars[0]]:

@@ -344,15 +344,34 @@ def test_index_collision_warns(spark):
 
 
 def test_percentile_cap_truncation_warns(spark):
-    """When n+1 exceeds exact_percentile_cap in the default "data" mode,
-    the engine must say quartiles are no longer reference-exact."""
+    """When n+1 exceeds exact_percentile_cap in the default "data" mode
+    AND a high-cardinality variable actually takes the sketch path, the
+    engine must say those quartiles are no longer reference-exact.
+    Low-cardinality variables (r6 hybrid) take the exact disc path and
+    must NOT warn — their quartiles stay exact regardless of the cap."""
     from tableone_pyspark_spark import TableOneConfig
 
     df = spark.range(500).selectExpr("CAST(id AS DOUBLE) AS x")
     with warnings.catch_warnings(record=True) as caught:
         warnings.simplefilter("always")
-        tableone(df, cols_to_analyze=["x"], config=TableOneConfig(exact_percentile_cap=100)).collect()
+        # lowcard_quartile_max=0 forces the sketch (pre-r6 behavior)
+        tableone(
+            df,
+            cols_to_analyze=["x"],
+            config=TableOneConfig(exact_percentile_cap=100, lowcard_quartile_max=0),
+        ).collect()
     assert any("exact_percentile_cap" in str(w.message) for w in caught)
+
+    # hybrid default: 500 distinct <= 2048 -> exact disc path, no
+    # sketch, no warning — and the median is exactly the disc value
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        out = rows_by_index(
+            tableone(df, cols_to_analyze=["x"],
+                     config=TableOneConfig(exact_percentile_cap=100))
+        )
+    assert not any("exact_percentile_cap" in str(w.message) for w in caught)
+    assert out[(1.7, "50th percentile")]["All_Patients"] == 249.0
 
     # interpolated mode never warns (the knob is unused)
     with warnings.catch_warnings(record=True) as caught:
