@@ -573,6 +573,7 @@ def collect_sufficient(
     cat_rows: list = []
     wq_rows: list = []
     sketch_rows: list = []
+    lowcard_vars: set[str] = set()
     data_mode = (not weighted) and quantile_mode != "interpolated" and cont_vars
     with ThreadPoolExecutor(max_workers=4) as pool:
         f_cat = pool.submit(run_cat) if cat_vars else None
@@ -602,6 +603,7 @@ def collect_sufficient(
                 (low if cards[i] <= lowcard_quartile_max else high).append(
                     (i, v)
                 )
+            lowcard_vars = {v for _i, v in low}
             f_sketch = (
                 pool.submit(run_cont_sketch, high, out.total) if high else None
             )
@@ -633,8 +635,11 @@ def collect_sufficient(
                 q = quarts.get((v, key), (None, None, None))
                 out.cont[v][key] = _row_to_stats_weighted(row, i, q)
             elif data_mode:
-                if (v, key) in quarts:
-                    q = quarts[(v, key)]
+                if v in lowcard_vars:
+                    # an all-NULL (var, strat) cell has no disc row —
+                    # its quartiles are None, never a sketch lookup
+                    # (the sketch rows only alias high-card vars)
+                    q = quarts.get((v, key), (None, None, None))
                 else:
                     srow = sketch_by_key.get(key)
                     qv = (srow[f"q__{i}"] if srow is not None else None) or [

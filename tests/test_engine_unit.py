@@ -389,6 +389,47 @@ def test_percentile_cap_truncation_warns(spark):
 # ---------------------------------------------------------------------------
 
 
+
+
+def test_hybrid_mixed_cardinality_with_all_null_strat_cell(spark):
+    """r6 hybrid regression: a LOW-cardinality variable whose values
+    are all NULL within one stratum, alongside a HIGH-cardinality
+    variable (so sketch rows exist), must yield None quartiles for
+    that cell — not a missing-field crash on the sketch row."""
+    from pyspark.sql import functions as F
+
+    from tableone_pyspark_spark import TableOneConfig
+
+    n = 400
+    df = (
+        spark.range(n)
+        .select(
+            F.when(F.col("id") % 2 == 0, "a").otherwise("b").alias("g"),
+            # high-card: near-unique
+            (F.col("id") * 1.0 + 0.5).alias("hx"),
+            # low-card: 3 distinct values, but ALL NULL in stratum b
+            F.when(
+                F.col("id") % 2 == 0, (F.col("id") % 3).cast("double")
+            ).alias("lx"),
+        )
+    )
+    out = rows_by_index(
+        tableone(
+            df, col_to_strat="g", cols_to_analyze=["hx", "lx"],
+            config=TableOneConfig(lowcard_quartile_max=10),
+        )
+    )
+    # lx in stratum b: no values -> n=0, quartiles None
+    assert out[(2.1, "n")]["b"] == 0.0
+    assert out[(2.7, "50th percentile")]["b"] is None
+    # lx in stratum a: exact disc over {0,1,2} with 67/67/66 counts
+    assert out[(2.7, "50th percentile")]["a"] == 1.0
+    # hx (sketch path) still produces per-strat and global medians
+    assert out[(1.7, "50th percentile")]["All_Patients"] is not None
+    assert out[(1.7, "50th percentile")]["a"] is not None
+
+
+
 def test_weighted_tableone_equals_replicated_rows(spark):
     """THE semantic pin for frequency weights: tableone(weight_col=w)
     with integer w must reproduce tableone() on the row-replicated
