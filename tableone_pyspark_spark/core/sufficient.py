@@ -63,6 +63,9 @@ from tableone_pyspark_spark.core.sanitize import MISSING, clean_strat_col
 STRAT = "__t1_strat__"
 #: internal weight column name (weighted mode only)
 WEIGHT = "__t1_w__"
+#: global-cell marker in melted quantile frames (joins drop NULL keys;
+#: windows don't — run_wq and run_lowcard_disc share this)
+SENTINEL = "\x00__t1_all__"
 
 
 @dataclass(frozen=True)
@@ -376,24 +379,7 @@ def collect_sufficient(
         # cells derive from the per-strat ones without rescanning.
         from pyspark.sql import Window
 
-        sentinel = "\x00__t1_all__"
-        casts = ", ".join(
-            f"{_sql_str(v)}, CAST({_quote(v)} AS DOUBLE)" for _i, v in pairs
-        )
-        stack = F.expr(f"stack({len(pairs)}, {casts}) as (t1_var, t1_x)")
-        melted = work.select(*([STRAT] if stratified else []), stack).where(
-            F.col("t1_x").isNotNull()
-        )
-        keys = ["t1_var", "t1_x"] + ([STRAT] if stratified else [])
-        g = melted.groupBy(*keys).agg(F.count(F.lit(1)).alias("sw"))
-        if stratified:
-            g_all = (
-                g.groupBy("t1_var", "t1_x")
-                .agg(F.sum("sw").alias("sw"))
-                .withColumn(STRAT, F.lit(sentinel))
-            )
-            g = g.unionByName(g_all)
-        part = ["t1_var"] + ([STRAT] if stratified else [])
+        g, part = melt_distinct_counts([v for _i, v in pairs], use_weight=False)
         cum = F.sum("sw").over(Window.partitionBy(*part).orderBy("t1_x"))
         tw = F.sum("sw").over(Window.partitionBy(*part))
         ranked = g.select(*part, "t1_x", cum.alias("cum"), tw.alias("tw"))
@@ -407,10 +393,38 @@ def collect_sufficient(
         out_rows = []
         for row in rows:
             d = row.asDict()
-            if stratified and d[STRAT] == sentinel:
+            if stratified and d[STRAT] == SENTINEL:
                 d[STRAT] = None
             out_rows.append(d)
         return out_rows
+
+    def melt_distinct_counts(vars_, use_weight: bool):
+        """Shared by run_wq / run_lowcard_disc: melt ``vars_`` and
+        compress to distinct (var, value[, strat]) cells carrying the
+        Σweight (weighted) or count (w≡1) — ONE shuffle, map-side
+        combined, carrying distinct values, not rows — then derive the
+        global cells from the per-strat ones WITHOUT rescanning
+        (SENTINEL-marked). Returns (g, part)."""
+        casts = ", ".join(
+            f"{_sql_str(v)}, CAST({_quote(v)} AS DOUBLE)" for v in vars_
+        )
+        stack = F.expr(f"stack({len(vars_)}, {casts}) as (t1_var, t1_x)")
+        melted = work.select(
+            *([STRAT] if stratified else []),
+            *([F.col(WEIGHT)] if use_weight else []),
+            stack,
+        ).where(F.col("t1_x").isNotNull())
+        keys = ["t1_var", "t1_x"] + ([STRAT] if stratified else [])
+        agg = F.sum(WEIGHT) if use_weight else F.count(F.lit(1)).cast("double")
+        g = melted.groupBy(*keys).agg(agg.alias("sw"))
+        if stratified:
+            g_all = (
+                g.groupBy("t1_var", "t1_x")
+                .agg(F.sum("sw").alias("sw"))
+                .withColumn(STRAT, F.lit(SENTINEL))
+            )
+            g = g.unionByName(g_all)
+        return g, ["t1_var"] + ([STRAT] if stratified else [])
 
     def run_wq():
         # weighted quartiles: compress to distinct (var, value[, strat])
@@ -433,24 +447,7 @@ def collect_sufficient(
         from pyspark.sql import Window
 
         B = 256
-        sentinel = "\x00__t1_all__"  # joins drop NULL keys; windows don't
-        casts = ", ".join(
-            f"{_sql_str(v)}, CAST({_quote(v)} AS DOUBLE)" for v in cont_vars
-        )
-        stack = F.expr(f"stack({len(cont_vars)}, {casts}) as (t1_var, t1_x)")
-        melted = work.select(
-            *([STRAT] if stratified else []), F.col(WEIGHT), stack
-        ).where(F.col("t1_x").isNotNull())
-        keys = ["t1_var", "t1_x"] + ([STRAT] if stratified else [])
-        g = melted.groupBy(*keys).agg(F.sum(WEIGHT).alias("sw"))
-        if stratified:
-            g_all = (
-                g.groupBy("t1_var", "t1_x")
-                .agg(F.sum("sw").alias("sw"))
-                .withColumn(STRAT, F.lit(sentinel))
-            )
-            g = g.unionByName(g_all)
-        part = ["t1_var"] + ([STRAT] if stratified else [])
+        g, part = melt_distinct_counts(cont_vars, use_weight=True)
 
         # per-group span + total (tiny; broadcast back onto g)
         stats = g.groupBy(*part).agg(
@@ -529,7 +526,7 @@ def collect_sufficient(
             remap = []
             for row in rows:
                 d = row.asDict()
-                if d[STRAT] == sentinel:
+                if d[STRAT] == SENTINEL:
                     d[STRAT] = None
                 remap.append(d)
             return remap
@@ -575,7 +572,11 @@ def collect_sufficient(
     sketch_rows: list = []
     lowcard_vars: set[str] = set()
     data_mode = (not weighted) and quantile_mode != "interpolated" and cont_vars
-    with ThreadPoolExecutor(max_workers=4) as pool:
+    with ThreadPoolExecutor(max_workers=6) as pool:
+        # 6 workers = the worst-case concurrent job set (counts ∥
+        # moments ∥ melt ∥ probe, then sketch ∥ disc while the melt may
+        # still be running) — a smaller pool would serialize phase 2
+        # behind whichever phase-1 job is the long pole
         f_cat = pool.submit(run_cat) if cat_vars else None
         if weighted and cont_vars:
             # weighted moments need no accuracy tuning -> all 4 jobs
@@ -594,8 +595,13 @@ def collect_sufficient(
         elif cont_vars:
             f_counts = pool.submit(run_counts)
             f_cont = pool.submit(run_cont_moments)
-            f_card = pool.submit(run_cardinality)
-            cards = f_card.result()
+            if lowcard_quartile_max > 0:
+                f_card = pool.submit(run_cardinality)
+                cards = f_card.result()
+            else:
+                # sketch-for-everything pin: the probe could not route
+                # anything to the disc path — skip its full scan
+                cards = [lowcard_quartile_max + 1] * len(cont_vars)
             out.strat_counts, out.total = f_counts.result()
             high = []
             low = []

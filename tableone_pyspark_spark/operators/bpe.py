@@ -175,9 +175,15 @@ def train_bpe(
 
 def _release_checkpoint(df: DataFrame) -> None:
     """Drop a localCheckpoint'ed DataFrame's RDD blocks (best-effort:
-    storage bookkeeping only, never fails the training loop)."""
+    storage bookkeeping only, never fails the training loop).
+
+    ``df.rdd.unpersist`` would be a silent no-op — it unpersists a
+    derived javaToPython RDD, not the internal RDD the checkpoint
+    cached. The checkpointed Dataset's plan is a LogicalRDD whose
+    ``rdd()`` IS the persisted one (verified: getPersistentRDDs drops
+    to empty after this, and stays populated with the naive call)."""
     try:
-        df.rdd.unpersist(False)
+        df._jdf.queryExecution().optimizedPlan().rdd().unpersist(False)
     except Exception:
         pass
 

@@ -37,21 +37,15 @@ from tableone_pyspark_spark.operators.sampling import BUCKETS, split_bucket
 
 def _hashed_bigrams(df: DataFrame, text_col: str, id_col: str, b: int) -> DataFrame:
     """(id, bucket) — one row per bigram OCCURRENCE, bucketed by the
-    cross-engine polynomial hash of 'w1 w2'."""
-    arr = F.split(normalize_text(F.col(text_col)), " ")
-    pairs = F.arrays_zip(
-        F.slice(arr, 1, F.greatest(F.size(arr) - 1, F.lit(0))).alias("w1"),
-        F.slice(arr, 2, F.greatest(F.size(arr) - 1, F.lit(0))).alias("w2"),
-    )
-    return (
-        df.select(F.col(id_col).alias("id"), F.explode(pairs).alias("p"))
-        .where((F.col("p.w1") != "") & (F.col("p.w2") != ""))
-        .select(
-            "id",
-            (
-                poly_hash(F.concat_ws(" ", F.col("p.w1"), F.col("p.w2"))) % b
-            ).alias("bucket"),
-        )
+    cross-engine polynomial hash of 'w1 w2'. The bigram melt itself is
+    shared with the LM module (ONE definition of the edge cases)."""
+    from tableone_pyspark_spark.operators.lm import _bigram_occurrences
+
+    return _bigram_occurrences(df, text_col, id_col).select(
+        "id",
+        (poly_hash(F.concat_ws(" ", F.col("w1"), F.col("w2"))) % b).alias(
+            "bucket"
+        ),
     )
 
 
@@ -96,6 +90,13 @@ def importance_weights(
         (F.col("cq") + alpha) / F.lit(nq + av)
     )
     ratios = ratios.select("bucket", logr.alias("logr"))
+    # a bucket absent from BOTH models (possible only when scoring docs
+    # outside the fitting corpora — the normal fit-once/score-shards
+    # deployment) still has a smoothed ratio: cp = cq = 0 gives
+    # log(α/(np+αB)) − log(α/(nq+αB)) = log((nq+αB)/(np+αB)), NOT 0
+    import math
+
+    unseen = math.log((nq + av) / (np_ + av)) if np_ + av > 0 else 0.0
 
     occ = _hashed_bigrams(df, text_col, id_col, n_buckets)
     scored = (
@@ -103,7 +104,7 @@ def importance_weights(
         .groupBy("id")
         .agg(
             F.count(F.lit(1)).alias("n_features"),
-            F.sum(F.coalesce("logr", F.lit(0.0))).alias("log_w"),
+            F.sum(F.coalesce("logr", F.lit(unseen))).alias("log_w"),
         )
     )
     ids = df.select(F.col(id_col).alias("id")).distinct()

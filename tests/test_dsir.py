@@ -129,3 +129,26 @@ def test_select_plan_is_topk_not_full_sort(spark):
     weights = dsir.importance_weights(r, tm, rm, "text", "id", B)
     plan = dsir.dsir_select(weights, 2)._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_unseen_buckets_get_smoothed_ratio_not_zero(spark):
+    """Scoring docs OUTSIDE the fitting corpora (fit once, score new
+    shards): a bucket absent from both models must contribute the
+    add-alpha smoothed log((nq+aB)/(np+aB)) per occurrence — zeroing it
+    would bias novel-bigram docs toward weight 1."""
+    t, r = _frames(spark)
+    tm = dsir.fit_hashed_ngram_model(t, "text", "id", B)
+    rm = dsir.fit_hashed_ngram_model(r, "text", "id", B)
+    novel = spark.createDataFrame(
+        [(99, "zzzz qqqq qqxx wwww")], ["id", "text"]
+    )
+    got = dsir.importance_weights(novel, tm, rm, "text", "id", B).collect()[0]
+    p_model, q_model = _ref_model(TARGET), _ref_model(RAW)
+    np_, nq = sum(p_model.values()), sum(q_model.values())
+    exp = 0.0
+    for b in _ref_buckets("zzzz qqqq qqxx wwww"):
+        exp += math.log((p_model.get(b, 0) + 1.0) / (np_ + B))
+        exp -= math.log((q_model.get(b, 0) + 1.0) / (nq + B))
+    assert got["n_features"] == 3
+    assert got["log_w"] == pytest.approx(exp, abs=1e-9)
+    assert abs(exp) > 1e-6  # the buckets really are novel -> nonzero
