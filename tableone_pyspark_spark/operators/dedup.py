@@ -659,3 +659,92 @@ def paragraph_dedup(
             ),
         )
     )
+
+
+def remove_duplicate_spans(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 50,
+) -> DataFrame:
+    """Exact duplicate-SPAN removal (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better": cut every k-token
+    window that appears elsewhere in the corpus, keeping only the
+    globally-first occurrence).
+
+    Pipeline, 100 TB story:
+      1. melt every k-token window to (id, pos, h1, h2) — ``word_grams``
+         gives position-aligned windows, hashed with TWO independent
+         cross-engine polynomial hashes (different bases) so the
+         shuffle carries 2×8 B per window instead of k words; a 62-bit
+         combined key makes collisions negligible at corpus scale
+         (exactness beyond that would move to 128-bit hashing, same
+         shape).
+      2. one groupBy (h1, h2) keeping min(struct(id, pos)) — the
+         deterministic globally-first occurrence (lexicographic on
+         (id, pos)).
+      3. join back; every occurrence that is not the first marks the
+         span [pos, pos+k) for removal in its doc.
+      4. per-doc token filter: a token survives unless SOME removal
+         span covers it — the ``exists`` formulation merges overlapping
+         spans for free (a long duplicated region is many overlapping
+         windows; coverage is coverage). Pure Catalyst array ops — no
+         UDF, no per-doc Python.
+
+    Output text is the NORMALIZED token stream re-joined by single
+    spaces (the dedup-family convention: dedup operates on the
+    normalized stream). Docs shorter than k tokens pass through
+    unchanged (normalized). Returns (id, text, n_tokens, n_removed).
+    """
+    from tableone_pyspark_spark.functions.text import word_grams
+
+    if k < 2:
+        raise ValueError("span window k must be >= 2 tokens")
+    words_col = F.split(normalize_text(F.col(text_col)), " ")
+    docs = rebalance(df.select(id_col, text_col)).select(
+        F.col(id_col).alias("id"), words_col.alias("words")
+    ).withColumn("words", F.filter("words", lambda w: w != ""))
+
+    grams = docs.select(
+        "id", F.posexplode(word_grams(F.col("words"), k)).alias("pos", "g")
+    )
+    occ = grams.select(
+        "id",
+        "pos",
+        poly_hash(F.col("g"), base=31).alias("h1"),
+        poly_hash(F.col("g"), base=131).alias("h2"),
+    )
+    firsts = occ.groupBy("h1", "h2").agg(
+        F.min(F.struct("id", "pos")).alias("first"),
+        F.count(F.lit(1)).alias("n_occ"),
+    )
+    dup_spans = (
+        occ.join(firsts, ["h1", "h2"])
+        .where(
+            (F.col("n_occ") > 1)
+            & ~(
+                (F.col("id") == F.col("first.id"))
+                & (F.col("pos") == F.col("first.pos"))
+            )
+        )
+        .groupBy("id")
+        .agg(F.collect_set("pos").alias("spans"))
+    )
+    out = docs.join(dup_spans, "id", "left")
+    n_tokens = F.size("words")
+    covered = lambda i: F.exists(
+        F.col("spans"), lambda s: (i >= s) & (i < s + F.lit(k))
+    )
+    kept_idx = F.filter(
+        F.sequence(F.lit(0), F.greatest(n_tokens, F.lit(1)) - 1),
+        lambda i: (i < n_tokens) & ~F.coalesce(covered(i), F.lit(False)),
+    )
+    kept_words = F.transform(
+        kept_idx, lambda i: F.try_element_at(F.col("words"), (i + 1).cast("int"))
+    )
+    return out.select(
+        F.col("id").alias(id_col),
+        F.array_join(kept_words, " ").alias("text"),
+        n_tokens.cast("long").alias("n_tokens"),
+        (n_tokens - F.size(kept_words)).cast("long").alias("n_removed"),
+    )
