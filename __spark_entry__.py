@@ -1834,7 +1834,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # scripts/check_oracles.py, 4/4): tableone_weighted,
     # stream_tableone_weighted, weighted_stats gained the GREATEST(...,0)
     # stddev clamp (ADVICE r5 — value-identical on graded data).
-    # After r6 the 46 r5-graded queries are stale-1 and lead r7.
+    # After r6 the 46 r5-graded queries are stale-1 and, with the two
+    # displaced stale-2s (cat_counts, cat_pivot), lead r7. r7 graded-
+    # query CANDIDATES if slots open (each already differential-pinned
+    # in pytest): remove_duplicate_spans (oracle-able: poly-hash window
+    # replay), dsir importance_weights (oracle-able: bucket-model
+    # replay), bpe (NOT SQL-expressible — pytest-gated by design).
     _front = [
         # stale-2 (last graded r3) — VERDICT r5 ask #1 priority
         "stream_sessions_builtin", "split_documents", "stream_dedup",

@@ -110,7 +110,10 @@ def main() -> None:
                 "reference=37.46s at sf0.1)",
                 "unit": "sec",
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "notes": "b1-b3: median of 3 after warm-up. Coverage-suite "
+                "notes": "b1-b3: median of 3 after warm-up. r6: hybrid "
+                "quartile strategy (sketch only for near-unique vars, exact "
+                "disc for low-cardinality — BASELINE.md) cut the headline "
+                "from 11.3s to ~4.2-4.8s. Coverage-suite "
                 "timings are SINGLE-RUN in one shared session on a shared "
                 "host: deltas under ~2x between rounds are noise; re-measure "
                 "solo before grading a regression (BASELINE.md protocol). "
