@@ -673,37 +673,57 @@ def remove_duplicate_spans(
     globally-first occurrence).
 
     Pipeline, 100 TB story:
-      1. melt every k-token window to (id, pos, h1, h2) — ``word_grams``
-         gives position-aligned windows, hashed with TWO independent
-         cross-engine polynomial hashes (different bases) so the
-         shuffle carries 2×8 B per window instead of k words; a 62-bit
-         combined key makes collisions negligible at corpus scale
-         (exactness beyond that would move to 128-bit hashing, same
-         shape).
+      1. melt every k-token window, hashed with TWO independent
+         cross-engine polynomial hashes (62-bit (h1, h2) key) so the
+         shuffle carries 16 B/window instead of k words. Hashing costs
+         O(k) char-folds per window (linear in corpus size, k× CPU) —
+         deliberately NOT a Catalyst fold-based rolling hash: array-
+         accumulator folds copy their accumulator per element
+         (quadratic), measured catastrophically slower.
       2. one groupBy (h1, h2) keeping min(struct(id, pos)) — the
          deterministic globally-first occurrence (lexicographic on
          (id, pos)).
-      3. join back; every occurrence that is not the first marks the
-         span [pos, pos+k) for removal in its doc.
-      4. per-doc token filter: a token survives unless SOME removal
-         span covers it — the ``exists`` formulation merges overlapping
-         spans for free (a long duplicated region is many overlapping
-         windows; coverage is coverage). Pure Catalyst array ops — no
-         UDF, no per-doc Python.
+      3. every non-first occurrence is a removal span [pos, pos+k);
+         overlapping spans merge RELATIONALLY (gaps-and-islands: one
+         per-doc window with a running max of span ends labels
+         islands, one groupBy collapses each island to a disjoint
+         region) — no per-doc quadratic work, state is one running
+         scalar per row.
+      4. reassembly: per doc, the sorted disjoint regions (array of
+         the few merged islands, not raw spans) complement into kept
+         gaps via ONE indexed transform, and the kept tokens are the
+         gap slices — O(regions + kept tokens) per doc.
+
+    Honest collision bound: duplicate detection is by the 62-bit
+    double hash, so expected spurious matches ≈ N²/2⁶³ window pairs —
+    negligible to ~10⁹ windows (low-TB corpora), ~10⁷ wrongly-cut
+    spans at 10¹³ windows. Beyond that scale swap 128-bit hashing into
+    step 1 (same shape); the operator name says "exact" about the
+    MATCHING RULE (exact token windows, vs MinHash/SimHash
+    similarity), not the hash width.
 
     Output text is the NORMALIZED token stream re-joined by single
     spaces (the dedup-family convention: dedup operates on the
-    normalized stream). Docs shorter than k tokens pass through
-    unchanged (normalized). Returns (id, text, n_tokens, n_removed).
+    normalized stream, which collapses spaces/tabs/newlines but — like
+    the whole family — leaves \r alone, so CRLF and LF copies of a
+    text do NOT match; normalize upstream if the corpus mixes line
+    endings). NULL text behaves as empty (defined row: '', 0, 0); docs
+    shorter than k tokens pass through unchanged (normalized).
+    Returns (id, text, n_tokens, n_removed).
     """
+    from pyspark.sql import Window
+
     from tableone_pyspark_spark.functions.text import word_grams
 
     if k < 2:
         raise ValueError("span window k must be >= 2 tokens")
-    words_col = F.split(normalize_text(F.col(text_col)), " ")
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+    words_col = F.filter(
+        F.split(normalize_text(txt), " "), lambda w: w != ""
+    )
     docs = rebalance(df.select(id_col, text_col)).select(
         F.col(id_col).alias("id"), words_col.alias("words")
-    ).withColumn("words", F.filter("words", lambda w: w != ""))
+    )
 
     grams = docs.select(
         "id", F.posexplode(word_grams(F.col("words"), k)).alias("pos", "g")
@@ -718,7 +738,7 @@ def remove_duplicate_spans(
         F.min(F.struct("id", "pos")).alias("first"),
         F.count(F.lit(1)).alias("n_occ"),
     )
-    dup_spans = (
+    spans = (
         occ.join(firsts, ["h1", "h2"])
         .where(
             (F.col("n_occ") > 1)
@@ -727,17 +747,58 @@ def remove_duplicate_spans(
                 & (F.col("pos") == F.col("first.pos"))
             )
         )
+        .select("id", "pos", (F.col("pos") + F.lit(k)).alias("end"))
+    )
+
+    # gaps-and-islands interval merge: an island starts where this
+    # span begins past every previous span's end (running max)
+    w = Window.partitionBy("id").orderBy("pos")
+    prev_max_end = F.max("end").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    islands = spans.withColumn(
+        "new_island",
+        F.when(F.col("pos") > F.coalesce(prev_max_end, F.lit(-1)), 1).otherwise(0),
+    ).withColumn(
+        "island",
+        F.sum("new_island").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    regions = (
+        islands.groupBy("id", "island")
+        .agg(F.min("pos").alias("rs"), F.max("end").alias("re"))
         .groupBy("id")
-        .agg(F.collect_set("pos").alias("spans"))
+        .agg(F.array_sort(F.collect_list(F.struct("rs", "re"))).alias("regions"))
     )
-    out = docs.join(dup_spans, "id", "left")
+
+    out = docs.join(regions, "id", "left")
     n_tokens = F.size("words")
-    covered = lambda i: F.exists(
-        F.col("spans"), lambda s: (i >= s) & (i < s + F.lit(k))
+    regs = F.coalesce(
+        F.col("regions"), F.array().cast("array<struct<rs:int,re:int>>")
     )
-    kept_idx = F.filter(
-        F.sequence(F.lit(0), F.greatest(n_tokens, F.lit(1)) - 1),
-        lambda i: (i < n_tokens) & ~F.coalesce(covered(i), F.lit(False)),
+    # complement gaps via ONE indexed transform over the disjoint
+    # sorted regions (prev end read by index — no fold, no copies),
+    # plus the tail gap after the last region
+    nr = F.size(regs)
+    idxs = F.sequence(F.lit(0), nr)  # 0..nr inclusive: nr+1 gaps
+    gaps = F.transform(
+        idxs,
+        lambda i: F.struct(
+            F.when(i == 0, F.lit(0))
+            .otherwise(
+                F.least(
+                    F.element_at(regs, i.cast("int"))["re"],
+                    n_tokens.cast("int"),
+                )
+            )
+            .alias("s"),
+            F.when(i == nr, n_tokens.cast("int"))
+            .otherwise(F.element_at(regs, (i + 1).cast("int"))["rs"])
+            .alias("e"),
+        ),
+    )
+    kept_idx = F.flatten(
+        F.transform(
+            F.filter(gaps, lambda g: g["e"] > g["s"]),
+            lambda g: F.sequence(g["s"], g["e"] - 1),
+        )
     )
     kept_words = F.transform(
         kept_idx, lambda i: F.try_element_at(F.col("words"), (i + 1).cast("int"))

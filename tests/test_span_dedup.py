@@ -12,10 +12,18 @@ import pytest
 from tableone_pyspark_spark.operators.dedup import remove_duplicate_spans
 
 
+def _norm(t: str) -> list[str]:
+    """EXACTLY normalize_text's rule: lowercase, collapse [ \t\n]+ —
+    deliberately NOT str.split() (which also eats \r and unicode
+    whitespace the product leaves alone)."""
+    import re
+
+    return [w for w in re.sub("[ \t\n]+", " ", t.lower()).strip().split(" ") if w]
+
+
 def _ref(rows, k):
     """Pure-Python replay on normalized token streams."""
-    toks = {i: " ".join(t.lower().split()).split(" ") for i, t in rows}
-    toks = {i: [w for w in ws if w] for i, ws in toks.items()}
+    toks = {i: _norm(t) for i, t in rows}
     first: dict[tuple, tuple] = {}
     for i in sorted(toks):
         ws = toks[i]
@@ -104,3 +112,21 @@ def test_k_validation(spark):
     df = spark.createDataFrame([(1, "a b")], ["doc_id", "text"])
     with pytest.raises(ValueError, match="k must be"):
         remove_duplicate_spans(df, "text", "doc_id", k=1)
+
+
+def test_null_text_defined_row_and_cr_not_collapsed(spark):
+    # NULL text: defined ('', 0, 0) row — family convention
+    df = spark.createDataFrame(
+        [(1, None), (2, "a b c a b c")], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["text"], r["n_tokens"], r["n_removed"])
+        for r in remove_duplicate_spans(df, "text", "doc_id", k=3).collect()
+    }
+    assert got[1] == ("", 0, 0)
+    assert got[2] == ("a b c", 6, 3)
+
+    # \r survives normalization (documented family boundary): a CRLF
+    # copy does NOT match its LF twin
+    rows = [(1, "one two three four"), (2, "one two\r three four")]
+    _run(spark, rows, 4)  # differential: both sides agree \r blocks the match
