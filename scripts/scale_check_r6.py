@@ -135,6 +135,43 @@ def main() -> None:
     timed("weighted tableone 10x disc (6M rows)", lambda: t1w(big, "data"))
     timed("weighted tableone 10x interpolated", lambda: t1w(big, "interpolated"))
 
+    # bigram-LM perplexity (r6): occurrence-bounded shuffles; sub-linear
+    from tableone_pyspark_spark.operators.lm import lm_perplexity, train_bigram_lm
+    from tableone_pyspark_spark.operators.sampling import split_bucket
+
+    def lm_pipe(src):
+        b = split_bucket(F.col("doc_id"), "lm-v1")
+        bg, cx, v = train_bigram_lm(src.where(b < 5000), "text", "doc_id")
+        return lm_perplexity(
+            src.where(b >= 5000), bg, cx, v, "text", "doc_id"
+        ).agg(F.count(F.lit(1)).alias("n"))
+    docs10 = x10(docs.select("doc_id", "text"))
+    timed("lm_perplexity 1x (5k docs)", lambda: lm_pipe(docs))
+    timed("lm_perplexity 10x rows", lambda: lm_pipe(docs10))
+
+    # duplicate-span removal (r6): pathological regime = every doc
+    # duplicated 10x (88% of tokens cut) + one book-length straggler
+    from tableone_pyspark_spark.operators.dedup import remove_duplicate_spans
+
+    def span_pipe(src, k=20):
+        return remove_duplicate_spans(src, "text", "doc_id", k=k).agg(
+            F.sum("n_removed").alias("rm")
+        )
+    big_docs = docs
+    for j in range(9):
+        big_docs = big_docs.union(
+            docs.withColumn("doc_id", F.col("doc_id") + (j + 1) * 1_000_000)
+        )
+    timed("span dedup 1x (5k docs)", lambda: span_pipe(docs))
+    timed("span dedup 10x pathological (50k docs, 10 copies each)",
+          lambda: span_pipe(big_docs))
+    book = " ".join(f"w{i % 97}x{i % 13}" for i in range(128_000))
+    straggler = spark.createDataFrame(
+        [(1, book), (2, book)], "doc_id long, text string"
+    )
+    timed("span dedup book-length straggler (2x 128k-token dup doc, k=50)",
+          lambda: span_pipe(straggler, k=50))
+
     spark.stop()
 
 
