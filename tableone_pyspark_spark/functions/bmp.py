@@ -27,7 +27,21 @@ MAX_PIXELS = 89_478_485
 
 
 def is_bmp(payload: bytes) -> bool:
-    return payload is not None and payload[:2] == b"BM"
+    """Structural sniff, not just the 2-byte magic: ASCII 'BM' is far
+    more collision-prone than the other formats' 6-12-byte magics, and
+    a false positive would fail the whole kernel where the byte-stub
+    used to handle it. Requires a full header, a known DIB header
+    size, one plane, and a defined bit depth — near-misses keep
+    falling through to the stub."""
+    if payload is None or len(payload) < 54 or payload[:2] != b"BM":
+        return False
+    (hdr_size,) = struct.unpack_from("<I", payload, 14)
+    planes, bpp = struct.unpack_from("<HH", payload, 26)
+    return (
+        hdr_size in (40, 52, 56, 108, 124)
+        and planes == 1
+        and bpp in (1, 4, 8, 16, 24, 32)
+    )
 
 
 def _header(payload: bytes, max_pixels: int):

@@ -161,3 +161,61 @@ def test_bmp_real_decode_in_image_metadata(spark):
     struct.pack_into("<I", rle, 30, 1)  # BI_RLE8
     with _pytest.raises(NotImplementedError, match="compression"):
         bmp.decode_bmp(bytes(rle))
+
+
+def test_bmp_decode_branches_32bit_palette_topdown():
+    """The decode branches the integration test doesn't reach: 32-bit
+    BGRA (alpha dropped), 8-bit palette (BGRX -> RGB lookup), and
+    negative-height top-down row order — each hand-built, not via
+    encode_bmp (which only writes 24-bit bottom-up)."""
+    import struct
+
+    import numpy as np
+
+    from tableone_pyspark_spark.functions import bmp
+
+    def hdr(w, h, bpp, n_colors=0, data_len=0):
+        info = struct.pack(
+            "<IiihHIIiiII", 40, w, h, 1, bpp, 0, data_len, 2835, 2835,
+            n_colors, 0,
+        )
+        off = 54 + 4 * n_colors
+        return struct.pack("<2sIHHI", b"BM", off + data_len, 0, 0, off) + info
+
+    # 32-bit BGRA, 2x2, bottom-up: alpha must be dropped
+    px = np.array(
+        [[[10, 20, 30, 99], [40, 50, 60, 99]],
+         [[70, 80, 90, 99], [5, 6, 7, 99]]], dtype=np.uint8
+    )  # rows as stored (bottom-up): file row 0 = image row 1
+    data = px.tobytes()
+    payload = hdr(2, 2, 32, data_len=len(data)) + data
+    assert bmp.is_bmp(payload)
+    out = bmp.decode_bmp(payload)
+    assert out.shape == (2, 2, 3)
+    # stored BGR -> RGB; bottom-up flip: image row 0 = file row 1
+    assert out[0, 0].tolist() == [90, 80, 70]
+    assert out[1, 1].tolist() == [60, 50, 40]
+
+    # 8-bit palette, 3 wide (stride pads 3 -> 4), bottom-up
+    pal = b"".join(bytes([b, g, r, 0]) for r, g, b in
+                   [(255, 0, 0), (0, 255, 0), (0, 0, 255)])
+    rows = bytes([0, 1, 2, 0]) + bytes([2, 1, 0, 0])  # 2 rows, padded
+    payload = hdr(3, 2, 8, n_colors=3, data_len=len(rows)) + pal + rows
+    out = bmp.decode_bmp(payload)
+    assert out[1].tolist() == [[255, 0, 0], [0, 255, 0], [0, 0, 255]]
+    assert out[0].tolist() == [[0, 0, 255], [0, 255, 0], [255, 0, 0]]
+
+    # top-down (negative height): rows in natural order
+    arr = np.arange(2 * 2 * 3, dtype=np.uint8).reshape(2, 2, 3)
+    bgr = arr[:, :, [2, 1, 0]]
+    stride_rows = np.zeros((2, 8), dtype=np.uint8)
+    stride_rows[:, :6] = bgr.reshape(2, 6)
+    data = stride_rows.tobytes()
+    info = struct.pack("<IiihHIIiiII", 40, 2, -2, 1, 24, 0, len(data),
+                       2835, 2835, 0, 0)
+    payload = (struct.pack("<2sIHHI", b"BM", 54 + len(data), 0, 0, 54)
+               + info + data)
+    assert np.array_equal(bmp.decode_bmp(payload), arr)
+
+    # structural sniff: 'BM'-prefixed text is NOT a BMP (stub fallback)
+    assert not bmp.is_bmp(b"BMW motorcycles are " + b"x" * 100)
