@@ -223,3 +223,41 @@ def test_weighted_sample_favors_high_weight(spark):
     med_all = d.approxQuantile("n_chars", [0.5], 0.0)[0]
     med_kept = kept.approxQuantile("n_chars", [0.5], 0.0)[0]
     assert med_kept > med_all
+
+
+def test_c4_clean_line_and_page_rules(spark):
+    """C4 heuristics pinned: terminal-punctuation lines with >=3 words
+    survive; javascript/brace lines drop; lorem-ipsum and
+    thin (<3-sentence) pages drop entirely; NULL behaves as empty."""
+    from pyspark.sql import functions as F
+
+    from tableone_pyspark_spark.functions.text import c4_clean
+
+    good_page = "\n".join([
+        "This is a proper first sentence.",
+        "Short one.",                      # < 3 words -> line drops
+        "Click here",                      # no terminal punct -> drops
+        "Enable javascript to continue reading this page.",  # drops
+        "body { margin: 0; } is not prose.",                 # brace -> drops
+        "Here is another full sentence!",
+        'She said "it ends with a quote."',
+        "And a third sentence arrives here?",
+    ])
+    lorem_page = "Lorem ipsum dolor sit amet. " * 10
+    thin_page = "Only one real sentence lives here."
+    rows = [(1, good_page), (2, lorem_page), (3, thin_page), (4, None)]
+    df = spark.createDataFrame(rows, "id long, text string")
+    out = {
+        r["id"]: r["c"]
+        for r in df.select("id", c4_clean(F.col("text")).alias("c")).collect()
+    }
+    g = out[1]
+    assert not g["drop"]
+    assert g["n_lines"] == 8 and g["n_kept"] == 4
+    kept_lines = g["text"].split("\n")
+    assert kept_lines[0] == "This is a proper first sentence."
+    assert kept_lines[1] == "Here is another full sentence!"
+    assert 'quote."' in kept_lines[2]
+    assert out[2]["drop"] and out[2]["text"] == "" and out[2]["n_kept"] == 0
+    assert out[3]["drop"]       # one sentence < 3
+    assert out[4]["drop"] and out[4]["n_lines"] == 1
