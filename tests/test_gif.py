@@ -258,3 +258,24 @@ def test_image_phash_real_pixels_for_gif(spark):
     )
     got = {r["id"]: r["dhash"] for r in image_phash(df, "id", "payload").collect()}
     assert got[1] == got[2]
+
+
+# ---------------------------------------------------------------------------
+# Hypothesis: LZW round trip over random alphabets/sizes
+# ---------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=60, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    data=st.binary(min_size=0, max_size=3000).map(
+        lambda b: bytes(x % 64 for x in b)  # keep symbols < 2^mcs
+    ),
+    mcs=st.integers(6, 8),
+)
+def test_lzw_round_trip_property(data, mcs):
+    if any(x >= (1 << mcs) for x in data):
+        data = bytes(x % (1 << mcs) for x in data)
+    assert gif._lzw_decode(gif._lzw_encode(data, mcs), mcs, len(data)) == data

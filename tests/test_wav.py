@@ -187,3 +187,29 @@ def test_audio_metadata_dispatches_wav_and_stub(spark):
     assert s["rms"] == pytest.approx(
         float(np.sqrt(int((arr * arr).sum()) / len(raw))), abs=1e-12
     )
+
+
+# ---------------------------------------------------------------------------
+# Hypothesis: PCM round trip within depth tolerance
+# ---------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=40, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    vals=st.lists(st.floats(-1.0, 1.0, allow_nan=False, width=32),
+                  min_size=0, max_size=500),
+    bits=st.sampled_from([8, 16, 24, 32]),
+    channels=st.integers(1, 3),
+)
+def test_pcm_round_trip_property(vals, bits, channels):
+    n = (len(vals) // channels) * channels
+    arr = np.array(vals[:n], dtype=np.float64).reshape(-1, channels) if n else \
+        np.zeros((0, channels))
+    out, rate = wav.decode_wav(wav.encode_wav(arr, 8000, bits=bits))
+    assert rate == 8000 and out.shape == arr.shape
+    tol = 1.5 / (1 << (bits - 1))
+    if n:
+        assert np.abs(out - np.clip(arr, -1, 1 - 2 ** -(bits - 1))).max() <= tol
