@@ -1,0 +1,81 @@
+"""Distributed Bloom filter (operators/bloom.py): no false negatives
+ever, false positives at the designed rate, artifact deterministic and
+partition-invariant (bit_or is commutative/associative/idempotent)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from tableone_pyspark_spark.operators.bloom import bloom_probe, build_bloom
+
+M = 1 << 16
+K = 5
+
+
+def _seen_df(spark, n=500):
+    return spark.createDataFrame(
+        [(i, f"seen document number {i}") for i in range(n)], ["id", "text"]
+    )
+
+
+def test_no_false_negatives_and_low_fp_rate(spark):
+    seen = _seen_df(spark)
+    blm = build_bloom(seen, "text", m_bits=M, n_hashes=K)
+    assert blm.shape == (M // 64,) and blm.dtype == np.uint64
+
+    # every inserted key MUST probe positive
+    got = {r["id"]: r["maybe_seen"] for r in
+           bloom_probe(seen, blm, "text", "id", n_hashes=K).collect()}
+    assert all(got.values()) and len(got) == 500
+
+    # unseen keys: fp rate near the design point
+    # (k=5, m=65536, n=2500 bits set-ish -> fpp ~ (nk/m)^k ~ tiny)
+    novel = spark.createDataFrame(
+        [(i, f"novel crawl page {i}") for i in range(1000)], ["id", "text"]
+    )
+    fp = sum(
+        r["maybe_seen"]
+        for r in bloom_probe(novel, blm, "text", "id", n_hashes=K).collect()
+    )
+    assert fp / 1000 < 0.05, fp
+
+
+def test_artifact_deterministic_and_partition_invariant(spark):
+    seen = _seen_df(spark, 300)
+    a = build_bloom(seen, "text", m_bits=M, n_hashes=K)
+    b = build_bloom(seen.repartition(13), "text", m_bits=M, n_hashes=K)
+    assert np.array_equal(a, b)
+
+
+def test_incremental_artifact_union_is_bitwise_or(spark):
+    # the artifact composes: bloom(A ∪ B) == bloom(A) | bloom(B) —
+    # the property that makes it an INCREMENTAL crawl index
+    a_df = _seen_df(spark, 200)
+    b_df = spark.createDataFrame(
+        [(i, f"batch two page {i}") for i in range(200)], ["id", "text"]
+    )
+    a = build_bloom(a_df, "text", m_bits=M, n_hashes=K)
+    b = build_bloom(b_df, "text", m_bits=M, n_hashes=K)
+    ab = build_bloom(a_df.union(b_df), "text", m_bits=M, n_hashes=K)
+    assert np.array_equal(ab, a | b)
+
+
+def test_normalized_keys_match_family_convention(spark):
+    seen = spark.createDataFrame([(1, "Hello   World.")], ["id", "text"])
+    blm = build_bloom(seen, "text", m_bits=M, n_hashes=K, normalize=True)
+    probe = spark.createDataFrame(
+        [(1, "hello world."), (2, "HELLO\tWORLD."), (3, "different text.")],
+        ["id", "text"],
+    )
+    got = {r["id"]: r["maybe_seen"] for r in
+           bloom_probe(probe, blm, "text", "id", n_hashes=K, normalize=True).collect()}
+    assert got[1] and got[2] and not got[3]
+
+
+def test_validation(spark):
+    df = _seen_df(spark, 1)
+    with pytest.raises(ValueError, match="multiple of 64"):
+        build_bloom(df, "text", m_bits=100)
+    with pytest.raises(ValueError, match="n_hashes"):
+        build_bloom(df, "text", n_hashes=0)
