@@ -335,41 +335,48 @@ def make_sentence_udtf():
     return SentenceSplit
 
 
-def c4_clean(c: Column, min_words_per_line: int = 3, min_sentences: int = 3) -> Column:
+def c4_clean(c: Column, min_words_per_line: int = 3, min_sentences: int = 5) -> Column:
     """C4-style page cleaning (Raffel et al. 2020, "Exploring the
     Limits of Transfer Learning...", §2.2 public heuristics) as ONE
     pure-Catalyst struct expression — no UDF, no shuffle, evaluated at
-    the scan:
+    the scan. Faithful to the paper's rules:
 
       line rules (kept iff ALL hold): ends in terminal punctuation
-      (. ! ? or closing quote after one), has ≥ ``min_words_per_line``
-      words, mentions neither "javascript" (case-insensitive) nor the
-      brace "{" (code/markup tell).
-      page rules: the page DROPS entirely when it contains
-      "lorem ipsum" (boilerplate tell) or keeps fewer than
-      ``min_sentences`` sentences (terminal-punctuation count over the
-      kept lines).
+      (. ! ? or a closing quote after one), has ≥
+      ``min_words_per_line`` words (paper: 3), no "javascript"
+      (case-insensitive).
+      page rules (the whole page DROPS): contains "lorem ipsum"
+      (boilerplate tell), contains a curly bracket "{" ANYWHERE
+      (code tell — page-level per the paper, not line-level), or
+      keeps fewer than ``min_sentences`` sentences (paper: 5;
+      terminal-punctuation count over the kept lines).
 
     Returns struct(text, n_lines, n_kept, drop): ``text`` is the kept
     lines re-joined by newline ('' when dropped), ``drop`` the
     page-level verdict. NULL input behaves as an empty page (drop).
-    Deterministic and SQL-expressible for oracle replay."""
+    Deterministic and SQL-expressible for oracle replay (the closing
+    typographic quote appears as a LITERAL character in the pattern —
+    identical bytes on Java regex and RE2, no engine-specific
+    escapes)."""
     txt = F.coalesce(c, F.lit(""))
     lines = F.split(txt, "\n")
 
     def line_ok(l: Column) -> Column:
         t = F.trim(l)
         return (
-            t.rlike(r"[.!?][\"\u201d']?$")
-            & (F.size(F.filter(F.split(t, " +"), lambda w: w != "")) >= min_words_per_line)
+            t.rlike("[.!?][\"\u201d']?$")
+            & (word_count(t) >= min_words_per_line)
             & ~F.lower(t).contains("javascript")
-            & ~t.contains("{")
         )
 
     kept = F.filter(lines, line_ok)
     kept_text = F.array_join(kept, "\n")
     n_sentences = F.regexp_count(kept_text, F.lit(r"[.!?]"))
-    drop = F.lower(txt).contains("lorem ipsum") | (n_sentences < min_sentences)
+    drop = (
+        F.lower(txt).contains("lorem ipsum")
+        | txt.contains("{")
+        | (n_sentences < min_sentences)
+    )
     return F.struct(
         F.when(drop, F.lit("")).otherwise(kept_text).alias("text"),
         F.size(lines).alias("n_lines"),

@@ -33,6 +33,7 @@ span dedup.
 from __future__ import annotations
 
 from collections.abc import Iterator
+from dataclasses import dataclass
 
 import numpy as np
 import pandas as pd
@@ -42,6 +43,32 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from tableone_pyspark_spark.functions.text import normalize_text, poly_hash
+
+
+@dataclass(frozen=True)
+class BloomFilter:
+    """The artifact WITH its construction parameters — probing with
+    mismatched n_hashes/normalize would silently produce false
+    negatives, so the parameters travel with the bits."""
+
+    bits: np.ndarray  # uint64 lane words, m_bits = 64 * len(bits)
+    n_hashes: int
+    normalize: bool
+
+    @property
+    def m_bits(self) -> int:
+        return int(self.bits.shape[0]) * 64
+
+    def union(self, other: "BloomFilter") -> "BloomFilter":
+        """bloom(A ∪ B) == bloom(A) | bloom(B) — the incremental-crawl
+        composition (parameters must match)."""
+        if (
+            self.bits.shape != other.bits.shape
+            or self.n_hashes != other.n_hashes
+            or self.normalize != other.normalize
+        ):
+            raise ValueError("cannot union Bloom filters with different parameters")
+        return BloomFilter(self.bits | other.bits, self.n_hashes, self.normalize)
 
 
 def _positions(key, m_bits: int, n_hashes: int):
@@ -61,10 +88,11 @@ def build_bloom(
     m_bits: int = 1 << 22,
     n_hashes: int = 5,
     normalize: bool = False,
-) -> np.ndarray:
+) -> BloomFilter:
     """Build the filter over a key column (pass ``normalize=True`` to
-    key on normalized text — the dedup-family convention). Returns the
-    artifact: a uint64 numpy array of ``m_bits/64`` lane words.
+    key on normalized text — the dedup-family convention). NULL keys
+    are skipped (nothing to key on). Returns a :class:`BloomFilter`
+    artifact (uint64 lanes + the parameters that built it).
 
     ONE melt + ONE bit_or groupBy; the driver receives only the lane
     words. m_bits must be a multiple of 64."""
@@ -77,7 +105,8 @@ def build_bloom(
         key = normalize_text(key)
     pos = F.explode(_positions(key, m_bits, n_hashes)).alias("p")
     lanes = (
-        df.select(pos)
+        df.where(key.isNotNull())
+        .select(pos)
         .select(
             (F.col("p") / 64).cast("long").alias("lane"),
             # F.shiftleft takes a Python int for numBits; the per-row
@@ -91,48 +120,52 @@ def build_bloom(
     out = np.zeros(m_bits // 64, dtype=np.uint64)
     for r in lanes:
         out[int(r["lane"])] = np.uint64(r["w"] % (1 << 64))
-    return out
+    return BloomFilter(out, n_hashes, normalize)
 
 
 def bloom_probe(
     df: DataFrame,
-    bloom: np.ndarray,
+    bloom: BloomFilter,
     key_col,
     id_col: str,
-    n_hashes: int = 5,
-    normalize: bool = False,
 ) -> DataFrame:
     """(id, maybe_seen): True when EVERY hash bit is set (possible
-    false positives at the filter's design rate, no false negatives).
-    The artifact broadcasts inside the Arrow kernel closure; the probe
-    reads only the new batch — seen-corpus size is irrelevant."""
-    m_bits = int(bloom.shape[0]) * 64
+    false positives at the filter's design rate, no false negatives —
+    guaranteed because n_hashes/normalize come FROM the artifact, so a
+    build/probe mismatch cannot happen). NULL keys probe False (the
+    build skipped them). The id column passes through untouched (any
+    type — string/UUID ids work like the rest of the dedup family).
+    The artifact broadcasts inside the kernel closure; probe cost is
+    independent of the seen-corpus size, and the kernel is fully
+    vectorized (one gather per Arrow batch, not per row)."""
     key = F.col(key_col) if isinstance(key_col, str) else key_col
-    if normalize:
+    if bloom.normalize:
         key = normalize_text(key)
     src = df.select(
         F.col(id_col).alias("id"),
-        _positions(key, m_bits, n_hashes).alias("ps"),
+        F.when(
+            key.isNotNull(), _positions(key, bloom.m_bits, bloom.n_hashes)
+        ).alias("ps"),
     )
-    blm = bloom  # captured; Spark broadcasts the closure once per task set
+    blm = bloom.bits  # captured; broadcast once per task set
+    kk = bloom.n_hashes
+    id_field = src.schema["id"]
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            ids = pdf["id"].astype("int64")
-            hit = []
-            for ps in pdf["ps"]:
-                p = np.asarray(ps, dtype=np.int64)
-                lanes = blm[p >> 6]
-                bits = (lanes >> (p & 63).astype(np.uint64)) & np.uint64(1)
-                hit.append(bool(bits.all()))
-            yield pd.DataFrame({"id": ids, "maybe_seen": hit})
+            valid = pdf["ps"].notna()
+            hit = np.zeros(len(pdf), dtype=bool)
+            if valid.any():
+                P = np.vstack(
+                    [np.asarray(v, dtype=np.int64) for v in pdf.loc[valid, "ps"]]
+                ).reshape(-1, kk)
+                bits = (blm[P >> 6] >> (P & 63).astype(np.uint64)) & np.uint64(1)
+                hit[valid.to_numpy()] = bits.all(axis=1)
+            yield pd.DataFrame({"id": pdf["id"], "maybe_seen": hit})
 
     return src.mapInPandas(
         kernel,
         T.StructType(
-            [
-                T.StructField("id", T.LongType()),
-                T.StructField("maybe_seen", T.BooleanType()),
-            ]
+            [id_field, T.StructField("maybe_seen", T.BooleanType())]
         ),
     )

@@ -22,11 +22,12 @@ def _seen_df(spark, n=500):
 def test_no_false_negatives_and_low_fp_rate(spark):
     seen = _seen_df(spark)
     blm = build_bloom(seen, "text", m_bits=M, n_hashes=K)
-    assert blm.shape == (M // 64,) and blm.dtype == np.uint64
+    assert blm.bits.shape == (M // 64,) and blm.bits.dtype == np.uint64
+    assert blm.m_bits == M and blm.n_hashes == K and not blm.normalize
 
     # every inserted key MUST probe positive
     got = {r["id"]: r["maybe_seen"] for r in
-           bloom_probe(seen, blm, "text", "id", n_hashes=K).collect()}
+           bloom_probe(seen, blm, "text", "id").collect()}
     assert all(got.values()) and len(got) == 500
 
     # unseen keys: fp rate near the design point
@@ -36,7 +37,7 @@ def test_no_false_negatives_and_low_fp_rate(spark):
     )
     fp = sum(
         r["maybe_seen"]
-        for r in bloom_probe(novel, blm, "text", "id", n_hashes=K).collect()
+        for r in bloom_probe(novel, blm, "text", "id").collect()
     )
     assert fp / 1000 < 0.05, fp
 
@@ -45,7 +46,7 @@ def test_artifact_deterministic_and_partition_invariant(spark):
     seen = _seen_df(spark, 300)
     a = build_bloom(seen, "text", m_bits=M, n_hashes=K)
     b = build_bloom(seen.repartition(13), "text", m_bits=M, n_hashes=K)
-    assert np.array_equal(a, b)
+    assert np.array_equal(a.bits, b.bits)
 
 
 def test_incremental_artifact_union_is_bitwise_or(spark):
@@ -58,7 +59,9 @@ def test_incremental_artifact_union_is_bitwise_or(spark):
     a = build_bloom(a_df, "text", m_bits=M, n_hashes=K)
     b = build_bloom(b_df, "text", m_bits=M, n_hashes=K)
     ab = build_bloom(a_df.union(b_df), "text", m_bits=M, n_hashes=K)
-    assert np.array_equal(ab, a | b)
+    assert np.array_equal(ab.bits, a.union(b).bits)
+    with pytest.raises(ValueError, match="different parameters"):
+        a.union(build_bloom(b_df, "text", m_bits=M, n_hashes=K + 1))
 
 
 def test_normalized_keys_match_family_convention(spark):
@@ -69,7 +72,7 @@ def test_normalized_keys_match_family_convention(spark):
         ["id", "text"],
     )
     got = {r["id"]: r["maybe_seen"] for r in
-           bloom_probe(probe, blm, "text", "id", n_hashes=K, normalize=True).collect()}
+           bloom_probe(probe, blm, "text", "id").collect()}
     assert got[1] and got[2] and not got[3]
 
 
@@ -79,3 +82,19 @@ def test_validation(spark):
         build_bloom(df, "text", m_bits=100)
     with pytest.raises(ValueError, match="n_hashes"):
         build_bloom(df, "text", n_hashes=0)
+
+
+def test_null_keys_and_string_ids(spark):
+    # NULL keys skip at build, probe False; string ids pass through
+    seen = spark.createDataFrame(
+        [("a", "first doc."), ("b", None), ("c", "second doc.")],
+        "id string, text string",
+    )
+    blm = build_bloom(seen, "text", m_bits=M, n_hashes=K)
+    probe = spark.createDataFrame(
+        [("u1", "first doc."), ("u2", None), ("u3", "never seen doc.")],
+        "id string, text string",
+    )
+    got = {r["id"]: r["maybe_seen"] for r in
+           bloom_probe(probe, blm, "text", "id").collect()}
+    assert got == {"u1": True, "u2": False, "u3": False}

@@ -226,9 +226,11 @@ def test_weighted_sample_favors_high_weight(spark):
 
 
 def test_c4_clean_line_and_page_rules(spark):
-    """C4 heuristics pinned: terminal-punctuation lines with >=3 words
-    survive; javascript/brace lines drop; lorem-ipsum and
-    thin (<3-sentence) pages drop entirely; NULL behaves as empty."""
+    """C4 heuristics pinned faithfully to Raffel 2020 §2.2:
+    terminal-punctuation lines with >=3 words survive; javascript
+    lines drop; a curly bracket ANYWHERE drops the page; lorem-ipsum
+    and thin (<5-sentence) pages drop entirely; NULL behaves as
+    empty."""
     from pyspark.sql import functions as F
 
     from tableone_pyspark_spark.functions.text import c4_clean
@@ -238,14 +240,22 @@ def test_c4_clean_line_and_page_rules(spark):
         "Short one.",                      # < 3 words -> line drops
         "Click here",                      # no terminal punct -> drops
         "Enable javascript to continue reading this page.",  # drops
-        "body { margin: 0; } is not prose.",                 # brace -> drops
         "Here is another full sentence!",
         'She said "it ends with a quote."',
         "And a third sentence arrives here?",
+        "A fourth one rounds things out.",
+        "Finally the fifth sentence lands.",
     ])
+    brace_page = good_page + "\nbody { margin: 0; } is not prose."
     lorem_page = "Lorem ipsum dolor sit amet. " * 10
-    thin_page = "Only one real sentence lives here."
-    rows = [(1, good_page), (2, lorem_page), (3, thin_page), (4, None)]
+    thin_page = "\n".join([
+        "Only four sentences live here today.",
+        "That is sentence number two right now.",
+        "Here comes the third full sentence.",
+        "The fourth one is the last sadly.",
+    ])
+    rows = [(1, good_page), (2, lorem_page), (3, thin_page), (4, None),
+            (5, brace_page)]
     df = spark.createDataFrame(rows, "id long, text string")
     out = {
         r["id"]: r["c"]
@@ -253,11 +263,31 @@ def test_c4_clean_line_and_page_rules(spark):
     }
     g = out[1]
     assert not g["drop"]
-    assert g["n_lines"] == 8 and g["n_kept"] == 4
+    assert g["n_lines"] == 9 and g["n_kept"] == 6
     kept_lines = g["text"].split("\n")
     assert kept_lines[0] == "This is a proper first sentence."
     assert kept_lines[1] == "Here is another full sentence!"
     assert 'quote."' in kept_lines[2]
     assert out[2]["drop"] and out[2]["text"] == "" and out[2]["n_kept"] == 0
-    assert out[3]["drop"]       # one sentence < 3
+    assert out[3]["drop"]       # 4 sentences < 5
     assert out[4]["drop"] and out[4]["n_lines"] == 1
+    assert out[5]["drop"]       # brace ANYWHERE drops the page
+
+
+def test_c4_clean_tab_separated_words_count(spark):
+    """Word counting uses the module's WORD_RE (tabs separate words) —
+    a tab-separated 4-word line must survive the >=3-words rule."""
+    from pyspark.sql import functions as F
+
+    from tableone_pyspark_spark.functions.text import c4_clean
+
+    page = "\n".join([
+        "one\ttwo\tthree\tfour.",
+        "Sentence two stands here proudly.",
+        "Sentence three stands here proudly.",
+        "Sentence four stands here proudly.",
+        "Sentence five stands here proudly.",
+    ])
+    df = spark.createDataFrame([(1, page)], "id long, text string")
+    c = df.select(c4_clean(F.col("text")).alias("c")).collect()[0]["c"]
+    assert not c["drop"] and c["n_kept"] == 5
