@@ -3159,35 +3159,44 @@ def oracle_sql() -> dict[str, str]:
 
     o["stream_tableone_weighted"] = _stream_t1_weighted_oracle()
 
-    # ---- multimodal (documents.text bytes as the opaque payload; the
-    # decode stub is deterministic byte arithmetic — text is pure ASCII
-    # in the testdata, so ascii(substr(..)) == the UTF-8 byte) ----------
+    # ---- multimodal (documents.text UTF-8 bytes as the opaque payload;
+    # the Spark kernels index the ENCODED byte string, so the oracles
+    # index hex(encode(text)) byte-wise — exact for any text, not just
+    # the ASCII graded corpus; ADVICE r6) ------------------------------
+    # byte j (0-based) of the UTF-8 encoding, via the hex dump: '0' is
+    # deliberately absent from the strpos alphabet so it maps to 0
+    def _byte(j: str) -> str:
+        return (
+            f"(strpos('123456789ABCDEF', substr(hx, CAST(2*({j}) AS INT)+1, 1))*16"
+            f" + strpos('123456789ABCDEF', substr(hx, CAST(2*({j}) AS INT)+2, 1)))"
+        )
+
+    _HX = "SELECT *, hex(encode(text)) AS hx, octet_length(encode(text)) AS ob FROM documents"
+
     o["multimodal_meta"] = (
         "SELECT doc_id AS id, "
-        "64 + ascii(substr(text, 1, 1)) % 64 AS width, "
-        "64 + ascii(substr(text, length(text), 1)) % 64 AS height, "
-        "3 AS channels, CAST(length(text) AS BIGINT) AS n_bytes, "
-        "ROUND(list_sum(list_transform(range(1, least(length(text), 256) + 1), "
-        "i -> ascii(substr(text, i, 1)))) / least(length(text), 256) / 255.0, 6) "
-        "AS mean_intensity FROM documents"
+        f"64 + {_byte('0')} % 64 AS width, "
+        f"64 + {_byte('ob - 1')} % 64 AS height, "
+        "3 AS channels, CAST(ob AS BIGINT) AS n_bytes, "
+        f"ROUND(list_sum(list_transform(range(0, least(ob, 256)), "
+        f"i -> {_byte('i')})) / least(ob, 256) / 255.0, 6) "
+        f"AS mean_intensity FROM ({_HX})"
     )
 
     # real PNG round trip: pixel (r,c) = text byte ((r*16+c) mod len),
-    # so the decoded mean is the mean of those 256 source bytes (text
-    # is pure ASCII in the testdata: ascii(substr) == the byte)
+    # so the decoded mean is the mean of those 256 source bytes
     # flat-block DC-only regime: decoded(v) = 2*floor((v-128)/2 + 0.5)
     # + 128 clipped to [0,255] (q0=16 Annex K; all steps exact in
     # float on both engines — see functions/jpeg.py)
     _JDEC = (
-        "LEAST(255.0, GREATEST(0.0, FLOOR(FLOOR((ascii(substr(text, "
-        "CAST(k % length(text) AS INT) + 1, 1)) - 128) / 2.0 + 0.5) "
-        "* 2.0 + 128.5)))"
+        f"LEAST(255.0, GREATEST(0.0, FLOOR(FLOOR(({_byte('k % ob')} "
+        "- 128) / 2.0 + 0.5) * 2.0 + 128.5)))"
     )
     o["jpeg_decode_stats"] = (
         "SELECT doc_id AS id, 8 AS width, 32 AS height, 1 AS channels, "
         f"ROUND(list_sum(list_transform(range(0, 4), k -> {_JDEC})) "
         "/ 4.0 / 255.0, 6) AS mean_intensity "
-        "FROM documents WHERE length(text) > 0"
+        f"FROM ({_HX}) WHERE ob > 0"
     )
 
     # odd ids are palette-encoded (identity gray PLTE -> 3 channels,
@@ -3196,9 +3205,8 @@ def oracle_sql() -> dict[str, str]:
         "SELECT doc_id AS id, 16 AS width, 16 AS height, "
         "CAST(CASE WHEN doc_id % 2 = 1 THEN 3 ELSE 1 END AS INT) AS channels, "
         "ROUND(list_sum(list_transform(range(0, 256), "
-        "i -> ascii(substr(text, CAST(i % length(text) AS INT) + 1, 1)))) "
-        "/ 256.0 / 255.0, 6) AS mean_intensity "
-        "FROM documents WHERE length(text) > 0"
+        f"i -> {_byte('i % ob')})) / 256.0 / 255.0, 6) AS mean_intensity "
+        f"FROM ({_HX}) WHERE ob > 0"
     )
 
     # GIF is lossless (LZW over identity-gray palette indices), so the
@@ -3207,23 +3215,25 @@ def oracle_sql() -> dict[str, str]:
     o["gif_decode_stats"] = (
         "SELECT doc_id AS id, 16 AS width, 16 AS height, 3 AS channels, "
         "ROUND(list_sum(list_transform(range(0, 256), "
-        "i -> ascii(substr(text, CAST(i % length(text) AS INT) + 1, 1)))) "
-        "/ 256.0 / 255.0, 6) AS mean_intensity "
-        "FROM documents WHERE length(text) > 0"
+        f"i -> {_byte('i % ob')})) / 256.0 / 255.0, 6) AS mean_intensity "
+        f"FROM ({_HX}) WHERE ob > 0"
     )
 
     o["frame_stats"] = (
         # every_n=1, frame_size=64 → contiguous 64-byte slices: ceil(len/64)
-        # frames covering every byte exactly once
-        "SELECT doc_id AS id, CAST(ceil(length(text) / 64.0) AS BIGINT) AS n_frames, "
-        "CAST(length(text) AS BIGINT) AS frame_bytes, "
-        "CAST(least(64, length(text)) AS INT) AS max_frame_bytes FROM documents"
+        # frames covering every byte exactly once (byte = UTF-8 octet)
+        "SELECT doc_id AS id, "
+        "CAST(ceil(octet_length(encode(text)) / 64.0) AS BIGINT) AS n_frames, "
+        "CAST(octet_length(encode(text)) AS BIGINT) AS frame_bytes, "
+        "CAST(least(64, octet_length(encode(text))) AS INT) AS max_frame_bytes "
+        "FROM documents"
     )
 
     o["binary_stats"] = (
-        "SELECT count(*) AS n, CAST(sum(length(text)) AS BIGINT) AS total_bytes, "
-        "ROUND(avg(length(text)), 6) AS avg_bytes, "
-        "CAST(max(length(text)) AS INT) AS max_bytes FROM documents"
+        "SELECT count(*) AS n, "
+        "CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes, "
+        "ROUND(avg(octet_length(encode(text))), 6) AS avg_bytes, "
+        "CAST(max(octet_length(encode(text))) AS INT) AS max_bytes FROM documents"
     )
 
     # ---- streaming sessionize (applyInPandasWithState) ----------------

@@ -61,9 +61,10 @@ def _chunks(payload: bytes):
             raise ValueError(f"WAV truncated mid chunk {tag!r}")
         yield tag, payload[pos + 8 : pos + 8 + size]
         pos += 8 + size + (size & 1)  # chunks pad to even offsets
-    if pos != n and pos + 8 > n and pos < n:
-        # trailing garbage shorter than a chunk header
-        raise ValueError("WAV truncated: dangling bytes after last chunk")
+    # 1-7 dangling bytes after the final chunk are silently ignored:
+    # appended junk/metadata past the last chunk is common in wild WAV
+    # files, and real readers skip it (a truncation MID-chunk still
+    # raises above — that is the lie worth catching)
 
 
 class _Fmt:

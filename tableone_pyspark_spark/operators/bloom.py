@@ -95,9 +95,12 @@ def build_bloom(
     artifact (uint64 lanes + the parameters that built it).
 
     ONE melt + ONE bit_or groupBy; the driver receives only the lane
-    words. m_bits must be a multiple of 64."""
-    if m_bits % 64 != 0 or m_bits <= 0:
-        raise ValueError("m_bits must be a positive multiple of 64")
+    words. m_bits must be a power of two (>= 64): the odd double-hash
+    step h2|1 guarantees a full probe period only when gcd(h2, m) == 1,
+    which an odd step gives for power-of-two m but not for e.g. m=192
+    (step 3 cycles on a subgroup and silently inflates the fp rate)."""
+    if m_bits < 64 or m_bits & (m_bits - 1):
+        raise ValueError("m_bits must be a power of two >= 64")
     if not 1 <= n_hashes <= 16:
         raise ValueError("n_hashes must be in 1..16")
     key = F.col(key_col) if isinstance(key_col, str) else key_col

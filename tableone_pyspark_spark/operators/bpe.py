@@ -188,14 +188,18 @@ def _release_checkpoint(df: DataFrame) -> None:
         pass
 
 
-BPE_SCHEMA = T.StructType(
-    [
-        T.StructField("id", T.LongType()),
-        T.StructField("n_words", T.LongType()),
-        T.StructField("n_tokens", T.LongType()),
-        T.StructField("tokens", T.ArrayType(T.StringType())),
-    ]
-)
+def _encode_schema(id_field: T.StructField) -> T.StructType:
+    """Output schema for :func:`bpe_encode`; the id column keeps the
+    source dtype (string/UUID ids pass through untyped — the
+    dedup-family convention, same as bloom_probe)."""
+    return T.StructType(
+        [
+            T.StructField("id", id_field.dataType, id_field.nullable),
+            T.StructField("n_words", T.LongType()),
+            T.StructField("n_tokens", T.LongType()),
+            T.StructField("tokens", T.ArrayType(T.StringType())),
+        ]
+    )
 
 
 def _encode_word(word: str, rank: dict[tuple[str, str], int]) -> list[str]:
@@ -249,9 +253,9 @@ def bpe_encode(
                         enc = _encode_word(w, rank)
                         cache[w] = enc
                     toks.extend(enc)
-                rows.append((int(i), n_words, len(toks), toks))
+                rows.append((i, n_words, len(toks), toks))
             yield pd.DataFrame(
                 rows, columns=["id", "n_words", "n_tokens", "tokens"]
             )
 
-    return src.mapInPandas(kernel, BPE_SCHEMA)
+    return src.mapInPandas(kernel, _encode_schema(src.schema["id"]))

@@ -78,8 +78,12 @@ def test_normalized_keys_match_family_convention(spark):
 
 def test_validation(spark):
     df = _seen_df(spark, 1)
-    with pytest.raises(ValueError, match="multiple of 64"):
+    with pytest.raises(ValueError, match="power of two"):
         build_bloom(df, "text", m_bits=100)
+    with pytest.raises(ValueError, match="power of two"):
+        # multiple of 64 but not a power of two: the odd KM step can
+        # cycle on a subgroup of Z_192 — rejected, not silently weaker
+        build_bloom(df, "text", m_bits=192)
     with pytest.raises(ValueError, match="n_hashes"):
         build_bloom(df, "text", n_hashes=0)
 

@@ -147,6 +147,19 @@ def test_encode_null_text_defined_row(spark):
     assert out[1]["n_words"] == 1
 
 
+def test_encode_string_ids_pass_through_untyped(spark):
+    # the dedup-family convention (same as bloom_probe): ids keep the
+    # source dtype — string/UUID ids must not crash the kernel
+    merges = bpe.train_bpe(_corpus_df(spark), "text", 4)
+    df = spark.createDataFrame(
+        [("doc-a", "low"), ("urn:uuid:42", "lower")], "id string, text string"
+    )
+    enc = bpe.bpe_encode(df, "text", "id", merges)
+    assert enc.schema["id"].dataType.simpleString() == "string"
+    out = {r["id"]: r for r in enc.collect()}
+    assert out["doc-a"]["n_words"] == 1 and out["urn:uuid:42"]["n_words"] == 1
+
+
 def test_train_min_word_count_truncates_tail(spark):
     # dropping singleton word types removes "lower"(2 lt 3) etc. from
     # the table; merges must equal reference-training on the truncated

@@ -109,6 +109,15 @@ def test_partial_final_frame_dropped():
 # ---------------------------------------------------------------------------
 
 
+def test_trailing_junk_after_last_chunk_tolerated():
+    # 1-7 bytes of appended junk past the final chunk is common in wild
+    # files; real readers skip it (mid-chunk truncation still raises)
+    base = wav.encode_wav(_sine(n=10, channels=2), 8000, bits=16)
+    for junk in (b"\x00", b"junk", b"\xff" * 7):
+        out, rate = wav.decode_wav(base + junk)
+        assert out.shape == (10, 2) and rate == 8000
+
+
 def test_truncations_raise_valueerror_everywhere():
     payload = wav.encode_wav(_sine(n=16), 8000, bits=16)
     for cut in range(12, len(payload)):
