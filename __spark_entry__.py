@@ -1750,12 +1750,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["resize_stats"] = resize_stats
 
     def audio_meta(spark, sf_dir):
-        from tableone_pyspark_spark.operators.multimodal import audio_metadata
-
-        d = _load(spark, sf_dir, "documents").select(
-            "doc_id", F.encode("text", "UTF-8").alias("payload")
+        # REAL codec coverage since r7: ids%3==0 decode through the
+        # from-scratch FLAC decoder (Rice residuals, fixed predictors,
+        # CRCs — functions/flac.py), ids%3==1 through the RIFF/WAVE
+        # parser, ids%3==2 through the documented headerless stub.
+        # The PCM is derived from text bytes ((b-128)<<8 @ 16 bit) and
+        # both codecs are lossless, so ONE oracle expression replays
+        # all three branches byte-exactly.
+        from tableone_pyspark_spark.operators.multimodal import (
+            audio_metadata,
+            synthesize_audio_corpus,
         )
-        out = audio_metadata(d, "doc_id", "payload")
+
+        d = _load(spark, sf_dir, "documents").where(F.length("text") > 0)
+        corpus = synthesize_audio_corpus(d, "doc_id", "text")
+        out = audio_metadata(corpus, "id", "payload")
         return out.select(
             "id", "sample_rate", "n_samples",
             F.round("duration_s", 6).alias("duration_s"),
@@ -2196,17 +2205,9 @@ def oracle_sql() -> dict[str, str]:
         "FROM h"
     )
 
-    # headerless-PCM audio probe stub: payload-derived rate, rms of bytes
-    o["audio_meta"] = (
-        "SELECT doc_id AS id, "
-        "8000 * (1 + ascii(substr(text, 1, 1)) % 3) AS sample_rate, "
-        "CAST(length(text) // 2 AS BIGINT) AS n_samples, "
-        "ROUND((length(text) // 2) / (8000 * (1 + ascii(substr(text, 1, 1)) % 3)), 6) "
-        "AS duration_s, "
-        "ROUND(sqrt(list_sum(list_transform(range(1, length(text) + 1), "
-        "i -> CAST(ascii(substr(text, i, 1)) AS BIGINT) * ascii(substr(text, i, 1)))) "
-        "/ length(text)), 6) AS rms FROM documents"
-    )
+    # audio_meta's oracle moved next to the byte-indexing helpers in
+    # the multimodal section below (it replays the FLAC/WAV lossless
+    # round trip AND the headerless stub since r7)
 
     # stride-resample resize stub: every ceil(len/64)-th byte
     o["resize_stats"] = (
@@ -3285,6 +3286,28 @@ def oracle_sql() -> dict[str, str]:
         )
 
     _HX = "SELECT *, hex(encode(text)) AS hx, octet_length(encode(text)) AS ob FROM documents"
+
+    # three dispatch branches of the synthesized audio corpus share one
+    # replay: FLAC (ids%3==0) and WAV (ids%3==1) losslessly round-trip
+    # the 16-bit PCM derived from text bytes (sample = (b-128)<<8, so
+    # normalized sample^2 = (b-128)^2/16384), the stub (ids%3==2) keeps
+    # the raw-byte rms; the rate formula 8000*(1+b0%3) is shared
+    o["audio_meta"] = (
+        "SELECT doc_id AS id, "
+        f"8000 * (1 + {_byte('0')} % 3) AS sample_rate, "
+        "CAST(CASE WHEN doc_id % 3 = 2 THEN ob // 2 ELSE ob END AS BIGINT) "
+        "AS n_samples, "
+        "ROUND(CAST(CASE WHEN doc_id % 3 = 2 THEN ob // 2 ELSE ob END AS DOUBLE) "
+        f"/ (8000 * (1 + {_byte('0')} % 3)), 6) AS duration_s, "
+        "ROUND(CASE WHEN doc_id % 3 = 2 THEN "
+        f"sqrt(list_sum(list_transform(range(0, ob), i -> "
+        f"CAST({_byte('i')} AS BIGINT) * {_byte('i')})) / CAST(ob AS DOUBLE)) "
+        "ELSE "
+        f"sqrt(list_sum(list_transform(range(0, ob), i -> "
+        f"CAST(({_byte('i')} - 128) * ({_byte('i')} - 128) AS BIGINT))) "
+        "/ (16384.0 * ob)) END, 6) AS rms "
+        f"FROM ({_HX}) WHERE ob > 0"
+    )
 
     o["multimodal_meta"] = (
         "SELECT doc_id AS id, "

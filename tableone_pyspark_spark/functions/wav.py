@@ -6,8 +6,10 @@ stdlib struct + numpy, so WAV payloads upgrade ``audio_metadata``
 from the headerless-PCM byte-stub to REAL header semantics: the
 sample rate comes from the ``fmt `` chunk (not a fake derived from
 byte 0), sample counts from the ``data`` chunk, and RMS from the
-actual decoded samples. Compressed formats (MP3/AAC/FLAC/µ-law) have
-no codec in this container and keep the documented stub seam.
+actual decoded samples. FLAC decodes for real too since r7
+(``functions/flac.py``); the remaining compressed formats
+(MP3/AAC/µ-law) have no codec in this container and keep the
+documented stub seam.
 
 Supported (public RIFF/WAVE spec, Microsoft/IBM 1991): PCM
 (wFormatTag 1) at 8 (unsigned), 16/24/32-bit (signed little-endian),

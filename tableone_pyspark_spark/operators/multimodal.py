@@ -155,13 +155,15 @@ def audio_metadata(
     df: DataFrame, id_col: str, bin_col: str, bytes_per_sample: int = 2
 ) -> DataFrame:
     """Audio probe. RIFF/WAVE payloads (magic-byte sniff) parse for
-    REAL via ``functions/wav.py``: sample_rate/channel-count from the
-    fmt chunk, n_samples (per channel) from the data chunk, rms over
-    the decoded [-1, 1] samples. Any other payload keeps the
-    documented STUB (no compressed-audio codecs in this container):
-    headerless PCM with a byte-derived fake rate, rms over raw bytes
-    (real impl: ffprobe/soundfile into this same seam). Typed metadata
-    out, payload never leaves the executor."""
+    REAL via ``functions/wav.py``, and fLaC payloads via the
+    from-scratch lossless decoder in ``functions/flac.py`` (frames,
+    Rice residuals, stereo decorrelation, CRCs): sample rate and
+    counts from the real headers, rms over the decoded [-1, 1]
+    samples. Any other payload keeps the documented STUB (MP3/AAC
+    have no codec in this container): headerless PCM with a
+    byte-derived fake rate, rms over raw bytes (real impl:
+    ffprobe/soundfile into this same seam). Typed metadata out,
+    payload never leaves the executor."""
     src = df.select(F.col(id_col).alias("id"), F.col(bin_col).alias("payload"))
 
     def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -169,7 +171,7 @@ def audio_metadata(
 
         import numpy as np
 
-        from tableone_pyspark_spark.functions import wav
+        from tableone_pyspark_spark.functions import flac, wav
 
         for pdf in batches:
             rows = []
@@ -177,8 +179,11 @@ def audio_metadata(
                 raw = bytes(payload)
                 if not raw:
                     raise NotImplementedError("empty payload: real probe required")
-                if wav.is_wav(raw):
-                    samples, rate = wav.decode_wav(raw)
+                if wav.is_wav(raw) or flac.is_flac(raw):
+                    if wav.is_wav(raw):
+                        samples, rate = wav.decode_wav(raw)
+                    else:
+                        samples, rate = flac.decode_flac(raw)
                     n = samples.shape[0]
                     rms = float(np.sqrt((samples * samples).mean())) if n else 0.0
                     rows.append((int(i), rate, n, n / rate, rms))
@@ -415,6 +420,52 @@ def synthesize_png_corpus(
                     payloads.append(_png.encode_png_palette(arr, gray_pal))
                 else:
                     payloads.append(_png.encode_png(arr))
+            yield pd.DataFrame({"id": ids, "payload": payloads})
+
+    return src.mapInPandas(kernel, PNG_CORPUS_SCHEMA)
+
+
+def synthesize_audio_corpus(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Audio twin of :func:`synthesize_png_corpus`: per row a mono
+    16-bit PCM signal derived from the text bytes — sample i is
+    ``(byte_i − 128) << 8`` (exactly representable, so the lossless
+    round trip is SQL-checkable: normalized sample = (byte−128)/128),
+    rate ``8000·(1 + byte_0 % 3)`` (the stub's formula, so all three
+    branches share one oracle expression).
+
+    Format variety across the REAL/STUB dispatch of
+    :func:`audio_metadata`: ids % 3 == 0 encode as FLAC (the real
+    Rice/fixed-predictor compressed path, ``functions/flac.py``),
+    ids % 3 == 1 as RIFF/WAVE PCM (``functions/wav.py``), ids % 3 == 2
+    pass the raw text bytes through (the documented headerless-PCM
+    stub branch). One Arrow pass; payloads never leave the executor."""
+    src = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("txt"))
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from tableone_pyspark_spark.functions import flac as _flac
+        from tableone_pyspark_spark.functions import wav as _wav
+
+        for pdf in batches:
+            ids, payloads = [], []
+            for i, txt in zip(pdf["id"], pdf["txt"]):
+                raw = txt.encode("utf-8")
+                if not raw:
+                    continue  # mirrored by length(text) > 0 in oracles
+                ids.append(int(i))
+                m = int(i) % 3
+                if m == 2:
+                    payloads.append(raw)
+                    continue
+                rate = 8000 * (1 + raw[0] % 3)
+                v = (np.frombuffer(raw, dtype=np.uint8).astype(np.int64) - 128) << 8
+                if m == 0:
+                    payloads.append(_flac.encode_flac(v, rate, bits=16))
+                else:
+                    payloads.append(_wav.encode_wav(v[:, None] / 32768.0, rate, bits=16))
             yield pd.DataFrame({"id": ids, "payload": payloads})
 
     return src.mapInPandas(kernel, PNG_CORPUS_SCHEMA)
