@@ -1494,17 +1494,59 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def curate_documents(spark, sf_dir):
         # the end-to-end curation filter: keep mid-quality-or-better
         # docs with a sane token count — one pruned scan, predicate on
-        # derived columns, no shuffle at all
+        # derived columns, no shuffle at all. Since r7 the kept rows
+        # also carry the C4 page-cleaning recipe (Raffel 2020,
+        # functions/text.py c4_clean) with driver-visible oracle
+        # coverage (VERDICT r6 ask #7). The corpus text is
+        # punctuation-free word soup, so a PAGE is synthesized as a
+        # pure function of (text, doc_id) that trips every rule:
+        # doc_id%4+2 words per line ('.'-terminated), every 5th line
+        # unterminated (line rule), every 7th line "javascript."
+        # (line rule), doc_id%13 pages get "lorem ipsum", doc_id%17
+        # pages a "{" line (page rules) — the oracle rebuilds the
+        # identical page and replays the full recipe.
         d = _load(spark, sf_dir, "documents")
+        ws = F.split(F.col("text"), " ")
+        wpl = (F.col("doc_id") % 4 + 2).cast("int")
+        n_lines = F.ceil(F.size(ws) / wpl).cast("int")
+        lines = F.transform(
+            F.sequence(F.lit(0), n_lines - 1),
+            lambda i: F.concat(
+                F.array_join(F.slice(ws, (i * wpl + 1).cast("int"), wpl), " "),
+                F.when(
+                    (F.col("doc_id") % 13 == 0) & (i == 0),
+                    F.lit(" lorem ipsum"),
+                ).otherwise(F.lit("")),
+                F.when(i % 7 == 6, F.lit(" javascript."))
+                .when(i % 5 == 4, F.lit(""))
+                .otherwise(F.lit(".")),
+            ),
+        )
+        paged = F.concat(
+            F.array_join(lines, "\n"),
+            F.when(F.col("doc_id") % 17 == 0, F.lit("\n{x}")).otherwise(
+                F.lit("")
+            ),
+        )
         scored = d.select(
             "doc_id",
             "lang",
             tx.token_count(F.col("text")).alias("n_tokens"),
             tx.quality_score(F.col("text")).alias("q"),
+            tx.c4_clean(paged).alias("c4"),
         )
         return scored.where(
             (F.col("q") >= 0.55) & F.col("n_tokens").between(10, 1000)
-        ).select("doc_id", "lang", "n_tokens", F.round("q", 6).alias("quality"))
+        ).select(
+            "doc_id",
+            "lang",
+            "n_tokens",
+            F.round("q", 6).alias("quality"),
+            F.col("c4.n_lines").alias("c4_n_lines"),
+            F.col("c4.n_kept").alias("c4_n_kept"),
+            F.col("c4.drop").alias("c4_drop"),
+            F.col("c4.text").alias("c4_text"),
+        )
 
     q["curate_documents"] = curate_documents
 
@@ -2397,11 +2439,50 @@ def oracle_sql() -> dict[str, str]:
         "FROM blob"
     )
 
+    # C4 replay: the line rule (terminal punctuation incl. the literal
+    # typographic quote, >= 3 whitespace words, no "javascript") runs
+    # inside list_filter so line ORDER is preserved for the rejoin;
+    # page verdict = lorem-ipsum tell OR a "{" anywhere OR < 5 kept
+    # sentences. The '' below is a SQL-escaped single quote in the
+    # character class.
+    _C4_LINE_OK = (
+        "regexp_matches(trim(x), '[.!?][\"”'']?$') "
+        "AND length(regexp_extract_all(trim(x), '[^ \\t\\n]+')) >= 3 "
+        "AND NOT contains(lower(trim(x)), 'javascript')"
+    )
+    # the synthesized page (see the Spark query): doc_id%4+2 words per
+    # line, every 5th line unterminated, every 7th "javascript.",
+    # lorem-ipsum on %13 pages, a "{x}" line on %17 pages
+    _C4_PAGE = (
+        "COALESCE(array_to_string(list_transform(range(0, "
+        "CAST(ceil(length(ws) / CAST(wpl AS DOUBLE)) AS INT)), i -> "
+        "array_to_string(ws[i*wpl+1 : i*wpl+wpl], ' ') "
+        "|| CASE WHEN doc_id % 13 = 0 AND i = 0 THEN ' lorem ipsum' ELSE '' END "
+        "|| CASE WHEN i % 7 = 6 THEN ' javascript.' "
+        "WHEN i % 5 = 4 THEN '' ELSE '.' END), chr(10)), '') "
+        "|| CASE WHEN doc_id % 17 = 0 THEN chr(10) || '{x}' ELSE '' END"
+    )
     o["curate_documents"] = (
-        f"WITH per AS (SELECT doc_id, lang, {TC} AS n_tokens, {QUALITY} AS q "
-        "FROM documents) "
-        "SELECT doc_id, lang, n_tokens, ROUND(q, 6) AS quality FROM per "
-        "WHERE q >= 0.55 AND n_tokens BETWEEN 10 AND 1000"
+        f"WITH per AS (SELECT doc_id, lang, {TC} AS n_tokens, {QUALITY} AS q, "
+        f"{_C4_PAGE} AS pg "
+        "FROM (SELECT *, string_split(text, ' ') AS ws, "
+        "CAST(doc_id % 4 + 2 AS INT) AS wpl FROM documents)), "
+        "c4 AS (SELECT *, "
+        f"list_filter(string_split(pg, chr(10)), x -> {_C4_LINE_OK}) AS kept, "
+        "length(string_split(pg, chr(10))) AS n_lines FROM per), "
+        "v AS (SELECT *, "
+        # array_to_string([]) is NULL in DuckDB, not '' — coalesce
+        "(contains(lower(pg), 'lorem ipsum') OR contains(pg, '{') OR "
+        "length(regexp_extract_all(COALESCE(array_to_string(kept, chr(10)), ''), "
+        "'[.!?]')) < 5) AS drp "
+        "FROM c4) "
+        "SELECT doc_id, lang, n_tokens, ROUND(q, 6) AS quality, "
+        "CAST(n_lines AS INT) AS c4_n_lines, "
+        "CAST(CASE WHEN drp THEN 0 ELSE length(kept) END AS INT) AS c4_n_kept, "
+        "drp AS c4_drop, "
+        "CASE WHEN drp THEN '' ELSE COALESCE(array_to_string(kept, chr(10)), '') END "
+        "AS c4_text "
+        "FROM v WHERE q >= 0.55 AND n_tokens BETWEEN 10 AND 1000"
     )
 
     o["filter_funnel"] = (
