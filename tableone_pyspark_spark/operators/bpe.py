@@ -81,23 +81,27 @@ def _initial_symbols(words: DataFrame) -> DataFrame:
     return words.select(toks.alias("toks"), "n")
 
 
-def _apply_merge(toks: F.Column, a: str, b: str) -> F.Column:
-    """Replace every adjacent (a, b) in ``toks`` with a||b — a pure
-    Catalyst left fold (greedy leftmost-first, matching the reference
-    algorithm: after merging at i, position i+1 cannot also merge
-    with the freshly created token's tail)."""
-    la, lb = F.lit(a), F.lit(b)
-    return F.aggregate(
-        toks,
-        F.array().cast("array<string>"),
-        lambda acc, t: F.when(
-            (F.size(acc) > 0) & (F.element_at(acc, -1) == la) & (t == lb),
-            F.concat(
-                F.slice(acc, 1, F.size(acc) - 1),
-                F.array(F.concat(la, lb)),
-            ),
-        ).otherwise(F.concat(acc, F.array(t))),
-    )
+def _apply_merges(toks: F.Column, pairs: list[tuple[str, str]]) -> F.Column:
+    """Replace every adjacent (a_i, b_i) in ``toks`` with a_i||b_i for
+    a TOKEN-DISJOINT batch of pairs — one pure Catalyst left fold
+    (greedy leftmost-first per pair, matching the reference
+    algorithm). Disjointness (no element or product of one pair
+    appears in another — enforced by the trainer's batch selection)
+    makes the single simultaneous pass equal to applying the pairs
+    sequentially in any order."""
+    lits = [(F.lit(a), F.lit(b), F.lit(a + b)) for a, b in pairs]
+
+    def step(acc: F.Column, t: F.Column) -> F.Column:
+        last = F.element_at(acc, -1)
+        tail = F.slice(acc, 1, F.size(acc) - 1)
+        w = None
+        for la, lb, lab in lits:
+            cond = (F.size(acc) > 0) & (last == la) & (t == lb)
+            repl = F.concat(tail, F.array(lab))
+            w = F.when(cond, repl) if w is None else w.when(cond, repl)
+        return w.otherwise(F.concat(acc, F.array(t)))
+
+    return F.aggregate(toks, F.array().cast("array<string>"), step)
 
 
 def train_bpe(
@@ -107,6 +111,7 @@ def train_bpe(
     min_count: int = 1,
     checkpoint_every: int = 8,
     min_word_count: int = 1,
+    batch_merges: int = 1,
 ) -> list[tuple[str, str]]:
     """Learn ``n_merges`` BPE merges from the corpus; returns the
     ordered merge list (rank = position). Stops early when no pair
@@ -117,7 +122,24 @@ def train_bpe(
     training on the frequency-truncated word table (drop types rarer
     than the threshold) shrinks every round's frame to the Zipf head,
     which carries nearly all pair mass — merges change negligibly
-    while per-round cost drops by the tail fraction."""
+    while per-round cost drops by the tail fraction.
+
+    ``batch_merges`` is the SEQUENTIAL-ROUND lever: commit up to that
+    many pairs per Spark round, greedily taken in rank order under a
+    token-disjointness rule (no element or concatenation of one taken
+    pair may appear in another), so the batch's pre-computed counts
+    stay EXACT (disjoint merges can neither create nor destroy each
+    other's occurrences) and one fold applies them all. DOCUMENTED
+    DEVIATION from strict BPE when > 1: strict training recounts
+    after every single merge and may rank a pair CREATED by the
+    previous merge next, which a batch cannot see until its next
+    round — tokenizations stay valid (encode/detokenize round-trips
+    regardless), the merge ORDER may differ. Default 1 = strict
+    (differential-pinned against a pure-Python reference); production
+    vocabularies combine both levers: tens of thousands of merges in
+    thousands of rounds instead of one round each."""
+    if batch_merges < 1:
+        raise ValueError("batch_merges must be >= 1")
     wc = word_counts(df, text_col)
     if min_word_count > 1:
         wc = wc.where(F.col("n") >= min_word_count)
@@ -127,7 +149,8 @@ def train_bpe(
     merges: list[tuple[str, str]] = []
     prev_ckpt = None  # released when the next checkpoint lands
     try:
-        for r in range(n_merges):
+        r = 0
+        while len(merges) < n_merges:
             pairs = (
                 words.select(
                     "n",
@@ -142,13 +165,33 @@ def train_bpe(
                 .groupBy("a", "b")
                 .agg(F.sum("n").alias("c"))
             )
-            top = pairs.orderBy(F.desc("c"), F.asc("a"), F.asc("b")).limit(1).collect()
-            if not top or top[0]["c"] < min_count:
+            want = min(batch_merges, n_merges - len(merges))
+            # over-fetch so disjointness skips still fill the batch;
+            # the FIRST candidate never conflicts, so a non-empty
+            # collect always yields a non-empty batch
+            top = (
+                pairs.orderBy(F.desc("c"), F.asc("a"), F.asc("b"))
+                .limit(want if want == 1 else want * 4 + 8)
+                .collect()
+            )
+            taken: set[str] = set()
+            batch: list[tuple[str, str]] = []
+            for row in top:
+                if row["c"] < min_count:
+                    break
+                a, b = row["a"], row["b"]
+                if a in taken or b in taken or a + b in taken:
+                    continue
+                taken.update((a, b, a + b))
+                batch.append((a, b))
+                if len(batch) == want:
+                    break
+            if not batch:
                 break
-            a, b = top[0]["a"], top[0]["b"]
-            merges.append((a, b))
-            nxt = words.select(_apply_merge(F.col("toks"), a, b).alias("toks"), "n")
-            if (r + 1) % checkpoint_every == 0:
+            merges.extend(batch)
+            nxt = words.select(_apply_merges(F.col("toks"), batch).alias("toks"), "n")
+            r += 1
+            if r % checkpoint_every == 0:
                 # truncate the lineage of r chained folds (same pattern
                 # as the label-propagation loop in operators/dedup.py)
                 nxt = nxt.localCheckpoint(eager=True)

@@ -160,6 +160,49 @@ def test_encode_string_ids_pass_through_untyped(spark):
     assert out["doc-a"]["n_words"] == 1 and out["urn:uuid:42"]["n_words"] == 1
 
 
+def test_batched_training_round_trips_and_is_disjoint(spark):
+    # batched mode (documented deviation: merge ORDER may differ from
+    # strict) must still yield a VALID tokenizer: encode then
+    # detokenize reproduces the normalized text exactly, and every
+    # within-round batch is token-disjoint by construction
+    rng = np.random.default_rng(7)
+    vocab = ["spark", "scan", "shuffle", "batch", "column", "row",
+             "vector", "agg", "join", "sort"]
+    rows = [
+        (i, " ".join(rng.choice(vocab, size=rng.integers(3, 12))))
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, ["id", "text"])
+    merges = bpe.train_bpe(df, "text", 24, batch_merges=8)
+    assert len(merges) == 24
+    out = bpe.bpe_encode(df, "text", "id", merges).collect()
+    texts = dict(rows)
+    for r in out:
+        detok = "".join(r["tokens"]).replace(bpe.EOW, " ").rstrip()
+        assert detok == texts[r["id"]], r["id"]
+
+
+def test_batched_equals_strict_when_batches_are_disjoint(spark):
+    # a corpus whose top pairs never chain: each word is a distinct
+    # letter pair repeated, so strict and batched pick identical sets
+    rows = []
+    i = 0
+    for w, c in [("ab", 9), ("cd", 7), ("ef", 5), ("gh", 3)]:
+        for _ in range(c):
+            rows.append((i, w))
+            i += 1
+    df = spark.createDataFrame(rows, ["id", "text"])
+    strict = bpe.train_bpe(df, "text", 4, batch_merges=1)
+    batched = bpe.train_bpe(df, "text", 4, batch_merges=4)
+    assert strict == batched
+
+
+def test_batched_validation(spark):
+    df = _corpus_df(spark)
+    with pytest.raises(ValueError, match="batch_merges"):
+        bpe.train_bpe(df, "text", 2, batch_merges=0)
+
+
 def test_train_min_word_count_truncates_tail(spark):
     # dropping singleton word types removes "lower"(2 lt 3) etc. from
     # the table; merges must equal reference-training on the truncated
