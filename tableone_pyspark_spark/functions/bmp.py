@@ -6,8 +6,11 @@ BMP needs no entropy coding at all: a 54-byte header pair
 bottom-up BGR rows. Supported (the overwhelming majority of real
 payloads): BI_RGB (uncompressed) at 24-bit BGR, 32-bit BGRA/BGRX,
 and 8-bit with a BGRX palette; positive height (bottom-up, the
-default) and negative height (top-down). RLE/bitfield compressions
-and 1/4/16-bit depths refuse with ``NotImplementedError`` (honest
+default) and negative height (top-down); and since r7 the BI_RLE8 /
+BI_RLE4 compressions (encoded runs, absolute mode, end-of-line /
+end-of-bitmap escapes, cursor deltas — undefined pixels resolve to
+palette entry 0, the common writer convention). Bitfield compression
+and 1/16-bit depths refuse with ``NotImplementedError`` (honest
 boundary — rare in the wild).
 
 Hostile-input hardening (same contract as the other codecs): declared
@@ -56,36 +59,115 @@ def _header(payload: bytes, max_pixels: int):
     w, h, planes, bpp, compression = struct.unpack_from("<iihHI", payload, 18)
     if planes != 1:
         raise ValueError(f"BMP: planes must be 1, got {planes}")
-    if compression != 0:
+    if compression == 1 and bpp != 8:
+        raise ValueError(f"BMP: BI_RLE8 requires 8 bpp, got {bpp}")
+    if compression == 2 and bpp != 4:
+        raise ValueError(f"BMP: BI_RLE4 requires 4 bpp, got {bpp}")
+    if compression not in (0, 1, 2):
         raise NotImplementedError(
-            f"BMP compression {compression} unsupported (BI_RGB only)"
+            f"BMP compression {compression} unsupported (BI_RGB/RLE8/RLE4 only)"
         )
-    if bpp not in (8, 24, 32):
+    if bpp not in (4, 8, 24, 32):
         raise NotImplementedError(f"BMP bit depth {bpp} unsupported")
+    if bpp == 4 and compression == 0:
+        raise NotImplementedError("BMP 4-bit uncompressed unsupported")
     top_down = h < 0
     h = abs(h)
+    if top_down and compression:
+        # the spec forbids top-down RLE bitmaps
+        raise ValueError("BMP: RLE bitmaps must be bottom-up")
     if w <= 0 or h == 0:
         raise ValueError("BMP: non-positive dimensions")
     if w * h > max_pixels:
         raise ValueError(f"BMP bomb guard: {w}x{h} exceeds {max_pixels} pixels")
-    return data_off, hdr_size, w, h, bpp, top_down
+    return data_off, hdr_size, w, h, bpp, top_down, compression
 
 
 def bmp_meta(payload: bytes, max_pixels: int = MAX_PIXELS) -> tuple[int, int, int]:
     """(width, height, bits_per_pixel) from the header only."""
-    _off, _hs, w, h, bpp, _td = _header(payload, max_pixels)
+    _off, _hs, w, h, bpp, _td, _c = _header(payload, max_pixels)
     return w, h, bpp
+
+
+def _decode_rle(
+    data: bytes, w: int, h: int, four_bit: bool
+) -> np.ndarray:
+    """BI_RLE8 / BI_RLE4 (bottom-up) -> (h, w) palette indices. Runs,
+    absolute mode (word-aligned), end-of-line / end-of-bitmap escapes
+    and cursor deltas per the Windows DIB spec; pixels never written
+    by any run stay index 0 (the spec's undefined-pixel convention —
+    most writers mean palette entry 0). Every cursor move is
+    bounds-checked; truncation mid-run raises."""
+    out = np.zeros((h, w), dtype=np.uint8)
+    x = y = 0  # y counts bottom-up rows; flipped by the caller
+    pos = 0
+    n = len(data)
+    ended = False
+    while pos + 2 <= n:
+        cnt, val = data[pos], data[pos + 1]
+        pos += 2
+        if cnt > 0:  # encoded run
+            if y >= h or x + cnt > w:
+                raise ValueError("BMP RLE: run overruns the bitmap")
+            if four_bit:
+                pix = [(val >> 4) if i % 2 == 0 else (val & 0xF) for i in range(cnt)]
+                out[y, x : x + cnt] = pix
+            else:
+                out[y, x : x + cnt] = val
+            x += cnt
+        elif val == 0:  # end of line
+            x, y = 0, y + 1
+        elif val == 1:  # end of bitmap
+            ended = True
+            break
+        elif val == 2:  # delta
+            if pos + 2 > n:
+                raise ValueError("BMP RLE truncated mid delta")
+            dx, dy = data[pos], data[pos + 1]
+            pos += 2
+            x, y = x + dx, y + dy
+            if x > w or y > h:
+                raise ValueError("BMP RLE: delta outside the bitmap")
+        else:  # absolute mode: val literal pixels, word-aligned
+            cnt = val
+            if y >= h or x + cnt > w:
+                raise ValueError("BMP RLE: absolute run overruns the bitmap")
+            if four_bit:
+                nbytes = (cnt + 1) // 2
+                if pos + nbytes > n:
+                    raise ValueError("BMP RLE truncated mid absolute run")
+                chunk = data[pos : pos + nbytes]
+                pix = [
+                    (chunk[i // 2] >> 4) if i % 2 == 0 else (chunk[i // 2] & 0xF)
+                    for i in range(cnt)
+                ]
+                out[y, x : x + cnt] = pix
+                pos += nbytes + (nbytes & 1)  # pad to word boundary
+            else:
+                if pos + cnt > n:
+                    raise ValueError("BMP RLE truncated mid absolute run")
+                out[y, x : x + cnt] = np.frombuffer(
+                    data, dtype=np.uint8, count=cnt, offset=pos
+                )
+                pos += cnt + (cnt & 1)
+            x += cnt
+    if not ended:
+        raise ValueError("BMP RLE truncated: no end-of-bitmap marker")
+    return out[::-1]  # bottom-up -> top-down
 
 
 def decode_bmp(payload: bytes, max_pixels: int = MAX_PIXELS) -> np.ndarray:
     """(h, w, 3) uint8 RGB (alpha of 32-bit payloads is dropped —
-    BITMAPINFOHEADER alpha is undefined/unused by most writers)."""
-    data_off, hdr_size, w, h, bpp, top_down = _header(payload, max_pixels)
+    BITMAPINFOHEADER alpha is undefined/unused by most writers).
+    BI_RLE8/BI_RLE4 payloads decompress through :func:`_decode_rle`."""
+    data_off, hdr_size, w, h, bpp, top_down, compression = _header(
+        payload, max_pixels
+    )
     palette = None
-    if bpp == 8:
+    if bpp in (4, 8):
         (n_colors,) = struct.unpack_from("<I", payload, 46)
-        n_colors = n_colors or 256
-        if n_colors > 256:
+        n_colors = n_colors or (1 << bpp)
+        if n_colors > (1 << bpp):
             raise ValueError(f"BMP: palette of {n_colors} entries")
         pal_off = 14 + hdr_size
         if pal_off + 4 * n_colors > len(payload):
@@ -94,6 +176,14 @@ def decode_bmp(payload: bytes, max_pixels: int = MAX_PIXELS) -> np.ndarray:
             payload, dtype=np.uint8, count=4 * n_colors, offset=pal_off
         ).reshape(n_colors, 4)
         palette = raw[:, [2, 1, 0]]  # BGRX -> RGB
+
+    if compression:
+        if data_off < 54 or data_off > len(payload):
+            raise ValueError("BMP: pixel data offset outside the payload")
+        idx = _decode_rle(payload[data_off:], w, h, four_bit=(bpp == 4))
+        if int(idx.max(initial=0)) >= palette.shape[0]:
+            raise ValueError("BMP: pixel index outside palette")
+        return np.ascontiguousarray(palette[idx])
 
     bytes_pp = bpp // 8
     stride = (w * bytes_pp + 3) & ~3  # rows pad to 4-byte boundaries
@@ -112,6 +202,42 @@ def decode_bmp(payload: bytes, max_pixels: int = MAX_PIXELS) -> np.ndarray:
         return np.ascontiguousarray(palette[idx])
     px = rows[:, : w * bytes_pp].reshape(h, w, bytes_pp)
     return np.ascontiguousarray(px[:, :, [2, 1, 0]])  # BGR(A) -> RGB
+
+
+def encode_bmp_rle8(idx: np.ndarray, palette: np.ndarray) -> bytes:
+    """Fixture/round-trip writer for the RLE path: (h, w) uint8
+    palette indices + (n, 3) uint8 RGB palette -> BI_RLE8 bottom-up
+    BMP (encoded runs only, end-of-line per row, end-of-bitmap
+    terminator)."""
+    idx = np.asarray(idx, dtype=np.uint8)
+    if idx.ndim != 2:
+        raise ValueError("idx must be (h, w) uint8")
+    pal = np.asarray(palette, dtype=np.uint8)
+    if pal.ndim != 2 or pal.shape[1] != 3 or pal.shape[0] > 256:
+        raise ValueError("palette must be (n<=256, 3) uint8")
+    if idx.size and int(idx.max()) >= pal.shape[0]:
+        raise ValueError("index outside palette")
+    h, w = idx.shape
+    data = bytearray()
+    for row in idx[::-1]:  # bottom-up
+        x = 0
+        while x < w:
+            run = 1
+            while x + run < w and row[x + run] == row[x] and run < 255:
+                run += 1
+            data += bytes([run, int(row[x])])
+            x += run
+        data += b"\x00\x00"  # end of line
+    data[-2:] = b"\x00\x01"  # final marker is end-of-bitmap
+    n_colors = pal.shape[0]
+    pal_bytes = np.zeros((n_colors, 4), dtype=np.uint8)
+    pal_bytes[:, :3] = pal[:, [2, 1, 0]]  # RGB -> BGRX
+    info = struct.pack(
+        "<IiihHIIiiII", 40, w, h, 1, 8, 1, len(data), 2835, 2835, n_colors, 0
+    )
+    off = 54 + 4 * n_colors
+    file_hdr = struct.pack("<2sIHHI", b"BM", off + len(data), 0, 0, off)
+    return file_hdr + info + pal_bytes.tobytes() + bytes(data)
 
 
 def encode_bmp(arr: np.ndarray) -> bytes:

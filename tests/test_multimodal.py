@@ -157,10 +157,91 @@ def test_bmp_real_decode_in_image_metadata(spark):
     struct.pack_into("<ii", bombed, 18, 60000, 60000)
     with _pytest.raises(ValueError, match="bomb"):
         bmp.decode_bmp(bytes(bombed))
-    rle = bytearray(payload)
-    struct.pack_into("<I", rle, 30, 1)  # BI_RLE8
+    # RLE decodes for real since r7; bitfields still refuse, and an
+    # RLE flag on a 24-bit payload is a structural lie (ValueError)
+    bf = bytearray(payload)
+    struct.pack_into("<I", bf, 30, 3)  # BI_BITFIELDS
     with _pytest.raises(NotImplementedError, match="compression"):
+        bmp.decode_bmp(bytes(bf))
+    rle = bytearray(payload)
+    struct.pack_into("<I", rle, 30, 1)  # BI_RLE8 but bpp=24
+    with _pytest.raises(ValueError, match="RLE8 requires 8 bpp"):
         bmp.decode_bmp(bytes(rle))
+
+
+def test_bmp_rle8_round_trip_and_modes():
+    import struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    from tableone_pyspark_spark.functions import bmp
+
+    rng = np.random.default_rng(5)
+    pal = rng.integers(0, 256, size=(16, 3), dtype=np.uint8)
+    # runs + noise: exercises both short and longer runs
+    flat = np.repeat(rng.integers(0, 16, size=200), rng.integers(1, 40, size=200))
+    idx = flat[: 37 * 23].reshape(37, 23).astype(np.uint8)
+    payload = bmp.encode_bmp_rle8(idx, pal)
+    assert bmp.is_bmp(payload)
+    assert bmp.bmp_meta(payload) == (23, 37, 8)
+    out = bmp.decode_bmp(payload)
+    assert np.array_equal(out, pal[idx])
+
+    # truncation mid-RLE raises everywhere (missing EOB or short run)
+    for cut in range(54, len(payload)):
+        try:
+            bmp.decode_bmp(payload[:cut])
+        except ValueError:
+            pass  # required type; anything else propagates and fails
+
+    # hand-built: absolute mode, delta skip, early end-of-bitmap
+    pal4 = np.array([[0, 0, 0], [255, 0, 0], [0, 255, 0], [0, 0, 255]],
+                    dtype=np.uint8)
+    pal_bytes = b"".join(bytes([b, g, r, 0]) for r, g, b in pal4)
+    # 4x3 bottom-up: row0 abs [1,2,3] + pad, EOL; row1 delta(1,1) then
+    # run; EOB — skipped pixels stay index 0
+    data = bytes(
+        [0, 3, 1, 2, 3, 0]  # absolute 3 px + word pad
+        + [1, 1]            # run of 1 at x=3
+        + [0, 0]            # EOL
+        + [0, 2, 1, 1]      # delta dx=1 dy=1 (to x=1, y=2)
+        + [3, 2]            # run of 3 value 2
+        + [0, 1]            # EOB
+    )
+    info = struct.pack("<IiihHIIiiII", 40, 4, 3, 1, 8, 1, len(data),
+                       2835, 2835, 4, 0)
+    off = 54 + 16
+    payload = (struct.pack("<2sIHHI", b"BM", off + len(data), 0, 0, off)
+               + info + pal_bytes + data)
+    out = bmp.decode_bmp(payload)
+    # bottom-up: file row 0 = image row 2
+    assert np.array_equal(out[2], pal4[[1, 2, 3, 1]])
+    assert np.array_equal(out[1], pal4[[0, 0, 0, 0]])  # skipped row
+    assert np.array_equal(out[0], pal4[[0, 2, 2, 2]])  # after delta
+
+    # RLE4: one run packs alternating nibbles
+    data4 = bytes([5, 0x12] + [0, 1])  # 1,2,1,2,1 then EOB
+    info4 = struct.pack("<IiihHIIiiII", 40, 5, 1, 1, 4, 2, len(data4),
+                        2835, 2835, 4, 0)
+    payload4 = (struct.pack("<2sIHHI", b"BM", off + len(data4), 0, 0, off)
+                + info4 + pal_bytes + data4)
+    out = bmp.decode_bmp(payload4)
+    assert np.array_equal(out[0], pal4[[1, 2, 1, 2, 1]])
+
+    # top-down RLE is a spec violation
+    bad = bytearray(payload4)
+    struct.pack_into("<i", bad, 22, -1)
+    with _pytest.raises(ValueError, match="bottom-up"):
+        bmp.decode_bmp(bytes(bad))
+    # run overrunning the row raises
+    over = bytes([9, 1, 0, 1])
+    info_o = struct.pack("<IiihHIIiiII", 40, 4, 1, 1, 8, 1, len(over),
+                         2835, 2835, 4, 0)
+    payload_o = (struct.pack("<2sIHHI", b"BM", off + len(over), 0, 0, off)
+                 + info_o + pal_bytes + over)
+    with _pytest.raises(ValueError, match="overrun"):
+        bmp.decode_bmp(payload_o)
 
 
 def test_bmp_decode_branches_32bit_palette_topdown():
