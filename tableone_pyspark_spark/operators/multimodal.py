@@ -396,7 +396,14 @@ def synthesize_png_corpus(
     index v to (v, v, v), so decoded mean intensity is unchanged;
     only ``channels`` differs (3 vs 1), which oracles express as
     ``CASE WHEN id % 2 = 1 THEN 3 ELSE 1 END``."""
-    src = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("txt"))
+    from tableone_pyspark_spark.plans.layout import rebalance
+
+    # CPU-bound Arrow kernel: spread narrow inputs across all cores
+    # (no-op when the source is already wide — the 100 TB case stays
+    # shuffle-free)
+    src = rebalance(
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("txt"))
+    )
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -441,7 +448,14 @@ def synthesize_audio_corpus(
     ids % 3 == 1 as RIFF/WAVE PCM (``functions/wav.py``), ids % 3 == 2
     pass the raw text bytes through (the documented headerless-PCM
     stub branch). One Arrow pass; payloads never leave the executor."""
-    src = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("txt"))
+    from tableone_pyspark_spark.plans.layout import rebalance
+
+    # CPU-bound Arrow kernel: spread narrow inputs across all cores
+    # (no-op when the source is already wide — the 100 TB case stays
+    # shuffle-free)
+    src = rebalance(
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("txt"))
+    )
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -491,7 +505,14 @@ def synthesize_jpeg_corpus(
     refinement scans) — flat blocks decode identically in all three,
     so the same oracle grades the baseline, multi-scan spectral, and
     SA-refinement decode paths."""
-    src = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("txt"))
+    from tableone_pyspark_spark.plans.layout import rebalance
+
+    # CPU-bound Arrow kernel: spread narrow inputs across all cores
+    # (no-op when the source is already wide — the 100 TB case stays
+    # shuffle-free)
+    src = rebalance(
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("txt"))
+    )
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -537,7 +558,14 @@ def synthesize_gif_corpus(
     (delay only, no transparency — pixels unchanged) so the extension
     walker is exercised under grading. One Arrow pass; payloads never
     leave the executor."""
-    src = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("txt"))
+    from tableone_pyspark_spark.plans.layout import rebalance
+
+    # CPU-bound Arrow kernel: spread narrow inputs across all cores
+    # (no-op when the source is already wide — the 100 TB case stays
+    # shuffle-free)
+    src = rebalance(
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("txt"))
+    )
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np

@@ -408,9 +408,11 @@ def test_salted_join_plan_spreads_key_and_preserves_columns(spark, lineitem):
 
 
 def test_png_pipeline_is_shuffle_free(spark):
-    """synthesize -> decode is two chained Arrow kernels: the plan must
-    contain NO exchange (pure per-partition pipeline) and prune the
-    scan to the two used columns."""
+    """synthesize -> decode is two chained Arrow kernels: the only
+    exchange permitted is the conditional ROUND-ROBIN core-spread in
+    front of the CPU-bound kernel (a no-op on wide inputs — the
+    100 TB case is a pure per-partition pipeline); never a hash/range
+    shuffle, and the scan prunes to the two used columns."""
     from tableone_pyspark_spark.operators.multimodal import (
         image_metadata,
         synthesize_png_corpus,
@@ -421,7 +423,9 @@ def test_png_pipeline_is_shuffle_free(spark):
         synthesize_png_corpus(d, "doc_id", "text"), "id", "payload"
     )
     facts = inspect.plan_facts(meta)
-    assert facts.n_exchanges == 0
+    assert facts.n_exchanges <= 1
+    exe = inspect.executed_plan(meta)
+    assert exe.count("Exchange") == exe.count("RoundRobinPartitioning")
     inspect.assert_scan_pruned(meta, {"doc_id", "text"})
 
 
@@ -482,8 +486,9 @@ def test_weighted_sample_fence_single_evaluation(spark):
 
 
 def test_jpeg_pipeline_is_shuffle_free(spark):
-    """synthesize -> decode (JPEG twin): two chained Arrow kernels, no
-    exchange, scan pruned to the two used columns."""
+    """synthesize -> decode (JPEG twin): only the conditional
+    round-robin core-spread is permitted (no-op on wide inputs), never
+    a hash/range shuffle; scan pruned to the two used columns."""
     from tableone_pyspark_spark.operators.multimodal import (
         image_metadata,
         synthesize_jpeg_corpus,
@@ -494,7 +499,9 @@ def test_jpeg_pipeline_is_shuffle_free(spark):
         synthesize_jpeg_corpus(d, "doc_id", "text"), "id", "payload"
     )
     facts = inspect.plan_facts(meta)
-    assert facts.n_exchanges == 0
+    assert facts.n_exchanges <= 1
+    exe = inspect.executed_plan(meta)
+    assert exe.count("Exchange") == exe.count("RoundRobinPartitioning")
     inspect.assert_scan_pruned(meta, {"doc_id", "text"})
 
 
