@@ -547,3 +547,71 @@ def test_weighted_quantile_job_never_global_window(spark):
         ), seg
     # partial_sum before the exchange: melt compressed map-side
     assert "partial_sum" in plan
+
+
+def test_span_dedup_shuffles_hashes_never_text(spark):
+    """Duplicate-span removal's 100 TB contract: the only wide
+    operations are keyed on the 16-byte (h1, h2) window hashes or the
+    doc id — the raw text reaches no exchange, no cartesian product
+    appears, and the scan prunes to (doc_id, text)."""
+    from tableone_pyspark_spark.operators.dedup import remove_duplicate_spans
+
+    d = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    out = remove_duplicate_spans(d, "text", "doc_id", k=10)
+    exe = inspect.executed_plan(out)
+    assert "CartesianProduct" not in exe and "BroadcastNestedLoopJoin" not in exe
+    # every hash-partitioned exchange keys on hashes/id/pos, never text
+    import re
+
+    for keys in re.findall(r"Exchange hashpartitioning\(([^)]*)\)", exe):
+        assert "text" not in keys, keys
+    inspect.assert_scan_pruned(out, {"doc_id", "text"})
+
+
+def test_dsir_scoring_broadcasts_the_model(spark):
+    """DSIR's point is that the fitted model is broadcast-sized BY
+    CONSTRUCTION (≤ n_buckets rows): the scoring join must be a
+    broadcast hash join — a sort-merge or shuffled-hash join of the
+    corpus against the model would be the 100 TB regression."""
+    from tableone_pyspark_spark.operators.dsir import (
+        fit_hashed_ngram_model,
+        importance_weights,
+    )
+
+    d = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    tm = fit_hashed_ngram_model(d.where(F.col("doc_id") % 2 == 0), "text", "doc_id")
+    rm = fit_hashed_ngram_model(d, "text", "doc_id")
+    w = importance_weights(d, tm, rm, "text", "doc_id")
+    facts = inspect.plan_facts(w)
+    assert facts.n_broadcast_joins >= 1
+    # the corpus-sized scoring join (bigram occurrences × bucket
+    # ratios) must broadcast — a sort-merge join on `bucket` would
+    # shuffle the whole melted corpus against the model. The two
+    # permitted sort-merge joins are NOT corpus×model: the model⟗model
+    # outer join (≤ n_buckets rows a side, full outer cannot broadcast
+    # in Spark) and the id-keyed docs⟕scores left join (co-partitioned
+    # corpus work).
+    import re
+
+    exe = inspect.executed_plan(w)
+    for line in exe.splitlines():
+        m = re.search(r"SortMergeJoin \[([^\]]*)\], \[[^\]]*\], (\w+)", line)
+        if m and "bucket" in m.group(1):
+            # the only bucket-keyed SMJ allowed is the bounded
+            # model⟗model FullOuter; scoring (LeftOuter) must not be it
+            assert m.group(2) == "FullOuter", line.strip()
+    inspect.assert_scan_pruned(w, {"doc_id", "text"})
+
+
+def test_bloom_probe_is_shuffle_free(spark):
+    """Probing is scan-local: the artifact broadcasts inside the
+    kernel closure, so the probe plan has NO exchange at all — probe
+    cost is independent of the seen-corpus size by construction."""
+    from tableone_pyspark_spark.operators.bloom import bloom_probe, build_bloom
+
+    d = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    blm = build_bloom(d.where(F.col("doc_id") < 50), "text", m_bits=1 << 12,
+                      normalize=True)
+    probe = bloom_probe(d, blm, "text", "doc_id")
+    assert inspect.plan_facts(probe).n_exchanges == 0
+    inspect.assert_scan_pruned(probe, {"doc_id", "text"})
