@@ -9,9 +9,10 @@ and 8-bit with a BGRX palette; positive height (bottom-up, the
 default) and negative height (top-down); and since r7 the BI_RLE8 /
 BI_RLE4 compressions (encoded runs, absolute mode, end-of-line /
 end-of-bitmap escapes, cursor deltas — undefined pixels resolve to
-palette entry 0, the common writer convention). Bitfield compression
-and 1/16-bit depths refuse with ``NotImplementedError`` (honest
-boundary — rare in the wild).
+palette entry 0, the common writer convention). r7 also adds
+1/4-bit packed palette rows (MSB-first) and 16-bit RGB555.
+Bitfield compression (BI_BITFIELDS masks) refuses with
+``NotImplementedError`` (honest boundary — rare in the wild).
 
 Hostile-input hardening (same contract as the other codecs): declared
 dimensions bounded by ``MAX_PIXELS`` before any allocation, every
@@ -67,10 +68,8 @@ def _header(payload: bytes, max_pixels: int):
         raise NotImplementedError(
             f"BMP compression {compression} unsupported (BI_RGB/RLE8/RLE4 only)"
         )
-    if bpp not in (4, 8, 24, 32):
+    if bpp not in (1, 4, 8, 16, 24, 32):
         raise NotImplementedError(f"BMP bit depth {bpp} unsupported")
-    if bpp == 4 and compression == 0:
-        raise NotImplementedError("BMP 4-bit uncompressed unsupported")
     top_down = h < 0
     h = abs(h)
     if top_down and compression:
@@ -164,7 +163,7 @@ def decode_bmp(payload: bytes, max_pixels: int = MAX_PIXELS) -> np.ndarray:
         payload, max_pixels
     )
     palette = None
-    if bpp in (4, 8):
+    if bpp in (1, 4, 8):
         (n_colors,) = struct.unpack_from("<I", payload, 46)
         n_colors = n_colors or (1 << bpp)
         if n_colors > (1 << bpp):
@@ -185,8 +184,8 @@ def decode_bmp(payload: bytes, max_pixels: int = MAX_PIXELS) -> np.ndarray:
             raise ValueError("BMP: pixel index outside palette")
         return np.ascontiguousarray(palette[idx])
 
-    bytes_pp = bpp // 8
-    stride = (w * bytes_pp + 3) & ~3  # rows pad to 4-byte boundaries
+    row_bytes = (w * bpp + 7) // 8
+    stride = (row_bytes + 3) & ~3  # rows pad to 4-byte boundaries
     need = data_off + stride * h
     if data_off < 54 or need > len(payload):
         raise ValueError("BMP truncated: pixel data shorter than declared")
@@ -195,11 +194,31 @@ def decode_bmp(payload: bytes, max_pixels: int = MAX_PIXELS) -> np.ndarray:
     ).reshape(h, stride)
     if not top_down:
         rows = rows[::-1]
+    if bpp in (1, 4):  # MSB-first packed palette indices
+        bits = np.unpackbits(rows[:, :row_bytes], axis=1)
+        if bpp == 1:
+            idx = bits[:, :w]
+        else:
+            nib = bits.reshape(h, -1, 4)
+            idx = (nib * np.array([8, 4, 2, 1], dtype=np.uint8)).sum(
+                axis=2, dtype=np.uint8
+            )[:, :w]
+        if int(idx.max(initial=0)) >= palette.shape[0]:
+            raise ValueError("BMP: pixel index outside palette")
+        return np.ascontiguousarray(palette[idx])
     if bpp == 8:
         idx = rows[:, :w]
         if int(idx.max(initial=0)) >= palette.shape[0]:
             raise ValueError("BMP: pixel index outside palette")
         return np.ascontiguousarray(palette[idx])
+    if bpp == 16:  # BI_RGB 16-bit is RGB555 little-endian (top bit pad)
+        v = rows[:, : w * 2].copy().view("<u2").reshape(h, w)
+        out = np.empty((h, w, 3), dtype=np.uint8)
+        for ch, shift in enumerate((10, 5, 0)):
+            c = ((v >> shift) & 31).astype(np.uint8)
+            out[:, :, ch] = (c << 3) | (c >> 2)  # 5 -> 8 bit expansion
+        return out
+    bytes_pp = bpp // 8
     px = rows[:, : w * bytes_pp].reshape(h, w, bytes_pp)
     return np.ascontiguousarray(px[:, :, [2, 1, 0]])  # BGR(A) -> RGB
 

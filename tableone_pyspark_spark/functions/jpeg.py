@@ -286,15 +286,22 @@ def _parse_dqt(body: bytes, qtables: dict) -> None:
     p = 0
     while p < len(body):
         pq_tq = body[p]
-        if pq_tq >> 4 != 0:
-            raise NotImplementedError("JPEG 16-bit qtables unsupported")
-        if p + 65 > len(body):
+        pq = pq_tq >> 4
+        if pq > 1:
+            raise ValueError(f"JPEG: invalid DQT precision {pq}")
+        width = 2 if pq else 1
+        if p + 1 + 64 * width > len(body):
             raise ValueError("JPEG: truncated DQT segment")
-        q = np.frombuffer(body, dtype=np.uint8, count=64, offset=p + 1)
+        if pq:  # 16-bit entries, big-endian (12-bit streams need them)
+            q = np.frombuffer(body, dtype=">u2", count=64, offset=p + 1)
+        else:
+            q = np.frombuffer(body, dtype=np.uint8, count=64, offset=p + 1)
         tbl = np.zeros(64, dtype=np.int64)
         tbl[_ZIGZAG] = q  # stored zigzag -> natural order
+        if int(tbl.min()) == 0:
+            raise ValueError("JPEG: zero quantizer value")
         qtables[pq_tq & 0xF] = tbl
-        p += 65
+        p += 1 + 64 * width
 
 
 def _parse_dht(body: bytes, htables: dict) -> None:
@@ -359,11 +366,15 @@ def _parse_headers(payload: bytes, max_pixels: int, need_tables: bool = True) ->
         if seglen < 2 or pos + seglen > n:
             raise ValueError("JPEG truncated mid-segment")
         body = payload[pos + 2 : pos + seglen]
-        if marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
+        if marker in (0xC0, 0xC1, 0xC2):
+            # SOF0 baseline / SOF1 extended sequential / SOF2 progressive
             out["progressive"] = marker == 0xC2
             prec, h, w, nc = _unpack(">BHHB", body, 0, "SOF segment")
-            if prec != 8:
-                raise NotImplementedError(f"JPEG precision {prec} unsupported")
+            allowed = (8,) if marker == 0xC0 else (8, 12)
+            if prec not in allowed:
+                raise NotImplementedError(
+                    f"JPEG precision {prec} unsupported for SOF{marker - 0xC0}"
+                )
             if w == 0 or h == 0:
                 raise ValueError("JPEG: zero-dimension image")
             eff_max = _effective_max_pixels(max_pixels, nc, out["progressive"])
@@ -389,7 +400,7 @@ def _parse_headers(payload: bytes, max_pixels: int, need_tables: bool = True) ->
                 # header-only parse (jpeg_meta): stop at SOF
                 out.update(scan=[], qtables={}, htables={}, data_pos=-1)
                 return out
-        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
             raise NotImplementedError(
                 f"JPEG SOF{marker - 0xC0} (non-baseline) unsupported"
             )
@@ -451,12 +462,16 @@ def _decode_block(reader: _BitReader, dc_tab, ac_tab, qt, pred: int):
 
 
 def _planes_to_image(
-    planes: list[np.ndarray], comps: list[dict], w: int, h: int
+    planes: list[np.ndarray], comps: list[dict], w: int, h: int, prec: int = 8
 ) -> np.ndarray:
     """Shared decode tail: replication-upsample subsampled planes,
     level shift with deterministic rounding, crop padding, color
-    convert (1 comp -> gray, 3 -> YCbCr->RGB)."""
+    convert (1 comp -> gray, 3 -> YCbCr->RGB). 12-bit streams level
+    shift by 2048, clamp to [0, 4095] and come back as uint16."""
     nc = len(comps)
+    mid = float(1 << (prec - 1))
+    maxv = (1 << prec) - 1
+    dtype = np.uint8 if prec == 8 else np.uint16
     hmax = max(c["hs"] for c in comps)
     vmax = max(c["vs"] for c in comps)
     out = []
@@ -467,18 +482,18 @@ def _planes_to_image(
         if comp["vs"] < vmax:
             p = np.repeat(p, vmax // comp["vs"], axis=0)
         out.append(
-            np.clip(_half_up(p[:h, :w] + 128.0), 0, 255).astype(np.uint8)
+            np.clip(_half_up(p[:h, :w] + mid), 0, maxv).astype(dtype)
         )
     if nc == 1:
         return out[0][:, :, None]
     if nc == 3:
         y = out[0].astype(np.float64)
-        cb = out[1].astype(np.float64) - 128.0
-        cr = out[2].astype(np.float64) - 128.0
+        cb = out[1].astype(np.float64) - mid
+        cr = out[2].astype(np.float64) - mid
         r = _half_up(y + 1.402 * cr)
         g = _half_up(y - 0.344136 * cb - 0.714136 * cr)
         b = _half_up(y + 1.772 * cb)
-        return np.clip(np.stack([r, g, b], axis=2), 0, 255).astype(np.uint8)
+        return np.clip(np.stack([r, g, b], axis=2), 0, maxv).astype(dtype)
     raise NotImplementedError(f"JPEG with {nc} components unsupported")
 
 
@@ -536,7 +551,7 @@ def decode_jpeg(payload: bytes, max_pixels: int = MAX_PIXELS) -> np.ndarray:
                         x0 = (bx * comp["hs"] + u) * 8
                         planes[ci][y0 : y0 + 8, x0 : x0 + 8] = block
             mcu += 1
-    return _planes_to_image(planes, comps, w, h)
+    return _planes_to_image(planes, comps, w, h, hdr["precision"])
 
 
 def _skip_to_marker(payload: bytes, pos: int) -> int:
@@ -641,7 +656,7 @@ def _decode_progressive(payload: bytes, hdr: dict) -> np.ndarray:
                 planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
                     _zz_to_block(coefs[ci][by, bx], qt)
                 )
-    return _planes_to_image(planes, comps, w, h)
+    return _planes_to_image(planes, comps, w, h, hdr["precision"])
 
 
 def _decode_progressive_scan(
@@ -887,13 +902,13 @@ def _category(v: int) -> int:
     return 0 if v == 0 else int(abs(v)).bit_length()
 
 
-def _pad_plane(plane: np.ndarray, bw: int, bh: int) -> np.ndarray:
+def _pad_plane(plane: np.ndarray, bw: int, bh: int, mid: float = 128.0) -> np.ndarray:
     h, w = plane.shape
     padded = np.empty((bh * 8, bw * 8), dtype=np.float64)
     padded[:h, :w] = plane
     padded[h:, :w] = plane[-1:, :]  # edge-replicate padding
     padded[:, w:] = padded[:, w - 1 : w]
-    return padded - 128.0
+    return padded - mid
 
 
 def _quantize_block(blk: np.ndarray, qt: np.ndarray) -> np.ndarray:
@@ -959,13 +974,20 @@ def _encode_planes(
     qt: np.ndarray,
     restart_interval: int = 0,
     sampling: list[tuple[int, int]] | None = None,
+    precision: int = 8,
 ) -> bytes:
     """Shared baseline writer: 1 plane = grayscale, 3 = YCbCr (every
     component uses quant/Huffman table 0 — legal and simple).
     ``sampling`` gives (hs, vs) per component (default all 1x1 =
     4:4:4); each plane must already be at its subsampled resolution
-    (ceil(w*hs/hmax) x ceil(h*vs/vmax))."""
+    (ceil(w*hs/hmax) x ceil(h*vs/vmax)). ``precision=12`` writes an
+    extended-sequential (SOF1) stream with a 2048 level shift and a
+    16-bit DQT; the caller's qtable must keep every quantized level
+    within the Annex-K Huffman category range (the 12-bit decoder is
+    fully general, the fixture writer is not)."""
     nc = len(planes)
+    if precision not in (8, 12):
+        raise ValueError(f"precision must be 8 or 12, got {precision}")
     samp = sampling or [(1, 1)] * nc
     hmax = max(s[0] for s in samp)
     vmax = max(s[1] for s in samp)
@@ -974,7 +996,7 @@ def _encode_planes(
     mcux = (w + 8 * hmax - 1) // (8 * hmax)
     mcuy = (h + 8 * vmax - 1) // (8 * vmax)
     padded = [
-        _pad_plane(p, mcux * s[0], mcuy * s[1])
+        _pad_plane(p, mcux * s[0], mcuy * s[1], float(1 << (precision - 1)))
         for p, s in zip(planes, samp)
     ]
 
@@ -1005,12 +1027,17 @@ def _encode_planes(
     chunks.append(writer.flush())
     scan = b"".join(chunks)
 
-    zz_qt = qt.reshape(64)[_ZIGZAG].astype(np.uint8).tobytes()
-    dqt = _seg(0xDB, b"\x00" + zz_qt)
+    if precision == 12 or int(qt.max()) > 255:
+        zz_qt = qt.reshape(64)[_ZIGZAG].astype(">u2").tobytes()
+        dqt = _seg(0xDB, b"\x10" + zz_qt)  # Pq=1: 16-bit entries
+    else:
+        zz_qt = qt.reshape(64)[_ZIGZAG].astype(np.uint8).tobytes()
+        dqt = _seg(0xDB, b"\x00" + zz_qt)
     sof_comps = b"".join(
         bytes([i + 1, (samp[i][0] << 4) | samp[i][1], 0]) for i in range(nc)
     )
-    sof = _seg(0xC0, struct.pack(">BHHB", 8, h, w, nc) + sof_comps)
+    sof_marker = 0xC0 if precision == 8 else 0xC1
+    sof = _seg(sof_marker, struct.pack(">BHHB", precision, h, w, nc) + sof_comps)
     dht = _seg(
         0xC4,
         b"\x00" + bytes(_DC_LUMA_BITS) + bytes(_DC_LUMA_VALS)
@@ -1026,11 +1053,32 @@ def encode_jpeg_gray(
     arr: np.ndarray,
     qtable: np.ndarray | None = None,
     restart_interval: int = 0,
+    precision: int = 8,
 ) -> bytes:
     """Minimal baseline grayscale writer (Annex K tables by default):
     the fixture generator for the real decode path. Quantization is
     ``floor(F/q + 0.5)`` (round-half-up) — see the module determinism
-    contract."""
+    contract. ``precision=12`` writes extended-sequential SOF1 with
+    uint16 samples in [0, 4095] (pick a qtable that keeps quantized
+    levels inside the Annex-K Huffman categories, e.g. all-32)."""
+    if precision == 12:
+        arr = np.asarray(arr)
+        if arr.ndim == 3:
+            if arr.shape[2] != 1:
+                raise ValueError("encode_jpeg_gray takes a single-channel image")
+            arr = arr[:, :, 0]
+        arr = arr.astype(np.int64)
+        if arr.size and (arr.min() < 0 or arr.max() > 4095):
+            raise ValueError("12-bit samples must be in [0, 4095]")
+        h, w = arr.shape
+        qt = (
+            np.full(64, 32, dtype=np.int64)
+            if qtable is None
+            else np.asarray(qtable, dtype=np.int64)
+        )
+        return _encode_planes(
+            [arr.astype(np.float64)], w, h, qt, restart_interval, precision=12
+        )
     arr = np.asarray(arr, dtype=np.uint8)
     if arr.ndim == 3:
         if arr.shape[2] != 1:

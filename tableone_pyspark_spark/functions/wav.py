@@ -7,17 +7,17 @@ from the headerless-PCM byte-stub to REAL header semantics: the
 sample rate comes from the ``fmt `` chunk (not a fake derived from
 byte 0), sample counts from the ``data`` chunk, and RMS from the
 actual decoded samples. FLAC decodes for real too since r7
-(``functions/flac.py``); the remaining compressed formats
-(MP3/AAC/µ-law) have no codec in this container and keep the
-documented stub seam.
+(``functions/flac.py``); the remaining compressed formats (MP3/AAC)
+have no codec in this container and keep the documented stub seam.
 
-Supported (public RIFF/WAVE spec, Microsoft/IBM 1991): PCM
-(wFormatTag 1) at 8 (unsigned), 16/24/32-bit (signed little-endian),
-IEEE float32/float64 (wFormatTag 3), and WAVE_FORMAT_EXTENSIBLE
-(0xFFFE) resolving to either via the SubFormat GUID; any channel
-count up to 64, interleaved; unknown ancillary chunks (LIST, fact,
-cue, bext, ...) are skipped with word alignment, matching how real
-readers behave.
+Supported (public RIFF/WAVE spec, Microsoft/IBM 1991, + ITU-T G.711):
+PCM (wFormatTag 1) at 8 (unsigned), 16/24/32-bit (signed
+little-endian), IEEE float32/float64 (wFormatTag 3), A-law
+(wFormatTag 6) and µ-law (7) companded telephony audio via the exact
+CCITT segment tables, and WAVE_FORMAT_EXTENSIBLE (0xFFFE) resolving
+to any of those via the SubFormat GUID; any channel count up to 64,
+interleaved; unknown ancillary chunks (LIST, fact, cue, bext, ...)
+are skipped with word alignment, matching how real readers behave.
 
 Hostile-input hardening (untrusted corpora): every chunk size is
 bounds-checked against the payload BEFORE slicing; total decoded
@@ -39,6 +39,53 @@ MAX_SAMPLES = 134_217_728
 
 _PCM_GUID = b"\x01\x00\x00\x00\x00\x00\x10\x00\x80\x00\x00\xaa\x00\x38\x9b\x71"
 _FLOAT_GUID = b"\x03\x00\x00\x00\x00\x00\x10\x00\x80\x00\x00\xaa\x00\x38\x9b\x71"
+_ALAW_GUID = b"\x06\x00\x00\x00\x00\x00\x10\x00\x80\x00\x00\xaa\x00\x38\x9b\x71"
+_ULAW_GUID = b"\x07\x00\x00\x00\x00\x00\x10\x00\x80\x00\x00\xaa\x00\x38\x9b\x71"
+
+
+def _g711_tables() -> tuple[np.ndarray, np.ndarray]:
+    """256-entry int16 expansion tables for µ-law (G.711 §4.2) and
+    A-law (§4.1), built from the ITU segment formulas (the classic
+    CCITT reference arithmetic — bias 0x84 for µ, 0x55 toggle for A)."""
+    ulaw = np.empty(256, dtype=np.int16)
+    for b in range(256):
+        u = ~b & 0xFF
+        t = (((u & 0x0F) << 3) + 0x84) << ((u & 0x70) >> 4)
+        ulaw[b] = (0x84 - t) if (u & 0x80) else (t - 0x84)
+    alaw = np.empty(256, dtype=np.int16)
+    for b in range(256):
+        a = b ^ 0x55
+        t = (a & 0x0F) << 4
+        seg = (a & 0x70) >> 4
+        if seg == 0:
+            t += 8
+        elif seg == 1:
+            t += 0x108
+        else:
+            t = (t + 0x108) << (seg - 1)
+        alaw[b] = t if (a & 0x80) else -t
+    return ulaw, alaw
+
+
+_ULAW_TABLE, _ALAW_TABLE = _g711_tables()
+
+
+def _linear_to_g711(v: np.ndarray, law: str) -> np.ndarray:
+    """int16 -> companded byte via inverse-table nearest search (exact
+    segment arithmetic is fiddly; the 256-entry inverse is tiny and
+    guarantees encode(decode(b)) == b up to the ±0 duals)."""
+    table = _ULAW_TABLE if law == "ulaw" else _ALAW_TABLE
+    order = np.argsort(table, kind="stable")
+    pos = np.searchsorted(table[order], v)
+    pos = np.clip(pos, 0, 255)
+    left = np.clip(pos - 1, 0, 255)
+    pick = np.where(
+        np.abs(table[order[left]].astype(np.int32) - v)
+        <= np.abs(table[order[pos]].astype(np.int32) - v),
+        left,
+        pos,
+    )
+    return order[pick].astype(np.uint8)
 
 
 def is_wav(payload: bytes) -> bool:
@@ -85,10 +132,16 @@ def _parse_fmt(body: bytes) -> _Fmt:
             tag = 1
         elif guid == _FLOAT_GUID:
             tag = 3
+        elif guid == _ALAW_GUID:
+            tag = 6
+        elif guid == _ULAW_GUID:
+            tag = 7
         else:
             raise ValueError(f"WAV: unsupported extensible SubFormat {guid!r}")
-    if tag not in (1, 3):
-        raise ValueError(f"WAV: unsupported format tag {tag} (PCM/float only)")
+    if tag not in (1, 3, 6, 7):
+        raise ValueError(
+            f"WAV: unsupported format tag {tag} (PCM/float/G.711 only)"
+        )
     if not 1 <= channels <= 64:
         raise ValueError(f"WAV: implausible channel count {channels}")
     if not 1 <= rate <= 10_000_000:
@@ -97,6 +150,8 @@ def _parse_fmt(body: bytes) -> _Fmt:
         raise ValueError(f"WAV: unsupported PCM bit depth {bits}")
     if tag == 3 and bits not in (32, 64):
         raise ValueError(f"WAV: unsupported float bit depth {bits}")
+    if tag in (6, 7) and bits != 8:
+        raise ValueError(f"WAV: G.711 requires 8 bits per sample, got {bits}")
     f = _Fmt()
     f.tag, f.channels, f.rate, f.bits = tag, channels, rate, bits
     return f
@@ -146,7 +201,10 @@ def decode_wav(
             f"{max_samples}"
         )
     data = data[: n_frames * frame]
-    if fmt.tag == 3:
+    if fmt.tag in (6, 7):  # G.711 A-law / µ-law: table expansion
+        table = _ALAW_TABLE if fmt.tag == 6 else _ULAW_TABLE
+        arr = table[np.frombuffer(data, dtype=np.uint8)].astype(np.float64) / 32768.0
+    elif fmt.tag == 3:
         dt = "<f4" if fmt.bits == 32 else "<f8"
         arr = np.frombuffer(data, dtype=dt).astype(np.float64)
     elif fmt.bits == 8:
@@ -170,18 +228,40 @@ def decode_wav(
 
 
 def encode_wav(
-    arr: np.ndarray, sample_rate: int, bits: int = 16, float_fmt: bool = False
+    arr: np.ndarray,
+    sample_rate: int,
+    bits: int = 16,
+    float_fmt: bool = False,
+    law: str | None = None,
 ) -> bytes:
     """Fixture/round-trip writer: ``arr`` is (n_frames, n_channels)
     float in [-1, 1] (or already-integer samples for PCM). Writes
     canonical RIFF/WAVE with a 16-byte fmt chunk (PCM) or an 18-byte
-    one with cbSize=0 (float, per spec)."""
+    one with cbSize=0 (float / G.711, per spec). ``law`` ∈
+    {'ulaw', 'alaw'} compands to 8-bit G.711 (wFormatTag 7 / 6)."""
     arr = np.asarray(arr)
     if arr.ndim == 1:
         arr = arr[:, None]
     if arr.ndim != 2:
         raise ValueError("arr must be (n_frames, n_channels)")
     n_frames, channels = arr.shape
+    if law is not None:
+        if law not in ("ulaw", "alaw"):
+            raise ValueError(f"law must be 'ulaw' or 'alaw', got {law!r}")
+        lin = np.clip(np.round(arr * 32768.0), -32768, 32767).astype(np.int32)
+        data = _linear_to_g711(lin.reshape(-1), law).tobytes()
+        tag = 7 if law == "ulaw" else 6
+        bits = 8
+        fmt_body = struct.pack(
+            "<HHIIHH", tag, channels, sample_rate,
+            sample_rate * channels, channels, 8,
+        ) + struct.pack("<H", 0)
+        chunks = b""
+        for ctag, body in ((b"fmt ", fmt_body), (b"data", data)):
+            chunks += ctag + struct.pack("<I", len(body)) + body
+            if len(body) & 1:
+                chunks += b"\x00"
+        return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
     if float_fmt:
         if bits not in (32, 64):
             raise ValueError("float WAV is 32- or 64-bit")

@@ -75,7 +75,8 @@ def _decode_image(payload: bytes) -> tuple[int, int, int, float]:
     if jpeg.is_jpeg(payload):
         arr = jpeg.decode_jpeg(payload)
         hh, ww, cc = arr.shape
-        return ww, hh, cc, float(arr.mean() / 255.0)
+        scale = 4095.0 if arr.dtype == np.uint16 else 255.0  # 12-bit SOF1
+        return ww, hh, cc, float(arr.mean() / scale)
     if gif.is_gif(payload):
         arr = gif.decode_gif(payload)  # first frame on the logical screen
         hh, ww, cc = arr.shape

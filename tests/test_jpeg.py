@@ -353,3 +353,75 @@ def test_hostile_zero_component_sof_and_bad_spectral_selection():
         i = bytes(hacked).find(b"\xff\xda", i + 2)
     with pytest.raises(ValueError, match="spectral selection"):
         jpeg.decode_jpeg(bytes(hacked))
+
+
+def test_12bit_extended_sequential_decode():
+    """SOF1 12-bit: uint16 output in [0, 4095], 2048 level shift, the
+    16-bit DQT form, and the flat-block closed form at the new mid."""
+    import math
+
+    # smooth gradient: reconstruction within the quantization bound
+    x = np.linspace(0, 4095, 64)
+    arr = np.clip(np.round(np.add.outer(x, x) / 2), 0, 4095).astype(np.int64)
+    p = jpeg.encode_jpeg_gray(arr, precision=12)
+    assert p[p.find(b"\xff\xdb") + 4] == 0x10  # Pq=1 16-bit DQT
+    assert b"\xff\xc1" in p  # SOF1
+    out = jpeg.decode_jpeg(p)
+    assert out.dtype == np.uint16 and out.shape == (64, 64, 1)
+    assert jpeg.jpeg_meta(p) == (64, 64, 1, 12)
+    assert np.abs(out[:, :, 0].astype(float) - arr).max() <= 4 * 32 / 8 + 1
+
+    # flat blocks follow the determinism contract with mid=2048
+    for v in (0, 1, 2047, 2048, 3000, 4095):
+        flat = np.full((8, 8), v, dtype=np.int64)
+        q0 = 32
+        dec = jpeg.decode_jpeg(
+            jpeg.encode_jpeg_gray(flat, qtable=np.full(64, q0, np.int64),
+                                  precision=12)
+        )
+        lvl = math.floor(8.0 * (v - 2048) / q0 + 0.5)
+        exp = int(min(4095, max(0, math.floor(lvl * q0 / 8.0 + 2048.5))))
+        assert int(dec[0, 0, 0]) == exp, v
+
+
+def test_12bit_validation_and_8bit_sof1():
+    with pytest.raises(ValueError, match="4095"):
+        jpeg.encode_jpeg_gray(np.full((8, 8), 5000, np.int64), precision=12)
+    with pytest.raises(ValueError, match="precision"):
+        from tableone_pyspark_spark.functions.jpeg import _encode_planes
+
+        _encode_planes([np.zeros((8, 8))], 8, 8, np.full(64, 16, np.int64),
+                       precision=10)
+    # an 8-bit stream re-marked SOF1 decodes identically (extended
+    # sequential with precision 8 is legal)
+    arr = np.arange(64, dtype=np.uint8).reshape(8, 8)
+    base = jpeg.encode_jpeg_gray(arr)
+    hacked = base.replace(b"\xff\xc0", b"\xff\xc1")
+    assert np.array_equal(jpeg.decode_jpeg(base), jpeg.decode_jpeg(hacked))
+    # SOF0 with precision 12 stays refused (T.81: baseline is 8-bit)
+    p12 = jpeg.encode_jpeg_gray(np.full((8, 8), 9, np.int64), precision=12)
+    bad = p12.replace(b"\xff\xc1", b"\xff\xc0")
+    with pytest.raises(NotImplementedError, match="SOF0"):
+        jpeg.decode_jpeg(bad)
+    # invalid DQT precision nibble
+    withq = bytearray(base)
+    withq[withq.index(b"\xff\xdb") + 4] = 0x20
+    with pytest.raises(ValueError, match="DQT precision"):
+        jpeg.decode_jpeg(bytes(withq))
+    # zero quantizer is a conformance error, not a silent zero plane
+    withz = bytearray(base)
+    withz[withz.index(b"\xff\xdb") + 5] = 0
+    with pytest.raises(ValueError, match="zero quantizer"):
+        jpeg.decode_jpeg(bytes(withz))
+
+
+def test_12bit_truncation_sweep():
+    arr = np.clip(
+        np.add.outer(np.arange(16) * 200, np.arange(16) * 55), 0, 4095
+    ).astype(np.int64)
+    payload = jpeg.encode_jpeg_gray(arr, precision=12)
+    for cut in range(2, len(payload)):
+        try:
+            jpeg.decode_jpeg(payload[:cut])
+        except (ValueError, NotImplementedError):
+            pass  # required types; anything else propagates and fails

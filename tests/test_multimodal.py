@@ -330,3 +330,49 @@ def test_transcode_images_normalizes_all_formats(spark):
     gif_rgb = gray_pal[idx]
     assert np.array_equal(png.decode_png(bytes(got[3]["png"])), gif_rgb)
     assert (got[2]["width"], got[2]["height"]) == (6, 8)
+
+
+def test_bmp_sub_byte_and_16bit_depths():
+    import struct
+
+    import numpy as np
+
+    from tableone_pyspark_spark.functions import bmp
+
+    def hdr(w, h, bpp, n_colors=0, data_len=0):
+        info = struct.pack(
+            "<IiihHIIiiII", 40, w, h, 1, bpp, 0, data_len, 2835, 2835,
+            n_colors, 0,
+        )
+        off = 54 + 4 * n_colors
+        return struct.pack("<2sIHHI", b"BM", off + data_len, 0, 0, off) + info
+
+    # 1-bit MSB-first, 10 px wide (partial second byte), bottom-up
+    pal = b"".join(bytes([b, g, r, 0]) for r, g, b in
+                   [(0, 0, 0), (255, 255, 255)])
+    row0 = bytes([0b10110000, 0b01000000]) + b"\x00\x00"
+    row1 = bytes([0b01001111, 0b11000000]) + b"\x00\x00"
+    payload = hdr(10, 2, 1, n_colors=2, data_len=8) + pal + row0 + row1
+    out = bmp.decode_bmp(payload)
+    assert [int(p[0] == 255) for p in out[0]] == [0, 1, 0, 0, 1, 1, 1, 1, 1, 1]
+    assert [int(p[0] == 255) for p in out[1]] == [1, 0, 1, 1, 0, 0, 0, 0, 0, 1]
+
+    # 4-bit packed nibbles, odd width
+    pal4 = b"".join(bytes([b, g, r, 0]) for r, g, b in
+                    [(9, 9, 9), (20, 20, 20), (30, 30, 30), (40, 40, 40)])
+    payload = hdr(3, 1, 4, n_colors=4, data_len=4) + pal4 + bytes([0x12, 0x30, 0, 0])
+    assert bmp.decode_bmp(payload)[0, :, 0].tolist() == [20, 30, 40]
+
+    # 16-bit RGB555 with 5->8 bit replication expansion
+    v = struct.pack("<HH", 31 << 10, (16 << 10) | (16 << 5) | 16)
+    payload = hdr(2, 1, 16, data_len=4) + v
+    out = bmp.decode_bmp(payload)
+    assert out[0, 0].tolist() == [255, 0, 0]
+    assert out[0, 1].tolist() == [(16 << 3) | (16 >> 2)] * 3
+    assert bmp.bmp_meta(payload) == (2, 1, 16)
+
+    # palette index beyond the declared palette still raises
+    bad = hdr(3, 1, 4, n_colors=2, data_len=4) + pal4[:8] + bytes([0x23, 0, 0, 0])
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="palette"):
+        bmp.decode_bmp(bad)

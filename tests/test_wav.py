@@ -222,3 +222,78 @@ def test_pcm_round_trip_property(vals, bits, channels):
     tol = 1.5 / (1 << (bits - 1))
     if n:
         assert np.abs(out - np.clip(arr, -1, 1 - 2 ** -(bits - 1))).max() <= tol
+
+
+# ---------------------------------------------------------------------------
+# G.711 µ-law / A-law (r7)
+# ---------------------------------------------------------------------------
+
+
+def test_g711_known_itu_values():
+    # classic CCITT reference pairs: µ-law 0xFF decodes to 0, 0x7F to
+    # -0 (the ± dual); A-law 0xD5 (0x80 after the 0x55 toggle) is +8
+    from tableone_pyspark_spark.functions.wav import _ALAW_TABLE, _ULAW_TABLE
+
+    assert _ULAW_TABLE[0xFF] == 0 and _ULAW_TABLE[0x7F] == 0
+    assert _ULAW_TABLE[0x80] == 32124 and _ULAW_TABLE[0x00] == -32124
+    assert _ALAW_TABLE[0xD5] == 8 and _ALAW_TABLE[0x55] == -8
+    assert _ALAW_TABLE[0xAA] == 32256 and _ALAW_TABLE[0x2A] == -32256
+
+
+def test_g711_encode_decode_idempotent_on_all_bytes():
+    # decode -> re-encode must reproduce every byte (up to the µ-law
+    # ±0 dual 0x7F/0xFF, which share the value 0)
+    from tableone_pyspark_spark.functions.wav import (
+        _ALAW_TABLE,
+        _ULAW_TABLE,
+        _linear_to_g711,
+    )
+
+    b = np.arange(256, dtype=np.int64)
+    ru = _linear_to_g711(_ULAW_TABLE[b].astype(np.int32), "ulaw")
+    mism = b[ru != b]
+    assert set(mism.tolist()) <= {0x7F, 0xFF}, mism
+    ra = _linear_to_g711(_ALAW_TABLE[b].astype(np.int32), "alaw")
+    assert np.array_equal(ra, b)
+
+
+@pytest.mark.parametrize("law,tag", [("ulaw", 7), ("alaw", 6)])
+def test_g711_wav_round_trip(law, tag):
+    arr = _sine(n=400, channels=2)
+    payload = wav.encode_wav(arr, 8000, law=law)
+    rate_, ch, bits, n = wav.wav_meta(payload)
+    assert (rate_, ch, bits, n) == (8000, 2, 8, 400)
+    (t,) = struct.unpack_from("<H", payload, 20)
+    assert t == tag
+    out, rate = wav.decode_wav(payload)
+    assert rate == 8000 and out.shape == (400, 2)
+    # companding error bound: the coarsest (top) segment steps by
+    # 1024/32768 (µ) resp. 512/32768 (A) — half-step plus rounding
+    assert np.abs(out - arr).max() <= 0.016
+
+
+def test_g711_extensible_guid_resolves(spark=None):
+    base = wav.encode_wav(_sine(n=64), 8000, law="ulaw")
+    # rebuild as WAVE_FORMAT_EXTENSIBLE with the µ-law SubFormat GUID
+    from tableone_pyspark_spark.functions.wav import _ULAW_GUID
+
+    data_off = base.index(b"data")
+    data = base[data_off + 8 : data_off + 8 + 64]
+    fmt = struct.pack("<HHIIHH", 0xFFFE, 1, 8000, 8000, 1, 8)
+    fmt += struct.pack("<HHI", 22, 8, 0) + _ULAW_GUID
+    chunks = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    chunks += b"data" + struct.pack("<I", len(data)) + data
+    payload = b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+    out, rate = wav.decode_wav(payload)
+    ref, _ = wav.decode_wav(base)
+    assert np.array_equal(out, ref)
+
+
+def test_g711_validation():
+    with pytest.raises(ValueError, match="law must be"):
+        wav.encode_wav(_sine(n=8), 8000, law="mulaw")
+    # G.711 fmt chunk claiming 16 bits is a structural lie
+    payload = bytearray(wav.encode_wav(_sine(n=8), 8000, law="alaw"))
+    struct.pack_into("<H", payload, 34, 16)
+    with pytest.raises(ValueError, match="G.711 requires 8 bits"):
+        wav.decode_wav(bytes(payload))
