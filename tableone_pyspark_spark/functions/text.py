@@ -383,3 +383,107 @@ def c4_clean(c: Column, min_words_per_line: int = 3, min_sentences: int = 5) -> 
         F.when(drop, F.lit(0)).otherwise(F.size(kept)).alias("n_kept"),
         drop.alias("drop"),
     )
+
+
+#: Gopher rule A1.1 stop words (Rae et al. 2021 list every word)
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_quality(
+    c: Column,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_word_ratio: float = 0.1,
+    max_bullet_line_frac: float = 0.9,
+    max_ellipsis_line_frac: float = 0.3,
+    min_alpha_word_frac: float = 0.8,
+    min_stop_words: int = 2,
+) -> Column:
+    """Gopher quality filtering (Rae et al. 2021, "Scaling Language
+    Models: ...Gopher", Appendix A §A1.1) as ONE pure-Catalyst struct
+    expression — the production-rules complement to :func:`c4_clean`
+    (page-level heuristics vs C4's line surgery). Faithful to the
+    paper's documented rule set; every signal is returned so a
+    pipeline can re-threshold without recomputing:
+
+      - word count within [50, 100k] (whitespace words)
+      - mean word length within [3, 10] characters
+      - symbol-to-word ratio <= 0.1 for the hash symbol AND (tested
+        separately, per the paper's "either") for the ellipsis
+      - <= 90% of lines may start with a bullet (•, -, *)
+      - <= 30% of lines may end with an ellipsis (... or …)
+      - >= 80% of words contain at least one alphabetic character
+      - at least 2 of the 8 listed stop words appear (the, be, to,
+        of, and, that, have, with)
+
+    Returns struct(n_words, mean_word_len, hash_word_ratio,
+    ellipsis_word_ratio, bullet_line_frac, ellipsis_line_frac,
+    alpha_word_frac, n_stop_words, keep). NULL input behaves as an
+    empty page (drop). Deterministic and SQL-expressible for oracle
+    replay (whitespace words = the shared WORD_RE; fractions are
+    exact ratios, no rounding inside the verdict)."""
+    txt = F.coalesce(c, F.lit(""))
+    words = F.filter(F.split(txt, "[ \\t\\n]+"), lambda w: w != "")
+    n_words = F.size(words)
+    nz = F.greatest(n_words, F.lit(1))  # guarded denominators
+    mean_word_len = F.aggregate(
+        words, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
+    ) / nz
+    hash_ratio = (F.size(F.split(txt, "#", -1)) - 1) / nz
+    # non-overlapping left-to-right '...' count (… counts too)
+    ell_ratio = (F.size(F.split(txt, r"(\.\.\.|…)", -1)) - 1) / nz
+    lines = F.split(txt, "\n")
+    n_lines = F.greatest(F.size(lines), F.lit(1))
+    bullet_frac = (
+        F.size(F.filter(lines, lambda l: F.trim(l).rlike("^[•\\-\\*]")))
+        / n_lines
+    )
+    ellipsis_frac = (
+        F.size(
+            F.filter(
+                lines, lambda l: F.rtrim(l).rlike("(\\.\\.\\.|…)$")
+            )
+        )
+        / n_lines
+    )
+    alpha_frac = (
+        F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]"))) / nz
+    )
+    low = F.concat(F.lit(" "), F.lower(txt), F.lit(" "))
+    n_stop = sum(
+        (
+            F.size(
+                F.split(
+                    F.regexp_replace(low, "[^a-z]+", " "),
+                    f" {w} ",
+                    -1,
+                )
+            )
+            > 1
+        ).cast("int")
+        for w in GOPHER_STOPWORDS
+    )
+    keep = (
+        n_words.between(min_words, max_words)
+        & (mean_word_len >= min_mean_word_len)
+        & (mean_word_len <= max_mean_word_len)
+        & (hash_ratio <= max_symbol_word_ratio)
+        & (ell_ratio <= max_symbol_word_ratio)
+        & (bullet_frac <= max_bullet_line_frac)
+        & (ellipsis_frac <= max_ellipsis_line_frac)
+        & (alpha_frac >= min_alpha_word_frac)
+        & (n_stop >= min_stop_words)
+    )
+    return F.struct(
+        n_words.cast("long").alias("n_words"),
+        mean_word_len.cast("double").alias("mean_word_len"),
+        hash_ratio.cast("double").alias("hash_word_ratio"),
+        ell_ratio.cast("double").alias("ellipsis_word_ratio"),
+        bullet_frac.cast("double").alias("bullet_line_frac"),
+        ellipsis_frac.cast("double").alias("ellipsis_line_frac"),
+        alpha_frac.cast("double").alias("alpha_word_frac"),
+        n_stop.cast("int").alias("n_stop_words"),
+        keep.alias("keep"),
+    )

@@ -291,3 +291,74 @@ def test_c4_clean_tab_separated_words_count(spark):
     df = spark.createDataFrame([(1, page)], "id long, text string")
     c = df.select(c4_clean(F.col("text")).alias("c")).collect()[0]["c"]
     assert not c["drop"] and c["n_kept"] == 5
+
+
+# ---------------------------------------------------------------------------
+# Gopher quality rules (Rae 2021 A1.1) — r7
+# ---------------------------------------------------------------------------
+
+
+def _gq(spark, texts, **kw):
+    from tableone_pyspark_spark.functions.text import gopher_quality
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "id long, text string"
+    )
+    rows = df.select("id", gopher_quality(F.col("text"), **kw).alias("g")).collect()
+    return {r["id"]: r["g"] for r in rows}
+
+
+def test_gopher_each_rule_trips_independently(spark):
+    base_words = ("the data that we have built works well with care and " * 8).split()
+    good = " ".join(base_words)  # 88 words, stopword-rich, alphabetic
+    texts = [
+        good,                                    # 0: keeps
+        "the of and " * 4,                       # 1: too few words
+        " ".join(["supercalifragilistic"] * 60), # 2: mean word len > 10
+        good + " " + "#" * 1,                    # 3: one hash is fine
+        good + " " + " ".join(["#"] * 30),       # 4: hash ratio > 0.1
+        good + (" word..." * 40),                # 5: ellipsis ratio > 0.1
+        "\n".join(["• " + good] * 10),           # 6: every line bulleted
+        good.replace("the", "123").replace("that", "456")
+        .replace("have", "789").replace("with", "000")
+        .replace("and", "111"),                  # 7: no stop words
+        " ".join(["12345"] * 80),                # 8: alpha fraction 0
+        None,                                    # 9: NULL -> drop
+    ]
+    g = _gq(spark, texts)
+    assert g[0]["keep"] is True
+    assert g[0]["n_stop_words"] >= 2 and g[0]["alpha_word_frac"] == 1.0
+    assert g[1]["keep"] is False and g[1]["n_words"] < 50
+    assert g[2]["keep"] is False and g[2]["mean_word_len"] > 10
+    assert g[3]["keep"] is True
+    assert g[4]["keep"] is False and g[4]["hash_word_ratio"] > 0.1
+    assert g[5]["keep"] is False and g[5]["ellipsis_word_ratio"] > 0.1
+    assert g[6]["keep"] is False and g[6]["bullet_line_frac"] == 1.0
+    assert g[7]["keep"] is False and g[7]["n_stop_words"] < 2
+    assert g[8]["keep"] is False and g[8]["alpha_word_frac"] == 0.0
+    assert g[9]["keep"] is False and g[9]["n_words"] == 0
+
+
+def test_gopher_ellipsis_line_rule_and_unicode_ellipsis(spark):
+    base = "the data that we have built works well with care and more words " * 5
+    lines_ok = "\n".join([base] * 7 + [base + "…"] * 1)   # 1/8 = 12.5%
+    lines_bad = "\n".join([base] * 5 + [base + "..."] * 5)  # 50%
+    g = _gq(spark, [lines_ok, lines_bad])
+    assert g[0]["keep"] is True and g[0]["ellipsis_line_frac"] == 0.125
+    assert g[1]["keep"] is False and g[1]["ellipsis_line_frac"] == 0.5
+
+
+def test_gopher_stop_word_boundaries(spark):
+    # 'theory' must not count as 'the'; punctuation-attached forms do
+    base = "theory analysis berth toward offer " * 20
+    g0 = _gq(spark, [base])[0]
+    assert g0["n_stop_words"] == 0 and g0["keep"] is False
+    withstops = base + " the, cat sat. that!"
+    g1 = _gq(spark, [withstops])[0]
+    assert g1["n_stop_words"] == 2
+
+
+def test_gopher_thresholds_are_parameters(spark):
+    short = "the cat and that dog have fun with it here now so be it"
+    g = _gq(spark, [short], min_words=5)[0]
+    assert g["keep"] is True and g["n_words"] == 14
