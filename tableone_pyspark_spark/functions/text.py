@@ -487,3 +487,136 @@ def gopher_quality(
         n_stop.cast("int").alias("n_stop_words"),
         keep.alias("keep"),
     )
+
+
+
+
+GOPHER_REPETITION_THRESHOLDS = {
+    "dup_line_frac": 0.30,
+    "dup_para_frac": 0.30,
+    "dup_line_char_frac": 0.20,
+    "dup_para_char_frac": 0.20,
+    "top_2gram_char_frac": 0.20,
+    "top_3gram_char_frac": 0.18,
+    "top_4gram_char_frac": 0.16,
+    "dup_5gram_char_frac": 0.15,
+    "dup_6gram_char_frac": 0.14,
+    "dup_7gram_char_frac": 0.13,
+    "dup_8gram_char_frac": 0.12,
+    "dup_9gram_char_frac": 0.11,
+    "dup_10gram_char_frac": 0.10,
+}
+
+
+def gopher_repetition_profile(
+    df, id_col: str, text_col: str, thresholds: dict | None = None
+):
+    """Gopher repetition filtering (Rae et al. 2021, Appendix A
+    §A1.1, the "repetitious document" rules) — the second half of the
+    Gopher pair with :func:`gopher_quality`, and the within-document
+    complement to the cross-document dedup family. Returns
+    ``(id_col, <the 13 signals of GOPHER_REPETITION_THRESHOLDS>,
+    keep)``; a document keeps iff every signal is at or under its
+    threshold (pass ``thresholds`` to re-tune).
+
+    Definitions (paper A1.1, DataTrove-compatible):
+      - dup line / paragraph fraction: occurrences beyond the first
+        per distinct value, over all non-blank lines / paragraphs
+        (paragraphs = ``\\n\\n``-separated)
+      - dup line / paragraph CHARACTER fraction: characters of those
+        beyond-first occurrences over all line/paragraph characters
+      - top {2,3,4}-gram character fraction: the most frequent word
+        n-gram's count × its word characters over total word
+        characters (ties: lexicographically smallest gram)
+      - dup {5..10}-gram character fraction: characters of words
+        covered by ANY occurrence of a gram value appearing >= 2
+        times, overlap-UNIONED (whitespace excluded from numerator
+        and denominator)
+
+    Shape: one Arrow-batched kernel (per-row Counters — the
+    documented UDF case, same rationale and parity precedent as
+    :func:`repetition_profile`: Catalyst HOF lambdas evaluate
+    interpreted per element and a 13-signal expression tree also
+    explodes codegen compile time). Still a pure projection —
+    row-local, zero shuffle, linear at 100 TB. Normalization + word
+    split stay Catalyst so tokenization matches the rest of the text
+    family."""
+    import pandas as pd
+
+    from tableone_pyspark_spark.plans.layout import rebalance
+
+    thr = dict(GOPHER_REPETITION_THRESHOLDS)
+    if thresholds:
+        unknown = set(thresholds) - set(thr)
+        if unknown:
+            raise ValueError(f"unknown thresholds: {sorted(unknown)}")
+        thr.update(thresholds)
+    sig_names = list(GOPHER_REPETITION_THRESHOLDS)
+
+    def _dup_fracs(items: list[str]) -> tuple[float, float]:
+        from collections import Counter
+
+        if not items:
+            return 0.0, 0.0
+        counts = Counter(items)
+        n_dup = sum(c - 1 for c in counts.values())
+        chars = sum(len(x) for x in items)
+        dup_chars = sum((c - 1) * len(v) for v, c in counts.items())
+        return n_dup / len(items), (dup_chars / chars if chars else 0.0)
+
+    def _prof(texts):
+        import re
+        from collections import Counter
+
+        rows = []
+        for txt in texts:
+            if txt is None:
+                txt = ""
+            lines = [l for l in txt.split("\n") if l.strip()]
+            paras = [p for p in re.split(r"\n\n+", txt) if p.strip()]
+            ws = [w for w in re.sub(r"[ \t\n]+", " ", txt.lower()).strip().split(" ") if w]
+            wchars = sum(len(w) for w in ws)
+            sig = {}
+            sig["dup_line_frac"], sig["dup_line_char_frac"] = _dup_fracs(lines)
+            sig["dup_para_frac"], sig["dup_para_char_frac"] = _dup_fracs(paras)
+            for n in (2, 3, 4):
+                key = f"top_{n}gram_char_frac"
+                grams = list(zip(*[ws[i:] for i in range(n)]))
+                if grams and wchars:
+                    c = Counter(grams)
+                    top_count = max(c.values())
+                    g = min(g for g, k in c.items() if k == top_count)
+                    sig[key] = top_count * sum(len(w) for w in g) / wchars
+                else:
+                    sig[key] = 0.0
+            for n in range(5, 11):
+                key = f"dup_{n}gram_char_frac"
+                grams = list(zip(*[ws[i:] for i in range(n)]))
+                if grams and wchars:
+                    c = Counter(grams)
+                    covered = [False] * len(ws)
+                    for j, g in enumerate(grams):
+                        if c[g] >= 2:
+                            for t in range(j, j + n):
+                                covered[t] = True
+                    sig[key] = (
+                        sum(len(w) for w, cov in zip(ws, covered) if cov)
+                        / wchars
+                    )
+                else:
+                    sig[key] = 0.0
+            keep = all(sig[k] <= thr[k] for k in sig_names)
+            rows.append(tuple(sig[k] for k in sig_names) + (keep,))
+        return pd.DataFrame(rows, columns=sig_names + ["keep"])
+
+    schema = (
+        "struct<"
+        + ",".join(f"{k}:double" for k in sig_names)
+        + ",keep:boolean>"
+    )
+    prof = F.pandas_udf(_prof, schema)(F.col(text_col))
+    return (
+        rebalance(df.select(id_col, text_col))
+        .select(F.col(id_col), prof.alias("_g"))
+        .select(id_col, "_g.*")
+    )

@@ -3,6 +3,9 @@ sampling, benchmark decontamination, duplicate-n-gram fraction."""
 
 from __future__ import annotations
 
+import numpy as np
+import pytest
+
 from pyspark.sql import functions as F
 
 from tableone_pyspark_spark.functions.pii import pii_profile, redact_pii
@@ -362,3 +365,123 @@ def test_gopher_thresholds_are_parameters(spark):
     short = "the cat and that dog have fun with it here now so be it"
     g = _gq(spark, [short], min_words=5)[0]
     assert g["keep"] is True and g["n_words"] == 14
+
+
+# ---------------------------------------------------------------------------
+# Gopher repetition rules (Rae 2021 A1.1) — r7
+# ---------------------------------------------------------------------------
+
+
+def _grp(spark, texts, **kw):
+    from tableone_pyspark_spark.functions.text import gopher_repetition_profile
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "id long, text string"
+    )
+    return {
+        r["id"]: r
+        for r in gopher_repetition_profile(df, "id", "text", **kw).collect()
+    }
+
+
+def test_gopher_repetition_line_and_para_rules(spark):
+    clean = "\n".join(
+        " ".join(f"w{r}x{c}" for c in range(12)) for r in range(6)
+    )  # 72 distinct words: no rule trips
+    dup_lines = "spam line\nspam line\nspam line\nunique longer line here"
+    dup_paras = "para one here\n\npara one here\n\nother"
+    g = _grp(spark, [clean, dup_lines, dup_paras, None, ""])
+    assert g[0]["keep"] is True and g[0]["dup_line_frac"] == 0.0
+    # 3 'spam line' -> 2 beyond-first of 4 lines
+    assert g[1]["dup_line_frac"] == pytest.approx(0.5)
+    chars = 3 * len("spam line") + len("unique longer line here")
+    assert g[1]["dup_line_char_frac"] == pytest.approx(
+        2 * len("spam line") / chars
+    )
+    assert g[1]["keep"] is False
+    assert g[2]["dup_para_frac"] == pytest.approx(1 / 3)
+    assert g[2]["keep"] is False
+    assert g[3]["keep"] is True and g[3]["dup_line_frac"] == 0.0  # NULL
+    assert g[4]["keep"] is True  # empty: vacuous (gate n_words upstream)
+
+
+def test_gopher_repetition_top_and_dup_gram_rules(spark):
+    # 'one two three four five six' * 10: every 2-gram dominated by
+    # repetition; the dup-5gram coverage is the whole text
+    loop = ("one two three four five six " * 10).strip()
+    varied = " ".join(f"w{i:03d}" for i in range(80))
+    g = _grp(spark, [loop, varied])
+    assert g[0]["keep"] is False
+    assert g[0]["dup_5gram_char_frac"] == pytest.approx(1.0)  # full cover
+    assert g[0]["dup_10gram_char_frac"] == pytest.approx(1.0)
+    # top-2gram: five grams tie at count 10; the lexicographic
+    # tie-break picks 'five six' (7 word chars) over 220 total
+    wchars = sum(len(w) for w in loop.split())
+    assert g[0]["top_2gram_char_frac"] == pytest.approx(10 * 7 / wchars)
+    assert g[1]["keep"] is True
+    assert g[1]["dup_5gram_char_frac"] == 0.0
+    assert g[1]["top_2gram_char_frac"] == pytest.approx(8 / (80 * 4))
+
+
+def test_gopher_repetition_overlap_union_not_double_count(spark):
+    # 'a b c d e a b c d e a b c d e' (k=5 gram 'a b c d e' x3, the
+    # overlapping duplicated grams cover EVERY word exactly once)
+    txt = " ".join(["a b c d e"] * 3)
+    g = _grp(spark, [txt])[0]
+    assert g["dup_5gram_char_frac"] == pytest.approx(1.0)
+
+
+def test_gopher_repetition_differential_random(spark):
+    # independent reference computation on random loopy corpora
+    import re
+    from collections import Counter
+
+    rng = np.random.default_rng(11)
+    vocab = [f"t{i}" for i in range(12)]
+    texts = []
+    for _ in range(25):
+        n = int(rng.integers(5, 120))
+        words = list(rng.choice(vocab, size=n))
+        if rng.random() < 0.5:  # inject a loop
+            seg = words[: int(rng.integers(3, 12))]
+            words = words + seg * int(rng.integers(1, 4))
+        texts.append(" ".join(words))
+    g = _grp(spark, texts)
+    for i, txt in enumerate(texts):
+        ws = txt.split()
+        wchars = sum(len(w) for w in ws)
+        for n in (5, 8, 10):
+            grams = list(zip(*[ws[j:] for j in range(n)]))
+            c = Counter(grams)
+            covered = set()
+            for j, gr in enumerate(grams):
+                if c[gr] >= 2:
+                    covered.update(range(j, j + n))
+            exp = (
+                sum(len(ws[j]) for j in covered) / wchars if grams else 0.0
+            )
+            assert g[i][f"dup_{n}gram_char_frac"] == pytest.approx(exp), (i, n)
+        for n in (2, 4):
+            grams = list(zip(*[ws[j:] for j in range(n)]))
+            if grams:
+                c = Counter(grams)
+                top = max(c.values())
+                gsel = min(gr for gr, k in c.items() if k == top)
+                exp = top * sum(len(w) for w in gsel) / wchars
+                assert g[i][f"top_{n}gram_char_frac"] == pytest.approx(exp)
+
+
+def test_gopher_repetition_thresholds_parameterized(spark):
+    loop = ("one two three four five six " * 10).strip()
+    g = _grp(spark, [loop], thresholds={
+        k: 1.0 for k in (
+            "top_2gram_char_frac", "top_3gram_char_frac",
+            "top_4gram_char_frac", "dup_5gram_char_frac",
+            "dup_6gram_char_frac", "dup_7gram_char_frac",
+            "dup_8gram_char_frac", "dup_9gram_char_frac",
+            "dup_10gram_char_frac",
+        )
+    })[0]
+    assert g["keep"] is True
+    with pytest.raises(ValueError, match="unknown thresholds"):
+        _grp(spark, [loop], thresholds={"nope": 0.5})
