@@ -750,8 +750,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # ---- text analysis (north-star; functions/text.py) ------------------
     def text_stats(spark, sf_dir):
+        # since r7 the per-lang profile also aggregates the Gopher
+        # quality signals (Rae 2021 A1.1, functions/text.py
+        # gopher_quality): mean word length, stop-word hits and the
+        # keep fraction — giving the Gopher rule set driver-visible
+        # oracle coverage alongside its pytest rule pins.
         d = _load(spark, sf_dir, "documents")
         t = F.col("text")
+        g = tx.gopher_quality(t)
         per = d.select(
             "lang",
             tx.word_count(t).alias("wc"),
@@ -760,6 +766,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             tx.stopword_ratio(t).alias("stop"),
             tx.alpha_ratio(t).alias("alpha"),
             tx.quality_score(t).alias("quality"),
+            g["mean_word_len"].alias("mwl"),
+            g["n_stop_words"].alias("gsw"),
+            g["keep"].cast("double").alias("gkeep"),
         )
         return per.groupBy("lang").agg(
             F.count(F.lit(1)).alias("n_docs"),
@@ -769,6 +778,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.round(F.avg("stop"), 6).alias("avg_stopword"),
             F.round(F.avg("alpha"), 6).alias("avg_alpha"),
             F.round(F.avg("quality"), 6).alias("avg_quality"),
+            F.round(F.avg("mwl"), 6).alias("avg_mean_wlen"),
+            F.round(F.avg("gsw"), 6).alias("avg_gopher_stops"),
+            F.round(F.avg("gkeep"), 6).alias("gopher_keep_frac"),
         )
 
     q["text_stats"] = text_stats
@@ -2317,13 +2329,54 @@ def oracle_sql() -> dict[str, str]:
         f"+ 0.1::DOUBLE * (1.0::DOUBLE - least({PUNCT} * 3, 1.0::DOUBLE)))"
     )
 
+    # Gopher-quality replay (whitespace words; thresholds mirror
+    # gopher_quality's defaults; ellipsis counting is non-overlapping
+    # left-to-right in both engines)
+    _GW = "list_filter(string_split_regex(text, '[ \\t\\n]+'), x -> x <> '')"
+    _GWC = f"list_sum(list_transform({_GW}, w -> length(w)))"
+    _GN = f"length({_GW})"
+    _GNZ = f"greatest({_GN}, 1)"
+    _GMWL = f"(COALESCE({_GWC}, 0) / CAST({_GNZ} AS DOUBLE))"
+    _GHASH = f"((length(text) - length(replace(text, '#', ''))) / CAST({_GNZ} AS DOUBLE))"
+    _GELL = f"(length(regexp_extract_all(text, '(\\.\\.\\.|…)')) / CAST({_GNZ} AS DOUBLE))"
+    _GALPHA = (
+        f"(length(list_filter({_GW}, w -> regexp_matches(w, '[A-Za-z]'))) "
+        f"/ CAST({_GNZ} AS DOUBLE))"
+    )
+    _GCLEAN = "' ' || regexp_replace(lower(text), '[^a-z]+', ' ', 'g') || ' '"
+    _GSTOPS = " + ".join(
+        f"CASE WHEN contains({_GCLEAN}, ' {w} ') THEN 1 ELSE 0 END"
+        for w in ["the", "be", "to", "of", "and", "that", "have", "with"]
+    )
+    _GLN = "greatest(length(string_split(text, chr(10))), 1)"
+    _GBULLET = (
+        "(length(list_filter(string_split(text, chr(10)), "
+        "x -> regexp_matches(trim(x), '^[•\\-\\*]'))) "
+        f"/ CAST({_GLN} AS DOUBLE))"
+    )
+    _GELLLINE = (
+        "(length(list_filter(string_split(text, chr(10)), "
+        "x -> regexp_matches(rtrim(x), '(\\.\\.\\.|…)$'))) "
+        f"/ CAST({_GLN} AS DOUBLE))"
+    )
+    _GKEEP = (
+        f"(({_GN}) BETWEEN 50 AND 100000 AND {_GMWL} >= 3.0 AND {_GMWL} <= 10.0 "
+        f"AND {_GHASH} <= 0.1 AND {_GELL} <= 0.1 "
+        f"AND {_GBULLET} <= 0.9 AND {_GELLLINE} <= 0.3 "
+        f"AND {_GALPHA} >= 0.8 AND ({_GSTOPS}) >= 2)"
+    )
     o["text_stats"] = (
         f"WITH per AS (SELECT lang, {WC} AS wc, {TC} AS tc, {PUNCT} AS punct, "
-        f"{SW} AS stop, {ALPHA} AS alpha, {QUALITY} AS quality FROM documents) "
+        f"{SW} AS stop, {ALPHA} AS alpha, {QUALITY} AS quality, "
+        f"{_GMWL} AS mwl, ({_GSTOPS}) AS gsw, "
+        f"CASE WHEN {_GKEEP} THEN 1.0 ELSE 0.0 END AS gkeep FROM documents) "
         "SELECT lang, count(*) AS n_docs, ROUND(avg(wc), 6) AS avg_words, "
         "ROUND(avg(tc), 6) AS avg_tokens, ROUND(avg(punct), 6) AS avg_punct, "
         "ROUND(avg(stop), 6) AS avg_stopword, ROUND(avg(alpha), 6) AS avg_alpha, "
-        "ROUND(avg(quality), 6) AS avg_quality FROM per GROUP BY 1"
+        "ROUND(avg(quality), 6) AS avg_quality, "
+        "ROUND(avg(mwl), 6) AS avg_mean_wlen, "
+        "ROUND(avg(gsw), 6) AS avg_gopher_stops, "
+        "ROUND(avg(gkeep), 6) AS gopher_keep_frac FROM per GROUP BY 1"
     )
 
     o["label_centroids"] = (
