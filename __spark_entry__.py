@@ -1936,8 +1936,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #     stage 1 of embedding_topk and quantize_profile (both
     #     r5-green over the same vectors).
     # Queries whose BEHAVIOR changed this round sit IN the window:
-    # curate_documents (gained the C4 rule columns, ask #7) and
-    # audio_meta (gained real FLAC rows, ask #5). Oracle-only changes
+    # curate_documents (gained the C4 rule columns, ask #7),
+    # audio_meta (gained real FLAC rows, ask #5) and text_stats
+    # (gained the Gopher-quality aggregates — X83 graded). Oracle-only changes
     # NOT re-windowed (locally validated via scripts/check_oracles.py,
     # 6/6): multimodal_meta / jpeg / png / gif_decode_stats / frame_stats
     # (+ deleted binary_stats) moved from char-based ascii(substr())

@@ -1,17 +1,25 @@
 """Text-analysis column functions for large-scale document pipelines.
 
-All functions build pure Catalyst column expressions (JVM-side,
-whole-stage codegen — no UDFs), so they run at full speed over a
-100 TB `documents` table. Regex patterns are restricted to syntax with
+Default shape: pure Catalyst column expressions (JVM-side, whole-stage
+codegen — no UDFs), so they run at full speed over a 100 TB
+`documents` table. Regex patterns are restricted to syntax with
 identical semantics in Java regex (Spark) and RE2 (DuckDB) so each
-operator is oracle-checkable.
+operator is oracle-checkable. The two documented exceptions are the
+per-row multi-Counter profiles (:func:`repetition_profile`,
+:func:`gopher_repetition_profile`) — Arrow-batched kernels, because
+Catalyst evaluates higher-order-function lambdas interpreted per
+element (measured 18× slower) and a 13-signal nested-array expression
+tree explodes codegen compile time; both stay pure row-local
+projections.
 
 Operators (north-star extensions per BASELINE.json; no equivalent in
 the reference, which has no string analytics at all):
   * token / word / char counting (whitespace + BPE-ish regex)
   * quality scoring (length, punctuation, stopword, alpha ratios)
+  * Gopher quality + repetition rule sets (Rae 2021 A1.1)
+  * C4 page cleaning (Raffel 2020)
   * language ID (marker-word + CJK-codepoint heuristic)
-  * document fingerprinting (normalized-text xxhash64)
+  * document fingerprinting (normalized-text xxhash64, poly-hash)
 """
 
 from __future__ import annotations
