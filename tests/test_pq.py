@@ -1,0 +1,153 @@
+"""Product quantization (operators/pq.py): differential pins vs a
+pure-numpy reference, determinism/partition-invariance, PQ-theory
+monotonicity (distortion and recall improve with m and k), exact ADC
+arithmetic, and plan shape (codes are a shuffle-free projection; the
+search never sorts the corpus globally)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+from tableone_pyspark_spark.operators import pq
+from tableone_pyspark_spark.operators.ml_lsh import _kmeans_numpy
+from tableone_pyspark_spark.plans import inspect
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet")
+
+
+@pytest.fixture(scope="module")
+def sample(emb):
+    rows = (
+        emb.select(F.col("embedding").cast("array<double>"), "vec_id")
+        .orderBy("vec_id")
+        .collect()
+    )
+    ids = np.array([r["vec_id"] for r in rows])
+    X = np.array([np.asarray(r[0], dtype=np.float64) for r in rows])
+    return ids, X
+
+
+def _ref_codebook(X, m, k):
+    d = X.shape[1]
+    dsub = d // m
+    return np.stack(
+        [_kmeans_numpy(X[:, s * dsub : (s + 1) * dsub], k) for s in range(m)]
+    )
+
+
+def test_codebook_matches_reference_and_is_partition_invariant(emb, sample):
+    ids, X = sample
+    cb = pq.train_pq(emb, m=4, n_codes=8)
+    assert cb.C.shape == (4, 8, X.shape[1] // 4)
+    ref = _ref_codebook(X[np.argsort(ids)][:16384], 4, 8)
+    assert np.array_equal(cb.C, ref)
+    cb2 = pq.train_pq(emb.repartition(7), m=4, n_codes=8)
+    assert np.array_equal(cb.C, cb2.C)
+
+
+def test_encode_differential_and_partition_invariant(emb, sample):
+    ids, X = sample
+    cb = pq.train_pq(emb, m=4, n_codes=8)
+    got = {
+        r["id"]: (list(r["codes"]), r["recon_err"])
+        for r in pq.pq_encode(emb, cb).collect()
+    }
+    # independent reference: per-subspace argmin over squared distance
+    dsub = cb.dsub
+    for i, vid in enumerate(ids):
+        exp_codes = []
+        err = 0.0
+        for s in range(4):
+            xs = X[i, s * dsub : (s + 1) * dsub]
+            d2 = ((cb.C[s] - xs) ** 2).sum(axis=1)
+            c = int(d2.argmin())
+            exp_codes.append(c)
+            err += float(d2[c])
+        assert got[vid][0] == exp_codes, vid
+        assert got[vid][1] == pytest.approx(err, rel=1e-9)
+    again = {
+        r["id"]: list(r["codes"])
+        for r in pq.pq_encode(emb.repartition(5), cb).collect()
+    }
+    assert {k: v[0] for k, v in got.items()} == again
+
+
+def test_distortion_and_recall_improve_with_codebook_size(emb):
+    def run(m, k):
+        cb = pq.train_pq(emb, m=m, n_codes=k)
+        err = pq.pq_encode(emb, cb).agg(F.avg("recon_err")).collect()[0][0]
+        rec = pq.pq_recall(emb, cb, n_queries=8, k=5).collect()
+        return err, float(np.mean([r["recall"] for r in rec]))
+
+    err_small, rec_small = run(4, 8)
+    err_big, rec_big = run(16, 32)
+    assert err_big < err_small  # more subspaces x codes -> less distortion
+    assert rec_big >= rec_small
+    assert rec_big > 0.2  # far above random (5 of N)
+
+
+def test_adc_distances_exact_vs_reference(emb, sample):
+    ids, X = sample
+    cb = pq.train_pq(emb, m=4, n_codes=8)
+    out = pq.pq_topk(emb, cb, n_queries=3, k=4).collect()
+    # reference ADC over reference codes
+    codes = {}
+    dsub = cb.dsub
+    for i, vid in enumerate(ids):
+        codes[vid] = [
+            int(((cb.C[s] - X[i, s * dsub : (s + 1) * dsub]) ** 2).sum(axis=1).argmin())
+            for s in range(4)
+        ]
+    order = np.argsort(ids)
+    qids = ids[order][:3]
+    for r in out:
+        qi = np.nonzero(ids == r["query_id"])[0][0]
+        d = 0.0
+        for s in range(4):
+            qs = X[qi, s * dsub : (s + 1) * dsub]
+            d += float(((cb.C[s][codes[r["neighbor_id"]][s]] - qs) ** 2).sum())
+        assert r["adc_dist2"] == pytest.approx(round(d, 6), abs=1e-6)
+        assert r["query_id"] in qids and r["neighbor_id"] != r["query_id"]
+    # ranks are 1..k per query, ascending distance
+    per_q = {}
+    for r in out:
+        per_q.setdefault(r["query_id"], []).append((r["rank"], r["adc_dist2"]))
+    for q, rows in per_q.items():
+        rows.sort()
+        assert [rk for rk, _ in rows] == list(range(1, len(rows) + 1))
+        dists = [dv for _, dv in rows]
+        assert dists == sorted(dists)
+
+
+def test_validation(emb, spark):
+    with pytest.raises(ValueError, match="subspaces"):
+        pq.train_pq(emb, m=7)  # 64 % 7 != 0
+    cb = pq.train_pq(emb, m=4, n_codes=8)
+    short = spark.createDataFrame(
+        [(1, [0.0, 1.0])], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(Exception, match="dim"):
+        pq.pq_encode(short, cb).collect()
+    with pytest.raises(ValueError, match="positive"):
+        pq.train_pq(emb, m=0)
+
+
+def test_plan_shapes(emb):
+    cb = pq.train_pq(emb, m=4, n_codes=8)
+    enc = pq.pq_encode(emb, cb)
+    assert inspect.plan_facts(enc).n_exchanges == 0  # pure projection
+    inspect.assert_scan_pruned(enc, {"vec_id", "embedding"})
+    top = pq.pq_topk(emb, cb, n_queries=4, k=3)
+    exe = inspect.executed_plan(top)
+    # one hash exchange on query_id for the bounded rank; the corpus
+    # itself is never globally sorted and never self-joined
+    assert exe.count("Exchange hashpartitioning") == 1
+    assert "CartesianProduct" not in exe and "SortMergeJoin" not in exe
