@@ -316,3 +316,182 @@ def pq_recall(
             "recall"
         ),
     )
+
+
+class IVFPQIndex:
+    """Coarse quantizer (n_cells, d) + residual PQ codebook — the
+    FAISS IVFPQ construction: cells prune WHICH vectors are scanned,
+    residual codes compress WHAT is scanned."""
+
+    __slots__ = ("coarse", "coarse_norm2", "pq")
+
+    def __init__(self, coarse: np.ndarray, pq_cb: PQCodebook):
+        self.coarse = coarse
+        self.coarse_norm2 = (coarse * coarse).sum(axis=1)
+        self.pq = pq_cb
+
+
+def train_ivfpq(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    m: int = 4,
+    n_codes: int = 16,
+    train_limit: int = 16384,
+) -> IVFPQIndex:
+    """Train the coarse quantizer (the SAME seeded KMeans-on-ordered-
+    sample as the IVF family — identical centroids to
+    ``ml_lsh._train_quantizer`` for equal params) and the product
+    codebook on the RESIDUALS x − C[cell(x)] of the training sample —
+    the true IVFPQ construction (residuals are far better centered
+    than raw vectors, so the same m × k budget buys less distortion).
+    """
+
+    def build():
+        rows = (
+            vectors.select(F.col(vec_col).cast("array<double>"), F.col(id_col))
+            .orderBy(id_col)
+            .limit(train_limit)
+            .collect()
+        )
+        if not rows:
+            raise ValueError("IVFPQ training sample is empty")
+        X = np.array([np.asarray(r[0], dtype=np.float64) for r in rows])
+        d = X.shape[1]
+        if d % m:
+            raise ValueError(f"dim {d} does not split into {m} subspaces")
+        C = _kmeans_numpy(X, n_centroids)
+        d2 = -2.0 * (X @ C.T) + (C * C).sum(axis=1)
+        res = X - C[d2.argmin(axis=1)]
+        dsub = d // m
+        pq_cb = PQCodebook(
+            np.stack(
+                [
+                    _kmeans_numpy(res[:, s * dsub : (s + 1) * dsub], n_codes)
+                    for s in range(m)
+                ]
+            )
+        )
+        return IVFPQIndex(C, pq_cb)
+
+    key = _memo_key(
+        vectors, id_col, vec_col, n_centroids, m, n_codes, train_limit, "ivfpq"
+    )
+    return memo("ivfpq_index", key, build)
+
+
+def ivfpq_topk(
+    vectors: DataFrame,
+    index: IVFPQIndex,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_probe: int = 4,
+    n_queries: int = 10,
+    k: int = 5,
+) -> DataFrame:
+    """IVFPQ search: per query only the ``n_probe`` nearest cells are
+    scanned, and scanned rows cost m LUT lookups (ADC over RESIDUAL
+    codes, with a per-(query, probed-cell) LUT — the residual differs
+    per cell, exactly as FAISS computes it). One Arrow pass assigns
+    cell + residual codes and emits pruned candidates; a bounded rank
+    finishes. Returns (query_id, neighbor_id, adc_dist2, rank)."""
+    ix = index
+    cb = ix.pq
+    q_rows = (
+        vectors.select(F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>"))
+        .orderBy("id")
+        .limit(n_queries)
+        .collect()
+    )
+    q_ids = np.array([r["id"] for r in q_rows])
+    Q = np.array([np.asarray(r[1], dtype=np.float64) for r in q_rows])
+    if Q.size and Q.shape[1] != cb.dim:
+        raise ValueError(f"query dim {Q.shape[1]} != index dim {cb.dim}")
+    qd2 = -2.0 * (Q @ ix.coarse.T) + ix.coarse_norm2
+    # (nq, n_probe) probed cells, nearest first (ties -> lowest cell)
+    probed = np.argsort(qd2, axis=1, kind="stable")[:, :n_probe]
+    # LUT[q, p, s, code] over the residual q - C[cell]
+    nq = len(q_ids)
+    lut = np.zeros((nq, n_probe, cb.m, cb.k))
+    for qi in range(nq):
+        for pi in range(n_probe):
+            r = Q[qi] - ix.coarse[probed[qi, pi]]
+            for s in range(cb.m):
+                rs = r[s * cb.dsub : (s + 1) * cb.dsub]
+                lut[qi, pi, s] = (
+                    -2.0 * (cb.C[s] @ rs)
+                    + (cb.C[s] * cb.C[s]).sum(axis=1)
+                    + (rs * rs).sum()
+                )
+
+    src = vectors.select(
+        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    schema = T.StructType(
+        [
+            T.StructField("query_id", src.schema["id"].dataType),
+            T.StructField("neighbor_id", src.schema["id"].dataType),
+            T.StructField("adc_dist2", T.DoubleType()),
+        ]
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            V = np.vstack([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
+            if V.shape[1] != cb.dim:
+                raise ValueError(
+                    f"vector dim {V.shape[1]} != index dim {cb.dim}"
+                )
+            ids = pdf["id"].to_numpy()
+            d2 = -2.0 * (V @ ix.coarse.T) + ix.coarse_norm2
+            cells = d2.argmin(axis=1)
+            codes = _encode_block(V - ix.coarse[cells], cb)
+            frames = []
+            for qi in range(nq):
+                for pi in range(n_probe):
+                    mask = cells == probed[qi, pi]
+                    if not mask.any():
+                        continue
+                    sub = codes[mask]
+                    dist = np.zeros(sub.shape[0])
+                    for s in range(cb.m):
+                        dist += lut[qi, pi, s][sub[:, s]]
+                    frames.append(
+                        pd.DataFrame(
+                            {
+                                "query_id": q_ids[qi],
+                                "neighbor_id": ids[mask],
+                                "adc_dist2": dist,
+                            }
+                        )
+                    )
+            if not frames:
+                continue
+            out = pd.concat(frames, ignore_index=True)
+            out = out[out["query_id"] != out["neighbor_id"]]
+            out = (
+                out.sort_values(["query_id", "adc_dist2", "neighbor_id"])
+                .groupby("query_id", sort=False)
+                .head(k)
+            )
+            yield out
+
+    cand = src.mapInPandas(kernel, schema)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("adc_dist2"), F.asc("neighbor_id")
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("adc_dist2", 6).alias("adc_dist2"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )

@@ -151,3 +151,76 @@ def test_plan_shapes(emb):
     # itself is never globally sorted and never self-joined
     assert exe.count("Exchange hashpartitioning") == 1
     assert "CartesianProduct" not in exe and "SortMergeJoin" not in exe
+
+
+# ---------------------------------------------------------------------------
+# IVFPQ (residual PQ within probed cells)
+# ---------------------------------------------------------------------------
+
+
+def test_ivfpq_matches_reference_pipeline(emb, sample):
+    ids, X = sample
+    ix = pq.train_ivfpq(emb, n_centroids=8, m=4, n_codes=8)
+    # coarse quantizer identical to the IVF family's for equal params
+    order = np.argsort(ids)
+    Xs = X[order][:16384]
+    C_ref = _kmeans_numpy(Xs, 8)
+    assert np.array_equal(ix.coarse, C_ref)
+    # residual codebook trained on sample residuals
+    d2 = -2.0 * (Xs @ C_ref.T) + (C_ref * C_ref).sum(axis=1)
+    res = Xs - C_ref[d2.argmin(axis=1)]
+    assert np.array_equal(ix.pq.C, _ref_codebook(res, 4, 8))
+
+    out = pq.ivfpq_topk(emb, ix, n_probe=3, n_queries=3, k=4).collect()
+    # reference: full IVFPQ replay in numpy
+    cells = (-2.0 * (X @ C_ref.T) + (C_ref * C_ref).sum(axis=1)).argmin(axis=1)
+    codes = {}
+    dsub = ix.pq.dsub
+    for i, vid in enumerate(ids):
+        r = X[i] - C_ref[cells[i]]
+        codes[vid] = [
+            int(((ix.pq.C[s] - r[s * dsub : (s + 1) * dsub]) ** 2).sum(axis=1).argmin())
+            for s in range(4)
+        ]
+    for row in out:
+        qi = int(np.nonzero(ids == row["query_id"])[0][0])
+        ni = int(np.nonzero(ids == row["neighbor_id"])[0][0])
+        qd = -2.0 * (X[qi] @ C_ref.T) + (C_ref * C_ref).sum(axis=1)
+        probed = np.argsort(qd, kind="stable")[:3]
+        assert cells[ni] in probed  # only probed cells are scanned
+        r = X[qi] - C_ref[cells[ni]]
+        d = 0.0
+        for s in range(4):
+            rs = r[s * dsub : (s + 1) * dsub]
+            d += float(((ix.pq.C[s][codes[row["neighbor_id"]][s]] - rs) ** 2).sum())
+        assert row["adc_dist2"] == pytest.approx(round(d, 6), abs=1e-6)
+
+
+def test_ivfpq_probe_monotone(emb):
+    ix = pq.train_ivfpq(emb, n_centroids=8, m=16, n_codes=32)
+
+    def best_dist(n_probe):
+        approx = pq.ivfpq_topk(emb, ix, n_probe=n_probe, n_queries=8, k=5)
+        best = {}
+        for r in approx.collect():
+            q = r["query_id"]
+            best[q] = min(best.get(q, float("inf")), r["adc_dist2"])
+        return best
+
+    few = best_dist(1)
+    full = best_dist(8)  # all cells probed: pure residual-PQ search
+    # widening the probed set can only improve (or tie) the best
+    # distance per query, and never lose a query
+    assert set(full) >= set(few)
+    for q in few:
+        assert full[q] <= few[q] + 1e-9, q
+    assert any(full[q] < few[q] for q in few)  # pruning actually bites
+
+
+def test_ivfpq_validation(emb, spark):
+    ix = pq.train_ivfpq(emb, n_centroids=4, m=4, n_codes=8)
+    short = spark.createDataFrame(
+        [(1, [0.0, 1.0])], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(Exception, match="dim"):
+        pq.ivfpq_topk(short, ix, n_queries=1, k=1).collect()
