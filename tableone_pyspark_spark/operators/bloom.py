@@ -172,3 +172,23 @@ def bloom_probe(
             [id_field, T.StructField("maybe_seen", T.BooleanType())]
         ),
     )
+
+
+def poly_hash_py(s: str, base: int = 31, mod: int = (1 << 31) - 1) -> int:
+    """Pure-Python twin of ``functions.text.poly_hash`` — IDENTICAL
+    Horner arithmetic (``ord`` == Spark's ``ascii`` codepoint for the
+    corpora this package targets), so kernel-side hashing (e.g. the
+    streaming Bloom state) produces the same bits as the Catalyst
+    build path."""
+    h = 0
+    for ch in s:
+        h = (h * base + ord(ch)) % mod
+    return h
+
+
+def km_positions_py(key: str, m_bits: int, n_hashes: int) -> list[int]:
+    """Kirsch-Mitzenmacher positions, Python twin of ``_positions``
+    (same h1/h2 bases, same odd-step OR, same modulo)."""
+    h1 = poly_hash_py(key, 31)
+    h2 = poly_hash_py(key, 131) | 1
+    return [(h1 + i * h2) % m_bits for i in range(n_hashes)]

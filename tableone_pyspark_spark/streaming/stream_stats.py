@@ -526,3 +526,93 @@ def streaming_tableone(
             "value", "frac",
         ),
     )
+
+
+def streaming_bloom_dedup(
+    stream: DataFrame,
+    key_col: str,
+    ts_col: str = "ts",
+    m_bits: int = 1 << 15,
+    n_hashes: int = 5,
+    n_shards: int = 8,
+    watermark: str = "0 seconds",
+) -> DataFrame:
+    """Streaming novelty detection with FIXED-SIZE state forever: a
+    sharded Bloom filter as ``applyInPandasWithState`` state — the
+    streaming face of ``operators/bloom.py`` (the Dolma-pattern
+    incremental crawl, run as a stream).
+
+    Contrast with :func:`streaming_dedup` (``dropDuplicates``): exact,
+    but its state grows with distinct keys inside the watermark and
+    must forget old keys to stay bounded. The Bloom state is
+    ``n_shards × m_bits`` BITS — constant for the life of the stream —
+    so a key seen LAST MONTH still probes seen; the price is the
+    filter's false-positive rate (a new key flagged seen), never a
+    false negative. That is exactly the crawl-dedup trade.
+
+    Sharding: keys group by ``poly_hash(key) % n_shards`` (the same
+    cross-engine hash family as the batch filter; each shard holds an
+    independent m_bits filter, so total capacity scales with shards
+    and state per group stays small). Within a micro-batch keys are
+    processed in (ts, key) order, so duplicate keys inside ONE batch
+    get one "new" and the rest "seen" — deterministic and replayable
+    by the pure-Python twin (``bloom.km_positions_py`` — arithmetic
+    parity with the Catalyst build is pinned in tests). No timeout:
+    state never expires BY DESIGN.
+
+    Returns (key, maybe_seen) per input row, append mode.
+    """
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from tableone_pyspark_spark.operators.bloom import km_positions_py
+    from tableone_pyspark_spark.functions.text import poly_hash
+
+    if m_bits < 64 or m_bits & (m_bits - 1):
+        raise ValueError("m_bits must be a power of two >= 64")
+    if n_shards < 1:
+        raise ValueError("n_shards must be positive")
+    n_lanes = m_bits // 64
+    out_schema = "key string, maybe_seen boolean"
+    state_schema = "bits array<bigint>"
+
+    def fold(shard_key, pdfs, state):
+        if state.hasTimedOut:  # NoTimeout: unreachable, defensive
+            return
+        # state lanes are signed int64; work in unsigned space
+        lanes = (
+            [int(x) & ((1 << 64) - 1) for x in state.get[0]]
+            if state.exists
+            else [0] * n_lanes
+        )
+        rows = []
+        frames = [
+            pdf[["__key", "__ts_us"]] for pdf in pdfs
+        ]
+        if frames:
+            allk = pd.concat(frames, ignore_index=True).sort_values(
+                ["__ts_us", "__key"], kind="stable"
+            )
+            for k in allk["__key"]:
+                ps = km_positions_py(k, m_bits, n_hashes)
+                seen = all((lanes[p >> 6] >> (p & 63)) & 1 for p in ps)
+                if not seen:
+                    for p in ps:
+                        lanes[p >> 6] |= 1 << (p & 63)
+                rows.append((k, seen))
+        # int64 lanes: keep the top bit arithmetic in signed range
+        state.update(([x - (1 << 64) if x >= 1 << 63 else x for x in lanes],))
+        if rows:
+            yield pd.DataFrame(rows, columns=["key", "maybe_seen"])
+
+    prepared = (
+        stream.withWatermark(ts_col, watermark) if stream.isStreaming else stream
+    ).select(
+        F.col(key_col).cast("string").alias("__key"),
+        F.unix_micros(F.col(ts_col)).alias("__ts_us"),
+        (poly_hash(F.col(key_col).cast("string")) % n_shards).alias("__shard"),
+    ).where(F.col("__key").isNotNull())
+    return prepared.groupBy("__shard").applyInPandasWithState(
+        fold, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )

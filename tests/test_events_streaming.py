@@ -511,3 +511,99 @@ def test_streaming_tableone_out_of_list_goes_to_missing(spark):
     # ROGUE + NULL both fold into MISSING
     assert cats["MISSING"]["value"] == 2.0
     assert abs(sum(r["frac"] for r in cats.values()) - 1.0) < 1e-9
+
+
+def test_streaming_bloom_dedup_fixed_state(spark, tmp_path):
+    """Bounded-state-forever streaming novelty: two micro-batches over
+    a sharded Bloom state; batch-2 duplicates of batch-1 keys must
+    probe seen (state persisted across batches), every verdict must
+    match a pure-Python replay of the exact KM bit arithmetic, and
+    false negatives are impossible by construction."""
+    import pandas as pd
+
+    from tableone_pyspark_spark.operators.bloom import km_positions_py, poly_hash_py
+    from tableone_pyspark_spark.streaming.stream_stats import (
+        streaming_bloom_dedup,
+    )
+
+    m_bits, n_hashes, n_shards = 1 << 12, 5, 4
+    base = [f"doc-{i:04d}" for i in range(120)]
+    b1 = base[:80] + base[:10]           # batch 1: 80 keys + 10 in-batch dups
+    b2 = base[40:120] + base[:5]         # batch 2: 40 repeats, 40 new, 5 old
+    t0 = 1_700_000_000
+    d1 = spark.createDataFrame(
+        [(k, i) for i, k in enumerate(b1)], "key string, off long"
+    ).select("key", F.timestamp_seconds(F.lit(t0) + F.col("off")).alias("ts"))
+    d2 = spark.createDataFrame(
+        [(k, i) for i, k in enumerate(b2)], "key string, off long"
+    ).select("key", F.timestamp_seconds(F.lit(t0 + 10_000) + F.col("off")).alias("ts"))
+    p = str(tmp_path / "bloomstream")
+    d1.coalesce(1).write.mode("overwrite").parquet(p)
+    d2.coalesce(1).write.mode("append").parquet(p)
+
+    stream = (
+        spark.readStream.schema("key string, ts timestamp")
+        .option("maxFilesPerTrigger", 1)  # one file per micro-batch
+        .format("parquet")
+        .load(p)
+    )
+    out = streaming_bloom_dedup(
+        stream, "key", m_bits=m_bits, n_hashes=n_hashes, n_shards=n_shards
+    )
+    assert out.isStreaming
+    qry = (
+        out.writeStream.format("memory")
+        .queryName("t_bloom_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    qry.awaitTermination()
+    got = [
+        (r["key"], r["maybe_seen"])
+        for r in spark.table("t_bloom_stream").collect()
+    ]
+    assert len(got) == len(b1) + len(b2)
+
+    # pure-Python replay: same shard hash, same per-batch (ts, key)
+    # order, same KM bits — verdicts must match EXACTLY
+    def replay(batches):
+        lanes = {s: [0] * (m_bits // 64) for s in range(n_shards)}
+        verdicts = {}
+        for rows in batches:
+            per_shard = {}
+            for i, k in enumerate(rows):
+                per_shard.setdefault(poly_hash_py(k) % n_shards, []).append((i, k))
+            for s, items in per_shard.items():
+                for _, k in sorted(items, key=lambda x: (x[0], x[1])):
+                    ps = km_positions_py(k, m_bits, n_hashes)
+                    seen = all((lanes[s][p >> 6] >> (p & 63)) & 1 for p in ps)
+                    if not seen:
+                        for p in ps:
+                            lanes[s][p >> 6] |= 1 << (p & 63)
+                    verdicts.setdefault(k, []).append(seen)
+        return verdicts
+
+    exp = replay([b1, b2])
+    got_by_key = {}
+    for k, seen in got:
+        got_by_key.setdefault(k, []).append(seen)
+    # per key, the multiset of verdicts matches (order across batches
+    # is fixed by state evolution; within a batch a key's first
+    # occurrence is new and the rest seen)
+    for k in exp:
+        assert sorted(got_by_key[k]) == sorted(exp[k]), k
+
+    # no false negatives: every key already inserted in batch 1 that
+    # reappears in batch 2 MUST flag seen on the reappearance
+    b1_inserted = set(b1)
+    for k in set(b2) & b1_inserted:
+        assert any(got_by_key[k]), k
+    # within-batch duplicates: second occurrence flags seen
+    for k in base[:10]:
+        assert got_by_key[k].count(True) >= 1
+
+    # validation
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="power of two"):
+        streaming_bloom_dedup(stream, "key", m_bits=100)
