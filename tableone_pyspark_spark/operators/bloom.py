@@ -82,12 +82,43 @@ def _positions(key, m_bits: int, n_hashes: int):
     )
 
 
+def _horner_batch(texts, base: int, mod: int = (1 << 31) - 1) -> np.ndarray:
+    """Batch-vectorized Horner fold: loop over the CHARACTER dimension
+    with vector ops across the batch — identical values to the
+    Catalyst fold / ``poly_hash_py`` for BMP text (codepoints; the
+    Catalyst fold sees UTF-16 units, so astral-plane characters are
+    the documented parity boundary — the package corpora are BMP)."""
+    n = len(texts)
+    codes = [
+        np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32) for t in texts
+    ]
+    L = max((len(c) for c in codes), default=0)
+    M = np.zeros((n, L), dtype=np.int64)
+    mask = np.zeros((n, L), dtype=bool)
+    for i, c in enumerate(codes):
+        M[i, : len(c)] = c
+        mask[i, : len(c)] = True
+    h = np.zeros(n, dtype=np.int64)
+    for j in range(L):
+        m = mask[:, j]
+        h[m] = (h[m] * base + M[m, j]) % mod
+    return h
+
+
+def _positions_batch(texts, m_bits: int, n_hashes: int) -> np.ndarray:
+    """(n, n_hashes) KM positions — vectorized twin of ``_positions``."""
+    h1 = _horner_batch(texts, 31)
+    h2 = _horner_batch(texts, 131) | 1
+    return (h1[:, None] + np.arange(n_hashes)[None, :] * h2[:, None]) % m_bits
+
+
 def build_bloom(
     df: DataFrame,
     key_col,
     m_bits: int = 1 << 22,
     n_hashes: int = 5,
     normalize: bool = False,
+    hash_impl: str = "arrow",
 ) -> BloomFilter:
     """Build the filter over a key column (pass ``normalize=True`` to
     key on normalized text — the dedup-family convention). NULL keys
@@ -98,30 +129,67 @@ def build_bloom(
     words. m_bits must be a power of two (>= 64): the odd double-hash
     step h2|1 guarantees a full probe period only when gcd(h2, m) == 1,
     which an odd step gives for power-of-two m but not for e.g. m=192
-    (step 3 cycles on a subgroup and silently inflates the fp rate)."""
+    (step 3 cycles on a subgroup and silently inflates the fp rate).
+
+    ``hash_impl``: 'arrow' (default) hashes inside a vectorized kernel
+    and emits PER-BATCH partial lane words (the shuffle carries at
+    most lanes × batches rows — even tighter than the melt);
+    'catalyst' keeps the pure-Column fold — the cross-engine oracle
+    reference. Bit-identical for BMP text (parity pinned); Catalyst
+    HOF folds evaluate interpreted per CHARACTER, measured ~8× slower
+    on long document keys."""
     if m_bits < 64 or m_bits & (m_bits - 1):
         raise ValueError("m_bits must be a power of two >= 64")
     if not 1 <= n_hashes <= 16:
         raise ValueError("n_hashes must be in 1..16")
+    if hash_impl not in ("arrow", "catalyst"):
+        raise ValueError(f"hash_impl must be 'arrow' or 'catalyst', got {hash_impl!r}")
     key = F.col(key_col) if isinstance(key_col, str) else key_col
     if normalize:
         key = normalize_text(key)
-    pos = F.explode(_positions(key, m_bits, n_hashes)).alias("p")
-    lanes = (
-        df.where(key.isNotNull())
-        .select(pos)
-        .select(
-            (F.col("p") / 64).cast("long").alias("lane"),
-            # F.shiftleft takes a Python int for numBits; the per-row
-            # shift needs the SQL form
-            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 64 AS INT))").alias("w"),
+
+    if hash_impl == "arrow":
+        src = df.select(key.cast("string").alias("k")).where(
+            F.col("k").isNotNull()
         )
-        .groupBy("lane")
-        .agg(F.bit_or("w").alias("w"))
-        .collect()
-    )
+
+        def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                P = _positions_batch(list(pdf["k"]), m_bits, n_hashes)
+                lanes = np.zeros(m_bits // 64, dtype=np.uint64)
+                flat = P.reshape(-1)
+                np.bitwise_or.at(
+                    lanes, flat >> 6, np.uint64(1) << (flat & 63).astype(np.uint64)
+                )
+                nz = np.nonzero(lanes)[0]
+                yield pd.DataFrame(
+                    {"lane": nz.astype(np.int64),
+                     "w": lanes[nz].astype(np.int64)}
+                )
+
+        partials = src.mapInPandas(kernel, "lane long, w long")
+        rows = partials.groupBy("lane").agg(F.bit_or("w").alias("w")).collect()
+    else:
+        pos = F.explode(_positions(key, m_bits, n_hashes)).alias("p")
+        rows = (
+            df.where(key.isNotNull())
+            .select(pos)
+            .select(
+                (F.col("p") / 64).cast("long").alias("lane"),
+                # F.shiftleft takes a Python int for numBits; the per-row
+                # shift needs the SQL form
+                F.expr(
+                    "shiftleft(CAST(1 AS BIGINT), CAST(p % 64 AS INT))"
+                ).alias("w"),
+            )
+            .groupBy("lane")
+            .agg(F.bit_or("w").alias("w"))
+            .collect()
+        )
     out = np.zeros(m_bits // 64, dtype=np.uint64)
-    for r in lanes:
+    for r in rows:
         out[int(r["lane"])] = np.uint64(r["w"] % (1 << 64))
     return BloomFilter(out, n_hashes, normalize)
 
@@ -131,6 +199,7 @@ def bloom_probe(
     bloom: BloomFilter,
     key_col,
     id_col: str,
+    hash_impl: str = "arrow",
 ) -> DataFrame:
     """(id, maybe_seen): True when EVERY hash bit is set (possible
     false positives at the filter's design rate, no false negatives —
@@ -140,31 +209,53 @@ def bloom_probe(
     type — string/UUID ids work like the rest of the dedup family).
     The artifact broadcasts inside the kernel closure; probe cost is
     independent of the seen-corpus size, and the kernel is fully
-    vectorized (one gather per Arrow batch, not per row)."""
+    vectorized (one gather per Arrow batch, not per row).
+    ``hash_impl`` as in :func:`build_bloom` ('arrow' hashes inside the
+    kernel; 'catalyst' keeps the Column fold — bit-identical for BMP
+    text, parity pinned)."""
+    if hash_impl not in ("arrow", "catalyst"):
+        raise ValueError(f"hash_impl must be 'arrow' or 'catalyst', got {hash_impl!r}")
     key = F.col(key_col) if isinstance(key_col, str) else key_col
     if bloom.normalize:
         key = normalize_text(key)
-    src = df.select(
-        F.col(id_col).alias("id"),
-        F.when(
-            key.isNotNull(), _positions(key, bloom.m_bits, bloom.n_hashes)
-        ).alias("ps"),
-    )
     blm = bloom.bits  # captured; broadcast once per task set
     kk = bloom.n_hashes
-    id_field = src.schema["id"]
+    mb = bloom.m_bits
 
-    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            valid = pdf["ps"].notna()
-            hit = np.zeros(len(pdf), dtype=bool)
-            if valid.any():
-                P = np.vstack(
-                    [np.asarray(v, dtype=np.int64) for v in pdf.loc[valid, "ps"]]
-                ).reshape(-1, kk)
-                bits = (blm[P >> 6] >> (P & 63).astype(np.uint64)) & np.uint64(1)
-                hit[valid.to_numpy()] = bits.all(axis=1)
-            yield pd.DataFrame({"id": pdf["id"], "maybe_seen": hit})
+    if hash_impl == "arrow":
+        src = df.select(
+            F.col(id_col).alias("id"), key.cast("string").alias("k")
+        )
+        id_field = src.schema["id"]
+
+        def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                valid = pdf["k"].notna()
+                hit = np.zeros(len(pdf), dtype=bool)
+                if valid.any():
+                    P = _positions_batch(list(pdf.loc[valid, "k"]), mb, kk)
+                    bits = (blm[P >> 6] >> (P & 63).astype(np.uint64)) & np.uint64(1)
+                    hit[valid.to_numpy()] = bits.all(axis=1)
+                yield pd.DataFrame({"id": pdf["id"], "maybe_seen": hit})
+
+    else:
+        src = df.select(
+            F.col(id_col).alias("id"),
+            F.when(key.isNotNull(), _positions(key, mb, kk)).alias("ps"),
+        )
+        id_field = src.schema["id"]
+
+        def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                valid = pdf["ps"].notna()
+                hit = np.zeros(len(pdf), dtype=bool)
+                if valid.any():
+                    P = np.vstack(
+                        [np.asarray(v, dtype=np.int64) for v in pdf.loc[valid, "ps"]]
+                    ).reshape(-1, kk)
+                    bits = (blm[P >> 6] >> (P & 63).astype(np.uint64)) & np.uint64(1)
+                    hit[valid.to_numpy()] = bits.all(axis=1)
+                yield pd.DataFrame({"id": pdf["id"], "maybe_seen": hit})
 
     return src.mapInPandas(
         kernel,

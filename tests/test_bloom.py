@@ -102,3 +102,29 @@ def test_null_keys_and_string_ids(spark):
     got = {r["id"]: r["maybe_seen"] for r in
            bloom_probe(probe, blm, "text", "id").collect()}
     assert got == {"u1": True, "u2": False, "u3": False}
+
+
+def test_arrow_and_catalyst_hash_impls_bit_identical(spark):
+    # same corpus (incl. non-ASCII BMP text), both impls: the filter
+    # bits and every probe verdict must match exactly
+    rows = [
+        (i, t)
+        for i, t in enumerate(
+            ["hello world", "héllo wörld", "数据 分析", "a" * 500, "", "x"]
+            + [f"doc {i} body text" for i in range(50)]
+        )
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    a = build_bloom(df, "text", m_bits=1 << 10, n_hashes=5, normalize=True,
+                    hash_impl="arrow")
+    c = build_bloom(df, "text", m_bits=1 << 10, n_hashes=5, normalize=True,
+                    hash_impl="catalyst")
+    assert (a.bits == c.bits).all()
+    pa = {r["id"]: r["maybe_seen"]
+          for r in bloom_probe(df, a, "text", "id", hash_impl="arrow").collect()}
+    pc = {r["id"]: r["maybe_seen"]
+          for r in bloom_probe(df, c, "text", "id", hash_impl="catalyst").collect()}
+    assert pa == pc
+    assert all(pa.values())  # every built key probes seen
+    with pytest.raises(ValueError, match="hash_impl"):
+        build_bloom(df, "text", hash_impl="simd")
