@@ -35,18 +35,69 @@ from tableone_pyspark_spark.functions.text import normalize_text, poly_hash
 from tableone_pyspark_spark.operators.sampling import BUCKETS, split_bucket
 
 
-def _hashed_bigrams(df: DataFrame, text_col: str, id_col: str, b: int) -> DataFrame:
+def _hashed_bigrams(
+    df: DataFrame, text_col: str, id_col: str, b: int, hash_impl: str = "arrow"
+) -> DataFrame:
     """(id, bucket) — one row per bigram OCCURRENCE, bucketed by the
-    cross-engine polynomial hash of 'w1 w2'. The bigram melt itself is
-    shared with the LM module (ONE definition of the edge cases)."""
-    from tableone_pyspark_spark.operators.lm import _bigram_occurrences
+    cross-engine polynomial hash of 'w1 w2'.
 
-    return _bigram_occurrences(df, text_col, id_col).select(
-        "id",
-        (poly_hash(F.concat_ws(" ", F.col("w1"), F.col("w2"))) % b).alias(
-            "bucket"
-        ),
+    'arrow' (default) melts AND hashes inside one vectorized kernel
+    (normalization replicated exactly: lower, collapse [ \\t\\n]+,
+    strip — the same python twin the Gopher kernel uses; hashing via
+    the batch Horner of ``operators/bloom.py``). 'catalyst' keeps the
+    Column pipeline shared with the LM module — the oracle-reference
+    arithmetic; both produce identical rows (parity pinned), the fold
+    just evaluates interpreted per character (~3 corpus passes per
+    DSIR run made it the operator's hot spot)."""
+    if hash_impl == "catalyst":
+        from tableone_pyspark_spark.operators.lm import _bigram_occurrences
+
+        return _bigram_occurrences(df, text_col, id_col).select(
+            "id",
+            (poly_hash(F.concat_ws(" ", F.col("w1"), F.col("w2"))) % b).alias(
+                "bucket"
+            ),
+        )
+    if hash_impl != "arrow":
+        raise ValueError(f"hash_impl must be 'arrow' or 'catalyst', got {hash_impl!r}")
+
+    import re
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from tableone_pyspark_spark.operators.bloom import _horner_batch
+
+    src = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("t"))
+    schema = T.StructType(
+        [
+            T.StructField("id", src.schema["id"].dataType),
+            T.StructField("bucket", T.LongType()),
+        ]
     )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, grams = [], []
+            for i, t in zip(pdf["id"], pdf["t"]):
+                if t is None:
+                    continue
+                ws = [
+                    w
+                    for w in re.sub(r"[ \t\n]+", " ", t.lower()).strip().split(" ")
+                    if w
+                ]
+                for a, c in zip(ws, ws[1:]):
+                    ids.append(i)
+                    grams.append(a + " " + c)
+            if not ids:
+                continue
+            h = _horner_batch(grams, 31)
+            yield pd.DataFrame({"id": ids, "bucket": (h % b).astype(np.int64)})
+
+    return src.mapInPandas(kernel, schema)
 
 
 def fit_hashed_ngram_model(

@@ -152,3 +152,36 @@ def test_unseen_buckets_get_smoothed_ratio_not_zero(spark):
     assert got["n_features"] == 3
     assert got["log_w"] == pytest.approx(exp, abs=1e-9)
     assert abs(exp) > 1e-6  # the buckets really are novel -> nonzero
+
+
+def test_hashed_bigram_impls_identical(spark):
+    # arrow melt+hash vs the catalyst column pipeline: identical
+    # (id, bucket) multisets, incl. normalization edge cases
+    from tableone_pyspark_spark.operators.dsir import _hashed_bigrams
+
+    df = spark.createDataFrame(
+        [
+            (1, "The  Quick\tBrown\nfox JUMPS"),
+            (2, "one"),
+            (3, None),
+            (4, "  padded   words  here  "),
+            (5, "héllo wörld again"),
+        ],
+        "doc_id long, text string",
+    )
+    a = sorted(
+        map(tuple, _hashed_bigrams(df, "text", "doc_id", 10_000).collect())
+    )
+    c = sorted(
+        map(
+            tuple,
+            _hashed_bigrams(
+                df, "text", "doc_id", 10_000, hash_impl="catalyst"
+            ).collect(),
+        )
+    )
+    assert a == c
+    assert len(a) == 4 + 0 + 0 + 2 + 2  # bigrams per doc
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="hash_impl"):
+        _hashed_bigrams(df, "text", "doc_id", 10_000, hash_impl="x").collect()
