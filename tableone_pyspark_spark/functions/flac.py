@@ -389,6 +389,10 @@ def _decode_frame(
         rate = r.read(16) * 10
     else:
         raise ValueError("FLAC: invalid sample rate code 15")
+    if rate == 0:
+        # a zero follow-on field (or zero STREAMINFO rate via code 0)
+        # would propagate into duration = n / 0 downstream
+        raise ValueError("FLAC: frame sample rate decodes to 0")
 
     if ss_code == 0:
         bps = si.bits
@@ -607,7 +611,7 @@ def _encode_subframe(w: _Writer, s: list[int], bps: int) -> None:
         w.write(0, 1)
         w.write(s[0], bps)
         return
-    verbatim_cost = n * bps
+    verbatim_cost = 8 + n * bps  # subframe header + raw samples
     best = None  # (cost, order, res, k, raw_bits)
     for order in range(0, 5):
         if order >= n:
@@ -617,13 +621,21 @@ def _encode_subframe(w: _Writer, s: list[int], bps: int) -> None:
             s[i] - sum(c * s[i - 1 - j] for j, c in enumerate(coef))
             for i in range(order, n)
         ]
-        k, cost = _best_rice(res)
-        raw_bits = 0
+        k, rice_cost = _best_rice(res)
+        # residual-section bits, exactly as _write_residual lays them
+        # out: 2 (method) + 4 (partition order) + plen (param/escape),
+        # then rice codes — or escape: 5 (raw_bits field) + raw packing;
+        # plen mirrors _write_residual's method choice for each variant
+        rice_plen = 4 if k <= 14 else 5
+        cost, raw_bits = rice_plen + rice_cost, 0
         mx = max((abs(r) for r in res), default=0)
         need = mx.bit_length() + 1 if mx else 0
-        if need <= 31 and need * len(res) < cost:
-            raw_bits, cost = need, need * len(res)
-        total = order * bps + cost + 6 + 4 + (5 if raw_bits or k > 14 else 4)
+        if need and need <= 31:
+            raw_plen = 4 if k <= 14 and need <= 14 else 5
+            raw_cost = raw_plen + 5 + need * len(res)
+            if raw_cost < cost:
+                cost, raw_bits = raw_cost, need
+        total = 8 + order * bps + 2 + 4 + cost
         if best is None or total < best[0]:
             best = (total, order, res, k, raw_bits)
     if best is not None and best[0] < verbatim_cost:
@@ -675,6 +687,11 @@ def encode_flac(
         raise ValueError(f"unsupported bit depth {bits}")
     if not 16 <= block_size <= 65535:
         raise ValueError("block_size must be in [16, 65535]")
+    if not 1 <= sample_rate <= 655350:
+        # STREAMINFO carries a 20-bit rate field (RFC 9639 §8.2 caps it
+        # at 655350 Hz); anything larger would silently corrupt the
+        # adjacent packed channel/bit-depth bits
+        raise ValueError(f"sample_rate must be in [1, 655350], got {sample_rate}")
     n_frames, channels = arr.shape
     if channels < 1 or channels > 8:
         raise ValueError(f"FLAC supports 1-8 channels, got {channels}")

@@ -582,7 +582,13 @@ def gopher_repetition_profile(
                 txt = ""
             lines = [l for l in txt.split("\n") if l.strip()]
             paras = [p for p in re.split(r"\n\n+", txt) if p.strip()]
-            ws = [w for w in re.sub(r"[ \t\n]+", " ", txt.lower()).strip().split(" ") if w]
+            # .strip(" ") not .strip(): F.trim / DuckDB trim remove
+            # SPACES only, so a trailing \r/\x0b must stay in the word
+            ws = [
+                w
+                for w in re.sub(r"[ \t\n]+", " ", txt.lower()).strip(" ").split(" ")
+                if w
+            ]
             wchars = sum(len(w) for w in ws)
             sig = {}
             sig["dup_line_frac"], sig["dup_line_char_frac"] = _dup_fracs(lines)

@@ -85,9 +85,11 @@ def _positions(key, m_bits: int, n_hashes: int):
 def _horner_batch(texts, base: int, mod: int = (1 << 31) - 1) -> np.ndarray:
     """Batch-vectorized Horner fold: loop over the CHARACTER dimension
     with vector ops across the batch — identical values to the
-    Catalyst fold / ``poly_hash_py`` for BMP text (codepoints; the
-    Catalyst fold sees UTF-16 units, so astral-plane characters are
-    the documented parity boundary — the package corpora are BMP)."""
+    Catalyst fold / ``poly_hash_py`` for ALL text including the astral
+    planes: Spark's ``split('')``/``ascii`` pair is codepoint-aware
+    (split never separates surrogate halves; ascii returns the full
+    codepoint — probed empirically on U+1D11E), so UTF-32 units here
+    ARE the codes every engine folds (parity pinned incl. astral)."""
     n = len(texts)
     codes = [
         np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32) for t in texts
@@ -135,9 +137,9 @@ def build_bloom(
     and emits PER-BATCH partial lane words (the shuffle carries at
     most lanes × batches rows — even tighter than the melt);
     'catalyst' keeps the pure-Column fold — the cross-engine oracle
-    reference. Bit-identical for BMP text (parity pinned); Catalyst
-    HOF folds evaluate interpreted per CHARACTER, measured ~8× slower
-    on long document keys."""
+    reference. Bit-identical for all text incl. astral planes (parity
+    pinned); Catalyst HOF folds evaluate interpreted per CHARACTER,
+    measured ~8× slower on long document keys."""
     if m_bits < 64 or m_bits & (m_bits - 1):
         raise ValueError("m_bits must be a power of two >= 64")
     if not 1 <= n_hashes <= 16:
@@ -211,8 +213,8 @@ def bloom_probe(
     independent of the seen-corpus size, and the kernel is fully
     vectorized (one gather per Arrow batch, not per row).
     ``hash_impl`` as in :func:`build_bloom` ('arrow' hashes inside the
-    kernel; 'catalyst' keeps the Column fold — bit-identical for BMP
-    text, parity pinned)."""
+    kernel; 'catalyst' keeps the Column fold — bit-identical for all
+    text incl. astral planes, parity pinned)."""
     if hash_impl not in ("arrow", "catalyst"):
         raise ValueError(f"hash_impl must be 'arrow' or 'catalyst', got {hash_impl!r}")
     key = F.col(key_col) if isinstance(key_col, str) else key_col

@@ -86,7 +86,7 @@ def _hashed_bigrams(
                     continue
                 ws = [
                     w
-                    for w in re.sub(r"[ \t\n]+", " ", t.lower()).strip().split(" ")
+                    for w in re.sub(r"[ \t\n]+", " ", t.lower()).strip(" ").split(" ")
                     if w
                 ]
                 for a, c in zip(ws, ws[1:]):

@@ -105,12 +105,15 @@ def test_null_keys_and_string_ids(spark):
 
 
 def test_arrow_and_catalyst_hash_impls_bit_identical(spark):
-    # same corpus (incl. non-ASCII BMP text), both impls: the filter
+    # same corpus (incl. non-ASCII BMP text AND astral-plane chars:
+    # Spark's split('')/ascii pair is codepoint-aware, so the UTF-32
+    # arrow kernel matches beyond the BMP too), both impls: the filter
     # bits and every probe verdict must match exactly
     rows = [
         (i, t)
         for i, t in enumerate(
-            ["hello world", "héllo wörld", "数据 分析", "a" * 500, "", "x"]
+            ["hello world", "héllo wörld", "数据 分析", "a" * 500, "", "x",
+             "astral \U0001D11E clef", "emoji \U0001F600\U0001F680 mix"]
             + [f"doc {i} body text" for i in range(50)]
         )
     ]

@@ -166,6 +166,11 @@ def test_hashed_bigram_impls_identical(spark):
             (3, None),
             (4, "  padded   words  here  "),
             (5, "héllo wörld again"),
+            # trailing \r / \x0b / unicode space: F.trim strips SPACES
+            # only, so these must survive in the last word on BOTH paths
+            (6, "ends with cr\r"),
+            (7, "vt tail\x0b and\xa0nbsp"),  # \xa0 NBSP joins a word
+            (8, "astral \U0001D11E clef \U0001F600 here"),
         ],
         "doc_id long, text string",
     )
@@ -181,7 +186,7 @@ def test_hashed_bigram_impls_identical(spark):
         )
     )
     assert a == c
-    assert len(a) == 4 + 0 + 0 + 2 + 2  # bigrams per doc
+    assert len(a) == 4 + 0 + 0 + 2 + 2 + 2 + 2 + 4  # bigrams per doc
     import pytest as _pytest
     with _pytest.raises(ValueError, match="hash_impl"):
         _hashed_bigrams(df, "text", "doc_id", 10_000, hash_impl="x").collect()

@@ -331,6 +331,39 @@ def test_encoder_validation():
         flac.encode_flac(np.zeros((4, 1)), 8000, stereo_mode="mid-side")
     with pytest.raises(ValueError, match="range"):
         flac.encode_flac(np.array([[300]]), 8000, bits=8)
+    # 20-bit STREAMINFO rate field: > 655350 would corrupt adjacent bits
+    with pytest.raises(ValueError, match="sample_rate"):
+        flac.encode_flac(np.zeros((4, 1)), 655351)
+    with pytest.raises(ValueError, match="sample_rate"):
+        flac.encode_flac(np.zeros((4, 1)), 0)
+
+
+def test_zero_frame_sample_rate_raises():
+    # frame header sample-rate code 13 (16-bit Hz follow-on) carrying 0
+    # must raise, not flow a rate=0 into duration divisions downstream
+    vals = [3, 1, 4, 1]
+    w = _Writer()
+    w.write(0x3FFE, 14)
+    w.write(0, 1)
+    w.write(0, 1)  # fixed blocking
+    w.write(6, 4)  # 8-bit block size - 1 follows
+    w.write(13, 4)  # 16-bit Hz follows
+    w.write(0, 4)  # mono
+    w.write(0, 3)  # bits from STREAMINFO
+    w.write(0, 1)
+    for b in _utf8_number(0):
+        w.write(b, 8)
+    w.write(len(vals) - 1, 8)
+    w.write(0, 16)  # rate = 0 Hz
+    w.write(_crc8(bytes(w.buf)), 8)
+    w.write(0, 1)
+    w.write(1, 6)  # VERBATIM
+    w.write(0, 1)
+    for v in vals:
+        w.write(v, 8)
+    payload = _streaminfo(8000, 1, 8, len(vals)) + _finish_frame(w)
+    with pytest.raises(ValueError, match="sample rate"):
+        flac.decode_flac_int(payload)
 
 
 def test_md5_mismatch_detected():
