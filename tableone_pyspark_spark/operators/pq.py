@@ -263,20 +263,20 @@ def pq_topk(
     )
 
 
-def pq_recall(
+def _recall_vs_exact(
     vectors: DataFrame,
-    codebook: PQCodebook,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    n_queries: int = 10,
-    k: int = 5,
+    approx: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_queries: int,
+    k: int,
 ) -> DataFrame:
-    """(query_id, n_hits, recall): overlap of the ADC top-k with the
-    EXACT squared-L2 top-k (same tie rule) — the quality gate run
-    before trusting a PQ index, twin of ``ivf_recall``/``lsh_recall``.
-    The exact side is a brute-force theta join at test scale (the
-    point is grading the approximation, not scaling the oracle)."""
-    approx = pq_topk(vectors, codebook, id_col, vec_col, n_queries, k)
+    """(query_id, n_hits, recall): overlap of an approximate top-k
+    frame with the EXACT squared-L2 top-k (same tie rule: distance
+    asc, id asc, self excluded). Every query row appears — a query
+    whose approximate candidates all missed scores recall 0. The
+    exact side is a brute-force theta join at test scale (the point
+    is grading the approximation, not scaling the oracle)."""
     v = vectors.select(
         F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
     )
@@ -308,7 +308,7 @@ def pq_recall(
         .groupBy("query_id")
         .agg(F.count(F.lit(1)).alias("n_hits"))
     )
-    qs = approx.select("query_id").distinct()
+    qs = q.select("query_id")
     return qs.join(hits, "query_id", "left").select(
         "query_id",
         F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
@@ -316,6 +316,40 @@ def pq_recall(
             "recall"
         ),
     )
+
+
+def pq_recall(
+    vectors: DataFrame,
+    codebook: PQCodebook,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_queries: int = 10,
+    k: int = 5,
+) -> DataFrame:
+    """(query_id, n_hits, recall): the ADC top-k graded against exact
+    squared-L2 — the quality gate run before trusting a PQ index,
+    twin of ``ivf_recall``/``lsh_recall``."""
+    approx = pq_topk(vectors, codebook, id_col, vec_col, n_queries, k)
+    return _recall_vs_exact(vectors, approx, id_col, vec_col, n_queries, k)
+
+
+def ivfpq_recall(
+    vectors: DataFrame,
+    index: "IVFPQIndex",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_probe: int = 4,
+    n_queries: int = 10,
+    k: int = 5,
+) -> DataFrame:
+    """(query_id, n_hits, recall): IVFPQ search graded against exact
+    squared-L2 top-k. Recall here folds in BOTH error sources — cells
+    the probe skipped AND residual-quantization distance error — the
+    number a pipeline tunes n_probe/m/k against."""
+    approx = ivfpq_topk(
+        vectors, index, id_col, vec_col, n_probe, n_queries, k
+    )
+    return _recall_vs_exact(vectors, approx, id_col, vec_col, n_queries, k)
 
 
 class IVFPQIndex:

@@ -224,3 +224,36 @@ def test_ivfpq_validation(emb, spark):
     )
     with pytest.raises(Exception, match="dim"):
         pq.ivfpq_topk(short, ix, n_queries=1, k=1).collect()
+
+
+def test_ivfpq_recall_vs_exact_reference(emb, sample):
+    # _recall_vs_exact graded end-to-end: recompute the exact L2 top-5
+    # and the IVFPQ hit counts in pure numpy and require equality; with
+    # every cell probed, IVFPQ recall must also dominate a 1-probe run
+    ids, X = sample
+    ix = pq.train_ivfpq(emb, n_centroids=4, m=4, n_codes=16)
+    got = {
+        r["query_id"]: (r["n_hits"], r["recall"])
+        for r in pq.ivfpq_recall(emb, ix, n_probe=4, n_queries=6, k=5).collect()
+    }
+    assert set(got) == set(ids[:6].tolist())
+    # numpy exact side (tie rule: distance asc then id asc)
+    topk = {}
+    for r in pq.ivfpq_topk(emb, ix, n_probe=4, n_queries=6, k=5).collect():
+        topk.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    for qi in range(6):
+        qid = int(ids[qi])
+        d2 = ((X - X[qi]) ** 2).sum(axis=1)
+        order = sorted(
+            (float(d2[j]), int(ids[j])) for j in range(len(ids)) if ids[j] != qid
+        )
+        exact = {i for _, i in order[:5]}
+        n_hits = len(exact & topk.get(qid, set()))
+        assert got[qid][0] == n_hits, qid
+        assert got[qid][1] == pytest.approx(n_hits / 5.0, abs=1e-9)
+    # 4-of-4 cells probed ≥ 1 probe, query-by-query
+    one = {
+        r["query_id"]: r["n_hits"]
+        for r in pq.ivfpq_recall(emb, ix, n_probe=1, n_queries=6, k=5).collect()
+    }
+    assert all(got[qid][0] >= one[qid] for qid in one)
