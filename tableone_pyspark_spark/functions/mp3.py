@@ -1,0 +1,233 @@
+"""MPEG audio (MP3) frame-header metadata parser — sample rate,
+channels, frame/sample counts and duration from the sync-frame walk
+alone (ISO/IEC 11172-3 / 13818-3 header layout; no subband/IMDCT
+synthesis, so there is deliberately NO sample decoder here — metadata
+is what a curation pipeline needs, and a full decoder would be fake
+precision without a reference implementation to pin against).
+
+Layout (every frame): 32-bit header
+    11 bits  sync (all ones)
+     2 bits  version        11=MPEG1  10=MPEG2  00=MPEG2.5  01=reserved
+     2 bits  layer          11=I  10=II  01=III  00=reserved
+     1 bit   protection     0 = 16-bit CRC follows the header
+     4 bits  bitrate index  (per version×layer table below; 0=free,
+                             15=bad)
+     2 bits  sample rate    (per version table; 3=reserved)
+     1 bit   padding        adds one slot (4 bytes layer I, 1 byte
+                             layers II/III)
+     1 bit   private
+     2 bits  channel mode   11 = mono, else 2 channels
+     2 bits  mode extension
+     1 bit   copyright, 1 bit original
+     2 bits  emphasis       10 = reserved
+
+Frame size in bytes = samples_per_frame/8 · bitrate / sample_rate
+(+ padding slot), truncated — layer I counts in 4-byte slots.
+
+Containers handled: a leading ID3v2 tag (sync-safe 28-bit size) is
+skipped, a trailing 128-byte ID3v1 tag is skipped, and a first frame
+whose side-info region carries a Xing/Info/VBRI VBR header is counted
+as a header frame, not audio (its samples are excluded from the
+duration, which is what ffprobe reports).
+
+Every hostile path raises ValueError (house codec contract): bad
+sync, reserved version/layer/bitrate/rate/emphasis, free-format
+bitrate (frame length undefined without scanning for the next sync —
+documented unsupported), mid-stream parameter changes of version/
+layer/rate (bitrate MAY change: VBR), truncated frames, and a bomb
+guard on the frame count.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+MAX_FRAMES = 1 << 20  # ~7.2 h of 25 ms MPEG1 frames — bomb guard
+
+# bitrate tables in kbit/s, indexed [row][bitrate_index 1..14]
+_BITRATES = {
+    # (version_group, layer): row — version_group: 1=MPEG1, 2=MPEG2/2.5
+    (1, 1): (32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384, 416, 448),
+    (1, 2): (32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 384),
+    (1, 3): (32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320),
+    (2, 1): (32, 48, 56, 64, 80, 96, 112, 128, 144, 160, 176, 192, 224, 256),
+    (2, 2): (8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160),
+    (2, 3): (8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160),
+}
+
+# sample rates in Hz by version bits (3=MPEG1, 2=MPEG2, 0=MPEG2.5)
+_RATES = {
+    3: (44100, 48000, 32000),
+    2: (22050, 24000, 16000),
+    0: (11025, 12000, 8000),
+}
+
+_VERSION_NAME = {3: "MPEG1", 2: "MPEG2", 0: "MPEG2.5"}
+
+
+@dataclass(frozen=True)
+class Mp3Info:
+    sample_rate: int
+    channels: int
+    n_frames: int          # audio frames (Xing/Info/VBRI excluded)
+    n_samples: int         # granules × samples, audio frames only
+    duration_s: float      # n_samples / sample_rate
+    version: str           # MPEG1 / MPEG2 / MPEG2.5
+    layer: int             # 1, 2, 3
+    bitrate_kbps: float    # mean over audio frames (VBR → mean)
+    vbr_header: bool       # a Xing/Info/VBRI frame led the stream
+
+
+def is_mp3(payload: bytes) -> bool:
+    """Cheap sniff: ID3v2 tag, or a plausible frame sync with
+    non-reserved version/layer bits. (MP3 has no strong magic — run
+    this AFTER the strong-magic formats in any dispatch.)"""
+    if payload[:3] == b"ID3" and len(payload) >= 10:
+        return True
+    if len(payload) < 4:
+        return False
+    b0, b1 = payload[0], payload[1]
+    return (
+        b0 == 0xFF
+        and (b1 & 0xE0) == 0xE0
+        and ((b1 >> 3) & 3) != 1  # version not reserved
+        and ((b1 >> 1) & 3) != 0  # layer not reserved
+    )
+
+
+def _skip_id3v2(payload: bytes) -> int:
+    if payload[:3] != b"ID3":
+        return 0
+    if len(payload) < 10:
+        raise ValueError("MP3: truncated ID3v2 header")
+    if any(b & 0x80 for b in payload[6:10]):
+        raise ValueError("MP3: ID3v2 size bytes must be sync-safe")
+    size = (
+        (payload[6] << 21) | (payload[7] << 14) | (payload[8] << 7) | payload[9]
+    )
+    # flag bit 4: 10-byte footer follows the tag
+    end = 10 + size + (10 if payload[5] & 0x10 else 0)
+    if end > len(payload):
+        raise ValueError("MP3: ID3v2 tag larger than the payload")
+    return end
+
+
+def _parse_header(h: int):
+    """(version_bits, layer, bitrate_kbps, rate, padding, channels,
+    crc) from a 32-bit header int — ValueError on any reserved code."""
+    if (h >> 21) & 0x7FF != 0x7FF:
+        raise ValueError("MP3: lost frame sync")
+    vbits = (h >> 19) & 3
+    if vbits == 1:
+        raise ValueError("MP3: reserved version code")
+    lbits = (h >> 17) & 3
+    if lbits == 0:
+        raise ValueError("MP3: reserved layer code")
+    layer = 4 - lbits  # 3->I, 2->II, 1->III
+    crc = not ((h >> 16) & 1)
+    bidx = (h >> 12) & 0xF
+    if bidx == 0xF:
+        raise ValueError("MP3: bad bitrate index 15")
+    if bidx == 0:
+        raise ValueError(
+            "MP3: free-format bitrate unsupported (frame length is "
+            "undefined without a next-sync scan)"
+        )
+    ridx = (h >> 10) & 3
+    if ridx == 3:
+        raise ValueError("MP3: reserved sample rate code")
+    if (h & 3) == 2:
+        raise ValueError("MP3: reserved emphasis code")
+    vgroup = 1 if vbits == 3 else 2
+    kbps = _BITRATES[(vgroup, layer)][bidx - 1]
+    rate = _RATES[vbits][ridx]
+    padding = (h >> 9) & 1
+    channels = 1 if ((h >> 6) & 3) == 3 else 2
+    return vbits, layer, kbps, rate, padding, channels, crc
+
+
+def _samples_per_frame(vbits: int, layer: int) -> int:
+    if layer == 1:
+        return 384
+    if layer == 2:
+        return 1152
+    return 1152 if vbits == 3 else 576  # layer III halves for MPEG2/2.5
+
+
+def _frame_bytes(vbits: int, layer: int, kbps: int, rate: int, pad: int) -> int:
+    if layer == 1:
+        return (12 * kbps * 1000 // rate + pad) * 4
+    spf = _samples_per_frame(vbits, layer)
+    return spf // 8 * kbps * 1000 // rate + pad
+
+
+def _side_info_bytes(vbits: int, channels: int) -> int:
+    """Layer III side-info size — the Xing header sits right after."""
+    if vbits == 3:
+        return 17 if channels == 1 else 32
+    return 9 if channels == 1 else 17
+
+
+def mp3_metadata(payload: bytes, max_frames: int = MAX_FRAMES) -> Mp3Info:
+    """Walk every frame header and return :class:`Mp3Info`."""
+    if len(payload) < 4:
+        raise ValueError("MP3: payload shorter than one frame header")
+    pos = _skip_id3v2(payload)
+    end = len(payload)
+    if end - pos >= 128 and payload[end - 128 : end - 125] == b"TAG":
+        end -= 128  # ID3v1 trailer
+    if pos >= end:
+        raise ValueError("MP3: no frames after the ID3 tags")
+
+    n_frames = n_samples = 0
+    kbps_sum = 0
+    first = None  # (vbits, layer, rate, channels)
+    vbr_header = False
+    while pos < end:
+        if end - pos < 4:
+            raise ValueError("MP3: trailing garbage shorter than a header")
+        h = int.from_bytes(payload[pos : pos + 4], "big")
+        vbits, layer, kbps, rate, pad, channels, crc = _parse_header(h)
+        if first is None:
+            first = (vbits, layer, rate, channels)
+        elif (vbits, layer, rate, channels) != first:
+            raise ValueError(
+                "MP3: mid-stream version/layer/rate/channel change "
+                f"at byte {pos}"
+            )
+        size = _frame_bytes(vbits, layer, kbps, rate, pad)
+        if size < 4 + (2 if crc else 0):
+            raise ValueError("MP3: computed frame smaller than its header")
+        if pos + size > end:
+            raise ValueError("MP3: truncated final frame")
+        is_vbr_frame = False
+        if n_frames == 0 and not vbr_header and layer == 3:
+            off = pos + 4 + (2 if crc else 0) + _side_info_bytes(vbits, channels)
+            tag = payload[off : off + 4]
+            if tag in (b"Xing", b"Info"):
+                is_vbr_frame = True
+            elif payload[pos + 4 + 32 : pos + 4 + 36] == b"VBRI":
+                is_vbr_frame = True  # VBRI sits 32 bytes after the header
+        if is_vbr_frame:
+            vbr_header = True
+        else:
+            n_frames += 1
+            n_samples += _samples_per_frame(vbits, layer)
+            kbps_sum += kbps
+        pos += size
+        if n_frames > max_frames:
+            raise ValueError(f"MP3 bomb guard: more than {max_frames} frames")
+    if n_frames == 0:
+        raise ValueError("MP3: stream contains no audio frames")
+    vbits, layer, rate, channels = first
+    return Mp3Info(
+        sample_rate=rate,
+        channels=channels,
+        n_frames=n_frames,
+        n_samples=n_samples,
+        duration_s=n_samples / rate,
+        version=_VERSION_NAME[vbits],
+        layer=layer,
+        bitrate_kbps=kbps_sum / n_frames,
+        vbr_header=vbr_header,
+    )

@@ -160,11 +160,16 @@ def audio_metadata(
     from-scratch lossless decoder in ``functions/flac.py`` (frames,
     Rice residuals, stereo decorrelation, CRCs): sample rate and
     counts from the real headers, rms over the decoded [-1, 1]
-    samples. Any other payload keeps the documented STUB (MP3/AAC
-    have no codec in this container): headerless PCM with a
-    byte-derived fake rate, rms over raw bytes (real impl:
-    ffprobe/soundfile into this same seam). Typed metadata out,
-    payload never leaves the executor."""
+    samples. MP3 payloads (ID3 tag or frame sync) parse for REAL via
+    the ``functions/mp3.py`` frame-header walk — rate/samples/
+    duration from every frame header (Xing/Info/VBRI excluded, the
+    ffprobe convention) with rms honestly NULL (metadata needs no
+    subband synthesis; a sample decoder would be fake precision).
+    Any other payload keeps the documented STUB (AAC/Opus have no
+    codec in this container): headerless PCM with a byte-derived fake
+    rate, rms over raw bytes (real impl: ffprobe/soundfile into this
+    same seam). Typed metadata out, payload never leaves the
+    executor."""
     src = df.select(F.col(id_col).alias("id"), F.col(bin_col).alias("payload"))
 
     def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -172,7 +177,7 @@ def audio_metadata(
 
         import numpy as np
 
-        from tableone_pyspark_spark.functions import flac, wav
+        from tableone_pyspark_spark.functions import flac, mp3, wav
 
         for pdf in batches:
             rows = []
@@ -188,6 +193,12 @@ def audio_metadata(
                     n = samples.shape[0]
                     rms = float(np.sqrt((samples * samples).mean())) if n else 0.0
                     rows.append((int(i), rate, n, n / rate, rms))
+                    continue
+                if mp3.is_mp3(raw):
+                    mi = mp3.mp3_metadata(raw)
+                    rows.append(
+                        (int(i), mi.sample_rate, mi.n_samples, mi.duration_s, None)
+                    )
                     continue
                 rate = 8000 * (1 + raw[0] % 3)  # 8/16/24 kHz, payload-derived
                 n = len(raw) // bytes_per_sample

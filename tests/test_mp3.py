@@ -1,0 +1,163 @@
+"""MP3 frame-header parser (functions/mp3.py): spec-pinned frame
+sizes (the public 417-byte 128kbps@44.1k figure and friends), ID3v2/
+ID3v1 skipping, Xing/Info/VBRI exclusion, VBR mean bitrate, all three
+version groups and layers, and the hostile-path ValueError contract."""
+
+from __future__ import annotations
+
+import pytest
+
+from tableone_pyspark_spark.functions import mp3
+
+
+def _header(
+    version=3, layer_bits=1, crc=True, bidx=9, ridx=0, pad=0, mode=0,
+    emphasis=0,
+) -> bytes:
+    """Independent bit-packing of a frame header (layer_bits: 1=III,
+    2=II, 3=I; crc=True means NO checksum — protection bit set)."""
+    h = (
+        (0x7FF << 21)
+        | (version << 19)
+        | (layer_bits << 17)
+        | ((1 if crc else 0) << 16)
+        | (bidx << 12)
+        | (ridx << 10)
+        | (pad << 9)
+        | (mode << 6)
+        | (emphasis & 3)
+    )
+    return h.to_bytes(4, "big")
+
+
+def _frame(size: int, **kw) -> bytes:
+    head = _header(**kw)
+    return head + bytes((size - 4) % 251 for _ in range(size - 4))
+
+
+def test_cbr_mpeg1_layer3_spec_sizes():
+    # 128 kbps @ 44100, layer III: floor(144*128000/44100) = 417 bytes
+    body = b"".join(_frame(417, bidx=9) for _ in range(5))
+    info = mp3.mp3_metadata(body)
+    assert info.sample_rate == 44100
+    assert info.version == "MPEG1" and info.layer == 3
+    assert info.channels == 2
+    assert info.n_frames == 5
+    assert info.n_samples == 5 * 1152
+    assert info.duration_s == pytest.approx(5760 / 44100)
+    assert info.bitrate_kbps == 128.0
+    assert not info.vbr_header
+
+
+def test_padding_bit_adds_one_byte():
+    # alternating pad: 417 / 418 bytes must both walk cleanly
+    body = _frame(417, bidx=9) + _frame(418, bidx=9, pad=1) + _frame(417, bidx=9)
+    info = mp3.mp3_metadata(body)
+    assert info.n_frames == 3 and info.n_samples == 3 * 1152
+
+
+def test_vbr_mean_bitrate():
+    # 320 kbps @ 44100 -> floor(144*320000/44100) = 1044 bytes
+    body = _frame(417, bidx=9) + _frame(1044, bidx=14)
+    info = mp3.mp3_metadata(body)
+    assert info.bitrate_kbps == pytest.approx((128 + 320) / 2)
+
+
+def test_mpeg25_layer3_mono_576_samples():
+    # MPEG2.5 (version bits 00) 8 kHz mono, 64 kbps: 576/8*64000/8000
+    # = 576 bytes per frame, 576 samples per frame
+    body = b"".join(
+        _frame(576, version=0, bidx=8, ridx=2, mode=3) for _ in range(4)
+    )
+    info = mp3.mp3_metadata(body)
+    assert info.version == "MPEG2.5" and info.sample_rate == 8000
+    assert info.channels == 1
+    assert info.n_samples == 4 * 576
+    assert info.duration_s == pytest.approx(4 * 576 / 8000)
+
+
+def test_layer1_four_byte_slots():
+    # layer I 384 kbps @ 44100: (12*384000//44100)*4 = 416; +pad -> 420
+    body = _frame(416, layer_bits=3, bidx=12) + _frame(
+        420, layer_bits=3, bidx=12, pad=1
+    )
+    info = mp3.mp3_metadata(body)
+    assert info.layer == 1 and info.n_samples == 2 * 384
+
+
+def test_mpeg2_layer2_table():
+    # MPEG2 (bits 10) layer II 64 kbps @ 16 kHz: 1152/8*64000/16000
+    # = 576 bytes, 1152 samples
+    body = _frame(576, version=2, layer_bits=2, bidx=8, ridx=2)
+    info = mp3.mp3_metadata(body)
+    assert info.version == "MPEG2" and info.layer == 2
+    assert info.sample_rate == 16000 and info.n_samples == 1152
+
+
+def test_id3v2_and_id3v1_skipped():
+    tag_body = b"\x00" * 200
+    id3v2 = b"ID3\x04\x00\x00" + bytes([0, 0, 200 >> 7, 200 & 0x7F]) + tag_body
+    id3v1 = b"TAG" + b"\x00" * 125
+    body = id3v2 + _frame(417, bidx=9) * 2 + id3v1
+    info = mp3.mp3_metadata(body)
+    assert info.n_frames == 2
+
+
+def test_xing_frame_excluded_from_duration():
+    # MPEG1 stereo layer III: side info 32 bytes after the 4-byte
+    # header (no CRC) -> "Xing" at offset 36
+    first = bytearray(_frame(417, bidx=9))
+    first[36:40] = b"Xing"
+    body = bytes(first) + _frame(417, bidx=9) * 3
+    info = mp3.mp3_metadata(body)
+    assert info.vbr_header
+    assert info.n_frames == 3 and info.n_samples == 3 * 1152
+
+
+def test_crc_flag_shifts_xing_offset():
+    # protection bit 0 -> 16-bit CRC between header and side info
+    first = bytearray(_frame(417, bidx=9, crc=False))
+    first[38:42] = b"Info"
+    body = bytes(first) + _frame(417, bidx=9)
+    info = mp3.mp3_metadata(body)
+    assert info.vbr_header and info.n_frames == 1
+
+
+def test_sniff():
+    assert mp3.is_mp3(_frame(417, bidx=9))
+    assert mp3.is_mp3(b"ID3\x04\x00\x00\x00\x00\x00\x00rest")
+    assert not mp3.is_mp3(b"RIFFxxxxWAVE")
+    assert not mp3.is_mp3(b"\xff\xff")  # too short
+    # reserved version bits (01) must not sniff as MP3
+    assert not mp3.is_mp3(bytes([0xFF, 0xE8, 0x90, 0x00]))
+
+
+def test_hostile_paths_raise():
+    with pytest.raises(ValueError, match="shorter"):
+        mp3.mp3_metadata(b"\xff\xfb")
+    with pytest.raises(ValueError, match="sync"):
+        mp3.mp3_metadata(b"NOTS" + b"\x00" * 100)
+    with pytest.raises(ValueError, match="free-format"):
+        mp3.mp3_metadata(_header(bidx=0) + b"\x00" * 100)
+    with pytest.raises(ValueError, match="bitrate index 15"):
+        mp3.mp3_metadata(_header(bidx=15) + b"\x00" * 100)
+    with pytest.raises(ValueError, match="sample rate"):
+        mp3.mp3_metadata(_header(ridx=3) + b"\x00" * 100)
+    with pytest.raises(ValueError, match="emphasis"):
+        mp3.mp3_metadata(_header(emphasis=2) + b"\x00" * 100)
+    with pytest.raises(ValueError, match="truncated final"):
+        mp3.mp3_metadata(_frame(417, bidx=9)[:-1])
+    with pytest.raises(ValueError, match="mid-stream"):
+        mp3.mp3_metadata(_frame(417, bidx=9) + _frame(418, bidx=9, ridx=1))
+    with pytest.raises(ValueError, match="no audio frames"):
+        first = bytearray(_frame(417, bidx=9))
+        first[36:40] = b"Xing"
+        mp3.mp3_metadata(bytes(first))
+    with pytest.raises(ValueError, match="sync-safe"):
+        mp3.mp3_metadata(b"ID3\x04\x00\x00\x00\x00\x00\x80")
+    with pytest.raises(ValueError, match="larger than"):
+        mp3.mp3_metadata(b"ID3\x04\x00\x00\x00\x00\x01\x00 short")
+    with pytest.raises(ValueError, match="bomb guard"):
+        mp3.mp3_metadata(_frame(417, bidx=9) * 4, max_frames=3)
+    with pytest.raises(ValueError, match="trailing garbage"):
+        mp3.mp3_metadata(_frame(417, bidx=9) + b"\xff\xfb")

@@ -92,6 +92,28 @@ def test_audio_metadata_probe(spark):
     assert abs(r["rms"] - 65.0) < 1e-9
 
 
+def test_audio_metadata_mp3_branch(spark):
+    # an MP3 frame stream dispatches to the frame-header walk: real
+    # rate/samples/duration, rms honestly NULL (no synthesis decoder)
+    from tableone_pyspark_spark.operators.multimodal import audio_metadata
+
+    def frame(size, h):  # MPEG1 layer III 128 kbps @ 44100 -> 417 B
+        return h.to_bytes(4, "big") + bytes(size - 4)
+
+    h = (0x7FF << 21) | (3 << 19) | (1 << 17) | (1 << 16) | (9 << 12)
+    payload = frame(417, h) * 4
+    stub = bytes([65] * 100)
+    d = spark.createDataFrame(
+        [(1, bytearray(payload)), (2, bytearray(stub))], "id long, b binary"
+    )
+    got = {r["id"]: r for r in audio_metadata(d, "id", "b").collect()}
+    assert got[1]["sample_rate"] == 44100
+    assert got[1]["n_samples"] == 4 * 1152
+    assert abs(got[1]["duration_s"] - 4 * 1152 / 44100) < 1e-12
+    assert got[1]["rms"] is None
+    assert got[2]["sample_rate"] == 24000  # stub branch untouched
+
+
 def test_image_phash_gradient_signature(spark):
     from tableone_pyspark_spark.operators.multimodal import image_phash
 
