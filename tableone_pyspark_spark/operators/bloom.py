@@ -151,6 +151,11 @@ def build_bloom(
         key = normalize_text(key)
 
     if hash_impl == "arrow":
+        # deliberately NO rebalance() here (unlike the codec synths /
+        # DSIR / PQ kernels): the batch Horner is fast enough that
+        # round-robin-shuffling the text corpus costs more than the
+        # spread saves — A/B at sf0.1 solo: 0.90 s -> 1.39 s WITH the
+        # exchange (graded bloom_probe row, r8)
         src = df.select(key.cast("string").alias("k")).where(
             F.col("k").isNotNull()
         )
@@ -225,6 +230,7 @@ def bloom_probe(
     mb = bloom.m_bits
 
     if hash_impl == "arrow":
+        # no rebalance() — same A/B verdict as the build kernel above
         src = df.select(
             F.col(id_col).alias("id"), key.cast("string").alias("k")
         )

@@ -69,8 +69,13 @@ def _hashed_bigrams(
     from pyspark.sql import types as T
 
     from tableone_pyspark_spark.operators.bloom import _horner_batch
+    from tableone_pyspark_spark.plans.layout import rebalance
 
-    src = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("t"))
+    # CPU-bound melt+hash kernel (run 3× per DSIR fit+score): spread
+    # narrow inputs across cores; no-op on wide (100 TB) inputs
+    src = rebalance(
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("t"))
+    )
     schema = T.StructType(
         [
             T.StructField("id", src.schema["id"].dataType),

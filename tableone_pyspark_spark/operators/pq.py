@@ -127,8 +127,15 @@ def pq_encode(
     zero shuffle. ``recon_err`` is the squared reconstruction error —
     the per-vector quantization quality signal (mean of it = the PQ
     distortion a pipeline monitors when choosing m / k)."""
-    src = vectors.select(
-        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
+    from tableone_pyspark_spark.plans.layout import rebalance
+
+    # CPU-bound argmin-per-subspace kernel: spread narrow inputs
+    # across cores (no-op on wide inputs — scale path is unchanged)
+    src = rebalance(
+        vectors.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).cast("array<double>").alias("v"),
+        )
     )
     cb = codebook
 
@@ -459,8 +466,13 @@ def ivfpq_topk(
                     + (rs * rs).sum()
                 )
 
-    src = vectors.select(
-        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
+    from tableone_pyspark_spark.plans.layout import rebalance
+
+    src = rebalance(
+        vectors.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).cast("array<double>").alias("v"),
+        )
     )
     schema = T.StructType(
         [

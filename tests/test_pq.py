@@ -143,7 +143,11 @@ def test_validation(emb, spark):
 def test_plan_shapes(emb):
     cb = pq.train_pq(emb, m=4, n_codes=8)
     enc = pq.pq_encode(emb, cb)
-    assert inspect.plan_facts(enc).n_exchanges == 0  # pure projection
+    # encode shuffles NOTHING by hash: the only permitted exchange is
+    # the conditional round-robin core-spread before the CPU-bound
+    # kernel (a no-op on wide inputs — the 100 TB case)
+    exe_enc = inspect.executed_plan(enc)
+    assert exe_enc.count("Exchange") == exe_enc.count("RoundRobinPartitioning")
     inspect.assert_scan_pruned(enc, {"vec_id", "embedding"})
     top = pq.pq_topk(emb, cb, n_queries=4, k=3)
     exe = inspect.executed_plan(top)
