@@ -422,6 +422,163 @@ def train_ivfpq(
     return memo("ivfpq_index", key, build)
 
 
+def train_opq(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 4,
+    n_codes: int = 16,
+    n_iters: int = 8,
+    train_limit: int = 16384,
+) -> tuple[np.ndarray, PQCodebook]:
+    """Optimized Product Quantization (Ge, He, Ke & Sun 2013, CVPR —
+    the FAISS ``OPQMatrix`` pre-rotation): learn an ORTHOGONAL
+    rotation R that aligns the data with the subspace split before
+    product quantization, by the non-parametric alternation
+
+        codebook <- per-subspace KMeans on the rotated sample X·R
+        codes    <- PQ-encode X·R under that codebook
+        R        <- orthogonal Procrustes argmin_R ||X·R − X̂||_F
+                    (SVD of Xᵀ·X̂ = U·S·Vᵀ  →  R = U·Vᵀ)
+
+    starting from R = I, so iteration 1's codebook step IS plain PQ —
+    the training distortion can only improve or tie vs :func:`train_pq`
+    with equal (m, n_codes) (pinned in tests). Pure deterministic
+    numpy on the bounded ordered sample; returns (R, codebook), both
+    KB-sized — they broadcast into the encode/search kernels exactly
+    like the un-rotated family. Distances are preserved by
+    orthogonality (‖Rx − Rq‖ = ‖x − q‖), so OPQ recall is measured
+    against the SAME exact-L2 top-k as PQ's."""
+    if m < 1 or n_codes < 1 or n_iters < 1:
+        raise ValueError("m, n_codes and n_iters must be positive")
+
+    def build():
+        rows = (
+            vectors.select(F.col(vec_col).cast("array<double>"), F.col(id_col))
+            .orderBy(id_col)
+            .limit(train_limit)
+            .collect()
+        )
+        if not rows:
+            raise ValueError("OPQ training sample is empty")
+        X = np.array([np.asarray(r[0], dtype=np.float64) for r in rows])
+        d = X.shape[1]
+        if d % m:
+            raise ValueError(f"dim {d} does not split into {m} subspaces")
+        dsub = d // m
+
+        def fit_codebook(Y):
+            return PQCodebook(
+                np.stack(
+                    [
+                        _kmeans_numpy(Y[:, s * dsub : (s + 1) * dsub], n_codes)
+                        for s in range(m)
+                    ]
+                )
+            )
+
+        R = np.eye(d)
+        for _ in range(n_iters):
+            Y = X @ R
+            cb = fit_codebook(Y)
+            codes = _encode_block(Y, cb)
+            Yhat = np.concatenate(
+                [cb.C[s][codes[:, s]] for s in range(m)], axis=1
+            )
+            U, _sv, Vt = np.linalg.svd(X.T @ Yhat)
+            R = U @ Vt
+        # final codebook refit under the final rotation
+        return R, fit_codebook(X @ R)
+
+    key = _memo_key(
+        vectors, id_col, vec_col, m, n_codes, n_iters, train_limit, "opq"
+    )
+    return memo("opq_model", key, build)
+
+
+def _rotated(vectors: DataFrame, rotation: np.ndarray, id_col: str, vec_col: str) -> DataFrame:
+    """(id, v) with v = R·x, rotated inside one Arrow kernel — the
+    rotation matrix (d × d floats, KBs) rides in the closure; row-
+    local, zero shuffle, so every downstream PQ shape is unchanged."""
+    src = vectors.select(
+        F.col(id_col).alias(id_col),
+        F.col(vec_col).cast("array<double>").alias(vec_col),
+    )
+    R = rotation
+    schema = T.StructType(
+        [
+            T.StructField(id_col, src.schema[id_col].dataType),
+            T.StructField(vec_col, T.ArrayType(T.DoubleType())),
+        ]
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            V = np.vstack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            if V.shape[1] != R.shape[0]:
+                raise ValueError(
+                    f"vector dim {V.shape[1]} != rotation dim {R.shape[0]}"
+                )
+            Y = V @ R
+            yield pd.DataFrame({id_col: pdf[id_col], vec_col: list(Y)})
+
+    return src.mapInPandas(kernel, schema)
+
+
+def opq_encode(
+    vectors: DataFrame,
+    rotation: np.ndarray,
+    codebook: PQCodebook,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """:func:`pq_encode` in the learned rotated space — same output
+    contract (id, codes, recon_err); recon_err is measured in the
+    rotated space, which equals the original-space quantization error
+    of the rotated-back reconstruction (R is orthogonal)."""
+    return pq_encode(_rotated(vectors, rotation, id_col, vec_col), codebook, id_col, vec_col)
+
+
+def opq_topk(
+    vectors: DataFrame,
+    rotation: np.ndarray,
+    codebook: PQCodebook,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_queries: int = 10,
+    k: int = 5,
+) -> DataFrame:
+    """:func:`pq_topk` in the rotated space. Because R is orthogonal
+    the TRUE distances are identical in either space — only the
+    quantization grid changes — so results compare 1:1 with
+    :func:`pq_topk` on the same corpus."""
+    return pq_topk(
+        _rotated(vectors, rotation, id_col, vec_col),
+        codebook, id_col, vec_col, n_queries, k,
+    )
+
+
+def opq_recall(
+    vectors: DataFrame,
+    rotation: np.ndarray,
+    codebook: PQCodebook,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_queries: int = 10,
+    k: int = 5,
+) -> DataFrame:
+    """(query_id, n_hits, recall) of OPQ ADC top-k vs the exact
+    squared-L2 top-k — computed on the UNROTATED vectors (valid by
+    orthogonality; identical tie rule), so the number is directly
+    comparable with :func:`pq_recall`'s on the same corpus."""
+    approx = opq_topk(
+        vectors, rotation, codebook, id_col, vec_col, n_queries, k
+    )
+    return _recall_vs_exact(vectors, approx, id_col, vec_col, n_queries, k)
+
+
 def ivfpq_topk(
     vectors: DataFrame,
     index: IVFPQIndex,

@@ -261,3 +261,78 @@ def test_ivfpq_recall_vs_exact_reference(emb, sample):
         for r in pq.ivfpq_recall(emb, ix, n_probe=1, n_queries=6, k=5).collect()
     }
     assert all(got[qid][0] >= one[qid] for qid in one)
+
+
+# ---------------------------------------------------------------------------
+# OPQ (learned orthogonal pre-rotation, Ge 2013)
+# ---------------------------------------------------------------------------
+
+
+def test_opq_rotation_is_orthogonal_and_deterministic(emb):
+    R1, cb1 = pq.train_opq(emb, m=4, n_codes=8, n_iters=4)
+    R2, cb2 = pq.train_opq(emb, m=4, n_codes=8, n_iters=4)
+    assert np.array_equal(R1, R2) and np.array_equal(cb1.C, cb2.C)
+    d = R1.shape[0]
+    assert np.allclose(R1 @ R1.T, np.eye(d), atol=1e-10)
+    assert np.allclose(R1.T @ R1, np.eye(d), atol=1e-10)
+
+
+def test_opq_training_distortion_never_worse_than_pq(emb, sample):
+    # iteration 1 with R = I IS plain PQ, and the alternation only
+    # accepts Procrustes-optimal rotations -> training distortion of
+    # the final (R, codebook) must be <= plain PQ's on the sample
+    ids, X = sample
+    m, k = 4, 8
+    R, ocb = pq.train_opq(emb, m=m, n_codes=k, n_iters=6)
+    pcb = pq.train_pq(emb, m=m, n_codes=k)
+
+    def distortion(Y, cb):
+        codes = pq._encode_block(Y, cb)
+        Yhat = np.concatenate([cb.C[s][codes[:, s]] for s in range(cb.m)], axis=1)
+        return float(((Y - Yhat) ** 2).sum(axis=1).mean())
+
+    d_pq = distortion(X, pcb)
+    d_opq = distortion(X @ R, ocb)
+    assert d_opq <= d_pq + 1e-9
+    # rotation must preserve every pairwise distance (orthogonality)
+    i, j = 3, 17
+    assert ((X[i] - X[j]) ** 2).sum() == pytest.approx(
+        (((X @ R)[i] - (X @ R)[j]) ** 2).sum(), rel=1e-12
+    )
+
+
+def test_opq_encode_matches_rotated_reference(emb, sample):
+    ids, X = sample
+    R, cb = pq.train_opq(emb, m=4, n_codes=8, n_iters=3)
+    got = {
+        r["id"]: (list(r["codes"]), r["recon_err"])
+        for r in pq.opq_encode(emb, R, cb).collect()
+    }
+    Y = X @ R
+    codes = pq._encode_block(Y, cb)
+    Yhat = np.concatenate([cb.C[s][codes[:, s]] for s in range(cb.m)], axis=1)
+    err = ((Y - Yhat) ** 2).sum(axis=1)
+    for n, vid in enumerate(ids):
+        assert got[int(vid)][0] == list(codes[n]), vid
+        assert got[int(vid)][1] == pytest.approx(float(err[n]), rel=1e-12)
+
+
+def test_opq_recall_comparable_and_sane(emb):
+    R, ocb = pq.train_opq(emb, m=4, n_codes=16, n_iters=4)
+    rec = pq.opq_recall(emb, R, ocb, n_queries=8, k=5).collect()
+    assert len(rec) == 8
+    mean_rec = float(np.mean([r["recall"] for r in rec]))
+    assert mean_rec > 0.2  # far above random
+    for r in rec:
+        assert r["recall"] == pytest.approx(r["n_hits"] / 5.0)
+
+
+def test_opq_validation(emb, spark):
+    with pytest.raises(ValueError, match="positive"):
+        pq.train_opq(emb, m=0)
+    R, cb = pq.train_opq(emb, m=4, n_codes=8, n_iters=2)
+    short = spark.createDataFrame(
+        [(1, [0.0, 1.0])], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(Exception, match="dim"):
+        pq.opq_encode(short, R, cb).collect()
