@@ -634,3 +634,63 @@ def gopher_repetition_profile(
         .select(F.col(id_col), prof.alias("_g"))
         .select(id_col, "_g.*")
     )
+
+
+def compression_signals(
+    df, id_col: str, text_col: str, level: int = 6
+) -> "DataFrame":
+    """Per-document compression-ratio quality signals — the classic
+    "too compressible = boilerplate/repetition, incompressible =
+    random noise" proxy the large-corpus curation recipes use
+    alongside the Gopher rules (e.g. the Dolma pipeline's per-doc
+    zlib ratio filter).
+
+    Returns (id, n_bytes, n_compressed, compression_ratio) with
+    ratio = compressed/raw over the UTF-8 bytes (DEFLATE via stdlib
+    zlib at ``level``; empty text → ratio NULL). One Arrow-batched
+    projection, row-local, zero shuffle; pytest-pinned against direct
+    zlib (DEFLATE output is engine-specific, so this signal is
+    deliberately NOT in the SQL-oracle surface — rows-only class).
+    """
+    import zlib
+    from collections.abc import Iterator as _Iter
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from tableone_pyspark_spark.plans.layout import rebalance
+
+    if not 0 <= level <= 9:
+        raise ValueError(f"zlib level must be in 0..9, got {level}")
+    src = rebalance(
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("t"))
+    )
+    schema = T.StructType(
+        [
+            T.StructField("id", src.schema["id"].dataType),
+            T.StructField("n_bytes", T.LongType()),
+            T.StructField("n_compressed", T.LongType()),
+            T.StructField("compression_ratio", T.DoubleType()),
+        ]
+    )
+
+    def kernel(batches: _Iter[pd.DataFrame]) -> _Iter[pd.DataFrame]:
+        for pdf in batches:
+            ids, nb, nc, ratio = [], [], [], []
+            for i, t in zip(pdf["id"], pdf["t"]):
+                raw = (t or "").encode("utf-8")
+                comp = len(zlib.compress(raw, level)) if raw else 0
+                ids.append(i)
+                nb.append(len(raw))
+                nc.append(comp)
+                ratio.append(comp / len(raw) if raw else None)
+            yield pd.DataFrame(
+                {
+                    "id": ids,
+                    "n_bytes": nb,
+                    "n_compressed": nc,
+                    "compression_ratio": ratio,
+                }
+            )
+
+    return src.mapInPandas(kernel, schema)

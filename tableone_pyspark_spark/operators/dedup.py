@@ -450,26 +450,40 @@ def simhash_neardup_pairs(
     ``bit_count(xor)``. No false negatives; false positives are
     filtered by the verify step. Returns (id_a, id_b, hamming).
     """
+    sig = simhash64(df, text_col, id_col, hash_fn=hash_fn)
+    return signature_neardup_pairs(sig, "id", "simhash", max_hamming)
+
+
+def signature_neardup_pairs(
+    sig: DataFrame, id_col: str, sig_col: str, max_hamming: int
+) -> DataFrame:
+    """Pigeonhole near-dup pairs over ANY 64-bit signature column
+    (SimHash, image dHash, …): split into ``max_hamming + 1`` disjoint
+    chunks — a pair within distance d differs in at most d chunks, so
+    it must AGREE on at least one; candidates come from an equi-join
+    on (chunk_index, chunk_value) and are verified with the exact
+    ``bit_count(xor)``. No false negatives by construction. Returns
+    (id_a, id_b, hamming)."""
     k = max_hamming + 1
     width = 64 // k
-    sig = simhash64(df, text_col, id_col, hash_fn=hash_fn)
+    s = sig.select(F.col(id_col).alias("id"), F.col(sig_col).alias("sg"))
     chunk_structs = []
     for i in range(k):
         w = width if i < k - 1 else 64 - width * (k - 1)
-        piece = F.shiftrightunsigned(F.col("simhash"), i * width)
+        piece = F.shiftrightunsigned(F.col("sg"), i * width)
         if w < 64:
             # w == 64 (max_hamming=0): the chunk IS the signature — a
             # (1<<64)-1 literal would overflow LongType, so skip the mask
             piece = piece.bitwiseAND(F.lit((1 << w) - 1))
         chunk_structs.append(F.struct(F.lit(i).alias("ci"), piece.alias("cv")))
-    chunked = sig.select(
-        "id", "simhash", F.explode(F.array(*chunk_structs)).alias("c")
-    ).select("id", "simhash", "c.ci", "c.cv")
+    chunked = s.select(
+        "id", "sg", F.explode(F.array(*chunk_structs)).alias("c")
+    ).select("id", "sg", "c.ci", "c.cv")
     a = chunked.select(
-        F.col("id").alias("id_a"), F.col("simhash").alias("sig_a"), "ci", "cv"
+        F.col("id").alias("id_a"), F.col("sg").alias("sig_a"), "ci", "cv"
     )
     b = chunked.select(
-        F.col("id").alias("id_b"), F.col("simhash").alias("sig_b"), "ci", "cv"
+        F.col("id").alias("id_b"), F.col("sg").alias("sig_b"), "ci", "cv"
     )
     return (
         a.join(b, ["ci", "cv"])

@@ -673,3 +673,20 @@ def transcode_images(df: DataFrame, id_col: str, bin_col: str) -> DataFrame:
             )
 
     return src.mapInPandas(kernel, TRANSCODE_SCHEMA)
+
+
+def phash_neardup_pairs(
+    df: DataFrame, id_col: str, bin_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """Image near-dup pairs at scale: the :func:`image_phash` gradient
+    signature fed through the SAME pigeonhole chunk join the SimHash
+    family uses (`operators/dedup.py signature_neardup_pairs`) —
+    candidate generation is an equi-join on signature chunks, never
+    an all-pairs scan, and the exact ``bit_count(xor)`` verify leaves
+    no false negatives within ``max_hamming``. Payloads never leave
+    the executor (only the 63-bit signatures shuffle). Returns
+    (id_a, id_b, hamming)."""
+    from tableone_pyspark_spark.operators.dedup import signature_neardup_pairs
+
+    sig = image_phash(df, id_col, bin_col)
+    return signature_neardup_pairs(sig, "id", "dhash", max_hamming)

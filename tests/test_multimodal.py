@@ -398,3 +398,34 @@ def test_bmp_sub_byte_and_16bit_depths():
     import pytest as _pytest
     with _pytest.raises(ValueError, match="palette"):
         bmp.decode_bmp(bad)
+
+
+def test_phash_neardup_pairs_pigeonhole(spark):
+    # near-identical payloads (<= 2 gradient bits apart) must pair;
+    # the pigeonhole candidate join must lose NOTHING a brute-force
+    # all-pairs hamming scan finds at the same threshold
+    from tableone_pyspark_spark.operators.multimodal import (
+        image_phash,
+        phash_neardup_pairs,
+    )
+
+    base = bytes([(i * 7) % 251 for i in range(130)])
+    near = bytearray(base); near[64] = (near[64] + 1) % 251
+    far = bytes([(i * 13 + 5) % 251 for i in range(130)])
+    far2 = bytes(reversed(base))
+    rows = [(1, bytearray(base)), (2, near), (3, bytearray(far)),
+            (4, bytearray(far2))]
+    df = spark.createDataFrame(rows, "id long, payload binary")
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in phash_neardup_pairs(df, "id", "payload", max_hamming=3).collect()
+    }
+    assert (1, 2) in got and got[(1, 2)] <= 2
+    # brute force over the signatures: identical pair set
+    sigs = {r["id"]: r["dhash"] for r in image_phash(df, "id", "payload").collect()}
+    brute = {
+        (a, b): bin(sigs[a] ^ sigs[b]).count("1")
+        for a in sigs for b in sigs
+        if a < b and bin(sigs[a] ^ sigs[b]).count("1") <= 3
+    }
+    assert got == brute

@@ -145,3 +145,39 @@ def test_sentence_udtf_matches_catalyst_twin(spark):
     }
     assert len(cat) > 0
     assert cat == via_udtf  # UDTF seam ≡ Catalyst default, row for row
+
+
+def test_compression_signals_match_zlib(spark):
+    import zlib
+
+    from tableone_pyspark_spark.functions.text import compression_signals
+
+    rows = [
+        (1, "aaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaa"),  # highly compressible
+        (2, "the quick brown fox jumps over the lazy dog"),
+        (3, None),
+        (4, ""),
+        (5, "héllo wörld \U0001F600" * 3),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["id"]: r
+        for r in compression_signals(df, "doc_id", "text").collect()
+    }
+    for i, t in rows:
+        raw = (t or "").encode("utf-8")
+        assert got[i]["n_bytes"] == len(raw)
+        if raw:
+            assert got[i]["n_compressed"] == len(zlib.compress(raw, 6))
+            import pytest as _pytest
+            assert got[i]["compression_ratio"] == _pytest.approx(
+                len(zlib.compress(raw, 6)) / len(raw)
+            )
+        else:
+            assert got[i]["n_compressed"] == 0
+            assert got[i]["compression_ratio"] is None
+    # the quality-proxy ordering the filter relies on
+    assert got[1]["compression_ratio"] < got[2]["compression_ratio"]
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="level"):
+        compression_signals(df, "doc_id", "text", level=11).collect()
