@@ -616,3 +616,84 @@ def streaming_bloom_dedup(
     return prepared.groupBy("__shard").applyInPandasWithState(
         fold, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
     )
+
+
+def streaming_drift(
+    stream: DataFrame,
+    value_col: str,
+    ref_edges: list[float],
+    ref_probs: list[float],
+    ts_col: str = "ts",
+    window: str = "10 minutes",
+    watermark: str = "0 seconds",
+    eps: float = 1e-6,
+) -> DataFrame:
+    """Per-window distribution-drift score vs a FIXED reference
+    histogram: the Population Stability Index
+
+        PSI = Σ_bins (p_i − q_i) · ln((p_i + ε)/(q_i + ε))
+
+    (the model-monitoring classic; ≥ 0, 0 iff identical, rule-of-thumb
+    alert at 0.2). ``ref_edges`` are the k−1 interior cut points of k
+    bins (left-open/right-closed, outer bins unbounded) and
+    ``ref_probs`` the reference bin fractions — both computed ONCE
+    batch-side (e.g. from ``operators/stats.numeric_histogram`` on a
+    training snapshot) and baked in as literals.
+
+    Plan shape: the bin index is a chained-when literal expression and
+    the whole window reduces in ONE watermarked aggregation carrying
+    k conditional counters — bounded state (k longs per open window),
+    no pivot, no stream-stream join, identical code path for batch
+    DataFrames (used by tests and any future oracle twin). NULL values
+    are excluded from both n and the bins (a drift score about values,
+    not nullness — pair with a null-rate monitor for that).
+
+    Returns (window_start, n, psi) per closed window.
+    """
+    k = len(ref_probs)
+    if k < 2:
+        raise ValueError("need at least 2 reference bins")
+    if len(ref_edges) != k - 1:
+        raise ValueError(
+            f"{k} bins need {k - 1} interior edges, got {len(ref_edges)}"
+        )
+    if any(b > a for a, b in zip(ref_edges[1:], ref_edges)):
+        raise ValueError("ref_edges must be non-decreasing")
+    tot = float(sum(ref_probs))
+    if not tot > 0:
+        raise ValueError("ref_probs must sum to a positive total")
+    q = [float(p) / tot for p in ref_probs]
+
+    v = F.col(value_col)
+    bucket = F.when(v <= F.lit(float(ref_edges[0])), F.lit(0))
+    for i, e in enumerate(ref_edges[1:], start=1):
+        bucket = bucket.when(v <= F.lit(float(e)), F.lit(i))
+    bucket = bucket.otherwise(F.lit(k - 1))
+
+    src = (
+        stream.withWatermark(ts_col, watermark)
+        if stream.isStreaming
+        else stream
+    ).where(v.isNotNull()).select(
+        F.window(F.col(ts_col), window).alias("win"), bucket.alias("b")
+    )
+    counters = [
+        F.sum(F.when(F.col("b") == i, 1).otherwise(0)).alias(f"n_{i}")
+        for i in range(k)
+    ]
+    agg = src.groupBy("win").agg(
+        F.count(F.lit(1)).alias("n"), *counters
+    )
+    n = F.col("n")
+    psi = None
+    for i in range(k):
+        p_i = F.col(f"n_{i}") / n
+        term = (p_i - F.lit(q[i])) * F.log(
+            (p_i + F.lit(eps)) / F.lit(q[i] + eps)
+        )
+        psi = term if psi is None else psi + term
+    return agg.select(
+        F.col("win.start").alias("window_start"),
+        n.cast("long").alias("n"),
+        F.round(psi, 6).alias("psi"),
+    )

@@ -607,3 +607,88 @@ def test_streaming_bloom_dedup_fixed_state(spark, tmp_path):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="power of two"):
         streaming_bloom_dedup(stream, "key", m_bits=100)
+
+
+def test_streaming_drift_psi(spark):
+    """streaming_drift: batch twin pinned against a numpy PSI replay,
+    real availableNow streaming run, drift ordering (a shifted
+    distribution scores higher than the reference's own window), and
+    validation errors."""
+    import math
+
+    import numpy as np
+
+    from tableone_pyspark_spark.streaming.stream_stats import streaming_drift
+
+    edges = [2.0, 4.0, 6.0]                 # 4 bins
+    q = [0.25, 0.25, 0.25, 0.25]
+
+    # --- batch twin vs numpy ---------------------------------------
+    vals = [0.5, 1.0, 3.0, 3.5, 5.0, 7.0, 9.0, 9.5, None]
+    rows = [(f"2024-01-01 00:00:{i:02d}", v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "ts string, value double").select(
+        F.col("ts").cast("timestamp").alias("ts"), "value"
+    )
+    got = streaming_drift(df, "value", edges, q, window="1 hour").collect()
+    assert len(got) == 1
+    r = got[0]
+    clean = [v for v in vals if v is not None]
+    assert r["n"] == len(clean)
+    counts = np.zeros(4)
+    for v in clean:
+        b = 0 if v <= 2 else 1 if v <= 4 else 2 if v <= 6 else 3
+        counts[b] += 1
+    p = counts / counts.sum()
+    eps = 1e-6
+    psi = sum(
+        (p[i] - q[i]) * math.log((p[i] + eps) / (q[i] + eps)) for i in range(4)
+    )
+    assert r["psi"] == round(psi, 6) and r["psi"] > 0
+
+    # matching distribution → psi ~ 0 (and strictly below the drifted)
+    match_rows = [
+        (f"2024-01-01 01:00:{i:02d}", v)
+        for i, v in enumerate([1.0, 3.0, 5.0, 7.0] * 3)
+    ]
+    df2 = spark.createDataFrame(match_rows, "ts string, value double").select(
+        F.col("ts").cast("timestamp").alias("ts"), "value"
+    )
+    flat = streaming_drift(df2, "value", edges, q, window="1 hour").collect()[0]
+    assert abs(flat["psi"]) < 1e-4 < r["psi"]
+
+    # --- real streaming run over the events table ------------------
+    stream = events_stream(spark, SF).select("ts", "value")
+    out = streaming_drift(
+        stream, "value", edges, q, window="6 hours", watermark="0 seconds"
+    )
+    qry = (
+        out.writeStream.format("memory")
+        .queryName("drift_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    qry.awaitTermination()
+    sunk = spark.table("drift_sink").collect()
+    assert len(sunk) >= 1
+    # batch twin over the same data must agree exactly, window by window
+    batch = {
+        r["window_start"]: (r["n"], r["psi"])
+        for r in streaming_drift(
+            load_events(spark, SF).select("ts", "value"),
+            "value", edges, q, window="6 hours",
+        ).collect()
+    }
+    for r in sunk:
+        assert batch[r["window_start"]] == (r["n"], r["psi"])
+
+    # --- validation -------------------------------------------------
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="interior edges"):
+        streaming_drift(df, "value", [1.0], [0.5, 0.3, 0.2])
+    with _pytest.raises(ValueError, match="non-decreasing"):
+        streaming_drift(df, "value", [3.0, 1.0, 2.0], q)
+    with _pytest.raises(ValueError, match="positive"):
+        streaming_drift(df, "value", edges, [0.0, 0.0, 0.0, 0.0])
+    with _pytest.raises(ValueError, match="at least 2"):
+        streaming_drift(df, "value", [], [1.0])
