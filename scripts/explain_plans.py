@@ -20,7 +20,7 @@ DEFAULT = [
     "cat_counts",
     "embedding_topk",
     "range_join_ship",
-    "minhash_pairs",
+    "dedup_clusters",
     "revenue_by_nation",
 ]
 

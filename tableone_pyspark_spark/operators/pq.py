@@ -316,7 +316,9 @@ def _recall_vs_exact(
         .agg(F.count(F.lit(1)).alias("n_hits"))
     )
     qs = q.select("query_id")
-    return qs.join(hits, "query_id", "left").select(
+    # both sides are <= n_queries rows; hint the broadcast so the
+    # static plan avoids a sort-merge join even without AQE
+    return qs.join(F.broadcast(hits), "query_id", "left").select(
         "query_id",
         F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
         F.round(F.coalesce("n_hits", F.lit(0)) / F.lit(float(k)), 6).alias(
