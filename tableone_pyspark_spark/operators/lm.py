@@ -133,3 +133,53 @@ def lm_perplexity(
         F.col("avg_logp"),
         F.exp(-F.col("avg_logp")).alias("ppl"),
     )
+
+
+def ccnet_buckets(
+    ppl: DataFrame,
+    ppl_col: str = "ppl",
+    id_col: str = "id",
+    cuts: tuple[float, float] = (1 / 3, 2 / 3),
+) -> DataFrame:
+    """CCNet's head/middle/tail split (Wenzek et al. 2020): rank every
+    scored document by LM perplexity and cut at the given quantile
+    fractions — "head" (lowest-perplexity, most target-like) is what
+    the original pipeline keeps for LM training, "tail" is usually
+    dropped. Documents the model could not score (NULL ppl — under
+    two words) land in an explicit "unscored" bucket rather than
+    silently polluting a tercile.
+
+    Implementation: ONE global rank via ``ntile``-free arithmetic —
+    ``percent_rank`` over (ppl, id) (the id tiebreak makes the split
+    deterministic and engine-reproducible, unlike ntile's row-number
+    dependence on arbitrary orders) — then two literal comparisons.
+    The window is a single global sort of the SCORED doc frame
+    (id + one double; at 100 TB of raw text this frame is ~10⁻⁴ of
+    corpus bytes — and a quantile-approx cut can replace the sort if
+    even that is too hot). Returns (id, ppl, bucket).
+    """
+    lo, hi = cuts
+    if not 0.0 < lo < hi < 1.0:
+        raise ValueError(f"cuts must satisfy 0 < lo < hi < 1, got {cuts}")
+    from pyspark.sql import Window
+
+    scored = ppl.where(F.col(ppl_col).isNotNull())
+    w = Window.orderBy(F.col(ppl_col).asc(), F.col(id_col).asc())
+    ranked = scored.select(
+        F.col(id_col).alias("id"),
+        F.col(ppl_col).alias("ppl"),
+        F.percent_rank().over(w).alias("pr"),
+    ).select(
+        "id",
+        "ppl",
+        F.when(F.col("pr") <= lo, F.lit("head"))
+        .when(F.col("pr") <= hi, F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket"),
+    )
+    unscored = ppl.where(F.col(ppl_col).isNull()).select(
+        F.col(id_col).alias("id"),
+        F.col(ppl_col).alias("ppl"),
+        F.lit("unscored").alias("bucket"),
+    )
+    return ranked.unionByName(unscored)

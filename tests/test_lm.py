@@ -105,3 +105,29 @@ def test_empty_model_rejected(spark):
     test = spark.createDataFrame([(1, "x")], ["id", "text"])
     with pytest.raises(ValueError, match="vocab_size"):
         lm_perplexity(test, bg, ctx, 0, "text", "id")
+
+
+def test_ccnet_buckets(spark):
+    # deterministic tercile split over ppl with explicit unscored
+    from pyspark.sql import functions as F
+
+    from tableone_pyspark_spark.operators.lm import ccnet_buckets
+
+    rows = [(i, float(i + 1)) for i in range(9)] + [(99, None)]
+    df = spark.createDataFrame(rows, "id long, ppl double")
+    got = {r["id"]: r["bucket"] for r in ccnet_buckets(df).collect()}
+    # percent_rank over 9 rows: pr = i/8 -> head pr<=1/3 (i<=2),
+    # middle pr<=2/3 (i<=5), tail otherwise
+    assert [got[i] for i in range(9)] == (
+        ["head"] * 3 + ["middle"] * 3 + ["tail"] * 3
+    )
+    assert got[99] == "unscored"
+    # determinism under ties: equal ppl everywhere still splits the
+    # same way on the id tiebreak, twice
+    tied = spark.createDataFrame([(i, 5.0) for i in range(6)], "id long, ppl double")
+    a = sorted(map(tuple, ccnet_buckets(tied).collect()))
+    b = sorted(map(tuple, ccnet_buckets(tied).collect()))
+    assert a == b
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="cuts"):
+        ccnet_buckets(df, cuts=(0.9, 0.3))

@@ -161,3 +161,65 @@ def test_hostile_paths_raise():
         mp3.mp3_metadata(_frame(417, bidx=9) * 4, max_frames=3)
     with pytest.raises(ValueError, match="trailing garbage"):
         mp3.mp3_metadata(_frame(417, bidx=9) + b"\xff\xfb")
+
+
+# ---------------------------------------------------------------------------
+# property: random valid frame streams parse back to their construction
+# ---------------------------------------------------------------------------
+try:
+    from hypothesis import given, settings, strategies as st
+
+    _BITRATE_TABLES = {
+        (3, 1): (32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384, 416, 448),
+        (3, 2): (32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 384),
+        (3, 3): (32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320),
+        (2, 1): (32, 48, 56, 64, 80, 96, 112, 128, 144, 160, 176, 192, 224, 256),
+        (2, 2): (8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160),
+        (2, 3): (8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160),
+        (0, 1): (32, 48, 56, 64, 80, 96, 112, 128, 144, 160, 176, 192, 224, 256),
+        (0, 2): (8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160),
+        (0, 3): (8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160),
+    }
+    _RATES = {3: (44100, 48000, 32000), 2: (22050, 24000, 16000),
+              0: (11025, 12000, 8000)}
+
+    @st.composite
+    def _stream(draw):
+        version = draw(st.sampled_from([3, 2, 0]))
+        layer_bits = draw(st.sampled_from([1, 2, 3]))
+        layer = 4 - layer_bits
+        ridx = draw(st.integers(0, 2))
+        mode = draw(st.sampled_from([0, 3]))
+        n = draw(st.integers(1, 12))
+        frames, samples = [], 0
+        rate = _RATES[version][ridx]
+        spf = (384 if layer == 1 else
+               1152 if layer == 2 else (1152 if version == 3 else 576))
+        for _ in range(n):
+            bidx = draw(st.integers(1, 14))
+            pad = draw(st.integers(0, 1))
+            kbps = _BITRATE_TABLES[(version, layer)][bidx - 1]
+            if layer == 1:
+                size = (12 * kbps * 1000 // rate + pad) * 4
+            else:
+                size = spf // 8 * kbps * 1000 // rate + pad
+            frames.append(
+                _frame(size, version=version, layer_bits=layer_bits,
+                       bidx=bidx, ridx=ridx, pad=pad, mode=mode)
+            )
+            samples += spf
+        return b"".join(frames), n, samples, rate, layer, mode
+
+    @settings(max_examples=60, deadline=None)
+    @given(_stream())
+    def test_property_random_streams_parse_back(case):
+        payload, n, samples, rate, layer, mode = case
+        info = mp3.mp3_metadata(payload)
+        assert info.n_frames == n
+        assert info.n_samples == samples
+        assert info.sample_rate == rate
+        assert info.layer == layer
+        assert info.channels == (1 if mode == 3 else 2)
+        assert info.duration_s == samples / rate
+except ImportError:  # hypothesis not installed
+    pass
