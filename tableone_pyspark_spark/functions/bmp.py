@@ -10,9 +10,11 @@ default) and negative height (top-down); and since r7 the BI_RLE8 /
 BI_RLE4 compressions (encoded runs, absolute mode, end-of-line /
 end-of-bitmap escapes, cursor deltas — undefined pixels resolve to
 palette entry 0, the common writer convention). r7 also adds
-1/4-bit packed palette rows (MSB-first) and 16-bit RGB555.
-Bitfield compression (BI_BITFIELDS masks) refuses with
-``NotImplementedError`` (honest boundary — rare in the wild).
+1/4-bit packed palette rows (MSB-first) and 16-bit RGB555. r8 adds
+BI_BITFIELDS (compression 3): three DWORD channel masks at offset 54
+(nonzero, contiguous, non-overlapping — hostile masks ValueError),
+channels rescaled to 8 bits by integer rounding — covers RGB565 /
+ARGB8888 and every other mask layout GDI can write.
 
 Hostile-input hardening (same contract as the other codecs): declared
 dimensions bounded by ``MAX_PIXELS`` before any allocation, every
@@ -64,16 +66,19 @@ def _header(payload: bytes, max_pixels: int):
         raise ValueError(f"BMP: BI_RLE8 requires 8 bpp, got {bpp}")
     if compression == 2 and bpp != 4:
         raise ValueError(f"BMP: BI_RLE4 requires 4 bpp, got {bpp}")
-    if compression not in (0, 1, 2):
+    if compression == 3 and bpp not in (16, 32):
+        raise ValueError(f"BMP: BI_BITFIELDS requires 16/32 bpp, got {bpp}")
+    if compression not in (0, 1, 2, 3):
         raise NotImplementedError(
-            f"BMP compression {compression} unsupported (BI_RGB/RLE8/RLE4 only)"
+            f"BMP compression {compression} unsupported "
+            "(BI_RGB/RLE8/RLE4/BITFIELDS only)"
         )
     if bpp not in (1, 4, 8, 16, 24, 32):
         raise NotImplementedError(f"BMP bit depth {bpp} unsupported")
     top_down = h < 0
     h = abs(h)
-    if top_down and compression:
-        # the spec forbids top-down RLE bitmaps
+    if top_down and compression in (1, 2):
+        # the spec forbids top-down RLE bitmaps (BITFIELDS may be either)
         raise ValueError("BMP: RLE bitmaps must be bottom-up")
     if w <= 0 or h == 0:
         raise ValueError("BMP: non-positive dimensions")
@@ -176,13 +181,37 @@ def decode_bmp(payload: bytes, max_pixels: int = MAX_PIXELS) -> np.ndarray:
         ).reshape(n_colors, 4)
         palette = raw[:, [2, 1, 0]]  # BGRX -> RGB
 
-    if compression:
+    if compression in (1, 2):
         if data_off < 54 or data_off > len(payload):
             raise ValueError("BMP: pixel data offset outside the payload")
         idx = _decode_rle(payload[data_off:], w, h, four_bit=(bpp == 4))
         if int(idx.max(initial=0)) >= palette.shape[0]:
             raise ValueError("BMP: pixel index outside palette")
         return np.ascontiguousarray(palette[idx])
+
+    masks = None
+    if compression == 3:
+        # BI_BITFIELDS: three DWORD channel masks directly after the
+        # 40 core header fields (the V2/V3/V4/V5 header sizes embed
+        # them at the same byte offset 54). Masks must be nonzero,
+        # contiguous and within the pixel width; channels scale to
+        # 8 bits by integer rounding round(raw·255/max) (the exact
+        # rescale; the legacy BI_RGB-555 path below keeps the other
+        # documented convention, bit replication — they differ by at
+        # most 1 LSB on 5-bit values).
+        if len(payload) < 66:
+            raise ValueError("BMP truncated: BITFIELDS masks missing")
+        masks = struct.unpack_from("<III", payload, 54)
+        for mk in masks:
+            if mk == 0 or mk >= (1 << bpp):
+                raise ValueError(f"BMP: invalid BITFIELDS mask {mk:#x}")
+            shift = (mk & -mk).bit_length() - 1
+            if (mk >> shift) & ((mk >> shift) + 1):
+                raise ValueError(
+                    f"BMP: non-contiguous BITFIELDS mask {mk:#x}"
+                )
+        if (masks[0] & masks[1]) or (masks[0] & masks[2]) or (masks[1] & masks[2]):
+            raise ValueError("BMP: overlapping BITFIELDS masks")
 
     row_bytes = (w * bpp + 7) // 8
     stride = (row_bytes + 3) & ~3  # rows pad to 4-byte boundaries
@@ -211,6 +240,16 @@ def decode_bmp(payload: bytes, max_pixels: int = MAX_PIXELS) -> np.ndarray:
         if int(idx.max(initial=0)) >= palette.shape[0]:
             raise ValueError("BMP: pixel index outside palette")
         return np.ascontiguousarray(palette[idx])
+    if masks is not None:  # BI_BITFIELDS 16/32-bit
+        dt = "<u2" if bpp == 16 else "<u4"
+        v = rows[:, : w * (bpp // 8)].copy().view(dt).reshape(h, w)
+        out = np.empty((h, w, 3), dtype=np.uint8)
+        for ch, mk in enumerate(masks):
+            shift = (mk & -mk).bit_length() - 1
+            maxv = mk >> shift
+            raw = (v.astype(np.uint32) >> shift) & maxv
+            out[:, :, ch] = ((raw * 255 + maxv // 2) // maxv).astype(np.uint8)
+        return out
     if bpp == 16:  # BI_RGB 16-bit is RGB555 little-endian (top bit pad)
         v = rows[:, : w * 2].copy().view("<u2").reshape(h, w)
         out = np.empty((h, w, 3), dtype=np.uint8)

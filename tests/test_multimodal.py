@@ -182,8 +182,8 @@ def test_bmp_real_decode_in_image_metadata(spark):
     # RLE decodes for real since r7; bitfields still refuse, and an
     # RLE flag on a 24-bit payload is a structural lie (ValueError)
     bf = bytearray(payload)
-    struct.pack_into("<I", bf, 30, 3)  # BI_BITFIELDS
-    with _pytest.raises(NotImplementedError, match="compression"):
+    struct.pack_into("<I", bf, 30, 3)  # BI_BITFIELDS on 24 bpp: invalid
+    with _pytest.raises(ValueError, match="BITFIELDS requires 16/32"):
         bmp.decode_bmp(bytes(bf))
     rle = bytearray(payload)
     struct.pack_into("<I", rle, 30, 1)  # BI_RLE8 but bpp=24
@@ -429,3 +429,76 @@ def test_phash_neardup_pairs_pigeonhole(spark):
         if a < b and bin(sigs[a] ^ sigs[b]).count("1") <= 3
     }
     assert got == brute
+
+
+def test_bmp_bitfields_decode():
+    """BI_BITFIELDS: RGB565 16-bit and ARGB8888 32-bit decode through
+    the mask/shift/round path; hostile masks raise."""
+    import struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    from tableone_pyspark_spark.functions import bmp
+
+    def hdr(w, h, bpp, masks, data_len):
+        info = struct.pack(
+            "<IiihHIIiiII", 40, w, h, 1, bpp, 3, data_len, 2835, 2835, 0, 0
+        )
+        mk = struct.pack("<III", *masks)
+        off = 54 + 12
+        return (
+            struct.pack("<2sIHHI", b"BM", off + data_len, 0, 0, off)
+            + info + mk
+        )
+
+    # RGB565, 2x1, bottom-up: R=0x1F<<11, G=0x3F<<5, B=0x1F
+    px = [(31, 0, 0), (10, 32, 5)]  # raw channel values (5/6/5 bit)
+    vals = [(r << 11) | (g << 5) | b for r, g, b in px]
+    data = struct.pack("<HH", *vals)  # 4 bytes: already 4-aligned
+    payload = hdr(2, 1, 16, (0xF800, 0x07E0, 0x001F), len(data)) + data
+    out = bmp.decode_bmp(payload)
+    assert out.shape == (1, 2, 3)
+    # round(raw*255/max): 31->255, 10->82, 32->129, 5->41
+    assert out[0, 0].tolist() == [255, 0, 0]
+    assert out[0, 1].tolist() == [
+        round(10 * 255 / 31), round(32 * 255 / 63), round(5 * 255 / 31)
+    ]
+    # rounding vs the RGB555 path's bit replication: within 1 LSB
+    for c in range(32):
+        assert abs((c * 255 + 15) // 31 - ((c << 3) | (c >> 2))) <= 1
+
+    # ARGB8888 32-bit: masks pick the right bytes, alpha dropped
+    v = (0x11 << 16) | (0x22 << 8) | 0x33 | (0xEE << 24)
+    payload = hdr(1, 1, 32, (0x00FF0000, 0x0000FF00, 0x000000FF), 4) + struct.pack("<I", v)
+    assert bmp.decode_bmp(payload)[0, 0].tolist() == [0x11, 0x22, 0x33]
+
+    # hostile: zero mask, overlapping, non-contiguous, truncated masks
+    bad = hdr(1, 1, 16, (0, 0x07E0, 0x001F), 4) + b"\x00" * 4
+    with _pytest.raises(ValueError, match="invalid BITFIELDS"):
+        bmp.decode_bmp(bad)
+    bad = hdr(1, 1, 16, (0xF800, 0xF800, 0x001F), 4) + b"\x00" * 4
+    with _pytest.raises(ValueError, match="overlapping"):
+        bmp.decode_bmp(bad)
+    bad = hdr(1, 1, 16, (0xA800, 0x07E0, 0x001F), 4) + b"\x00" * 4
+    with _pytest.raises(ValueError, match="non-contiguous"):
+        bmp.decode_bmp(bad)
+    with _pytest.raises(ValueError, match="masks missing"):
+        bmp.decode_bmp(hdr(1, 1, 16, (0xF800, 0x07E0, 0x001F), 4)[:60])
+
+
+def test_bmp_bitfields_topdown():
+    # top-down is legal for BITFIELDS (only RLE forbids it)
+    import struct
+
+    from tableone_pyspark_spark.functions import bmp
+
+    info = struct.pack(
+        "<IiihHIIiiII", 40, 1, -2, 1, 32, 3, 8, 2835, 2835, 0, 0
+    )
+    mk = struct.pack("<III", 0x00FF0000, 0x0000FF00, 0x000000FF)
+    data = struct.pack("<II", 0x00112233, 0x00445566)
+    payload = struct.pack("<2sIHHI", b"BM", 66 + 8, 0, 0, 66) + info + mk + data
+    out = bmp.decode_bmp(payload)
+    assert out[0, 0].tolist() == [0x11, 0x22, 0x33]  # first stored row on top
+    assert out[1, 0].tolist() == [0x44, 0x55, 0x66]
