@@ -2005,12 +2005,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #     byte-STUB fallback; the same kernel is graded through the
     #     three REAL codec branches (png/jpeg/gif_decode_stats) and the
     #     stub convention stays graded via audio_meta's ids%3==2 arm.
-    # Queries whose BEHAVIOR could have changed this round sit IN the
-    # window anyway (stale-1): none of the r8 source fixes (DSIR/Gopher
-    # python-twin strip(' '), FLAC validation + encoder cost model)
-    # altered any graded value on the ASCII corpora — revalidated
-    # locally via scripts/check_oracles.py after each fix.
-    # After r8 the 50 r7-graded stale-0s become stale-1 and lead r9.
+    # Source changes this round that touch graded pipelines were all
+    # verified value-identical on the graded corpora via
+    # scripts/check_oracles.py immediately after each change (the
+    # oracle-only-change precedent from r7): DSIR/Gopher python-twin
+    # strip(' ') (dsir_weights, repetition_stats, text_stats OK), FLAC
+    # validation + encoder cost model and the audio_metadata MP3
+    # dispatch branch (audio_meta OK — no 'ID3'-prefixed or
+    # 0xFF-leading text exists at any SF), the simhash pigeonhole
+    # refactor into signature_neardup_pairs (simhash_neardup OK),
+    # rebalance() in DSIR/PQ kernels (dsir_weights, bloom_probe,
+    # pq_recall, ivfpq_recall, stream_bloom OK), and the BMP
+    # BI_BITFIELDS decoder (png/jpeg/gif_decode_stats, frame_stats,
+    # audio_meta OK). Full-suite gate re-run this round: 100/100.
+    # After r8 the 50 r7-graded stale-0s become stale-1 and lead r9
+    # (named r9 behavior change: audio_meta's corpus gains an ids%4
+    # MP3 arm when it re-enters the window).
     _front = [
         # the 47 surviving r6-graded stale-1s, window_plan.py order
         "cont_stats", "cont_stats_by_group", "ttest_stat", "anova_stat",
