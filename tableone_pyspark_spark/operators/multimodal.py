@@ -52,15 +52,17 @@ FRAME_SCHEMA = T.StructType(
 )
 
 
-def _decode_image(payload: bytes) -> tuple[int, int, int, float]:
+def _decode_image(payload: bytes) -> tuple[int, int, int, "float | None"]:
     """Decode (width, height, channels, mean_intensity).
 
     PNG, JPEG, GIF, and BMP payloads (magic-byte sniff) decode for
     REAL via the pure-Python codecs in ``functions/`` — actual pixels,
-    actual mean. Any other
-    payload falls back to the deterministic byte-stub (no other codecs
-    in this container; production swaps PIL/turbojpeg into this same
-    seam — the Spark plumbing is unchanged either way)."""
+    actual mean. WebP payloads get REAL dimensions/alpha from the
+    container headers (``functions/webp.py``) with mean_intensity
+    honestly None (the pixel decoder is a documented refusal). Any
+    other payload falls back to the deterministic byte-stub (no other
+    codecs in this container; production swaps PIL/turbojpeg into this
+    same seam — the Spark plumbing is unchanged either way)."""
     if payload is None or len(payload) == 0:
         raise NotImplementedError("empty payload: real decoder required")
     import numpy as np
@@ -85,6 +87,14 @@ def _decode_image(payload: bytes) -> tuple[int, int, int, float]:
         arr = bmp.decode_bmp(payload)
         hh, ww, cc = arr.shape
         return ww, hh, cc, float(arr.mean() / 255.0)
+    from tableone_pyspark_spark.functions import webp
+
+    if webp.is_webp(payload):
+        # container/frame-header metadata is REAL (functions/webp.py);
+        # the pixel decoder is a documented refusal, so the intensity
+        # is honestly NULL rather than a byte-stub fake
+        wi = webp.webp_meta(payload)
+        return wi.width, wi.height, (4 if wi.has_alpha else 3), None
 
     h = len(payload)
     width = 64 + (payload[0] % 64)

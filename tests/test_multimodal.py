@@ -502,3 +502,65 @@ def test_bmp_bitfields_topdown():
     out = bmp.decode_bmp(payload)
     assert out[0, 0].tolist() == [0x11, 0x22, 0x33]  # first stored row on top
     assert out[1, 0].tolist() == [0x44, 0x55, 0x66]
+
+
+def test_webp_meta_and_dispatch(spark):
+    """WebP header metadata: all three variants parse; image_metadata
+    reports real dimensions with NULL intensity; hostile paths raise."""
+    import struct
+
+    import pytest as _pytest
+
+    from tableone_pyspark_spark.functions import webp
+    from tableone_pyspark_spark.operators.multimodal import image_metadata
+
+    def riff(fourcc, chunk):
+        body = fourcc + struct.pack("<I", len(chunk)) + chunk
+        return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WEBP" + body
+
+    # lossy VP8: tag(3) + start code + 320x240
+    vp8 = riff(b"VP8 ", b"\x00\x00\x00\x9d\x01\x2a" + struct.pack("<HH", 320, 240))
+    i = webp.webp_meta(vp8)
+    assert (i.width, i.height, i.variant, i.has_alpha) == (320, 240, "lossy", False)
+
+    # lossless VP8L: 0x2F + bits for 100x50 with alpha
+    bits = (100 - 1) | ((50 - 1) << 14) | (1 << 28)
+    vp8l = riff(b"VP8L", b"\x2f" + struct.pack("<I", bits) + b"\x00")
+    i = webp.webp_meta(vp8l)
+    assert (i.width, i.height, i.variant, i.has_alpha) == (100, 50, "lossless", True)
+
+    # extended VP8X: canvas 640x480, animation flag
+    vp8x = riff(
+        b"VP8X",
+        bytes([0x02, 0, 0, 0])
+        + (640 - 1).to_bytes(3, "little")
+        + (480 - 1).to_bytes(3, "little"),
+    )
+    i = webp.webp_meta(vp8x)
+    assert (i.width, i.height, i.variant, i.has_animation) == (
+        640, 480, "extended", True,
+    )
+
+    # Spark dispatch: real dims, channels by alpha, NULL intensity
+    d = spark.createDataFrame(
+        [(1, bytearray(vp8)), (2, bytearray(vp8l))], "id long, b binary"
+    )
+    got = {r["id"]: r for r in image_metadata(d, "id", "b").collect()}
+    assert (got[1]["width"], got[1]["height"], got[1]["channels"]) == (320, 240, 3)
+    assert (got[2]["width"], got[2]["height"], got[2]["channels"]) == (100, 50, 4)
+    assert got[1]["mean_intensity"] is None and got[2]["mean_intensity"] is None
+
+    # hostile
+    with _pytest.raises(ValueError, match="not a WebP"):
+        webp.webp_meta(b"RIFFxxxxWAVE" + b"\x00" * 8)
+    with _pytest.raises(ValueError, match="start code"):
+        webp.webp_meta(riff(b"VP8 ", b"\x00" * 10))
+    with _pytest.raises(ValueError, match="signature"):
+        webp.webp_meta(riff(b"VP8L", b"\x00" * 5))
+    with _pytest.raises(ValueError, match="reserved VP8L version"):
+        bad = (100 - 1) | ((50 - 1) << 14) | (1 << 29)
+        webp.webp_meta(riff(b"VP8L", b"\x2f" + struct.pack("<I", bad)))
+    with _pytest.raises(ValueError, match="RIFF size"):
+        webp.webp_meta(vp8[:-4] + b"")  # truncate below declared size
+    with _pytest.raises(ValueError, match="unknown first chunk"):
+        webp.webp_meta(riff(b"ANMF", b"\x00" * 12))
