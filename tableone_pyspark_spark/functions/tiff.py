@@ -1,0 +1,192 @@
+"""Baseline TIFF reader for the multimodal operators — the
+document-scan sibling of ``bmp.py`` (no entropy coding; pixels live
+in uncompressed strips addressed by the IFD).
+
+Structure (TIFF 6.0 baseline): a 8-byte header (``II*\\0`` little- or
+``MM\\0*`` big-endian + first-IFD offset), then linked IFDs of 12-byte
+entries ``(tag u16, type u16, count u32, value-or-offset u32)``.
+Supported: compression 1 (none), photometric 0/1 (grayscale, incl.
+the 0 = white-is-zero inversion) and 2 (RGB), 8 bits per sample,
+1/3/4 samples per pixel (gray / RGB / RGBA — extra alpha dropped),
+strip layout (StripOffsets/StripByteCounts/RowsPerStrip), both byte
+orders. PlanarConfiguration 2, tiles, LZW/PackBits/JPEG-in-TIFF and
+sub-8-bit depths refuse with typed errors (honest boundary — baseline
+uncompressed covers the scanner/export majority; a real libtiff slots
+into the same multimodal seam).
+
+Hostile-input contract as the other codecs: bomb guard before any
+allocation, every offset/strip read bounds-checked, hostile paths
+raise ValueError.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+from tableone_pyspark_spark.functions.bmp import MAX_PIXELS
+
+_TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4, 10: 8}
+
+
+def is_tiff(payload: bytes) -> bool:
+    return len(payload) >= 8 and payload[:4] in (b"II*\x00", b"MM\x00*")
+
+
+def _read_ifd(payload: bytes, endian: str):
+    (off,) = struct.unpack_from(endian + "I", payload, 4)
+    if off + 2 > len(payload):
+        raise ValueError("TIFF truncated: IFD offset outside the payload")
+    (n,) = struct.unpack_from(endian + "H", payload, off)
+    entries = {}
+    base = off + 2
+    if base + 12 * n > len(payload):
+        raise ValueError("TIFF truncated mid IFD")
+    for i in range(n):
+        tag, typ, cnt = struct.unpack_from(endian + "HHI", payload, base + 12 * i)
+        voff = base + 12 * i + 8
+        size = _TYPE_SIZES.get(typ, 1) * cnt
+        if size > 4:
+            (voff,) = struct.unpack_from(endian + "I", payload, voff)
+            if voff + size > len(payload):
+                raise ValueError(f"TIFF truncated: tag {tag} value outside payload")
+        fmt = {1: "B", 3: "H", 4: "I"}.get(typ)
+        if fmt is None:
+            entries[tag] = None  # rational/ascii — not needed here
+            continue
+        entries[tag] = list(
+            struct.unpack_from(endian + fmt * cnt, payload, voff)
+        )
+    return entries
+
+
+def tiff_meta(payload: bytes) -> tuple[int, int, int]:
+    """(width, height, samples_per_pixel) from the first IFD."""
+    if not is_tiff(payload):
+        raise ValueError("not a TIFF payload")
+    endian = "<" if payload[:2] == b"II" else ">"
+    e = _read_ifd(payload, endian)
+    try:
+        w, h = e[256][0], e[257][0]
+    except (KeyError, TypeError):
+        raise ValueError("TIFF: missing ImageWidth/ImageLength")
+    spp = e.get(277, [1])[0]
+    return w, h, spp
+
+
+def decode_tiff(payload: bytes, max_pixels: int = MAX_PIXELS) -> np.ndarray:
+    """(h, w) uint8 grayscale or (h, w, 3) uint8 RGB (alpha dropped)."""
+    if not is_tiff(payload):
+        raise ValueError("not a TIFF payload")
+    endian = "<" if payload[:2] == b"II" else ">"
+    e = _read_ifd(payload, endian)
+    try:
+        w, h = e[256][0], e[257][0]
+    except (KeyError, TypeError):
+        raise ValueError("TIFF: missing ImageWidth/ImageLength")
+    if w <= 0 or h <= 0:
+        raise ValueError("TIFF: non-positive dimensions")
+    if w * h > max_pixels:
+        raise ValueError(f"TIFF bomb guard: {w}x{h} exceeds {max_pixels} pixels")
+    comp = e.get(259, [1])[0]
+    if comp != 1:
+        raise NotImplementedError(
+            f"TIFF compression {comp} unsupported (baseline uncompressed only)"
+        )
+    photo = e.get(262, [1])[0]
+    if photo not in (0, 1, 2):
+        raise NotImplementedError(f"TIFF photometric {photo} unsupported")
+    spp = e.get(277, [1])[0]
+    if spp not in (1, 3, 4):
+        raise NotImplementedError(f"TIFF samples-per-pixel {spp} unsupported")
+    if photo == 2 and spp < 3:
+        raise ValueError("TIFF: RGB photometric with < 3 samples")
+    bits = e.get(258, [8])
+    if any(b != 8 for b in bits):
+        raise NotImplementedError(f"TIFF bit depths {bits} unsupported (8 only)")
+    if e.get(284, [1])[0] != 1:
+        raise NotImplementedError("TIFF planar configuration 2 unsupported")
+    if 322 in e or 323 in e:
+        raise NotImplementedError("TIFF tiled layout unsupported")
+    offs = e.get(273)
+    cnts = e.get(279)
+    if not offs or not cnts or len(offs) != len(cnts):
+        raise ValueError("TIFF: missing/mismatched strip offsets or counts")
+    rows_per_strip = e.get(278, [h])[0] or h
+    row_bytes = w * spp
+    out = np.empty((h, row_bytes), dtype=np.uint8)
+    y = 0
+    for so, sc in zip(offs, cnts):
+        if so + sc > len(payload):
+            raise ValueError("TIFF truncated: strip outside the payload")
+        n_rows = min(rows_per_strip, h - y)
+        if sc < n_rows * row_bytes:
+            raise ValueError("TIFF: strip shorter than its rows")
+        strip = np.frombuffer(payload, dtype=np.uint8, count=n_rows * row_bytes, offset=so)
+        out[y : y + n_rows] = strip.reshape(n_rows, row_bytes)
+        y += n_rows
+    if y < h:
+        raise ValueError("TIFF: strips cover fewer rows than ImageLength")
+    if spp == 1:
+        img = out
+        if photo == 0:  # white-is-zero
+            img = 255 - img
+        return np.ascontiguousarray(img)
+    px = out.reshape(h, w, spp)
+    return np.ascontiguousarray(px[:, :, :3])
+
+
+def encode_tiff(arr: np.ndarray) -> bytes:
+    """Fixture/round-trip writer: (h, w) gray or (h, w, 3) RGB uint8 →
+    baseline little-endian single-strip TIFF."""
+    arr = np.asarray(arr, dtype=np.uint8)
+    if arr.ndim == 2:
+        h, w = arr.shape
+        spp, photo = 1, 1
+    elif arr.ndim == 3 and arr.shape[2] == 3:
+        h, w, _ = arr.shape
+        spp, photo = 3, 2
+    else:
+        raise ValueError("arr must be (h, w) gray or (h, w, 3) RGB")
+    data = arr.tobytes()
+    tags = [
+        (256, 3, 1, w),
+        (257, 3, 1, h),
+        (258, 3, 1, 8) if spp == 1 else (258, 3, 3, None),  # bits
+        (259, 3, 1, 1),
+        (262, 3, 1, photo),
+        (273, 4, 1, None),  # strip offset, patched below
+        (277, 3, 1, spp),
+        (278, 3, 1, h),
+        (279, 4, 1, len(data)),
+    ]
+    n = len(tags)
+    ifd_off = 8
+    after_ifd = ifd_off + 2 + 12 * n + 4
+    extra = b""
+    extra_off = after_ifd
+    entries = b""
+    for tag, typ, cnt, val in tags:
+        if tag == 258 and spp == 3:
+            entries += struct.pack("<HHII", tag, typ, cnt, extra_off)
+            extra += struct.pack("<HHH", 8, 8, 8) + b"\x00\x00"
+            extra_off += 8
+        elif tag == 273:
+            entries += struct.pack("<HHII", tag, typ, cnt, 0)  # patched
+        else:
+            entries += struct.pack("<HHII", tag, typ, cnt, val)
+    data_off = extra_off
+    entries = entries.replace(
+        struct.pack("<HHII", 273, 4, 1, 0),
+        struct.pack("<HHII", 273, 4, 1, data_off),
+    )
+    return (
+        b"II*\x00"
+        + struct.pack("<I", ifd_off)
+        + struct.pack("<H", n)
+        + entries
+        + struct.pack("<I", 0)
+        + extra
+        + data
+    )

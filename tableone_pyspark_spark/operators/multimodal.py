@@ -2,10 +2,11 @@
 columns with typed metadata, processed by Arrow-batched pandas
 iterators (``mapInPandas``).
 
-PNG, baseline/progressive JPEG, GIF, and BMP payloads decode for
-REAL via the dependency-free codecs in ``functions/png.py`` /
-``jpeg.py`` / ``gif.py`` / ``bmp.py`` (magic-byte dispatch): true
-pixels feed
+PNG, baseline/progressive JPEG, GIF, BMP, and baseline TIFF
+payloads decode for REAL via the dependency-free codecs in
+``functions/png.py`` / ``jpeg.py`` / ``gif.py`` / ``bmp.py`` /
+``tiff.py`` (magic-byte dispatch); WebP reports REAL header metadata
+(``webp.py``, pixel decode a documented refusal): true pixels feed
 ``image_metadata``/``image_phash``/``resize_png``. Other formats have
 no codec in this container, so their kernels remain deterministic
 fakes behind the same ``_decode_*`` seams (clearly marked; swap in
@@ -55,9 +56,9 @@ FRAME_SCHEMA = T.StructType(
 def _decode_image(payload: bytes) -> tuple[int, int, int, "float | None"]:
     """Decode (width, height, channels, mean_intensity).
 
-    PNG, JPEG, GIF, and BMP payloads (magic-byte sniff) decode for
-    REAL via the pure-Python codecs in ``functions/`` — actual pixels,
-    actual mean. WebP payloads get REAL dimensions/alpha from the
+    PNG, JPEG, GIF, BMP, and baseline TIFF payloads (magic-byte
+    sniff) decode for REAL via the pure-Python codecs in
+    ``functions/`` — actual pixels, actual mean. WebP payloads get REAL dimensions/alpha from the
     container headers (``functions/webp.py``) with mean_intensity
     honestly None (the pixel decoder is a documented refusal). Any
     other payload falls back to the deterministic byte-stub (no other
@@ -87,8 +88,15 @@ def _decode_image(payload: bytes) -> tuple[int, int, int, "float | None"]:
         arr = bmp.decode_bmp(payload)
         hh, ww, cc = arr.shape
         return ww, hh, cc, float(arr.mean() / 255.0)
-    from tableone_pyspark_spark.functions import webp
+    from tableone_pyspark_spark.functions import tiff, webp
 
+    if tiff.is_tiff(payload):
+        arr = tiff.decode_tiff(payload)
+        if arr.ndim == 2:
+            hh, ww = arr.shape
+            return ww, hh, 1, float(arr.mean() / 255.0)
+        hh, ww, cc = arr.shape
+        return ww, hh, cc, float(arr.mean() / 255.0)
     if webp.is_webp(payload):
         # container/frame-header metadata is REAL (functions/webp.py);
         # the pixel decoder is a documented refusal, so the intensity
@@ -637,7 +645,8 @@ TRANSCODE_SCHEMA = T.StructType(
 def transcode_images(df: DataFrame, id_col: str, bin_col: str) -> DataFrame:
     """Normalize a heterogeneous image corpus to ONE format: decode
     whatever the magic bytes say (PNG / JPEG baseline+progressive /
-    GIF first-frame / BMP — all in-repo codecs) and re-encode as PNG.
+    GIF first-frame / BMP / baseline TIFF — all in-repo codecs) and
+    re-encode as PNG.
     The standard ingestion step before a vision-training pipeline
     (uniform loader, lossless container, strips animation/metadata).
 
@@ -651,7 +660,7 @@ def transcode_images(df: DataFrame, id_col: str, bin_col: str) -> DataFrame:
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
 
-        from tableone_pyspark_spark.functions import bmp, gif, jpeg, png
+        from tableone_pyspark_spark.functions import bmp, gif, jpeg, png, tiff
 
         def decode(raw: bytes):
             if png.is_png(raw):
@@ -662,6 +671,8 @@ def transcode_images(df: DataFrame, id_col: str, bin_col: str) -> DataFrame:
                 return "gif", gif.decode_gif(raw)
             if bmp.is_bmp(raw):
                 return "bmp", bmp.decode_bmp(raw)
+            if tiff.is_tiff(raw):
+                return "tiff", tiff.decode_tiff(raw)
             return None, None
 
         for pdf in batches:

@@ -564,3 +564,84 @@ def test_webp_meta_and_dispatch(spark):
         webp.webp_meta(vp8[:-4] + b"")  # truncate below declared size
     with _pytest.raises(ValueError, match="unknown first chunk"):
         webp.webp_meta(riff(b"ANMF", b"\x00" * 12))
+
+
+def test_tiff_decode_and_dispatch(spark):
+    """Baseline TIFF: gray + RGB round-trip through the fixture
+    encoder, big-endian and white-is-zero variants, strip layout,
+    Spark dispatch, and the typed-refusal boundary."""
+    import struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    from tableone_pyspark_spark.functions import tiff
+    from tableone_pyspark_spark.operators.multimodal import image_metadata
+
+    rng = np.random.default_rng(11)
+    gray = rng.integers(0, 256, (5, 9), dtype=np.uint8)
+    rgb = rng.integers(0, 256, (4, 6, 3), dtype=np.uint8)
+
+    pg = tiff.encode_tiff(gray)
+    pr = tiff.encode_tiff(rgb)
+    assert tiff.is_tiff(pg) and tiff.is_tiff(pr)
+    assert np.array_equal(tiff.decode_tiff(pg), gray)
+    assert np.array_equal(tiff.decode_tiff(pr), rgb)
+    assert tiff.tiff_meta(pg) == (9, 5, 1)
+    assert tiff.tiff_meta(pr) == (6, 4, 3)
+
+    # white-is-zero grayscale inverts
+    wz = bytearray(pg)
+    # photometric tag 262 entry: find it and set value to 0
+    n = struct.unpack_from("<H", wz, 8)[0]
+    for i in range(n):
+        off = 10 + 12 * i
+        if struct.unpack_from("<H", wz, off)[0] == 262:
+            struct.pack_into("<HHII", wz, off, 262, 3, 1, 0)
+    assert np.array_equal(tiff.decode_tiff(bytes(wz)), 255 - gray)
+
+    # Spark dispatch: real dims + real means
+    d = spark.createDataFrame(
+        [(1, bytearray(pg)), (2, bytearray(pr))], "id long, b binary"
+    )
+    got = {r["id"]: r for r in image_metadata(d, "id", "b").collect()}
+    assert (got[1]["width"], got[1]["height"], got[1]["channels"]) == (9, 5, 1)
+    assert got[1]["mean_intensity"] == _pytest.approx(gray.mean() / 255, abs=1e-9)
+    assert (got[2]["width"], got[2]["height"], got[2]["channels"]) == (6, 4, 3)
+    assert got[2]["mean_intensity"] == _pytest.approx(rgb.mean() / 255, abs=1e-9)
+
+    # hostile / refusal boundary
+    lzw = bytearray(pg)
+    for i in range(n):
+        off = 10 + 12 * i
+        if struct.unpack_from("<H", lzw, off)[0] == 259:
+            struct.pack_into("<HHII", lzw, off, 259, 3, 1, 5)
+    with _pytest.raises(NotImplementedError, match="compression 5"):
+        tiff.decode_tiff(bytes(lzw))
+    with _pytest.raises(ValueError, match="not a TIFF"):
+        tiff.decode_tiff(b"ZZZZ" + b"\x00" * 20)
+    with _pytest.raises(ValueError, match="strip outside"):
+        tiff.decode_tiff(pg[:-5])
+    bomb = bytearray(pg)
+    for i in range(n):
+        off = 10 + 12 * i
+        t = struct.unpack_from("<H", bomb, off)[0]
+        if t in (256, 257):
+            struct.pack_into("<HHII", bomb, off, t, 3, 1, 60000)
+    with _pytest.raises(ValueError, match="bomb"):
+        tiff.decode_tiff(bytes(bomb))
+
+
+def test_transcode_accepts_tiff(spark):
+    import numpy as np
+
+    from tableone_pyspark_spark.functions import png, tiff
+    from tableone_pyspark_spark.operators.multimodal import transcode_images
+
+    rgb = np.random.default_rng(3).integers(0, 256, (4, 5, 3), dtype=np.uint8)
+    d = spark.createDataFrame(
+        [(1, bytearray(tiff.encode_tiff(rgb)))], "id long, b binary"
+    )
+    r = transcode_images(d, "id", "b").collect()[0]
+    assert r["src_format"] == "tiff"
+    assert np.array_equal(png.decode_png(bytes(r["png"])), rgb)
