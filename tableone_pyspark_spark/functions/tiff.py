@@ -9,9 +9,12 @@ Supported: compression 1 (none), photometric 0/1 (grayscale, incl.
 the 0 = white-is-zero inversion) and 2 (RGB), 8 bits per sample,
 1/3/4 samples per pixel (gray / RGB / RGBA — extra alpha dropped),
 strip layout (StripOffsets/StripByteCounts/RowsPerStrip), both byte
-orders. PlanarConfiguration 2, tiles, LZW/PackBits/JPEG-in-TIFF and
-sub-8-bit depths refuse with typed errors (honest boundary — baseline
-uncompressed covers the scanner/export majority; a real libtiff slots
+orders, and PackBits compression (32773 — the Apple RLE: flag<128
+copies flag+1 literals, flag>128 repeats the next byte 257−flag
+times, 128 is a no-op; strips decompress independently).
+PlanarConfiguration 2, tiles, LZW/JPEG-in-TIFF and sub-8-bit depths
+refuse with typed errors (honest boundary — baseline uncompressed +
+PackBits cover the scanner/export majority; a real libtiff slots
 into the same multimodal seam).
 
 Hostile-input contract as the other codecs: bomb guard before any
@@ -61,6 +64,59 @@ def _read_ifd(payload: bytes, endian: str):
     return entries
 
 
+def _unpackbits(data: bytes, expected: int) -> bytes:
+    """PackBits (32773): flag < 128 copies flag+1 literal bytes,
+    flag > 128 repeats the next byte 257−flag times, 128 is a no-op.
+    Decodes exactly ``expected`` bytes; short or truncated input
+    raises (house hostile-path contract)."""
+    out = bytearray()
+    pos, n = 0, len(data)
+    while pos < n and len(out) < expected:
+        flag = data[pos]
+        pos += 1
+        if flag == 128:
+            continue
+        if flag < 128:
+            cnt = flag + 1
+            if pos + cnt > n:
+                raise ValueError("TIFF PackBits: literal run truncated")
+            out += data[pos : pos + cnt]
+            pos += cnt
+        else:
+            if pos >= n:
+                raise ValueError("TIFF PackBits: repeat run truncated")
+            out += bytes([data[pos]]) * (257 - flag)
+            pos += 1
+    if len(out) < expected:
+        raise ValueError("TIFF PackBits: strip decodes short")
+    return bytes(out[:expected])
+
+
+def packbits_encode(row: bytes) -> bytes:
+    """Fixture/round-trip PackBits writer: greedy repeat runs (≥ 3 or
+    a pair at buffer boundaries) and literal runs, both capped at 128.
+    Spec-valid output; not size-optimal for pathological mixes."""
+    out = bytearray()
+    i, n = 0, len(row)
+    while i < n:
+        run = 1
+        while i + run < n and run < 128 and row[i + run] == row[i]:
+            run += 1
+        if run >= 2:
+            out += bytes([257 - run, row[i]])
+            i += run
+            continue
+        lit = i
+        while (
+            i < n
+            and i - lit < 128
+            and not (i + 2 < n and row[i] == row[i + 1] == row[i + 2])
+        ):
+            i += 1
+        out += bytes([i - lit - 1]) + row[lit:i]
+    return bytes(out)
+
+
 def tiff_meta(payload: bytes) -> tuple[int, int, int]:
     """(width, height, samples_per_pixel) from the first IFD."""
     if not is_tiff(payload):
@@ -90,9 +146,9 @@ def decode_tiff(payload: bytes, max_pixels: int = MAX_PIXELS) -> np.ndarray:
     if w * h > max_pixels:
         raise ValueError(f"TIFF bomb guard: {w}x{h} exceeds {max_pixels} pixels")
     comp = e.get(259, [1])[0]
-    if comp != 1:
+    if comp not in (1, 32773):
         raise NotImplementedError(
-            f"TIFF compression {comp} unsupported (baseline uncompressed only)"
+            f"TIFF compression {comp} unsupported (uncompressed/PackBits only)"
         )
     photo = e.get(262, [1])[0]
     if photo not in (0, 1, 2):
@@ -121,9 +177,14 @@ def decode_tiff(payload: bytes, max_pixels: int = MAX_PIXELS) -> np.ndarray:
         if so + sc > len(payload):
             raise ValueError("TIFF truncated: strip outside the payload")
         n_rows = min(rows_per_strip, h - y)
-        if sc < n_rows * row_bytes:
-            raise ValueError("TIFF: strip shorter than its rows")
-        strip = np.frombuffer(payload, dtype=np.uint8, count=n_rows * row_bytes, offset=so)
+        need = n_rows * row_bytes
+        if comp == 32773:
+            raw = _unpackbits(payload[so : so + sc], need)
+            strip = np.frombuffer(raw, dtype=np.uint8)
+        else:
+            if sc < need:
+                raise ValueError("TIFF: strip shorter than its rows")
+            strip = np.frombuffer(payload, dtype=np.uint8, count=need, offset=so)
         out[y : y + n_rows] = strip.reshape(n_rows, row_bytes)
         y += n_rows
     if y < h:

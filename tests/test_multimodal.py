@@ -645,3 +645,60 @@ def test_transcode_accepts_tiff(spark):
     r = transcode_images(d, "id", "b").collect()[0]
     assert r["src_format"] == "tiff"
     assert np.array_equal(png.decode_png(bytes(r["png"])), rgb)
+
+
+def test_tiff_packbits():
+    """PackBits strips decode; encoder round-trips arbitrary rows;
+    hostile truncations raise."""
+    import struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    from tableone_pyspark_spark.functions import tiff
+
+    rng = np.random.default_rng(21)
+    # mix of runs and literals per row
+    gray = np.concatenate(
+        [
+            np.full((6, 20), 7, dtype=np.uint8),
+            rng.integers(0, 256, (6, 20), dtype=np.uint8),
+        ],
+        axis=1,
+    )
+    h, w = gray.shape
+    # build a PackBits TIFF by hand: one strip per row
+    strips = [tiff.packbits_encode(gray[r].tobytes()) for r in range(h)]
+    # verify encoder against the decoder primitive first
+    for r, s in enumerate(strips):
+        assert tiff._unpackbits(s, w) == gray[r].tobytes()
+    n_tags = 9
+    ifd_off = 8
+    after = ifd_off + 2 + 12 * n_tags + 4
+    offs, pos = [], after + 4 * 2 * h  # strip offset+count arrays
+    for s in strips:
+        offs.append(pos)
+        pos += len(s)
+    entries = b""
+    arr_off = after
+    for tag, typ, cnt, val in [
+        (256, 3, 1, w), (257, 3, 1, h), (258, 3, 1, 8), (259, 3, 1, 32773),
+        (262, 3, 1, 1), (273, 4, h, arr_off), (277, 3, 1, 1),
+        (278, 3, 1, 1), (279, 4, h, arr_off + 4 * h),
+    ]:
+        entries += struct.pack("<HHII", tag, typ, cnt, val)
+    payload = (
+        b"II*\x00" + struct.pack("<I", ifd_off) + struct.pack("<H", n_tags)
+        + entries + struct.pack("<I", 0)
+        + b"".join(struct.pack("<I", o) for o in offs)
+        + b"".join(struct.pack("<I", len(s)) for s in strips)
+        + b"".join(strips)
+    )
+    assert np.array_equal(tiff.decode_tiff(payload), gray)
+    # hostile: cut the last strip short
+    with _pytest.raises(ValueError, match="PackBits|outside"):
+        tiff.decode_tiff(payload[:-3])
+    # the no-op flag is skipped
+    assert tiff._unpackbits(b"\x80\x02abc", 3) == b"abc"
+    # repeat run: 257-254=3 copies
+    assert tiff._unpackbits(b"\xfeZ", 3) == b"ZZZ"
