@@ -3495,7 +3495,10 @@ def oracle_sql() -> dict[str, str]:
                     + ", ".join(f"{x}::DOUBLE[]" for x in ls)
                     + ")"
                 )
-        adc = "((ql.l0[rc.j0] + ql.l1[rc.j1]) + ql.l2[rc.j2]) + ql.l3[rc.j3]"
+        # left-assoc sum over all m subspaces (numpy's dist += order)
+        adc = f"ql.l0[rc.j0]"
+        for s in range(1, m):
+            adc = f"({adc}) + ql.l{s}[rc.j{s}]"
         sq = (
             "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
             f"list_transform(range(1, {d} + 1), "
@@ -3508,7 +3511,8 @@ def oracle_sql() -> dict[str, str]:
             f"rr AS (SELECT vec_id, cell, list_transform(range(1, {d} + 1), "
             f"i -> v[i] - ({cv})[cell + 1][i]) AS r FROM a), "
             f"rc AS (SELECT vec_id, cell, {', '.join(idx_cols)} FROM rr), "
-            f"ql(query_id, cell, l0, l1, l2, l3) AS (VALUES {', '.join(vals)}), "
+            f"ql(query_id, cell, {', '.join(f'l{s}' for s in range(m))}) "
+            f"AS (VALUES {', '.join(vals)}), "
             f"ap0 AS (SELECT ql.query_id, rc.vec_id AS neighbor_id, {adc} AS adc "
             "FROM rc JOIN ql ON rc.cell = ql.cell WHERE rc.vec_id <> ql.query_id), "
             "ap AS (SELECT query_id, neighbor_id FROM (SELECT *, row_number() "

@@ -247,7 +247,9 @@ def decode_bmp(payload: bytes, max_pixels: int = MAX_PIXELS) -> np.ndarray:
         for ch, mk in enumerate(masks):
             shift = (mk & -mk).bit_length() - 1
             maxv = mk >> shift
-            raw = (v.astype(np.uint32) >> shift) & maxv
+            # uint64: raw*255 overflows uint32 for masks wider than 24
+            # bits (a valid 28-bit mask would silently decode wrong)
+            raw = (v.astype(np.uint64) >> shift) & maxv
             out[:, :, ch] = ((raw * 255 + maxv // 2) // maxv).astype(np.uint8)
         return out
     if bpp == 16:  # BI_RGB 16-bit is RGB555 little-endian (top bit pad)

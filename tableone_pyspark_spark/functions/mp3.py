@@ -174,8 +174,15 @@ def mp3_metadata(payload: bytes, max_frames: int = MAX_FRAMES) -> Mp3Info:
         raise ValueError("MP3: payload shorter than one frame header")
     pos = _skip_id3v2(payload)
     end = len(payload)
-    if end - pos >= 128 and payload[end - 128 : end - 125] == b"TAG":
-        end -= 128  # ID3v1 trailer
+    # ID3v1 trailer candidate: only honored when the frame walk lands
+    # EXACTLY on it — compressed audio bytes may legitimately contain
+    # 'TAG' 128 bytes before EOF, and pre-trimming would reject the
+    # valid stream as a truncated final frame
+    id3v1 = (
+        end - 128
+        if end - pos >= 128 and payload[end - 128 : end - 125] == b"TAG"
+        else None
+    )
     if pos >= end:
         raise ValueError("MP3: no frames after the ID3 tags")
 
@@ -184,6 +191,8 @@ def mp3_metadata(payload: bytes, max_frames: int = MAX_FRAMES) -> Mp3Info:
     first = None  # (vbits, layer, rate, channels)
     vbr_header = False
     while pos < end:
+        if pos == id3v1:
+            break  # trailer begins exactly at a frame boundary
         if end - pos < 4:
             raise ValueError("MP3: trailing garbage shorter than a header")
         h = int.from_bytes(payload[pos : pos + 4], "big")

@@ -463,7 +463,15 @@ def signature_neardup_pairs(
     it must AGREE on at least one; candidates come from an equi-join
     on (chunk_index, chunk_value) and are verified with the exact
     ``bit_count(xor)``. No false negatives by construction. Returns
-    (id_a, id_b, hamming)."""
+    (id_a, id_b, hamming).
+
+    ``max_hamming`` must be in 0..63: at 64+ every chunk width
+    degenerates to zero bits and the candidate join becomes the
+    all-pairs scan this construction exists to avoid."""
+    if not 0 <= max_hamming <= 63:
+        raise ValueError(
+            f"max_hamming must be in 0..63, got {max_hamming}"
+        )
     k = max_hamming + 1
     width = 64 // k
     s = sig.select(F.col(id_col).alias("id"), F.col(sig_col).alias("sg"))

@@ -674,7 +674,12 @@ def streaming_drift(
         stream.withWatermark(ts_col, watermark)
         if stream.isStreaming
         else stream
-    ).where(v.isNotNull()).select(
+    ).where(
+        # NaN would otherwise compare false against every edge and
+        # silently land in the top bin, skewing PSI — excluded like
+        # NULL (pair with a null/NaN-rate monitor for missingness)
+        v.isNotNull() & ~F.isnan(v.cast("double"))
+    ).select(
         F.window(F.col(ts_col), window).alias("win"), bucket.alias("b")
     )
     counters = [

@@ -692,3 +692,18 @@ def test_streaming_drift_psi(spark):
         streaming_drift(df, "value", edges, [0.0, 0.0, 0.0, 0.0])
     with _pytest.raises(ValueError, match="at least 2"):
         streaming_drift(df, "value", [], [1.0])
+
+
+def test_streaming_drift_excludes_nan(spark):
+    from tableone_pyspark_spark.streaming.stream_stats import streaming_drift
+
+    rows = [
+        ("2024-01-01 00:00:01", 1.0),
+        ("2024-01-01 00:00:02", float("nan")),
+        ("2024-01-01 00:00:03", 7.0),
+    ]
+    df = spark.createDataFrame(rows, "ts string, value double").select(
+        F.col("ts").cast("timestamp").alias("ts"), "value"
+    )
+    r = streaming_drift(df, "value", [2.0, 4.0, 6.0], [0.25] * 4, window="1 hour").collect()[0]
+    assert r["n"] == 2  # NaN excluded like NULL, not binned

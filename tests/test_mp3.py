@@ -223,3 +223,18 @@ try:
         assert info.duration_s == samples / rate
 except ImportError:  # hypothesis not installed
     pass
+
+
+def test_tag_bytes_inside_final_frame_not_id3v1():
+    # 'TAG' appearing in audio data exactly 128 bytes before EOF must
+    # NOT be mistaken for an ID3v1 trailer (the frame walk does not
+    # land there); a real trailer AT a frame boundary still skips
+    frame = bytearray(_frame(417, bidx=9))
+    assert len(frame) == 417
+    frame[417 - 128 : 417 - 125] = b"TAG"  # inside the single frame
+    info = mp3.mp3_metadata(bytes(frame))
+    assert info.n_frames == 1 and info.n_samples == 1152
+    # trailer exactly at the boundary: still recognized and skipped
+    real = bytes(_frame(417, bidx=9)) + b"TAG" + b"\x00" * 125
+    info2 = mp3.mp3_metadata(real)
+    assert info2.n_frames == 1

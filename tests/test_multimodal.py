@@ -702,3 +702,33 @@ def test_tiff_packbits():
     assert tiff._unpackbits(b"\x80\x02abc", 3) == b"abc"
     # repeat run: 257-254=3 copies
     assert tiff._unpackbits(b"\xfeZ", 3) == b"ZZZ"
+
+
+def test_bmp_bitfields_wide_mask_no_overflow():
+    # a valid 28-bit mask: raw*255 overflows uint32 — must decode via
+    # uint64 (max raw value -> 255, not a wrapped 15)
+    import struct
+
+    from tableone_pyspark_spark.functions import bmp
+
+    masks = (0x0FFFFFFC, 0x2, 0x1)
+    info = struct.pack("<IiihHIIiiII", 40, 1, 1, 1, 32, 3, 4, 2835, 2835, 0, 0)
+    mk = struct.pack("<III", *masks)
+    v = 0x0FFFFFFC | 0x2 | 0x1  # every channel at its max
+    payload = (
+        struct.pack("<2sIHHI", b"BM", 66 + 4, 0, 0, 66)
+        + info + mk + struct.pack("<I", v)
+    )
+    assert bmp.decode_bmp(payload)[0, 0].tolist() == [255, 255, 255]
+
+
+def test_signature_neardup_validates_max_hamming(spark):
+    import pytest as _pytest
+
+    from tableone_pyspark_spark.operators.dedup import signature_neardup_pairs
+
+    sig = spark.createDataFrame([(1, 5), (2, 7)], "id long, sg long")
+    with _pytest.raises(ValueError, match="max_hamming"):
+        signature_neardup_pairs(sig, "id", "sg", 64)
+    with _pytest.raises(ValueError, match="max_hamming"):
+        signature_neardup_pairs(sig, "id", "sg", -1)
