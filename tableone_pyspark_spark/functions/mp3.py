@@ -80,19 +80,36 @@ class Mp3Info:
 
 def is_mp3(payload: bytes) -> bool:
     """Cheap sniff: ID3v2 tag, or a plausible frame sync with
-    non-reserved version/layer bits. (MP3 has no strong magic — run
-    this AFTER the strong-magic formats in any dispatch.)"""
+    non-reserved version/layer bits, CONFIRMED by the stream
+    continuing plausibly at the computed first-frame boundary (next
+    frame sync, exact EOF, or an ID3v1 trailer). Raw PCM and other
+    headerless binary can legitimately start with 0xFF Ex (~1e-4 odds
+    for random bytes), and routing such a payload here would fail its
+    whole batch in a dispatch — the boundary check drops the
+    false-positive odds to ~1e-9 at the cost of one header parse and
+    no frame walk. (MP3 still has no strong magic — run this AFTER
+    the strong-magic formats in any dispatch.)"""
     if payload[:3] == b"ID3" and len(payload) >= 10:
         return True
     if len(payload) < 4:
         return False
-    b0, b1 = payload[0], payload[1]
-    return (
-        b0 == 0xFF
-        and (b1 & 0xE0) == 0xE0
-        and ((b1 >> 3) & 3) != 1  # version not reserved
-        and ((b1 >> 1) & 3) != 0  # layer not reserved
-    )
+    try:
+        vbits, layer, kbps, rate, pad, _ch, _crc = _parse_header(
+            int.from_bytes(payload[:4], "big")
+        )
+    except ValueError:
+        return False
+    size = _frame_bytes(vbits, layer, kbps, rate, pad)
+    if size < 4 or size > len(payload):
+        return False  # first frame would be truncated
+    if size == len(payload):
+        return True  # single frame filling the payload exactly
+    nxt = payload[size : size + 4]
+    if nxt[:3] == b"TAG":
+        return True  # ID3v1 trailer right after the only frame
+    if len(nxt) < 2:
+        return False
+    return nxt[0] == 0xFF and (nxt[1] & 0xE0) == 0xE0
 
 
 def _skip_id3v2(payload: bytes) -> int:

@@ -48,6 +48,11 @@ def _read_ifd(payload: bytes, endian: str):
         raise ValueError("TIFF truncated mid IFD")
     for i in range(n):
         tag, typ, cnt = struct.unpack_from(endian + "HHI", payload, base + 12 * i)
+        if cnt == 0:
+            # a present tag with no values has no defined meaning and
+            # would surface as an empty list at the accessors —
+            # hostile-path contract: typed error, not IndexError
+            raise ValueError(f"TIFF: tag {tag} has count 0")
         voff = base + 12 * i + 8
         size = _TYPE_SIZES.get(typ, 1) * cnt
         if size > 4:
@@ -62,6 +67,20 @@ def _read_ifd(payload: bytes, endian: str):
             struct.unpack_from(endian + fmt * cnt, payload, voff)
         )
     return entries
+
+
+def _tag1(e: dict, tag: int, default: int | None = None) -> int:
+    """First value of an integer tag; ``default`` when absent. A tag
+    stored with a non-integer type (``_read_ifd`` keeps it as None)
+    raises ValueError like every other hostile path."""
+    vals = e.get(tag)
+    if vals is None:
+        if tag in e:
+            raise ValueError(f"TIFF: tag {tag} has a non-integer type")
+        if default is None:
+            raise ValueError(f"TIFF: required tag {tag} missing")
+        return default
+    return vals[0]
 
 
 def _unpackbits(data: bytes, expected: int) -> bytes:
@@ -127,7 +146,7 @@ def tiff_meta(payload: bytes) -> tuple[int, int, int]:
         w, h = e[256][0], e[257][0]
     except (KeyError, TypeError):
         raise ValueError("TIFF: missing ImageWidth/ImageLength")
-    spp = e.get(277, [1])[0]
+    spp = _tag1(e, 277, 1)
     return w, h, spp
 
 
@@ -145,31 +164,35 @@ def decode_tiff(payload: bytes, max_pixels: int = MAX_PIXELS) -> np.ndarray:
         raise ValueError("TIFF: non-positive dimensions")
     if w * h > max_pixels:
         raise ValueError(f"TIFF bomb guard: {w}x{h} exceeds {max_pixels} pixels")
-    comp = e.get(259, [1])[0]
+    comp = _tag1(e, 259, 1)
     if comp not in (1, 32773):
         raise NotImplementedError(
             f"TIFF compression {comp} unsupported (uncompressed/PackBits only)"
         )
-    photo = e.get(262, [1])[0]
+    photo = _tag1(e, 262, 1)
     if photo not in (0, 1, 2):
         raise NotImplementedError(f"TIFF photometric {photo} unsupported")
-    spp = e.get(277, [1])[0]
+    spp = _tag1(e, 277, 1)
     if spp not in (1, 3, 4):
         raise NotImplementedError(f"TIFF samples-per-pixel {spp} unsupported")
     if photo == 2 and spp < 3:
         raise ValueError("TIFF: RGB photometric with < 3 samples")
-    bits = e.get(258, [8])
+    bits = e.get(258) if 258 in e else [8]
+    if bits is None:
+        raise ValueError("TIFF: tag 258 has a non-integer type")
     if any(b != 8 for b in bits):
         raise NotImplementedError(f"TIFF bit depths {bits} unsupported (8 only)")
-    if e.get(284, [1])[0] != 1:
+    if _tag1(e, 284, 1) != 1:
         raise NotImplementedError("TIFF planar configuration 2 unsupported")
     if 322 in e or 323 in e:
         raise NotImplementedError("TIFF tiled layout unsupported")
     offs = e.get(273)
     cnts = e.get(279)
+    if (273 in e and offs is None) or (279 in e and cnts is None):
+        raise ValueError("TIFF: strip offset/count tags have non-integer types")
     if not offs or not cnts or len(offs) != len(cnts):
         raise ValueError("TIFF: missing/mismatched strip offsets or counts")
-    rows_per_strip = e.get(278, [h])[0] or h
+    rows_per_strip = _tag1(e, 278, h) or h
     row_bytes = w * spp
     out = np.empty((h, row_bytes), dtype=np.uint8)
     y = 0

@@ -288,7 +288,12 @@ def parquet_bloom_offsets(spark, path: str, cols: list[str]) -> list[dict]:
     jvm = spark._jvm
     conf = spark._jsc.hadoopConfiguration()
     out = []
-    for f in sorted(_Path(path).glob("*.parquet")):
+    files = sorted(_Path(path).glob("*.parquet"))
+    if not files:
+        # a typo'd/non-local/nested path would otherwise return [] —
+        # which an assertion hook could misread as "no filters written"
+        raise ValueError(f"parquet_bloom_offsets: no *.parquet files in {path!r}")
+    for f in files:
         jpath = jvm.org.apache.hadoop.fs.Path(str(f))
         infile = jvm.org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
             jpath, conf
@@ -306,6 +311,11 @@ def parquet_bloom_offsets(spark, path: str, cols: list[str]) -> list[dict]:
                         ch.getBloomFilterOffset() >= 0
                     )
                 for c in cols:
+                    if c not in by_name:
+                        raise ValueError(
+                            f"parquet_bloom_offsets: column {c!r} not in "
+                            f"{f.name} footer (have: {sorted(by_name)})"
+                        )
                     row[c] = by_name[c]
                 out.append(row)
         finally:

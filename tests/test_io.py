@@ -180,3 +180,9 @@ def test_write_bloom_filtered_footers(spark, tmp_path):
         write_bloom_filtered(df, path, [])
     with _pytest.raises(ValueError, match="fpp"):
         write_bloom_filtered(df, path, ["key"], fpp=1.5)
+    # ADVICE r8: a typo'd column and an empty/nonexistent path must be
+    # typed errors, not a bare KeyError / silent empty result
+    with _pytest.raises(ValueError, match="'nope' not in"):
+        parquet_bloom_offsets(spark, lp, ["nope"])
+    with _pytest.raises(ValueError, match="no \\*.parquet files"):
+        parquet_bloom_offsets(spark, str(tmp_path / "missing"), ["key"])

@@ -124,12 +124,28 @@ def test_crc_flag_shifts_xing_offset():
 
 
 def test_sniff():
-    assert mp3.is_mp3(_frame(417, bidx=9))
+    assert mp3.is_mp3(_frame(417, bidx=9))  # one frame, exact EOF
+    assert mp3.is_mp3(_frame(417, bidx=9) * 2)  # next sync confirms
     assert mp3.is_mp3(b"ID3\x04\x00\x00\x00\x00\x00\x00rest")
     assert not mp3.is_mp3(b"RIFFxxxxWAVE")
     assert not mp3.is_mp3(b"\xff\xff")  # too short
     # reserved version bits (01) must not sniff as MP3
     assert not mp3.is_mp3(bytes([0xFF, 0xE8, 0x90, 0x00]))
+
+
+def test_sniff_requires_plausible_frame_boundary():
+    # ADVICE r8: raw PCM can start 0xFF Ex with a parseable header —
+    # the sniff must check the stream CONTINUES plausibly at the
+    # computed first-frame boundary, not just the first 4 bytes
+    one = _frame(417, bidx=9)
+    # valid header followed by non-sync garbage at the boundary
+    assert not mp3.is_mp3(one + b"\xa2" * 100)
+    # truncated first frame (header claims 417 bytes, payload shorter)
+    assert not mp3.is_mp3(one[:200])
+    # ID3v1 trailer right after the only frame still sniffs
+    assert mp3.is_mp3(one + b"TAG" + b"\x00" * 125)
+    # bad-bitrate header (index 15) never sniffs
+    assert not mp3.is_mp3(bytes([0xFF, 0xFB, 0xF0, 0x00]) + b"\x00" * 500)
 
 
 def test_hostile_paths_raise():

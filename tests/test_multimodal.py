@@ -632,6 +632,42 @@ def test_tiff_decode_and_dispatch(spark):
         tiff.decode_tiff(bytes(bomb))
 
 
+def test_tiff_hostile_ifd_entries_raise_valueerror():
+    """ADVICE r8: a present tag with count=0, or a tag stored with an
+    unexpected (non-integer) type, must hit the typed ValueError
+    contract — not IndexError/TypeError at the accessors."""
+    import struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    from tableone_pyspark_spark.functions import tiff
+
+    pg = tiff.encode_tiff(
+        np.arange(20, dtype=np.uint8).reshape(4, 5)
+    )
+    n = struct.unpack_from("<H", pg, 8)[0]
+
+    def _patch(tag, typ, cnt, val):
+        buf = bytearray(pg)
+        for i in range(n):
+            off = 10 + 12 * i
+            if struct.unpack_from("<H", buf, off)[0] == tag:
+                struct.pack_into("<HHII", buf, off, tag, typ, cnt, val)
+        return bytes(buf)
+
+    # compression tag present with count=0
+    with _pytest.raises(ValueError, match="count 0"):
+        tiff.decode_tiff(_patch(259, 3, 0, 0))
+    # compression tag stored as RATIONAL (type 5, inline-sized 8 > 4
+    # would chase an offset; use type 2 ASCII kept as None instead)
+    with _pytest.raises(ValueError, match="non-integer"):
+        tiff.decode_tiff(_patch(259, 2, 1, 1))
+    # RowsPerStrip with a non-integer type hits the same contract
+    with _pytest.raises(ValueError, match="non-integer"):
+        tiff.decode_tiff(_patch(278, 2, 1, 4))
+
+
 def test_transcode_accepts_tiff(spark):
     import numpy as np
 
