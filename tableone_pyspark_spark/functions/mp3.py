@@ -257,3 +257,55 @@ def mp3_metadata(payload: bytes, max_frames: int = MAX_FRAMES) -> Mp3Info:
         bitrate_kbps=kbps_sum / n_frames,
         vbr_header=vbr_header,
     )
+
+
+def encode_mp3_headers(
+    n_frames: int,
+    ridx: int = 0,
+    kbps_idx: int = 9,
+    id3v2_pad: int = 0,
+) -> bytes:
+    """Fixture/corpus MP3 stream builder: ``n_frames`` spec-valid
+    MPEG1 Layer III mono CBR frames (no CRC) with zero filler bytes —
+    deliberately headers-only, matching the parser side's metadata-only
+    stance (fake subband data would be fake precision). Alternating
+    padding bits exercise the slot arithmetic; ``id3v2_pad`` > 0
+    prepends an ID3v2.4 tag of that many filler bytes to exercise the
+    sync-safe skip path. The walk-relevant outputs are closed-form:
+    rate = (44100, 48000, 32000)[ridx], samples = 1152 · n_frames."""
+    if n_frames < 1:
+        raise ValueError("need at least one frame")
+    if not 0 <= ridx <= 2:
+        raise ValueError("ridx must be 0..2 (44.1/48/32 kHz)")
+    if not 1 <= kbps_idx <= 14:
+        raise ValueError("kbps_idx must be 1..14")
+    rate = _RATES[3][ridx]
+    kbps = _BITRATES[(1, 3)][kbps_idx - 1]
+    out = bytearray()
+    if id3v2_pad:
+        if id3v2_pad >= 1 << 28:
+            raise ValueError("ID3v2 pad exceeds the sync-safe size field")
+        out += b"ID3\x04\x00\x00" + bytes(
+            [
+                (id3v2_pad >> 21) & 0x7F,
+                (id3v2_pad >> 14) & 0x7F,
+                (id3v2_pad >> 7) & 0x7F,
+                id3v2_pad & 0x7F,
+            ]
+        )
+        out += b"\x00" * id3v2_pad
+    for fi in range(n_frames):
+        pad = fi & 1
+        h = (
+            (0x7FF << 21)
+            | (3 << 19)      # MPEG1
+            | (1 << 17)      # Layer III
+            | (1 << 16)      # protection bit set = no CRC
+            | (kbps_idx << 12)
+            | (ridx << 10)
+            | (pad << 9)
+            | (3 << 6)       # mono
+        )
+        size = 1152 // 8 * kbps * 1000 // rate + pad
+        out += h.to_bytes(4, "big") + b"\x00" * (size - 4)
+    return bytes(out)

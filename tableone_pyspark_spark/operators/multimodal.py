@@ -473,11 +473,17 @@ def synthesize_audio_corpus(
     branches share one oracle expression).
 
     Format variety across the REAL/STUB dispatch of
-    :func:`audio_metadata`: ids % 3 == 0 encode as FLAC (the real
+    :func:`audio_metadata`: ids % 4 == 0 encode as FLAC (the real
     Rice/fixed-predictor compressed path, ``functions/flac.py``),
-    ids % 3 == 1 as RIFF/WAVE PCM (``functions/wav.py``), ids % 3 == 2
+    ids % 4 == 1 as RIFF/WAVE PCM (``functions/wav.py``), ids % 4 == 2
     pass the raw text bytes through (the documented headerless-PCM
-    stub branch). One Arrow pass; payloads never leave the executor."""
+    stub branch), and ids % 4 == 3 as MPEG1 Layer III frame streams
+    (``functions/mp3.py encode_mp3_headers`` — headers-only by the
+    parser's metadata-only stance; rate index byte₀ % 3, frame count
+    1 + n_bytes % 4, every other id behind an ID3v2 tag, so the walk
+    outputs stay closed-form for the oracle: samples = 1152 · frames,
+    rms honestly NULL). One Arrow pass; payloads never leave the
+    executor."""
     from tableone_pyspark_spark.plans.layout import rebalance
 
     # CPU-bound Arrow kernel: spread narrow inputs across all cores
@@ -491,6 +497,7 @@ def synthesize_audio_corpus(
         import numpy as np
 
         from tableone_pyspark_spark.functions import flac as _flac
+        from tableone_pyspark_spark.functions import mp3 as _mp3
         from tableone_pyspark_spark.functions import wav as _wav
 
         for pdf in batches:
@@ -500,9 +507,18 @@ def synthesize_audio_corpus(
                 if not raw:
                     continue  # mirrored by length(text) > 0 in oracles
                 ids.append(int(i))
-                m = int(i) % 3
+                m = int(i) % 4
                 if m == 2:
                     payloads.append(raw)
+                    continue
+                if m == 3:
+                    payloads.append(
+                        _mp3.encode_mp3_headers(
+                            n_frames=1 + len(raw) % 4,
+                            ridx=raw[0] % 3,
+                            id3v2_pad=16 if (int(i) // 4) % 2 == 0 else 0,
+                        )
+                    )
                     continue
                 rate = 8000 * (1 + raw[0] % 3)
                 v = (np.frombuffer(raw, dtype=np.uint8).astype(np.int64) - 128) << 8

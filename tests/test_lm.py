@@ -115,19 +115,53 @@ def test_ccnet_buckets(spark):
 
     rows = [(i, float(i + 1)) for i in range(9)] + [(99, None)]
     df = spark.createDataFrame(rows, "id long, ppl double")
-    got = {r["id"]: r["bucket"] for r in ccnet_buckets(df).collect()}
-    # percent_rank over 9 rows: pr = i/8 -> head pr<=1/3 (i<=2),
-    # middle pr<=2/3 (i<=5), tail otherwise
-    assert [got[i] for i in range(9)] == (
-        ["head"] * 3 + ["middle"] * 3 + ["tail"] * 3
-    )
-    assert got[99] == "unscored"
-    # determinism under ties: equal ppl everywhere still splits the
-    # same way on the id tiebreak, twice
+    # both modes agree on distinct values away from tie boundaries:
+    # sketch cuts = quantile_disc values 3.0/6.0, rank pr = i/8
+    for mode in ("sketch", "rank"):
+        got = {
+            r["id"]: r["bucket"]
+            for r in ccnet_buckets(df, mode=mode).collect()
+        }
+        assert [got[i] for i in range(9)] == (
+            ["head"] * 3 + ["middle"] * 3 + ["tail"] * 3
+        ), mode
+        assert got[99] == "unscored"
+    # determinism: equal ppl everywhere still splits the same way
+    # twice in rank mode (id tiebreak); in sketch mode the whole tie
+    # mass shares one bucket (value semantics)
     tied = spark.createDataFrame([(i, 5.0) for i in range(6)], "id long, ppl double")
-    a = sorted(map(tuple, ccnet_buckets(tied).collect()))
-    b = sorted(map(tuple, ccnet_buckets(tied).collect()))
+    a = sorted(map(tuple, ccnet_buckets(tied, mode="rank").collect()))
+    b = sorted(map(tuple, ccnet_buckets(tied, mode="rank").collect()))
     assert a == b
+    assert {
+        r["bucket"] for r in ccnet_buckets(tied, mode="sketch").collect()
+    } == {"head"}
     import pytest as _pytest
     with _pytest.raises(ValueError, match="cuts"):
         ccnet_buckets(df, cuts=(0.9, 0.3))
+    with _pytest.raises(ValueError, match="mode"):
+        ccnet_buckets(df, mode="nope")
+
+
+def test_ccnet_buckets_sketch_plan_has_no_window(spark):
+    """VERDICT r8's one scale-shape flag: the default mode must not
+    funnel the scored frame through a global single-partition sort.
+    The sketch plan carries NO Window operator and NO global Sort;
+    the cut values ride a 1-row broadcast."""
+    from tableone_pyspark_spark.operators.lm import ccnet_buckets
+
+    df = spark.createDataFrame(
+        [(i, float(i % 17)) for i in range(100)], "id long, ppl double"
+    )
+    plan = ccnet_buckets(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "percent_rank" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    # rank mode keeps the deterministic reference shape
+    rplan = (
+        ccnet_buckets(df, mode="rank")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Window" in rplan

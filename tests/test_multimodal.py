@@ -114,6 +114,37 @@ def test_audio_metadata_mp3_branch(spark):
     assert got[2]["sample_rate"] == 24000  # stub branch untouched
 
 
+def test_audio_corpus_four_arms_end_to_end(spark):
+    """synthesize_audio_corpus → audio_metadata across all four
+    dispatch arms (FLAC / WAV / stub / MP3, ids % 4): the closed-form
+    outputs the oracle replays, including the r9 MP3 arm (1152·frames
+    samples, MPEG1 rate table, NULL rms, ID3v2 on every other id)."""
+    from tableone_pyspark_spark.operators.multimodal import (
+        audio_metadata,
+        synthesize_audio_corpus,
+    )
+
+    texts = [(i, "word soup %d " % i * (i % 5 + 1)) for i in range(8)]
+    d = spark.createDataFrame(texts, "doc_id long, text string")
+    corpus = synthesize_audio_corpus(d, "doc_id", "text")
+    got = {r["id"]: r for r in audio_metadata(corpus, "id", "payload").collect()}
+    assert set(got) == set(range(8))
+    for i, txt in texts:
+        raw = txt.encode("utf-8")
+        r = got[i]
+        if i % 4 == 3:  # MP3 frame walk
+            assert r["sample_rate"] == (44100, 48000, 32000)[raw[0] % 3]
+            nf = 1 + len(raw) % 4
+            assert r["n_samples"] == 1152 * nf
+            assert abs(r["duration_s"] - 1152 * nf / r["sample_rate"]) < 1e-12
+            assert r["rms"] is None
+        else:
+            assert r["sample_rate"] == 8000 * (1 + raw[0] % 3)
+            n = len(raw) // 2 if i % 4 == 2 else len(raw)
+            assert r["n_samples"] == n
+            assert r["rms"] is not None
+
+
 def test_image_phash_gradient_signature(spark):
     from tableone_pyspark_spark.operators.multimodal import image_phash
 
