@@ -838,6 +838,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["lm_perplexity"] = lm_perplexity_q
 
+    def ccnet_buckets_q(spark, sf_dir):
+        # CCNet head/middle/tail terciles (X93) over the SAME scored
+        # frame lm_perplexity grades, in the r9 scale-safe default
+        # mode: cut values from ONE percentile_approx aggregation
+        # (exact quantile_disc while the scored frame is under the
+        # 10k accuracy — the engine's established data-mode property)
+        # broadcast into two literal comparisons; no window, no global
+        # sort (plan-pinned in tests/test_lm.py). Ties at a cut share
+        # its bucket (value semantics — deterministic on any engine).
+        from tableone_pyspark_spark.operators.lm import (
+            ccnet_buckets,
+            lm_perplexity,
+            train_bigram_lm,
+        )
+        from tableone_pyspark_spark.operators.sampling import split_bucket
+
+        d = _load(spark, sf_dir, "documents")
+        bucket = split_bucket(F.col("doc_id"), "lm-v1")
+        ref = d.where(bucket < 5000)
+        test = d.where(bucket >= 5000)
+        bg, ctx, v = train_bigram_lm(ref, "text", "doc_id")
+        scored = lm_perplexity(test, bg, ctx, v, "text", "doc_id")
+        out = ccnet_buckets(scored)
+        return out.select(
+            "id", F.round("ppl", 3).alias("ppl"), "bucket"
+        )
+
+    q["ccnet_buckets"] = ccnet_buckets_q
+
     def span_dedup_q(spark, sf_dir):
         # exact duplicate-SPAN removal (Lee 2022): cut every 10-token
         # window that appears elsewhere (cross-doc OR self-repetition),
@@ -968,12 +997,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # _simhash_sql replay — no coverage lost.)
 
     # ---- similarity search (operators/similarity.py) --------------------
-    def embedding_topk(spark, sf_dir):
-        e = _load(spark, sf_dir, "embeddings")
-        queries_df = e.where(F.col("vec_id") < 10)
-        return sim.brute_force_topk(e, queries_df, k=5)
-
-    q["embedding_topk"] = embedding_topk
+    # (embedding_topk was DELETED in r9 to fund opq_recall: its
+    # pipeline — sim.brute_force_topk(e, e.where(vec_id < 10), k=5) —
+    # is the VERBATIM exact arm of both lsh_recall and ivf_recall
+    # (same call, same args), whose oracles recompute that exact top-k
+    # independently in SQL and grade the overlap; the per-pair
+    # cosine/norm fold arithmetic stays graded row-by-row through
+    # embedding_neardup's 1000-vector pair frame.)
 
     def embedding_neardup(spark, sf_dir):
         # brute-force is the exact verifier; bounded to 1000 vectors
@@ -1068,6 +1098,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ivfpq_recall"] = ivfpq_recall
 
+    def opq_recall_q(spark, sf_dir):
+        # OPQ (X89, Ge 2013): learned orthogonal pre-rotation, then
+        # the same PQ encode/ADC machinery in the rotated space.
+        # Recall is measured against the UNROTATED exact-L2 top-k
+        # (valid by orthogonality — ‖Rx − Rq‖ = ‖x − q‖), so the
+        # number compares 1:1 with pq_recall's. The oracle retrains
+        # the rotation + codebook identically (deterministic numpy
+        # alternation on the same ordered sample) and replays rotated
+        # vectors, codes, ADC ranking and the exact side in SQL.
+        from tableone_pyspark_spark.operators.pq import (
+            opq_recall as opq_rec,
+            train_opq,
+        )
+
+        e = _load(spark, sf_dir, "embeddings")
+        R, cb = train_opq(e, m=4, n_codes=16)
+        return opq_rec(e, R, cb, n_queries=10, k=5).select(
+            "query_id",
+            F.col("n_hits").cast("long").alias("n_hits"),
+            "recall",
+        )
+
+    q["opq_recall"] = opq_recall_q
+
     def skew_profile(spark, sf_dir):
         ev = _load(spark, sf_dir, "events")
         return ops.key_skew_profile(ev, "user_id", top=10)
@@ -1146,13 +1200,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["winnow_overlap"] = winnow_overlap
 
-    def kmeans_profile(spark, sf_dir):
-        from tableone_pyspark_spark.operators.ml_lsh import kmeans_profile as kp
-
-        e = _load(spark, sf_dir, "embeddings")
-        return kp(e, n_centroids=16)
-
-    q["kmeans_profile"] = kmeans_profile
+    # (kmeans_profile was DELETED in r9 to fund phash_neardup: its
+    # per-cell n is IDENTICAL to cell_quality's n — same
+    # _train_quantizer sample, same argmin assignment, and vec_id ↔
+    # doc_id cover each other 1:1 at every SF — and its one residual
+    # signal, mean_dist2, is an aggregate of the strict-fold _seq_dot
+    # arithmetic that embedding_neardup grades row-by-row over the
+    # 1000-vector pair frame; the weakest independent signal left in
+    # the IVF family — the embedding_norms precedent.)
 
     def semantic_dedup_keep(spark, sf_dir):
         from tableone_pyspark_spark.operators.ml_lsh import semantic_dedup
@@ -1228,15 +1283,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["events_type_stats"] = events_type_stats
 
-    def events_hourly(spark, sf_dir):
-        ev = _load(spark, sf_dir, "events")
-        return ev.groupBy("event_type", "hour_id").agg(
-            F.count(F.lit(1)).alias("n"),
-            F.round(F.avg("value"), 6).alias("avg_value"),
-            F.round(F.sum("value"), 6).alias("sum_value"),
-        )
-
-    q["events_hourly"] = events_hourly
+    # (events_hourly was DELETED in r9 to fund stream_drift: it was a
+    # three-line inline groupBy with no engine operator behind it —
+    # the identical hourly-grain rollup is graded with RICHER moments
+    # (n/mean/stddev/min/max) through stream_hourly's streaming
+    # sufficient-stats path, and per-type value aggregates through
+    # events_type_stats; avg/sum are derived columns of those
+    # sufficient statistics.)
 
     def daily_quantiles(spark, sf_dir):
         from tableone_pyspark_spark.functions.events import daily_value_quantiles
@@ -1670,6 +1723,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["image_phash"] = image_phash
 
+    def phash_neardup_q(spark, sf_dir):
+        # image near-dup pairs (X90): the dHash gradient signature fed
+        # through the generic 64-bit pigeonhole chunk join
+        # (dedup.signature_neardup_pairs — the SAME graded code path
+        # simhash_neardup runs). On the byte-stub arm the signature is
+        # deterministic stride arithmetic, so candidates AND the exact
+        # bit_count(xor) verify replay in SQL; near-identical payloads
+        # (the corpus' duplicate docs) land within the radius.
+        from tableone_pyspark_spark.operators.multimodal import (
+            phash_neardup_pairs,
+        )
+
+        d = _load(spark, sf_dir, "documents").select(
+            "doc_id", F.encode("text", "UTF-8").alias("payload")
+        )
+        out = phash_neardup_pairs(d, "doc_id", "payload", max_hamming=8)
+        return out.select(
+            "id_a", "id_b", F.col("hamming").cast("int").alias("hamming")
+        )
+
+    q["phash_neardup"] = phash_neardup_q
+
     def png_decode_stats(spark, sf_dir):
         # REAL codec round trip with a SQL oracle: synthesize a 16x16
         # gray PNG per doc from its text bytes (pure function of the
@@ -1769,21 +1844,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["split_documents"] = split_documents
 
-    def tableone_sessions(spark, sf_dir):
-        # composition: pipeline operator (sessionize) feeding the
-        # analytics engine — session-level descriptive statistics
-        from tableone_pyspark_spark.operators.relational import sessionize
-
-        st = sessionize(_load(spark, sf_dir, "events"))
-        return _round6(
-            tableone(
-                st,
-                cols_to_analyze=["n_events", "n_sessions", "max_session_events"],
-                config=_INTERP,
-            )
-        )
-
-    q["tableone_sessions"] = tableone_sessions
+    # (tableone_sessions was DELETED in r9 to fund ccnet_buckets: it
+    # was tableone() over sessionize(events) — an aggregate of a frame
+    # that user_sessions (r8-green) grades ROW-BY-ROW through the
+    # identical sessionize call, pushed through an engine that eleven
+    # other tableone variants grade directly — the exact
+    # "aggregate-of-already-graded-frame" class the r6-r8 deletions
+    # established.)
 
     def stream_dedup(spark, sf_dir):
         # real streaming dedup: the same source unioned with itself
@@ -1849,6 +1916,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["stream_bloom"] = stream_bloom
+
+    def stream_drift_q(spark, sf_dir):
+        # streaming PSI drift (X92): one watermarked windowed agg with
+        # k literal-edged conditional counters (bounded state, no
+        # pivot), run as a REAL availableNow stream. The reference
+        # histogram is a fixed literal (the batch-side training
+        # snapshot a monitor would bake in), deliberately skewed vs
+        # the live feed so the PSI is materially nonzero; the oracle
+        # replays bin assignment, counts and the PSI fold in SQL.
+        from tableone_pyspark_spark.sources.testdata import events_stream
+        from tableone_pyspark_spark.streaming.stream_stats import (
+            streaming_drift,
+        )
+
+        src = events_stream(spark, sf_dir).select("ts", "value")
+        out = streaming_drift(
+            src,
+            "value",
+            ref_edges=[10.0, 25.0, 50.0, 100.0],
+            ref_probs=[0.4, 0.3, 0.2, 0.05, 0.05],
+            window="6 hours",
+        )
+        qry = (
+            out.writeStream.format("memory")
+            .queryName("stream_drift_sink")
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        qry.awaitTermination()
+        return spark.table("stream_drift_sink").select(
+            F.col("window_start").cast("long").alias("window_start_epoch"),
+            "n",
+            "psi",
+        )
+
+    q["stream_drift"] = stream_drift_q
 
     # (embedding_norms was DELETED in r7 to fund bloom_probe: its
     # l2/self-dot per-vector arithmetic is the first stage of both
@@ -1985,62 +2089,61 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ---- grading-window order (driver grades the first 50 entries) -------
     # The correctness gate provably grades only the first 50 dict entries in
     # definition order (CORRECTNESS_r01/_r02 are exactly positions 0-49).
-    # Round 8 (suite = 100): the VERDICT r7 ask #1 rotation — the 47
-    # surviving r6-graded stale-1s lead, and the three NEW graded
-    # queries (pq_recall — PQ ADC top-k recall vs exact L2, codebooks
-    # retrained + codes/ranking replayed in SQL; ivfpq_recall — coarse
-    # cells + residual PQ codes + probed-cell ADC with numpy-bit-exact
-    # LUT literals; stream_bloom — streaming sharded-Bloom novelty, a
-    # REAL availableNow run whose every verdict incl. false positives
-    # is replayed via the monotone-bits first-introduction argument)
-    # were funded by DELETING three strictly-weaker stale-1s rather
-    # than displacing anything, so NOTHING enters r9 older than
-    # stale-1:
-    #   - minhash_pairs: its pipeline is VERBATIM stage 1 of
-    #     dedup_clusters (same call, same args), which grades the same
-    #     pair set plus connected components on top;
-    #   - incremental_dedup: IDENTICAL verdict frame and oracle SQL as
-    #     incremental_dedup_indexed; its only unique stage (on-the-fly
-    #     seen-side fingerprinting) is the winnow machinery
-    #     winnow_overlap (r7-green) grades directly;
-    #   - multimodal_meta: graded only image_metadata's documented
-    #     byte-STUB fallback; the same kernel is graded through the
-    #     three REAL codec branches (png/jpeg/gif_decode_stats) and the
-    #     stub convention stays graded via audio_meta's ids%3==2 arm.
-    # Source changes this round that touch graded pipelines were all
-    # verified value-identical on the graded corpora via
-    # scripts/check_oracles.py immediately after each change (the
-    # oracle-only-change precedent from r7): DSIR/Gopher python-twin
-    # strip(' ') (dsir_weights, repetition_stats, text_stats OK), FLAC
-    # validation + encoder cost model and the audio_metadata MP3
-    # dispatch branch (audio_meta OK — no 'ID3'-prefixed or
-    # 0xFF-leading text exists at any SF), the simhash pigeonhole
-    # refactor into signature_neardup_pairs (simhash_neardup OK),
-    # rebalance() in DSIR/PQ kernels (dsir_weights, bloom_probe,
-    # pq_recall, ivfpq_recall, stream_bloom OK), and the BMP
-    # BI_BITFIELDS decoder (png/jpeg/gif_decode_stats, frame_stats,
-    # audio_meta OK). Full-suite gate re-run this round: 100/100.
-    # After r8 the 50 r7-graded stale-0s become stale-1 and lead r9
-    # (named r9 behavior change: audio_meta's corpus gains an ids%4
-    # MP3 arm when it re-enters the window).
+    # Round 9 (suite = 100): the VERDICT r8 ask #1 rotation — the
+    # r7-graded stale-1s lead, and the four NEW graded queries
+    # (ccnet_buckets — CCNet terciles in the r9 scale-safe sketch mode,
+    # quantile_disc cut values replayed in SQL; stream_drift — the X92
+    # streaming PSI monitor, a REAL availableNow run with bins/counters/
+    # PSI fold replayed term-by-term; opq_recall — the X89 learned
+    # rotation retrained identically and embedded as a 64×64 literal,
+    # rotated codes + ADC + unrotated exact side replayed; phash_neardup
+    # — X90 dHash signatures through the graded pigeonhole join, exact
+    # bit_count(xor) verify replayed all-pairs) were funded by DELETING
+    # four strictly-weaker stale-1s rather than displacing anything, so
+    # NOTHING enters r10 older than stale-1:
+    #   - embedding_topk: VERBATIM exact arm of lsh_recall AND
+    #     ivf_recall (same call/args, both recompute it independently
+    #     in SQL); the fold arithmetic stays row-graded via
+    #     embedding_neardup;
+    #   - events_hourly: inline 3-aggregate groupBy with no engine
+    #     operator behind it — same hour-grain rollup graded with
+    #     richer moments via stream_hourly + events_type_stats;
+    #   - tableone_sessions: tableone() over the frame user_sessions
+    #     (r8-green) grades row-by-row, through the engine eleven other
+    #     variants grade — the aggregate-of-already-graded-frame class;
+    #   - kmeans_profile: per-cell n identical to cell_quality's (same
+    #     quantizer/assignment, vec_id↔doc_id 1:1 at every SF); its one
+    #     residual signal (mean_dist2) is an aggregate of the _seq_dot
+    #     fold embedding_neardup grades row-by-row — the
+    #     embedding_norms precedent.
+    # Source changes this round that touch graded pipelines were
+    # verified value-identical (or intentionally re-graded) via
+    # scripts/check_oracles.py immediately after each change:
+    # audio_meta is the NAMED r9 behavior change (corpus gains the
+    # ids%4 MP3 arm; oracle extended, green at sf0.001 AND sf0.01);
+    # ccnet_buckets' sketch default is new code graded fresh; the MP3
+    # sniff hardening (ADVICE r8) cannot affect the corpus (UTF-8 text
+    # bytes never start 0xFF; no 'ID3'-prefixed text at any SF —
+    # re-verified green). After r9 the 50 r8-graded stale-0s become
+    # stale-1 and lead r10.
     _front = [
-        # the 47 surviving r6-graded stale-1s, window_plan.py order
-        "cont_stats", "cont_stats_by_group", "ttest_stat", "anova_stat",
-        "chi2_stat", "tableone_unstrat", "tableone_orders",
-        "weighted_quantiles_cont", "tableone_strat_dataq", "tableone_docs",
-        "tableone_part", "tableone_beautify", "tableone_joined",
-        "top_orders", "sales_cube", "asof_events", "user_sessions",
-        "event_funnel", "incremental_dedup_indexed", "zorder_skipping",
-        "fence_single_eval", "lm_perplexity", "dedup_clusters",
-        "salted_collect", "semantic_dedup_keep", "value_histogram",
-        "daily_quantiles", "hourly_anomalies", "seasonality", "data_gaps",
-        "stream_enriched", "stream_sessions_builtin", "profile_lineitem",
-        "filter_funnel", "profile_drift", "corr_matrix", "chunk_docs",
-        "winsorize_prices", "weighted_stats", "image_phash",
-        "jpeg_decode_stats", "gif_decode_stats", "split_documents",
-        "stream_dedup", "resize_stats", "pack_sequences", "weighted_sample",
-        # new this round (funded by the three deletions above)
-        "pq_recall", "ivfpq_recall", "stream_bloom",
+        # the 46 surviving r7-graded stale-1s, window_plan.py order
+        "cat_counts", "cat_pivot", "tableone_strat", "tableone_weighted",
+        "tableone_pvalues", "tableone_supplier", "revenue_by_nation",
+        "retention_cohorts", "text_stats", "lang_confusion",
+        "repetition_stats", "span_dedup", "dsir_weights", "bloom_probe",
+        "exact_dedup_keep", "paragraph_dedup", "ngram_jaccard",
+        "embedding_neardup", "lsh_recall", "ivf_recall", "skew_profile",
+        "salted_join", "quantize_profile", "tfidf_terms", "winnow_overlap",
+        "cell_quality", "ml_minhash", "frame_stats", "events_type_stats",
+        "stream_hourly", "stream_tableone", "stream_tableone_weighted",
+        "stream_sessions", "stream_join", "text_fingerprints",
+        "range_join_ship", "simhash_neardup", "curate_documents",
+        "mixture_weights", "png_decode_stats", "label_centroids",
+        "audio_meta", "pii_profile", "quota_sample", "decontam_stats",
+        "dup_ngram_stats",
+        # new this round (funded by the four deletions above)
+        "ccnet_buckets", "stream_drift", "opq_recall", "phash_neardup",
     ]
     assert len(_front) == 50 and len(set(_front)) == 50
     assert set(_front) <= set(q), sorted(set(_front) - set(q))
@@ -2355,11 +2458,7 @@ def oracle_sql() -> dict[str, str]:
         "FROM events GROUP BY 1"
     )
 
-    # composed: TableOne over the sessionize output (same session SQL)
-    o["tableone_sessions"] = _unstrat_oracle(
-        "(" + o["user_sessions"] + ") st",
-        [("n_events", "cont"), ("n_sessions", "cont"), ("max_session_events", "cont")],
-    )
+    # (tableone_sessions deleted r9 — see the queries() comment)
 
     # beautify (reference :245-257): drop Pivoted_column/Variable_type,
     # blank repeated Characteristics, "_"→" " on each group's first row
@@ -2739,7 +2838,7 @@ def oracle_sql() -> dict[str, str]:
     # ln-prob and perplexity per scored doc. Integer columns are exact;
     # avg_logp/ppl agree to rounding (ln/exp are IEEE double on both
     # engines; drift ~1e-14 against a 1e-6 rounding grid)
-    o["lm_perplexity"] = (
+    _LM_CTES = (
         f"WITH h AS (SELECT doc_id, {_bucket('doc_id', 'lm-v1')} AS b "
         "FROM documents), "
         f"norm AS (SELECT doc_id, string_split({NORM}, ' ') AS L FROM documents), "
@@ -2758,12 +2857,40 @@ def oracle_sql() -> dict[str, str]:
         "s AS (SELECT doc_id, count(*) AS n_bigrams, "
         "CAST(count(*) FILTER (WHERE c2 > 0) AS BIGINT) AS n_matched, "
         "avg(ln((c2 + 1.0) / (c1 + 1.0 * (SELECT v FROM vs)))) AS avg_logp "
-        "FROM t GROUP BY 1) "
-        "SELECT d.doc_id AS id, coalesce(n_bigrams, 0) AS n_bigrams, "
+        "FROM t GROUP BY 1)"
+    )
+    o["lm_perplexity"] = (
+        _LM_CTES
+        + " SELECT d.doc_id AS id, coalesce(n_bigrams, 0) AS n_bigrams, "
         "coalesce(n_matched, 0) AS n_matched, "
         "ROUND(avg_logp, 6) AS avg_logp, ROUND(exp(-avg_logp), 3) AS ppl "
         "FROM documents d JOIN h USING (doc_id) LEFT JOIN s USING (doc_id) "
         "WHERE b >= 5000"
+    )
+
+    # CCNet head/middle/tail terciles over the scored frame above —
+    # the sketch-mode cut values are percentile_approx's EXACT
+    # quantile_disc while the scored frame is under the 10k accuracy
+    # (the engine's established data-mode property), so the oracle
+    # asks DuckDB's quantile_disc for the same two order statistics
+    # and replays the two value comparisons; unscored (NULL ppl) docs
+    # get their explicit bucket. Bucket comparisons run on UNROUNDED
+    # ppl in both engines (the cut is one of the data values, so the
+    # cut doc itself lands consistently; cross-engine ulp drift only
+    # matters for a distinct doc within ~1e-14 of the cut value —
+    # validated at both SFs).
+    o["ccnet_buckets"] = (
+        _LM_CTES
+        + ", scored AS (SELECT d.doc_id AS id, exp(-avg_logp) AS ppl "
+        "FROM documents d JOIN h USING (doc_id) LEFT JOIN s USING (doc_id) "
+        "WHERE b >= 5000), "
+        f"c AS (SELECT quantile_disc(ppl, {1 / 3!r}) AS lo, "
+        f"quantile_disc(ppl, {2 / 3!r}) AS hi FROM scored) "
+        "SELECT id, ROUND(ppl, 3) AS ppl, "
+        "CASE WHEN ppl IS NULL THEN 'unscored' "
+        "WHEN ppl <= (SELECT lo FROM c) THEN 'head' "
+        "WHEN ppl <= (SELECT hi FROM c) THEN 'middle' "
+        "ELSE 'tail' END AS bucket FROM scored"
     )
 
     # per-doc duplicated-gram fraction (gram appears in >= 2 docs)
@@ -3114,7 +3241,10 @@ def oracle_sql() -> dict[str, str]:
     )
 
     # ---- similarity --------------------------------------------------------
-    o["embedding_topk"] = (
+    # exact cosine top-k replay — no longer a graded query of its own
+    # (embedding_topk deleted r9, see queries()); still the exact arm
+    # both recall oracles compare against
+    _exact_cos_topk = (
         "WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv "
         "FROM embeddings WHERE vec_id < 10), "
         "s AS (SELECT q.query_id, e.vec_id AS neighbor_id, "
@@ -3228,26 +3358,7 @@ def oracle_sql() -> dict[str, str]:
             f"WHERE rank <= {k}"
         )
 
-    def _kmeans_profile_sql(sf_dir: str = "/root/testdata/sf0.01") -> str:
-        C, c_norm2 = _ivf_centroids(sf_dir)
-        dots = "[" + ", ".join(_fold_dot("v", C[j]) for j in range(16)) + "]"
-        cn2 = "[" + ",".join(repr(float(x)) for x in c_norm2) + "]::DOUBLE[]"
-        selfdot = (
-            "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
-            "list_transform(v, x -> x * x)), (a, b) -> a + b)"
-        )
-        return (
-            "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), "
-            f"dd AS (SELECT vec_id, v, {dots} AS dots FROM e), "
-            f"dl AS (SELECT vec_id, v, dots, list_transform(range(1, 17), "
-            f"j -> -2.0 * dots[j] + ({cn2})[j]) AS ds FROM dd), "
-            "a AS (SELECT vec_id, v, dots, list_indexof(ds, list_min(ds)) - 1 AS cell FROM dl), "
-            # dist2 reproduces the operator's fold order exactly:
-            # (selfdot - 2·dot_assigned) + ||c||²
-            f"d AS (SELECT cell, ({selfdot} - 2.0 * dots[cell + 1]) + ({cn2})[cell + 1] AS dist2 FROM a) "
-            "SELECT cell, count(*) AS n, ROUND(avg(dist2), 6) AS mean_dist2 "
-            "FROM d GROUP BY 1"
-        )
+    # (_kmeans_profile_sql deleted r9 with its query — see queries())
 
     def _semantic_dedup_sql(
         sf_dir: str = "/root/testdata/sf0.01", threshold: float = 0.97
@@ -3286,7 +3397,6 @@ def oracle_sql() -> dict[str, str]:
     _ivf_topk = None
     try:
         _ivf_topk = _ivf_topk_sql()
-        o["kmeans_profile"] = _kmeans_profile_sql()
         o["semantic_dedup_keep"] = _semantic_dedup_sql(threshold=0.4)
         o["cell_quality"] = _cell_quality_sql()
     except Exception:
@@ -3294,7 +3404,7 @@ def oracle_sql() -> dict[str, str]:
 
     def _recall_sql(approx_sql: str) -> str:
         return (
-            f"WITH ex AS ({o['embedding_topk']}), ap AS ({approx_sql}), "
+            f"WITH ex AS ({_exact_cos_topk}), ap AS ({approx_sql}), "
             "j AS (SELECT ex.query_id, ex.neighbor_id, "
             "CASE WHEN ap.query_id IS NULL THEN 0 ELSE 1 END AS hit "
             "FROM ex LEFT JOIN ap ON ex.query_id = ap.query_id "
@@ -3396,6 +3506,140 @@ def oracle_sql() -> dict[str, str]:
 
     try:
         o["pq_recall"] = _pq_recall_sql()
+    except Exception:
+        pass  # no sf0.01 testdata at oracle-build time → rows-only
+
+    # ---- OPQ ADC top-k, exactly replayed (operators/pq.py train_opq):
+    # the oracle RETRAINS the learned rotation with the identical
+    # deterministic numpy alternation (per-subspace seeded KMeans →
+    # encode → orthogonal Procrustes via SVD, 8 rounds, same ordered
+    # sample, same in-repo kernels) and embeds R as a 64×64 literal;
+    # corpus vectors are rotated IN SQL by a strict per-output-dim fold
+    # over R's columns, then the pq_recall replay runs unchanged in the
+    # rotated space (codes, rank-equivalent ADC). The exact side stays
+    # on the UNROTATED vectors — the operator's own contract (valid by
+    # orthogonality), so recall compares 1:1 with pq_recall.
+    def _opq_recall_sql(
+        sf_dir: str = "/root/testdata/sf0.01",
+        m: int = 4,
+        n_codes: int = 16,
+        n_iters: int = 8,
+        n_queries: int = 10,
+        k: int = 5,
+    ) -> str:
+        import duckdb
+        import numpy as np
+
+        from tableone_pyspark_spark.operators.ml_lsh import _kmeans_numpy
+        from tableone_pyspark_spark.operators.pq import PQCodebook, _encode_block
+
+        con = duckdb.connect()
+        X = np.array(
+            [
+                np.asarray(r[0], dtype=np.float64)
+                for r in con.sql(
+                    f"SELECT CAST(embedding AS DOUBLE[]) "
+                    f"FROM read_parquet('{sf_dir}/embeddings.parquet') "
+                    f"ORDER BY vec_id LIMIT 16384"
+                ).fetchall()
+            ]
+        )
+        d = X.shape[1]
+        dsub = d // m
+
+        def fit_codebook(Y):
+            return PQCodebook(
+                np.stack(
+                    [
+                        _kmeans_numpy(Y[:, s * dsub : (s + 1) * dsub], n_codes)
+                        for s in range(m)
+                    ]
+                )
+            )
+
+        R = np.eye(d)
+        for _ in range(n_iters):
+            Y = X @ R
+            cb = fit_codebook(Y)
+            codes = _encode_block(Y, cb)
+            Yhat = np.concatenate(
+                [cb.C[s][codes[:, s]] for s in range(m)], axis=1
+            )
+            U, _sv, Vt = np.linalg.svd(X.T @ Yhat)
+            R = U @ Vt
+        cb = fit_codebook(X @ R)
+
+        # one flat 64-double column literal per output dim (the proven
+        # _fold_dot shape — a single 2-D literal would be re-built per
+        # element evaluation and is catastrophically slow in DuckDB)
+        def col_fold(i: int) -> str:
+            wl = (
+                "["
+                + ",".join(repr(float(x)) for x in R[:, i])
+                + "]::DOUBLE[]"
+            )
+            return (
+                f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+                f"list_transform(range(1, {d} + 1), "
+                f"j -> v[j] * ({wl})[j])), (a, b) -> a + b)"
+            )
+
+        rot = "[" + ", ".join(col_fold(i) for i in range(d)) + "]"
+        ds_exprs = []
+        for s in range(m):
+            Cs = cb.C[s]
+            cn2 = (Cs * Cs).sum(axis=1)
+            entries = []
+            for j in range(n_codes):
+                wl = (
+                    "["
+                    + ",".join(repr(float(x)) for x in Cs[j])
+                    + "]::DOUBLE[]"
+                )
+                dot = (
+                    f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+                    f"list_transform(range(1, {dsub} + 1), "
+                    f"i -> y[{s * dsub} + i] * ({wl})[i])), (a, b) -> a + b)"
+                )
+                entries.append(f"-2.0 * {dot} + {float(cn2[j])!r}")
+            ds_exprs.append("[" + ", ".join(entries) + "]")
+        ds_cols = ", ".join(f"{e} AS ds{s}" for s, e in enumerate(ds_exprs))
+        idx_cols = ", ".join(
+            f"list_indexof(ds{s}, list_min(ds{s})) AS i{s}" for s in range(m)
+        )
+        adc = " + ".join(f"q.ds{s}[c.i{s}]" for s in range(m))
+        sq = (
+            "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+            f"list_transform(range(1, {d} + 1), "
+            "i -> (e.v[i] - qe.v[i]) * (e.v[i] - qe.v[i]))), (a, b) -> a + b)"
+        )
+        return (
+            "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), "
+            f"r AS (SELECT vec_id, {rot} AS y FROM e), "
+            f"enc AS (SELECT vec_id, y, {ds_cols} FROM r), "
+            f"c AS (SELECT vec_id, {idx_cols} FROM enc), "
+            f"q AS (SELECT * FROM enc ORDER BY vec_id LIMIT {n_queries}), "
+            f"ap0 AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, "
+            f"{adc} AS adc FROM c CROSS JOIN q WHERE c.vec_id <> q.vec_id), "
+            "ap AS (SELECT query_id, neighbor_id FROM (SELECT *, row_number() "
+            "OVER (PARTITION BY query_id ORDER BY adc, neighbor_id) AS r "
+            f"FROM ap0) WHERE r <= {k}), "
+            f"qe AS (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT {n_queries}), "
+            f"ex0 AS (SELECT qe.vec_id AS query_id, e.vec_id AS neighbor_id, "
+            f"{sq} AS d2 FROM e CROSS JOIN qe WHERE e.vec_id <> qe.vec_id), "
+            "ex AS (SELECT query_id, neighbor_id FROM (SELECT *, row_number() "
+            "OVER (PARTITION BY query_id ORDER BY d2, neighbor_id) AS r "
+            f"FROM ex0) WHERE r <= {k}), "
+            "h AS (SELECT ap.query_id, count(*) AS n_hits FROM ap "
+            "JOIN ex USING (query_id, neighbor_id) GROUP BY 1) "
+            "SELECT qs.query_id, CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits, "
+            f"ROUND(COALESCE(h.n_hits, 0) / {float(k)!r}, 6) AS recall "
+            "FROM (SELECT DISTINCT vec_id AS query_id FROM q) qs "
+            "LEFT JOIN h USING (query_id)"
+        )
+
+    try:
+        o["opq_recall"] = _opq_recall_sql()
     except Exception:
         pass  # no sf0.01 testdata at oracle-build time → rows-only
 
@@ -3576,11 +3820,6 @@ def oracle_sql() -> dict[str, str]:
         f"ROUND(min(value), 6) AS min_value, ROUND(max(value), 6) AS max_value, "
         f"ROUND(avg({K_RE}), 6) AS avg_k FROM events GROUP BY 1"
     )
-    o["events_hourly"] = (
-        "SELECT event_type, CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hour_id, "
-        "count(*) AS n, ROUND(avg(value), 6) AS avg_value, "
-        "ROUND(sum(value), 6) AS sum_value FROM events GROUP BY 1, 2"
-    )
     o["daily_quantiles"] = (
         "SELECT CAST(date_trunc('day', ts) AS DATE) AS day, "
         "count(value) AS n, "
@@ -3631,6 +3870,46 @@ def oracle_sql() -> dict[str, str]:
         "ROUND(min(value), 6) AS min_value, ROUND(max(value), 6) AS max_value "
         "FROM events GROUP BY 1, 2"
     )
+
+    # streaming PSI drift (X92): 6-hour windows, the fixed literal
+    # reference histogram the query bakes in, bin assignment via the
+    # same chained value comparisons, and the PSI fold replayed
+    # term-by-term in the operator's exact literal arithmetic (q_i
+    # normalized by the float sum of ref_probs, q_i + eps computed in
+    # Python and embedded at repr precision — the additions happen in
+    # the same left-to-right order on both engines; ln drift ~1e-16
+    # against the 1e-6 rounding grid)
+    def _stream_drift_sql() -> str:
+        edges = [10.0, 25.0, 50.0, 100.0]
+        probs = [0.4, 0.3, 0.2, 0.05, 0.05]
+        eps = 1e-6
+        win = 6 * 3600
+        k = len(probs)
+        tot = float(sum(probs))
+        qs = [float(p) / tot for p in probs]
+        bin_case = "CASE WHEN value <= 10.0 THEN 0"
+        for i, e_ in enumerate(edges[1:], start=1):
+            bin_case += f" WHEN value <= {e_!r} THEN {i}"
+        bin_case += f" ELSE {k - 1} END"
+        counters = ", ".join(
+            f"sum(CASE WHEN bin = {i} THEN 1 ELSE 0 END) AS n_{i}"
+            for i in range(k)
+        )
+        terms = " + ".join(
+            f"((n_{i} / CAST(n AS DOUBLE)) - {qs[i]!r}) * "
+            f"ln(((n_{i} / CAST(n AS DOUBLE)) + {eps!r}) / {qs[i] + eps!r})"
+            for i in range(k)
+        )
+        return (
+            f"WITH b AS (SELECT CAST(floor(epoch(ts) / {win}) AS BIGINT) "
+            f"* {win} AS w, {bin_case} AS bin FROM events "
+            "WHERE value IS NOT NULL AND NOT isnan(value)), "
+            f"a AS (SELECT w, count(*) AS n, {counters} FROM b GROUP BY 1) "
+            "SELECT w AS window_start_epoch, CAST(n AS BIGINT) AS n, "
+            f"ROUND({terms}, 6) AS psi FROM a"
+        )
+
+    o["stream_drift"] = _stream_drift_sql()
 
     # streaming TableOne: batch SQL twin of the one-agg long table
     # (1-day windows x event_type; seg = user_id % 3 declared cats)
@@ -3943,6 +4222,20 @@ def oracle_sql() -> dict[str, str]:
             for i in range(63)
         )
         + " AS dhash FROM b"
+    )
+
+    # image near-dup pairs (X90): the dHash signatures above fed
+    # through the pigeonhole candidate join + exact bit_count(xor)
+    # verify — the all-pairs SQL twin is exhaustive, so it also proves
+    # the chunked candidate generation has no false negatives within
+    # the radius (the simhash_neardup argument, same generic
+    # signature_neardup_pairs code path since r8)
+    o["phash_neardup"] = (
+        f"WITH s AS ({o['image_phash']}) "
+        "SELECT a.id AS id_a, b.id AS id_b, "
+        "CAST(bit_count(xor(a.dhash, b.dhash)) AS INT) AS hamming "
+        "FROM s a JOIN s b ON a.id < b.id "
+        "WHERE bit_count(xor(a.dhash, b.dhash)) <= 8"
     )
 
     o["weighted_stats"] = (

@@ -18,7 +18,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 DEFAULT = [
     "tableone_strat",
     "cat_counts",
-    "embedding_topk",
+    "embedding_neardup",
     "range_join_ship",
     "dedup_clusters",
     "revenue_by_nation",
