@@ -3518,7 +3518,14 @@ def oracle_sql() -> dict[str, str]:
     # over R's columns, then the pq_recall replay runs unchanged in the
     # rotated space (codes, rank-equivalent ADC). The exact side stays
     # on the UNROTATED vectors — the operator's own contract (valid by
-    # orthogonality), so recall compares 1:1 with pq_recall.
+    # orthogonality), so recall compares 1:1 with pq_recall. Float
+    # seam, acknowledged: the operator rotates via BLAS matmul while
+    # the replay uses strict folds — a SECOND fold boundary on top of
+    # pq_recall's dot-product one. Probed directly (scripts discussion
+    # r9): max |BLAS−fold| on the rotated corpus is ~3e-16 and zero of
+    # 2000 subspace codes flip, so a red here needs a sub-centroid tie
+    # inside ~1e-13 — if one ever appears, the ivfpq escape hatch is
+    # embedding the numpy-rotated vectors (or codes) as literals.
     def _opq_recall_sql(
         sf_dir: str = "/root/testdata/sf0.01",
         m: int = 4,
@@ -3887,7 +3894,7 @@ def oracle_sql() -> dict[str, str]:
         k = len(probs)
         tot = float(sum(probs))
         qs = [float(p) / tot for p in probs]
-        bin_case = "CASE WHEN value <= 10.0 THEN 0"
+        bin_case = f"CASE WHEN value <= {edges[0]!r} THEN 0"
         for i, e_ in enumerate(edges[1:], start=1):
             bin_case += f" WHEN value <= {e_!r} THEN {i}"
         bin_case += f" ELSE {k - 1} END"

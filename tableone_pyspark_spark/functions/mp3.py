@@ -79,32 +79,48 @@ class Mp3Info:
 
 
 def is_mp3(payload: bytes) -> bool:
-    """Cheap sniff: ID3v2 tag, or a plausible frame sync with
-    non-reserved version/layer bits, CONFIRMED by the stream
-    continuing plausibly at the computed first-frame boundary (next
-    frame sync, exact EOF, or an ID3v1 trailer). Raw PCM and other
-    headerless binary can legitimately start with 0xFF Ex (~1e-4 odds
-    for random bytes), and routing such a payload here would fail its
-    whole batch in a dispatch — the boundary check drops the
-    false-positive odds to ~1e-9 at the cost of one header parse and
-    no frame walk. (MP3 still has no strong magic — run this AFTER
-    the strong-magic formats in any dispatch.)"""
-    if payload[:3] == b"ID3" and len(payload) >= 10:
-        return True
-    if len(payload) < 4:
+    """Cheap sniff: a plausible frame header — optionally behind a
+    well-formed ID3v2 tag — CONFIRMED by the stream continuing
+    plausibly at the computed first-frame boundary (next frame sync,
+    exact EOF, or an ID3v1 trailer). Raw PCM can legitimately start
+    with 0xFF Ex (~1e-4 odds for random bytes) and text can start
+    with the ASCII characters "ID3"; routing either payload here
+    would fail its whole batch in a dispatch — confirming a real
+    frame behind both prefixes drops the false-positive odds to ~1e-9
+    at the cost of one header parse and no frame walk. A tag with no
+    frames after it also sniffs False (``mp3_metadata`` would refuse
+    it anyway). (MP3 still has no strong magic — run this AFTER the
+    strong-magic formats in any dispatch.)"""
+    if payload[:3] == b"ID3":
+        # the ID3 prefix is three ASCII characters — text starting
+        # "ID3 ..." would otherwise sniff as MP3 and fail its batch
+        # in a dispatch, the exact class the sync-path check closes.
+        # Skip the claimed tag and demand a plausible frame after it.
+        try:
+            pos = _skip_id3v2(payload)
+        except ValueError:
+            return False
+        return _plausible_frame_at(payload, pos)
+    return _plausible_frame_at(payload, 0)
+
+
+def _plausible_frame_at(payload: bytes, pos: int) -> bool:
+    """One parseable frame header at ``pos`` whose computed extent is
+    followed by another sync, exact EOF, or an ID3v1 trailer."""
+    if len(payload) - pos < 4:
         return False
     try:
         vbits, layer, kbps, rate, pad, _ch, _crc = _parse_header(
-            int.from_bytes(payload[:4], "big")
+            int.from_bytes(payload[pos : pos + 4], "big")
         )
     except ValueError:
         return False
     size = _frame_bytes(vbits, layer, kbps, rate, pad)
-    if size < 4 or size > len(payload):
+    if size < 4 or pos + size > len(payload):
         return False  # first frame would be truncated
-    if size == len(payload):
+    if pos + size == len(payload):
         return True  # single frame filling the payload exactly
-    nxt = payload[size : size + 4]
+    nxt = payload[pos + size : pos + size + 4]
     if nxt[:3] == b"TAG":
         return True  # ID3v1 trailer right after the only frame
     if len(nxt) < 2:

@@ -49,10 +49,12 @@ def _read_ifd(payload: bytes, endian: str):
     for i in range(n):
         tag, typ, cnt = struct.unpack_from(endian + "HHI", payload, base + 12 * i)
         if cnt == 0:
-            # a present tag with no values has no defined meaning and
-            # would surface as an empty list at the accessors —
-            # hostile-path contract: typed error, not IndexError
-            raise ValueError(f"TIFF: tag {tag} has count 0")
+            # a present tag with no values has no defined meaning —
+            # SKIP it (don't store an empty list that would IndexError
+            # at the accessors): an unused count-0 tag then decodes
+            # like it was absent, and a REQUIRED/accessed one falls
+            # through to that tag's own typed missing-tag ValueError
+            continue
         voff = base + 12 * i + 8
         size = _TYPE_SIZES.get(typ, 1) * cnt
         if size > 4:

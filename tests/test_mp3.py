@@ -126,7 +126,13 @@ def test_crc_flag_shifts_xing_offset():
 def test_sniff():
     assert mp3.is_mp3(_frame(417, bidx=9))  # one frame, exact EOF
     assert mp3.is_mp3(_frame(417, bidx=9) * 2)  # next sync confirms
-    assert mp3.is_mp3(b"ID3\x04\x00\x00\x00\x00\x00\x00rest")
+    # ID3v2 tag followed by a real frame sniffs; a tag followed by
+    # non-frame bytes (e.g. TEXT starting "ID3 ...") does NOT — the
+    # misdispatch would fail the whole batch (self-review r9)
+    id3 = b"ID3\x04\x00\x00\x00\x00\x00\x00"
+    assert mp3.is_mp3(id3 + _frame(417, bidx=9))
+    assert not mp3.is_mp3(id3 + b"rest of the tag-only payload")
+    assert not mp3.is_mp3(b"ID3 tags are a metadata container ...")
     assert not mp3.is_mp3(b"RIFFxxxxWAVE")
     assert not mp3.is_mp3(b"\xff\xff")  # too short
     # reserved version bits (01) must not sniff as MP3

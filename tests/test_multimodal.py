@@ -687,11 +687,15 @@ def test_tiff_hostile_ifd_entries_raise_valueerror():
                 struct.pack_into("<HHII", buf, off, tag, typ, cnt, val)
         return bytes(buf)
 
-    # compression tag present with count=0
-    with _pytest.raises(ValueError, match="count 0"):
-        tiff.decode_tiff(_patch(259, 3, 0, 0))
-    # compression tag stored as RATIONAL (type 5, inline-sized 8 > 4
-    # would chase an offset; use type 2 ASCII kept as None instead)
+    # an unused tag with count=0 is SKIPPED (decodes like it was
+    # absent — compression defaults to 1, which this fixture is)
+    assert tiff.decode_tiff(_patch(259, 3, 0, 0)).shape == (4, 5)
+    # a REQUIRED tag with count=0 falls through to its own typed
+    # missing-tag error, never an IndexError
+    with _pytest.raises(ValueError, match="ImageWidth"):
+        tiff.decode_tiff(_patch(256, 3, 0, 0))
+    # compression tag stored as ASCII (type 2, kept as None) raises
+    # the typed non-integer error, never TypeError at e.get(...)[0]
     with _pytest.raises(ValueError, match="non-integer"):
         tiff.decode_tiff(_patch(259, 2, 1, 1))
     # RowsPerStrip with a non-integer type hits the same contract
