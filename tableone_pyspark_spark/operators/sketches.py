@@ -77,3 +77,167 @@ def distinct_estimates(
     est = F.hll_sketch_estimate(F.col(sketch_col)).alias("n_distinct")
     cols = [*(group_cols or []), est]
     return sketches.select(*cols)
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch (Cormode & Muthukrishnan 2005): the frequency twin
+# of the HLL artifacts above — "how often has this key appeared so
+# far?" across batches, in depth×width bounded memory, one-sided
+# (estimate ≥ true count, within εN with probability 1−δ at
+# width = ⌈e/ε⌉, depth = ⌈ln 1/δ⌉).
+#
+# Unlike the HLL rows (DataSketches bytes — engine-specific,
+# pytest-differential class), this sketch is built from the repo's
+# deterministic polynomial hash family (poly_hash + the minhash
+# universal coefficients), so counts, merges and point estimates are
+# pure integer arithmetic ANY engine reproduces exactly — the
+# SQL-oracle class, same argument as the minhash/simhash "poly" mode.
+#
+# Scale shapes: build melts each row into `depth` slot increments and
+# partial-aggregates BEFORE the shuffle, so the exchange carries at
+# most |groups| × depth × width partial counts regardless of input
+# rows; merge/estimate operate on artifact-sized frames only.
+# Conservative update is deliberately NOT offered: it is
+# order-dependent and therefore impossible in a one-pass distributed
+# aggregation (a determinism contract violation, not a missing
+# feature).
+# ---------------------------------------------------------------------------
+
+
+def _cms_positions(key, width: int, depth: int) -> list:
+    from tableone_pyspark_spark.functions.text import poly_hash
+    from tableone_pyspark_spark.operators.dedup import POLY_MOD, poly_coeffs
+
+    h = poly_hash(key)
+    return [((h * a + b) % POLY_MOD) % width for a, b in poly_coeffs(depth)]
+
+
+def _cms_check(width: int, depth: int) -> None:
+    if width < 2:
+        raise ValueError(f"width must be >= 2, got {width}")
+    if depth < 1:
+        raise ValueError(f"depth must be >= 1, got {depth}")
+
+
+def _cms_assemble(counts: DataFrame, group_cols: list[str], width: int, depth: int) -> DataFrame:
+    """(slot, c) partial counts -> one dense row-major array per group."""
+    m = F.map_from_entries(
+        F.collect_list(F.struct(F.col("slot"), F.col("c")))
+    ).alias("_m")
+    g = counts.groupBy(*group_cols).agg(m) if group_cols else counts.agg(m)
+    arr = F.transform(
+        F.sequence(F.lit(0), F.lit(depth * width - 1)),
+        # try_element_at: ANSI mode (this engine's default) makes the
+        # plain map element_at THROW on absent keys — empty slots must
+        # read as 0, not error
+        lambda i: F.coalesce(
+            F.try_element_at(F.col("_m"), i), F.lit(0).cast("long")
+        ),
+    )
+    return g.select(
+        *group_cols,
+        F.lit(width).alias("width"),
+        F.lit(depth).alias("depth"),
+        arr.alias("cms"),
+    )
+
+
+def build_cms(
+    df: DataFrame,
+    key_col: str,
+    width: int = 1024,
+    depth: int = 4,
+    group_cols: list[str] | None = None,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """(group..., width, depth, cms array<bigint>): one Count-Min
+    count matrix per group (row-major: row d at ``[d·width, (d+1)·width)``)
+    over ``key_col``, built in ONE partial-aggregated pass. NULL keys
+    are dropped (count what exists; pair with a null-rate monitor).
+    ``weight_col``: frequency weights (same contract as the engine's
+    weighted TableOne — null/non-positive weights drop the row);
+    integer weights make the sketch equal the row-replicated build
+    (pinned in tests)."""
+    _cms_check(width, depth)
+    gcols = list(group_cols or [])
+    key = F.col(key_col).cast("string")
+    src = df.where(key.isNotNull())
+    if weight_col is not None:
+        w = F.col(weight_col).cast("long")
+        src = src.where(w.isNotNull() & (w > 0))
+    else:
+        w = F.lit(1).cast("long")
+    slots = F.array(
+        *[
+            (F.lit(d * width) + p).cast("int")
+            for d, p in enumerate(_cms_positions(key, width, depth))
+        ]
+    )
+    melted = src.select(*gcols, w.alias("_w"), F.explode(slots).alias("slot"))
+    counts = melted.groupBy(*gcols, "slot").agg(F.sum("_w").alias("c"))
+    return _cms_assemble(counts, gcols, width, depth)
+
+
+def merge_cms(
+    sketches: DataFrame,
+    group_cols: list[str] | None = None,
+    cms_col: str = "cms",
+) -> DataFrame:
+    """Element-wise sum of sketch artifacts (e.g. every daily build)
+    back to one per group — cost independent of the row counts the
+    sketches summarize. Merging is associative-commutative integer
+    addition, so merge(parts) ≡ rebuild(union) EXACTLY (pinned).
+    Artifacts must share (width, depth): mixed geometries cannot be
+    summed slot-wise and raise rather than mis-merge."""
+    gcols = list(group_cols or [])
+    geoms = [
+        (r["width"], r["depth"])
+        for r in sketches.select("width", "depth").distinct().collect()
+    ]
+    if len(geoms) != 1:
+        raise ValueError(f"mixed sketch geometries cannot merge: {sorted(geoms)}")
+    width, depth = geoms[0]
+    melted = sketches.select(
+        *gcols, F.posexplode(F.col(cms_col)).alias("slot", "v")
+    )
+    counts = melted.groupBy(*gcols, "slot").agg(
+        F.sum("v").alias("c")
+    )
+    return _cms_assemble(counts, gcols, int(width), int(depth))
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    group_cols: list[str] | None = None,
+    cms_col: str = "cms",
+) -> DataFrame:
+    """(group..., <key_col>, est): the Count-Min point estimate
+    min over rows d of ``cms[d·width + pos_d(key)]`` for every key in
+    ``keys`` — the artifact side broadcasts (it is KB-scale by
+    construction), so the plan is a broadcast join plus row-local
+    arithmetic. Estimates are ≥ the true count, exact when no row of
+    the key's positions collided."""
+    gcols = list(group_cols or [])
+    geoms = [
+        (r["width"], r["depth"])
+        for r in sketch.select("width", "depth").distinct().collect()
+    ]
+    if len(geoms) != 1:
+        raise ValueError(f"need one sketch geometry, got {sorted(geoms)}")
+    width, depth = (int(geoms[0][0]), int(geoms[0][1]))
+    key = F.col(key_col).cast("string")
+    kf = keys.select(*gcols, key.alias(key_col)).distinct()
+    joined = (
+        kf.join(F.broadcast(sketch), gcols) if gcols else kf.crossJoin(F.broadcast(sketch))
+    )
+    est = F.least(
+        *[
+            F.element_at(
+                F.col(cms_col), (F.lit(d * width) + p + 1).cast("int")
+            )
+            for d, p in enumerate(_cms_positions(F.col(key_col), width, depth))
+        ]
+    )
+    return joined.select(*gcols, key_col, est.alias("est"))

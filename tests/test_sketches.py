@@ -69,3 +69,130 @@ def test_validation_and_plan(spark):
     plan = inspect.executed_plan(sk.build_distinct_sketches(df, "k", ["k"]))
     assert plan.count("Exchange") <= 1
     assert "partial_hll_sketch_agg" in plan
+
+
+# ---- Count-Min sketch (X99) ------------------------------------------------
+
+
+def _py_cms(rows, width, depth):
+    """Independent pure-Python CMS twin on the same poly-hash family."""
+    from tableone_pyspark_spark.operators.dedup import POLY_MOD, poly_coeffs
+
+    def poly(s):
+        acc = 0
+        for ch in s:
+            acc = (acc * 31 + ord(ch)) % POLY_MOD
+        return acc
+
+    cms = [0] * (depth * width)
+    cf = poly_coeffs(depth)
+    for key, w in rows:
+        h = poly(key)
+        for d, (a, b) in enumerate(cf):
+            cms[d * width + ((h * a + b) % POLY_MOD) % width] += w
+    return cms
+
+
+def test_cms_build_matches_python_twin(spark):
+    from tableone_pyspark_spark.operators.sketches import build_cms
+
+    rows = [(f"k{i % 7}", 1) for i in range(50)] + [("solo", 1)]
+    df = spark.createDataFrame([(k,) for k, _ in rows], "key string")
+    got = build_cms(df, "key", width=32, depth=3).collect()[0]
+    assert (got["width"], got["depth"]) == (32, 3)
+    assert list(got["cms"]) == _py_cms(rows, 32, 3)
+
+
+def test_cms_estimate_one_sided_and_exact_when_wide(spark):
+    from pyspark.sql import functions as F
+
+    from tableone_pyspark_spark.operators.sketches import build_cms, cms_estimate
+
+    df = spark.createDataFrame(
+        [(f"k{i % 13}",) for i in range(400)], "key string"
+    )
+    true = {r["key"]: r["n"] for r in df.groupBy("key").agg(F.count(F.lit(1)).alias("n")).collect()}
+    # narrow sketch: one-sided (est >= true)
+    sk = build_cms(df, "key", width=4, depth=2)
+    est = {r["key"]: r["est"] for r in cms_estimate(sk, df, "key").collect()}
+    assert set(est) == set(true)
+    assert all(est[k] >= true[k] for k in true)
+    # wide sketch: 13 keys into 4096 slots -> every row collision-free
+    wide = build_cms(df, "key", width=4096, depth=4)
+    est_w = {r["key"]: r["est"] for r in cms_estimate(wide, df, "key").collect()}
+    assert est_w == true
+
+
+def test_cms_merge_equals_rebuild_and_rejects_mixed_geometry(spark):
+    import pytest as _pytest
+
+    from tableone_pyspark_spark.operators.sketches import build_cms, merge_cms
+
+    a = spark.createDataFrame([(f"a{i % 5}",) for i in range(60)], "key string")
+    b = spark.createDataFrame([(f"a{i % 9}",) for i in range(40)], "key string")
+    merged = merge_cms(
+        build_cms(a, "key", width=64, depth=3).union(
+            build_cms(b, "key", width=64, depth=3)
+        )
+    ).collect()[0]
+    rebuilt = build_cms(a.union(b), "key", width=64, depth=3).collect()[0]
+    assert list(merged["cms"]) == list(rebuilt["cms"])
+    with _pytest.raises(ValueError, match="mixed sketch geometries"):
+        merge_cms(
+            build_cms(a, "key", width=64, depth=3).union(
+                build_cms(b, "key", width=32, depth=3)
+            )
+        ).collect()
+
+
+def test_cms_weighted_equals_replicated_and_grouped(spark):
+    from pyspark.sql import functions as F
+
+    from tableone_pyspark_spark.operators.sketches import build_cms
+
+    w = spark.createDataFrame(
+        [("x", 3), ("y", 2), ("x", 1), ("z", 0), ("n", None)],
+        "key string, w int",
+    )
+    # weight 0 / NULL rows drop; integer weights == row replication
+    rep = spark.createDataFrame(
+        [("x",)] * 4 + [("y",)] * 2, "key string"
+    )
+    got_w = build_cms(w, "key", width=16, depth=2, weight_col="w").collect()[0]
+    got_r = build_cms(rep, "key", width=16, depth=2).collect()[0]
+    assert list(got_w["cms"]) == list(got_r["cms"])
+    # grouped build: one artifact per group, group totals preserved
+    g = spark.createDataFrame(
+        [("g1", "a"), ("g1", "a"), ("g2", "b")], "grp string, key string"
+    )
+    rows = {r["grp"]: r for r in build_cms(g, "key", width=8, depth=2, group_cols=["grp"]).collect()}
+    assert sum(rows["g1"]["cms"]) == 2 * 2  # 2 rows x depth increments
+    assert sum(rows["g2"]["cms"]) == 1 * 2
+
+
+def test_cms_artifact_parquet_round_trip(spark, tmp_path):
+    from tableone_pyspark_spark.operators.sketches import (
+        build_cms,
+        cms_estimate,
+        merge_cms,
+    )
+
+    df = spark.createDataFrame([(f"k{i % 6}",) for i in range(90)], "key string")
+    path = str(tmp_path / "cms")
+    build_cms(df, "key", width=64, depth=3).write.parquet(path)
+    back = spark.read.parquet(path)
+    merged = merge_cms(back.union(back))
+    est = {r["key"]: r["est"] for r in cms_estimate(merged, df, "key").collect()}
+    assert est == {f"k{i}": 30 for i in range(6)}
+
+
+def test_cms_validation(spark):
+    import pytest as _pytest
+
+    from tableone_pyspark_spark.operators.sketches import build_cms
+
+    df = spark.createDataFrame([("k",)], "key string")
+    with _pytest.raises(ValueError, match="width"):
+        build_cms(df, "key", width=1)
+    with _pytest.raises(ValueError, match="depth"):
+        build_cms(df, "key", depth=0)
