@@ -9,13 +9,17 @@ Supported: compression 1 (none), photometric 0/1 (grayscale, incl.
 the 0 = white-is-zero inversion) and 2 (RGB), 8 bits per sample,
 1/3/4 samples per pixel (gray / RGB / RGBA — extra alpha dropped),
 strip layout (StripOffsets/StripByteCounts/RowsPerStrip), both byte
-orders, and PackBits compression (32773 — the Apple RLE: flag<128
+orders, PackBits compression (32773 — the Apple RLE: flag<128
 copies flag+1 literals, flag>128 repeats the next byte 257−flag
-times, 128 is a no-op; strips decompress independently).
-PlanarConfiguration 2, tiles, LZW/JPEG-in-TIFF and sub-8-bit depths
-refuse with typed errors (honest boundary — baseline uncompressed +
-PackBits cover the scanner/export majority; a real libtiff slots
-into the same multimodal seam).
+times, 128 is a no-op; strips decompress independently), LZW
+compression (5 — TIFF 6.0 §13: MSB-first 9→12-bit codes with the
+spec's "early change" width schedule, Clear/EOI, KwKwK; since r9),
+and the horizontal-differencing predictor (tag 317 = 2) LZW files
+almost always carry. PlanarConfiguration 2, tiles, JPEG-in-TIFF,
+the floating-point predictor (3) and sub-8-bit depths refuse with
+typed errors (honest boundary — uncompressed + PackBits + LZW cover
+the overwhelming scanner/export majority; a real libtiff slots into
+the same multimodal seam).
 
 Hostile-input contract as the other codecs: bomb guard before any
 allocation, every offset/strip read bounds-checked, hostile paths
@@ -113,6 +117,119 @@ def _unpackbits(data: bytes, expected: int) -> bytes:
     return bytes(out[:expected])
 
 
+_LZW_CLEAR, _LZW_EOI = 256, 257
+
+
+def _lzw_decode(data: bytes, expected: int) -> bytes:
+    """TIFF-variant LZW (TIFF 6.0 §13): MSB-first variable-width codes
+    9→12 bits with the TIFF "early change" (the width bumps when the
+    NEXT entry to assign reaches 2^width − 1, one code earlier than
+    GIF's LSB-first variant in ``gif.py``), ClearCode 256 resets the
+    table, EOI 257 ends the strip. Decodes exactly ``expected`` bytes;
+    short, over-long, or out-of-range-code input raises (house
+    hostile-path contract; ``expected`` bounds allocation, so no bomb
+    guard is needed beyond it)."""
+    padded = data + b"\x00\x00"
+    nbits = len(data) * 8
+    bitpos = 0
+    width = 9
+    table: list[bytes] = [bytes([i]) for i in range(256)] + [b"", b""]
+    next_code = 258
+    prev: bytes | None = None
+    out = bytearray()
+    while len(out) < expected:
+        if bitpos + width > nbits:
+            raise ValueError("TIFF LZW: strip ran out of bits")
+        byte_i = bitpos >> 3
+        window = int.from_bytes(padded[byte_i : byte_i + 3], "big")
+        code = (window >> (24 - (bitpos & 7) - width)) & ((1 << width) - 1)
+        bitpos += width
+        if code == _LZW_CLEAR:
+            del table[258:]
+            width, next_code, prev = 9, 258, None
+            continue
+        if code == _LZW_EOI:
+            break
+        if prev is None:
+            if code >= 256:
+                raise ValueError(
+                    "TIFF LZW: first code after clear must be a literal"
+                )
+            entry = table[code]
+        else:
+            if code < next_code:
+                entry = table[code]
+            elif code == next_code:
+                entry = prev + prev[:1]  # the KwKwK case
+            else:
+                raise ValueError(f"TIFF LZW: code {code} beyond the table")
+            if next_code >= 4096:
+                raise ValueError("TIFF LZW: table overflow without a clear")
+            table.append(prev + entry[:1])
+            next_code += 1
+            if next_code == (1 << width) - 1 and width < 12:
+                width += 1  # early change
+        out += entry
+        prev = entry
+    if len(out) < expected:
+        raise ValueError("TIFF LZW: strip decodes short")
+    return bytes(out[:expected])
+
+
+def lzw_encode(data: bytes) -> bytes:
+    """Fixture/round-trip TIFF-LZW writer: greedy longest-match
+    dictionary coding with the same MSB-first early-change width
+    schedule the decoder expects, a leading ClearCode, a table reset
+    at 4094 entries (the libtiff convention — the 12-bit space is
+    never run to the fence), and a trailing EOI."""
+    acc = 0
+    acc_bits = 0
+    out = bytearray()
+
+    state = {"width": 9, "next": 258, "dict": {bytes([i]): i for i in range(256)}}
+
+    def emit(code: int) -> None:
+        nonlocal acc, acc_bits
+        acc = (acc << state["width"]) | code
+        acc_bits += state["width"]
+        while acc_bits >= 8:
+            out.append((acc >> (acc_bits - 8)) & 0xFF)
+            acc_bits -= 8
+        acc &= (1 << acc_bits) - 1
+
+    def reset() -> None:
+        state["width"] = 9
+        state["next"] = 258
+        state["dict"] = {bytes([i]): i for i in range(256)}
+
+    emit(_LZW_CLEAR)
+    w = b""
+    for b in data:
+        k = w + bytes([b])
+        if k in state["dict"]:
+            w = k
+            continue
+        emit(state["dict"][w])
+        state["dict"][k] = state["next"]
+        state["next"] += 1
+        # mirror the decoder, which lags this table by ONE entry (it
+        # adds after reading): it bumps at ITS next == 2^w − 1 (the
+        # TIFF early change), so the encoder bumps at next == 2^w —
+        # one later than its own count, same sync idiom as gif.py
+        if state["next"] == (1 << state["width"]) and state["width"] < 12:
+            state["width"] += 1
+        if state["next"] == 4094:
+            emit(_LZW_CLEAR)
+            reset()
+        w = bytes([b])
+    if w:
+        emit(state["dict"][w])
+    emit(_LZW_EOI)
+    if acc_bits:
+        out.append((acc << (8 - acc_bits)) & 0xFF)
+    return bytes(out)
+
+
 def packbits_encode(row: bytes) -> bytes:
     """Fixture/round-trip PackBits writer: greedy repeat runs (≥ 3 or
     a pair at buffer boundaries) and literal runs, both capped at 128.
@@ -167,10 +284,18 @@ def decode_tiff(payload: bytes, max_pixels: int = MAX_PIXELS) -> np.ndarray:
     if w * h > max_pixels:
         raise ValueError(f"TIFF bomb guard: {w}x{h} exceeds {max_pixels} pixels")
     comp = _tag1(e, 259, 1)
-    if comp not in (1, 32773):
+    if comp not in (1, 5, 32773):
         raise NotImplementedError(
-            f"TIFF compression {comp} unsupported (uncompressed/PackBits only)"
+            f"TIFF compression {comp} unsupported "
+            "(uncompressed/LZW/PackBits only)"
         )
+    pred = _tag1(e, 317, 1)
+    if pred == 3:
+        raise NotImplementedError(
+            "TIFF floating-point predictor (3) unsupported"
+        )
+    if pred not in (1, 2):
+        raise ValueError(f"TIFF: invalid predictor {pred}")
     photo = _tag1(e, 262, 1)
     if photo not in (0, 1, 2):
         raise NotImplementedError(f"TIFF photometric {photo} unsupported")
@@ -206,6 +331,9 @@ def decode_tiff(payload: bytes, max_pixels: int = MAX_PIXELS) -> np.ndarray:
         if comp == 32773:
             raw = _unpackbits(payload[so : so + sc], need)
             strip = np.frombuffer(raw, dtype=np.uint8)
+        elif comp == 5:
+            raw = _lzw_decode(payload[so : so + sc], need)
+            strip = np.frombuffer(raw, dtype=np.uint8)
         else:
             if sc < need:
                 raise ValueError("TIFF: strip shorter than its rows")
@@ -214,6 +342,12 @@ def decode_tiff(payload: bytes, max_pixels: int = MAX_PIXELS) -> np.ndarray:
         y += n_rows
     if y < h:
         raise ValueError("TIFF: strips cover fewer rows than ImageLength")
+    if pred == 2:
+        # undo horizontal differencing: each row restarts, each sample
+        # accumulates its left neighbor of the SAME channel, mod 256
+        out = np.cumsum(
+            out.reshape(h, w, spp), axis=1, dtype=np.uint8
+        ).reshape(h, row_bytes)
     if spp == 1:
         img = out
         if photo == 0:  # white-is-zero
@@ -223,9 +357,15 @@ def decode_tiff(payload: bytes, max_pixels: int = MAX_PIXELS) -> np.ndarray:
     return np.ascontiguousarray(px[:, :, :3])
 
 
-def encode_tiff(arr: np.ndarray) -> bytes:
+def encode_tiff(
+    arr: np.ndarray, compression: int = 1, predictor: int = 1
+) -> bytes:
     """Fixture/round-trip writer: (h, w) gray or (h, w, 3) RGB uint8 →
-    baseline little-endian single-strip TIFF."""
+    little-endian single-strip TIFF. ``compression``: 1 (none),
+    5 (LZW — one stream for the strip), 32773 (PackBits — each row
+    packed independently per spec, concatenated). ``predictor``: 1
+    (none) or 2 (horizontal differencing — the layout real LZW TIFFs
+    almost always pair with the codec)."""
     arr = np.asarray(arr, dtype=np.uint8)
     if arr.ndim == 2:
         h, w = arr.shape
@@ -235,18 +375,39 @@ def encode_tiff(arr: np.ndarray) -> bytes:
         spp, photo = 3, 2
     else:
         raise ValueError("arr must be (h, w) gray or (h, w, 3) RGB")
-    data = arr.tobytes()
+    if compression not in (1, 5, 32773):
+        raise ValueError(f"unsupported compression {compression}")
+    if predictor not in (1, 2):
+        raise ValueError(f"unsupported predictor {predictor}")
+    px = arr.reshape(h, w, spp)
+    if predictor == 2:
+        px = px.astype(np.int16)
+        px[:, 1:, :] -= px[:, :-1, :].copy()
+        px = (px % 256).astype(np.uint8)
+    raw = px.tobytes()
+    if compression == 5:
+        data = lzw_encode(raw)
+    elif compression == 32773:
+        row_bytes = w * spp
+        data = b"".join(
+            packbits_encode(raw[r * row_bytes : (r + 1) * row_bytes])
+            for r in range(h)
+        )
+    else:
+        data = raw
     tags = [
         (256, 3, 1, w),
         (257, 3, 1, h),
         (258, 3, 1, 8) if spp == 1 else (258, 3, 3, None),  # bits
-        (259, 3, 1, 1),
+        (259, 3, 1, compression),
         (262, 3, 1, photo),
         (273, 4, 1, None),  # strip offset, patched below
         (277, 3, 1, spp),
         (278, 3, 1, h),
         (279, 4, 1, len(data)),
     ]
+    if predictor == 2:
+        tags.append((317, 3, 1, 2))
     n = len(tags)
     ifd_off = 8
     after_ifd = ifd_off + 2 + 12 * n + 4

@@ -641,14 +641,15 @@ def test_tiff_decode_and_dispatch(spark):
     assert (got[2]["width"], got[2]["height"], got[2]["channels"]) == (6, 4, 3)
     assert got[2]["mean_intensity"] == _pytest.approx(rgb.mean() / 255, abs=1e-9)
 
-    # hostile / refusal boundary
-    lzw = bytearray(pg)
+    # hostile / refusal boundary (compression 5 is REAL since r9 —
+    # JPEG-in-TIFF is the refusal representative now)
+    jpg = bytearray(pg)
     for i in range(n):
         off = 10 + 12 * i
-        if struct.unpack_from("<H", lzw, off)[0] == 259:
-            struct.pack_into("<HHII", lzw, off, 259, 3, 1, 5)
-    with _pytest.raises(NotImplementedError, match="compression 5"):
-        tiff.decode_tiff(bytes(lzw))
+        if struct.unpack_from("<H", jpg, off)[0] == 259:
+            struct.pack_into("<HHII", jpg, off, 259, 3, 1, 7)
+    with _pytest.raises(NotImplementedError, match="compression 7"):
+        tiff.decode_tiff(bytes(jpg))
     with _pytest.raises(ValueError, match="not a TIFF"):
         tiff.decode_tiff(b"ZZZZ" + b"\x00" * 20)
     with _pytest.raises(ValueError, match="strip outside"):
@@ -803,3 +804,59 @@ def test_signature_neardup_validates_max_hamming(spark):
         signature_neardup_pairs(sig, "id", "sg", 64)
     with _pytest.raises(ValueError, match="max_hamming"):
         signature_neardup_pairs(sig, "id", "sg", -1)
+
+
+def test_tiff_lzw_and_predictor_round_trips(spark):
+    """TIFF LZW (compression 5, r9): encode/decode round-trips across
+    gray/RGB x predictor 1/2, width-schedule sync across the early
+    change, multi-clear streams, the real Spark dispatch, and the
+    hostile paths."""
+    import numpy as np
+    import pytest as _pytest
+
+    from tableone_pyspark_spark.functions import tiff
+    from tableone_pyspark_spark.operators.multimodal import image_metadata
+
+    rng = np.random.default_rng(5)
+    gray = rng.integers(0, 256, (7, 11), dtype=np.uint8)
+    rgb = rng.integers(0, 256, (6, 9, 3), dtype=np.uint8)
+    # smooth gradient: the regime predictor 2 exists for
+    smooth = (np.arange(64 * 64).reshape(64, 64) // 17 % 256).astype(np.uint8)
+    for a in (gray, rgb, smooth):
+        for pred in (1, 2):
+            p = tiff.encode_tiff(a, compression=5, predictor=pred)
+            assert np.array_equal(tiff.decode_tiff(p), a)
+    # predictor 2 + LZW beats raw on smooth data (the point of both)
+    assert len(tiff.encode_tiff(smooth, 5, 2)) < smooth.size // 4
+
+    # raw codec: the early change boundary is crossed by 300k bytes of
+    # low-entropy data (multiple table resets), byte-for-byte
+    blob = bytes((i * 7) % 4 for i in range(300_000))
+    assert tiff._lzw_decode(tiff.lzw_encode(blob), len(blob)) == blob
+
+    # Spark dispatch with real decoded means
+    d = spark.createDataFrame(
+        [(1, bytearray(tiff.encode_tiff(gray, 5, 2)))], "id long, b binary"
+    )
+    r = image_metadata(d, "id", "b").collect()[0]
+    assert (r["width"], r["height"]) == (11, 7)
+    assert abs(r["mean_intensity"] - gray.mean() / 255) < 1e-9
+
+    # hostile paths
+    with _pytest.raises(ValueError, match="ran out of bits"):
+        tiff._lzw_decode(tiff.lzw_encode(b"x" * 100)[:4], 100)
+    with _pytest.raises(ValueError, match="beyond the table"):
+        tiff._lzw_decode(b"\x00\x00\xff\xff", 10)
+    with _pytest.raises(NotImplementedError, match="floating-point predictor"):
+        # patch predictor tag to 3 on an LZW fixture
+        import struct as _s
+
+        p = bytearray(tiff.encode_tiff(gray, 5, 2))
+        n = _s.unpack_from("<H", p, 8)[0]
+        for i in range(n):
+            off = 10 + 12 * i
+            if _s.unpack_from("<H", p, off)[0] == 317:
+                _s.pack_into("<HHII", p, off, 317, 3, 1, 3)
+        tiff.decode_tiff(bytes(p))
+    with _pytest.raises(ValueError, match="unsupported compression"):
+        tiff.encode_tiff(gray, compression=42)
