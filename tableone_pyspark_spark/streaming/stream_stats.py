@@ -618,6 +618,96 @@ def streaming_bloom_dedup(
     )
 
 
+def streaming_cms_counts(
+    stream: DataFrame,
+    key_col: str,
+    ts_col: str = "ts",
+    width: int = 256,
+    depth: int = 4,
+    n_shards: int = 4,
+    watermark: str = "0 seconds",
+) -> DataFrame:
+    """Streaming frequency tracking in FIXED memory: the Count-Min
+    twin of :func:`streaming_bloom_dedup` (hot-key / abuse / crawler
+    -loop detection — "how often have I seen this key so far?",
+    forever, without per-key state). Each shard keeps ONE depth×width
+    int64 matrix (`operators/sketches.py` geometry, same deterministic
+    poly-hash family); every input row increments its ``depth`` slots
+    and emits (key, est) where est = the Count-Min estimate AFTER
+    counting the row — one-sided (est ≥ the key's true running count,
+    exact while its slots are collision-free).
+
+    Replay contract (the ``stream_bloom`` monotone argument): counts
+    only grow, and within a micro-batch each shard processes rows in
+    the documented (event-time, key) order — so row i's estimate is
+    min over rows d of the CUMULATIVE count of earlier-or-equal rows
+    in its shard sharing slot d. Under availableNow with one file per
+    trigger the whole emission is therefore exact SQL (window
+    cumulative counts); rows with identical (ts, key) are
+    interchangeable, so the emitted multiset is deterministic even
+    though their relative order is not. State size: n_shards × depth
+    × width longs, independent of rows AND of distinct keys — no
+    timeout needed BY DESIGN (unlike per-key dedup state, the sketch
+    cannot grow).
+
+    Returns (key, est) per input row, append mode."""
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from tableone_pyspark_spark.functions.text import poly_hash
+    from tableone_pyspark_spark.operators.bloom import poly_hash_py
+    from tableone_pyspark_spark.operators.dedup import POLY_MOD, poly_coeffs
+
+    if width < 2:
+        raise ValueError(f"width must be >= 2, got {width}")
+    if depth < 1:
+        raise ValueError(f"depth must be >= 1, got {depth}")
+    if n_shards < 1:
+        raise ValueError("n_shards must be positive")
+    cf = poly_coeffs(depth)
+    out_schema = "key string, est bigint"
+    state_schema = "counts array<bigint>"
+
+    def fold(shard_key, pdfs, state):
+        if state.hasTimedOut:  # NoTimeout: unreachable, defensive
+            return
+        counts = (
+            [int(x) for x in state.get[0]]
+            if state.exists
+            else [0] * (depth * width)
+        )
+        rows = []
+        frames = [pdf[["__key", "__ts_us"]] for pdf in pdfs]
+        if frames:
+            allk = pd.concat(frames, ignore_index=True).sort_values(
+                ["__ts_us", "__key"], kind="stable"
+            )
+            for k in allk["__key"]:
+                h = poly_hash_py(k)
+                slots = [
+                    d * width + ((h * a + b) % POLY_MOD) % width
+                    for d, (a, b) in enumerate(cf)
+                ]
+                for s in slots:
+                    counts[s] += 1
+                rows.append((k, min(counts[s] for s in slots)))
+        state.update((counts,))
+        if rows:
+            yield pd.DataFrame(rows, columns=["key", "est"])
+
+    prepared = (
+        stream.withWatermark(ts_col, watermark) if stream.isStreaming else stream
+    ).select(
+        F.col(key_col).cast("string").alias("__key"),
+        F.unix_micros(F.col(ts_col)).alias("__ts_us"),
+        (poly_hash(F.col(key_col).cast("string")) % n_shards).alias("__shard"),
+    ).where(F.col("__key").isNotNull())
+    return prepared.groupBy("__shard").applyInPandasWithState(
+        fold, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
+
+
 def streaming_drift(
     stream: DataFrame,
     value_col: str,

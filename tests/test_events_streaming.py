@@ -707,3 +707,101 @@ def test_streaming_drift_excludes_nan(spark):
     )
     r = streaming_drift(df, "value", [2.0, 4.0, 6.0], [0.25] * 4, window="1 hour").collect()[0]
     assert r["n"] == 2  # NaN excluded like NULL, not binned
+
+
+def test_streaming_cms_counts_fixed_state(spark, tmp_path):
+    """Streaming Count-Min frequency tracking (X100): two micro-batches
+    over sharded sketch state — running estimates persist across
+    batches, every (key, est) emission matches a pure-Python replay of
+    the exact slot arithmetic, per-key FINAL estimates equal the batch
+    build_cms estimates on the union (same hash family), and estimates
+    are exact here because the key set is collision-free at this
+    geometry."""
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    from tableone_pyspark_spark.operators.bloom import poly_hash_py
+    from tableone_pyspark_spark.operators.dedup import POLY_MOD, poly_coeffs
+    from tableone_pyspark_spark.operators.sketches import build_cms, cms_estimate
+    from tableone_pyspark_spark.streaming.stream_stats import streaming_cms_counts
+
+    width, depth, n_shards = 512, 4, 4
+    base = [f"user-{i:03d}" for i in range(40)]
+    b1 = base[:30] + base[:15]            # batch 1: 15 keys twice
+    b2 = base[20:40] + base[:10] * 2      # batch 2: repeats + new
+    t0 = 1_700_000_000
+    d1 = spark.createDataFrame(
+        [(k, i) for i, k in enumerate(b1)], "key string, off long"
+    ).select("key", F.timestamp_seconds(F.lit(t0) + F.col("off")).alias("ts"))
+    d2 = spark.createDataFrame(
+        [(k, i) for i, k in enumerate(b2)], "key string, off long"
+    ).select("key", F.timestamp_seconds(F.lit(t0 + 10_000) + F.col("off")).alias("ts"))
+    p = str(tmp_path / "cmsstream")
+    d1.coalesce(1).write.mode("overwrite").parquet(p)
+    d2.coalesce(1).write.mode("append").parquet(p)
+
+    stream = (
+        spark.readStream.schema("key string, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .format("parquet")
+        .load(p)
+    )
+    out = streaming_cms_counts(
+        stream, "key", width=width, depth=depth, n_shards=n_shards
+    )
+    assert out.isStreaming
+    qry = (
+        out.writeStream.format("memory")
+        .queryName("t_cms_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    qry.awaitTermination()
+    got = sorted(
+        (r["key"], r["est"]) for r in spark.table("t_cms_stream").collect()
+    )
+    assert len(got) == len(b1) + len(b2)
+
+    # pure-Python replay: same shard hash, same per-batch (ts, key)
+    # order, same slot arithmetic — emissions must match EXACTLY
+    cf = poly_coeffs(depth)
+    counts = {s: [0] * (depth * width) for s in range(n_shards)}
+    replay = []
+    for batch, start in ((b1, t0), (b2, t0 + 10_000)):
+        ordered = sorted((start + i, k) for i, k in enumerate(batch))
+        for _ts, k in ordered:
+            h = poly_hash_py(k)
+            shard = h % n_shards
+            slots = [
+                d * width + ((h * a + b) % POLY_MOD) % width
+                for d, (a, b) in enumerate(cf)
+            ]
+            for s in slots:
+                counts[shard][s] += 1
+            replay.append((k, min(counts[shard][s] for s in slots)))
+    assert got == sorted(replay)
+
+    # final per-key estimate == true total count (collision-free at
+    # this geometry) == the BATCH sketch family's estimate on the union
+    rows = b1 + b2
+    true = pd.Series(rows).value_counts().to_dict()
+    finals = {}
+    for k, est in got:
+        finals[k] = max(finals.get(k, 0), est)
+    assert finals == true
+    union = spark.createDataFrame([(k,) for k in rows], "key string")
+    # per-shard streaming sketches sum to the batch sketch, so the
+    # batch estimates agree with the final streaming estimates here
+    sk = build_cms(union, "key", width=width, depth=depth)
+    batch_est = {
+        r["key"]: r["est"] for r in cms_estimate(sk, union, "key").collect()
+    }
+    assert batch_est == finals
+
+    # validation
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="width"):
+        streaming_cms_counts(stream, "key", width=1)
