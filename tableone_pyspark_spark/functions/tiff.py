@@ -6,7 +6,9 @@ Structure (TIFF 6.0 baseline): a 8-byte header (``II*\\0`` little- or
 ``MM\\0*`` big-endian + first-IFD offset), then linked IFDs of 12-byte
 entries ``(tag u16, type u16, count u32, value-or-offset u32)``.
 Supported: compression 1 (none), photometric 0/1 (grayscale, incl.
-the 0 = white-is-zero inversion) and 2 (RGB), 8 bits per sample,
+the 0 = white-is-zero inversion) and 2 (RGB), 8 bits per sample —
+plus 1-bit and 4-bit GRAYSCALE (the fax/document-scan depths,
+MSB-first row-aligned packing, FillOrder 1; since r9) —
 1/3/4 samples per pixel (gray / RGB / RGBA — extra alpha dropped),
 strip layout (StripOffsets/StripByteCounts/RowsPerStrip), both byte
 orders, PackBits compression (32773 — the Apple RLE: flag<128
@@ -14,12 +16,14 @@ copies flag+1 literals, flag>128 repeats the next byte 257−flag
 times, 128 is a no-op; strips decompress independently), LZW
 compression (5 — TIFF 6.0 §13: MSB-first 9→12-bit codes with the
 spec's "early change" width schedule, Clear/EOI, KwKwK; since r9),
-and the horizontal-differencing predictor (tag 317 = 2) LZW files
+Deflate/zlib compression (8 and the legacy 32946; bounded inflation
+via max_length — the zip-bomb guard; since r9), and the
+horizontal-differencing predictor (tag 317 = 2) LZW/Deflate files
 almost always carry. PlanarConfiguration 2, tiles, JPEG-in-TIFF,
-the floating-point predictor (3) and sub-8-bit depths refuse with
-typed errors (honest boundary — uncompressed + PackBits + LZW cover
-the overwhelming scanner/export majority; a real libtiff slots into
-the same multimodal seam).
+the floating-point predictor (3), FillOrder 2, and sub-8-bit RGB
+refuse with typed errors (honest boundary — the supported matrix
+covers the overwhelming scanner/export majority; a real libtiff
+slots into the same multimodal seam).
 
 Hostile-input contract as the other codecs: bomb guard before any
 allocation, every offset/strip read bounds-checked, hostile paths
@@ -284,10 +288,10 @@ def decode_tiff(payload: bytes, max_pixels: int = MAX_PIXELS) -> np.ndarray:
     if w * h > max_pixels:
         raise ValueError(f"TIFF bomb guard: {w}x{h} exceeds {max_pixels} pixels")
     comp = _tag1(e, 259, 1)
-    if comp not in (1, 5, 32773):
+    if comp not in (1, 5, 8, 32773, 32946):
         raise NotImplementedError(
             f"TIFF compression {comp} unsupported "
-            "(uncompressed/LZW/PackBits only)"
+            "(uncompressed/LZW/Deflate/PackBits only)"
         )
     pred = _tag1(e, 317, 1)
     if pred == 3:
@@ -307,8 +311,25 @@ def decode_tiff(payload: bytes, max_pixels: int = MAX_PIXELS) -> np.ndarray:
     bits = e.get(258) if 258 in e else [8]
     if bits is None:
         raise ValueError("TIFF: tag 258 has a non-integer type")
-    if any(b != 8 for b in bits):
-        raise NotImplementedError(f"TIFF bit depths {bits} unsupported (8 only)")
+    if len(set(bits)) != 1 or bits[0] not in (1, 4, 8):
+        raise NotImplementedError(
+            f"TIFF bit depths {bits} unsupported (uniform 1/4/8 only)"
+        )
+    bit = bits[0]
+    if bit != 8:
+        # 1-bit (fax/document scans) and 4-bit grayscale: MSB-first
+        # packing within row-aligned bytes (FillOrder 1, the default)
+        if spp != 1 or photo == 2:
+            raise NotImplementedError(
+                "TIFF sub-8-bit depths supported for grayscale only"
+            )
+        if pred == 2:
+            raise NotImplementedError(
+                "TIFF horizontal predictor with sub-8-bit samples "
+                "unsupported"
+            )
+        if _tag1(e, 266, 1) != 1:
+            raise NotImplementedError("TIFF FillOrder 2 unsupported")
     if _tag1(e, 284, 1) != 1:
         raise NotImplementedError("TIFF planar configuration 2 unsupported")
     if 322 in e or 323 in e:
@@ -320,7 +341,7 @@ def decode_tiff(payload: bytes, max_pixels: int = MAX_PIXELS) -> np.ndarray:
     if not offs or not cnts or len(offs) != len(cnts):
         raise ValueError("TIFF: missing/mismatched strip offsets or counts")
     rows_per_strip = _tag1(e, 278, h) or h
-    row_bytes = w * spp
+    row_bytes = (w * spp * bit + 7) // 8  # packed bytes per row
     out = np.empty((h, row_bytes), dtype=np.uint8)
     y = 0
     for so, sc in zip(offs, cnts):
@@ -333,6 +354,20 @@ def decode_tiff(payload: bytes, max_pixels: int = MAX_PIXELS) -> np.ndarray:
             strip = np.frombuffer(raw, dtype=np.uint8)
         elif comp == 5:
             raw = _lzw_decode(payload[so : so + sc], need)
+            strip = np.frombuffer(raw, dtype=np.uint8)
+        elif comp in (8, 32946):
+            import zlib
+
+            try:
+                # decompressobj + max_length bounds the inflation (the
+                # zip-bomb guard the other codecs get from `expected`)
+                raw = zlib.decompressobj().decompress(
+                    payload[so : so + sc], need
+                )
+            except zlib.error as exc:
+                raise ValueError(f"TIFF Deflate: {exc}") from None
+            if len(raw) < need:
+                raise ValueError("TIFF Deflate: strip decodes short")
             strip = np.frombuffer(raw, dtype=np.uint8)
         else:
             if sc < need:
@@ -348,6 +383,13 @@ def decode_tiff(payload: bytes, max_pixels: int = MAX_PIXELS) -> np.ndarray:
         out = np.cumsum(
             out.reshape(h, w, spp), axis=1, dtype=np.uint8
         ).reshape(h, row_bytes)
+    if bit == 1:
+        out = np.unpackbits(out, axis=1)[:, :w] * np.uint8(255)
+    elif bit == 4:
+        nib = np.empty((h, row_bytes * 2), dtype=np.uint8)
+        nib[:, 0::2] = out >> 4
+        nib[:, 1::2] = out & 15
+        out = nib[:, :w] * np.uint8(17)
     if spp == 1:
         img = out
         if photo == 0:  # white-is-zero
@@ -358,14 +400,20 @@ def decode_tiff(payload: bytes, max_pixels: int = MAX_PIXELS) -> np.ndarray:
 
 
 def encode_tiff(
-    arr: np.ndarray, compression: int = 1, predictor: int = 1
+    arr: np.ndarray,
+    compression: int = 1,
+    predictor: int = 1,
+    bits: int = 8,
 ) -> bytes:
     """Fixture/round-trip writer: (h, w) gray or (h, w, 3) RGB uint8 →
     little-endian single-strip TIFF. ``compression``: 1 (none),
-    5 (LZW — one stream for the strip), 32773 (PackBits — each row
-    packed independently per spec, concatenated). ``predictor``: 1
-    (none) or 2 (horizontal differencing — the layout real LZW TIFFs
-    almost always pair with the codec)."""
+    5 (LZW — one stream for the strip), 8 (Deflate/zlib), 32773
+    (PackBits — each row packed independently per spec, concatenated).
+    ``predictor``: 1 (none) or 2 (horizontal differencing — the layout
+    real LZW/Deflate TIFFs almost always pair with those codecs).
+    ``bits``: 8, or — grayscale only, predictor 1 — 4 (values must be
+    multiples of 17: the nibble scale) or 1 (values 0/255): the
+    document-scan depths, MSB-first row-aligned packing."""
     arr = np.asarray(arr, dtype=np.uint8)
     if arr.ndim == 2:
         h, w = arr.shape
@@ -375,20 +423,38 @@ def encode_tiff(
         spp, photo = 3, 2
     else:
         raise ValueError("arr must be (h, w) gray or (h, w, 3) RGB")
-    if compression not in (1, 5, 32773):
+    if compression not in (1, 5, 8, 32773):
         raise ValueError(f"unsupported compression {compression}")
     if predictor not in (1, 2):
         raise ValueError(f"unsupported predictor {predictor}")
+    if bits not in (1, 4, 8):
+        raise ValueError(f"unsupported bit depth {bits}")
+    if bits != 8 and (spp != 1 or predictor == 2):
+        raise ValueError("sub-8-bit fixtures are grayscale, predictor 1 only")
     px = arr.reshape(h, w, spp)
     if predictor == 2:
         px = px.astype(np.int16)
         px[:, 1:, :] -= px[:, :-1, :].copy()
         px = (px % 256).astype(np.uint8)
-    raw = px.tobytes()
+    if bits == 1:
+        raw = np.packbits(px.reshape(h, w) >= 128, axis=1).tobytes()
+    elif bits == 4:
+        nib = (px.reshape(h, w) >> 4).astype(np.uint8)
+        if w % 2:
+            nib = np.concatenate(
+                [nib, np.zeros((h, 1), dtype=np.uint8)], axis=1
+            )
+        raw = ((nib[:, 0::2] << 4) | nib[:, 1::2]).tobytes()
+    else:
+        raw = px.tobytes()
+    row_bytes = (w * spp * bits + 7) // 8
     if compression == 5:
         data = lzw_encode(raw)
+    elif compression == 8:
+        import zlib
+
+        data = zlib.compress(raw)
     elif compression == 32773:
-        row_bytes = w * spp
         data = b"".join(
             packbits_encode(raw[r * row_bytes : (r + 1) * row_bytes])
             for r in range(h)
@@ -398,7 +464,7 @@ def encode_tiff(
     tags = [
         (256, 3, 1, w),
         (257, 3, 1, h),
-        (258, 3, 1, 8) if spp == 1 else (258, 3, 3, None),  # bits
+        (258, 3, 1, bits) if spp == 1 else (258, 3, 3, None),  # bits
         (259, 3, 1, compression),
         (262, 3, 1, photo),
         (273, 4, 1, None),  # strip offset, patched below
