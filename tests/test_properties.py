@@ -381,3 +381,64 @@ def test_weighted_partition_invariance_fractional_weights(spark, rows, seed):
             for run in (k1, k2):
                 got = run[(idx, lab)][col]
                 assert q_valid(sub, p, got), (lab, col, got)
+
+
+# ---- TIFF LZW codec (pure-Python, no Spark session needed) ---------------
+
+
+@given(data=st.binary(max_size=4000))
+@settings(max_examples=200, deadline=None)
+def test_lzw_round_trip_property(data):
+    from tableone_pyspark_spark.functions.tiff import _lzw_decode, lzw_encode
+
+    assert _lzw_decode(lzw_encode(data), len(data)) == data
+
+
+@given(
+    data=st.lists(st.integers(0, 3), min_size=0, max_size=6000),
+)
+@settings(max_examples=50, deadline=None)
+def test_lzw_low_entropy_round_trip_property(data):
+    # low-entropy streams drive the dictionary deep into the width
+    # schedule (and across table resets at larger sizes)
+    from tableone_pyspark_spark.functions.tiff import _lzw_decode, lzw_encode
+
+    raw = bytes(data)
+    assert _lzw_decode(lzw_encode(raw), len(raw)) == raw
+
+
+@given(
+    keys=st.lists(st.text(min_size=0, max_size=8), min_size=0, max_size=60),
+    width=st.integers(2, 64),
+    depth=st.integers(1, 5),
+)
+@settings(max_examples=30, deadline=None)
+def test_cms_python_twin_property(keys, width, depth):
+    """The pure-Python CMS fold is one-sided for every key at every
+    geometry, and total mass per row equals the key count."""
+    from tableone_pyspark_spark.operators.dedup import POLY_MOD, poly_coeffs
+
+    def poly(s):
+        acc = 0
+        for ch in s:
+            acc = (acc * 31 + ord(ch)) % POLY_MOD
+        return acc
+
+    cms = [0] * (depth * width)
+    cf = poly_coeffs(depth)
+    for k in keys:
+        h = poly(k)
+        for d, (a, b) in enumerate(cf):
+            cms[d * width + ((h * a + b) % POLY_MOD) % width] += 1
+    for d in range(depth):
+        assert sum(cms[d * width : (d + 1) * width]) == len(keys)
+    from collections import Counter
+
+    true = Counter(keys)
+    for k in set(keys):
+        h = poly(k)
+        est = min(
+            cms[d * width + ((h * a + b) % POLY_MOD) % width]
+            for d, (a, b) in enumerate(cf)
+        )
+        assert est >= true[k]
