@@ -76,6 +76,10 @@ class Mp3Info:
     layer: int             # 1, 2, 3
     bitrate_kbps: float    # mean over audio frames (VBR → mean)
     vbr_header: bool       # a Xing/Info/VBRI frame led the stream
+    vbr_declared_frames: int | None = None  # the header's own frame
+                           # count (Xing flags bit 0 / VBRI field) —
+                           # None when absent; compare with n_frames
+                           # to spot truncated or mis-cut files
 
 
 def is_mp3(payload: bytes) -> bool:
@@ -221,6 +225,7 @@ def mp3_metadata(payload: bytes, max_frames: int = MAX_FRAMES) -> Mp3Info:
 
     n_frames = n_samples = 0
     kbps_sum = 0
+    declared = None  # the VBR header's own frame count, if present
     first = None  # (vbits, layer, rate, channels)
     vbr_header = False
     while pos < end:
@@ -248,8 +253,24 @@ def mp3_metadata(payload: bytes, max_frames: int = MAX_FRAMES) -> Mp3Info:
             tag = payload[off : off + 4]
             if tag in (b"Xing", b"Info"):
                 is_vbr_frame = True
+                # Xing layout: tag, then u32 flags; flags bit 0 =>
+                # a u32 total-frame count follows (all big-endian)
+                if (
+                    off + 12 <= pos + size
+                    and payload[off + 7] & 0x01
+                ):
+                    declared = int.from_bytes(
+                        payload[off + 8 : off + 12], "big"
+                    )
             elif payload[pos + 4 + 32 : pos + 4 + 36] == b"VBRI":
                 is_vbr_frame = True  # VBRI sits 32 bytes after the header
+                # VBRI layout: tag, ver u16, delay u16, quality u16,
+                # bytes u32, frames u32 (big-endian)
+                voff = pos + 4 + 32
+                if voff + 18 <= pos + size:
+                    declared = int.from_bytes(
+                        payload[voff + 14 : voff + 18], "big"
+                    )
         if is_vbr_frame:
             vbr_header = True
         else:
@@ -272,6 +293,7 @@ def mp3_metadata(payload: bytes, max_frames: int = MAX_FRAMES) -> Mp3Info:
         layer=layer,
         bitrate_kbps=kbps_sum / n_frames,
         vbr_header=vbr_header,
+        vbr_declared_frames=declared,
     )
 
 

@@ -260,3 +260,41 @@ def test_tag_bytes_inside_final_frame_not_id3v1():
     real = bytes(_frame(417, bidx=9)) + b"TAG" + b"\x00" * 125
     info2 = mp3.mp3_metadata(real)
     assert info2.n_frames == 1
+
+
+def test_vbr_declared_frame_counts():
+    """Xing (flags bit 0) and VBRI carry their own total-frame count —
+    parsed into vbr_declared_frames so pipelines can spot truncated or
+    mis-cut files by comparing against the walked count."""
+    # Xing with frames flag: tag at offset 36 (MPEG1 stereo, no CRC),
+    # flags = 0x00000001, count = 3 frames
+    first = bytearray(_frame(417, bidx=9))
+    first[36:40] = b"Xing"
+    first[40:44] = (1).to_bytes(4, "big")
+    first[44:48] = (3).to_bytes(4, "big")
+    body = bytes(first) + _frame(417, bidx=9) * 3
+    info = mp3.mp3_metadata(body)
+    assert info.vbr_header and info.vbr_declared_frames == 3
+    assert info.n_frames == 3  # header frame excluded, count agrees
+
+    # Xing WITHOUT the frames flag -> None
+    nf = bytearray(_frame(417, bidx=9))
+    nf[36:40] = b"Xing"
+    nf[40:44] = (0).to_bytes(4, "big")
+    info2 = mp3.mp3_metadata(bytes(nf) + _frame(417, bidx=9))
+    assert info2.vbr_header and info2.vbr_declared_frames is None
+
+    # VBRI: tag 32 bytes after the 4-byte header; frames at +14
+    vb = bytearray(_frame(417, bidx=9))
+    vb[36:40] = b"VBRI"
+    vb[40:42] = (1).to_bytes(2, "big")     # version
+    vb[42:44] = (0).to_bytes(2, "big")     # delay
+    vb[44:46] = (0).to_bytes(2, "big")     # quality
+    vb[46:50] = (417 * 2).to_bytes(4, "big")  # bytes
+    vb[50:54] = (2).to_bytes(4, "big")     # frames
+    info3 = mp3.mp3_metadata(bytes(vb) + _frame(417, bidx=9) * 2)
+    assert info3.vbr_header and info3.vbr_declared_frames == 2
+
+    # plain CBR stream: no header, no declared count
+    info4 = mp3.mp3_metadata(_frame(417, bidx=9) * 2)
+    assert not info4.vbr_header and info4.vbr_declared_frames is None
