@@ -328,8 +328,10 @@ def decode_tiff(payload: bytes, max_pixels: int = MAX_PIXELS) -> np.ndarray:
                 "TIFF horizontal predictor with sub-8-bit samples "
                 "unsupported"
             )
-        if _tag1(e, 266, 1) != 1:
-            raise NotImplementedError("TIFF FillOrder 2 unsupported")
+    if _tag1(e, 266, 1) != 1:
+        # applies at EVERY depth: an 8-bit FillOrder-2 file read as
+        # MSB-first would decode silently bit-reversed (self-review r9)
+        raise NotImplementedError("TIFF FillOrder 2 unsupported")
     if _tag1(e, 284, 1) != 1:
         raise NotImplementedError("TIFF planar configuration 2 unsupported")
     if 322 in e or 323 in e:

@@ -112,6 +112,21 @@ def _cms_positions(key, width: int, depth: int) -> list:
     return [((h * a + b) % POLY_MOD) % width for a, b in poly_coeffs(depth)]
 
 
+def cms_positions_py(key: str, width: int, depth: int) -> list[int]:
+    """Python twin of :func:`_cms_positions` — row-major SLOT indices
+    (d·width + pos_d). The single source of truth for the streaming
+    fold and the replay tests; any edit here must move in lockstep
+    with the Column form above (pinned by the build-vs-twin test)."""
+    from tableone_pyspark_spark.operators.bloom import poly_hash_py
+    from tableone_pyspark_spark.operators.dedup import POLY_MOD, poly_coeffs
+
+    h = poly_hash_py(key)
+    return [
+        d * width + ((h * a + b) % POLY_MOD) % width
+        for d, (a, b) in enumerate(poly_coeffs(depth))
+    ]
+
+
 def _cms_check(width: int, depth: int) -> None:
     if width < 2:
         raise ValueError(f"width must be >= 2, got {width}")
@@ -154,17 +169,34 @@ def build_cms(
     count matrix per group (row-major: row d at ``[d·width, (d+1)·width)``)
     over ``key_col``, built in ONE partial-aggregated pass. NULL keys
     are dropped (count what exists; pair with a null-rate monitor).
-    ``weight_col``: frequency weights (same contract as the engine's
-    weighted TableOne — null/non-positive weights drop the row);
-    integer weights make the sketch equal the row-replicated build
-    (pinned in tests)."""
+    ``weight_col``: INTEGER frequency weights — null, non-positive and
+    NaN weights drop the row (the engine's weighted-TableOne drop
+    rule), and a FRACTIONAL weight raises mid-job rather than
+    truncating silently: the int64 lanes and the exact
+    merge ≡ rebuild guarantee are the point of this sketch (a
+    real-valued CMS would need double lanes and a different artifact
+    schema). Integer weights make the sketch equal the row-replicated
+    build (pinned in tests)."""
     _cms_check(width, depth)
     gcols = list(group_cols or [])
     key = F.col(key_col).cast("string")
     src = df.where(key.isNotNull())
     if weight_col is not None:
-        w = F.col(weight_col).cast("long")
-        src = src.where(w.isNotNull() & (w > 0))
+        wd = F.col(weight_col).cast("double")
+        # NaN compares GREATER than 0 in Spark ordering — exclude it
+        # explicitly, don't let it ride the w > 0 filter
+        src = src.where(wd.isNotNull() & ~F.isnan(wd) & (wd > 0))
+        w = F.when(
+            wd == F.floor(wd), wd.cast("long")
+        ).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("build_cms: fractional weight "),
+                    wd.cast("string"),
+                    F.lit(" (integer frequency weights only)"),
+                )
+            ).cast("long")
+        )
     else:
         w = F.lit(1).cast("long")
     slots = F.array(
@@ -178,25 +210,46 @@ def build_cms(
     return _cms_assemble(counts, gcols, width, depth)
 
 
-def merge_cms(
-    sketches: DataFrame,
-    group_cols: list[str] | None = None,
-    cms_col: str = "cms",
-) -> DataFrame:
-    """Element-wise sum of sketch artifacts (e.g. every daily build)
-    back to one per group — cost independent of the row counts the
-    sketches summarize. Merging is associative-commutative integer
-    addition, so merge(parts) ≡ rebuild(union) EXACTLY (pinned).
-    Artifacts must share (width, depth): mixed geometries cannot be
-    summed slot-wise and raise rather than mis-merge."""
-    gcols = list(group_cols or [])
+def _cms_geometry(
+    sketches: DataFrame, width: int | None, depth: int | None, what: str
+) -> tuple[int, int]:
+    """Resolve (width, depth): explicit arguments skip the probe —
+    the probe's ``.distinct().collect()`` re-executes the sketch's
+    full lineage, which doubles input cost when composing directly on
+    an un-persisted ``build_cms`` result (self-review r9). The probe
+    remains the default because it also REFUSES mixed geometries; pass
+    the explicit values when you know them (or the artifact is cheap
+    to rescan, e.g. read back from parquet)."""
+    if width is not None and depth is not None:
+        _cms_check(width, depth)
+        return width, depth
     geoms = [
         (r["width"], r["depth"])
         for r in sketches.select("width", "depth").distinct().collect()
     ]
     if len(geoms) != 1:
-        raise ValueError(f"mixed sketch geometries cannot merge: {sorted(geoms)}")
-    width, depth = geoms[0]
+        raise ValueError(f"{what}: mixed sketch geometries: {sorted(geoms)}")
+    return int(geoms[0][0]), int(geoms[0][1])
+
+
+def merge_cms(
+    sketches: DataFrame,
+    group_cols: list[str] | None = None,
+    cms_col: str = "cms",
+    width: int | None = None,
+    depth: int | None = None,
+) -> DataFrame:
+    """Element-wise sum of sketch artifacts (e.g. every daily build)
+    back to one per group — cost independent of the row counts the
+    sketches summarize. Merging is associative-commutative integer
+    addition, so merge(parts) ≡ rebuild(union) EXACTLY (pinned).
+    Artifacts must share (width, depth): the default geometry probe
+    refuses mixed geometries rather than mis-merging; passing
+    ``width``/``depth`` explicitly skips that probe (and its extra
+    lineage execution — see :func:`_cms_geometry`) when the caller
+    already knows the geometry."""
+    gcols = list(group_cols or [])
+    width, depth = _cms_geometry(sketches, width, depth, "merge_cms")
     melted = sketches.select(
         *gcols, F.posexplode(F.col(cms_col)).alias("slot", "v")
     )
@@ -212,21 +265,19 @@ def cms_estimate(
     key_col: str,
     group_cols: list[str] | None = None,
     cms_col: str = "cms",
+    width: int | None = None,
+    depth: int | None = None,
 ) -> DataFrame:
     """(group..., <key_col>, est): the Count-Min point estimate
     min over rows d of ``cms[d·width + pos_d(key)]`` for every key in
     ``keys`` — the artifact side broadcasts (it is KB-scale by
     construction), so the plan is a broadcast join plus row-local
     arithmetic. Estimates are ≥ the true count, exact when no row of
-    the key's positions collided."""
+    the key's positions collided. Pass ``width``/``depth`` to skip the
+    geometry probe's extra lineage execution (see
+    :func:`_cms_geometry`)."""
     gcols = list(group_cols or [])
-    geoms = [
-        (r["width"], r["depth"])
-        for r in sketch.select("width", "depth").distinct().collect()
-    ]
-    if len(geoms) != 1:
-        raise ValueError(f"need one sketch geometry, got {sorted(geoms)}")
-    width, depth = (int(geoms[0][0]), int(geoms[0][1]))
+    width, depth = _cms_geometry(sketch, width, depth, "cms_estimate")
     key = F.col(key_col).cast("string")
     kf = keys.select(*gcols, key.alias(key_col)).distinct()
     joined = (

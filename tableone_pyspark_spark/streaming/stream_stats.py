@@ -656,16 +656,14 @@ def streaming_cms_counts(
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     from tableone_pyspark_spark.functions.text import poly_hash
-    from tableone_pyspark_spark.operators.bloom import poly_hash_py
-    from tableone_pyspark_spark.operators.dedup import POLY_MOD, poly_coeffs
+    from tableone_pyspark_spark.operators.sketches import (
+        _cms_check,
+        cms_positions_py,
+    )
 
-    if width < 2:
-        raise ValueError(f"width must be >= 2, got {width}")
-    if depth < 1:
-        raise ValueError(f"depth must be >= 1, got {depth}")
+    _cms_check(width, depth)
     if n_shards < 1:
         raise ValueError("n_shards must be positive")
-    cf = poly_coeffs(depth)
     out_schema = "key string, est bigint"
     state_schema = "counts array<bigint>"
 
@@ -684,11 +682,8 @@ def streaming_cms_counts(
                 ["__ts_us", "__key"], kind="stable"
             )
             for k in allk["__key"]:
-                h = poly_hash_py(k)
-                slots = [
-                    d * width + ((h * a + b) % POLY_MOD) % width
-                    for d, (a, b) in enumerate(cf)
-                ]
+                # single source of truth with the batch sketch family
+                slots = cms_positions_py(k, width, depth)
                 for s in slots:
                     counts[s] += 1
                 rows.append((k, min(counts[s] for s in slots)))

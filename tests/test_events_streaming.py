@@ -722,8 +722,11 @@ def test_streaming_cms_counts_fixed_state(spark, tmp_path):
     from pyspark.sql import functions as F
 
     from tableone_pyspark_spark.operators.bloom import poly_hash_py
-    from tableone_pyspark_spark.operators.dedup import POLY_MOD, poly_coeffs
-    from tableone_pyspark_spark.operators.sketches import build_cms, cms_estimate
+    from tableone_pyspark_spark.operators.sketches import (
+        build_cms,
+        cms_estimate,
+        cms_positions_py,
+    )
     from tableone_pyspark_spark.streaming.stream_stats import streaming_cms_counts
 
     width, depth, n_shards = 512, 4, 4
@@ -765,19 +768,14 @@ def test_streaming_cms_counts_fixed_state(spark, tmp_path):
     assert len(got) == len(b1) + len(b2)
 
     # pure-Python replay: same shard hash, same per-batch (ts, key)
-    # order, same slot arithmetic — emissions must match EXACTLY
-    cf = poly_coeffs(depth)
+    # order, the SHARED slot twin — emissions must match EXACTLY
     counts = {s: [0] * (depth * width) for s in range(n_shards)}
     replay = []
     for batch, start in ((b1, t0), (b2, t0 + 10_000)):
         ordered = sorted((start + i, k) for i, k in enumerate(batch))
         for _ts, k in ordered:
-            h = poly_hash_py(k)
-            shard = h % n_shards
-            slots = [
-                d * width + ((h * a + b) % POLY_MOD) % width
-                for d, (a, b) in enumerate(cf)
-            ]
+            shard = poly_hash_py(k) % n_shards
+            slots = cms_positions_py(k, width, depth)
             for s in slots:
                 counts[shard][s] += 1
             replay.append((k, min(counts[shard][s] for s in slots)))

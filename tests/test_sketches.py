@@ -151,16 +151,26 @@ def test_cms_weighted_equals_replicated_and_grouped(spark):
     from tableone_pyspark_spark.operators.sketches import build_cms
 
     w = spark.createDataFrame(
-        [("x", 3), ("y", 2), ("x", 1), ("z", 0), ("n", None)],
-        "key string, w int",
+        [("x", 3.0), ("y", 2.0), ("x", 1.0), ("z", 0.0), ("n", None),
+         ("m", float("nan"))],
+        "key string, w double",
     )
     # weight 0 / NULL rows drop; integer weights == row replication
     rep = spark.createDataFrame(
         [("x",)] * 4 + [("y",)] * 2, "key string"
     )
+    # weight 0 / NULL / NaN rows drop; integer-valued weights == rows
     got_w = build_cms(w, "key", width=16, depth=2, weight_col="w").collect()[0]
     got_r = build_cms(rep, "key", width=16, depth=2).collect()[0]
     assert list(got_w["cms"]) == list(got_r["cms"])
+    # a FRACTIONAL weight raises instead of truncating silently
+    # (self-review r9: cast-to-long would have dropped 0.5 to 0)
+    import pytest as _pytest
+    from pyspark.errors import SparkRuntimeException
+
+    frac = spark.createDataFrame([("x", 0.5)], "key string, w double")
+    with _pytest.raises(SparkRuntimeException, match="fractional weight"):
+        build_cms(frac, "key", width=16, depth=2, weight_col="w").collect()
     # grouped build: one artifact per group, group totals preserved
     g = spark.createDataFrame(
         [("g1", "a"), ("g1", "a"), ("g2", "b")], "grp string, key string"
@@ -184,6 +194,14 @@ def test_cms_artifact_parquet_round_trip(spark, tmp_path):
     merged = merge_cms(back.union(back))
     est = {r["key"]: r["est"] for r in cms_estimate(merged, df, "key").collect()}
     assert est == {f"k{i}": 30 for i in range(6)}
+    # explicit geometry skips the probe (no extra lineage execution on
+    # a composed un-persisted build — self-review r9) and must agree
+    merged2 = merge_cms(back.union(back), width=64, depth=3)
+    est2 = {
+        r["key"]: r["est"]
+        for r in cms_estimate(merged2, df, "key", width=64, depth=3).collect()
+    }
+    assert est2 == est
 
 
 def test_cms_validation(spark):
