@@ -73,3 +73,83 @@ def decontaminate(
     return train.join(
         F.broadcast(hits.select(F.col("id").alias(id_col))), id_col, "left_anti"
     )
+
+
+def semantic_overlap(
+    train: DataFrame,
+    bench: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    strategy: str = "auto",
+    dim: int = 64,
+    tables: int = 8,
+    planes: int = 4,
+    brute_limit: int = 100_000,
+) -> DataFrame:
+    """Embedding-space contamination: per TRAINING vector, how many
+    BENCHMARK vectors sit within cosine ``threshold`` and the max such
+    cosine — the paraphrase-robust check :func:`benchmark_overlap`'s
+    n-grams miss (a reworded eval question shares no 3-grams but sits
+    at cosine ≈ 0.97; the Llama/Phi decontam reports pair both
+    signals). Returns ``(id, n_bench_hits, max_cos)``, rows only for
+    contaminated training docs — feed the id set to the same
+    ``left_anti`` drop :func:`decontaminate` uses.
+
+    Strategies (the :func:`~tableone_pyspark_spark.operators.\
+similarity.cosine_neardup_pairs` pattern, cross-corpus):
+
+    * ``"brute"`` — the benchmark side broadcasts (eval sets are
+      thousands of rows vs billions of training docs) and every
+      (train, bench) pair is scored with the in-JVM fold dot — exact,
+      cost O(|train|·|bench|) dots, all row-local, zero shuffle of
+      the training corpus.
+    * ``"lsh"`` — both sides bucket through the SAME memoized SRP
+      index family; only (table, bucket) collisions are scored. The
+      100 TB path: work scales with bucket occupancy; high-cosine
+      pairs — the contamination regime — collide with probability
+      1−(1−(1−θ/π)^planes)^tables per pair (the operator exists for
+      θ ≈ 0.2 rad, where that is ≈ 1).
+    * ``"auto"`` (default) — one metadata-cheap count picks brute up
+      to ``brute_limit`` training rows, LSH above.
+    """
+    from tableone_pyspark_spark.core.memo import memo, memo_key
+    from tableone_pyspark_spark.operators.similarity import (
+        _normed_corpus,
+        _srp_bucket_index,
+        dot,
+    )
+
+    if strategy not in ("auto", "brute", "lsh"):
+        raise ValueError(f"unknown strategy {strategy!r}")
+    if strategy == "auto":
+        n_t = memo("corpus_count", memo_key(train), lambda: train.count())
+        strategy = "brute" if n_t <= brute_limit else "lsh"
+    tn = _normed_corpus(train, id_col, vec_col, False).select(
+        F.col("_id").alias("id"), F.col("n_vec").alias("tv")
+    )
+    bn = _normed_corpus(bench, id_col, vec_col, False).select(
+        F.col("_id").alias("bid"), F.col("n_vec").alias("bv")
+    )
+    if strategy == "brute":
+        pairs = tn.crossJoin(F.broadcast(bn))
+    else:
+        tb = _srp_bucket_index(
+            train, id_col, vec_col, dim, tables, planes, False, True
+        ).select(F.col("_id").alias("id"), "table", "bucket")
+        bb = _srp_bucket_index(
+            bench, id_col, vec_col, dim, tables, planes, False, True
+        ).select(F.col("_id").alias("bid"), "table", "bucket")
+        cand = (
+            tb.join(F.broadcast(bb), ["table", "bucket"])
+            .select("id", "bid")
+            .distinct()
+        )
+        pairs = cand.join(tn, "id").join(F.broadcast(bn), "bid")
+    scored = pairs.select(
+        "id", dot(F.col("tv"), F.col("bv")).alias("cos")
+    ).where(F.col("cos") >= F.lit(float(threshold)))
+    return scored.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_bench_hits"),
+        F.max("cos").alias("max_cos"),
+    )

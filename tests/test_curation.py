@@ -485,3 +485,86 @@ def test_gopher_repetition_thresholds_parameterized(spark):
     assert g["keep"] is True
     with pytest.raises(ValueError, match="unknown thresholds"):
         _grp(spark, [loop], thresholds={"nope": 0.5})
+
+
+def test_semantic_overlap_brute_exact(spark):
+    """Embedding-space decontam: planted near-duplicates of benchmark
+    vectors are flagged with the right hit counts and max cosine; an
+    orthogonal vector is not; numpy recomputes every reported value."""
+    import numpy as np
+
+    from tableone_pyspark_spark.operators.decontam import semantic_overlap
+
+    rng = np.random.default_rng(13)
+    B = rng.normal(size=(6, 64))
+    # train 0/1 = noisy copies of bench 0 (paraphrase stand-ins),
+    # train 2 = exact copy of bench 3, train 3.. = fresh random
+    T = rng.normal(size=(8, 64))
+    T[0] = B[0] + 0.05 * rng.normal(size=64)
+    T[1] = B[0] + 0.08 * rng.normal(size=64)
+    T[2] = 2.5 * B[3]  # scale-invariant under cosine
+    train = spark.createDataFrame(
+        [(i, [float(x) for x in T[i]]) for i in range(8)],
+        "vec_id long, embedding array<double>",
+    )
+    bench = spark.createDataFrame(
+        [(i, [float(x) for x in B[i]]) for i in range(6)],
+        "vec_id long, embedding array<double>",
+    )
+    got = {
+        r["id"]: (r["n_bench_hits"], r["max_cos"])
+        for r in semantic_overlap(
+            train, bench, threshold=0.9, strategy="brute"
+        ).collect()
+    }
+    Tn = T / np.linalg.norm(T, axis=1, keepdims=True)
+    Bn = B / np.linalg.norm(B, axis=1, keepdims=True)
+    cos = Tn @ Bn.T
+    expect = {}
+    for i in range(8):
+        hits = cos[i] >= 0.9
+        if hits.any():
+            expect[i] = (int(hits.sum()), float(cos[i][hits].max()))
+    assert set(got) == set(expect) == {0, 1, 2}
+    for i in expect:
+        assert got[i][0] == expect[i][0]
+        assert abs(got[i][1] - expect[i][1]) < 1e-9
+    assert got[2][1] > 0.999999  # the exact copy
+
+
+def test_semantic_overlap_lsh_agrees_on_high_cosine(spark):
+    """The LSH strategy finds the same contaminated ids as brute in
+    the high-cosine regime it exists for (multi-table SRP recall)."""
+    import numpy as np
+
+    from tableone_pyspark_spark.operators.decontam import semantic_overlap
+
+    rng = np.random.default_rng(29)
+    B = rng.normal(size=(5, 64))
+    T = rng.normal(size=(30, 64))
+    for i in range(5):  # plant one near-copy per bench vector
+        T[i] = B[i] + 0.02 * rng.normal(size=64)
+    train = spark.createDataFrame(
+        [(i, [float(x) for x in T[i]]) for i in range(30)],
+        "vec_id long, embedding array<double>",
+    )
+    bench = spark.createDataFrame(
+        [(1000 + i, [float(x) for x in B[i]]) for i in range(5)],
+        "vec_id long, embedding array<double>",
+    )
+    brute = {
+        r["id"] for r in semantic_overlap(
+            train, bench, threshold=0.95, strategy="brute"
+        ).collect()
+    }
+    lsh = {
+        r["id"] for r in semantic_overlap(
+            train, bench, threshold=0.95, strategy="lsh"
+        ).collect()
+    }
+    assert brute == set(range(5))
+    assert lsh == brute  # every planted pair collides in >=1 table
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="strategy"):
+        semantic_overlap(train, bench, strategy="nope")

@@ -615,3 +615,25 @@ def test_bloom_probe_is_shuffle_free(spark):
     probe = bloom_probe(d, blm, "text", "doc_id")
     assert inspect.plan_facts(probe).n_exchanges == 0
     inspect.assert_scan_pruned(probe, {"doc_id", "text"})
+
+
+def test_cms_build_partial_aggregates_before_exchange(spark):
+    """X99 scale claim: build_cms's exchange carries partial slot
+    counts (bounded by groups x depth x width), never raw rows — the
+    melt groupBy must plan partial->final hash aggregation around its
+    shuffle, and the estimate side must broadcast the artifact."""
+    from tableone_pyspark_spark.operators.sketches import build_cms, cms_estimate
+
+    df = spark.createDataFrame(
+        [(f"k{i % 50}",) for i in range(5000)], "key string"
+    )
+    sk = build_cms(df, "key", width=64, depth=4)
+    exe = sk._jdf.queryExecution().executedPlan().toString()
+    # partial aggregation on both sides of each exchange: at least two
+    # HashAggregate spans (partial + final) and no raw-row shuffle of
+    # the input (the exchange keys are the melted slots)
+    assert exe.count("HashAggregate") >= 2
+    assert "Exchange hashpartitioning(slot" in exe or "slot#" in exe
+    est = cms_estimate(sk, df, "key", width=64, depth=4)
+    eexe = est._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in eexe or "BroadcastExchange" in eexe
