@@ -1,0 +1,167 @@
+"""HTML → training text extraction — the step in front of every web
+corpus (C4/CCNet/RefinedWeb all start from fetched HTML, not clean
+text): drop script/style/comments, keep block structure as line
+breaks, strip tags, decode entities, collapse whitespace, and report
+the structural signals (title, link count, tag count) quality
+filters consume.
+
+Parsing stance: LENIENT, single linear scan, never raises — malformed
+HTML is the NORMAL case on the web (unclosed tags, stray ``<``,
+orphan close tags), and a page that fails to parse should become
+low-quality text, not a dead batch. This is the opposite of the codec
+contract (where a corrupt payload is a data-integrity signal) and
+mirrors what browsers do. A stray ``<`` that does not open a real tag
+is kept as text (the browser rule); an unclosed ``<script>`` swallows
+to end-of-document (ditto).
+
+This is deliberately a STRUCTURAL extractor, not a boilerplate
+classifier: it yields every text node with block-level line
+structure, and the corpus-level boilerplate judgments (nav/footer
+removal, main-content detection) belong to the line/paragraph
+filters downstream (``functions/text.c4_clean`` already drops short/
+unterminated/javascript lines — exactly the C4 composition). A
+density-based readability pass would slot in behind the same column
+signature.
+
+Shape: one Arrow-batched scalar projection (struct out) — row-local,
+zero shuffle, linear in document size.
+"""
+
+from __future__ import annotations
+
+import html as _html
+import re
+
+import pandas as pd
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: tags that terminate a text line when rendered (block-level + br)
+_BLOCK = {
+    "address", "article", "aside", "blockquote", "br", "dd", "div",
+    "dl", "dt", "fieldset", "figcaption", "figure", "footer", "form",
+    "h1", "h2", "h3", "h4", "h5", "h6", "header", "hr", "li", "main",
+    "nav", "ol", "p", "pre", "section", "table", "td", "th", "tr",
+    "ul",
+}
+
+_NAME_RE = re.compile(r"[a-zA-Z][a-zA-Z0-9]*")
+
+HTML_EXTRACT_SCHEMA = (
+    "title string, text string, n_links int, n_tags int"
+)
+
+
+def html_extract_py(doc: str | None):
+    """Python twin of :func:`html_extract` (single source of truth).
+    Returns (title, text, n_links, n_tags); None for NULL input."""
+    if doc is None:
+        return None
+    s = doc
+    n = len(s)
+    out: list[str] = []
+    title_parts: list[str] = []
+    title: str | None = None
+    n_links = 0
+    n_tags = 0
+    skip_until: str | None = None  # open script/style element
+    in_title = False
+    i = 0
+    while i < n:
+        lt = s.find("<", i)
+        if lt < 0:
+            if skip_until is None:
+                seg = s[i:]
+                (title_parts if in_title else out).append(seg)
+            break
+        if skip_until is None:
+            seg = s[i:lt]
+            (title_parts if in_title else out).append(seg)
+        if s.startswith("<!--", lt):
+            end = s.find("-->", lt + 4)
+            i = n if end < 0 else end + 3
+            continue
+        if lt + 1 < n and s[lt + 1] in "!?":
+            # <!DOCTYPE ...> / <?xml ...?>: markup, never text
+            gt = s.find(">", lt + 1)
+            i = n if gt < 0 else gt + 1
+            continue
+        gt = s.find(">", lt + 1)
+        if gt < 0:
+            # EOF inside "<...": a tag-like start is DISCARDED (the
+            # browser eof-in-tag rule), a stray "<" stays text
+            rest = s[lt + 1 :]
+            if skip_until is None and not (
+                _NAME_RE.match(rest[1:] if rest.startswith("/") else rest)
+            ):
+                (title_parts if in_title else out).append(s[lt:])
+            break
+        body = s[lt + 1 : gt]
+        i = gt + 1
+        closing = body.startswith("/")
+        raw = body[1:] if closing else body
+        m = _NAME_RE.match(raw)
+        if not m:
+            # "<3", "< x": browsers render the stray < as text
+            if skip_until is None:
+                seg = s[lt : gt + 1]
+                (title_parts if in_title else out).append(seg)
+            continue
+        name = m.group(0).lower()
+        n_tags += 1
+        if skip_until is not None:
+            if closing and name == skip_until:
+                skip_until = None
+            continue
+        self_closing = body.rstrip().endswith("/")
+        if not closing and not self_closing and name in ("script", "style"):
+            skip_until = name
+            continue
+        if name == "title":
+            if closing:
+                if in_title and title is None:
+                    title = " ".join(
+                        _html.unescape("".join(title_parts)).split()
+                    ) or None
+                in_title = False
+            elif title is None and not self_closing:
+                in_title = True
+                title_parts = []
+            continue
+        if name == "a" and not closing:
+            n_links += 1
+        if name in _BLOCK:
+            out.append("\n")
+    text = _html.unescape("".join(out))
+    lines = [" ".join(ln.split()) for ln in text.split("\n")]
+    text = "\n".join(ln for ln in lines if ln)
+    return (title, text, n_links, n_tags)
+
+
+def html_extract(c: Column) -> Column:
+    """Struct(title, text, n_links, n_tags) from an HTML column —
+    lenient linear extraction, one Arrow batch kernel."""
+
+    @F.pandas_udf(HTML_EXTRACT_SCHEMA)
+    def kernel(s: pd.Series) -> pd.DataFrame:
+        rows = [
+            (None, None, None, None) if r is None else html_extract_py(r)
+            for r in s
+        ]
+        return pd.DataFrame(
+            rows, columns=["title", "text", "n_links", "n_tags"]
+        )
+
+    return kernel(c)
+
+
+def link_density(c: Column) -> Column:
+    """links per extracted text line — a cheap nav/boilerplate page
+    signal (high density ⇒ menus, not prose); derived from
+    :func:`html_extract` columns, pure Catalyst."""
+    e = html_extract(c)
+    n_lines = F.size(F.split(e["text"], "\n"))
+    return (e["n_links"] / F.greatest(n_lines, F.lit(1))).alias(
+        "link_density"
+    )

@@ -1,0 +1,87 @@
+"""URL canonicalization (functions/url.py): the web-corpus dedup key.
+Garbage never raises (a frontier is full of it); every rule pinned."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tableone_pyspark_spark.functions.url import (
+    canonical_url,
+    canonical_url_py,
+    host_profile,
+    registrable_domain_py,
+    url_host_py,
+)
+
+
+def test_canonical_rules():
+    c = canonical_url_py
+    # case, default port, fragment, tracking params, param sort
+    assert (
+        c("HTTP://Example.COM:80/a?utm_source=x&b=2&a=1#top")
+        == "http://example.com/a?a=1&b=2"
+    )
+    assert c("https://example.com:443/") == "https://example.com/"
+    assert c("https://example.com:8443/x") == "https://example.com:8443/x"
+    # empty path -> /
+    assert c("http://example.com") == "http://example.com/"
+    # blank values survive; order canonical
+    assert c("http://e.com/p?z=&a=1") == "http://e.com/p?a=1&z="
+    # tracking-only query drops entirely
+    assert c("http://e.com/p?fbclid=abc&gclid=x") == "http://e.com/p"
+    # whitespace trimmed
+    assert c("  http://e.com/p  ") == "http://e.com/p"
+    # the idempotence a dedup key needs
+    for u in (
+        "HTTP://Example.COM:80/a?utm_source=x&b=2&a=1#top",
+        "http://e.com/p?z=&a=1",
+    ):
+        assert c(c(u)) == c(u)
+
+
+def test_garbage_is_null_not_error():
+    c = canonical_url_py
+    assert c(None) is None
+    assert c("") is None
+    assert c("not a url") is None
+    assert c("ftp://example.com/x") is None  # non-web scheme
+    assert c("http://") is None
+    assert c("http://e.com:99999/") is None  # invalid port
+    assert c("http://exa mple.com/\x00") is None or isinstance(
+        c("http://exa mple.com/\x00"), str
+    )
+
+
+def test_registrable_domain_and_host():
+    assert url_host_py("HTTPS://A.B.Example.com/x") == "a.b.example.com"
+    assert registrable_domain_py("a.b.example.com") == "example.com"
+    assert registrable_domain_py("example.com") == "example.com"
+    assert registrable_domain_py("localhost") == "localhost"
+    assert registrable_domain_py("10.0.0.1") == "10.0.0.1"
+    # the DOCUMENTED PSL gap: multi-label suffixes are wrong by design
+    assert registrable_domain_py("bbc.co.uk") == "co.uk"
+
+
+def test_host_profile_spark(spark):
+    rows = [
+        (1, "http://A.com/x?utm_source=1"),
+        (2, "http://a.com/x"),            # same canonical as row 1
+        (3, "http://a.com/y"),
+        (4, "https://b.com:443/"),
+        (5, "garbage"),                    # dropped, not fatal
+        (6, None),
+    ]
+    df = spark.createDataFrame(rows, "id long, url string")
+    got = {r["host"]: r for r in host_profile(df, "url").collect()}
+    assert set(got) == {"a.com", "b.com"}
+    assert got["a.com"]["n_urls"] == 3
+    assert got["a.com"]["n_unique_canonical"] == 2
+    assert got["b.com"]["n_unique_canonical"] == 1
+    # Column form agrees with the python twin row-by-row
+    both = df.select(
+        "url", canonical_url(F.col("url")).alias("canon")
+    ).collect()
+    from tableone_pyspark_spark.functions.url import canonical_url_py as cp
+
+    for r in both:
+        assert r["canon"] == cp(r["url"])
