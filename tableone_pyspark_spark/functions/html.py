@@ -59,25 +59,19 @@ def html_extract_py(doc: str | None):
     if doc is None:
         return None
     s = doc
+    low = s.lower()  # one pass; the rawtext closer search is literal
     n = len(s)
     out: list[str] = []
-    title_parts: list[str] = []
     title: str | None = None
     n_links = 0
     n_tags = 0
-    skip_until: str | None = None  # open script/style element
-    in_title = False
     i = 0
     while i < n:
         lt = s.find("<", i)
         if lt < 0:
-            if skip_until is None:
-                seg = s[i:]
-                (title_parts if in_title else out).append(seg)
+            out.append(s[i:])
             break
-        if skip_until is None:
-            seg = s[i:lt]
-            (title_parts if in_title else out).append(seg)
+        out.append(s[i:lt])
         if s.startswith("<!--", lt):
             end = s.find("-->", lt + 4)
             i = n if end < 0 else end + 3
@@ -92,10 +86,8 @@ def html_extract_py(doc: str | None):
             # EOF inside "<...": a tag-like start is DISCARDED (the
             # browser eof-in-tag rule), a stray "<" stays text
             rest = s[lt + 1 :]
-            if skip_until is None and not (
-                _NAME_RE.match(rest[1:] if rest.startswith("/") else rest)
-            ):
-                (title_parts if in_title else out).append(s[lt:])
+            if not _NAME_RE.match(rest[1:] if rest.startswith("/") else rest):
+                out.append(s[lt:])
             break
         body = s[lt + 1 : gt]
         i = gt + 1
@@ -104,30 +96,31 @@ def html_extract_py(doc: str | None):
         m = _NAME_RE.match(raw)
         if not m:
             # "<3", "< x": browsers render the stray < as text
-            if skip_until is None:
-                seg = s[lt : gt + 1]
-                (title_parts if in_title else out).append(seg)
+            out.append(s[lt : gt + 1])
             continue
         name = m.group(0).lower()
         n_tags += 1
-        if skip_until is not None:
-            if closing and name == skip_until:
-                skip_until = None
-            continue
         self_closing = body.rstrip().endswith("/")
-        if not closing and not self_closing and name in ("script", "style"):
-            skip_until = name
-            continue
-        if name == "title":
-            if closing:
-                if in_title and title is None:
-                    title = " ".join(
-                        _html.unescape("".join(title_parts)).split()
-                    ) or None
-                in_title = False
-            elif title is None and not self_closing:
-                in_title = True
-                title_parts = []
+        if not closing and not self_closing and name in (
+            "script", "style", "title",
+        ):
+            # RAWTEXT/RCDATA elements (the HTML5 tokenizer rule):
+            # their content is NOT markup — a bare '<', an '<!--', or
+            # 'i < n' inside a script must never re-enter the tag
+            # scanner (self-review r9: generic scanning here swallowed
+            # the closer and dropped the rest of the document). Only
+            # the literal matching end tag terminates them; at EOF the
+            # element swallows the remainder (the browser rule).
+            close = low.find("</" + name, i)
+            content = s[i : close if close >= 0 else n]
+            if close < 0:
+                i = n
+            else:
+                cgt = s.find(">", close)
+                i = n if cgt < 0 else cgt + 1
+                n_tags += 1
+            if name == "title" and title is None:
+                title = " ".join(_html.unescape(content).split()) or None
             continue
         if name == "a" and not closing:
             n_links += 1

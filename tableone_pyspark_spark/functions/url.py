@@ -64,6 +64,8 @@ def canonical_url_py(url: str | None) -> str | None:
         port = parts.port
     except ValueError:
         return None
+    if ":" in host:  # IPv6 literal: hostname strips the brackets —
+        host = f"[{host}]"  # restore them or the rebuilt URL is garbage
     netloc = host
     if port is not None and port != _DEFAULT_PORTS.get(scheme):
         netloc = f"{host}:{port}"
@@ -101,12 +103,41 @@ def url_host_py(url: str | None) -> str | None:
 
 
 def url_host(c: Column) -> Column:
-    """Lowercased hostname (NULL for garbage) — the per-site
-    aggregation key for politeness budgets and domain mixing."""
+    """Lowercased hostname (NULL for garbage) — ANY scheme (unlike
+    :func:`canonical_url`, which is http/https-only): a generic
+    splitter for logs that carry ftp/mailto rows too. For the
+    consistent web profile use :func:`url_parts`/:func:`host_profile`,
+    which derive the host from the canonical form."""
 
     @F.pandas_udf("string")
     def kernel(s: pd.Series) -> pd.Series:
         return s.map(url_host_py, na_action="ignore")
+
+    return kernel(c)
+
+
+def url_parts(c: Column) -> Column:
+    """Struct(host, canon) from ONE urlsplit per row — the hot-path
+    form (one Arrow crossing, one parse; ``canonical_url`` +
+    ``url_host`` separately would parse every URL twice). ``host`` is
+    the CANONICAL host (http/https only, both NULL for garbage), so
+    every profile row counts exactly the URLs that produced a
+    canonical key."""
+
+    @F.pandas_udf("host string, canon string")
+    def kernel(s: pd.Series) -> pd.DataFrame:
+        from urllib.parse import urlsplit
+
+        hosts, canons = [], []
+        for u in s:
+            canon = canonical_url_py(u)
+            if canon is None:
+                hosts.append(None)
+                canons.append(None)
+                continue
+            hosts.append(urlsplit(canon).hostname)
+            canons.append(canon)
+        return pd.DataFrame({"host": hosts, "canon": canons})
 
     return kernel(c)
 
@@ -130,11 +161,13 @@ def registrable_domain_py(host: str | None) -> str | None:
 
 def host_profile(df, url_col: str):
     """(host, n_urls, n_unique_canonical): the per-site frontier
-    profile — one scan, canonicalization row-local, one aggregation
-    keyed by host (politeness/mixing decisions read this)."""
-    base = df.select(
-        url_host(F.col(url_col)).alias("host"),
-        canonical_url(F.col(url_col)).alias("canon"),
+    profile — one scan through the single-parse :func:`url_parts`
+    kernel, one aggregation keyed by host (politeness/mixing
+    decisions read this). Host comes from the CANONICAL form, so
+    n_urls counts exactly the canonicalizable (web) population —
+    ftp/mailto/garbage rows influence nothing."""
+    base = df.select(url_parts(F.col(url_col)).alias("p")).select(
+        "p.host", "p.canon"
     ).where(F.col("host").isNotNull())
     return base.groupBy("host").agg(
         F.count(F.lit(1)).alias("n_urls"),

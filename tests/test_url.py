@@ -31,10 +31,15 @@ def test_canonical_rules():
     assert c("http://e.com/p?fbclid=abc&gclid=x") == "http://e.com/p"
     # whitespace trimmed
     assert c("  http://e.com/p  ") == "http://e.com/p"
+    # IPv6 literals keep their brackets (self-review r9: hostname
+    # strips them and the rebuilt URL was garbage + non-idempotent)
+    assert c("http://[2001:DB8::1]:8080/p") == "http://[2001:db8::1]:8080/p"
+    assert c("http://[2001:db8::1]:80/p") == "http://[2001:db8::1]/p"
     # the idempotence a dedup key needs
     for u in (
         "HTTP://Example.COM:80/a?utm_source=x&b=2&a=1#top",
         "http://e.com/p?z=&a=1",
+        "http://[2001:db8::1]:8080/path",
     ):
         assert c(c(u)) == c(u)
 
@@ -70,6 +75,8 @@ def test_host_profile_spark(spark):
         (4, "https://b.com:443/"),
         (5, "garbage"),                    # dropped, not fatal
         (6, None),
+        (7, "ftp://a.com/z"),              # non-web scheme: influences
+                                           # NOTHING (self-review r9)
     ]
     df = spark.createDataFrame(rows, "id long, url string")
     got = {r["host"]: r for r in host_profile(df, "url").collect()}
