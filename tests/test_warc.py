@@ -1,0 +1,109 @@
+"""WARC parsing (functions/warc.py): the CommonCrawl ingest format.
+Round-trips through the fixture writer (plain + per-record gzip),
+typed hostile paths, HTTP payload degradation, and the end-to-end
+web pipeline composition WARC -> html_extract -> c4-style filters."""
+
+from __future__ import annotations
+
+import pytest
+
+from tableone_pyspark_spark.functions.warc import (
+    encode_warc,
+    http_response,
+    parse_warc_py,
+    warc_records,
+)
+
+PAGES = [
+    (
+        "http://example.com/a",
+        b"<html><head><title>Page A</title></head>"
+        b"<body><p>Alpha text here.</p></body></html>",
+    ),
+    (
+        "http://example.com/b",
+        b"<html><body><script>if (a < b) x();</script>"
+        b"<p>Beta body.</p></body></html>",
+    ),
+]
+
+
+def _archive(gz=False):
+    recs = [("warcinfo", None, b"software: test\r\n")]
+    for uri, page in PAGES:
+        recs.append(("request", uri, b"GET / HTTP/1.1\r\n\r\n"))
+        recs.append(("response", uri, http_response(page)))
+    return encode_warc(recs, gzip_members=gz)
+
+
+@pytest.mark.parametrize("gz", [False, True])
+def test_round_trip(gz):
+    recs = parse_warc_py(_archive(gz))
+    assert len(recs) == 5
+    assert [r["warc_type"] for r in recs] == [
+        "warcinfo", "request", "response", "request", "response",
+    ]
+    responses = [r for r in recs if r["warc_type"] == "response"]
+    for r, (uri, page) in zip(responses, PAGES):
+        assert r["target_uri"] == uri
+        assert r["http_status"] == 200
+        assert r["content_type"].startswith("text/html")
+        assert r["body"] == page
+    # non-response records carry NULL http fields
+    assert recs[0]["http_status"] is None and recs[0]["body"] is None
+
+
+def test_hostile_paths_raise():
+    good = _archive()
+    with pytest.raises(ValueError, match="bad version line"):
+        parse_warc_py(b"HTTP/1.1 200 OK\r\n\r\n")
+    with pytest.raises(ValueError, match="no records"):
+        parse_warc_py(b"")
+    with pytest.raises(ValueError, match="declared length"):
+        parse_warc_py(good[:-40])  # truncate inside the final payload
+    with pytest.raises(ValueError, match="Content-Length"):
+        parse_warc_py(b"WARC/1.0\r\nWARC-Type: response\r\n\r\nxx\r\n\r\n")
+    with pytest.raises(ValueError, match="bomb guard"):
+        parse_warc_py(_archive(), max_records=3)
+    with pytest.raises(ValueError, match="gzip member"):
+        parse_warc_py(b"\x1f\x8b" + b"\x00" * 40)
+    # an unparseable HTTP payload degrades to NULL http fields — the
+    # ARCHIVE was intact, so it is not a record error
+    weird = encode_warc([("response", "http://e.com", b"not http at all")])
+    r = parse_warc_py(weird)[0]
+    assert r["http_status"] is None and r["body"] is None
+    assert r["record_length"] == len(b"not http at all")
+
+
+def test_warc_to_training_text_pipeline(spark):
+    """The full web ingest composition: WARC archives -> record
+    explode -> html_extract -> per-page training text + quality
+    signals, all row-local."""
+    from pyspark.sql import functions as F
+
+    from tableone_pyspark_spark.functions.html import html_extract
+
+    df = spark.createDataFrame(
+        [(1, bytearray(_archive())), (2, bytearray(_archive(gz=True)))],
+        "id long, payload binary",
+    )
+    recs = warc_records(df, "id", "payload")
+    pages = (
+        recs.where(
+            (F.col("warc_type") == "response")
+            & (F.col("http_status") == 200)
+        )
+        .select(
+            "id",
+            "target_uri",
+            html_extract(F.decode("body", "UTF-8")).alias("e"),
+        )
+        .select("id", "target_uri", "e.title", "e.text", "e.n_links")
+    )
+    got = {(r["id"], r["target_uri"]): r for r in pages.collect()}
+    assert len(got) == 4  # 2 archives x 2 pages
+    a = got[(1, "http://example.com/a")]
+    assert a["title"] == "Page A" and a["text"] == "Alpha text here."
+    b = got[(2, "http://example.com/b")]
+    # the RAWTEXT script rule holds through the whole pipeline
+    assert b["text"] == "Beta body." and b["title"] is None
