@@ -32,6 +32,8 @@ then ``robots_allowed`` is a row-local projection over the frontier.
 
 from __future__ import annotations
 
+from functools import lru_cache
+
 import pandas as pd
 
 from pyspark.sql import Column
@@ -40,14 +42,29 @@ from pyspark.sql import functions as F
 
 def _match_len(pattern: str, path: str) -> int | None:
     """Octet length of ``pattern`` if it matches ``path`` per RFC 9309
-    (prefix match, ``*`` wildcards, final ``$`` anchors), else None."""
+    (prefix match, ``*`` wildcards, final ``$`` anchors), else None.
+
+    Anchored patterns pin their LAST literal segment to end-of-path
+    (self-review r9: greedy-leftmost placement of the last segment
+    broke ``/*.pdf$`` against ``/a.pdf.pdf`` — the earlier occurrence
+    matched, the anchor check failed, and a disallowed URL slipped
+    through). Greedy-leftmost placement of the MIDDLE segments is the
+    standard wildcard-existence argument and stays."""
     anchored = pattern.endswith("$")
     pat = pattern[:-1] if anchored else pattern
     segs = pat.split("*")
 
+    limit = len(path)
+    mids = segs
+    if anchored and segs[-1] != "":
+        last = segs[-1]
+        if not path.endswith(last):
+            return None
+        limit = len(path) - len(last)
+        mids = segs[:-1]
     pos = 0
     first = True
-    for seg in segs:
+    for seg in mids:
         if first:
             if not path.startswith(seg):
                 return None
@@ -58,11 +75,8 @@ def _match_len(pattern: str, path: str) -> int | None:
         if nxt < 0:
             return None
         pos = nxt + len(seg)
-    if anchored:
-        # the LAST literal segment must reach end-of-path; a trailing
-        # "*$" (last segment empty) lets the wildcard absorb the tail
-        if segs[-1] != "" and pos != len(path):
-            return None
+    if pos > limit:
+        return None  # middles overran the anchored tail
     return len(pattern)
 
 
@@ -98,7 +112,8 @@ def parse_robots_py(text: str | None):
             if not collecting_agents:
                 flush()
                 collecting_agents = True
-            agents.append(value.lower())
+            if value:  # an empty token would substring-match EVERY
+                agents.append(value.lower())  # crawler (self-review r9)
         elif field in ("allow", "disallow"):
             collecting_agents = False
             if agents:  # rules before any User-agent line are ignored
@@ -116,16 +131,18 @@ def parse_robots_py(text: str | None):
     return groups, sitemaps
 
 
-def robots_allowed_py(
-    text: str | None, user_agent: str, path: str
-) -> bool:
-    """May ``user_agent`` fetch ``path`` under this robots.txt?
-    Fail-open on empty/garbage rules (a missing file restricts
-    nothing); group selection and longest-match per RFC 9309."""
+@lru_cache(maxsize=512)
+def _chosen_rules(
+    text: str | None, ua: str
+) -> tuple[tuple[bool, str], ...]:
+    """The combined rule list governing ``ua`` — cached on the
+    (robots text, agent) VALUE, because a frontier join repeats the
+    identical per-host text across millions of rows and re-parsing
+    per row would multiply the kernel cost by rows-per-host
+    (self-review r9)."""
     groups, _ = parse_robots_py(text)
     if not groups:
-        return True
-    ua = user_agent.lower()
+        return ()
     # longest agent token that is a substring of the product token
     best_len = -1
     for agents, _rules in groups:
@@ -141,6 +158,16 @@ def robots_allowed_py(
         )
         if sel:
             chosen.extend(rules)  # ALL matching groups combine
+    return tuple(chosen)
+
+
+def robots_allowed_py(
+    text: str | None, user_agent: str, path: str
+) -> bool:
+    """May ``user_agent`` fetch ``path`` under this robots.txt?
+    Fail-open on empty/garbage rules (a missing file restricts
+    nothing); group selection and longest-match per RFC 9309."""
+    chosen = _chosen_rules(text, user_agent.lower())
     if not chosen:
         return True
     verdict = True

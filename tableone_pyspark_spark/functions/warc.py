@@ -44,27 +44,41 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 MAX_RECORDS = 1 << 20  # bomb guard per archive
+MAX_INFLATED = 1 << 33  # 8 GiB inflated bytes per archive — bomb guard
+_GZ_CHUNK = 1 << 20
 
 
-def _gunzip_members(data: bytes) -> bytes:
-    """Inflate a concatenation of gzip members (the .warc.gz layout)."""
+def _gunzip_members(data: bytes, max_inflated: int = MAX_INFLATED) -> bytes:
+    """Inflate a concatenation of gzip members (the .warc.gz layout).
+
+    Feeds bounded chunks from a memoryview: per-member work stays
+    proportional to member size (a whole-tail slice per member would
+    be O(members × archive) on the format's NORMAL 100k-member input),
+    and the inflated-size cap trips BEFORE a gzip bomb fills memory —
+    the png.py incremental-inflate pattern (self-review r9)."""
     import zlib
 
+    mv = memoryview(data)
     out = bytearray()
     pos = 0
-    while pos < len(data):
+    n = len(data)
+    while pos < n:
         d = zlib.decompressobj(wbits=31)
         try:
-            out += d.decompress(data[pos:])
-            out += d.flush()
+            while not d.eof:
+                if pos >= n:
+                    raise ValueError("WARC gzip member truncated")
+                chunk = mv[pos : pos + _GZ_CHUNK]
+                pos += len(chunk)
+                out += d.decompress(chunk)
+                if len(out) > max_inflated:
+                    raise ValueError(
+                        f"WARC bomb guard: inflates past {max_inflated} bytes"
+                    )
         except zlib.error as exc:
             raise ValueError(f"WARC gzip member: {exc}") from None
-        if not d.eof:
-            raise ValueError("WARC gzip member truncated")
-        consumed = len(data) - pos - len(d.unused_data)
-        if consumed <= 0:  # defensive: zlib always consumes on success
-            raise ValueError("WARC gzip member consumed no input")
-        pos += consumed
+        # unused_data is at most one chunk: the next member's start
+        pos -= len(d.unused_data)
     return bytes(out)
 
 
@@ -87,16 +101,21 @@ def _parse_http(payload: bytes):
     """(status, content_type, body) from an HTTP response payload —
     None fields when it does not parse (web garbage is normal; the
     ARCHIVE was intact, so this is not a record error)."""
-    sep = payload.find(b"\r\n\r\n")
-    nl = b"\r\n"
-    if sep < 0:
-        sep = payload.find(b"\n\n")
-        nl = b"\n"
-        if sep < 0:
-            return None, None, None
+    # whichever blank-line terminator comes FIRST ends the headers —
+    # preferring \r\n\r\n anywhere would let CRLF bytes inside the
+    # BODY of an LF-headered response swallow text (self-review r9;
+    # same rule parse_warc_py already applies to record headers)
+    crlf = payload.find(b"\r\n\r\n")
+    lf = payload.find(b"\n\n")
+    if crlf < 0 and lf < 0:
+        return None, None, None
+    if lf >= 0 and (crlf < 0 or lf < crlf):
+        sep, nl = lf, b"\n"
+    else:
+        sep, nl = crlf, b"\r\n"
     head = payload[:sep]
     body = payload[sep + 2 * len(nl) :]
-    lines = head.split(nl.replace(b"\r\n", b"\r\n") if nl == b"\r\n" else nl)
+    lines = head.split(nl)
     first = lines[0] if lines else b""
     parts = first.split()
     if len(parts) < 2 or not parts[0].startswith(b"HTTP/"):
@@ -282,12 +301,15 @@ def decode_body_py(
         return body.decode("utf-16", "replace")
     charset = "utf-8"
     if content_type:
-        low = content_type.lower()
-        at = low.find("charset=")
-        if at >= 0:
-            cand = low[at + 8 :].split(";")[0].strip().strip("\"'")
-            if cand:
-                charset = cand
+        # parameter-boundary parse: a vendor param like x-charset=
+        # must not be misread as the charset (self-review r9)
+        for param in content_type.lower().split(";")[1:]:
+            k, _, v = param.partition("=")
+            if k.strip() == "charset":
+                cand = v.strip().strip("\"'")
+                if cand:
+                    charset = cand
+                break
     try:
         return body.decode(charset, "replace")
     except LookupError:  # server lied with a nonsense charset name

@@ -97,3 +97,21 @@ def test_robots_allowed_spark_column(spark):
         ).collect()
     }
     assert got == {1: False, 2: True, 3: True, 4: True}
+
+
+def test_self_review_r9_regressions():
+    """The three verdict-flipping defects the r9 self-review caught."""
+    a = robots_allowed_py
+    # anchored last segment pins to END of path, not first occurrence
+    r = "User-agent: *\nDisallow: /*.pdf$"
+    assert not a(r, "x", "/a.pdf.pdf")
+    assert not a(r, "x", "/a.pdf")
+    assert a(r, "x", "/a.pdf?download=1")
+    # middles must not overrun the anchored tail
+    r2 = "User-agent: *\nDisallow: /a*b$"
+    assert not a(r2, "x", "/aXb")
+    assert a(r2, "x", "/aXbY")
+    assert a(r2, "x", "/ab_then_b_elsewhere")  # ...no trailing b
+    # an empty User-agent token must not hijack every crawler
+    hijack = "User-agent:\nDisallow: /\n\nUser-agent: *\nAllow: /\n"
+    assert a(hijack, "somebot", "/x")

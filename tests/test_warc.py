@@ -122,8 +122,11 @@ def test_decode_body_charsets(spark):
     assert d("héllo".encode("utf-16"), None) == "héllo"  # BOM sniff
     # nonsense charset name falls back; bad bytes replace, never raise
     assert d(b"ok", "text/html; charset=not-a-charset") == "ok"
-    assert "�" in d(b"\xff\xfe\x00ok" + b"\xd8\x00", None) or True
     assert d(b"\xc3(", None) == "�("  # invalid utf-8 replaced
+    # vendor params whose NAME merely ends in 'charset' are ignored
+    assert d("héllo".encode("latin-1"),
+             "text/html; x-charset=utf-16; charset=latin-1") == "héllo"
+    assert d(b"ok", "text/html; x-charset=shift_jis") == "ok"
     assert d(None, "text/html") is None
     # column form agrees
     df = spark.createDataFrame(
