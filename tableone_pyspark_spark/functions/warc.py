@@ -227,8 +227,17 @@ def warc_records(df: DataFrame, id_col: str, bin_col: str) -> DataFrame:
     """Explode WARC archive payloads into typed record rows — one
     Arrow pass, archives never leave the executor. ``body`` is the
     HTTP response body for ``response`` records (NULL http fields for
-    other record types or unparseable HTTP payloads)."""
-    src = df.select(F.col(id_col).alias("id"), F.col(bin_col).alias("payload"))
+    other record types or unparseable HTTP payloads).
+
+    The input is the narrow-and-heavy shape (a handful of GB-scale
+    archive blobs per split), so the CPU-bound record walk sits behind
+    ``rebalance()`` — the r7 lesson: a narrow source otherwise starves
+    cores while one task inflates everything (no-op on wide inputs)."""
+    from tableone_pyspark_spark.plans.layout import rebalance
+
+    src = rebalance(
+        df.select(F.col(id_col).alias("id"), F.col(bin_col).alias("payload"))
+    )
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
