@@ -141,3 +141,54 @@ def main() -> None:
 
 if __name__ == "__main__":
     main()
+
+
+def web_toolkit_probe() -> None:
+    """Appended late-r9: the WARC → html_extract ingest path at 1x vs
+    10x archives (rebalance() spreads the narrow-and-heavy archive
+    rows; the walk + extraction are row-local, so the knee should be
+    ~linear). Run standalone: python -c "import scripts.scale_check_r9
+    as s; s.web_toolkit_probe()" or via __main__ below."""
+    from pyspark.sql import SparkSession
+
+    from tableone_pyspark_spark.functions.html import html_extract
+    from tableone_pyspark_spark.functions.warc import (
+        encode_warc,
+        http_response,
+        warc_records,
+    )
+
+    spark = (
+        SparkSession.builder.master("local[32]")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    page = (
+        b"<html><head><title>T</title><script>if (a<b) x();</script>"
+        b"</head><body>" + b"<p>para text here</p>" * 40 + b"</body></html>"
+    )
+    archive = encode_warc(
+        [("response", f"http://e.com/{k}", http_response(page)) for k in range(100)],
+        gzip_members=True,
+    )
+    def frame(n_archives):
+        return spark.createDataFrame(
+            [(i, bytearray(archive)) for i in range(n_archives)],
+            "id long, payload binary",
+        )
+
+    def run(df):
+        recs = warc_records(df, "id", "payload")
+        return recs.select(
+            html_extract(F.decode("body", "UTF-8")).alias("e")
+        ).where(F.col("e.text").isNotNull()).count()
+
+    run(frame(4))  # warm-up
+    timed("warc→html 1x (8 archives, 800 pages)", lambda: run(frame(8)))
+    timed("warc→html 10x (80 archives, 8000 pages)", lambda: run(frame(80)))
+
+
+if __name__ == "__main__" and __import__("os").environ.get("WEB_PROBE"):
+    web_toolkit_probe()
