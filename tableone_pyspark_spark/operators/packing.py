@@ -139,3 +139,90 @@ def chunk_documents(
         F.size(piece).alias("n_tokens"),
         F.concat_ws(" ", piece).alias("chunk_text"),
     )
+
+
+def webdataset_shards(
+    df: DataFrame,
+    key_col: str,
+    payload_cols: dict[str, str],
+    n_shards: int = 64,
+    salt: str = "wds-v1",
+) -> DataFrame:
+    """WebDataset-style tar sharding as a PURE TRANSFORMATION: the
+    multimodal training layout (one ``.tar`` per shard; each sample =
+    consecutive members ``<key>.<ext>``) produced as (shard, tar
+    bytes, n_samples) rows — no filesystem side effects, so the
+    caller writes the binary column wherever the cluster's storage
+    lives and the operator stays testable/deterministic.
+
+    ``payload_cols``: {extension: column}, e.g. ``{"txt": "text",
+    "json": "meta"}`` — string columns encode UTF-8, binary pass
+    through; NULL payloads skip that member (WebDataset's optional-
+    field convention). Samples shard by the same deterministic
+    hash-bucket family the engine's splits use (``xxhash64(key,
+    salt)``), and WITHIN a shard sort by key — so shard contents and
+    member order (and therefore the tar BYTES, with zeroed mtime/
+    uid/gid) are reproducible on any engine and any partitioning.
+
+    Scale shape: one shuffle keyed by shard (the write layout's
+    inherent movement), then one ``applyInPandas`` per shard builds
+    the tar in memory — shards must fit an executor (pick n_shards
+    accordingly: corpus_bytes / n_shards ≲ executor memory, same
+    sizing rule as any tar/zip packaging job). Returns (shard,
+    tar, n_samples)."""
+    import io
+    import tarfile
+
+    import pandas as pd
+
+    if not payload_cols:
+        raise ValueError("payload_cols must name at least one member")
+    if n_shards < 1:
+        raise ValueError("n_shards must be positive")
+    exts = sorted(payload_cols)
+    key = F.col(key_col).cast("string")
+    sel = [
+        key.alias("_key"),
+        (F.pmod(F.xxhash64(key, F.lit(salt)), F.lit(n_shards)))
+        .cast("int")
+        .alias("_shard"),
+    ]
+    for ext in exts:
+        c = F.col(payload_cols[ext])
+        sel.append(c.alias(f"_p_{ext}"))
+    src = df.where(key.isNotNull()).select(*sel)
+
+    schema = "shard int, tar binary, n_samples long"
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("_key", kind="stable")
+        buf = io.BytesIO()
+        n = 0
+        with tarfile.open(fileobj=buf, mode="w") as tar:
+            for _, row in pdf.iterrows():
+                wrote = False
+                for ext in exts:
+                    v = row[f"_p_{ext}"]
+                    if v is None:
+                        continue
+                    data = (
+                        v.encode("utf-8") if isinstance(v, str) else bytes(v)
+                    )
+                    info = tarfile.TarInfo(name=f"{row['_key']}.{ext}")
+                    info.size = len(data)
+                    info.mtime = 0  # reproducible bytes
+                    info.uid = info.gid = 0
+                    info.uname = info.gname = ""
+                    tar.addfile(info, io.BytesIO(data))
+                    wrote = True
+                if wrote:
+                    n += 1
+        return pd.DataFrame(
+            {
+                "shard": [int(pdf["_shard"].iloc[0])],
+                "tar": [buf.getvalue()],
+                "n_samples": [n],
+            }
+        )
+
+    return src.groupBy("_shard").applyInPandas(build, schema)

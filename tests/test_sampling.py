@@ -106,3 +106,76 @@ def test_weighted_sample_weight_col_single_evaluation(spark):
     assert sorted(map(tuple, out.collect())) == sorted(
         map(tuple, plain.collect())
     )
+
+
+# ---- WebDataset tar sharding (X107) ---------------------------------------
+
+
+def test_webdataset_shards_round_trip_and_determinism(spark):
+    """Tar bytes round-trip through tarfile, shard assignment matches
+    the deterministic hash family, member order is key-sorted, NULL
+    payloads skip per the optional-field convention, and the BYTES are
+    identical across partitionings (zeroed metadata)."""
+    import io
+    import tarfile
+
+    from pyspark.sql import functions as F
+
+    from tableone_pyspark_spark.operators.packing import webdataset_shards
+
+    rows = [
+        (f"doc{i:03d}", f"text {i}", bytes([i % 7] * (i + 1)) if i % 3 else None)
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "k string, text string, img binary")
+    out = webdataset_shards(
+        df, "k", {"txt": "text", "bin": "img"}, n_shards=4
+    ).collect()
+    assert len(out) == 4 and sum(r["n_samples"] for r in out) == 40
+
+    expected_shard = {
+        r["k"]: r["s"]
+        for r in df.select(
+            "k",
+            F.pmod(F.xxhash64(F.col("k"), F.lit("wds-v1")), F.lit(4))
+            .cast("int")
+            .alias("s"),
+        ).collect()
+    }
+    seen = {}
+    for r in out:
+        names = []
+        with tarfile.open(fileobj=io.BytesIO(bytes(r["tar"]))) as tar:
+            for m in tar.getmembers():
+                names.append(m.name)
+                key, ext = m.name.rsplit(".", 1)
+                assert expected_shard[key] == r["shard"]
+                data = tar.extractfile(m).read()
+                i = int(key[3:])
+                if ext == "txt":
+                    assert data == f"text {i}".encode()
+                else:
+                    assert i % 3 and data == bytes([i % 7] * (i + 1))
+                assert m.mtime == 0 and m.uid == 0
+                seen[m.name] = True
+        # members arrive key-sorted (txt/bin adjacency per sample)
+        keys = [n.rsplit(".", 1)[0] for n in names]
+        assert keys == sorted(keys, key=lambda k: (k, ))
+    # NULL img members skipped: only i % 3 != 0 docs carry .bin
+    assert sum(1 for n in seen if n.endswith(".bin")) == sum(
+        1 for i in range(40) if i % 3
+    )
+    # byte determinism across partitionings
+    a = {r["shard"]: bytes(r["tar"]) for r in out}
+    b = {
+        r["shard"]: bytes(r["tar"])
+        for r in webdataset_shards(
+            df.repartition(13), "k", {"txt": "text", "bin": "img"}, n_shards=4
+        ).collect()
+    }
+    assert a == b
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="at least one"):
+        webdataset_shards(df, "k", {})
