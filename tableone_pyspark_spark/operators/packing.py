@@ -205,9 +205,17 @@ def webdataset_shards(
                     v = row[f"_p_{ext}"]
                     if v is None:
                         continue
-                    data = (
-                        v.encode("utf-8") if isinstance(v, str) else bytes(v)
-                    )
+                    if isinstance(v, str):
+                        data = v.encode("utf-8")
+                    elif isinstance(v, (bytes, bytearray)):
+                        data = bytes(v)
+                    else:
+                        # bytes(5) would silently emit five NUL bytes —
+                        # a numeric column here is a caller error
+                        raise TypeError(
+                            f"webdataset member .{ext} must be a string "
+                            f"or binary column, got {type(v).__name__}"
+                        )
                     info = tarfile.TarInfo(name=f"{row['_key']}.{ext}")
                     info.size = len(data)
                     info.mtime = 0  # reproducible bytes

@@ -179,3 +179,15 @@ def test_webdataset_shards_round_trip_and_determinism(spark):
 
     with _pytest.raises(ValueError, match="at least one"):
         webdataset_shards(df, "k", {})
+
+
+def test_webdataset_rejects_non_text_non_binary_members(spark):
+    from pyspark.sql.utils import PythonException
+
+    from tableone_pyspark_spark.operators.packing import webdataset_shards
+
+    df = spark.createDataFrame([("k1", 5)], "k string, num int")
+    import pytest as _pytest
+
+    with _pytest.raises(PythonException, match="string or binary"):
+        webdataset_shards(df, "k", {"num": "num"}, n_shards=1).collect()
