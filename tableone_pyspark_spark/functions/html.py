@@ -48,6 +48,14 @@ _BLOCK = {
 
 _NAME_RE = re.compile(r"[a-zA-Z][a-zA-Z0-9]*")
 
+#: ASCII-only lowercase map — LENGTH-PRESERVING, unlike str.lower()
+#: (U+0130 'İ' lowercases to two chars, shifting every later index),
+#: so offsets computed in ``s`` stay valid in the lowered copy; tag
+#: names are ASCII so case-insensitivity needs nothing more
+_ASCII_LOWER = str.maketrans(
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZ", "abcdefghijklmnopqrstuvwxyz"
+)
+
 HTML_EXTRACT_SCHEMA = (
     "title string, text string, n_links int, n_tags int"
 )
@@ -59,7 +67,7 @@ def html_extract_py(doc: str | None):
     if doc is None:
         return None
     s = doc
-    low = s.lower()  # one pass; the rawtext closer search is literal
+    low = s.translate(_ASCII_LOWER)  # ASCII-only: length-preserving
     n = len(s)
     out: list[str] = []
     title: str | None = None

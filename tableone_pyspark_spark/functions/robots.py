@@ -54,29 +54,34 @@ def _match_len(pattern: str, path: str) -> int | None:
     pat = pattern[:-1] if anchored else pattern
     segs = pat.split("*")
 
-    limit = len(path)
-    mids = segs
-    if anchored and segs[-1] != "":
-        last = segs[-1]
-        if not path.endswith(last):
-            return None
-        limit = len(path) - len(last)
-        mids = segs[:-1]
+    # Greedy-leftmost walk over every segment EXCEPT an anchored
+    # tail; the FIRST segment is always pinned to the start of the
+    # path (RFC 9309: patterns match from the beginning — ADVICE r9:
+    # skipping this check for single-segment anchored patterns let
+    # 'Allow: /index.html$' match '/private/index.html').
+    walk = segs[:-1] if anchored else segs
     pos = 0
-    first = True
-    for seg in mids:
-        if first:
+    for idx, seg in enumerate(walk):
+        if idx == 0:
             if not path.startswith(seg):
                 return None
             pos = len(seg)
-            first = False
             continue
         nxt = path.find(seg, pos)
         if nxt < 0:
             return None
         pos = nxt + len(seg)
-    if pos > limit:
-        return None  # middles overran the anchored tail
+    if anchored:
+        last = segs[-1]
+        if len(segs) == 1:
+            # no '*': the whole pattern is pinned to BOTH ends
+            if path != last:
+                return None
+        else:
+            if not path.endswith(last):
+                return None
+            if len(path) - len(last) < pos:
+                return None  # middles overran the anchored tail
     return len(pattern)
 
 

@@ -14,7 +14,10 @@ Rules (each deliberate, the conservative CommonCrawl-style set):
     ``gclid``, ``msclkid``, ``ref``, ``ref_src``) since they vary per
     click, not per page;
   * an empty path becomes ``/``;
-  * surrounding whitespace stripped.
+  * surrounding whitespace stripped;
+  * userinfo PRESERVED verbatim (``user:pass@host`` and ``host`` are
+    different authorities per RFC 3986 §3.2 and must not collapse to
+    one dedup key — ADVICE r9 flagged the silent drop).
 
 NOT done, deliberately: ``www.`` stripping (a different host may
 serve different content), percent-decoding (decoding reserved
@@ -69,6 +72,13 @@ def canonical_url_py(url: str | None) -> str | None:
     netloc = host
     if port is not None and port != _DEFAULT_PORTS.get(scheme):
         netloc = f"{host}:{port}"
+    if parts.username is not None:
+        # verbatim (percent-encoding untouched, like the path); an
+        # empty username with a password still keeps the '@' form
+        userinfo = parts.username
+        if parts.password is not None:
+            userinfo += f":{parts.password}"
+        netloc = f"{userinfo}@{netloc}"
     path = parts.path or "/"
     q = [
         (k, v)

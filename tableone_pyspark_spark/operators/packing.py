@@ -196,6 +196,17 @@ def webdataset_shards(
 
     def build(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("_key", kind="stable")
+        dup = pdf["_key"].duplicated()
+        if dup.any():
+            # two members named <key>.<ext> in unspecified relative
+            # order would silently corrupt WebDataset's consecutive-
+            # members-per-sample grouping AND the byte-reproducibility
+            # claim (ADVICE r9) — a duplicate key is a caller error
+            raise ValueError(
+                "webdataset_shards: duplicate key "
+                f"{pdf['_key'][dup].iloc[0]!r} — keys must be unique "
+                "(dedupe or suffix upstream)"
+            )
         buf = io.BytesIO()
         n = 0
         with tarfile.open(fileobj=buf, mode="w") as tar:

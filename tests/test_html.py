@@ -94,3 +94,24 @@ def test_html_extract_spark_column(spark):
     assert (got[1]["n_links"], got[1]["n_tags"]) == (ref[2], ref[3])
     assert got[2]["text"] == "tiny"
     assert got[3]["text"] is None
+
+
+def test_advice_r9_non_ascii_lowercase_preserves_offsets():
+    """ADVICE r10 fix: str.lower() is not length-preserving (U+0130
+    'İ' lowercases to two chars), so the RAWTEXT closer search in the
+    lowered copy returned shifted offsets — '<title>İstanbul</title>'
+    extracted title 'İstanbul<'. The ASCII-only translate keeps
+    indices aligned."""
+    from tableone_pyspark_spark.functions.html import html_extract_py
+
+    title, text, n_links, n_tags = html_extract_py(
+        "<title>İstanbul</title><p>after İİİ</p><script>İ x</script>ok"
+    )
+    assert title == "İstanbul"
+    assert "after İİİ" in text and "ok" in text
+    assert "x" not in text.split()  # script content still dropped
+    # many İ before a <script>: content after it must survive intact
+    _, text2, _, _ = html_extract_py(
+        "<p>İİİİİİİİİİ</p><script>var i=1;</script><p>tail</p>"
+    )
+    assert "tail" in text2 and "var i" not in text2

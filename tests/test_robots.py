@@ -115,3 +115,22 @@ def test_self_review_r9_regressions():
     # an empty User-agent token must not hijack every crawler
     hijack = "User-agent:\nDisallow: /\n\nUser-agent: *\nAllow: /\n"
     assert a(hijack, "somebot", "/x")
+
+
+def test_advice_r9_anchored_patterns_match_from_path_start():
+    """ADVICE r10 fix: a $-anchored pattern with no '*' is pinned to
+    BOTH ends of the path — endswith alone let 'Allow: /index.html$'
+    outrank 'Disallow: /private/' on /private/index.html (a
+    compliance break), and anchored Disallows over-matched."""
+    a = robots_allowed_py
+    r = "User-agent: *\nDisallow: /private/\nAllow: /index.html$\n"
+    assert not a(r, "x", "/private/index.html")
+    assert a(r, "x", "/index.html")
+    r2 = "User-agent: *\nDisallow: /private$\n"
+    assert a(r2, "x", "/x/private")   # must match from path start
+    assert not a(r2, "x", "/private")
+    assert a(r2, "x", "/privateX")    # and still pin the end
+    # anchored + wildcard: first segment stays start-anchored too
+    r3 = "User-agent: *\nDisallow: /a*.pdf$\n"
+    assert a(r3, "x", "/b/a.pdf")     # '/a' not at path start
+    assert not a(r3, "x", "/a/x.pdf")

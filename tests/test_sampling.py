@@ -191,3 +191,21 @@ def test_webdataset_rejects_non_text_non_binary_members(spark):
 
     with _pytest.raises(PythonException, match="string or binary"):
         webdataset_shards(df, "k", {"num": "num"}, n_shards=1).collect()
+
+
+def test_webdataset_rejects_duplicate_keys(spark):
+    """ADVICE r10 fix: duplicate keys emit identically-named tar
+    members in unspecified relative order — silently corrupting the
+    consecutive-members-per-sample grouping and byte reproducibility.
+    A duplicate key is a caller error and raises."""
+    import pytest
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import PythonException
+
+    from tableone_pyspark_spark.operators.packing import webdataset_shards
+
+    df = spark.createDataFrame(
+        [("a", "x"), ("a", "y"), ("b", "z")], "k string, text string"
+    )
+    with pytest.raises((PythonException, Py4JJavaError), match="duplicate key"):
+        webdataset_shards(df, "k", {"txt": "text"}, n_shards=1).collect()
