@@ -334,8 +334,11 @@ def decode_tiff(payload: bytes, max_pixels: int = MAX_PIXELS) -> np.ndarray:
         raise NotImplementedError("TIFF FillOrder 2 unsupported")
     if _tag1(e, 284, 1) != 1:
         raise NotImplementedError("TIFF planar configuration 2 unsupported")
-    if 322 in e or 323 in e:
-        raise NotImplementedError("TIFF tiled layout unsupported")
+    if 322 in e or 323 in e or 324 in e or 325 in e:
+        out = _decode_tiles(
+            payload, e, w, h, spp, bit, comp, pred, max_pixels
+        )
+        return _finish_pixels(out, w, h, spp, bit, photo)
     offs = e.get(273)
     cnts = e.get(279)
     if (273 in e and offs is None) or (279 in e and cnts is None):
@@ -347,44 +350,125 @@ def decode_tiff(payload: bytes, max_pixels: int = MAX_PIXELS) -> np.ndarray:
     out = np.empty((h, row_bytes), dtype=np.uint8)
     y = 0
     for so, sc in zip(offs, cnts):
-        if so + sc > len(payload):
-            raise ValueError("TIFF truncated: strip outside the payload")
         n_rows = min(rows_per_strip, h - y)
         need = n_rows * row_bytes
-        if comp == 32773:
-            raw = _unpackbits(payload[so : so + sc], need)
-            strip = np.frombuffer(raw, dtype=np.uint8)
-        elif comp == 5:
-            raw = _lzw_decode(payload[so : so + sc], need)
-            strip = np.frombuffer(raw, dtype=np.uint8)
-        elif comp in (8, 32946):
-            import zlib
-
-            try:
-                # decompressobj + max_length bounds the inflation (the
-                # zip-bomb guard the other codecs get from `expected`)
-                raw = zlib.decompressobj().decompress(
-                    payload[so : so + sc], need
-                )
-            except zlib.error as exc:
-                raise ValueError(f"TIFF Deflate: {exc}") from None
-            if len(raw) < need:
-                raise ValueError("TIFF Deflate: strip decodes short")
-            strip = np.frombuffer(raw, dtype=np.uint8)
-        else:
-            if sc < need:
-                raise ValueError("TIFF: strip shorter than its rows")
-            strip = np.frombuffer(payload, dtype=np.uint8, count=need, offset=so)
-        out[y : y + n_rows] = strip.reshape(n_rows, row_bytes)
+        block = _decompress_block(payload, so, sc, need, comp, "strip")
+        out[y : y + n_rows] = block.reshape(n_rows, row_bytes)
         y += n_rows
     if y < h:
         raise ValueError("TIFF: strips cover fewer rows than ImageLength")
     if pred == 2:
         # undo horizontal differencing: each row restarts, each sample
         # accumulates its left neighbor of the SAME channel, mod 256
+        # (strips hold whole rows, so one image-wide pass is exact)
         out = np.cumsum(
             out.reshape(h, w, spp), axis=1, dtype=np.uint8
         ).reshape(h, row_bytes)
+    return _finish_pixels(out, w, h, spp, bit, photo)
+
+
+def _decompress_block(
+    payload: bytes, so: int, sc: int, need: int, comp: int, what: str
+) -> np.ndarray:
+    """One strip/tile → exactly ``need`` bytes (uint8 array); shared
+    by the strip and tile walks. ``need`` bounds every allocation, so
+    no compressed block can bomb."""
+    if so < 0 or sc < 0 or so + sc > len(payload):
+        raise ValueError(f"TIFF truncated: {what} outside the payload")
+    if comp == 32773:
+        return np.frombuffer(_unpackbits(payload[so : so + sc], need), dtype=np.uint8)
+    if comp == 5:
+        return np.frombuffer(_lzw_decode(payload[so : so + sc], need), dtype=np.uint8)
+    if comp in (8, 32946):
+        import zlib
+
+        try:
+            # decompressobj + max_length bounds the inflation (the
+            # zip-bomb guard the other codecs get from `expected`)
+            raw = zlib.decompressobj().decompress(payload[so : so + sc], need)
+        except zlib.error as exc:
+            raise ValueError(f"TIFF Deflate: {exc}") from None
+        if len(raw) < need:
+            raise ValueError(f"TIFF Deflate: {what} decodes short")
+        return np.frombuffer(raw, dtype=np.uint8)
+    if sc < need:
+        raise ValueError(f"TIFF: {what} shorter than its rows")
+    return np.frombuffer(payload, dtype=np.uint8, count=need, offset=so)
+
+
+def _decode_tiles(
+    payload: bytes,
+    e: dict,
+    w: int,
+    h: int,
+    spp: int,
+    bit: int,
+    comp: int,
+    pred: int,
+    max_pixels: int,
+) -> np.ndarray:
+    """Tiled layout (TIFF 6.0 §15): the image is a grid of
+    ceil(w/tw) × ceil(h/tl) INDEPENDENT tiles, every tile stored
+    complete (edge tiles padded to full size) and compressed on its
+    own — so the horizontal predictor must be undone PER TILE before
+    assembly (a row spanning two tiles is two independent difference
+    runs), unlike strips where one image-wide pass is exact. Tile
+    dimensions are required multiples of 16, which keeps sub-8-bit
+    tile boundaries byte-aligned in the packed output. Returns the
+    packed (h, row_bytes) byte matrix."""
+    tw = _tag1(e, 322)
+    tl = _tag1(e, 323)
+    if tw <= 0 or tl <= 0 or tw % 16 or tl % 16:
+        raise ValueError(
+            f"TIFF: tile dimensions {tw}x{tl} must be positive "
+            "multiples of 16"
+        )
+    if (w + tw - 1) // tw * tw * ((h + tl - 1) // tl * tl) > 4 * max_pixels:
+        # a hostile giant tile over a small image: the padded grid,
+        # not w*h, is what gets allocated — bound it like the pixels
+        raise ValueError("TIFF bomb guard: padded tile grid too large")
+    offs = e.get(324)
+    cnts = e.get(325)
+    if (324 in e and offs is None) or (325 in e and cnts is None):
+        raise ValueError("TIFF: tile offset/count tags have non-integer types")
+    if not offs or not cnts or len(offs) != len(cnts):
+        raise ValueError("TIFF: missing/mismatched tile offsets or counts")
+    across = (w + tw - 1) // tw
+    down = (h + tl - 1) // tl
+    if len(offs) != across * down:
+        raise ValueError(
+            f"TIFF: {len(offs)} tiles for a {across}x{down} grid"
+        )
+    row_bytes = (w * spp * bit + 7) // 8
+    tile_row_bytes = (tw * spp * bit + 7) // 8  # exact: tw % 16 == 0
+    need = tl * tile_row_bytes
+    out = np.zeros((h, row_bytes), dtype=np.uint8)
+    for ty in range(down):
+        rows = min(tl, h - ty * tl)
+        for tx in range(across):
+            i = ty * across + tx
+            tile = _decompress_block(
+                payload, offs[i], cnts[i], need, comp, "tile"
+            ).reshape(tl, tile_row_bytes)
+            if pred == 2:
+                tile = np.cumsum(
+                    tile.reshape(tl, tw, spp), axis=1, dtype=np.uint8
+                ).reshape(tl, tile_row_bytes)
+            xb = tx * tile_row_bytes
+            cols = min(tile_row_bytes, row_bytes - xb)
+            out[ty * tl : ty * tl + rows, xb : xb + cols] = tile[
+                :rows, :cols
+            ]
+    return out
+
+
+def _finish_pixels(
+    out: np.ndarray, w: int, h: int, spp: int, bit: int, photo: int
+) -> np.ndarray:
+    """Packed (h, row_bytes) bytes → the decoder's pixel contract:
+    (h, w) gray / (h, w, 3) RGB uint8, sub-8-bit depths expanded
+    (MSB-first), WhiteIsZero inverted, alpha dropped."""
+    row_bytes = out.shape[1]
     if bit == 1:
         out = np.unpackbits(out, axis=1)[:, :w] * np.uint8(255)
     elif bit == 4:
@@ -504,4 +588,152 @@ def encode_tiff(
         + struct.pack("<I", 0)
         + extra
         + data
+    )
+
+
+def encode_tiff_tiled(
+    arr: np.ndarray,
+    tile: tuple[int, int] = (16, 16),
+    compression: int = 1,
+    predictor: int = 1,
+    bits: int = 8,
+) -> bytes:
+    """Fixture/round-trip writer for the TILED layout (TIFF 6.0 §15):
+    (h, w) gray or (h, w, 3) RGB uint8 → little-endian tiled TIFF.
+    Every tile is stored complete (edge tiles zero-padded to the full
+    ``tile`` size) and compressed independently; with ``predictor=2``
+    the horizontal differencing runs per tile row — exactly the
+    layout the decoder must invert per tile. Tile dims must be
+    multiples of 16 per spec. Same codec/depth menu as
+    :func:`encode_tiff`."""
+    arr = np.asarray(arr, dtype=np.uint8)
+    if arr.ndim == 2:
+        h, w = arr.shape
+        spp, photo = 1, 1
+    elif arr.ndim == 3 and arr.shape[2] == 3:
+        h, w, _ = arr.shape
+        spp, photo = 3, 2
+    else:
+        raise ValueError("arr must be (h, w) gray or (h, w, 3) RGB")
+    tw, tl = tile
+    if tw <= 0 or tl <= 0 or tw % 16 or tl % 16:
+        raise ValueError("tile dims must be positive multiples of 16")
+    if compression not in (1, 5, 8, 32773):
+        raise ValueError(f"unsupported compression {compression}")
+    if predictor not in (1, 2):
+        raise ValueError(f"unsupported predictor {predictor}")
+    if bits not in (1, 4, 8):
+        raise ValueError(f"unsupported bit depth {bits}")
+    if bits != 8 and (spp != 1 or predictor == 2):
+        raise ValueError("sub-8-bit fixtures are grayscale, predictor 1 only")
+    across = (w + tw - 1) // tw
+    down = (h + tl - 1) // tl
+    padded = np.zeros((down * tl, across * tw, spp), dtype=np.uint8)
+    padded[:h, :w] = arr.reshape(h, w, spp)
+    tile_row_bytes = (tw * spp * bits + 7) // 8
+    blocks: list[bytes] = []
+    for ty in range(down):
+        for tx in range(across):
+            px = padded[
+                ty * tl : (ty + 1) * tl, tx * tw : (tx + 1) * tw
+            ].astype(np.uint8)
+            if predictor == 2:
+                px = px.astype(np.int16)
+                px[:, 1:, :] -= px[:, :-1, :].copy()
+                px = (px % 256).astype(np.uint8)
+            if bits == 1:
+                raw = np.packbits(px.reshape(tl, tw) >= 128, axis=1).tobytes()
+            elif bits == 4:
+                nib = (px.reshape(tl, tw) >> 4).astype(np.uint8)
+                raw = ((nib[:, 0::2] << 4) | nib[:, 1::2]).tobytes()
+            else:
+                raw = px.tobytes()
+            if compression == 5:
+                blocks.append(lzw_encode(raw))
+            elif compression == 8:
+                import zlib
+
+                blocks.append(zlib.compress(raw))
+            elif compression == 32773:
+                blocks.append(
+                    b"".join(
+                        packbits_encode(
+                            raw[r * tile_row_bytes : (r + 1) * tile_row_bytes]
+                        )
+                        for r in range(tl)
+                    )
+                )
+            else:
+                blocks.append(raw)
+    n_tiles = len(blocks)
+    tags: list[tuple[int, int, int, int | None]] = [
+        (256, 3, 1, w),
+        (257, 3, 1, h),
+        (258, 3, 1, bits) if spp == 1 else (258, 3, 3, None),
+        (259, 3, 1, compression),
+        (262, 3, 1, photo),
+        (277, 3, 1, spp),
+        (322, 3, 1, tw),
+        (323, 3, 1, tl),
+        (324, 4, n_tiles, None),  # offsets: patched below
+        (325, 4, n_tiles, None),  # byte counts
+    ]
+    if predictor == 2:
+        tags.append((317, 3, 1, 2))
+    tags.sort()  # spec: IFD entries in ascending tag order
+    n = len(tags)
+    after_ifd = 8 + 2 + 12 * n + 4
+    # extras: bits triple (RGB), then the two tile arrays (if n>1)
+    extra = b""
+    slots: dict[int, int] = {}
+    if spp == 3:
+        slots[258] = after_ifd + len(extra)
+        extra += struct.pack("<HHH", 8, 8, 8) + b"\x00\x00"
+    if n_tiles > 1:
+        slots[324] = after_ifd + len(extra)
+        extra += b"\x00" * (4 * n_tiles)
+        slots[325] = after_ifd + len(extra)
+        extra += b"\x00" * (4 * n_tiles)
+    data_off = after_ifd + len(extra)
+    offsets = []
+    pos = data_off
+    for b in blocks:
+        offsets.append(pos)
+        pos += len(b)
+    counts = [len(b) for b in blocks]
+    if n_tiles > 1:
+        extra = bytearray(extra)
+        o324 = slots[324] - after_ifd
+        o325 = slots[325] - after_ifd
+        extra[o324 : o324 + 4 * n_tiles] = struct.pack(
+            f"<{n_tiles}I", *offsets
+        )
+        extra[o325 : o325 + 4 * n_tiles] = struct.pack(
+            f"<{n_tiles}I", *counts
+        )
+        extra = bytes(extra)
+    entries = b""
+    for tag, typ, cnt, val in tags:
+        if tag == 258 and spp == 3:
+            entries += struct.pack("<HHII", tag, typ, cnt, slots[258])
+        elif tag == 324:
+            entries += struct.pack(
+                "<HHII", tag, typ, cnt,
+                offsets[0] if n_tiles == 1 else slots[324],
+            )
+        elif tag == 325:
+            entries += struct.pack(
+                "<HHII", tag, typ, cnt,
+                counts[0] if n_tiles == 1 else slots[325],
+            )
+        else:
+            entries += struct.pack("<HHII", tag, typ, cnt, val)
+    return (
+        b"II*\x00"
+        + struct.pack("<I", 8)
+        + struct.pack("<H", n)
+        + entries
+        + struct.pack("<I", 0)
+        + extra
+        + b"".join(blocks)
     )

@@ -938,3 +938,104 @@ def test_tiff_deflate_and_sub8bit_gray(spark):
             if struct.unpack_from("<H", pp, off)[0] == 277:
                 struct.pack_into("<HHII", pp, off, 277, 3, 1, 3)
         tiff.decode_tiff(bytes(pp))
+
+
+def test_tiff_tiled_round_trips(spark):
+    """Tiled layout (TIFF 6.0 §15, closes the r9 refusal): full grid
+    round-trips across codecs, predictor 2 undone PER TILE, edge
+    tiles clipped, sub-8-bit tile boundaries byte-aligned."""
+    import numpy as _np
+    import pytest as _pytest
+
+    from tableone_pyspark_spark.functions import tiff
+
+    rng = _np.random.default_rng(11)
+    gray = rng.integers(0, 256, size=(33, 47), dtype=_np.uint8)
+    rgb = rng.integers(0, 256, size=(20, 30, 3), dtype=_np.uint8)
+    for arr in (gray, rgb):
+        for comp in (1, 5, 8, 32773):
+            for pred in (1, 2):
+                enc = tiff.encode_tiff_tiled(
+                    arr, tile=(16, 16), compression=comp, predictor=pred
+                )
+                assert _np.array_equal(tiff.decode_tiff(enc), arr), (
+                    arr.shape, comp, pred,
+                )
+    # predictor-2 per-tile independence really matters: with two tiles
+    # across, an image-wide cumsum (the strip rule) would corrupt the
+    # right tile — build a case where the strip-decoded twin differs
+    wide = rng.integers(0, 256, size=(16, 32), dtype=_np.uint8)
+    tiled = tiff.encode_tiff_tiled(wide, tile=(16, 16), predictor=2,
+                                   compression=5)
+    assert _np.array_equal(tiff.decode_tiff(tiled), wide)
+    # sub-8-bit grayscale tiles (document scans)
+    g1 = rng.integers(0, 2, size=(40, 50), dtype=_np.uint8) * 255
+    g4 = rng.integers(0, 16, size=(40, 50), dtype=_np.uint8) * 17
+    for arr, bits in ((g1, 1), (g4, 4)):
+        for comp in (1, 5, 8, 32773):
+            enc = tiff.encode_tiff_tiled(
+                arr, tile=(32, 16), compression=comp, bits=bits
+            )
+            assert _np.array_equal(tiff.decode_tiff(enc), arr), (bits, comp)
+    # white-is-zero inversion flows through the tiled path too
+    inv = tiff.encode_tiff_tiled(gray, tile=(16, 16))
+    # patch photometric 1 -> 0
+    import struct as _struct
+
+    b = bytearray(inv)
+    n = _struct.unpack("<H", b[8:10])[0]
+    for i in range(n):
+        off = 10 + 12 * i
+        if _struct.unpack_from("<H", b, off)[0] == 262:
+            _struct.pack_into("<HHII", b, off, 262, 3, 1, 0)
+    assert _np.array_equal(tiff.decode_tiff(bytes(b)), 255 - gray)
+
+
+def test_tiff_tiled_hostile_paths():
+    """Tile-specific hostile sweeps keep the codec contract: every
+    malformed layout raises ValueError before any unbounded work."""
+    import struct as _struct
+
+    import numpy as _np
+    import pytest as _pytest
+
+    from tableone_pyspark_spark.functions import tiff
+
+    arr = _np.arange(0, 256, dtype=_np.uint8).reshape(16, 16)
+    enc = tiff.encode_tiff_tiled(arr, tile=(16, 16))
+
+    def patch(tag, typ, cnt, val):
+        b = bytearray(enc)
+        n = _struct.unpack("<H", b[8:10])[0]
+        for i in range(n):
+            off = 10 + 12 * i
+            if _struct.unpack_from("<H", b, off)[0] == tag:
+                _struct.pack_into("<HHII", b, off, tag, typ, cnt, val)
+        return bytes(b)
+
+    with _pytest.raises(ValueError, match="multiples of 16"):
+        tiff.decode_tiff(patch(322, 3, 1, 17))
+    with _pytest.raises(ValueError, match="multiples of 16"):
+        tiff.decode_tiff(patch(323, 3, 1, 0))
+    with _pytest.raises(ValueError, match="bomb guard: padded"):
+        tiff.decode_tiff(patch(322, 4, 1, 1 << 28))
+    with _pytest.raises(ValueError, match="tile outside"):
+        tiff.decode_tiff(patch(324, 4, 1, 1 << 20))
+    with _pytest.raises(ValueError, match="non-integer"):
+        tiff.decode_tiff(patch(325, 2, 1, 7))  # ASCII-typed counts
+    # grid/offset-count mismatch: 2-tile image claiming one offset
+    two = tiff.encode_tiff_tiled(
+        _np.zeros((32, 16), dtype=_np.uint8), tile=(16, 16)
+    )
+    b = bytearray(two)
+    n = _struct.unpack("<H", b[8:10])[0]
+    for i in range(n):
+        off = 10 + 12 * i
+        tag, typ, cnt, val = _struct.unpack_from("<HHII", b, off)
+        if tag == 324:
+            _struct.pack_into("<HHII", b, off, tag, typ, 1, val)
+    with _pytest.raises(ValueError, match="missing/mismatched tile"):
+        tiff.decode_tiff(bytes(b))
+    # truncated payload under a tile
+    with _pytest.raises(ValueError, match="outside the payload|truncated"):
+        tiff.decode_tiff(enc[: len(enc) - 8])
