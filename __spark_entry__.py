@@ -2186,14 +2186,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 http_response,
             )
 
+            import re as _re
+
             pdf = pdf.sort_values("doc_id")
             aid = int(pdf["_arch"].iloc[0])
             records = [("warcinfo", "", b"software: fixture\r\n")]
             for _, r in pdf.iterrows():
                 did = int(r["doc_id"])
+                # constrain the fixture to printable ASCII (self-review
+                # r10): any other char becomes a space, so the page is
+                # latin-1/utf-8 encodable BY CONSTRUCTION and the
+                # oracle replays the same [^ -~]→' ' projection — a
+                # regenerated multilingual corpus cannot crash the
+                # encode arms or desync the whitespace collapse
+                clean = _re.sub(r"[^ -~]", " ", r["text"])
                 page = (
                     f"<html><head><title>Doc {did}</title></head><body>"
-                    f"<p>{_h.escape(r['text'])}</p>"
+                    f"<p>{_h.escape(clean)}</p>"
                     f"<p>café {_h.escape(r['lang'])}</p>"
                     f'<p><a href="/d/{did}">go</a></p>'
                     "</body></html>"
@@ -4584,13 +4593,19 @@ def oracle_sql() -> dict[str, str]:
     # flips the 'café' bytes; a wrong BOM rule leaves ﻿ in text —
     # both hash-visible. ------------------------------------------------
     o["warc_pipeline"] = (
+        # c = the fixture's printable-ASCII projection, collapsed the
+        # way html_extract collapses a line; an all-garbage text
+        # yields an EMPTY line, which the extractor drops (the CASE)
+        "WITH c AS (SELECT doc_id, lang, trim(regexp_replace("
+        "regexp_replace(text, '[^ -~]', ' ', 'g'), '\\s+', ' ', 'g')) "
+        "AS body FROM documents) "
         "SELECT 'http://example.com/d/' || CAST(doc_id AS VARCHAR) || "
         "'?b=' || CAST(doc_id % 7 AS VARCHAR) AS url, "
         "'Doc ' || CAST(doc_id AS VARCHAR) AS title, "
-        "trim(regexp_replace(text, '\\s+', ' ', 'g')) || chr(10) || "
+        "CASE WHEN body = '' THEN '' ELSE body || chr(10) END || "
         "'café ' || lang || chr(10) || 'go' AS text, "
         "CAST(1 AS INT) AS n_links, CAST(16 AS INT) AS n_tags "
-        "FROM documents"
+        "FROM c"
     )
 
     # ---- X100 streaming Count-Min (streaming/stream_stats.py:621):

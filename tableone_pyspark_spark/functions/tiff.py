@@ -19,11 +19,13 @@ spec's "early change" width schedule, Clear/EOI, KwKwK; since r9),
 Deflate/zlib compression (8 and the legacy 32946; bounded inflation
 via max_length — the zip-bomb guard; since r9), and the
 horizontal-differencing predictor (tag 317 = 2) LZW/Deflate files
-almost always carry. PlanarConfiguration 2, tiles, JPEG-in-TIFF,
-the floating-point predictor (3), FillOrder 2, and sub-8-bit RGB
-refuse with typed errors (honest boundary — the supported matrix
-covers the overwhelming scanner/export majority; a real libtiff
-slots into the same multimodal seam).
+almost always carry, in BOTH the strip and (since r10) the tiled
+layout (TIFF 6.0 §15: complete edge-padded tiles, each compressed —
+and predictor-differenced — independently). PlanarConfiguration 2,
+JPEG-in-TIFF, the floating-point predictor (3), FillOrder 2, and
+sub-8-bit RGB refuse with typed errors (honest boundary — the
+supported matrix covers the overwhelming scanner/export majority; a
+real libtiff slots into the same multimodal seam).
 
 Hostile-input contract as the other codecs: bomb guard before any
 allocation, every offset/strip read bounds-checked, hostile paths
@@ -334,7 +336,13 @@ def decode_tiff(payload: bytes, max_pixels: int = MAX_PIXELS) -> np.ndarray:
         raise NotImplementedError("TIFF FillOrder 2 unsupported")
     if _tag1(e, 284, 1) != 1:
         raise NotImplementedError("TIFF planar configuration 2 unsupported")
-    if 322 in e or 323 in e or 324 in e or 325 in e:
+    # tiled iff tile DIMENSIONS are declared, or tile data exists with
+    # no strip data at all — a striped file carrying a vestigial
+    # TileByteCounts tag keeps decoding as strips (lenient-metadata
+    # rule, self-review r10)
+    if (322 in e or 323 in e) or (
+        273 not in e and (324 in e or 325 in e)
+    ):
         out = _decode_tiles(
             payload, e, w, h, spp, bit, comp, pred, max_pixels
         )
@@ -485,6 +493,50 @@ def _finish_pixels(
     return np.ascontiguousarray(px[:, :, :3])
 
 
+def _diff_rows(px: np.ndarray) -> np.ndarray:
+    """Horizontal differencing (predictor 2) over (rows, w, spp) —
+    shared by the strip and tiled fixture writers."""
+    px = px.astype(np.int16)
+    px[:, 1:, :] -= px[:, :-1, :].copy()
+    return (px % 256).astype(np.uint8)
+
+
+def _pack_rows(px: np.ndarray, bits: int) -> bytes:
+    """(rows, w, spp) uint8 pixels → packed MSB-first row bytes at
+    the given depth — shared by both fixture writers."""
+    rows, w, _spp = px.shape
+    if bits == 1:
+        return np.packbits(px.reshape(rows, w) >= 128, axis=1).tobytes()
+    if bits == 4:
+        nib = (px.reshape(rows, w) >> 4).astype(np.uint8)
+        if w % 2:
+            nib = np.concatenate(
+                [nib, np.zeros((rows, 1), dtype=np.uint8)], axis=1
+            )
+        return ((nib[:, 0::2] << 4) | nib[:, 1::2]).tobytes()
+    return px.tobytes()
+
+
+def _compress_raw(
+    raw: bytes, compression: int, n_rows: int, row_bytes: int
+) -> bytes:
+    """One strip/tile of packed rows → compressed block (PackBits
+    packs each row independently per spec) — shared by both fixture
+    writers; any codec tweak lands in the strip AND tiled layouts."""
+    if compression == 5:
+        return lzw_encode(raw)
+    if compression == 8:
+        import zlib
+
+        return zlib.compress(raw)
+    if compression == 32773:
+        return b"".join(
+            packbits_encode(raw[r * row_bytes : (r + 1) * row_bytes])
+            for r in range(n_rows)
+        )
+    return raw
+
+
 def encode_tiff(
     arr: np.ndarray,
     compression: int = 1,
@@ -519,34 +571,10 @@ def encode_tiff(
         raise ValueError("sub-8-bit fixtures are grayscale, predictor 1 only")
     px = arr.reshape(h, w, spp)
     if predictor == 2:
-        px = px.astype(np.int16)
-        px[:, 1:, :] -= px[:, :-1, :].copy()
-        px = (px % 256).astype(np.uint8)
-    if bits == 1:
-        raw = np.packbits(px.reshape(h, w) >= 128, axis=1).tobytes()
-    elif bits == 4:
-        nib = (px.reshape(h, w) >> 4).astype(np.uint8)
-        if w % 2:
-            nib = np.concatenate(
-                [nib, np.zeros((h, 1), dtype=np.uint8)], axis=1
-            )
-        raw = ((nib[:, 0::2] << 4) | nib[:, 1::2]).tobytes()
-    else:
-        raw = px.tobytes()
+        px = _diff_rows(px)
+    raw = _pack_rows(px, bits)
     row_bytes = (w * spp * bits + 7) // 8
-    if compression == 5:
-        data = lzw_encode(raw)
-    elif compression == 8:
-        import zlib
-
-        data = zlib.compress(raw)
-    elif compression == 32773:
-        data = b"".join(
-            packbits_encode(raw[r * row_bytes : (r + 1) * row_bytes])
-            for r in range(h)
-        )
-    else:
-        data = raw
+    data = _compress_raw(raw, compression, h, row_bytes)
     tags = [
         (256, 3, 1, w),
         (257, 3, 1, h),
@@ -638,33 +666,11 @@ def encode_tiff_tiled(
                 ty * tl : (ty + 1) * tl, tx * tw : (tx + 1) * tw
             ].astype(np.uint8)
             if predictor == 2:
-                px = px.astype(np.int16)
-                px[:, 1:, :] -= px[:, :-1, :].copy()
-                px = (px % 256).astype(np.uint8)
-            if bits == 1:
-                raw = np.packbits(px.reshape(tl, tw) >= 128, axis=1).tobytes()
-            elif bits == 4:
-                nib = (px.reshape(tl, tw) >> 4).astype(np.uint8)
-                raw = ((nib[:, 0::2] << 4) | nib[:, 1::2]).tobytes()
-            else:
-                raw = px.tobytes()
-            if compression == 5:
-                blocks.append(lzw_encode(raw))
-            elif compression == 8:
-                import zlib
-
-                blocks.append(zlib.compress(raw))
-            elif compression == 32773:
-                blocks.append(
-                    b"".join(
-                        packbits_encode(
-                            raw[r * tile_row_bytes : (r + 1) * tile_row_bytes]
-                        )
-                        for r in range(tl)
-                    )
-                )
-            else:
-                blocks.append(raw)
+                px = _diff_rows(px)
+            raw = _pack_rows(px, bits)
+            blocks.append(
+                _compress_raw(raw, compression, tl, tile_row_bytes)
+            )
     n_tiles = len(blocks)
     tags: list[tuple[int, int, int, int | None]] = [
         (256, 3, 1, w),

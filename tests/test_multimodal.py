@@ -1039,3 +1039,49 @@ def test_tiff_tiled_hostile_paths():
     # truncated payload under a tile
     with _pytest.raises(ValueError, match="outside the payload|truncated"):
         tiff.decode_tiff(enc[: len(enc) - 8])
+
+
+def test_tiff_vestigial_tile_tag_on_striped_file_still_decodes():
+    """Dispatch rule (self-review r10): a striped file carrying a
+    vestigial TileByteCounts tag (no TileWidth/TileLength) keeps
+    decoding as strips — junk metadata must not flip a decodable
+    image into a hard error."""
+    import struct as _struct
+
+    import numpy as _np
+
+    from tableone_pyspark_spark.functions import tiff
+
+    arr = _np.arange(0, 80, dtype=_np.uint8).reshape(8, 10)
+    enc = tiff.encode_tiff(arr)
+    n = _struct.unpack("<H", enc[8:10])[0]
+    entries = bytearray(enc[10 : 10 + 12 * n])
+    # appending one 12-byte entry shifts everything after the IFD
+    for i in range(n):
+        off = 12 * i
+        tag, typ, cnt, val = _struct.unpack_from("<HHII", entries, off)
+        if tag == 273:  # the only file-offset-valued tag in gray strips
+            _struct.pack_into("<HHII", entries, off, tag, typ, cnt, val + 12)
+    entries += _struct.pack("<HHII", 325, 4, 1, 123)  # vestigial, sorted last
+    patched = (
+        enc[:8]
+        + _struct.pack("<H", n + 1)
+        + bytes(entries)
+        + _struct.pack("<I", 0)
+        + enc[10 + 12 * n + 4 :]
+    )
+    assert _np.array_equal(tiff.decode_tiff(patched), arr)
+    # but a tile-data-only file (no strips) routes to the tile path
+    # and reports the missing tile geometry, not a strip error
+    import pytest as _pytest
+
+    tiled = tiff.encode_tiff_tiled(_np.zeros((16, 16), dtype=_np.uint8))
+    n2 = _struct.unpack("<H", tiled[8:10])[0]
+    b = bytearray(tiled)
+    for i in range(n2):
+        off = 10 + 12 * i
+        tag = _struct.unpack_from("<H", b, off)[0]
+        if tag in (322, 323):  # drop dims: retype as ignored junk tag
+            _struct.pack_into("<H", b, off, 60000 + tag)
+    with _pytest.raises(ValueError, match="required tag 322"):
+        tiff.decode_tiff(bytes(b))
