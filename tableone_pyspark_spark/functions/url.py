@@ -20,12 +20,14 @@ Rules (each deliberate, the conservative CommonCrawl-style set):
     one dedup key — ADVICE r9 flagged the silent drop).
 
 NOT done, deliberately: ``www.`` stripping (a different host may
-serve different content), percent-decoding (decoding reserved
+serve different content) and percent-decoding (decoding reserved
 characters changes meaning; normalizing only unreserved escapes is
-rarely load-bearing and easy to get wrong), and registrable-domain
-extraction beyond the naive heuristic (`registrable_domain` documents
-its public-suffix-list gap — ``co.uk`` style suffixes need the PSL,
-which is not in this container; a real PSL slots into that seam).
+rarely load-bearing and easy to get wrong). Registrable-domain
+extraction runs the REAL Public Suffix List algorithm since r10
+(longest-rule match, wildcards, exceptions) over an embedded partial
+snapshot of the well-known ccTLD second-level registries; the full
+published list is not in this container, and ``load_psl`` parses it
+verbatim when a deployment ships it.
 
 Shapes: scalar Arrow kernels (``pandas_udf``) over ``urllib.parse`` —
 row-local, zero shuffle; canonicalization is the hot path of a
@@ -152,21 +154,157 @@ def url_parts(c: Column) -> Column:
     return kernel(c)
 
 
-def registrable_domain_py(host: str | None) -> str | None:
-    """NAIVE registrable domain: the last two labels. Correct for
-    ``a.b.example.com`` → ``example.com``; WRONG for multi-label
-    public suffixes (``bbc.co.uk`` → ``co.uk``) — the real fix is the
-    Public Suffix List, which is not in this container; this function
-    is the documented seam it plugs into. IP literals return as-is."""
+# ---------------------------------------------------------------------------
+# Registrable domain via the Public Suffix List ALGORITHM
+# (publicsuffix.org/list/: normal rules, one-label wildcards ``*.bd``,
+# exceptions ``!www.ck``; the prevailing rule is the longest match,
+# exceptions beat everything, and with no match the default rule ``*``
+# makes the top label the suffix). The full published list is not in
+# this container, so the default rules are a PARTIAL SNAPSHOT of the
+# well-known ccTLD second-level registries (co.uk, com.au, co.jp, …)
+# — enough that per-site keys group at the right grain for the bulk of
+# multi-label-suffix traffic — and :func:`load_psl` parses the real
+# published file verbatim for deployments that ship it.
+# ---------------------------------------------------------------------------
+
+_PSL_SNAPSHOT = """
+// PARTIAL snapshot: common ccTLD second-level registries only.
+// Replace with the full publicsuffix.org list via load_psl().
+ac.uk  co.uk  gov.uk  ltd.uk  me.uk  net.uk  nhs.uk  org.uk  plc.uk  sch.uk
+asn.au  com.au  edu.au  gov.au  id.au  net.au  org.au
+ac.jp  ad.jp  co.jp  ed.jp  go.jp  gr.jp  lg.jp  ne.jp  or.jp
+ac.nz  co.nz  geek.nz  gen.nz  govt.nz  maori.nz  net.nz  org.nz  school.nz
+art.br  com.br  edu.br  gov.br  mil.br  net.br  org.br
+ac.in  co.in  edu.in  firm.in  gen.in  gov.in  ind.in  net.in  nic.in  org.in  res.in
+ac.za  co.za  edu.za  gov.za  net.za  org.za  web.za
+ac.cn  com.cn  edu.cn  gov.cn  net.cn  org.cn
+ac.kr  co.kr  go.kr  ne.kr  or.kr  pe.kr  re.kr
+com.mx  edu.mx  gob.mx  net.mx  org.mx
+com.ar  edu.ar  gob.ar  net.ar  org.ar
+com.tw  edu.tw  gov.tw  idv.tw  net.tw  org.tw
+com.sg  edu.sg  gov.sg  net.sg  org.sg  per.sg
+com.hk  edu.hk  gov.hk  idv.hk  net.hk  org.hk
+ac.il  co.il  gov.il  muni.il  net.il  org.il
+bel.tr  com.tr  edu.tr  gov.tr  net.tr  org.tr  web.tr
+ac.id  co.id  go.id  net.id  or.id  sch.id  web.id
+ac.th  co.th  go.th  in.th  net.th  or.th
+com.my  edu.my  gov.my  net.my  org.my
+com.ph  edu.ph  gov.ph  net.ph  org.ph
+ac.vn  com.vn  edu.vn  gov.vn  net.vn  org.vn
+com.ua  edu.ua  gov.ua  in.ua  net.ua  org.ua
+com.pl  edu.pl  gov.pl  net.pl  org.pl  waw.pl
+com.eg  edu.eg  gov.eg  net.eg  org.eg
+com.sa  edu.sa  gov.sa  med.sa  net.sa  org.sa
+ac.ke  co.ke  go.ke  ne.ke  or.ke
+*.bd
+*.ck
+!www.ck
+"""
+
+
+def load_psl(text: str) -> dict:
+    """Parse Public Suffix List rules (the published file format:
+    ``//`` comments, blank lines, ``!`` exceptions, ``*`` wildcard
+    labels; whitespace-separated tokens also accepted so the embedded
+    snapshot stays compact). Returns the rule structure
+    ``registrable_domain_py`` consumes — pass the real published file
+    here to upgrade from the partial snapshot."""
+    rules: set[tuple[str, ...]] = set()
+    exceptions: set[tuple[str, ...]] = set()
+    for line in text.splitlines():
+        line = line.split("//", 1)[0].strip()
+        if not line:
+            continue
+        for tok in line.split():
+            tok = tok.lower().strip(".")
+            if not tok:
+                continue
+            if tok.startswith("!"):
+                exceptions.add(tuple(tok[1:].split(".")))
+            else:
+                rules.add(tuple(tok.split(".")))
+    return {"rules": rules, "exceptions": exceptions}
+
+
+_DEFAULT_PSL = load_psl(_PSL_SNAPSHOT)
+
+
+def _psl_match(rule: tuple[str, ...], labels: list[str]) -> bool:
+    if len(rule) > len(labels):
+        return False
+    return all(
+        r == "*" or r == h
+        for r, h in zip(reversed(rule), reversed(labels))
+    )
+
+
+def public_suffix_py(host: str | None, psl: dict | None = None) -> str | None:
+    """The public suffix of ``host`` per the PSL algorithm (longest
+    matching rule; exceptions beat wildcards; default rule ``*`` = the
+    top label). IP literals have no suffix → None."""
+    if host is None:
+        return None
+    h = host.lower().rstrip(".")
+    if not h or _is_ip(h):
+        return None
+    psl = psl or _DEFAULT_PSL
+    labels = h.split(".")
+    for exc in psl["exceptions"]:
+        if _psl_match(exc, labels):
+            return ".".join(labels[-(len(exc) - 1):]) if len(exc) > 1 else None
+    best = 1  # the default rule '*'
+    for rule in psl["rules"]:
+        if len(rule) > best and _psl_match(rule, labels):
+            best = len(rule)
+    return ".".join(labels[-best:])
+
+
+def _is_ip(h: str) -> bool:
+    if ":" in h:  # IPv6 literal (bracketed or bare)
+        return True
+    parts = h.split(".")
+    return len(parts) == 4 and all(p.isdigit() for p in parts)
+
+
+def registrable_domain_py(
+    host: str | None, psl: dict | None = None
+) -> str | None:
+    """Registrable domain = public suffix + one label, per the PSL
+    algorithm over the embedded partial snapshot (``bbc.co.uk`` →
+    ``bbc.co.uk``, ``a.b.example.com`` → ``example.com`` — the r9
+    naive-two-label co.uk wrong-grain limitation is CLOSED for the
+    snapshot's registries; ship the full published list through
+    ``psl=load_psl(text)`` for complete coverage). Spec edge cases:
+    a host that IS a public suffix (``com``, ``co.uk``) has no
+    registrable domain → None; IP literals return as-is (they are
+    their own site key)."""
     if host is None:
         return None
     h = host.lower().rstrip(".")
     if not h:
         return None
-    labels = h.split(".")
-    if len(labels) <= 2 or labels[-1].isdigit():  # short or IPv4
+    if _is_ip(h):
         return h
-    return ".".join(labels[-2:])
+    suffix = public_suffix_py(h, psl)
+    if suffix is None:
+        return h  # unreachable for non-IP hosts, defensive
+    labels = h.split(".")
+    n = len(suffix.split("."))
+    if len(labels) <= n:
+        return None  # the host IS a public suffix
+    return ".".join(labels[-(n + 1):])
+
+
+def registrable_domain(c: Column) -> Column:
+    """Column form of :func:`registrable_domain_py` — the per-site
+    grouping key (politeness, per-site dedup, quota sampling). One
+    Arrow-batched scalar projection over the snapshot rules."""
+
+    @F.pandas_udf("string")
+    def kernel(s: pd.Series) -> pd.Series:
+        return s.map(registrable_domain_py, na_action="ignore")
+
+    return kernel(c)
 
 
 def host_profile(df, url_col: str):

@@ -61,10 +61,64 @@ def test_registrable_domain_and_host():
     assert url_host_py("HTTPS://A.B.Example.com/x") == "a.b.example.com"
     assert registrable_domain_py("a.b.example.com") == "example.com"
     assert registrable_domain_py("example.com") == "example.com"
-    assert registrable_domain_py("localhost") == "localhost"
     assert registrable_domain_py("10.0.0.1") == "10.0.0.1"
-    # the DOCUMENTED PSL gap: multi-label suffixes are wrong by design
-    assert registrable_domain_py("bbc.co.uk") == "co.uk"
+    # the r9 naive-two-label co.uk limitation is CLOSED: the PSL
+    # algorithm over the embedded snapshot groups at the right grain
+    assert registrable_domain_py("bbc.co.uk") == "bbc.co.uk"
+    assert registrable_domain_py("news.bbc.co.uk") == "bbc.co.uk"
+    assert registrable_domain_py("shop.example.com.au") == "example.com.au"
+    # a host that IS a public suffix has no registrable domain (spec)
+    assert registrable_domain_py("co.uk") is None
+    assert registrable_domain_py("com") is None
+    assert registrable_domain_py("localhost") is None
+
+
+def test_psl_algorithm_rules():
+    """The PSL algorithm itself: wildcards, exceptions, longest-rule
+    precedence, and the load_psl seam for the full published file."""
+    from tableone_pyspark_spark.functions.url import (
+        load_psl,
+        public_suffix_py,
+        registrable_domain_py,
+    )
+
+    # wildcard: *.bd makes every <label>.bd a public suffix
+    assert public_suffix_py("example.bd") == "example.bd"
+    assert registrable_domain_py("example.bd") is None
+    assert registrable_domain_py("foo.example.bd") == "foo.example.bd"
+    # exception: !www.ck carves www.ck back out of *.ck
+    assert registrable_domain_py("www.ck") == "www.ck"
+    assert registrable_domain_py("foo.www.ck") == "www.ck"
+    assert registrable_domain_py("other.ck") is None
+    assert registrable_domain_py("a.other.ck") == "a.other.ck"
+    # longest rule wins
+    assert public_suffix_py("x.gov.uk") == "gov.uk"
+    assert public_suffix_py("x.uk") == "uk"
+    # the seam: a custom (full) list replaces the snapshot verbatim
+    psl = load_psl("// test\ncustom.zz\n!keep.custom.zz\n*.ww\n")
+    assert registrable_domain_py("a.b.custom.zz", psl) == "b.custom.zz"
+    assert registrable_domain_py("keep.custom.zz", psl) == "keep.custom.zz"
+    assert registrable_domain_py("site.any.ww", psl) == "site.any.ww"
+    # IP literals are their own site key; IPv6 too
+    assert registrable_domain_py("[2001:db8::1]") == "[2001:db8::1]"
+
+
+def test_registrable_domain_spark_column(spark):
+    from pyspark.sql import functions as F
+
+    from tableone_pyspark_spark.functions.url import registrable_domain
+
+    df = spark.createDataFrame(
+        [(1, "news.bbc.co.uk"), (2, "a.b.example.com"), (3, None)],
+        "id long, host string",
+    )
+    got = {
+        r["id"]: r["d"]
+        for r in df.select(
+            "id", registrable_domain(F.col("host")).alias("d")
+        ).collect()
+    }
+    assert got == {1: "bbc.co.uk", 2: "example.com", 3: None}
 
 
 def test_host_profile_spark(spark):
