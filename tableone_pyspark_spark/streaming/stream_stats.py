@@ -703,6 +703,122 @@ def streaming_cms_counts(
     )
 
 
+def streaming_heavy_hitters(
+    stream: DataFrame,
+    key_col: str,
+    ts_col: str = "ts",
+    phi: float = 0.01,
+    width: int = 256,
+    depth: int = 4,
+    n_shards: int = 4,
+    capacity: int | None = None,
+    watermark: str = "0 seconds",
+) -> DataFrame:
+    """Streaming φ-heavy-hitters in FIXED memory: the CMS
+    heavy-hitters composition (Cormode & Muthukrishnan 2005 §3.2) —
+    each shard keeps the X100 Count-Min matrix plus a BOUNDED
+    candidate set of keys whose running estimate has reached
+    φ × shard rows (hot users, crawler loops, abusive hosts — the
+    question "which keys are hot" that per-key counting can't answer
+    in bounded state). At the end of every micro-batch each shard
+    emits its candidate SNAPSHOT ``(key, est, shard_rows)`` with
+    estimates re-queried FRESH from the sketch (an insert-time
+    estimate goes stale the moment later rows land in its slots);
+    consumers keep the latest snapshot per key and, because a key
+    hash-routes to exactly ONE shard, filter globally with
+    ``est >= phi * total_rows`` (per-shard pruning uses φ × shard
+    rows ≤ φ × total, so a globally heavy key is never pruned
+    locally).
+
+    Guarantees, stated honestly: estimates are one-sided (est ≥ true
+    count); every key with true shard count ≥ φ·shard_rows is in the
+    snapshot PROVIDED the candidate set never overflowed ``capacity``
+    (default 2/φ — overflow evicts the smallest fresh estimate, and
+    since at most 1/φ keys can truly be φ-heavy, an eviction wrongly
+    drops a heavy key only when sketch collisions inflate ≥ capacity
+    non-heavy keys past the threshold — the standard CMS-HH failure
+    probability, driven by width). State: depth×width int64 + ≤
+    capacity strings per shard, independent of rows and distinct
+    keys.
+
+    Returns append-mode (key, est, shard_rows) snapshots."""
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from tableone_pyspark_spark.functions.text import poly_hash
+    from tableone_pyspark_spark.operators.sketches import (
+        _cms_check,
+        cms_positions_py,
+    )
+
+    _cms_check(width, depth)
+    if n_shards < 1:
+        raise ValueError("n_shards must be positive")
+    if not 0.0 < phi < 1.0:
+        raise ValueError(f"phi must be in (0, 1), got {phi}")
+    cap = int(capacity) if capacity is not None else max(8, int(2.0 / phi))
+    if cap < 1:
+        raise ValueError("capacity must be positive")
+    out_schema = "key string, est bigint, shard_rows bigint"
+    state_schema = "counts array<bigint>, n bigint, cand array<string>"
+
+    def fold(shard_key, pdfs, state):
+        if state.hasTimedOut:  # NoTimeout: unreachable, defensive
+            return
+        if state.exists:
+            counts = [int(x) for x in state.get[0]]
+            n = int(state.get[1])
+            cand = set(state.get[2])
+        else:
+            counts, n, cand = [0] * (depth * width), 0, set()
+        pos_cache: dict[str, list[int]] = {}
+
+        def slots_of(k: str) -> list[int]:
+            s = pos_cache.get(k)
+            if s is None:
+                s = cms_positions_py(k, width, depth)
+                pos_cache[k] = s
+            return s
+
+        def fresh(k: str) -> int:
+            return min(counts[s] for s in slots_of(k))
+
+        frames = [pdf[["__key", "__ts_us"]] for pdf in pdfs]
+        if frames:
+            allk = pd.concat(frames, ignore_index=True).sort_values(
+                ["__ts_us", "__key"], kind="stable"
+            )
+            for k in allk["__key"]:
+                for s in slots_of(k):
+                    counts[s] += 1
+                n += 1
+                if min(counts[s] for s in slots_of(k)) >= phi * n:
+                    cand.add(k)
+                    if len(cand) > cap:
+                        # evict the smallest FRESH estimate (ties by
+                        # key for determinism under the batch order)
+                        cand.discard(min(cand, key=lambda c: (fresh(c), c)))
+        keep = sorted(k for k in cand if fresh(k) >= phi * n)
+        state.update((counts, n, keep))
+        if keep:
+            yield pd.DataFrame(
+                [(k, fresh(k), n) for k in keep],
+                columns=["key", "est", "shard_rows"],
+            )
+
+    prepared = (
+        stream.withWatermark(ts_col, watermark) if stream.isStreaming else stream
+    ).select(
+        F.col(key_col).cast("string").alias("__key"),
+        F.unix_micros(F.col(ts_col)).alias("__ts_us"),
+        (poly_hash(F.col(key_col).cast("string")) % n_shards).alias("__shard"),
+    ).where(F.col("__key").isNotNull())
+    return prepared.groupBy("__shard").applyInPandasWithState(
+        fold, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
+
+
 def streaming_drift(
     stream: DataFrame,
     value_col: str,

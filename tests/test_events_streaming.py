@@ -803,3 +803,102 @@ def test_streaming_cms_counts_fixed_state(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="width"):
         streaming_cms_counts(stream, "key", width=1)
+
+
+def test_streaming_heavy_hitters_cms_candidates(spark, tmp_path):
+    """X109 streaming φ-heavy-hitters: two micro-batches over sharded
+    CMS + bounded-candidate state — every truly-heavy key is present
+    with a one-sided estimate, light keys are pruned, snapshots
+    refresh across batches, and the final emission matches a
+    pure-Python replay of the fold (same (ts, key) order, same
+    eviction rule)."""
+    import collections
+
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    from tableone_pyspark_spark.operators.bloom import poly_hash_py
+    from tableone_pyspark_spark.operators.sketches import cms_positions_py
+    from tableone_pyspark_spark.streaming.stream_stats import (
+        streaming_heavy_hitters,
+    )
+
+    width, depth, n_shards, phi = 512, 4, 4, 0.1
+    # batch 1: 'hot-a' x 30, 'hot-b' x 15, 40 singletons
+    # batch 2: 'hot-b' x 25 more (rises), 'hot-a' x 2, 40 new singletons
+    b1 = ["hot-a"] * 30 + ["hot-b"] * 15 + [f"cold-{i}" for i in range(40)]
+    b2 = ["hot-b"] * 25 + ["hot-a"] * 2 + [f"late-{i}" for i in range(40)]
+    t0 = 1_700_000_000
+    d1 = spark.createDataFrame(
+        [(k, i) for i, k in enumerate(b1)], "key string, off long"
+    ).select("key", F.timestamp_seconds(F.lit(t0) + F.col("off")).alias("ts"))
+    d2 = spark.createDataFrame(
+        [(k, i) for i, k in enumerate(b2)], "key string, off long"
+    ).select("key", F.timestamp_seconds(F.lit(t0 + 10_000) + F.col("off")).alias("ts"))
+    p = str(tmp_path / "hhstream")
+    d1.coalesce(1).write.mode("overwrite").parquet(p)
+    d2.coalesce(1).write.mode("append").parquet(p)
+
+    stream = (
+        spark.readStream.schema("key string, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .format("parquet")
+        .load(p)
+    )
+    out = streaming_heavy_hitters(
+        stream, "key", phi=phi, width=width, depth=depth, n_shards=n_shards
+    )
+    assert out.isStreaming
+    qry = (
+        out.writeStream.format("memory")
+        .queryName("t_hh_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    qry.awaitTermination()
+    rows = spark.table("t_hh_stream").collect()
+
+    # pure-Python twin: replay both batches through the same fold
+    def shard_of(k):
+        return poly_hash_py(k) % n_shards
+
+    state = {}
+    emissions = []
+    for batch in (b1, b2):
+        per_shard = collections.defaultdict(list)
+        for i, k in enumerate(batch):
+            per_shard[shard_of(k)].append((i, k))  # ts ascends with i
+        for sh, items in per_shard.items():
+            counts, n, cand = state.get(sh, ([0] * (depth * width), 0, set()))
+            items.sort()  # (ts-offset, key) == the fold's sort
+            def fresh(k):
+                return min(counts[s] for s in cms_positions_py(k, width, depth))
+            for _, k in items:
+                for s in cms_positions_py(k, width, depth):
+                    counts[s] += 1
+                n += 1
+                if fresh(k) >= phi * n:
+                    cand.add(k)
+                    if len(cand) > max(8, int(2.0 / phi)):
+                        cand.discard(min(cand, key=lambda c: (fresh(c), c)))
+            keep = sorted(k for k in cand if fresh(k) >= phi * n)
+            state[sh] = (counts, n, set(keep))
+            for k in keep:
+                emissions.append((k, fresh(k), n))
+    assert sorted((r["key"], r["est"], r["shard_rows"]) for r in rows) == sorted(
+        emissions
+    )
+    # semantic checks on the FINAL snapshot (latest per key)
+    final = {}
+    for r in rows:
+        final[r["key"]] = max(final.get(r["key"], 0), r["est"])
+    true = collections.Counter(b1 + b2)
+    for k in ("hot-a", "hot-b"):
+        assert k in final and final[k] >= true[k]  # one-sided, present
+    # validation
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="phi"):
+        streaming_heavy_hitters(stream, "key", phi=1.5)

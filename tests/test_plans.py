@@ -637,3 +637,20 @@ def test_cms_build_partial_aggregates_before_exchange(spark):
     est = cms_estimate(sk, df, "key", width=64, depth=4)
     eexe = est._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" in eexe or "BroadcastExchange" in eexe
+
+
+def test_continuous_stats_melted_matches_by_group_at_zero_keys(spark, lineitem):
+    """continuous_stats_melted (its graded row was deleted r10 as the
+    zero-key case of continuous_stats_by_group) pinned directly: the
+    melted (stat, value) rows must equal the single-group wide row of
+    the grouped twin on a constant stratum."""
+    melted = {
+        r["stat"]: r["value"]
+        for r in ops.continuous_stats_melted(lineitem, "l_quantity").collect()
+    }
+    wide = ops.continuous_stats_by_group(
+        lineitem.withColumn("one", F.lit("g")), "l_quantity", "one"
+    ).collect()[0]
+    assert set(melted) == {"n", "min", "max", "mean", "stddev", "q25", "q50", "q75"}
+    for stat in melted:
+        assert abs(melted[stat] - float(wide[stat])) < 1e-9, stat
