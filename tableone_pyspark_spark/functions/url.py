@@ -202,15 +202,35 @@ ac.ke  co.ke  go.ke  ne.ke  or.ke
 """
 
 
+def _idna_label(label: str) -> str:
+    """Punycode form of one rule label. The published PSL encodes IDN
+    rules in Unicode while crawl hostnames arrive IDNA-encoded
+    (``xn--…``), so rule labels must be punycoded or every IDN rule
+    is dead (self-review r10). ASCII labels (and the ``*``/``!``
+    markers) pass through; a label the codec rejects is kept verbatim
+    (it then simply never matches an ASCII hostname — same as before,
+    but only for genuinely unencodable rules)."""
+    if label.isascii():
+        return label
+    try:
+        return label.encode("idna").decode("ascii")
+    except UnicodeError:
+        return label
+
+
 def load_psl(text: str) -> dict:
     """Parse Public Suffix List rules (the published file format:
     ``//`` comments, blank lines, ``!`` exceptions, ``*`` wildcard
     labels; whitespace-separated tokens also accepted so the embedded
-    snapshot stays compact). Returns the rule structure
-    ``registrable_domain_py`` consumes — pass the real published file
-    here to upgrade from the partial snapshot."""
-    rules: set[tuple[str, ...]] = set()
-    exceptions: set[tuple[str, ...]] = set()
+    snapshot stays compact). Unicode (IDN) rule labels are
+    IDNA-encoded so they match punycode crawl hostnames. Returns the
+    rule structure ``registrable_domain_py`` consumes, indexed by the
+    rule's LAST label so matching a host costs only the handful of
+    rules sharing its TLD (the full published list is ~9,500 rules —
+    a linear scan per row would dominate the kernel) — pass the real
+    published file here to upgrade from the partial snapshot."""
+    by_tld: dict[str, list[tuple[str, ...]]] = {}
+    exc_by_tld: dict[str, list[tuple[str, ...]]] = {}
     for line in text.splitlines():
         line = line.split("//", 1)[0].strip()
         if not line:
@@ -219,11 +239,15 @@ def load_psl(text: str) -> dict:
             tok = tok.lower().strip(".")
             if not tok:
                 continue
-            if tok.startswith("!"):
-                exceptions.add(tuple(tok[1:].split(".")))
-            else:
-                rules.add(tuple(tok.split(".")))
-    return {"rules": rules, "exceptions": exceptions}
+            is_exc = tok.startswith("!")
+            labels = tuple(
+                _idna_label(x) for x in (tok[1:] if is_exc else tok).split(".")
+            )
+            if not labels or not labels[-1]:
+                continue
+            target = exc_by_tld if is_exc else by_tld
+            target.setdefault(labels[-1], []).append(labels)
+    return {"rules_by_tld": by_tld, "exceptions_by_tld": exc_by_tld}
 
 
 _DEFAULT_PSL = load_psl(_PSL_SNAPSHOT)
@@ -241,7 +265,9 @@ def _psl_match(rule: tuple[str, ...], labels: list[str]) -> bool:
 def public_suffix_py(host: str | None, psl: dict | None = None) -> str | None:
     """The public suffix of ``host`` per the PSL algorithm (longest
     matching rule; exceptions beat wildcards; default rule ``*`` = the
-    top label). IP literals have no suffix → None."""
+    top label). IP literals have no suffix → None. Only rules under
+    the host's TLD are examined (the by-last-label index built in
+    :func:`load_psl`)."""
     if host is None:
         return None
     h = host.lower().rstrip(".")
@@ -249,11 +275,12 @@ def public_suffix_py(host: str | None, psl: dict | None = None) -> str | None:
         return None
     psl = psl or _DEFAULT_PSL
     labels = h.split(".")
-    for exc in psl["exceptions"]:
+    tld = labels[-1]
+    for exc in psl["exceptions_by_tld"].get(tld, ()):
         if _psl_match(exc, labels):
             return ".".join(labels[-(len(exc) - 1):]) if len(exc) > 1 else None
     best = 1  # the default rule '*'
-    for rule in psl["rules"]:
+    for rule in psl["rules_by_tld"].get(tld, ()):
         if len(rule) > best and _psl_match(rule, labels):
             best = len(rule)
     return ".".join(labels[-best:])

@@ -564,10 +564,7 @@ def streaming_bloom_dedup(
     """
     import pandas as pd
 
-    from pyspark.sql.streaming.state import GroupStateTimeout
-
     from tableone_pyspark_spark.operators.bloom import km_positions_py
-    from tableone_pyspark_spark.functions.text import poly_hash
 
     if m_bits < 64 or m_bits & (m_bits - 1):
         raise ValueError("m_bits must be a power of two >= 64")
@@ -605,6 +602,34 @@ def streaming_bloom_dedup(
         state.update(([x - (1 << 64) if x >= 1 << 63 else x for x in lanes],))
         if rows:
             yield pd.DataFrame(rows, columns=["key", "maybe_seen"])
+
+    return _sharded_state_apply(
+        stream, key_col, ts_col, n_shards, watermark,
+        fold, out_schema, state_schema,
+    )
+
+
+def _sharded_state_apply(
+    stream: DataFrame,
+    key_col: str,
+    ts_col: str,
+    n_shards: int,
+    watermark: str,
+    fold,
+    out_schema: str,
+    state_schema: str,
+) -> DataFrame:
+    """The shared epilogue of every sharded-sketch streaming operator
+    (Bloom / CMS / heavy hitters): project (__key, __ts_us, __shard =
+    poly_hash(key) % n_shards — poly_hash is non-negative so pmod is
+    unneeded), drop NULL keys, watermark, and run ``fold`` per shard
+    with NoTimeout (each operator's state is fixed-size BY DESIGN —
+    sketches cannot grow, so no eviction clock is needed). One home
+    for the sharding expression: a change lands in every operator at
+    once instead of drifting across copies (self-review r10)."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from tableone_pyspark_spark.functions.text import poly_hash
 
     prepared = (
         stream.withWatermark(ts_col, watermark) if stream.isStreaming else stream
@@ -653,9 +678,6 @@ def streaming_cms_counts(
     Returns (key, est) per input row, append mode."""
     import pandas as pd
 
-    from pyspark.sql.streaming.state import GroupStateTimeout
-
-    from tableone_pyspark_spark.functions.text import poly_hash
     from tableone_pyspark_spark.operators.sketches import (
         _cms_check,
         cms_positions_py,
@@ -691,15 +713,9 @@ def streaming_cms_counts(
         if rows:
             yield pd.DataFrame(rows, columns=["key", "est"])
 
-    prepared = (
-        stream.withWatermark(ts_col, watermark) if stream.isStreaming else stream
-    ).select(
-        F.col(key_col).cast("string").alias("__key"),
-        F.unix_micros(F.col(ts_col)).alias("__ts_us"),
-        (poly_hash(F.col(key_col).cast("string")) % n_shards).alias("__shard"),
-    ).where(F.col("__key").isNotNull())
-    return prepared.groupBy("__shard").applyInPandasWithState(
-        fold, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    return _sharded_state_apply(
+        stream, key_col, ts_col, n_shards, watermark,
+        fold, out_schema, state_schema,
     )
 
 
@@ -721,14 +737,18 @@ def streaming_heavy_hitters(
     φ × shard rows (hot users, crawler loops, abusive hosts — the
     question "which keys are hot" that per-key counting can't answer
     in bounded state). At the end of every micro-batch each shard
-    emits its candidate SNAPSHOT ``(key, est, shard_rows)`` with
-    estimates re-queried FRESH from the sketch (an insert-time
+    emits its candidate SNAPSHOT ``(shard, key, est, shard_rows)``
+    with estimates re-queried FRESH from the sketch (an insert-time
     estimate goes stale the moment later rows land in its slots);
-    consumers keep the latest snapshot per key and, because a key
-    hash-routes to exactly ONE shard, filter globally with
+    consumers keep the latest snapshot per (shard, key), derive
+    ``total_rows`` as the sum of each shard's LATEST ``shard_rows``
+    (the shard column exists exactly so this is computable from the
+    emissions alone — self-review r10; a shard with no candidates
+    stays silent, so the sum is a LOWER bound and the threshold errs
+    toward inclusion — the safe direction), and filter globally with
     ``est >= phi * total_rows`` (per-shard pruning uses φ × shard
-    rows ≤ φ × total, so a globally heavy key is never pruned
-    locally).
+    rows ≤ φ × total, so a globally heavy key — keys hash-route to
+    exactly ONE shard — is never pruned locally).
 
     Guarantees, stated honestly: estimates are one-sided (est ≥ true
     count); every key with true shard count ≥ φ·shard_rows is in the
@@ -741,12 +761,9 @@ def streaming_heavy_hitters(
     capacity strings per shard, independent of rows and distinct
     keys.
 
-    Returns append-mode (key, est, shard_rows) snapshots."""
+    Returns append-mode (shard, key, est, shard_rows) snapshots."""
     import pandas as pd
 
-    from pyspark.sql.streaming.state import GroupStateTimeout
-
-    from tableone_pyspark_spark.functions.text import poly_hash
     from tableone_pyspark_spark.operators.sketches import (
         _cms_check,
         cms_positions_py,
@@ -760,7 +777,7 @@ def streaming_heavy_hitters(
     cap = int(capacity) if capacity is not None else max(8, int(2.0 / phi))
     if cap < 1:
         raise ValueError("capacity must be positive")
-    out_schema = "key string, est bigint, shard_rows bigint"
+    out_schema = "shard int, key string, est bigint, shard_rows bigint"
     state_schema = "counts array<bigint>, n bigint, cand array<string>"
 
     def fold(shard_key, pdfs, state):
@@ -802,20 +819,15 @@ def streaming_heavy_hitters(
         keep = sorted(k for k in cand if fresh(k) >= phi * n)
         state.update((counts, n, keep))
         if keep:
+            sh = int(shard_key[0])
             yield pd.DataFrame(
-                [(k, fresh(k), n) for k in keep],
-                columns=["key", "est", "shard_rows"],
+                [(sh, k, fresh(k), n) for k in keep],
+                columns=["shard", "key", "est", "shard_rows"],
             )
 
-    prepared = (
-        stream.withWatermark(ts_col, watermark) if stream.isStreaming else stream
-    ).select(
-        F.col(key_col).cast("string").alias("__key"),
-        F.unix_micros(F.col(ts_col)).alias("__ts_us"),
-        (poly_hash(F.col(key_col).cast("string")) % n_shards).alias("__shard"),
-    ).where(F.col("__key").isNotNull())
-    return prepared.groupBy("__shard").applyInPandasWithState(
-        fold, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    return _sharded_state_apply(
+        stream, key_col, ts_col, n_shards, watermark,
+        fold, out_schema, state_schema,
     )
 
 

@@ -886,10 +886,22 @@ def test_streaming_heavy_hitters_cms_candidates(spark, tmp_path):
             keep = sorted(k for k in cand if fresh(k) >= phi * n)
             state[sh] = (counts, n, set(keep))
             for k in keep:
-                emissions.append((k, fresh(k), n))
-    assert sorted((r["key"], r["est"], r["shard_rows"]) for r in rows) == sorted(
-        emissions
-    )
+                emissions.append((sh, k, fresh(k), n))
+    assert sorted(
+        (r["shard"], r["key"], r["est"], r["shard_rows"]) for r in rows
+    ) == sorted(emissions)
+    # the documented consumer recipe is computable from emissions
+    # alone: each shard's LATEST shard_rows is its row count at its
+    # last emission — a LOWER bound on its true count (a shard silent
+    # in later batches reports stale n), so the phi threshold errs
+    # toward inclusion, the safe direction
+    latest_n = {}
+    for r in rows:
+        latest_n[r["shard"]] = max(latest_n.get(r["shard"], 0), r["shard_rows"])
+    true_shard_rows = collections.Counter(shard_of(k) for k in b1 + b2)
+    for sh, n in latest_n.items():
+        assert 0 < n <= true_shard_rows[sh]
+    assert sum(latest_n.values()) <= len(b1 + b2)
     # semantic checks on the FINAL snapshot (latest per key)
     final = {}
     for r in rows:
