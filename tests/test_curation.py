@@ -568,3 +568,22 @@ def test_semantic_overlap_lsh_agrees_on_high_cosine(spark):
 
     with _pytest.raises(ValueError, match="strategy"):
         semantic_overlap(train, bench, strategy="nope")
+
+
+def test_semantic_overlap_brute_plan_broadcasts_bench(spark):
+    """Scale-shape pin for the r10-graded brute arm: the benchmark
+    side rides a broadcast (BroadcastNestedLoopJoin) — the training
+    corpus is never shuffled for the pairing."""
+    from tableone_pyspark_spark.operators.decontam import semantic_overlap
+
+    vecs = [(i, [float((i * 7 + j) % 13) for j in range(8)]) for i in range(40)]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    out = semantic_overlap(
+        df.where("vec_id % 10 != 0"),
+        df.where("vec_id % 10 = 0"),
+        threshold=0.0,
+        strategy="brute",
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan

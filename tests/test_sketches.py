@@ -214,3 +214,61 @@ def test_cms_validation(spark):
         build_cms(df, "key", width=1)
     with _pytest.raises(ValueError, match="depth"):
         build_cms(df, "key", depth=0)
+
+
+def test_cms_plans_broadcast_and_bounded_exchange(spark):
+    """Scale-shape pins for the r10-graded CMS pipeline: the estimate
+    join BROADCASTS the artifact side (never a SortMergeJoin on the
+    key frame), and the build is one hash-partitioned exchange of
+    partial slot counts — no global sort, no window."""
+    from pyspark.sql import functions as F
+
+    from tableone_pyspark_spark.operators.sketches import (
+        build_cms,
+        cms_estimate,
+    )
+
+    df = spark.createDataFrame(
+        [(i % 37, f"g{i % 3}") for i in range(500)], "k long, g string"
+    )
+    sk = build_cms(df, "k", width=64, depth=3, group_cols=["g"])
+    bplan = sk._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in bplan and "SortMergeJoin" not in bplan
+    est = cms_estimate(
+        sk, df.select("g", "k"), "k", group_cols=["g"], width=64, depth=3
+    )
+    eplan = est._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in eplan or "BroadcastExchange" in eplan
+    assert "SortMergeJoin" not in eplan
+
+
+def test_heavy_hitters_batch_exact(spark):
+    """Batch φ-heavy-hitters: exact counts vs a Python Counter, the
+    1/φ output bound, grouped form, and the broadcast-totals plan."""
+    import collections
+
+    from tableone_pyspark_spark.operators.sketches import heavy_hitters
+
+    keys = ["a"] * 50 + ["b"] * 30 + [f"c{i}" for i in range(20)]
+    df = spark.createDataFrame([(k,) for k in keys], "k string")
+    got = {r["key"]: (r["ct"], r["total"]) for r in
+           heavy_hitters(df, "k", phi=0.2).collect()}
+    true = collections.Counter(keys)
+    want = {k: (c, 100) for k, c in true.items() if c >= 0.2 * 100}
+    assert got == want
+    assert len(got) <= 5  # 1/phi bound
+    # grouped: thresholds apply per group
+    gdf = spark.createDataFrame(
+        [("g1", "x")] * 9 + [("g1", "y")] + [("g2", "x")] * 2 + [("g2", "z")] * 8,
+        "g string, k string",
+    )
+    grows = {(r["g"], r["key"]): r["ct"] for r in
+             heavy_hitters(gdf, "k", phi=0.5, group_cols=["g"]).collect()}
+    assert grows == {("g1", "x"): 9, ("g2", "z"): 8}
+    plan = heavy_hitters(df, "k", phi=0.2)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "Window" not in plan and "SortMergeJoin" not in plan
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="phi"):
+        heavy_hitters(df, "k", phi=0.0)
