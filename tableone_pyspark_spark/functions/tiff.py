@@ -21,11 +21,19 @@ via max_length — the zip-bomb guard; since r9), and the
 horizontal-differencing predictor (tag 317 = 2) LZW/Deflate files
 almost always carry, in BOTH the strip and (since r10) the tiled
 layout (TIFF 6.0 §15: complete edge-padded tiles, each compressed —
-and predictor-differenced — independently). PlanarConfiguration 2,
-JPEG-in-TIFF, the floating-point predictor (3), FillOrder 2, and
-sub-8-bit RGB refuse with typed errors (honest boundary — the
-supported matrix covers the overwhelming scanner/export majority; a
-real libtiff slots into the same multimodal seam).
+and predictor-differenced — independently). Also closed in r10:
+PlanarConfiguration 2 (each component in its own plane-major run of
+strips/tiles, 8-bit, predictor per plane), FillOrder 2 for its TIFF
+6.0 sanctioned use (1-bit uncompressed — per-byte bit reversal), and
+new-style JPEG-in-TIFF (compression 7, TIFF Technical Note 2: every
+strip/tile a complete JPEG stream decoded by the in-house
+``jpeg.py``, JPEGTables (347) merged via the standard
+SOI+tables+stream-sans-SOI splice; photometric 1 grayscale and 6
+YCbCr). Old-style JPEG (6), the floating-point predictor (3),
+FillOrder 2 elsewhere, planar sub-8-bit/JPEG, and sub-8-bit RGB
+refuse with typed errors (honest boundary — the supported matrix
+covers the overwhelming scanner/export majority; a real libtiff
+slots into the same multimodal seam).
 
 Hostile-input contract as the other codecs: bomb guard before any
 allocation, every offset/strip read bounds-checked, hostile paths
@@ -79,6 +87,85 @@ def _read_ifd(payload: bytes, endian: str):
             struct.unpack_from(endian + fmt * cnt, payload, voff)
         )
     return entries
+
+
+def _read_undefined(payload: bytes, endian: str, tag: int) -> bytes | None:
+    """Raw bytes of a BYTE(1)/UNDEFINED(7)-typed tag (the integer IFD
+    walk keeps type 7 as None); None when the tag is absent. Used for
+    JPEGTables (347). A wrong-typed or truncated value raises."""
+    (off,) = struct.unpack_from(endian + "I", payload, 4)
+    if off + 2 > len(payload):
+        raise ValueError("TIFF truncated: IFD offset outside the payload")
+    (n,) = struct.unpack_from(endian + "H", payload, off)
+    base = off + 2
+    if base + 12 * n > len(payload):
+        raise ValueError("TIFF truncated mid IFD")
+    for i in range(n):
+        t, typ, cnt = struct.unpack_from(endian + "HHI", payload, base + 12 * i)
+        if t != tag or cnt == 0:
+            continue
+        if typ not in (1, 7):
+            raise ValueError(f"TIFF: tag {tag} must be BYTE/UNDEFINED typed")
+        voff = base + 12 * i + 8
+        if cnt > 4:
+            (voff,) = struct.unpack_from(endian + "I", payload, voff)
+            if voff + cnt > len(payload):
+                raise ValueError(f"TIFF truncated: tag {tag} value outside payload")
+        return bytes(payload[voff : voff + cnt])
+    return None
+
+
+# FillOrder 2 (bits fill bytes low-order first): per-byte reversal
+_BITREV = np.array(
+    [int(f"{i:08b}"[::-1], 2) for i in range(256)], dtype=np.uint8
+)
+
+
+def _is_tiled(e: dict) -> bool:
+    """Tiled iff tile DIMENSIONS are declared, or tile data exists
+    with no strip data at all — a striped file carrying a vestigial
+    TileByteCounts tag keeps decoding as strips (lenient-metadata
+    rule, self-review r10). The ONE detection rule every decode path
+    shares."""
+    return (322 in e or 323 in e) or (273 not in e and (324 in e or 325 in e))
+
+
+def _blocks(e: dict, tiled: bool) -> tuple[list[int], list[int]]:
+    """Validated (offsets, byte-counts) for the strip (273/279) or
+    tile (324/325) layout — the shared fetch every decode path uses."""
+    what = "tile" if tiled else "strip"
+    ot, ct = (324, 325) if tiled else (273, 279)
+    offs = e.get(ot)
+    cnts = e.get(ct)
+    if (ot in e and offs is None) or (ct in e and cnts is None):
+        raise ValueError(
+            f"TIFF: {what} offset/count tags have non-integer types"
+        )
+    if not offs or not cnts or len(offs) != len(cnts):
+        raise ValueError(f"TIFF: missing/mismatched {what} offsets or counts")
+    return offs, cnts
+
+
+def _tile_grid(
+    e: dict, w: int, h: int, max_pixels: int
+) -> tuple[int, int, int, int]:
+    """Validated (tile_w, tile_l, across, down): dims positive
+    multiples of 16 (keeps sub-8-bit tile boundaries byte-aligned),
+    padded grid bounded — a hostile giant tile over a small image
+    allocates the PADDED grid, not w·h, so the bomb guard bounds
+    that."""
+    tw = _tag1(e, 322)
+    tl = _tag1(e, 323)
+    if tw <= 0 or tl <= 0 or tw % 16 or tl % 16:
+        raise ValueError(
+            f"TIFF: tile dimensions {tw}x{tl} must be positive "
+            "multiples of 16"
+        )
+    across = (w + tw - 1) // tw
+    down = (h + tl - 1) // tl
+    if across * tw * down * tl > 4 * max_pixels:
+        raise ValueError("TIFF bomb guard: padded tile grid too large")
+    return tw, tl, across, down
 
 
 def _tag1(e: dict, tag: int, default: int | None = None) -> int:
@@ -290,10 +377,16 @@ def decode_tiff(payload: bytes, max_pixels: int = MAX_PIXELS) -> np.ndarray:
     if w * h > max_pixels:
         raise ValueError(f"TIFF bomb guard: {w}x{h} exceeds {max_pixels} pixels")
     comp = _tag1(e, 259, 1)
-    if comp not in (1, 5, 8, 32773, 32946):
+    if comp == 6:
+        raise NotImplementedError(
+            "TIFF old-style JPEG (compression 6) unsupported "
+            "(deprecated by TIFF Technical Note 2; new-style 7 is "
+            "supported)"
+        )
+    if comp not in (1, 5, 7, 8, 32773, 32946):
         raise NotImplementedError(
             f"TIFF compression {comp} unsupported "
-            "(uncompressed/LZW/Deflate/PackBits only)"
+            "(uncompressed/LZW/JPEG/Deflate/PackBits only)"
         )
     pred = _tag1(e, 317, 1)
     if pred == 3:
@@ -303,13 +396,22 @@ def decode_tiff(payload: bytes, max_pixels: int = MAX_PIXELS) -> np.ndarray:
     if pred not in (1, 2):
         raise ValueError(f"TIFF: invalid predictor {pred}")
     photo = _tag1(e, 262, 1)
-    if photo not in (0, 1, 2):
+    if photo == 6 and comp != 7:
+        raise NotImplementedError(
+            "TIFF photometric 6 (YCbCr) supported only under JPEG "
+            "compression (raw subsampled YCbCr strips unsupported)"
+        )
+    if photo not in (0, 1, 2, 6):
         raise NotImplementedError(f"TIFF photometric {photo} unsupported")
     spp = _tag1(e, 277, 1)
     if spp not in (1, 3, 4):
         raise NotImplementedError(f"TIFF samples-per-pixel {spp} unsupported")
-    if photo == 2 and spp < 3:
-        raise ValueError("TIFF: RGB photometric with < 3 samples")
+    if photo in (2, 6) and spp < 3:
+        raise ValueError("TIFF: color photometric with < 3 samples")
+    if photo in (0, 1) and spp != 1:
+        # the spec defines no such file; decoding it would return
+        # uninverted "RGB" for a WhiteIsZero payload (self-review r10)
+        raise ValueError("TIFF: grayscale photometric with multiple samples")
     bits = e.get(258) if 258 in e else [8]
     if bits is None:
         raise ValueError("TIFF: tag 258 has a non-integer type")
@@ -318,9 +420,47 @@ def decode_tiff(payload: bytes, max_pixels: int = MAX_PIXELS) -> np.ndarray:
             f"TIFF bit depths {bits} unsupported (uniform 1/4/8 only)"
         )
     bit = bits[0]
+    fill = _tag1(e, 266, 1)
+    if fill not in (1, 2):
+        raise ValueError(f"TIFF: invalid FillOrder {fill}")
+    if fill == 2 and not (bit == 1 and comp == 1):
+        # TIFF 6.0 sanctions FillOrder 2 only for 1-bit uncompressed
+        # (or CCITT) data; anywhere else an MSB-first read would decode
+        # silently bit-reversed, so every other shape keeps the typed
+        # refusal (self-review r9; narrowed r10)
+        raise NotImplementedError(
+            "TIFF FillOrder 2 supported for 1-bit uncompressed data "
+            "only (its TIFF 6.0 sanctioned use)"
+        )
+    planar = _tag1(e, 284, 1)
+    if planar not in (1, 2):
+        raise ValueError(f"TIFF: invalid planar configuration {planar}")
+    if comp == 7:
+        # new-style JPEG-in-TIFF (TIFF Technical Note 2): every
+        # strip/tile is a complete JPEG stream — composed with the
+        # in-house baseline decoder, so predictor/planar/sub-8-bit
+        # combinations that TN2 never produces are rejected up front
+        if pred == 2:
+            raise ValueError("TIFF: predictor with JPEG compression")
+        if bit != 8:
+            raise NotImplementedError(
+                "TIFF JPEG compression with sub-8-bit samples unsupported"
+            )
+        if planar == 2:
+            raise NotImplementedError("TIFF planar JPEG unsupported")
+        if photo not in (1, 6):
+            raise NotImplementedError(
+                "TIFF JPEG compression supports photometric 1 "
+                "(grayscale) and 6 (YCbCr) only"
+            )
+        # photo/spp consistency already holds here: the shared checks
+        # above pinned photo 1 ↔ spp 1 and photo 6 ↔ spp ≥ 3
+        return _decode_jpeg_tiff(payload, e, endian, w, h, photo, max_pixels)
     if bit != 8:
         # 1-bit (fax/document scans) and 4-bit grayscale: MSB-first
-        # packing within row-aligned bytes (FillOrder 1, the default)
+        # packing within row-aligned bytes (FillOrder 1; 1-bit
+        # uncompressed may declare FillOrder 2 — handled by the
+        # per-byte bit reversal after the strip/tile walk)
         if spp != 1 or photo == 2:
             raise NotImplementedError(
                 "TIFF sub-8-bit depths supported for grayscale only"
@@ -330,41 +470,28 @@ def decode_tiff(payload: bytes, max_pixels: int = MAX_PIXELS) -> np.ndarray:
                 "TIFF horizontal predictor with sub-8-bit samples "
                 "unsupported"
             )
-    if _tag1(e, 266, 1) != 1:
-        # applies at EVERY depth: an 8-bit FillOrder-2 file read as
-        # MSB-first would decode silently bit-reversed (self-review r9)
-        raise NotImplementedError("TIFF FillOrder 2 unsupported")
-    if _tag1(e, 284, 1) != 1:
-        raise NotImplementedError("TIFF planar configuration 2 unsupported")
-    # tiled iff tile DIMENSIONS are declared, or tile data exists with
-    # no strip data at all — a striped file carrying a vestigial
-    # TileByteCounts tag keeps decoding as strips (lenient-metadata
-    # rule, self-review r10)
-    if (322 in e or 323 in e) or (
-        273 not in e and (324 in e or 325 in e)
-    ):
+    if planar == 2 and spp > 1:
+        # PlanarConfiguration 2: each component in its own complete
+        # set of strips/tiles, plane-major (spp == 1 is
+        # indistinguishable from chunky and falls through). bit == 8
+        # is guaranteed here: sub-8-bit with spp > 1 already refused
+        out = _decode_planar(payload, e, w, h, spp, comp, pred, max_pixels)
+        return _finish_pixels(out, w, h, spp, 8, photo)
+    if _is_tiled(e):
         out = _decode_tiles(
             payload, e, w, h, spp, bit, comp, pred, max_pixels
         )
+        if fill == 2:
+            out = _BITREV[out]
         return _finish_pixels(out, w, h, spp, bit, photo)
-    offs = e.get(273)
-    cnts = e.get(279)
-    if (273 in e and offs is None) or (279 in e and cnts is None):
-        raise ValueError("TIFF: strip offset/count tags have non-integer types")
-    if not offs or not cnts or len(offs) != len(cnts):
-        raise ValueError("TIFF: missing/mismatched strip offsets or counts")
+    offs, cnts = _blocks(e, tiled=False)
     rows_per_strip = _tag1(e, 278, h) or h
     row_bytes = (w * spp * bit + 7) // 8  # packed bytes per row
-    out = np.empty((h, row_bytes), dtype=np.uint8)
-    y = 0
-    for so, sc in zip(offs, cnts):
-        n_rows = min(rows_per_strip, h - y)
-        need = n_rows * row_bytes
-        block = _decompress_block(payload, so, sc, need, comp, "strip")
-        out[y : y + n_rows] = block.reshape(n_rows, row_bytes)
-        y += n_rows
-    if y < h:
-        raise ValueError("TIFF: strips cover fewer rows than ImageLength")
+    out = _decode_strips(
+        payload, offs, cnts, h, row_bytes, rows_per_strip, comp
+    )
+    if fill == 2:
+        out = _BITREV[out]
     if pred == 2:
         # undo horizontal differencing: each row restarts, each sample
         # accumulates its left neighbor of the SAME channel, mod 256
@@ -404,6 +531,181 @@ def _decompress_block(
     return np.frombuffer(payload, dtype=np.uint8, count=need, offset=so)
 
 
+def _decode_strips(
+    payload: bytes,
+    offs: list[int],
+    cnts: list[int],
+    h: int,
+    row_bytes: int,
+    rows_per_strip: int,
+    comp: int,
+) -> np.ndarray:
+    """The strip walk: offsets/counts → packed (h, row_bytes) bytes.
+    Shared by the chunky path and the per-plane planar walk."""
+    out = np.empty((h, row_bytes), dtype=np.uint8)
+    y = 0
+    for so, sc in zip(offs, cnts):
+        n_rows = min(rows_per_strip, h - y)
+        need = n_rows * row_bytes
+        block = _decompress_block(payload, so, sc, need, comp, "strip")
+        out[y : y + n_rows] = block.reshape(n_rows, row_bytes)
+        y += n_rows
+    if y < h:
+        raise ValueError("TIFF: strips cover fewer rows than ImageLength")
+    return out
+
+
+def _decode_planar(
+    payload: bytes,
+    e: dict,
+    w: int,
+    h: int,
+    spp: int,
+    comp: int,
+    pred: int,
+    max_pixels: int,
+) -> np.ndarray:
+    """PlanarConfiguration 2 (TIFF 6.0): every component stored in its
+    own complete run of strips (or tiles), plane-major — StripOffsets/
+    TileOffsets carry spp × per-plane entries. Each plane decodes as a
+    single-channel image (the predictor differences within the plane,
+    so the per-plane cumsum is exact), then the planes interleave into
+    the packed (h, w·spp) byte matrix the shared pixel tail expects.
+    8-bit only (callers refuse sub-8-bit planar)."""
+    tiled = _is_tiled(e)
+    offs, cnts = _blocks(e, tiled)
+    planes: list[np.ndarray] = []
+    if tiled:
+        if len(offs) % spp:
+            raise ValueError(
+                f"TIFF planar: {len(offs)} tiles not divisible by "
+                f"{spp} planes"
+            )
+        per = len(offs) // spp
+        for p in range(spp):
+            planes.append(
+                _decode_tiles(
+                    payload, e, w, h, 1, 8, comp, pred, max_pixels,
+                    offs=offs[p * per : (p + 1) * per],
+                    cnts=cnts[p * per : (p + 1) * per],
+                )
+            )
+    else:
+        rows_per_strip = _tag1(e, 278, h) or h
+        spn = (h + rows_per_strip - 1) // rows_per_strip
+        if len(offs) != spp * spn:
+            raise ValueError(
+                f"TIFF planar: {len(offs)} strips for {spp} planes of "
+                f"{spn}"
+            )
+        for p in range(spp):
+            pl = _decode_strips(
+                payload,
+                offs[p * spn : (p + 1) * spn],
+                cnts[p * spn : (p + 1) * spn],
+                h, w, rows_per_strip, comp,
+            )
+            if pred == 2:
+                pl = np.cumsum(pl, axis=1, dtype=np.uint8)
+            planes.append(pl)
+    out = np.empty((h, w * spp), dtype=np.uint8)
+    for p in range(spp):
+        out[:, p::spp] = planes[p]
+    return out
+
+
+def _decode_jpeg_tiff(
+    payload: bytes,
+    e: dict,
+    endian: str,
+    w: int,
+    h: int,
+    photo: int,
+    max_pixels: int,
+) -> np.ndarray:
+    """New-style JPEG-in-TIFF (compression 7, TIFF Technical Note 2):
+    every strip/tile is a COMPLETE JPEG stream decoded by the in-house
+    baseline decoder (``jpeg.py``). Shared tables may live in
+    JPEGTables (tag 347) as an abbreviated SOI..EOI stream — merged by
+    the standard splice ``SOI + tables + strip-sans-SOI`` (a stream's
+    own DQT/DHT redefinitions override, because the table parsers
+    assign by id). Tile JPEGs carry the full padded tile dims; strip
+    JPEGs carry exactly their strip's rows — a mismatch raises."""
+    from tableone_pyspark_spark.functions.jpeg import decode_jpeg
+
+    tables = _read_undefined(payload, endian, 347)
+    prefix = b""
+    if tables is not None:
+        if (
+            len(tables) < 4
+            or tables[:2] != b"\xff\xd8"
+            or tables[-2:] != b"\xff\xd9"
+        ):
+            raise ValueError("TIFF JPEGTables: not an SOI..EOI stream")
+        prefix = tables[2:-2]
+    nc = 3 if photo == 6 else 1
+
+    def dec(so: int, sc: int, bw: int, bh: int, what: str) -> np.ndarray:
+        if so < 0 or sc < 0 or so + sc > len(payload):
+            raise ValueError(f"TIFF truncated: {what} outside the payload")
+        block = payload[so : so + sc]
+        if block[:2] != b"\xff\xd8":
+            raise ValueError(f"TIFF JPEG {what}: missing SOI")
+        img = decode_jpeg(b"\xff\xd8" + prefix + block[2:], max_pixels)
+        if img.dtype != np.uint8:
+            # a 12-bit (SOF1) stream contradicts the declared 8-bit
+            # samples — assigning it would silently wrap mod 256
+            # (self-review r10)
+            raise ValueError(
+                f"TIFF JPEG {what}: stream precision disagrees with "
+                "BitsPerSample 8"
+            )
+        if img.shape[0] != bh or img.shape[1] != bw:
+            raise ValueError(
+                f"TIFF JPEG {what}: stream is {img.shape[1]}x"
+                f"{img.shape[0]}, expected {bw}x{bh}"
+            )
+        if img.shape[2] != nc:
+            raise ValueError(
+                f"TIFF JPEG {what}: {img.shape[2]} components for "
+                f"photometric {photo}"
+            )
+        return img
+
+    out = np.empty((h, w, nc), dtype=np.uint8)
+    if _is_tiled(e):
+        tw, tl, across, down = _tile_grid(e, w, h, max_pixels)
+        offs, cnts = _blocks(e, tiled=True)
+        if len(offs) != across * down:
+            raise ValueError(
+                f"TIFF: {len(offs)} tiles for a {across}x{down} grid"
+            )
+        for ty in range(down):
+            rows = min(tl, h - ty * tl)
+            for tx in range(across):
+                i = ty * across + tx
+                img = dec(offs[i], cnts[i], tw, tl, "tile")
+                cols = min(tw, w - tx * tw)
+                out[ty * tl : ty * tl + rows, tx * tw : tx * tw + cols] = (
+                    img[:rows, :cols]
+                )
+    else:
+        offs, cnts = _blocks(e, tiled=False)
+        rows_per_strip = _tag1(e, 278, h) or h
+        y = 0
+        for so, sc in zip(offs, cnts):
+            n_rows = min(rows_per_strip, h - y)
+            if n_rows <= 0:
+                break
+            out[y : y + n_rows] = dec(so, sc, w, n_rows, "strip")
+            y += n_rows
+        if y < h:
+            raise ValueError("TIFF: strips cover fewer rows than ImageLength")
+    if nc == 1:
+        return np.ascontiguousarray(out[:, :, 0])
+    return out
+
+
 def _decode_tiles(
     payload: bytes,
     e: dict,
@@ -414,6 +716,8 @@ def _decode_tiles(
     comp: int,
     pred: int,
     max_pixels: int,
+    offs: list[int] | None = None,
+    cnts: list[int] | None = None,
 ) -> np.ndarray:
     """Tiled layout (TIFF 6.0 §15): the image is a grid of
     ceil(w/tw) × ceil(h/tl) INDEPENDENT tiles, every tile stored
@@ -424,25 +728,9 @@ def _decode_tiles(
     dimensions are required multiples of 16, which keeps sub-8-bit
     tile boundaries byte-aligned in the packed output. Returns the
     packed (h, row_bytes) byte matrix."""
-    tw = _tag1(e, 322)
-    tl = _tag1(e, 323)
-    if tw <= 0 or tl <= 0 or tw % 16 or tl % 16:
-        raise ValueError(
-            f"TIFF: tile dimensions {tw}x{tl} must be positive "
-            "multiples of 16"
-        )
-    if (w + tw - 1) // tw * tw * ((h + tl - 1) // tl * tl) > 4 * max_pixels:
-        # a hostile giant tile over a small image: the padded grid,
-        # not w*h, is what gets allocated — bound it like the pixels
-        raise ValueError("TIFF bomb guard: padded tile grid too large")
-    offs = e.get(324)
-    cnts = e.get(325)
-    if (324 in e and offs is None) or (325 in e and cnts is None):
-        raise ValueError("TIFF: tile offset/count tags have non-integer types")
-    if not offs or not cnts or len(offs) != len(cnts):
-        raise ValueError("TIFF: missing/mismatched tile offsets or counts")
-    across = (w + tw - 1) // tw
-    down = (h + tl - 1) // tl
+    tw, tl, across, down = _tile_grid(e, w, h, max_pixels)
+    if offs is None or cnts is None:  # planar callers pass plane slices
+        offs, cnts = _blocks(e, tiled=True)
     if len(offs) != across * down:
         raise ValueError(
             f"TIFF: {len(offs)} tiles for a {across}x{down} grid"
@@ -542,6 +830,7 @@ def encode_tiff(
     compression: int = 1,
     predictor: int = 1,
     bits: int = 8,
+    fill_order: int = 1,
 ) -> bytes:
     """Fixture/round-trip writer: (h, w) gray or (h, w, 3) RGB uint8 →
     little-endian single-strip TIFF. ``compression``: 1 (none),
@@ -569,10 +858,19 @@ def encode_tiff(
         raise ValueError(f"unsupported bit depth {bits}")
     if bits != 8 and (spp != 1 or predictor == 2):
         raise ValueError("sub-8-bit fixtures are grayscale, predictor 1 only")
+    if fill_order not in (1, 2):
+        raise ValueError(f"unsupported fill order {fill_order}")
+    if fill_order == 2 and not (bits == 1 and compression == 1):
+        raise ValueError(
+            "FillOrder-2 fixtures are 1-bit uncompressed only "
+            "(the decoder's supported shape)"
+        )
     px = arr.reshape(h, w, spp)
     if predictor == 2:
         px = _diff_rows(px)
     raw = _pack_rows(px, bits)
+    if fill_order == 2:
+        raw = _BITREV[np.frombuffer(raw, dtype=np.uint8)].tobytes()
     row_bytes = (w * spp * bits + 7) // 8
     data = _compress_raw(raw, compression, h, row_bytes)
     tags = [
@@ -588,6 +886,9 @@ def encode_tiff(
     ]
     if predictor == 2:
         tags.append((317, 3, 1, 2))
+    if fill_order == 2:
+        tags.append((266, 3, 1, 2))
+    tags.sort()  # spec: IFD entries in ascending tag order
     n = len(tags)
     ifd_off = 8
     after_ifd = ifd_off + 2 + 12 * n + 4
@@ -625,6 +926,7 @@ def encode_tiff_tiled(
     compression: int = 1,
     predictor: int = 1,
     bits: int = 8,
+    planar: int = 1,
 ) -> bytes:
     """Fixture/round-trip writer for the TILED layout (TIFF 6.0 §15):
     (h, w) gray or (h, w, 3) RGB uint8 → little-endian tiled TIFF.
@@ -654,23 +956,31 @@ def encode_tiff_tiled(
         raise ValueError(f"unsupported bit depth {bits}")
     if bits != 8 and (spp != 1 or predictor == 2):
         raise ValueError("sub-8-bit fixtures are grayscale, predictor 1 only")
+    if planar not in (1, 2):
+        raise ValueError(f"unsupported planar configuration {planar}")
+    if planar == 2 and (spp != 3 or bits != 8):
+        raise ValueError("planar fixtures are 8-bit RGB only")
     across = (w + tw - 1) // tw
     down = (h + tl - 1) // tl
     padded = np.zeros((down * tl, across * tw, spp), dtype=np.uint8)
     padded[:h, :w] = arr.reshape(h, w, spp)
-    tile_row_bytes = (tw * spp * bits + 7) // 8
+    tile_row_bytes = (tw * (1 if planar == 2 else spp) * bits + 7) // 8
     blocks: list[bytes] = []
-    for ty in range(down):
-        for tx in range(across):
-            px = padded[
-                ty * tl : (ty + 1) * tl, tx * tw : (tx + 1) * tw
-            ].astype(np.uint8)
-            if predictor == 2:
-                px = _diff_rows(px)
-            raw = _pack_rows(px, bits)
-            blocks.append(
-                _compress_raw(raw, compression, tl, tile_row_bytes)
-            )
+    # planar 2: one complete tile grid PER PLANE, plane-major order
+    for p in range(spp) if planar == 2 else [None]:
+        for ty in range(down):
+            for tx in range(across):
+                px = padded[
+                    ty * tl : (ty + 1) * tl, tx * tw : (tx + 1) * tw
+                ].astype(np.uint8)
+                if p is not None:
+                    px = px[:, :, p : p + 1]
+                if predictor == 2:
+                    px = _diff_rows(px)
+                raw = _pack_rows(px, bits)
+                blocks.append(
+                    _compress_raw(raw, compression, tl, tile_row_bytes)
+                )
     n_tiles = len(blocks)
     tags: list[tuple[int, int, int, int | None]] = [
         (256, 3, 1, w),
@@ -686,6 +996,8 @@ def encode_tiff_tiled(
     ]
     if predictor == 2:
         tags.append((317, 3, 1, 2))
+    if planar == 2:
+        tags.append((284, 3, 1, 2))
     tags.sort()  # spec: IFD entries in ascending tag order
     n = len(tags)
     after_ifd = 8 + 2 + 12 * n + 4
@@ -743,3 +1055,234 @@ def encode_tiff_tiled(
         + extra
         + b"".join(blocks)
     )
+
+
+def _write_tiff(
+    tags: list[tuple[int, int, "list[int] | bytes"]],
+    blocks: list[bytes],
+    offsets_tag: int,
+) -> bytes:
+    """Generic little-endian single-IFD fixture writer used by the
+    planar and JPEG encoders (the two older writers keep their
+    hand-rolled layouts — their byte output is pinned by round-trip
+    tests). ``tags`` = (tag, type, values) with values a list of ints
+    (SHORT 3 / LONG 4) or raw bytes (UNDEFINED 7); the entry whose tag
+    is ``offsets_tag`` (273 strips / 324 tiles) must carry a
+    placeholder list of len(blocks) — it is rewritten to the final
+    block offsets. Values wider than 4 bytes spill to a word-aligned
+    extras area between the IFD and the data blocks."""
+    tags = sorted(tags)  # spec: IFD entries in ascending tag order
+    n = len(tags)
+    after_ifd = 8 + 2 + 12 * n + 4
+    sz = {3: 2, 4: 4, 7: 1}
+    extra_len = 0
+    for _tag, typ, vals in tags:
+        s = sz[typ] * len(vals)
+        if s > 4:
+            extra_len += s + (s & 1)
+    data_off = after_ifd + extra_len
+    offs: list[int] = []
+    pos = data_off
+    for b in blocks:
+        offs.append(pos)
+        pos += len(b)
+    entries = b""
+    extra = b""
+    for tag, typ, vals in tags:
+        if tag == offsets_tag:
+            vals = offs
+        if typ == 7:
+            data = bytes(vals)
+        else:
+            fmt = {3: "H", 4: "I"}[typ]
+            data = struct.pack("<" + fmt * len(vals), *vals)
+        if len(data) <= 4:
+            entries += (
+                struct.pack("<HHI", tag, typ, len(vals)) + data.ljust(4, b"\x00")
+            )
+        else:
+            entries += struct.pack(
+                "<HHII", tag, typ, len(vals), after_ifd + len(extra)
+            )
+            extra += data + (b"\x00" if len(data) & 1 else b"")
+    return (
+        b"II*\x00"
+        + struct.pack("<I", 8)
+        + struct.pack("<H", n)
+        + entries
+        + struct.pack("<I", 0)
+        + extra
+        + b"".join(blocks)
+    )
+
+
+def encode_tiff_planar(
+    arr: np.ndarray,
+    compression: int = 1,
+    predictor: int = 1,
+    rows_per_strip: int | None = None,
+) -> bytes:
+    """Fixture/round-trip writer for PlanarConfiguration 2 with the
+    STRIP layout: (h, w, 3) RGB uint8 → one complete run of strips per
+    plane, plane-major (StripOffsets carries 3 × strips-per-plane
+    entries), each strip a single-channel band compressed — and
+    predictor-differenced — independently within its plane. Same codec
+    menu as :func:`encode_tiff`; tiled planar fixtures come from
+    :func:`encode_tiff_tiled` with ``planar=2``."""
+    arr = np.asarray(arr, dtype=np.uint8)
+    if arr.ndim != 3 or arr.shape[2] != 3:
+        raise ValueError("planar fixtures are (h, w, 3) RGB only")
+    if compression not in (1, 5, 8, 32773):
+        raise ValueError(f"unsupported compression {compression}")
+    if predictor not in (1, 2):
+        raise ValueError(f"unsupported predictor {predictor}")
+    h, w, _ = arr.shape
+    rps = rows_per_strip or h
+    if rps <= 0:
+        raise ValueError("rows_per_strip must be positive")
+    blocks: list[bytes] = []
+    for p in range(3):
+        for y in range(0, h, rps):
+            px = arr[y : y + rps, :, p : p + 1]
+            if predictor == 2:
+                px = _diff_rows(px)
+            blocks.append(
+                _compress_raw(px.tobytes(), compression, px.shape[0], w)
+            )
+    tags: list[tuple[int, int, list[int] | bytes]] = [
+        (256, 3, [w]),
+        (257, 3, [h]),
+        (258, 3, [8, 8, 8]),
+        (259, 3, [compression]),
+        (262, 3, [2]),
+        (273, 4, [0] * len(blocks)),  # patched to block offsets
+        (277, 3, [3]),
+        (278, 3, [rps]),
+        (279, 4, [len(b) for b in blocks]),
+        (284, 3, [2]),
+    ]
+    if predictor == 2:
+        tags.append((317, 3, [2]))
+    return _write_tiff(tags, blocks, 273)
+
+
+def _split_jpeg_tables(stream: bytes) -> tuple[bytes, bytes]:
+    """Split one complete JPEG stream into (JPEGTables stream,
+    abbreviated stream): DQT/DHT segments move into an SOI..EOI tables
+    stream (the tag-347 payload), everything else — including the SOS
+    header and the entropy-coded tail — stays. Fixture-side tool for
+    exercising the decoder's tables merge."""
+    pos = 2
+    kept = b""
+    tabs = b""
+    n = len(stream)
+    while True:
+        if pos + 4 > n or stream[pos] != 0xFF:
+            raise ValueError("JPEG stream: expected marker")
+        marker = stream[pos + 1]
+        if marker == 0xDA:  # SOS: the rest is the scan
+            rest = stream[pos:]
+            break
+        (seglen,) = struct.unpack_from(">H", stream, pos + 2)
+        seg = stream[pos : pos + 2 + seglen]
+        if marker in (0xDB, 0xC4):
+            tabs += seg
+        else:
+            kept += seg
+        pos += 2 + seglen
+    return b"\xff\xd8" + tabs + b"\xff\xd9", b"\xff\xd8" + kept + rest
+
+
+def encode_tiff_jpeg(
+    arr: np.ndarray,
+    rows_per_strip: int | None = None,
+    tile: tuple[int, int] | None = None,
+    jpeg_tables: bool = False,
+    subsampling: str = "444",
+) -> bytes:
+    """Fixture writer for new-style JPEG-in-TIFF (compression 7):
+    (h, w) gray → photometric 1 or (h, w, 3) RGB → photometric 6
+    (YCbCr), each strip band — or each complete padded tile, with
+    ``tile`` — encoded as its own baseline JPEG stream by the in-house
+    ``jpeg.py`` writers. ``jpeg_tables=True`` moves the (shared)
+    DQT/DHT segments of every stream into a JPEGTables (347) tag,
+    exercising the decoder's abbreviated-stream merge. Lossy like any
+    JPEG: tests pin decode_tiff against the direct per-stream
+    decode_jpeg assembly, not against the source pixels."""
+    from tableone_pyspark_spark.functions.jpeg import (
+        encode_jpeg_gray,
+        encode_jpeg_rgb,
+    )
+
+    arr = np.asarray(arr, dtype=np.uint8)
+    if arr.ndim == 2:
+        h, w = arr.shape
+        spp, photo = 1, 1
+        enc = encode_jpeg_gray
+    elif arr.ndim == 3 and arr.shape[2] == 3:
+        h, w, _ = arr.shape
+        spp, photo = 3, 6
+
+        def enc(band: np.ndarray) -> bytes:
+            return encode_jpeg_rgb(band, subsampling=subsampling)
+    else:
+        raise ValueError("arr must be (h, w) gray or (h, w, 3) RGB")
+    if tile is not None and rows_per_strip is not None:
+        raise ValueError("pick strips or tiles, not both")
+    streams: list[bytes] = []
+    tags: list[tuple[int, int, list[int] | bytes]] = [
+        (256, 3, [w]),
+        (257, 3, [h]),
+        (258, 3, [8] * spp),
+        (259, 3, [7]),
+        (262, 3, [photo]),
+        (277, 3, [spp]),
+    ]
+    if tile is not None:
+        tw, tl = tile
+        if tw <= 0 or tl <= 0 or tw % 16 or tl % 16:
+            raise ValueError("tile dims must be positive multiples of 16")
+        across = (w + tw - 1) // tw
+        down = (h + tl - 1) // tl
+        padded = np.zeros((down * tl, across * tw, spp), dtype=np.uint8)
+        padded[:h, :w] = arr.reshape(h, w, spp)
+        for ty in range(down):
+            for tx in range(across):
+                band = padded[ty * tl : (ty + 1) * tl, tx * tw : (tx + 1) * tw]
+                streams.append(enc(band if spp == 3 else band[:, :, 0]))
+        tags += [
+            (322, 3, [tw]),
+            (323, 3, [tl]),
+            (324, 4, [0] * len(streams)),  # patched to block offsets
+            (325, 4, None),  # placeholder; filled below
+        ]
+        offsets_tag = 324
+    else:
+        rps = rows_per_strip or h
+        if rps <= 0:
+            raise ValueError("rows_per_strip must be positive")
+        for y in range(0, h, rps):
+            band = arr[y : y + rps]
+            streams.append(enc(band if spp == 3 else band.reshape(band.shape[:2])))
+        tags += [
+            (273, 4, [0] * len(streams)),
+            (278, 3, [rps]),
+            (279, 4, None),
+        ]
+        offsets_tag = 273
+    if jpeg_tables:
+        tabs, first = _split_jpeg_tables(streams[0])
+        abbreviated = [first]
+        for s in streams[1:]:
+            t2, a2 = _split_jpeg_tables(s)
+            if t2 != tabs:
+                raise ValueError("streams disagree on shared tables")
+            abbreviated.append(a2)
+        streams = abbreviated
+        tags.append((347, 7, tabs))
+    counts_tag = 325 if tile is not None else 279
+    tags = [
+        (t, typ, [len(b) for b in streams] if vals is None and t == counts_tag else vals)
+        for t, typ, vals in tags
+    ]
+    return _write_tiff(tags, streams, offsets_tag)

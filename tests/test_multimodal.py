@@ -641,15 +641,17 @@ def test_tiff_decode_and_dispatch(spark):
     assert (got[2]["width"], got[2]["height"], got[2]["channels"]) == (6, 4, 3)
     assert got[2]["mean_intensity"] == _pytest.approx(rgb.mean() / 255, abs=1e-9)
 
-    # hostile / refusal boundary (compression 5 is REAL since r9 —
-    # JPEG-in-TIFF is the refusal representative now)
-    jpg = bytearray(pg)
-    for i in range(n):
-        off = 10 + 12 * i
-        if struct.unpack_from("<H", jpg, off)[0] == 259:
-            struct.pack_into("<HHII", jpg, off, 259, 3, 1, 7)
-    with _pytest.raises(NotImplementedError, match="compression 7"):
-        tiff.decode_tiff(bytes(jpg))
+    # hostile / refusal boundary (compression 5 real since r9, 7 real
+    # since r10 — CCITT G3 (3) and old-style JPEG (6) are the refusal
+    # representatives now)
+    for refused, msg in ((3, "compression 3"), (6, "old-style JPEG")):
+        jpg = bytearray(pg)
+        for i in range(n):
+            off = 10 + 12 * i
+            if struct.unpack_from("<H", jpg, off)[0] == 259:
+                struct.pack_into("<HHII", jpg, off, 259, 3, 1, refused)
+        with _pytest.raises(NotImplementedError, match=msg):
+            tiff.decode_tiff(bytes(jpg))
     with _pytest.raises(ValueError, match="not a TIFF"):
         tiff.decode_tiff(b"ZZZZ" + b"\x00" * 20)
     with _pytest.raises(ValueError, match="strip outside"):
@@ -925,13 +927,13 @@ def test_tiff_deflate_and_sub8bit_gray(spark):
         tiff.decode_tiff(bad)
     with _pytest.raises(ValueError, match="sub-8-bit fixtures"):
         tiff.encode_tiff(rgb, bits=4)
-    # sub-8-bit + predictor 2 refuses on decode (patch tags onto a
-    # 1-bit fixture)
+    # spp 3 patched onto a grayscale-photometric 1-bit fixture is
+    # spec-impossible metadata — the consistency ValueError fires
+    # before any capability refusal (self-review r10; the sub-8-bit
+    # RGB refusal itself is covered by test_tiff_planar_round_trips'
+    # 4,4,4 bit-depth patch on a photometric-2 file)
     pp = bytearray(tiff.encode_tiff(bw, bits=1))
-    with _pytest.raises(NotImplementedError, match="sub-8-bit"):
-        # append is hard; instead patch photometric->1 stays, patch
-        # compression tag slot (259) to keep layout but set a
-        # predictor via tag 317 is absent — simplest: RGB sub-8 path
+    with _pytest.raises(ValueError, match="grayscale photometric"):
         n2 = struct.unpack_from("<H", pp, 8)[0]
         for i in range(n2):
             off = 10 + 12 * i
@@ -1084,4 +1086,258 @@ def test_tiff_vestigial_tile_tag_on_striped_file_still_decodes():
         if tag in (322, 323):  # drop dims: retype as ignored junk tag
             _struct.pack_into("<H", b, off, 60000 + tag)
     with _pytest.raises(ValueError, match="required tag 322"):
+        tiff.decode_tiff(bytes(b))
+
+
+def test_tiff_fillorder2_1bit():
+    """FillOrder 2 for its TIFF 6.0 sanctioned use (1-bit uncompressed
+    — bits fill bytes low-order first, per-byte reversal): round-trips
+    in both the strip and tiled layouts, other shapes keep the
+    narrowed typed refusal, and an invalid FillOrder value raises."""
+    import struct as _struct
+
+    import numpy as _np
+    import pytest as _pytest
+
+    from tableone_pyspark_spark.functions import tiff
+
+    rng = _np.random.default_rng(23)
+    g1 = rng.integers(0, 2, size=(21, 37), dtype=_np.uint8) * 255
+    lsb = tiff.encode_tiff(g1, bits=1, fill_order=2)
+    msb = tiff.encode_tiff(g1, bits=1)
+    assert lsb != msb  # the packing really differs...
+    assert _np.array_equal(tiff.decode_tiff(lsb), g1)  # ...decode agrees
+    assert _np.array_equal(tiff.decode_tiff(msb), g1)
+
+    # tiled 1-bit FillOrder 2: rebuild the tiled file with per-byte
+    # reversed tile data + a FillOrder tag (via the generic writer)
+    tiled = tiff.encode_tiff_tiled(g1, tile=(32, 16), bits=1)
+    e = tiff._read_ifd(tiled, "<")
+    blocks = [
+        bytes(tiff._BITREV[_np.frombuffer(tiled[so : so + sc], dtype=_np.uint8)])
+        for so, sc in zip(e[324], e[325])
+    ]
+    tags = [
+        (256, 3, [37]), (257, 3, [21]), (258, 3, [1]), (259, 3, [1]),
+        (262, 3, [1]), (266, 3, [2]), (277, 3, [1]),
+        (322, 3, [32]), (323, 3, [16]),
+        (324, 4, [0] * len(blocks)),
+        (325, 4, [len(bl) for bl in blocks]),
+    ]
+    assert _np.array_equal(
+        tiff.decode_tiff(tiff._write_tiff(tags, blocks, 324)), g1
+    )
+
+    # refusals: 8-bit, or compressed, FillOrder-2 files stay typed.
+    # The fixtures never emit tag 266, so RETAG the RowsPerStrip
+    # entry (278, default h) as FillOrder instead of value-patching
+    def retag_fill(enc, val):
+        b = bytearray(enc)
+        nn = _struct.unpack("<H", b[8:10])[0]
+        for i in range(nn):
+            off = 10 + 12 * i
+            if _struct.unpack_from("<H", b, off)[0] == 278:
+                _struct.pack_into("<HHII", b, off, 266, 3, 1, val)
+        return bytes(b)
+
+    g8 = rng.integers(0, 256, size=(9, 9), dtype=_np.uint8)
+    with _pytest.raises(NotImplementedError, match="FillOrder 2"):
+        tiff.decode_tiff(retag_fill(tiff.encode_tiff(g8), 2))
+    with _pytest.raises(NotImplementedError, match="FillOrder 2"):
+        tiff.decode_tiff(
+            retag_fill(tiff.encode_tiff(g1, compression=32773, bits=1), 2)
+        )
+    with _pytest.raises(ValueError, match="invalid FillOrder"):
+        tiff.decode_tiff(retag_fill(msb, 3))
+    with _pytest.raises(ValueError, match="1-bit uncompressed"):
+        tiff.encode_tiff(g8, fill_order=2)
+
+
+def test_tiff_planar_round_trips():
+    """PlanarConfiguration 2 (closes the r9 refusal): plane-major
+    strip and tile runs round-trip across every codec, the predictor
+    is undone per plane, and malformed planar layouts raise."""
+    import struct as _struct
+
+    import numpy as _np
+    import pytest as _pytest
+
+    from tableone_pyspark_spark.functions import tiff
+
+    rng = _np.random.default_rng(29)
+    rgb = rng.integers(0, 256, size=(21, 13, 3), dtype=_np.uint8)
+    for comp in (1, 5, 8, 32773):
+        for pred in (1, 2):
+            for rps in (None, 6):
+                enc = tiff.encode_tiff_planar(
+                    rgb, compression=comp, predictor=pred, rows_per_strip=rps
+                )
+                assert _np.array_equal(tiff.decode_tiff(enc), rgb), (
+                    comp, pred, rps,
+                )
+            enc = tiff.encode_tiff_tiled(
+                rgb, tile=(16, 16), compression=comp, predictor=pred, planar=2
+            )
+            assert _np.array_equal(tiff.decode_tiff(enc), rgb), (comp, pred)
+    # plane-major really holds: chunky and planar agree on the pixels
+    chunky = tiff.encode_tiff(rgb)
+    planar = tiff.encode_tiff_planar(rgb)
+    assert chunky != planar
+    assert _np.array_equal(
+        tiff.decode_tiff(chunky), tiff.decode_tiff(planar)
+    )
+    # strip-count mismatch: claim one fewer strip than 3 planes need
+    enc = tiff.encode_tiff_planar(rgb, rows_per_strip=6)
+    b = bytearray(enc)
+    n = _struct.unpack("<H", b[8:10])[0]
+    for i in range(n):
+        off = 10 + 12 * i
+        tag, typ, cnt, val = _struct.unpack_from("<HHII", b, off)
+        if tag in (273, 279):
+            _struct.pack_into("<HHII", b, off, tag, typ, cnt - 1, val)
+    with _pytest.raises(ValueError, match="planar"):
+        tiff.decode_tiff(bytes(b))
+    # planar sub-8-bit refuses (the grayscale-only sub-8-bit rule
+    # fires first — still a typed refusal): patch the 8,8,8 triple
+    dep = bytearray(tiff.encode_tiff_planar(rgb))
+    i = bytes(dep).index(_struct.pack("<HHH", 8, 8, 8))
+    dep[i : i + 6] = _struct.pack("<HHH", 4, 4, 4)
+    with _pytest.raises(NotImplementedError, match="grayscale only"):
+        tiff.decode_tiff(bytes(dep))
+    # fixture validation
+    with _pytest.raises(ValueError, match="RGB only"):
+        tiff.encode_tiff_planar(rng.integers(0, 256, (5, 5), dtype=_np.uint8))
+    # grayscale photometric with spp 3 is spec-impossible metadata —
+    # decoding it would return uninverted "RGB" for a WhiteIsZero
+    # payload, so it raises (self-review r10)
+    b = bytearray(tiff.encode_tiff_planar(rgb))
+    n = _struct.unpack("<H", b[8:10])[0]
+    for i in range(n):
+        off = 10 + 12 * i
+        if _struct.unpack_from("<H", b, off)[0] == 262:
+            _struct.pack_into("<HHII", b, off, 262, 3, 1, 0)
+    with _pytest.raises(ValueError, match="grayscale photometric"):
+        tiff.decode_tiff(bytes(b))
+
+
+def test_tiff_jpeg_in_tiff():
+    """New-style JPEG-in-TIFF (compression 7, closes the r9 refusal):
+    strips and tiles decode as complete JPEG streams via the in-house
+    baseline decoder, the JPEGTables (347) merge reproduces the
+    full-stream decode bit-for-bit, and the hostile paths stay
+    typed. Pinned against the direct per-stream decode_jpeg assembly
+    (JPEG is lossy — the TIFF layer must add nothing)."""
+    import struct as _struct
+
+    import numpy as _np
+    import pytest as _pytest
+
+    from tableone_pyspark_spark.functions import jpeg, tiff
+
+    rng = _np.random.default_rng(31)
+    gray = rng.integers(0, 256, size=(20, 17), dtype=_np.uint8)
+    rgb = rng.integers(0, 256, size=(20, 17, 3), dtype=_np.uint8)
+
+    # gray strips == stacked direct decodes
+    enc = tiff.encode_tiff_jpeg(gray, rows_per_strip=8)
+    want = _np.vstack(
+        [
+            jpeg.decode_jpeg(jpeg.encode_jpeg_gray(gray[y : y + 8]))[:, :, 0]
+            for y in range(0, 20, 8)
+        ]
+    )
+    assert _np.array_equal(tiff.decode_tiff(enc), want)
+
+    # RGB strips, 4:4:4 and 4:2:0
+    for sub in ("444", "420"):
+        enc = tiff.encode_tiff_jpeg(rgb, rows_per_strip=8, subsampling=sub)
+        want = _np.vstack(
+            [
+                jpeg.decode_jpeg(
+                    jpeg.encode_jpeg_rgb(rgb[y : y + 8], subsampling=sub)
+                )
+                for y in range(0, 20, 8)
+            ]
+        )
+        assert _np.array_equal(tiff.decode_tiff(enc), want), sub
+
+    # JPEGTables merge: abbreviated streams == full streams
+    full = tiff.decode_tiff(tiff.encode_tiff_jpeg(rgb, rows_per_strip=8))
+    abbr = tiff.decode_tiff(
+        tiff.encode_tiff_jpeg(rgb, rows_per_strip=8, jpeg_tables=True)
+    )
+    assert _np.array_equal(full, abbr)
+
+    # tiled: padded tile streams, edges cropped
+    enc = tiff.encode_tiff_jpeg(rgb, tile=(16, 16), jpeg_tables=True)
+    padded = _np.zeros((32, 32, 3), dtype=_np.uint8)
+    padded[:20, :17] = rgb
+    tiles = [
+        jpeg.decode_jpeg(
+            jpeg.encode_jpeg_rgb(padded[ty : ty + 16, tx : tx + 16])
+        )
+        for ty in (0, 16)
+        for tx in (0, 16)
+    ]
+    want = _np.zeros((32, 32, 3), dtype=_np.uint8)
+    for k, (ty, tx) in enumerate([(0, 0), (0, 16), (16, 0), (16, 16)]):
+        want[ty : ty + 16, tx : tx + 16] = tiles[k]
+    assert _np.array_equal(tiff.decode_tiff(enc), want[:20, :17])
+
+    def patch(enc, tag, typ, cnt, val):
+        b = bytearray(enc)
+        n = _struct.unpack("<H", b[8:10])[0]
+        for i in range(n):
+            off = 10 + 12 * i
+            if _struct.unpack_from("<H", b, off)[0] == tag:
+                _struct.pack_into("<HHII", b, off, tag, typ, cnt, val)
+        return bytes(b)
+
+    enc = tiff.encode_tiff_jpeg(gray, rows_per_strip=8)
+    # photometric 2 under JPEG refuses (RGB fixture — a gray one hits
+    # the earlier color/spp consistency ValueError); 6 without JPEG
+    # refuses
+    rgb_jpeg = tiff.encode_tiff_jpeg(rgb, rows_per_strip=8)
+    with _pytest.raises(NotImplementedError, match="photometric 1"):
+        tiff.decode_tiff(patch(rgb_jpeg, 262, 3, 1, 2))
+    with _pytest.raises(NotImplementedError, match="YCbCr"):
+        tiff.decode_tiff(patch(tiff.encode_tiff(rgb), 262, 3, 1, 6))
+    # declared dims disagreeing with the stream dims raise
+    with _pytest.raises(ValueError, match="expected"):
+        tiff.decode_tiff(patch(enc, 257, 3, 1, 24))
+    # corrupt SOI in a strip
+    e = tiff._read_ifd(enc, "<")
+    b = bytearray(enc)
+    b[e[273][0]] = 0x00
+    with _pytest.raises(ValueError, match="missing SOI"):
+        tiff.decode_tiff(bytes(b))
+    # corrupt JPEGTables EOI
+    enc = tiff.encode_tiff_jpeg(gray, rows_per_strip=8, jpeg_tables=True)
+    tabs = tiff._read_undefined(enc, "<", 347)
+    i = enc.index(tabs)
+    bad = enc[: i + len(tabs) - 2] + b"\x00\x00" + enc[i + len(tabs) :]
+    with _pytest.raises(ValueError, match="SOI..EOI"):
+        tiff.decode_tiff(bad)
+    # predictor combined with JPEG is hostile metadata: retag the
+    # RowsPerStrip entry as Predictor=2 (reader tolerates IFD order)
+    b = bytearray(enc)
+    n = _struct.unpack("<H", b[8:10])[0]
+    for i in range(n):
+        off = 10 + 12 * i
+        if _struct.unpack_from("<H", b, off)[0] == 278:
+            _struct.pack_into("<HHII", b, off, 317, 3, 1, 2)
+    with _pytest.raises(ValueError, match="predictor with JPEG"):
+        tiff.decode_tiff(bytes(b))
+    # a 12-bit (SOF1) stream under a BitsPerSample-8 declaration must
+    # raise, not silently wrap uint16 mod 256 (self-review r10):
+    # splice a precision-12 stream in place of the single strip
+    enc = tiff.encode_tiff_jpeg(gray)
+    e = tiff._read_ifd(enc, "<")
+    s12 = jpeg.encode_jpeg_gray(gray, precision=12)
+    b = bytearray(enc[: e[273][0]] + s12)
+    for i in range(_struct.unpack("<H", b[8:10])[0]):
+        off = 10 + 12 * i
+        if _struct.unpack_from("<H", b, off)[0] == 279:
+            _struct.pack_into("<HHII", b, off, 279, 4, 1, len(s12))
+    with _pytest.raises(ValueError, match="precision disagrees"):
         tiff.decode_tiff(bytes(b))
