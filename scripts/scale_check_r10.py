@@ -164,6 +164,31 @@ def main() -> None:
     timed("webdataset 1x (16 shards)", lambda: wds_run(docs, 16))
     timed("webdataset 10x (16 shards)", lambda: wds_run(x10(docs, "doc_id"), 16))
 
+    # ---- quality classifier (X110) ----------------------------------
+    # train: one exchange bounded by n_buckets; score: map-side only.
+    # Expect near-flat 1x→10x (vectorized hash kernel, no data-scaled
+    # shuffle). The 10x model DIFFERS from 1x by design: replication
+    # multiplies counts but not the add-α smoothing mass.
+    from tableone_pyspark_spark.operators.classifier import (
+        score_quality,
+        train_quality_classifier,
+    )
+
+    def clf_run(d):
+        lab = d.select(
+            "doc_id", "text", (F.col("doc_id") % 2).cast("int").alias("label")
+        )
+        w, p = train_quality_classifier(lab, "text", "label", n_buckets=2048)
+        return score_quality(lab, "text", "doc_id", w, p).agg(
+            F.sum("n_features")
+        ).collect()[0][0]
+
+    timed("quality classifier 1x (train+score)", lambda: clf_run(docs))
+    timed(
+        "quality classifier 10x (train+score)",
+        lambda: clf_run(x10(docs, "doc_id")),
+    )
+
     spark.stop()
 
 
