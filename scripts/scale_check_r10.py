@@ -166,9 +166,10 @@ def main() -> None:
 
     # ---- quality classifier (X110) ----------------------------------
     # train: one exchange bounded by n_buckets; score: map-side only.
-    # Expect near-flat 1x→10x (vectorized hash kernel, no data-scaled
-    # shuffle). The 10x model DIFFERS from 1x by design: replication
-    # multiplies counts but not the add-α smoothing mass.
+    # Expect SUBLINEAR 1x→10x (measured 1.91→5.39 s = 2.8× wall over
+    # two CPU-bound corpus passes; the shuffle stays bucket-bounded).
+    # The 10x model DIFFERS from 1x by design: replication multiplies
+    # counts but not the add-α smoothing mass.
     from tableone_pyspark_spark.operators.classifier import (
         score_quality,
         train_quality_classifier,

@@ -127,6 +127,25 @@ def normalize_text(c: Column) -> Column:
     return F.trim(F.regexp_replace(F.lower(c), "[ \\t\\n]+", " "))
 
 
+def py_norm_words(t: str | None) -> list[str]:
+    """Python twin of ``split(normalize_text(c), " ")`` minus empties:
+    lower, collapse ``[ \\t\\n]+`` to one space, strip SPACES only
+    (``F.trim`` / DuckDB ``trim`` remove spaces, not ``\\r``/``\\x0b``
+    — ADVICE r7), split, drop empties. The ONE tokenization every
+    Arrow kernel that must replicate the Catalyst normalization
+    exactly imports (DSIR, the quality classifier); inline copies are
+    drift risks (self-review r10)."""
+    if t is None:
+        return []
+    import re
+
+    return [
+        w
+        for w in re.sub(r"[ \t\n]+", " ", t.lower()).strip(" ").split(" ")
+        if w
+    ]
+
+
 def fingerprint(c: Column) -> Column:
     """64-bit content fingerprint of the normalized text (xxhash64 —
     engine-specific values; use for grouping, not cross-engine compare)."""

@@ -41,7 +41,18 @@ import math
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from tableone_pyspark_spark.functions.text import normalize_text, poly_hash
+from tableone_pyspark_spark.functions.text import (
+    normalize_text,
+    poly_hash,
+    py_norm_words,
+)
+
+
+def _py_grams(t: str | None) -> list[str]:
+    """Python twin of :func:`_feature_array`: unigrams + adjacent
+    bigrams over the shared exact tokenization."""
+    ws = py_norm_words(t)
+    return ws + [a + " " + b for a, b in zip(ws, ws[1:])]
 
 
 def _feature_array(c: Column) -> Column:
@@ -82,7 +93,6 @@ def _occurrences(
             f"hash_impl must be 'arrow' or 'catalyst', got {hash_impl!r}"
         )
 
-    import re
     from collections.abc import Iterator
 
     import numpy as np
@@ -99,26 +109,20 @@ def _occurrences(
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows: list[tuple] = []
             grams: list[str] = []
-            for tup in pdf.itertuples(index=False):
-                t = tup[-1]
-                if t is None:
-                    continue
-                ws = [
-                    w
-                    for w in re.sub(r"[ \t\n]+", " ", t.lower())
-                    .strip(" ")
-                    .split(" ")
-                    if w
-                ]
-                for g in ws + [a + " " + b for a, b in zip(ws, ws[1:])]:
-                    rows.append(tup[:-1])
-                    grams.append(g)
-            if not rows:
+            counts = np.zeros(len(pdf), dtype=np.int64)
+            for j, t in enumerate(pdf["t"]):
+                gs = _py_grams(t)
+                counts[j] = len(gs)
+                grams.extend(gs)
+            if not grams:
                 continue
             h = _horner_batch(grams, 31)
-            out = pd.DataFrame(rows, columns=list(carry))
+            # np.repeat replicates each doc's carry values once per
+            # gram in emission order — no per-occurrence tuple churn
+            out = pd.DataFrame(
+                {c: np.repeat(pdf[c].to_numpy(), counts) for c in carry}
+            )
             out["bucket"] = (h % n_buckets).astype(np.int64)
             yield out
 
@@ -135,9 +139,10 @@ def train_quality_classifier(
 ) -> tuple[list[float], float]:
     """Fit the NB-log-odds linear model: returns ``(weights, prior)``
     with ``len(weights) == n_buckets`` and ``prior = ln(n_pos/n_neg)``
-    over documents. Labels must be 0/1 (1 = the quality class); both
-    classes must be present. ONE corpus pass: the feature shuffle
-    collapses to ≤ n_buckets rows before the driver sees anything."""
+    over documents. Labels must be 0/1 with no NULLs (1 = the quality
+    class); both classes must be present. TWO bounded passes — a
+    scalar validation aggregate, then the feature shuffle collapsed
+    to ≤ n_buckets rows before the driver sees anything."""
     if n_buckets <= 0:
         raise ValueError(f"n_buckets must be positive, got {n_buckets}")
     if alpha <= 0:
@@ -155,6 +160,14 @@ def train_quality_classifier(
     if head["lo"] not in (0, 1) or head["hi"] not in (0, 1):
         raise ValueError(
             f"labels must be 0/1, got range [{head['lo']}, {head['hi']}]"
+        )
+    if head["np"] + head["nn"] != head["n"]:
+        # min/max ignore NULLs, and the bucket aggregation's
+        # otherwise(0) would silently train NULL-labeled docs as
+        # negative evidence (self-review r10)
+        raise ValueError(
+            f"labels must not be NULL ({head['n'] - head['np'] - head['nn']}"
+            " NULL-labeled rows)"
         )
     if not head["np"] or not head["nn"]:
         raise ValueError("training needs BOTH label classes present")
@@ -226,7 +239,6 @@ def score_quality(
             f"hash_impl must be 'arrow' or 'catalyst', got {hash_impl!r}"
         )
 
-    import re
     from collections.abc import Iterator
 
     import numpy as np
@@ -253,17 +265,7 @@ def score_quality(
         for pdf in batches:
             ids, ns, scores = [], [], []
             for i, t in zip(pdf["id"], pdf["t"]):
-                if t is None:
-                    grams: list[str] = []
-                else:
-                    ws = [
-                        w
-                        for w in re.sub(r"[ \t\n]+", " ", t.lower())
-                        .strip(" ")
-                        .split(" ")
-                        if w
-                    ]
-                    grams = ws + [a + " " + b for a, b in zip(ws, ws[1:])]
+                grams = _py_grams(t)
                 if grams:
                     h = _horner_batch(grams, 31) % n_buckets
                     # cumsum = the same sequential left fold as the

@@ -61,13 +61,13 @@ def _hashed_bigrams(
     if hash_impl != "arrow":
         raise ValueError(f"hash_impl must be 'arrow' or 'catalyst', got {hash_impl!r}")
 
-    import re
     from collections.abc import Iterator
 
     import numpy as np
     import pandas as pd
     from pyspark.sql import types as T
 
+    from tableone_pyspark_spark.functions.text import py_norm_words
     from tableone_pyspark_spark.operators.bloom import _horner_batch
     from tableone_pyspark_spark.plans.layout import rebalance
 
@@ -87,13 +87,7 @@ def _hashed_bigrams(
         for pdf in batches:
             ids, grams = [], []
             for i, t in zip(pdf["id"], pdf["t"]):
-                if t is None:
-                    continue
-                ws = [
-                    w
-                    for w in re.sub(r"[ \t\n]+", " ", t.lower()).strip(" ").split(" ")
-                    if w
-                ]
+                ws = py_norm_words(t)
                 for a, c in zip(ws, ws[1:]):
                     ids.append(i)
                     grams.append(a + " " + c)

@@ -182,6 +182,14 @@ def test_validation_errors(corpus, spark):
     )
     with pytest.raises(ValueError, match="BOTH label classes"):
         train_quality_classifier(one_class, "text", "label")
+    # NULL labels must raise, not silently train as negative evidence
+    # (min/max ignore NULLs — self-review r10)
+    nulled = spark.createDataFrame(
+        [(1, "a b", 1), (2, "c d", 0), (3, "e f", None)],
+        "id long, text string, label int",
+    )
+    with pytest.raises(ValueError, match="NULL"):
+        train_quality_classifier(nulled, "text", "label")
     empty = spark.createDataFrame([], "id long, text string, label int")
     with pytest.raises(ValueError, match="empty"):
         train_quality_classifier(empty, "text", "label")
