@@ -217,18 +217,11 @@ def train_bpe(
 
 
 def _release_checkpoint(df: DataFrame) -> None:
-    """Drop a localCheckpoint'ed DataFrame's RDD blocks (best-effort:
-    storage bookkeeping only, never fails the training loop).
+    """Moved to ``plans.layout.release_checkpoint`` (shared with the
+    PageRank loop); kept as a thin alias for this module's callers."""
+    from tableone_pyspark_spark.plans.layout import release_checkpoint
 
-    ``df.rdd.unpersist`` would be a silent no-op — it unpersists a
-    derived javaToPython RDD, not the internal RDD the checkpoint
-    cached. The checkpointed Dataset's plan is a LogicalRDD whose
-    ``rdd()`` IS the persisted one (verified: getPersistentRDDs drops
-    to empty after this, and stays populated with the naive call)."""
-    try:
-        df._jdf.queryExecution().optimizedPlan().rdd().unpersist(False)
-    except Exception:
-        pass
+    release_checkpoint(df)
 
 
 def _encode_schema(id_field: T.StructField) -> T.StructType:

@@ -8,6 +8,10 @@ already wider than the cluster and the helper is a no-op — it only
 adds a round-robin shuffle when the scan is narrower than the
 available parallelism, where the shuffle of a few skinny rows is
 orders of magnitude cheaper than the serialized compute it unblocks.
+
+`release_checkpoint` is the shared storage-bookkeeping half of the
+iterative-loop discipline (BPE training, PageRank): localCheckpoint
+truncates lineage, this frees the superseded round's blocks.
 """
 
 from __future__ import annotations
@@ -31,3 +35,18 @@ def rebalance(df: DataFrame, factor: int = 1) -> DataFrame:
     if current >= target:
         return df
     return df.repartition(target)
+
+
+def release_checkpoint(df: DataFrame) -> None:
+    """Drop a localCheckpoint'ed DataFrame's RDD blocks (best-effort:
+    storage bookkeeping only, never fails the caller's loop).
+
+    ``df.rdd.unpersist`` would be a silent no-op — it unpersists a
+    derived javaToPython RDD, not the internal RDD the checkpoint
+    cached. The checkpointed Dataset's plan is a LogicalRDD whose
+    ``rdd()`` IS the persisted one (verified: getPersistentRDDs drops
+    to empty after this, and stays populated with the naive call)."""
+    try:
+        df._jdf.queryExecution().optimizedPlan().rdd().unpersist(False)
+    except Exception:
+        pass
