@@ -1,0 +1,185 @@
+"""Small-file compaction — the lakehouse maintenance operation (Delta
+``OPTIMIZE`` / Iceberg ``rewrite_data_files``-style bin-packing) a
+100 TB table needs after streaming or fine-grained-partition writes:
+thousands of KB-sized parquet files make every scan pay per-file
+open/footer costs and starve the scheduler with tiny splits.
+
+    plan    : list the leaf data files, split at
+              ``small_threshold × target_bytes`` — files already big
+              enough are left UNTOUCHED (copied byte-for-byte, no
+              recompute/recompress) — and first-fit-decreasing
+              bin-pack the small ones into rewrite groups ≤ target
+    execute : one tiny coalesce(1) job per group appends one output
+              file per bin; untouched files are copied via the Hadoop
+              FileSystem API (works local/HDFS/S3A alike)
+
+Driver-side work is metadata-sized (file names + lengths); the data
+itself moves executor-side per group. Plain flat layouts only:
+hive-partitioned inputs (``key=value`` directories) raise — compact
+each leaf partition directory individually, which is also what keeps
+each bin's rows inside one partition.
+
+No counterpart in the reference repo; extends the storage-layout
+family (write_table's maxRecordsPerFile, write_bucketed co-location,
+write_zordered clustering) with the repair half.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import SparkSession
+
+
+@dataclass(frozen=True)
+class CompactionPlan:
+    """``bins``: rewrite groups (list of file-path lists, each group's
+    byte total ≤ target); ``untouched``: files kept as-is;
+    ``small_bytes``/``total_bytes``: accounting for the report."""
+
+    bins: list[list[str]]
+    untouched: list[str]
+    small_bytes: int
+    total_bytes: int
+
+
+def _fs_and_path(spark: SparkSession, path: str):
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    return p.getFileSystem(conf), p, jvm, conf
+
+
+def list_data_files(spark: SparkSession, path: str) -> list[tuple[str, int]]:
+    """(path, bytes) for every visible leaf data file under ``path``
+    (recursive; `_`/`.`-prefixed bookkeeping files skipped). A
+    ``key=value`` directory raises — hive layouts compact per leaf."""
+    fs, root, jvm, _ = _fs_and_path(spark, path)
+    if not fs.exists(root):
+        raise ValueError(f"no such path: {path}")
+    out: list[tuple[str, int]] = []
+    stack = [root]
+    while stack:
+        cur = stack.pop()
+        for st in fs.listStatus(cur):
+            name = st.getPath().getName()
+            if name.startswith("_") or name.startswith("."):
+                continue
+            if st.isDirectory():
+                if "=" in name:
+                    raise ValueError(
+                        f"hive-partitioned layout ({name}/): compact each "
+                        "leaf partition directory individually"
+                    )
+                stack.append(st.getPath())
+            else:
+                out.append((st.getPath().toString(), int(st.getLen())))
+    return sorted(out)
+
+
+def plan_compaction(
+    spark: SparkSession,
+    path: str,
+    target_bytes: int = 128 * 1024 * 1024,
+    small_threshold: float = 0.5,
+) -> CompactionPlan:
+    """First-fit-decreasing bin packing of the files smaller than
+    ``small_threshold × target_bytes``; larger files stay untouched.
+    A single leftover small file still gets its own bin only when
+    there are ≥ 2 small files overall (one small file alone cannot be
+    compacted further — it goes out untouched)."""
+    if target_bytes <= 0:
+        raise ValueError(f"target_bytes must be positive, got {target_bytes}")
+    if not 0.0 < small_threshold <= 1.0:
+        raise ValueError(
+            f"small_threshold must be in (0, 1], got {small_threshold}"
+        )
+    files = list_data_files(spark, path)
+    cut = small_threshold * target_bytes
+    small = [(p, b) for p, b in files if b < cut]
+    untouched = [p for p, b in files if b >= cut]
+    if len(small) < 2:
+        return CompactionPlan(
+            bins=[],
+            untouched=[p for p, _ in files],
+            small_bytes=sum(b for _, b in small),
+            total_bytes=sum(b for _, b in files),
+        )
+    # first-fit-decreasing: sort by size desc, drop each file into the
+    # first bin it fits; metadata-sized work (file counts, not data)
+    small.sort(key=lambda t: (-t[1], t[0]))
+    bins: list[tuple[list[str], int]] = []
+    for p, b in small:
+        for i, (members, used) in enumerate(bins):
+            if used + b <= target_bytes:
+                members.append(p)
+                bins[i] = (members, used + b)
+                break
+        else:
+            bins.append(([p], b))
+    # a singleton bin would re-encode one file for zero file-count
+    # gain (and destroy its stats) — demote it to untouched
+    # (self-review r10)
+    packed = [members for members, _ in bins if len(members) > 1]
+    untouched += [m for members, _ in bins if len(members) == 1 for m in members]
+    return CompactionPlan(
+        bins=packed,
+        untouched=sorted(untouched),
+        small_bytes=sum(b for _, b in small),
+        total_bytes=sum(b for _, b in files),
+    )
+
+
+def compact_parquet(
+    spark: SparkSession,
+    src_path: str,
+    dst_path: str,
+    target_bytes: int = 128 * 1024 * 1024,
+    small_threshold: float = 0.5,
+) -> dict:
+    """Execute a compaction of the flat parquet dataset at
+    ``src_path`` into ``dst_path``: each planned bin is read and
+    written as ONE output file (a tiny per-bin job; rows re-encoded),
+    untouched files are byte-for-byte FileSystem copies (no
+    recompute, their encoding/stats survive). Returns the report dict
+    ``{n_input_files, n_output_files, n_bins, bytes}``. ``dst_path``
+    must not already exist (a half-written destination must never be
+    silently appended into)."""
+    plan = plan_compaction(spark, src_path, target_bytes, small_threshold)
+    fs, dst, jvm, conf = _fs_and_path(spark, dst_path)
+    if fs.exists(dst):
+        raise ValueError(f"destination already exists: {dst_path}")
+    basenames = [p.rsplit("/", 1)[-1] for p in plan.untouched]
+    if len(set(basenames)) != len(basenames):
+        raise ValueError(
+            "untouched files from different subdirectories share a "
+            "basename — flatten the layout first"
+        )
+    fs.mkdirs(dst)
+    for members in plan.bins:
+        (
+            spark.read.parquet(*members)
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(dst_path)
+        )
+    FileUtil = jvm.org.apache.hadoop.fs.FileUtil
+    Path = jvm.org.apache.hadoop.fs.Path
+    for p in plan.untouched:
+        sp = Path(p)
+        # 7-arg overload: (deleteSource=False, overwrite=False) — the
+        # 6-arg form defaults overwrite=TRUE, which would let any
+        # basename collision with a just-written bin output silently
+        # destroy it (self-review r10)
+        FileUtil.copy(
+            sp.getFileSystem(conf), sp, fs, Path(dst_path, sp.getName()),
+            False, False, conf,
+        )
+    n_out = len(list_data_files(spark, dst_path))
+    return {
+        "n_input_files": len(plan.untouched)
+        + sum(len(m) for m in plan.bins),
+        "n_output_files": n_out,
+        "n_bins": len(plan.bins),
+        "bytes": plan.total_bytes,
+    }
