@@ -128,6 +128,22 @@ def url_host(c: Column) -> Column:
     return kernel(c)
 
 
+def site_key(c: Column) -> Column:
+    """URL → PSL registrable domain in ONE Arrow kernel (composing
+    ``registrable_domain(url_host(c))`` as two pandas_udfs would pay a
+    second full Arrow ser/deser pass over the url column — the
+    ``url_parts`` one-kernel rationale). NULL for garbage/hostless."""
+
+    @F.pandas_udf("string")
+    def kernel(s: pd.Series) -> pd.Series:
+        return s.map(
+            lambda u: registrable_domain_py(url_host_py(u)),
+            na_action="ignore",
+        )
+
+    return kernel(c)
+
+
 def url_parts(c: Column) -> Column:
     """Struct(host, canon) from ONE urlsplit per row — the hot-path
     form (one Arrow crossing, one parse; ``canonical_url`` +

@@ -199,3 +199,76 @@ def mixture_weights(
             6,
         ).alias("sample_rate"),
     )
+
+
+def grouped_split(
+    df: DataFrame,
+    key: Column,
+    fractions: dict[str, float],
+    salt: str = "grouped-split-v1",
+    split_col: str = "split",
+) -> DataFrame:
+    """Multi-way leakage-safe split: every row whose ``key`` hashes
+    alike gets the SAME named label, with bucket-space shares per
+    ``fractions`` (must sum to 1 within 1e-9; labels own cumulative
+    ``int(BUCKETS·Σf)`` cuts in insertion order — TRUNCATED like
+    :func:`hash_split`'s cut, so a two-way grouped_split and a
+    hash_split at the same fraction put the boundary bucket on the
+    same side). The leakage story: a row-level split leaks
+    near-duplicates across train/eval (two pages of one site, two
+    revisions of one doc), inflating eval — splitting on the GROUP key
+    (site, source document, user) keeps correlated rows together (the
+    standard grouped-CV argument). NULL keys coalesce to '' — one
+    deterministic group, not a silent fall-through to the last label.
+    The default salt deliberately differs from :func:`hash_split`'s
+    'split-v1': the two APIs label bucket space in opposite orders
+    (hash_split puts LOW buckets in 'test'; here the FIRST fraction —
+    conventionally 'train' — owns them), so sharing a salt would
+    silently place an old held-out set into the new train split. Pure
+    projection of (key, salt): no shuffle, any engine agrees."""
+    if not fractions:
+        raise ValueError("fractions must be non-empty")
+    if any(f < 0 for f in fractions.values()):
+        raise ValueError(f"fractions must be non-negative, got {fractions}")
+    total = sum(fractions.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1, got {total}")
+    b = split_bucket(F.coalesce(key.cast("string"), F.lit("")), salt)
+    labels = list(fractions)
+    cuts = []
+    acc = 0.0
+    for name in labels[:-1]:
+        acc += fractions[name]
+        cuts.append(int(BUCKETS * acc))
+    expr = F.lit(labels[-1])  # the last label takes the remainder
+    for name, cut in zip(reversed(labels[:-1]), reversed(cuts)):
+        expr = F.when(b < cut, F.lit(name)).otherwise(expr)
+    # nested whens evaluate smallest cut first after the reversal, so
+    # each label owns exactly [prev_cut, cut)
+    return df.withColumn(split_col, expr)
+
+
+def site_split(
+    df: DataFrame,
+    url_col: str,
+    fractions: dict[str, float],
+    salt: str = "site-split-v1",
+    split_col: str = "split",
+) -> DataFrame:
+    """:func:`grouped_split` keyed by the PSL registrable domain of
+    ``url_col``'s host (X108, via the one-kernel ``site_key``) — all
+    pages of one SITE land in one split, the web-corpus form of the
+    leakage guard (grouping by full host would still leak across
+    a.example.co.uk / b.example.co.uk). URLs with no registrable
+    domain (IPs, garbage, NULL) fall into the '' group that splits
+    together — deliberate: they are exactly the rows whose duplicates
+    can't be attributed to a site."""
+    from tableone_pyspark_spark.functions.url import site_key
+
+    return grouped_split(
+        df,
+        site_key(F.col(url_col)),
+        fractions,
+        salt=salt,
+        split_col=split_col,
+    )

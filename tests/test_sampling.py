@@ -209,3 +209,83 @@ def test_webdataset_rejects_duplicate_keys(spark):
     )
     with pytest.raises((PythonException, Py4JJavaError), match="duplicate key"):
         webdataset_shards(df, "k", {"txt": "text"}, n_shards=1).collect()
+
+
+def test_grouped_split_multiway(spark):
+    import pytest as _pytest
+    from pyspark.sql import functions as _F
+
+    from tableone_pyspark_spark.operators.bloom import poly_hash_py
+    from tableone_pyspark_spark.operators.sampling import (
+        BUCKETS,
+        MOD,
+        grouped_split,
+    )
+
+    def bucket_py(key, salt="grouped-split-v1"):
+        h = poly_hash_py(f"{salt}:{key}")
+        h = (h * 48271) % MOD
+        h = (h * 48271) % MOD
+        return h % BUCKETS
+
+    fr = {"train": 0.8, "val": 0.1, "test": 0.1}
+    df = spark.createDataFrame(
+        [(i, f"site-{i % 500}") for i in range(5000)], "id long, site string"
+    )
+    out = grouped_split(df, _F.col("site"), fr)
+    rows = out.collect()
+    # group atomicity: every row of a site shares one label
+    by_site = {}
+    for r in rows:
+        by_site.setdefault(r["site"], set()).add(r["split"])
+    assert all(len(s) == 1 for s in by_site.values())
+    # the label is the pure function of (key, salt) the twin replays
+    cut_train = int(BUCKETS * 0.8)
+    cut_val = int(BUCKETS * (0.8 + 0.1))
+    for site, labels in by_site.items():
+        b = bucket_py(site)
+        want = "train" if b < cut_train else ("val" if b < cut_val else "test")
+        assert labels == {want}, site
+    # shares roughly honored over 500 sites
+    n_sites = {lbl: 0 for lbl in fr}
+    for s in by_site.values():
+        n_sites[next(iter(s))] += 1
+    assert 340 <= n_sites["train"] <= 450
+    assert n_sites["val"] + n_sites["test"] == 500 - n_sites["train"]
+    # partitioning invariance
+    out2 = {
+        r["id"]: r["split"]
+        for r in grouped_split(df.repartition(7), _F.col("site"), fr).collect()
+    }
+    assert out2 == {r["id"]: r["split"] for r in rows}
+    # validation
+    with _pytest.raises(ValueError, match="sum to 1"):
+        grouped_split(df, _F.col("site"), {"a": 0.5, "b": 0.4})
+    with _pytest.raises(ValueError, match="non-empty"):
+        grouped_split(df, _F.col("site"), {})
+    with _pytest.raises(ValueError, match="non-negative"):
+        grouped_split(df, _F.col("site"), {"a": -0.1, "b": 1.1})
+
+
+def test_site_split_groups_by_registrable_domain(spark):
+    from pyspark.sql import functions as _F
+
+    from tableone_pyspark_spark.operators.sampling import site_split
+
+    urls = [
+        (1, "https://a.example.co.uk/page1"),
+        (2, "https://b.example.co.uk/deep/page2"),   # same SITE as 1
+        (3, "https://example.co.uk/"),                # same SITE as 1
+        (4, "https://other.com/x"),
+        (5, "not a url at all"),
+        (6, None),
+    ]
+    df = spark.createDataFrame(urls, "id long, url string")
+    out = {
+        r["id"]: r["split"]
+        for r in site_split(df, "url", {"train": 0.5, "test": 0.5}).collect()
+    }
+    # the PSL grain: subdomains of one registrable domain split together
+    assert out[1] == out[2] == out[3]
+    # unattributable URLs/NULLs form one '' group that stays together
+    assert out[5] == out[6]
