@@ -61,6 +61,7 @@ def main() -> None:
         SparkSession.builder.master("local[32]")
         .config("spark.sql.shuffle.partitions", "32")
         .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.driver.memory", "8g")
         .config("spark.ui.enabled", "false")
         .appName("scale_check_r10")
         .getOrCreate()
@@ -189,6 +190,39 @@ def main() -> None:
         "quality classifier 10x (train+score)",
         lambda: clf_run(x10(docs, "doc_id")),
     )
+
+    # ---- t-digest build (X114) ---------------------------------------
+    # two-level: only digests cross the exchange. Expect sublinear.
+    from tableone_pyspark_spark.operators.tdigest import (
+        build_tdigest,
+        tdigest_quantiles,
+    )
+
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+
+    def td_run(d):
+        sk = build_tdigest(d, "l_extendedprice", ["l_returnflag"])
+        return tdigest_quantiles(sk, [0.5, 0.99], ["l_returnflag"]).count()
+
+    timed("tdigest build+query 1x", lambda: td_run(li))
+    timed("tdigest build+query 10x", lambda: td_run(x10(li, "l_orderkey")))
+
+    # ---- PageRank (X112) ---------------------------------------------
+    # inherently O(n_iter) vertex-frame shuffles; the probe checks the
+    # per-iteration cost scales with VERTICES, not edge re-shuffles
+    # (edge frame persisted + src-partitioned). Expect ~linear in
+    # edges at fixed iterations — not flat — with no blowup.
+    from tableone_pyspark_spark.operators.graph import pagerank
+
+    def pr_run(d):
+        e = d.select(
+            F.col("l_orderkey").alias("src"),
+            (F.lit(10_000_000) + F.col("l_suppkey")).alias("dst"),
+        )
+        return pagerank(e, n_iter=5).count()
+
+    timed("pagerank 5-iter 1x", lambda: pr_run(li))
+    timed("pagerank 5-iter 10x", lambda: pr_run(x10(li, "l_orderkey")))
 
     spark.stop()
 
