@@ -183,3 +183,60 @@ def compact_parquet(
         "n_bins": len(plan.bins),
         "bytes": plan.total_bytes,
     }
+
+
+def estimate_encoded_row_bytes(
+    df, sample_rows: int = 2048, compression: str = "snappy"
+) -> float:
+    """Parquet-encoded bytes per row, estimated from a driver-side
+    sample encoded IN MEMORY with pyarrow (no filesystem temp, no
+    extra Spark write job): collect ``limit(sample_rows)``, encode to
+    a BytesIO parquet file, divide. The sample is artifact-sized; the
+    estimate inherits the sample's value distribution (dictionary/RLE
+    make encoded size data-dependent — this is an ESTIMATE, the ±2×
+    file-size tolerance every target-sized writer lives with)."""
+    import io as _io
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pdf = df.limit(sample_rows).toPandas()
+    if len(pdf) == 0:
+        raise ValueError("cannot estimate row size of an empty DataFrame")
+    buf = _io.BytesIO()
+    pq.write_table(
+        pa.Table.from_pandas(pdf, preserve_index=False),
+        buf,
+        compression=compression,
+    )
+    return buf.tell() / len(pdf)
+
+
+def write_target_sized(
+    df,
+    path: str,
+    target_bytes: int = 128 * 1024 * 1024,
+    sample_rows: int = 2048,
+    mode: str = "overwrite",
+    **options,
+) -> dict:
+    """The PREVENTIVE half of compaction: write ``df`` as parquet with
+    ``maxRecordsPerFile`` derived from a sampled encoded-bytes-per-row
+    estimate, so output files land near ``target_bytes`` WITHOUT a
+    post-hoc rewrite (``compact_parquet`` remains the repair for data
+    already fragmented). ``maxRecordsPerFile`` caps file size with no
+    shuffle — a task producing less than the cap still writes one
+    smaller file, so upstream partitioning should be coarse enough
+    (repartition to ~total/target tasks first when the input is very
+    wide). Returns {rows_per_file, est_row_bytes}."""
+    if target_bytes <= 0:
+        raise ValueError(f"target_bytes must be positive, got {target_bytes}")
+    per_row = estimate_encoded_row_bytes(df, sample_rows)
+    rows_per_file = max(1, int(target_bytes / per_row))
+    (
+        df.write.mode(mode)
+        .option("maxRecordsPerFile", str(rows_per_file))
+        .options(**options)
+        .parquet(path)
+    )
+    return {"rows_per_file": rows_per_file, "est_row_bytes": per_row}

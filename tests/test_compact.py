@@ -125,3 +125,39 @@ def test_boundaries(spark, tmp_path):
     assert sorted(
         [m for ms in plan.bins for m in ms] + plan.untouched
     ) == sorted(p for p, _ in files)
+
+def test_write_target_sized(spark, tmp_path):
+    import pytest as _pytest
+
+    from tableone_pyspark_spark.sources.compact import (
+        estimate_encoded_row_bytes,
+        write_target_sized,
+    )
+
+    df = spark.range(0, 50_000).withColumn(
+        "payload", F.concat(F.lit("x" * 40), F.col("id").cast("string"))
+    )
+    # estimate sanity: tens of bytes per row for a long + short string
+    est = estimate_encoded_row_bytes(df)
+    assert 1.0 < est < 500.0
+    dst = str(tmp_path / "sized")
+    target = 64 * 1024
+    rep = write_target_sized(df.coalesce(1), dst, target_bytes=target)
+    assert rep["rows_per_file"] >= 1
+    files = list_data_files(spark, dst)
+    assert len(files) > 1  # the cap actually split the single task
+    # every file within the writer's documented ~2x tolerance of the
+    # target (the last file may be arbitrarily small)
+    sizes = sorted(b for _, b in files)
+    for b in sizes[:-1] if len(sizes) > 1 else sizes:
+        assert b <= 2 * target
+    big = [b for b in sizes if b > target / 4]
+    assert big  # and files are not pathologically tiny either
+    # round trip
+    assert spark.read.parquet(dst).count() == 50_000
+    # validation
+    with _pytest.raises(ValueError, match="target_bytes"):
+        write_target_sized(df, str(tmp_path / "zz"), target_bytes=0)
+    empty = spark.createDataFrame([], "id long")
+    with _pytest.raises(ValueError, match="empty"):
+        estimate_encoded_row_bytes(empty)
