@@ -24,8 +24,13 @@ the reference, which has no string analytics at all):
 
 from __future__ import annotations
 
+import re as _re
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
+
+#: compiled once: py_norm_words runs per document inside Arrow kernels
+_WS_RE = _re.compile(r"[ \t\n]+")
 
 #: BPE-ish pre-tokenization: letter runs, single digits, or single
 #: non-space punctuation — approximates byte-pair-encoder input units
@@ -137,12 +142,8 @@ def py_norm_words(t: str | None) -> list[str]:
     drift risks (self-review r10)."""
     if t is None:
         return []
-    import re
-
     return [
-        w
-        for w in re.sub(r"[ \t\n]+", " ", t.lower()).strip(" ").split(" ")
-        if w
+        w for w in _WS_RE.sub(" ", t.lower()).strip(" ").split(" ") if w
     ]
 
 

@@ -291,13 +291,19 @@ def public_suffix_py(host: str | None, psl: dict | None = None) -> str | None:
         return None
     psl = psl or _DEFAULT_PSL
     labels = h.split(".")
-    tld = labels[-1]
+    # match on the IDNA form of BOTH sides: rule labels were punycoded
+    # at load time, and an IRI host arrives in Unicode (urlsplit keeps
+    # it verbatim) — one-sided encoding would kill every IDN rule for
+    # Unicode hosts (self-review r10). The RETURNED suffix keeps the
+    # host's own label forms.
+    mlabels = [_idna_label(x) for x in labels]
+    tld = mlabels[-1]
     for exc in psl["exceptions_by_tld"].get(tld, ()):
-        if _psl_match(exc, labels):
+        if _psl_match(exc, mlabels):
             return ".".join(labels[-(len(exc) - 1):]) if len(exc) > 1 else None
     best = 1  # the default rule '*'
     for rule in psl["rules_by_tld"].get(tld, ()):
-        if len(rule) > best and _psl_match(rule, labels):
+        if len(rule) > best and _psl_match(rule, mlabels):
             best = len(rule)
     return ".".join(labels[-best:])
 

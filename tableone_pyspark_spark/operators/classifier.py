@@ -147,6 +147,14 @@ def train_quality_classifier(
         raise ValueError(f"n_buckets must be positive, got {n_buckets}")
     if alpha <= 0:
         raise ValueError(f"alpha must be positive, got {alpha}")
+    if label_col in ("t", "bucket"):
+        # the carried label rides through the feature kernel next to
+        # the internal text/bucket aliases (the tdigest _RESERVED
+        # class; self-review r10)
+        raise ValueError(
+            f"label column name {label_col!r} collides with the "
+            "feature kernel's internal schema"
+        )
     lab = F.col(label_col)
     head = df.agg(
         F.min(lab).alias("lo"),
@@ -172,15 +180,27 @@ def train_quality_classifier(
     if not head["np"] or not head["nn"]:
         raise ValueError("training needs BOTH label classes present")
     occ = _occurrences(df, text_col, [label_col], n_buckets, hash_impl)
-    # partial-aggregated: the exchange carries ≤ n_buckets rows
+    # partial-aggregated: the exchange carries ≤ n_buckets rows. The
+    # nl term re-checks NULL labels AT THE POINT OF USE: the head
+    # validation ran on a separate pass, and a non-deterministic input
+    # could present different rows here (self-review r10) — training
+    # assumes a deterministic source like every multi-action Spark job
     rows = (
         occ.groupBy("bucket")
         .agg(
             F.sum(F.when(F.col(label_col) == 1, 1).otherwise(0)).alias("p"),
             F.count(F.lit(1)).alias("t"),
+            F.sum(
+                F.when(F.col(label_col).isNull(), 1).otherwise(0)
+            ).alias("nl"),
         )
         .collect()
     )
+    if any(r["nl"] for r in rows):
+        raise ValueError(
+            "NULL labels appeared in the training pass after passing "
+            "validation — the input DataFrame is non-deterministic"
+        )
     pos = [0] * n_buckets
     neg = [0] * n_buckets
     for r in rows:

@@ -311,6 +311,9 @@ def heavy_hitters(
     SQL-replayable member of the pair (an r11 graded candidate)."""
     if not 0.0 < phi < 1.0:
         raise ValueError(f"phi must be in (0, 1), got {phi}")
+    from fractions import Fraction
+    from functools import reduce
+
     gcols = list(group_cols or [])
     keyed = df.where(F.col(key_col).isNotNull()).select(
         *gcols, F.col(key_col).cast("string").alias("key")
@@ -321,9 +324,29 @@ def heavy_hitters(
         if gcols
         else keyed.agg(F.count(F.lit(1)).alias("total"))
     )
-    joined = (
-        counts.join(F.broadcast(totals), gcols)
-        if gcols
-        else counts.crossJoin(F.broadcast(totals))
+    if gcols:
+        # eqNullSafe: groupBy keeps a NULL group, a plain equi-join
+        # would silently drop its counts from the output of an EXACT
+        # operator (self-review r10)
+        tr = totals.select(
+            *[F.col(c).alias(f"__g{i}") for i, c in enumerate(gcols)],
+            "total",
+        )
+        cond = reduce(
+            lambda a, b: a & b,
+            [counts[c].eqNullSafe(F.col(f"__g{i}")) for i, c in enumerate(gcols)],
+        )
+        joined = counts.join(F.broadcast(tr), cond).drop(
+            *[f"__g{i}" for i in range(len(gcols))]
+        )
+    else:
+        joined = counts.crossJoin(F.broadcast(totals))
+    # exact boundary: 'count reaches φ×total' compared in INTEGERS via
+    # the decimal-literal rational of phi (0.2×110 = 22.000000000000004
+    # in doubles would drop an exactly-20% key); limit_denominator
+    # bounds ct×den inside int64 for any representable phi
+    fr = Fraction(str(phi)).limit_denominator(1_000_000)
+    return joined.where(
+        F.col("ct") * F.lit(fr.denominator)
+        >= F.lit(fr.numerator) * F.col("total")
     )
-    return joined.where(F.col("ct") >= F.lit(float(phi)) * F.col("total"))

@@ -272,3 +272,26 @@ def test_heavy_hitters_batch_exact(spark):
 
     with _pytest.raises(ValueError, match="phi"):
         heavy_hitters(df, "k", phi=0.0)
+
+
+def test_heavy_hitters_boundary_and_null_group(spark):
+    """Self-review r10: (a) a key at EXACTLY φ×total must be included
+    — 0.2×110 rounds up in doubles, so the threshold compares in
+    integers via the decimal rational of φ; (b) a NULL group is a
+    group like any other (eqNullSafe join, not a silent drop)."""
+    from tableone_pyspark_spark.operators.sketches import heavy_hitters
+
+    keys = ["hot"] * 22 + [f"u{i}" for i in range(88)]  # 22/110 = 0.2
+    df = spark.createDataFrame([(k,) for k in keys], "k string")
+    got = {r["key"] for r in heavy_hitters(df, "k", phi=0.2).collect()}
+    assert got == {"hot"}  # the exact-boundary key survives
+
+    gdf = spark.createDataFrame(
+        [(None, "hot")] * 9 + [(None, "x")] + [("g", "y")] * 2,
+        "g string, k string",
+    )
+    rows = {
+        (r["g"], r["key"]): (r["ct"], r["total"])
+        for r in heavy_hitters(gdf, "k", phi=0.5, group_cols=["g"]).collect()
+    }
+    assert rows == {(None, "hot"): (9, 10), ("g", "y"): (2, 2)}

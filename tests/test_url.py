@@ -183,3 +183,21 @@ def test_psl_idn_rules_match_punycode_hosts():
     )
     # rules index by last label: an unrelated TLD never consults them
     assert registrable_domain_py("a.b.com", psl) == "b.com"
+
+
+def test_psl_idn_unicode_hosts_match_too():
+    """Self-review r10 (second half): IDNA must be applied to BOTH
+    sides — a Unicode (IRI) hostname has to match the punycoded rule,
+    and the returned labels keep the host's own form."""
+    from tableone_pyspark_spark.functions.url import (
+        load_psl,
+        public_suffix_py,
+        registrable_domain_py,
+    )
+
+    psl = load_psl("公司.cn\n")
+    uni = "foo.公司.cn"
+    assert public_suffix_py(uni, psl) == "公司.cn"
+    assert registrable_domain_py(uni, psl) == uni
+    # and the punycode twin still matches (both forms, one grain)
+    assert registrable_domain_py("foo.xn--55qx5d.cn", psl) == "foo.xn--55qx5d.cn"
