@@ -587,3 +587,98 @@ def test_semantic_overlap_brute_plan_broadcasts_bench(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_resample_interpolate(spark):
+    """Grid resampling (X119): exact linear interpolation vs a python
+    twin, coincident-tick exactness at BOTH range ends, tie averaging,
+    the max-gap NULL policy, NULL/NaN drops, and validation."""
+    import pytest as _pytest
+
+    from pyspark.sql import functions as F
+
+    from tableone_pyspark_spark.functions.events import resample_interpolate
+
+    t0 = 1_699_999_980  # multiple of 60: observations sit ON ticks
+    rows = [
+        # key a: irregular points, incl. a duplicate instant (avg) and
+        # a long 10-minute gap
+        ("a", t0, 10.0),
+        ("a", t0, 20.0),            # tie at t0 -> avg 15.0
+        ("a", t0 + 90, 30.0),
+        ("a", t0 + 120, 40.0),
+        ("a", t0 + 720, 100.0),     # 600 s gap from t0+120
+        # key b: single observation -> one-tick grid, value exact
+        ("b", t0 + 60, 7.0),
+        # dropped rows
+        (None, t0, 1.0), ("a", None, 1.0), ("a", t0 + 30, None),
+        ("a", t0 + 31, float("nan")),
+    ]
+    df = spark.createDataFrame(rows, "k string, ts long, v double").select(
+        "k", F.timestamp_seconds("ts").alias("ts"), "v"
+    )
+
+    def run(**kw):
+        out = resample_interpolate(df, "k", "ts", "v", 60, **kw)
+        return {
+            (r["k"], int(r["ts"].timestamp())): r["v"]
+            for r in out.collect()
+        }
+
+    got = run()
+    # twin: observations for a after cleaning
+    obs = [(t0, 15.0), (t0 + 90, 30.0), (t0 + 120, 40.0), (t0 + 720, 100.0)]
+
+    def lin(t):
+        for (ta, va), (tb, vb) in zip(obs, obs[1:]):
+            if ta <= t <= tb:
+                return va if ta == tb else va + (vb - va) * (t - ta) / (tb - ta)
+        raise AssertionError(t)
+
+    a_ticks = [t0 + 60 * i for i in range(0, 13)]  # t0 .. t0+720
+    assert {k for k in got if k[0] == "a"} == {("a", t) for t in a_ticks}
+    for t in a_ticks:
+        assert got[("a", t)] == _pytest.approx(lin(t), abs=1e-12), t
+    # exact at coincident ticks incl. both range ends
+    assert got[("a", t0)] == 15.0
+    assert got[("a", t0 + 720)] == 100.0
+    assert got[("a", t0 + 120)] == 40.0
+    # single-observation key: its one tick carries the value exactly
+    assert got[("b", t0 + 60)] == 7.0
+    # max_gap: ticks strictly inside the 600 s outage go NULL; the
+    # endpoints are observations, the gap span is (t0+120, t0+720)
+    gapped = run(max_gap_seconds=300)
+    for t in a_ticks:
+        inside_outage = t0 + 120 < t < t0 + 720
+        if inside_outage:
+            assert gapped[("a", t)] is None, t
+        else:
+            assert gapped[("a", t)] == _pytest.approx(lin(t), abs=1e-12), t
+    with _pytest.raises(ValueError, match="interval_seconds"):
+        resample_interpolate(df, "k", "ts", "v", 0)
+    with _pytest.raises(ValueError, match="max_gap_seconds"):
+        resample_interpolate(df, "k", "ts", "v", 60, max_gap_seconds=0)
+
+
+def test_resample_interpolate_subsecond(spark):
+    """Sub-second observations interpolate on true fractional seconds
+    (unix_timestamp truncation would merge 0.0s and 0.9s into a fake
+    tie — self-review r10)."""
+    import pytest as _pytest
+
+    from pyspark.sql import functions as F
+
+    from tableone_pyspark_spark.functions.events import resample_interpolate
+
+    t0 = 1_699_999_980
+    df = spark.createDataFrame(
+        [("s", t0 + 0.0, 0.0), ("s", t0 + 0.9, 100.0), ("s", t0 + 60.0, 100.0)],
+        "k string, ts double, v double",
+    ).select("k", F.timestamp_seconds("ts").alias("ts"), "v")
+    out = {
+        int(r["ts"].timestamp()): r["v"]
+        for r in resample_interpolate(df, "k", "ts", "v", 60).collect()
+    }
+    # the t0 tick coincides with the 0.0 observation, NOT a tie-average
+    assert out[t0] == 0.0
+    assert out[t0 + 60] == 100.0
