@@ -326,3 +326,165 @@ def retention_cohorts(
         "n_active",
         F.round(F.col("n_active") / base, 6).alias("retention"),
     )
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    by: list[str] | None = None,
+    direction: str = "backward",
+    tolerance: float | int | None = None,
+    suffix: str = "_r",
+    tie_col: str | None = None,
+) -> DataFrame:
+    """General as-of join — the pandas ``merge_asof`` surface Spark
+    lacks (feature-store point-in-time lookups, quote-to-trade
+    matching, sensor alignment): for every left row, ONE right row
+    with the same ``by`` keys and
+
+        backward : the greatest right ``on`` ≤ left ``on``
+        forward  : the smallest right ``on`` ≥ left ``on``
+        nearest  : whichever side is closer (tie → backward,
+                   the pandas rule)
+
+    optionally within ``tolerance`` of the left ``on`` (a farther
+    match becomes NULL, not a nearer wrong one). Equal ``on`` values
+    MATCH in both directions. Among right rows sharing (by, on),
+    ``tie_col`` (greatest wins) makes the choice deterministic; with
+    no tie column one arbitrary-but-single row matches — pass a
+    unique id for reproducible output.
+
+    ``on`` units: integral columns compare/subtract as LONG (exact —
+    a double cast would quantize nanosecond-epoch values above 2⁵³
+    into false ties), timestamps as unix MICROSECONDS, dates as days,
+    floats as double — ``tolerance`` and ``asof_gap`` are in that same
+    unit. Right rows with a NULL ``on`` can never match and are
+    dropped; left rows with a NULL ``on`` survive with a NULL match.
+
+    Scale shape (the ``asof_prior_event`` union-and-scan, generalized
+    two-table): tag both sides, ONE shuffle keyed by ``by``, each
+    partition sorted once per direction, the matching right row
+    carried to each left row by ``last/first(..., ignoreNulls)`` over
+    a running frame — never a range-join or per-row subquery. With
+    ``by=None`` everything lands in ONE partition (a global ordered
+    scan — fine for reference tables, wrong for big data; use keys).
+
+    Output: every left column (caller's names), plus every right
+    column except ``on``/``by``/``tie_col`` suffixed with ``suffix``
+    (NULL when no match), plus ``asof_gap`` = matched right ``on`` −
+    left ``on`` (signed: negative = the match lies in the past; NULL
+    when no match)."""
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(
+            f"direction must be backward/forward/nearest, got {direction!r}"
+        )
+    if tolerance is not None and tolerance < 0:
+        raise ValueError(f"tolerance must be >= 0, got {tolerance}")
+    by = list(by or [])
+    rcols = [
+        c for c in right.columns if c != on and c not in by and c != tie_col
+    ]
+    overlap = [f"{c}{suffix}" for c in rcols if f"{c}{suffix}" in left.columns]
+    if "asof_gap" in left.columns or any(
+        f"{c}{suffix}" == "asof_gap" for c in rcols
+    ):
+        overlap.append("asof_gap")
+    if overlap:
+        raise ValueError(f"output columns collide with left: {overlap}")
+
+    def _on_expr(df: DataFrame):
+        # exact ordering/arithmetic per type: a blanket double cast
+        # quantizes ns-epoch longs above 2^53 into false equal-on
+        # ties (self-review r10)
+        dt = df.schema[on].dataType.typeName()
+        if dt in ("byte", "short", "integer", "long"):
+            return F.col(on).cast("long")
+        if dt in ("timestamp", "timestamp_ntz"):
+            return F.unix_micros(F.col(on).cast("timestamp"))
+        if dt == "date":
+            return F.unix_date(F.col(on))
+        return F.col(on).cast("double")
+
+    lpay = F.struct(*[F.col(c) for c in left.columns]).alias("__l")
+    tie = F.col(tie_col) if tie_col is not None else F.lit(0)
+    rpay = F.struct(
+        _on_expr(right).alias("__on"),
+        tie.alias("__tie"),
+        *[F.col(c).alias(c) for c in rcols],
+    ).alias("__r")
+    lt = left.select(
+        *by,
+        _on_expr(left).alias("__on"),
+        F.lit(1).alias("__is_left"),
+        lpay,
+        F.lit(None).cast(
+            right.select(rpay).schema["__r"].dataType
+        ).alias("__r"),
+    )
+    rt = right.where(F.col(on).isNotNull()).select(
+        *by,
+        _on_expr(right).alias("__on"),
+        F.lit(0).alias("__is_left"),
+        F.lit(None).cast(
+            left.select(lpay).schema["__l"].dataType
+        ).alias("__l"),
+        rpay,
+    )
+    u = lt.unionByName(rt)
+    need_b = direction in ("backward", "nearest")
+    need_f = direction in ("forward", "nearest")
+    cols = list(u.columns)
+    out = u
+    if need_b:
+        # right rows first at equal __on (visible to ≤), greatest
+        # (__on, __tie) last in the frame → last() picks it
+        wb = (
+            Window.partitionBy(*by)
+            .orderBy(
+                F.col("__on").asc(),
+                F.col("__is_left").asc(),
+                F.col("__r.__tie").asc_nulls_first(),
+            )
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        out = out.withColumn("__mb", F.last("__r", ignorenulls=True).over(wb))
+    if need_f:
+        # right rows last at equal __on (visible to ≥), smallest
+        # (__on) first; among equal __on the greatest __tie should
+        # win → order ties DESC so first() picks it
+        wf = (
+            Window.partitionBy(*by)
+            .orderBy(
+                F.col("__on").asc(),
+                F.col("__is_left").desc(),
+                F.col("__r.__tie").desc_nulls_last(),
+            )
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        )
+        out = out.withColumn("__mf", F.first("__r", ignorenulls=True).over(wf))
+    gb = (F.col("__on") - F.col("__mb.__on")) if need_b else None
+    gf = (F.col("__mf.__on") - F.col("__on")) if need_f else None
+    if direction == "backward":
+        match, gap = F.col("__mb"), -gb
+    elif direction == "forward":
+        match, gap = F.col("__mf"), gf
+    else:  # nearest: closer side wins, tie -> backward (pandas rule)
+        pick_b = F.col("__mf").isNull() | (
+            F.col("__mb").isNotNull() & (gb <= gf)
+        )
+        match = F.when(pick_b, F.col("__mb")).otherwise(F.col("__mf"))
+        gap = F.when(pick_b, -gb).otherwise(gf)
+    # a NULL-on left row must not pick up a frame-start/-end garbage
+    # match (its gap is NULL either way — self-review r10)
+    match = F.when(F.col("__on").isNotNull(), match)
+    gap = F.when(F.col("__on").isNotNull(), gap)
+    if tolerance is not None:
+        within = F.abs(gap) <= F.lit(tolerance)
+        match = F.when(within, match)
+        gap = F.when(within, gap)
+    res = out.where(F.col("__is_left") == 1)
+    final_cols = [F.col(f"__l.{c}").alias(c) for c in left.columns]
+    final_cols += [match.getField(c).alias(f"{c}{suffix}") for c in rcols]
+    final_cols.append(gap.alias("asof_gap"))
+    return res.select(*final_cols)

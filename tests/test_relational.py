@@ -191,3 +191,129 @@ def test_event_funnel_dead_step_yields_null_conversions(spark):
     after = rows["click"]
     assert after["n_users"] == 0
     assert after["conv_from_prev"] is None  # 0/0 -> NULL, both engines
+
+
+def test_asof_join_directions(spark):
+    """General asof_join (X121): differential vs a python merge_asof
+    twin for backward/forward/nearest with and without tolerance,
+    by-keys, equal-on inclusivity, deterministic tie_col, and the
+    one-shuffle union-and-scan plan (no range join)."""
+    import pytest as _pytest
+
+    from pyspark.sql import functions as F
+
+    from tableone_pyspark_spark.operators.relational import asof_join
+
+    trades = [  # (sym, t, qty)
+        ("A", 10.0, 1), ("A", 15.0, 2), ("A", 15.0, 3), ("A", 30.0, 4),
+        ("B", 5.0, 5), ("B", 100.0, 6),
+        ("C", 7.0, 7),  # no quotes at all for C
+    ]
+    quotes = [  # (sym, t, px, qid)
+        ("A", 8.0, 1.0, 1), ("A", 15.0, 2.0, 2), ("A", 15.0, 2.5, 3),
+        ("A", 20.0, 3.0, 4),
+        ("B", 50.0, 9.0, 5),
+    ]
+    lt = spark.createDataFrame(trades, "sym string, t double, qty long")
+    rt = spark.createDataFrame(quotes, "sym string, t double, px double, qid long")
+
+    def twin(direction, tol):
+        out = {}
+        for sym, t, qty in trades:
+            cands = [(qt, px, qid) for s, qt, px, qid in quotes if s == sym]
+            back = [c for c in cands if c[0] <= t]
+            fwd = [c for c in cands if c[0] >= t]
+            # tie_col qid: greatest wins among equal on
+            back = max(back, key=lambda c: (c[0], c[2]), default=None)
+            fwd = min(fwd, key=lambda c: (c[0], -c[2]), default=None)
+            if direction == "backward":
+                m = back
+            elif direction == "forward":
+                m = fwd
+            else:
+                if back and fwd:
+                    m = back if (t - back[0]) <= (fwd[0] - t) else fwd
+                else:
+                    m = back or fwd
+            if m is not None and tol is not None and abs(m[0] - t) > tol:
+                m = None
+            out[qty] = None if m is None else (m[1], m[0] - t)
+        return out
+
+    for direction in ("backward", "forward", "nearest"):
+        for tol in (None, 4.0):
+            got = {
+                r["qty"]: (
+                    None
+                    if r["px_r"] is None
+                    else (r["px_r"], r["asof_gap"])
+                )
+                for r in asof_join(
+                    lt, rt, "t", by=["sym"], direction=direction,
+                    tolerance=tol, tie_col="qid",
+                ).collect()
+            }
+            want = twin(direction, tol)
+            assert got == want, (direction, tol)
+
+    # equal-on inclusivity both ways: trade at 15 matches quote at 15
+    # (qid 3 wins the tie by tie_col) in BOTH directions
+    for direction in ("backward", "forward"):
+        got = {
+            r["qty"]: r["px_r"]
+            for r in asof_join(
+                lt, rt, "t", by=["sym"], direction=direction, tie_col="qid"
+            ).collect()
+        }
+        assert got[2] == 2.5 and got[3] == 2.5, direction
+
+    # plan: union-and-scan — no range/nested-loop join, no join at all
+    plan = (
+        asof_join(lt, rt, "t", by=["sym"], tie_col="qid")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Join" not in plan and "CartesianProduct" not in plan
+    assert "Window" in plan and "Union" in plan
+
+    # validation
+    with _pytest.raises(ValueError, match="direction"):
+        asof_join(lt, rt, "t", direction="sideways")
+    with _pytest.raises(ValueError, match="tolerance"):
+        asof_join(lt, rt, "t", tolerance=-1)
+    with _pytest.raises(ValueError, match="collide"):
+        asof_join(lt.withColumn("px_r", F.lit(1)), rt, "t")
+
+
+def test_asof_join_null_on_and_ns_precision(spark):
+    """Self-review r10: NULL-`on` rights never match / NULL-`on` lefts
+    survive with NULL match; nanosecond-epoch longs keep exact
+    ordering (a double cast would quantize above 2^53 into false
+    ties); asof_gap name collision rejected."""
+    import pytest as _pytest
+
+    from pyspark.sql import functions as F
+
+    from tableone_pyspark_spark.operators.relational import asof_join
+
+    base = 1_760_000_000_000_000_000  # ns epoch, far above 2^53
+    lt = spark.createDataFrame(
+        [(1, base + 100), (2, base + 300), (3, None)],
+        "lid long, t long",
+    )
+    rt = spark.createDataFrame(
+        [(base + 99, 1.0), (base + 101, 2.0), (base + 299, 3.0), (None, 9.9)],
+        "t long, px double",
+    )
+    got = {
+        r["lid"]: (r["px_r"], r["asof_gap"])
+        for r in asof_join(lt, rt, "t", direction="backward").collect()
+    }
+    # exact long arithmetic: 100 matches 99 (gap -1), NOT the 101 row
+    # a 256-ns-quantized double would conflate
+    assert got[1] == (1.0, -1)
+    assert got[2] == (3.0, -1)
+    assert got[3] == (None, None)  # NULL-on left survives, matchless
+    with _pytest.raises(ValueError, match="collide"):
+        asof_join(lt.withColumn("asof_gap", F.lit(0)), rt, "t")
