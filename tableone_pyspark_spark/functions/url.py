@@ -268,6 +268,32 @@ def load_psl(text: str) -> dict:
 
 _DEFAULT_PSL = load_psl(_PSL_SNAPSHOT)
 
+_PSL_PARTIAL_WARNED = False
+
+
+def _warn_partial_psl() -> None:
+    """One loud warning per process the first time a suffix lookup
+    falls back to the embedded PARTIAL snapshot (~150 well-known
+    registries): hosts under unlisted multi-label public suffixes
+    (github.io private-section rules, com.bo, …) silently resolve at
+    the WRONG grain, grouping a whole registry as one 'site' — a
+    degraded leakage guard deployments must not discover by accident
+    (ADVICE r10). Fires once per python worker; pass
+    ``psl=load_psl(full_text)`` with the published file to silence."""
+    global _PSL_PARTIAL_WARNED
+    if not _PSL_PARTIAL_WARNED:
+        _PSL_PARTIAL_WARNED = True
+        import warnings
+
+        warnings.warn(
+            "public-suffix lookup is using the embedded PARTIAL PSL "
+            "snapshot: hosts under registries it omits resolve at the "
+            "wrong grain (whole registry = one site). Ship the full "
+            "published public_suffix_list.dat via "
+            "psl=load_psl(open(path).read()).",
+            stacklevel=3,
+        )
+
 
 def _psl_match(rule: tuple[str, ...], labels: list[str]) -> bool:
     if len(rule) > len(labels):
@@ -289,6 +315,8 @@ def public_suffix_py(host: str | None, psl: dict | None = None) -> str | None:
     h = host.lower().rstrip(".")
     if not h or _is_ip(h):
         return None
+    if psl is None:
+        _warn_partial_psl()
     psl = psl or _DEFAULT_PSL
     labels = h.split(".")
     # match on the IDNA form of BOTH sides: rule labels were punycoded

@@ -385,6 +385,14 @@ def asof_join(
     rcols = [
         c for c in right.columns if c != on and c not in by and c != tie_col
     ]
+    bad = [c for c in rcols if c in ("__on", "__tie")]
+    if bad:
+        # they would duplicate the payload struct's internal fields
+        # (ambiguous getField on __r) — reject plainly (ADVICE r10)
+        raise ValueError(
+            f"right columns {bad} collide with asof_join's internal "
+            "__on/__tie payload fields — rename them"
+        )
     overlap = [f"{c}{suffix}" for c in rcols if f"{c}{suffix}" in left.columns]
     if "asof_gap" in left.columns or any(
         f"{c}{suffix}" == "asof_gap" for c in rcols
@@ -404,6 +412,16 @@ def asof_join(
             return F.unix_micros(F.col(on).cast("timestamp"))
         if dt == "date":
             return F.unix_date(F.col(on))
+        if dt == "decimal":
+            # a silent double cast would quantize high-precision
+            # decimals exactly like the ns-epoch longs the docstring
+            # warns about — refuse instead (ADVICE r10); the caller
+            # picks the scale and casts to long/double deliberately
+            raise ValueError(
+                f"decimal on-column {on!r}: cast it to long (exact, at "
+                "your chosen scale) or double (accepting quantization) "
+                "before asof_join"
+            )
         return F.col(on).cast("double")
 
     lpay = F.struct(*[F.col(c) for c in left.columns]).alias("__l")

@@ -144,7 +144,15 @@ def compact_parquet(
     recompute, their encoding/stats survive). Returns the report dict
     ``{n_input_files, n_output_files, n_bins, bytes}``. ``dst_path``
     must not already exist (a half-written destination must never be
-    silently appended into)."""
+    silently appended into).
+
+    Atomicity: everything is written into a ``<dst>._compact_tmp``
+    sibling and RENAMED onto ``dst_path`` only after the last copy
+    succeeds, so a mid-run failure leaves no partial destination a
+    retry could mistake for complete output, and the retry itself
+    clears any leftover temp (ADVICE r10). The rename is atomic on
+    local/HDFS; object stores (S3A) fake it with a copy — there,
+    treat the presence of ``dst_path`` itself as the commit marker."""
     plan = plan_compaction(spark, src_path, target_bytes, small_threshold)
     fs, dst, jvm, conf = _fs_and_path(spark, dst_path)
     if fs.exists(dst):
@@ -155,16 +163,20 @@ def compact_parquet(
             "untouched files from different subdirectories share a "
             "basename — flatten the layout first"
         )
-    fs.mkdirs(dst)
+    Path = jvm.org.apache.hadoop.fs.Path
+    tmp_path = dst_path.rstrip("/") + "._compact_tmp"
+    tmp = Path(tmp_path)
+    if fs.exists(tmp):  # a previous attempt died mid-write
+        fs.delete(tmp, True)
+    fs.mkdirs(tmp)
     for members in plan.bins:
         (
             spark.read.parquet(*members)
             .coalesce(1)
             .write.mode("append")
-            .parquet(dst_path)
+            .parquet(tmp_path)
         )
     FileUtil = jvm.org.apache.hadoop.fs.FileUtil
-    Path = jvm.org.apache.hadoop.fs.Path
     for p in plan.untouched:
         sp = Path(p)
         # 7-arg overload: (deleteSource=False, overwrite=False) — the
@@ -172,8 +184,12 @@ def compact_parquet(
         # basename collision with a just-written bin output silently
         # destroy it (self-review r10)
         FileUtil.copy(
-            sp.getFileSystem(conf), sp, fs, Path(dst_path, sp.getName()),
+            sp.getFileSystem(conf), sp, fs, Path(tmp_path, sp.getName()),
             False, False, conf,
+        )
+    if not fs.rename(tmp, dst):
+        raise IOError(
+            f"could not commit {tmp_path} -> {dst_path} (rename failed)"
         )
     n_out = len(list_data_files(spark, dst_path))
     return {

@@ -126,6 +126,26 @@ def test_boundaries(spark, tmp_path):
         [m for ms in plan.bins for m in ms] + plan.untouched
     ) == sorted(p for p, _ in files)
 
+def test_atomic_commit_via_temp(spark, tmp_path):
+    """ADVICE r10: output is staged in <dst>._compact_tmp and renamed
+    on success — a leftover temp from a dead run is cleared by the
+    retry, and no temp survives a successful commit."""
+    src = str(tmp_path / "src")
+    spark.range(600).repartition(6).write.parquet(src)
+    dst = str(tmp_path / "out")
+    tmp = dst + "._compact_tmp"
+    os.makedirs(tmp)  # simulate a previous attempt that died mid-write
+    with open(os.path.join(tmp, "part-junk.parquet"), "wb") as f:
+        f.write(b"half-written garbage")
+    report = compact_parquet(spark, src, dst, target_bytes=1 << 20)
+    assert report["n_output_files"] >= 1
+    assert not os.path.exists(tmp)  # temp cleared and renamed away
+    # the junk did not leak into the committed output
+    assert spark.read.parquet(dst).count() == 600
+    names = {os.path.basename(p) for p, _ in list_data_files(spark, dst)}
+    assert "part-junk.parquet" not in names
+
+
 def test_write_target_sized(spark, tmp_path):
     import pytest as _pytest
 

@@ -284,6 +284,17 @@ def test_asof_join_directions(spark):
         asof_join(lt, rt, "t", tolerance=-1)
     with _pytest.raises(ValueError, match="collide"):
         asof_join(lt.withColumn("px_r", F.lit(1)), rt, "t")
+    # ADVICE r10: a right column literally named __on/__tie would
+    # duplicate the payload struct's internal fields — rejected
+    with _pytest.raises(ValueError, match="__on/__tie"):
+        asof_join(lt, rt.withColumn("__on", F.lit(1)), "t")
+    with _pytest.raises(ValueError, match="__on/__tie"):
+        asof_join(lt, rt.withColumn("__tie", F.lit(1)), "t")
+    # ADVICE r10: a DECIMAL on-column no longer falls through to the
+    # quantizing double cast — it raises with the cast advice
+    ldec = lt.withColumn("t", F.col("t").cast("decimal(20,4)"))
+    with _pytest.raises(ValueError, match="decimal"):
+        asof_join(ldec, rt.withColumn("t", F.col("t").cast("decimal(20,4)")), "t")
 
 
 def test_asof_join_null_on_and_ns_precision(spark):

@@ -201,3 +201,29 @@ def test_psl_idn_unicode_hosts_match_too():
     assert registrable_domain_py(uni, psl) == uni
     # and the punycode twin still matches (both forms, one grain)
     assert registrable_domain_py("foo.xn--55qx5d.cn", psl) == "foo.xn--55qx5d.cn"
+
+
+def test_partial_psl_snapshot_warns_once():
+    """ADVICE r10: the first lookup that falls back to the embedded
+    PARTIAL snapshot warns loudly (wrong-grain site keys otherwise
+    fail silently); an explicit psl never warns, and the warning
+    fires once per process, not per row."""
+    import warnings
+
+    from tableone_pyspark_spark.functions import url as u
+
+    psl = u.load_psl("co.uk\n")
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # any warning would raise
+        assert u.registrable_domain_py("a.b.co.uk", psl) == "b.co.uk"
+
+    u._PSL_PARTIAL_WARNED = False  # fresh process state
+    try:
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            u.registrable_domain_py("a.example.com")
+            u.registrable_domain_py("b.example.com")
+        msgs = [x for x in w if "PARTIAL PSL" in str(x.message)]
+        assert len(msgs) == 1  # once, not per row
+    finally:
+        u._PSL_PARTIAL_WARNED = True  # keep the rest of the suite quiet
