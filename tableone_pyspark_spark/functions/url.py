@@ -128,16 +128,18 @@ def url_host(c: Column) -> Column:
     return kernel(c)
 
 
-def site_key(c: Column) -> Column:
+def site_key(c: Column, psl: dict | None = None) -> Column:
     """URL → PSL registrable domain in ONE Arrow kernel (composing
     ``registrable_domain(url_host(c))`` as two pandas_udfs would pay a
     second full Arrow ser/deser pass over the url column — the
-    ``url_parts`` one-kernel rationale). NULL for garbage/hostless."""
+    ``url_parts`` one-kernel rationale). NULL for garbage/hostless.
+    ``psl``: a :func:`load_psl` result for the full published list
+    (closure-captured; silences the partial-snapshot warning)."""
 
     @F.pandas_udf("string")
     def kernel(s: pd.Series) -> pd.Series:
         return s.map(
-            lambda u: registrable_domain_py(url_host_py(u)),
+            lambda u: registrable_domain_py(url_host_py(u), psl),
             na_action="ignore",
         )
 
@@ -317,7 +319,7 @@ def public_suffix_py(host: str | None, psl: dict | None = None) -> str | None:
         return None
     if psl is None:
         _warn_partial_psl()
-    psl = psl or _DEFAULT_PSL
+        psl = _DEFAULT_PSL
     labels = h.split(".")
     # match on the IDNA form of BOTH sides: rule labels were punycoded
     # at load time, and an IRI host arrives in Unicode (urlsplit keeps
@@ -372,14 +374,20 @@ def registrable_domain_py(
     return ".".join(labels[-(n + 1):])
 
 
-def registrable_domain(c: Column) -> Column:
+def registrable_domain(c: Column, psl: dict | None = None) -> Column:
     """Column form of :func:`registrable_domain_py` — the per-site
     grouping key (politeness, per-site dedup, quota sampling). One
-    Arrow-batched scalar projection over the snapshot rules."""
+    Arrow-batched scalar projection. ``psl`` (a :func:`load_psl`
+    result, closure-captured and shipped with the task — the rule
+    table is broadcast-sized) upgrades from the warned-about partial
+    snapshot; without it the deployment could not act on the warning
+    from the Column API at all (self-review r11)."""
 
     @F.pandas_udf("string")
     def kernel(s: pd.Series) -> pd.Series:
-        return s.map(registrable_domain_py, na_action="ignore")
+        return s.map(
+            lambda h: registrable_domain_py(h, psl), na_action="ignore"
+        )
 
     return kernel(c)
 

@@ -254,6 +254,7 @@ def site_split(
     fractions: dict[str, float],
     salt: str = "site-split-v1",
     split_col: str = "split",
+    psl: dict | None = None,
 ) -> DataFrame:
     """:func:`grouped_split` keyed by the PSL registrable domain of
     ``url_col``'s host (X108, via the one-kernel ``site_key``) — all
@@ -262,12 +263,14 @@ def site_split(
     a.example.co.uk / b.example.co.uk). URLs with no registrable
     domain (IPs, garbage, NULL) fall into the '' group that splits
     together — deliberate: they are exactly the rows whose duplicates
-    can't be attributed to a site."""
+    can't be attributed to a site. ``psl``: pass ``load_psl(full_text)``
+    to split at full published-list grain (else the partial-snapshot
+    warning fires once per worker)."""
     from tableone_pyspark_spark.functions.url import site_key
 
     return grouped_split(
         df,
-        site_key(F.col(url_col)),
+        site_key(F.col(url_col), psl),
         fractions,
         salt=salt,
         split_col=split_col,

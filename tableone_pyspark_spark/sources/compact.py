@@ -166,9 +166,22 @@ def compact_parquet(
     Path = jvm.org.apache.hadoop.fs.Path
     tmp_path = dst_path.rstrip("/") + "._compact_tmp"
     tmp = Path(tmp_path)
-    if fs.exists(tmp):  # a previous attempt died mid-write
+    marker = Path(tmp_path, "._compact_owner")
+    if fs.exists(tmp):
+        # only clear a temp THIS function left behind (the marker is
+        # written first thing below) — never a directory someone else
+        # parked at the reserved name (self-review r11). A live
+        # concurrent run's temp also carries the marker; compaction of
+        # one dataset is single-writer by contract, same as the
+        # dst-exists guard.
+        if not fs.exists(marker):
+            raise ValueError(
+                f"{tmp_path} exists but is not a compact_parquet "
+                "staging directory — refusing to delete it"
+            )
         fs.delete(tmp, True)
     fs.mkdirs(tmp)
+    fs.create(marker, True).close()
     for members in plan.bins:
         (
             spark.read.parquet(*members)
@@ -187,6 +200,7 @@ def compact_parquet(
             sp.getFileSystem(conf), sp, fs, Path(tmp_path, sp.getName()),
             False, False, conf,
         )
+    fs.delete(marker, False)  # bookkeeping only — keep dst clean
     if not fs.rename(tmp, dst):
         raise IOError(
             f"could not commit {tmp_path} -> {dst_path} (rename failed)"

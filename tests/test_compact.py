@@ -134,7 +134,11 @@ def test_atomic_commit_via_temp(spark, tmp_path):
     spark.range(600).repartition(6).write.parquet(src)
     dst = str(tmp_path / "out")
     tmp = dst + "._compact_tmp"
-    os.makedirs(tmp)  # simulate a previous attempt that died mid-write
+    # simulate a previous attempt that died mid-write: OUR temp carries
+    # the owner marker and is cleared by the retry
+    os.makedirs(tmp)
+    with open(os.path.join(tmp, "._compact_owner"), "wb"):
+        pass
     with open(os.path.join(tmp, "part-junk.parquet"), "wb") as f:
         f.write(b"half-written garbage")
     report = compact_parquet(spark, src, dst, target_bytes=1 << 20)
@@ -144,6 +148,19 @@ def test_atomic_commit_via_temp(spark, tmp_path):
     assert spark.read.parquet(dst).count() == 600
     names = {os.path.basename(p) for p, _ in list_data_files(spark, dst)}
     assert "part-junk.parquet" not in names
+    assert not os.path.exists(os.path.join(dst, "._compact_owner"))
+
+    # a directory someone else parked at the reserved name is NEVER
+    # deleted (self-review r11: bound the retry's blast radius to our
+    # own leftovers)
+    dst2 = str(tmp_path / "out2")
+    foreign = dst2 + "._compact_tmp"
+    os.makedirs(foreign)
+    with open(os.path.join(foreign, "precious.txt"), "w") as f:
+        f.write("not ours")
+    with pytest.raises(ValueError, match="refusing to delete"):
+        compact_parquet(spark, src, dst2, target_bytes=1 << 20)
+    assert os.path.exists(os.path.join(foreign, "precious.txt"))
 
 
 def test_write_target_sized(spark, tmp_path):

@@ -167,3 +167,26 @@ def test_quantize_profile_no_shuffle(spark):
     e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     f = plan_facts(sim.quantize_int8_profile(e))
     assert f.n_exchanges == 0  # scan -> project, nothing else
+
+
+def test_label_centroids_numpy_twin(spark):
+    """Differential pin for label_centroids (its graded query was
+    deleted r11 — this numpy twin keeps the row-level evidence): per
+    (label, pos) the centroid equals the plain component mean, long
+    format, every label x dim cell present exactly once."""
+    import numpy as np
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    dim = len(e.first()["embedding"])
+    rows = sim.label_centroids(e, "label", "embedding").collect()
+    got = {(r["label"], r["pos"]): r["centroid"] for r in rows}
+    pdf = e.select("label", "embedding").toPandas()
+    want = {}
+    for lbl, grp in pdf.groupby("label"):
+        m = np.stack(grp["embedding"].to_numpy()).mean(axis=0)
+        for pos in range(dim):
+            want[(lbl, pos)] = round(float(m[pos]), 6)
+    assert set(got) == set(want)
+    assert len(rows) == len(want)  # one row per (label, pos)
+    for k in want:
+        assert abs(got[k] - want[k]) <= 1e-6, k

@@ -227,3 +227,36 @@ def test_partial_psl_snapshot_warns_once():
         assert len(msgs) == 1  # once, not per row
     finally:
         u._PSL_PARTIAL_WARNED = True  # keep the rest of the suite quiet
+
+
+def test_full_psl_threads_through_column_apis(spark):
+    """Self-review r11: the warning's remediation must be actionable
+    from the Column APIs — registrable_domain/site_key/site_split
+    accept a load_psl result and use it (no warning, right grain)."""
+    from tableone_pyspark_spark.functions import url as u
+    from tableone_pyspark_spark.operators.sampling import site_split
+
+    full = u.load_psl("co.uk\nweird.example\n")
+    df = spark.createDataFrame(
+        [(0, "https://a.b.weird.example/x"), (1, "https://c.weird.example/y")],
+        "id long, url string",
+    )
+    got = {
+        r["id"]: r["rd"]
+        for r in df.select(
+            "id", u.site_key(df.url, full).alias("rd")
+        ).collect()
+    }
+    # DISCRIMINATING: under the partial snapshot the default '*' rule
+    # keys both as 'weird.example' (one merged site); the custom rule
+    # makes weird.example a suffix, so the keys are the +1-label
+    # registrables — proof the custom psl actually reached the kernel
+    assert got == {0: "b.weird.example", 1: "c.weird.example"}
+    hosts = spark.createDataFrame(
+        [("a.b.weird.example",)], "h string"
+    ).select(u.registrable_domain(F.col("h"), full).alias("rd"))
+    assert hosts.first()["rd"] == "b.weird.example"
+    out = site_split(
+        df, "url", {"train": 0.5, "test": 0.5}, psl=full
+    ).select("id", "split").collect()
+    assert len(out) == 2  # and the kernel ran with the custom psl
