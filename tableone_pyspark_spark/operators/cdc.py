@@ -98,6 +98,138 @@ def _latest_changes(
     )
 
 
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    keys: list[str],
+    ts,
+    ts_col: str = "ts",
+    op_col: str = "op",
+) -> DataFrame:
+    """The INVERSE of :func:`apply_cdc` — derive the change batch that
+    turns snapshot ``old`` into snapshot ``new``:
+
+        apply_cdc(old, snapshot_diff(old, new, keys, ts), keys) ≡ new
+
+    (the round-trip is pinned in tests). 'I' for keys only in ``new``,
+    'D' for keys only in ``old``, 'U' for keys in both with ANY
+    attribute changed (NULL-safe comparison — NULL→value and
+    value→NULL are changes, NULL→NULL is not); unchanged keys emit
+    nothing, so the batch is exactly the incremental work. ``ts`` is a
+    literal stamped on every change row (one batch = one version).
+
+    This is how a plain-parquet pipeline gets Delta/Iceberg-style
+    incremental propagation: recompute a snapshot, diff against the
+    previous one, and ship only the delta downstream (or feed
+    :func:`scd2_apply` to version it). One keyed full-outer join, no
+    driver-side data.
+
+    NULL key values RAISE mid-plan (both sides): under SQL MERGE join
+    semantics a NULL-keyed old row can never be matched — the
+    round-trip contract would silently break; sentinel NULL keys
+    first. DUPLICATE keys RAISE too (same mechanism): a dup-keyed
+    snapshot makes the full-outer join a cross-product and the
+    round-trip silently false — snapshots are keyed BY DEFINITION,
+    dedup upstream (self-review r11). Both snapshots must share the
+    same columns."""
+    if not keys:
+        raise ValueError("keys must be non-empty")
+    if ts is None:
+        raise ValueError(
+            "ts must not be None — every change row carries the batch "
+            "version; a NULL ts would only fail later, inside apply_cdc "
+            "or a downstream consumer"
+        )
+    for c in (ts_col, op_col):
+        if c in old.columns:
+            raise ValueError(
+                f"snapshot already has a column named {c!r} — pick "
+                "different ts_col/op_col names"
+            )
+    if set(old.columns) != set(new.columns):
+        raise ValueError(
+            "snapshots differ in columns: "
+            f"{sorted(set(old.columns) ^ set(new.columns))}"
+        )
+    attrs = [c for c in old.columns if c not in keys]
+
+    def _guarded(df: DataFrame, side: str, marker: str) -> DataFrame:
+        # the join consumes every key column and the presence marker
+        # drives the op derivation, so neither gate can be
+        # optimizer-pruned (the apply_cdc raise-gate pattern)
+        guarded_keys = [
+            F.when(F.col(c).isNotNull(), F.col(c))
+            .otherwise(
+                F.raise_error(
+                    F.lit(
+                        f"snapshot_diff: NULL key {c!r} in {side} "
+                        "snapshot — NULL keys never match under "
+                        "MERGE semantics; use a sentinel"
+                    )
+                )
+            )
+            .alias(c)
+            for c in keys
+        ]
+        dup = F.count(F.lit(1)).over(Window.partitionBy(*keys))
+        mark = (
+            F.when(dup == 1, F.lit(1))
+            .otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            f"snapshot_diff: duplicate key in {side} "
+                            "snapshot — snapshots are keyed by "
+                            "definition; dedup first: "
+                        ),
+                        F.concat_ws(
+                            "|", *[F.col(c).cast("string") for c in keys]
+                        ),
+                    )
+                )
+            )
+            .alias(marker)
+        )
+        return df.select(*guarded_keys, mark, *attrs)
+
+    o = _guarded(old, "old", "__in_o").select(
+        *keys,
+        "__in_o",
+        *[F.col(a).alias(f"__o_{a}") for a in attrs],
+    )
+    n = _guarded(new, "new", "__in_n").select(
+        *keys,
+        "__in_n",
+        *[F.col(a).alias(f"__n_{a}") for a in attrs],
+    )
+    j = o.join(n, keys, "full_outer")
+    changed = F.lit(False)
+    for a in attrs:
+        changed = changed | ~F.col(f"__o_{a}").eqNullSafe(F.col(f"__n_{a}"))
+    op = (
+        F.when(F.col("__in_o").isNull(), F.lit("I"))
+        .when(F.col("__in_n").isNull(), F.lit("D"))
+        .when(changed, F.lit("U"))
+    )
+    return (
+        j.withColumn(op_col, op)
+        .where(F.col(op_col).isNotNull())
+        .select(
+            *keys,
+            *[
+                # I/U carry the new values, D the old (so a D row is a
+                # faithful tombstone of what was removed)
+                F.when(F.col(op_col) == "D", F.col(f"__o_{a}"))
+                .otherwise(F.col(f"__n_{a}"))
+                .alias(a)
+                for a in attrs
+            ],
+            F.col(op_col),
+            F.lit(ts).alias(ts_col),
+        )
+    )
+
+
 def apply_cdc(
     base: DataFrame,
     changes: DataFrame,

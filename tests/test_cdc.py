@@ -174,3 +174,72 @@ def test_null_ts_raises(frames, spark):
     )
     with pytest.raises(Exception, match="NULL ts"):
         apply_cdc(base, nts, ["id"]).collect()
+
+
+def test_snapshot_diff_round_trip(spark):
+    """snapshot_diff is apply_cdc's inverse: applying the derived
+    batch to old reproduces new exactly — with I, U (incl. NULL-safe
+    value changes), D and untouched rows all present."""
+    from tableone_pyspark_spark.operators.cdc import apply_cdc, snapshot_diff
+
+    old = spark.createDataFrame(
+        [
+            (1, "a", 10.0),       # unchanged
+            (2, "b", 20.0),       # value change -> U
+            (3, None, 30.0),      # NULL -> value -> U
+            (4, "d", 40.0),       # deleted
+            (5, "e", None),       # NULL attr unchanged -> no row
+        ],
+        "k long, s string, v double",
+    )
+    new = spark.createDataFrame(
+        [
+            (1, "a", 10.0),
+            (2, "b", 21.0),
+            (3, "c", 30.0),
+            (5, "e", None),
+            (6, "f", 60.0),       # inserted
+        ],
+        "k long, s string, v double",
+    )
+    d = snapshot_diff(old, new, ["k"], ts=7)
+    ops = {r["k"]: r["op"] for r in d.collect()}
+    assert ops == {2: "U", 3: "U", 4: "D", 6: "I"}
+    assert all(r["ts"] == 7 for r in d.collect())
+    # D rows are tombstones of the OLD values
+    drow = d.where("k = 4").first()
+    assert (drow["s"], drow["v"]) == ("d", 40.0)
+    # round trip
+    applied = apply_cdc(old, d, ["k"], ts_col="ts", op_col="op")
+    assert sorted(map(tuple, applied.collect())) == sorted(
+        map(tuple, new.collect())
+    )
+    # identical snapshots -> empty batch
+    assert snapshot_diff(old, old, ["k"], ts=8).count() == 0
+
+
+def test_snapshot_diff_guards(spark):
+    from pyspark.sql import functions as F
+
+    from tableone_pyspark_spark.operators.cdc import snapshot_diff
+
+    a = spark.createDataFrame([(1, "x")], "k long, s string")
+    with pytest.raises(ValueError, match="keys must be non-empty"):
+        snapshot_diff(a, a, [], ts=1)
+    with pytest.raises(ValueError, match="differ in columns"):
+        snapshot_diff(a, a.withColumnRenamed("s", "t"), ["k"], ts=1)
+    with pytest.raises(ValueError, match="ts_col/op_col"):
+        snapshot_diff(
+            a.withColumn("op", F.lit("x")),
+            a.withColumn("op", F.lit("x")),
+            ["k"],
+            ts=1,
+        )
+    # NULL keys raise mid-plan on EITHER side
+    nk = spark.createDataFrame([(None, "x")], "k long, s string")
+    from pyspark.errors import SparkRuntimeException
+
+    with pytest.raises(SparkRuntimeException, match="NULL key"):
+        snapshot_diff(nk, a, ["k"], ts=1).collect()
+    with pytest.raises(SparkRuntimeException, match="NULL key"):
+        snapshot_diff(a, nk, ["k"], ts=1).collect()
