@@ -506,6 +506,78 @@ def signature_neardup_pairs(
     )
 
 
+def select_representatives(
+    df: DataFrame,
+    clusters: DataFrame,
+    id_col: str,
+    score_col: str | None = None,
+) -> DataFrame:
+    """Keep ONE row per near-dup cluster — the step after
+    :func:`connected_components` every dedup pipeline runs (MinHash/
+    SimHash/fuzzy pairs → components → keep the best member, drop the
+    rest): rows absent from ``clusters`` are singletons and survive
+    unconditionally; within a cluster the row with the greatest
+    ``score_col`` wins (ties → lowest id — deterministic on any
+    engine), or the lowest id itself when no score is given (the
+    canonical min-id representative). Returns ``df``'s surviving rows
+    plus a ``cluster_size`` column (1 for singletons) so downstream
+    mixing can weight by collapsed mass.
+
+    Shape: one left join keyed by id (broadcast when the cluster map
+    is small — it is bounded by rows IN pairs, usually a tiny
+    fraction) and one window over cluster_id — output ≤ input rows,
+    never a pair-shaped intermediate. SQL-replayable (window argmax
+    over graded cluster ids — r12 graded candidate ``cluster_reps``).
+    """
+    from pyspark.sql import Window
+
+    if id_col not in df.columns:
+        raise ValueError(f"{id_col!r} not in df")
+    if score_col is not None and score_col not in df.columns:
+        raise ValueError(f"score_col {score_col!r} not in df")
+    reserved = {"cluster_size", "__cluster", "__rk"}
+    clash = reserved & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"df columns {sorted(clash)} collide with the output/"
+            "internal columns — rename them first"
+        )
+    cl = clusters.select(
+        F.col("id").alias(id_col), F.col("cluster_id").alias("__cluster")
+    )
+    # NULL ids RAISE mid-plan: the fallback cluster key below is the id
+    # itself, so all NULL-id rows would silently collapse into ONE
+    # window partition and lose all but one row (self-review r11; the
+    # snapshot_diff NULL-key convention) — the gate rides the consumed
+    # id column and cannot be pruned
+    guarded = df.withColumn(
+        id_col,
+        F.when(F.col(id_col).isNotNull(), F.col(id_col)).otherwise(
+            F.raise_error(
+                F.lit(
+                    f"select_representatives: NULL {id_col!r} — NULL ids "
+                    "would collapse into one fake cluster; use a sentinel"
+                )
+            )
+        ),
+    )
+    j = guarded.join(cl, id_col, "left").withColumn(
+        "__cluster",
+        # singletons get their own id as the cluster key so ONE window
+        # handles both cases (their partition has exactly one row)
+        F.coalesce(F.col("__cluster"), F.col(id_col)),
+    )
+    order = (
+        [F.col(score_col).desc(), F.col(id_col).asc()]
+        if score_col is not None
+        else [F.col(id_col).asc()]
+    )
+    w = Window.partitionBy("__cluster")
+    j = j.withColumn("__rk", F.row_number().over(w.orderBy(*order)))
+    j = j.withColumn("cluster_size", F.count(F.lit(1)).over(w))
+    return j.where(F.col("__rk") == 1).drop("__cluster", "__rk")
+
+
 def connected_components(
     pairs: DataFrame,
     src: str = "id_a",

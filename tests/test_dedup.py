@@ -252,3 +252,65 @@ def test_paragraph_dedup_identity_when_no_duplicates(spark):
     got = {r["doc_id"]: r["text"] for r in out.collect()}
     assert got == orig
     assert out.where(F.col("n_removed") != 0).count() == 0
+
+
+def test_select_representatives(spark):
+    """Keep-best-per-cluster (X126): score argmax with id tiebreak,
+    singleton passthrough, cluster_size accounting, reserved-name
+    guard."""
+    from tableone_pyspark_spark.operators.dedup import (
+        connected_components,
+        select_representatives,
+    )
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+    )
+    clusters = connected_components(pairs)
+    docs = spark.createDataFrame(
+        [
+            (1, 0.5), (2, 0.9), (3, 0.9),   # cluster {1,2,3}: tie 2 vs 3 -> 2
+            (10, 0.1), (11, 0.8),           # cluster {10,11} -> 11
+            (99, 0.0),                      # singleton, survives
+        ],
+        "doc_id long, q double",
+    )
+    out = select_representatives(docs, clusters, "doc_id", score_col="q")
+    got = {r["doc_id"]: r["cluster_size"] for r in out.collect()}
+    assert got == {2: 3, 11: 2, 99: 1}
+
+    # no score: lowest id per cluster (the canonical min-id rep)
+    out2 = select_representatives(docs, clusters, "doc_id")
+    assert {r["doc_id"] for r in out2.collect()} == {1, 10, 99}
+
+    # all original columns survive + cluster_size appended
+    assert out.columns == ["doc_id", "q", "cluster_size"]
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="collide"):
+        select_representatives(
+            docs.withColumnRenamed("q", "cluster_size"), clusters, "doc_id"
+        )
+    with _pytest.raises(ValueError, match="not in df"):
+        select_representatives(docs, clusters, "nope")
+
+
+def test_select_representatives_null_id_raises(spark):
+    """Self-review r11: NULL ids would collapse into one fake cluster
+    partition and silently lose rows — they raise instead."""
+    import pytest as _pytest
+    from pyspark.errors import SparkRuntimeException
+
+    from tableone_pyspark_spark.operators.dedup import (
+        select_representatives,
+    )
+
+    clusters = spark.createDataFrame([], "id long, cluster_id long")
+    docs = spark.createDataFrame(
+        [(None, 0.5), (None, 0.9)], "doc_id long, q double"
+    )
+    with _pytest.raises(SparkRuntimeException, match="NULL 'doc_id'"):
+        select_representatives(docs, clusters, "doc_id", score_col="q").collect()
+    with _pytest.raises(ValueError, match="score_col"):
+        select_representatives(docs, clusters, "doc_id", score_col="zz")

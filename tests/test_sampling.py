@@ -289,3 +289,126 @@ def test_site_split_groups_by_registrable_domain(spark):
     assert out[1] == out[2] == out[3]
     # unattributable URLs/NULLs form one '' group that stays together
     assert out[5] == out[6]
+
+
+def test_quantile_cuts_fit_apply(spark):
+    """X127 Bucketizer artifact: fitted cuts equal the exact discrete
+    quantiles under the data-mode property (frame << accuracy), apply
+    is the value-semantics count-of-cuts-below fold, NULLs stay NULL,
+    ties land together."""
+    from tableone_pyspark_spark.operators.stats import (
+        apply_quantile_cuts,
+        fit_quantile_cuts,
+    )
+
+    vals = [float(v) for v in [1, 2, 2, 3, 4, 5, 6, 7, 8, 100]]
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(vals)],
+                               "id long, x double")
+    cuts = fit_quantile_cuts(df, "x", n_buckets=4)
+    # data mode: percentile_approx == quantile_disc on 10 rows
+    import math
+
+    def qdisc(p):
+        return sorted(vals)[max(0, math.ceil(p * len(vals)) - 1)]
+
+    assert cuts == [qdisc(0.25), qdisc(0.5), qdisc(0.75)]
+    out = apply_quantile_cuts(
+        df.union(spark.createDataFrame([(99, None)], "id long, x double")),
+        "x", cuts,
+    )
+    got = {r["id"]: r["bucket"] for r in out.collect()}
+    # bucket = #cuts strictly below x: ties at a cut land together
+    for i, v in enumerate(vals):
+        assert got[i] == sum(1 for c in cuts if v > c), (v, cuts)
+    assert got[99] is None
+    # exact mode returns interpolated quantiles, still non-decreasing
+    e = fit_quantile_cuts(df, "x", n_buckets=4, exact=True)
+    assert all(a <= b for a, b in zip(e, e[1:]))
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="n_buckets"):
+        fit_quantile_cuts(df, "x", 1)
+    with _pytest.raises(ValueError, match="no non-null"):
+        fit_quantile_cuts(
+            spark.createDataFrame([], "id long, x double"), "x", 4
+        )
+    with _pytest.raises(ValueError, match="non-decreasing"):
+        apply_quantile_cuts(df, "x", [2.0, 1.0])
+    with _pytest.raises(ValueError, match="already in df"):
+        apply_quantile_cuts(df.withColumnRenamed("id", "bucket"), "x", [1.0])
+    with _pytest.raises(ValueError, match="non-empty"):
+        apply_quantile_cuts(df, "x", [])
+
+
+def test_temporal_split_embargo(spark):
+    """X128 purged temporal split: strict train/embargo/test bands,
+    NULL ts -> 'unknown' (never silently train), zero-embargo
+    degenerate case, validation."""
+    from tableone_pyspark_spark.operators.sampling import temporal_split
+
+    rows = [
+        (1, "2024-02-28 23:59:59"),
+        (2, "2024-03-01 00:00:00"),   # exactly at the cut -> embargo
+        (3, "2024-03-01 11:59:59"),   # inside the gap
+        (4, "2024-03-01 12:00:00"),   # exactly at cut+embargo -> test
+        (5, "2024-03-02 00:00:00"),
+        (6, None),
+    ]
+    df = spark.createDataFrame(rows, "id long, ts string")
+    out = temporal_split(
+        df, "ts", "2024-03-01 00:00:00", embargo_seconds=12 * 3600
+    )
+    got = {r["id"]: r["split"] for r in out.collect()}
+    assert got == {1: "train", 2: "embargo", 3: "embargo",
+                   4: "test", 5: "test", 6: "unknown"}
+    # zero embargo: the cut row goes straight to test
+    z = temporal_split(df, "ts", "2024-03-01 00:00:00")
+    assert {r["id"]: r["split"] for r in z.collect()}[2] == "test"
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="embargo_seconds"):
+        temporal_split(df, "ts", "2024-03-01", embargo_seconds=-1)
+    with _pytest.raises(ValueError, match="already in df"):
+        temporal_split(df.withColumnRenamed("id", "split"), "ts", "2024-03-01")
+
+
+def test_temporal_split_garbage_and_nan_cuts(spark):
+    """Self-review r11 pins: (a) unparseable ts strings label
+    'unknown' instead of crashing the ANSI cast; (b) a bad split_at
+    fails eagerly; (c) NaN never enters fitted cuts and NaN values
+    bucket to NULL, not bucket 0."""
+    import math
+
+    import pytest as _pytest
+
+    from tableone_pyspark_spark.operators.sampling import temporal_split
+    from tableone_pyspark_spark.operators.stats import (
+        apply_quantile_cuts,
+        fit_quantile_cuts,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00"), (2, "not-a-date")],
+        "id long, ts string",
+    )
+    got = {r["id"]: r["split"]
+           for r in temporal_split(df, "ts", "2024-03-01").collect()}
+    assert got == {1: "train", 2: "unknown"}
+    with _pytest.raises(ValueError, match="ISO timestamp"):
+        temporal_split(df, "ts", "next tuesday")
+
+    nan = float("nan")
+    dfn = spark.createDataFrame(
+        [(i, v) for i, v in enumerate([1.0, 2.0, 3.0, nan, nan, nan, nan])],
+        "id long, x double",
+    )
+    cuts = fit_quantile_cuts(dfn, "x", n_buckets=4)
+    assert all(math.isfinite(c) for c in cuts)  # NaN never fitted
+    out = {r["id"]: r["bucket"]
+           for r in apply_quantile_cuts(dfn, "x", cuts).collect()}
+    assert out[3] is None and out[4] is None  # NaN -> NULL, not bucket 0
+    assert out[0] == 0 and out[2] == sum(1 for c in cuts if 3.0 > c)
+    with _pytest.raises(ValueError, match="finite"):
+        apply_quantile_cuts(dfn, "x", [nan, 2.0])

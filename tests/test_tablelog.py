@@ -1,0 +1,138 @@
+"""Versioned parquet tables (sources/tablelog.py): commit/append/
+overwrite semantics, time travel, history, CDC apply composition,
+schema-evolution refusal, commit-conflict exclusivity, empty-version
+reads."""
+
+from __future__ import annotations
+
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from tableone_pyspark_spark.sources import tablelog as tl
+
+
+def test_append_overwrite_time_travel(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    assert tl.current_version(spark, t) is None
+    assert tl.history(spark, t) == []
+
+    tl.commit(spark, spark.range(0, 10), t)                 # v0
+    tl.commit(spark, spark.range(10, 30), t, mode="append")  # v1
+    tl.commit(spark, spark.range(100, 103), t, mode="overwrite")  # v2
+    assert tl.current_version(spark, t) == 2
+
+    assert tl.read_version(spark, t, 0).count() == 10
+    assert tl.read_version(spark, t, 1).count() == 30  # v0 files + v1 files
+    got = sorted(r["id"] for r in tl.read_version(spark, t).collect())
+    assert got == [100, 101, 102]
+
+    h = tl.history(spark, t)
+    assert [x["version"] for x in h] == [0, 1, 2]
+    assert [x["mode"] for x in h] == ["append", "append", "overwrite"]
+    # append keeps the old files live; overwrite resets the live set
+    assert h[1]["n_files"] > h[0]["n_files"] >= 1
+
+    with pytest.raises(ValueError, match="version 9"):
+        tl.read_version(spark, t, 9)
+    with pytest.raises(ValueError, match="no such versioned table"):
+        tl.read_version(spark, str(tmp_path / "missing"))
+
+
+def test_schema_evolution_refused(spark, tmp_path):
+    t = str(tmp_path / "tbl2")
+    tl.commit(spark, spark.range(5), t)
+    widened = spark.range(5).withColumn("extra", F.lit("x"))
+    with pytest.raises(ValueError, match="schema"):
+        tl.commit(spark, widened, t, mode="append")
+    # overwrite MAY change the schema (it replaces the live set)
+    tl.commit(spark, widened, t, mode="overwrite")
+    assert tl.read_version(spark, t).columns == ["id", "extra"]
+    # and time travel still reads the OLD schema
+    assert tl.read_version(spark, t, 0).columns == ["id"]
+
+
+def test_commit_conflict_exactly_one_winner(spark, tmp_path):
+    t = str(tmp_path / "tbl3")
+    tl.commit(spark, spark.range(3), t)  # v0
+    # the race window is BETWEEN reading current_version and
+    # publishing v{N+1}: simulate the interleaving by publishing the
+    # racer's v1 doc first, then driving the loser's publish of the
+    # same slot directly (commit() would re-read and target v2)
+    schema = spark.range(1).schema.json()
+    tl._publish(spark, t, 1, [], "append", schema)  # the racer wins
+    with pytest.raises(tl.CommitConflict):
+        tl._publish(spark, t, 1, [], "overwrite", schema)
+    # the loser corrupted nothing: v1 is the racer's doc, log parses,
+    # and no orphaned temp file remains in the log dir
+    assert tl.current_version(spark, t) == 1
+    assert tl.read_version(spark, t, 0).count() == 3
+    import os
+
+    leftovers = [
+        f for f in os.listdir(tmp_path / "tbl3" / "_log")
+        if f.endswith(".tmp")
+    ]
+    assert leftovers == []
+    # and a retry (the documented loser path) lands on the next slot
+    tl.commit(spark, spark.range(7), t, mode="overwrite")
+    assert tl.current_version(spark, t) == 2
+    assert tl.read_version(spark, t).count() == 7
+
+
+def test_empty_version_keeps_schema(spark, tmp_path):
+    t = str(tmp_path / "tbl4")
+    tl.commit(spark, spark.range(3), t)
+    empty = spark.createDataFrame([], "id long")
+    tl.commit(spark, empty, t, mode="overwrite")
+    out = tl.read_version(spark, t)
+    assert out.count() == 0 and out.columns == ["id"]
+
+
+def test_apply_changes_merges(spark, tmp_path):
+    from tableone_pyspark_spark.operators.cdc import snapshot_diff
+
+    t = str(tmp_path / "tbl5")
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k long, s string"
+    )
+    tl.commit(spark, base, t)
+    target = spark.createDataFrame(
+        [(1, "a"), (2, "B"), (4, "d")], "k long, s string"
+    )
+    # snapshot_diff -> apply_changes: table-to-table incremental sync
+    tl.apply_changes(
+        spark, t, snapshot_diff(base, target, ["k"], ts=1), ["k"]
+    )
+    got = sorted(map(tuple, tl.read_version(spark, t).collect()))
+    assert got == [(1, "a"), (2, "B"), (4, "d")]
+    # and v0 is still the original (time travel across a merge)
+    assert sorted(map(tuple, tl.read_version(spark, t, 0).collect())) == [
+        (1, "a"), (2, "b"), (3, "c")
+    ]
+
+
+def test_validation(spark, tmp_path):
+    with pytest.raises(ValueError, match="mode"):
+        tl.commit(spark, spark.range(1), str(tmp_path / "x"), mode="merge")
+
+
+def test_self_append_and_lost_update_guard(spark, tmp_path):
+    """Self-review r11: (a) appending a table's own read_version
+    output must not be refused on parquet's nullability widening;
+    (b) a read-modify-write pinned to expected_base raises
+    CommitConflict when the table moved underneath it."""
+    t = str(tmp_path / "tbl6")
+    tl.commit(spark, spark.range(5), t)                       # v0
+    tl.commit(spark, tl.read_version(spark, t), t, mode="append")  # v1
+    assert tl.read_version(spark, t).count() == 10
+
+    # writer A derives from v1; writer B commits v2 in between;
+    # A's pinned commit must CONFLICT, not clobber B
+    base = tl.current_version(spark, t)
+    tl.commit(spark, spark.range(100, 101), t, mode="append")  # B -> v2
+    with pytest.raises(tl.CommitConflict, match="moved"):
+        tl.commit(spark, spark.range(7), t, mode="overwrite",
+                  expected_base=base)
+    assert tl.read_version(spark, t).count() == 11  # B's row survives
