@@ -255,6 +255,72 @@ def history(spark: SparkSession, table: str) -> list[dict]:
     return out
 
 
+def vacuum(
+    spark: SparkSession,
+    table: str,
+    keep_last: int = 2,
+    min_age_seconds: float = 24 * 3600,
+) -> dict:
+    """Delete data files no version in the kept window references —
+    the storage-reclaim half (closing the module's documented
+    boundary): the live set is the union of the last ``keep_last``
+    versions' file lists; anything else under ``data/`` older than
+    ``min_age_seconds`` is deleted. That age guard is LOAD-BEARING,
+    not a nicety: a concurrent commit writes its data directory
+    BEFORE publishing its version doc, so a zero-age vacuum could
+    delete an in-flight commit's files (the Delta retention rationale
+    — lower it only when no writer can be active). After a vacuum,
+    time travel reaches only the kept window; older version docs stay
+    in the log as history but their reads fail on missing files.
+    Driver-side metadata work + per-file deletes; returns
+    ``{n_deleted, n_kept, kept_versions}``."""
+    if keep_last < 1:
+        raise ValueError(f"keep_last must be >= 1, got {keep_last}")
+    if min_age_seconds < 0:
+        raise ValueError(
+            f"min_age_seconds must be >= 0, got {min_age_seconds}"
+        )
+    cur = current_version(spark, table)
+    if cur is None:
+        raise ValueError(f"no such versioned table: {table}")
+    kept = list(range(max(0, cur - keep_last + 1), cur + 1))
+    live: set[str] = set()
+    for v in kept:
+        live.update(_version_doc(spark, table, v)["files"])
+    fs, _ = _fs(spark, table)
+    data_root = _path(spark, f"{table}/data")
+    cutoff_ms = (time.time() - min_age_seconds) * 1000.0
+    n_deleted = 0
+    if fs.exists(data_root):
+        stack = [data_root]
+        files = []
+        while stack:
+            cur_p = stack.pop()
+            for st in fs.listStatus(cur_p):
+                if st.isDirectory():
+                    stack.append(st.getPath())
+                elif not st.getPath().getName().startswith(("_", ".")):
+                    # bookkeeping files (_SUCCESS, .crc) are exempt:
+                    # they are never in any version's file list, so an
+                    # unfiltered walk would strip them from LIVE dirs
+                    files.append(st)
+        for st in files:
+            p = st.getPath().toString()
+            if p in live or st.getModificationTime() > cutoff_ms:
+                continue
+            fs.delete(st.getPath(), False)
+            n_deleted += 1
+        # sweep now-empty commit directories (bookkeeping only)
+        for st in fs.listStatus(data_root):
+            if st.isDirectory() and len(fs.listStatus(st.getPath())) == 0:
+                fs.delete(st.getPath(), True)
+    return {
+        "n_deleted": n_deleted,
+        "n_kept": len(live),
+        "kept_versions": kept,
+    }
+
+
 def apply_changes(
     spark: SparkSession,
     table: str,

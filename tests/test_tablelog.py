@@ -136,3 +136,45 @@ def test_self_append_and_lost_update_guard(spark, tmp_path):
         tl.commit(spark, spark.range(7), t, mode="overwrite",
                   expected_base=base)
     assert tl.read_version(spark, t).count() == 11  # B's row survives
+
+
+def test_vacuum(spark, tmp_path):
+    """Storage reclaim: files outside the kept window (and orphaned
+    loser data dirs) are deleted once old enough; live files,
+    bookkeeping files, and YOUNG orphans (possible in-flight commits)
+    survive; time travel works inside the kept window and fails
+    loudly outside it."""
+    import os
+
+    t = str(tmp_path / "tblv")
+    tl.commit(spark, spark.range(10), t)                        # v0
+    tl.commit(spark, spark.range(20, 25), t, mode="overwrite")  # v1
+    tl.commit(spark, spark.range(30, 33), t, mode="overwrite")  # v2
+    # an orphaned loser dir (commit that never published)
+    orphan = tmp_path / "tblv" / "data" / "deadbeef"
+    os.makedirs(orphan)
+    with open(orphan / "part-x.parquet", "wb") as f:
+        f.write(b"loser bytes")
+
+    # young orphan + v0 files survive a vacuum with a large min_age
+    rep = tl.vacuum(spark, t, keep_last=2, min_age_seconds=3600)
+    assert rep["n_deleted"] == 0
+    assert os.path.exists(orphan / "part-x.parquet")
+
+    rep = tl.vacuum(spark, t, keep_last=2, min_age_seconds=0)
+    assert rep["kept_versions"] == [1, 2]
+    assert rep["n_deleted"] >= 2  # v0's file(s) + the orphan
+    assert not os.path.exists(orphan / "part-x.parquet")
+    # kept window reads fine; outside it fails loudly, not wrongly
+    assert sorted(r["id"] for r in tl.read_version(spark, t, 1).collect()) \
+        == [20, 21, 22, 23, 24]
+    assert tl.read_version(spark, t).count() == 3
+    with pytest.raises(Exception):
+        tl.read_version(spark, t, 0).collect()
+    # history survives as an audit trail
+    assert [h["version"] for h in tl.history(spark, t)] == [0, 1, 2]
+
+    with pytest.raises(ValueError, match="keep_last"):
+        tl.vacuum(spark, t, keep_last=0)
+    with pytest.raises(ValueError, match="min_age"):
+        tl.vacuum(spark, t, min_age_seconds=-1)
