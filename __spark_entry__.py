@@ -2355,19 +2355,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # 8-hex md5 prefixes where consecutive key pairs share a base
         # and the odd member takes 1-2 deterministic substitutions, so
         # planted dist-1/dist-2 pairs ride on top of random cross
-        # pairs. 7 500 distinct keys / 3 790 pairs at sf0.01.
+        # pairs. Keys are 16 hex chars: at k=2 the three even segments
+        # are 5-6 chars, so the blocking key space (16^5 ≈ 1M) exceeds
+        # any SF's key count — candidates stay ~linear (the 8-char
+        # first cut had 2-char segments → 256-value space → candidates
+        # ~n²/256 and 40 s at sf0.1; bench-audit fix r11). 3 750
+        # distinct keys / 1 875 pairs at sf0.01.
         from tableone_pyspark_spark.operators.fuzzy import fuzzy_dedup_pairs
 
         o = _load(spark, sf_dir, "orders").where(
-            F.col("o_orderkey") % 4 < 2
+            F.col("o_orderkey") % 8 < 2
         )
         k = F.col("o_orderkey")
-        base = F.substring(F.md5((k - k % 2).cast("string")), 1, 8)
-        p1 = (k % 7 + 1).cast("int")
+        base = F.substring(F.md5((k - k % 2).cast("string")), 1, 16)
+        p1 = (k % 13 + 1).cast("int")
         s1 = F.when(
             k % 2 == 1, F.overlay(base, F.lit("z"), p1, F.lit(1))
         ).otherwise(base)
-        p2 = ((k * 3) % 7 + 1).cast("int")
+        p2 = ((k * 5) % 13 + 1).cast("int")
         s2 = F.when(
             k % 6 == 1, F.overlay(s1, F.lit("q"), p2, F.lit(1))
         ).otherwise(s1)
@@ -4859,12 +4864,12 @@ def oracle_sql() -> dict[str, str]:
     # substr(md5(even base), 1, 8) with deterministic 'z'/'q'
     # substitutions on the odd members. ---------------------------------
     o["fuzzy_pairs"] = (
-        "WITH ks AS (SELECT o_orderkey AS k FROM orders WHERE o_orderkey % 4 < 2), "
-        "b AS (SELECT k, substr(md5(CAST(k - (k % 2) AS VARCHAR)), 1, 8) AS s FROM ks), "
-        "e1 AS (SELECT k, CASE WHEN k % 2 = 1 THEN substr(s, 1, CAST(k % 7 AS INT)) "
-        "|| 'z' || substr(s, CAST(k % 7 AS INT) + 2) ELSE s END AS s FROM b), "
-        "e2 AS (SELECT k, CASE WHEN k % 6 = 1 THEN substr(s, 1, CAST((k*3) % 7 AS INT)) "
-        "|| 'q' || substr(s, CAST((k*3) % 7 AS INT) + 2) ELSE s END AS s FROM e1) "
+        "WITH ks AS (SELECT o_orderkey AS k FROM orders WHERE o_orderkey % 8 < 2), "
+        "b AS (SELECT k, substr(md5(CAST(k - (k % 2) AS VARCHAR)), 1, 16) AS s FROM ks), "
+        "e1 AS (SELECT k, CASE WHEN k % 2 = 1 THEN substr(s, 1, CAST(k % 13 AS INT)) "
+        "|| 'z' || substr(s, CAST(k % 13 AS INT) + 2) ELSE s END AS s FROM b), "
+        "e2 AS (SELECT k, CASE WHEN k % 6 = 1 THEN substr(s, 1, CAST((k*5) % 13 AS INT)) "
+        "|| 'q' || substr(s, CAST((k*5) % 13 AS INT) + 2) ELSE s END AS s FROM e1) "
         "SELECT a.k AS id_a, b.k AS id_b, CAST(levenshtein(a.s, b.s) AS INT) AS dist "
         "FROM e2 a JOIN e2 b ON a.k < b.k WHERE levenshtein(a.s, b.s) <= 2"
     )
