@@ -143,6 +143,66 @@ def main() -> None:
     timed("apply_cdc 1x", lambda: cdc(orders))
     timed("apply_cdc 10x", lambda: cdc(x10(orders, "o_orderkey")))
 
+    # ---- snapshot_diff (keyed full-outer + NULL-safe compare) ----------
+    from tableone_pyspark_spark.operators.cdc import snapshot_diff
+
+    def diff(base):
+        newer = base.where(F.col("o_orderkey") % 5 != 0)
+        return snapshot_diff(base, newer, ["o_orderkey"], ts=1).count()
+
+    timed("snapshot_diff 1x", lambda: diff(orders))
+    timed("snapshot_diff 10x", lambda: diff(x10(orders, "o_orderkey")))
+
+    # ---- PCA: exact full-corpus fit + map-side projection --------------
+    # embeddings are 500 rows at every SF — scale via re-keyed union
+    # (100x = 50k vectors x 64 dims; the exchange must stay
+    # partitions x (d^2+d+1) scalars)
+    from tableone_pyspark_spark.operators.pca import fit_pca, pca_project
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+
+    def x_n(df, n):
+        parts = [
+            df.withColumn("vec_id", F.col("vec_id") + F.lit(k * 1_000_000))
+            for k in range(n)
+        ]
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.union(p)
+        return out
+
+    e10 = x_n(emb, 10)
+    e100 = x_n(emb, 100)
+
+    def pca_run(src):
+        m = fit_pca(src, k=16, exact=True)
+        return pca_project(src, m, whiten=True).count()
+
+    timed("pca exact fit+project 10x (5k vecs)", lambda: pca_run(e10))
+    timed("pca exact fit+project 100x (50k vecs)", lambda: pca_run(e100))
+
+    # ---- cluster representatives (join + shared-key windows) -----------
+    from tableone_pyspark_spark.operators.dedup import (
+        select_representatives,
+    )
+
+    def reps(base):
+        # synthetic clusters: every 10 consecutive ids are one cluster
+        ids = base.select(F.col("o_orderkey").alias("id"))
+        cl = ids.select(
+            "id", (F.col("id") - F.col("id") % 10).alias("cluster_id")
+        )
+        return select_representatives(
+            base.withColumnRenamed("o_orderkey", "id"), cl, "id",
+            score_col="o_totalprice",
+        ).count()
+
+    timed("select_representatives 1x", lambda: reps(orders))
+    timed(
+        "select_representatives 10x",
+        lambda: reps(x10(orders, "o_orderkey")),
+    )
+
     shutil.rmtree(root, ignore_errors=True)
 
 
