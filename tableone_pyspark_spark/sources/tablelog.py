@@ -25,12 +25,15 @@ travel, and an auditable history without a table-format dependency.
 Scale story: ALL bookkeeping is driver-side and metadata-sized (file
 path lists in JSON); data moves executor-side through ordinary
 parquet jobs. The log is append-only, so `history` and `read_version`
-never race a writer. What this deliberately does NOT do (honest
-boundary vs real Delta/Iceberg): no schema evolution (appends must
-match — checked), no file-level statistics pruning beyond parquet's
-own footers, no vacuum (orphaned loser-dirs are left for an external
-janitor), and CREATE-exclusive publishing is atomic on local/HDFS
-while object stores need their conditional-put equivalent.
+never race a writer. :func:`vacuum` reclaims files outside the kept
+window (including orphaned loser-dirs) behind a load-bearing min-age
+guard; :func:`streaming_commit` appends micro-batches exactly-once
+(per-(table, stream) batch-id watermark). What this deliberately does
+NOT do (honest boundary vs real Delta/Iceberg): no schema evolution
+(appends must match — checked), no file-level statistics pruning
+beyond parquet's own footers, and CREATE-exclusive publishing is
+atomic on local/HDFS while object stores need their conditional-put
+equivalent.
 
 No counterpart in the reference repo; completes the storage family
 (write_table / bucketing / z-order / compaction / CDC / snapshot
@@ -122,6 +125,8 @@ def _publish(
     files: list[str],
     mode: str,
     schema_json: str,
+    batch_id: int | None = None,
+    stream_id: str | None = None,
 ) -> dict:
     """CREATE-exclusive publish of v{version}.json: exactly one of two
     racing writers can create the file (overwrite=False), the other
@@ -136,6 +141,10 @@ def _publish(
         "schema": schema_json,
         "committed_at": time.time(),
     }
+    if batch_id is not None:
+        doc["batch_id"] = batch_id
+    if stream_id is not None:
+        doc["stream_id"] = stream_id
     target = _path(spark, f"{table}/_log/v{version}.json")
     tmp = _path(spark, f"{table}/_log/.v{version}.{uuid.uuid4().hex}.tmp")
     stream = fs.create(tmp, False)
@@ -171,6 +180,8 @@ def commit(
     table: str,
     mode: str = "append",
     expected_base: int | None = None,
+    batch_id: int | None = None,
+    stream_id: str | None = None,
 ) -> dict:
     """Write ``df`` as the table's next version. ``append`` keeps the
     previous version's files live alongside the new ones;
@@ -208,7 +219,8 @@ def commit(
     new_files = _list_parquet(spark, data_dir)
     version = 0 if prev is None else prev + 1
     return _publish(
-        spark, table, version, prev_files + new_files, mode, schema_json
+        spark, table, version, prev_files + new_files, mode, schema_json,
+        batch_id=batch_id, stream_id=stream_id,
     )
 
 
@@ -253,6 +265,73 @@ def history(spark: SparkSession, table: str) -> list[dict]:
             }
         )
     return out
+
+
+def last_committed_batch(
+    spark: SparkSession, table: str, stream_id: str
+) -> int | None:
+    """Greatest ``batch_id`` committed BY THIS STREAM (identified by
+    ``stream_id`` — batch ids are only monotone within one checkpoint,
+    so a watermark without stream identity would silently drop the
+    first batches of any fresh-checkpoint restart; the Delta
+    txnAppId+txnVersion pairing, self-review r11). Scans the log
+    NEWEST-FIRST and stops at this stream's first match — streaming
+    commits are monotone in version order, so that match IS the
+    maximum and the per-batch cost is O(commits by others since this
+    stream's last), not O(all versions)."""
+    cur = current_version(spark, table)
+    if cur is None:
+        return None
+    for v in range(cur, -1, -1):
+        doc = _version_doc(spark, table, v)
+        if doc.get("stream_id") == stream_id and "batch_id" in doc:
+            return doc["batch_id"]
+    return None
+
+
+def streaming_commit(stream: DataFrame, table: str, checkpoint: str):
+    """``writeStream`` sink appending each micro-batch as a table
+    version with EXACTLY-ONCE semantics (the Delta ``txnVersion``
+    idea): Structured Streaming replays a failed micro-batch under the
+    SAME ``batch_id``, so the sink skips any batch at or below the
+    greatest batch_id already recorded in a version doc — a commit
+    that succeeded but whose checkpoint write was lost is NOT applied
+    twice. A :class:`CommitConflict` from a concurrent writer fails
+    the batch; the stream's retry re-reads and lands on the next slot.
+    Returns the CONFIGURED ``DataStreamWriter`` — the caller picks the
+    trigger and starts it (``.trigger(availableNow=True).start()`` for
+    a drain-and-stop backfill, plain ``.start()`` for continuous).
+
+    The watermark is scoped to a ``stream_id`` (default: the
+    checkpoint path) — batch ids are only meaningful within ONE
+    checkpoint, so a restart on a fresh checkpoint gets a fresh
+    watermark instead of silently dropping every batch up to the old
+    one (the Delta txnAppId+txnVersion pairing; self-review r11).
+    One ACTIVE stream per (table, stream_id)."""
+    writer = (
+        stream.writeStream.foreachBatch(
+            _exactly_once_sink(table, checkpoint)
+        ).option("checkpointLocation", checkpoint)
+    )
+    return writer
+
+
+def _exactly_once_sink(table: str, stream_id: str):
+    """The foreachBatch body, exposed so the crash-replay contract is
+    directly testable: re-invoking with an already-committed batch_id
+    of the SAME stream is a no-op."""
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        last = last_committed_batch(spark, table, stream_id)
+        if last is not None and batch_id <= last:
+            return  # replayed micro-batch, already durable
+        commit(
+            spark, batch_df, table, mode="append",
+            batch_id=batch_id, stream_id=stream_id,
+        )
+
+    return sink
 
 
 def vacuum(

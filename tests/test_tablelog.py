@@ -178,3 +178,49 @@ def test_vacuum(spark, tmp_path):
         tl.vacuum(spark, t, keep_last=0)
     with pytest.raises(ValueError, match="min_age"):
         tl.vacuum(spark, t, min_age_seconds=-1)
+
+
+def test_streaming_commit_exactly_once(spark, tmp_path):
+    """X129: a real availableNow stream lands as appended versions;
+    the sink re-invoked with an already-committed batch_id (the
+    crash-replay path) is a no-op, a fresh id commits, and manual
+    commits never disturb the watermark."""
+    from tableone_pyspark_spark.sources.tablelog import _exactly_once_sink
+    from tableone_pyspark_spark.sources.testdata import events_stream
+
+    t = str(tmp_path / "stream_tbl")
+    ck = str(tmp_path / "ck")
+    stream = events_stream(spark, "/root/testdata/sf0.001").select(
+        "event_id", "event_type", "value"
+    )
+    q = tl.streaming_commit(stream, t, ck).trigger(availableNow=True).start()
+    q.awaitTermination()
+    n0 = tl.read_version(spark, t).count()
+    assert n0 == 1000  # the sf0.001 events corpus
+    v0 = tl.current_version(spark, t)
+    last = tl.last_committed_batch(spark, t, ck)
+    assert last is not None and last >= 0
+    # a DIFFERENT stream_id (fresh checkpoint) has its own watermark —
+    # its batch 0 must NOT be suppressed by this stream's history
+    assert tl.last_committed_batch(spark, t, "other-checkpoint") is None
+
+    sink = _exactly_once_sink(t, ck)
+    batch = spark.createDataFrame(
+        [(10**9, "replay", 1.0)],
+        "event_id long, event_type string, value double",
+    )
+    # crash-replay: an already-committed batch_id is skipped entirely
+    sink(batch, last)
+    assert tl.current_version(spark, t) == v0
+    assert tl.read_version(spark, t).count() == n0
+    # a fresh batch id commits and advances the watermark
+    sink(batch, last + 1)
+    assert tl.last_committed_batch(spark, t, ck) == last + 1
+    assert tl.read_version(spark, t).count() == n0 + 1
+    # a manual (non-streaming) commit never disturbs the watermark
+    tl.commit(
+        spark, batch.withColumn("event_id", batch.event_id + 1), t,
+        mode="append",
+    )
+    assert tl.last_committed_batch(spark, t, ck) == last + 1
+    assert tl.read_version(spark, t).count() == n0 + 2
