@@ -47,6 +47,7 @@ import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 class CommitConflict(Exception):
@@ -332,6 +333,109 @@ def _exactly_once_sink(table: str, stream_id: str):
         )
 
     return sink
+
+
+def table_changes(
+    spark: SparkSession,
+    table: str,
+    from_version: int,
+    to_version: int | None = None,
+    keys: list[str] | None = None,
+    op_col: str = "op",
+    version_col: str = "commit_version",
+) -> DataFrame:
+    """Change data feed (Delta CDF's ``table_changes``): every row
+    change between ``from_version`` (exclusive) and ``to_version``
+    (inclusive, default latest) with an op and the commit version —
+    what an incremental downstream consumer reads instead of
+    re-scanning snapshots.
+
+        append commit    : its NEW files read directly, op 'I' — no
+                           diff computation at all (the common path)
+        overwrite commit : ``snapshot_diff`` of the two adjacent
+                           versions (requires ``keys``; without them
+                           an overwrite version raises — there is no
+                           row identity to diff by)
+
+    Returns the union across the version range, ordered by nothing
+    (group by ``version_col`` downstream; the per-version chained
+    union collapses to one flat Union via CombineUnions — N footer
+    reads, not an N-deep plan). Vacuumed versions inside the range
+    fail on missing files — consume changes before reclaiming.
+    ``op_col``/``version_col`` must not collide with the table's own
+    columns (checked per version — an append-path withColumn would
+    otherwise silently overwrite real data)."""
+    cur = current_version(spark, table)
+    if cur is None:
+        raise ValueError(f"no such versioned table: {table}")
+    hi = cur if to_version is None else to_version
+    if not 0 <= from_version <= hi <= cur:
+        raise ValueError(
+            f"version range [{from_version}, {hi}] not within [0, {cur}]"
+        )
+    out = None
+    prev_doc = None  # carried across iterations — one read per doc
+    for v in range(from_version + 1, hi + 1):
+        doc = _version_doc(spark, table, v)
+        clash = {op_col, version_col} & {
+            name for name, _ in _schema_shape(doc["schema"])
+        }
+        if clash:
+            raise ValueError(
+                f"version {v}'s columns collide with the feed's output "
+                f"columns {sorted(clash)} — pass different "
+                "op_col/version_col names"
+            )
+        if doc["mode"] == "append":
+            if prev_doc is None:
+                prev_doc = _version_doc(spark, table, v - 1)
+            prev_files = set(prev_doc["files"])
+            new_files = [f for f in doc["files"] if f not in prev_files]
+            if not new_files:
+                prev_doc = doc
+                continue
+            ch = spark.read.parquet(*new_files).withColumn(
+                op_col, F.lit("I")
+            )
+        else:
+            if not keys:
+                raise ValueError(
+                    f"version {v} is an overwrite — diffing it needs "
+                    "the key columns (keys=...)"
+                )
+            from tableone_pyspark_spark.operators.cdc import snapshot_diff
+
+            # the reserved internal ts name keeps tables that OWN a
+            # 'ts' column diffable (self-review r11); snapshot_diff
+            # still raises loudly on the astronomically-unlikely
+            # __cdf_ts collision
+            ch = snapshot_diff(
+                read_version(spark, table, v - 1),
+                read_version(spark, table, v),
+                keys,
+                ts=v,
+                ts_col="__cdf_ts",
+                op_col=op_col,
+            ).drop("__cdf_ts")
+        prev_doc = doc
+        ch = ch.withColumn(version_col, F.lit(v))
+        out = ch if out is None else out.unionByName(ch)
+    if out is None:
+        # an empty range (or all-empty appends): an empty frame with
+        # the range-end version's STORED schema — never a data-file
+        # read, so this works even after the range was vacuumed
+        # (self-review r11)
+        from pyspark.sql.types import StructType
+
+        st = StructType.fromJson(
+            json.loads(_version_doc(spark, table, hi)["schema"])
+        )
+        return (
+            spark.createDataFrame([], st)
+            .withColumn(op_col, F.lit("I"))
+            .withColumn(version_col, F.lit(0))
+        )
+    return out
 
 
 def vacuum(

@@ -224,3 +224,74 @@ def test_streaming_commit_exactly_once(spark, tmp_path):
     )
     assert tl.last_committed_batch(spark, t, ck) == last + 1
     assert tl.read_version(spark, t).count() == n0 + 2
+
+
+def test_table_changes_cdf(spark, tmp_path):
+    """X130 change data feed: append versions stream their new files
+    as 'I' rows without any diff; overwrite versions diff by key
+    (U/D/I); ranges validate; empty ranges return an empty typed
+    frame."""
+    t = str(tmp_path / "cdf")
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b")], "k long, s string"
+    )
+    tl.commit(spark, base, t)                                   # v0
+    tl.commit(spark, spark.createDataFrame([(3, "c")], "k long, s string"),
+              t, mode="append")                                 # v1
+    target = spark.createDataFrame(
+        [(1, "a"), (2, "B"), (4, "d")], "k long, s string"
+    )
+    tl.commit(spark, target, t, mode="overwrite")               # v2
+
+    ch = tl.table_changes(spark, t, 0, keys=["k"])
+    got = sorted(
+        (r["commit_version"], r["op"], r["k"]) for r in ch.collect()
+    )
+    # v1: the appended row as I (read straight from its new files);
+    # v2: diff of v1 -> v2 = U(2), D(3), I(4)
+    assert got == [(1, "I", 3), (2, "D", 3), (2, "I", 4), (2, "U", 2)]
+    assert set(ch.columns) == {"k", "s", "op", "commit_version"}
+
+    # append-only ranges need no keys
+    only_append = tl.table_changes(spark, t, 0, to_version=1)
+    assert [(r["op"], r["k"]) for r in only_append.collect()] == [("I", 3)]
+    # an overwrite in range without keys raises
+    with pytest.raises(ValueError, match="needs\\s+the key columns"):
+        tl.table_changes(spark, t, 0)
+    # empty range: typed empty frame
+    empty = tl.table_changes(spark, t, 2, keys=["k"])
+    assert empty.count() == 0
+    assert set(empty.columns) == {"k", "s", "op", "commit_version"}
+    with pytest.raises(ValueError, match="version range"):
+        tl.table_changes(spark, t, 5, keys=["k"])
+
+
+def test_table_changes_review_pins(spark, tmp_path):
+    """Self-review r11 pins: (a) tables OWNING a 'ts' column still
+    diff through the feed (internal reserved ts name); (b) op/version
+    column collisions raise instead of silently overwriting data;
+    (c) an empty range over a VACUUMED version builds its typed empty
+    frame from the stored schema, never a data-file read."""
+    t = str(tmp_path / "cdf2")
+    base = spark.createDataFrame([(1, 10, "x")], "k long, ts long, op string")
+    tl.commit(spark, base, t)                                    # v0
+    tl.commit(spark, spark.createDataFrame(
+        [(1, 11, "y")], "k long, ts long, op string"), t, mode="overwrite")
+
+    # (a) 'ts' data column survives the overwrite diff
+    ch = tl.table_changes(spark, t, 0, keys=["k"], op_col="change_op")
+    row = ch.first()
+    assert row["change_op"] == "U" and row["ts"] == 11
+    # (b) default op_col collides with the table's own 'op' column
+    with pytest.raises(ValueError, match="collide"):
+        tl.table_changes(spark, t, 0, keys=["k"])
+
+    # (c) vacuumed old version, empty range pinned to it
+    t2 = str(tmp_path / "cdf3")
+    tl.commit(spark, spark.range(3), t2)
+    tl.commit(spark, spark.range(5), t2, mode="overwrite")
+    tl.commit(spark, spark.range(7), t2, mode="overwrite")
+    tl.vacuum(spark, t2, keep_last=2, min_age_seconds=0)
+    empty = tl.table_changes(spark, t2, 0, to_version=0, keys=["id"])
+    assert empty.count() == 0
+    assert set(empty.columns) == {"id", "op", "commit_version"}
