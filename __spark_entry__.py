@@ -4861,8 +4861,10 @@ def oracle_sql() -> dict[str, str]:
     # twin (the phash_neardup precedent — completeness AND soundness of
     # the segment blocking + thresholded verify in one set equality).
     # The fixture replays the query's derived diverse-key corpus:
-    # substr(md5(even base), 1, 8) with deterministic 'z'/'q'
-    # substitutions on the odd members. ---------------------------------
+    # substr(md5(even base), 1, 16) — 16 chars so the k=2 segments are
+    # 5-6 chars (~16^5 blocking space; 8-char keys degenerated, see the
+    # query docstring) — with deterministic 'z'/'q' substitutions on
+    # the odd members. ---------------------------------------------------
     o["fuzzy_pairs"] = (
         "WITH ks AS (SELECT o_orderkey AS k FROM orders WHERE o_orderkey % 8 < 2), "
         "b AS (SELECT k, substr(md5(CAST(k - (k % 2) AS VARCHAR)), 1, 16) AS s FROM ks), "

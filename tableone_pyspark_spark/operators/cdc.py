@@ -151,6 +151,22 @@ def snapshot_diff(
             "snapshots differ in columns: "
             f"{sorted(set(old.columns) ^ set(new.columns))}"
         )
+    bad = [
+        c
+        for c in old.columns
+        if c in ("__in_o", "__in_n")
+        or c.startswith("__o_")
+        or c.startswith("__n_")
+    ]
+    if bad:
+        # they would duplicate the presence markers / prefixed attr
+        # aliases and die as an ambiguous reference deep in the plan —
+        # the asof_join __on/__tie guard convention (cross-batch
+        # review r11)
+        raise ValueError(
+            f"snapshot columns {bad} collide with snapshot_diff's "
+            "internal __in_o/__in_n/__o_*/__n_* names — rename them"
+        )
     attrs = [c for c in old.columns if c not in keys]
 
     def _guarded(df: DataFrame, side: str, marker: str) -> DataFrame:

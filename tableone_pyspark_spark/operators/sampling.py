@@ -315,13 +315,18 @@ def temporal_split(
     from datetime import datetime
 
     try:
-        datetime.fromisoformat(split_at)
+        cut_dt = datetime.fromisoformat(split_at)
     except (TypeError, ValueError) as exc:
         raise ValueError(
             f"split_at must be an ISO timestamp string, got {split_at!r}"
         ) from exc
     t = F.col(ts_col).try_cast("timestamp")
-    cut = F.lit(split_at).cast("timestamp")
+    # the literal is built from the PARSED value, not re-cast from the
+    # string: python's fromisoformat accepts basic-ISO forms
+    # ('20240301') that Spark's cast grammar does not — a string cast
+    # would go NULL there and silently label every row 'embargo'
+    # (cross-batch review r11)
+    cut = F.lit(cut_dt)
     test_from = F.timestamp_add("SECOND", F.lit(embargo_seconds), cut)
     label = (
         F.when(t.isNull(), F.lit("unknown"))

@@ -200,11 +200,16 @@ def compact_parquet(
             sp.getFileSystem(conf), sp, fs, Path(tmp_path, sp.getName()),
             False, False, conf,
         )
-    fs.delete(marker, False)  # bookkeeping only — keep dst clean
     if not fs.rename(tmp, dst):
         raise IOError(
             f"could not commit {tmp_path} -> {dst_path} (rename failed)"
         )
+    # the marker must survive UNTIL the rename: deleting it first
+    # would strand a marker-less temp on a crash-in-between, which the
+    # retry then refuses to clear (cross-batch review r11). Post-commit
+    # it is dot-prefixed bookkeeping readers skip; removing it is
+    # best-effort cosmetics.
+    fs.delete(Path(dst_path, "._compact_owner"), False)
     n_out = len(list_data_files(spark, dst_path))
     return {
         "n_input_files": len(plan.untouched)

@@ -56,10 +56,12 @@ class CommitConflict(Exception):
 
 
 def _fs(spark: SparkSession, path: str):
-    jvm = spark._jvm
-    conf = spark._jsc.hadoopConfiguration()
-    p = jvm.org.apache.hadoop.fs.Path(path)
-    return p.getFileSystem(conf), jvm
+    # one FS-plumbing implementation repo-wide (cross-batch review
+    # r11): compact.py owns the handle helper, this module adapts it
+    from tableone_pyspark_spark.sources.compact import _fs_and_path
+
+    fs, _, jvm, _ = _fs_and_path(spark, path)
+    return fs, jvm
 
 
 def _path(spark: SparkSession, path: str):
@@ -103,20 +105,13 @@ def _version_doc(spark: SparkSession, table: str, version: int) -> dict:
 
 
 def _list_parquet(spark: SparkSession, root: str) -> list[str]:
-    fs, _ = _fs(spark, root)
-    out = []
-    stack = [_path(spark, root)]
-    while stack:
-        cur = stack.pop()
-        for st in fs.listStatus(cur):
-            name = st.getPath().getName()
-            if name.startswith("_") or name.startswith("."):
-                continue
-            if st.isDirectory():
-                stack.append(st.getPath())
-            else:
-                out.append(st.getPath().toString())
-    return sorted(out)
+    """Visible leaf data files under a fresh commit's data dir — the
+    same walk compact.py's lister does (reused, not re-implemented;
+    cross-batch review r11). Commit dirs are flat parquet writes, so
+    the hive-layout guard in there can never fire here."""
+    from tableone_pyspark_spark.sources.compact import list_data_files
+
+    return [p for p, _ in list_data_files(spark, root)]
 
 
 def _publish(
@@ -427,9 +422,21 @@ def table_changes(
         # (self-review r11)
         from pyspark.sql.types import StructType
 
-        st = StructType.fromJson(
-            json.loads(_version_doc(spark, table, hi)["schema"])
-        )
+        doc_hi = _version_doc(spark, table, hi)
+        clash = {op_col, version_col} & {
+            name for name, _ in _schema_shape(doc_hi["schema"])
+        }
+        if clash:
+            # same contract as every non-empty range — a caught-up
+            # poller must not flip between silent-rewrite and raise
+            # depending on whether changes happened (cross-batch
+            # review r11)
+            raise ValueError(
+                f"version {hi}'s columns collide with the feed's output "
+                f"columns {sorted(clash)} — pass different "
+                "op_col/version_col names"
+            )
+        st = StructType.fromJson(json.loads(doc_hi["schema"]))
         return (
             spark.createDataFrame([], st)
             .withColumn(op_col, F.lit("I"))

@@ -243,3 +243,17 @@ def test_snapshot_diff_guards(spark):
         snapshot_diff(nk, a, ["k"], ts=1).collect()
     with pytest.raises(SparkRuntimeException, match="NULL key"):
         snapshot_diff(a, nk, ["k"], ts=1).collect()
+
+
+def test_snapshot_diff_internal_name_guard(spark):
+    """Cross-batch review r11: snapshot columns colliding with the
+    internal markers raise plainly instead of an ambiguous-reference
+    AnalysisException (the asof __on/__tie convention)."""
+    a = spark.createDataFrame([(1, "x")], "k long, __in_o string")
+    from tableone_pyspark_spark.operators.cdc import snapshot_diff
+
+    with pytest.raises(ValueError, match="internal"):
+        snapshot_diff(a, a, ["k"], ts=1)
+    b = spark.createDataFrame([(1, "x")], "k long, __o_s string")
+    with pytest.raises(ValueError, match="internal"):
+        snapshot_diff(b, b, ["k"], ts=1)

@@ -412,3 +412,18 @@ def test_temporal_split_garbage_and_nan_cuts(spark):
     assert out[0] == 0 and out[2] == sum(1 for c in cuts if 3.0 > c)
     with _pytest.raises(ValueError, match="finite"):
         apply_quantile_cuts(dfn, "x", [nan, 2.0])
+
+
+def test_temporal_split_basic_iso_forms(spark):
+    """Cross-batch review r11: python's fromisoformat accepts basic-ISO
+    ('20240301') that Spark's string cast would NULL — the cut literal
+    is built from the PARSED value, so these forms split correctly."""
+    from tableone_pyspark_spark.operators.sampling import temporal_split
+
+    df = spark.createDataFrame(
+        [(1, "2024-02-01 00:00:00"), (2, "2024-04-01 00:00:00")],
+        "id long, ts string",
+    )
+    got = {r["id"]: r["split"]
+           for r in temporal_split(df, "ts", "20240301").collect()}
+    assert got == {1: "train", 2: "test"}  # not all-'embargo'

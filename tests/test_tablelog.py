@@ -295,3 +295,15 @@ def test_table_changes_review_pins(spark, tmp_path):
     empty = tl.table_changes(spark, t2, 0, to_version=0, keys=["id"])
     assert empty.count() == 0
     assert set(empty.columns) == {"id", "op", "commit_version"}
+
+
+def test_table_changes_empty_range_collision_raises(spark, tmp_path):
+    """Cross-batch review r11: the empty-range fallback enforces the
+    SAME op/version collision contract as non-empty ranges — a
+    caught-up poller must not silently get rewritten columns."""
+    t = str(tmp_path / "cdf4")
+    tl.commit(spark, spark.createDataFrame([(1, "x")], "k long, op string"), t)
+    with pytest.raises(ValueError, match="collide"):
+        tl.table_changes(spark, t, 0, keys=["k"])  # empty range, op clash
+    out = tl.table_changes(spark, t, 0, keys=["k"], op_col="change_op")
+    assert out.count() == 0 and "change_op" in out.columns
