@@ -257,3 +257,46 @@ def test_snapshot_diff_internal_name_guard(spark):
     b = spark.createDataFrame([(1, "x")], "k long, __o_s string")
     with pytest.raises(ValueError, match="internal"):
         snapshot_diff(b, b, ["k"], ts=1)
+
+
+def test_snapshot_diff_round_trip_randomized(spark):
+    """X123 randomized differential: 8 seeded random snapshot pairs
+    (NULL attrs, disjoint/overlapping key sets, value flips) — the
+    apply_cdc(old, snapshot_diff(old, new)) ≡ new identity must hold
+    on every one, and the diff must contain NO row for unchanged
+    keys (minimality)."""
+    import random
+
+    from tableone_pyspark_spark.operators.cdc import apply_cdc, snapshot_diff
+
+    for seed in range(8):
+        rng = random.Random(seed)
+        keys_old = rng.sample(range(20), rng.randint(1, 12))
+
+        def rows(ks, rng):
+            return [
+                (
+                    k,
+                    rng.choice(["a", "b", None]),
+                    rng.choice([1.0, 2.0, None]),
+                )
+                for k in ks
+            ]
+
+        keys_new = rng.sample(range(20), rng.randint(1, 12))
+        old = spark.createDataFrame(
+            rows(keys_old, rng), "k long, s string, v double"
+        )
+        new = spark.createDataFrame(
+            rows(keys_new, rng), "k long, s string, v double"
+        )
+        d = snapshot_diff(old, new, ["k"], ts=seed)
+        got = sorted(map(tuple, apply_cdc(old, d, ["k"]).collect()))
+        want = sorted(map(tuple, new.collect()))
+        assert got == want, f"seed {seed}"
+        # minimality: unchanged keys emit nothing
+        om = {r["k"]: (r["s"], r["v"]) for r in old.collect()}
+        nm = {r["k"]: (r["s"], r["v"]) for r in new.collect()}
+        unchanged = {k for k in om.keys() & nm.keys() if om[k] == nm[k]}
+        diff_keys = {r["k"] for r in d.collect()}
+        assert not (unchanged & diff_keys), f"seed {seed}"

@@ -515,3 +515,39 @@ def test_robust_key_idempotent(t):
         return re.sub(r"[ \t\n\r\x0b\f]+", " ", s).strip(" ")
 
     assert key(key(t)) == key(t)
+
+
+@given(
+    st.integers(min_value=2, max_value=8),
+    st.integers(min_value=0, max_value=2**32 - 1),
+)
+@settings(max_examples=40, deadline=None)
+def test_pca_eig_model_invariants(d, seed):
+    """X122 property pins (pure numpy — no Spark in the loop): for any
+    random PSD covariance, _eig_model returns variance-DESCENDING
+    non-negative eigvals, ORTHONORMAL axes, the sign convention
+    (largest-|entry| coordinate positive), and an exact eigen-identity
+    cov @ v = lambda v."""
+    import numpy as np
+
+    from tableone_pyspark_spark.operators.pca import _eig_model
+
+    rng = np.random.RandomState(seed)
+    A = rng.randn(d, d)
+    cov = A @ A.T  # PSD by construction
+    mu = rng.randn(d)
+    m = _eig_model(mu, cov, d)
+    assert np.all(np.diff(m.eigvals) <= 1e-9)          # descending
+    assert np.all(m.eigvals >= -1e-9)                  # PSD spectrum
+    assert np.allclose(m.components.T @ m.components, np.eye(d), atol=1e-8)
+    for j in range(d):
+        i = int(np.argmax(np.abs(m.components[:, j])))
+        assert m.components[i, j] > 0                  # sign fixed
+        assert np.allclose(
+            cov @ m.components[:, j], m.eigvals[j] * m.components[:, j],
+            atol=1e-6 * max(1.0, float(m.eigvals[0])),
+        )
+    # determinism: identical input -> bit-identical model
+    m2 = _eig_model(mu, cov, d)
+    assert np.array_equal(m.components, m2.components)
+    assert np.array_equal(m.eigvals, m2.eigvals)
