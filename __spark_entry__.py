@@ -1044,7 +1044,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (ivf_recall was DELETED in r11 to fund fuzzy_pairs: every stage
     # it graded is graded row-by-row elsewhere at the same params —
     # the coarse k-means assignment (n_centroids=16, the pinned
-    # _kmeans_numpy ≡ _train_quantizer equality pq.py documents) is
+    # _kmeans_numpy ≡ _train_quantizer equality, pinned BIT-IDENTICAL
+    # in tests/test_pq.py::test_ivfpq_coarse_equals_ivf_quantizer) is
     # replayed per vector inside ivfpq_recall's (r10-green) and
     # cell_quality's / semantic_dedup_keep's (r9-green) oracles; the
     # in-cell EXACT cosine ranking is the same _seq_dot fold
@@ -2470,7 +2471,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #     argument at its deletion site in this file);
     #   - ivf_recall: coarse assignment graded per-vector via
     #     ivfpq_recall/cell_quality/semantic_dedup_keep at the same
-    #     params (pinned _kmeans_numpy ≡ _train_quantizer), in-cell
+    #     params (bit-identical pin: test_pq.py::test_ivfpq_coarse_equals_ivf_quantizer), in-cell
     #     exact ranking = embedding_neardup's graded _seq_dot fold,
     #     recall shape = lsh_recall's verbatim _recall_sql;
     #   - label_centroids: grouped AVG of raw embedding components

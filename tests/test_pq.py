@@ -336,3 +336,21 @@ def test_opq_validation(emb, spark):
     )
     with pytest.raises(Exception, match="dim"):
         pq.opq_encode(short, R, cb).collect()
+
+
+def test_ivfpq_coarse_equals_ivf_quantizer(spark):
+    """Pin the equality the r11 ivf_recall deletion cites: train_ivfpq's
+    coarse centroids are BIT-IDENTICAL to ml_lsh._train_quantizer's at
+    equal params (same seeded _kmeans_numpy on the same ordered
+    sample) — so the coarse assignment ivf_recall graded is the one
+    ivfpq_recall (r10-green) and cell_quality (r9-green) still grade."""
+    import numpy as np
+
+    from tableone_pyspark_spark.operators.ml_lsh import _train_quantizer
+    from tableone_pyspark_spark.operators.pq import train_ivfpq
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    ix = train_ivfpq(e, n_centroids=16, m=4, n_codes=16)
+    C, c_norm2 = _train_quantizer(e, "embedding", 16, 16384, "vec_id")
+    assert np.array_equal(ix.coarse, C)
+    assert np.array_equal(ix.coarse_norm2, c_norm2)
