@@ -1543,7 +1543,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (r9-green, same corpus) computes and grades against the same SQL
     # Horner fold through the avalanche-sensitive membership lattice
     # (any Spark-vs-SQL divergence flips seen-set bits and probe
-    # positions), with the base-131 twin graded on top; the per-GRAM
+    # positions; the fp ≡ h1 identity is value-pinned on the corpus in
+    # tests/test_text.py::test_rolling_fingerprint_is_bloom_h1), with
+    # the base-131 twin graded on top; the per-GRAM
     # poly_hash agreement is graded row-by-row by dsir_weights /
     # decontam_stats (r9-green) and cms_counts (r10-green), and
     # normalize_text byte-exactly by text_stats / curate_documents

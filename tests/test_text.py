@@ -181,3 +181,26 @@ def test_compression_signals_match_zlib(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="level"):
         compression_signals(df, "doc_id", "text", level=11).collect()
+
+
+def test_rolling_fingerprint_is_bloom_h1(spark):
+    """Pin the identity the r11 text_fingerprints deletion cites: the
+    fingerprint column IS the h1 intermediate bloom builds/probes
+    grade per document (poly_hash of the normalized text, base 31,
+    mod 2^31-1) — value-equal on the real corpus, so the deleted
+    query's evidence remains row-covered through bloom_probe."""
+    from pyspark.sql import functions as F
+
+    from tableone_pyspark_spark.functions.text import (
+        normalize_text,
+        poly_hash,
+        rolling_fingerprint,
+    )
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    rows = d.select(
+        rolling_fingerprint(F.col("text")).alias("fp"),
+        poly_hash(normalize_text(F.col("text")), 31).alias("h1"),
+    ).collect()
+    assert len(rows) == 500
+    assert all(r["fp"] == r["h1"] for r in rows)
