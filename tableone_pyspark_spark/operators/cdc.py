@@ -187,6 +187,12 @@ def snapshot_diff(
             .alias(c)
             for c in keys
         ]
+        # two-step: NULL-gate FIRST, then window over the gated
+        # OUTPUT attributes — partitioning on the raw (pre-when)
+        # expressions would be a different attribute set than the
+        # join's, forcing a second shuffle per side (plan-audited
+        # r11: 4 exchanges -> 2 with the reuse)
+        g = df.select(*guarded_keys, *attrs)
         dup = F.count(F.lit(1)).over(Window.partitionBy(*keys))
         mark = (
             F.when(dup == 1, F.lit(1))
@@ -206,7 +212,7 @@ def snapshot_diff(
             )
             .alias(marker)
         )
-        return df.select(*guarded_keys, mark, *attrs)
+        return g.select(*keys, mark, *attrs)
 
     o = _guarded(old, "old", "__in_o").select(
         *keys,

@@ -300,3 +300,23 @@ def test_snapshot_diff_round_trip_randomized(spark):
         unchanged = {k for k in om.keys() & nm.keys() if om[k] == nm[k]}
         diff_keys = {r["k"] for r in d.collect()}
         assert not (unchanged & diff_keys), f"seed {seed}"
+
+
+def test_snapshot_diff_plan_reuses_key_exchange(spark):
+    """Plan pin (r11 audit): the per-side dup-guard window partitions
+    on the GATED key attributes, so the full-outer join reuses each
+    side's shuffle — exactly 2 key exchanges, not 4."""
+    from pyspark.sql import functions as F
+
+    from tableone_pyspark_spark.operators.cdc import snapshot_diff
+
+    o = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    n = o.where(F.col("o_orderkey") % 2 == 0)
+    plan = (
+        snapshot_diff(o, n, ["o_orderkey"], ts=1)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert plan.count("Window") == 2
