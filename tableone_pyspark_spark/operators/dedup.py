@@ -542,8 +542,39 @@ def select_representatives(
             f"df columns {sorted(clash)} collide with the output/"
             "internal columns — rename them first"
         )
-    cl = clusters.select(
-        F.col("id").alias(id_col), F.col("cluster_id").alias("__cluster")
+    def _unique_gate(frame: DataFrame, col: str, what: str) -> DataFrame:
+        # DUPLICATE ids RAISE mid-plan (ADVICE r11): two df rows
+        # sharing an id fall into one window partition (singleton
+        # coalesce or cluster join) and row_number()==1 silently drops
+        # all but one — and a duplicated CLUSTER-MAP id silently
+        # duplicates its df row via join fanout. Both break the
+        # "exactly df's surviving rows" contract, so both raise (the
+        # snapshot_diff duplicate-key convention). The count window
+        # partitions on the already-gated output attribute and the
+        # gate rides the consumed id column — never optimizer-pruned.
+        dup = F.count(F.lit(1)).over(Window.partitionBy(col))
+        return frame.withColumn(
+            col,
+            F.when(dup == 1, F.col(col)).otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            f"select_representatives: duplicate {col!r} "
+                            f"in {what} — ids are row identity; dedup "
+                            "first: "
+                        ),
+                        F.col(col).cast("string"),
+                    )
+                )
+            ),
+        )
+
+    cl = _unique_gate(
+        clusters.select(
+            F.col("id").alias(id_col), F.col("cluster_id").alias("__cluster")
+        ),
+        id_col,
+        "clusters",
     )
     # NULL ids RAISE mid-plan: the fallback cluster key below is the id
     # itself, so all NULL-id rows would silently collapse into ONE
@@ -561,6 +592,7 @@ def select_representatives(
             )
         ),
     )
+    guarded = _unique_gate(guarded, id_col, "df")
     j = guarded.join(cl, id_col, "left").withColumn(
         "__cluster",
         # singletons get their own id as the cluster key so ONE window

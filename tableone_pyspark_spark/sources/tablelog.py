@@ -31,9 +31,11 @@ guard; :func:`streaming_commit` appends micro-batches exactly-once
 (per-(table, stream) batch-id watermark). What this deliberately does
 NOT do (honest boundary vs real Delta/Iceberg): no schema evolution
 (appends must match — checked), no file-level statistics pruning
-beyond parquet's own footers, and CREATE-exclusive publishing is
-atomic on local/HDFS while object stores need their conditional-put
-equivalent.
+beyond parquet's own footers, and CREATE-exclusive publishing rides
+``FileContext.rename(.., Rename.NONE)`` — CONTRACTUAL no-overwrite on
+local/HDFS (r12, ADVICE r11) — while schemes with no AbstractFileSystem
+binding fall back to checked ``FileSystem.rename`` and object stores
+still need their conditional-put equivalent.
 
 No counterpart in the reference repo; completes the storage family
 (write_table / bucketing / z-order / compaction / CDC / snapshot
@@ -114,6 +116,42 @@ def _list_parquet(spark: SparkSession, root: str) -> list[str]:
     return [p for p, _ in list_data_files(spark, root)]
 
 
+def _rename_no_overwrite(spark, fs, jvm, src, dst) -> bool:
+    """True = renamed, False = destination already existed (the
+    conflict signal). Prefers ``FileContext.rename(.., Rename.NONE)``,
+    which CONTRACTUALLY throws FileAlreadyExistsException on an
+    existing destination (ADVICE r11: plain ``FileSystem.rename``
+    returning false on an existing destination is implementation
+    behavior, not contract — some object-store connectors and
+    LocalFileSystem versions overwrite instead, silently replacing a
+    winner's commit doc). Schemes without an AbstractFileSystem
+    binding (no FileContext — e.g. raw s3a) fall back to the checked
+    ``fs.rename``, keeping the documented object-store caveat for
+    that case only."""
+    from py4j.protocol import Py4JJavaError
+
+    qdst = fs.makeQualified(dst)
+    try:
+        fc = jvm.org.apache.hadoop.fs.FileContext.getFileContext(
+            qdst.toUri(), spark._jsc.hadoopConfiguration()
+        )
+    except Py4JJavaError:
+        # UnsupportedFileSystemException — no AbstractFileSystem for
+        # this scheme; the legacy best-effort path
+        return fs.rename(src, dst)
+    rename_opt = jvm.org.apache.hadoop.fs.Options.Rename
+    opts = spark.sparkContext._gateway.new_array(rename_opt, 1)
+    opts[0] = rename_opt.NONE
+    try:
+        fc.rename(fs.makeQualified(src), qdst, opts)
+        return True
+    except Py4JJavaError as ex:
+        name = ex.java_exception.getClass().getName()
+        if name.endswith("FileAlreadyExistsException"):
+            return False
+        raise
+
+
 def _publish(
     spark: SparkSession,
     table: str,
@@ -148,9 +186,9 @@ def _publish(
         stream.write(bytearray(json.dumps(doc).encode("utf-8")))
     finally:
         stream.close()
-    # rename with overwrite-refused semantics: returns False when the
-    # destination exists — the conflict signal
-    if not fs.rename(tmp, target):
+    # rename with CONTRACTUAL no-overwrite semantics (ADVICE r11):
+    # FileContext.Rename.NONE throws on an existing destination
+    if not _rename_no_overwrite(spark, fs, jvm, tmp, target):
         fs.delete(tmp, False)
         raise CommitConflict(
             f"version {version} of {table} was committed concurrently — "
@@ -263,6 +301,46 @@ def history(spark: SparkSession, table: str) -> list[dict]:
     return out
 
 
+def _sidecar_path(table: str, stream_id: str) -> str:
+    import hashlib
+
+    h = hashlib.md5(stream_id.encode("utf-8")).hexdigest()
+    return f"{table}/_log/_stream_{h}.json"
+
+
+def _write_stream_sidecar(
+    spark: SparkSession, table: str, stream_id: str, batch_id: int,
+    version: int,
+) -> None:
+    """Best-effort per-(table, stream) watermark sidecar, written AFTER
+    the version doc is durable (so it can trail the log but never lead
+    it). A lost/torn sidecar only degrades the reader to a deeper
+    scan — never a correctness loss."""
+    fs, _ = _fs(spark, table)
+    doc = json.dumps(
+        {"stream_id": stream_id, "batch_id": batch_id, "version": version}
+    )
+    dst = _path(spark, _sidecar_path(table, stream_id))
+    tmp = _path(
+        spark, f"{table}/_log/.stream_{uuid.uuid4().hex}.tmp"
+    )
+    try:
+        stream = fs.create(tmp, False)
+        try:
+            stream.write(bytearray(doc.encode("utf-8")))
+        finally:
+            stream.close()
+        # plain overwrite rename: one ACTIVE stream per (table,
+        # stream_id) is the documented contract, so there is no racing
+        # sidecar WRITER; a racing READER in the delete/rename gap
+        # just falls back to the scan
+        fs.delete(dst, False)
+        if not fs.rename(tmp, dst):
+            fs.delete(tmp, False)
+    except Exception:  # noqa: BLE001 — advisory cache only
+        pass
+
+
 def last_committed_batch(
     spark: SparkSession, table: str, stream_id: str
 ) -> int | None:
@@ -273,16 +351,35 @@ def last_committed_batch(
     txnAppId+txnVersion pairing, self-review r11). Scans the log
     NEWEST-FIRST and stops at this stream's first match — streaming
     commits are monotone in version order, so that match IS the
-    maximum and the per-batch cost is O(commits by others since this
-    stream's last), not O(all versions)."""
+    maximum. The scan floor is the stream's watermark SIDECAR
+    (written after every streaming commit), so the steady-state cost
+    is O(commits by ANY writer since this stream's last sidecar), not
+    O(all versions) — ADVICE r11: without the floor, a stream that
+    never committed (or sits behind many foreign commits) re-read
+    every v*.json on every micro-batch of a long-lived multi-writer
+    table. A missing/torn/stale sidecar only deepens the scan."""
     cur = current_version(spark, table)
     if cur is None:
         return None
-    for v in range(cur, -1, -1):
+    floor_batch: int | None = None
+    floor_version = -1
+    try:
+        side = _read_json(spark, _sidecar_path(table, stream_id))
+        if (
+            side.get("stream_id") == stream_id
+            and isinstance(side.get("batch_id"), int)
+            and isinstance(side.get("version"), int)
+            and 0 <= side["version"] <= cur
+        ):
+            floor_batch = side["batch_id"]
+            floor_version = side["version"]
+    except Exception:  # noqa: BLE001 — absent/torn sidecar: full scan
+        pass
+    for v in range(cur, floor_version, -1):
         doc = _version_doc(spark, table, v)
         if doc.get("stream_id") == stream_id and "batch_id" in doc:
             return doc["batch_id"]
-    return None
+    return floor_batch
 
 
 def streaming_commit(stream: DataFrame, table: str, checkpoint: str):
@@ -322,9 +419,15 @@ def _exactly_once_sink(table: str, stream_id: str):
         last = last_committed_batch(spark, table, stream_id)
         if last is not None and batch_id <= last:
             return  # replayed micro-batch, already durable
-        commit(
+        doc = commit(
             spark, batch_df, table, mode="append",
             batch_id=batch_id, stream_id=stream_id,
+        )
+        # advance the scan-floor sidecar (best-effort; ADVICE r11 —
+        # keeps last_committed_batch O(commits since this one), not
+        # O(all versions), on long-lived multi-writer tables)
+        _write_stream_sidecar(
+            spark, table, stream_id, batch_id, doc["version"]
         )
 
     return sink
@@ -500,9 +603,31 @@ def vacuum(
                 continue
             fs.delete(st.getPath(), False)
             n_deleted += 1
-        # sweep now-empty commit directories (bookkeeping only)
+        # sweep dead commit directories. Two guards (ADVICE r11):
+        #  - the SAME min-age cutoff as file deletes — a concurrent
+        #    commit creates its data dir before any content appears
+        #    (even before _temporary), so an unguarded sweep could
+        #    delete it mid-flight; deleting a dir's files above bumps
+        #    its mtime, so a just-emptied dir waits for the NEXT
+        #    vacuum ≥ min_age later (eventual, never unsafe)
+        #  - "empty" means no non-bookkeeping content anywhere below:
+        #    vacuumed dirs keep _SUCCESS/.crc forever, so the old
+        #    length-0 test never fired and they leaked
+        def _only_bookkeeping(p) -> bool:
+            for st in fs.listStatus(p):
+                if st.isDirectory():
+                    if not _only_bookkeeping(st.getPath()):
+                        return False
+                elif not st.getPath().getName().startswith(("_", ".")):
+                    return False
+            return True
+
         for st in fs.listStatus(data_root):
-            if st.isDirectory() and len(fs.listStatus(st.getPath())) == 0:
+            if (
+                st.isDirectory()
+                and st.getModificationTime() <= cutoff_ms
+                and _only_bookkeeping(st.getPath())
+            ):
                 fs.delete(st.getPath(), True)
     return {
         "n_deleted": n_deleted,

@@ -314,3 +314,44 @@ def test_select_representatives_null_id_raises(spark):
         select_representatives(docs, clusters, "doc_id", score_col="q").collect()
     with _pytest.raises(ValueError, match="score_col"):
         select_representatives(docs, clusters, "doc_id", score_col="zz")
+
+
+def test_select_representatives_duplicate_id_raises(spark):
+    """ADVICE r11: duplicate df ids fell into one window partition and
+    row_number()==1 silently dropped all but one (and a duplicated
+    cluster-map id silently DUPLICATED its row via join fanout) — both
+    raise now, mirroring snapshot_diff's duplicate-key convention."""
+    import pytest as _pytest
+    from pyspark.errors import SparkRuntimeException
+
+    from tableone_pyspark_spark.operators.dedup import (
+        select_representatives,
+    )
+
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1)], "id long, cluster_id long"
+    )
+    dup_docs = spark.createDataFrame(
+        [(1, 0.5), (1, 0.9), (2, 0.1)], "doc_id long, q double"
+    )
+    with _pytest.raises(SparkRuntimeException, match="duplicate 'doc_id'.*df"):
+        select_representatives(
+            dup_docs, clusters, "doc_id", score_col="q"
+        ).collect()
+
+    docs = spark.createDataFrame(
+        [(1, 0.5), (2, 0.1)], "doc_id long, q double"
+    )
+    dup_clusters = spark.createDataFrame(
+        [(1, 1), (1, 7), (2, 1)], "id long, cluster_id long"
+    )
+    with _pytest.raises(
+        SparkRuntimeException, match="duplicate 'doc_id'.*clusters"
+    ):
+        select_representatives(
+            docs, dup_clusters, "doc_id", score_col="q"
+        ).collect()
+
+    # clean inputs still pass through the gates unchanged
+    ok = select_representatives(docs, clusters, "doc_id", score_col="q")
+    assert {r["doc_id"] for r in ok.collect()} == {1}

@@ -67,14 +67,23 @@ def test_projected_variances_match_eigvals(emb, model):
 
 
 def test_project_matches_python_twin(spark, emb, model):
-    got = {
-        r["id"]: r["y"]
-        for r in pca_project(emb, model, whiten=True).collect()
-    }
-    pdf = emb.select("vec_id", "embedding").collect()
-    for r in pdf:
-        want = pca_project_py(list(r["embedding"]), model, whiten=True)
-        assert got[r["vec_id"]] == pytest.approx(want, abs=0.0), r["vec_id"]
+    # since the r12 per-batch GEMM the kernel's low bits depend on the
+    # Arrow batch size (BLAS picks different small-n kernels), so the
+    # twin pin carries an explicit ~1 ulp-scale bound instead of the
+    # old abs=0.0 (measured seam ~1e-16; the opq fold-vs-BLAS class).
+    # The repartition(7) arm pins that odd batch boundaries stay inside
+    # the same bound.
+    for frame in (emb, emb.repartition(7)):
+        got = {
+            r["id"]: r["y"]
+            for r in pca_project(frame, model, whiten=True).collect()
+        }
+        pdf = emb.select("vec_id", "embedding").collect()
+        for r in pdf:
+            want = pca_project_py(list(r["embedding"]), model, whiten=True)
+            assert got[r["vec_id"]] == pytest.approx(want, abs=1e-12), (
+                r["vec_id"]
+            )
 
 
 def test_full_rank_reconstruction(emb, spark):
@@ -112,7 +121,7 @@ def test_null_vectors(spark, model):
     got = {r["id"]: r["y"] for r in pca_project(df, model).collect()}
     assert got[2] is None
     assert got[1] == pytest.approx(
-        pca_project_py([0.0] * 64, model), abs=0.0
+        pca_project_py([0.0] * 64, model), abs=1e-12
     )
     # NULL vectors are dropped at fit time
     m = fit_pca(

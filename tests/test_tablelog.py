@@ -307,3 +307,103 @@ def test_table_changes_empty_range_collision_raises(spark, tmp_path):
         tl.table_changes(spark, t, 0, keys=["k"])  # empty range, op clash
     out = tl.table_changes(spark, t, 0, keys=["k"], op_col="change_op")
     assert out.count() == 0 and "change_op" in out.columns
+
+
+def test_stream_watermark_sidecar_floor(spark, tmp_path, monkeypatch):
+    """ADVICE r11: last_committed_batch's newest-first scan is floored
+    by a per-(table, stream) sidecar, so many foreign commits after a
+    stream's last commit cost O(foreign-since-sidecar) doc reads —
+    and a missing/torn sidecar only degrades to the full scan, never
+    a wrong answer."""
+    import os
+
+    from tableone_pyspark_spark.sources.tablelog import _exactly_once_sink
+
+    t = str(tmp_path / "wm_tbl")
+    sid = "stream-A"
+    batch = spark.createDataFrame([(1, 1.0)], "k long, v double")
+    sink = _exactly_once_sink(t, sid)
+    sink(batch, 0)  # v0 + sidecar(batch 0, version 0)
+    side = tmp_path / "wm_tbl" / "_log"
+    side_files = [f for f in os.listdir(side) if f.startswith("_stream_")]
+    assert len(side_files) == 1
+
+    # ten foreign commits bury the stream's version
+    for i in range(10):
+        tl.commit(spark, batch.withColumn("k", F.lit(i + 10).cast("long")), t)
+
+    reads = []
+    real = tl._version_doc
+
+    def counting(spark_, table_, version_):
+        reads.append(version_)
+        return real(spark_, table_, version_)
+
+    monkeypatch.setattr(tl, "_version_doc", counting)
+    assert tl.last_committed_batch(spark, t, sid) == 0
+    # scanned only the 10 foreign docs ABOVE the sidecar's version —
+    # never v0 itself, never the whole log twice over
+    assert len(reads) == 10 and min(reads) == 1
+
+    # torn sidecar: full scan, same answer
+    with open(side / side_files[0], "w") as f:
+        f.write("{not json")
+    reads.clear()
+    assert tl.last_committed_batch(spark, t, sid) == 0
+    assert len(reads) == 11  # v10..v0
+
+    # missing sidecar: same
+    os.remove(side / side_files[0])
+    reads.clear()
+    assert tl.last_committed_batch(spark, t, sid) == 0
+    assert len(reads) == 11
+    monkeypatch.undo()
+
+    # the sidecar advances with the next streaming commit
+    sink(batch.withColumn("k", F.lit(99).cast("long")), 1)
+    assert tl.last_committed_batch(spark, t, sid) == 1
+    assert [
+        f for f in os.listdir(side) if f.startswith("_stream_")
+    ] == side_files
+
+
+def test_vacuum_dir_sweep_age_guard_and_bookkeeping(spark, tmp_path):
+    """ADVICE r11: the dead-directory sweep (a) honors the same
+    min-age cutoff as file deletes — a just-created in-flight commit
+    dir is never removed — and (b) treats _/.-prefixed bookkeeping as
+    empty, so vacuumed dirs that keep _SUCCESS/.crc no longer leak
+    forever."""
+    import os
+    import time as _time
+
+    t = str(tmp_path / "tbl_sweep")
+    tl.commit(spark, spark.range(5), t)                       # v0
+    tl.commit(spark, spark.range(9), t, mode="overwrite")     # v1
+    tl.commit(spark, spark.range(3), t, mode="overwrite")     # v2
+    data = tmp_path / "tbl_sweep" / "data"
+
+    # a YOUNG empty dir = possibly an in-flight commit pre-_temporary
+    inflight = data / "inflight"
+    os.makedirs(inflight)
+    # an OLD dead dir holding only bookkeeping (the old leak)
+    dead = data / "dead"
+    os.makedirs(dead)
+    with open(dead / "_SUCCESS", "w"):
+        pass
+    with open(dead / ".part-0.crc", "w"):
+        pass
+    old = _time.time() - 7 * 24 * 3600
+    os.utime(dead, (old, old))
+
+    rep = tl.vacuum(spark, t, keep_last=2, min_age_seconds=3600)
+    assert rep["n_deleted"] == 0          # v0's files are too young
+    assert os.path.isdir(inflight)        # young: protected by age
+    assert not os.path.exists(dead)       # old + bookkeeping-only: swept
+
+    # v0's dir: files deleted at age 0, but the dir itself was JUST
+    # modified by those deletes — it survives this pass (eventual
+    # cleanup ≥ min_age later is the documented trade)
+    rep = tl.vacuum(spark, t, keep_last=2, min_age_seconds=0)
+    assert rep["n_deleted"] >= 1
+    # live versions still read
+    assert tl.read_version(spark, t).count() == 3
