@@ -177,17 +177,22 @@ def url_parts(c: Column) -> Column:
 # (publicsuffix.org/list/: normal rules, one-label wildcards ``*.bd``,
 # exceptions ``!www.ck``; the prevailing rule is the longest match,
 # exceptions beat everything, and with no match the default rule ``*``
-# makes the top label the suffix). The full published list is not in
-# this container, so the default rules are a PARTIAL SNAPSHOT of the
-# well-known ccTLD second-level registries (co.uk, com.au, co.jp, …)
-# — enough that per-site keys group at the right grain for the bulk of
-# multi-label-suffix traffic — and :func:`load_psl` parses the real
-# published file verbatim for deployments that ship it.
+# makes the top label the suffix). The DEFAULT rules are the FULL
+# published snapshot (r12, VERDICT r11 ask #8): the packaged
+# ``public_suffix_list.dat`` (publicsuffix.org, MPL 2.0 — the header
+# in the file carries the license; ~9,500 rules incl. the private
+# section, wildcards and exceptions), parsed once per process by
+# :func:`load_psl` and TLD-indexed so per-host matching touches only
+# the handful of rules sharing its last label. The ~150-rule inline
+# snapshot below is retained ONLY as the fallback when the data file
+# is missing from a stripped install — that path still fires the
+# one-time wrong-grain warning. ``psl=load_psl(text)`` still accepts
+# a newer published file.
 # ---------------------------------------------------------------------------
 
 _PSL_SNAPSHOT = """
-// PARTIAL snapshot: common ccTLD second-level registries only.
-// Replace with the full publicsuffix.org list via load_psl().
+// PARTIAL fallback snapshot: common ccTLD second-level registries
+// only — used ONLY if the packaged public_suffix_list.dat is missing.
 ac.uk  co.uk  gov.uk  ltd.uk  me.uk  net.uk  nhs.uk  org.uk  plc.uk  sch.uk
 asn.au  com.au  edu.au  gov.au  id.au  net.au  org.au
 ac.jp  ad.jp  co.jp  ed.jp  go.jp  gr.jp  lg.jp  ne.jp  or.jp
@@ -268,7 +273,24 @@ def load_psl(text: str) -> dict:
     return {"rules_by_tld": by_tld, "exceptions_by_tld": exc_by_tld}
 
 
-_DEFAULT_PSL = load_psl(_PSL_SNAPSHOT)
+def _load_default_psl() -> tuple[dict, bool]:
+    """(rules, is_full): the packaged full publicsuffix.org snapshot
+    when present (the r12 default), else the inline partial fallback
+    (which keeps the one-time wrong-grain warning alive)."""
+    import os
+
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "public_suffix_list.dat",
+    )
+    try:
+        with open(path, encoding="utf-8") as f:
+            return load_psl(f.read()), True
+    except OSError:
+        return load_psl(_PSL_SNAPSHOT), False
+
+
+_DEFAULT_PSL, _PSL_IS_FULL = _load_default_psl()
 
 _PSL_PARTIAL_WARNED = False
 
@@ -318,7 +340,8 @@ def public_suffix_py(host: str | None, psl: dict | None = None) -> str | None:
     if not h or _is_ip(h):
         return None
     if psl is None:
-        _warn_partial_psl()
+        if not _PSL_IS_FULL:
+            _warn_partial_psl()
         psl = _DEFAULT_PSL
     labels = h.split(".")
     # match on the IDNA form of BOTH sides: rule labels were punycoded
@@ -349,11 +372,11 @@ def registrable_domain_py(
     host: str | None, psl: dict | None = None
 ) -> str | None:
     """Registrable domain = public suffix + one label, per the PSL
-    algorithm over the embedded partial snapshot (``bbc.co.uk`` →
-    ``bbc.co.uk``, ``a.b.example.com`` → ``example.com`` — the r9
-    naive-two-label co.uk wrong-grain limitation is CLOSED for the
-    snapshot's registries; ship the full published list through
-    ``psl=load_psl(text)`` for complete coverage). Spec edge cases:
+    algorithm over the packaged FULL published snapshot by default
+    (r12; ``bbc.co.uk`` → ``bbc.co.uk``, ``a.b.example.com`` →
+    ``example.com``, private-section rules like ``github.io``
+    included; pass ``psl=load_psl(text)`` to pin a newer published
+    file). Spec edge cases:
     a host that IS a public suffix (``com``, ``co.uk``) has no
     registrable domain → None; IP literals return as-is (they are
     their own site key)."""

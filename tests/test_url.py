@@ -203,11 +203,48 @@ def test_psl_idn_unicode_hosts_match_too():
     assert registrable_domain_py("foo.xn--55qx5d.cn", psl) == "foo.xn--55qx5d.cn"
 
 
-def test_partial_psl_snapshot_warns_once():
-    """ADVICE r10: the first lookup that falls back to the embedded
-    PARTIAL snapshot warns loudly (wrong-grain site keys otherwise
-    fail silently); an explicit psl never warns, and the warning
-    fires once per process, not per row."""
+def test_full_psl_is_the_default_and_never_warns():
+    """r12 (VERDICT r11 ask #8): the packaged FULL publicsuffix.org
+    snapshot is the default — no wrong-grain warning on the default
+    path — and real-list rule classes resolve at the right grain:
+    private-section rules, listed ccTLD registries, wildcards with
+    their exceptions, and Unicode (IDN) rules against punycode hosts."""
+    import warnings
+
+    from tableone_pyspark_spark.functions import url as u
+
+    assert u._PSL_IS_FULL
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # any warning would raise
+        # private section: github.io is a suffix
+        assert u.registrable_domain_py("a.b.github.io") == "b.github.io"
+        assert u.public_suffix_py("b.github.io") == "github.io"
+        # listed multi-label ccTLD registry beyond the old partial set
+        assert u.registrable_domain_py("x.foo.com.bo") == "foo.com.bo"
+        # real-list wildcard + its exceptions: *.kawasaki.jp with
+        # !city.kawasaki.jp carved back out
+        assert u.public_suffix_py("a.b.kawasaki.jp") == "b.kawasaki.jp"
+        assert u.registrable_domain_py("city.kawasaki.jp") == (
+            "city.kawasaki.jp"
+        )
+        assert u.registrable_domain_py("ku.city.kawasaki.jp") == (
+            "city.kawasaki.jp"
+        )
+        # IDN rule 公司.cn matches its punycode crawl form
+        assert u.registrable_domain_py("foo.xn--55qx5d.cn") == (
+            "foo.xn--55qx5d.cn"
+        )
+        # infrastructure wildcard from the private section
+        assert u.public_suffix_py("x.y.compute.amazonaws.com") == (
+            "y.compute.amazonaws.com"
+        )
+
+
+def test_partial_psl_fallback_warns_once(monkeypatch):
+    """ADVICE r10 (still pinned for the stripped-install fallback): a
+    lookup that falls back to the inline PARTIAL snapshot warns loudly
+    (wrong-grain site keys otherwise fail silently); an explicit psl
+    never warns, and the warning fires once per process, not per row."""
     import warnings
 
     from tableone_pyspark_spark.functions import url as u
@@ -217,16 +254,14 @@ def test_partial_psl_snapshot_warns_once():
         warnings.simplefilter("error")  # any warning would raise
         assert u.registrable_domain_py("a.b.co.uk", psl) == "b.co.uk"
 
-    u._PSL_PARTIAL_WARNED = False  # fresh process state
-    try:
-        with warnings.catch_warnings(record=True) as w:
-            warnings.simplefilter("always")
-            u.registrable_domain_py("a.example.com")
-            u.registrable_domain_py("b.example.com")
-        msgs = [x for x in w if "PARTIAL PSL" in str(x.message)]
-        assert len(msgs) == 1  # once, not per row
-    finally:
-        u._PSL_PARTIAL_WARNED = True  # keep the rest of the suite quiet
+    monkeypatch.setattr(u, "_PSL_IS_FULL", False)
+    monkeypatch.setattr(u, "_PSL_PARTIAL_WARNED", False)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        u.registrable_domain_py("a.example.com")
+        u.registrable_domain_py("b.example.com")
+    msgs = [x for x in w if "PARTIAL PSL" in str(x.message)]
+    assert len(msgs) == 1  # once, not per row
 
 
 def test_full_psl_threads_through_column_apis(spark):
