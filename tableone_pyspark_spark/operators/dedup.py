@@ -557,7 +557,12 @@ def select_representatives(
             col,
             F.when(dup == 1, F.col(col)).otherwise(
                 F.raise_error(
-                    F.concat(
+                    # concat_ws, not concat: a duplicated NULL id in
+                    # the (ungated) clusters map would turn a concat
+                    # message into NULL and raise contentless
+                    # (self-review r12; the snapshot_diff convention)
+                    F.concat_ws(
+                        "",
                         F.lit(
                             f"select_representatives: duplicate {col!r} "
                             f"in {what} — ids are row identity; dedup "

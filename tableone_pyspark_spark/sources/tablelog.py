@@ -135,9 +135,16 @@ def _rename_no_overwrite(spark, fs, jvm, src, dst) -> bool:
         fc = jvm.org.apache.hadoop.fs.FileContext.getFileContext(
             qdst.toUri(), spark._jsc.hadoopConfiguration()
         )
-    except Py4JJavaError:
-        # UnsupportedFileSystemException — no AbstractFileSystem for
-        # this scheme; the legacy best-effort path
+    except Py4JJavaError as ex:
+        # ONLY UnsupportedFileSystemException (no AbstractFileSystem
+        # binding for this scheme) may downgrade to the legacy
+        # best-effort rename; any other failure (RPC hiccup,
+        # credential error) must NOT silently reopen the
+        # overwrite-a-winner hazard this function exists to close
+        # (self-review r12)
+        name = ex.java_exception.getClass().getName()
+        if not name.endswith("UnsupportedFileSystemException"):
+            raise
         return fs.rename(src, dst)
     rename_opt = jvm.org.apache.hadoop.fs.Options.Rename
     opts = spark.sparkContext._gateway.new_array(rename_opt, 1)
@@ -338,7 +345,12 @@ def _write_stream_sidecar(
         if not fs.rename(tmp, dst):
             fs.delete(tmp, False)
     except Exception:  # noqa: BLE001 — advisory cache only
-        pass
+        # never leak the temp into _log/ (current_version lists that
+        # directory on every commit; self-review r12)
+        try:
+            fs.delete(tmp, False)
+        except Exception:  # noqa: BLE001
+            pass
 
 
 def last_committed_batch(
