@@ -21,6 +21,12 @@ travel, and an auditable history without a table-format dependency.
     apply     : overwrite with apply_cdc(current, changes) — the
                 upsert/delete path; composes with snapshot_diff for
                 incremental propagation between versioned tables
+    optimize  : content-identical overwrite into ~target-sized files
+                (the small-files repair, r12)
+    stats     : commit(stats_cols=...) records per-file min/max/nulls;
+                read_version(prune=[(col, op, lit)]) skips files whose
+                range provably excludes the predicate (r12 — the
+                Delta/Iceberg file-skipping idea)
 
 Scale story: ALL bookkeeping is driver-side and metadata-sized (file
 path lists in JSON); data moves executor-side through ordinary
@@ -30,8 +36,7 @@ window (including orphaned loser-dirs) behind a load-bearing min-age
 guard; :func:`streaming_commit` appends micro-batches exactly-once
 (per-(table, stream) batch-id watermark). What this deliberately does
 NOT do (honest boundary vs real Delta/Iceberg): no schema evolution
-(appends must match — checked), no file-level statistics pruning
-beyond parquet's own footers, and CREATE-exclusive publishing rides
+(appends must match — checked), and CREATE-exclusive publishing rides
 ``FileContext.rename(.., Rename.NONE)`` — CONTRACTUAL no-overwrite on
 local/HDFS (r12, ADVICE r11) — while schemes with no AbstractFileSystem
 binding fall back to checked ``FileSystem.rename`` and object stores
@@ -159,6 +164,25 @@ def _rename_no_overwrite(spark, fs, jvm, src, dst) -> bool:
         raise
 
 
+def _remap_stats(stats: dict, files: list[str]) -> dict:
+    """Re-key ``input_file_name()`` URIs onto the commit's file-list
+    entries (URI path suffix match — ``file:///x`` vs ``file:/x`` vs
+    plain ``/x`` all normalize to the path). A file the scan did not
+    report keeps no stats (and is therefore never skipped)."""
+    from urllib.parse import unquote, urlparse
+
+    def _p(u: str) -> str:
+        return unquote(urlparse(u).path) or u
+
+    by_path = {_p(f): f for f in files}
+    out = {}
+    for k, v in stats.items():
+        f = by_path.get(_p(k))
+        if f is not None:
+            out[f] = v
+    return out
+
+
 def _publish(
     spark: SparkSession,
     table: str,
@@ -168,6 +192,7 @@ def _publish(
     schema_json: str,
     batch_id: int | None = None,
     stream_id: str | None = None,
+    stats: dict | None = None,
 ) -> dict:
     """CREATE-exclusive publish of v{version}.json: exactly one of two
     racing writers can create the file (overwrite=False), the other
@@ -186,6 +211,8 @@ def _publish(
         doc["batch_id"] = batch_id
     if stream_id is not None:
         doc["stream_id"] = stream_id
+    if stats:
+        doc["stats"] = stats
     target = _path(spark, f"{table}/_log/v{version}.json")
     tmp = _path(spark, f"{table}/_log/.v{version}.{uuid.uuid4().hex}.tmp")
     stream = fs.create(tmp, False)
@@ -215,6 +242,73 @@ def _schema_shape(schema_json: str) -> list:
     return [(f.name, f.dataType.simpleString()) for f in st.fields]
 
 
+_STATS_TYPES = (
+    "tinyint", "smallint", "int", "bigint", "float", "double",
+    "string", "date",
+)
+
+
+def _collect_file_stats(
+    spark: SparkSession, files: list[str], stats_cols: list[str]
+) -> dict:
+    """Per-file (min, max, null_count) for ``stats_cols`` — ONE
+    distributed pass over exactly this commit's files (grouped by
+    ``input_file_name``), never a driver-side footer walk, so it works
+    on any FileSystem and costs one scan of the NEW data only (the
+    Delta add-file-stats idea). Only orderable scalar types
+    participate; others raise (no silent stat-less columns — callers
+    asking for skipping stats must get them or know why not).
+    Timestamps and decimals are deliberately excluded: timestamp
+    JSON round-trips ride session timezones, and stringified decimals
+    compare lexicographically (\"9.5\" > \"10.2\") — either would make
+    skipping silently WRONG rather than merely absent. Date stats are
+    stored as ISO strings; pass the ISO string form as the prune
+    literal (ISO compares correctly as text)."""
+    if not files:
+        return {}
+    df = spark.read.parquet(*files)
+    for c in stats_cols:
+        if c not in df.columns:
+            raise ValueError(f"stats column {c!r} not in the data")
+        t = df.schema[c].dataType.simpleString()
+        if not t.startswith(_STATS_TYPES):
+            raise ValueError(
+                f"stats column {c!r} has unorderable/unsupported type "
+                f"{t} — supported: {', '.join(_STATS_TYPES)}"
+            )
+    aggs = []
+    for c in stats_cols:
+        q = f"`{c}`"
+        aggs += [
+            F.min(q).alias(f"__mn_{c}"),
+            F.max(q).alias(f"__mx_{c}"),
+            F.count(F.lit(1)).alias(f"__n_{c}"),
+            F.count(q).alias(f"__nn_{c}"),
+        ]
+    rows = (
+        df.groupBy(F.input_file_name().alias("__f")).agg(*aggs).collect()
+    )
+
+    def _plain(v):
+        # JSON-safe scalar: dates/decimals ride as strings with their
+        # column type recorded alongside for the reader's comparisons
+        if v is None or isinstance(v, (int, float, str, bool)):
+            return v
+        return str(v)
+
+    out: dict = {}
+    for r in rows:
+        st = {}
+        for c in stats_cols:
+            st[c] = [
+                _plain(r[f"__mn_{c}"]),
+                _plain(r[f"__mx_{c}"]),
+                int(r[f"__n_{c}"] - r[f"__nn_{c}"]),
+            ]
+        out[r["__f"]] = st
+    return out
+
+
 def commit(
     spark: SparkSession,
     df: DataFrame,
@@ -223,6 +317,7 @@ def commit(
     expected_base: int | None = None,
     batch_id: int | None = None,
     stream_id: str | None = None,
+    stats_cols: list[str] | None = None,
 ) -> dict:
     """Write ``df`` as the table's next version. ``append`` keeps the
     previous version's files live alongside the new ones;
@@ -235,7 +330,15 @@ def commit(
     instead of silently clobbering it (read-modify-write callers MUST
     pass it — :func:`apply_changes` does). Raises
     :class:`CommitConflict` on any lost slot race — nothing is
-    corrupted; re-read and retry."""
+    corrupted; re-read and retry.
+
+    ``stats_cols`` (r12) opts this commit's files into per-file
+    (min, max, null_count) statistics, stored in the version doc and
+    consumed by :func:`read_version`'s ``prune=`` data skipping. One
+    extra distributed pass over the NEW files only; an appended
+    version carries the previous files' stats forward, so skipping
+    quality is monotone per file regardless of which commits opted
+    in (stat-less files are simply never skipped)."""
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append/overwrite, got {mode}")
     prev = current_version(spark, table)
@@ -245,6 +348,7 @@ def commit(
             f"derived from v{expected_base} — re-read and retry"
         )
     prev_files: list[str] = []
+    prev_stats: dict = {}
     schema_json = df.schema.json()
     if prev is not None and mode == "append":
         doc = _version_doc(spark, table, prev)
@@ -255,23 +359,79 @@ def commit(
                 "overwrite or migrate explicitly"
             )
         prev_files = doc["files"]
+        prev_stats = doc.get("stats", {})
     data_dir = f"{table}/data/{uuid.uuid4().hex}"
     df.write.parquet(data_dir)
     new_files = _list_parquet(spark, data_dir)
+    stats = dict(prev_stats)
+    if stats_cols:
+        stats.update(
+            _remap_stats(
+                _collect_file_stats(spark, new_files, stats_cols),
+                new_files,
+            )
+        )
     version = 0 if prev is None else prev + 1
     return _publish(
         spark, table, version, prev_files + new_files, mode, schema_json,
-        batch_id=batch_id, stream_id=stream_id,
+        batch_id=batch_id, stream_id=stream_id, stats=stats,
     )
 
 
+_PRUNE_OPS = ("=", "<", "<=", ">", ">=")
+
+
+def _file_may_match(st: dict, col: str, op: str, val) -> bool:
+    """False ONLY when the file's [min, max] range for ``col``
+    provably excludes every row satisfying ``col op val``. Missing
+    stats, a NULL bound (all-null file), or a cross-type comparison
+    keep the file — skipping must never be the component that loses
+    rows."""
+    if st is None or col not in st:
+        return True
+    mn, mx, _nulls = st[col]
+    if mn is None or mx is None:
+        # an all-null file: no non-null value can satisfy any
+        # comparison (SQL comparisons with NULL are never true)
+        return False
+    try:
+        if op == "=":
+            return mn <= val <= mx
+        if op == "<":
+            return mn < val
+        if op == "<=":
+            return mn <= val
+        if op == ">":
+            return mx > val
+        if op == ">=":
+            return mx >= val
+    except TypeError:
+        return True  # cross-type comparison — keep, never guess
+    return True
+
+
 def read_version(
-    spark: SparkSession, table: str, version: int | None = None
+    spark: SparkSession,
+    table: str,
+    version: int | None = None,
+    prune: list[tuple] | None = None,
 ) -> DataFrame:
     """The table at ``version`` (default: latest) — time travel is
     just resolving an older file list. An EMPTY version (overwrite of
     an empty frame) returns an empty DataFrame with the committed
-    schema."""
+    schema.
+
+    ``prune`` (r12 data skipping): a CONJUNCTION of simple predicates
+    ``(col, op, literal)`` with op in ``= < <= > >=``, evaluated
+    against the per-file statistics ``commit(stats_cols=...)``
+    recorded — files whose [min, max] range provably excludes every
+    matching row are not read at all (the Delta/Iceberg file-skipping
+    idea; at 100 TB this is the difference between scanning a
+    partition's worth of files and the whole table). Files without
+    stats for a column are always kept, so skipping NEVER loses rows.
+    The predicate is an IO hint only — apply the real ``filter`` on
+    the returned frame (parquet row-group pushdown then finishes the
+    job inside each kept file)."""
     cur = current_version(spark, table)
     if cur is None:
         raise ValueError(f"no such versioned table: {table}")
@@ -279,13 +439,30 @@ def read_version(
     if not 0 <= v <= cur:
         raise ValueError(f"version {v} not in [0, {cur}] for {table}")
     doc = _version_doc(spark, table, v)
-    if not doc["files"]:
+    files = doc["files"]
+    if prune:
+        for p in prune:
+            if len(p) != 3 or p[1] not in _PRUNE_OPS:
+                raise ValueError(
+                    f"prune predicate must be (col, op, value) with op "
+                    f"in {_PRUNE_OPS}, got {p!r}"
+                )
+        stats = doc.get("stats", {})
+        files = [
+            f
+            for f in files
+            if all(
+                _file_may_match(stats.get(f), c, op, val)
+                for (c, op, val) in prune
+            )
+        ]
+    if not files:
         from pyspark.sql.types import StructType
 
         return spark.createDataFrame(
             [], StructType.fromJson(json.loads(doc["schema"]))
         )
-    return spark.read.parquet(*doc["files"])
+    return spark.read.parquet(*files)
 
 
 def history(spark: SparkSession, table: str) -> list[dict]:
@@ -645,6 +822,71 @@ def vacuum(
         "n_deleted": n_deleted,
         "n_kept": len(live),
         "kept_versions": kept,
+    }
+
+
+def optimize(
+    spark: SparkSession,
+    table: str,
+    target_bytes: int = 128 * 1024 * 1024,
+    stats_cols: list[str] | None = None,
+) -> dict:
+    """Delta-style ``OPTIMIZE``: rewrite the CURRENT version's live
+    rows into ~``target_bytes`` files and publish the result as a new
+    OVERWRITE version — content-identical (a set-equality no-op for
+    readers), but the small-files tax on every subsequent scan is
+    paid down once. The write is pinned to the version it read
+    (``expected_base`` semantics): a concurrent commit between the
+    read and the publish raises :class:`CommitConflict` and nothing
+    is lost — the old files stay live under the previous version
+    either way until :func:`vacuum` reclaims them.
+
+    Sizing rides :func:`~tableone_pyspark_spark.sources.compact.\
+write_target_sized`'s sampled bytes-per-row estimate (one bounded
+    driver sample + one write with ``maxRecordsPerFile`` — no
+    shuffle; the coarse-partitioning caveat there applies).
+    ``stats_cols`` re-records skipping statistics on the rewritten
+    files (an optimize drops the old per-file stats with the old
+    files, so pass it for any table that uses ``prune=``). Returns
+    ``{version, n_input_files, n_output_files}``."""
+    from tableone_pyspark_spark.sources.compact import write_target_sized
+
+    base = current_version(spark, table)
+    if base is None:
+        raise ValueError(f"no such versioned table: {table}")
+    doc = _version_doc(spark, table, base)
+    if not doc["files"]:
+        return {
+            "version": base,
+            "n_input_files": 0,
+            "n_output_files": 0,
+        }
+    cur = spark.read.parquet(*doc["files"])
+    data_dir = f"{table}/data/{uuid.uuid4().hex}"
+    write_target_sized(cur, data_dir, target_bytes, mode="errorifexists")
+    new_files = _list_parquet(spark, data_dir)
+    stats = (
+        _remap_stats(
+            _collect_file_stats(spark, new_files, stats_cols), new_files
+        )
+        if stats_cols
+        else None
+    )
+    if current_version(spark, table) != base:
+        # cheap early conflict detection; _publish's CREATE-exclusive
+        # slot is still the real gate
+        raise CommitConflict(
+            f"table {table} moved past v{base} during optimize — "
+            "re-run on the new version"
+        )
+    _publish(
+        spark, table, base + 1, new_files, "overwrite", doc["schema"],
+        stats=stats,
+    )
+    return {
+        "version": base + 1,
+        "n_input_files": len(doc["files"]),
+        "n_output_files": len(new_files),
     }
 
 
