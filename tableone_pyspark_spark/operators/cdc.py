@@ -105,6 +105,7 @@ def snapshot_diff(
     ts,
     ts_col: str = "ts",
     op_col: str = "op",
+    include_preimage: bool = False,
 ) -> DataFrame:
     """The INVERSE of :func:`apply_cdc` — derive the change batch that
     turns snapshot ``old`` into snapshot ``new``:
@@ -131,7 +132,14 @@ def snapshot_diff(
     snapshot makes the full-outer join a cross-product and the
     round-trip silently false — snapshots are keyed BY DEFINITION,
     dedup upstream (self-review r11). Both snapshots must share the
-    same columns."""
+    same columns.
+
+    ``include_preimage=True`` (r12) switches to Delta-CDF-style change
+    typing: updates emit TWO rows — ``U_pre`` (old values) and
+    ``U_post`` (new) — so incremental consumers can RETRACT the old
+    contribution without re-reading the prior snapshot. That output is
+    for change-feed consumers; :func:`apply_cdc` consumes the default
+    single-'U' form only."""
     if not keys:
         raise ValueError("keys must be non-empty")
     if ts is None:
@@ -154,7 +162,7 @@ def snapshot_diff(
     bad = [
         c
         for c in old.columns
-        if c in ("__in_o", "__in_n")
+        if c in ("__in_o", "__in_n", "__ch", "__e")
         or c.startswith("__o_")
         or c.startswith("__n_")
     ]
@@ -165,7 +173,8 @@ def snapshot_diff(
         # review r11)
         raise ValueError(
             f"snapshot columns {bad} collide with snapshot_diff's "
-            "internal __in_o/__in_n/__o_*/__n_* names — rename them"
+            "internal __in_o/__in_n/__ch/__e/__o_*/__n_* names — "
+            "rename them"
         )
     attrs = [c for c in old.columns if c not in keys]
 
@@ -233,6 +242,31 @@ def snapshot_diff(
         .when(F.col("__in_n").isNull(), F.lit("D"))
         .when(changed, F.lit("U"))
     )
+    if include_preimage:
+        # Delta-CDF-style change typing: an update emits TWO rows —
+        # 'U_pre' with the OLD values and 'U_post' with the new — so
+        # an incremental consumer (sources/mv.py refresh_aggregate)
+        # can retract the old contribution without re-reading the
+        # previous snapshot. One pass: the joined row expands through
+        # an array-of-structs explode, never a second join.
+        def _side(tag: str, prefix: str):
+            return F.struct(
+                *[F.col(f"{prefix}{a}").alias(a) for a in attrs],
+                F.lit(tag).alias(op_col),
+            )
+
+        arr = (
+            F.when(op == "I", F.array(_side("I", "__n_")))
+            .when(op == "D", F.array(_side("D", "__o_")))
+            .when(op == "U", F.array(_side("U_pre", "__o_"),
+                                     _side("U_post", "__n_")))
+        )
+        return (
+            j.withColumn("__ch", arr)
+            .where(F.col("__ch").isNotNull())
+            .select(*keys, F.explode("__ch").alias("__e"))
+            .select(*keys, "__e.*", F.lit(ts).alias(ts_col))
+        )
     return (
         j.withColumn(op_col, op)
         .where(F.col(op_col).isNotNull())

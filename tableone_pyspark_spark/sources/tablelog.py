@@ -630,6 +630,7 @@ def table_changes(
     keys: list[str] | None = None,
     op_col: str = "op",
     version_col: str = "commit_version",
+    include_preimage: bool = False,
 ) -> DataFrame:
     """Change data feed (Delta CDF's ``table_changes``): every row
     change between ``from_version`` (exclusive) and ``to_version``
@@ -651,7 +652,11 @@ def table_changes(
     fail on missing files — consume changes before reclaiming.
     ``op_col``/``version_col`` must not collide with the table's own
     columns (checked per version — an append-path withColumn would
-    otherwise silently overwrite real data)."""
+    otherwise silently overwrite real data). ``include_preimage=True``
+    (r12) makes overwrite-version updates arrive as ``U_pre``/
+    ``U_post`` row pairs (append commits emit 'I' either way) — the
+    retractable form :func:`~tableone_pyspark_spark.sources.mv.\
+refresh_aggregate` consumes."""
     cur = current_version(spark, table)
     if cur is None:
         raise ValueError(f"no such versioned table: {table}")
@@ -703,6 +708,7 @@ def table_changes(
                 ts=v,
                 ts_col="__cdf_ts",
                 op_col=op_col,
+                include_preimage=include_preimage,
             ).drop("__cdf_ts")
         prev_doc = doc
         ch = ch.withColumn(version_col, F.lit(v))

@@ -499,3 +499,155 @@ def test_optimize_rewrites_small_files(spark, tmp_path):
     schema = tl._version_doc(spark, t, cur)["schema"]
     with pytest.raises(tl.CommitConflict):
         tl._publish(spark, t, cur, [], "overwrite", schema)
+
+
+def test_snapshot_diff_preimage(spark):
+    """r12 (X134 prerequisite): include_preimage emits Delta-CDF-style
+    U_pre/U_post pairs — the retractable form — while I/D rows and the
+    default single-'U' output are unchanged."""
+    from tableone_pyspark_spark.operators.cdc import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30)], "k long, g string, v long"
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 10), (2, "z", 25), (4, "d", 40)], "k long, g string, v long"
+    )
+    out = snapshot_diff(old, new, ["k"], ts=7, include_preimage=True)
+    rows = {(r["k"], r["op"]): (r["g"], r["v"], r["ts"]) for r in out.collect()}
+    assert rows == {
+        (2, "U_pre"): ("b", 20, 7),
+        (2, "U_post"): ("z", 25, 7),
+        (3, "D"): ("c", 30, 7),
+        (4, "I"): ("d", 40, 7),
+    }
+    # column order matches the default form: keys, attrs, op, ts
+    assert out.columns == ["k", "g", "v", "op", "ts"]
+    # default form unchanged
+    d = {(r["k"], r["op"]) for r in snapshot_diff(old, new, ["k"], ts=7).collect()}
+    assert d == {(2, "U"), (3, "D"), (4, "I")}
+    # reserved internal names now include the explode's
+    import pytest as _pytest
+
+    bad = old.withColumnRenamed("g", "__ch")
+    with _pytest.raises(ValueError, match="__ch"):
+        snapshot_diff(bad, bad, ["k"], ts=1)
+
+
+def test_refresh_aggregate_incremental(spark, tmp_path):
+    """X134: the CDF-maintained grouped aggregate equals a full
+    recompute after inserts, deletes, and a group-MOVING update
+    (which requires the U_pre retraction); re-refresh is a no-op;
+    emptied groups vanish; the watermark survives crash-replay."""
+    from tableone_pyspark_spark.sources import mv
+    from tableone_pyspark_spark.sources import tablelog as tl
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "agg")
+    base = spark.createDataFrame(
+        [(1, "a", 10), (2, "a", 20), (3, "b", 30), (4, "b", 40)],
+        "k long, g string, v long",
+    )
+    tl.commit(spark, base, src)  # v0
+
+    rep = mv.refresh_aggregate(spark, src, dst, ["g"], ["v"], keys=["k"])
+    assert rep["mode"] == "full" and rep["src_version"] == 0
+
+    def mv_rows():
+        return {
+            r["g"]: (r["n"], r["sum_v"])
+            for r in tl.read_version(spark, dst).collect()
+        }
+
+    assert mv_rows() == {"a": (2, 30), "b": (2, 70)}
+
+    # append-only commit: 'I' path, no keys needed for the diff
+    tl.commit(spark, spark.createDataFrame([(5, "a", 5)], base.schema), src)
+    rep = mv.refresh_aggregate(spark, src, dst, ["g"], ["v"], keys=["k"])
+    assert rep["mode"] == "incremental"
+    assert mv_rows() == {"a": (3, 35), "b": (2, 70)}
+
+    # overwrite commit: k=2 MOVES group a->b (U_pre/U_post), k=3
+    # deleted, k=6 inserted into a NEW group c, group b's k=4 value
+    # changes in place
+    nxt = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (4, "b", 45), (5, "a", 5), (6, "c", 1)],
+        base.schema,
+    )
+    tl.commit(spark, nxt, src, mode="overwrite")
+    rep = mv.refresh_aggregate(spark, src, dst, ["g"], ["v"], keys=["k"])
+    assert rep["mode"] == "incremental"
+    want = {
+        r["g"]: (r["n"], r["sum_v"])
+        for r in nxt.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("sum_v"))
+        .collect()
+    }
+    assert mv_rows() == want  # exact: integer sums
+
+    # no-op when already current (the crash-replay/exactly-once path)
+    v = tl.current_version(spark, dst)
+    assert mv.refresh_aggregate(spark, src, dst, ["g"], ["v"], keys=["k"])[
+        "mode"
+    ] == "noop"
+    assert tl.current_version(spark, dst) == v
+
+    # a group emptied entirely disappears
+    tl.commit(
+        spark,
+        spark.createDataFrame([(1, "a", 10)], base.schema),
+        src,
+        mode="overwrite",
+    )
+    mv.refresh_aggregate(spark, src, dst, ["g"], ["v"], keys=["k"])
+    assert mv_rows() == {"a": (1, 10)}
+
+    # full_refresh re-baselines to the same values
+    mv.refresh_aggregate(
+        spark, src, dst, ["g"], ["v"], keys=["k"], full_refresh=True
+    )
+    assert mv_rows() == {"a": (1, 10)}
+
+    # validation
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="group_cols"):
+        mv.refresh_aggregate(spark, src, dst, [], ["v"])
+    with _pytest.raises(ValueError, match="both roles"):
+        mv.refresh_aggregate(spark, src, dst, ["v"], ["v"])
+    with _pytest.raises(ValueError, match="collide"):
+        mv.refresh_aggregate(spark, src, dst, ["n"], ["v"])
+
+
+def test_refresh_aggregate_null_groups_and_null_sums(spark, tmp_path):
+    """NULL group keys are real groups (eqNullSafe merge); a group
+    whose every value is NULL keeps sum NULL through increments."""
+    from tableone_pyspark_spark.sources import mv
+    from tableone_pyspark_spark.sources import tablelog as tl
+
+    src = str(tmp_path / "srcn")
+    dst = str(tmp_path / "aggn")
+    base = spark.createDataFrame(
+        [(1, None, 10), (2, None, 20), (3, "x", None)],
+        "k long, g string, v long",
+    )
+    tl.commit(spark, base, src)
+    mv.refresh_aggregate(spark, src, dst, ["g"], ["v"], keys=["k"])
+    got = {
+        r["g"]: (r["n"], r["sum_v"])
+        for r in tl.read_version(spark, dst).collect()
+    }
+    assert got == {None: (2, 30), "x": (1, None)}
+    # increment the NULL group and the all-null-sum group
+    tl.commit(
+        spark,
+        spark.createDataFrame([(4, None, 5), (5, "x", None)], base.schema),
+        src,
+    )
+    mv.refresh_aggregate(spark, src, dst, ["g"], ["v"], keys=["k"])
+    got = {
+        r["g"]: (r["n"], r["sum_v"])
+        for r in tl.read_version(spark, dst).collect()
+    }
+    assert got == {None: (3, 35), "x": (2, None)}
