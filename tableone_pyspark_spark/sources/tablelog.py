@@ -836,6 +836,7 @@ def optimize(
     table: str,
     target_bytes: int = 128 * 1024 * 1024,
     stats_cols: list[str] | None = None,
+    zorder_by: list[str] | None = None,
 ) -> dict:
     """Delta-style ``OPTIMIZE``: rewrite the CURRENT version's live
     rows into ~``target_bytes`` files and publish the result as a new
@@ -853,8 +854,17 @@ write_target_sized`'s sampled bytes-per-row estimate (one bounded
     shuffle; the coarse-partitioning caveat there applies).
     ``stats_cols`` re-records skipping statistics on the rewritten
     files (an optimize drops the old per-file stats with the old
-    files, so pass it for any table that uses ``prune=``). Returns
-    ``{version, n_input_files, n_output_files}``."""
+    files, so pass it for any table that uses ``prune=``).
+
+    ``zorder_by`` (Delta's ``OPTIMIZE ... ZORDER BY``): lay the
+    rewrite out by the Morton key over those numeric columns instead
+    of arrival order — each output file then spans a narrow min/max
+    rectangle in EVERY listed column, which is exactly what
+    ``stats_cols`` + ``read_version(prune=...)`` monetize (pass both;
+    a z-ordered rewrite without stats skips nothing). File count =
+    ceil(live bytes / target_bytes), one extra range shuffle.
+
+    Returns ``{version, n_input_files, n_output_files}``."""
     from tableone_pyspark_spark.sources.compact import write_target_sized
 
     base = current_version(spark, table)
@@ -869,7 +879,23 @@ write_target_sized`'s sampled bytes-per-row estimate (one bounded
         }
     cur = spark.read.parquet(*doc["files"])
     data_dir = f"{table}/data/{uuid.uuid4().hex}"
-    write_target_sized(cur, data_dir, target_bytes, mode="errorifexists")
+    if zorder_by:
+        from tableone_pyspark_spark.sources.io import write_zordered
+
+        fs, _ = _fs(spark, table)
+        live_bytes = sum(
+            fs.getFileStatus(_path(spark, f)).getLen()
+            for f in doc["files"]
+        )
+        n_files = max(1, -(-live_bytes // target_bytes))
+        write_zordered(
+            cur, data_dir, zorder_by, n_files=int(n_files),
+            mode="errorifexists",
+        )
+    else:
+        write_target_sized(
+            cur, data_dir, target_bytes, mode="errorifexists"
+        )
     new_files = _list_parquet(spark, data_dir)
     stats = (
         _remap_stats(

@@ -651,3 +651,40 @@ def test_refresh_aggregate_null_groups_and_null_sums(spark, tmp_path):
         for r in tl.read_version(spark, dst).collect()
     }
     assert got == {None: (3, 35), "x": (2, None)}
+
+
+def test_optimize_zorder_monetizes_pruning(spark, tmp_path):
+    """X135: OPTIMIZE ZORDER BY + per-file stats + prune compose —
+    after a z-ordered rewrite each file spans a narrow rectangle in
+    BOTH columns, so a selective predicate on EITHER column prunes
+    most files; content stays identical."""
+    import random
+
+    t = str(tmp_path / "ztbl")
+    rng = random.Random(7)
+    rows = [(i, rng.randrange(1000), rng.randrange(1000)) for i in range(4000)]
+    df = spark.createDataFrame(rows, "k long, x long, y long")
+    tl.commit(spark, df.repartition(8), t)
+    before = tl.read_version(spark, t)
+    keysum = before.agg(F.sum("k")).first()[0]
+
+    # tiny target -> several z-ordered files
+    rep = tl.optimize(
+        spark, t, target_bytes=16 * 1024, stats_cols=["x", "y"],
+        zorder_by=["x", "y"],
+    )
+    assert rep["n_output_files"] >= 4
+    total = rep["n_output_files"]
+    # selective predicates on EACH dimension prune strictly
+    for col in ("x", "y"):
+        pruned = tl.read_version(spark, t, prune=[(col, "<", 100)])
+        kept = len(pruned.inputFiles())
+        assert kept < total, (col, kept, total)
+        # and no rows are lost vs the unpruned filter
+        assert (
+            pruned.where(F.col(col) < 100).count()
+            == tl.read_version(spark, t).where(F.col(col) < 100).count()
+        )
+    # content identical after the rewrite
+    after = tl.read_version(spark, t)
+    assert after.count() == 4000 and after.agg(F.sum("k")).first()[0] == keysum
