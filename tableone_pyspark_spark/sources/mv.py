@@ -9,7 +9,9 @@ count/sum family so no base re-read is ever needed).
     refresh_aggregate(spark, src, dst, group_cols, sum_cols, keys)
 
 maintains ``dst`` = SELECT group_cols, count(*) AS n, sum(c) AS
-sum_<c>... FROM ``src`` GROUP BY group_cols:
+sum_<c>, count(c) AS nn_<c>... FROM ``src`` GROUP BY group_cols (the
+non-null counts are part of the maintained state: they are what makes
+sum retraction NULL-exact when a group's last non-null value leaves):
 
   - first refresh: one full-snapshot aggregation, committed to ``dst``
   - later refreshes: ``table_changes(src, last, include_preimage=True)``
@@ -58,9 +60,15 @@ def _mv_id(src_table: str) -> str:
 def _full_aggregate(
     src_df: DataFrame, group_cols: list[str], sum_cols: list[str]
 ) -> DataFrame:
-    aggs = [F.count(F.lit(1)).alias("n")] + [
-        F.sum(f"`{c}`").alias(f"sum_{c}") for c in sum_cols
-    ]
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for c in sum_cols:
+        aggs += [
+            F.sum(f"`{c}`").alias(f"sum_{c}"),
+            # the non-null count makes sum retraction NULL-exact: a
+            # group whose last non-null value is deleted must return
+            # to sum NULL, not 0 (self-review r12)
+            F.count(f"`{c}`").alias(f"nn_{c}"),
+        ]
     return src_df.groupBy(*[f"`{c}`" for c in group_cols]).agg(*aggs)
 
 
@@ -89,7 +97,9 @@ def refresh_aggregate(
     overlap = set(group_cols) & set(sum_cols)
     if overlap:
         raise ValueError(f"columns {sorted(overlap)} in both roles")
-    out_names = {"n"} | {f"sum_{c}" for c in sum_cols}
+    out_names = {"n"} | {f"sum_{c}" for c in sum_cols} | {
+        f"nn_{c}" for c in sum_cols
+    }
     clash = out_names & set(group_cols)
     if clash or "n" in sum_cols:
         raise ValueError(
@@ -100,11 +110,17 @@ def refresh_aggregate(
     if src_cur is None:
         raise ValueError(f"no such versioned table: {src_table}")
     mv = _mv_id(src_table)
+    # dst_base BEFORE the watermark (self-review r12): read the other
+    # way round, a concurrent refresh landing between the two reads
+    # gives a stale watermark with a fresh base — expected_base would
+    # pass and the same change range be applied TWICE. With base
+    # first, a commit after it trips expected_base; one before it is
+    # already reflected in the watermark we then read.
+    dst_base = tl.current_version(spark, dst_table)
     last = tl.last_committed_batch(spark, dst_table, mv)
     if last is not None and last >= src_cur and not full_refresh:
         return {"src_version": last, "mode": "noop", "rows": 0}
 
-    dst_base = tl.current_version(spark, dst_table)
     if last is None or full_refresh:
         agg = _full_aggregate(
             tl.read_version(spark, src_table, src_cur),
@@ -139,15 +155,21 @@ def refresh_aggregate(
             )
         )
     )
-    d_aggs = [F.sum(sign).alias("__dn")] + [
-        F.sum(sign * F.col(f"`{c}`")).alias(f"__ds_{c}") for c in sum_cols
-    ]
+    d_aggs = [F.sum(sign).alias("__dn")]
+    for c in sum_cols:
+        d_aggs += [
+            F.sum(sign * F.col(f"`{c}`")).alias(f"__ds_{c}"),
+            F.sum(
+                sign * F.col(f"`{c}`").isNotNull().cast("long")
+            ).alias(f"__dnn_{c}"),
+        ]
     deltas = ch.groupBy(*[f"`{c}`" for c in group_cols]).agg(*d_aggs)
     cur_mv = tl.read_version(spark, dst_table, dst_base)
     dd = deltas.select(
         *[F.col(f"`{c}`").alias(f"__g_{c}") for c in group_cols],
         "__dn",
         *[f"__ds_{c}" for c in sum_cols],
+        *[f"__dnn_{c}" for c in sum_cols],
     )
     cond = reduce(
         lambda a, b: a & b,
@@ -163,20 +185,33 @@ def refresh_aggregate(
             + F.coalesce(dd["__dn"], F.lit(0))
         ).alias("n"),
         *[
-            # NULL + NULL stays NULL (a group whose every value is
-            # NULL has sum NULL — SQL sum-of-nothing); any real
-            # contribution coalesces the other side to 0
-            F.when(
-                cur_mv[f"sum_{c}"].isNull()
-                & dd[f"__ds_{c}"].isNull(),
-                F.lit(None),
-            )
-            .otherwise(
-                F.coalesce(cur_mv[f"sum_{c}"], F.lit(0))
-                + F.coalesce(dd[f"__ds_{c}"], F.lit(0))
-            )
-            .alias(f"sum_{c}")
+            col
             for c in sum_cols
+            for col in (
+                # sum is NULL exactly when the group holds ZERO
+                # non-null values — tracked by the nn_<c> counter, so
+                # deleting a group's last non-null value retracts the
+                # sum back to NULL, matching a full recompute
+                # (self-review r12; coalesce-only arithmetic returned
+                # 0 there)
+                F.when(
+                    (
+                        F.coalesce(cur_mv[f"nn_{c}"], F.lit(0))
+                        + F.coalesce(dd[f"__dnn_{c}"], F.lit(0))
+                    )
+                    == 0,
+                    F.lit(None),
+                )
+                .otherwise(
+                    F.coalesce(cur_mv[f"sum_{c}"], F.lit(0))
+                    + F.coalesce(dd[f"__ds_{c}"], F.lit(0))
+                )
+                .alias(f"sum_{c}"),
+                (
+                    F.coalesce(cur_mv[f"nn_{c}"], F.lit(0))
+                    + F.coalesce(dd[f"__dnn_{c}"], F.lit(0))
+                ).alias(f"nn_{c}"),
+            )
         ],
     ).where(F.col("n") > 0)
     doc = tl.commit(

@@ -248,6 +248,25 @@ _STATS_TYPES = (
 )
 
 
+def _check_stats_cols(schema, stats_cols: list[str]) -> None:
+    """Validate BEFORE any data is written (a typo'd stats column must
+    not cost a full commit write — self-review r12). Types are
+    EXACT-matched: a startswith gate let 'interval day to second'
+    through via 'int' and its stringified bounds compare
+    lexicographically — the silent-wrong-skipping class the gate
+    exists to refuse (self-review r12)."""
+    names = set(schema.fieldNames())
+    for c in stats_cols:
+        if c not in names:
+            raise ValueError(f"stats column {c!r} not in the data")
+        t = schema[c].dataType.simpleString()
+        if t not in _STATS_TYPES:
+            raise ValueError(
+                f"stats column {c!r} has unorderable/unsupported type "
+                f"{t} — supported: {', '.join(_STATS_TYPES)}"
+            )
+
+
 def _collect_file_stats(
     spark: SparkSession, files: list[str], stats_cols: list[str]
 ) -> dict:
@@ -267,22 +286,13 @@ def _collect_file_stats(
     if not files:
         return {}
     df = spark.read.parquet(*files)
-    for c in stats_cols:
-        if c not in df.columns:
-            raise ValueError(f"stats column {c!r} not in the data")
-        t = df.schema[c].dataType.simpleString()
-        if not t.startswith(_STATS_TYPES):
-            raise ValueError(
-                f"stats column {c!r} has unorderable/unsupported type "
-                f"{t} — supported: {', '.join(_STATS_TYPES)}"
-            )
-    aggs = []
+    _check_stats_cols(df.schema, stats_cols)
+    aggs = [F.count(F.lit(1)).alias("__n")]
     for c in stats_cols:
         q = f"`{c}`"
         aggs += [
             F.min(q).alias(f"__mn_{c}"),
             F.max(q).alias(f"__mx_{c}"),
-            F.count(F.lit(1)).alias(f"__n_{c}"),
             F.count(q).alias(f"__nn_{c}"),
         ]
     rows = (
@@ -303,7 +313,7 @@ def _collect_file_stats(
             st[c] = [
                 _plain(r[f"__mn_{c}"]),
                 _plain(r[f"__mx_{c}"]),
-                int(r[f"__n_{c}"] - r[f"__nn_{c}"]),
+                int(r["__n"] - r[f"__nn_{c}"]),
             ]
         out[r["__f"]] = st
     return out
@@ -360,6 +370,9 @@ def commit(
             )
         prev_files = doc["files"]
         prev_stats = doc.get("stats", {})
+    if stats_cols:
+        # fail BEFORE the data write — a typo must not cost the commit
+        _check_stats_cols(df.schema, stats_cols)
     data_dir = f"{table}/data/{uuid.uuid4().hex}"
     df.write.parquet(data_dir)
     new_files = _list_parquet(spark, data_dir)
@@ -394,6 +407,16 @@ def _file_may_match(st: dict, col: str, op: str, val) -> bool:
         # an all-null file: no non-null value can satisfy any
         # comparison (SQL comparisons with NULL are never true)
         return False
+    import math
+
+    if any(
+        isinstance(x, float) and math.isnan(x) for x in (mn, mx, val)
+    ):
+        # a NaN bound poisons every Python comparison below to False
+        # (silent row loss), and Spark's own NaN ordering (greatest,
+        # NaN = NaN) differs from Python's — stats are unusable for
+        # this file/predicate, keep it (self-review r12)
+        return True
     try:
         if op == "=":
             return mn <= val <= mx
@@ -867,6 +890,10 @@ write_target_sized`'s sampled bytes-per-row estimate (one bounded
     Returns ``{version, n_input_files, n_output_files}``."""
     from tableone_pyspark_spark.sources.compact import write_target_sized
 
+    if target_bytes <= 0:
+        # the zorder branch divides by this; the plain branch would
+        # only catch it later inside write_target_sized
+        raise ValueError(f"target_bytes must be positive, got {target_bytes}")
     base = current_version(spark, table)
     if base is None:
         raise ValueError(f"no such versioned table: {table}")

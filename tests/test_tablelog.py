@@ -688,3 +688,61 @@ def test_optimize_zorder_monetizes_pruning(spark, tmp_path):
     # content identical after the rewrite
     after = tl.read_version(spark, t)
     assert after.count() == 4000 and after.agg(F.sum("k")).first()[0] == keysum
+
+
+def test_refresh_aggregate_retracts_sum_to_null(spark, tmp_path):
+    """Self-review r12: deleting a group's LAST non-null value must
+    retract the sum to NULL (a full recompute's answer), not 0 — the
+    nn_<c> counter exists for exactly this."""
+    from tableone_pyspark_spark.sources import mv
+
+    src = str(tmp_path / "srcr")
+    dst = str(tmp_path / "aggr")
+    base = spark.createDataFrame(
+        [(1, "g", 5), (2, "g", None)], "k long, g string, v long"
+    )
+    tl.commit(spark, base, src)
+    mv.refresh_aggregate(spark, src, dst, ["g"], ["v"], keys=["k"])
+    # delete the only non-null row
+    tl.commit(
+        spark,
+        spark.createDataFrame([(2, "g", None)], base.schema),
+        src,
+        mode="overwrite",
+    )
+    rep = mv.refresh_aggregate(spark, src, dst, ["g"], ["v"], keys=["k"])
+    assert rep["mode"] == "incremental"
+    row = tl.read_version(spark, dst).first()
+    assert (row["n"], row["sum_v"], row["nn_v"]) == (1, None, 0)
+    # and gaining a value again leaves NULL-land exactly
+    tl.commit(spark, spark.createDataFrame([(3, "g", 7)], base.schema), src)
+    mv.refresh_aggregate(spark, src, dst, ["g"], ["v"], keys=["k"])
+    row = tl.read_version(spark, dst).first()
+    assert (row["n"], row["sum_v"], row["nn_v"]) == (2, 7, 1)
+
+
+def test_stats_nan_and_interval_guards(spark, tmp_path):
+    """Self-review r12: a NaN float bound keeps the file (Spark's NaN
+    ordering differs from Python's — skipping on it would lose rows),
+    and interval types no longer slip through the startswith gate."""
+    t = str(tmp_path / "nan_tbl")
+    df = spark.createDataFrame(
+        [(1, 1.0), (2, float("nan"))], "k long, v double"
+    )
+    tl.commit(spark, df.coalesce(1), t, stats_cols=["v"])
+    # the file's max is NaN -> stats unusable -> file kept; note the
+    # filter count is 2, not 1: Spark's NaN sorts greatest, so
+    # NaN > 0.5 is TRUE there (while Python's is False) — the very
+    # semantics gap that makes a NaN bound unusable for skipping
+    out = tl.read_version(spark, t, prune=[("v", ">", 0.5)])
+    assert len(out.inputFiles()) == 1
+    assert out.where(F.col("v") > 0.5).count() == 2
+
+    iv = spark.sql(
+        "SELECT 1 AS k, INTERVAL '1' DAY AS dur"
+    )
+    with pytest.raises(ValueError, match="unorderable/unsupported"):
+        tl.commit(spark, iv, str(tmp_path / "iv_tbl"), stats_cols=["dur"])
+
+    with pytest.raises(ValueError, match="target_bytes"):
+        tl.optimize(spark, t, target_bytes=0, zorder_by=["v"])
