@@ -328,6 +328,7 @@ def commit(
     batch_id: int | None = None,
     stream_id: str | None = None,
     stats_cols: list[str] | None = None,
+    _audit=None,
 ) -> dict:
     """Write ``df`` as the table's next version. ``append`` keeps the
     previous version's files live alongside the new ones;
@@ -376,6 +377,11 @@ def commit(
     data_dir = f"{table}/data/{uuid.uuid4().hex}"
     df.write.parquet(data_dir)
     new_files = _list_parquet(spark, data_dir)
+    if _audit is not None and new_files:
+        # write-audit-publish seam (commit_audited): raising here
+        # leaves the data dir unpublished — invisible to readers,
+        # vacuumed like any loser's dir
+        _audit(spark.read.parquet(*new_files))
     stats = dict(prev_stats)
     if stats_cols:
         stats.update(
@@ -852,6 +858,69 @@ def vacuum(
         "n_kept": len(live),
         "kept_versions": kept,
     }
+
+
+class AuditFailed(Exception):
+    """A WAP audit rejected the written batch — nothing was published.
+    ``.report`` carries the full per-constraint rows."""
+
+    def __init__(self, msg: str, report):
+        super().__init__(msg)
+        self.report = report
+
+
+def commit_audited(
+    spark: SparkSession,
+    df: DataFrame,
+    table: str,
+    checks: list,
+    mode: str = "append",
+    expected_base: int | None = None,
+    stats_cols: list[str] | None = None,
+) -> dict:
+    """Write-Audit-Publish (the Iceberg WAP pattern; Delta CHECK
+    constraints by composition): write ``df``'s data files FIRST,
+    audit the WRITTEN bytes with the X111 one-pass constraint suite
+    (``operators/expect.py`` — completeness/in_range/matches/isin/
+    satisfies/uniqueness...), and publish the version ONLY if every
+    check passes. A failing audit raises :class:`AuditFailed` (with
+    the full per-constraint ``.report`` rows) and publishes NOTHING —
+    the orphaned data dir is invisible to readers and reclaimed by
+    :func:`vacuum` like any loser's dir.
+
+    Auditing the written files (not the input frame) costs one read
+    of the NEW data but audits what readers will actually see — a
+    non-deterministic or flaky upstream cannot sneak different bytes
+    past a gate that ran before the write. Everything else matches
+    :func:`commit` (same modes, pinning, stats)."""
+    from tableone_pyspark_spark.operators.expect import validate
+
+    if not checks:
+        raise ValueError(
+            "commit_audited without checks is just commit() — "
+            "declare at least one constraint"
+        )
+
+    def audit(written: DataFrame) -> None:
+        report = validate(written, checks).collect()
+        failed = [r for r in report if not r["passed"]]
+        if failed:
+            raise AuditFailed(
+                "commit_audited: "
+                f"{len(failed)}/{len(report)} checks failed on the "
+                "written data — nothing was published: "
+                + "; ".join(
+                    f"{r['constraint']}({r['column']}) metric="
+                    f"{r['metric']:.6f} vs {r['threshold']}"
+                    for r in failed
+                ),
+                report,
+            )
+
+    return commit(
+        spark, df, table, mode=mode, expected_base=expected_base,
+        stats_cols=stats_cols, _audit=audit,
+    )
 
 
 def optimize(

@@ -746,3 +746,37 @@ def test_stats_nan_and_interval_guards(spark, tmp_path):
 
     with pytest.raises(ValueError, match="target_bytes"):
         tl.optimize(spark, t, target_bytes=0, zorder_by=["v"])
+
+
+def test_commit_audited_wap(spark, tmp_path):
+    """X136: write-audit-publish — a failing constraint suite on the
+    WRITTEN data publishes nothing (the data dir is an invisible
+    orphan, vacuumable), a passing one commits normally, and the
+    audit report rides the exception."""
+    from tableone_pyspark_spark.operators import expect as ex
+
+    t = str(tmp_path / "wap_tbl")
+    good = spark.createDataFrame(
+        [(1, 50.0), (2, 60.0)], "k long, v double"
+    )
+    bad = spark.createDataFrame(
+        [(3, 50.0), (4, None)], "k long, v double"
+    )
+    checks = [ex.completeness("v"), ex.in_range("v", 0, 100)]
+
+    rep = tl.commit_audited(spark, good, t, checks, stats_cols=["v"])
+    assert rep["version"] == 0
+    assert tl.read_version(spark, t).count() == 2
+
+    with pytest.raises(tl.AuditFailed, match="completeness") as ei:
+        tl.commit_audited(spark, bad, t, checks)
+    assert any(not r["passed"] for r in ei.value.report)
+    # nothing published: version unchanged, read unchanged
+    assert tl.current_version(spark, t) == 0
+    assert tl.read_version(spark, t).count() == 2
+    # the orphaned dir is reclaimable (age-0 vacuum takes its files)
+    assert tl.vacuum(spark, t, keep_last=1, min_age_seconds=0)["n_deleted"] >= 1
+    assert tl.read_version(spark, t).count() == 2
+
+    with pytest.raises(ValueError, match="at least one constraint"):
+        tl.commit_audited(spark, good, t, [])
