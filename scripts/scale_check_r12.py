@@ -200,6 +200,68 @@ def main() -> None:
     timed("tablelog commit+travel 1x", lambda: travel(orders))
     timed("tablelog commit+travel 10x", lambda: travel(o10))
 
+    def stats_prune(df: DataFrame) -> tuple:
+        root = tempfile.mkdtemp(prefix="r12_stats_")
+        t = f"{root}/t"
+        try:
+            tl.commit(
+                spark, df.repartition(16), t,
+                stats_cols=["o_custkey", "o_totalprice"],
+            )
+            full = len(tl.read_version(spark, t).inputFiles())
+            kept = len(
+                tl.read_version(
+                    spark, t, prune=[("o_custkey", "<", 100)]
+                ).inputFiles()
+            )
+            return full, kept
+        finally:
+            shutil.rmtree(root, ignore_errors=True)
+
+    timed("commit+stats 1x", lambda: stats_prune(orders))
+    timed("commit+stats 10x", lambda: stats_prune(o10))
+
+    def optimize_probe(df: DataFrame) -> dict:
+        root = tempfile.mkdtemp(prefix="r12_opt_")
+        t = f"{root}/t"
+        try:
+            for i in range(8):
+                tl.commit(spark, df.where(F.col("o_orderkey") % 8 == i), t)
+            rep = tl.optimize(spark, t, target_bytes=8 * 1024 * 1024)
+            return (rep["n_input_files"], rep["n_output_files"])
+        finally:
+            shutil.rmtree(root, ignore_errors=True)
+
+    timed("optimize 1x", lambda: optimize_probe(orders))
+    timed("optimize 10x", lambda: optimize_probe(o10))
+
+    def mv_probe(df: DataFrame) -> tuple:
+        from tableone_pyspark_spark.sources import mv
+
+        root = tempfile.mkdtemp(prefix="r12_mv_")
+        src, dst = f"{root}/s", f"{root}/d"
+        try:
+            k = F.col("o_orderkey")
+            tl.commit(spark, df.where(k % 17 != 0), src)
+            mv.refresh_aggregate(
+                spark, src, dst, ["o_orderpriority"], ["o_totalprice"],
+                keys=["o_orderkey"],
+            )
+            # a SMALL change batch: incremental work must track the
+            # delta, not the table
+            tl.commit(spark, df.where(k % 1709 == 0), src)
+            t0 = time.time()
+            rep = mv.refresh_aggregate(
+                spark, src, dst, ["o_orderpriority"], ["o_totalprice"],
+                keys=["o_orderkey"],
+            )
+            return (rep["mode"], round(time.time() - t0, 2))
+        finally:
+            shutil.rmtree(root, ignore_errors=True)
+
+    timed("mv full+incr 1x", lambda: mv_probe(orders))
+    timed("mv full+incr 10x", lambda: mv_probe(o10))
+
     from tableone_pyspark_spark.functions.unicode import nfc
 
     d10 = x10(docs, "doc_id")
