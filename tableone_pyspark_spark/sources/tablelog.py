@@ -22,11 +22,18 @@ travel, and an auditable history without a table-format dependency.
                 upsert/delete path; composes with snapshot_diff for
                 incremental propagation between versioned tables
     optimize  : content-identical overwrite into ~target-sized files
-                (the small-files repair, r12)
+                (the small-files repair, r12); materializes deletion
+                vectors
     stats     : commit(stats_cols=...) records per-file min/max/nulls;
                 read_version(prune=[(col, op, lit)]) skips files whose
                 range provably excludes the predicate (r12 — the
                 Delta/Iceberg file-skipping idea)
+    delete    : delete_rows(predicate) marks (file, row_index)
+                positions in a DELETION VECTOR instead of rewriting
+                files (r12 — Delta DVs / Iceberg positional deletes);
+                readers subtract them with one anti-join, appends
+                carry them forward, optimize folds them in, the
+                change feed emits them as D rows
 
 Scale story: ALL bookkeeping is driver-side and metadata-sized (file
 path lists in JSON); data moves executor-side through ordinary
@@ -193,6 +200,7 @@ def _publish(
     batch_id: int | None = None,
     stream_id: str | None = None,
     stats: dict | None = None,
+    dv: list | None = None,
 ) -> dict:
     """CREATE-exclusive publish of v{version}.json: exactly one of two
     racing writers can create the file (overwrite=False), the other
@@ -213,6 +221,8 @@ def _publish(
         doc["stream_id"] = stream_id
     if stats:
         doc["stats"] = stats
+    if dv:
+        doc["dv"] = dv
     target = _path(spark, f"{table}/_log/v{version}.json")
     tmp = _path(spark, f"{table}/_log/.v{version}.{uuid.uuid4().hex}.tmp")
     stream = fs.create(tmp, False)
@@ -360,6 +370,7 @@ def commit(
         )
     prev_files: list[str] = []
     prev_stats: dict = {}
+    prev_dv: list = []
     schema_json = df.schema.json()
     if prev is not None and mode == "append":
         doc = _version_doc(spark, table, prev)
@@ -371,6 +382,7 @@ def commit(
             )
         prev_files = doc["files"]
         prev_stats = doc.get("stats", {})
+        prev_dv = doc.get("dv") or []
     if stats_cols:
         # fail BEFORE the data write — a typo must not cost the commit
         _check_stats_cols(df.schema, stats_cols)
@@ -394,6 +406,7 @@ def commit(
     return _publish(
         spark, table, version, prev_files + new_files, mode, schema_json,
         batch_id=batch_id, stream_id=stream_id, stats=stats,
+        dv=prev_dv or None,
     )
 
 
@@ -491,7 +504,98 @@ def read_version(
         return spark.createDataFrame(
             [], StructType.fromJson(json.loads(doc["schema"]))
         )
-    return spark.read.parquet(*files)
+    out = spark.read.parquet(*files)
+    dv = doc.get("dv") or []
+    if dv:
+        # deletion vectors (r12, the Delta DV / Iceberg positional-
+        # delete idea): rows named by (file_path, row_index) are
+        # subtracted via one anti-join — usually a broadcast (DVs are
+        # small by construction; AQE decides). Per-file stats remain
+        # SAFE upper bounds after deletes (pruning never resurrects a
+        # deleted row — the anti-join runs on whatever files survive).
+        out = _apply_dv(spark, out, dv)
+    return out
+
+
+def _dv_cols(df: DataFrame):
+    clash = {"__dv_fp", "__dv_ri"} & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"columns {sorted(clash)} collide with the deletion-vector "
+            "internals — rename them"
+        )
+    return (
+        F.col("_metadata.file_path").alias("__dv_fp"),
+        F.col("_metadata.row_index").alias("__dv_ri"),
+    )
+
+
+def _apply_dv(spark: SparkSession, df: DataFrame, dv: list[str]) -> DataFrame:
+    fp, ri = _dv_cols(df)
+    src = df.select("*", fp, ri)
+    dvdf = spark.read.parquet(*dv).select(
+        F.col("file_path").alias("__dv_fp"),
+        F.col("row_index").alias("__dv_ri"),
+    )
+    return src.join(dvdf, ["__dv_fp", "__dv_ri"], "left_anti").drop(
+        "__dv_fp", "__dv_ri"
+    )
+
+
+def delete_rows(spark: SparkSession, table: str, predicate) -> dict:
+    """Row-level DELETE without rewriting a single data file (the
+    Delta deletion-vector / Iceberg positional-delete idea): matching
+    rows are named by their immutable (file_path, row_index) position
+    — Spark's parquet ``_metadata`` columns — written as a DELETION
+    VECTOR parquet set under ``<table>/dv/`` and attached to a new
+    version (mode ``delete``, same files). Readers subtract them with
+    one anti-join; :func:`optimize` MATERIALIZES them (it reads
+    through :func:`read_version`), after which the rewrite carries no
+    vectors. At 100 TB this is the difference between flipping a few
+    thousand positions and rewriting every file a scattered delete
+    touches.
+
+    The match runs against the CURRENT version's view (existing
+    vectors already applied, so re-deleting is a no-op), entirely
+    distributed — matched positions go straight to parquet, never
+    through the driver. A no-match delete publishes nothing. Race
+    safety: the new version targets base+1, so a concurrent commit
+    wins the CREATE-exclusive slot and this delete raises
+    :class:`CommitConflict` (its vector dir is an invisible orphan).
+    Returns ``{version, n_deleted}``."""
+    base = current_version(spark, table)
+    if base is None:
+        raise ValueError(f"no such versioned table: {table}")
+    doc = _version_doc(spark, table, base)
+    if not doc["files"]:
+        return {"version": base, "n_deleted": 0}
+    raw = spark.read.parquet(*doc["files"])
+    fp, ri = _dv_cols(raw)
+    live = raw.select("*", fp, ri)
+    old_dv = doc.get("dv") or []
+    if old_dv:
+        dvdf = spark.read.parquet(*old_dv).select(
+            F.col("file_path").alias("__dv_fp"),
+            F.col("row_index").alias("__dv_ri"),
+        )
+        live = live.join(dvdf, ["__dv_fp", "__dv_ri"], "left_anti")
+    matched = live.where(predicate).select(
+        F.col("__dv_fp").alias("file_path"),
+        F.col("__dv_ri").alias("row_index"),
+    )
+    dv_dir = f"{table}/dv/{uuid.uuid4().hex}"
+    matched.write.parquet(dv_dir)
+    new_dv = _list_parquet(spark, dv_dir)
+    n = spark.read.parquet(*new_dv).count() if new_dv else 0
+    if n == 0:
+        fs, _ = _fs(spark, table)
+        fs.delete(_path(spark, dv_dir), True)
+        return {"version": base, "n_deleted": 0}
+    _publish(
+        spark, table, base + 1, doc["files"], "delete", doc["schema"],
+        stats=doc.get("stats") or None, dv=old_dv + new_dv,
+    )
+    return {"version": base + 1, "n_deleted": int(n)}
 
 
 def history(spark: SparkSession, table: str) -> list[dict]:
@@ -718,6 +822,31 @@ refresh_aggregate` consumes."""
             ch = spark.read.parquet(*new_files).withColumn(
                 op_col, F.lit("I")
             )
+        elif doc["mode"] == "delete":
+            # a deletion-vector version (r12): the change IS the new
+            # vector — D rows are the raw rows at exactly those
+            # (file, position) pairs, no row-identity keys needed.
+            # Positions were matched against the v-1 view, so they
+            # are live-at-v-1 by construction.
+            if prev_doc is None:
+                prev_doc = _version_doc(spark, table, v - 1)
+            prev_dv = set(prev_doc.get("dv") or [])
+            new_dv = [f for f in doc.get("dv") or [] if f not in prev_dv]
+            if not new_dv:
+                prev_doc = doc
+                continue
+            raw = spark.read.parquet(*doc["files"])
+            fp, ri = _dv_cols(raw)
+            dvdf = spark.read.parquet(*new_dv).select(
+                F.col("file_path").alias("__dv_fp"),
+                F.col("row_index").alias("__dv_ri"),
+            )
+            ch = (
+                raw.select("*", fp, ri)
+                .join(dvdf, ["__dv_fp", "__dv_ri"], "left_semi")
+                .drop("__dv_fp", "__dv_ri")
+                .withColumn(op_col, F.lit("D"))
+            )
         else:
             if not keys:
                 raise ValueError(
@@ -803,13 +932,40 @@ def vacuum(
     kept = list(range(max(0, cur - keep_last + 1), cur + 1))
     live: set[str] = set()
     for v in kept:
-        live.update(_version_doc(spark, table, v)["files"])
+        doc = _version_doc(spark, table, v)
+        live.update(doc["files"])
+        # kept versions' deletion vectors are live too (r12) — reads
+        # of those versions anti-join against them
+        live.update(doc.get("dv") or [])
     fs, _ = _fs(spark, table)
-    data_root = _path(spark, f"{table}/data")
     cutoff_ms = (time.time() - min_age_seconds) * 1000.0
     n_deleted = 0
-    if fs.exists(data_root):
-        stack = [data_root]
+
+    def _only_bookkeeping(p) -> bool:
+        for st in fs.listStatus(p):
+            if st.isDirectory():
+                if not _only_bookkeeping(st.getPath()):
+                    return False
+            elif not st.getPath().getName().startswith(("_", ".")):
+                return False
+        return True
+
+    # data/ and dv/ share the sweep: per-file live-set + age guard,
+    # then the dead-directory sweep. Two guards (ADVICE r11):
+    #  - the SAME min-age cutoff as file deletes — a concurrent
+    #    commit creates its data dir before any content appears
+    #    (even before _temporary), so an unguarded sweep could
+    #    delete it mid-flight; deleting a dir's files above bumps
+    #    its mtime, so a just-emptied dir waits for the NEXT
+    #    vacuum >= min_age later (eventual, never unsafe)
+    #  - "empty" means no non-bookkeeping content anywhere below:
+    #    vacuumed dirs keep _SUCCESS/.crc forever, so a length-0
+    #    test would never fire and they leaked
+    for sub in ("data", "dv"):
+        root = _path(spark, f"{table}/{sub}")
+        if not fs.exists(root):
+            continue
+        stack = [root]
         files = []
         while stack:
             cur_p = stack.pop()
@@ -827,26 +983,7 @@ def vacuum(
                 continue
             fs.delete(st.getPath(), False)
             n_deleted += 1
-        # sweep dead commit directories. Two guards (ADVICE r11):
-        #  - the SAME min-age cutoff as file deletes — a concurrent
-        #    commit creates its data dir before any content appears
-        #    (even before _temporary), so an unguarded sweep could
-        #    delete it mid-flight; deleting a dir's files above bumps
-        #    its mtime, so a just-emptied dir waits for the NEXT
-        #    vacuum ≥ min_age later (eventual, never unsafe)
-        #  - "empty" means no non-bookkeeping content anywhere below:
-        #    vacuumed dirs keep _SUCCESS/.crc forever, so the old
-        #    length-0 test never fired and they leaked
-        def _only_bookkeeping(p) -> bool:
-            for st in fs.listStatus(p):
-                if st.isDirectory():
-                    if not _only_bookkeeping(st.getPath()):
-                        return False
-                elif not st.getPath().getName().startswith(("_", ".")):
-                    return False
-            return True
-
-        for st in fs.listStatus(data_root):
+        for st in fs.listStatus(root):
             if (
                 st.isDirectory()
                 and st.getModificationTime() <= cutoff_ms
@@ -973,7 +1110,9 @@ write_target_sized`'s sampled bytes-per-row estimate (one bounded
             "n_input_files": 0,
             "n_output_files": 0,
         }
-    cur = spark.read.parquet(*doc["files"])
+    # read THROUGH read_version so deletion vectors are materialized
+    # by the rewrite (the optimized version carries none)
+    cur = read_version(spark, table, base)
     data_dir = f"{table}/data/{uuid.uuid4().hex}"
     if zorder_by:
         from tableone_pyspark_spark.sources.io import write_zordered

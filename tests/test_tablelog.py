@@ -780,3 +780,101 @@ def test_commit_audited_wap(spark, tmp_path):
 
     with pytest.raises(ValueError, match="at least one constraint"):
         tl.commit_audited(spark, good, t, [])
+
+
+def test_deletion_vectors(spark, tmp_path):
+    """X137: row-level deletes without file rewrites — positions ride
+    a deletion vector; readers subtract, time travel still sees them,
+    appends carry them forward, optimize materializes them, re-delete
+    is a no-op, and the change feed emits them as D rows."""
+    t = str(tmp_path / "dv_tbl")
+    df = spark.range(100).select(
+        F.col("id").alias("k"), (F.col("id") % 10).alias("g")
+    )
+    tl.commit(spark, df.repartition(4), t)                       # v0
+
+    rep = tl.delete_rows(spark, t, F.col("k") % 7 == 0)          # v1
+    assert rep["version"] == 1 and rep["n_deleted"] == 15
+    assert tl.read_version(spark, t).count() == 85
+    assert tl.read_version(spark, t).where(F.col("k") % 7 == 0).count() == 0
+    # the data FILES are untouched — v0 still reads the full set
+    assert tl.read_version(spark, t, 0).count() == 100
+    assert tl._version_doc(spark, t, 1)["files"] == \
+        tl._version_doc(spark, t, 0)["files"]
+    assert tl.history(spark, t)[1]["mode"] == "delete"
+
+    # re-deleting the same predicate matches nothing, publishes nothing
+    rep = tl.delete_rows(spark, t, F.col("k") % 7 == 0)
+    assert rep["n_deleted"] == 0 and tl.current_version(spark, t) == 1
+
+    # a second delete accumulates
+    tl.delete_rows(spark, t, F.col("k") == 1)                    # v2
+    assert tl.read_version(spark, t).count() == 84
+
+    # an append carries the vectors forward: old deletes still apply,
+    # new rows visible
+    tl.commit(
+        spark,
+        spark.createDataFrame([(1000, 0)], "k long, g long"),
+        t,
+    )                                                            # v3
+    assert tl.read_version(spark, t).count() == 85
+    assert tl.read_version(spark, t).where(F.col("k") == 7).count() == 0
+
+    # the change feed emits the deletions as D rows, keyless
+    ch = tl.table_changes(spark, t, 0, to_version=1)
+    rows = ch.collect()
+    assert all(r["op"] == "D" for r in rows) and len(rows) == 15
+    assert sorted(r["k"] for r in rows) == list(range(0, 100, 7))
+
+    # optimize MATERIALIZES the vectors: same visible rows, no dv
+    rep = tl.optimize(spark, t, target_bytes=64 * 1024)          # v4
+    assert tl.read_version(spark, t).count() == 85
+    assert "dv" not in tl._version_doc(spark, t, rep["version"])
+
+    # vacuum keeps the kept window's vectors, reclaims dead ones
+    import os
+
+    dv_root = tmp_path / "dv_tbl" / "dv"
+    assert os.path.isdir(dv_root)
+    tl.vacuum(spark, t, keep_last=1, min_age_seconds=0)
+    # no dv is live at the optimized head; files under dv/ are gone
+    leftover = [
+        f
+        for root, _, names in os.walk(dv_root)
+        for f in names
+        if not f.startswith(("_", "."))
+    ]
+    assert leftover == []
+    assert tl.read_version(spark, t).count() == 85
+
+    # reserved internal names refuse
+    bad = spark.range(3).select(F.col("id").alias("__dv_fp"))
+    t2 = str(tmp_path / "dv_bad")
+    tl.commit(spark, bad, t2)
+    with pytest.raises(ValueError, match="__dv_fp"):
+        tl.delete_rows(spark, t2, F.lit(True))
+
+
+def test_deletion_vectors_feed_the_incremental_mv(spark, tmp_path):
+    """X137 × X134: a deletion-vector version flows through the change
+    feed as D retractions, so the incrementally-maintained aggregate
+    tracks it without keys or rewrites."""
+    from tableone_pyspark_spark.sources import mv
+
+    src = str(tmp_path / "dv_src")
+    dst = str(tmp_path / "dv_agg")
+    df = spark.range(100).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 4).cast("string").alias("g"),
+        F.lit(1).cast("long").alias("v"),
+    )
+    tl.commit(spark, df, src)
+    mv.refresh_aggregate(spark, src, dst, ["g"], ["v"], keys=["k"])
+    tl.delete_rows(spark, src, F.col("g") == "2")
+    rep = mv.refresh_aggregate(spark, src, dst, ["g"], ["v"], keys=["k"])
+    assert rep["mode"] == "incremental"
+    got = {
+        r["g"]: r["n"] for r in tl.read_version(spark, dst).collect()
+    }
+    assert got == {"0": 25, "1": 25, "3": 25}  # group '2' vanished
