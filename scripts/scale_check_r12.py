@@ -221,7 +221,7 @@ def main() -> None:
     timed("commit+stats 1x", lambda: stats_prune(orders))
     timed("commit+stats 10x", lambda: stats_prune(o10))
 
-    def optimize_probe(df: DataFrame) -> dict:
+    def optimize_probe(df: DataFrame) -> tuple:
         root = tempfile.mkdtemp(prefix="r12_opt_")
         t = f"{root}/t"
         try:

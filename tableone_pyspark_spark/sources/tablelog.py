@@ -524,20 +524,34 @@ def _dv_cols(df: DataFrame):
             f"columns {sorted(clash)} collide with the deletion-vector "
             "internals — rename them"
         )
+    if "_metadata" in df.columns:
+        # a DATA column named _metadata SHADOWS Spark's file-metadata
+        # pseudo-column — positions would silently come from user data
+        # and the anti-join would delete wrong rows (self-review r12)
+        raise ValueError(
+            "a data column named '_metadata' shadows the parquet "
+            "metadata pseudo-column deletion vectors depend on — "
+            "rename it"
+        )
     return (
         F.col("_metadata.file_path").alias("__dv_fp"),
         F.col("_metadata.row_index").alias("__dv_ri"),
     )
 
 
-def _apply_dv(spark: SparkSession, df: DataFrame, dv: list[str]) -> DataFrame:
-    fp, ri = _dv_cols(df)
-    src = df.select("*", fp, ri)
-    dvdf = spark.read.parquet(*dv).select(
+def _dv_frame(spark: SparkSession, dv: list[str]) -> DataFrame:
+    """The (deduplicated-name) deletion-vector frame — ONE place owns
+    the vector schema/join-key naming (self-review r12)."""
+    return spark.read.parquet(*dv).select(
         F.col("file_path").alias("__dv_fp"),
         F.col("row_index").alias("__dv_ri"),
     )
-    return src.join(dvdf, ["__dv_fp", "__dv_ri"], "left_anti").drop(
+
+
+def _apply_dv(spark: SparkSession, df: DataFrame, dv: list[str]) -> DataFrame:
+    fp, ri = _dv_cols(df)
+    src = df.select("*", fp, ri)
+    return src.join(_dv_frame(spark, dv), ["__dv_fp", "__dv_ri"], "left_anti").drop(
         "__dv_fp", "__dv_ri"
     )
 
@@ -574,11 +588,9 @@ def delete_rows(spark: SparkSession, table: str, predicate) -> dict:
     live = raw.select("*", fp, ri)
     old_dv = doc.get("dv") or []
     if old_dv:
-        dvdf = spark.read.parquet(*old_dv).select(
-            F.col("file_path").alias("__dv_fp"),
-            F.col("row_index").alias("__dv_ri"),
+        live = live.join(
+            _dv_frame(spark, old_dv), ["__dv_fp", "__dv_ri"], "left_anti"
         )
-        live = live.join(dvdf, ["__dv_fp", "__dv_ri"], "left_anti")
     matched = live.where(predicate).select(
         F.col("__dv_fp").alias("file_path"),
         F.col("__dv_ri").alias("row_index"),
@@ -835,12 +847,17 @@ refresh_aggregate` consumes."""
             if not new_dv:
                 prev_doc = doc
                 continue
-            raw = spark.read.parquet(*doc["files"])
+            dvdf = _dv_frame(spark, new_dv)
+            # read ONLY the files the vector touches (the distinct
+            # path list is metadata-sized by construction) — scanning
+            # doc["files"] would make the feed O(table) per delete
+            # version and void the change-volume contract the mv
+            # consumer is built on (self-review r12)
+            touched = [
+                r[0] for r in dvdf.select("__dv_fp").distinct().collect()
+            ]
+            raw = spark.read.parquet(*touched)
             fp, ri = _dv_cols(raw)
-            dvdf = spark.read.parquet(*new_dv).select(
-                F.col("file_path").alias("__dv_fp"),
-                F.col("row_index").alias("__dv_ri"),
-            )
             ch = (
                 raw.select("*", fp, ri)
                 .join(dvdf, ["__dv_fp", "__dv_ri"], "left_semi")
@@ -1113,6 +1130,22 @@ write_target_sized`'s sampled bytes-per-row estimate (one bounded
     # read THROUGH read_version so deletion vectors are materialized
     # by the rewrite (the optimized version carries none)
     cur = read_version(spark, table, base)
+    dv = doc.get("dv") or []
+    if dv and cur.isEmpty():
+        # every row is DV-deleted: the materialized table is empty —
+        # publish an empty overwrite (the writers below would raise
+        # on an empty frame; self-review r12)
+        if current_version(spark, table) != base:
+            raise CommitConflict(
+                f"table {table} moved past v{base} during optimize — "
+                "re-run on the new version"
+            )
+        _publish(spark, table, base + 1, [], "overwrite", doc["schema"])
+        return {
+            "version": base + 1,
+            "n_input_files": len(doc["files"]),
+            "n_output_files": 0,
+        }
     data_dir = f"{table}/data/{uuid.uuid4().hex}"
     if zorder_by:
         from tableone_pyspark_spark.sources.io import write_zordered
@@ -1122,6 +1155,16 @@ write_target_sized`'s sampled bytes-per-row estimate (one bounded
             fs.getFileStatus(_path(spark, f)).getLen()
             for f in doc["files"]
         )
+        if dv:
+            # raw file lengths include DV-deleted rows; scale by the
+            # surviving fraction or a 90%-deleted table would get
+            # ~10x too many undersized files (self-review r12). One
+            # count over the small vectors + one over the
+            # materialized view — maintenance-op cost.
+            n_del = spark.read.parquet(*dv).count()
+            n_live = cur.count()
+            if n_live + n_del > 0:
+                live_bytes = int(live_bytes * n_live / (n_live + n_del))
         n_files = max(1, -(-live_bytes // target_bytes))
         write_zordered(
             cur, data_dir, zorder_by, n_files=int(n_files),

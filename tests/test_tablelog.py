@@ -878,3 +878,43 @@ def test_deletion_vectors_feed_the_incremental_mv(spark, tmp_path):
         r["g"]: r["n"] for r in tl.read_version(spark, dst).collect()
     }
     assert got == {"0": 25, "1": 25, "3": 25}  # group '2' vanished
+
+
+def test_deletion_vector_review_fixes(spark, tmp_path):
+    """Self-review r12: (a) optimize on a fully-DV-deleted table
+    publishes an empty overwrite instead of crashing in the sizing
+    sampler; (b) the change feed for a delete version reads ONLY the
+    files the vector touches; (c) a data column named _metadata is
+    refused (it would shadow the pseudo-column and write garbage
+    positions)."""
+    t = str(tmp_path / "dvr_tbl")
+    df = spark.range(100).select(F.col("id").alias("k"))
+    tl.commit(spark, df.repartitionByRange(4, "k"), t)           # v0
+
+    # (b): delete touches only the lowest range-partitioned file
+    tl.delete_rows(spark, t, F.col("k") < 10)                    # v1
+    ch = tl.table_changes(spark, t, 0, to_version=1)
+    data_inputs = [
+        f for f in ch.inputFiles() if "/data/" in f
+    ]
+    assert len(data_inputs) == 1, data_inputs
+    assert ch.count() == 10
+
+    # (a): delete everything, then optimize -> empty overwrite
+    tl.delete_rows(spark, t, F.lit(True))                        # v2
+    assert tl.read_version(spark, t).count() == 0
+    rep = tl.optimize(spark, t)                                  # v3
+    assert rep["n_output_files"] == 0
+    out = tl.read_version(spark, t)
+    assert out.count() == 0 and out.columns == ["k"]
+    assert "dv" not in tl._version_doc(spark, t, rep["version"])
+
+    # (c): _metadata data column refused
+    t2 = str(tmp_path / "dvr_meta")
+    meta = spark.range(3).select(
+        F.col("id").alias("k"),
+        F.struct(F.lit("x").alias("file_path")).alias("_metadata"),
+    )
+    tl.commit(spark, meta, t2)
+    with pytest.raises(ValueError, match="_metadata"):
+        tl.delete_rows(spark, t2, F.lit(True))
