@@ -262,6 +262,32 @@ def main() -> None:
     timed("mv full+incr 1x", lambda: mv_probe(orders))
     timed("mv full+incr 10x", lambda: mv_probe(o10))
 
+    def dv_probe(df: DataFrame) -> tuple:
+        root = tempfile.mkdtemp(prefix="r12_dv_")
+        t = f"{root}/t"
+        try:
+            tl.commit(spark, df.repartition(16), t)
+            n = tl.read_version(spark, t).count()
+            t0 = time.time()
+            rep = tl.delete_rows(
+                spark, t, F.col("o_orderkey") % 100 == 0
+            )
+            t_del = time.time() - t0
+            t0 = time.time()
+            n_after = tl.read_version(spark, t).count()
+            t_read = time.time() - t0
+            return (
+                rep["n_deleted"],
+                n - n_after,
+                round(t_del, 2),
+                round(t_read, 2),
+            )
+        finally:
+            shutil.rmtree(root, ignore_errors=True)
+
+    timed("dv delete+read 1x", lambda: dv_probe(orders))
+    timed("dv delete+read 10x", lambda: dv_probe(o10))
+
     from tableone_pyspark_spark.functions.unicode import nfc
 
     d10 = x10(docs, "doc_id")
