@@ -1,0 +1,105 @@
+"""X138: the tablelog Python DataSource — batch time travel with
+deletion vectors applied, and the streaming source whose offsets are
+table versions (exactly-once append delivery, non-append guards)."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from tableone_pyspark_spark.sources import tablelog as tl
+from tableone_pyspark_spark.sources.stream_source import TablelogDataSource
+
+
+@pytest.fixture()
+def registered(spark):
+    spark.dataSource.register(TablelogDataSource)
+    return spark
+
+
+def test_batch_read_time_travel_and_dv(registered, tmp_path):
+    spark = registered
+    t = str(tmp_path / "src_tbl")
+    df = spark.range(50).select(F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+    tl.commit(spark, df.repartition(3), t)                      # v0
+    tl.commit(spark, spark.createDataFrame([(100, 200)], "k long, v long"), t)  # v1
+    tl.delete_rows(spark, t, F.col("k") % 5 == 0)               # v2
+
+    # latest: deletion vectors applied
+    got = spark.read.format("tablelog").load(t)
+    assert got.count() == 40  # 51 - 11 multiples of 5 (0,5,...,45 and 100)
+    assert got.where(F.col("k") % 5 == 0).count() == 0
+    assert set(got.columns) == {"k", "v"}
+    # parity with the JVM-side reader
+    jvm_side = tl.read_version(spark, t)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, jvm_side.collect()))
+    # time travel to v0
+    v0 = spark.read.format("tablelog").option("version", 0).load(t)
+    assert v0.count() == 50
+    with pytest.raises(Exception, match="version 9"):
+        spark.read.format("tablelog").option("version", 9).load(t).collect()
+
+
+def test_streaming_source_versions_are_offsets(registered, tmp_path):
+    spark = registered
+    t = str(tmp_path / "stream_src")
+    ck = str(tmp_path / "ck")
+    tl.commit(spark, spark.range(0, 5).select(F.col("id").alias("k")), t)   # v0
+    tl.commit(spark, spark.range(5, 9).select(F.col("id").alias("k")), t)   # v1
+
+    out = str(tmp_path / "out")
+
+    def drain():
+        # a FILE sink: the memory sink refuses checkpoint recovery,
+        # and recovery is exactly what this test pins
+        q = (
+            spark.readStream.format("tablelog").load(t)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+        return sorted(r["k"] for r in spark.read.parquet(out).collect())
+
+    assert drain() == list(range(9))
+    # a new append delivers ONLY the new rows on restart (offsets
+    # resume from the checkpoint — exactly-once per version)
+    tl.commit(spark, spark.range(9, 12).select(F.col("id").alias("k")), t)  # v2
+    assert drain() == list(range(12))
+    # draining again with no new versions delivers nothing new
+    assert drain() == list(range(12))
+
+
+def test_streaming_source_non_append_guards(registered, tmp_path):
+    spark = registered
+    t = str(tmp_path / "guard_src")
+    tl.commit(spark, spark.range(5).select(F.col("id").alias("k")), t)      # v0
+    tl.delete_rows(spark, t, F.col("k") == 0)                                # v1
+    tl.commit(spark, spark.range(5, 7).select(F.col("id").alias("k")), t)   # v2
+
+    def drain(name, ck, **opts):
+        reader = spark.readStream.format("tablelog")
+        for kk, vv in opts.items():
+            reader = reader.option(kk, vv)
+        q = (
+            reader.load(t)
+            .writeStream.format("memory").queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / ck))
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+        return sorted(r["k"] for r in spark.table(name).collect())
+
+    # default: the delete version fails the stream loudly
+    with pytest.raises(Exception, match="deletion"):
+        drain("g1", "ck1")
+    # ignore_deletes skips it; appended rows still flow
+    assert drain("g2", "ck2", ignore_deletes="true") == [0, 1, 2, 3, 4, 5, 6]
+
+    tl.commit(spark, spark.range(7, 8).select(F.col("id").alias("k")), t, mode="overwrite")  # v3
+    with pytest.raises(Exception, match="overwrite"):
+        drain("g3", "ck3", ignore_deletes="true")
+    assert drain("g4", "ck4", ignore_changes="true") == [0, 1, 2, 3, 4, 5, 6]
