@@ -14,13 +14,18 @@ delivered exactly once).
              files APPENDED in (start, end] — one InputPartition per
              file, executor-side pyarrow reads yielding Arrow record
              batches (never a driver-side row funnel)
-             non-append versions fail the stream by default (their
-             rows were already delivered — re-reading would
-             double-count); opt out per Delta's knobs:
-             .option("ignore_deletes", "true") skips deletion-vector
-             versions, .option("ignore_changes", "true") additionally
-             skips overwrites (downstream must tolerate missed
-             rewrites — same contract as Delta's ignoreChanges)
+             non-append versions fail the stream by default; opt
+             out per Delta's knobs: .option("ignore_deletes", "true")
+             skips deletion-vector versions (nothing new to deliver —
+             Delta's ignoreDeletes), .option("ignore_changes",
+             "true") additionally RE-DELIVERS overwrite versions'
+             files (at-least-once: downstream sees duplicates of
+             unchanged rows — Delta's ignoreChanges contract; rows an
+             upsert newly inserted are never silently lost);
+             .option("starting_version", N | "latest") picks the
+             first delivered version (the vacuumed-history escape
+             hatch — Delta's startingVersion); version 0 is the
+             initial snapshot whatever its mode
 
 Honest boundary: the source resolves the log and reads parquet
 through pyarrow's FileSystem layer (local paths and any
@@ -117,21 +122,36 @@ class _FilePartition(InputPartition):
 def _read_file(partition: _FilePartition, field_names: list[str]):
     """Executor-side: one parquet file -> Arrow record batches in the
     table's column order, with deletion-vector positions masked out
-    by their global row index."""
+    by their global row index. The (sorted) positions are bisected
+    against each batch's row range, so batches the vector does not
+    touch pass through untouched and hit batches build their keep
+    mask in numpy — no per-row Python loop (self-review r12)."""
+    from bisect import bisect_left, bisect_right
+
+    import numpy as np
     import pyarrow as pa
     import pyarrow.parquet as pq
 
+    if partition is None:
+        # pyspark substitutes [None] for an empty partitions() list
+        # and still calls read (self-review r12 — the empty-version
+        # read crashed here)
+        return
+
     pf = pq.ParquetFile(_local_path(partition.path))
-    deleted = set(partition.deleted)
+    deleted = partition.deleted  # sorted
     offset = 0
     for batch in pf.iter_batches():
         n = batch.num_rows
         if deleted:
-            keep = [
-                i for i in range(n) if (offset + i) not in deleted
-            ]
-            if len(keep) < n:
-                batch = batch.take(pa.array(keep, type=pa.int64()))
+            lo = bisect_left(deleted, offset)
+            hi = bisect_right(deleted, offset + n - 1)
+            if hi > lo:
+                mask = np.ones(n, dtype=bool)
+                mask[np.asarray(deleted[lo:hi]) - offset] = False
+                batch = batch.take(
+                    pa.array(np.flatnonzero(mask), type=pa.int64())
+                )
         offset += n
         yield pa.RecordBatch.from_arrays(
             [batch.column(name) for name in field_names],
@@ -165,19 +185,40 @@ class _TablelogBatchReader(DataSourceReader):
 
 
 class _TablelogStreamReader(DataSourceStreamReader):
-    def __init__(self, table: str, ignore_deletes: bool, ignore_changes: bool):
+    def __init__(
+        self,
+        table: str,
+        ignore_deletes: bool,
+        ignore_changes: bool,
+        starting_version,
+    ):
         self._table = table
         self._ignore_deletes = ignore_deletes or ignore_changes
         self._ignore_changes = ignore_changes
         cur = _current_version(table)
         if cur is None:
             raise ValueError(f"no such versioned table: {table}")
+        if starting_version is None:
+            self._start = 0
+        elif str(starting_version).lower() == "latest":
+            # deliver only versions committed AFTER the stream starts
+            self._start = cur + 1
+        else:
+            self._start = int(starting_version)
+            if self._start < 0:
+                raise ValueError(
+                    f"starting_version must be >= 0 or 'latest', got "
+                    f"{starting_version}"
+                )
         self._names = [
             f["name"] for f in json.loads(_doc(table, cur)["schema"])["fields"]
         ]
 
     def initialOffset(self):
-        return {"version": -1}
+        # first delivered version = starting_version — the escape
+        # hatch for vacuumed tables whose early data files are gone
+        # (self-review r12; Delta's startingVersion)
+        return {"version": self._start - 1}
 
     def latestOffset(self):
         cur = _current_version(self._table)
@@ -189,20 +230,27 @@ class _TablelogStreamReader(DataSourceStreamReader):
         for v in range(start["version"] + 1, end["version"] + 1):
             doc = _doc(self._table, v)
             mode = doc["mode"]
-            if mode == "append":
-                if prev_files is None:
-                    prev_files = (
-                        set(_doc(self._table, v - 1)["files"])
-                        if v > 0
-                        else set()
-                    )
-                parts += [
-                    # appended files carry no vectors at their own
-                    # version — deletes arrive as LATER versions
-                    _FilePartition(f, [])
-                    for f in doc["files"]
-                    if f not in prev_files
+            if prev_files is None:
+                prev_files = (
+                    set(_doc(self._table, v - 1)["files"])
+                    if v > 0
+                    else set()
+                )
+
+            def _new_files(d=doc, pf=prev_files):
+                # appended/rewritten files carry no vectors at their
+                # own version — deletes arrive as LATER versions
+                return [
+                    _FilePartition(f, []) for f in d["files"] if f not in pf
                 ]
+
+            if mode == "append" or v == 0:
+                # version 0 is the table's INITIAL snapshot whatever
+                # its mode — nothing was delivered before it, so its
+                # files are all-new (self-review r12, confirmed live:
+                # an overwrite-created v0 either failed the stream or
+                # was silently dropped under ignore_changes)
+                parts += _new_files()
             elif mode == "delete":
                 if not self._ignore_deletes:
                     raise ValueError(
@@ -216,11 +264,18 @@ class _TablelogStreamReader(DataSourceStreamReader):
                 if not self._ignore_changes:
                     raise ValueError(
                         f"version {v} of {self._table} is an overwrite "
-                        "— its rows were already delivered; consume "
-                        "table_changes for updates, or set "
-                        ".option('ignore_changes', 'true') to skip "
-                        "rewrites entirely"
+                        "— consume table_changes for row-level "
+                        "updates, or set .option('ignore_changes', "
+                        "'true') to RE-DELIVER its files (at-least-"
+                        "once: downstream sees duplicates of "
+                        "unchanged rows, the Delta ignoreChanges "
+                        "contract)"
                     )
+                # Delta's ignoreChanges semantics: the rewrite's files
+                # are DELIVERED (duplicates downstream), never
+                # silently skipped — skipping would lose the rows an
+                # upsert-overwrite newly inserted (self-review r12)
+                parts += _new_files()
             prev_files = set(doc["files"])
         return parts
 
@@ -253,7 +308,18 @@ class TablelogDataSource(DataSource):
         cur = _current_version(self._table())
         if cur is None:
             raise ValueError(f"no such versioned table: {self._table()}")
-        return StructType.fromJson(json.loads(_doc(self._table(), cur)["schema"]))
+        v = self.options.get("version")
+        v = cur if v is None else int(v)
+        if not 0 <= v <= cur:
+            raise ValueError(
+                f"version {v} not in [0, {cur}] for {self._table()}"
+            )
+        # the REQUESTED version's schema — planning with the current
+        # one would misbind time travel across a schema-changing
+        # overwrite (self-review r12, confirmed live)
+        return StructType.fromJson(
+            json.loads(_doc(self._table(), v)["schema"])
+        )
 
     def reader(self, schema):
         v = self.options.get("version")
@@ -266,5 +332,8 @@ class TablelogDataSource(DataSource):
             return str(self.options.get(name, "false")).lower() == "true"
 
         return _TablelogStreamReader(
-            self._table(), flag("ignore_deletes"), flag("ignore_changes")
+            self._table(),
+            flag("ignore_deletes"),
+            flag("ignore_changes"),
+            self.options.get("starting_version"),
         )

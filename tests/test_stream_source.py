@@ -102,4 +102,74 @@ def test_streaming_source_non_append_guards(registered, tmp_path):
     tl.commit(spark, spark.range(7, 8).select(F.col("id").alias("k")), t, mode="overwrite")  # v3
     with pytest.raises(Exception, match="overwrite"):
         drain("g3", "ck3", ignore_deletes="true")
-    assert drain("g4", "ck4", ignore_changes="true") == [0, 1, 2, 3, 4, 5, 6]
+    # ignore_changes RE-DELIVERS the overwrite's files (Delta's
+    # ignoreChanges at-least-once contract) — never a silent skip
+    assert drain("g4", "ck4", ignore_changes="true") == [0, 1, 2, 3, 4, 5, 6, 7]
+
+
+def test_stream_source_review_fixes(registered, tmp_path):
+    """Self-review r12 (each confirmed live before the fix): an empty
+    version batch-reads as an empty frame; time travel plans with the
+    REQUESTED version's schema; an overwrite-created v0 streams as the
+    initial snapshot; starting_version skips vacuumed history."""
+    spark = registered
+
+    # (1) empty version: fully-deleted then optimized table
+    t = str(tmp_path / "empty_tbl")
+    tl.commit(spark, spark.range(5).select(F.col("id").alias("k")), t)
+    tl.delete_rows(spark, t, F.lit(True))
+    tl.optimize(spark, t)  # publishes files=[]
+    out = spark.read.format("tablelog").load(t)
+    assert out.count() == 0 and out.columns == ["k"]
+
+    # (2) schema-changing overwrite: v0 (k long) vs v1 (s string)
+    t2 = str(tmp_path / "schema_tbl")
+    tl.commit(spark, spark.range(4).select(F.col("id").alias("k")), t2)
+    tl.commit(
+        spark,
+        spark.createDataFrame([("x",)], "s string"),
+        t2,
+        mode="overwrite",
+    )
+    v0 = spark.read.format("tablelog").option("version", 0).load(t2)
+    assert v0.columns == ["k"] and v0.count() == 4
+    assert spark.read.format("tablelog").load(t2).columns == ["s"]
+
+    # (3) overwrite-created v0 is the initial snapshot: streams fine
+    t3 = str(tmp_path / "ow0_tbl")
+    tl.commit(
+        spark,
+        spark.range(3).select(F.col("id").alias("k")),
+        t3,
+        mode="overwrite",
+    )
+    tl.commit(spark, spark.range(3, 5).select(F.col("id").alias("k")), t3)
+    out3 = str(tmp_path / "out3")
+    q = (
+        spark.readStream.format("tablelog").load(t3)
+        .writeStream.format("parquet").option("path", out3)
+        .option("checkpointLocation", str(tmp_path / "ck_ow0"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    assert sorted(r["k"] for r in spark.read.parquet(out3).collect()) == [
+        0, 1, 2, 3, 4,
+    ]
+
+    # (4) starting_version: begin past the (conceptually vacuumed) v0
+    t4 = str(tmp_path / "sv_tbl")
+    tl.commit(spark, spark.range(0, 3).select(F.col("id").alias("k")), t4)
+    tl.commit(spark, spark.range(3, 6).select(F.col("id").alias("k")), t4)
+    out4 = str(tmp_path / "out4")
+    q = (
+        spark.readStream.format("tablelog")
+        .option("starting_version", "1")
+        .load(t4)
+        .writeStream.format("parquet").option("path", out4)
+        .option("checkpointLocation", str(tmp_path / "ck_sv"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    assert sorted(r["k"] for r in spark.read.parquet(out4).collect()) == [
+        3, 4, 5,
+    ]
