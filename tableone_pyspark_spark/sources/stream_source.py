@@ -96,6 +96,15 @@ def _norm(p: str) -> str:
     return unquote(urlparse(p).path) or p
 
 
+def _shape(schema_json: str) -> list[tuple]:
+    """(name, type) pairs, nullability ignored — the writer side's
+    _schema_shape contract."""
+    return [
+        (f["name"], json.dumps(f["type"], sort_keys=True))
+        for f in json.loads(schema_json)["fields"]
+    ]
+
+
 def _dv_positions(dv_files: list[str]) -> dict[str, list[int]]:
     """path-normalized file -> sorted deleted row positions. Resolved
     ONCE at planning time on the driver — vectors are small by
@@ -104,7 +113,13 @@ def _dv_positions(dv_files: list[str]) -> dict[str, list[int]]:
 
     out: dict[str, set[int]] = {}
     for f in dv_files:
-        t = pq.read_table(_local_path(f), columns=["file_path", "row_index"])
+        # resolve through the same pyarrow FileSystem layer the log
+        # reads use — a bare local-path read broke every non-file:
+        # scheme the module claims to support (ADVICE r12)
+        fsys, p = _pa_fs(f)
+        t = pq.read_table(
+            p, filesystem=fsys, columns=["file_path", "row_index"]
+        )
         for fp, ri in zip(
             t.column("file_path").to_pylist(),
             t.column("row_index").to_pylist(),
@@ -138,25 +153,31 @@ def _read_file(partition: _FilePartition, field_names: list[str]):
         # read crashed here)
         return
 
-    pf = pq.ParquetFile(_local_path(partition.path))
-    deleted = partition.deleted  # sorted
-    offset = 0
-    for batch in pf.iter_batches():
-        n = batch.num_rows
-        if deleted:
-            lo = bisect_left(deleted, offset)
-            hi = bisect_right(deleted, offset + n - 1)
-            if hi > lo:
-                mask = np.ones(n, dtype=bool)
-                mask[np.asarray(deleted[lo:hi]) - offset] = False
-                batch = batch.take(
-                    pa.array(np.flatnonzero(mask), type=pa.int64())
-                )
-        offset += n
-        yield pa.RecordBatch.from_arrays(
-            [batch.column(name) for name in field_names],
-            names=field_names,
-        )
+    # open through the pyarrow FileSystem layer (the log-resolution
+    # path already does) so s3:// / hdfs:// tables read on executors
+    # too — a bare local-path ParquetFile broke every non-file:
+    # scheme the module claims to support (ADVICE r12)
+    fsys, p = _pa_fs(partition.path)
+    with fsys.open_input_file(p) as fh:
+        pf = pq.ParquetFile(fh)
+        deleted = partition.deleted  # sorted
+        offset = 0
+        for batch in pf.iter_batches():
+            n = batch.num_rows
+            if deleted:
+                lo = bisect_left(deleted, offset)
+                hi = bisect_right(deleted, offset + n - 1)
+                if hi > lo:
+                    mask = np.ones(n, dtype=bool)
+                    mask[np.asarray(deleted[lo:hi]) - offset] = False
+                    batch = batch.take(
+                        pa.array(np.flatnonzero(mask), type=pa.int64())
+                    )
+            offset += n
+            yield pa.RecordBatch.from_arrays(
+                [batch.column(name) for name in field_names],
+                names=field_names,
+            )
 
 
 class _TablelogBatchReader(DataSourceReader):
@@ -210,9 +231,16 @@ class _TablelogStreamReader(DataSourceStreamReader):
                     f"starting_version must be >= 0 or 'latest', got "
                     f"{starting_version}"
                 )
+        schema_json = _doc(table, cur)["schema"]
         self._names = [
-            f["name"] for f in json.loads(_doc(table, cur)["schema"])["fields"]
+            f["name"] for f in json.loads(schema_json)["fields"]
         ]
+        # the output schema is pinned at stream start; a delivered
+        # version whose files carry a DIFFERENT shape (possible with
+        # ignore_changes across a schema-changing overwrite, or a
+        # starting_version before one) must fail fast with a clear
+        # error, not a raw pyarrow KeyError in read() (ADVICE r12)
+        self._shape = _shape(schema_json)
 
     def initialOffset(self):
         # first delivered version = starting_version — the escape
@@ -230,6 +258,14 @@ class _TablelogStreamReader(DataSourceStreamReader):
         for v in range(start["version"] + 1, end["version"] + 1):
             doc = _doc(self._table, v)
             mode = doc["mode"]
+            if _shape(doc["schema"]) != self._shape:
+                raise ValueError(
+                    f"schema changed at version {v} of {self._table} — "
+                    "the stream's output schema was pinned at start; "
+                    "restart the stream with "
+                    f".option('starting_version', {v}) to adopt the "
+                    "new schema (ADVICE r12)"
+                )
             if prev_files is None:
                 prev_files = (
                     set(_doc(self._table, v - 1)["files"])

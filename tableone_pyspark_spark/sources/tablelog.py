@@ -57,6 +57,7 @@ diff) with the versioning glue.
 from __future__ import annotations
 
 import json
+import math
 import time
 import uuid
 
@@ -316,15 +317,25 @@ def _collect_file_stats(
             return v
         return str(v)
 
+    def _finite(v) -> bool:
+        return not (isinstance(v, float) and not math.isfinite(v))
+
     out: dict = {}
     for r in rows:
         st = {}
         for c in stats_cols:
-            st[c] = [
-                _plain(r[f"__mn_{c}"]),
-                _plain(r[f"__mx_{c}"]),
-                int(r["__n"] - r[f"__nn_{c}"]),
-            ]
+            mn = _plain(r[f"__mn_{c}"])
+            mx = _plain(r[f"__mx_{c}"])
+            if not (_finite(mn) and _finite(mx)):
+                # a NaN/Infinity bound would serialize as a bare
+                # non-RFC JSON token (json.dumps emits NaN/Infinity),
+                # breaking every strict-JSON reader of the log — and
+                # NaN bounds are unusable for skipping anyway (Spark's
+                # NaN-greatest ordering vs Python's NaN-incomparable).
+                # Omit the column's stats for this file;
+                # _file_may_match keeps stat-less files (ADVICE r12).
+                continue
+            st[c] = [mn, mx, int(r["__n"] - r[f"__nn_{c}"])]
         out[r["__f"]] = st
     return out
 
@@ -426,8 +437,6 @@ def _file_may_match(st: dict, col: str, op: str, val) -> bool:
         # an all-null file: no non-null value can satisfy any
         # comparison (SQL comparisons with NULL are never true)
         return False
-    import math
-
     if any(
         isinstance(x, float) and math.isnan(x) for x in (mn, mx, val)
     ):
@@ -1099,8 +1108,10 @@ write_target_sized`'s sampled bytes-per-row estimate (one bounded
     driver sample + one write with ``maxRecordsPerFile`` — no
     shuffle; the coarse-partitioning caveat there applies).
     ``stats_cols`` re-records skipping statistics on the rewritten
-    files (an optimize drops the old per-file stats with the old
-    files, so pass it for any table that uses ``prune=``).
+    files. The default (``None``) re-records whatever column set the
+    base version's stats doc already covers — a routine compaction
+    must not silently degrade ``prune=`` reads (ADVICE r12); pass
+    ``[]`` to explicitly drop stats, or a list to change the set.
 
     ``zorder_by`` (Delta's ``OPTIMIZE ... ZORDER BY``): lay the
     rewrite out by the Morton key over those numeric columns instead
@@ -1121,6 +1132,25 @@ write_target_sized`'s sampled bytes-per-row estimate (one bounded
     if base is None:
         raise ValueError(f"no such versioned table: {table}")
     doc = _version_doc(spark, table, base)
+    if stats_cols is None:
+        # default to the column set the base version's stats doc
+        # covers, so a routine compaction preserves skipping quality
+        # instead of silently degrading every subsequent
+        # read_version(prune=...) to a full file-list scan (ADVICE
+        # r12). Pass stats_cols=[] to explicitly drop stats. Columns
+        # no longer stats-able (schema drift) are filtered, not
+        # raised — a default must never fail the maintenance op.
+        from pyspark.sql.types import StructType
+
+        seen = {c for st in (doc.get("stats") or {}).values() for c in st}
+        schema = StructType.fromJson(json.loads(doc["schema"]))
+        names = set(schema.fieldNames())
+        stats_cols = sorted(
+            c
+            for c in seen
+            if c in names
+            and schema[c].dataType.simpleString() in _STATS_TYPES
+        )
     if not doc["files"]:
         return {
             "version": base,

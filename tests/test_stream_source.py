@@ -173,3 +173,60 @@ def test_stream_source_review_fixes(registered, tmp_path):
     assert sorted(r["k"] for r in spark.read.parquet(out4).collect()) == [
         3, 4, 5,
     ]
+
+
+def test_stream_source_advice_r12(registered, tmp_path):
+    """ADVICE r12: (1) a delivered version whose schema differs from
+    the stream's pinned output schema fails fast with a clear error,
+    not a raw pyarrow KeyError; (2) the executor read path and DV
+    resolution go through pyarrow's FileSystem layer, so scheme://
+    paths work (exercised via file://, the from_uri branch)."""
+    spark = registered
+
+    # (1) starting_version before a schema-changing overwrite
+    t = str(tmp_path / "sch_chg")
+    tl.commit(spark, spark.range(3).select(F.col("id").alias("k")), t)  # v0
+    tl.commit(
+        spark,
+        spark.createDataFrame([("x",)], "s string"),
+        t,
+        mode="overwrite",
+    )  # v1: different schema
+    q = (
+        spark.readStream.format("tablelog")
+        .option("ignore_changes", "true")
+        .option("starting_version", "0")
+        .load(t)
+        .writeStream.format("memory").queryName("sch_chg")
+        .option("checkpointLocation", str(tmp_path / "ck_sch"))
+        .trigger(availableNow=True).start()
+    )
+    with pytest.raises(Exception, match="schema changed at version 0"):
+        q.awaitTermination()
+
+    # (2) scheme:// paths through the pyarrow FS layer
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tableone_pyspark_spark.sources.stream_source import (
+        _FilePartition,
+        _dv_positions,
+        _read_file,
+    )
+
+    p = tmp_path / "one.parquet"
+    pq.write_table(pa.table({"k": [1, 2, 3, 4]}), str(p))
+    part = _FilePartition("file://" + str(p), [1])  # row index 1 deleted
+    got = [
+        v
+        for b in _read_file(part, ["k"])
+        for v in b.column("k").to_pylist()
+    ]
+    assert got == [1, 3, 4]
+
+    dvp = tmp_path / "dv.parquet"
+    pq.write_table(
+        pa.table({"file_path": ["file:" + str(p)], "row_index": [2]}),
+        str(dvp),
+    )
+    assert _dv_positions(["file://" + str(dvp)]) == {str(p): [2]}

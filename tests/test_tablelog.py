@@ -737,6 +737,29 @@ def test_stats_nan_and_interval_guards(spark, tmp_path):
     out = tl.read_version(spark, t, prune=[("v", ">", 0.5)])
     assert len(out.inputFiles()) == 1
     assert out.where(F.col("v") > 0.5).count() == 2
+    # ADVICE r12: the non-finite bound is OMITTED from the doc, not
+    # serialized — json.dumps would emit a bare NaN token and the log
+    # would stop being RFC-compliant JSON for any strict reader
+    raw = (tmp_path / "nan_tbl" / "_log" / "v0.json").read_text()
+    import json as _json
+
+    _json.loads(
+        raw,
+        parse_constant=lambda s: pytest.fail(f"non-RFC token {s} in doc"),
+    )
+    doc = _json.loads(raw)
+    assert all("v" not in st for st in doc["stats"].values())
+    # an Infinity bound is omitted too (same RFC hazard)
+    t_inf = str(tmp_path / "inf_tbl")
+    inf_df = spark.createDataFrame(
+        [(1, 1.0), (2, float("inf"))], "k long, v double"
+    )
+    tl.commit(spark, inf_df.coalesce(1), t_inf, stats_cols=["v"])
+    raw_inf = (tmp_path / "inf_tbl" / "_log" / "v0.json").read_text()
+    _json.loads(
+        raw_inf,
+        parse_constant=lambda s: pytest.fail(f"non-RFC token {s} in doc"),
+    )
 
     iv = spark.sql(
         "SELECT 1 AS k, INTERVAL '1' DAY AS dur"
@@ -746,6 +769,39 @@ def test_stats_nan_and_interval_guards(spark, tmp_path):
 
     with pytest.raises(ValueError, match="target_bytes"):
         tl.optimize(spark, t, target_bytes=0, zorder_by=["v"])
+
+
+def test_optimize_preserves_stats_by_default(spark, tmp_path):
+    """ADVICE r12: optimize() with no stats_cols re-records the base
+    version's stats column set — a routine compaction must not
+    silently degrade prune= reads; [] explicitly drops them."""
+    t = str(tmp_path / "opt_stats_tbl")
+    lo = spark.range(0, 50).select(
+        F.col("id").alias("k"), (F.col("id") * 1.0).alias("v")
+    )
+    hi = spark.range(1000, 1050).select(
+        F.col("id").alias("k"), (F.col("id") * 1.0).alias("v")
+    )
+    tl.commit(spark, lo.coalesce(1), t, stats_cols=["k", "v"])
+    tl.commit(spark, hi.coalesce(1), t, stats_cols=["k", "v"])
+
+    rep = tl.optimize(spark, t, target_bytes=1024)  # stats_cols defaulted
+    doc = tl._version_doc(spark, t, rep["version"])
+    assert doc["stats"], "default optimize dropped the skipping stats"
+    assert all(set(st) == {"k", "v"} for st in doc["stats"].values())
+    # pruning still fires after the compaction
+    pruned = tl.read_version(spark, t, prune=[("k", ">", 5000)])
+    assert len(pruned.inputFiles()) == 0
+
+    # explicit [] drops stats (the old default, now opt-in)
+    rep2 = tl.optimize(spark, t, stats_cols=[])
+    assert not tl._version_doc(spark, t, rep2["version"]).get("stats")
+
+    # a stat-less table's default optimize stays stat-less (no crash)
+    t2 = str(tmp_path / "opt_nostats_tbl")
+    tl.commit(spark, lo.coalesce(1), t2)
+    rep3 = tl.optimize(spark, t2)
+    assert not tl._version_doc(spark, t2, rep3["version"]).get("stats")
 
 
 def test_commit_audited_wap(spark, tmp_path):
