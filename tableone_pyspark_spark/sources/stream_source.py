@@ -69,21 +69,35 @@ def _pa_fs(path: str):
     return pafs.LocalFileSystem(), _local_path(path)
 
 
-def _current_version(table: str) -> int | None:
+def _log_listing(table: str) -> tuple[int | None, list[int]]:
+    """ONE _log/ listing returning (current version, sorted checkpoint
+    versions) — the shared parse for both maxima (review r13: four
+    near-identical listing loops, and a LIST per lookup is the
+    expensive primitive on object stores)."""
     from pyarrow import fs as pafs
 
     fsys, p = _pa_fs(table)
     sel = pafs.FileSelector(f"{p}/_log", allow_not_found=True)
     best = None
+    cks: list[int] = []
     for fi in fsys.get_file_info(sel):
         name = fi.base_name
-        if name.startswith("v") and name.endswith(".json"):
+        if name.startswith("_checkpoint_v") and name.endswith(".json"):
+            try:
+                cks.append(int(name[len("_checkpoint_v"):-5]))
+            except ValueError:
+                continue
+        elif name.startswith("v") and name.endswith(".json"):
             try:
                 n = int(name[1:-5])
             except ValueError:
                 continue
             best = n if best is None else max(best, n)
-    return best
+    return best, sorted(cks)
+
+
+def _current_version(table: str) -> int | None:
+    return _log_listing(table)[0]
 
 
 def _doc(table: str, version: int) -> dict:
@@ -92,17 +106,36 @@ def _doc(table: str, version: int) -> dict:
         return json.loads(f.read().decode("utf-8"))
 
 
+def _latest_checkpoint(table: str, max_version: int) -> int | None:
+    """Greatest checkpointed version <= max_version (X139)."""
+    cks = [n for n in _log_listing(table)[1] if n <= max_version]
+    return cks[-1] if cks else None
+
+
+def _checkpoint_doc(table: str, version: int) -> dict:
+    fsys, p = _pa_fs(table)
+    with fsys.open_input_file(
+        f"{p}/_log/_checkpoint_v{version}.json"
+    ) as f:
+        return json.loads(f.read().decode("utf-8"))
+
+
 def _norm(p: str) -> str:
     return unquote(urlparse(p).path) or p
 
 
 def _shape(schema_json: str) -> list[tuple]:
-    """(name, type) pairs, nullability ignored — the writer side's
-    _schema_shape contract."""
-    return [
-        (f["name"], json.dumps(f["type"], sort_keys=True))
-        for f in json.loads(schema_json)["fields"]
-    ]
+    """(name, simpleString-type) pairs — the writer side's
+    _schema_shape contract EXACTLY, with nullability ignored at every
+    nesting level (a json-level type compare embeds nested
+    nullability, which parquet read-back widens: it spuriously failed
+    streams over logs the writer itself accepts — review r13).
+    pyspark.sql.types is pure Python, importable on planning paths
+    with no JVM."""
+    from pyspark.sql.types import StructType
+
+    st = StructType.fromJson(json.loads(schema_json))
+    return [(f.name, f.dataType.simpleString()) for f in st.fields]
 
 
 def _dv_positions(dv_files: list[str]) -> dict[str, list[int]]:
@@ -252,41 +285,81 @@ class _TablelogStreamReader(DataSourceStreamReader):
         cur = _current_version(self._table)
         return {"version": -1 if cur is None else cur}
 
-    def partitions(self, start, end):
-        parts: list[_FilePartition] = []
+    def _version_rows(self, lo: int, hi: int) -> list[tuple]:
+        """(version, mode, shape, new_files) for each version in
+        [lo, hi]: the latest checkpoint's compact history rows (X139)
+        where they cover the range head, per-version docs for the
+        tail — a fresh stream's first batch is O(versions since
+        checkpoint), not O(versions). A torn / absent / gap-y
+        checkpoint silently degrades to the full doc walk."""
+        rows: list[tuple] = []
+        doc_lo = lo
         prev_files: set[str] | None = None
-        for v in range(start["version"] + 1, end["version"] + 1):
+        # consult checkpoints only when the range is long (a fresh
+        # stream's first batch) — the steady-state one-version batch
+        # must not pay an extra LIST per micro-batch (review r13)
+        ck = _latest_checkpoint(self._table, hi) if hi - lo >= 2 else None
+        if ck is not None and ck >= lo:
+            try:
+                ckdoc = _checkpoint_doc(self._table, ck)
+                hist = {r["version"]: r for r in ckdoc["history"]}
+                head = []
+                for v in range(lo, ck + 1):
+                    r = hist[v]  # KeyError -> doc walk
+                    head.append(
+                        (
+                            v,
+                            r["mode"],
+                            [tuple(x) for x in r["shape"]],
+                            list(r["new_files"]),
+                        )
+                    )
+                rows = head
+                prev_files = set(ckdoc["files"])
+                doc_lo = ck + 1
+            except Exception:  # noqa: BLE001 — advisory accelerator
+                rows, prev_files, doc_lo = [], None, lo
+        for v in range(doc_lo, hi + 1):
             doc = _doc(self._table, v)
-            mode = doc["mode"]
-            if _shape(doc["schema"]) != self._shape:
-                raise ValueError(
-                    f"schema changed at version {v} of {self._table} — "
-                    "the stream's output schema was pinned at start; "
-                    "restart the stream with "
-                    f".option('starting_version', {v}) to adopt the "
-                    "new schema (ADVICE r12)"
-                )
             if prev_files is None:
                 prev_files = (
                     set(_doc(self._table, v - 1)["files"])
                     if v > 0
                     else set()
                 )
+            if doc["mode"] == "delete":
+                new: list[str] = []  # a delete keeps the same files
+            else:
+                new = [f for f in doc["files"] if f not in prev_files]
+            rows.append((v, doc["mode"], _shape(doc["schema"]), new))
+            prev_files = set(doc["files"])
+        return rows
 
-            def _new_files(d=doc, pf=prev_files):
-                # appended/rewritten files carry no vectors at their
-                # own version — deletes arrive as LATER versions
-                return [
-                    _FilePartition(f, []) for f in d["files"] if f not in pf
-                ]
-
+    def partitions(self, start, end):
+        parts: list[_FilePartition] = []
+        rows = self._version_rows(
+            start["version"] + 1, end["version"]
+        )
+        for v, mode, shape, new_files in rows:
+            if shape != self._shape:
+                raise ValueError(
+                    f"schema changed at version {v} of {self._table} — "
+                    "the stream's output schema was pinned at start. "
+                    "To adopt the new schema, start a NEW stream (a "
+                    "fresh checkpointLocation — the existing "
+                    "checkpoint's offsets resume before the change "
+                    "and would hit this again) with "
+                    f".option('starting_version', {v}) (ADVICE r12)"
+                )
+            # appended/rewritten files carry no vectors at their own
+            # version — deletes arrive as LATER versions
             if mode == "append" or v == 0:
                 # version 0 is the table's INITIAL snapshot whatever
                 # its mode — nothing was delivered before it, so its
                 # files are all-new (self-review r12, confirmed live:
                 # an overwrite-created v0 either failed the stream or
                 # was silently dropped under ignore_changes)
-                parts += _new_files()
+                parts += [_FilePartition(f, []) for f in new_files]
             elif mode == "delete":
                 if not self._ignore_deletes:
                     raise ValueError(
@@ -311,8 +384,7 @@ class _TablelogStreamReader(DataSourceStreamReader):
                 # are DELIVERED (duplicates downstream), never
                 # silently skipped — skipping would lose the rows an
                 # upsert-overwrite newly inserted (self-review r12)
-                parts += _new_files()
-            prev_files = set(doc["files"])
+                parts += [_FilePartition(f, []) for f in new_files]
         return parts
 
     def read(self, partition):

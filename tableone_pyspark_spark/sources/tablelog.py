@@ -96,23 +96,40 @@ def _read_json(spark: SparkSession, path: str) -> dict:
         stream.close()
 
 
-def current_version(spark: SparkSession, table: str) -> int | None:
-    """Highest committed version, or None for a not-yet-created
-    table. One directory listing of _log/ — metadata-sized."""
+def _log_maxima(
+    spark: SparkSession, table: str
+) -> tuple[int | None, list[int]]:
+    """ONE _log/ directory listing returning (highest committed
+    version, sorted checkpoint versions) — callers needing both (the
+    streaming-sink watermark hot path) must not pay two LIST calls
+    per micro-batch (review r13; on an object store LIST is the
+    expensive primitive)."""
     fs, _ = _fs(spark, table)
     log = _path(spark, f"{table}/_log")
     if not fs.exists(log):
-        return None
+        return None, []
     best = None
+    cks: list[int] = []
     for st in fs.listStatus(log):
         name = st.getPath().getName()
-        if name.startswith("v") and name.endswith(".json"):
+        if name.startswith("_checkpoint_v") and name.endswith(".json"):
+            try:
+                cks.append(int(name[len("_checkpoint_v"):-5]))
+            except ValueError:
+                continue
+        elif name.startswith("v") and name.endswith(".json"):
             try:
                 n = int(name[1:-5])
             except ValueError:
                 continue
             best = n if best is None else max(best, n)
-    return best
+    return best, sorted(cks)
+
+
+def current_version(spark: SparkSession, table: str) -> int | None:
+    """Highest committed version, or None for a not-yet-created
+    table. One directory listing of _log/ — metadata-sized."""
+    return _log_maxima(spark, table)[0]
 
 
 def _version_doc(spark: SparkSession, table: str, version: int) -> dict:
@@ -224,22 +241,39 @@ def _publish(
         doc["stats"] = stats
     if dv:
         doc["dv"] = dv
-    target = _path(spark, f"{table}/_log/v{version}.json")
-    tmp = _path(spark, f"{table}/_log/.v{version}.{uuid.uuid4().hex}.tmp")
+    _write_log_doc_exclusive(spark, table, f"v{version}.json", doc)
+    if version > 0 and version % CHECKPOINT_EVERY == 0:
+        # advisory accelerator only: a failed/raced checkpoint must
+        # never fail the commit it rides on (X139)
+        try:
+            write_checkpoint(spark, table, version)
+        except Exception:  # noqa: BLE001
+            pass
+    return doc
+
+
+def _write_log_doc_exclusive(
+    spark: SparkSession, table: str, name: str, doc: dict
+) -> None:
+    """Shared CREATE-exclusive _log/ JSON writer (commit docs and
+    checkpoint docs): temp name + exclusive-create stream + contractual
+    no-overwrite rename (ADVICE r11 — FileContext.Rename.NONE throws on
+    an existing destination), so a torn write never parses and two
+    racers produce exactly one winner + one CommitConflict."""
+    fs, jvm = _fs(spark, table)
+    target = _path(spark, f"{table}/_log/{name}")
+    tmp = _path(spark, f"{table}/_log/.{name}.{uuid.uuid4().hex}.tmp")
     stream = fs.create(tmp, False)
     try:
         stream.write(bytearray(json.dumps(doc).encode("utf-8")))
     finally:
         stream.close()
-    # rename with CONTRACTUAL no-overwrite semantics (ADVICE r11):
-    # FileContext.Rename.NONE throws on an existing destination
     if not _rename_no_overwrite(spark, fs, jvm, tmp, target):
         fs.delete(tmp, False)
         raise CommitConflict(
-            f"version {version} of {table} was committed concurrently — "
+            f"log doc {name} of {table} was written concurrently — "
             "re-read and retry"
         )
-    return doc
 
 
 def _schema_shape(schema_json: str) -> list:
@@ -619,14 +653,162 @@ def delete_rows(spark: SparkSession, table: str, predicate) -> dict:
     return {"version": base + 1, "n_deleted": int(n)}
 
 
-def history(spark: SparkSession, table: str) -> list[dict]:
-    """Every commit doc, version-ascending, file lists summarized to
-    counts (the audit view)."""
+#: versions between automatic checkpoint docs (X139 — the Delta
+#: _last_checkpoint idea); every CHECKPOINT_EVERY-th _publish also
+#: writes _log/_checkpoint_v{V}.json so log-walking readers go
+#: O(versions since checkpoint) instead of O(versions)
+CHECKPOINT_EVERY = 10
+
+
+def _checkpoint_path(table: str, version: int) -> str:
+    return f"{table}/_log/_checkpoint_v{version}.json"
+
+
+def _shape_rows(schema_json: str) -> list:
+    """Per-field [name, simpleString-type] rows for checkpoint history
+    — the SAME canonicalization as the writer's _schema_shape contract
+    (nullability ignored at EVERY nesting level: a json-level type
+    compare embeds nested nullability that parquet read-back widens,
+    spuriously failing streams over logs the writer itself accepts —
+    review r13). pyspark.sql.types is pure Python, no JVM needed."""
+    return [list(pair) for pair in _schema_shape(schema_json)]
+
+
+def latest_checkpoint_version(
+    spark: SparkSession, table: str, max_version: int | None = None
+) -> int | None:
+    """Greatest checkpointed version (``<= max_version`` if given),
+    from one _log/ directory listing — deliberately NO pointer file
+    (Delta's _last_checkpoint needs overwrite semantics this format's
+    create-exclusive contract avoids)."""
+    cks = _log_maxima(spark, table)[1]
+    if max_version is not None:
+        cks = [n for n in cks if n <= max_version]
+    return cks[-1] if cks else None
+
+
+def write_checkpoint(
+    spark: SparkSession, table: str, version: int | None = None
+) -> dict:
+    """X139 — checkpoint doc at ``version`` (default: current): ONE
+    JSON snapshot carrying (a) the version's full state (files / dv /
+    stats / schema / mode), (b) compact per-version history rows
+    v0..V — mode, committed_at, n_files, batch/stream ids, the
+    pyspark-free schema shape, and the version's NEW-file delta (what
+    a streaming read of that version delivers), and (c) the
+    per-stream watermark map. Log-walking readers (:func:`history`, a
+    fresh stream's first batch in ``sources/stream_source.py``,
+    :func:`last_committed_batch`'s fallback scan) start at the latest
+    checkpoint and read only the tail — O(versions since checkpoint)
+    doc reads instead of O(versions).
+
+    Built INCREMENTALLY from the previous checkpoint (O(interval) doc
+    reads, so the auto-checkpoint never re-walks a long log) and
+    written through the same CREATE-exclusive path as commit docs (a
+    racing duplicate raises :class:`CommitConflict`, harmless).
+    Written automatically by every CHECKPOINT_EVERY-th publish;
+    callable explicitly after a vacuum-heavy or migration workload.
+    Cumulative new-file deltas total O(files ever written) — the
+    Delta checkpoint add-action cost, metadata-sized. Checkpoints are
+    never vacuumed (audit value; _log/ is not swept)."""
     cur = current_version(spark, table)
     if cur is None:
+        raise ValueError(f"no such versioned table: {table}")
+    v = cur if version is None else version
+    if not 0 <= v <= cur:
+        raise ValueError(f"version {v} not in [0, {cur}] for {table}")
+
+    prev_ck = latest_checkpoint_version(spark, table, v - 1)
+    hist: list = []
+    watermarks: dict = {}
+    prev_files: set = set()
+    start = 0
+    if prev_ck is not None:
+        try:
+            ckdoc = _read_json(spark, _checkpoint_path(table, prev_ck))
+            hist = list(ckdoc["history"])
+            watermarks = dict(ckdoc.get("watermarks") or {})
+            prev_files = set(ckdoc["files"])
+            start = prev_ck + 1
+        except Exception:  # noqa: BLE001 — torn previous checkpoint:
+            # rebuild from the log root (one slow checkpoint beats the
+            # corrupt doc silently voiding every FUTURE auto-checkpoint
+            # forever — review r13)
+            hist, watermarks, prev_files, start = [], {}, set(), 0
+    for vv in range(start, v + 1):
+        doc = _version_doc(spark, table, vv)
+        files = doc["files"]
+        if doc["mode"] == "delete":
+            new_files: list = []
+        else:
+            new_files = [f for f in files if f not in prev_files]
+        row = {
+            "version": vv,
+            "mode": doc["mode"],
+            "n_files": len(files),
+            "committed_at": doc["committed_at"],
+            "shape": _shape_rows(doc["schema"]),
+            "new_files": new_files,
+        }
+        if "batch_id" in doc:
+            row["batch_id"] = doc["batch_id"]
+        if "stream_id" in doc:
+            row["stream_id"] = doc["stream_id"]
+            if "batch_id" in doc:
+                # streaming batch ids are monotone in version order,
+                # so the last writer in the walk is the max
+                watermarks[doc["stream_id"]] = doc["batch_id"]
+        hist.append(row)
+        prev_files = set(files)
+    # the loop always ran: prev_ck <= v-1 by the max_version bound,
+    # so start <= v and doc is the version-v doc here
+    ck = {
+        "checkpoint_version": v,
+        "mode": doc["mode"],
+        "files": doc["files"],
+        "schema": doc["schema"],
+        "history": hist,
+        "watermarks": watermarks,
+    }
+    if doc.get("stats"):
+        ck["stats"] = doc["stats"]
+    if doc.get("dv"):
+        ck["dv"] = doc["dv"]
+    _write_log_doc_exclusive(
+        spark, table, f"_checkpoint_v{v}.json", ck
+    )
+    return ck
+
+
+def history(spark: SparkSession, table: str) -> list[dict]:
+    """Every commit doc, version-ascending, file lists summarized to
+    counts (the audit view). Reads the latest checkpoint's compact
+    rows + only the tail docs after it (X139) — O(versions since
+    checkpoint), not O(versions)."""
+    cur, cks = _log_maxima(spark, table)
+    if cur is None:
         return []
-    out = []
-    for v in range(cur + 1):
+    out: list = []
+    start = 0
+    ck = max((n for n in cks if n <= cur), default=None)
+    if ck is not None:
+        try:
+            ckdoc = _read_json(spark, _checkpoint_path(table, ck))
+            out = [
+                {
+                    "version": r["version"],
+                    "mode": r["mode"],
+                    "n_files": r["n_files"],
+                    "committed_at": r["committed_at"],
+                }
+                for r in ckdoc["history"]
+            ]
+            start = ck + 1
+        except Exception:  # noqa: BLE001 — torn checkpoint: the
+            # advisory accelerator must never break the audit view
+            # (review r13) — full doc walk
+            out, start = [], 0
+    for v in range(start, cur + 1):
         doc = _version_doc(spark, table, v)
         out.append(
             {
@@ -700,8 +882,11 @@ def last_committed_batch(
     O(all versions) — ADVICE r11: without the floor, a stream that
     never committed (or sits behind many foreign commits) re-read
     every v*.json on every micro-batch of a long-lived multi-writer
-    table. A missing/torn/stale sidecar only deepens the scan."""
-    cur = current_version(spark, table)
+    table. A missing/torn/stale sidecar only deepens the scan — to the
+    latest CHECKPOINT, not the log root: the checkpoint's watermark
+    map is complete for every version it covers (X139), so a
+    sidecar-less cold start is O(versions since checkpoint)."""
+    cur, cks = _log_maxima(spark, table)  # ONE listing for both maxima
     if cur is None:
         return None
     floor_batch: int | None = None
@@ -716,9 +901,36 @@ def last_committed_batch(
         ):
             floor_batch = side["batch_id"]
             floor_version = side["version"]
-    except Exception:  # noqa: BLE001 — absent/torn sidecar: full scan
+    except Exception:  # noqa: BLE001 — absent/torn sidecar: checkpoint
         pass
-    for v in range(cur, floor_version, -1):
+    # scan the tail ABOVE the checkpoint first — the steady-state hit
+    # (an active stream's own recent commit) is found in O(1) doc
+    # reads without ever parsing the (history-sized) checkpoint doc;
+    # the checkpoint is consulted LAZILY only on a tail miss (the
+    # sidecar-less cold start), where its watermark map answers in one
+    # read instead of a walk to the log root (X139; the eager variant
+    # measurably REGRESSED the hot path in scale_check_r13)
+    ck = max((n for n in cks if n <= cur), default=None)
+    hi_floor = floor_version if ck is None else max(floor_version, ck)
+    for v in range(cur, hi_floor, -1):
+        doc = _version_doc(spark, table, v)
+        if doc.get("stream_id") == stream_id and "batch_id" in doc:
+            return doc["batch_id"]
+    if ck is not None and ck > floor_version:
+        try:
+            wms = (
+                _read_json(spark, _checkpoint_path(table, ck)).get(
+                    "watermarks"
+                )
+                or {}
+            )
+            # the map is complete for v <= ck: absence means this
+            # stream never committed there — the sidecar's floor (or
+            # None) is already the answer
+            return wms.get(stream_id, floor_batch)
+        except Exception:  # noqa: BLE001 — torn checkpoint: deep scan
+            pass
+    for v in range(hi_floor, floor_version, -1):
         doc = _version_doc(spark, table, v)
         if doc.get("stream_id") == stream_id and "batch_id" in doc:
             return doc["batch_id"]

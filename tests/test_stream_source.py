@@ -230,3 +230,138 @@ def test_stream_source_advice_r12(registered, tmp_path):
         str(dvp),
     )
     assert _dv_positions(["file://" + str(dvp)]) == {str(p): [2]}
+
+
+def test_stream_first_batch_uses_checkpoint(registered, tmp_path):
+    """X139: a fresh stream's first batch plans from the latest
+    checkpoint's compact rows + tail docs (O(versions since
+    checkpoint)), delivers exactly the same rows, and the pinned-
+    schema guard still fires for versions covered by the checkpoint."""
+    import tableone_pyspark_spark.sources.stream_source as ss
+
+    spark = registered
+    t = str(tmp_path / "ck_stream")
+    for v in range(13):  # auto checkpoint at v10
+        tl.commit(
+            spark,
+            spark.range(v * 3, v * 3 + 3).select(F.col("id").alias("k")),
+            t,
+        )
+    assert tl.latest_checkpoint_version(spark, t) == 10
+
+    # end-to-end delivery correctness through the real worker path
+    out = str(tmp_path / "out_ck")
+    q = (
+        spark.readStream.format("tablelog").load(t)
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ck_ck"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    assert sorted(r["k"] for r in spark.read.parquet(out).collect()) == list(
+        range(39)
+    )
+
+    # the O(versions-since-checkpoint) claim, pinned IN-PROCESS: the
+    # planning worker runs in a separate Python process, so a
+    # monkeypatch around the writeStream drain counts nothing (review
+    # r13 — the original assertion was vacuous over an empty list);
+    # drive the reader directly instead
+    doc_reads = []
+    orig = ss._doc
+
+    def counting(table, version):
+        doc_reads.append(version)
+        return orig(table, version)
+
+    ss._doc = counting
+    try:
+        r = ss._TablelogStreamReader(t, False, False, None)
+        cur = tl.current_version(spark, t)
+        parts = r.partitions({"version": -1}, {"version": cur})
+    finally:
+        ss._doc = orig
+    assert len(parts) > 0
+    planning_reads = [v for v in doc_reads if v <= 10]
+    assert planning_reads == [], sorted(set(doc_reads))
+    assert doc_reads, "no doc reads at all — counting seam broken"
+    # and the same plan WITHOUT the checkpoint delivers identical files
+    orig_listing = ss._log_listing
+    doc_reads.clear()
+    ss._doc = counting
+    try:
+        ss._log_listing = lambda tb: (orig_listing(tb)[0], [])
+        r2 = ss._TablelogStreamReader(t, False, False, None)
+        parts2 = r2.partitions({"version": -1}, {"version": cur})
+    finally:
+        ss._doc = orig
+        ss._log_listing = orig_listing
+    assert sorted(p.path for p in parts) == sorted(p.path for p in parts2)
+    assert min(doc_reads) == 0  # the full walk really went to the root
+
+    # the schema guard fires for a version INSIDE the checkpoint range
+    t2 = str(tmp_path / "ck_schema")
+    for v in range(9):
+        tl.commit(
+            spark,
+            spark.range(v, v + 1).select(F.col("id").alias("k")),
+            t2,
+        )
+    tl.commit(
+        spark,
+        spark.createDataFrame([("x",)], "s string"),
+        t2,
+        mode="overwrite",
+    )  # v9
+    tl.commit(
+        spark, spark.createDataFrame([("y",)], "s string"), t2
+    )  # v10 -> auto checkpoint covering the schema change
+    assert tl.latest_checkpoint_version(spark, t2) == 10
+    q = (
+        spark.readStream.format("tablelog")
+        .option("ignore_changes", "true")
+        .option("starting_version", "0")
+        .load(t2)
+        .writeStream.format("memory").queryName("ck_schema_sink")
+        .option("checkpointLocation", str(tmp_path / "ck_sch2"))
+        .trigger(availableNow=True).start()
+    )
+    with pytest.raises(Exception, match="schema changed at version 0"):
+        q.awaitTermination()
+
+
+def test_stream_shape_ignores_nested_nullability(registered, tmp_path):
+    """Review r13 (verified live pre-fix): parquet read-back widens
+    NESTED nullability too; the writer's append check (simpleString
+    shapes) accepts it, so the stream's pinned-schema guard must as
+    well — the old json-level type compare spuriously failed the
+    stream with 'schema changed at version 1' over a legal log."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    spark = registered
+    schema = StructType(
+        [
+            StructField("k", LongType(), False),
+            StructField(
+                "s",
+                StructType([StructField("a", LongType(), False)]),
+                True,
+            ),
+        ]
+    )
+    t = str(tmp_path / "nested_tbl")
+    df = spark.createDataFrame([(1, (10,)), (2, (20,))], schema)
+    tl.commit(spark, df, t)                                    # v0
+    tl.commit(spark, tl.read_version(spark, t), t)             # v1: the
+    # table's own output — nested nullability widened, writer accepts
+    out = str(tmp_path / "out_nested")
+    q = (
+        spark.readStream.format("tablelog").load(t)
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ck_nested"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    got = spark.read.parquet(out)
+    assert got.count() == 4
+    assert sorted(r["s"]["a"] for r in got.collect()) == [10, 10, 20, 20]

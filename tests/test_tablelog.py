@@ -328,8 +328,10 @@ def test_stream_watermark_sidecar_floor(spark, tmp_path, monkeypatch):
     side_files = [f for f in os.listdir(side) if f.startswith("_stream_")]
     assert len(side_files) == 1
 
-    # ten foreign commits bury the stream's version
-    for i in range(10):
+    # eight foreign commits bury the stream's version (deliberately
+    # below CHECKPOINT_EVERY so this test pins the SIDECAR floor in
+    # isolation; the checkpoint floor has its own test)
+    for i in range(8):
         tl.commit(spark, batch.withColumn("k", F.lit(i + 10).cast("long")), t)
 
     reads = []
@@ -341,22 +343,22 @@ def test_stream_watermark_sidecar_floor(spark, tmp_path, monkeypatch):
 
     monkeypatch.setattr(tl, "_version_doc", counting)
     assert tl.last_committed_batch(spark, t, sid) == 0
-    # scanned only the 10 foreign docs ABOVE the sidecar's version —
+    # scanned only the 8 foreign docs ABOVE the sidecar's version —
     # never v0 itself, never the whole log twice over
-    assert len(reads) == 10 and min(reads) == 1
+    assert len(reads) == 8 and min(reads) == 1
 
-    # torn sidecar: full scan, same answer
+    # torn sidecar (and no checkpoint yet): full scan, same answer
     with open(side / side_files[0], "w") as f:
         f.write("{not json")
     reads.clear()
     assert tl.last_committed_batch(spark, t, sid) == 0
-    assert len(reads) == 11  # v10..v0
+    assert len(reads) == 9  # v8..v0
 
     # missing sidecar: same
     os.remove(side / side_files[0])
     reads.clear()
     assert tl.last_committed_batch(spark, t, sid) == 0
-    assert len(reads) == 11
+    assert len(reads) == 9
     monkeypatch.undo()
 
     # the sidecar advances with the next streaming commit
@@ -974,3 +976,99 @@ def test_deletion_vector_review_fixes(spark, tmp_path):
     tl.commit(spark, meta, t2)
     with pytest.raises(ValueError, match="_metadata"):
         tl.delete_rows(spark, t2, F.lit(True))
+
+
+def test_checkpoint_doc_accelerates_log_walks(spark, tmp_path):
+    """X139: every CHECKPOINT_EVERY-th publish writes a checkpoint doc
+    whose compact history rows + watermark map make history() and
+    last_committed_batch's fallback scan O(versions since checkpoint)
+    — and the accelerated answers are IDENTICAL to the full doc walk."""
+    t = str(tmp_path / "ck_tbl")
+    # 23 versions: appends with a delete and an overwrite mixed in,
+    # plus streaming-style batch ids from two writers
+    for v in range(23):
+        df = spark.range(v * 5, v * 5 + 5).select(F.col("id").alias("k"))
+        if v == 7:
+            tl.delete_rows(spark, t, F.col("k") % 9 == 0)
+        elif v == 13:
+            tl.commit(spark, df, t, mode="overwrite")
+        elif v % 3 == 0 and v > 0:
+            tl.commit(spark, df, t, batch_id=v, stream_id="s1")
+        elif v % 5 == 0 and v > 0:
+            tl.commit(spark, df, t, batch_id=v, stream_id="s2")
+        else:
+            tl.commit(spark, df, t)
+    cur = tl.current_version(spark, t)
+    assert cur == 22
+    assert tl.latest_checkpoint_version(spark, t) == 20
+    assert tl.latest_checkpoint_version(spark, t, 19) == 10
+
+    # history(): checkpoint-accelerated == full doc walk
+    fast = tl.history(spark, t)
+    orig = tl._log_maxima
+    try:
+        # hide the checkpoints from the shared listing
+        tl._log_maxima = lambda s, tb: (orig(s, tb)[0], [])
+        slow = tl.history(spark, t)
+    finally:
+        tl._log_maxima = orig
+    assert fast == slow and len(fast) == 23
+    assert [r["mode"] for r in fast].count("delete") == 1
+    assert [r["mode"] for r in fast].count("overwrite") == 1
+
+    # checkpoint content: complete rows, new-file deltas, watermarks
+    ck = tl._read_json(spark, tl._checkpoint_path(t, 20))
+    assert [r["version"] for r in ck["history"]] == list(range(21))
+    del_row = next(r for r in ck["history"] if r["mode"] == "delete")
+    assert del_row["new_files"] == []
+    ow_row = next(r for r in ck["history"] if r["mode"] == "overwrite")
+    assert len(ow_row["new_files"]) == ow_row["n_files"] > 0
+    assert ck["watermarks"]["s1"] == max(
+        v for v in range(1, 21) if v % 3 == 0
+    )
+    assert ck["watermarks"]["s2"] == max(
+        v for v in range(1, 21) if v % 5 == 0 and v % 3 != 0
+    )
+    assert ck["files"] == tl._version_doc(spark, t, 20)["files"]
+
+    # last_committed_batch: with no sidecar the scan floors at the
+    # checkpoint and the answer matches the full walk (count the doc
+    # reads to prove the floor actually fires)
+    reads = []
+    orig_doc = tl._version_doc
+    try:
+        tl._version_doc = lambda s, tb, v: (
+            reads.append(v) or orig_doc(s, tb, v)
+        )
+        got = tl.last_committed_batch(spark, t, "s2")
+    finally:
+        tl._version_doc = orig_doc
+    assert got == ck["watermarks"]["s2"]
+    assert min(reads, default=99) > 20, reads  # never walked below ck
+
+    # torn checkpoint: degrades to the deep scan, same answer
+    import os
+
+    ckp = tmp_path / "ck_tbl" / "_log" / "_checkpoint_v20.json"
+    good_ck = ckp.read_text()
+    try:
+        ckp.write_text("{not json")
+        reads.clear()
+        tl._version_doc = lambda s, tb, v: (
+            reads.append(v) or orig_doc(s, tb, v)
+        )
+        assert tl.last_committed_batch(spark, t, "s2") == got
+        # tail v22..v21 missed, deep scan found s2's commit at v20
+        assert reads == [22, 21, 20], reads
+    finally:
+        tl._version_doc = orig_doc
+        ckp.write_text(good_ck)
+    assert os.path.exists(ckp)
+
+    # explicit write_checkpoint at an interior version + idempotence
+    rep = tl.write_checkpoint(spark, t, 22)
+    assert rep["checkpoint_version"] == 22
+    with pytest.raises(tl.CommitConflict):
+        tl.write_checkpoint(spark, t, 22)
+    with pytest.raises(ValueError, match="not in"):
+        tl.write_checkpoint(spark, t, 99)
