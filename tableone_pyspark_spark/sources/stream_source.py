@@ -26,6 +26,14 @@ delivered exactly once).
              first delivered version (the vacuumed-history escape
              hatch — Delta's startingVersion); version 0 is the
              initial snapshot whatever its mode
+    changes: .option("read_changes", "true") streams the CHANGE FEED
+             instead (X140, Delta's readChangeFeed): appends as
+             'insert' rows, deletion-vector versions as 'delete' rows
+             re-read by position from the original files, stamped
+             with _change_type / _commit_version — the retraction
+             feed an incremental aggregate consumes; overwrites are
+             refused loudly (keyed diffs are a batch table_changes
+             job, not a per-file read)
 
 Honest boundary: the source resolves the log and reads parquet
 through pyarrow's FileSystem layer (local paths and any
@@ -138,10 +146,13 @@ def _shape(schema_json: str) -> list[tuple]:
     return [(f.name, f.dataType.simpleString()) for f in st.fields]
 
 
-def _dv_positions(dv_files: list[str]) -> dict[str, list[int]]:
-    """path-normalized file -> sorted deleted row positions. Resolved
-    ONCE at planning time on the driver — vectors are small by
-    construction (positions, not rows)."""
+def _dv_position_map(
+    dv_files: list[str], normalize: bool
+) -> dict[str, list[int]]:
+    """file -> sorted deleted row positions (one parse loop for both
+    key forms — review r13). Resolved ONCE at planning time on the
+    driver — vectors are small by construction (positions, not
+    rows)."""
     import pyarrow.parquet as pq
 
     out: dict[str, set[int]] = {}
@@ -157,14 +168,45 @@ def _dv_positions(dv_files: list[str]) -> dict[str, list[int]]:
             t.column("file_path").to_pylist(),
             t.column("row_index").to_pylist(),
         ):
-            out.setdefault(_norm(fp), set()).add(int(ri))
+            out.setdefault(_norm(fp) if normalize else fp, set()).add(
+                int(ri)
+            )
     return {k: sorted(v) for k, v in out.items()}
+
+
+def _dv_positions(dv_files: list[str]) -> dict[str, list[int]]:
+    """path-normalized keys — for masking delivered files."""
+    return _dv_position_map(dv_files, normalize=True)
 
 
 class _FilePartition(InputPartition):
     def __init__(self, path: str, deleted: list[int]):
         self.path = path
         self.deleted = deleted
+
+
+class _CdfPartition(InputPartition):
+    """One change-feed read unit (X140): a parquet file plus either
+    ``positions=None`` (every row — an insert delivery) or the sorted
+    row positions to SELECT (a delete delivery reads exactly the rows
+    the version's new vectors named), stamped with the change type and
+    commit version."""
+
+    def __init__(
+        self,
+        path: str,
+        positions: list[int] | None,
+        change_type: str,
+        version: int,
+        exclude: list[int] | None = None,
+    ):
+        self.path = path
+        self.positions = positions
+        self.change_type = change_type
+        self.version = version
+        # positions to MASK OUT of an all-rows delivery (a cloned
+        # v0's snapshot must not resurrect DV-deleted rows)
+        self.exclude = exclude
 
 
 def _read_file(partition: _FilePartition, field_names: list[str]):
@@ -210,6 +252,55 @@ def _read_file(partition: _FilePartition, field_names: list[str]):
             yield pa.RecordBatch.from_arrays(
                 [batch.column(name) for name in field_names],
                 names=field_names,
+            )
+
+
+def _read_file_cdf(partition: _CdfPartition, field_names: list[str]):
+    """Executor-side change-feed read: the file's rows (or exactly the
+    named positions), with ``_change_type`` / ``_commit_version``
+    constants appended per batch."""
+    from bisect import bisect_left, bisect_right
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    if partition is None:
+        return
+    fsys, p = _pa_fs(partition.path)
+    with fsys.open_input_file(p) as fh:
+        pf = pq.ParquetFile(fh)
+        positions = partition.positions  # sorted, or None = all rows
+        exclude = partition.exclude  # sorted mask-outs, or None
+        offset = 0
+        for batch in pf.iter_batches():
+            n = batch.num_rows
+            if positions is not None:
+                lo = bisect_left(positions, offset)
+                hi = bisect_right(positions, offset + n - 1)
+                if hi <= lo:
+                    offset += n
+                    continue
+                idx = np.asarray(positions[lo:hi]) - offset
+                batch = batch.take(pa.array(idx, type=pa.int64()))
+            elif exclude:
+                lo = bisect_left(exclude, offset)
+                hi = bisect_right(exclude, offset + n - 1)
+                if hi > lo:
+                    mask = np.ones(n, dtype=bool)
+                    mask[np.asarray(exclude[lo:hi]) - offset] = False
+                    batch = batch.take(
+                        pa.array(np.flatnonzero(mask), type=pa.int64())
+                    )
+            offset += n
+            k = batch.num_rows
+            yield pa.RecordBatch.from_arrays(
+                [batch.column(name) for name in field_names]
+                + [
+                    pa.array([partition.change_type] * k, type=pa.string()),
+                    pa.array([partition.version] * k, type=pa.int64()),
+                ],
+                names=field_names + ["_change_type", "_commit_version"],
             )
 
 
@@ -285,16 +376,22 @@ class _TablelogStreamReader(DataSourceStreamReader):
         cur = _current_version(self._table)
         return {"version": -1 if cur is None else cur}
 
-    def _version_rows(self, lo: int, hi: int) -> list[tuple]:
-        """(version, mode, shape, new_files) for each version in
-        [lo, hi]: the latest checkpoint's compact history rows (X139)
-        where they cover the range head, per-version docs for the
-        tail — a fresh stream's first batch is O(versions since
-        checkpoint), not O(versions). A torn / absent / gap-y
-        checkpoint silently degrades to the full doc walk."""
-        rows: list[tuple] = []
+    def _version_rows(self, lo: int, hi: int) -> list[dict]:
+        """One dict per version in [lo, hi] — version, mode, shape,
+        new_files (what an append delivery ships), dv_new (the NEW
+        vector files of a delete version — the change feed's delete
+        delivery), dv0 (version 0's attached vectors: a shallow CLONE
+        is the one writer whose v0 files carry vectors naming
+        themselves, review r13) — from the latest checkpoint's compact
+        history rows (X139) where they cover the range head,
+        per-version docs for the tail. A fresh stream's first batch is
+        O(versions since checkpoint), not O(versions); a torn /
+        absent / gap-y checkpoint silently degrades to the full doc
+        walk."""
+        rows: list[dict] = []
         doc_lo = lo
         prev_files: set[str] | None = None
+        prev_dv: set[str] = set()
         # consult checkpoints only when the range is long (a fresh
         # stream's first batch) — the steady-state one-version batch
         # must not pay an extra LIST per micro-batch (review r13)
@@ -307,32 +404,49 @@ class _TablelogStreamReader(DataSourceStreamReader):
                 for v in range(lo, ck + 1):
                     r = hist[v]  # KeyError -> doc walk
                     head.append(
-                        (
-                            v,
-                            r["mode"],
-                            [tuple(x) for x in r["shape"]],
-                            list(r["new_files"]),
-                        )
+                        {
+                            "version": v,
+                            "mode": r["mode"],
+                            "shape": [tuple(x) for x in r["shape"]],
+                            "new_files": list(r["new_files"]),
+                            "dv_new": list(r.get("dv_new") or []),
+                            "dv0": list(r.get("dv") or []),
+                        }
                     )
                 rows = head
                 prev_files = set(ckdoc["files"])
+                prev_dv = set(ckdoc.get("dv") or [])
                 doc_lo = ck + 1
             except Exception:  # noqa: BLE001 — advisory accelerator
-                rows, prev_files, doc_lo = [], None, lo
+                rows, prev_files, prev_dv, doc_lo = [], None, set(), lo
         for v in range(doc_lo, hi + 1):
             doc = _doc(self._table, v)
             if prev_files is None:
-                prev_files = (
-                    set(_doc(self._table, v - 1)["files"])
-                    if v > 0
-                    else set()
-                )
+                if v > 0:
+                    pdoc = _doc(self._table, v - 1)
+                    prev_files = set(pdoc["files"])
+                    prev_dv = set(pdoc.get("dv") or [])
+                else:
+                    prev_files = set()
+            dv = doc.get("dv") or []
             if doc["mode"] == "delete":
                 new: list[str] = []  # a delete keeps the same files
+                dv_new = [f for f in dv if f not in prev_dv]
             else:
                 new = [f for f in doc["files"] if f not in prev_files]
-            rows.append((v, doc["mode"], _shape(doc["schema"]), new))
+                dv_new = []
+            rows.append(
+                {
+                    "version": v,
+                    "mode": doc["mode"],
+                    "shape": _shape(doc["schema"]),
+                    "new_files": new,
+                    "dv_new": dv_new,
+                    "dv0": dv if v == 0 else [],
+                }
+            )
             prev_files = set(doc["files"])
+            prev_dv = set(dv)
         return rows
 
     def partitions(self, start, end):
@@ -340,7 +454,19 @@ class _TablelogStreamReader(DataSourceStreamReader):
         rows = self._version_rows(
             start["version"] + 1, end["version"]
         )
-        for v, mode, shape, new_files in rows:
+        for row in rows:
+            v, mode, shape = row["version"], row["mode"], row["shape"]
+            # v0 of a shallow CLONE carries vectors naming its own
+            # files (the one writer that does — review r13): mask the
+            # snapshot delivery or deleted rows resurrect in the
+            # stream while batch reads exclude them
+            if row["dv0"]:
+                pos = _dv_positions(row["dv0"])
+                new_files = [
+                    (f, pos.get(_norm(f), [])) for f in row["new_files"]
+                ]
+            else:
+                new_files = [(f, []) for f in row["new_files"]]
             if shape != self._shape:
                 raise ValueError(
                     f"schema changed at version {v} of {self._table} — "
@@ -359,7 +485,7 @@ class _TablelogStreamReader(DataSourceStreamReader):
                 # files are all-new (self-review r12, confirmed live:
                 # an overwrite-created v0 either failed the stream or
                 # was silently dropped under ignore_changes)
-                parts += [_FilePartition(f, []) for f in new_files]
+                parts += [_FilePartition(f, d) for f, d in new_files]
             elif mode == "delete":
                 if not self._ignore_deletes:
                     raise ValueError(
@@ -384,7 +510,7 @@ class _TablelogStreamReader(DataSourceStreamReader):
                 # are DELIVERED (duplicates downstream), never
                 # silently skipped — skipping would lose the rows an
                 # upsert-overwrite newly inserted (self-review r12)
-                parts += [_FilePartition(f, []) for f in new_files]
+                parts += [_FilePartition(f, d) for f, d in new_files]
         return parts
 
     def read(self, partition):
@@ -392,6 +518,125 @@ class _TablelogStreamReader(DataSourceStreamReader):
 
     def commit(self, end):
         pass  # offsets are durable in the query checkpoint
+
+
+def _dv_positions_raw(dv_files: list[str]) -> dict[str, list[int]]:
+    """RAW file_path keys — they keep their scheme so the change-feed
+    reader can re-open them."""
+    return _dv_position_map(dv_files, normalize=False)
+
+
+class _TablelogCdfStreamReader(_TablelogStreamReader):
+    """X140 — the change feed AS a stream (Delta's readChangeFeed):
+    ``.option("read_changes", "true")`` delivers row-level changes
+    with ``_change_type`` ('insert' / 'delete') and
+    ``_commit_version`` columns, offsets = table versions.
+
+      append version  : its new files as 'insert' rows
+      delete version  : exactly the rows the version's NEW deletion
+                        vectors named, re-read from the original
+                        files by position, as 'delete' rows — the
+                        retraction feed an incremental aggregate
+                        (sources/mv.py) consumes
+      version 0       : the initial snapshot as 'insert' whatever its
+                        mode (the Delta CDF starting-version rule)
+      overwrite       : REFUSED loudly — row-level changes of an
+                        overwrite need key columns to diff (a keyed
+                        join, not a per-file read); use
+                        tablelog.table_changes(keys=...) in batch.
+
+    Honest boundary vs Delta: Delta's writers record CDC files for
+    MERGE/UPDATE, so its feed covers updates; this format derives the
+    feed from the log alone, so update deliveries require the batch
+    path. Exactly-once per version via the query checkpoint, exactly
+    like the append reader."""
+
+    def __init__(self, table: str, starting_version):
+        super().__init__(table, False, False, starting_version)
+        # the output schema gains two columns; a colliding data column
+        # must be refused HERE too — DataSource.schema() is skipped
+        # when the user supplies an explicit schema (review r13)
+        clash = {"_change_type", "_commit_version"} & set(self._names)
+        if clash:
+            raise ValueError(
+                f"table columns {sorted(clash)} collide with the "
+                "change-feed output columns — rename them first"
+            )
+        # overwrite-as-initial-snapshot is only stable for an EXPLICIT
+        # numeric starting_version: self._start from 'latest' is
+        # re-resolved per reader construction (review r13)
+        self._snapshot_at = (
+            int(starting_version)
+            if starting_version is not None
+            and str(starting_version).lower() != "latest"
+            else None
+        )
+
+    def partitions(self, start, end):
+        parts: list[_CdfPartition] = []
+        rows = self._version_rows(
+            start["version"] + 1, end["version"]
+        )  # checkpoint-accelerated, like the append reader (review r13)
+        for row in rows:
+            v, mode = row["version"], row["mode"]
+            if row["shape"] != self._shape:
+                raise ValueError(
+                    f"schema changed at version {v} of {self._table} — "
+                    "the change-feed stream's output schema was pinned "
+                    "at start; start a NEW stream (fresh "
+                    "checkpointLocation) with "
+                    f".option('starting_version', {v})"
+                )
+            # an overwrite AT an EXPLICIT starting_version is the
+            # stream's initial snapshot (the restart path the error
+            # below points at); 'latest' deliberately does not qualify
+            # — the reader is reconstructed on every restart and
+            # 'latest' would re-resolve against the moved log, making
+            # the same WAL'd range flip from accepted to rejected
+            # (review r13). Overwrite files live in a fresh data dir,
+            # so the new-files diff delivers every file.
+            if (
+                mode == "append"
+                or v == 0
+                or (mode == "overwrite" and v == self._snapshot_at)
+            ):
+                if row["dv0"]:
+                    # a cloned v0 carries vectors naming its own files
+                    # — the snapshot must not resurrect deleted rows
+                    pos = _dv_positions(row["dv0"])
+                    parts += [
+                        _CdfPartition(
+                            f, None, "insert", v,
+                            exclude=pos.get(_norm(f), []),
+                        )
+                        for f in row["new_files"]
+                    ]
+                else:
+                    parts += [
+                        _CdfPartition(f, None, "insert", v)
+                        for f in row["new_files"]
+                    ]
+            elif mode == "delete":
+                parts += [
+                    _CdfPartition(path, pos, "delete", v)
+                    for path, pos in sorted(
+                        _dv_positions_raw(row["dv_new"]).items()
+                    )
+                ]
+            else:
+                raise ValueError(
+                    f"version {v} of {self._table} is an overwrite — "
+                    "row-level changes of an overwrite need key "
+                    "columns to diff; use tablelog.table_changes("
+                    "keys=...) for batch CDC, or start a NEW feed "
+                    "(fresh checkpointLocation) with an explicit "
+                    f".option('starting_version', {v}) to treat it "
+                    "as the initial snapshot"
+                )
+        return parts
+
+    def read(self, partition):
+        yield from _read_file_cdf(partition, self._names)
 
 
 class TablelogDataSource(DataSource):
@@ -412,6 +657,9 @@ class TablelogDataSource(DataSource):
             )
         return path
 
+    def _flag(self, name: str) -> bool:
+        return str(self.options.get(name, "false")).lower() == "true"
+
     def schema(self):
         cur = _current_version(self._table())
         if cur is None:
@@ -425,23 +673,45 @@ class TablelogDataSource(DataSource):
         # the REQUESTED version's schema — planning with the current
         # one would misbind time travel across a schema-changing
         # overwrite (self-review r12, confirmed live)
-        return StructType.fromJson(
+        st = StructType.fromJson(
             json.loads(_doc(self._table(), v)["schema"])
         )
+        if self._flag("read_changes"):
+            from pyspark.sql.types import LongType, StringType
+
+            clash = {"_change_type", "_commit_version"} & set(
+                st.fieldNames()
+            )
+            if clash:
+                raise ValueError(
+                    f"table columns {sorted(clash)} collide with the "
+                    "change-feed output columns — rename them first"
+                )
+            st = st.add("_change_type", StringType()).add(
+                "_commit_version", LongType()
+            )
+        return st
 
     def reader(self, schema):
+        if self._flag("read_changes"):
+            raise ValueError(
+                "read_changes is a STREAMING option "
+                "(spark.readStream.format('tablelog')); for batch CDC "
+                "use tablelog.table_changes(keys=...)"
+            )
         v = self.options.get("version")
         return _TablelogBatchReader(
             self._table(), None if v is None else int(v)
         )
 
     def streamReader(self, schema):
-        def flag(name: str) -> bool:
-            return str(self.options.get(name, "false")).lower() == "true"
-
+        if self._flag("read_changes"):
+            return _TablelogCdfStreamReader(
+                self._table(), self.options.get("starting_version")
+            )
         return _TablelogStreamReader(
             self._table(),
-            flag("ignore_deletes"),
-            flag("ignore_changes"),
+            self._flag("ignore_deletes"),
+            self._flag("ignore_changes"),
             self.options.get("starting_version"),
         )

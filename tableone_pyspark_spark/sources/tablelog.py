@@ -722,6 +722,7 @@ def write_checkpoint(
     hist: list = []
     watermarks: dict = {}
     prev_files: set = set()
+    prev_dv: set = set()
     start = 0
     if prev_ck is not None:
         try:
@@ -729,19 +730,25 @@ def write_checkpoint(
             hist = list(ckdoc["history"])
             watermarks = dict(ckdoc.get("watermarks") or {})
             prev_files = set(ckdoc["files"])
+            prev_dv = set(ckdoc.get("dv") or [])
             start = prev_ck + 1
         except Exception:  # noqa: BLE001 — torn previous checkpoint:
             # rebuild from the log root (one slow checkpoint beats the
             # corrupt doc silently voiding every FUTURE auto-checkpoint
             # forever — review r13)
-            hist, watermarks, prev_files, start = [], {}, set(), 0
+            hist, watermarks, prev_files, prev_dv, start = (
+                [], {}, set(), set(), 0,
+            )
     for vv in range(start, v + 1):
         doc = _version_doc(spark, table, vv)
         files = doc["files"]
+        dv = doc.get("dv") or []
         if doc["mode"] == "delete":
             new_files: list = []
+            dv_new = [f for f in dv if f not in prev_dv]
         else:
             new_files = [f for f in files if f not in prev_files]
+            dv_new = []
         row = {
             "version": vv,
             "mode": doc["mode"],
@@ -750,6 +757,14 @@ def write_checkpoint(
             "shape": _shape_rows(doc["schema"]),
             "new_files": new_files,
         }
+        if dv_new:
+            # a delete version's NEW vector files — the change feed's
+            # delete delivery (stream_source X140) plans from these
+            row["dv_new"] = dv_new
+        if vv == 0 and dv:
+            # a shallow CLONE's v0 carries vectors naming its own
+            # files; snapshot deliveries must mask them (review r13)
+            row["dv"] = dv
         if "batch_id" in doc:
             row["batch_id"] = doc["batch_id"]
         if "stream_id" in doc:
@@ -760,6 +775,7 @@ def write_checkpoint(
                 watermarks[doc["stream_id"]] = doc["batch_id"]
         hist.append(row)
         prev_files = set(files)
+        prev_dv = set(dv)
     # the loop always ran: prev_ck <= v-1 by the max_version bound,
     # so start <= v and doc is the version-v doc here
     ck = {
@@ -819,6 +835,50 @@ def history(spark: SparkSession, table: str) -> list[dict]:
             }
         )
     return out
+
+
+def clone(
+    spark: SparkSession,
+    src_table: str,
+    dst_table: str,
+    version: int | None = None,
+) -> dict:
+    """X141 — zero-copy SHALLOW clone (Delta's ``CLONE``): publish
+    ``dst_table``'s v0 referencing the SOURCE's data files (and
+    deletion vectors, and skipping stats) at ``version`` (default:
+    current). No data moves — the clone is one metadata doc, whatever
+    the table size; the canonical cheap test/dev/experiment copy of a
+    100 TB table.
+
+    Divergence is free and safe: later commits to the clone write
+    into the clone's OWN data dirs, and the clone's :func:`vacuum`
+    can never delete source-owned files (the sweep walks only the
+    clone's own ``data/``/``dv/`` roots; foreign paths in old docs
+    are simply not visited). The one real caveat is Delta's own: the
+    SOURCE's vacuum does not know about clones — a src vacuum whose
+    kept window drops the cloned version reclaims files the clone
+    still references, so pin src retention (or deep-copy with
+    ``optimize`` on the clone first, which rewrites everything into
+    clone-owned files).
+
+    ``dst_table`` must not exist. Returns the published v0 doc."""
+    src_cur = current_version(spark, src_table)
+    if src_cur is None:
+        raise ValueError(f"no such versioned table: {src_table}")
+    v = src_cur if version is None else version
+    if not 0 <= v <= src_cur:
+        raise ValueError(
+            f"version {v} not in [0, {src_cur}] for {src_table}"
+        )
+    if current_version(spark, dst_table) is not None:
+        raise ValueError(
+            f"clone destination already exists: {dst_table}"
+        )
+    doc = _version_doc(spark, src_table, v)
+    return _publish(
+        spark, dst_table, 0, doc["files"], "append", doc["schema"],
+        stats=doc.get("stats") or None, dv=doc.get("dv") or None,
+    )
 
 
 def _sidecar_path(table: str, stream_id: str) -> str:

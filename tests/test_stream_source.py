@@ -365,3 +365,154 @@ def test_stream_shape_ignores_nested_nullability(registered, tmp_path):
     got = spark.read.parquet(out)
     assert got.count() == 4
     assert sorted(r["s"]["a"] for r in got.collect()) == [10, 10, 20, 20]
+
+
+def test_change_feed_stream(registered, tmp_path):
+    """X140: .option("read_changes") streams the change feed —
+    appends as 'insert' rows, deletion-vector versions as 'delete'
+    rows re-read by position (only the NEW vectors' positions),
+    exactly-once across checkpoint restarts; overwrites fail loudly
+    mid-stream but serve as the initial snapshot when a fresh stream
+    STARTS at them; batch read_changes and column collisions are
+    refused."""
+    spark = registered
+    t = str(tmp_path / "cdf_tbl")
+    tl.commit(spark, spark.range(0, 6).select(F.col("id").alias("k")), t)   # v0
+    tl.commit(spark, spark.range(6, 10).select(F.col("id").alias("k")), t)  # v1
+    tl.delete_rows(spark, t, F.col("k") % 3 == 0)  # v2: 0, 3, 6, 9
+
+    out = str(tmp_path / "cdf_out")
+
+    def drain():
+        q = (
+            spark.readStream.format("tablelog")
+            .option("read_changes", "true").load(t)
+            .writeStream.format("parquet").option("path", out)
+            .option("checkpointLocation", str(tmp_path / "cdf_ck"))
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+        return {
+            (r["k"], r["_change_type"], r["_commit_version"])
+            for r in spark.read.parquet(out).collect()
+        }
+
+    expect = (
+        {(k, "insert", 0) for k in range(6)}
+        | {(k, "insert", 1) for k in range(6, 10)}
+        | {(k, "delete", 2) for k in (0, 3, 6, 9)}
+    )
+    assert drain() == expect
+
+    # a second delete delivers ONLY its new vectors' positions
+    tl.delete_rows(spark, t, F.col("k") == 4)  # v3
+    expect |= {(4, "delete", 3)}
+    assert drain() == expect
+
+    # an overwrite mid-stream fails loudly
+    tl.commit(
+        spark,
+        spark.range(100, 103).select(F.col("id").alias("k")),
+        t,
+        mode="overwrite",
+    )  # v4
+    with pytest.raises(Exception, match="overwrite"):
+        drain()
+
+    # a FRESH feed starting AT the overwrite treats it as the snapshot
+    out2 = str(tmp_path / "cdf_out2")
+    q = (
+        spark.readStream.format("tablelog")
+        .option("read_changes", "true")
+        .option("starting_version", "4")
+        .load(t)
+        .writeStream.format("parquet").option("path", out2)
+        .option("checkpointLocation", str(tmp_path / "cdf_ck2"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    assert {
+        (r["k"], r["_change_type"], r["_commit_version"])
+        for r in spark.read.parquet(out2).collect()
+    } == {(k, "insert", 4) for k in (100, 101, 102)}
+
+    # batch read_changes refused; reserved-column collision refused
+    with pytest.raises(Exception, match="read_changes"):
+        spark.read.format("tablelog").option(
+            "read_changes", "true"
+        ).load(t).collect()
+    t2 = str(tmp_path / "cdf_clash")
+    tl.commit(
+        spark,
+        spark.range(1).select(
+            F.col("id").alias("k"), F.lit("x").alias("_change_type")
+        ),
+        t2,
+    )
+    with pytest.raises(Exception, match="_change_type"):
+        spark.readStream.format("tablelog").option(
+            "read_changes", "true"
+        ).load(t2)
+
+
+def test_stream_from_clone_honors_deletion_vectors(registered, tmp_path):
+    """Review r13 (correctness): a shallow CLONE's v0 is the one
+    version whose files carry vectors naming themselves — both the
+    append stream's initial snapshot and the change feed's v0 'insert'
+    delivery must mask them, or deleted rows resurrect in streams
+    while batch reads exclude them."""
+    spark = registered
+    src = str(tmp_path / "cl_src")
+    dst = str(tmp_path / "cl_dst")
+    tl.commit(spark, spark.range(8).select(F.col("id").alias("k")), src)
+    tl.delete_rows(spark, src, F.col("k") % 2 == 0)  # deletes 0,2,4,6
+    tl.clone(spark, src, dst)
+    live = [1, 3, 5, 7]
+
+    # append stream: initial snapshot == batch read
+    out = str(tmp_path / "cl_out")
+    q = (
+        spark.readStream.format("tablelog").load(dst)
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", str(tmp_path / "cl_ck"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    assert sorted(r["k"] for r in spark.read.parquet(out).collect()) == live
+
+    # change feed: v0 'insert' rows are the LIVE rows only
+    out2 = str(tmp_path / "cl_out2")
+    q = (
+        spark.readStream.format("tablelog")
+        .option("read_changes", "true").load(dst)
+        .writeStream.format("parquet").option("path", out2)
+        .option("checkpointLocation", str(tmp_path / "cl_ck2"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    rows = {
+        (r["k"], r["_change_type"], r["_commit_version"])
+        for r in spark.read.parquet(out2).collect()
+    }
+    assert rows == {(k, "insert", 0) for k in live}
+
+    # and the clone's v0 row in a later checkpoint carries the dv list
+    # so checkpoint-planned snapshots stay masked too
+    for v in range(1, 11):
+        tl.commit(
+            spark,
+            spark.range(100 + v, 101 + v).select(F.col("id").alias("k")),
+            dst,
+        )
+    ck = tl._read_json(spark, tl._checkpoint_path(dst, 10))
+    assert ck["history"][0].get("dv"), "clone v0 dv missing from checkpoint"
+    out3 = str(tmp_path / "cl_out3")
+    q = (
+        spark.readStream.format("tablelog").load(dst)
+        .writeStream.format("parquet").option("path", out3)
+        .option("checkpointLocation", str(tmp_path / "cl_ck3"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    got = sorted(r["k"] for r in spark.read.parquet(out3).collect())
+    assert got == live + [100 + v for v in range(1, 11)]

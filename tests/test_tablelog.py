@@ -1072,3 +1072,51 @@ def test_checkpoint_doc_accelerates_log_walks(spark, tmp_path):
         tl.write_checkpoint(spark, t, 22)
     with pytest.raises(ValueError, match="not in"):
         tl.write_checkpoint(spark, t, 99)
+
+
+def test_shallow_clone(spark, tmp_path):
+    """X141: clone() publishes a zero-copy v0 referencing the source's
+    files + deletion vectors; divergence is independent, and the
+    CLONE's vacuum can never delete source-owned files."""
+    src = str(tmp_path / "clone_src")
+    dst = str(tmp_path / "clone_dst")
+    tl.commit(spark, spark.range(10).select(F.col("id").alias("k")), src)
+    tl.commit(spark, spark.range(10, 15).select(F.col("id").alias("k")), src)
+    tl.delete_rows(spark, src, F.col("k") == 3)  # v2 carries a DV
+
+    rep = tl.clone(spark, src, dst)
+    assert rep["version"] == 0
+    got = sorted(r["k"] for r in tl.read_version(spark, dst).collect())
+    assert got == [k for k in range(15) if k != 3]  # DV honored
+    # zero copy: the clone's doc references the SOURCE's files
+    assert (
+        tl._version_doc(spark, dst, 0)["files"]
+        == tl._version_doc(spark, src, 2)["files"]
+    )
+
+    # divergence: the clone's append never touches the source
+    tl.commit(spark, spark.range(100, 101).select(F.col("id").alias("k")), dst)
+    assert tl.read_version(spark, src).count() == 14
+    assert tl.read_version(spark, dst).count() == 15
+
+    # the clone's vacuum sweeps only its OWN data dirs
+    tl.commit(
+        spark,
+        spark.range(200, 201).select(F.col("id").alias("k")),
+        dst,
+        mode="overwrite",
+    )
+    tl.vacuum(spark, dst, keep_last=1, min_age_seconds=0)
+    assert tl.read_version(spark, src).count() == 14  # src intact
+    assert tl.read_version(spark, dst).count() == 1
+
+    # interior-version clone + validation
+    d2 = str(tmp_path / "clone_v0")
+    tl.clone(spark, src, d2, version=0)
+    assert tl.read_version(spark, d2).count() == 10
+    with pytest.raises(ValueError, match="already exists"):
+        tl.clone(spark, src, d2)
+    with pytest.raises(ValueError, match="not in"):
+        tl.clone(spark, src, str(tmp_path / "clone_x"), version=9)
+    with pytest.raises(ValueError, match="no such"):
+        tl.clone(spark, str(tmp_path / "nope"), str(tmp_path / "clone_y"))
