@@ -39,8 +39,13 @@ are dropped (never emitted as zombie zero rows). avg/min/max are NOT
 offered: avg = sum/n downstream; min/max are not self-maintainable
 under deletes without keeping per-group value multisets.
 
+``streaming_refresh`` (X142) is the same merge driven by the X140
+change-feed STREAM — the continuously-maintained aggregate: each
+micro-batch's insert/delete rows become signed deltas, exactly-once
+per micro-batch id, no caller-side refresh loop.
+
 No counterpart in the reference repo; composes X120/X123 (CDC),
-X125 (tablelog), X130 (change feed).
+X125 (tablelog), X130 (change feed), X138/X140 (the source).
 """
 
 from __future__ import annotations
@@ -55,6 +60,28 @@ from tableone_pyspark_spark.sources import tablelog as tl
 
 def _mv_id(src_table: str) -> str:
     return f"mv:{src_table}"
+
+
+def _validate_cols(group_cols: list[str], sum_cols: list[str]) -> None:
+    if not group_cols:
+        raise ValueError("group_cols must be non-empty")
+    if not sum_cols:
+        raise ValueError(
+            "sum_cols must be non-empty — a count-only aggregate still "
+            "needs the schema pinned; pass a constant column upstream"
+        )
+    overlap = set(group_cols) & set(sum_cols)
+    if overlap:
+        raise ValueError(f"columns {sorted(overlap)} in both roles")
+    out_names = {"n"} | {f"sum_{c}" for c in sum_cols} | {
+        f"nn_{c}" for c in sum_cols
+    }
+    clash = out_names & set(group_cols)
+    if clash or "n" in sum_cols:
+        raise ValueError(
+            f"column names {sorted(clash or {'n'})} collide with the "
+            "aggregate output columns (n, sum_<c>) — rename upstream"
+        )
 
 
 def _full_aggregate(
@@ -87,25 +114,7 @@ def refresh_aggregate(
     :func:`~tableone_pyspark_spark.sources.tablelog.table_changes`
     contract). Returns ``{src_version, mode, rows}`` where mode is
     one of ``noop`` / ``full`` / ``incremental``."""
-    if not group_cols:
-        raise ValueError("group_cols must be non-empty")
-    if not sum_cols:
-        raise ValueError(
-            "sum_cols must be non-empty — a count-only aggregate still "
-            "needs the schema pinned; pass a constant column upstream"
-        )
-    overlap = set(group_cols) & set(sum_cols)
-    if overlap:
-        raise ValueError(f"columns {sorted(overlap)} in both roles")
-    out_names = {"n"} | {f"sum_{c}" for c in sum_cols} | {
-        f"nn_{c}" for c in sum_cols
-    }
-    clash = out_names & set(group_cols)
-    if clash or "n" in sum_cols:
-        raise ValueError(
-            f"column names {sorted(clash or {'n'})} collide with the "
-            "aggregate output columns (n, sum_<c>) — rename upstream"
-        )
+    _validate_cols(group_cols, sum_cols)
     src_cur = tl.current_version(spark, src_table)
     if src_cur is None:
         raise ValueError(f"no such versioned table: {src_table}")
@@ -143,14 +152,44 @@ def refresh_aggregate(
         spark, src_table, last, src_cur, keys=keys,
         include_preimage=True,
     )
+    deltas = _signed_deltas(
+        ch, group_cols, sum_cols, ("I", "U_post"), ("D", "U_pre"), "op"
+    )
+    cur_mv = tl.read_version(spark, dst_table, dst_base)
+    merged = _merge_into(cur_mv, deltas, group_cols, sum_cols)
+    doc = tl.commit(
+        spark, merged, dst_table, mode="overwrite",
+        expected_base=dst_base, batch_id=src_cur, stream_id=mv,
+    )
+    # the same best-effort scan-floor sidecar streaming_commit writes
+    tl._write_stream_sidecar(spark, dst_table, mv, src_cur,
+                             doc["version"])
+    return {
+        "src_version": src_cur,
+        "mode": "incremental",
+        "rows": _n_rows(spark, dst_table, doc["version"]),
+    }
+
+
+def _signed_deltas(
+    ch: DataFrame,
+    group_cols: list[str],
+    sum_cols: list[str],
+    plus_ops: tuple,
+    minus_ops: tuple,
+    op_col: str,
+) -> DataFrame:
+    """Per-group signed (count, sum, non-null-count) deltas of a
+    change frame — additions count +1, retractions -1; an unexpected
+    op raises mid-plan rather than silently corrupting the state."""
     sign = (
-        F.when(F.col("op").isin("I", "U_post"), F.lit(1))
-        .when(F.col("op").isin("D", "U_pre"), F.lit(-1))
+        F.when(F.col(op_col).isin(*plus_ops), F.lit(1))
+        .when(F.col(op_col).isin(*minus_ops), F.lit(-1))
         .otherwise(
             F.raise_error(
                 F.concat_ws(
-                    "", F.lit("refresh_aggregate: unexpected op "),
-                    F.col("op"),
+                    "", F.lit("aggregate refresh: unexpected op "),
+                    F.col(op_col),
                 )
             )
         )
@@ -163,8 +202,18 @@ def refresh_aggregate(
                 sign * F.col(f"`{c}`").isNotNull().cast("long")
             ).alias(f"__dnn_{c}"),
         ]
-    deltas = ch.groupBy(*[f"`{c}`" for c in group_cols]).agg(*d_aggs)
-    cur_mv = tl.read_version(spark, dst_table, dst_base)
+    return ch.groupBy(*[f"`{c}`" for c in group_cols]).agg(*d_aggs)
+
+
+def _merge_into(
+    cur_mv: DataFrame,
+    deltas: DataFrame,
+    group_cols: list[str],
+    sum_cols: list[str],
+) -> DataFrame:
+    """ONE keyed full-outer merge of signed deltas into the maintained
+    state (NULL-group-safe; a group's sum returns to NULL exactly when
+    its non-null count reaches zero; emptied groups are dropped)."""
     dd = deltas.select(
         *[F.col(f"`{c}`").alias(f"__g_{c}") for c in group_cols],
         "__dn",
@@ -214,19 +263,88 @@ def refresh_aggregate(
             )
         ],
     ).where(F.col("n") > 0)
-    doc = tl.commit(
-        spark, merged, dst_table, mode="overwrite",
-        expected_base=dst_base, batch_id=src_cur, stream_id=mv,
-    )
-    # the same best-effort scan-floor sidecar streaming_commit writes
-    tl._write_stream_sidecar(spark, dst_table, mv, src_cur,
-                             doc["version"])
-    return {
-        "src_version": src_cur,
-        "mode": "incremental",
-        "rows": _n_rows(spark, dst_table, doc["version"]),
-    }
+    return merged
 
 
 def _n_rows(spark: SparkSession, table: str, version: int) -> int:
     return tl.read_version(spark, table, version).count()
+
+
+def streaming_refresh(
+    spark: SparkSession,
+    src_table: str,
+    dst_table: str,
+    group_cols: list[str],
+    sum_cols: list[str],
+    checkpoint: str,
+):
+    """X142 — the CONTINUOUSLY-maintained aggregate: drive the same
+    merge :func:`refresh_aggregate` runs in batch from the X140
+    change-feed STREAM (``read_changes``), so the summary table
+    follows the source trigger-by-trigger without anyone calling
+    refresh. Each micro-batch's insert/delete rows become signed
+    per-group deltas (+1 / −1) applied through the one keyed
+    full-outer merge; exactly-once rides the tablelog watermark
+    (``stream_id = "mvstream:" + checkpoint``, batch_id = the
+    micro-batch id — the streaming_commit convention: a replayed
+    batch whose commit succeeded is a no-op), and concurrent writers
+    trip ``expected_base``.
+
+    Returns the CONFIGURED ``DataStreamWriter`` — the caller picks
+    the trigger (``.trigger(availableNow=True).start()`` to drain,
+    plain ``.start()`` for continuous maintenance).
+
+    Honest boundaries: the change feed refuses mid-stream OVERWRITES
+    of the source (row-level overwrite diffs need keys — use the
+    batch :func:`refresh_aggregate`, which diffs them via
+    ``table_changes(keys=...)``); and a ``dst_table`` must be
+    maintained by ONE mechanism — this stream's watermark
+    (mvstream:…) and the batch refresher's (mv:src) are independent,
+    so mixing them double-applies changes."""
+    _validate_cols(group_cols, sum_cols)
+    from tableone_pyspark_spark.sources.stream_source import (
+        TablelogDataSource,
+    )
+
+    spark.dataSource.register(TablelogDataSource)
+    stream = (
+        spark.readStream.format("tablelog")
+        .option("read_changes", "true")
+        .load(src_table)
+    )
+    sid = f"mvstream:{checkpoint}"
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        s = batch_df.sparkSession
+        last = tl.last_committed_batch(s, dst_table, sid)
+        if last is not None and batch_id <= last:
+            return  # replayed batch whose commit already landed
+        data = batch_df.drop("_commit_version")
+        if data.isEmpty():
+            return  # no changes this trigger — don't mint a version
+        # dst base BEFORE the merge read, the refresh_aggregate
+        # ordering (a concurrent commit trips expected_base below)
+        dst_base = tl.current_version(s, dst_table)
+        deltas = _signed_deltas(
+            data, group_cols, sum_cols, ("insert",), ("delete",),
+            "_change_type",
+        )
+        if dst_base is None:
+            # first batch of a fresh MV: merge into the empty state —
+            # an empty aggregate of the batch frame IS the MV schema
+            cur_mv = _full_aggregate(
+                data.drop("_change_type").limit(0), group_cols, sum_cols
+            )
+        else:
+            cur_mv = tl.read_version(s, dst_table, dst_base)
+        merged = _merge_into(cur_mv, deltas, group_cols, sum_cols)
+        doc = tl.commit(
+            s, merged, dst_table, mode="overwrite",
+            expected_base=dst_base, batch_id=batch_id, stream_id=sid,
+        )
+        tl._write_stream_sidecar(s, dst_table, sid, batch_id,
+                                 doc["version"])
+
+    return stream.writeStream.foreachBatch(apply_batch).option(
+        "checkpointLocation", checkpoint
+    )

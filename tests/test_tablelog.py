@@ -1120,3 +1120,67 @@ def test_shallow_clone(spark, tmp_path):
         tl.clone(spark, src, str(tmp_path / "clone_x"), version=9)
     with pytest.raises(ValueError, match="no such"):
         tl.clone(spark, str(tmp_path / "nope"), str(tmp_path / "clone_y"))
+
+
+def test_streaming_refresh_follows_the_feed(spark, tmp_path):
+    """X142: the continuously-maintained aggregate — the change-feed
+    stream drives the same signed-delta merge refresh_aggregate runs
+    in batch: appends flow in, DV deletes retract (incl. a group's
+    last non-null value returning sum to NULL and emptied groups
+    dropping), replays are no-ops, and the result always equals a
+    full recompute; a source overwrite fails the feed loudly."""
+    from tableone_pyspark_spark.sources import mv
+
+    src = str(tmp_path / "smv_src")
+    dst = str(tmp_path / "smv_dst")
+    ck = str(tmp_path / "smv_ck")
+    base = spark.createDataFrame(
+        [(1, "a", 10), (2, "a", None), (3, "b", 30)],
+        "k long, g string, v long",
+    )
+    tl.commit(spark, base, src)  # v0
+
+    def drain():
+        q = (
+            mv.streaming_refresh(spark, src, dst, ["g"], ["v"], ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return {
+            r["g"]: (r["n"], r["sum_v"], r["nn_v"])
+            for r in tl.read_version(spark, dst).collect()
+        }
+
+    assert drain() == {"a": (2, 10, 1), "b": (1, 30, 1)}
+    tl.commit(
+        spark,
+        spark.createDataFrame([(4, "b", 5)], "k long, g string, v long"),
+        src,
+    )
+    assert drain() == {"a": (2, 10, 1), "b": (2, 35, 2)}
+    # retraction of group a's ONLY non-null value: sum -> NULL not 0
+    tl.delete_rows(spark, src, F.col("k") == 1)
+    assert drain() == {"a": (1, None, 0), "b": (2, 35, 2)}
+    # emptied group dropped
+    tl.delete_rows(spark, src, F.col("k") == 2)
+    assert drain() == {"b": (2, 35, 2)}
+    # nothing new: no zombie dst version is minted
+    cur = tl.current_version(spark, dst)
+    assert drain() == {"b": (2, 35, 2)}
+    assert tl.current_version(spark, dst) == cur
+    # incremental state == full recompute of the live source
+    full = {
+        r["g"]: (r["n"], r["sum_v"], r["nn_v"])
+        for r in mv._full_aggregate(
+            tl.read_version(spark, src), ["g"], ["v"]
+        ).collect()
+    }
+    assert drain() == full
+    # a source overwrite fails the feed loudly (batch refresher path)
+    tl.commit(spark, base, src, mode="overwrite")
+    with pytest.raises(Exception, match="overwrite"):
+        drain()
+    # validation shared with the batch refresher
+    with pytest.raises(ValueError, match="both roles"):
+        mv.streaming_refresh(spark, src, dst, ["g"], ["g"], ck)
