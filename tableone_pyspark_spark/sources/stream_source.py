@@ -442,7 +442,13 @@ class _TablelogStreamReader(DataSourceStreamReader):
                     "shape": _shape(doc["schema"]),
                     "new_files": new,
                     "dv_new": dv_new,
-                    "dv0": dv if v == 0 else [],
+                    # vectors can name a version's OWN files only for a
+                    # cloned v0 or a restored overwrite (commit appends
+                    # never vector their new files) — snapshot
+                    # deliveries of those versions must mask
+                    "dv0": dv
+                    if (v == 0 or doc["mode"] == "overwrite")
+                    else [],
                 }
             )
             prev_files = set(doc["files"])

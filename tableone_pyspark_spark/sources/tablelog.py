@@ -761,9 +761,10 @@ def write_checkpoint(
             # a delete version's NEW vector files — the change feed's
             # delete delivery (stream_source X140) plans from these
             row["dv_new"] = dv_new
-        if vv == 0 and dv:
-            # a shallow CLONE's v0 carries vectors naming its own
-            # files; snapshot deliveries must mask them (review r13)
+        if dv and (vv == 0 or doc["mode"] == "overwrite"):
+            # a shallow CLONE's v0 — or a RESTORE-published overwrite —
+            # carries vectors naming its own files; snapshot deliveries
+            # must mask them (review r13)
             row["dv"] = dv
         if "batch_id" in doc:
             row["batch_id"] = doc["batch_id"]
@@ -877,6 +878,36 @@ def clone(
     doc = _version_doc(spark, src_table, v)
     return _publish(
         spark, dst_table, 0, doc["files"], "append", doc["schema"],
+        stats=doc.get("stats") or None, dv=doc.get("dv") or None,
+    )
+
+
+def restore(
+    spark: SparkSession, table: str, version: int
+) -> dict:
+    """X143 — Delta's ``RESTORE TABLE ... TO VERSION``: publish an old
+    version's state (files, deletion vectors, stats, schema) as the
+    table's NEXT version — a metadata-only rollback that keeps the
+    full history auditable (the bad versions stay time-travelable;
+    nothing is deleted). One doc write, whatever the table size.
+
+    The restored version must still be inside the vacuum-kept window
+    — restoring past a vacuum re-exposes a file list whose files are
+    gone, so the target's files are NOT re-validated here (metadata
+    op; the same trust model as time travel, which fails loudly at
+    read time). The publish is pinned to the current version
+    (``expected_base`` semantics): a concurrent commit wins the slot
+    and this restore raises :class:`CommitConflict`."""
+    cur = current_version(spark, table)
+    if cur is None:
+        raise ValueError(f"no such versioned table: {table}")
+    if not 0 <= version <= cur:
+        raise ValueError(f"version {version} not in [0, {cur}] for {table}")
+    if version == cur:
+        return _version_doc(spark, table, cur)  # no-op: already there
+    doc = _version_doc(spark, table, version)
+    return _publish(
+        spark, table, cur + 1, doc["files"], "overwrite", doc["schema"],
         stats=doc.get("stats") or None, dv=doc.get("dv") or None,
     )
 

@@ -1184,3 +1184,148 @@ def test_streaming_refresh_follows_the_feed(spark, tmp_path):
     # validation shared with the batch refresher
     with pytest.raises(ValueError, match="both roles"):
         mv.streaming_refresh(spark, src, dst, ["g"], ["g"], ck)
+
+
+def test_restore_metadata_rollback(spark, tmp_path):
+    """X143: restore() republishes an old version's state as the NEXT
+    version — metadata-only rollback, history intact — and a restored
+    overwrite's deletion vectors are honored by the streams too (the
+    clone-resurrection class, review r13)."""
+    t = str(tmp_path / "restore_tbl")
+    tl.commit(spark, spark.range(10).select(F.col("id").alias("k")), t)
+    tl.delete_rows(spark, t, F.col("k") % 2 == 0)                 # v1
+    tl.commit(
+        spark,
+        spark.range(100, 103).select(F.col("id").alias("k")),
+        t,
+        mode="overwrite",
+    )                                                             # v2
+
+    doc = tl.restore(spark, t, 1)                                 # v3
+    assert doc["version"] == 3 and tl.current_version(spark, t) == 3
+    assert sorted(r["k"] for r in tl.read_version(spark, t).collect()) == [
+        1, 3, 5, 7, 9,
+    ]
+    # full history intact; the rolled-back version still time-travels
+    assert [h["version"] for h in tl.history(spark, t)] == [0, 1, 2, 3]
+    assert tl.read_version(spark, t, 2).count() == 3
+    # restore-to-current: no-op, no version minted
+    assert tl.restore(spark, t, 3)["version"] == 3
+    assert tl.current_version(spark, t) == 3
+    with pytest.raises(ValueError, match="not in"):
+        tl.restore(spark, t, 9)
+
+    # stream with ignore_changes across the whole log: the restored
+    # overwrite's files deliver MASKED (5 rows, not 10)
+    from tableone_pyspark_spark.sources.stream_source import (
+        TablelogDataSource,
+    )
+
+    spark.dataSource.register(TablelogDataSource)
+    out = str(tmp_path / "restore_out")
+    q = (
+        spark.readStream.format("tablelog")
+        .option("ignore_changes", "true").load(t)
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", str(tmp_path / "restore_ck"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    got = sorted(r["k"] for r in spark.read.parquet(out).collect())
+    assert got == sorted(
+        list(range(10)) + [100, 101, 102] + [1, 3, 5, 7, 9]
+    )
+    # and the change feed starting AT the restore snapshots it masked
+    out2 = str(tmp_path / "restore_out2")
+    q = (
+        spark.readStream.format("tablelog")
+        .option("read_changes", "true")
+        .option("starting_version", "3")
+        .load(t)
+        .writeStream.format("parquet").option("path", out2)
+        .option("checkpointLocation", str(tmp_path / "restore_ck2"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    assert {
+        (r["k"], r["_change_type"], r["_commit_version"])
+        for r in spark.read.parquet(out2).collect()
+    } == {(k, "insert", 3) for k in (1, 3, 5, 7, 9)}
+
+
+def test_log_shape_property_checkpoint_equivalence(spark, tmp_path):
+    """Property (seeded-random log shapes): for arbitrary
+    append/delete/overwrite/restore sequences crossing checkpoint
+    boundaries, the checkpoint-accelerated history() and the stream's
+    _version_rows plan are IDENTICAL to the full doc walk."""
+    import random
+
+    import tableone_pyspark_spark.sources.stream_source as ss
+
+    for seed in (11, 23, 47):
+        rng = random.Random(seed)
+        t = str(tmp_path / f"prop_{seed}")
+        tl.commit(
+            spark, spark.range(6).select(F.col("id").alias("k")), t
+        )
+        base = 6
+        while (tl.current_version(spark, t) or 0) < 13:
+            op = rng.choice(["append", "append", "delete", "overwrite",
+                             "restore"])
+            if op == "append":
+                tl.commit(
+                    spark,
+                    spark.range(base, base + 3).select(
+                        F.col("id").alias("k")
+                    ),
+                    t,
+                )
+                base += 3
+            elif op == "delete":
+                tl.delete_rows(
+                    spark, t, F.col("k") % rng.choice([2, 3, 5]) == 0
+                )
+            elif op == "overwrite":
+                tl.commit(
+                    spark,
+                    spark.range(base, base + 4).select(
+                        F.col("id").alias("k")
+                    ),
+                    t,
+                    mode="overwrite",
+                )
+                base += 4
+            else:
+                cur = tl.current_version(spark, t)
+                tl.restore(spark, t, rng.randrange(cur + 1))
+        cur = tl.current_version(spark, t)
+        assert tl.latest_checkpoint_version(spark, t) == 10
+
+        # history equivalence
+        fast = tl.history(spark, t)
+        orig = tl._log_maxima
+        try:
+            tl._log_maxima = lambda s, tb: (orig(s, tb)[0], [])
+            slow = tl.history(spark, t)
+        finally:
+            tl._log_maxima = orig
+        assert fast == slow
+
+        # stream plan equivalence (paths AND masks)
+        def plan():
+            r = ss._TablelogStreamReader(t, True, True, None)
+            return sorted(
+                (p.path, tuple(p.deleted))
+                for p in r.partitions(
+                    {"version": -1}, {"version": cur}
+                )
+            )
+
+        with_ck = plan()
+        orig_l = ss._log_listing
+        try:
+            ss._log_listing = lambda tb: (orig_l(tb)[0], [])
+            without_ck = plan()
+        finally:
+            ss._log_listing = orig_l
+        assert with_ck == without_ck and with_ck
