@@ -432,6 +432,14 @@ class _TablelogStreamReader(DataSourceStreamReader):
             if doc["mode"] == "delete":
                 new: list[str] = []  # a delete keeps the same files
                 dv_new = [f for f in dv if f not in prev_dv]
+            elif doc["mode"] == "overwrite":
+                # a rewrite delivers its WHOLE file list — restore()
+                # re-publishes OLD paths, so a prev-diff would silently
+                # drop every file the restored version shares with its
+                # predecessor (review r13; fresh-dir overwrites are
+                # unchanged — their files never intersect prev)
+                new = list(doc["files"])
+                dv_new = []
             else:
                 new = [f for f in doc["files"] if f not in prev_files]
                 dv_new = []
@@ -476,12 +484,14 @@ class _TablelogStreamReader(DataSourceStreamReader):
             if shape != self._shape:
                 raise ValueError(
                     f"schema changed at version {v} of {self._table} — "
-                    "the stream's output schema was pinned at start. "
-                    "To adopt the new schema, start a NEW stream (a "
-                    "fresh checkpointLocation — the existing "
-                    "checkpoint's offsets resume before the change "
-                    "and would hit this again) with "
-                    f".option('starting_version', {v}) (ADVICE r12)"
+                    "the stream's output schema pins to the CURRENT "
+                    "version at start. Start a NEW stream (a fresh "
+                    "checkpointLocation — the existing checkpoint's "
+                    "offsets resume before the change and would hit "
+                    "this again) with .option('starting_version', N) "
+                    "at or after the schema change, i.e. the first "
+                    "version whose schema matches the current one "
+                    "(ADVICE r12)"
                 )
             # appended/rewritten files carry no vectors at their own
             # version — deletes arrive as LATER versions
@@ -588,10 +598,11 @@ class _TablelogCdfStreamReader(_TablelogStreamReader):
             if row["shape"] != self._shape:
                 raise ValueError(
                     f"schema changed at version {v} of {self._table} — "
-                    "the change-feed stream's output schema was pinned "
-                    "at start; start a NEW stream (fresh "
-                    "checkpointLocation) with "
-                    f".option('starting_version', {v})"
+                    "the change-feed stream's output schema pins to "
+                    "the CURRENT version at start; start a NEW stream "
+                    "(fresh checkpointLocation) with "
+                    ".option('starting_version', N) at or after the "
+                    "schema change"
                 )
             # an overwrite AT an EXPLICIT starting_version is the
             # stream's initial snapshot (the restart path the error

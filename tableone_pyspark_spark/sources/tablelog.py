@@ -711,14 +711,14 @@ def write_checkpoint(
     Cumulative new-file deltas total O(files ever written) — the
     Delta checkpoint add-action cost, metadata-sized. Checkpoints are
     never vacuumed (audit value; _log/ is not swept)."""
-    cur = current_version(spark, table)
+    cur, cks = _log_maxima(spark, table)  # ONE listing for both
     if cur is None:
         raise ValueError(f"no such versioned table: {table}")
     v = cur if version is None else version
     if not 0 <= v <= cur:
         raise ValueError(f"version {v} not in [0, {cur}] for {table}")
 
-    prev_ck = latest_checkpoint_version(spark, table, v - 1)
+    prev_ck = max((n for n in cks if n <= v - 1), default=None)
     hist: list = []
     watermarks: dict = {}
     prev_files: set = set()
@@ -746,6 +746,14 @@ def write_checkpoint(
         if doc["mode"] == "delete":
             new_files: list = []
             dv_new = [f for f in dv if f not in prev_dv]
+        elif doc["mode"] == "overwrite":
+            # a rewrite's delta is its WHOLE file list — restore()
+            # re-publishes OLD paths, so a prev-diff would bake an
+            # empty delta into the checkpoint and streams planning
+            # from it would silently drop the restored rows (review
+            # r13; fresh-dir overwrites are unchanged)
+            new_files = list(files)
+            dv_new = []
         else:
             new_files = [f for f in files if f not in prev_files]
             dv_new = []
@@ -845,8 +853,9 @@ def clone(
     version: int | None = None,
 ) -> dict:
     """X141 — zero-copy SHALLOW clone (Delta's ``CLONE``): publish
-    ``dst_table``'s v0 referencing the SOURCE's data files (and
-    deletion vectors, and skipping stats) at ``version`` (default:
+    ``dst_table``'s v0 referencing the SOURCE's data files (plus its
+    deletion vectors and per-file data-skipping statistics, all
+    carried over) at ``version`` (default:
     current). No data moves — the clone is one metadata doc, whatever
     the table size; the canonical cheap test/dev/experiment copy of a
     100 TB table.

@@ -1252,6 +1252,27 @@ def test_restore_metadata_rollback(spark, tmp_path):
         for r in spark.read.parquet(out2).collect()
     } == {(k, "insert", 3) for k in (1, 3, 5, 7, 9)}
 
+    # cross-batch review r13: a restore whose PREDECESSOR shares its
+    # file list (v4 = restore-to-0 right after v3 = restore-to-1, both
+    # referencing v0's files) must still deliver the whole snapshot —
+    # the old prev-diff computed an EMPTY delta and silently dropped
+    # every restored row
+    tl.restore(spark, t, 0)  # v4: same files as v3, no vectors
+    out3 = str(tmp_path / "restore_out3")
+    q = (
+        spark.readStream.format("tablelog")
+        .option("read_changes", "true")
+        .option("starting_version", "4")
+        .load(t)
+        .writeStream.format("parquet").option("path", out3)
+        .option("checkpointLocation", str(tmp_path / "restore_ck3"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    assert sorted(
+        r["k"] for r in spark.read.parquet(out3).collect()
+    ) == list(range(10))
+
 
 def test_log_shape_property_checkpoint_equivalence(spark, tmp_path):
     """Property (seeded-random log shapes): for arbitrary
