@@ -2703,12 +2703,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         root = tempfile.mkdtemp(prefix="tablelog_dv_read_")
         t = f"{root}/orders_v"
         try:
-            tl.commit(spark, orders.where(k % 3 == 0), t)  # v0
-            tl.commit(spark, orders.where(k % 3 == 1), t)  # v1 = union
+            # slices staged at 8 files per commit: content-identical
+            # (integer checksums are order-independent) and the
+            # DataSource arms spin one Python worker per file — 32
+            # shuffle-partition files quadrupled the fixed cost
+            tl.commit(spark, orders.where(k % 3 == 0).coalesce(8), t)  # v0
+            tl.commit(spark, orders.where(k % 3 == 1).coalesce(8), t)  # v1
             rep = tl.delete_rows(spark, t, k % 7 == 0)     # v2 = DV
             assert rep["version"] == 2 and rep["n_deleted"] > 0, rep
             tl.commit(
-                spark, orders.where(k % 3 == 2), t, mode="overwrite"
+                spark,
+                orders.where(k % 3 == 2).coalesce(8),
+                t,
+                mode="overwrite",
             )  # v3 = replace (drops the carried vectors)
             assert tl.current_version(spark, t) == 3
 
@@ -2789,11 +2796,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         root = tempfile.mkdtemp(prefix="mv_refresh_")
         src, dst = f"{root}/src", f"{root}/mv"
         try:
-            tl.commit(spark, base.where(k % 4 <= 1), src)       # v0
+            # staged at 8 files per commit — identical content, less
+            # per-file fixed cost across the refreshes' re-reads
+            tl.commit(spark, base.where(k % 4 <= 1).coalesce(8), src)  # v0
             r1 = mv.refresh_aggregate(
                 spark, src, dst, ["o_orderstatus"], ["val"]
             )
-            tl.commit(spark, base.where(k % 4 == 2), src)       # v1: I
+            tl.commit(spark, base.where(k % 4 == 2).coalesce(8), src)  # v1: I
             rep = tl.delete_rows(spark, src, k % 11 == 0)       # v2: D
             assert rep["n_deleted"] > 0, rep
             r2 = mv.refresh_aggregate(

@@ -153,6 +153,54 @@ def main() -> None:
         )
         print(f"K_ANON {label}: {el:.2f}s groups={out}")
 
+    # ---- (3) X140 change feed at 1x vs 10x: drain cost tracks the
+    # CHANGE volume (files + vector positions of the range), never the
+    # table size — delete 1%, drain only the delta ----------------------
+    li = spark.read.parquet(f"{sf}/lineitem.parquet").select(
+        F.monotonically_increasing_id().alias("rid"),
+        "l_orderkey",
+    )
+    li10 = li
+    for i in range(1, 10):
+        li10 = li10.unionByName(
+            li.withColumn("rid", F.col("rid") + F.lit(i * 10_000_000_000))
+        )
+    from tableone_pyspark_spark.sources.stream_source import (
+        TablelogDataSource,
+    )
+
+    spark.dataSource.register(TablelogDataSource)
+    for label, df in (("1x", li), ("10x", li10)):
+        root2 = tempfile.mkdtemp(prefix=f"cdf_probe_{label}_")
+        try:
+            t2 = f"{root2}/t"
+            tl.commit(spark, df, t2)
+            sink = f"{root2}/sink"
+
+            def drain(ckdir):
+                q = (
+                    spark.readStream.format("tablelog")
+                    .option("read_changes", "true").load(t2)
+                    .writeStream.format("parquet").option("path", sink)
+                    .option("checkpointLocation", f"{root2}/{ckdir}")
+                    .trigger(availableNow=True).start()
+                )
+                q.awaitTermination()
+
+            drain("ck")  # initial snapshot drained; offsets at v0
+            el, _ = t(
+                lambda: tl.delete_rows(
+                    spark, t2, F.col("rid") % 100 == 7
+                )
+            )
+            el2, _ = t(lambda: drain("ck"))  # ONLY the delta drains
+            print(
+                f"CDF_FEED {label}: delete {el:.2f}s, "
+                f"delta-drain {el2:.2f}s"
+            )
+        finally:
+            shutil.rmtree(root2, ignore_errors=True)
+
     docs = spark.read.parquet(f"{sf}/documents.parquet").select(
         "doc_id", F.length("text").alias("n_chars")
     )
