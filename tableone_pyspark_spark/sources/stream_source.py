@@ -60,6 +60,9 @@ from pyspark.sql.datasource import (
 )
 from pyspark.sql.types import StructType
 
+# pure-Python, pyspark-free — safe in planning workers with no JVM
+from tableone_pyspark_spark.sources.log_delta import version_delta
+
 
 def _local_path(p: str) -> str:
     """Strip a file:/ scheme down to the plain path; leave other
@@ -400,14 +403,26 @@ class _TablelogStreamReader(DataSourceStreamReader):
             try:
                 ckdoc = _checkpoint_doc(self._table, ck)
                 hist = {r["version"]: r for r in ckdoc["history"]}
+                shapes = ckdoc.get("shapes") or []
                 head = []
                 for v in range(lo, ck + 1):
-                    r = hist[v]  # KeyError -> doc walk
+                    # KeyError -> doc walk (also covers a
+                    # CHECKPOINT_HISTORY-bounded doc whose retained
+                    # window starts above lo)
+                    r = hist[v]
+                    # deduped shape_id (r14) or inline shape (pre-r14
+                    # docs); these fields were produced at checkpoint-
+                    # write time by the SAME version_delta the doc
+                    # walk below calls (sources/log_delta.py) — this
+                    # decode only copies, it derives nothing
+                    raw_shape = (
+                        r["shape"] if "shape" in r else shapes[r["shape_id"]]
+                    )
                     head.append(
                         {
                             "version": v,
                             "mode": r["mode"],
-                            "shape": [tuple(x) for x in r["shape"]],
+                            "shape": [tuple(x) for x in raw_shape],
                             "new_files": list(r["new_files"]),
                             "dv_new": list(r.get("dv_new") or []),
                             "dv0": list(r.get("dv") or []),
@@ -429,20 +444,15 @@ class _TablelogStreamReader(DataSourceStreamReader):
                 else:
                     prev_files = set()
             dv = doc.get("dv") or []
-            if doc["mode"] == "delete":
-                new: list[str] = []  # a delete keeps the same files
-                dv_new = [f for f in dv if f not in prev_dv]
-            elif doc["mode"] == "overwrite":
-                # a rewrite delivers its WHOLE file list — restore()
-                # re-publishes OLD paths, so a prev-diff would silently
-                # drop every file the restored version shares with its
-                # predecessor (review r13; fresh-dir overwrites are
-                # unchanged — their files never intersect prev)
-                new = list(doc["files"])
-                dv_new = []
-            else:
-                new = [f for f in doc["files"] if f not in prev_files]
-                dv_new = []
+            # the ONE mode-to-delta derivation, shared with
+            # tablelog.write_checkpoint (sources/log_delta.py, ADVICE
+            # r13) — overwrite = whole file list (restore-over-shared-
+            # files), delete = new vectors only, append = prev-diff,
+            # dv0 = the snapshot-masking vectors of a cloned/restored
+            # version
+            new, dv_new, dv0 = version_delta(
+                v, doc["mode"], doc["files"], dv, prev_files, prev_dv
+            )
             rows.append(
                 {
                     "version": v,
@@ -450,13 +460,7 @@ class _TablelogStreamReader(DataSourceStreamReader):
                     "shape": _shape(doc["schema"]),
                     "new_files": new,
                     "dv_new": dv_new,
-                    # vectors can name a version's OWN files only for a
-                    # cloned v0 or a restored overwrite (commit appends
-                    # never vector their new files) — snapshot
-                    # deliveries of those versions must mask
-                    "dv0": dv
-                    if (v == 0 or doc["mode"] == "overwrite")
-                    else [],
+                    "dv0": dv0,
                 }
             )
             prev_files = set(doc["files"])

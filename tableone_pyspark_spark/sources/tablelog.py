@@ -57,12 +57,24 @@ diff) with the versioning glue.
 from __future__ import annotations
 
 import json
+import logging
 import math
 import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from tableone_pyspark_spark.sources.log_delta import version_delta
+
+_log = logging.getLogger(__name__)
+
+#: per-table auto-checkpoint failure counts (observability, ADVICE
+#: r13): a persistently failing advisory checkpoint silently degrades
+#: history()/stream planning back to O(versions) forever — the commit
+#: stays non-failing, but each failure now logs a warning and bumps
+#: this counter so a permanently broken accelerator is visible.
+checkpoint_failures: dict[str, int] = {}
 
 
 class CommitConflict(Exception):
@@ -247,8 +259,22 @@ def _publish(
         # never fail the commit it rides on (X139)
         try:
             write_checkpoint(spark, table, version)
-        except Exception:  # noqa: BLE001
-            pass
+        except CommitConflict:
+            pass  # a racing writer published this checkpoint — fine
+        except Exception as e:  # noqa: BLE001
+            # keep the commit non-failing, but make a permanently
+            # broken accelerator OBSERVABLE (ADVICE r13): without a
+            # checkpoint, history()/last_committed_batch/fresh-stream
+            # planning silently degrade to O(versions) doc walks
+            checkpoint_failures[table] = checkpoint_failures.get(table, 0) + 1
+            _log.warning(
+                "tablelog auto-checkpoint failed for %s at v%d "
+                "(failure #%d for this table): %r — log-walking "
+                "readers degrade to O(versions) until a checkpoint "
+                "succeeds; call write_checkpoint() explicitly to see "
+                "the error",
+                table, version, checkpoint_failures[table], e,
+            )
     return doc
 
 
@@ -659,6 +685,20 @@ def delete_rows(spark: SparkSession, table: str, predicate) -> dict:
 #: O(versions since checkpoint) instead of O(versions)
 CHECKPOINT_EVERY = 10
 
+#: how many trailing history rows a checkpoint doc embeds. None =
+#: unbounded (every version since v0 — simplest, and fine for tables
+#: with bounded version counts). A long-lived table at 100 TB scale
+#: accumulating 100k versions pays O(versions) per checkpoint WRITE
+#: and doc SIZE with the unbounded default (quadratic cumulative
+#: metadata over the table's life — ADVICE r13); set this to e.g.
+#: 1000 to cap both. Consumers degrade transparently, never wrongly:
+#: :func:`history` doc-walks the versions below the retained window,
+#: and a fresh stream whose starting_version predates the window
+#: falls back to the doc walk (KeyError -> full walk in
+#: ``stream_source._version_rows``). Watermarks are NOT bounded —
+#: the per-stream map is O(streams), already compact.
+CHECKPOINT_HISTORY: int | None = None
+
 
 def _checkpoint_path(table: str, version: int) -> str:
     return f"{table}/_log/_checkpoint_v{version}.json"
@@ -710,7 +750,15 @@ def write_checkpoint(
     callable explicitly after a vacuum-heavy or migration workload.
     Cumulative new-file deltas total O(files ever written) — the
     Delta checkpoint add-action cost, metadata-sized. Checkpoints are
-    never vacuumed (audit value; _log/ is not swept)."""
+    never vacuumed (audit value; _log/ is not swept).
+
+    Doc-size bounds (ADVICE r13): schema shapes are DEDUPED into one
+    ``shapes`` table referenced per row by ``shape_id`` — a 10k-version
+    table with one schema embeds its shape once, not 10k times — and
+    ``CHECKPOINT_HISTORY`` optionally caps the embedded history depth
+    for long-lived tables (consumers degrade to doc walks below the
+    window, never wrongly). Old-format checkpoints (per-row ``shape``)
+    are still read; new docs are always written deduped."""
     cur, cks = _log_maxima(spark, table)  # ONE listing for both
     if cur is None:
         raise ValueError(f"no such versioned table: {table}")
@@ -720,6 +768,7 @@ def write_checkpoint(
 
     prev_ck = max((n for n in cks if n <= v - 1), default=None)
     hist: list = []
+    shapes: list = []
     watermarks: dict = {}
     prev_files: set = set()
     prev_dv: set = set()
@@ -727,7 +776,7 @@ def write_checkpoint(
     if prev_ck is not None:
         try:
             ckdoc = _read_json(spark, _checkpoint_path(table, prev_ck))
-            hist = list(ckdoc["history"])
+            hist, shapes = _load_ck_history(ckdoc)
             watermarks = dict(ckdoc.get("watermarks") or {})
             prev_files = set(ckdoc["files"])
             prev_dv = set(ckdoc.get("dv") or [])
@@ -736,44 +785,43 @@ def write_checkpoint(
             # rebuild from the log root (one slow checkpoint beats the
             # corrupt doc silently voiding every FUTURE auto-checkpoint
             # forever — review r13)
-            hist, watermarks, prev_files, prev_dv, start = (
-                [], {}, set(), set(), 0,
+            hist, shapes, watermarks, prev_files, prev_dv, start = (
+                [], [], {}, set(), set(), 0,
             )
+    shape_ids = {json.dumps(s): i for i, s in enumerate(shapes)}
     for vv in range(start, v + 1):
         doc = _version_doc(spark, table, vv)
         files = doc["files"]
         dv = doc.get("dv") or []
-        if doc["mode"] == "delete":
-            new_files: list = []
-            dv_new = [f for f in dv if f not in prev_dv]
-        elif doc["mode"] == "overwrite":
-            # a rewrite's delta is its WHOLE file list — restore()
-            # re-publishes OLD paths, so a prev-diff would bake an
-            # empty delta into the checkpoint and streams planning
-            # from it would silently drop the restored rows (review
-            # r13; fresh-dir overwrites are unchanged)
-            new_files = list(files)
-            dv_new = []
-        else:
-            new_files = [f for f in files if f not in prev_files]
-            dv_new = []
+        # the ONE derivation shared with the stream planner's doc walk
+        # (sources/log_delta.py — ADVICE r13); the stream's checkpoint
+        # head decode copies these fields verbatim, so checkpoint-
+        # planned and doc-walked streams can never desync
+        new_files, dv_new, snap_dv = version_delta(
+            vv, doc["mode"], files, dv, prev_files, prev_dv
+        )
+        shape = _shape_rows(doc["schema"])
+        key = json.dumps(shape)
+        if key not in shape_ids:
+            shape_ids[key] = len(shapes)
+            shapes.append(shape)
         row = {
             "version": vv,
             "mode": doc["mode"],
             "n_files": len(files),
             "committed_at": doc["committed_at"],
-            "shape": _shape_rows(doc["schema"]),
+            "shape_id": shape_ids[key],
             "new_files": new_files,
         }
         if dv_new:
             # a delete version's NEW vector files — the change feed's
             # delete delivery (stream_source X140) plans from these
             row["dv_new"] = dv_new
-        if dv and (vv == 0 or doc["mode"] == "overwrite"):
+        if snap_dv:
             # a shallow CLONE's v0 — or a RESTORE-published overwrite —
             # carries vectors naming its own files; snapshot deliveries
             # must mask them (review r13)
-            row["dv"] = dv
+            row["dv"] = snap_dv
         if "batch_id" in doc:
             row["batch_id"] = doc["batch_id"]
         if "stream_id" in doc:
@@ -785,6 +833,20 @@ def write_checkpoint(
         hist.append(row)
         prev_files = set(files)
         prev_dv = set(dv)
+    if CHECKPOINT_HISTORY is not None and len(hist) > CHECKPOINT_HISTORY:
+        hist = hist[-CHECKPOINT_HISTORY:]
+        # re-intern: dropping rows can orphan shapes; rebuild the
+        # table so the doc never carries dead entries
+        kept: dict[str, int] = {}
+        new_shapes: list = []
+        for row in hist:
+            s = shapes[row["shape_id"]]
+            k = json.dumps(s)
+            if k not in kept:
+                kept[k] = len(new_shapes)
+                new_shapes.append(s)
+            row["shape_id"] = kept[k]
+        shapes = new_shapes
     # the loop always ran: prev_ck <= v-1 by the max_version bound,
     # so start <= v and doc is the version-v doc here
     ck = {
@@ -792,6 +854,7 @@ def write_checkpoint(
         "mode": doc["mode"],
         "files": doc["files"],
         "schema": doc["schema"],
+        "shapes": shapes,
         "history": hist,
         "watermarks": watermarks,
     }
@@ -805,6 +868,31 @@ def write_checkpoint(
     return ck
 
 
+def _load_ck_history(ckdoc: dict) -> tuple[list, list]:
+    """(history rows, shapes table) from a checkpoint doc, normalized
+    to the deduped ``shape_id`` form — old-format docs (per-row
+    ``shape``, pre-r14) are interned on load so the incremental
+    builder and the stream planner see ONE format."""
+    shapes: list = []
+    ids: dict[str, int] = {}
+    rows: list = []
+    for r in ckdoc["history"]:
+        r = dict(r)
+        if "shape" in r:  # old format: inline shape per row
+            s = r.pop("shape")
+            k = json.dumps(s)
+            if k not in ids:
+                ids[k] = len(shapes)
+                shapes.append(s)
+            r["shape_id"] = ids[k]
+        rows.append(r)
+    if ids:  # old format: the interned table IS the shapes table
+        return rows, shapes
+    shapes = list(ckdoc.get("shapes") or [])
+    ids.update({json.dumps(s): i for i, s in enumerate(shapes)})
+    return rows, shapes
+
+
 def history(spark: SparkSession, table: str) -> list[dict]:
     """Every commit doc, version-ascending, file lists summarized to
     counts (the audit view). Reads the latest checkpoint's compact
@@ -816,9 +904,11 @@ def history(spark: SparkSession, table: str) -> list[dict]:
     out: list = []
     start = 0
     ck = max((n for n in cks if n <= cur), default=None)
+    head: list = []
     if ck is not None:
         try:
             ckdoc = _read_json(spark, _checkpoint_path(table, ck))
+            rows = ckdoc["history"]
             out = [
                 {
                     "version": r["version"],
@@ -826,13 +916,27 @@ def history(spark: SparkSession, table: str) -> list[dict]:
                     "n_files": r["n_files"],
                     "committed_at": r["committed_at"],
                 }
-                for r in ckdoc["history"]
+                for r in rows
             ]
             start = ck + 1
+            # a CHECKPOINT_HISTORY-bounded doc retains only the
+            # trailing window — doc-walk the versions below it so the
+            # audit view stays complete (ADVICE r13)
+            floor = rows[0]["version"] if rows else ck + 1
+            for v in range(0, floor):
+                doc = _version_doc(spark, table, v)
+                head.append(
+                    {
+                        "version": doc["version"],
+                        "mode": doc["mode"],
+                        "n_files": len(doc["files"]),
+                        "committed_at": doc["committed_at"],
+                    }
+                )
         except Exception:  # noqa: BLE001 — torn checkpoint: the
             # advisory accelerator must never break the audit view
             # (review r13) — full doc walk
-            out, start = [], 0
+            out, head, start = [], [], 0
     for v in range(start, cur + 1):
         doc = _version_doc(spark, table, v)
         out.append(
@@ -843,7 +947,7 @@ def history(spark: SparkSession, table: str) -> list[dict]:
                 "committed_at": doc["committed_at"],
             }
         )
-    return out
+    return head + out
 
 
 def clone(

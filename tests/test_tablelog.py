@@ -1350,3 +1350,144 @@ def test_log_shape_property_checkpoint_equivalence(spark, tmp_path):
         finally:
             ss._log_listing = orig_l
         assert with_ck == without_ck and with_ck
+
+
+def test_checkpoint_shape_dedup_bounds_and_failure_observability(
+    spark, tmp_path, monkeypatch, caplog
+):
+    """ADVICE r13 closures on the checkpoint docs:
+
+    (a) schema shapes are DEDUPED — one ``shapes`` table entry per
+        distinct shape, rows carry ``shape_id`` (doc size no longer
+        O(versions x schema width));
+    (b) ``CHECKPOINT_HISTORY`` bounds the embedded history depth, and
+        BOTH consumers degrade transparently: ``history()`` doc-walks
+        the versions below the retained window and stays identical to
+        the full walk, and the stream planner falls back to the doc
+        walk (identical plan);
+    (c) pre-r14 checkpoints (per-row inline ``shape``) still load —
+        the incremental builder and the stream head decode intern
+        them on read;
+    (d) a failing auto-checkpoint no longer passes silently: the
+        commit succeeds but logs a warning and bumps
+        ``tl.checkpoint_failures`` (a permanently broken accelerator
+        is observable)."""
+    import json as _json
+    import logging
+
+    import tableone_pyspark_spark.sources.stream_source as ss
+
+    t = str(tmp_path / "ck_shape")
+    for v in range(13):
+        df = spark.range(v * 4, v * 4 + 4).select(F.col("id").alias("k"))
+        if v == 5:
+            tl.delete_rows(spark, t, F.col("k") % 7 == 0)
+        else:
+            tl.commit(spark, df, t)
+
+    # (a) deduped shapes: one distinct shape, every row references it
+    ck = tl._read_json(spark, tl._checkpoint_path(t, 10))
+    assert ck["shapes"] == [[["k", "bigint"]]]
+    assert all("shape" not in r for r in ck["history"])
+    assert {r["shape_id"] for r in ck["history"]} == {0}
+
+    # (c) old-format compat: rewrite the doc to the pre-r14 inline-
+    # shape form; history(), the stream head decode, and a later
+    # INCREMENTAL write_checkpoint must all still work
+    ckp = tmp_path / "ck_shape" / "_log" / "_checkpoint_v10.json"
+    old = dict(ck)
+    old["history"] = [
+        {**{k: v for k, v in r.items() if k != "shape_id"},
+         "shape": ck["shapes"][r["shape_id"]]}
+        for r in ck["history"]
+    ]
+    del old["shapes"]
+    ckp.write_text(_json.dumps(old))
+    fast = tl.history(spark, t)
+    orig = tl._log_maxima
+    try:
+        tl._log_maxima = lambda s, tb: (orig(s, tb)[0], [])
+        slow = tl.history(spark, t)
+    finally:
+        tl._log_maxima = orig
+    assert fast == slow and len(fast) == 13
+
+    def plan():
+        r = ss._TablelogStreamReader(t, True, True, None)
+        return sorted(
+            (p.path, tuple(p.deleted))
+            for p in r.partitions({"version": -1}, {"version": 12})
+        )
+
+    with_ck = plan()
+    orig_l = ss._log_listing
+    try:
+        ss._log_listing = lambda tb: (orig_l(tb)[0], [])
+        without_ck = plan()
+    finally:
+        ss._log_listing = orig_l
+    assert with_ck == without_ck and with_ck
+
+    rep = tl.write_checkpoint(spark, t, 12)  # incremental from old format
+    assert [r["version"] for r in rep["history"]] == list(range(13))
+    assert {r["shape_id"] for r in rep["history"]} == {0}
+    assert rep["shapes"] == [[["k", "bigint"]]]
+
+    # (b) bounded history depth: retained window only, consumers
+    # degrade to doc walks below it — answers identical
+    monkeypatch.setattr(tl, "CHECKPOINT_HISTORY", 4)
+    t2 = str(tmp_path / "ck_bounded")
+    for v in range(12):
+        tl.commit(
+            spark,
+            spark.range(v * 3, v * 3 + 3).select(F.col("id").alias("k")),
+            t2,
+        )
+    ck2 = tl._read_json(spark, tl._checkpoint_path(t2, 10))
+    assert [r["version"] for r in ck2["history"]] == [7, 8, 9, 10]
+    assert len(ck2["shapes"]) == 1  # re-interned, no dead entries
+    fast2 = tl.history(spark, t2)
+    try:
+        tl._log_maxima = lambda s, tb: (orig(s, tb)[0], [])
+        slow2 = tl.history(spark, t2)
+    finally:
+        tl._log_maxima = orig
+    assert fast2 == slow2 and [r["version"] for r in fast2] == list(range(12))
+
+    def plan2():
+        r = ss._TablelogStreamReader(t2, True, True, None)
+        return sorted(
+            (p.path, tuple(p.deleted))
+            for p in r.partitions({"version": -1}, {"version": 11})
+        )
+
+    with_ck2 = plan2()
+    try:
+        ss._log_listing = lambda tb: (orig_l(tb)[0], [])
+        without_ck2 = plan2()
+    finally:
+        ss._log_listing = orig_l
+    assert with_ck2 == without_ck2 and with_ck2
+
+    # (d) failing auto-checkpoint: commit succeeds, warning logged,
+    # counter bumped
+    t3 = str(tmp_path / "ck_fail")
+    tl.checkpoint_failures.pop(t3, None)
+
+    def boom(*a, **kw):
+        raise RuntimeError("synthetic checkpoint failure")
+
+    monkeypatch.setattr(tl, "write_checkpoint", boom)
+    with caplog.at_level(logging.WARNING,
+                         logger="tableone_pyspark_spark.sources.tablelog"):
+        for v in range(11):
+            tl.commit(
+                spark,
+                spark.range(3).select(F.col("id").alias("k")),
+                t3,
+            )
+    assert tl.current_version(spark, t3) == 10  # commits unharmed
+    assert tl.checkpoint_failures[t3] == 1
+    assert any(
+        "auto-checkpoint failed" in r.message for r in caplog.records
+    )
