@@ -59,6 +59,7 @@ from __future__ import annotations
 import json
 import logging
 import math
+import threading
 import time
 import uuid
 
@@ -74,7 +75,10 @@ _log = logging.getLogger(__name__)
 #: history()/stream planning back to O(versions) forever — the commit
 #: stays non-failing, but each failure now logs a warning and bumps
 #: this counter so a permanently broken accelerator is visible.
+#: Guarded by a lock (multi-threaded drivers commit concurrently);
+#: size is bounded by distinct table paths this driver ever committed.
 checkpoint_failures: dict[str, int] = {}
+_ck_failures_lock = threading.Lock()
 
 
 class CommitConflict(Exception):
@@ -266,14 +270,18 @@ def _publish(
             # broken accelerator OBSERVABLE (ADVICE r13): without a
             # checkpoint, history()/last_committed_batch/fresh-stream
             # planning silently degrade to O(versions) doc walks
-            checkpoint_failures[table] = checkpoint_failures.get(table, 0) + 1
+            with _ck_failures_lock:
+                checkpoint_failures[table] = (
+                    checkpoint_failures.get(table, 0) + 1
+                )
+                n_fail = checkpoint_failures[table]
             _log.warning(
                 "tablelog auto-checkpoint failed for %s at v%d "
                 "(failure #%d for this table): %r — log-walking "
                 "readers degrade to O(versions) until a checkpoint "
                 "succeeds; call write_checkpoint() explicitly to see "
                 "the error",
-                table, version, checkpoint_failures[table], e,
+                table, version, n_fail, e,
             )
     return doc
 
@@ -834,7 +842,14 @@ def write_checkpoint(
         prev_files = set(files)
         prev_dv = set(dv)
     if CHECKPOINT_HISTORY is not None and len(hist) > CHECKPOINT_HISTORY:
-        hist = hist[-CHECKPOINT_HISTORY:]
+        if CHECKPOINT_HISTORY < 0:
+            raise ValueError(
+                f"CHECKPOINT_HISTORY must be >= 0 or None, got "
+                f"{CHECKPOINT_HISTORY}"
+            )
+        # NOT hist[-CHECKPOINT_HISTORY:] — a 0 bound would slice to
+        # hist[0:] and silently keep the FULL history (review r14)
+        hist = hist[len(hist) - CHECKPOINT_HISTORY:]
         # re-intern: dropping rows can orphan shapes; rebuild the
         # table so the doc never carries dead entries
         kept: dict[str, int] = {}
@@ -870,15 +885,19 @@ def write_checkpoint(
 
 def _load_ck_history(ckdoc: dict) -> tuple[list, list]:
     """(history rows, shapes table) from a checkpoint doc, normalized
-    to the deduped ``shape_id`` form — old-format docs (per-row
+    to the deduped ``shape_id`` form — old-format rows (inline
     ``shape``, pre-r14) are interned on load so the incremental
-    builder and the stream planner see ONE format."""
-    shapes: list = []
-    ids: dict[str, int] = {}
+    builder and the stream planner see ONE format. Handles MIXED docs
+    too (a pre-r14 writer extending a new-format doc appends inline
+    rows after shape_id rows): the doc's ``shapes`` table seeds the
+    intern map FIRST, so surviving shape_id rows keep resolving
+    against the table they were written with (review r14)."""
+    shapes: list = list(ckdoc.get("shapes") or [])
+    ids: dict[str, int] = {json.dumps(s): i for i, s in enumerate(shapes)}
     rows: list = []
     for r in ckdoc["history"]:
         r = dict(r)
-        if "shape" in r:  # old format: inline shape per row
+        if "shape" in r:  # old-format row: inline shape
             s = r.pop("shape")
             k = json.dumps(s)
             if k not in ids:
@@ -886,10 +905,6 @@ def _load_ck_history(ckdoc: dict) -> tuple[list, list]:
                 shapes.append(s)
             r["shape_id"] = ids[k]
         rows.append(r)
-    if ids:  # old format: the interned table IS the shapes table
-        return rows, shapes
-    shapes = list(ckdoc.get("shapes") or [])
-    ids.update({json.dumps(s): i for i, s in enumerate(shapes)})
     return rows, shapes
 
 

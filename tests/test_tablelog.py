@@ -1454,20 +1454,40 @@ def test_checkpoint_shape_dedup_bounds_and_failure_observability(
         tl._log_maxima = orig
     assert fast2 == slow2 and [r["version"] for r in fast2] == list(range(12))
 
-    def plan2():
+    def plan2(start: int):
         r = ss._TablelogStreamReader(t2, True, True, None)
         return sorted(
             (p.path, tuple(p.deleted))
-            for p in r.partitions({"version": -1}, {"version": 11})
+            for p in r.partitions({"version": start}, {"version": 11})
         )
 
-    with_ck2 = plan2()
+    # lo=0 is BELOW the retained window [7..10]: hist[0] KeyErrors and
+    # the planner degrades to the full doc walk; lo=7 is INSIDE it, so
+    # the head decode actually consumes the bounded doc (review r14 —
+    # without this arm a bounded-window decode regression would pass)
+    for start in (-1, 6):
+        with_ck2 = plan2(start)
+        try:
+            ss._log_listing = lambda tb: (orig_l(tb)[0], [])
+            without_ck2 = plan2(start)
+        finally:
+            ss._log_listing = orig_l
+        assert with_ck2 == without_ck2 and with_ck2, start
+    # prove the lo=7 arm really used the checkpoint head (no doc read
+    # below the tail) while lo=0 really walked the docs
+    reads: list[int] = []
+    orig_doc = ss._doc
     try:
-        ss._log_listing = lambda tb: (orig_l(tb)[0], [])
-        without_ck2 = plan2()
+        ss._doc = lambda tb, v: (reads.append(v) or orig_doc(tb, v))
+        plan2(6)
+        in_window_reads = [v for v in reads if v <= 10]
+        reads.clear()
+        plan2(-1)
+        full_walk_reads = [v for v in reads if v <= 10]
     finally:
-        ss._log_listing = orig_l
-    assert with_ck2 == without_ck2 and with_ck2
+        ss._doc = orig_doc
+    assert in_window_reads == [], in_window_reads
+    assert full_walk_reads, full_walk_reads
 
     # (d) failing auto-checkpoint: commit succeeds, warning logged,
     # counter bumped
@@ -1491,3 +1511,33 @@ def test_checkpoint_shape_dedup_bounds_and_failure_observability(
     assert any(
         "auto-checkpoint failed" in r.message for r in caplog.records
     )
+
+
+def test_load_ck_history_mixed_format():
+    """A pre-r14 writer extending a new-format checkpoint appends
+    inline-``shape`` rows AFTER ``shape_id`` rows (its incremental
+    build copies rows verbatim). The loader must resolve shape_id
+    rows against the doc's OWN shapes table while interning the
+    inline rows — not rebuild a fresh table the old ids would
+    misindex (review r14)."""
+    doc = {
+        "history": [
+            {"version": 0, "mode": "append", "shape_id": 0},
+            {"version": 1, "mode": "overwrite", "shape_id": 1},
+            # appended by an old writer: inline, one NEW shape and one
+            # repeat of shape 0
+            {"version": 2, "mode": "append",
+             "shape": [["a", "int"], ["b", "string"]]},
+            {"version": 3, "mode": "append", "shape": [["k", "bigint"]]},
+        ],
+        "shapes": [[["k", "bigint"]], [["k", "double"]]],
+    }
+    rows, shapes = tl._load_ck_history(doc)
+    resolved = [shapes[r["shape_id"]] for r in rows]
+    assert resolved == [
+        [["k", "bigint"]],
+        [["k", "double"]],
+        [["a", "int"], ["b", "string"]],
+        [["k", "bigint"]],  # deduped against the seeded table
+    ]
+    assert len(shapes) == 3
