@@ -33,6 +33,12 @@ tests):
 * ``delete`` — delta = no data files (a deletion-vector version keeps
   the same live files); ``dv_new`` = the vector files not already
   carried at the previous version.
+* ``merge`` (X144, Delta's DV-backed MERGE) — BOTH deltas at once:
+  the appended postimage/insert files (files not in prev) AND the new
+  deletion vectors naming the matched preimages (dv not in prev_dv).
+  The change feed delivers a merge as delete rows + insert rows in
+  one version — the upsert case the overwrite refusal used to push to
+  batch ``table_changes(keys=...)``.
 * snapshot-masking vectors (``dv0``): vectors can name a version's
   OWN files only for a cloned/restored v0 or a restored overwrite
   (commit appends never vector their new files) — snapshot deliveries
@@ -66,6 +72,13 @@ def version_delta(
     elif mode == "overwrite":
         new_files = list(files)
         dv_new = []
+    elif mode == "merge":
+        # both deltas: appended postimage/insert files AND the new
+        # vectors naming the matched preimages (matched against the
+        # pre-merge view, so the vectors never name this version's
+        # own new files)
+        new_files = [f for f in files if f not in prev_files]
+        dv_new = [f for f in dv if f not in prev_dv]
     else:
         new_files = [f for f in files if f not in prev_files]
         dv_new = []

@@ -135,6 +135,34 @@ def _norm(p: str) -> str:
     return unquote(urlparse(p).path) or p
 
 
+def _widened(schema_json: str) -> StructType:
+    """The doc's schema with nullability WIDENED to true at every
+    nesting level — the declared READ schema. Parquet read-back widens
+    nullability (the writer's own append contract ignores it), and a
+    merge/append can land NULLs in a column an early commit recorded
+    as non-nullable: declaring that stale non-nullability to Spark
+    makes the Arrow accessor throw 'Value at index is null' mid-read
+    (review r14, reproduced live on a merged NULL key). Delta/parquet
+    sources read everything as nullable for the same reason."""
+    from pyspark.sql.types import ArrayType, MapType
+
+    def widen(dt):
+        if isinstance(dt, StructType):
+            return StructType(
+                [
+                    type(f)(f.name, widen(f.dataType), True, f.metadata)
+                    for f in dt.fields
+                ]
+            )
+        if isinstance(dt, ArrayType):
+            return ArrayType(widen(dt.elementType), True)
+        if isinstance(dt, MapType):
+            return MapType(widen(dt.keyType), widen(dt.valueType), True)
+        return dt
+
+    return widen(StructType.fromJson(json.loads(schema_json)))
+
+
 def _shape(schema_json: str) -> list[tuple]:
     """(name, simpleString-type) pairs — the writer side's
     _schema_shape contract EXACTLY, with nullability ignored at every
@@ -515,6 +543,26 @@ class _TablelogStreamReader(DataSourceStreamReader):
                         "(table_changes) for retractions, or set "
                         ".option('ignore_deletes', 'true')"
                     )
+            elif mode == "merge":
+                # X144: a merge retracts matched rows (the vector) AND
+                # appends postimages/inserts. The retraction cannot be
+                # expressed in an append stream; under ignore_deletes
+                # the NEW files are delivered (at-least-once: an
+                # updated row's already-delivered preimage is followed
+                # by its postimage — the Delta ignoreChanges contract;
+                # the change feed delivers the exact delete+insert
+                # pair instead)
+                if not self._ignore_deletes:
+                    raise ValueError(
+                        f"version {v} of {self._table} is a merge — "
+                        "its retractions cannot be expressed in an "
+                        "append stream; read the change feed "
+                        "(read_changes) for the delete+insert pairs, "
+                        "or set .option('ignore_deletes', 'true') to "
+                        "deliver only the appended rows (at-least-"
+                        "once for updated rows)"
+                    )
+                parts += [_FilePartition(f, d) for f, d in new_files]
             else:
                 if not self._ignore_changes:
                     raise ValueError(
@@ -644,6 +692,23 @@ class _TablelogCdfStreamReader(_TablelogStreamReader):
                         _dv_positions_raw(row["dv_new"]).items()
                     )
                 ]
+            elif mode == "merge":
+                # X144: the DV-backed MERGE streams as the exact
+                # delete+insert pair in ONE version — the matched
+                # preimages by position, then the appended postimage/
+                # insert files. THIS closes the keyed-upsert gap the
+                # overwrite refusal below documents: route upserts
+                # through merge_rows and the feed stays streamable.
+                parts += [
+                    _CdfPartition(path, pos, "delete", v)
+                    for path, pos in sorted(
+                        _dv_positions_raw(row["dv_new"]).items()
+                    )
+                ]
+                parts += [
+                    _CdfPartition(f, None, "insert", v)
+                    for f in row["new_files"]
+                ]
             else:
                 raise ValueError(
                     f"version {v} of {self._table} is an overwrite — "
@@ -693,10 +758,10 @@ class TablelogDataSource(DataSource):
             )
         # the REQUESTED version's schema — planning with the current
         # one would misbind time travel across a schema-changing
-        # overwrite (self-review r12, confirmed live)
-        st = StructType.fromJson(
-            json.loads(_doc(self._table(), v)["schema"])
-        )
+        # overwrite (self-review r12, confirmed live) — nullability
+        # widened like any parquet read (review r14: a stale
+        # non-nullable field + a later NULL = Arrow NPE mid-read)
+        st = _widened(_doc(self._table(), v)["schema"])
         if self._flag("read_changes"):
             from pyspark.sql.types import LongType, StringType
 

@@ -34,6 +34,13 @@ travel, and an auditable history without a table-format dependency.
                 readers subtract them with one anti-join, appends
                 carry them forward, optimize folds them in, the
                 change feed emits them as D rows
+    merge     : merge_rows(source, keys) — MERGE INTO with deletion
+                vectors (r14 — Delta's DV-backed MERGE): matched
+                target rows retracted by position, postimages/inserts
+                appended, ONE published version; the change feed
+                delivers the exact delete+insert pair, so keyed
+                upserts stream end-to-end (the overwrite refusal now
+                applies only to keyless rewrites)
 
 Scale story: ALL bookkeeping is driver-side and metadata-sized (file
 path lists in JSON); data moves executor-side through ordinary
@@ -660,6 +667,24 @@ def delete_rows(spark: SparkSession, table: str, predicate) -> dict:
     doc = _version_doc(spark, table, base)
     if not doc["files"]:
         return {"version": base, "n_deleted": 0}
+    new_dv, n = _write_deletion_vector(
+        spark, table, doc, lambda live: live.where(predicate)
+    )
+    if n == 0:
+        return {"version": base, "n_deleted": 0}
+    _publish(
+        spark, table, base + 1, doc["files"], "delete", doc["schema"],
+        stats=doc.get("stats") or None,
+        dv=(doc.get("dv") or []) + new_dv,
+    )
+    return {"version": base + 1, "n_deleted": int(n)}
+
+
+def _live_view(spark: SparkSession, doc: dict) -> DataFrame:
+    """The version's live rows with their immutable (__dv_fp,
+    __dv_ri) positions attached — existing deletion vectors already
+    anti-joined away (shared by :func:`delete_rows` /
+    :func:`merge_rows`; review r14 de-duplication)."""
     raw = spark.read.parquet(*doc["files"])
     fp, ri = _dv_cols(raw)
     live = raw.select("*", fp, ri)
@@ -668,7 +693,19 @@ def delete_rows(spark: SparkSession, table: str, predicate) -> dict:
         live = live.join(
             _dv_frame(spark, old_dv), ["__dv_fp", "__dv_ri"], "left_anti"
         )
-    matched = live.where(predicate).select(
+    return live
+
+
+def _write_deletion_vector(
+    spark: SparkSession, table: str, doc: dict, match
+) -> tuple[list[str], int]:
+    """Write a deletion vector naming the positions ``match(live)``
+    selects from the version's live view — the one DV-producing
+    pipeline behind :func:`delete_rows` (predicate match) and
+    :func:`merge_rows` (key semi-join match). Returns
+    ``(vector_files, n_positions)``; an empty match cleans up its dir
+    and returns ``([], 0)``."""
+    matched = match(_live_view(spark, doc)).select(
         F.col("__dv_fp").alias("file_path"),
         F.col("__dv_ri").alias("row_index"),
     )
@@ -679,12 +716,195 @@ def delete_rows(spark: SparkSession, table: str, predicate) -> dict:
     if n == 0:
         fs, _ = _fs(spark, table)
         fs.delete(_path(spark, dv_dir), True)
-        return {"version": base, "n_deleted": 0}
-    _publish(
-        spark, table, base + 1, doc["files"], "delete", doc["schema"],
-        stats=doc.get("stats") or None, dv=old_dv + new_dv,
+        return [], 0
+    return new_dv, int(n)
+
+
+def merge_rows(
+    spark: SparkSession,
+    table: str,
+    source: DataFrame,
+    keys: list[str],
+    when_matched: str = "update",
+    when_not_matched: str = "insert",
+    stats_cols: list[str] | None = None,
+) -> dict:
+    """X144 — ``MERGE INTO`` with deletion vectors (Delta's DV-backed
+    MERGE / Iceberg's merge-on-read upsert): target rows whose key
+    tuple appears in ``source`` are retracted by POSITION (one new
+    deletion vector — no data file is rewritten), and the source rows
+    to keep are appended as new files; both land in ONE published
+    version (mode ``merge``), so readers never see a half-applied
+    upsert. At 100 TB a scattered keyed upsert flips a few thousand
+    DV positions + writes the change-sized batch, instead of
+    rewriting every touched file (copy-on-write) or the whole table
+    (overwrite).
+
+    Clause semantics (the Delta MERGE defaults):
+
+    * ``when_matched='update'``  — matched target rows are replaced by
+      their source rows (retract preimage + append postimage); a
+      duplicate-keyed TARGET gets each of its matched rows updated —
+      one postimage per matched target row, the Delta multiplicity;
+      ``'delete'`` — matched target rows are removed, their source
+      rows discarded.
+    * ``when_not_matched='insert'`` — unmatched source rows are
+      appended; ``'ignore'`` — discarded.
+
+    Unmatched TARGET rows are always untouched. Duplicate key tuples
+    in ``source`` raise (two source rows updating one target row is
+    non-deterministic — the Delta multiple-source-match error);
+    NULL-keyed source rows follow SQL MERGE non-match semantics (NULL
+    never equals anything): inserted under ``'insert'``, dropped under
+    ``'ignore'`` — documented, same as :func:`apply_changes`. The
+    source schema must match the table's (name/type shape, like
+    append — no silent evolution).
+
+    Downstream composition is the point: the CHANGE FEED delivers a
+    merge version as positional ``delete`` rows (exact preimages) plus
+    ``insert`` rows in one version — both the batch
+    :func:`table_changes` and the X140 streaming feed — so the X134
+    incremental MV and the X142 streaming MV absorb keyed upserts
+    WITHOUT key configuration (the overwrite path is the only one
+    still needing ``keys=``). Streams reading the table itself refuse
+    a merge unless ``ignore_deletes`` (the retraction cannot be
+    expressed in an append stream; the new files then deliver
+    at-least-once like Delta's ignoreChanges).
+
+    Race safety: the publish targets base+1 (CREATE-exclusive slot);
+    a concurrent commit wins and this merge raises
+    :class:`CommitConflict` — its data/vector dirs are invisible
+    orphans, vacuumable. Returns ``{version, n_deleted,
+    n_inserted}`` (a no-op merge publishes nothing)."""
+    if when_matched not in ("update", "delete"):
+        raise ValueError(
+            f"when_matched must be update/delete, got {when_matched!r}"
+        )
+    if when_not_matched not in ("insert", "ignore"):
+        raise ValueError(
+            f"when_not_matched must be insert/ignore, got "
+            f"{when_not_matched!r}"
+        )
+    if not keys:
+        raise ValueError("merge_rows needs at least one key column")
+    base = current_version(spark, table)
+    if base is None:
+        raise ValueError(f"no such versioned table: {table}")
+    doc = _version_doc(spark, table, base)
+    if _schema_shape(doc["schema"]) != _schema_shape(source.schema.json()):
+        raise ValueError(
+            "merge source schema differs from the table's — this "
+            "format deliberately has no schema evolution"
+        )
+    missing = [k for k in keys if k not in source.columns]
+    if missing:
+        raise ValueError(f"key columns not in source: {missing}")
+    if stats_cols:
+        # fail BEFORE any job or write — a typo must not cost the
+        # distributed match (the commit() rule, self-review r12);
+        # source shape == table shape was checked just above
+        _check_stats_cols(source.schema, stats_cols)
+    # Pin the source to ONE evaluation: the duplicate guard, the
+    # retraction vector, and the appended files must all see the SAME
+    # rows — a non-deterministic source (limit/sample/rand) evaluated
+    # per job would retract a target row whose postimage never lands
+    # (review r14). Change-sized by contract, so the materialized
+    # blocks are small; this also stops re-computing the source
+    # lineage for every downstream job.
+    source = source.localCheckpoint(eager=True)
+    # Delta's multiple-source-match error: two source rows updating
+    # one target row is non-deterministic. One small agg over the
+    # change-sized source (NULL keys exempt — they never match; the
+    # reserved alias keeps a key column literally named 'count'
+    # unambiguous — review r14).
+    dup = (
+        source.select(*keys)
+        .na.drop(subset=keys)
+        .groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("__mg_cnt"))
+        .where(F.col("__mg_cnt") > 1)
+        .limit(1)
+        .collect()
     )
-    return {"version": base + 1, "n_deleted": int(n)}
+    if dup:
+        raise ValueError(
+            f"duplicate source key tuple {tuple(dup[0][k] for k in keys)} "
+            "— MERGE with multiple source matches per target row is "
+            "non-deterministic; dedupe the source first"
+        )
+    if source.isEmpty():
+        return {"version": base, "n_deleted": 0, "n_inserted": 0}
+
+    src_keys = source.select(*keys).na.drop(subset=keys).distinct()
+    old_dv = doc.get("dv") or []
+
+    # retraction vector: positions of live target rows matched by key
+    # — against the CURRENT view (existing vectors pre-applied), the
+    # shared delete_rows pipeline with a semi-join match. No broadcast
+    # hint: src_keys is usually tiny but unbounded (a 200M-key
+    # backfill must not OOM the driver) — AQE picks broadcast when it
+    # actually fits (review r14).
+    new_dv: list[str] = []
+    n_del = 0
+    if doc["files"]:
+        new_dv, n_del = _write_deletion_vector(
+            spark, table, doc,
+            lambda live: live.join(src_keys, keys, "left_semi"),
+        )
+
+    # rows to append. Delta MERGE multiplicity (review r14): a
+    # duplicate-keyed TARGET gets EACH of its matched rows updated, so
+    # 'update' postimages are one source row PER LIVE MATCHED TARGET
+    # ROW — the inner join against the live key multiset — not one per
+    # source row. Equi-join NULL semantics give NULL-keyed source rows
+    # the documented non-match treatment for free (inner/semi drop
+    # them, anti keeps them).
+    if doc["files"]:
+        live_keys = _live_view(spark, doc).select(*keys)
+    else:
+        live_keys = source.select(*keys).limit(0)
+    if when_matched == "update":
+        post = source.join(live_keys, keys, "inner").select(*source.columns)
+        if when_not_matched == "insert":
+            to_append = post.unionByName(
+                source.join(live_keys.distinct(), keys, "left_anti")
+            )
+        else:
+            to_append = post
+    else:  # delete: matched source rows are discarded
+        if when_not_matched == "insert":
+            to_append = source.join(live_keys.distinct(), keys, "left_anti")
+        else:
+            to_append = source.limit(0)  # pure keyed delete
+
+    new_files: list[str] = []
+    n_ins = 0
+    if not to_append.isEmpty():
+        data_dir = f"{table}/data/{uuid.uuid4().hex}"
+        to_append.write.parquet(data_dir)
+        new_files = _list_parquet(spark, data_dir)
+        n_ins = spark.read.parquet(*new_files).count() if new_files else 0
+
+    if not new_dv and not new_files:
+        return {"version": base, "n_deleted": 0, "n_inserted": 0}
+
+    stats = dict(doc.get("stats") or {})
+    if stats_cols and new_files:
+        stats.update(
+            _remap_stats(
+                _collect_file_stats(spark, new_files, stats_cols),
+                new_files,
+            )
+        )
+    _publish(
+        spark, table, base + 1, doc["files"] + new_files, "merge",
+        doc["schema"], stats=stats or None, dv=(old_dv + new_dv) or None,
+    )
+    return {
+        "version": base + 1,
+        "n_deleted": int(n_del),
+        "n_inserted": int(n_ins),
+    }
 
 
 #: versions between automatic checkpoint docs (X139 — the Delta
@@ -1274,36 +1494,50 @@ refresh_aggregate` consumes."""
             ch = spark.read.parquet(*new_files).withColumn(
                 op_col, F.lit("I")
             )
-        elif doc["mode"] == "delete":
+        elif doc["mode"] in ("delete", "merge"):
             # a deletion-vector version (r12): the change IS the new
             # vector — D rows are the raw rows at exactly those
             # (file, position) pairs, no row-identity keys needed.
             # Positions were matched against the v-1 view, so they
-            # are live-at-v-1 by construction.
+            # are live-at-v-1 by construction. A MERGE version (X144)
+            # additionally appends postimage/insert files — its feed
+            # is the D rows PLUS those files as I rows, the exact
+            # retract-then-assert pair the mv consumer folds.
             if prev_doc is None:
                 prev_doc = _version_doc(spark, table, v - 1)
             prev_dv = set(prev_doc.get("dv") or [])
             new_dv = [f for f in doc.get("dv") or [] if f not in prev_dv]
-            if not new_dv:
+            prev_files = set(prev_doc["files"])
+            new_files = [f for f in doc["files"] if f not in prev_files]
+            if not new_dv and not new_files:
                 prev_doc = doc
                 continue
-            dvdf = _dv_frame(spark, new_dv)
-            # read ONLY the files the vector touches (the distinct
-            # path list is metadata-sized by construction) — scanning
-            # doc["files"] would make the feed O(table) per delete
-            # version and void the change-volume contract the mv
-            # consumer is built on (self-review r12)
-            touched = [
-                r[0] for r in dvdf.select("__dv_fp").distinct().collect()
-            ]
-            raw = spark.read.parquet(*touched)
-            fp, ri = _dv_cols(raw)
-            ch = (
-                raw.select("*", fp, ri)
-                .join(dvdf, ["__dv_fp", "__dv_ri"], "left_semi")
-                .drop("__dv_fp", "__dv_ri")
-                .withColumn(op_col, F.lit("D"))
-            )
+            ch = None
+            if new_dv:
+                dvdf = _dv_frame(spark, new_dv)
+                # read ONLY the files the vector touches (the distinct
+                # path list is metadata-sized by construction) —
+                # scanning doc["files"] would make the feed O(table)
+                # per delete version and void the change-volume
+                # contract the mv consumer is built on (self-review
+                # r12)
+                touched = [
+                    r[0]
+                    for r in dvdf.select("__dv_fp").distinct().collect()
+                ]
+                raw = spark.read.parquet(*touched)
+                fp, ri = _dv_cols(raw)
+                ch = (
+                    raw.select("*", fp, ri)
+                    .join(dvdf, ["__dv_fp", "__dv_ri"], "left_semi")
+                    .drop("__dv_fp", "__dv_ri")
+                    .withColumn(op_col, F.lit("D"))
+                )
+            if new_files:  # only a merge appends alongside vectors
+                ins = spark.read.parquet(*new_files).withColumn(
+                    op_col, F.lit("I")
+                )
+                ch = ins if ch is None else ch.unionByName(ins)
         else:
             if not keys:
                 raise ValueError(

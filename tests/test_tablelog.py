@@ -1292,8 +1292,23 @@ def test_log_shape_property_checkpoint_equivalence(spark, tmp_path):
         base = 6
         while (tl.current_version(spark, t) or 0) < 13:
             op = rng.choice(["append", "append", "delete", "overwrite",
-                             "restore"])
-            if op == "append":
+                             "restore", "merge"])
+            if op == "merge":
+                # X144: upsert a random live key + insert a fresh one
+                # (sorted before rng.choice — collect() order is not
+                # deterministic, and the seed must reproduce; an
+                # emptied table upserts a second FRESH key instead of
+                # duplicating base — review r14)
+                cur_rows = sorted(
+                    r.k for r in tl.read_version(spark, t).collect()
+                )
+                upd = rng.choice(cur_rows) if cur_rows else base + 1
+                msrc = spark.createDataFrame(
+                    [(int(upd),), (int(base),)], "k long"
+                )
+                tl.merge_rows(spark, t, msrc, ["k"])
+                base += 2
+            elif op == "append":
                 tl.commit(
                     spark,
                     spark.range(base, base + 3).select(
@@ -1541,3 +1556,251 @@ def test_load_ck_history_mixed_format():
         [["k", "bigint"]],  # deduped against the seeded table
     ]
     assert len(shapes) == 3
+
+
+def test_merge_rows_clauses_and_guards(spark, tmp_path):
+    """X144 MERGE with deletion vectors: clause semantics (Delta MERGE
+    defaults), one published version, time travel intact, NULL-key
+    non-match semantics, duplicate-source raise, DV-aware matching
+    (already-deleted rows are not re-matched), chained merges, and
+    the nullability-widened DataSource read (a merged NULL in a
+    column an early commit recorded non-nullable must not NPE the
+    Arrow reader — review r14, reproduced live)."""
+    import tableone_pyspark_spark.sources.stream_source as ss
+
+    def mk(name):
+        t = str(tmp_path / name)
+        base = spark.range(10).select(
+            F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+        )
+        tl.commit(spark, base.coalesce(2), t)
+        return t
+
+    key = lambda x: (x[0] is None, x[0])  # noqa: E731
+    src = spark.createDataFrame(
+        [(3, 999), (5, 555), (42, 420), (None, 7)], "k long, v long"
+    )
+
+    # update + insert (the default): matched replaced, rest appended,
+    # NULL key inserted (never matches)
+    t = mk("m_ui")
+    rep = tl.merge_rows(spark, t, src, ["k"])
+    assert (rep["version"], rep["n_deleted"], rep["n_inserted"]) == (1, 2, 4)
+    got = sorted(((r.k, r.v) for r in tl.read_version(spark, t).collect()),
+                 key=key)
+    exp = sorted(
+        [(i, i * 10) for i in range(10) if i not in (3, 5)]
+        + [(3, 999), (5, 555), (42, 420), (None, 7)],
+        key=key,
+    )
+    assert got == exp
+    assert tl.read_version(spark, t, 0).count() == 10  # travel intact
+    assert tl.history(spark, t)[-1]["mode"] == "merge"
+
+    # widened-nullability read path: the merge landed a NULL k in a
+    # table whose v0 schema recorded k non-nullable (spark.range) —
+    # the DataSource batch read must deliver it, not NPE
+    spark.dataSource.register(ss.TablelogDataSource)
+    ds = sorted(
+        ((r.k, r.v) for r in
+         spark.read.format("tablelog").load(t).collect()),
+        key=key,
+    )
+    assert ds == exp
+
+    # update + ignore: matched only; NULL-key source rows dropped
+    t = mk("m_uig")
+    rep = tl.merge_rows(spark, t, src, ["k"], when_not_matched="ignore")
+    assert (rep["n_deleted"], rep["n_inserted"]) == (2, 2)
+    got = sorted(((r.k, r.v) for r in tl.read_version(spark, t).collect()),
+                 key=key)
+    assert got == sorted(
+        [(i, i * 10) for i in range(10) if i not in (3, 5)]
+        + [(3, 999), (5, 555)],
+        key=key,
+    )
+
+    # delete + insert: matched removed, unmatched (incl. NULL) appended
+    t = mk("m_di")
+    rep = tl.merge_rows(spark, t, src, ["k"], when_matched="delete")
+    assert (rep["n_deleted"], rep["n_inserted"]) == (2, 2)
+    got = sorted(((r.k, r.v) for r in tl.read_version(spark, t).collect()),
+                 key=key)
+    assert got == sorted(
+        [(i, i * 10) for i in range(10) if i not in (3, 5)]
+        + [(42, 420), (None, 7)],
+        key=key,
+    )
+
+    # delete + ignore: pure keyed delete
+    t = mk("m_dig")
+    rep = tl.merge_rows(
+        spark, t, src, ["k"],
+        when_matched="delete", when_not_matched="ignore",
+    )
+    assert (rep["n_deleted"], rep["n_inserted"]) == (2, 0)
+    assert tl.read_version(spark, t).count() == 8
+
+    # no-op merge publishes nothing
+    t = mk("m_noop")
+    only_new = spark.createDataFrame([(77, 1)], "k long, v long")
+    rep = tl.merge_rows(
+        spark, t, only_new, ["k"],
+        when_matched="delete", when_not_matched="ignore",
+    )
+    assert rep == {"version": 0, "n_deleted": 0, "n_inserted": 0}
+    assert tl.current_version(spark, t) == 0
+
+    # guards
+    t = mk("m_guards")
+    with pytest.raises(ValueError, match="duplicate source key"):
+        tl.merge_rows(
+            spark, t,
+            spark.createDataFrame([(3, 1), (3, 2)], "k long, v long"),
+            ["k"],
+        )
+    with pytest.raises(ValueError, match="schema differs"):
+        tl.merge_rows(
+            spark, t,
+            spark.createDataFrame([(3, "x")], "k long, v string"),
+            ["k"],
+        )
+    with pytest.raises(ValueError, match="when_matched"):
+        tl.merge_rows(spark, t, src, ["k"], when_matched="upsert")
+    with pytest.raises(ValueError, match="when_not_matched"):
+        tl.merge_rows(spark, t, src, ["k"], when_not_matched="drop")
+    with pytest.raises(ValueError, match="key columns not in source"):
+        tl.merge_rows(spark, t, src, ["nope"])
+    with pytest.raises(ValueError, match="at least one key"):
+        tl.merge_rows(spark, t, src, [])
+
+    # DV-aware matching: a row already deletion-vector-deleted must
+    # not be re-matched (its position is not live), and the merge's
+    # vector must not resurrect it
+    t = mk("m_dv")
+    tl.delete_rows(spark, t, F.col("k") == 3)          # v1: DV-delete k=3
+    rep = tl.merge_rows(spark, t, src, ["k"])          # v2: merge
+    assert rep["n_deleted"] == 1  # only k=5 is live-matched
+    got = sorted(((r.k, r.v) for r in tl.read_version(spark, t).collect()),
+                 key=key)
+    # k=3 comes back as the source's INSERT row (it no longer matched)
+    assert (3, 999) in got and (3, 30) not in got
+
+    # chained merges: the second merge's vector names the FIRST
+    # merge's appended files (they are prev files by then)
+    src2 = spark.createDataFrame([(42, 4242), (None, 8)], "k long, v long")
+    rep2 = tl.merge_rows(spark, t, src2, ["k"])
+    assert rep2["n_deleted"] == 1  # 42's postimage from merge-1
+    got = sorted(((r.k, r.v) for r in tl.read_version(spark, t).collect()),
+                 key=key)
+    assert (42, 4242) in got and (42, 420) not in got
+    # NULL-keyed rows never match: both NULL inserts survive
+    assert [x for x in got if x[0] is None] == [(None, 7), (None, 8)]
+
+
+def test_merge_feeds_cdf_mv_and_streams(spark, tmp_path):
+    """X144 composition: a merge version flows through (a) batch
+    table_changes as exact D-preimage + I rows, (b) the X140 change
+    feed STREAM, (c) the X134 incremental MV WITHOUT keys= (the
+    overwrite path is the only one still needing keys), (d) the X142
+    streaming MV, and (e) the append stream refuses it unless
+    ignore_deletes (then delivers only the appended rows)."""
+    from tableone_pyspark_spark.sources import mv
+    import tableone_pyspark_spark.sources.stream_source as ss
+
+    key = lambda x: (x[0] is None, x[0])  # noqa: E731
+    t = str(tmp_path / "mf_src")
+    base = spark.range(12).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 3).cast("string").alias("g"),
+        (F.col("id") * 10).alias("v"),
+    )
+    tl.commit(spark, base.coalesce(2), t)                      # v0
+    dst = str(tmp_path / "mf_mv")
+    r1 = mv.refresh_aggregate(spark, t, dst, ["g"], ["v"])
+    assert r1["mode"] == "full"
+
+    # merge: move k=3 (g '0') value 30->3000, insert k=50 (g '2')
+    src = spark.createDataFrame(
+        [(3, "0", 3000), (50, "2", 500)], "k long, g string, v long"
+    )
+    tl.merge_rows(spark, t, src, ["k"])                        # v1
+
+    # (a) batch feed
+    ch = tl.table_changes(spark, t, 0)
+    d = [(r.k, r.g, r.v) for r in ch.where(F.col("op") == "D").collect()]
+    i = sorted(
+        ((r.k, r.g, r.v) for r in ch.where(F.col("op") == "I").collect()),
+        key=lambda x: x[0],
+    )
+    assert d == [(3, "0", 30)] and i == [(3, "0", 3000), (50, "2", 500)]
+
+    # (c) incremental MV over the merge, NO keys= needed
+    r2 = mv.refresh_aggregate(spark, t, dst, ["g"], ["v"])
+    assert r2["mode"] == "incremental", r2
+    got = {
+        r.g: (r.n, r.sum_v)
+        for r in tl.read_version(spark, dst).collect()
+    }
+    live = tl.read_version(spark, t)
+    exp = {
+        r.g: (r.n, r.sum_v)
+        for r in live.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("sum_v"))
+        .collect()
+    }
+    assert got == exp, (got, exp)
+
+    # (b) + (d): change-feed stream and streaming MV across the merge
+    spark.dataSource.register(ss.TablelogDataSource)
+    dst2 = str(tmp_path / "mf_mv2")
+    q = (
+        mv.streaming_refresh(
+            spark, t, dst2, ["g"], ["v"], str(tmp_path / "mf_ck")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got2 = {
+        r.g: (r.n, r.sum_v)
+        for r in tl.read_version(spark, dst2).collect()
+    }
+    assert got2 == exp, (got2, exp)
+
+    # (e) append stream: refuse; ignore_deletes delivers appends only
+    with pytest.raises(Exception, match="is a merge"):
+        qq = (
+            spark.readStream.format("tablelog").load(t)
+            .writeStream.format("memory").queryName("mf_app")
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        qq.awaitTermination()
+    q3 = (
+        spark.readStream.format("tablelog")
+        .option("ignore_deletes", "true").load(t)
+        .writeStream.format("memory").queryName("mf_app2")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q3.awaitTermination()
+    assert spark.table("mf_app2").count() == 14  # 12 snapshot + 2 appended
+
+
+def test_merge_duplicate_keyed_target_multiplicity(spark, tmp_path):
+    """Delta MERGE multiplicity (review r14): a TARGET holding two
+    rows with the same key gets EACH row updated — the merge retracts
+    both positions and appends two postimages, never silently
+    collapsing the pair to one row."""
+    t = str(tmp_path / "m_mult")
+    dup_target = spark.createDataFrame(
+        [(5, 50), (5, 51), (7, 70)], "k long, v long"
+    )
+    tl.commit(spark, dup_target.coalesce(1), t)
+    rep = tl.merge_rows(
+        spark, t,
+        spark.createDataFrame([(5, 999)], "k long, v long"),
+        ["k"],
+    )
+    assert (rep["n_deleted"], rep["n_inserted"]) == (2, 2), rep
+    got = sorted((r.k, r.v) for r in tl.read_version(spark, t).collect())
+    assert got == [(5, 999), (5, 999), (7, 70)], got
