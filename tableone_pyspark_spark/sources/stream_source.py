@@ -135,6 +135,28 @@ def _norm(p: str) -> str:
     return unquote(urlparse(p).path) or p
 
 
+def _version_at(table: str, ts_raw: str) -> int:
+    """X145 — the pyarrow-side twin of ``tablelog.version_at``:
+    greatest version with committed_at <= ts, newest-first scan.
+    ``ts_raw`` is the DataSource option string — epoch seconds or an
+    ISO-8601 timestamp."""
+    try:
+        ts = float(ts_raw)
+    except ValueError:
+        from datetime import datetime
+
+        ts = datetime.fromisoformat(ts_raw).timestamp()
+    cur = _current_version(table)
+    if cur is None:
+        raise ValueError(f"no such versioned table: {table}")
+    for v in range(cur, -1, -1):
+        if _doc(table, v)["committed_at"] <= ts:
+            return v
+    raise ValueError(
+        f"timestamp {ts_raw} is before {table}'s first commit"
+    )
+
+
 def _widened(schema_json: str) -> StructType:
     """The doc's schema with nullability WIDENED to true at every
     nesting level — the declared READ schema. Parquet read-back widens
@@ -746,12 +768,26 @@ class TablelogDataSource(DataSource):
     def _flag(self, name: str) -> bool:
         return str(self.options.get(name, "false")).lower() == "true"
 
+    def _resolve_version(self, cur: int) -> int:
+        """version / timestamp option -> the version to read (X145:
+        .option('timestamp', <epoch|ISO>) is Delta's TIMESTAMP AS OF;
+        mutually exclusive with version)."""
+        v = self.options.get("version")
+        ts = self.options.get("timestamp")
+        if v is not None and ts is not None:
+            raise ValueError(
+                "pass .option('version', N) OR .option('timestamp', "
+                "TS), not both"
+            )
+        if ts is not None:
+            return _version_at(self._table(), ts)
+        return cur if v is None else int(v)
+
     def schema(self):
         cur = _current_version(self._table())
         if cur is None:
             raise ValueError(f"no such versioned table: {self._table()}")
-        v = self.options.get("version")
-        v = cur if v is None else int(v)
+        v = self._resolve_version(cur)
         if not 0 <= v <= cur:
             raise ValueError(
                 f"version {v} not in [0, {cur}] for {self._table()}"
@@ -785,10 +821,17 @@ class TablelogDataSource(DataSource):
                 "(spark.readStream.format('tablelog')); for batch CDC "
                 "use tablelog.table_changes(keys=...)"
             )
-        v = self.options.get("version")
-        return _TablelogBatchReader(
-            self._table(), None if v is None else int(v)
-        )
+        cur = _current_version(self._table())
+        if cur is None:
+            raise ValueError(f"no such versioned table: {self._table()}")
+        if (
+            self.options.get("version") is None
+            and self.options.get("timestamp") is None
+        ):
+            v = None
+        else:
+            v = self._resolve_version(cur)
+        return _TablelogBatchReader(self._table(), v)
 
     def streamReader(self, schema):
         if self._flag("read_changes"):

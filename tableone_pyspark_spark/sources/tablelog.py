@@ -536,14 +536,56 @@ def _file_may_match(st: dict, col: str, op: str, val) -> bool:
     return True
 
 
+def version_at(spark: SparkSession, table: str, ts) -> int:
+    """X145 — resolve a wall-clock instant to a version (Delta's
+    ``TIMESTAMP AS OF``): the version that was CURRENT at ``ts``,
+    i.e. the greatest version with ``committed_at <= ts``. ``ts``
+    accepts epoch seconds (int/float), a ``datetime`` (naive = local
+    time, the Python convention), or an ISO-8601 string.
+
+    Resolution scans version docs NEWEST-first and stops at the first
+    commit at-or-before ``ts`` — O(versions committed after ts), the
+    recent-timestamp common case, never a full log walk for "the
+    table as of an hour ago" on a long-lived table. A ``ts`` before
+    the first commit raises (Delta's earliest-version error); a
+    ``ts`` in the future resolves to the current version.
+
+    Caveat (documented, same as pre-in-commit-timestamp Delta):
+    ``committed_at`` is the writer's wall clock, so cross-writer
+    clock skew can make timestamps locally non-monotone; the
+    newest-first first-match rule keeps the answer deterministic
+    (the greatest qualifying version wins)."""
+    if hasattr(ts, "timestamp"):  # datetime
+        ts = ts.timestamp()
+    elif isinstance(ts, str):
+        from datetime import datetime
+
+        ts = datetime.fromisoformat(ts).timestamp()
+    ts = float(ts)
+    cur = current_version(spark, table)
+    if cur is None:
+        raise ValueError(f"no such versioned table: {table}")
+    for v in range(cur, -1, -1):
+        if _version_doc(spark, table, v)["committed_at"] <= ts:
+            return v
+    raise ValueError(
+        f"timestamp {ts} is before {table}'s first commit "
+        f"(v0 committed_at="
+        f"{_version_doc(spark, table, 0)['committed_at']})"
+    )
+
+
 def read_version(
     spark: SparkSession,
     table: str,
     version: int | None = None,
     prune: list[tuple] | None = None,
+    as_of=None,
 ) -> DataFrame:
     """The table at ``version`` (default: latest) — time travel is
-    just resolving an older file list. An EMPTY version (overwrite of
+    just resolving an older file list. ``as_of`` (X145, mutually
+    exclusive with ``version``) time-travels by TIMESTAMP via
+    :func:`version_at`. An EMPTY version (overwrite of
     an empty frame) returns an empty DataFrame with the committed
     schema.
 
@@ -558,9 +600,13 @@ def read_version(
     The predicate is an IO hint only — apply the real ``filter`` on
     the returned frame (parquet row-group pushdown then finishes the
     job inside each kept file)."""
+    if as_of is not None and version is not None:
+        raise ValueError("pass version= OR as_of=, not both")
     cur = current_version(spark, table)
     if cur is None:
         raise ValueError(f"no such versioned table: {table}")
+    if as_of is not None:
+        version = version_at(spark, table, as_of)
     v = cur if version is None else version
     if not 0 <= v <= cur:
         raise ValueError(f"version {v} not in [0, {cur}] for {table}")

@@ -1804,3 +1804,62 @@ def test_merge_duplicate_keyed_target_multiplicity(spark, tmp_path):
     assert (rep["n_deleted"], rep["n_inserted"]) == (2, 2), rep
     got = sorted((r.k, r.v) for r in tl.read_version(spark, t).collect())
     assert got == [(5, 999), (5, 999), (7, 70)], got
+
+
+def test_timestamp_time_travel(spark, tmp_path):
+    """X145 — TIMESTAMP AS OF: version_at resolves an instant to the
+    version current at that time (greatest committed_at <= ts);
+    read_version(as_of=) and the DataSource .option('timestamp')
+    read that version; before-first-commit raises, future resolves
+    to latest; datetime and ISO-string inputs accepted."""
+    import time as _time
+    from datetime import datetime
+
+    import tableone_pyspark_spark.sources.stream_source as ss
+
+    t = str(tmp_path / "ts_travel")
+    marks = []
+    for v in range(3):
+        tl.commit(
+            spark,
+            spark.range(v * 5, v * 5 + 5).select(F.col("id").alias("k")),
+            t,
+        )
+        marks.append(_time.time())  # strictly after commit v
+        _time.sleep(0.02)
+
+    for v, m in enumerate(marks):
+        assert tl.version_at(spark, t, m) == v
+    assert tl.version_at(spark, t, _time.time() + 3600) == 2  # future
+    with pytest.raises(ValueError, match="before"):
+        tl.version_at(spark, t, marks[0] - 10)
+    # datetime + ISO forms
+    assert tl.version_at(spark, t, datetime.fromtimestamp(marks[1])) == 1
+    assert (
+        tl.version_at(
+            spark, t, datetime.fromtimestamp(marks[1]).isoformat()
+        )
+        == 1
+    )
+
+    assert tl.read_version(spark, t, as_of=marks[0]).count() == 5
+    assert tl.read_version(spark, t, as_of=marks[1]).count() == 10
+    with pytest.raises(ValueError, match="not both"):
+        tl.read_version(spark, t, version=1, as_of=marks[1])
+
+    spark.dataSource.register(ss.TablelogDataSource)
+    assert (
+        spark.read.format("tablelog")
+        .option("timestamp", str(marks[1]))
+        .load(t)
+        .count()
+        == 10
+    )
+    iso = datetime.fromtimestamp(marks[0]).isoformat()
+    assert (
+        spark.read.format("tablelog").option("timestamp", iso)
+        .load(t).count() == 5
+    )
+    with pytest.raises(Exception, match="not both"):
+        spark.read.format("tablelog").option("timestamp", str(marks[1])) \
+            .option("version", 1).load(t).count()
