@@ -1347,10 +1347,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # and the engine's interpolated arm grades through the _INTERP
     # tableone variants (core/sufficient.py:116); a custom probs array
     # beyond quartiles is the same expression with different literals,
-    # graded through winsorize_prices' exact arm (stats.py:538, probs
-    # 0.01/0.99); the date_trunc(unit, ts).cast(date) grouping key is
-    # the verbatim shape retention_cohorts grades at week grain
-    # (operators/relational.py:304) and data_gaps at minute grain
+    # graded through price_cuts' (né winsorize_prices) exact arm
+    # (stats.py:538, probs 0.01/0.99); the date_trunc(unit,
+    # ts).cast(date) grouping key is the verbatim shape
+    # retention_cohorts grades at week grain
+    # (operators/relational.py:304) and resample_gaps' detector arm
+    # (né data_gaps) at minute grain
     # (functions/events.py:186) — the unit is a literal argument, not
     # a branch. An inline groupBy composition with no state and no
     # joins: the events_hourly r9 deletion class.)
@@ -1369,16 +1371,61 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["seasonality"] = seasonality
 
-    def data_gaps(spark, sf_dir):
-        from tableone_pyspark_spark.functions.events import data_gaps as dg
+    # (data_gaps was REPLACED in r14 by the strict superset
+    # resample_gaps below, the tablelog_travel->tablelog_dv_read
+    # precedent applied to a row already in this round's front — zero
+    # displacement: data_gaps was r12-graded and due this round, the
+    # superset grades in its slot. The new row runs the IDENTICAL
+    # detector call — data_gaps(min_gap_minutes=30) over the same
+    # deterministic 1/29 slice — and emits the same three values per
+    # gap (start/end carried as epoch-second doubles, an invertible
+    # recoding of the minute-truncated timestamps the predecessor
+    # emitted, gap_minutes unchanged), then ADDS the detector's
+    # transform twin: X119 resample_interpolate, the grid-interpolation
+    # operator VERDICT r13 ask #5 shortlisted as SQL-replayable.
+    # Nothing data_gaps graded is left ungraded.)
+    def resample_gaps_q(spark, sf_dir):
+        # X119 hard gate: per-key linear interpolation onto an aligned
+        # 30-min grid (functions/events.py resample_interpolate — two
+        # bounded aggs + one sequence-explode + one key-partitioned
+        # window pass; grid size is span/interval per key, independent
+        # of event count) next to the r12-green gap detector on the
+        # sparse slice. max_gap_seconds=7200 exercises the
+        # don't-bridge-an-outage NULL path on real 2h+ holes. The
+        # oracle replays the exact same IEEE arithmetic (tie-average,
+        # last/first IGNORE NULLS fences, v_prev + (v_next-v_prev)*frac
+        # in the same order) so ROUND(.,6) agrees bit-for-bit.
+        from tableone_pyspark_spark.functions.events import (
+            data_gaps as dg,
+            resample_interpolate,
+        )
 
-        # the dense synthetic feed has no 30-min holes; a sparse
-        # deterministic slice (~1/29 of events) opens real gaps so the
-        # detector path is exercised
-        ev = _load(spark, sf_dir, "events").where(F.col("event_id") % 29 == 0)
-        return dg(ev, min_gap_minutes=30)
+        ev = _load(spark, sf_dir, "events")
+        sparse = ev.where(F.col("event_id") % 29 == 0)
+        gaps = dg(sparse, min_gap_minutes=30).select(
+            F.lit("gap").alias("arm"),
+            F.lit(None).cast("string").alias("key"),
+            F.col("gap_start").cast("double").alias("t"),
+            F.col("gap_end").cast("double").alias("t2"),
+            F.col("gap_minutes").alias("val"),
+        )
+        rs = resample_interpolate(
+            ev,
+            "event_type",
+            "ts",
+            "value",
+            interval_seconds=1800,
+            max_gap_seconds=7200,
+        ).select(
+            F.lit("resample").alias("arm"),
+            F.col("event_type").alias("key"),
+            F.col("ts").cast("double").alias("t"),
+            F.lit(None).cast("double").alias("t2"),
+            F.round("value", 6).alias("val"),
+        )
+        return gaps.unionByName(rs)
 
-    q["data_gaps"] = data_gaps
+    q["resample_gaps"] = resample_gaps_q
 
     # ---- streaming TableOne (real Structured Streaming execution) -------
     # (stream_hourly was DELETED in r13 to fund k_anon_orders: every
@@ -1748,11 +1795,63 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["chunk_docs"] = chunk_docs
 
-    def winsorize_prices(spark, sf_dir):
+    # (winsorize_prices was REPLACED in r14 by the strict superset
+    # price_cuts below — zero displacement: the predecessor was
+    # r12-graded and due this round, the superset grades in its slot.
+    # The new row runs the IDENTICAL winsorize_stats call (same
+    # column, same 0.01/0.99 bounds) and re-emits all seven of its
+    # values as melted metric rows (counts carried as exact doubles),
+    # then ADDS X127, the quantile-cut Bucketizer artifact VERDICT r13
+    # ask #5 shortlisted: fit_quantile_cuts octiles (exact=True — the
+    # interpolated-percentile mode whose DuckDB quantile_cont equality
+    # the predecessor's own oracle proved on this very column; the
+    # default GK-sketch mode is NOT oracle-exact, verified empirically
+    # this round, and stays covered by tests/test_plans.py) applied as
+    # literal comparisons with per-bucket count + mean checksums.
+    # Nothing winsorize_prices graded is left ungraded.)
+    def price_cuts_q(spark, sf_dir):
+        # X127 hard gate: fit once (one bounded agg), apply as a pure
+        # literal-fold projection (operators/stats.py
+        # fit_quantile_cuts/apply_quantile_cuts), checksum per bucket.
         li = _load(spark, sf_dir, "lineitem")
-        return ops.winsorize_stats(li, "l_extendedprice", lower=0.01, upper=0.99)
+        win = ops.winsorize_stats(
+            li, "l_extendedprice", lower=0.01, upper=0.99
+        ).selectExpr(
+            "stack(7, 'p_low', p_low, 'p_high', p_high, "
+            "'n', CAST(n AS DOUBLE), 'n_below', CAST(n_below AS DOUBLE), "
+            "'n_above', CAST(n_above AS DOUBLE), 'mean_before', mean_before, "
+            "'mean_after', mean_after) AS (metric, val)"
+        ).select(
+            F.lit("winsorize").alias("arm"),
+            "metric",
+            F.lit(None).cast("int").alias("bucket"),
+            "val",
+        )
+        cuts = ops.fit_quantile_cuts(
+            li, "l_extendedprice", n_buckets=8, exact=True
+        )
+        cut_rows = spark.createDataFrame(
+            [(i, c) for i, c in enumerate(cuts)], "bucket int, raw double"
+        ).select(
+            F.lit("cuts").alias("arm"),
+            F.lit("cut").alias("metric"),
+            "bucket",
+            F.round("raw", 6).alias("val"),
+        )
+        x = F.col("l_extendedprice").cast("double")
+        buckets = (
+            ops.apply_quantile_cuts(li, "l_extendedprice", cuts)
+            .groupBy("bucket")
+            .agg(
+                F.count(F.lit(1)).cast("double").alias("n"),
+                F.round(F.avg(x), 6).alias("mean"),
+            )
+            .selectExpr("bucket", "stack(2, 'n', n, 'mean', mean) AS (metric, val)")
+            .select(F.lit("buckets").alias("arm"), "metric", "bucket", "val")
+        )
+        return win.unionByName(cut_rows).unionByName(buckets)
 
-    q["winsorize_prices"] = winsorize_prices
+    q["price_cuts"] = price_cuts_q
 
     # (weighted_stats was DELETED in r10 to fund stream_cms: its
     # weighted_group_stats output is plain arithmetic of the three
@@ -2172,19 +2271,64 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["pack_sequences"] = pack_sequences_q
 
-    def weighted_sample_q(spark, sf_dir):
-        # quality-proportional deterministic resampling
-        from tableone_pyspark_spark.operators.sampling import weighted_sample
+    # (weighted_sample was REPLACED in r14 by the strict superset
+    # sample_splits below — zero displacement: the predecessor was
+    # r12-graded and due this round, the superset grades in its slot.
+    # The new row runs the IDENTICAL weighted_sample call (same fence,
+    # same salt, same quality weight) and emits the same per-doc
+    # (doc_id, rounded quality) rows as its first arm, then ADDS the
+    # two split operators VERDICT r13 ask #5 shortlisted as
+    # SQL-replayable: X116 grouped_split (leakage-safe multi-way split
+    # on the documents GROUP key `source` — every row of one source
+    # lands in one split, the grouped-CV guard; cumulative truncated
+    # bucket cuts over the same graded split_bucket lattice) and X128
+    # temporal_split (purged time split with a 1-day EMBARGO over
+    # events — strict train < cut, test >= cut+embargo, the gap
+    # labeled 'embargo', row-level so the boundary semantics are
+    # hash-visible). Nothing weighted_sample graded is left ungraded.)
+    def sample_splits_q(spark, sf_dir):
+        # X116 + X128 hard gate next to the r12-green quality sampler.
+        # All three arms are pure projections of (key, salt) /
+        # (ts, cut): no shuffle beyond the final union's partitions.
+        from tableone_pyspark_spark.operators.sampling import (
+            grouped_split,
+            temporal_split,
+            weighted_sample,
+        )
 
         d = _load(spark, sf_dir, "documents")
         # weight_col => quality_score is evaluated once (fenced), not
         # re-inlined into the filter by predicate pushdown
-        out = weighted_sample(
+        ws = weighted_sample(
             d, "doc_id", tx.quality_score(F.col("text")), weight_col="q"
+        ).select(
+            F.lit("wsample").alias("arm"),
+            F.col("doc_id").alias("id"),
+            F.lit(None).cast("string").alias("label"),
+            F.round("q", 6).alias("val"),
         )
-        return out.select("doc_id", F.round("q", 6).alias("quality"))
+        gs = grouped_split(
+            d, F.col("source"), {"train": 0.8, "val": 0.1, "test": 0.1}
+        ).select(
+            F.lit("grouped").alias("arm"),
+            F.col("doc_id").alias("id"),
+            F.col("split").alias("label"),
+            F.lit(None).cast("double").alias("val"),
+        )
+        ts = temporal_split(
+            _load(spark, sf_dir, "events"),
+            "ts",
+            "2024-01-20 00:00:00",
+            embargo_seconds=86_400,
+        ).select(
+            F.lit("temporal").alias("arm"),
+            F.col("event_id").alias("id"),
+            F.col("split").alias("label"),
+            F.lit(None).cast("double").alias("val"),
+        )
+        return ws.unionByName(gs).unionByName(ts)
 
-    q["weighted_sample"] = weighted_sample_q
+    q["sample_splits"] = sample_splits_q
 
     def cms_counts(spark, sf_dir):
         # X99 Count-Min artifacts end-to-end: two partial builds
@@ -3161,8 +3305,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #     pair arithmetic (kmeans_profile precedent);
     #   - daily_quantiles: the exact percentile(col, array(...))
     #     grouped agg cont_stats_by_group grades char-identically +
-    #     winsorize_prices' custom-probs arm + retention_cohorts' /
-    #     data_gaps' date_trunc keys — an inline composition with no
+    #     price_cuts' custom-probs winsorize arm + retention_cohorts' /
+    #     resample_gaps' date_trunc keys — an inline composition with no
     #     operator state (events_hourly r9 class);
     #   - profile_drift: two verbatim data_profile passes
     #     (profile_lineitem, this front) + the cat_pivot-graded melt +
@@ -3240,13 +3384,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # three superset deletions free exactly three r15 slots, so the
     # arithmetic closes: r15 front = 3 displaced + 47 r13-graded
     # stale-1s = 50, zero net displacement across the two rounds.
+    # ADDITIONALLY (VERDICT r13 ask #5, "grade two-to-three more from
+    # the carried shortlist as slots permit"): slots permit at ZERO
+    # displacement cost by superset-replacing rows that are ALREADY in
+    # this round's front — each predecessor was r12-graded and due
+    # this round, so its superset grades in the very slot it occupied:
+    #   - weighted_sample -> sample_splits (adds X116 grouped_split +
+    #     X128 temporal_split; argument at the queries() site);
+    #   - data_gaps -> resample_gaps (adds X119 resample_interpolate);
+    #   - winsorize_prices -> price_cuts (adds X127 quantile cuts).
+    # Each re-grades everything its predecessor graded (same operator
+    # calls, same values — recodings argued in place) and the r15
+    # arithmetic is UNCHANGED: the three new rows are r14-graded
+    # stale-0s exactly as their predecessors would have been.
     _front = [
         # the r13 displacement leads (VERDICT r13 ask #1)
         "bloom_probe",
         # new this round (funded by the three superset replacements)
         "tablelog_lifecycle", "wap_commit", "mv_lifecycle",
         # the 46 surviving r12-graded stale-1s, window_plan.py order
-        # (heavy_hitters, nfc_keys, pca_project displaced to r15)
+        # (heavy_hitters, nfc_keys, pca_project displaced to r15;
+        # weighted_sample/data_gaps/winsorize_prices superset-replaced
+        # IN THEIR OWN SLOTS by sample_splits/resample_gaps/price_cuts)
         "cont_stats_by_group", "ttest_stat", "anova_stat", "chi2_stat",
         "tableone_unstrat", "tableone_orders", "weighted_quantiles_cont",
         "tableone_strat_dataq", "tableone_beautify", "tableone_joined",
@@ -3255,11 +3414,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fence_single_eval", "lm_perplexity", "dedup_clusters",
         "ivfpq_recall", "salted_collect", "semantic_dedup_keep",
         "value_histogram", "hourly_anomalies", "seasonality",
-        "data_gaps", "stream_enriched", "stream_sessions_builtin",
+        "resample_gaps", "stream_enriched", "stream_sessions_builtin",
         "profile_lineitem", "filter_funnel", "corr_matrix", "chunk_docs",
-        "winsorize_prices", "jpeg_decode_stats", "gif_decode_stats",
+        "price_cuts", "jpeg_decode_stats", "gif_decode_stats",
         "stream_dedup", "stream_bloom", "resize_stats", "pack_sequences",
-        "weighted_sample", "cms_counts", "warc_pipeline", "stream_cms",
+        "sample_splits", "cms_counts", "warc_pipeline", "stream_cms",
         "wds_shards", "snapshot_diff",
     ]
     assert len(_front) == 50 and len(set(_front)) == 50
@@ -3702,12 +3861,31 @@ def oracle_sql() -> dict[str, str]:
         "FROM per WHERE q >= 0.55"
     )
 
-    # quality-proportional hashed sampling
-    o["weighted_sample"] = (
+    # sample_splits (superset of the r12-graded weighted_sample, whose
+    # quality-proportional arm is replayed verbatim): grouped_split's
+    # cumulative truncated cuts over the split_bucket lattice
+    # (int(10000*0.8)=8000, int(10000*(0.8+0.1))=9000 — the same
+    # float-accumulation truncation the operator computes) and
+    # temporal_split's three-way purged cut replayed as chained ts
+    # comparisons (events.ts is a parquet TIMESTAMP; try_cast is the
+    # identity there, and a NULL ts would label 'unknown' on both
+    # sides).
+    o["sample_splits"] = (
         f"WITH per AS (SELECT doc_id, {QUALITY} AS q FROM documents), "
-        f"h AS (SELECT doc_id, q, {_bucket('doc_id', 'wsample-v1')} AS b FROM per) "
-        "SELECT doc_id, ROUND(q, 6) AS quality FROM h "
-        "WHERE b < floor(least(greatest(q, 0), 1) * 10000)"
+        f"h AS (SELECT doc_id, q, {_bucket('doc_id', 'wsample-v1')} AS b FROM per), "
+        f"g AS (SELECT doc_id, {_bucket('source', 'grouped-split-v1')} AS b "
+        "FROM documents) "
+        "SELECT 'wsample' AS arm, doc_id AS id, CAST(NULL AS VARCHAR) AS label, "
+        "ROUND(q, 6) AS val FROM h "
+        "WHERE b < floor(least(greatest(q, 0), 1) * 10000) "
+        "UNION ALL SELECT 'grouped', doc_id, "
+        "CASE WHEN b < 8000 THEN 'train' WHEN b < 9000 THEN 'val' "
+        "ELSE 'test' END, CAST(NULL AS DOUBLE) FROM g "
+        "UNION ALL SELECT 'temporal', event_id, "
+        "CASE WHEN ts IS NULL THEN 'unknown' "
+        "WHEN ts < TIMESTAMP '2024-01-20 00:00:00' THEN 'train' "
+        "WHEN ts >= TIMESTAMP '2024-01-21 00:00:00' THEN 'test' "
+        "ELSE 'embargo' END, CAST(NULL AS DOUBLE) FROM events"
     )
 
     # PII profile over the customer contact blob (injected email on
@@ -4822,13 +5000,50 @@ def oracle_sql() -> dict[str, str]:
         "SELECT CAST(dow AS INT) AS dow, hour, n, "
         "ROUND(CAST(n AS DOUBLE) / total, 6) AS share FROM c, t"
     )
-    o["data_gaps"] = (
+    # resample_gaps (superset of the r12-graded data_gaps, whose
+    # detector arm is replayed verbatim — start/end recoded as epoch
+    # doubles): the resample arm replays resample_interpolate's exact
+    # relational shape — (key, instant) tie-average, per-key aligned
+    # grid, opposite-tie-order IGNORE NULLS fences, and the
+    # interpolation in the operator's own operand order so ROUND(.,6)
+    # agrees bit-for-bit; ticks inside a gap > 7200 s stay NULL on
+    # both sides (don't bridge an outage).
+    o["resample_gaps"] = (
         "WITH m AS (SELECT date_trunc('minute', ts) AS m FROM events "
         "WHERE event_id % 29 = 0 GROUP BY 1), "
         "l AS (SELECT lag(m) OVER (ORDER BY m) AS gap_start, m AS gap_end, "
-        "(epoch(m) - epoch(lag(m) OVER (ORDER BY m))) / 60.0 AS gap_minutes FROM m) "
-        "SELECT gap_start, gap_end, ROUND(gap_minutes, 6) AS gap_minutes "
-        "FROM l WHERE gap_minutes > 30"
+        "(epoch(m) - epoch(lag(m) OVER (ORDER BY m))) / 60.0 AS gap_minutes FROM m), "
+        "obs AS (SELECT event_type AS key, epoch(ts) AS t, "
+        "avg(CAST(value AS DOUBLE)) AS v FROM events "
+        "WHERE event_type IS NOT NULL AND ts IS NOT NULL "
+        "AND value IS NOT NULL AND NOT isnan(CAST(value AS DOUBLE)) "
+        "GROUP BY 1, 2), "
+        "spans AS (SELECT key, CAST(ceil(min(t) / 1800) AS BIGINT) * 1800 AS lo, "
+        "CAST(floor(max(t) / 1800) AS BIGINT) * 1800 AS hi FROM obs GROUP BY 1), "
+        "grid AS (SELECT key, CAST(ti AS DOUBLE) AS t FROM spans, "
+        "unnest(range(lo, hi + 1, 1800)) AS u(ti) WHERE hi >= lo), "
+        "un AS (SELECT key, t, v, 0 AS is_grid FROM obs "
+        "UNION ALL SELECT key, t, CAST(NULL AS DOUBLE), 1 FROM grid), "
+        "w AS (SELECT key, t, is_grid, "
+        "last_value(v IGNORE NULLS) OVER wb AS prev_v, "
+        "last_value(CASE WHEN v IS NOT NULL THEN t END IGNORE NULLS) "
+        "OVER wb AS prev_t, "
+        "first_value(v IGNORE NULLS) OVER wf AS next_v, "
+        "first_value(CASE WHEN v IS NOT NULL THEN t END IGNORE NULLS) "
+        "OVER wf AS next_t FROM un "
+        "WINDOW wb AS (PARTITION BY key ORDER BY t ASC, is_grid ASC "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), "
+        "wf AS (PARTITION BY key ORDER BY t ASC, is_grid DESC "
+        "ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)), "
+        "rs AS (SELECT key, t, CASE WHEN next_t - prev_t <= 7200 THEN "
+        "prev_v + (next_v - prev_v) * (CASE WHEN next_t = prev_t THEN 0.0 "
+        "ELSE (t - prev_t) / (next_t - prev_t) END) END AS val "
+        "FROM w WHERE is_grid = 1) "
+        "SELECT 'gap' AS arm, CAST(NULL AS VARCHAR) AS key, "
+        "epoch(gap_start) AS t, epoch(gap_end) AS t2, "
+        "ROUND(gap_minutes, 6) AS val FROM l WHERE gap_minutes > 30 "
+        "UNION ALL SELECT 'resample', key, t, CAST(NULL AS DOUBLE), "
+        "ROUND(val, 6) FROM rs"
     )
     o["stream_enriched"] = (
         "SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) * 3600 AS window_start_epoch, "
@@ -5184,16 +5399,37 @@ def oracle_sql() -> dict[str, str]:
         "WHERE bit_count(xor(a.dhash, b.dhash)) <= 8"
     )
 
-    o["winsorize_prices"] = (
-        "WITH p AS (SELECT quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.01) AS pl, "
-        "quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.99) AS ph FROM lineitem) "
-        "SELECT ROUND(any_value(pl), 6) AS p_low, ROUND(any_value(ph), 6) AS p_high, "
-        "count(l_extendedprice) AS n, "
-        "CAST(sum(CASE WHEN l_extendedprice < pl THEN 1 ELSE 0 END) AS BIGINT) AS n_below, "
-        "CAST(sum(CASE WHEN l_extendedprice > ph THEN 1 ELSE 0 END) AS BIGINT) AS n_above, "
-        "ROUND(avg(CAST(l_extendedprice AS DOUBLE)), 6) AS mean_before, "
-        "ROUND(avg(least(greatest(CAST(l_extendedprice AS DOUBLE), pl), ph)), 6) "
-        "AS mean_after FROM lineitem, p"
+    # price_cuts (superset of the r12-graded winsorize_prices, whose
+    # seven values are replayed verbatim as melted metric rows): the
+    # octile cuts are quantile_cont — the SAME interpolated-percentile
+    # equality the predecessor's 0.01/0.99 thresholds proved on this
+    # column — compared UNROUNDED in the bucket fold exactly as
+    # apply_quantile_cuts compares its unrounded fitted literals
+    # (bucket = count of cuts strictly below x).
+    _OCTILES = "[" + ", ".join(repr(i / 8) for i in range(1, 8)) + "]"
+    o["price_cuts"] = (
+        "WITH x AS (SELECT CAST(l_extendedprice AS DOUBLE) AS x FROM lineitem), "
+        "p AS (SELECT quantile_cont(x, 0.01) AS pl, "
+        "quantile_cont(x, 0.99) AS ph FROM x), "
+        "win AS (SELECT ROUND(any_value(pl), 6) AS p_low, "
+        "ROUND(any_value(ph), 6) AS p_high, "
+        "CAST(count(x) AS DOUBLE) AS n, "
+        "CAST(sum(CASE WHEN x < pl THEN 1 ELSE 0 END) AS DOUBLE) AS n_below, "
+        "CAST(sum(CASE WHEN x > ph THEN 1 ELSE 0 END) AS DOUBLE) AS n_above, "
+        "ROUND(avg(x), 6) AS mean_before, "
+        "ROUND(avg(least(greatest(x, pl), ph)), 6) AS mean_after FROM x, p), "
+        f"c AS (SELECT quantile_cont(x, {_OCTILES}) AS cs FROM x), "
+        "b AS (SELECT x.x AS x, CAST(len(list_filter(cs, e -> x.x > e)) "
+        "AS INTEGER) AS bucket FROM x, c) "
+        "SELECT 'winsorize' AS arm, metric, CAST(NULL AS INTEGER) AS bucket, "
+        "val FROM (UNPIVOT win ON p_low, p_high, n, n_below, n_above, "
+        "mean_before, mean_after INTO NAME metric VALUE val) "
+        "UNION ALL SELECT 'cuts', 'cut', CAST(i - 1 AS INTEGER), "
+        "ROUND(cs[i], 6) FROM c, unnest(generate_series(1, 7)) AS t(i) "
+        "UNION ALL SELECT 'buckets', metric, bucket, val FROM ("
+        "SELECT bucket, CAST(count(*) AS DOUBLE) AS n, "
+        "ROUND(avg(x), 6) AS mean FROM b GROUP BY 1) "
+        "UNPIVOT (val FOR metric IN (n, mean))"
     )
 
     o["chunk_docs"] = (

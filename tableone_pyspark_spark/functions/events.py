@@ -300,15 +300,27 @@ def resample_interpolate(
         .orderBy(F.col("t").asc(), F.col("is_grid").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # the forward fill ("first observation at/after this tick") is
+    # expressed as a RUNNING frame over the REVERSED ordering, NOT as
+    # first_value over [currentRow, unboundedFollowing]: Spark's
+    # unbounded-FOLLOWING frame recomputes its aggregate from scratch
+    # for every row (UnboundedFollowingWindowFunctionFrame), O(rows²)
+    # per partition — 110 s at sf0.1 on 5 keys, and quadratic death at
+    # ingest scale — while both running frames update incrementally,
+    # O(rows). Selecting "last non-null at/before current" in
+    # (t desc, is_grid asc) order picks the identical element (the
+    # equal-t tie still puts observations on the tick's forward side:
+    # descending-t with is_grid asc scans observations before the
+    # coincident grid row). Found by the r14 solo-bench protocol.
     wf = (
         Window.partitionBy("key")
-        .orderBy(F.col("t").asc(), F.col("is_grid").desc())
-        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        .orderBy(F.col("t").desc(), F.col("is_grid").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     prev_v = F.last("v", ignorenulls=True).over(wb)
     prev_t = F.last(F.when(F.col("v").isNotNull(), F.col("t")), True).over(wb)
-    next_v = F.first("v", ignorenulls=True).over(wf)
-    next_t = F.first(F.when(F.col("v").isNotNull(), F.col("t")), True).over(wf)
+    next_v = F.last("v", ignorenulls=True).over(wf)
+    next_t = F.last(F.when(F.col("v").isNotNull(), F.col("t")), True).over(wf)
     frac = F.when(
         next_t == prev_t, F.lit(0.0)
     ).otherwise((F.col("t") - prev_t) / (next_t - prev_t))

@@ -470,17 +470,25 @@ def asof_join(
     if need_f:
         # right rows last at equal __on (visible to ≥), smallest
         # (__on) first; among equal __on the greatest __tie should
-        # win → order ties DESC so first() picks it
+        # win. Expressed as a RUNNING frame over the REVERSED ordering
+        # (last() in (__on desc, __is_left asc, __tie asc) order picks
+        # the identical element first() would in (asc, desc, desc)
+        # order over [currentRow, unboundedFollowing]): Spark's
+        # unbounded-FOLLOWING frame recomputes its aggregate from
+        # scratch per row — O(rows²) per partition and quadratic death
+        # on a big per-key history — while running frames update
+        # incrementally (the resample_interpolate r14 finding, same
+        # class).
         wf = (
             Window.partitionBy(*by)
             .orderBy(
-                F.col("__on").asc(),
-                F.col("__is_left").desc(),
-                F.col("__r.__tie").desc_nulls_last(),
+                F.col("__on").desc(),
+                F.col("__is_left").asc(),
+                F.col("__r.__tie").asc_nulls_first(),
             )
-            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
-        out = out.withColumn("__mf", F.first("__r", ignorenulls=True).over(wf))
+        out = out.withColumn("__mf", F.last("__r", ignorenulls=True).over(wf))
     gb = (F.col("__on") - F.col("__mb.__on")) if need_b else None
     gf = (F.col("__mf.__on") - F.col("__on")) if need_f else None
     if direction == "backward":
