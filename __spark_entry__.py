@@ -3125,9 +3125,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # change feed as a stream (availableNow) while the source
         # stands at v2 — appends arrive as 'insert' rows, the DV
         # version as positional 'delete' rows — and must land on the
-        # exact aggregate of the v2 live set (the feed refuses
-        # mid-stream overwrites, the documented Delta-CDF boundary, so
-        # the drain runs before v3). The oracle recomputes BOTH arms
+        # exact aggregate of the v2 live set (draining at v2 anchors
+        # the stream arm's oracle; mid-stream overwrites also stream
+        # since X146 — retract-all+insert-all, pinned in pytest — but
+        # the v2 anchor keeps this row's two arms independent: one
+        # stream state, one batch final). The oracle recomputes BOTH
+        # arms
         # from the replayed slice algebra — all integer sums, so
         # incremental-vs-recompute match is exact, not roundoff-
         # tolerant.
@@ -3163,8 +3166,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 spark, src, dst, ["o_orderstatus"], ["val"]
             )
             # X142: the continuously-maintained twin, drained at v2
-            # (before the overwrite — the change feed refuses
-            # mid-stream overwrites by contract)
+            # (before the overwrite — anchors the stream arm at a
+            # state distinct from the batch arm's final; the feed
+            # ALSO streams overwrites since X146, pytest-pinned)
             qy = (
                 mv.streaming_refresh(
                     spark, src, dst2, ["o_orderstatus"], ["val"], ckp

@@ -294,13 +294,15 @@ def streaming_refresh(
     the trigger (``.trigger(availableNow=True).start()`` to drain,
     plain ``.start()`` for continuous maintenance).
 
-    Honest boundaries: the change feed refuses mid-stream OVERWRITES
-    of the source (row-level overwrite diffs need keys — use the
-    batch :func:`refresh_aggregate`, which diffs them via
-    ``table_changes(keys=...)``); and a ``dst_table`` must be
-    maintained by ONE mechanism — this stream's watermark
-    (mvstream:…) and the batch refresher's (mv:src) are independent,
-    so mixing them double-applies changes."""
+    Mid-stream source changes: keyed upserts (merge_rows) and keyless
+    overwrites both stream through the feed (X144/X146 — the
+    overwrite arrives as retract-previous-live + insert-new, so the
+    MV lands on the post-overwrite aggregate without keys); only a
+    schema-changing overwrite still fails the stream. Honest
+    boundary: a ``dst_table`` must be maintained by ONE mechanism —
+    this stream's watermark (mvstream:…) and the batch refresher's
+    (mv:src) are independent, so mixing them double-applies
+    changes."""
     _validate_cols(group_cols, sum_cols)
     from tableone_pyspark_spark.sources.stream_source import (
         TablelogDataSource,

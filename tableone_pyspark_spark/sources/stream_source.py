@@ -29,11 +29,15 @@ delivered exactly once).
     changes: .option("read_changes", "true") streams the CHANGE FEED
              instead (X140, Delta's readChangeFeed): appends as
              'insert' rows, deletion-vector versions as 'delete' rows
-             re-read by position from the original files, stamped
-             with _change_type / _commit_version — the retraction
-             feed an incremental aggregate consumes; overwrites are
-             refused loudly (keyed diffs are a batch table_changes
-             job, not a per-file read)
+             re-read by position from the original files, MERGE
+             versions as the exact delete+insert pair (X144), and
+             keyless overwrites as the previous live view retracted +
+             the new files inserted (X146 — Delta's remove-all/
+             add-all derivation), stamped with _change_type /
+             _commit_version — the retraction feed an incremental
+             aggregate consumes; only a SCHEMA-CHANGING overwrite
+             refuses (its delete side has no expression in the
+             stream's pinned schema)
 
 Honest boundary: the source resolves the log and reads parquet
 through pyarrow's FileSystem layer (local paths and any
@@ -630,16 +634,22 @@ class _TablelogCdfStreamReader(_TablelogStreamReader):
                         (sources/mv.py) consumes
       version 0       : the initial snapshot as 'insert' whatever its
                         mode (the Delta CDF starting-version rule)
-      overwrite       : REFUSED loudly — row-level changes of an
-                        overwrite need key columns to diff (a keyed
-                        join, not a per-file read); use
-                        tablelog.table_changes(keys=...) in batch.
+      overwrite       : the previous version's LIVE VIEW as 'delete'
+                        rows plus the new file list as 'insert' rows
+                        (X146 — Delta's derivation for remove-all/
+                        add-all versions, no CDC files needed); a
+                        schema-changing overwrite still refuses (its
+                        delete side has no expression in the pinned
+                        schema), and an overwrite AT the explicit
+                        starting_version is the initial snapshot.
 
-    Honest boundary vs Delta: Delta's writers record CDC files for
-    MERGE/UPDATE, so its feed covers updates; this format derives the
-    feed from the log alone, so update deliveries require the batch
-    path. Exactly-once per version via the query checkpoint, exactly
-    like the append reader."""
+    Parity vs Delta CDF: MERGE streams exact row-level pre/postimages
+    (X144), blind overwrites stream as retract-all + insert-all
+    (X146) — the full Delta change-type surface except that update
+    rows carry change_type 'delete'/'insert' pairs rather than
+    'update_preimage'/'update_postimage' labels. Exactly-once per
+    version via the query checkpoint, exactly like the append
+    reader."""
 
     def __init__(self, table: str, starting_version):
         super().__init__(table, False, False, starting_version)
@@ -732,15 +742,53 @@ class _TablelogCdfStreamReader(_TablelogStreamReader):
                     for f in row["new_files"]
                 ]
             else:
-                raise ValueError(
-                    f"version {v} of {self._table} is an overwrite — "
-                    "row-level changes of an overwrite need key "
-                    "columns to diff; use tablelog.table_changes("
-                    "keys=...) for batch CDC, or start a NEW feed "
-                    "(fresh checkpointLocation) with an explicit "
-                    f".option('starting_version', {v}) to treat it "
-                    "as the initial snapshot"
+                # X146: Delta's CDF derivation for a KEYLESS overwrite
+                # — when a version only removes files and only adds
+                # files, both change sides are derivable from the log
+                # alone: the remove side IS the previous version's
+                # live view (its files minus its vector-named
+                # positions — rows already retracted by earlier delete
+                # versions must not retract twice), delivered as
+                # 'delete' rows; the add side is the whole new file
+                # list (version_delta's overwrite rule) as 'insert'
+                # rows, masking the version's own carried vectors (a
+                # restore-published overwrite must not resurrect
+                # rows deleted at the restore target). The previous
+                # doc is ONE metadata read per overwrite version —
+                # not a derivation site, so the log_delta unification
+                # holds (the retraction is the prev doc verbatim,
+                # never a diff). Keyed upserts still route better
+                # through merge_rows (exact per-row preimages); this
+                # path is the blind INSERT OVERWRITE case.
+                pdoc = _doc(self._table, v - 1)
+                if _shape(pdoc["schema"]) != self._shape:
+                    raise ValueError(
+                        f"version {v} of {self._table} is a "
+                        "schema-changing overwrite — its delete side "
+                        "is not expressible in the stream's pinned "
+                        "schema; start a NEW stream (fresh "
+                        "checkpointLocation) with "
+                        f".option('starting_version', {v}) at the "
+                        "schema change"
+                    )
+                prev_pos = _dv_positions(pdoc.get("dv") or [])
+                parts += [
+                    _CdfPartition(
+                        f, None, "delete", v,
+                        exclude=prev_pos.get(_norm(f), []),
+                    )
+                    for f in sorted(pdoc["files"])
+                ]
+                ins_pos = (
+                    _dv_positions(row["dv0"]) if row["dv0"] else {}
                 )
+                parts += [
+                    _CdfPartition(
+                        f, None, "insert", v,
+                        exclude=ins_pos.get(_norm(f), []),
+                    )
+                    for f in row["new_files"]
+                ]
         return parts
 
     def read(self, partition):

@@ -371,10 +371,13 @@ def test_change_feed_stream(registered, tmp_path):
     """X140: .option("read_changes") streams the change feed —
     appends as 'insert' rows, deletion-vector versions as 'delete'
     rows re-read by position (only the NEW vectors' positions),
-    exactly-once across checkpoint restarts; overwrites fail loudly
-    mid-stream but serve as the initial snapshot when a fresh stream
-    STARTS at them; batch read_changes and column collisions are
-    refused."""
+    exactly-once across checkpoint restarts; a keyless overwrite
+    mid-stream delivers the pre-overwrite LIVE view as 'delete' rows
+    plus its files as 'insert' rows (X146, Delta's remove-all/add-all
+    derivation) — rows already retracted by earlier vectors must NOT
+    retract twice — and still serves as the initial snapshot when a
+    fresh stream STARTS at it; batch read_changes and column
+    collisions are refused."""
     spark = registered
     t = str(tmp_path / "cdf_tbl")
     tl.commit(spark, spark.range(0, 6).select(F.col("id").alias("k")), t)   # v0
@@ -409,15 +412,19 @@ def test_change_feed_stream(registered, tmp_path):
     expect |= {(4, "delete", 3)}
     assert drain() == expect
 
-    # an overwrite mid-stream fails loudly
+    # a keyless overwrite mid-stream streams as retract-all +
+    # insert-all (X146): the delete side is the pre-overwrite live
+    # view ONLY — 0/3/6/9 (v2) and 4 (v3) were already retracted by
+    # their vectors and must not retract twice
     tl.commit(
         spark,
         spark.range(100, 103).select(F.col("id").alias("k")),
         t,
         mode="overwrite",
     )  # v4
-    with pytest.raises(Exception, match="overwrite"):
-        drain()
+    expect |= {(k, "delete", 4) for k in (1, 2, 5, 7, 8)}
+    expect |= {(k, "insert", 4) for k in (100, 101, 102)}
+    assert drain() == expect
 
     # a FRESH feed starting AT the overwrite treats it as the snapshot
     out2 = str(tmp_path / "cdf_out2")
@@ -453,6 +460,79 @@ def test_change_feed_stream(registered, tmp_path):
         spark.readStream.format("tablelog").option(
             "read_changes", "true"
         ).load(t2)
+
+
+def test_change_feed_overwrite_edge_cases(registered, tmp_path):
+    """X146 edges: a RESTORE-published overwrite (vectors riding the
+    overwrite doc) must mask its own dv on the INSERT side — rows
+    deleted at the restore target must not resurrect in the feed —
+    while its delete side is the full pre-restore live view; and a
+    schema-changing overwrite still fails the feed loudly (its delete
+    side has no expression in the stream's pinned schema)."""
+    spark = registered
+    t = str(tmp_path / "cdf_ow_tbl")
+    tl.commit(spark, spark.range(0, 10).select(F.col("id").alias("k")), t)  # v0
+    tl.delete_rows(spark, t, F.col("k") % 2 == 0)                           # v1
+    tl.commit(
+        spark,
+        spark.range(100, 103).select(F.col("id").alias("k")),
+        t,
+        mode="overwrite",
+    )                                                                       # v2
+    tl.restore(spark, t, 1)  # v3: overwrite re-publishing v1 files + dv
+
+    out = str(tmp_path / "cdf_ow_out")
+    q = (
+        spark.readStream.format("tablelog")
+        .option("read_changes", "true").load(t)
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", str(tmp_path / "cdf_ow_ck"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["k"], r["_change_type"], r["_commit_version"])
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got == (
+        {(k, "insert", 0) for k in range(10)}
+        | {(k, "delete", 1) for k in (0, 2, 4, 6, 8)}
+        # v2 overwrite: retract v1's live view, insert the new files
+        | {(k, "delete", 2) for k in (1, 3, 5, 7, 9)}
+        | {(k, "insert", 2) for k in (100, 101, 102)}
+        # v3 restore: retract v2's live view; the re-published files
+        # insert MASKED by the restored vectors (odd keys only)
+        | {(k, "delete", 3) for k in (100, 101, 102)}
+        | {(k, "insert", 3) for k in (1, 3, 5, 7, 9)}
+    )
+    # the feed's net state equals the live table (MV-consumer view)
+    inserted = {k for k, c, _ in got if c == "insert"}
+    # every key is deleted at most once per insert; net = live view
+    net: dict[int, int] = {}
+    for k, c, _ in got:
+        net[k] = net.get(k, 0) + (1 if c == "insert" else -1)
+    assert {k for k, n in net.items() if n > 0} == {1, 3, 5, 7, 9}
+    assert inserted == set(range(10)) | {100, 101, 102}
+
+    # a schema-changing overwrite fails the feed (pinned schema)
+    tl.commit(
+        spark,
+        spark.range(5).select(
+            F.col("id").alias("k"), F.lit("x").alias("extra")
+        ),
+        t,
+        mode="overwrite",
+    )  # v4
+    with pytest.raises(Exception, match="schema"):
+        q = (
+            spark.readStream.format("tablelog")
+            .option("read_changes", "true").load(t)
+            .writeStream.format("parquet")
+            .option("path", str(tmp_path / "cdf_ow_out2"))
+            .option("checkpointLocation", str(tmp_path / "cdf_ow_ck"))
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
 
 
 def test_stream_from_clone_honors_deletion_vectors(registered, tmp_path):

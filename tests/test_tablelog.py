@@ -1128,7 +1128,9 @@ def test_streaming_refresh_follows_the_feed(spark, tmp_path):
     in batch: appends flow in, DV deletes retract (incl. a group's
     last non-null value returning sum to NULL and emptied groups
     dropping), replays are no-ops, and the result always equals a
-    full recompute; a source overwrite fails the feed loudly."""
+    full recompute; a keyless source overwrite streams through as
+    retract-all + insert-all (X146) so the MV lands on the
+    post-overwrite aggregate with no keys configured."""
     from tableone_pyspark_spark.sources import mv
 
     src = str(tmp_path / "smv_src")
@@ -1177,10 +1179,21 @@ def test_streaming_refresh_follows_the_feed(spark, tmp_path):
         ).collect()
     }
     assert drain() == full
-    # a source overwrite fails the feed loudly (batch refresher path)
+    # a keyless source overwrite streams through (X146): the feed
+    # retracts the pre-overwrite live view and inserts the new one,
+    # so the MV equals the full recompute of the overwritten state
     tl.commit(spark, base, src, mode="overwrite")
-    with pytest.raises(Exception, match="overwrite"):
-        drain()
+    assert drain() == {"a": (2, 10, 1), "b": (1, 30, 1)}
+    # and a second overwrite right after (shared-schema, value moves)
+    tl.commit(
+        spark,
+        spark.createDataFrame(
+            [(1, "a", 100), (5, "c", 7)], "k long, g string, v long"
+        ),
+        src,
+        mode="overwrite",
+    )
+    assert drain() == {"a": (1, 100, 1), "c": (1, 7, 1)}
     # validation shared with the batch refresher
     with pytest.raises(ValueError, match="both roles"):
         mv.streaming_refresh(spark, src, dst, ["g"], ["g"], ck)
