@@ -206,6 +206,84 @@ def main() -> None:
     report["merge_fixed_source_1x_s"] = merge_probe(1)
     report["merge_fixed_source_10x_s"] = merge_probe(10)
 
+    # (4) resample_interpolate window pass at 1x vs 10x rows per key:
+    # the r14 fix replaced the [current, unboundedFollowing] forward-
+    # fill frame (Spark recomputes it per row — O(rows^2) per key;
+    # 110 s at sf0.1 pre-fix) with a running frame over the reversed
+    # ordering — expect near-LINEAR now, the quadratic would show as
+    # ~100x at 10x
+    from tableone_pyspark_spark.functions.events import (
+        resample_interpolate,
+    )
+
+    def resample_probe(mult: int) -> float:
+        n = 20_000 * mult
+        df = spark.range(n).select(
+            (F.col("id") % 4).cast("string").alias("key"),
+            F.timestamp_seconds(
+                F.lit(1_700_000_000)
+                + F.col("id") * 37 % (86_400 * 30)
+            ).alias("ts"),
+            (F.col("id") % 997).cast("double").alias("v"),
+        )
+        el, _ = t(
+            lambda: resample_interpolate(
+                df, "key", "ts", "v", interval_seconds=1800
+            ).count()
+        )
+        return round(el, 2)
+
+    report["resample_window_1x_s"] = resample_probe(1)
+    report["resample_window_10x_s"] = resample_probe(10)
+
+    # (5) X146 overwrite change-feed drain at 1x vs 10x table rows
+    # (fixed version count): delivery = prev live view retracted + new
+    # files inserted, so drain time must track CHANGE VOLUME (the
+    # table size an overwrite rewrites — linear by semantics, same as
+    # Delta); the planning side is one extra metadata doc read per
+    # overwrite version regardless of size
+    from tableone_pyspark_spark.sources.stream_source import (
+        TablelogDataSource,
+    )
+
+    spark.dataSource.register(TablelogDataSource)
+
+    def overwrite_feed_probe(mult: int) -> float:
+        n = 30_000 * mult
+        root = tempfile.mkdtemp(prefix=f"owfeed_{mult}_")
+        tbl, out, ck = f"{root}/t", f"{root}/out", f"{root}/ck"
+        try:
+            df = spark.range(n).select(
+                F.col("id").alias("k"), (F.col("id") * 3).alias("v")
+            )
+            tl.commit(spark, df.coalesce(8), tbl)                  # v0
+            tl.delete_rows(spark, tbl, F.col("k") % 5 == 0)        # v1
+            tl.commit(
+                spark,
+                df.select("k", (F.col("v") + 1).alias("v")).coalesce(8),
+                tbl,
+                mode="overwrite",
+            )                                                      # v2
+            def drain():
+                q = (
+                    spark.readStream.format("tablelog")
+                    .option("read_changes", "true").load(tbl)
+                    .writeStream.format("parquet").option("path", out)
+                    .option("checkpointLocation", ck)
+                    .trigger(availableNow=True).start()
+                )
+                q.awaitTermination()
+                return spark.read.parquet(out).count()
+
+            el, rows = t(drain)
+            assert rows == n + n // 5 + n + n - n // 5, rows
+            return round(el, 2)
+        finally:
+            shutil.rmtree(root, ignore_errors=True)
+
+    report["overwrite_feed_1x_s"] = overwrite_feed_probe(1)
+    report["overwrite_feed_10x_s"] = overwrite_feed_probe(10)
+
     print(json.dumps(report, indent=2))
     spark.stop()
 
