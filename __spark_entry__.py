@@ -2341,13 +2341,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # temporal_split (purged time split with a 1-day EMBARGO over
     # events — strict train < cut, test >= cut+embargo, the gap
     # labeled 'embargo', row-level so the boundary semantics are
-    # hash-visible). Nothing weighted_sample graded is left ungraded.)
+    # hash-visible) — PLUS a fourth arm grading X108, the top carried
+    # ungraded component: site_split over deterministically
+    # constructed URLs exercising the PSL algorithm's distinct rule
+    # classes (multi-label ICANN suffix co.uk, PRIVATE-section suffix
+    # github.io, IP-literal self-key, garbage -> NULL -> '' group,
+    # suffix-only host -> None -> '' group), with the registrable
+    # domain itself emitted in the label so the kernel's output is
+    # hash-gated byte-for-byte, not just via the bucket lattice.
+    # Nothing weighted_sample graded is left ungraded.)
     def sample_splits_q(spark, sf_dir):
-        # X116 + X128 hard gate next to the r12-green quality sampler.
-        # All three arms are pure projections of (key, salt) /
+        # X108 + X116 + X128 hard gate next to the r12-green quality
+        # sampler. All arms are pure projections of (key, salt) /
         # (ts, cut): no shuffle beyond the final union's partitions.
+        from tableone_pyspark_spark.functions.url import site_key
         from tableone_pyspark_spark.operators.sampling import (
             grouped_split,
+            site_split,
             temporal_split,
             weighted_sample,
         )
@@ -2382,7 +2392,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("split").alias("label"),
             F.lit(None).cast("double").alias("val"),
         )
-        return ws.unionByName(gs).unionByName(ts)
+        # X108: six constructed-URL classes — each a distinct PSL rule
+        # path — through the packaged full-list site_key; the label
+        # carries key AND split so both the kernel and the lattice
+        # are hash-gated
+        m = F.pmod(F.col("doc_id"), F.lit(6))
+        url = (
+            F.when(
+                m == 0,
+                F.concat(
+                    F.lit("https://www.news.example.com/a"),
+                    F.col("doc_id").cast("string"),
+                ),
+            )
+            .when(m == 1, F.lit("http://a.b.shop.co.uk/x"))
+            .when(
+                m == 2,
+                F.concat(
+                    F.lit("https://u"),
+                    F.pmod(F.col("doc_id"), F.lit(7)).cast("string"),
+                    F.lit(".github.io/repo"),
+                ),
+            )
+            .when(m == 3, F.lit("http://10.1.2.3/path"))
+            .when(m == 4, F.lit("not a url"))
+            .otherwise(F.lit("https://co.uk/"))
+        )
+        du = d.select("doc_id", url.alias("url"))
+        st = site_split(
+            du, "url", {"train": 0.8, "val": 0.1, "test": 0.1}
+        ).select(
+            F.lit("site").alias("arm"),
+            F.col("doc_id").alias("id"),
+            F.concat(
+                F.coalesce(site_key(F.col("url")), F.lit("")),
+                F.lit("|"),
+                F.col("split"),
+            ).alias("label"),
+            F.lit(None).cast("double").alias("val"),
+        )
+        return ws.unionByName(gs).unionByName(ts).unionByName(st)
 
     q["sample_splits"] = sample_splits_q
 
@@ -3944,11 +3993,23 @@ def oracle_sql() -> dict[str, str]:
     # comparisons (events.ts is a parquet TIMESTAMP; try_cast is the
     # identity there, and a NULL ts would label 'unknown' on both
     # sides).
+    # the site arm's expected registrable domains are CONSTANTS of the
+    # constructed URL classes (verified against the packaged full PSL:
+    # www.news.example.com -> example.com, a.b.shop.co.uk ->
+    # shop.co.uk via the co.uk ICANN rule, uN.github.io stays whole
+    # via the PRIVATE-section rule, the IP literal self-keys, garbage
+    # and a suffix-only host fall into the '' group) — a kernel
+    # deviation on ANY class flips the label and fails the hash
     o["sample_splits"] = (
         f"WITH per AS (SELECT doc_id, {QUALITY} AS q FROM documents), "
         f"h AS (SELECT doc_id, q, {_bucket('doc_id', 'wsample-v1')} AS b FROM per), "
         f"g AS (SELECT doc_id, {_bucket('source', 'grouped-split-v1')} AS b "
-        "FROM documents) "
+        "FROM documents), "
+        "sk AS (SELECT doc_id, CASE CAST(doc_id % 6 AS INTEGER) "
+        "WHEN 0 THEN 'example.com' WHEN 1 THEN 'shop.co.uk' "
+        "WHEN 2 THEN 'u' || CAST(doc_id % 7 AS VARCHAR) || '.github.io' "
+        "WHEN 3 THEN '10.1.2.3' ELSE '' END AS k FROM documents), "
+        f"sb AS (SELECT doc_id, k, {_bucket('k', 'site-split-v1')} AS b FROM sk) "
         "SELECT 'wsample' AS arm, doc_id AS id, CAST(NULL AS VARCHAR) AS label, "
         "ROUND(q, 6) AS val FROM h "
         "WHERE b < floor(least(greatest(q, 0), 1) * 10000) "
@@ -3959,7 +4020,11 @@ def oracle_sql() -> dict[str, str]:
         "CASE WHEN ts IS NULL THEN 'unknown' "
         "WHEN ts < TIMESTAMP '2024-01-20 00:00:00' THEN 'train' "
         "WHEN ts >= TIMESTAMP '2024-01-21 00:00:00' THEN 'test' "
-        "ELSE 'embargo' END, CAST(NULL AS DOUBLE) FROM events"
+        "ELSE 'embargo' END, CAST(NULL AS DOUBLE) FROM events "
+        "UNION ALL SELECT 'site', doc_id, "
+        "k || '|' || (CASE WHEN b < 8000 THEN 'train' "
+        "WHEN b < 9000 THEN 'val' ELSE 'test' END), "
+        "CAST(NULL AS DOUBLE) FROM sb"
     )
 
     # PII profile over the customer contact blob (injected email on
