@@ -3267,6 +3267,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             r2 = mv.refresh_aggregate(
                 spark, src, dst, ["o_orderstatus"], ["val"]
             )
+            # X139: an explicit checkpoint at v2 makes the fresh
+            # stream below PLAN ITS WHOLE RANGE from the checkpoint's
+            # compact history rows (the _version_rows consult fires
+            # for ranges >= 2 versions) — a checkpoint-decode desync
+            # from the doc walk would corrupt the delivered deltas
+            # and fail stream_v2's checksums, so the checkpoint
+            # planning path is now oracle-gated, not just
+            # property-tested
+            tl.write_checkpoint(spark, src)
             # X142: the continuously-maintained twin, drained at v2
             # (before the overwrite — anchors the stream arm at a
             # state distinct from the batch arm's final; the feed
