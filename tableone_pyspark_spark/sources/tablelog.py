@@ -1276,6 +1276,90 @@ def clone(
     )
 
 
+def convert_parquet(
+    spark: SparkSession,
+    src_dir: str,
+    table: str,
+    stats_cols: list[str] | None = None,
+) -> dict:
+    """X147 — Delta's ``CONVERT TO DELTA``: publish an existing plain
+    parquet directory as version 0 of a NEW versioned table WITHOUT
+    copying data — one metadata doc referencing the files in place,
+    whatever the dataset size. The entry ramp: a 100 TB parquet lake
+    gains time travel, optimistic concurrency, deletion vectors,
+    MERGE, and the change feed with zero data movement; later commits
+    write into the table's OWN data dirs and (the clone rule) the
+    table's :func:`vacuum` can never delete the converted source
+    files — its sweep walks only table-owned ``data/``/``dv/`` roots.
+
+    Honest contract, enforced loudly rather than half-supported:
+
+    * hive ``key=value`` layouts RAISE (the partition values live in
+      directory names, not file contents — converting would silently
+      DROP those columns; the compact_parquet guard, same rationale);
+    * per-file schema shapes must be IDENTICAL — verified by ONE
+      distributed footer pass (``mapInPandas`` over the file list,
+      exchange bounded by distinct shapes), because parquet's
+      missing-column-reads-as-NULL resolution would otherwise
+      smuggle silent schema evolution into a format that refuses it;
+    * ``stats_cols`` opts into per-file skipping stats (the same ONE
+      distributed pass appends use) so pruned reads work from v0;
+    * the destination must not exist; the source keeps working as a
+      plain parquet dir (files are shared, not moved) — mutating it
+      in place afterwards voids the converted table's immutability,
+      exactly Delta's post-convert caveat."""
+    if current_version(spark, table) is not None:
+        raise ValueError(f"convert destination already exists: {table}")
+    files = _list_parquet(spark, src_dir)  # hive layouts raise inside
+    if not files:
+        raise ValueError(f"no parquet data files under {src_dir}")
+
+    def _shapes(batches):
+        import json as _json
+
+        import pandas as _pd
+        import pyarrow.parquet as _pq
+
+        from tableone_pyspark_spark.sources.stream_source import _pa_fs
+
+        for pdf in batches:
+            out = []
+            for p in pdf["path"]:
+                fsys, pp = _pa_fs(p)
+                with fsys.open_input_file(pp) as fh:
+                    sch = _pq.ParquetFile(fh).schema_arrow
+                out.append(
+                    _json.dumps(
+                        [[n, str(t)] for n, t in zip(sch.names, sch.types)]
+                    )
+                )
+            yield _pd.DataFrame({"shape": out})
+
+    shapes = (
+        spark.createDataFrame([(f,) for f in files], "path string")
+        .mapInPandas(_shapes, "shape string")
+        .distinct()
+        .collect()
+    )
+    if len(shapes) > 1:
+        raise ValueError(
+            f"cannot convert {src_dir}: {len(shapes)} distinct file "
+            "schemas found — this format has no schema evolution, and "
+            "parquet's missing-column-as-NULL resolution would make "
+            "the mixture silent; rewrite the stragglers first"
+        )
+    schema_json = spark.read.parquet(*files).schema.json()
+    stats = None
+    if stats_cols:
+        stats = _remap_stats(
+            _collect_file_stats(spark, files, stats_cols), files
+        )
+    return _publish(
+        spark, table, 0, files, "append", schema_json,
+        stats=stats or None,
+    )
+
+
 def restore(
     spark: SparkSession, table: str, version: int
 ) -> dict:

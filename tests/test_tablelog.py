@@ -1876,3 +1876,58 @@ def test_timestamp_time_travel(spark, tmp_path):
     with pytest.raises(Exception, match="not both"):
         spark.read.format("tablelog").option("timestamp", str(marks[1])) \
             .option("version", 1).load(t).count()
+
+
+def test_convert_parquet_in_place(spark, tmp_path):
+    """X147: convert_parquet publishes an existing plain parquet dir
+    as v0 with ZERO data movement — the converted table time-travels,
+    takes appends/DV deletes/merges, its vacuum never touches the
+    source files (the clone rule), per-file stats opt in for pruned
+    reads from v0, and the honest guards fire: existing destination,
+    empty dir, hive layout, and mixed per-file schemas all raise."""
+    import os
+
+    src = str(tmp_path / "plain")
+    df = spark.range(100).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    df.repartition(4).write.parquet(src)
+    t = str(tmp_path / "converted")
+    doc = tl.convert_parquet(spark, src, t, stats_cols=["k"])
+    assert doc["version"] == 0 and len(doc["files"]) == 4
+    # zero-copy: every referenced file lives under the SOURCE dir
+    assert all(os.path.realpath(src) in os.path.realpath(f) for f in doc["files"])
+    assert sorted(r["k"] for r in tl.read_version(spark, t).collect()) == list(range(100))
+    # stats from v0: a pruned read skips files
+    pruned = tl.read_version(spark, t, prune=[("k", ">=", 90)])
+    assert {r["k"] for r in pruned.collect()} >= set(range(90, 100))
+    # the converted table takes the full write path
+    tl.commit(spark, spark.createDataFrame([(1000, 1)], "k long, v long"), t)
+    tl.delete_rows(spark, t, F.col("k") == 0)
+    assert tl.current_version(spark, t) == 2
+    got = sorted(r["k"] for r in tl.read_version(spark, t).collect())
+    assert got == list(range(1, 100)) + [1000]
+    # vacuum can never delete the shared source files
+    tl.vacuum(spark, t, min_age_seconds=0)
+    assert spark.read.parquet(src).count() == 100
+    assert sorted(
+        r["k"] for r in tl.read_version(spark, t).collect()
+    ) == list(range(1, 100)) + [1000]
+    # guards
+    with pytest.raises(ValueError, match="already exists"):
+        tl.convert_parquet(spark, src, t)
+    empty = str(tmp_path / "empty")
+    os.makedirs(empty)
+    with pytest.raises(ValueError, match="no parquet"):
+        tl.convert_parquet(spark, empty, str(tmp_path / "c2"))
+    hive = str(tmp_path / "hive")
+    df.write.partitionBy("v").parquet(hive)
+    with pytest.raises(ValueError, match="hive|key=value|partition"):
+        tl.convert_parquet(spark, hive, str(tmp_path / "c3"))
+    mixed = str(tmp_path / "mixed")
+    spark.range(5).select(F.col("id").alias("k")).write.parquet(mixed)
+    spark.range(5).select(
+        F.col("id").alias("k"), F.lit("x").alias("extra")
+    ).write.mode("append").parquet(mixed)
+    with pytest.raises(ValueError, match="distinct file"):
+        tl.convert_parquet(spark, mixed, str(tmp_path / "c4"))
