@@ -435,9 +435,17 @@ def commit(
     derived from: the commit publishes to exactly ``expected_base+1``,
     so a concurrent commit in between raises :class:`CommitConflict`
     instead of silently clobbering it (read-modify-write callers MUST
-    pass it — :func:`apply_changes` does). Raises
-    :class:`CommitConflict` on any lost slot race — nothing is
-    corrupted; re-read and retry.
+    pass it — :func:`apply_changes` does).
+
+    Concurrency (X148, Delta's conflict matrix): a BLIND append (no
+    ``expected_base``) that loses the slot race REBASES automatically
+    — concurrent appends write disjoint files, so the loser re-reads
+    the new head, re-validates the schema, and retries the one doc
+    write at the next slot (data is never rewritten; up to
+    ``APPEND_REBASE_RETRIES`` attempts, then CommitConflict).
+    Overwrites, pinned-base writes, and creation races still raise
+    :class:`CommitConflict` — nothing is corrupted; re-read and
+    retry.
 
     ``stats_cols`` (r12) opts this commit's files into per-file
     (min, max, null_count) statistics, stored in the version doc and
@@ -480,21 +488,69 @@ def commit(
         # leaves the data dir unpublished — invisible to readers,
         # vacuumed like any loser's dir
         _audit(spark.read.parquet(*new_files))
-    stats = dict(prev_stats)
+    new_stats: dict = {}
     if stats_cols:
-        stats.update(
-            _remap_stats(
-                _collect_file_stats(spark, new_files, stats_cols),
-                new_files,
-            )
+        new_stats = _remap_stats(
+            _collect_file_stats(spark, new_files, stats_cols),
+            new_files,
         )
+    stats = dict(prev_stats)
+    stats.update(new_stats)
     version = 0 if prev is None else prev + 1
-    return _publish(
-        spark, table, version, prev_files + new_files, mode, schema_json,
-        batch_id=batch_id, stream_id=stream_id, stats=stats,
-        dv=prev_dv or None,
+    for _ in range(APPEND_REBASE_RETRIES):
+        try:
+            return _publish(
+                spark, table, version, prev_files + new_files, mode,
+                schema_json, batch_id=batch_id, stream_id=stream_id,
+                stats=stats, dv=prev_dv or None,
+            )
+        except CommitConflict:
+            # X148 — Delta's blind-append conflict resolution: two
+            # concurrent APPENDS touch disjoint files, so the loser
+            # need not fail — its data dir is already written; only
+            # the doc publish lost the slot. Rebase: re-read the new
+            # head, re-validate the schema against it (an interleaved
+            # schema-changing overwrite must still refuse — no silent
+            # evolution, concurrent or not), carry ITS files/stats/dv
+            # forward, and retry the doc write at the next slot. No
+            # data is rewritten or re-scanned. NOT applied when:
+            #   * mode != append (a losing overwrite would silently
+            #     clobber the interleaved writer's data);
+            #   * expected_base was passed (the caller's WRITE was
+            #     derived from that base — read-modify-write must
+            #     surface the race, exactly why the pin exists);
+            #   * the table did not exist when this commit started
+            #     (two blind CREATEs racing is a deployment bug a
+            #     silent merge would hide).
+            if mode != "append" or expected_base is not None or prev is None:
+                raise
+            newprev = current_version(spark, table)
+            if newprev is None or newprev < version:
+                raise  # not a slot race we can reason about
+            doc = _version_doc(spark, table, newprev)
+            if _schema_shape(doc["schema"]) != _schema_shape(schema_json):
+                raise ValueError(
+                    f"append to {table} raced a schema-changing "
+                    "commit — this format deliberately has no schema "
+                    "evolution; re-derive the write against the new "
+                    "schema"
+                ) from None
+            prev_files = doc["files"]
+            stats = dict(doc.get("stats", {}))
+            stats.update(new_stats)
+            prev_dv = doc.get("dv") or []
+            version = newprev + 1
+    raise CommitConflict(
+        f"append to {table} lost {APPEND_REBASE_RETRIES} consecutive "
+        "slot races — pathological contention; retry with backoff"
     )
 
+
+#: how many consecutive lost slot races a BLIND append re-bases
+#: through before giving up (X148) — each retry is one doc read + one
+#: doc write, so the cap bounds metadata I/O under pathological
+#: contention, not data work
+APPEND_REBASE_RETRIES = 6
 
 _PRUNE_OPS = ("=", "<", "<=", ">", ">=")
 

@@ -1931,3 +1931,111 @@ def test_convert_parquet_in_place(spark, tmp_path):
     ).write.mode("append").parquet(mixed)
     with pytest.raises(ValueError, match="distinct file"):
         tl.convert_parquet(spark, mixed, str(tmp_path / "c4"))
+
+
+def test_blind_append_rebases_on_slot_race(spark, tmp_path, monkeypatch):
+    """X148 — Delta's blind-append conflict resolution: an append that
+    loses the publish slot to a concurrent commit REBASES (one doc
+    retry, no data rewrite) and both writers' rows land; overwrites
+    and pinned-base writes still raise, and an interleaved
+    schema-changing commit refuses the rebase."""
+    t = str(tmp_path / "race_tbl")
+    tl.commit(
+        spark, spark.range(5).select(F.col("id").alias("k")), t,
+        stats_cols=["k"],
+    )  # v0
+    orig = tl._write_log_doc_exclusive
+
+    def install_racer(competitor_df, competitor_mode):
+        state = {"raced": False}
+
+        def racy(s, table, name, doc):
+            if not state["raced"] and table == t and name.startswith("v"):
+                state["raced"] = True
+                monkeypatch.setattr(tl, "_write_log_doc_exclusive", orig)
+                tl.commit(spark, competitor_df, t, mode=competitor_mode)
+                monkeypatch.setattr(tl, "_write_log_doc_exclusive", racy)
+                return orig(s, table, name, doc)  # slot taken -> conflict
+            return orig(s, table, name, doc)
+
+        monkeypatch.setattr(tl, "_write_log_doc_exclusive", racy)
+
+    # blind append loses v1 to a concurrent append -> rebases to v2
+    install_racer(
+        spark.range(100, 103).select(F.col("id").alias("k")), "append"
+    )
+    rep = tl.commit(
+        spark, spark.range(10, 13).select(F.col("id").alias("k")), t,
+        stats_cols=["k"],
+    )
+    monkeypatch.setattr(tl, "_write_log_doc_exclusive", orig)
+    assert rep["version"] == 2
+    assert sorted(
+        r["k"] for r in tl.read_version(spark, t).collect()
+    ) == [0, 1, 2, 3, 4, 10, 11, 12, 100, 101, 102]
+    # stats: the rebase carries the winner's doc forward AND keeps
+    # this commit's own per-file stats — exactly v0's files (opted
+    # in) plus OUR files carry stats; the competitor's (no
+    # stats_cols) are honestly stat-less
+    d0 = tl._version_doc(spark, t, 0)["files"]
+    d1 = tl._version_doc(spark, t, 1)["files"]
+    competitor_files = set(d1) - set(d0)
+    my_files = set(rep["files"]) - set(d1)
+    assert set(d0) <= set(rep["stats"])          # v0's stats carried
+    assert not (set(rep["stats"]) & competitor_files)  # honest gap
+    assert set(rep["stats"]) & my_files          # ours collected
+    # (zero-row part files are legitimately stat-less — never skipped)
+    # rebase also survives an interleaved DV delete (dv carried)
+    tl.delete_rows(spark, t, F.col("k") == 0)  # v3
+    install_racer(
+        spark.range(200, 201).select(F.col("id").alias("k")), "append"
+    )
+    rep2 = tl.commit(
+        spark, spark.range(300, 301).select(F.col("id").alias("k")), t
+    )
+    monkeypatch.setattr(tl, "_write_log_doc_exclusive", orig)
+    assert rep2["version"] == 5 and rep2.get("dv")
+    assert 0 not in {r["k"] for r in tl.read_version(spark, t).collect()}
+
+    # a losing OVERWRITE still raises
+    install_racer(
+        spark.range(400, 401).select(F.col("id").alias("k")), "append"
+    )
+    with pytest.raises(tl.CommitConflict):
+        tl.commit(
+            spark,
+            spark.range(500, 501).select(F.col("id").alias("k")),
+            t,
+            mode="overwrite",
+        )
+    monkeypatch.setattr(tl, "_write_log_doc_exclusive", orig)
+
+    # a schema-changing interleaved commit refuses the rebase
+    install_racer(
+        spark.range(5).select(
+            F.col("id").alias("k"), F.lit("x").alias("extra")
+        ),
+        "overwrite",
+    )
+    with pytest.raises(ValueError, match="schema"):
+        tl.commit(
+            spark, spark.range(600, 601).select(F.col("id").alias("k")), t
+        )
+    monkeypatch.setattr(tl, "_write_log_doc_exclusive", orig)
+
+    # pinned-base writes never rebase (read-modify-write must see it)
+    cur = tl.current_version(spark, t)
+    tl.commit(
+        spark, spark.range(700, 701).select(
+            F.col("id").alias("k"), F.lit("x").alias("extra")
+        ), t, mode="overwrite",
+    )
+    with pytest.raises(tl.CommitConflict):
+        tl.commit(
+            spark,
+            spark.range(800, 801).select(
+                F.col("id").alias("k"), F.lit("x").alias("extra")
+            ),
+            t,
+            expected_base=cur,
+        )
