@@ -231,6 +231,13 @@ def _remap_stats(stats: dict, files: list[str]) -> dict:
     return out
 
 
+#: sentinel: _publish inherits the previous version's constraints —
+#: the default, so NO publish site (present or future) can silently
+#: drop a persisted CHECK constraint; pass an explicit dict/None to
+#: override (v0 creators, clone carrying the SOURCE's set)
+_INHERIT = object()
+
+
 def _publish(
     spark: SparkSession,
     table: str,
@@ -242,11 +249,21 @@ def _publish(
     stream_id: str | None = None,
     stats: dict | None = None,
     dv: list | None = None,
+    constraints=_INHERIT,
 ) -> dict:
     """CREATE-exclusive publish of v{version}.json: exactly one of two
     racing writers can create the file (overwrite=False), the other
     gets CommitConflict. Written through a temp name + exclusive-create
-    stream so a torn write never parses as a commit."""
+    stream so a torn write never parses as a commit. ``constraints``
+    (X149) defaults to INHERITING the previous version's set — a
+    maintenance publish (optimize/restore/delete) can never silently
+    shed the table's CHECK constraints."""
+    if constraints is _INHERIT:
+        constraints = (
+            _version_doc(spark, table, version - 1).get("constraints")
+            if version > 0
+            else None
+        )
     fs, jvm = _fs(spark, table)
     fs.mkdirs(_path(spark, f"{table}/_log"))
     doc = {
@@ -256,6 +273,8 @@ def _publish(
         "schema": schema_json,
         "committed_at": time.time(),
     }
+    if constraints:
+        doc["constraints"] = constraints
     if batch_id is not None:
         doc["batch_id"] = batch_id
     if stream_id is not None:
@@ -351,6 +370,57 @@ def _check_stats_cols(schema, stats_cols: list[str]) -> None:
                 f"stats column {c!r} has unorderable/unsupported type "
                 f"{t} — supported: {', '.join(_STATS_TYPES)}"
             )
+
+
+def _check_violations(df: DataFrame, constraints: dict) -> dict:
+    """{name: violating-row count} over ``df`` for every persisted
+    CHECK constraint, in ONE aggregation pass. SQL CHECK semantics: a
+    row violates only when the expression is FALSE — NULL/UNKNOWN
+    passes (the standard's rule and Delta's)."""
+    aggs = [
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.coalesce(F.expr(sql), F.lit(True)), F.lit(0)
+                ).otherwise(F.lit(1))
+            ),
+            F.lit(0),
+        ).cast("long").alias(f"__c{i}")
+        for i, sql in enumerate(constraints.values())
+    ]
+    row = df.agg(*aggs).collect()[0]
+    return {
+        name: int(row[f"__c{i}"])
+        for i, name in enumerate(constraints)
+        if row[f"__c{i}"]
+    }
+
+
+def _enforce_constraints(
+    spark: SparkSession,
+    constraints: dict | None,
+    files: list[str],
+    table: str,
+    what: str,
+) -> None:
+    """X149 write-path gate: raise (BEFORE any publish — the data dir
+    stays an invisible orphan) if any new-file row violates a
+    persisted CHECK constraint. One change-sized scan for all
+    constraints together; a constraint referencing a column the new
+    schema lacks fails the write loudly (drop the constraint first —
+    never silently skip enforcement)."""
+    if not constraints or not files:
+        return
+    bad = _check_violations(spark.read.parquet(*files), constraints)
+    if bad:
+        raise ValueError(
+            f"{what} to {table} violates CHECK constraint(s): "
+            + "; ".join(
+                f"{n!r} ({constraints[n]}) — {c} row(s)"
+                for n, c in bad.items()
+            )
+            + " — nothing was published"
+        )
 
 
 def _collect_file_stats(
@@ -465,6 +535,7 @@ def commit(
     prev_files: list[str] = []
     prev_stats: dict = {}
     prev_dv: list = []
+    tbl_constraints: dict | None = None
     schema_json = df.schema.json()
     if prev is not None and mode == "append":
         doc = _version_doc(spark, table, prev)
@@ -477,6 +548,11 @@ def commit(
         prev_files = doc["files"]
         prev_stats = doc.get("stats", {})
         prev_dv = doc.get("dv") or []
+        tbl_constraints = doc.get("constraints")
+    elif prev is not None:
+        tbl_constraints = _version_doc(spark, table, prev).get(
+            "constraints"
+        )
     if stats_cols:
         # fail BEFORE the data write — a typo must not cost the commit
         _check_stats_cols(df.schema, stats_cols)
@@ -488,6 +564,10 @@ def commit(
         # leaves the data dir unpublished — invisible to readers,
         # vacuumed like any loser's dir
         _audit(spark.read.parquet(*new_files))
+    # X149: persisted CHECK constraints gate every write path the same
+    # way the audit seam does — new rows only (restore/optimize never
+    # re-validate: their rows passed at write time, Delta's rule)
+    _enforce_constraints(spark, tbl_constraints, new_files, table, mode)
     new_stats: dict = {}
     if stats_cols:
         new_stats = _remap_stats(
@@ -503,6 +583,7 @@ def commit(
                 spark, table, version, prev_files + new_files, mode,
                 schema_json, batch_id=batch_id, stream_id=stream_id,
                 stats=stats, dv=prev_dv or None,
+                constraints=tbl_constraints,
             )
         except CommitConflict:
             # X148 — Delta's blind-append conflict resolution: two
@@ -539,6 +620,14 @@ def commit(
             stats = dict(doc.get("stats", {}))
             stats.update(new_stats)
             prev_dv = doc.get("dv") or []
+            # an interleaved set_constraint means OUR rows were never
+            # checked against the new set — re-enforce before retrying
+            # (change-sized; X149)
+            if doc.get("constraints") != tbl_constraints:
+                tbl_constraints = doc.get("constraints")
+                _enforce_constraints(
+                    spark, tbl_constraints, new_files, table, mode
+                )
             version = newprev + 1
     raise CommitConflict(
         f"append to {table} lost {APPEND_REBASE_RETRIES} consecutive "
@@ -778,6 +867,7 @@ def delete_rows(spark: SparkSession, table: str, predicate) -> dict:
         spark, table, base + 1, doc["files"], "delete", doc["schema"],
         stats=doc.get("stats") or None,
         dv=(doc.get("dv") or []) + new_dv,
+        constraints=doc.get("constraints"),
     )
     return {"version": base + 1, "n_deleted": int(n)}
 
@@ -986,6 +1076,11 @@ def merge_rows(
         to_append.write.parquet(data_dir)
         new_files = _list_parquet(spark, data_dir)
         n_ins = spark.read.parquet(*new_files).count() if new_files else 0
+    # X149: a merge's appended postimage/insert rows pass the same
+    # persisted CHECK gate as plain commits (retractions need none)
+    _enforce_constraints(
+        spark, doc.get("constraints"), new_files, table, "merge"
+    )
 
     if not new_dv and not new_files:
         return {"version": base, "n_deleted": 0, "n_inserted": 0}
@@ -1001,6 +1096,7 @@ def merge_rows(
     _publish(
         spark, table, base + 1, doc["files"] + new_files, "merge",
         doc["schema"], stats=stats or None, dv=(old_dv + new_dv) or None,
+        constraints=doc.get("constraints"),
     )
     return {
         "version": base + 1,
@@ -1326,9 +1422,12 @@ def clone(
             f"clone destination already exists: {dst_table}"
         )
     doc = _version_doc(spark, src_table, v)
+    # the clone's v0 has no predecessor to inherit from — carry the
+    # SOURCE's constraints explicitly (Delta clones table metadata)
     return _publish(
         spark, dst_table, 0, doc["files"], "append", doc["schema"],
         stats=doc.get("stats") or None, dv=doc.get("dv") or None,
+        constraints=doc.get("constraints"),
     )
 
 
@@ -1413,6 +1512,83 @@ def convert_parquet(
     return _publish(
         spark, table, 0, files, "append", schema_json,
         stats=stats or None,
+    )
+
+
+def set_constraint(
+    spark: SparkSession, table: str, name: str, check_sql: str
+) -> dict:
+    """X149 — Delta's ``ALTER TABLE ADD CONSTRAINT``: persist a CHECK
+    constraint IN the table so EVERY writer enforces it from the next
+    version on — :func:`commit` (append and overwrite, including the
+    X148 rebase path, which re-enforces when it discovers an
+    interleaved constraint change) and :func:`merge_rows` gate their
+    new rows; :func:`clone` carries the set to the clone; maintenance
+    publishes (optimize/restore/delete) inherit it automatically (the
+    ``_publish`` default — no code path can silently shed it).
+
+    SQL CHECK semantics: a row violates only when ``check_sql`` is
+    FALSE; NULL passes (add an ``IS NOT NULL`` conjunct for NOT-NULL
+    intent). Delta's rule for existing data applies: the CURRENT live
+    rows must already satisfy the constraint or this call fails (one
+    scan) — a constraint the table already violates would make every
+    future commit's failure message lie about whose rows are bad.
+    Setting an existing ``name`` replaces its expression (after the
+    same validation). The publish is a files-unchanged ``append``
+    version: streams deliver nothing for it, history shows the
+    metadata commit, OCC applies (a racing writer raises
+    :class:`CommitConflict`). Returns the published doc."""
+    import re as _re
+
+    if not _re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", name or ""):
+        raise ValueError(
+            f"constraint name must be an identifier, got {name!r}"
+        )
+    cur = current_version(spark, table)
+    if cur is None:
+        raise ValueError(f"no such versioned table: {table}")
+    doc = _version_doc(spark, table, cur)
+    live = read_version(spark, table, cur)
+    # eager parse/bind — a typo must fail here, not at the next commit
+    live.select(F.expr(check_sql))
+    bad = _check_violations(live, {name: check_sql})
+    if bad:
+        raise ValueError(
+            f"cannot add CHECK constraint {name!r} ({check_sql}): "
+            f"{bad[name]} existing live row(s) already violate it"
+        )
+    merged = dict(doc.get("constraints") or {})
+    merged[name] = check_sql
+    return _publish(
+        spark, table, cur + 1, doc["files"], "append", doc["schema"],
+        stats=doc.get("stats") or None, dv=doc.get("dv") or None,
+        constraints=merged,
+    )
+
+
+def drop_constraint(
+    spark: SparkSession, table: str, name: str
+) -> dict:
+    """X149 — remove a persisted CHECK constraint (Delta's ``DROP
+    CONSTRAINT``): publishes a files-unchanged version whose
+    constraint set no longer carries ``name``; raises if the
+    constraint does not exist (a silent no-op would hide a typo from
+    an operator who believes enforcement stopped)."""
+    cur = current_version(spark, table)
+    if cur is None:
+        raise ValueError(f"no such versioned table: {table}")
+    doc = _version_doc(spark, table, cur)
+    have = dict(doc.get("constraints") or {})
+    if name not in have:
+        raise ValueError(
+            f"no CHECK constraint {name!r} on {table} "
+            f"(present: {sorted(have) or 'none'})"
+        )
+    del have[name]
+    return _publish(
+        spark, table, cur + 1, doc["files"], "append", doc["schema"],
+        stats=doc.get("stats") or None, dv=doc.get("dv") or None,
+        constraints=have or None,
     )
 
 

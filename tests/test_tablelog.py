@@ -2039,3 +2039,63 @@ def test_blind_append_rebases_on_slot_race(spark, tmp_path, monkeypatch):
             t,
             expected_base=cur,
         )
+
+
+def test_persisted_check_constraints(spark, tmp_path):
+    """X149: set_constraint persists a CHECK in the table so every
+    writer enforces it — commits (append/overwrite), merges, clones
+    (carried), maintenance publishes (inherited) — with SQL NULL-
+    passes semantics, existing-data validation at ADD time, and loud
+    drop-of-missing."""
+    t = str(tmp_path / "con_tbl")
+    tl.commit(
+        spark,
+        spark.createDataFrame([(1, 10), (2, None)], "k long, v long"),
+        t,
+    )  # v0
+    doc = tl.set_constraint(spark, t, "k_pos", "k > 0")  # v1
+    assert doc["version"] == 1 and doc["constraints"] == {"k_pos": "k > 0"}
+    assert doc["files"] == tl._version_doc(spark, t, 0)["files"]
+    # violating append refuses and publishes nothing
+    with pytest.raises(ValueError, match="k_pos"):
+        tl.commit(spark, spark.createDataFrame([(-1, 1)], "k long, v long"), t)
+    assert tl.current_version(spark, t) == 1
+    # NULL passes (SQL CHECK rule); a passing append lands
+    tl.commit(
+        spark,
+        spark.createDataFrame([(None, 7), (3, None)], "k long, v long"),
+        t,
+    )  # v2
+    assert tl.current_version(spark, t) == 2
+    # overwrite is gated too
+    with pytest.raises(ValueError, match="k_pos"):
+        tl.commit(
+            spark, spark.createDataFrame([(0, 1)], "k long, v long"), t,
+            mode="overwrite",
+        )
+    # merge postimages are gated
+    with pytest.raises(ValueError, match="k_pos"):
+        tl.merge_rows(
+            spark, t,
+            spark.createDataFrame([(-5, 1)], "k long, v long"), ["k"],
+        )
+    # existing-data validation at ADD time (v=10 row violates v < 5)
+    with pytest.raises(ValueError, match="already violate"):
+        tl.set_constraint(spark, t, "v_small", "v < 5")
+    # maintenance inherits: optimize + restore keep the set live
+    tl.optimize(spark, t)                                    # v3
+    tl.restore(spark, t, 2)                                  # v4
+    with pytest.raises(ValueError, match="k_pos"):
+        tl.commit(spark, spark.createDataFrame([(-2, 1)], "k long, v long"), t)
+    # clone carries the source's constraints
+    c = str(tmp_path / "con_clone")
+    tl.clone(spark, t, c)
+    with pytest.raises(ValueError, match="k_pos"):
+        tl.commit(spark, spark.createDataFrame([(-3, 1)], "k long, v long"), c)
+    # drop: enforcement stops; dropping a missing name is loud
+    tl.drop_constraint(spark, t, "k_pos")                    # v5
+    tl.commit(spark, spark.createDataFrame([(-4, 1)], "k long, v long"), t)
+    with pytest.raises(ValueError, match="no CHECK constraint"):
+        tl.drop_constraint(spark, t, "k_pos")
+    with pytest.raises(ValueError, match="identifier"):
+        tl.set_constraint(spark, t, "bad name", "k > 0")
