@@ -2789,8 +2789,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # graded output then re-measures expect_orders' exact
         # heterogeneous suite on the PUBLISHED read-back — the oracle
         # is the same 8 count fractions over orders (round-trip
-        # lossless), plus one literal gate row pinned by the arm-1
-        # asserts.
+        # lossless), plus literal gate rows pinned by the arm
+        # asserts. Arm 3 (added r14): X149 persisted CHECK
+        # constraints — set_constraint publishes a files-unchanged
+        # version, a violating plain commit must refuse BY NAME and
+        # publish nothing, drop restores writes.
         import shutil
         import tempfile
 
@@ -2852,13 +2855,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             rows = ex.validate(
                 tl.read_version(spark, t), cons
             ).collect()
+            # arm 3 (X149): a PERSISTED CHECK constraint gates plain
+            # commits the way the per-call audit gated arm 1 — the
+            # violating append must refuse BY NAME and publish
+            # nothing (version pinned), then drop restores normal
+            # writes. Hard signal: raise -> red row.
+            con_ok = False
+            tl.set_constraint(
+                spark, t, "price_pos", "o_totalprice > 0"
+            )  # v1
+            bad = spark.createDataFrame(
+                [(-1, -1, "O", -5.0, "1-URGENT")], o5.schema
+            )
+            try:
+                tl.commit(spark, bad, t)
+            except ValueError as err:
+                con_ok = (
+                    tl.current_version(spark, t) == 1
+                    and "price_pos" in str(err)
+                )
+            assert con_ok, "persisted CHECK must refuse and publish nothing"
+            tl.drop_constraint(spark, t, "price_pos")  # v2
         finally:
             shutil.rmtree(root, ignore_errors=True)
         schema = (
             "constraint string, column string, metric double, "
             "threshold double, passed boolean"
         )
-        gate = [("wap_gate(blocked_publish)", "", 1.0, 1.0, True)]
+        gate = [
+            ("wap_gate(blocked_publish)", "", 1.0, 1.0, True),
+            ("check_gate(blocked_commit)", "", 1.0, 1.0, True),
+        ]
         return spark.createDataFrame(rows, schema).unionByName(
             spark.createDataFrame(gate, schema)
         )
@@ -5984,6 +6011,8 @@ def oracle_sql() -> dict[str, str]:
         "UNION ALL SELECT 'row_count', '[1000, inf]', "
         "CAST(n AS DOUBLE), CAST(1000.0 AS DOUBLE), n >= 1000 FROM m "
         "UNION ALL SELECT 'wap_gate(blocked_publish)', '', "
+        "CAST(1.0 AS DOUBLE), CAST(1.0 AS DOUBLE), true FROM m "
+        "UNION ALL SELECT 'check_gate(blocked_commit)', '', "
         "CAST(1.0 AS DOUBLE), CAST(1.0 AS DOUBLE), true FROM m"
     )
 
