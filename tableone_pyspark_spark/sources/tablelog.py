@@ -608,6 +608,25 @@ def commit(
             newprev = current_version(spark, table)
             if newprev is None or newprev < version:
                 raise  # not a slot race we can reason about
+            if stream_id is not None and batch_id is not None:
+                # exactly-once guard (review r14): if the interleaved
+                # winner IS a concurrent replay of this very
+                # (stream_id, batch_id) — two drivers racing one
+                # checkpoint — rebasing would commit the batch TWICE.
+                # Surface the conflict instead; the stream's retry
+                # then no-ops via last_committed_batch.
+                for vv in range(version, newprev + 1):
+                    d = _version_doc(spark, table, vv)
+                    if (
+                        d.get("stream_id") == stream_id
+                        and d.get("batch_id") == batch_id
+                    ):
+                        raise CommitConflict(
+                            f"batch {batch_id} of stream "
+                            f"{stream_id!r} was committed "
+                            f"concurrently at v{vv} of {table} — "
+                            "duplicate replay, not rebased"
+                        ) from None
             doc = _version_doc(spark, table, newprev)
             if _schema_shape(doc["schema"]) != _schema_shape(schema_json):
                 raise ValueError(

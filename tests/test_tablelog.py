@@ -2099,3 +2099,58 @@ def test_persisted_check_constraints(spark, tmp_path):
         tl.drop_constraint(spark, t, "k_pos")
     with pytest.raises(ValueError, match="identifier"):
         tl.set_constraint(spark, t, "bad name", "k > 0")
+
+
+def test_rebase_never_duplicates_a_streaming_batch(spark, tmp_path, monkeypatch):
+    """Review r14 (exactly-once): a blind streaming append that loses
+    its slot to a CONCURRENT REPLAY of the same (stream_id, batch_id)
+    must raise CommitConflict, NOT rebase — rebasing would commit the
+    micro-batch twice; a race with a DIFFERENT stream's batch still
+    rebases normally."""
+    t = str(tmp_path / "sdup_tbl")
+    tl.commit(spark, spark.range(3).select(F.col("id").alias("k")), t)  # v0
+    orig = tl._write_log_doc_exclusive
+
+    def install_racer(df, **commit_kw):
+        state = {"raced": False}
+
+        def racy(s, table, name, doc):
+            if not state["raced"] and table == t and name.startswith("v"):
+                state["raced"] = True
+                monkeypatch.setattr(tl, "_write_log_doc_exclusive", orig)
+                tl.commit(spark, df, t, **commit_kw)
+                monkeypatch.setattr(tl, "_write_log_doc_exclusive", racy)
+                return orig(s, table, name, doc)
+            return orig(s, table, name, doc)
+
+        monkeypatch.setattr(tl, "_write_log_doc_exclusive", racy)
+
+    # same (stream, batch) replay wins the race -> conflict, no dup
+    install_racer(
+        spark.range(10, 13).select(F.col("id").alias("k")),
+        stream_id="s1", batch_id=7,
+    )
+    with pytest.raises(tl.CommitConflict, match="duplicate replay"):
+        tl.commit(
+            spark,
+            spark.range(10, 13).select(F.col("id").alias("k")),
+            t, stream_id="s1", batch_id=7,
+        )
+    monkeypatch.setattr(tl, "_write_log_doc_exclusive", orig)
+    assert sorted(
+        r["k"] for r in tl.read_version(spark, t).collect()
+    ) == [0, 1, 2, 10, 11, 12]  # exactly once
+    # a DIFFERENT stream's batch interleaving still rebases
+    install_racer(
+        spark.range(20, 21).select(F.col("id").alias("k")),
+        stream_id="s2", batch_id=3,
+    )
+    rep = tl.commit(
+        spark, spark.range(30, 31).select(F.col("id").alias("k")),
+        t, stream_id="s1", batch_id=8,
+    )
+    monkeypatch.setattr(tl, "_write_log_doc_exclusive", orig)
+    assert rep["version"] == 3 and rep["batch_id"] == 8
+    assert sorted(
+        r["k"] for r in tl.read_version(spark, t).collect()
+    ) == [0, 1, 2, 10, 11, 12, 20, 30]
