@@ -109,11 +109,13 @@ def refresh_aggregate(
     full_refresh: bool = False,
 ) -> dict:
     """Bring ``dst_table`` up to ``src_table``'s current version.
-    ``keys`` is required when the unrefreshed range contains overwrite
-    commits (the change feed needs row identity to diff them — the
-    :func:`~tableone_pyspark_spark.sources.tablelog.table_changes`
-    contract). Returns ``{src_version, mode, rows}`` where mode is
-    one of ``noop`` / ``full`` / ``incremental``."""
+    ``keys`` upgrades overwrite versions in the unrefreshed range to
+    row-identity diffs (U_pre/U_post — change-sized when few rows
+    actually moved); without keys an overwrite arrives as
+    retract-all + insert-all (X146's batch half — correct, but the
+    delta pass scans the two adjacent live views). Returns
+    ``{src_version, mode, rows}`` where mode is one of ``noop`` /
+    ``full`` / ``incremental``."""
     _validate_cols(group_cols, sum_cols)
     src_cur = tl.current_version(spark, src_table)
     if src_cur is None:

@@ -1826,10 +1826,14 @@ def table_changes(
 
         append commit    : its NEW files read directly, op 'I' — no
                            diff computation at all (the common path)
-        overwrite commit : ``snapshot_diff`` of the two adjacent
-                           versions (requires ``keys``; without them
-                           an overwrite version raises — there is no
-                           row identity to diff by)
+        overwrite commit : with ``keys`` — ``snapshot_diff`` of the
+                           two adjacent versions (row-identity
+                           updates, change-sized when few rows
+                           moved); WITHOUT keys (X146's batch half) —
+                           the previous live view as 'D' + the new
+                           one as 'I' (Delta's remove-all/add-all
+                           derivation; O(table) change volume,
+                           inherent to a blind overwrite)
 
     Returns the union across the version range, ordered by nothing
     (group by ``version_col`` downstream; the per-version chained
@@ -1919,12 +1923,24 @@ refresh_aggregate` consumes."""
                     op_col, F.lit("I")
                 )
                 ch = ins if ch is None else ch.unionByName(ins)
-        else:
-            if not keys:
-                raise ValueError(
-                    f"version {v} is an overwrite — diffing it needs "
-                    "the key columns (keys=...)"
+        elif not keys:
+            # X146's batch half: a KEYLESS overwrite delivers the
+            # previous live view as 'D' plus the new live view as 'I'
+            # (Delta's remove-all/add-all derivation — no row identity
+            # needed). Change volume is O(table) — inherent to a blind
+            # overwrite, the same contract as the streaming feed; pass
+            # ``keys=`` to upgrade to row-identity diffs (U_pre/U_post
+            # pairs, change-sized when few rows actually moved).
+            ch = (
+                read_version(spark, table, v - 1)
+                .withColumn(op_col, F.lit("D"))
+                .unionByName(
+                    read_version(spark, table, v).withColumn(
+                        op_col, F.lit("I")
+                    )
                 )
+            )
+        else:
             from tableone_pyspark_spark.operators.cdc import snapshot_diff
 
             # the reserved internal ts name keeps tables that OWN a

@@ -255,9 +255,18 @@ def test_table_changes_cdf(spark, tmp_path):
     # append-only ranges need no keys
     only_append = tl.table_changes(spark, t, 0, to_version=1)
     assert [(r["op"], r["k"]) for r in only_append.collect()] == [("I", 3)]
-    # an overwrite in range without keys raises
-    with pytest.raises(ValueError, match="needs\\s+the key columns"):
-        tl.table_changes(spark, t, 0)
+    # an overwrite WITHOUT keys (X146's batch half): the previous
+    # live view retracts, the new one inserts — Delta's
+    # remove-all/add-all derivation, no row identity needed
+    keyless = sorted(
+        (r["commit_version"], r["op"], r["k"])
+        for r in tl.table_changes(spark, t, 0).collect()
+    )
+    assert keyless == [
+        (1, "I", 3),
+        (2, "D", 1), (2, "D", 2), (2, "D", 3),
+        (2, "I", 1), (2, "I", 2), (2, "I", 4),
+    ]
     # empty range: typed empty frame
     empty = tl.table_changes(spark, t, 2, keys=["k"])
     assert empty.count() == 0
@@ -610,6 +619,21 @@ def test_refresh_aggregate_incremental(spark, tmp_path):
         spark, src, dst, ["g"], ["v"], keys=["k"], full_refresh=True
     )
     assert mv_rows() == {"a": (1, 10)}
+
+    # KEYLESS incremental refresh across an overwrite (X146 batch
+    # half): the retract-all/insert-all feed folds to the exact
+    # post-overwrite aggregate — no key configuration needed
+    tl.commit(
+        spark,
+        spark.createDataFrame(
+            [(7, "c", 4), (8, "c", 6), (9, "d", 1)], base.schema
+        ),
+        src,
+        mode="overwrite",
+    )
+    rep = mv.refresh_aggregate(spark, src, dst, ["g"], ["v"])
+    assert rep["mode"] == "incremental"
+    assert mv_rows() == {"c": (2, 10), "d": (1, 1)}
 
     # validation
     import pytest as _pytest
