@@ -728,9 +728,8 @@ class _TablelogCdfStreamReader(_TablelogStreamReader):
                 # X144: the DV-backed MERGE streams as the exact
                 # delete+insert pair in ONE version — the matched
                 # preimages by position, then the appended postimage/
-                # insert files. THIS closes the keyed-upsert gap the
-                # overwrite refusal below documents: route upserts
-                # through merge_rows and the feed stays streamable.
+                # insert files (the keyed-upsert half of the feed;
+                # X146 below covers the keyless-overwrite half).
                 parts += [
                     _CdfPartition(path, pos, "delete", v)
                     for path, pos in sorted(

@@ -976,8 +976,9 @@ def merge_rows(
     ``insert`` rows in one version — both the batch
     :func:`table_changes` and the X140 streaming feed — so the X134
     incremental MV and the X142 streaming MV absorb keyed upserts
-    WITHOUT key configuration (the overwrite path is the only one
-    still needing ``keys=``). Streams reading the table itself refuse
+    WITHOUT key configuration (keyless overwrites also flow since
+    X146 — ``keys=`` is now purely the change-sized-diff upgrade for
+    overwrites). Streams reading the table itself refuse
     a merge unless ``ignore_deletes`` (the retraction cannot be
     expressed in an append stream; the new files then deliver
     at-least-once like Delta's ignoreChanges).
