@@ -1313,9 +1313,11 @@ def test_restore_metadata_rollback(spark, tmp_path):
 
 def test_log_shape_property_checkpoint_equivalence(spark, tmp_path):
     """Property (seeded-random log shapes): for arbitrary
-    append/delete/overwrite/restore sequences crossing checkpoint
-    boundaries, the checkpoint-accelerated history() and the stream's
-    _version_rows plan are IDENTICAL to the full doc walk."""
+    append/delete/overwrite/restore/merge/constraint sequences
+    crossing checkpoint boundaries — including X149's files-unchanged
+    metadata publishes, the zero-delta append class — the
+    checkpoint-accelerated history() and the stream's _version_rows
+    plan are IDENTICAL to the full doc walk."""
     import random
 
     import tableone_pyspark_spark.sources.stream_source as ss
@@ -1329,8 +1331,24 @@ def test_log_shape_property_checkpoint_equivalence(spark, tmp_path):
         base = 6
         while (tl.current_version(spark, t) or 0) < 13:
             op = rng.choice(["append", "append", "delete", "overwrite",
-                             "restore", "merge"])
-            if op == "merge":
+                             "restore", "merge", "constraint"])
+            if op == "constraint":
+                # X149: a files-unchanged metadata publish (set or
+                # drop) — the zero-delta append class the checkpoint
+                # writer and stream planner must both carry through
+                # without inventing or dropping deliveries
+                cons = (
+                    tl._version_doc(
+                        spark, t, tl.current_version(spark, t)
+                    ).get("constraints") or {}
+                )
+                if "k_bound" in cons:
+                    tl.drop_constraint(spark, t, "k_bound")
+                else:
+                    tl.set_constraint(
+                        spark, t, "k_bound", "k < 1000000"
+                    )
+            elif op == "merge":
                 # X144: upsert a random live key + insert a fresh one
                 # (sorted before rng.choice — collect() order is not
                 # deterministic, and the seed must reproduce; an
