@@ -2855,6 +2855,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             rows = ex.validate(
                 tl.read_version(spark, t), cons
             ).collect()
+            # X150: the JOIN-shaped expectation — FK containment of
+            # the published o_custkey against a RESTRICTED customer
+            # dim (c_custkey%3==0, so the fraction is non-trivial);
+            # NULL-passes SQL FK semantics, duplicate-dim-safe
+            # distinct-before-join plan
+            rows += ex.referential(
+                tl.read_version(spark, t),
+                "o_custkey",
+                _load(spark, sf_dir, "customer").where(
+                    F.col("c_custkey") % 3 == 0
+                ),
+                "c_custkey",
+                min_ratio=0.2,
+            ).collect()
             # arm 3 (X149): a PERSISTED CHECK constraint gates plain
             # commits the way the per-call audit gated arm 1 — the
             # violating append must refuse BY NAME and publish
@@ -5986,7 +6000,10 @@ def oracle_sql() -> dict[str, str]:
         "sum(CASE WHEN o_orderstatus IN ('O','F') THEN 1 ELSE 0 END) AS i_ok, "
         "sum(CASE WHEN o_totalprice > 100000 THEN 1 ELSE 0 END) AS s_ok, "
         "count(DISTINCT o_custkey) AS d_nd, "
-        "count(DISTINCT o_orderkey) AS pk_nd FROM orders) "
+        "count(DISTINCT o_orderkey) AS pk_nd, "
+        "sum(CASE WHEN o_custkey IN (SELECT c_custkey FROM customer "
+        "WHERE c_custkey % 3 = 0) THEN 1 ELSE 0 END) AS fk_ok "
+        "FROM orders) "
         "SELECT 'completeness(o_custkey)' AS constraint, 'o_custkey' AS \"column\", "
         "CAST(c_nn AS DOUBLE)/n AS metric, CAST(1.0 AS DOUBLE) AS threshold, "
         "CAST(c_nn AS DOUBLE)/n >= 1.0 AS passed FROM m "
@@ -6010,6 +6027,9 @@ def oracle_sql() -> dict[str, str]:
         "least(CAST(pk_nd AS DOUBLE)/n, 1.0) >= 1.0 FROM m "
         "UNION ALL SELECT 'row_count', '[1000, inf]', "
         "CAST(n AS DOUBLE), CAST(1000.0 AS DOUBLE), n >= 1000 FROM m "
+        "UNION ALL SELECT 'referential(o_custkey -> c_custkey)', "
+        "'o_custkey', CAST(fk_ok AS DOUBLE)/c_nn, CAST(0.2 AS DOUBLE), "
+        "CAST(fk_ok AS DOUBLE)/c_nn >= 0.2 FROM m "
         "UNION ALL SELECT 'wap_gate(blocked_publish)', '', "
         "CAST(1.0 AS DOUBLE), CAST(1.0 AS DOUBLE), true FROM m "
         "UNION ALL SELECT 'check_gate(blocked_commit)', '', "

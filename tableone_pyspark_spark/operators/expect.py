@@ -286,3 +286,62 @@ def validate(df: DataFrame, constraints: list[Constraint]) -> DataFrame:
         "constraint string, column string, metric double, "
         "threshold double, passed boolean",
     )
+
+
+def referential(
+    df: DataFrame,
+    col: str,
+    dim: DataFrame,
+    dim_col: str,
+    min_ratio: float = 1.0,
+) -> DataFrame:
+    """X150 — referential-integrity expectation (the FK check every
+    pipeline needs before a training join: an orphaned key silently
+    becomes a dropped row at inner-join time, or a NULL-enriched row
+    at left-join time). Returns the same one-row report frame
+    :func:`validate` emits — ``metric`` = non-null ``col`` values of
+    ``df`` that exist in ``dim.dim_col``, as a fraction — so callers
+    union it under a suite's report.
+
+    The one deliberately JOIN-shaped expectation: an FK check needs
+    two tables by nature, so it cannot ride :func:`validate`'s
+    single-pass shared aggregate (X111) and is a separate call
+    instead of a :class:`Constraint`. Plan: the dim side is reduced
+    to ``distinct`` keys BEFORE the left join (a duplicate-keyed dim
+    must not multiply fact rows into a fake ratio), one join + one
+    aggregation; AQE broadcasts the key set when it fits. SQL FK
+    semantics: NULL foreign keys PASS (they reference nothing — add
+    :func:`completeness` for NOT-NULL intent); an all-null or empty
+    fact side is vacuously 1.0."""
+    if not 0.0 <= min_ratio <= 1.0:
+        raise ValueError(f"min_ratio must be in [0, 1], got {min_ratio}")
+    if col not in df.columns:
+        raise ValueError(f"no column {col!r} in the fact frame")
+    if dim_col not in dim.columns:
+        raise ValueError(f"no column {dim_col!r} in the dim frame")
+    keys = dim.select(F.col(f"`{dim_col}`").alias("__fk")).where(
+        F.col("__fk").isNotNull()
+    ).distinct()
+    hit = (
+        df.select(F.col(f"`{col}`").alias("__fk"))
+        .where(F.col("__fk").isNotNull())
+        .join(keys.withColumn("__hit", F.lit(1)), "__fk", "left")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.sum("__hit"), F.lit(0)).alias("ok"),
+        )
+        .collect()[0]
+    )
+    metric = 1.0 if not hit["n"] else float(hit["ok"]) / float(hit["n"])
+    spark = SparkSession.getActiveSession() or df.sparkSession
+    return spark.createDataFrame(
+        [(
+            f"referential({col} -> {dim_col})",
+            col,
+            float(metric),
+            float(min_ratio),
+            metric >= min_ratio,
+        )],
+        "constraint string, column string, metric double, "
+        "threshold double, passed boolean",
+    )

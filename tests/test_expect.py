@@ -214,3 +214,33 @@ def test_validation_errors(frame):
         E.isin("status", [])
     with pytest.raises(ValueError, match="at least one column"):
         E.primary_key()
+
+
+def test_referential_fk_report(spark):
+    """X150: FK containment as a report row — NULL FKs pass (SQL
+    semantics), duplicate dim keys never multiply the ratio, empty
+    fact side is vacuously 1.0, validation raises on bad args."""
+    import pytest
+
+    from tableone_pyspark_spark.operators.expect import referential
+
+    fact = spark.createDataFrame(
+        [(1,), (1,), (2,), (9,), (None,)], "fk long"
+    )
+    dim = spark.createDataFrame(
+        [(1,), (1,), (2,), (3,)], "k long"  # dup key 1 on purpose
+    )
+    r = referential(fact, "fk", dim, "k").collect()[0]
+    # 4 non-null FK rows, 3 matched (1,1,2); 9 orphaned; NULL passes
+    assert r["metric"] == 0.75 and r["threshold"] == 1.0
+    assert not r["passed"]
+    assert r["constraint"] == "referential(fk -> k)"
+    ok = referential(fact, "fk", dim, "k", min_ratio=0.7).collect()[0]
+    assert ok["passed"]
+    # empty / all-null fact: vacuous pass
+    empty = spark.createDataFrame([(None,)], "fk long")
+    assert referential(empty, "fk", dim, "k").collect()[0]["metric"] == 1.0
+    with pytest.raises(ValueError, match="min_ratio"):
+        referential(fact, "fk", dim, "k", min_ratio=2.0)
+    with pytest.raises(ValueError, match="no column"):
+        referential(fact, "nope", dim, "k")
