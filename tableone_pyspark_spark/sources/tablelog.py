@@ -1612,6 +1612,54 @@ def drop_constraint(
     )
 
 
+def describe_detail(
+    spark: SparkSession,
+    table: str,
+    version: int | None = None,
+    with_size: bool = False,
+) -> dict:
+    """Delta's ``DESCRIBE DETAIL``: one metadata-doc read summarizing
+    the table at ``version`` (default current) — version, mode,
+    committed_at, file/vector/stats counts, column names, persisted
+    constraints, and the latest checkpoint at-or-before it.
+    ``with_size=True`` additionally sums the live files' byte sizes
+    via one FileSystem status call PER FILE (metadata GETs — the same
+    cost Delta avoids by storing sizes in add actions; documented, so
+    a million-file table opts in knowingly)."""
+    cur = current_version(spark, table)
+    if cur is None:
+        raise ValueError(f"no such versioned table: {table}")
+    v = cur if version is None else version
+    if not 0 <= v <= cur:
+        raise ValueError(f"version {v} not in [0, {cur}] for {table}")
+    doc = _version_doc(spark, table, v)
+    _, cks = _log_maxima(spark, table)
+    out = {
+        "table": table,
+        "version": v,
+        "current_version": cur,
+        "mode": doc["mode"],
+        "committed_at": doc["committed_at"],
+        "n_files": len(doc["files"]),
+        "n_dv_files": len(doc.get("dv") or []),
+        "n_stats_files": len(doc.get("stats") or {}),
+        "columns": [n for n, _ in _schema_shape(doc["schema"])],
+        "constraints": dict(doc.get("constraints") or {}),
+        "latest_checkpoint": max(
+            (n for n in cks if n <= v), default=None
+        ),
+    }
+    if with_size:
+        fs, _ = _fs(spark, table)
+        out["size_bytes"] = int(
+            sum(
+                fs.getFileStatus(_path(spark, f)).getLen()
+                for f in doc["files"]
+            )
+        )
+    return out
+
+
 def restore(
     spark: SparkSession, table: str, version: int
 ) -> dict:
@@ -1995,6 +2043,7 @@ def vacuum(
     table: str,
     keep_last: int = 2,
     min_age_seconds: float = 24 * 3600,
+    dry_run: bool = False,
 ) -> dict:
     """Delete data files no version in the kept window references —
     the storage-reclaim half (closing the module's documented
@@ -2008,7 +2057,14 @@ def vacuum(
     time travel reaches only the kept window; older version docs stay
     in the log as history but their reads fail on missing files.
     Driver-side metadata work + per-file deletes; returns
-    ``{n_deleted, n_kept, kept_versions}``."""
+    ``{n_deleted, n_kept, kept_versions}``.
+
+    ``dry_run=True`` (Delta's ``VACUUM ... DRY RUN``): deletes
+    NOTHING and additionally returns ``n_would_delete`` plus up to
+    1,000 of the paths (``would_delete``) — the operator's look-
+    before-you-reclaim check, since a vacuum past a version someone
+    still time-travels to (or a clone still references) is the one
+    irreversible operation in the format."""
     if keep_last < 1:
         raise ValueError(f"keep_last must be >= 1, got {keep_last}")
     if min_age_seconds < 0:
@@ -2029,6 +2085,7 @@ def vacuum(
     fs, _ = _fs(spark, table)
     cutoff_ms = (time.time() - min_age_seconds) * 1000.0
     n_deleted = 0
+    would: list[str] = []
 
     def _only_bookkeeping(p) -> bool:
         for st in fs.listStatus(p):
@@ -2070,8 +2127,15 @@ def vacuum(
             p = st.getPath().toString()
             if p in live or st.getModificationTime() > cutoff_ms:
                 continue
+            if dry_run:
+                if len(would) < 1000:
+                    would.append(p)
+                n_deleted += 1
+                continue
             fs.delete(st.getPath(), False)
             n_deleted += 1
+        if dry_run:
+            continue  # the dead-dir sweep also deletes — skip it
         for st in fs.listStatus(root):
             if (
                 st.isDirectory()
@@ -2079,6 +2143,14 @@ def vacuum(
                 and _only_bookkeeping(st.getPath())
             ):
                 fs.delete(st.getPath(), True)
+    if dry_run:
+        return {
+            "n_deleted": 0,
+            "n_would_delete": n_deleted,
+            "would_delete": sorted(would),
+            "n_kept": len(live),
+            "kept_versions": kept,
+        }
     return {
         "n_deleted": n_deleted,
         "n_kept": len(live),

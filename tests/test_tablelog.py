@@ -2196,3 +2196,48 @@ def test_rebase_never_duplicates_a_streaming_batch(spark, tmp_path, monkeypatch)
     assert sorted(
         r["k"] for r in tl.read_version(spark, t).collect()
     ) == [0, 1, 2, 10, 11, 12, 20, 30]
+
+
+def test_vacuum_dry_run_and_describe_detail(spark, tmp_path):
+    """Dry-run vacuum deletes nothing and reports exactly what a real
+    vacuum then reclaims; describe_detail summarizes a version from
+    one doc read (counts, columns, constraints, checkpoint), with
+    opt-in byte sizing."""
+    t = str(tmp_path / "dd_tbl")
+    tl.commit(
+        spark, spark.range(20).select(F.col("id").alias("k")), t,
+        stats_cols=["k"],
+    )                                                          # v0
+    tl.commit(
+        spark,
+        spark.range(100, 105).select(F.col("id").alias("k")),
+        t,
+        mode="overwrite",
+    )                                                          # v1
+    tl.set_constraint(spark, t, "k_pos", "k >= 0")             # v2
+    tl.delete_rows(spark, t, F.col("k") == 100)                # v3
+
+    d = tl.describe_detail(spark, t)
+    assert d["version"] == 3 and d["current_version"] == 3
+    assert d["mode"] == "delete" and d["n_dv_files"] >= 1
+    assert d["columns"] == ["k"] and d["constraints"] == {"k_pos": "k >= 0"}
+    assert d["latest_checkpoint"] is None
+    d0 = tl.describe_detail(spark, t, version=0, with_size=True)
+    assert d0["mode"] == "append" and d0["n_stats_files"] == d0["n_files"]
+    assert d0["size_bytes"] > 0
+    with pytest.raises(ValueError, match="not in"):
+        tl.describe_detail(spark, t, version=9)
+
+    # dry run: v0's files are outside keep_last=2's window (v2..v3
+    # share v1's files) — reported, NOT deleted
+    rep = tl.vacuum(spark, t, keep_last=2, min_age_seconds=0, dry_run=True)
+    assert rep["n_deleted"] == 0 and rep["n_would_delete"] > 0
+    assert len(rep["would_delete"]) == rep["n_would_delete"]
+    assert tl.read_version(spark, t, 0).count() == 20  # nothing gone
+    real = tl.vacuum(spark, t, keep_last=2, min_age_seconds=0)
+    assert real["n_deleted"] == rep["n_would_delete"]  # exact preview
+    with pytest.raises(Exception):
+        tl.read_version(spark, t, 0).count()  # v0 now unreadable
+    assert sorted(
+        r["k"] for r in tl.read_version(spark, t).collect()
+    ) == [101, 102, 103, 104]
