@@ -25,7 +25,14 @@ delivered exactly once).
              .option("starting_version", N | "latest") picks the
              first delivered version (the vacuumed-history escape
              hatch — Delta's startingVersion); version 0 is the
-             initial snapshot whatever its mode
+             initial snapshot whatever its mode;
+             .option("starting_timestamp", TS) resolves the first
+             delivered version through X145's version_at instead
+             (Delta's startingTimestamp: commits at-or-after TS;
+             before-first-commit = from the beginning; mutually
+             exclusive with starting_version), resolved ONCE at
+             reader construction so a restart replays the WAL'd
+             range, never a re-resolution against a moved log
     changes: .option("read_changes", "true") streams the CHANGE FEED
              instead (X140, Delta's readChangeFeed): appends as
              'insert' rows, deletion-vector versions as 'delete' rows
@@ -880,14 +887,54 @@ class TablelogDataSource(DataSource):
             v = self._resolve_version(cur)
         return _TablelogBatchReader(self._table(), v)
 
+    def _starting_version(self):
+        """starting_version, or starting_timestamp resolved through
+        X145's version_at (Delta's startingTimestamp): the FIRST
+        version committed at-or-after the instant — a stream from
+        'yesterday 09:00' replays exactly the commits since then.
+        Resolution happens ONCE here at reader construction; the WAL
+        then pins offsets, so a restart cannot re-resolve against a
+        moved log (the 'latest' re-resolution hazard, review r13)."""
+        sv = self.options.get("starting_version")
+        ts = self.options.get("starting_timestamp")
+        if sv is not None and ts is not None:
+            raise ValueError(
+                "pass .option('starting_version', N) OR "
+                ".option('starting_timestamp', TS), not both"
+            )
+        if ts is None:
+            return sv
+        # version_at gives the version CURRENT at ts (greatest
+        # committed_at <= ts); Delta's startingTimestamp delivers
+        # commits AT-OR-AFTER the instant, so start one later —
+        # EXCEPT a commit stamped exactly at ts, which at-or-after
+        # includes (checked explicitly; float-second stamps make the
+        # tie measure-zero but the boundary must not be off-by-one).
+        # A ts before the first commit means "from the beginning"
+        # (version_at raises there; a FUTURE ts resolves to latest,
+        # so the stream starts with only new commits — Delta's rule).
+        try:
+            v = _version_at(self._table(), ts)
+        except ValueError:
+            return 0
+        try:
+            exact = float(ts)
+        except ValueError:
+            from datetime import datetime
+
+            exact = datetime.fromisoformat(str(ts)).timestamp()
+        if _doc(self._table(), v)["committed_at"] == exact:
+            return v
+        return v + 1
+
     def streamReader(self, schema):
         if self._flag("read_changes"):
             return _TablelogCdfStreamReader(
-                self._table(), self.options.get("starting_version")
+                self._table(), self._starting_version()
             )
         return _TablelogStreamReader(
             self._table(),
             self._flag("ignore_deletes"),
             self._flag("ignore_changes"),
-            self.options.get("starting_version"),
+            self._starting_version(),
         )

@@ -1408,6 +1408,7 @@ def clone(
     src_table: str,
     dst_table: str,
     version: int | None = None,
+    as_of=None,
 ) -> dict:
     """X141 — zero-copy SHALLOW clone (Delta's ``CLONE``): publish
     ``dst_table``'s v0 referencing the SOURCE's data files (plus its
@@ -1428,11 +1429,19 @@ def clone(
     ``optimize`` on the clone first, which rewrites everything into
     clone-owned files).
 
-    ``dst_table`` must not exist. Returns the published v0 doc."""
+    ``dst_table`` must not exist. ``as_of`` (X145) clones the version
+    current at a wall-clock instant instead of a number — Delta's
+    ``CLONE ... TIMESTAMP AS OF``; mutually exclusive with
+    ``version``. Returns the published v0 doc."""
+    if version is not None and as_of is not None:
+        raise ValueError("pass version OR as_of, not both")
     src_cur = current_version(spark, src_table)
     if src_cur is None:
         raise ValueError(f"no such versioned table: {src_table}")
-    v = src_cur if version is None else version
+    if as_of is not None:
+        v = version_at(spark, src_table, as_of)
+    else:
+        v = src_cur if version is None else version
     if not 0 <= v <= src_cur:
         raise ValueError(
             f"version {v} not in [0, {src_cur}] for {src_table}"

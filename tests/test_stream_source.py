@@ -596,3 +596,50 @@ def test_stream_from_clone_honors_deletion_vectors(registered, tmp_path):
     q.awaitTermination()
     got = sorted(r["k"] for r in spark.read.parquet(out3).collect())
     assert got == live + [100 + v for v in range(1, 11)]
+
+
+def test_starting_timestamp_stream(registered, tmp_path):
+    """Delta's startingTimestamp: the stream's first delivered version
+    resolves through version_at — commits at-or-after the instant
+    (exact-stamp commits INCLUDED), before-first-commit = from the
+    beginning, both-options raises."""
+    spark = registered
+    t = str(tmp_path / "sts_tbl")
+    tl.commit(spark, spark.range(0, 3).select(F.col("id").alias("k")), t)   # v0
+    tl.commit(spark, spark.range(3, 6).select(F.col("id").alias("k")), t)   # v1
+    tl.commit(spark, spark.range(6, 9).select(F.col("id").alias("k")), t)   # v2
+    marks = [tl._version_doc(spark, t, v)["committed_at"] for v in range(3)]
+
+    def drain(out, ck, ts):
+        q = (
+            spark.readStream.format("tablelog")
+            .option("starting_timestamp", repr(ts)).load(t)
+            .writeStream.format("parquet").option("path", str(tmp_path / out))
+            .option("checkpointLocation", str(tmp_path / ck))
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+        return sorted(
+            r["k"] for r in spark.read.parquet(str(tmp_path / out)).collect()
+        )
+
+    # between v0 and v1: deliver v1 onward
+    mid = (marks[0] + marks[1]) / 2
+    assert drain("o1", "c1", mid) == [3, 4, 5, 6, 7, 8]
+    # exactly at v1's stamp: v1 INCLUDED (at-or-after)
+    assert drain("o2", "c2", marks[1]) == [3, 4, 5, 6, 7, 8]
+    # before the first commit: everything
+    assert drain("o3", "c3", marks[0] - 10) == list(range(9))
+    # both options refuse (streamReader is constructed at START, so
+    # the raise surfaces from the query, not from load())
+    with pytest.raises(Exception, match="not both"):
+        q = (
+            spark.readStream.format("tablelog")
+            .option("starting_timestamp", repr(marks[1]))
+            .option("starting_version", "1").load(t)
+            .writeStream.format("parquet")
+            .option("path", str(tmp_path / "o4"))
+            .option("checkpointLocation", str(tmp_path / "c4"))
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination()

@@ -2241,3 +2241,21 @@ def test_vacuum_dry_run_and_describe_detail(spark, tmp_path):
     assert sorted(
         r["k"] for r in tl.read_version(spark, t).collect()
     ) == [101, 102, 103, 104]
+
+
+def test_clone_as_of_timestamp(spark, tmp_path):
+    """X145 x X141: clone(as_of=) clones the version current at a
+    wall-clock instant; version and as_of together refuse."""
+    t = str(tmp_path / "cas_src")
+    tl.commit(spark, spark.range(3).select(F.col("id").alias("k")), t)  # v0
+    tl.commit(spark, spark.range(3, 7).select(F.col("id").alias("k")), t)  # v1
+    mid = (
+        tl._version_doc(spark, t, 0)["committed_at"]
+        + tl._version_doc(spark, t, 1)["committed_at"]
+    ) / 2
+    c = str(tmp_path / "cas_dst")
+    doc = tl.clone(spark, t, c, as_of=mid)
+    assert doc["version"] == 0
+    assert sorted(r["k"] for r in tl.read_version(spark, c).collect()) == [0, 1, 2]
+    with pytest.raises(ValueError, match="not both"):
+        tl.clone(spark, t, str(tmp_path / "cas_d2"), version=1, as_of=mid)
