@@ -210,6 +210,19 @@ def _shape(schema_json: str) -> list[tuple]:
     return [(f.name, f.dataType.simpleString()) for f in st.fields]
 
 
+def _shape_deliverable(delivered: list[tuple], pinned: list[tuple]) -> bool:
+    """Whether a version with shape ``delivered`` can be expressed in
+    a stream pinned to shape ``pinned``: identical, or an ADDITIVE-
+    EVOLUTION SUBSET — every delivered column exists in the pinned
+    shape at the same type (X152; the executor readers NULL-fill the
+    missing evolved columns). A version carrying columns the pinned
+    shape lacks, or a retyped column, is NOT deliverable — the stream
+    must be restarted at the change (the output schema cannot grow
+    mid-stream)."""
+    p = dict(pinned)
+    return all(p.get(n) == t for n, t in delivered)
+
+
 def _dv_position_map(
     dv_files: list[str], normalize: bool
 ) -> dict[str, list[int]]:
@@ -273,13 +286,42 @@ class _CdfPartition(InputPartition):
         self.exclude = exclude
 
 
-def _read_file(partition: _FilePartition, field_names: list[str]):
+def _arrow_types(schema_json: str) -> dict:
+    """name -> arrow type for the declared read schema — what the
+    executor readers NULL-fill a column missing from a PRE-EVOLUTION
+    file with (X152). Pure-Python pyspark type mapping, no JVM."""
+    import json as _json
+
+    from pyspark.sql.pandas.types import to_arrow_type
+    from pyspark.sql.types import StructType
+
+    st = StructType.fromJson(_json.loads(schema_json))
+    return {f.name: to_arrow_type(f.dataType) for f in st.fields}
+
+
+def _column_or_nulls(batch, name: str, types: dict):
+    """The batch's column by name, or an all-null column of the
+    declared type when the file predates an additive evolution."""
+    import pyarrow as pa
+
+    if name in batch.schema.names:
+        return batch.column(name)
+    return pa.nulls(batch.num_rows, type=types[name])
+
+
+def _read_file(
+    partition: _FilePartition,
+    field_names: list[str],
+    schema_json: str,
+):
     """Executor-side: one parquet file -> Arrow record batches in the
     table's column order, with deletion-vector positions masked out
     by their global row index. The (sorted) positions are bisected
     against each batch's row range, so batches the vector does not
     touch pass through untouched and hit batches build their keep
-    mask in numpy — no per-row Python loop (self-review r12)."""
+    mask in numpy — no per-row Python loop (self-review r12). Columns
+    the file predates (additive evolution, X152) are NULL-filled at
+    the declared type."""
     from bisect import bisect_left, bisect_right
 
     import numpy as np
@@ -291,6 +333,7 @@ def _read_file(partition: _FilePartition, field_names: list[str]):
         # and still calls read (self-review r12 — the empty-version
         # read crashed here)
         return
+    types = _arrow_types(schema_json)
 
     # open through the pyarrow FileSystem layer (the log-resolution
     # path already does) so s3:// / hdfs:// tables read on executors
@@ -314,15 +357,23 @@ def _read_file(partition: _FilePartition, field_names: list[str]):
                     )
             offset += n
             yield pa.RecordBatch.from_arrays(
-                [batch.column(name) for name in field_names],
+                [
+                    _column_or_nulls(batch, name, types)
+                    for name in field_names
+                ],
                 names=field_names,
             )
 
 
-def _read_file_cdf(partition: _CdfPartition, field_names: list[str]):
+def _read_file_cdf(
+    partition: _CdfPartition,
+    field_names: list[str],
+    schema_json: str,
+):
     """Executor-side change-feed read: the file's rows (or exactly the
     named positions), with ``_change_type`` / ``_commit_version``
-    constants appended per batch."""
+    constants appended per batch. Pre-evolution files NULL-fill the
+    evolved columns (X152), like :func:`_read_file`."""
     from bisect import bisect_left, bisect_right
 
     import numpy as np
@@ -331,6 +382,7 @@ def _read_file_cdf(partition: _CdfPartition, field_names: list[str]):
 
     if partition is None:
         return
+    types = _arrow_types(schema_json)
     fsys, p = _pa_fs(partition.path)
     with fsys.open_input_file(p) as fh:
         pf = pq.ParquetFile(fh)
@@ -359,7 +411,10 @@ def _read_file_cdf(partition: _CdfPartition, field_names: list[str]):
             offset += n
             k = batch.num_rows
             yield pa.RecordBatch.from_arrays(
-                [batch.column(name) for name in field_names]
+                [
+                    _column_or_nulls(batch, name, types)
+                    for name in field_names
+                ]
                 + [
                     pa.array([partition.change_type] * k, type=pa.string()),
                     pa.array([partition.version] * k, type=pa.int64()),
@@ -379,6 +434,7 @@ class _TablelogBatchReader(DataSourceReader):
         doc = _doc(table, v)
         self._files = doc["files"]
         self._dv = _dv_positions(doc.get("dv") or [])
+        self._schema_json = doc["schema"]
         self._names = [
             f["name"] for f in json.loads(doc["schema"])["fields"]
         ]
@@ -390,7 +446,7 @@ class _TablelogBatchReader(DataSourceReader):
         ]
 
     def read(self, partition):
-        yield from _read_file(partition, self._names)
+        yield from _read_file(partition, self._names, self._schema_json)
 
 
 class _TablelogStreamReader(DataSourceStreamReader):
@@ -420,6 +476,7 @@ class _TablelogStreamReader(DataSourceStreamReader):
                     f"{starting_version}"
                 )
         schema_json = _doc(table, cur)["schema"]
+        self._schema_json = schema_json
         self._names = [
             f["name"] for f in json.loads(schema_json)["fields"]
         ]
@@ -546,16 +603,18 @@ class _TablelogStreamReader(DataSourceStreamReader):
                 ]
             else:
                 new_files = [(f, []) for f in row["new_files"]]
-            if shape != self._shape:
+            if not _shape_deliverable(shape, self._shape):
                 raise ValueError(
                     f"schema changed at version {v} of {self._table} — "
                     "the stream's output schema pins to the CURRENT "
-                    "version at start. Start a NEW stream (a fresh "
+                    "version at start (pre-evolution versions NULL-"
+                    "fill additively-added columns; anything else is "
+                    "inexpressible). Start a NEW stream (a fresh "
                     "checkpointLocation — the existing checkpoint's "
                     "offsets resume before the change and would hit "
                     "this again) with .option('starting_version', N) "
                     "at or after the schema change, i.e. the first "
-                    "version whose schema matches the current one "
+                    "version whose schema fits the current one "
                     "(ADVICE r12)"
                 )
             # appended/rewritten files carry no vectors at their own
@@ -615,7 +674,7 @@ class _TablelogStreamReader(DataSourceStreamReader):
         return parts
 
     def read(self, partition):
-        yield from _read_file(partition, self._names)
+        yield from _read_file(partition, self._names, self._schema_json)
 
     def commit(self, end):
         pass  # offsets are durable in the query checkpoint
@@ -686,14 +745,15 @@ class _TablelogCdfStreamReader(_TablelogStreamReader):
         )  # checkpoint-accelerated, like the append reader (review r13)
         for row in rows:
             v, mode = row["version"], row["mode"]
-            if row["shape"] != self._shape:
+            if not _shape_deliverable(row["shape"], self._shape):
                 raise ValueError(
                     f"schema changed at version {v} of {self._table} — "
                     "the change-feed stream's output schema pins to "
-                    "the CURRENT version at start; start a NEW stream "
-                    "(fresh checkpointLocation) with "
-                    ".option('starting_version', N) at or after the "
-                    "schema change"
+                    "the CURRENT version at start (pre-evolution "
+                    "versions NULL-fill additively-added columns); "
+                    "start a NEW stream (fresh checkpointLocation) "
+                    "with .option('starting_version', N) at or after "
+                    "the schema change"
                 )
             # an overwrite AT an EXPLICIT starting_version is the
             # stream's initial snapshot (the restart path the error
@@ -767,7 +827,7 @@ class _TablelogCdfStreamReader(_TablelogStreamReader):
                 # through merge_rows (exact per-row preimages); this
                 # path is the blind INSERT OVERWRITE case.
                 pdoc = _doc(self._table, v - 1)
-                if _shape(pdoc["schema"]) != self._shape:
+                if not _shape_deliverable(_shape(pdoc["schema"]), self._shape):
                     raise ValueError(
                         f"version {v} of {self._table} is a "
                         "schema-changing overwrite — its delete side "
@@ -798,7 +858,9 @@ class _TablelogCdfStreamReader(_TablelogStreamReader):
         return parts
 
     def read(self, partition):
-        yield from _read_file_cdf(partition, self._names)
+        yield from _read_file_cdf(
+            partition, self._names, self._schema_json
+        )
 
 
 class TablelogDataSource(DataSource):

@@ -48,9 +48,12 @@ parquet jobs. The log is append-only, so `history` and `read_version`
 never race a writer. :func:`vacuum` reclaims files outside the kept
 window (including orphaned loser-dirs) behind a load-bearing min-age
 guard; :func:`streaming_commit` appends micro-batches exactly-once
-(per-(table, stream) batch-id watermark). What this deliberately does
-NOT do (honest boundary vs real Delta/Iceberg): no schema evolution
-(appends must match — checked), and CREATE-exclusive publishing rides
+(per-(table, stream) batch-id watermark). Schema evolution (X152) is
+ADDITIVE-ONLY, opt-in per write: ``commit(merge_schema=True)`` may add
+new nullable columns (readers NULL-fill them into pre-evolution files
+by name); column drops and type changes are always refused — checked,
+never silent. What this deliberately does NOT do (honest boundary vs
+real Delta/Iceberg): CREATE-exclusive publishing rides
 ``FileContext.rename(.., Rename.NONE)`` — CONTRACTUAL no-overwrite on
 local/HDFS (r12, ADVICE r11) — while schemes with no AbstractFileSystem
 binding fall back to checked ``FileSystem.rename`` and object stores
@@ -347,6 +350,82 @@ def _schema_shape(schema_json: str) -> list:
     return [(f.name, f.dataType.simpleString()) for f in st.fields]
 
 
+def _widened_struct(schema_json: str):
+    """The doc's schema as a StructType with nullability widened to
+    true at every nesting level — the declared READ schema. Two
+    reasons (X152): parquet read-back widens nullability anyway, and
+    additive schema evolution NULL-fills a new column into OLD files,
+    so a writer-declared non-null field must not be trusted at read
+    time (wrong nullability mis-informs codegen)."""
+    from pyspark.sql.types import ArrayType, MapType, StructField, StructType
+
+    def widen(dt):
+        if isinstance(dt, StructType):
+            return StructType(
+                [
+                    StructField(f.name, widen(f.dataType), True, f.metadata)
+                    for f in dt.fields
+                ]
+            )
+        if isinstance(dt, ArrayType):
+            return ArrayType(widen(dt.elementType), True)
+        if isinstance(dt, MapType):
+            return MapType(dt.keyType, widen(dt.valueType), True)
+        return dt
+
+    return widen(StructType.fromJson(json.loads(schema_json)))
+
+
+def _read_files(
+    spark: SparkSession, files: list[str], schema_json: str
+) -> DataFrame:
+    """Read a version's data files THROUGH its doc's declared schema
+    (widened) instead of footer inference. Identical to a plain
+    ``spark.read.parquet`` for uniform-schema tables, and load-bearing
+    after additive evolution (X152): a version's live set then MIXES
+    pre-evolution files (missing the new columns) with post-evolution
+    ones — by-name resolution against the declared schema NULL-fills
+    the gaps per file, where footer inference would pick one file's
+    schema at random and silently drop or crash on the rest."""
+    return spark.read.schema(_widened_struct(schema_json)).parquet(*files)
+
+
+def _evolve_schema(table_schema_json: str, df_schema_json: str) -> str:
+    """X152 — additive-only schema evolution (the core of Delta's
+    ``mergeSchema``): the evolved table schema is the table's columns
+    in their existing order, followed by the dataframe's NEW columns
+    in dataframe order (forced nullable — old files NULL-fill them).
+    A write MISSING some table columns is fine (the table schema
+    keeps them — this write's files are NULL-filled on read, Delta's
+    missing-column append rule); a TYPE change raises (no retyping);
+    order-only difference leaves the schema unchanged. Returns the
+    evolved schema json."""
+    from pyspark.sql.types import StructField, StructType
+
+    tbl = StructType.fromJson(json.loads(table_schema_json))
+    new = StructType.fromJson(json.loads(df_schema_json))
+    new_types = {f.name: f.dataType.simpleString() for f in new.fields}
+    retyped = [
+        (f.name, f.dataType.simpleString(), new_types[f.name])
+        for f in tbl.fields
+        if f.name in new_types
+        and f.dataType.simpleString() != new_types[f.name]
+    ]
+    if retyped:
+        raise ValueError(
+            f"merge_schema is additive-only: column type changes "
+            f"{retyped} are refused — this format has no retyping; "
+            "overwrite or migrate explicitly"
+        )
+    have = {f.name for f in tbl.fields}
+    added = [
+        StructField(f.name, f.dataType, True, f.metadata)
+        for f in new.fields
+        if f.name not in have
+    ]
+    return StructType(list(tbl.fields) + added).json()
+
+
 _STATS_TYPES = (
     "tinyint", "smallint", "int", "bigint", "float", "double",
     "string", "date",
@@ -402,16 +481,25 @@ def _enforce_constraints(
     files: list[str],
     table: str,
     what: str,
+    schema_json: str | None = None,
 ) -> None:
     """X149 write-path gate: raise (BEFORE any publish — the data dir
     stays an invisible orphan) if any new-file row violates a
     persisted CHECK constraint. One change-sized scan for all
     constraints together; a constraint referencing a column the new
     schema lacks fails the write loudly (drop the constraint first —
-    never silently skip enforcement)."""
+    never silently skip enforcement). ``schema_json`` (X152) reads the
+    files through the declared table schema, so a missing-column
+    append evaluates its constraints over NULL — the value readers
+    will actually see — instead of crashing on the absent column."""
     if not constraints or not files:
         return
-    bad = _check_violations(spark.read.parquet(*files), constraints)
+    df = (
+        _read_files(spark, files, schema_json)
+        if schema_json is not None
+        else spark.read.parquet(*files)
+    )
+    bad = _check_violations(df, constraints)
     if bad:
         raise ValueError(
             f"{what} to {table} violates CHECK constraint(s): "
@@ -494,6 +582,7 @@ def commit(
     batch_id: int | None = None,
     stream_id: str | None = None,
     stats_cols: list[str] | None = None,
+    merge_schema: bool = False,
     _audit=None,
 ) -> dict:
     """Write ``df`` as the table's next version. ``append`` keeps the
@@ -501,7 +590,13 @@ def commit(
     ``overwrite`` replaces the live set. Appends to an existing table
     must match its column names and types (nullability is ignored —
     parquet read-back widens it; anything else is refused, no silent
-    evolution). ``expected_base`` pins the version the WRITE was
+    evolution). ``merge_schema=True`` (X152, Delta's ``mergeSchema``)
+    relaxes that to ADDITIVE-ONLY evolution on the append path: the
+    write may carry NEW columns (appended to the table schema, forced
+    nullable — readers NULL-fill them into pre-evolution files by
+    name), but column drops and type changes still raise; readers of
+    pre-evolution versions see the old schema untouched (each version
+    doc pins its own). ``expected_base`` pins the version the WRITE was
     derived from: the commit publishes to exactly ``expected_base+1``,
     so a concurrent commit in between raises :class:`CommitConflict`
     instead of silently clobbering it (read-modify-write callers MUST
@@ -540,11 +635,19 @@ def commit(
     if prev is not None and mode == "append":
         doc = _version_doc(spark, table, prev)
         if _schema_shape(doc["schema"]) != _schema_shape(schema_json):
-            raise ValueError(
-                "append schema differs from the table's — this "
-                "format deliberately has no schema evolution; "
-                "overwrite or migrate explicitly"
-            )
+            if not merge_schema:
+                raise ValueError(
+                    "append schema differs from the table's — pass "
+                    "merge_schema=True for additive-only evolution "
+                    "(new nullable columns); drops and type changes "
+                    "are always refused — overwrite or migrate "
+                    "explicitly"
+                )
+            # X152: evolved schema = table columns (their order) +
+            # the write's new columns; non-additive changes raise
+            # inside. The data files keep df's own layout — every
+            # read path resolves by NAME against the doc schema.
+            schema_json = _evolve_schema(doc["schema"], schema_json)
         prev_files = doc["files"]
         prev_stats = doc.get("stats", {})
         prev_dv = doc.get("dv") or []
@@ -567,7 +670,10 @@ def commit(
     # X149: persisted CHECK constraints gate every write path the same
     # way the audit seam does — new rows only (restore/optimize never
     # re-validate: their rows passed at write time, Delta's rule)
-    _enforce_constraints(spark, tbl_constraints, new_files, table, mode)
+    _enforce_constraints(
+        spark, tbl_constraints, new_files, table, mode,
+        schema_json=schema_json,
+    )
     new_stats: dict = {}
     if stats_cols:
         new_stats = _remap_stats(
@@ -629,12 +735,20 @@ def commit(
                         ) from None
             doc = _version_doc(spark, table, newprev)
             if _schema_shape(doc["schema"]) != _schema_shape(schema_json):
-                raise ValueError(
-                    f"append to {table} raced a schema-changing "
-                    "commit — this format deliberately has no schema "
-                    "evolution; re-derive the write against the new "
-                    "schema"
-                ) from None
+                if not merge_schema:
+                    raise ValueError(
+                        f"append to {table} raced a schema-changing "
+                        "commit — re-derive the write against the new "
+                        "schema (or opt into additive evolution with "
+                        "merge_schema=True)"
+                    ) from None
+                # X152: re-evolve OUR columns onto the interleaved
+                # winner's schema (both writers may have evolved —
+                # the union of additive changes is itself additive);
+                # a non-additive interleave still raises inside.
+                schema_json = _evolve_schema(
+                    doc["schema"], df.schema.json()
+                )
             prev_files = doc["files"]
             stats = dict(doc.get("stats", {}))
             stats.update(new_stats)
@@ -645,7 +759,8 @@ def commit(
             if doc.get("constraints") != tbl_constraints:
                 tbl_constraints = doc.get("constraints")
                 _enforce_constraints(
-                    spark, tbl_constraints, new_files, table, mode
+                    spark, tbl_constraints, new_files, table, mode,
+                    schema_json=schema_json,
                 )
             version = newprev + 1
     raise CommitConflict(
@@ -798,7 +913,10 @@ def read_version(
         return spark.createDataFrame(
             [], StructType.fromJson(json.loads(doc["schema"]))
         )
-    out = spark.read.parquet(*files)
+    # read through the doc's declared schema — identical to footer
+    # inference for uniform tables, NULL-fills per file after
+    # additive evolution (X152)
+    out = _read_files(spark, files, doc["schema"])
     dv = doc.get("dv") or []
     if dv:
         # deletion vectors (r12, the Delta DV / Iceberg positional-
@@ -896,7 +1014,7 @@ def _live_view(spark: SparkSession, doc: dict) -> DataFrame:
     __dv_ri) positions attached — existing deletion vectors already
     anti-joined away (shared by :func:`delete_rows` /
     :func:`merge_rows`; review r14 de-duplication)."""
-    raw = spark.read.parquet(*doc["files"])
+    raw = _read_files(spark, doc["files"], doc["schema"])
     fp, ri = _dv_cols(raw)
     live = raw.select("*", fp, ri)
     old_dv = doc.get("dv") or []
@@ -1005,8 +1123,9 @@ def merge_rows(
     doc = _version_doc(spark, table, base)
     if _schema_shape(doc["schema"]) != _schema_shape(source.schema.json()):
         raise ValueError(
-            "merge source schema differs from the table's — this "
-            "format deliberately has no schema evolution"
+            "merge source schema differs from the table's — merge "
+            "never evolves the schema; evolve first with an "
+            "additive commit(merge_schema=True) append (X152)"
         )
     missing = [k for k in keys if k not in source.columns]
     if missing:
@@ -1131,19 +1250,20 @@ def merge_rows(
 #: O(versions since checkpoint) instead of O(versions)
 CHECKPOINT_EVERY = 10
 
-#: how many trailing history rows a checkpoint doc embeds. None =
-#: unbounded (every version since v0 — simplest, and fine for tables
-#: with bounded version counts). A long-lived table at 100 TB scale
-#: accumulating 100k versions pays O(versions) per checkpoint WRITE
-#: and doc SIZE with the unbounded default (quadratic cumulative
-#: metadata over the table's life — ADVICE r13); set this to e.g.
-#: 1000 to cap both. Consumers degrade transparently, never wrongly:
-#: :func:`history` doc-walks the versions below the retained window,
-#: and a fresh stream whose starting_version predates the window
-#: falls back to the doc walk (KeyError -> full walk in
-#: ``stream_source._version_rows``). Watermarks are NOT bounded —
-#: the per-stream map is O(streams), already compact.
-CHECKPOINT_HISTORY: int | None = None
+#: how many trailing history rows a checkpoint doc embeds. The
+#: default (1000, VERDICT r14 ask #7) caps both the per-checkpoint
+#: WRITE cost and the doc SIZE on a long-lived table — an unbounded
+#: embed (None) re-creates ADVICE r13's quadratic cumulative metadata
+#: growth once a table accumulates tens of thousands of versions.
+#: Consumers degrade transparently, never wrongly: :func:`history`
+#: doc-walks the versions below the retained window, and a fresh
+#: stream whose starting_version predates the window falls back to
+#: the doc walk (KeyError -> full walk in
+#: ``stream_source._version_rows``) — and a 1000-version-deep replay
+#: start is the rare path by construction. Watermarks are NOT bounded
+#: — the per-stream map is O(streams), already compact. Set to None
+#: for the old unbounded embed.
+CHECKPOINT_HISTORY: int | None = 1000
 
 
 def _checkpoint_path(table: str, version: int) -> str:
@@ -1528,9 +1648,10 @@ def convert_parquet(
     if len(shapes) > 1:
         raise ValueError(
             f"cannot convert {src_dir}: {len(shapes)} distinct file "
-            "schemas found — this format has no schema evolution, and "
+            "schemas found — a convert pins ONE v0 schema, and "
             "parquet's missing-column-as-NULL resolution would make "
-            "the mixture silent; rewrite the stragglers first"
+            "the mixture silent; rewrite the stragglers first (later "
+            "commits can evolve additively via merge_schema=True)"
         )
     schema_json = spark.read.parquet(*files).schema.json()
     stats = None
@@ -1866,6 +1987,31 @@ def _exactly_once_sink(table: str, stream_id: str):
     return sink
 
 
+def _union_additive(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Union change-feed batches across versions whose schemas may
+    differ by an ADDITIVE evolution (X152): columns present on one
+    side only are NULL-filled, but a column whose TYPE differs across
+    the range raises — silently NULL-filling a retyped column would
+    mask a genuinely incompatible overwrite in the middle of the
+    range (the allowMissingColumns hazard) — and unionByName's own
+    implicit coercion (long->double) would widen a same-name retyping
+    just as silently, so types are checked even when the column sets
+    match."""
+    ta = {f.name: f.dataType.simpleString() for f in a.schema.fields}
+    tb = {f.name: f.dataType.simpleString() for f in b.schema.fields}
+    conflicts = sorted(
+        (c, ta[c], tb[c]) for c in set(ta) & set(tb) if ta[c] != tb[c]
+    )
+    if conflicts:
+        raise ValueError(
+            f"table_changes range spans a column TYPE change "
+            f"{conflicts} — split the range at the retyping version"
+        )
+    if a.columns == b.columns:
+        return a.unionByName(b)
+    return a.unionByName(b, allowMissingColumns=True)
+
+
 def table_changes(
     spark: SparkSession,
     table: str,
@@ -1934,7 +2080,7 @@ refresh_aggregate` consumes."""
             if not new_files:
                 prev_doc = doc
                 continue
-            ch = spark.read.parquet(*new_files).withColumn(
+            ch = _read_files(spark, new_files, doc["schema"]).withColumn(
                 op_col, F.lit("I")
             )
         elif doc["mode"] in ("delete", "merge"):
@@ -1968,7 +2114,10 @@ refresh_aggregate` consumes."""
                     r[0]
                     for r in dvdf.select("__dv_fp").distinct().collect()
                 ]
-                raw = spark.read.parquet(*touched)
+                # the vector's touched files were live at v-1 and may
+                # predate an additive evolution — the declared-schema
+                # read NULL-fills them (X152)
+                raw = _read_files(spark, touched, doc["schema"])
                 fp, ri = _dv_cols(raw)
                 ch = (
                     raw.select("*", fp, ri)
@@ -1977,9 +2126,9 @@ refresh_aggregate` consumes."""
                     .withColumn(op_col, F.lit("D"))
                 )
             if new_files:  # only a merge appends alongside vectors
-                ins = spark.read.parquet(*new_files).withColumn(
-                    op_col, F.lit("I")
-                )
+                ins = _read_files(
+                    spark, new_files, doc["schema"]
+                ).withColumn(op_col, F.lit("I"))
                 ch = ins if ch is None else ch.unionByName(ins)
         elif not keys:
             # X146's batch half: a KEYLESS overwrite delivers the
@@ -1989,14 +2138,13 @@ refresh_aggregate` consumes."""
             # overwrite, the same contract as the streaming feed; pass
             # ``keys=`` to upgrade to row-identity diffs (U_pre/U_post
             # pairs, change-sized when few rows actually moved).
-            ch = (
-                read_version(spark, table, v - 1)
-                .withColumn(op_col, F.lit("D"))
-                .unionByName(
-                    read_version(spark, table, v).withColumn(
-                        op_col, F.lit("I")
-                    )
-                )
+            ch = _union_additive(
+                read_version(spark, table, v - 1).withColumn(
+                    op_col, F.lit("D")
+                ),
+                read_version(spark, table, v).withColumn(
+                    op_col, F.lit("I")
+                ),
             )
         else:
             from tableone_pyspark_spark.operators.cdc import snapshot_diff
@@ -2016,7 +2164,7 @@ refresh_aggregate` consumes."""
             ).drop("__cdf_ts")
         prev_doc = doc
         ch = ch.withColumn(version_col, F.lit(v))
-        out = ch if out is None else out.unionByName(ch)
+        out = ch if out is None else _union_additive(out, ch)
     if out is None:
         # an empty range (or all-empty appends): an empty frame with
         # the range-end version's STORED schema — never a data-file

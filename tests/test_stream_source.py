@@ -217,9 +217,12 @@ def test_stream_source_advice_r12(registered, tmp_path):
     p = tmp_path / "one.parquet"
     pq.write_table(pa.table({"k": [1, 2, 3, 4]}), str(p))
     part = _FilePartition("file://" + str(p), [1])  # row index 1 deleted
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    k_schema = StructType([StructField("k", LongType(), True)]).json()
     got = [
         v
-        for b in _read_file(part, ["k"])
+        for b in _read_file(part, ["k"], k_schema)
         for v in b.column("k").to_pylist()
     ]
     assert got == [1, 3, 4]
@@ -514,7 +517,10 @@ def test_change_feed_overwrite_edge_cases(registered, tmp_path):
     assert {k for k, n in net.items() if n > 0} == {1, 3, 5, 7, 9}
     assert inserted == set(range(10)) | {100, 101, 102}
 
-    # a schema-changing overwrite fails the feed (pinned schema)
+    # an ADDITIVE schema-changing overwrite now DELIVERS on a
+    # restarted feed (X152): the new stream pins the evolved schema;
+    # the delete side (the previous live view, which predates the new
+    # column) NULL-fills it — the value readers actually see
     tl.commit(
         spark,
         spark.range(5).select(
@@ -523,12 +529,38 @@ def test_change_feed_overwrite_edge_cases(registered, tmp_path):
         t,
         mode="overwrite",
     )  # v4
+    q = (
+        spark.readStream.format("tablelog")
+        .option("read_changes", "true").load(t)
+        .writeStream.format("parquet")
+        .option("path", out)  # the file sink's log is checkpoint-keyed
+        .option("checkpointLocation", str(tmp_path / "cdf_ow_ck"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    got4 = {
+        (r["k"], r["extra"], r["_change_type"], r["_commit_version"])
+        for r in spark.read.option("mergeSchema", "true")
+        .parquet(out).collect()
+        if r["_commit_version"] == 4
+    }
+    assert got4 == (
+        {(k, None, "delete", 4) for k in (1, 3, 5, 7, 9)}
+        | {(k, "x", "insert", 4) for k in range(5)}
+    )
+    # a NON-additive change (the dropped 'extra') still refuses: the
+    # v4 state carries a column the restarted stream's pinned schema
+    # (k only) lacks — its delete side is inexpressible
+    tl.commit(
+        spark, spark.range(3).select(F.col("id").alias("k")), t,
+        mode="overwrite",
+    )  # v5: drops 'extra'
     with pytest.raises(Exception, match="schema"):
         q = (
             spark.readStream.format("tablelog")
             .option("read_changes", "true").load(t)
             .writeStream.format("parquet")
-            .option("path", str(tmp_path / "cdf_ow_out2"))
+            .option("path", str(tmp_path / "cdf_ow_out3"))
             .option("checkpointLocation", str(tmp_path / "cdf_ow_ck"))
             .trigger(availableNow=True).start()
         )
