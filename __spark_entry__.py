@@ -3140,7 +3140,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 "o_orderstatus string, o_totalprice double, "
                 "o_orderdate date, o_orderpriority string, note string",
             )
-            rows = (
+            out = (
                 arm("cdc", cdc_mem)
                 .unionByName(arm("merged", merged_tl))
                 .unionByName(arm("ts_v0", ts_v0))
@@ -3149,16 +3149,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .unionByName(arm("cdf_ins_v2", cdf_ins_v2))
                 .unionByName(arm("final", final_ds))
                 .unionByName(metrics.select("arm", *data_cols, "note"))
-                .collect()
             )
+            # materialize EXECUTOR-side before the staged table is
+            # removed — one pass, no driver collect of the row-level
+            # arms (a collect + re-createDataFrame round-trips every
+            # row through Python objects; measured 3x the whole row)
+            out = out.localCheckpoint(eager=True)
         finally:
             shutil.rmtree(root, ignore_errors=True)
-        return spark.createDataFrame(
-            rows,
-            "arm string, o_orderkey long, o_custkey long, "
-            "o_orderstatus string, o_totalprice double, "
-            "o_orderdate date, o_orderpriority string, note string",
-        )
+        return out
 
     q["merge_suite"] = merge_suite_q
 

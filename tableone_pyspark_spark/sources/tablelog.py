@@ -1580,6 +1580,14 @@ def clone(
     )
 
 
+#: file-count threshold below which convert_parquet verifies footer
+#: shapes on the DRIVER (a handful of metadata GETs) instead of the
+#: distributed mapInPandas pass — the distributed path's per-run
+#: Python-worker spin-up costs seconds, which dwarfs small converts;
+#: a million-file lake still takes the distributed pass
+CONVERT_DRIVER_FOOTERS = 64
+
+
 def convert_parquet(
     spark: SparkSession,
     src_dir: str,
@@ -1602,10 +1610,11 @@ def convert_parquet(
       directory names, not file contents — converting would silently
       DROP those columns; the compact_parquet guard, same rationale);
     * per-file schema shapes must be IDENTICAL — verified by ONE
-      distributed footer pass (``mapInPandas`` over the file list,
+      footer pass (driver-side up to ``CONVERT_DRIVER_FOOTERS``
+      files, else a distributed ``mapInPandas`` over the file list,
       exchange bounded by distinct shapes), because parquet's
       missing-column-reads-as-NULL resolution would otherwise
-      smuggle silent schema evolution into a format that refuses it;
+      smuggle a silent schema mixture into the pinned v0;
     * ``stats_cols`` opts into per-file skipping stats (the same ONE
       distributed pass appends use) so pruned reads work from v0;
     * the destination must not exist; the source keeps working as a
@@ -1618,33 +1627,42 @@ def convert_parquet(
     if not files:
         raise ValueError(f"no parquet data files under {src_dir}")
 
-    def _shapes(batches):
+    def _footer_shape(p: str) -> str:
         import json as _json
 
-        import pandas as _pd
         import pyarrow.parquet as _pq
 
         from tableone_pyspark_spark.sources.stream_source import _pa_fs
 
-        for pdf in batches:
-            out = []
-            for p in pdf["path"]:
-                fsys, pp = _pa_fs(p)
-                with fsys.open_input_file(pp) as fh:
-                    sch = _pq.ParquetFile(fh).schema_arrow
-                out.append(
-                    _json.dumps(
-                        [[n, str(t)] for n, t in zip(sch.names, sch.types)]
-                    )
-                )
-            yield _pd.DataFrame({"shape": out})
+        fsys, pp = _pa_fs(p)
+        with fsys.open_input_file(pp) as fh:
+            sch = _pq.ParquetFile(fh).schema_arrow
+        return _json.dumps(
+            [[n, str(t)] for n, t in zip(sch.names, sch.types)]
+        )
 
-    shapes = (
-        spark.createDataFrame([(f,) for f in files], "path string")
-        .mapInPandas(_shapes, "shape string")
-        .distinct()
-        .collect()
-    )
+    if len(files) <= CONVERT_DRIVER_FOOTERS:
+        # metadata-sized list: read the footers on the driver — the
+        # distributed pass below exists for million-file lakes, and
+        # its per-run Python-worker spin-up dwarfs a handful of
+        # footer GETs (solo profile, r15)
+        shapes = sorted({_footer_shape(f) for f in files})
+    else:
+
+        def _shapes(batches):
+            import pandas as _pd
+
+            for pdf in batches:
+                yield _pd.DataFrame(
+                    {"shape": [_footer_shape(p) for p in pdf["path"]]}
+                )
+
+        shapes = (
+            spark.createDataFrame([(f,) for f in files], "path string")
+            .mapInPandas(_shapes, "shape string")
+            .distinct()
+            .collect()
+        )
     if len(shapes) > 1:
         raise ValueError(
             f"cannot convert {src_dir}: {len(shapes)} distinct file "
