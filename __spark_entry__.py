@@ -2925,7 +2925,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # additive-evolution append whose 'note' column NULL-fills every
     # pre-evolution file in the 'final' DataSource read, and X151
     # describe_detail/vacuum-dry-run gates with an oracle-replayed
-    # metrics row. Nothing cdc_orders graded is left ungraded.)
+    # metrics row, plus the X146 batch half (a keyless overwrite's
+    # change feed derived from the log alone — the previous live view
+    # as D rows, the new file list as I rows, both oracle-replayed).
+    # Nothing cdc_orders graded is left ungraded.)
     def merge_suite_q(spark, sf_dir):
         # X120+X144+X145+X147+X148+X151+X152 in one row-level suite
         # (sources/tablelog.py commit:575 merge_rows:1095
@@ -3109,11 +3112,44 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
             # the final snapshot through the DataSource batch reader
             # (gates the executor-side NULL-fill of 'note' on every
-            # pre-evolution file)
-            final_ds = spark.read.format("tablelog").load(t)
+            # pre-evolution file) — pinned to version 5: the X146
+            # overwrite below moves the head
+            final_ds = (
+                spark.read.format("tablelog")
+                .option("version", 5)
+                .load(t)
+            )
             assert final_ds.columns == data_cols + ["note"], (
                 final_ds.columns
             )
+
+            # X146 (batch half): a KEYLESS overwrite's change feed is
+            # derivable from the log alone — the previous live view
+            # as D rows plus the new file list as I rows (Delta's
+            # remove-all/add-all derivation)
+            ow = (
+                base.where(k % 31 == 0)
+                .withColumn("o_orderkey", -(k + 4000000))
+                .withColumn("o_orderstatus", F.lit("W"))
+                .withColumn("note", F.lit("ow"))
+                .coalesce(2)
+            )
+            rep6 = tl.commit(spark, ow, t, mode="overwrite")
+            assert rep6["version"] == 6, rep6
+            tc_ow = tl.table_changes(spark, t, 5, 6)  # keyless
+            ow_del = tc_ow.where(F.col("op") == "D").select(
+                *data_cols, "note"
+            )
+            ow_ins = tc_ow.where(F.col("op") == "I").select(
+                *data_cols, "note"
+            )
+            # X151: after the overwrite the dry-run PREVIEWS a real
+            # reclaim (the pre-overwrite files fall out of a
+            # keep_last=1 window) while deleting nothing — v5 must
+            # still read
+            vr2 = tl.vacuum(spark, t, keep_last=1, min_age_seconds=0,
+                            dry_run=True)
+            assert vr2["n_would_delete"] > 0, vr2
 
             def arm(name: str, df):
                 out = df
@@ -3148,6 +3184,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .unionByName(arm("cdf_del_v2", cdf_del_v2))
                 .unionByName(arm("cdf_ins_v2", cdf_ins_v2))
                 .unionByName(arm("final", final_ds))
+                .unionByName(arm("ow_del", ow_del))
+                .unionByName(arm("ow_ins", ow_ins))
                 .unionByName(metrics.select("arm", *data_cols, "note"))
             )
             # materialize EXECUTOR-side before the staged table is
@@ -6328,6 +6366,12 @@ def oracle_sql() -> dict[str, str]:
         "UNION ALL SELECT 'final', m.*, NULL FROM merged m "
         "UNION ALL SELECT 'final', a.*, NULL FROM ab a "
         "UNION ALL SELECT 'final', e.*, 'evo' FROM ev e "
+        "UNION ALL SELECT 'ow_del', m.*, NULL FROM merged m "
+        "UNION ALL SELECT 'ow_del', a.*, NULL FROM ab a "
+        "UNION ALL SELECT 'ow_del', e.*, 'evo' FROM ev e "
+        "UNION ALL SELECT 'ow_ins', -(o_orderkey + 4000000), o_custkey, "
+        "'W', o_totalprice, o_orderdate, o_orderpriority, 'ow' "
+        "FROM base WHERE o_orderkey % 31 = 0 "
         "UNION ALL SELECT 'detail', CAST(5 AS BIGINT), "
         "(SELECT count(*) FROM base WHERE o_orderkey % 11 = 0), "
         "'detail', CAST((SELECT count(*) FROM ups) AS DOUBLE), "
