@@ -417,3 +417,147 @@ def test_describe_detail_reports_evolved_columns(spark, base_tbl):
     assert tl.describe_detail(spark, base_tbl, version=0)["columns"] == [
         "k", "v",
     ]
+
+
+# ---- property fuzz over the X152 kernels (pure-Python, no Spark) ----
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_TYPES = ["bigint", "double", "string", "boolean", "date"]
+
+
+def _schema_json(fields: list[tuple[str, str]]) -> str:
+    # pure-Python construction — fromDDL needs a live JVM, and these
+    # kernels are deliberately JVM-free planning code
+    from pyspark.sql.types import (
+        BooleanType,
+        DateType,
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    tmap = {
+        "bigint": LongType(),
+        "double": DoubleType(),
+        "string": StringType(),
+        "boolean": BooleanType(),
+        "date": DateType(),
+    }
+    return StructType(
+        [StructField(n, tmap[t], True) for n, t in fields]
+    ).json()
+
+
+_names = st.lists(
+    st.text(alphabet="abcdefgh", min_size=1, max_size=3),
+    min_size=1, max_size=6, unique=True,
+)
+
+
+@st.composite
+def _tbl_and_write(draw):
+    """A table schema plus a write schema that is a random additive
+    mutation of it: keep a subset (reordered), add fresh columns."""
+    tnames = draw(_names)
+    tbl = [(n, draw(st.sampled_from(_TYPES))) for n in tnames]
+    keep = [f for f in tbl if draw(st.booleans())]
+    keep = draw(st.permutations(keep))
+    fresh = draw(
+        st.lists(
+            st.text(alphabet="qrstuv", min_size=1, max_size=3),
+            max_size=4, unique=True,
+        )
+    )
+    new = list(keep) + [
+        (n, draw(st.sampled_from(_TYPES))) for n in fresh
+    ]
+    return tbl, new
+
+
+@given(_tbl_and_write())
+@settings(max_examples=200, deadline=None)
+def test_prop_evolve_schema_additive(tw):
+    """Evolved schema = table fields verbatim in order, then exactly
+    the write's fresh fields in write order, all forced nullable;
+    idempotent under re-application of the same write."""
+    import json as _json
+
+    tbl, new = tw
+    ev = tl._evolve_schema(_schema_json(tbl), _schema_json(new))
+    shape = tl._schema_shape(ev)
+    assert shape[: len(tbl)] == list(tbl)
+    tset = {n for n, _ in tbl}
+    assert shape[len(tbl):] == [
+        (n, t) for n, t in new if n not in tset
+    ]
+    for f in _json.loads(ev)["fields"][len(tbl):]:
+        assert f["nullable"] is True
+    # idempotent: evolving the evolved schema by the same write is a
+    # no-op (every write column already present at the same type)
+    assert tl._schema_shape(
+        tl._evolve_schema(ev, _schema_json(new))
+    ) == shape
+
+
+@given(_tbl_and_write())
+@settings(max_examples=200, deadline=None)
+def test_prop_evolve_refuses_retyping(tw):
+    """Flipping any shared column's type makes evolution raise."""
+    tbl, new = tw
+    shared = [i for i, (n, _) in enumerate(new)
+              if n in {m for m, _ in tbl}]
+    if not shared:
+        return
+    i = shared[0]
+    n, t = new[i]
+    flipped = list(new)
+    flipped[i] = (n, "double" if t != "double" else "bigint")
+    with pytest.raises(ValueError, match="additive-only"):
+        tl._evolve_schema(_schema_json(tbl), _schema_json(flipped))
+
+
+@given(_tbl_and_write())
+@settings(max_examples=200, deadline=None)
+def test_prop_shape_deliverable(tw):
+    """Every pre-evolution shape is deliverable in a stream pinned to
+    its evolved shape; the evolved shape is deliverable in a stream
+    pinned to itself but NOT in one pinned pre-evolution (unless the
+    write added nothing); retyping breaks deliverability."""
+    from tableone_pyspark_spark.sources.stream_source import (
+        _shape_deliverable,
+    )
+
+    tbl, new = tw
+    ev = tl._evolve_schema(_schema_json(tbl), _schema_json(new))
+    pinned = tl._schema_shape(ev)
+    old = list(tbl)
+    assert _shape_deliverable(old, pinned)
+    assert _shape_deliverable(pinned, pinned)
+    grew = len(pinned) > len(tbl)
+    assert _shape_deliverable(pinned, old) == (not grew)
+    if old:
+        n, t = old[0]
+        bad = [(n, "double" if t != "double" else "bigint")] + old[1:]
+        assert not _shape_deliverable(bad, pinned)
+
+
+@given(_tbl_and_write())
+@settings(max_examples=100, deadline=None)
+def test_prop_widened_struct_all_nullable(tw):
+    tbl, _ = tw
+    import json as _json
+
+    js = _schema_json(tbl)
+    # flip some nullability off at the json level, then widen
+    doc = _json.loads(js)
+    for i, f in enumerate(doc["fields"]):
+        if i % 2 == 0:
+            f["nullable"] = False
+    w = tl._widened_struct(_json.dumps(doc))
+    assert all(f.nullable for f in w.fields)
+    # shape (names + types) is untouched by widening
+    assert tl._schema_shape(w.json()) == tl._schema_shape(js)
