@@ -1580,6 +1580,15 @@ def clone(
     )
 
 
+#: reclaimable-file-count threshold above which vacuum() deletes
+#: executor-side (one Spark job over the path list, pyarrow
+#: FileSystem deletes in parallel) instead of the driver-serial
+#: Hadoop loop — at 100 TB a compaction-churned table reclaims
+#: millions of files per vacuum, and one driver RPC per file is
+#: hours; below the threshold the job-scheduling overhead isn't
+#: worth it
+VACUUM_DISTRIBUTED_DELETES = 1024
+
 #: file-count threshold below which convert_parquet verifies footer
 #: shapes on the DRIVER (a handful of metadata GETs) instead of the
 #: distributed mapInPandas pass — the distributed path's per-run
@@ -2231,8 +2240,11 @@ def vacuum(
     — lower it only when no writer can be active). After a vacuum,
     time travel reaches only the kept window; older version docs stay
     in the log as history but their reads fail on missing files.
-    Driver-side metadata work + per-file deletes; returns
-    ``{n_deleted, n_kept, kept_versions}``.
+    Driver-side metadata walk; deletes go driver-side below
+    ``VACUUM_DISTRIBUTED_DELETES`` reclaimable files and through one
+    executor-parallel Spark job above it (a million-file reclaim must
+    not serialize on driver RPCs). Returns ``{n_deleted, n_kept,
+    kept_versions}``.
 
     ``dry_run=True`` (Delta's ``VACUUM ... DRY RUN``): deletes
     NOTHING and additionally returns ``n_would_delete`` plus up to
@@ -2298,6 +2310,7 @@ def vacuum(
                     # they are never in any version's file list, so an
                     # unfiltered walk would strip them from LIVE dirs
                     files.append(st)
+        dead = []
         for st in files:
             p = st.getPath().toString()
             if p in live or st.getModificationTime() > cutoff_ms:
@@ -2307,10 +2320,50 @@ def vacuum(
                     would.append(p)
                 n_deleted += 1
                 continue
-            fs.delete(st.getPath(), False)
-            n_deleted += 1
+            dead.append((p, st.getPath()))
         if dry_run:
             continue  # the dead-dir sweep also deletes — skip it
+        if len(dead) > VACUUM_DISTRIBUTED_DELETES:
+            # large reclaim: ship the path list to the executors and
+            # delete in parallel through the pyarrow FileSystem layer
+            # — a driver-serial delete pays one FS round-trip per
+            # file, which at a million reclaimable files is hours;
+            # the LISTING walk above stays driver-side (it is one
+            # RPC per directory, not per file). Missing files count
+            # as deleted (another vacuum may race this one — the
+            # outcome, the file being gone, is what's reported).
+            def _rm(batches):
+                import pandas as _pd
+
+                from tableone_pyspark_spark.sources.stream_source import (
+                    _pa_fs,
+                )
+
+                for pdf in batches:
+                    n = 0
+                    for p in pdf["path"]:
+                        fsys, pp = _pa_fs(p)
+                        try:
+                            fsys.delete_file(pp)
+                        except FileNotFoundError:
+                            pass
+                        n += 1
+                    yield _pd.DataFrame({"n": [n]})
+
+            paths = [p for p, _ in dead]
+            n_parts = min(64, max(1, len(paths) // 256))
+            n_deleted += int(
+                spark.createDataFrame([(p,) for p in paths], "path string")
+                .repartition(n_parts)
+                .mapInPandas(_rm, "n long")
+                .agg(F.sum("n"))
+                .first()[0]
+                or 0
+            )
+        else:
+            for _, hp in dead:
+                fs.delete(hp, False)
+            n_deleted += len(dead)
         for st in fs.listStatus(root):
             if (
                 st.isDirectory()

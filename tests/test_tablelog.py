@@ -2259,3 +2259,43 @@ def test_clone_as_of_timestamp(spark, tmp_path):
     assert sorted(r["k"] for r in tl.read_version(spark, c).collect()) == [0, 1, 2]
     with pytest.raises(ValueError, match="not both"):
         tl.clone(spark, t, str(tmp_path / "cas_d2"), version=1, as_of=mid)
+
+
+def test_vacuum_distributed_delete_path(spark, tmp_path, monkeypatch):
+    """Above VACUUM_DISTRIBUTED_DELETES reclaimable files the deletes
+    run executor-side (one Spark job over the path list) — same
+    outcome as the driver loop: exact count, live files untouched,
+    kept window readable. Threshold lowered to force the path."""
+    import os
+
+    t = str(tmp_path / "tbl_dist")
+    tl.commit(spark, spark.range(100).repartition(8), t)  # v0: 8 files
+    tl.commit(
+        spark, spark.range(200, 210).repartition(4), t, mode="overwrite"
+    )  # v1
+    tl.commit(
+        spark, spark.range(300, 303), t, mode="overwrite"
+    )  # v2
+    monkeypatch.setattr(tl, "VACUUM_DISTRIBUTED_DELETES", 2)
+    pre = tl.vacuum(spark, t, keep_last=2, min_age_seconds=0,
+                    dry_run=True)
+    assert pre["n_would_delete"] >= 8  # v0's files at least
+    rep = tl.vacuum(spark, t, keep_last=2, min_age_seconds=0)
+    assert rep["n_deleted"] == pre["n_would_delete"]
+    assert rep["kept_versions"] == [1, 2]
+    # live files untouched, kept window readable
+    assert sorted(
+        r["id"] for r in tl.read_version(spark, t, 1).collect()
+    ) == list(range(200, 210))
+    assert tl.read_version(spark, t).count() == 3
+    with pytest.raises(Exception):
+        tl.read_version(spark, t, 0).collect()
+    # v0's data dirs hold no data files anymore (bookkeeping may stay
+    # until the next >=min_age dir sweep)
+    d0 = tl._version_doc(spark, t, 0)["files"]
+    for f in d0:
+        assert not os.path.exists(f.replace("file:", ""))
+    # idempotent: nothing left to reclaim
+    again = tl.vacuum(spark, t, keep_last=2, min_age_seconds=0,
+                      dry_run=True)
+    assert again["n_would_delete"] == 0
