@@ -260,13 +260,22 @@ def _publish(
     stream so a torn write never parses as a commit. ``constraints``
     (X149) defaults to INHERITING the previous version's set — a
     maintenance publish (optimize/restore/delete) can never silently
-    shed the table's CHECK constraints."""
+    shed the table's CHECK constraints. ``committed_at`` is clamped
+    MONOTONE against the previous version (Delta's in-commit
+    timestamps): the log is linear, so reading the predecessor's
+    stamp at publish time guarantees per-table monotonicity whatever
+    the writers' wall clocks — :func:`version_at` resolution is then
+    deterministic with no cross-writer skew caveat (r15)."""
+    prev_published = (
+        _version_doc(spark, table, version - 1) if version > 0 else None
+    )
     if constraints is _INHERIT:
         constraints = (
-            _version_doc(spark, table, version - 1).get("constraints")
-            if version > 0
-            else None
+            prev_published.get("constraints") if prev_published else None
         )
+    committed_at = time.time()
+    if prev_published and committed_at <= prev_published["committed_at"]:
+        committed_at = prev_published["committed_at"] + 1e-6
     fs, jvm = _fs(spark, table)
     fs.mkdirs(_path(spark, f"{table}/_log"))
     doc = {
@@ -274,7 +283,7 @@ def _publish(
         "mode": mode,
         "files": files,
         "schema": schema_json,
-        "committed_at": time.time(),
+        "committed_at": committed_at,
     }
     if constraints:
         doc["constraints"] = constraints
@@ -829,11 +838,10 @@ def version_at(spark: SparkSession, table: str, ts) -> int:
     the first commit raises (Delta's earliest-version error); a
     ``ts`` in the future resolves to the current version.
 
-    Caveat (documented, same as pre-in-commit-timestamp Delta):
-    ``committed_at`` is the writer's wall clock, so cross-writer
-    clock skew can make timestamps locally non-monotone; the
-    newest-first first-match rule keeps the answer deterministic
-    (the greatest qualifying version wins)."""
+    ``committed_at`` stamps are MONOTONE per table (r15, Delta's
+    in-commit-timestamp idea): every publish clamps its stamp above
+    the predecessor's, so cross-writer clock skew cannot reorder the
+    log's timeline and this resolution is exact, not heuristic."""
     if hasattr(ts, "timestamp"):  # datetime
         ts = ts.timestamp()
     elif isinstance(ts, str):
@@ -1818,13 +1826,19 @@ def describe_detail(
 
 
 def restore(
-    spark: SparkSession, table: str, version: int
+    spark: SparkSession,
+    table: str,
+    version: int | None = None,
+    as_of=None,
 ) -> dict:
     """X143 — Delta's ``RESTORE TABLE ... TO VERSION``: publish an old
     version's state (files, deletion vectors, stats, schema) as the
     table's NEXT version — a metadata-only rollback that keeps the
     full history auditable (the bad versions stay time-travelable;
     nothing is deleted). One doc write, whatever the table size.
+    ``as_of`` (X145, mutually exclusive with ``version``) restores to
+    the version CURRENT at that instant — Delta's ``RESTORE ... TO
+    TIMESTAMP AS OF`` — via :func:`version_at`.
 
     The restored version must still be inside the vacuum-kept window
     — restoring past a vacuum re-exposes a file list whose files are
@@ -1833,9 +1847,13 @@ def restore(
     read time). The publish is pinned to the current version
     (``expected_base`` semantics): a concurrent commit wins the slot
     and this restore raises :class:`CommitConflict`."""
+    if (version is None) == (as_of is None):
+        raise ValueError("pass version= OR as_of=, not both/neither")
     cur = current_version(spark, table)
     if cur is None:
         raise ValueError(f"no such versioned table: {table}")
+    if as_of is not None:
+        version = version_at(spark, table, as_of)
     if not 0 <= version <= cur:
         raise ValueError(f"version {version} not in [0, {cur}] for {table}")
     if version == cur:

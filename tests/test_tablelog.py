@@ -2299,3 +2299,38 @@ def test_vacuum_distributed_delete_path(spark, tmp_path, monkeypatch):
     again = tl.vacuum(spark, t, keep_last=2, min_age_seconds=0,
                       dry_run=True)
     assert again["n_would_delete"] == 0
+
+
+def test_in_commit_timestamps_monotone_and_restore_as_of(
+    spark, tmp_path, monkeypatch
+):
+    """r15: committed_at is clamped monotone against the predecessor
+    (Delta's in-commit-timestamp idea) — a writer with a SKEWED-BACK
+    wall clock cannot reorder the log's timeline, so version_at is
+    exact; restore(as_of=) rides the same resolution."""
+    t = str(tmp_path / "ict_tbl")
+    tl.commit(spark, spark.range(3).select(F.col("id").alias("k")), t)
+    c0 = tl._version_doc(spark, t, 0)["committed_at"]
+
+    real_time = tl.time.time
+    monkeypatch.setattr(tl.time, "time", lambda: c0 - 3600.0)  # skewed
+    tl.commit(spark, spark.range(10, 12).select(F.col("id").alias("k")), t)
+    monkeypatch.setattr(tl.time, "time", real_time)
+    c1 = tl._version_doc(spark, t, 1)["committed_at"]
+    assert c1 > c0  # clamped, not the skewed wall clock
+    # the skewed stamp resolves deterministically: at c0 the table
+    # was v0 (v1's stamp is strictly later)
+    assert tl.version_at(spark, t, c0) == 0
+    assert tl.version_at(spark, t, c1) == 1
+
+    tl.commit(spark, spark.range(20, 21).select(F.col("id").alias("k")), t)
+    # restore to the instant of v1 -> publishes v1's state as v3
+    rep = tl.restore(spark, t, as_of=c1)
+    assert rep["version"] == 3
+    assert sorted(
+        r["k"] for r in tl.read_version(spark, t).collect()
+    ) == [0, 1, 2, 10, 11]
+    with pytest.raises(ValueError, match="not both"):
+        tl.restore(spark, t, 1, as_of=c1)
+    with pytest.raises(ValueError, match="not both"):
+        tl.restore(spark, t)
