@@ -711,14 +711,21 @@ class _TablelogCdfStreamReader(_TablelogStreamReader):
 
     Parity vs Delta CDF: MERGE streams exact row-level pre/postimages
     (X144), blind overwrites stream as retract-all + insert-all
-    (X146) — the full Delta change-type surface except that update
-    rows carry change_type 'delete'/'insert' pairs rather than
-    'update_preimage'/'update_postimage' labels. Exactly-once per
-    version via the query checkpoint, exactly like the append
-    reader."""
+    (X146) — the full Delta change-type surface.
+    ``.option("update_labels", "true")`` (r15) delivers update-merge
+    rows with Delta's 'update_preimage'/'update_postimage' labels;
+    the default keeps the 'delete'/'insert' retract/assert pair form
+    the mv consumer folds. Exactly-once per version via the query
+    checkpoint, exactly like the append reader."""
 
-    def __init__(self, table: str, starting_version):
+    def __init__(self, table: str, starting_version, update_labels=False):
         super().__init__(table, False, False, starting_version)
+        #: r15 — ``.option("update_labels", "true")``: merge versions
+        #: whose doc recorded postimage files deliver Delta's
+        #: update_preimage/update_postimage change types instead of
+        #: delete/insert pairs (default off — the mv consumer folds
+        #: the retract/assert pair form)
+        self._update_labels = bool(update_labels)
         # the output schema gains two columns; a colliding data column
         # must be refused HERE too — DataSource.schema() is skipped
         # when the user supplies an explicit schema (review r13)
@@ -797,14 +804,34 @@ class _TablelogCdfStreamReader(_TablelogStreamReader):
                 # preimages by position, then the appended postimage/
                 # insert files (the keyed-upsert half of the feed;
                 # X146 below covers the keyless-overwrite half).
+                # update_labels (r15): an UPDATE-merge whose doc
+                # recorded its postimage files upgrades to Delta's
+                # update_preimage/update_postimage change types — ONE
+                # extra metadata-doc read per merge version, only
+                # when the option is on (pre-r15 docs keep the pair
+                # form; the metadata is simply absent).
+                del_type, post_set = "delete", set()
+                if self._update_labels:
+                    mm = _doc(self._table, v).get("merge") or {}
+                    if (
+                        mm.get("when_matched") == "update"
+                        and "files_post" in mm
+                    ):
+                        del_type = "update_preimage"
+                        post_set = set(mm["files_post"])
                 parts += [
-                    _CdfPartition(path, pos, "delete", v)
+                    _CdfPartition(path, pos, del_type, v)
                     for path, pos in sorted(
                         _dv_positions_raw(row["dv_new"]).items()
                     )
                 ]
                 parts += [
-                    _CdfPartition(f, None, "insert", v)
+                    _CdfPartition(
+                        f,
+                        None,
+                        "update_postimage" if f in post_set else "insert",
+                        v,
+                    )
                     for f in row["new_files"]
                 ]
             else:
@@ -992,7 +1019,9 @@ class TablelogDataSource(DataSource):
     def streamReader(self, schema):
         if self._flag("read_changes"):
             return _TablelogCdfStreamReader(
-                self._table(), self._starting_version()
+                self._table(),
+                self._starting_version(),
+                update_labels=self._flag("update_labels"),
             )
         return _TablelogStreamReader(
             self._table(),

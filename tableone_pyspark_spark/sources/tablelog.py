@@ -253,6 +253,7 @@ def _publish(
     stats: dict | None = None,
     dv: list | None = None,
     constraints=_INHERIT,
+    merge_meta: dict | None = None,
 ) -> dict:
     """CREATE-exclusive publish of v{version}.json: exactly one of two
     racing writers can create the file (overwrite=False), the other
@@ -295,6 +296,12 @@ def _publish(
         doc["stats"] = stats
     if dv:
         doc["dv"] = dv
+    if merge_meta:
+        # r15: a merge version records its clause + which appended
+        # files are UPDATE POSTIMAGES (vs fresh inserts) so the change
+        # feed can deliver Delta's update_preimage/update_postimage
+        # labels instead of bare delete/insert pairs
+        doc["merge"] = merge_meta
     _write_log_doc_exclusive(spark, table, f"v{version}.json", doc)
     if version > 0 and version % CHECKPOINT_EVERY == 0:
         # advisory accelerator only: a failed/raced checkpoint must
@@ -1202,27 +1209,28 @@ def merge_rows(
         live_keys = _live_view(spark, doc).select(*keys)
     else:
         live_keys = source.select(*keys).limit(0)
+    # postimages and fresh inserts land in SEPARATE data dirs (r15):
+    # the version doc records which files are update postimages, so
+    # the change feed can label them update_postimage (Delta's CDF
+    # change types) instead of bare inserts. Both writes stay
+    # change-sized; a side that contributes nothing writes nothing.
+    post_files: list[str] = []
+    ins_files: list[str] = []
     if when_matched == "update":
         post = source.join(live_keys, keys, "inner").select(*source.columns)
-        if when_not_matched == "insert":
-            to_append = post.unionByName(
-                source.join(live_keys.distinct(), keys, "left_anti")
-            )
-        else:
-            to_append = post
-    else:  # delete: matched source rows are discarded
-        if when_not_matched == "insert":
-            to_append = source.join(live_keys.distinct(), keys, "left_anti")
-        else:
-            to_append = source.limit(0)  # pure keyed delete
+        if not post.isEmpty():
+            post_dir = f"{table}/data/{uuid.uuid4().hex}"
+            post.write.parquet(post_dir)
+            post_files = _list_parquet(spark, post_dir)
+    if when_not_matched == "insert":
+        ins = source.join(live_keys.distinct(), keys, "left_anti")
+        if not ins.isEmpty():
+            ins_dir = f"{table}/data/{uuid.uuid4().hex}"
+            ins.write.parquet(ins_dir)
+            ins_files = _list_parquet(spark, ins_dir)
 
-    new_files: list[str] = []
-    n_ins = 0
-    if not to_append.isEmpty():
-        data_dir = f"{table}/data/{uuid.uuid4().hex}"
-        to_append.write.parquet(data_dir)
-        new_files = _list_parquet(spark, data_dir)
-        n_ins = spark.read.parquet(*new_files).count() if new_files else 0
+    new_files: list[str] = post_files + ins_files
+    n_ins = spark.read.parquet(*new_files).count() if new_files else 0
     # X149: a merge's appended postimage/insert rows pass the same
     # persisted CHECK gate as plain commits (retractions need none)
     _enforce_constraints(
@@ -1244,6 +1252,10 @@ def merge_rows(
         spark, table, base + 1, doc["files"] + new_files, "merge",
         doc["schema"], stats=stats or None, dv=(old_dv + new_dv) or None,
         constraints=doc.get("constraints"),
+        merge_meta={
+            "when_matched": when_matched,
+            "files_post": post_files,
+        },
     )
     return {
         "version": base + 1,
@@ -2136,7 +2148,13 @@ refresh_aggregate` consumes."""
             # are live-at-v-1 by construction. A MERGE version (X144)
             # additionally appends postimage/insert files — its feed
             # is the D rows PLUS those files as I rows, the exact
-            # retract-then-assert pair the mv consumer folds.
+            # retract-then-assert pair the mv consumer folds. With
+            # ``include_preimage=True`` an UPDATE-merge whose doc
+            # recorded its postimage files (r15) upgrades the labels
+            # to Delta's CDF change types: retracted matches arrive
+            # as U_pre, their postimage files as U_post, fresh
+            # inserts stay I (pre-r15 merge docs keep D/I — the
+            # metadata is simply absent).
             if prev_doc is None:
                 prev_doc = _version_doc(spark, table, v - 1)
             prev_dv = set(prev_doc.get("dv") or [])
@@ -2146,6 +2164,12 @@ refresh_aggregate` consumes."""
             if not new_dv and not new_files:
                 prev_doc = doc
                 continue
+            mm = doc.get("merge") or {}
+            as_update = (
+                include_preimage
+                and mm.get("when_matched") == "update"
+                and "files_post" in mm
+            )
             ch = None
             if new_dv:
                 dvdf = _dv_frame(spark, new_dv)
@@ -2168,12 +2192,38 @@ refresh_aggregate` consumes."""
                     raw.select("*", fp, ri)
                     .join(dvdf, ["__dv_fp", "__dv_ri"], "left_semi")
                     .drop("__dv_fp", "__dv_ri")
-                    .withColumn(op_col, F.lit("D"))
+                    .withColumn(
+                        op_col, F.lit("U_pre" if as_update else "D")
+                    )
                 )
             if new_files:  # only a merge appends alongside vectors
-                ins = _read_files(
-                    spark, new_files, doc["schema"]
-                ).withColumn(op_col, F.lit("I"))
+                if as_update:
+                    post = [
+                        f for f in new_files if f in set(mm["files_post"])
+                    ]
+                    rest = [
+                        f
+                        for f in new_files
+                        if f not in set(mm["files_post"])
+                    ]
+                    ins = None
+                    if post:
+                        ins = _read_files(
+                            spark, post, doc["schema"]
+                        ).withColumn(op_col, F.lit("U_post"))
+                    if rest:
+                        fresh = _read_files(
+                            spark, rest, doc["schema"]
+                        ).withColumn(op_col, F.lit("I"))
+                        ins = (
+                            fresh
+                            if ins is None
+                            else ins.unionByName(fresh)
+                        )
+                else:
+                    ins = _read_files(
+                        spark, new_files, doc["schema"]
+                    ).withColumn(op_col, F.lit("I"))
                 ch = ins if ch is None else ch.unionByName(ins)
         elif not keys:
             # X146's batch half: a KEYLESS overwrite delivers the

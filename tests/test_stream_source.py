@@ -675,3 +675,56 @@ def test_starting_timestamp_stream(registered, tmp_path):
             .trigger(availableNow=True).start()
         )
         q.awaitTermination()
+
+
+def test_cdf_stream_update_labels(registered, tmp_path):
+    """r15 — ``.option('update_labels', 'true')``: the change-feed
+    STREAM delivers an update-merge as update_preimage/
+    update_postimage (fresh inserts stay 'insert'); without the
+    option the delete/insert pair form is unchanged."""
+    spark = registered
+    t = str(tmp_path / "ul_tbl")
+    tl.commit(
+        spark,
+        spark.createDataFrame(
+            [(i, f"v{i}") for i in range(4)], "k long, s string"
+        ),
+        t,
+    )
+    tl.merge_rows(
+        spark, t,
+        spark.createDataFrame(
+            [(1, "upd1"), (50, "new")], "k long, s string"
+        ),
+        ["k"],
+    )
+
+    def drain(opts: dict, name: str):
+        r = spark.readStream.format("tablelog").option(
+            "read_changes", "true"
+        )
+        for kk, vv in opts.items():
+            r = r.option(kk, vv)
+        q = (
+            r.load(t)
+            .writeStream.format("memory").queryName(name)
+            .option("checkpointLocation", str(tmp_path / f"ck_{name}"))
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+        return {
+            (row["k"], row["s"], row["_change_type"],
+             row["_commit_version"])
+            for row in spark.sql(f"SELECT * FROM {name}").collect()
+        }
+
+    labeled = drain({"update_labels": "true"}, "ul_on")
+    assert (1, "v1", "update_preimage", 1) in labeled
+    assert (1, "upd1", "update_postimage", 1) in labeled
+    assert (50, "new", "insert", 1) in labeled
+    assert {c for _, _, c, v in labeled if v == 0} == {"insert"}
+
+    plain = drain({}, "ul_off")
+    assert (1, "v1", "delete", 1) in plain
+    assert (1, "upd1", "insert", 1) in plain
+    assert not any("update" in c for _, _, c, _ in plain)

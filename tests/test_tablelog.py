@@ -2334,3 +2334,56 @@ def test_in_commit_timestamps_monotone_and_restore_as_of(
         tl.restore(spark, t, 1, as_of=c1)
     with pytest.raises(ValueError, match="not both"):
         tl.restore(spark, t)
+
+
+def test_merge_cdf_update_labels(spark, tmp_path):
+    """r15 — Delta CDF change types for a merge: with
+    include_preimage=True an UPDATE-merge delivers its retracted
+    matches as U_pre and their postimage files as U_post while fresh
+    inserts stay I; a DELETE-merge keeps D; include_preimage=False
+    keeps the retract/assert D/I pair the mv consumer folds."""
+    t = str(tmp_path / "mlabels")
+    tl.commit(
+        spark,
+        spark.createDataFrame(
+            [(i, f"v{i}") for i in range(6)], "k long, s string"
+        ),
+        t,
+    )  # v0
+    src = spark.createDataFrame(
+        [(2, "upd2"), (4, "upd4"), (100, "new")], "k long, s string"
+    )
+    rep = tl.merge_rows(spark, t, src, ["k"])  # v1: 2 updates + 1 insert
+    assert rep["n_deleted"] == 2 and rep["n_inserted"] == 3
+
+    got = {
+        (r["k"], r["s"], r["op"])
+        for r in tl.table_changes(
+            spark, t, 0, include_preimage=True
+        ).collect()
+    }
+    assert got == {
+        (2, "v2", "U_pre"), (4, "v4", "U_pre"),
+        (2, "upd2", "U_post"), (4, "upd4", "U_post"),
+        (100, "new", "I"),
+    }
+    # the pair form is untouched by default
+    plain = {
+        (r["k"], r["op"]) for r in tl.table_changes(spark, t, 0).collect()
+    }
+    assert plain == {(2, "D"), (4, "D"), (2, "I"), (4, "I"), (100, "I")}
+
+    # a DELETE-merge stays D either way
+    rep2 = tl.merge_rows(
+        spark, t,
+        spark.createDataFrame([(0, "x")], "k long, s string"),
+        ["k"], when_matched="delete", when_not_matched="ignore",
+    )
+    assert rep2["n_deleted"] == 1
+    d = {
+        (r["k"], r["op"])
+        for r in tl.table_changes(
+            spark, t, 1, include_preimage=True
+        ).collect()
+    }
+    assert d == {(0, "D")}
