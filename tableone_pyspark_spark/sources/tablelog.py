@@ -439,6 +439,20 @@ def _evolve_schema(table_schema_json: str, df_schema_json: str) -> str:
         for f in new.fields
         if f.name not in have
     ]
+    # case-variant guard (self-review r15): Spark resolves parquet
+    # columns case-insensitively by default, so "adding" K next to an
+    # existing k would publish a schema whose reads are ambiguous —
+    # refuse it loudly (Delta's case-variant rule), matching is
+    # deliberately exact-case only
+    have_lower = {f.name.lower() for f in tbl.fields}
+    variants = [f.name for f in added if f.name.lower() in have_lower]
+    if variants:
+        raise ValueError(
+            f"merge_schema refuses case-variant columns {variants} — "
+            "they differ only by case from existing table columns, "
+            "and case-insensitive parquet resolution would make every "
+            "read ambiguous; rename the write's columns"
+        )
     return StructType(list(tbl.fields) + added).json()
 
 

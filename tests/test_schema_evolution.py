@@ -561,3 +561,13 @@ def test_prop_widened_struct_all_nullable(tw):
     assert all(f.nullable for f in w.fields)
     # shape (names + types) is untouched by widening
     assert tl._schema_shape(w.json()) == tl._schema_shape(js)
+
+
+def test_case_variant_column_refused(spark, base_tbl):
+    """Self-review r15: a new column differing only by CASE from an
+    existing one would make case-insensitive parquet reads ambiguous
+    — refused loudly, never published."""
+    df = _mk(spark, [(1, "a", 2.0)], "k long, v string, K double")
+    with pytest.raises(ValueError, match="case-variant"):
+        tl.commit(spark, df, base_tbl, merge_schema=True)
+    assert tl.current_version(spark, base_tbl) == 0
