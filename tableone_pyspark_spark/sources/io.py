@@ -110,14 +110,65 @@ def write_bucketed(
     )
 
 
+def _zorder_numeric(df: DataFrame, c: str):
+    """An order-preserving DOUBLE proxy for a z-order column (r15 —
+    non-numeric zorder_by, the Delta/Iceberg surface):
+
+    * numeric      : plain double cast (exact for the scaling step)
+    * date         : days since epoch
+    * timestamp    : epoch seconds (fractional kept)
+    * string       : the first 6 UTF-8 bytes as a big-endian integer,
+      ZERO-PADDED on the right to exactly 6 bytes (a shorter string
+      must not encode smaller than a longer one it precedes — the
+      hex rpad IS the 0x00-byte pad, and 0x00 sorts below every real
+      byte exactly like the missing suffix does in string order) —
+      lexicographically MONOTONE and exact in a double (2^48 < 2^53);
+      strings sharing a 6-byte prefix tie, which costs layout
+      locality, never correctness (ties land adjacent after scaling).
+      NULLs map to -1, below every real value.
+
+    Anything else (arrays, maps, structs, binary) raises — a silent
+    NULL cast would scramble the layout."""
+    from pyspark.sql import functions as F
+
+    t = df.schema[c].dataType.simpleString()
+    if t == "date":
+        return F.datediff(F.col(c), F.lit("1970-01-01")).cast("double")
+    if t.startswith("timestamp"):
+        return F.unix_timestamp(F.col(c)).cast("double")
+    if t == "string":
+        return F.coalesce(
+            F.conv(
+                F.rpad(
+                    F.hex(F.substring(F.encode(F.col(c), "UTF-8"), 1, 6)),
+                    12,
+                    "0",
+                ),
+                16,
+                10,
+            ).cast("double"),
+            F.lit(-1.0),
+        )
+    if t in (
+        "tinyint", "smallint", "int", "bigint", "float", "double",
+    ) or t.startswith("decimal"):
+        return F.col(c).cast("double")
+    raise ValueError(
+        f"zorder column {c!r} has type {t} — supported: numeric, "
+        "string, date, timestamp"
+    )
+
+
 def zorder_value(df: DataFrame, cols: list[str], bits: int = 16):
-    """Z-order (Morton) key over numeric columns as a pure-Catalyst
-    expression: each column is range-scaled to ``bits`` fixed-point
-    bits (one bounded min/max collect), then bit-interleaved. Rows
-    close in z are close in EVERY dimension, so range-partitioning by
-    z gives each output file a narrow min/max rectangle across all
-    ``cols`` at once — the multi-column data-skipping layout a single
-    sort column cannot provide.
+    """Z-order (Morton) key over the listed columns as a pure-Catalyst
+    expression: each column is mapped to an order-preserving double
+    (:func:`_zorder_numeric` — numeric/string/date/timestamp), range-
+    scaled to ``bits`` fixed-point bits (one bounded min/max collect),
+    then bit-interleaved. Rows close in z are close in EVERY
+    dimension, so range-partitioning by z gives each output file a
+    narrow min/max rectangle across all ``cols`` at once — the
+    multi-column data-skipping layout a single sort column cannot
+    provide.
 
     ``bits * len(cols)`` must fit in the 63 value bits of a signed
     64-bit key: bit 63 is the sign (an interleave landing there breaks
@@ -141,23 +192,32 @@ def zorder_value(df: DataFrame, cols: list[str], bits: int = 16):
         )
         bits = max_bits
 
+    proxies = {c: _zorder_numeric(df, c) for c in cols}
     aggs = []
     for c in cols:
         aggs += [
-            F.min(F.col(c).cast("double")).alias(f"mn_{c}"),
-            F.max(F.col(c).cast("double")).alias(f"mx_{c}"),
+            F.min(proxies[c]).alias(f"mn_{c}"),
+            F.max(proxies[c]).alias(f"mx_{c}"),
         ]
     row = df.agg(*aggs).first()
     scaled = []
     top = (1 << bits) - 1
     for c in cols:
-        lo, hi = float(row[f"mn_{c}"]), float(row[f"mx_{c}"])
+        mn, mx = row[f"mn_{c}"], row[f"mx_{c}"]
+        if mn is None or mx is None:
+            # all-null column: every row scales to bucket 0
+            mn, mx = 0.0, 0.0
+        lo, hi = float(mn), float(mx)
         width = (hi - lo) or 1.0
         s = F.least(
             F.lit(top),
             F.greatest(
                 F.lit(0),
-                F.floor((F.col(c).cast("double") - F.lit(lo)) / F.lit(width) * top),
+                F.floor(
+                    (F.coalesce(proxies[c], F.lit(lo)) - F.lit(lo))
+                    / F.lit(width)
+                    * top
+                ),
             ),
         ).cast("long")
         scaled.append(s)

@@ -2559,7 +2559,8 @@ write_target_sized`'s sampled bytes-per-row estimate (one bounded
     ``[]`` to explicitly drop stats, or a list to change the set.
 
     ``zorder_by`` (Delta's ``OPTIMIZE ... ZORDER BY``): lay the
-    rewrite out by the Morton key over those numeric columns instead
+    rewrite out by the Morton key over those columns (numeric,
+    string, date, or timestamp — r15) instead
     of arrival order — each output file then spans a narrow min/max
     rectangle in EVERY listed column, which is exactly what
     ``stats_cols`` + ``read_version(prune=...)`` monetize (pass both;

@@ -186,3 +186,100 @@ def test_write_bloom_filtered_footers(spark, tmp_path):
         parquet_bloom_offsets(spark, lp, ["nope"])
     with _pytest.raises(ValueError, match="no \\*.parquet files"):
         parquet_bloom_offsets(spark, str(tmp_path / "missing"), ["key"])
+
+
+def test_zorder_string_and_date_columns(spark, tmp_path):
+    """r15 — zorder_by on non-numeric columns (the Delta/Iceberg
+    surface): strings ride an order-preserving 6-byte-prefix
+    encoding, dates ride days-since-epoch; each output file then
+    spans a narrow range in BOTH columns and a prefix-range read
+    skips files. Unsupported types raise instead of scrambling."""
+    import pytest
+
+    from pyspark.sql import functions as F
+
+    from tableone_pyspark_spark.sources.io import (
+        _zorder_numeric,
+        parquet_column_ranges,
+        write_zordered,
+        zorder_value,
+    )
+
+    orders = (
+        spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+        .withColumn("o_orderdate", F.col("o_orderdate").cast("date"))
+    )
+    out = str(tmp_path / "z_str_date")
+    write_zordered(
+        orders, out, ["o_orderpriority", "o_orderdate"], n_files=8
+    )
+    back = spark.read.parquet(out)
+    assert back.count() == orders.count()
+    # each file's o_orderpriority range must be narrow: with 5
+    # priority values over 8 files, every file should span far fewer
+    # than all 5 distinct values at its (min, max) endpoints
+    rng = parquet_column_ranges(out, ["o_orderpriority"])
+    assert rng and all(r["o_orderpriority"][0] is not None for r in rng)
+    # 8 files over 2 interleaved dimensions fix the priority MSB per
+    # file, so the TYPICAL file spans ~half of the 5 priority values
+    # (an arrival-order write spans all 5 in every file = total 32);
+    # range-sampled z boundaries may let a straddler or two span more
+    spans = [
+        int(r["o_orderpriority"][1][0]) - int(r["o_orderpriority"][0][0])
+        for r in rng
+    ]
+    assert sum(spans) <= 2.5 * len(rng), (spans, rng)
+
+    # the string proxy is MONOTONE w.r.t. string order (6-byte ties
+    # allowed): check on the distinct priorities
+    vals = [
+        r[0] for r in orders.select("o_orderpriority").distinct().collect()
+    ]
+    enc = {
+        r["o_orderpriority"]: r["e"]
+        for r in orders.select("o_orderpriority")
+        .distinct()
+        .withColumn("e", _zorder_numeric(orders, "o_orderpriority"))
+        .collect()
+    }
+    for a in vals:
+        for b in vals:
+            if a[:6] < b[:6]:
+                assert enc[a] < enc[b], (a, b, enc)
+
+    with pytest.raises(ValueError, match="supported"):
+        zorder_value(
+            orders.withColumn("arr", F.array(F.lit(1))), ["arr"]
+        )
+
+
+def test_optimize_zorder_string_column_prunes(spark, tmp_path):
+    """r15 — OPTIMIZE ... ZORDER BY a STRING column on a versioned
+    table: stats recorded on the rewrite actually skip files for an
+    equality prune on the string column."""
+    from pyspark.sql import functions as F
+
+    from tableone_pyspark_spark.sources import tablelog as tl
+
+    orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    t = str(tmp_path / "z_tbl")
+    tl.commit(
+        spark,
+        orders.select("o_orderkey", "o_orderpriority").repartition(4),
+        t,
+        stats_cols=["o_orderpriority"],
+    )
+    opt = tl.optimize(
+        spark, t, target_bytes=4096, zorder_by=["o_orderpriority"]
+    )
+    assert opt["n_output_files"] >= 2, opt
+    pruned = tl.read_version(
+        spark, t, prune=[("o_orderpriority", "=", "1-URGENT")]
+    )
+    n_read = pruned.select(F.input_file_name()).distinct().count()
+    assert n_read < opt["n_output_files"], (n_read, opt)
+    # skipping lost nothing
+    assert (
+        pruned.where(F.col("o_orderpriority") == "1-URGENT").count()
+        == orders.where(F.col("o_orderpriority") == "1-URGENT").count()
+    )
