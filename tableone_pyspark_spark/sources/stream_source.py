@@ -55,6 +55,23 @@ tablelog.read_version` remains the fast path (native parquet scan).
 The value here is the STREAMING offset tracking and the uniform
 source API.
 
+Second honest boundary (r15, investigated and measured): NO
+per-batch admission control (Delta's maxFilesPerTrigger /
+maxBytesPerTrigger) — a fresh stream over a long backlog plans it as
+ONE batch. The Python DataSource API cannot express it safely:
+``latestOffset()`` receives no start offset (the JVM side owns
+SupportsAdmissionControl's ``(start, limit)`` signature and does not
+forward it), the availableNow wrapper pins the end offset from the
+FIRST latestOffset call before the reader has learned any engine
+state, and a reader-side pacing cursor misjudged on restart would
+return an offset BELOW the WAL's committed one — the engine then
+plans a backward batch and re-delivers committed versions
+(duplicates). The driver-funneling SimpleDataSourceStreamReader DOES
+carry the needed read(start) shape but ships every row through the
+driver — unacceptable at scale. Until the Python API forwards the
+start offset, pace a backlog explicitly with
+``.option("starting_version", N)`` checkpoints per slice.
+
 No counterpart in the reference repo; composes X125/X129/X137.
 """
 

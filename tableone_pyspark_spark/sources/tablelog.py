@@ -254,6 +254,7 @@ def _publish(
     dv: list | None = None,
     constraints=_INHERIT,
     merge_meta: dict | None = None,
+    user_metadata: str | None = None,
 ) -> dict:
     """CREATE-exclusive publish of v{version}.json: exactly one of two
     racing writers can create the file (overwrite=False), the other
@@ -302,6 +303,11 @@ def _publish(
         # feed can deliver Delta's update_preimage/update_postimage
         # labels instead of bare delete/insert pairs
         doc["merge"] = merge_meta
+    if user_metadata is not None:
+        # r15 — Delta's commitInfo userMetadata: a caller-supplied
+        # audit string stamped on the version doc (job id, ticket,
+        # pipeline run), surfaced by describe_detail and history
+        doc["user_metadata"] = str(user_metadata)
     _write_log_doc_exclusive(spark, table, f"v{version}.json", doc)
     if version > 0 and version % CHECKPOINT_EVERY == 0:
         # advisory accelerator only: a failed/raced checkpoint must
@@ -613,6 +619,7 @@ def commit(
     stream_id: str | None = None,
     stats_cols: list[str] | None = None,
     merge_schema: bool = False,
+    user_metadata: str | None = None,
     _audit=None,
 ) -> dict:
     """Write ``df`` as the table's next version. ``append`` keeps the
@@ -720,6 +727,7 @@ def commit(
                 schema_json, batch_id=batch_id, stream_id=stream_id,
                 stats=stats, dv=prev_dv or None,
                 constraints=tbl_constraints,
+                user_metadata=user_metadata,
             )
         except CommitConflict:
             # X148 — Delta's blind-append conflict resolution: two
@@ -1086,6 +1094,7 @@ def merge_rows(
     when_matched: str = "update",
     when_not_matched: str = "insert",
     stats_cols: list[str] | None = None,
+    user_metadata: str | None = None,
 ) -> dict:
     """X144 — ``MERGE INTO`` with deletion vectors (Delta's DV-backed
     MERGE / Iceberg's merge-on-read upsert): target rows whose key
@@ -1270,6 +1279,7 @@ def merge_rows(
             "when_matched": when_matched,
             "files_post": post_files,
         },
+        user_metadata=user_metadata,
     )
     return {
         "version": base + 1,
@@ -1546,14 +1556,15 @@ def history(spark: SparkSession, table: str) -> list[dict]:
             out, head, start = [], [], 0
     for v in range(start, cur + 1):
         doc = _version_doc(spark, table, v)
-        out.append(
-            {
-                "version": doc["version"],
-                "mode": doc["mode"],
-                "n_files": len(doc["files"]),
-                "committed_at": doc["committed_at"],
-            }
-        )
+        row = {
+            "version": doc["version"],
+            "mode": doc["mode"],
+            "n_files": len(doc["files"]),
+            "committed_at": doc["committed_at"],
+        }
+        if "user_metadata" in doc:
+            row["user_metadata"] = doc["user_metadata"]
+        out.append(row)
     return head + out
 
 
@@ -1839,6 +1850,7 @@ def describe_detail(
         "latest_checkpoint": max(
             (n for n in cks if n <= v), default=None
         ),
+        "user_metadata": doc.get("user_metadata"),
     }
     if with_size:
         fs, _ = _fs(spark, table)

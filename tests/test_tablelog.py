@@ -2387,3 +2387,32 @@ def test_merge_cdf_update_labels(spark, tmp_path):
         ).collect()
     }
     assert d == {(0, "D")}
+
+
+def test_user_metadata_stamped_and_surfaced(spark, tmp_path):
+    """r15 — Delta's commitInfo userMetadata: a caller-supplied audit
+    string on commit/merge versions, surfaced by describe_detail and
+    the doc-walked history rows; versions without one carry none."""
+    t = str(tmp_path / "um_tbl")
+    tl.commit(
+        spark, spark.createDataFrame([(1,)], "k long"), t,
+        user_metadata="backfill job #42",
+    )
+    tl.commit(spark, spark.createDataFrame([(2,)], "k long"), t)
+    tl.merge_rows(
+        spark, t,
+        spark.createDataFrame([(1,), (9,)], "k long"), ["k"],
+        user_metadata="dedupe run",
+    )
+    assert (
+        tl.describe_detail(spark, t, version=0)["user_metadata"]
+        == "backfill job #42"
+    )
+    assert tl.describe_detail(spark, t, version=1)["user_metadata"] is None
+    assert (
+        tl.describe_detail(spark, t, version=2)["user_metadata"]
+        == "dedupe run"
+    )
+    h = {r["version"]: r.get("user_metadata") for r in tl.history(spark, t)}
+    assert h[0] == "backfill job #42" and h[1] is None
+    assert h[2] == "dedupe run"
