@@ -255,6 +255,7 @@ def _publish(
     constraints=_INHERIT,
     merge_meta: dict | None = None,
     user_metadata: str | None = None,
+    generated=_INHERIT,
 ) -> dict:
     """CREATE-exclusive publish of v{version}.json: exactly one of two
     racing writers can create the file (overwrite=False), the other
@@ -275,6 +276,12 @@ def _publish(
         constraints = (
             prev_published.get("constraints") if prev_published else None
         )
+    if generated is _INHERIT:
+        # X153 generated-column exprs inherit exactly like constraints
+        # — no maintenance publish can silently shed them
+        generated = (
+            prev_published.get("generated") if prev_published else None
+        )
     committed_at = time.time()
     if prev_published and committed_at <= prev_published["committed_at"]:
         committed_at = prev_published["committed_at"] + 1e-6
@@ -289,6 +296,8 @@ def _publish(
     }
     if constraints:
         doc["constraints"] = constraints
+    if generated:
+        doc["generated"] = generated
     if batch_id is not None:
         doc["batch_id"] = batch_id
     if stream_id is not None:
@@ -547,6 +556,42 @@ def _enforce_constraints(
         )
 
 
+def _enforce_generated(
+    spark: SparkSession,
+    generated: dict | None,
+    files: list[str],
+    table: str,
+    what: str,
+    schema_json: str | None = None,
+) -> None:
+    """X153 write-path gate: a write that SUPPLIES a generated column
+    must agree with its expression on every new row (null-safe
+    compare — Delta's GENERATED ALWAYS AS enforcement); raising here
+    leaves the data dir an invisible orphan, like the CHECK gate."""
+    if not generated or not files:
+        return
+    df = (
+        _read_files(spark, files, schema_json)
+        if schema_json is not None
+        else spark.read.parquet(*files)
+    )
+    checks = {
+        gcol: f"{gcol} <=> ({gexpr})" for gcol, gexpr in generated.items()
+    }
+    bad = _check_violations(df, checks)
+    if bad:
+        raise ValueError(
+            f"{what} to {table} disagrees with generated column(s): "
+            + "; ".join(
+                f"{n!r} (GENERATED ALWAYS AS {generated[n]}) — "
+                f"{c} row(s)"
+                for n, c in bad.items()
+            )
+            + " — nothing was published; omit the column to have it "
+            "computed"
+        )
+
+
 def _collect_file_stats(
     spark: SparkSession, files: list[str], stats_cols: list[str]
 ) -> dict:
@@ -668,6 +713,27 @@ def commit(
     prev_stats: dict = {}
     prev_dv: list = []
     tbl_constraints: dict | None = None
+    tbl_generated: dict | None = None
+    if prev is not None:
+        # X153 generated columns fill BEFORE the schema is derived or
+        # checked: a write omitting a generated column gets it
+        # computed (Delta's GENERATED ALWAYS AS); a write carrying it
+        # is enforced against the expression after the data lands
+        pdoc0 = _version_doc(spark, table, prev)
+        tbl_generated = pdoc0.get("generated")
+        if tbl_generated:
+            filled = False
+            for gcol, gexpr in tbl_generated.items():
+                if gcol not in df.columns:
+                    df = df.withColumn(gcol, F.expr(gexpr))
+                    filled = True
+            if filled:
+                # a filled column lands at the end — restore the
+                # table's column order so the ordered shape check
+                # sees the write the reader will
+                tbl_cols = [n for n, _ in _schema_shape(pdoc0["schema"])]
+                if set(df.columns) == set(tbl_cols):
+                    df = df.select(*tbl_cols)
     schema_json = df.schema.json()
     if prev is not None and mode == "append":
         doc = _version_doc(spark, table, prev)
@@ -709,6 +775,10 @@ def commit(
     # re-validate: their rows passed at write time, Delta's rule)
     _enforce_constraints(
         spark, tbl_constraints, new_files, table, mode,
+        schema_json=schema_json,
+    )
+    _enforce_generated(
+        spark, tbl_generated, new_files, table, mode,
         schema_json=schema_json,
     )
     new_stats: dict = {}
@@ -798,6 +868,16 @@ def commit(
                 tbl_constraints = doc.get("constraints")
                 _enforce_constraints(
                     spark, tbl_constraints, new_files, table, mode,
+                    schema_json=schema_json,
+                )
+            if doc.get("generated") != tbl_generated:
+                # an interleaved set_generated: our files were never
+                # checked against (or filled from) the new exprs —
+                # enforce; a column our files miss entirely fails the
+                # schema check above first (X153)
+                tbl_generated = doc.get("generated")
+                _enforce_generated(
+                    spark, tbl_generated, new_files, table, mode,
                     schema_json=schema_json,
                 )
             version = newprev + 1
@@ -1255,9 +1335,14 @@ def merge_rows(
     new_files: list[str] = post_files + ins_files
     n_ins = spark.read.parquet(*new_files).count() if new_files else 0
     # X149: a merge's appended postimage/insert rows pass the same
-    # persisted CHECK gate as plain commits (retractions need none)
+    # persisted CHECK gate as plain commits (retractions need none);
+    # X153 generated columns are enforced the same way (the source
+    # schema matches the table's, so the column is always supplied)
     _enforce_constraints(
         spark, doc.get("constraints"), new_files, table, "merge"
+    )
+    _enforce_generated(
+        spark, doc.get("generated"), new_files, table, "merge"
     )
 
     if not new_dv and not new_files:
@@ -1617,11 +1702,13 @@ def clone(
         )
     doc = _version_doc(spark, src_table, v)
     # the clone's v0 has no predecessor to inherit from — carry the
-    # SOURCE's constraints explicitly (Delta clones table metadata)
+    # SOURCE's constraints and generated-column exprs explicitly
+    # (Delta clones table metadata)
     return _publish(
         spark, dst_table, 0, doc["files"], "append", doc["schema"],
         stats=doc.get("stats") or None, dv=doc.get("dv") or None,
         constraints=doc.get("constraints"),
+        generated=doc.get("generated"),
     )
 
 
@@ -1814,6 +1901,88 @@ def drop_constraint(
     )
 
 
+def set_generated(
+    spark: SparkSession, table: str, col: str, expr_sql: str
+) -> dict:
+    """X153 — Delta's ``GENERATED ALWAYS AS``: persist a generation
+    expression for an EXISTING column so every subsequent write either
+    computes it (column omitted from the write — commit fills it
+    before the schema check) or is gated against it (column supplied —
+    a null-safe mismatch on any new row fails the write before
+    publish, like the X149 CHECK gate). Maintenance publishes and
+    clones inherit/carry the expression set like constraints.
+
+    The column must already exist in the current schema (add it first
+    with an X152 ``merge_schema=True`` append — NULL-filled history is
+    exactly what a newly generated column's old rows look like in
+    Delta too); the expression must parse against the current schema,
+    must not reference the column itself, and the CURRENT live rows
+    must already satisfy it OR hold NULL there (the backfill-free
+    rule: pre-existing NULLs pass, disagreeing values fail — a
+    generated column the table already contradicts would make every
+    future failure message lie). The publish is a files-unchanged
+    append version, OCC applies. Returns the published doc."""
+    cur = current_version(spark, table)
+    if cur is None:
+        raise ValueError(f"no such versioned table: {table}")
+    doc = _version_doc(spark, table, cur)
+    names = [n for n, _ in _schema_shape(doc["schema"])]
+    if col not in names:
+        raise ValueError(
+            f"generated column {col!r} not in the table schema "
+            f"{names} — add it first (merge_schema=True append)"
+        )
+    import re as _re
+
+    if _re.search(rf"\b{_re.escape(col)}\b", expr_sql):
+        raise ValueError(
+            f"generated expression for {col!r} references the column "
+            f"itself: {expr_sql!r}"
+        )
+    live = read_version(spark, table, cur)
+    live.select(F.expr(expr_sql))  # eager parse/bind — fail here
+    bad = _check_violations(
+        live, {col: f"{col} IS NULL OR {col} <=> ({expr_sql})"}
+    )
+    if bad:
+        raise ValueError(
+            f"cannot set GENERATED ALWAYS AS on {col!r} ({expr_sql}): "
+            f"{bad[col]} existing live row(s) disagree with it"
+        )
+    merged = dict(doc.get("generated") or {})
+    merged[col] = expr_sql
+    return _publish(
+        spark, table, cur + 1, doc["files"], "append", doc["schema"],
+        stats=doc.get("stats") or None, dv=doc.get("dv") or None,
+        constraints=doc.get("constraints"), generated=merged,
+    )
+
+
+def drop_generated(
+    spark: SparkSession, table: str, col: str
+) -> dict:
+    """X153 — remove a column's generation expression: publishes a
+    files-unchanged version without it; raises if the column has none
+    (a silent no-op would hide a typo from an operator who believes
+    generation stopped)."""
+    cur = current_version(spark, table)
+    if cur is None:
+        raise ValueError(f"no such versioned table: {table}")
+    doc = _version_doc(spark, table, cur)
+    have = dict(doc.get("generated") or {})
+    if col not in have:
+        raise ValueError(
+            f"no generated expression on {col!r} of {table} "
+            f"(present: {sorted(have) or 'none'})"
+        )
+    del have[col]
+    return _publish(
+        spark, table, cur + 1, doc["files"], "append", doc["schema"],
+        stats=doc.get("stats") or None, dv=doc.get("dv") or None,
+        constraints=doc.get("constraints"), generated=have or None,
+    )
+
+
 def describe_detail(
     spark: SparkSession,
     table: str,
@@ -1847,6 +2016,7 @@ def describe_detail(
         "n_stats_files": len(doc.get("stats") or {}),
         "columns": [n for n, _ in _schema_shape(doc["schema"])],
         "constraints": dict(doc.get("constraints") or {}),
+        "generated": dict(doc.get("generated") or {}),
         "latest_checkpoint": max(
             (n for n in cks if n <= v), default=None
         ),

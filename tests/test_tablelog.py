@@ -2416,3 +2416,127 @@ def test_user_metadata_stamped_and_surfaced(spark, tmp_path):
     h = {r["version"]: r.get("user_metadata") for r in tl.history(spark, t)}
     assert h[0] == "backfill job #42" and h[1] is None
     assert h[2] == "dedupe run"
+
+
+def test_generated_columns_fill_enforce_inherit(spark, tmp_path):
+    """X153 — GENERATED ALWAYS AS: writes omitting the column get it
+    computed; writes supplying it are gated null-safely; maintenance
+    publishes, merges, and clones inherit/carry the expression set;
+    drop stops both behaviors."""
+    t = str(tmp_path / "gen_tbl")
+    tl.commit(
+        spark,
+        spark.createDataFrame(
+            [(1, 10.0, 20.0)], "k long, a double, total double"
+        ),
+        t,
+    )  # v0: total already = a * 2
+    tl.set_generated(spark, t, "total", "a * 2")  # v1
+
+    # (a) omitted -> computed (and column order restored)
+    tl.commit(
+        spark,
+        spark.createDataFrame([(2, 3.0)], "k long, a double"),
+        t,
+    )  # v2
+    got = {
+        r["k"]: r["total"] for r in tl.read_version(spark, t).collect()
+    }
+    assert got == {1: 20.0, 2: 6.0}
+    assert tl.read_version(spark, t).columns == ["k", "a", "total"]
+
+    # (b) supplied-and-wrong -> refused, nothing published
+    with pytest.raises(ValueError, match="GENERATED ALWAYS AS"):
+        tl.commit(
+            spark,
+            spark.createDataFrame(
+                [(3, 5.0, 99.0)], "k long, a double, total double"
+            ),
+            t,
+        )
+    assert tl.current_version(spark, t) == 2
+    # supplied-and-right passes
+    tl.commit(
+        spark,
+        spark.createDataFrame(
+            [(3, 5.0, 10.0)], "k long, a double, total double"
+        ),
+        t,
+    )  # v3
+
+    # (c) merge enforces too (source schema must supply the column)
+    with pytest.raises(ValueError, match="GENERATED"):
+        tl.merge_rows(
+            spark, t,
+            spark.createDataFrame(
+                [(2, 4.0, 1.0)], "k long, a double, total double"
+            ),
+            ["k"],
+        )
+    rep = tl.merge_rows(
+        spark, t,
+        spark.createDataFrame(
+            [(2, 4.0, 8.0)], "k long, a double, total double"
+        ),
+        ["k"],
+    )  # v4
+    assert rep["n_deleted"] == 1 and rep["n_inserted"] == 1
+
+    # (d) optimize inherits (no silent shed) and clone carries
+    opt = tl.optimize(spark, t, target_bytes=1 << 20)  # v5
+    assert tl.describe_detail(spark, t)["generated"] == {"total": "a * 2"}
+    c = str(tmp_path / "gen_clone")
+    tl.clone(spark, t, c)
+    assert tl.describe_detail(spark, c)["generated"] == {"total": "a * 2"}
+    with pytest.raises(ValueError, match="GENERATED"):
+        tl.commit(
+            spark,
+            spark.createDataFrame(
+                [(9, 1.0, 7.0)], "k long, a double, total double"
+            ),
+            c,
+        )
+
+    # (e) drop stops filling and gating
+    tl.drop_generated(spark, t, "total")  # v6
+    tl.commit(
+        spark,
+        spark.createDataFrame(
+            [(7, 1.0, 777.0)], "k long, a double, total double"
+        ),
+        t,
+    )  # v7: disagrees, but no longer generated
+    assert tl.describe_detail(spark, t)["generated"] == {}
+    with pytest.raises(ValueError, match="no generated expression"):
+        tl.drop_generated(spark, t, "total")
+
+
+def test_set_generated_validation(spark, tmp_path):
+    """X153 guards: unknown column, self-reference, disagreeing
+    existing rows (NULL history passes — the backfill-free rule)."""
+    t = str(tmp_path / "genv_tbl")
+    tl.commit(
+        spark,
+        spark.createDataFrame(
+            [(1, 2.0, None), (2, 3.0, 6.0)],
+            "k long, a double, total double",
+        ),
+        t,
+    )
+    with pytest.raises(ValueError, match="not in the table schema"):
+        tl.set_generated(spark, t, "nope", "a * 2")
+    with pytest.raises(ValueError, match="references the column"):
+        tl.set_generated(spark, t, "total", "total + 1")
+    # row (2, 3.0, 6.0) = a*2 OK; row 1 is NULL -> passes
+    tl.set_generated(spark, t, "total", "a * 2")
+    # now a table whose live rows DISAGREE refuses
+    t2 = str(tmp_path / "genv2_tbl")
+    tl.commit(
+        spark,
+        spark.createDataFrame(
+            [(1, 2.0, 5.0)], "k long, a double, total double"
+        ),
+        t2,
+    )
+    with pytest.raises(ValueError, match="disagree"):
+        tl.set_generated(spark, t2, "total", "a * 2")
