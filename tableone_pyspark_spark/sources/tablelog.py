@@ -256,6 +256,7 @@ def _publish(
     merge_meta: dict | None = None,
     user_metadata: str | None = None,
     generated=_INHERIT,
+    properties=_INHERIT,
 ) -> dict:
     """CREATE-exclusive publish of v{version}.json: exactly one of two
     racing writers can create the file (overwrite=False), the other
@@ -282,6 +283,11 @@ def _publish(
         generated = (
             prev_published.get("generated") if prev_published else None
         )
+    if properties is _INHERIT:
+        # X155 table properties inherit the same way
+        properties = (
+            prev_published.get("properties") if prev_published else None
+        )
     committed_at = time.time()
     if prev_published and committed_at <= prev_published["committed_at"]:
         committed_at = prev_published["committed_at"] + 1e-6
@@ -298,6 +304,8 @@ def _publish(
         doc["constraints"] = constraints
     if generated:
         doc["generated"] = generated
+    if properties:
+        doc["properties"] = properties
     if batch_id is not None:
         doc["batch_id"] = batch_id
     if stream_id is not None:
@@ -1709,6 +1717,7 @@ def clone(
         stats=doc.get("stats") or None, dv=doc.get("dv") or None,
         constraints=doc.get("constraints"),
         generated=doc.get("generated"),
+        properties=doc.get("properties"),
     )
 
 
@@ -1983,6 +1992,87 @@ def drop_generated(
     )
 
 
+#: table properties with a validated meaning (X155). Free-form keys
+#: are allowed too (documentation/audit); these ones are CONSUMED:
+#: vacuum.keep_last / vacuum.min_age_seconds set the table's own
+#: vacuum retention defaults (Delta's deletedFileRetentionDuration
+#: idea — the table owns its retention policy, not every caller).
+_KNOWN_PROPERTIES = {
+    "vacuum.keep_last": lambda v: int(v) >= 1,
+    "vacuum.min_age_seconds": lambda v: float(v) >= 0,
+}
+
+
+def set_property(
+    spark: SparkSession, table: str, key: str, value
+) -> dict:
+    """X155 — persist a table property (Delta's TBLPROPERTIES):
+    stored on the version doc, inherited by every subsequent publish
+    (the constraints rule), carried by clones. Known keys are
+    validated eagerly (``vacuum.keep_last``,
+    ``vacuum.min_age_seconds`` — consumed as :func:`vacuum`'s
+    defaults); unknown keys are free-form audit/config carriage.
+    Values are stored as strings. Publishes a files-unchanged
+    version; OCC applies."""
+    check = _KNOWN_PROPERTIES.get(key)
+    if check is not None:
+        try:
+            ok = check(value)
+        except (TypeError, ValueError):
+            ok = False
+        if not ok:
+            raise ValueError(
+                f"invalid value {value!r} for table property {key!r}"
+            )
+    cur = current_version(spark, table)
+    if cur is None:
+        raise ValueError(f"no such versioned table: {table}")
+    doc = _version_doc(spark, table, cur)
+    merged = dict(doc.get("properties") or {})
+    merged[key] = str(value)
+    return _publish(
+        spark, table, cur + 1, doc["files"], "append", doc["schema"],
+        stats=doc.get("stats") or None, dv=doc.get("dv") or None,
+        constraints=doc.get("constraints"),
+        generated=doc.get("generated"), properties=merged,
+    )
+
+
+def unset_property(spark: SparkSession, table: str, key: str) -> dict:
+    """X155 — remove a table property; raises if absent (a silent
+    no-op would hide a typo)."""
+    cur = current_version(spark, table)
+    if cur is None:
+        raise ValueError(f"no such versioned table: {table}")
+    doc = _version_doc(spark, table, cur)
+    have = dict(doc.get("properties") or {})
+    if key not in have:
+        raise ValueError(
+            f"no table property {key!r} on {table} "
+            f"(present: {sorted(have) or 'none'})"
+        )
+    del have[key]
+    return _publish(
+        spark, table, cur + 1, doc["files"], "append", doc["schema"],
+        stats=doc.get("stats") or None, dv=doc.get("dv") or None,
+        constraints=doc.get("constraints"),
+        generated=doc.get("generated"), properties=have or None,
+    )
+
+
+def table_properties(
+    spark: SparkSession, table: str, version: int | None = None
+) -> dict:
+    """X155 — the property map at ``version`` (default current)."""
+    cur = current_version(spark, table)
+    if cur is None:
+        raise ValueError(f"no such versioned table: {table}")
+    v = cur if version is None else version
+    if not 0 <= v <= cur:
+        raise ValueError(f"version {v} not in [0, {cur}] for {table}")
+    return dict(_version_doc(spark, table, v).get("properties") or {})
+
+
 def describe_detail(
     spark: SparkSession,
     table: str,
@@ -2017,6 +2107,7 @@ def describe_detail(
         "columns": [n for n, _ in _schema_shape(doc["schema"])],
         "constraints": dict(doc.get("constraints") or {}),
         "generated": dict(doc.get("generated") or {}),
+        "properties": dict(doc.get("properties") or {}),
         "latest_checkpoint": max(
             (n for n in cks if n <= v), default=None
         ),
@@ -2489,8 +2580,8 @@ refresh_aggregate` consumes."""
 def vacuum(
     spark: SparkSession,
     table: str,
-    keep_last: int = 2,
-    min_age_seconds: float = 24 * 3600,
+    keep_last: int | None = None,
+    min_age_seconds: float | None = None,
     dry_run: bool = False,
 ) -> dict:
     """Delete data files no version in the kept window references —
@@ -2516,15 +2607,25 @@ def vacuum(
     before-you-reclaim check, since a vacuum past a version someone
     still time-travels to (or a clone still references) is the one
     irreversible operation in the format."""
+    cur = current_version(spark, table)
+    if cur is None:
+        raise ValueError(f"no such versioned table: {table}")
+    if keep_last is None or min_age_seconds is None:
+        # X155: the table owns its retention policy — explicit args
+        # win, table properties next, module defaults last
+        props = _version_doc(spark, table, cur).get("properties") or {}
+        if keep_last is None:
+            keep_last = int(props.get("vacuum.keep_last", 2))
+        if min_age_seconds is None:
+            min_age_seconds = float(
+                props.get("vacuum.min_age_seconds", 24 * 3600)
+            )
     if keep_last < 1:
         raise ValueError(f"keep_last must be >= 1, got {keep_last}")
     if min_age_seconds < 0:
         raise ValueError(
             f"min_age_seconds must be >= 0, got {min_age_seconds}"
         )
-    cur = current_version(spark, table)
-    if cur is None:
-        raise ValueError(f"no such versioned table: {table}")
     kept = list(range(max(0, cur - keep_last + 1), cur + 1))
     live: set[str] = set()
     for v in kept:

@@ -2540,3 +2540,53 @@ def test_set_generated_validation(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="disagree"):
         tl.set_generated(spark, t2, "total", "a * 2")
+
+
+def test_table_properties_and_vacuum_defaults(spark, tmp_path):
+    """X155 — persisted table properties: inherited by every publish,
+    carried by clones, surfaced by describe_detail, and consumed as
+    vacuum's retention defaults (explicit args still win)."""
+    import os
+
+    t = str(tmp_path / "props_tbl")
+    tl.commit(spark, spark.range(5).select(F.col("id").alias("k")), t)
+    tl.set_property(spark, t, "vacuum.keep_last", 1)
+    tl.set_property(spark, t, "vacuum.min_age_seconds", 0)
+    tl.set_property(spark, t, "owner", "data-eng")  # free-form
+    assert tl.table_properties(spark, t) == {
+        "vacuum.keep_last": "1",
+        "vacuum.min_age_seconds": "0",
+        "owner": "data-eng",
+    }
+    with pytest.raises(ValueError, match="invalid value"):
+        tl.set_property(spark, t, "vacuum.keep_last", 0)
+
+    # inherited through data commits and maintenance
+    tl.commit(spark, spark.range(5, 8).select(F.col("id").alias("k")), t,
+              mode="overwrite")
+    tl.optimize(spark, t, target_bytes=1 << 20)
+    assert tl.describe_detail(spark, t)["properties"]["owner"] == "data-eng"
+
+    # clone carries
+    c = str(tmp_path / "props_clone")
+    tl.clone(spark, t, c)
+    assert tl.table_properties(spark, c)["owner"] == "data-eng"
+
+    # vacuum consumes the table's own retention policy: keep_last=1,
+    # min_age=0 -> the pre-overwrite files reclaim with NO args
+    d0 = tl._version_doc(spark, t, 0)["files"]
+    rep = tl.vacuum(spark, t)
+    assert rep["kept_versions"][-1] == tl.current_version(spark, t)
+    assert len(rep["kept_versions"]) == 1
+    assert rep["n_deleted"] >= len(d0)
+    for f in d0:
+        assert not os.path.exists(f.replace("file:", ""))
+    # explicit args still win over properties
+    rep2 = tl.vacuum(spark, t, keep_last=5, min_age_seconds=3600,
+                     dry_run=True)
+    assert rep2["n_would_delete"] == 0
+
+    with pytest.raises(ValueError, match="no table property"):
+        tl.unset_property(spark, t, "nope")
+    tl.unset_property(spark, t, "owner")
+    assert "owner" not in tl.table_properties(spark, t)
