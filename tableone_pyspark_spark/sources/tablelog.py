@@ -2941,22 +2941,69 @@ write_target_sized`'s sampled bytes-per-row estimate (one bounded
         if stats_cols
         else None
     )
-    if current_version(spark, table) != base:
-        # cheap early conflict detection; _publish's CREATE-exclusive
-        # slot is still the real gate
-        raise CommitConflict(
-            f"table {table} moved past v{base} during optimize — "
-            "re-run on the new version"
-        )
-    _publish(
-        spark, table, base + 1, new_files, "overwrite", doc["schema"],
-        stats=stats,
+    # r15 — maintenance-vs-ingest concurrency (Delta's conflict
+    # matrix for OPTIMIZE): a long rewrite on a hot table always
+    # loses the slot to blind appends; since appends only ADD files,
+    # the rewrite stays valid — rebase by publishing (rewrite output
+    # + the interleaved appends' new files) at the new head, with the
+    # HEAD's schema (an interleaved additive evolution NULL-fills the
+    # rewritten old-shape files by name, X152). Anything that touched
+    # the rows we rewrote (overwrite / DV delete / merge — their
+    # vectors or replacements target the files this rewrite
+    # materialized) still raises: the rewrite is stale.
+    head = base
+    base_files = set(doc["files"])
+    base_dv = doc.get("dv") or []
+    for _ in range(APPEND_REBASE_RETRIES):
+        try:
+            if head == base:
+                _publish(
+                    spark, table, base + 1, new_files, "overwrite",
+                    doc["schema"], stats=stats,
+                )
+                carried: list[str] = []
+            else:
+                hdoc = _version_doc(spark, table, head)
+                carried = [
+                    f for f in hdoc["files"] if f not in base_files
+                ]
+                hstats = {
+                    f: st
+                    for f, st in (hdoc.get("stats") or {}).items()
+                    if f in set(carried)
+                }
+                _publish(
+                    spark, table, head + 1, new_files + carried,
+                    "overwrite", hdoc["schema"],
+                    stats={**(stats or {}), **hstats} or None,
+                )
+            return {
+                "version": (base if head == base else head) + 1,
+                "n_input_files": len(doc["files"]),
+                "n_output_files": len(new_files),
+                "n_carried_files": len(carried),
+            }
+        except CommitConflict:
+            nh = current_version(spark, table)
+            if nh is None or nh <= head:
+                raise
+            for v in range(base + 1, nh + 1):
+                d = _version_doc(spark, table, v)
+                if (
+                    d["mode"] != "append"
+                    or (d.get("dv") or []) != base_dv
+                ):
+                    raise CommitConflict(
+                        f"table {table} moved past v{base} during "
+                        "optimize with a non-append change "
+                        f"(v{v} is {d['mode']!r}) — the rewrite is "
+                        "stale; re-run on the new version"
+                    ) from None
+            head = nh
+    raise CommitConflict(
+        f"optimize of {table} lost {APPEND_REBASE_RETRIES} consecutive "
+        "slot races — pathological contention; retry with backoff"
     )
-    return {
-        "version": base + 1,
-        "n_input_files": len(doc["files"]),
-        "n_output_files": len(new_files),
-    }
 
 
 def apply_changes(

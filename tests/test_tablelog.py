@@ -2590,3 +2590,63 @@ def test_table_properties_and_vacuum_defaults(spark, tmp_path):
         tl.unset_property(spark, t, "nope")
     tl.unset_property(spark, t, "owner")
     assert "owner" not in tl.table_properties(spark, t)
+
+
+def test_optimize_rebases_across_blind_appends(spark, tmp_path, monkeypatch):
+    """r15 — maintenance-vs-ingest: an OPTIMIZE that loses the publish
+    slot to a concurrent blind append rebases (rewrite output + the
+    interleaved append's files at the new head, nothing lost); an
+    interleaved DV delete makes the rewrite stale and still raises."""
+    t = str(tmp_path / "opt_race")
+    tl.commit(
+        spark,
+        spark.range(100).select(F.col("id").alias("k")).repartition(8),
+        t,
+        stats_cols=["k"],
+    )  # v0
+    orig = tl._write_log_doc_exclusive
+    state = {"raced": False}
+
+    def racy(s, table_, name, doc):
+        if not state["raced"] and table_ == t and name.startswith("v"):
+            state["raced"] = True
+            monkeypatch.setattr(tl, "_write_log_doc_exclusive", orig)
+            tl.commit(
+                spark,
+                spark.range(200, 203).select(F.col("id").alias("k")),
+                t,
+            )  # the winner: v1
+            monkeypatch.setattr(tl, "_write_log_doc_exclusive", racy)
+        return orig(s, table_, name, doc)
+
+    monkeypatch.setattr(tl, "_write_log_doc_exclusive", racy)
+    rep = tl.optimize(spark, t, target_bytes=1 << 20)
+    monkeypatch.setattr(tl, "_write_log_doc_exclusive", orig)
+    assert state["raced"] and rep["version"] == 2, rep
+    assert rep["n_carried_files"] >= 1, rep
+    assert sorted(
+        r["k"] for r in tl.read_version(spark, t).collect()
+    ) == list(range(100)) + [200, 201, 202]
+    # the carried append's stats survive alongside the rewrite's
+    d2 = tl._version_doc(spark, t, 2)
+    assert set(d2.get("stats") or {})  # rewrite files have k stats
+
+    # a non-append interleave (DV delete) makes the rewrite stale
+    state["raced"] = False
+
+    def racy_del(s, table_, name, doc):
+        if not state["raced"] and table_ == t and name.startswith("v"):
+            state["raced"] = True
+            monkeypatch.setattr(tl, "_write_log_doc_exclusive", orig)
+            tl.delete_rows(spark, t, F.col("k") == 0)
+            monkeypatch.setattr(tl, "_write_log_doc_exclusive", racy_del)
+        return orig(s, table_, name, doc)
+
+    monkeypatch.setattr(tl, "_write_log_doc_exclusive", racy_del)
+    with pytest.raises(tl.CommitConflict, match="non-append"):
+        tl.optimize(spark, t, target_bytes=1 << 20)
+    monkeypatch.setattr(tl, "_write_log_doc_exclusive", orig)
+    # nothing corrupted: the delete's version is the head
+    assert sorted(
+        r["k"] for r in tl.read_version(spark, t).collect()
+    ) == list(range(1, 100)) + [200, 201, 202]
