@@ -2768,6 +2768,8 @@ def commit_audited(
     mode: str = "append",
     expected_base: int | None = None,
     stats_cols: list[str] | None = None,
+    merge_schema: bool = False,
+    user_metadata: str | None = None,
 ) -> dict:
     """Write-Audit-Publish (the Iceberg WAP pattern; Delta CHECK
     constraints by composition): write ``df``'s data files FIRST,
@@ -2810,7 +2812,8 @@ def commit_audited(
 
     return commit(
         spark, df, table, mode=mode, expected_base=expected_base,
-        stats_cols=stats_cols, _audit=audit,
+        stats_cols=stats_cols, merge_schema=merge_schema,
+        user_metadata=user_metadata, _audit=audit,
     )
 
 
