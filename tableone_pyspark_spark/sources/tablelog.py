@@ -326,7 +326,13 @@ def _publish(
         # pipeline run), surfaced by describe_detail and history
         doc["user_metadata"] = str(user_metadata)
     _write_log_doc_exclusive(spark, table, f"v{version}.json", doc)
-    if version > 0 and version % CHECKPOINT_EVERY == 0:
+    ck_every = CHECKPOINT_EVERY
+    if properties and "checkpoint.every" in properties:
+        # X155: the auto-checkpoint cadence is table-owned too — a
+        # high-commit-rate table checkpoints more often without every
+        # writer process agreeing on a module constant
+        ck_every = int(properties["checkpoint.every"])
+    if version > 0 and version % ck_every == 0:
         # advisory accelerator only: a failed/raced checkpoint must
         # never fail the commit it rides on (X139)
         try:
@@ -2000,6 +2006,7 @@ def drop_generated(
 _KNOWN_PROPERTIES = {
     "vacuum.keep_last": lambda v: int(v) >= 1,
     "vacuum.min_age_seconds": lambda v: float(v) >= 0,
+    "checkpoint.every": lambda v: int(v) >= 1,
 }
 
 

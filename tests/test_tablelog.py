@@ -2650,3 +2650,20 @@ def test_optimize_rebases_across_blind_appends(spark, tmp_path, monkeypatch):
     assert sorted(
         r["k"] for r in tl.read_version(spark, t).collect()
     ) == list(range(1, 100)) + [200, 201, 202]
+
+
+def test_checkpoint_every_table_property(spark, tmp_path):
+    """X155 — checkpoint.every: the auto-checkpoint cadence comes from
+    the table's own properties (module default otherwise)."""
+    t = str(tmp_path / "ckev_tbl")
+    tl.commit(spark, spark.createDataFrame([(0,)], "k long"), t)  # v0
+    tl.set_property(spark, t, "checkpoint.every", 3)  # v1
+    tl.commit(spark, spark.createDataFrame([(1,)], "k long"), t)  # v2
+    assert tl.latest_checkpoint_version(spark, t) is None
+    tl.commit(spark, spark.createDataFrame([(2,)], "k long"), t)  # v3
+    assert tl.latest_checkpoint_version(spark, t) == 3
+    for i in range(3, 6):
+        tl.commit(spark, spark.createDataFrame([(i,)], "k long"), t)
+    assert tl.latest_checkpoint_version(spark, t) == 6
+    with pytest.raises(ValueError, match="invalid value"):
+        tl.set_property(spark, t, "checkpoint.every", 0)
