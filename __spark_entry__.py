@@ -2925,9 +2925,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # additive-evolution append whose 'note' column NULL-fills every
     # pre-evolution file in the 'final' DataSource read, and X151
     # describe_detail/vacuum-dry-run gates with an oracle-replayed
-    # metrics row, plus the X146 batch half (a keyless overwrite's
+    # metrics row, the X146 batch half (a keyless overwrite's
     # change feed derived from the log alone — the previous live view
-    # as D rows, the new file list as I rows, both oracle-replayed).
+    # as D rows, the new file list as I rows, both oracle-replayed),
+    # and the X153 generated-column arms (k2 evolved in, GENERATED
+    # ALWAYS AS persisted, an OMITTING append and the X146 overwrite
+    # both FILLED — their k2 values oracle-replayed in the final/ow
+    # arms — and a disagreeing write hard-gated to refuse).
     # Nothing cdc_orders graded is left ungraded.)
     def merge_suite_q(spark, sf_dir):
         # X120+X144+X145+X147+X148+X151+X152 in one row-level suite
@@ -3097,11 +3101,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             rep5 = tl.commit(spark, e_rows, t, merge_schema=True)
             assert rep5["version"] == 5, rep5
 
+            # X153: generated column, fully staged — evolve a numeric
+            # k2 in with values satisfying the expression (v6),
+            # persist GENERATED ALWAYS AS (v7 — validation passes:
+            # pre-v6 rows hold NULL, v6 rows agree), then an append
+            # OMITTING k2 has it COMPUTED (v8; its values land in the
+            # graded 'final'/'ow' arms), and a disagreeing write is
+            # REFUSED with nothing published (hard gate)
+            g_rows = (
+                shifted(37, 5000000, "G")
+                .withColumn("note", F.lit(None).cast("string"))
+                .withColumn("k2", F.col("o_orderkey") * 2.0)
+            )
+            rep6 = tl.commit(spark, g_rows, t, merge_schema=True)
+            assert rep6["version"] == 6, rep6
+            gen = tl.set_generated(spark, t, "k2", "o_orderkey * 2.0")
+            assert gen["version"] == 7, gen
+            h_rows = shifted(41, 6000000, "H").withColumn(
+                "note", F.lit(None).cast("string")
+            )  # no k2 — the commit fill computes it
+            rep8 = tl.commit(spark, h_rows, t)
+            assert rep8["version"] == 8, rep8
             # X151 gates: one metadata read each, asserted against
             # the in-run ground truth
             dd = tl.describe_detail(spark, t)
-            assert dd["version"] == 5 and dd["mode"] == "append", dd
-            assert dd["columns"] == data_cols + ["note"], dd
+            assert dd["version"] == 8 and dd["mode"] == "append", dd
+            assert dd["columns"] == data_cols + ["note", "k2"], dd
+            assert dd["generated"] == {"k2": "o_orderkey * 2.0"}, dd
             assert dd["n_dv_files"] > 0, dd  # merge vectors carried
             assert tl.describe_detail(spark, t, version=0)[
                 "columns"
@@ -3110,16 +3136,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                            dry_run=True)
             assert vr["n_would_delete"] == 0, vr  # appends keep all
 
+            # X153 hard gate, staged AFTER the clean-reclaim assert:
+            # a write DISAGREEING with the generated expression is
+            # refused with nothing published — its data dir is the
+            # one orphan the post-overwrite dry-run previews below
+            gen_gate = False
+            try:
+                tl.commit(
+                    spark,
+                    shifted(43, 7000000, "B2")
+                    .withColumn("note", F.lit(None).cast("string"))
+                    .withColumn("k2", F.lit(1.23)),
+                    t,
+                )
+            except ValueError as err:
+                gen_gate = (
+                    "GENERATED" in str(err)
+                    and tl.current_version(spark, t) == 8
+                )
+            assert gen_gate, "generated gate must refuse and publish nothing"
+
+
             # the final snapshot through the DataSource batch reader
-            # (gates the executor-side NULL-fill of 'note' on every
-            # pre-evolution file) — pinned to version 5: the X146
-            # overwrite below moves the head
+            # (gates the executor-side NULL-fill of 'note'/'k2' on
+            # every pre-evolution file) — pinned to version 8: the
+            # X146 overwrite below moves the head
             final_ds = (
                 spark.read.format("tablelog")
-                .option("version", 5)
+                .option("version", 8)
                 .load(t)
             )
-            assert final_ds.columns == data_cols + ["note"], (
+            assert final_ds.columns == data_cols + ["note", "k2"], (
                 final_ds.columns
             )
 
@@ -3133,15 +3180,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .withColumn("o_orderstatus", F.lit("W"))
                 .withColumn("note", F.lit("ow"))
                 .coalesce(2)
-            )
-            rep6 = tl.commit(spark, ow, t, mode="overwrite")
-            assert rep6["version"] == 6, rep6
-            tc_ow = tl.table_changes(spark, t, 5, 6)  # keyless
+            )  # no k2 — the generated fill computes it on an
+            # OVERWRITE too (inherited table metadata)
+            rep9 = tl.commit(spark, ow, t, mode="overwrite")
+            assert rep9["version"] == 9, rep9
+            tc_ow = tl.table_changes(spark, t, 8, 9)  # keyless
             ow_del = tc_ow.where(F.col("op") == "D").select(
-                *data_cols, "note"
+                *data_cols, "note", "k2"
             )
             ow_ins = tc_ow.where(F.col("op") == "I").select(
-                *data_cols, "note"
+                *data_cols, "note", "k2"
             )
             # X151: after the overwrite the dry-run PREVIEWS a real
             # reclaim (the pre-overwrite files fall out of a
@@ -3157,8 +3205,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                     out = out.withColumn(
                         "note", F.lit(None).cast("string")
                     )
+                if "k2" not in out.columns:
+                    out = out.withColumn(
+                        "k2", F.lit(None).cast("double")
+                    )
                 return out.select(
-                    F.lit(name).alias("arm"), *data_cols, "note"
+                    F.lit(name).alias("arm"), *data_cols, "note", "k2"
                 )
 
             metrics = spark.createDataFrame(
@@ -3171,10 +3223,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                     None,
                     None,
                     None,
+                    None,
                 )],
                 "arm string, o_orderkey long, o_custkey long, "
                 "o_orderstatus string, o_totalprice double, "
-                "o_orderdate date, o_orderpriority string, note string",
+                "o_orderdate date, o_orderpriority string, "
+                "note string, k2 double",
             )
             out = (
                 arm("cdc", cdc_mem)
@@ -3186,7 +3240,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .unionByName(arm("final", final_ds))
                 .unionByName(arm("ow_del", ow_del))
                 .unionByName(arm("ow_ins", ow_ins))
-                .unionByName(metrics.select("arm", *data_cols, "note"))
+                .unionByName(
+                    metrics.select("arm", *data_cols, "note", "k2")
+                )
             )
             # materialize EXECUTOR-side before the staged table is
             # removed — one pass, no driver collect of the row-level
@@ -6353,29 +6409,41 @@ def oracle_sql() -> dict[str, str]:
         "FROM base WHERE o_orderkey % 23 = 0), "
         "ev AS (SELECT -(o_orderkey + 3000000) AS o_orderkey, o_custkey, "
         "'E' AS o_orderstatus, o_totalprice, o_orderdate, o_orderpriority "
-        "FROM base WHERE o_orderkey % 29 = 0) "
-        "SELECT 'cdc' AS arm, m.*, CAST(NULL AS VARCHAR) AS note "
-        "FROM merged m "
-        "UNION ALL SELECT 'merged', m.*, NULL FROM merged m "
-        "UNION ALL SELECT 'ts_v0', b.*, NULL FROM base b "
-        "UNION ALL SELECT 'cdf_del_v1', b.*, NULL FROM base b "
+        "FROM base WHERE o_orderkey % 29 = 0), "
+        "g AS (SELECT -(o_orderkey + 5000000) AS o_orderkey, o_custkey, "
+        "'G' AS o_orderstatus, o_totalprice, o_orderdate, o_orderpriority "
+        "FROM base WHERE o_orderkey % 37 = 0), "
+        "h AS (SELECT -(o_orderkey + 6000000) AS o_orderkey, o_custkey, "
+        "'H' AS o_orderstatus, o_totalprice, o_orderdate, o_orderpriority "
+        "FROM base WHERE o_orderkey % 41 = 0) "
+        "SELECT 'cdc' AS arm, m.*, CAST(NULL AS VARCHAR) AS note, "
+        "CAST(NULL AS DOUBLE) AS k2 FROM merged m "
+        "UNION ALL SELECT 'merged', m.*, NULL, NULL FROM merged m "
+        "UNION ALL SELECT 'ts_v0', b.*, NULL, NULL FROM base b "
+        "UNION ALL SELECT 'cdf_del_v1', b.*, NULL, NULL FROM base b "
         "WHERE b.o_orderkey % 11 = 0 "
-        "UNION ALL SELECT 'cdf_del_v2', b.*, NULL FROM base b "
+        "UNION ALL SELECT 'cdf_del_v2', b.*, NULL, NULL FROM base b "
         "WHERE b.o_orderkey % 7 = 0 AND b.o_orderkey % 77 <> 0 "
-        "UNION ALL SELECT 'cdf_ins_v2', u.*, NULL FROM ups u "
-        "UNION ALL SELECT 'final', m.*, NULL FROM merged m "
-        "UNION ALL SELECT 'final', a.*, NULL FROM ab a "
-        "UNION ALL SELECT 'final', e.*, 'evo' FROM ev e "
-        "UNION ALL SELECT 'ow_del', m.*, NULL FROM merged m "
-        "UNION ALL SELECT 'ow_del', a.*, NULL FROM ab a "
-        "UNION ALL SELECT 'ow_del', e.*, 'evo' FROM ev e "
+        "UNION ALL SELECT 'cdf_ins_v2', u.*, NULL, NULL FROM ups u "
+        "UNION ALL SELECT 'final', m.*, NULL, NULL FROM merged m "
+        "UNION ALL SELECT 'final', a.*, NULL, NULL FROM ab a "
+        "UNION ALL SELECT 'final', e.*, 'evo', NULL FROM ev e "
+        "UNION ALL SELECT 'final', g.*, NULL, g.o_orderkey * 2.0 FROM g "
+        "UNION ALL SELECT 'final', h.*, NULL, h.o_orderkey * 2.0 FROM h "
+        "UNION ALL SELECT 'ow_del', m.*, NULL, NULL FROM merged m "
+        "UNION ALL SELECT 'ow_del', a.*, NULL, NULL FROM ab a "
+        "UNION ALL SELECT 'ow_del', e.*, 'evo', NULL FROM ev e "
+        "UNION ALL SELECT 'ow_del', g.*, NULL, g.o_orderkey * 2.0 FROM g "
+        "UNION ALL SELECT 'ow_del', h.*, NULL, h.o_orderkey * 2.0 FROM h "
         "UNION ALL SELECT 'ow_ins', -(o_orderkey + 4000000), o_custkey, "
-        "'W', o_totalprice, o_orderdate, o_orderpriority, 'ow' "
+        "'W', o_totalprice, o_orderdate, o_orderpriority, 'ow', "
+        "-(o_orderkey + 4000000) * 2.0 "
         "FROM base WHERE o_orderkey % 31 = 0 "
-        "UNION ALL SELECT 'detail', CAST(5 AS BIGINT), "
+        "UNION ALL SELECT 'detail', CAST(8 AS BIGINT), "
         "(SELECT count(*) FROM base WHERE o_orderkey % 11 = 0), "
         "'detail', CAST((SELECT count(*) FROM ups) AS DOUBLE), "
-        "CAST(NULL AS DATE), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)"
+        "CAST(NULL AS DATE), CAST(NULL AS VARCHAR), "
+        "CAST(NULL AS VARCHAR), CAST(NULL AS DOUBLE)"
     )
 
 

@@ -589,8 +589,13 @@ def _enforce_generated(
         if schema_json is not None
         else spark.read.parquet(*files)
     )
+    decl = {f.name: f.dataType.simpleString() for f in df.schema.fields}
     checks = {
-        gcol: f"{gcol} <=> ({gexpr})" for gcol, gexpr in generated.items()
+        gcol: (
+            f"{gcol} <=> CAST(({gexpr}) AS "
+            f"{decl.get(gcol, 'double')})"
+        )
+        for gcol, gexpr in generated.items()
     }
     bad = _check_violations(df, checks)
     if bad:
@@ -736,10 +741,19 @@ def commit(
         pdoc0 = _version_doc(spark, table, prev)
         tbl_generated = pdoc0.get("generated")
         if tbl_generated:
+            # the fill CASTS to the column's declared type: SQL
+            # literals resolve differently from the writer's own
+            # expressions (2.0 parses as DECIMAL, not DOUBLE), and
+            # the declared type is the contract — the gate compares
+            # through the same cast
+            decl = dict(_schema_shape(pdoc0["schema"]))
             filled = False
             for gcol, gexpr in tbl_generated.items():
                 if gcol not in df.columns:
-                    df = df.withColumn(gcol, F.expr(gexpr))
+                    df = df.withColumn(
+                        gcol,
+                        F.expr(gexpr).cast(decl.get(gcol, "double")),
+                    )
                     filled = True
             if filled:
                 # a filled column lands at the end — restore the
@@ -1956,8 +1970,15 @@ def set_generated(
         )
     live = read_version(spark, table, cur)
     live.select(F.expr(expr_sql))  # eager parse/bind — fail here
+    decl = dict(_schema_shape(doc["schema"]))[col]
     bad = _check_violations(
-        live, {col: f"{col} IS NULL OR {col} <=> ({expr_sql})"}
+        live,
+        {
+            col: (
+                f"{col} IS NULL OR {col} <=> "
+                f"CAST(({expr_sql}) AS {decl})"
+            )
+        },
     )
     if bad:
         raise ValueError(
