@@ -3022,7 +3022,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 spark, t, dels, ["o_orderkey"],
                 when_matched="delete", when_not_matched="ignore",
             )  # v1: DV-only retraction of the %11 keys
-            rep2 = tl.merge_rows(spark, t, ups, ["o_orderkey"])
+            rep2 = tl.merge_rows(
+                spark, t, ups, ["o_orderkey"],
+                user_metadata="upsert-batch",
+            )  # X154: stamped, read back via describe_detail below
             assert rep1["version"] == 1 and rep2["version"] == 2, (
                 rep1, rep2,
             )
@@ -3222,7 +3225,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                     float(rep2["n_inserted"]),
                     None,
                     None,
-                    None,
+                    # X154 graded: the merge version's user_metadata
+                    # read back through describe_detail
+                    tl.describe_detail(spark, t, version=2)[
+                        "user_metadata"
+                    ],
                     None,
                 )],
                 "arm string, o_orderkey long, o_custkey long, "
@@ -6443,7 +6450,7 @@ def oracle_sql() -> dict[str, str]:
         "(SELECT count(*) FROM base WHERE o_orderkey % 11 = 0), "
         "'detail', CAST((SELECT count(*) FROM ups) AS DOUBLE), "
         "CAST(NULL AS DATE), CAST(NULL AS VARCHAR), "
-        "CAST(NULL AS VARCHAR), CAST(NULL AS DOUBLE)"
+        "'upsert-batch', CAST(NULL AS DOUBLE)"
     )
 
 
