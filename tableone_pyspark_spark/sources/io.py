@@ -135,7 +135,10 @@ def _zorder_numeric(df: DataFrame, c: str):
     if t == "date":
         return F.datediff(F.col(c), F.lit("1970-01-01")).cast("double")
     if t.startswith("timestamp"):
-        return F.unix_timestamp(F.col(c)).cast("double")
+        # cast, not unix_timestamp — the latter truncates to whole
+        # seconds and collapses sub-second event density to z ties
+        # (review r15); the double cast keeps fractional seconds
+        return F.col(c).cast("double")
     if t == "string":
         return F.coalesce(
             F.conv(

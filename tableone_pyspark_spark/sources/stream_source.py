@@ -306,14 +306,24 @@ class _CdfPartition(InputPartition):
 def _arrow_types(schema_json: str) -> dict:
     """name -> arrow type for the declared read schema — what the
     executor readers NULL-fill a column missing from a PRE-EVOLUTION
-    file with (X152). Pure-Python pyspark type mapping, no JVM."""
+    file with (X152). Pure-Python pyspark type mapping, no JVM;
+    memoized per schema json — a thousand-file batch must not re-parse
+    the schema per partition (review r15)."""
+    return dict(_arrow_types_cached(schema_json))
+
+
+import functools
+
+
+@functools.lru_cache(maxsize=64)
+def _arrow_types_cached(schema_json: str):
     import json as _json
 
     from pyspark.sql.pandas.types import to_arrow_type
     from pyspark.sql.types import StructType
 
     st = StructType.fromJson(_json.loads(schema_json))
-    return {f.name: to_arrow_type(f.dataType) for f in st.fields}
+    return tuple((f.name, to_arrow_type(f.dataType)) for f in st.fields)
 
 
 def _column_or_nulls(batch, name: str, types: dict):
@@ -494,6 +504,13 @@ class _TablelogStreamReader(DataSourceStreamReader):
                 )
         schema_json = _doc(table, cur)["schema"]
         self._schema_json = schema_json
+        #: the version whose schema this stream pinned: versions AT OR
+        #: BELOW it may deliver additive-SUBSET shapes (pre-evolution
+        #: files legitimately lack the added columns — NULL-fill);
+        #: versions AFTER it must match the pinned shape EXACTLY — a
+        #: later column-dropping overwrite delivering fabricated NULLs
+        #: would misreport a schema change as data (review r15)
+        self._pin_version = cur
         self._names = [
             f["name"] for f in json.loads(schema_json)["fields"]
         ]
@@ -620,7 +637,11 @@ class _TablelogStreamReader(DataSourceStreamReader):
                 ]
             else:
                 new_files = [(f, []) for f in row["new_files"]]
-            if not _shape_deliverable(shape, self._shape):
+            if not (
+                _shape_deliverable(shape, self._shape)
+                if v <= self._pin_version
+                else shape == self._shape
+            ):
                 raise ValueError(
                     f"schema changed at version {v} of {self._table} — "
                     "the stream's output schema pins to the CURRENT "
@@ -769,7 +790,11 @@ class _TablelogCdfStreamReader(_TablelogStreamReader):
         )  # checkpoint-accelerated, like the append reader (review r13)
         for row in rows:
             v, mode = row["version"], row["mode"]
-            if not _shape_deliverable(row["shape"], self._shape):
+            if not (
+                _shape_deliverable(row["shape"], self._shape)
+                if v <= self._pin_version
+                else row["shape"] == self._shape
+            ):
                 raise ValueError(
                     f"schema changed at version {v} of {self._table} — "
                     "the change-feed stream's output schema pins to "
@@ -871,7 +896,13 @@ class _TablelogCdfStreamReader(_TablelogStreamReader):
                 # through merge_rows (exact per-row preimages); this
                 # path is the blind INSERT OVERWRITE case.
                 pdoc = _doc(self._table, v - 1)
-                if not _shape_deliverable(_shape(pdoc["schema"]), self._shape):
+                if not (
+                    _shape_deliverable(
+                        _shape(pdoc["schema"]), self._shape
+                    )
+                    if v - 1 <= self._pin_version
+                    else _shape(pdoc["schema"]) == self._shape
+                ):
                     raise ValueError(
                         f"version {v} of {self._table} is a "
                         "schema-changing overwrite — its delete side "

@@ -330,8 +330,21 @@ def _publish(
     if properties and "checkpoint.every" in properties:
         # X155: the auto-checkpoint cadence is table-owned too — a
         # high-commit-rate table checkpoints more often without every
-        # writer process agreeing on a module constant
-        ck_every = int(properties["checkpoint.every"])
+        # writer process agreeing on a module constant. Parsed
+        # DEFENSIVELY: the doc write above already landed, so a
+        # malformed stored value must degrade to the default, never
+        # fail a commit that is durable (review r15 — a raised
+        # "failed" commit would be retried and duplicate its rows)
+        try:
+            ck_every = int(properties["checkpoint.every"])
+            if ck_every < 1:
+                raise ValueError(ck_every)
+        except (TypeError, ValueError):
+            _log.warning(
+                "ignoring malformed checkpoint.every=%r on %s",
+                properties.get("checkpoint.every"), table,
+            )
+            ck_every = CHECKPOINT_EVERY
     if version > 0 and version % ck_every == 0:
         # advisory accelerator only: a failed/raced checkpoint must
         # never fail the commit it rides on (X139)
@@ -415,7 +428,10 @@ def _widened_struct(schema_json: str):
         if isinstance(dt, ArrayType):
             return ArrayType(widen(dt.elementType), True)
         if isinstance(dt, MapType):
-            return MapType(dt.keyType, widen(dt.valueType), True)
+            # keys widen too (nested struct-typed keys carry fields)
+            # — keep byte-parity with stream_source._widened so the
+            # two read paths can never disagree (review r15)
+            return MapType(widen(dt.keyType), widen(dt.valueType), True)
         return dt
 
     return widen(StructType.fromJson(json.loads(schema_json)))
@@ -750,10 +766,24 @@ def commit(
             filled = False
             for gcol, gexpr in tbl_generated.items():
                 if gcol not in df.columns:
-                    df = df.withColumn(
-                        gcol,
-                        F.expr(gexpr).cast(decl.get(gcol, "double")),
-                    )
+                    try:
+                        df = df.withColumn(
+                            gcol,
+                            F.expr(gexpr).cast(decl.get(gcol, "double")),
+                        )
+                    except Exception as exc:
+                        # an overwrite reshaping the table away from
+                        # the expression's inputs must get the
+                        # module's loud rule, not a raw Catalyst
+                        # unresolved-column error (review r15)
+                        raise ValueError(
+                            f"cannot compute generated column "
+                            f"{gcol!r} (GENERATED ALWAYS AS {gexpr}) "
+                            "on this write — its inputs are missing "
+                            "from the dataframe; supply the column, "
+                            "or drop_generated() first if the table "
+                            "is moving away from the expression"
+                        ) from exc
                     filled = True
             if filled:
                 # a filled column lands at the end — restore the
@@ -764,7 +794,7 @@ def commit(
                     df = df.select(*tbl_cols)
     schema_json = df.schema.json()
     if prev is not None and mode == "append":
-        doc = _version_doc(spark, table, prev)
+        doc = pdoc0  # one metadata read per commit, not three (r15)
         if _schema_shape(doc["schema"]) != _schema_shape(schema_json):
             if not merge_schema:
                 raise ValueError(
@@ -784,9 +814,7 @@ def commit(
         prev_dv = doc.get("dv") or []
         tbl_constraints = doc.get("constraints")
     elif prev is not None:
-        tbl_constraints = _version_doc(spark, table, prev).get(
-            "constraints"
-        )
+        tbl_constraints = pdoc0.get("constraints")
     if stats_cols:
         # fail BEFORE the data write — a typo must not cost the commit
         _check_stats_cols(df.schema, stats_cols)
@@ -1536,6 +1564,10 @@ def write_checkpoint(
             "shape_id": shape_ids[key],
             "new_files": new_files,
         }
+        if "user_metadata" in doc:
+            # the audit string must not vanish from history() when a
+            # checkpoint compacts the version (review r15)
+            row["user_metadata"] = doc["user_metadata"]
         if dv_new:
             # a delete version's NEW vector files — the change feed's
             # delete delivery (stream_source X140) plans from these
@@ -1645,6 +1677,11 @@ def history(spark: SparkSession, table: str) -> list[dict]:
                     "mode": r["mode"],
                     "n_files": r["n_files"],
                     "committed_at": r["committed_at"],
+                    **(
+                        {"user_metadata": r["user_metadata"]}
+                        if "user_metadata" in r
+                        else {}
+                    ),
                 }
                 for r in rows
             ]
@@ -1655,14 +1692,15 @@ def history(spark: SparkSession, table: str) -> list[dict]:
             floor = rows[0]["version"] if rows else ck + 1
             for v in range(0, floor):
                 doc = _version_doc(spark, table, v)
-                head.append(
-                    {
-                        "version": doc["version"],
-                        "mode": doc["mode"],
-                        "n_files": len(doc["files"]),
-                        "committed_at": doc["committed_at"],
-                    }
-                )
+                hrow = {
+                    "version": doc["version"],
+                    "mode": doc["mode"],
+                    "n_files": len(doc["files"]),
+                    "committed_at": doc["committed_at"],
+                }
+                if "user_metadata" in doc:
+                    hrow["user_metadata"] = doc["user_metadata"]
+                head.append(hrow)
         except Exception:  # noqa: BLE001 — torn checkpoint: the
             # advisory accelerator must never break the audit view
             # (review r13) — full doc walk
@@ -2049,7 +2087,10 @@ def set_property(
     check = _KNOWN_PROPERTIES.get(key)
     if check is not None:
         try:
-            ok = check(value)
+            # validate the STORED form — str(value) is what consumers
+            # will int()/float() later, and int(2.5) passing while
+            # int('2.5') raises is exactly the gap (review r15)
+            ok = check(str(value))
         except (TypeError, ValueError):
             ok = False
         if not ok:
@@ -2517,14 +2558,9 @@ refresh_aggregate` consumes."""
                 )
             if new_files:  # only a merge appends alongside vectors
                 if as_update:
-                    post = [
-                        f for f in new_files if f in set(mm["files_post"])
-                    ]
-                    rest = [
-                        f
-                        for f in new_files
-                        if f not in set(mm["files_post"])
-                    ]
+                    post_set = set(mm["files_post"])
+                    post = [f for f in new_files if f in post_set]
+                    rest = [f for f in new_files if f not in post_set]
                     ins = None
                     if post:
                         ins = _read_files(
