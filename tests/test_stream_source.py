@@ -728,3 +728,40 @@ def test_cdf_stream_update_labels(registered, tmp_path):
     assert (1, "v1", "delete", 1) in plain
     assert (1, "upd1", "insert", 1) in plain
     assert not any("update" in c for _, _, c, _ in plain)
+
+
+def test_subset_delivery_gated_by_pin_version(registered, tmp_path):
+    """Review r15: the additive-subset delivery rule applies only to
+    versions AT OR BELOW the version whose schema the stream pinned —
+    a column-DROPPING overwrite committed after stream start must
+    raise (delivering it would fabricate NULLs and misreport a schema
+    change as data), while pre-start history still NULL-fills."""
+    spark = registered
+    t = str(tmp_path / "pin_tbl")
+    tl.commit(
+        spark,
+        spark.createDataFrame([(1, "a")], "k long, v string"),
+        t,
+    )  # v0
+    from tableone_pyspark_spark.sources.stream_source import (
+        _TablelogCdfStreamReader,
+        _TablelogStreamReader,
+    )
+
+    r = _TablelogStreamReader(t, False, True, None)   # pins (k, v) @ v0
+    rc = _TablelogCdfStreamReader(t, None)
+    # a later overwrite DROPS v — its shape is a subset of the pinned
+    # one, but it is NOT pre-evolution history
+    tl.commit(spark, spark.createDataFrame([(2,)], "k long"), t,
+              mode="overwrite")  # v1
+    with pytest.raises(ValueError, match="schema changed at version 1"):
+        r.partitions({"version": -1}, {"version": 1})
+    with pytest.raises(ValueError, match="schema changed at version 1"):
+        rc.partitions({"version": -1}, {"version": 1})
+    # a reader pinned AFTER the drop delivers v1 and NULL-fills v0?
+    # No — v0 carries a column the new pinned shape LACKS: refused,
+    # exactly the pre-existing non-additive contract
+    r2 = _TablelogStreamReader(t, False, True, None)  # pins (k) @ v1
+    with pytest.raises(ValueError, match="schema changed at version 0"):
+        r2.partitions({"version": -1}, {"version": 1})
+    assert r2.partitions({"version": 0}, {"version": 1})  # v1 alone ok
