@@ -3201,6 +3201,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             vr2 = tl.vacuum(spark, t, keep_last=1, min_age_seconds=0,
                             dry_run=True)
             assert vr2["n_would_delete"] > 0, vr2
+            # X155: persist a table property (v10 — after every arm's
+            # version is pinned) and read it back through the metrics
+            # row below; the graded value proves the persist+inherit
+            # round trip
+            tl.set_property(spark, t, "owner", "r15")
+            assert tl.current_version(spark, t) == 10
 
             def arm(name: str, df):
                 out = df
@@ -3224,7 +3230,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                     "detail",
                     float(rep2["n_inserted"]),
                     None,
-                    None,
+                    # X155 graded: the persisted property read back
+                    # (lands in the o_orderpriority slot)
+                    tl.table_properties(spark, t)["owner"],
                     # X154 graded: the merge version's user_metadata
                     # read back through describe_detail
                     tl.describe_detail(spark, t, version=2)[
@@ -6449,7 +6457,7 @@ def oracle_sql() -> dict[str, str]:
         "UNION ALL SELECT 'detail', CAST(8 AS BIGINT), "
         "(SELECT count(*) FROM base WHERE o_orderkey % 11 = 0), "
         "'detail', CAST((SELECT count(*) FROM ups) AS DOUBLE), "
-        "CAST(NULL AS DATE), CAST(NULL AS VARCHAR), "
+        "CAST(NULL AS DATE), 'r15', "
         "'upsert-batch', CAST(NULL AS DOUBLE)"
     )
 
