@@ -3969,6 +3969,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # but are r14-graded stale-0s and by the rotation rule wait for
     # r16; the full pytest tablelog/stream/mv suites plus the
     # check_oracles full sweep re-verify them this round instead.
+    # R16 handoff: after this round grades these 50, the suite holds
+    # ZERO stale-2s and zero displacement debt — the r16 front is
+    # simply the 50 r14-graded stale-1s (bloom_probe,
+    # tablelog_lifecycle, wap_commit, mv_lifecycle, the five r14
+    # superset rows, and the 41 re-graded carries), window_plan.py
+    # order; the three r14 lifecycle rows should lead since this
+    # round's tablelog changes (X152-X155, declared-schema reads,
+    # update labels, optimize rebase) run through their staged paths.
     _front = [
         # the r14 displacement leads (VERDICT r14 ask #1 — stale-2s)
         "pca_project", "heavy_hitters", "nfc_keys",
