@@ -2803,3 +2803,109 @@ def test_log_shape_property_with_r15_publish_kinds(spark, tmp_path):
                 ).count()
                 == 0
             )
+
+
+def test_optimize_rebase_across_evolved_append(spark, tmp_path, monkeypatch):
+    """r15 claim made executable: an OPTIMIZE racing an ADDITIVE-
+    EVOLUTION append rebases onto the head's EVOLVED schema — the
+    rewritten old-shape files NULL-fill the new column by name."""
+    t = str(tmp_path / "opt_evo_race")
+    tl.commit(
+        spark,
+        spark.range(50).select(F.col("id").alias("k")).repartition(4),
+        t,
+    )  # v0
+    orig = tl._write_log_doc_exclusive
+    state = {"raced": False}
+
+    def racy(s, table_, name, doc):
+        if not state["raced"] and table_ == t and name.startswith("v"):
+            state["raced"] = True
+            monkeypatch.setattr(tl, "_write_log_doc_exclusive", orig)
+            tl.commit(
+                spark,
+                spark.createDataFrame([(100, 7.5)], "k long, w double"),
+                t,
+                merge_schema=True,
+            )  # the winner: v1, evolved
+            monkeypatch.setattr(tl, "_write_log_doc_exclusive", racy)
+        return orig(s, table_, name, doc)
+
+    monkeypatch.setattr(tl, "_write_log_doc_exclusive", racy)
+    rep = tl.optimize(spark, t, target_bytes=1 << 20)
+    monkeypatch.setattr(tl, "_write_log_doc_exclusive", orig)
+    assert state["raced"] and rep["version"] == 2, rep
+    out = tl.read_version(spark, t)
+    assert out.columns == ["k", "w"]  # the head's evolved schema
+    got = {r["k"]: r["w"] for r in out.collect()}
+    assert len(got) == 51 and got[100] == 7.5
+    assert all(got[i] is None for i in range(50))  # NULL-filled rewrite
+    # the DataSource read agrees (Arrow-side NULL-fill)
+    from tableone_pyspark_spark.sources.stream_source import (
+        TablelogDataSource,
+    )
+
+    spark.dataSource.register(TablelogDataSource)
+    ds = spark.read.format("tablelog").load(t)
+    assert ds.count() == 51 and ds.where(F.col("w").isNull()).count() == 50
+
+
+def test_commit_rebase_reenforces_interleaved_generated(
+    spark, tmp_path, monkeypatch
+):
+    """r15 claim made executable: a blind append racing a concurrent
+    set_generated re-enforces the NEW expression on its already-
+    written files — disagreeing rows refuse the rebase, agreeing rows
+    land."""
+    t = str(tmp_path / "gen_race")
+    tl.commit(
+        spark,
+        spark.createDataFrame([(1, 2.0)], "k long, k2 double"),
+        t,
+    )  # v0 (k2 == k * 2 — the future expression holds)
+    orig = tl._write_log_doc_exclusive
+
+    def install(state):
+        def racy(s, table_, name, doc):
+            if not state["raced"] and table_ == t and name.startswith("v"):
+                state["raced"] = True
+                monkeypatch.setattr(tl, "_write_log_doc_exclusive", orig)
+                tl.set_generated(spark, t, "k2", "k * 2.0")
+                monkeypatch.setattr(tl, "_write_log_doc_exclusive", racy)
+            return orig(s, table_, name, doc)
+
+        monkeypatch.setattr(tl, "_write_log_doc_exclusive", racy)
+
+    # disagreeing write: the interleaved set_generated must refuse it
+    state = {"raced": False}
+    install(state)
+    with pytest.raises(ValueError, match="GENERATED"):
+        tl.commit(
+            spark,
+            spark.createDataFrame([(5, 99.0)], "k long, k2 double"),
+            t,
+        )
+    monkeypatch.setattr(tl, "_write_log_doc_exclusive", orig)
+    assert state["raced"]
+    cur = tl.current_version(spark, t)
+    assert tl._version_doc(spark, t, cur).get("generated") == {
+        "k2": "k * 2.0"
+    }
+    assert tl.read_version(spark, t).count() == 1  # nothing landed
+
+    # agreeing write under the same race lands via rebase
+    tl.drop_generated(spark, t, "k2")
+    state = {"raced": False}
+    install(state)
+    rep = tl.commit(
+        spark,
+        spark.createDataFrame([(5, 10.0)], "k long, k2 double"),
+        t,
+    )
+    monkeypatch.setattr(tl, "_write_log_doc_exclusive", orig)
+    assert state["raced"]
+    got = {r["k"]: r["k2"] for r in tl.read_version(spark, t).collect()}
+    assert got == {1: 2.0, 5: 10.0}
+    assert tl._version_doc(spark, t, rep["version"]).get("generated") == {
+        "k2": "k * 2.0"
+    }  # the interleaved metadata carried into the rebased publish
