@@ -162,6 +162,45 @@ def _zorder_numeric(df: DataFrame, c: str):
     )
 
 
+def _scaled_axes(df: DataFrame, cols: list[str], bits: int):
+    """Each column as a ``bits``-bit fixed-point LONG in [0, 2^bits):
+    the order-preserving proxy (:func:`_zorder_numeric`) range-scaled
+    by one bounded min/max collect — shared by the Morton and Hilbert
+    layouts. NULLs and all-null columns scale to bucket 0."""
+    from pyspark.sql import functions as F
+
+    proxies = {c: _zorder_numeric(df, c) for c in cols}
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.min(proxies[c]).alias(f"mn_{c}"),
+            F.max(proxies[c]).alias(f"mx_{c}"),
+        ]
+    row = df.agg(*aggs).first()
+    scaled = []
+    top = (1 << bits) - 1
+    for c in cols:
+        mn, mx = row[f"mn_{c}"], row[f"mx_{c}"]
+        if mn is None or mx is None:
+            # all-null column: every row scales to bucket 0
+            mn, mx = 0.0, 0.0
+        lo, hi = float(mn), float(mx)
+        width = (hi - lo) or 1.0
+        s = F.least(
+            F.lit(top),
+            F.greatest(
+                F.lit(0),
+                F.floor(
+                    (F.coalesce(proxies[c], F.lit(lo)) - F.lit(lo))
+                    / F.lit(width)
+                    * top
+                ),
+            ),
+        ).cast("long")
+        scaled.append(s)
+    return scaled
+
+
 def zorder_value(df: DataFrame, cols: list[str], bits: int = 16):
     """Z-order (Morton) key over the listed columns as a pure-Catalyst
     expression: each column is mapped to an order-preserving double
@@ -195,35 +234,7 @@ def zorder_value(df: DataFrame, cols: list[str], bits: int = 16):
         )
         bits = max_bits
 
-    proxies = {c: _zorder_numeric(df, c) for c in cols}
-    aggs = []
-    for c in cols:
-        aggs += [
-            F.min(proxies[c]).alias(f"mn_{c}"),
-            F.max(proxies[c]).alias(f"mx_{c}"),
-        ]
-    row = df.agg(*aggs).first()
-    scaled = []
-    top = (1 << bits) - 1
-    for c in cols:
-        mn, mx = row[f"mn_{c}"], row[f"mx_{c}"]
-        if mn is None or mx is None:
-            # all-null column: every row scales to bucket 0
-            mn, mx = 0.0, 0.0
-        lo, hi = float(mn), float(mx)
-        width = (hi - lo) or 1.0
-        s = F.least(
-            F.lit(top),
-            F.greatest(
-                F.lit(0),
-                F.floor(
-                    (F.coalesce(proxies[c], F.lit(lo)) - F.lit(lo))
-                    / F.lit(width)
-                    * top
-                ),
-            ),
-        ).cast("long")
-        scaled.append(s)
+    scaled = _scaled_axes(df, cols, bits)
     z = F.lit(0).cast("long")
     for b in range(bits):
         for i, s in enumerate(scaled):
@@ -233,6 +244,124 @@ def zorder_value(df: DataFrame, cols: list[str], bits: int = 16):
                 )
             )
     return z
+
+
+def hilbert_frame(
+    df: DataFrame, cols: list[str], bits: int = 10, out: str = "__h"
+):
+    """``df`` plus a Hilbert-curve index column over ``cols`` (r15 —
+    the layout behind Delta's liquid clustering and Databricks'
+    OPTIMIZE ... BY HILBERT): each column range-scales to ``bits``
+    fixed-point bits (:func:`_scaled_axes` — numeric/string/date/
+    timestamp proxies), then Skilling's axes-to-transpose transform
+    ("Programming the Hilbert curve", AIP 2004) maps the coordinate
+    tuple to its Hilbert distance. Versus the Morton key, consecutive
+    Hilbert cells are ALWAYS unit-distance neighbors (no quadrant
+    jumps), so range-partitioned files span tighter rectangles —
+    measurably better multi-column skipping at the same file count.
+
+    Built as a CHAIN of withColumn projections, one per transform
+    step: each step's expressions reference the previous step's
+    ATTRIBUTES, never re-inline its subtree — inlining would grow the
+    expression tree exponentially in ``bits * len(cols)`` (Column
+    trees copy on reference; review-derived design). ``bits *
+    len(cols)`` must fit in 63 value bits, like the Morton key."""
+    import warnings
+
+    from pyspark.sql import functions as F
+
+    if not cols:
+        raise ValueError("hilbert_frame needs at least one column")
+    n = len(cols)
+    max_bits = 63 // n
+    if bits > max_bits:
+        warnings.warn(
+            f"hilbert bits={bits} x {n} cols exceeds the 63-bit "
+            f"signed key; shrinking to bits={max_bits}",
+            stacklevel=2,
+        )
+        bits = max_bits
+    names = [f"__hx{i}" for i in range(n)]
+    clash = set(names + [out]) & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"columns {sorted(clash)} collide with the Hilbert "
+            "internals — rename them"
+        )
+    scaled = _scaled_axes(df, cols, bits)
+    work = df
+    for name, expr in zip(names, scaled):
+        work = work.withColumn(name, expr)
+    x = [F.col(nm) for nm in names]
+
+    def step(assigns: dict):
+        nonlocal work
+        work = work.withColumns(
+            {nm: ex for nm, ex in assigns.items()}
+        )
+
+    # inverse-undo pass: top bit down to bit 1
+    q = 1 << (bits - 1)
+    while q > 1:
+        p_mask = q - 1
+        for i in range(n):
+            cond = x[i].bitwiseAND(F.lit(q)) != 0
+            t = (x[0].bitwiseXOR(x[i])).bitwiseAND(F.lit(p_mask))
+            new0 = F.when(cond, x[0].bitwiseXOR(F.lit(p_mask))).otherwise(
+                x[0].bitwiseXOR(t)
+            )
+            if i == 0:
+                step({names[0]: new0})
+            else:
+                newi = F.when(cond, x[i]).otherwise(x[i].bitwiseXOR(t))
+                step({names[0]: new0, names[i]: newi})
+        q >>= 1
+    # gray encode across dims
+    for i in range(1, n):
+        step({names[i]: x[i].bitwiseXOR(x[i - 1])})
+    # trailing exchange: t accumulates from the LAST dim's bits
+    t_expr = F.lit(0).cast("long")
+    q = 1 << (bits - 1)
+    while q > 1:
+        t_expr = F.when(
+            x[n - 1].bitwiseAND(F.lit(q)) != 0,
+            t_expr.bitwiseXOR(F.lit(q - 1)),
+        ).otherwise(t_expr)
+        q >>= 1
+    step({"__ht": t_expr})
+    ht = F.col("__ht")
+    step({nm: F.col(nm).bitwiseXOR(ht) for nm in names})
+    # MSB-first interleave of the transposed axes
+    h = F.lit(0).cast("long")
+    for qq in range(bits - 1, -1, -1):
+        for i in range(n):
+            h = F.shiftleft(h, 1).bitwiseOR(
+                F.shiftright(x[i], qq).bitwiseAND(F.lit(1))
+            )
+    return work.withColumn(out, h).drop("__ht", *names)
+
+
+def write_hilbert_clustered(
+    df: DataFrame,
+    path: str,
+    cluster_by: list[str],
+    n_files: int = 32,
+    bits: int = 10,
+    mode: str = "overwrite",
+) -> None:
+    """Write parquet laid out by the HILBERT curve over ``cluster_by``
+    — :func:`write_zordered`'s sibling with strictly better locality
+    (consecutive cells are always unit-distance neighbors): range
+    partition on the Hilbert index, sort within partitions, write."""
+    out = hilbert_frame(df, cluster_by, bits)
+    (
+        out.repartitionByRange(n_files, "__h")
+        .sortWithinPartitions("__h")
+        .drop("__h")
+        .write.mode(mode)
+        .format("parquet")
+        .save(path)
+    )
 
 
 def parquet_column_ranges(path: str, cols: list[str]) -> list[dict]:

@@ -2891,6 +2891,7 @@ def optimize(
     target_bytes: int = 128 * 1024 * 1024,
     stats_cols: list[str] | None = None,
     zorder_by: list[str] | None = None,
+    curve: str = "zorder",
 ) -> dict:
     """Delta-style ``OPTIMIZE``: rewrite the CURRENT version's live
     rows into ~``target_bytes`` files and publish the result as a new
@@ -2912,6 +2913,12 @@ write_target_sized`'s sampled bytes-per-row estimate (one bounded
     must not silently degrade ``prune=`` reads (ADVICE r12); pass
     ``[]`` to explicitly drop stats, or a list to change the set.
 
+    ``curve`` (r15): ``"zorder"`` (default, the Morton key) or
+    ``"hilbert"`` — the Hilbert curve's consecutive cells are always
+    unit-distance neighbors (no quadrant jumps), so the same file
+    count spans tighter per-file rectangles (the layout behind
+    Delta's liquid clustering); only meaningful with ``zorder_by``.
+
     ``zorder_by`` (Delta's ``OPTIMIZE ... ZORDER BY``): lay the
     rewrite out by the Morton key over those columns (numeric,
     string, date, or timestamp — r15) instead
@@ -2924,6 +2931,10 @@ write_target_sized`'s sampled bytes-per-row estimate (one bounded
     Returns ``{version, n_input_files, n_output_files}``."""
     from tableone_pyspark_spark.sources.compact import write_target_sized
 
+    if curve not in ("zorder", "hilbert"):
+        raise ValueError(
+            f"curve must be zorder/hilbert, got {curve!r}"
+        )
     if target_bytes <= 0:
         # the zorder branch divides by this; the plain branch would
         # only catch it later inside write_target_sized
@@ -2978,7 +2989,10 @@ write_target_sized`'s sampled bytes-per-row estimate (one bounded
         }
     data_dir = f"{table}/data/{uuid.uuid4().hex}"
     if zorder_by:
-        from tableone_pyspark_spark.sources.io import write_zordered
+        from tableone_pyspark_spark.sources.io import (
+            write_hilbert_clustered,
+            write_zordered,
+        )
 
         fs, _ = _fs(spark, table)
         live_bytes = sum(
@@ -2996,10 +3010,16 @@ write_target_sized`'s sampled bytes-per-row estimate (one bounded
             if n_live + n_del > 0:
                 live_bytes = int(live_bytes * n_live / (n_live + n_del))
         n_files = max(1, -(-live_bytes // target_bytes))
-        write_zordered(
-            cur, data_dir, zorder_by, n_files=int(n_files),
-            mode="errorifexists",
-        )
+        if curve == "hilbert":
+            write_hilbert_clustered(
+                cur, data_dir, zorder_by, n_files=int(n_files),
+                mode="errorifexists",
+            )
+        else:
+            write_zordered(
+                cur, data_dir, zorder_by, n_files=int(n_files),
+                mode="errorifexists",
+            )
     else:
         write_target_sized(
             cur, data_dir, target_bytes, mode="errorifexists"

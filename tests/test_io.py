@@ -283,3 +283,111 @@ def test_optimize_zorder_string_column_prunes(spark, tmp_path):
         pruned.where(F.col("o_orderpriority") == "1-URGENT").count()
         == orders.where(F.col("o_orderpriority") == "1-URGENT").count()
     )
+
+
+def _hilbert_twin(coords, bits):
+    """Pure-python Skilling axes-to-transpose + MSB interleave — the
+    published algorithm, used as the differential oracle."""
+    X = list(coords)
+    n = len(X)
+    q = 1 << (bits - 1)
+    while q > 1:
+        p = q - 1
+        for i in range(n):
+            if X[i] & q:
+                X[0] ^= p
+            else:
+                t = (X[0] ^ X[i]) & p
+                X[0] ^= t
+                X[i] ^= t
+        q >>= 1
+    for i in range(1, n):
+        X[i] ^= X[i - 1]
+    t = 0
+    q = 1 << (bits - 1)
+    while q > 1:
+        if X[n - 1] & q:
+            t ^= q - 1
+        q >>= 1
+    for i in range(n):
+        X[i] ^= t
+    h = 0
+    for qq in range(bits - 1, -1, -1):
+        for i in range(n):
+            h = (h << 1) | ((X[i] >> qq) & 1)
+    return h
+
+
+def test_hilbert_frame_matches_twin_and_is_bijective(spark):
+    """r15 — the Catalyst Hilbert transform equals the published
+    Skilling algorithm cell-for-cell (2-D and 3-D grids), after the
+    SAME float range-scaling both sides; the index is bijective on
+    the full grid (a Hilbert curve visits every cell once)."""
+    import itertools
+    import math
+
+    from tableone_pyspark_spark.sources.io import hilbert_frame
+
+    for n, bits in ((2, 3), (3, 2)):
+        side = 1 << bits
+        grid = list(itertools.product(range(side), repeat=n))
+        cols = [f"c{i}" for i in range(n)]
+        df = spark.createDataFrame(
+            grid, ", ".join(f"{c} long" for c in cols)
+        )
+        got = {
+            tuple(r[c] for c in cols): r["__h"]
+            for r in hilbert_frame(df, cols, bits=bits).collect()
+        }
+        top = side - 1
+
+        def scale(v):  # the exact float path _scaled_axes takes
+            return min(top, max(0, math.floor(v / top * top)))
+
+        want = {
+            g: _hilbert_twin([scale(v) for v in g], bits) for g in grid
+        }
+        assert got == want
+        # bijective over the cells the scaling actually hits
+        assert len(set(want.values())) == len(set(map(
+            lambda g: tuple(scale(v) for v in g), grid
+        )))
+
+
+def test_hilbert_layout_tighter_than_arrival(spark, tmp_path):
+    """r15 — write_hilbert_clustered: each output file spans a narrow
+    rectangle in BOTH cluster columns (the write-layout contract the
+    z-order test pins, on the Hilbert curve)."""
+    from pyspark.sql import functions as F
+
+    from tableone_pyspark_spark.sources.io import (
+        parquet_column_ranges,
+        write_hilbert_clustered,
+    )
+
+    orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    out = str(tmp_path / "hilbert")
+    write_hilbert_clustered(
+        orders, out, ["o_orderkey", "o_custkey"], n_files=8
+    )
+    back = spark.read.parquet(out)
+    assert back.count() == orders.count()
+    assert set(back.columns) == set(orders.columns)  # __h dropped
+    rng = parquet_column_ranges(out, ["o_orderkey", "o_custkey"])
+    full_k = orders.agg(
+        F.max("o_orderkey") - F.min("o_orderkey")
+    ).first()[0]
+    spans = [
+        (r["o_orderkey"][1] - r["o_orderkey"][0]) / full_k for r in rng
+    ]
+    # an arrival-order write spans ~the full key range in every file;
+    # 8 hilbert files over 2 dims must average well under half
+    assert sum(spans) / len(spans) < 0.6, spans
+
+    import pytest
+
+    with pytest.raises(ValueError, match="collide"):
+        write_hilbert_clustered(
+            orders.withColumn("__h", F.lit(1)), out,
+            ["o_orderkey", "o_custkey"],
+        )

@@ -2909,3 +2909,36 @@ def test_commit_rebase_reenforces_interleaved_generated(
     assert tl._version_doc(spark, t, rep["version"]).get("generated") == {
         "k2": "k * 2.0"
     }  # the interleaved metadata carried into the rebased publish
+
+
+def test_optimize_hilbert_curve(spark, tmp_path):
+    """r15 — OPTIMIZE ... curve='hilbert': content-identical rewrite
+    whose stats-pruned reads skip files on BOTH clustered columns."""
+    orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    t = str(tmp_path / "hil_tbl")
+    tl.commit(
+        spark,
+        orders.select("o_orderkey", "o_custkey").repartition(4),
+        t,
+        stats_cols=["o_orderkey", "o_custkey"],
+    )
+    opt = tl.optimize(
+        spark, t, target_bytes=4096,
+        zorder_by=["o_orderkey", "o_custkey"], curve="hilbert",
+    )
+    assert opt["version"] == 1 and opt["n_output_files"] >= 4, opt
+    # content identity
+    assert (
+        tl.read_version(spark, t).count() == orders.count()
+    )
+    mx = orders.agg(F.max("o_orderkey")).first()[0]
+    for col, cut in (("o_orderkey", mx // 4), ("o_custkey", 50)):
+        pruned = tl.read_version(spark, t, prune=[(col, "<=", cut)])
+        n_read = pruned.select(F.input_file_name()).distinct().count()
+        assert n_read < opt["n_output_files"], (col, n_read, opt)
+        assert (
+            pruned.where(F.col(col) <= cut).count()
+            == orders.where(F.col(col) <= cut).count()
+        )
+    with pytest.raises(ValueError, match="curve"):
+        tl.optimize(spark, t, zorder_by=["o_orderkey"], curve="peano")
