@@ -126,3 +126,72 @@ def main() -> None:
 
 if __name__ == "__main__":
     main()
+
+
+def hilbert_probe() -> None:
+    """Hilbert vs Morton at 1x/10x: wall time (the projection chain
+    must codegen to near-Morton cost) and layout quality (mean
+    per-file span fraction in each clustered dimension — lower is
+    tighter skipping)."""
+    import json as _json
+    import shutil
+    import tempfile
+
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    spark = SparkSession.getActiveSession() or (
+        SparkSession.builder.master("local[32]")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    from tableone_pyspark_spark.sources.io import (
+        parquet_column_ranges,
+        write_hilbert_clustered,
+        write_zordered,
+    )
+
+    root = tempfile.mkdtemp(prefix="scale_hilbert_")
+    report: dict = {}
+    try:
+        for mult, label in ((1, "1x"), (10, "10x")):
+            n = 500_000 * mult
+            df = spark.range(n).select(
+                (F.col("id") * 2654435761 % 1000003).alias("a"),
+                (F.col("id") * 40503 % 999983).alias("b"),
+            )
+            out_z = f"{root}/z_{label}"
+            out_h = f"{root}/h_{label}"
+            tz, _ = t(lambda: write_zordered(df, out_z, ["a", "b"],
+                                             n_files=16))
+            th, _ = t(lambda: write_hilbert_clustered(
+                df, out_h, ["a", "b"], n_files=16))
+
+            def mean_span(path):
+                rng = parquet_column_ranges(path, ["a", "b"])
+                out = {}
+                for col, width in (("a", 1000003), ("b", 999983)):
+                    spans = [
+                        (r[col][1] - r[col][0]) / width
+                        for r in rng
+                        if r[col][0] is not None
+                    ]
+                    out[col] = round(sum(spans) / len(spans), 3)
+                return out
+
+            report[label] = {
+                "rows": n,
+                "zorder_write_s": round(tz, 2),
+                "hilbert_write_s": round(th, 2),
+                "zorder_mean_span": mean_span(out_z),
+                "hilbert_mean_span": mean_span(out_h),
+            }
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    print(_json.dumps({"hilbert_vs_morton": report}, indent=1))
+
+
+if __name__ == "__main__":
+    hilbert_probe()
