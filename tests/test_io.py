@@ -391,3 +391,41 @@ def test_hilbert_layout_tighter_than_arrival(spark, tmp_path):
             orders.withColumn("__h", F.lit(1)), out,
             ["o_orderkey", "o_custkey"],
         )
+
+
+def test_cluster_layouts_handle_nulls_and_mixed_types(spark, tmp_path):
+    """r15 edge pins: an all-NULL column scales to bucket 0 (no crash,
+    no row loss) and the proxies compose across mixed types for BOTH
+    curves."""
+    from pyspark.sql import functions as F
+
+    from tableone_pyspark_spark.sources.io import (
+        hilbert_frame,
+        write_hilbert_clustered,
+        write_zordered,
+        zorder_value,
+    )
+
+    df = (
+        spark.range(200)
+        .select(
+            F.col("id").alias("k"),
+            F.lit(None).cast("double").alias("allnull"),
+            F.concat(F.lit("s"), (F.col("id") % 7)).alias("s"),
+            F.date_add(F.lit("2020-01-01"), (F.col("id") % 90)
+                       .cast("int")).alias("d"),
+        )
+    )
+    # all-null column: both curves produce a non-negative key, all rows
+    z = df.withColumn("z", zorder_value(df, ["k", "allnull"], bits=8))
+    assert z.where(F.col("z") < 0).count() == 0 and z.count() == 200
+    h = hilbert_frame(df, ["k", "allnull"], bits=8)
+    assert h.where(F.col("__h") < 0).count() == 0 and h.count() == 200
+    # mixed numeric + string + date, written end-to-end, no loss
+    for writer, name in (
+        (write_zordered, "z_mixed"),
+        (write_hilbert_clustered, "h_mixed"),
+    ):
+        out = str(tmp_path / name)
+        writer(df, out, ["k", "s", "d"], n_files=4)
+        assert spark.read.parquet(out).count() == 200
