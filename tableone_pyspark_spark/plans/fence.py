@@ -44,3 +44,21 @@ def once(c: Column) -> Column:
     """Identity on doubles, opaque to predicate-pushdown alias
     substitution — the computed column is evaluated exactly once."""
     return c.cast("double") + F.rand() * F.lit(0.0)
+
+
+def once_long(c: Column) -> Column:
+    """Integer-safe :func:`once`: identity on integral columns via
+    ``c + cast(rand()*0.0 as long)`` — the addend is exactly ``0L``
+    (rand is finite in [0,1), so ``rand()*0.0`` is ``+0.0`` and the
+    long cast is ``0``) but the expression stays non-deterministic, so
+    ``PushPredicateThroughNonJoin`` refuses to substitute the alias.
+    No ``-0.0`` caveat here: long addition by zero is exact identity.
+
+    This is the fence for CHAINED projections (e.g. the Hilbert index,
+    ``sources/io.py hilbert_frame``): a filter on the chain's output
+    would otherwise be pushed through every stage, each substitution
+    re-inlining the previous stage's subtrees — an exponential
+    expression blowup that OOMs the driver (r15 verdict, verified at
+    1 g and 8 g heaps). Fencing the final column blocks the descent at
+    the top Project, so the whole chain stays attribute-referenced."""
+    return c.cast("long") + (F.rand() * F.lit(0.0)).cast("long")

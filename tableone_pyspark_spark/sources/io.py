@@ -265,7 +265,18 @@ def hilbert_frame(
     ATTRIBUTES, never re-inline its subtree — inlining would grow the
     expression tree exponentially in ``bits * len(cols)`` (Column
     trees copy on reference; review-derived design). ``bits *
-    len(cols)`` must fit in 63 value bits, like the Morton key."""
+    len(cols)`` must fit in 63 value bits, like the Morton key.
+
+    The OPTIMIZER is held to the same rule (r16 fix): the ``out``
+    column is fenced with :func:`~tableone_pyspark_spark.plans.fence.
+    once_long`, because ``PushPredicateThroughNonJoin`` substitutes
+    Project aliases while pushing a filter down — a predicate on
+    ``out`` would descend the chain re-inlining every stage's subtree
+    (the same exponential blowup, observed as a driver OOM at 1 g AND
+    8 g heaps). The non-deterministic identity makes the top Project
+    ineligible for pushdown, so filters on ANY column evaluate above
+    the chain; filter/cluster BEFORE calling this on the write path
+    (``write_hilbert_clustered`` does)."""
     import warnings
 
     from pyspark.sql import functions as F
@@ -338,7 +349,9 @@ def hilbert_frame(
             h = F.shiftleft(h, 1).bitwiseOR(
                 F.shiftright(x[i], qq).bitwiseAND(F.lit(1))
             )
-    return work.withColumn(out, h).drop("__ht", *names)
+    from tableone_pyspark_spark.plans.fence import once_long
+
+    return work.withColumn(out, once_long(h)).drop("__ht", *names)
 
 
 def write_hilbert_clustered(
@@ -348,20 +361,26 @@ def write_hilbert_clustered(
     n_files: int = 32,
     bits: int = 10,
     mode: str = "overwrite",
+    keep_key: bool = False,
 ) -> None:
     """Write parquet laid out by the HILBERT curve over ``cluster_by``
     — :func:`write_zordered`'s sibling with strictly better locality
     (consecutive cells are always unit-distance neighbors): range
-    partition on the Hilbert index, sort within partitions, write."""
+    partition on the Hilbert index, sort within partitions, write.
+
+    ``keep_key=True`` persists the ``__h`` column: each file then
+    carries a narrow, disjoint ``__h`` min/max, so range predicates
+    on the key itself prune files (in addition to the ``cluster_by``
+    column stats). Reading back and filtering the MATERIALIZED key is
+    the supported read-side pattern — the in-memory chain's output is
+    pushdown-fenced (see :func:`hilbert_frame`)."""
     out = hilbert_frame(df, cluster_by, bits)
-    (
-        out.repartitionByRange(n_files, "__h")
-        .sortWithinPartitions("__h")
-        .drop("__h")
-        .write.mode(mode)
-        .format("parquet")
-        .save(path)
+    staged = out.repartitionByRange(n_files, "__h").sortWithinPartitions(
+        "__h"
     )
+    if not keep_key:
+        staged = staged.drop("__h")
+    staged.write.mode(mode).format("parquet").save(path)
 
 
 def parquet_column_ranges(path: str, cols: list[str]) -> list[dict]:

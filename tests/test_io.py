@@ -393,6 +393,53 @@ def test_hilbert_layout_tighter_than_arrival(spark, tmp_path):
         )
 
 
+def test_hilbert_key_filter_and_range_prune(spark, tmp_path):
+    """r16 — the r15 OOM, pinned fixed: a predicate on hilbert_frame's
+    output must NOT let PushPredicateThroughNonJoin re-inline the
+    projection chain (the once_long fence blocks the descent), and the
+    persisted key must range-prune files on read."""
+    from pyspark.sql import functions as F
+
+    from tableone_pyspark_spark.sources.io import (
+        hilbert_frame,
+        parquet_column_ranges,
+        write_hilbert_clustered,
+    )
+
+    orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    # in-memory filter on the chain output at FULL production width
+    # (bits=10, 2 dims = 20 chain stages) — this OOM'd the driver pre-fix
+    h = hilbert_frame(orders, ["o_orderkey", "o_custkey"], bits=10)
+    assert h.where(F.col("__h") < 0).count() == 0
+    med = h.approxQuantile("__h", [0.5], 0.01)[0]
+    lo = h.where(F.col("__h") <= med).count()
+    assert 0 < lo < orders.count()
+    # the fence is an exact identity: recomputing __h gives the same key
+    again = hilbert_frame(orders, ["o_orderkey", "o_custkey"], bits=10)
+    assert h.select("o_orderkey", "__h").exceptAll(
+        again.select("o_orderkey", "__h")
+    ).count() == 0
+    # persisted key: disjoint per-file ranges -> a key-range predicate
+    # prunes most files (the read-side data-skipping contract)
+    out = str(tmp_path / "hkey")
+    write_hilbert_clustered(
+        orders, out, ["o_orderkey", "o_custkey"], n_files=8, keep_key=True
+    )
+    rng = parquet_column_ranges(out, ["__h"])
+    assert len(rng) == 8
+    lo_files = [r for r in rng if r["__h"][0] <= med]
+    hit = [r for r in rng if r["__h"][0] <= med <= r["__h"][1]]
+    assert len(hit) <= 2  # ranges ~disjoint: a point straddles <=2 files
+    back = spark.read.parquet(out).where(F.col("__h") <= F.lit(med))
+    assert back.count() == lo
+    # Spark's scan must push the key predicate to parquet
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "__h" in plan.split(
+        "PushedFilters"
+    )[1][:200]
+    assert len(lo_files) < 8  # some files are entirely out of range
+
+
 def test_cluster_layouts_handle_nulls_and_mixed_types(spark, tmp_path):
     """r15 edge pins: an all-NULL column scales to bucket 0 (no crash,
     no row loss) and the proxies compose across mixed types for BOTH
