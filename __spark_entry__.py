@@ -3977,25 +3977,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # order; the three r14 lifecycle rows should lead since this
     # round's tablelog changes (X152-X155, declared-schema reads,
     # update labels, optimize rebase) run through their staged paths.
+    # R16 rotation (VERDICT r15 ask #2): zero stale-2s exist, so the
+    # front is exactly the 50 r14-graded stale-1s. The three staged
+    # lifecycle rows LEAD — r15's tablelog rewrite (X152 evolution on
+    # every read path, X153 generated columns, X154/X155 metadata and
+    # properties, monotone commit timestamps, optimize rebase) runs
+    # through their staged paths, so they are the highest-information
+    # re-grades; the remaining 47 follow in window_plan.py order.
+    # tablelog_lifecycle additionally grew a curve="hilbert" superset
+    # arm this round (X156 oracle grading — the zorder_skipping
+    # pattern on the Hilbert rewrite; no fourth staged harness row).
+    # R17 handoff: after this round the 50 r15-graded rows become the
+    # stale-1 front (merge_suite, the stream rows, the dedup/ANN
+    # carries — window_plan.py prints the exact order).
     _front = [
-        # the r14 displacement leads (VERDICT r14 ask #1 — stale-2s)
-        "pca_project", "heavy_hitters", "nfc_keys",
-        # the 47 r13-graded stale-1s, window_plan.py order
-        # (cdc_orders superset-replaced IN ITS OWN SLOT by merge_suite)
-        "cat_counts", "cat_pivot", "tableone_strat", "tableone_weighted",
-        "tableone_pvalues", "tableone_supplier", "revenue_by_nation",
-        "retention_cohorts", "text_stats", "lang_confusion",
-        "repetition_stats", "ccnet_buckets", "span_dedup", "dsir_weights",
-        "exact_dedup_keep", "paragraph_dedup", "embedding_neardup",
-        "lsh_recall", "opq_recall", "skew_profile", "salted_join",
-        "quantize_profile", "tfidf_terms", "cluster_reps", "cell_quality",
-        "ml_minhash", "frame_stats", "events_type_stats",
-        "stream_tableone", "stream_tableone_weighted", "stream_sessions",
-        "stream_join", "range_join_ship", "simhash_neardup",
-        "curate_documents", "mixture_weights", "phash_neardup",
-        "png_decode_stats", "stream_drift", "audio_meta", "pii_profile",
-        "k_anon_orders", "decontam_stats", "dup_ngram_stats",
-        "quality_scores", "fuzzy_pairs", "merge_suite",
+        # r15-changed staged paths lead (tablelog rewrite re-grades)
+        "tablelog_lifecycle", "wap_commit", "mv_lifecycle",
+        # the remaining 47 r14-graded stale-1s, window_plan.py order
+        "cont_stats_by_group", "ttest_stat", "anova_stat", "chi2_stat",
+        "tableone_unstrat", "tableone_orders", "weighted_quantiles_cont",
+        "tableone_strat_dataq", "tableone_beautify", "tableone_joined",
+        "top_orders", "sales_cube", "asof_suite", "user_sessions",
+        "event_funnel", "incremental_dedup_indexed", "compact_roundtrip",
+        "fence_single_eval", "lm_perplexity", "bloom_probe",
+        "dedup_clusters", "ivfpq_recall", "salted_collect",
+        "semantic_dedup_keep", "value_histogram", "hourly_anomalies",
+        "seasonality", "resample_gaps", "stream_enriched",
+        "stream_sessions_builtin", "profile_lineitem", "filter_funnel",
+        "corr_matrix", "chunk_docs", "price_cuts", "jpeg_decode_stats",
+        "gif_decode_stats", "stream_dedup", "stream_bloom",
+        "resize_stats", "pack_sequences", "sample_splits", "cms_counts",
+        "warc_pipeline", "stream_cms", "wds_shards", "snapshot_diff",
     ]
     assert len(_front) == 50 and len(set(_front)) == 50
     assert set(_front) <= set(q), sorted(set(_front) - set(q))
