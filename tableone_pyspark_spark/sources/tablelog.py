@@ -2935,6 +2935,14 @@ write_target_sized`'s sampled bytes-per-row estimate (one bounded
         raise ValueError(
             f"curve must be zorder/hilbert, got {curve!r}"
         )
+    if curve != "zorder" and not zorder_by:
+        # a non-default curve with no clustering columns would fall
+        # through to the arrival-order rewrite — the caller would
+        # believe the table was Hilbert-clustered (ADVICE r15)
+        raise ValueError(
+            f"curve={curve!r} needs zorder_by columns — without them "
+            "the rewrite is arrival-ordered, not clustered"
+        )
     if target_bytes <= 0:
         # the zorder branch divides by this; the plain branch would
         # only catch it later inside write_target_sized

@@ -2942,3 +2942,7 @@ def test_optimize_hilbert_curve(spark, tmp_path):
         )
     with pytest.raises(ValueError, match="curve"):
         tl.optimize(spark, t, zorder_by=["o_orderkey"], curve="peano")
+    # r16 (ADVICE r15): a non-default curve with no clustering columns
+    # must refuse loudly, not fall through to an arrival-order rewrite
+    with pytest.raises(ValueError, match="zorder_by"):
+        tl.optimize(spark, t, curve="hilbert")
