@@ -491,11 +491,22 @@ def _evolve_schema(table_schema_json: str, df_schema_json: str) -> str:
     # deliberately exact-case only
     have_lower = {f.name.lower() for f in tbl.fields}
     variants = [f.name for f in added if f.name.lower() in have_lower]
+    # ... and among the added columns THEMSELVES (ADVICE r15): one
+    # write carrying both 'K' and 'k' passed the table-side check and
+    # only died later at parquet write time, bypassing this curated
+    # refusal
+    added_lower: dict[str, str] = {}
+    for f in added:
+        lo = f.name.lower()
+        if lo in added_lower:
+            variants.append(f.name)
+        added_lower[lo] = f.name
     if variants:
         raise ValueError(
             f"merge_schema refuses case-variant columns {variants} — "
-            "they differ only by case from existing table columns, "
-            "and case-insensitive parquet resolution would make every "
+            "they differ only by case from existing table columns "
+            "(or from each other within this write), and "
+            "case-insensitive parquet resolution would make every "
             "read ambiguous; rename the write's columns"
         )
     return StructType(list(tbl.fields) + added).json()
@@ -1003,10 +1014,15 @@ def version_at(spark: SparkSession, table: str, ts) -> int:
     the first commit raises (Delta's earliest-version error); a
     ``ts`` in the future resolves to the current version.
 
-    ``committed_at`` stamps are MONOTONE per table (r15, Delta's
-    in-commit-timestamp idea): every publish clamps its stamp above
-    the predecessor's, so cross-writer clock skew cannot reorder the
-    log's timeline and this resolution is exact, not heuristic."""
+    ``committed_at`` stamps are MONOTONE per table for versions
+    published at or after the r15 clamp (Delta's in-commit-timestamp
+    idea): every publish clamps its stamp above the predecessor's, so
+    cross-writer clock skew cannot reorder the log's timeline and
+    this resolution is exact over such logs. For PRE-EXISTING logs
+    (docs written by older writers, where skew may have produced
+    non-monotone stamps) the newest-first first-match rule is the
+    determinism backstop, and resolution there remains a heuristic
+    (ADVICE r15)."""
     if hasattr(ts, "timestamp"):  # datetime
         ts = ts.timestamp()
     elif isinstance(ts, str):
@@ -2003,15 +2019,21 @@ def set_generated(
             f"generated column {col!r} not in the table schema "
             f"{names} — add it first (merge_schema=True append)"
         )
-    import re as _re
-
-    if _re.search(rf"\b{_re.escape(col)}\b", expr_sql):
+    live = read_version(spark, table, cur)
+    live.select(F.expr(expr_sql))  # eager parse/bind — fail here
+    # self-reference check through the RESOLVER, not text matching
+    # (ADVICE r15: a word-boundary regex falsely refused the name
+    # inside a string literal and missed case-variant or creatively
+    # quoted references): the expression just bound against the full
+    # schema, so if it no longer binds once the column is dropped, the
+    # only name it lost is the column itself
+    try:
+        live.drop(col).select(F.expr(expr_sql))
+    except Exception:
         raise ValueError(
             f"generated expression for {col!r} references the column "
             f"itself: {expr_sql!r}"
-        )
-    live = read_version(spark, table, cur)
-    live.select(F.expr(expr_sql))  # eager parse/bind — fail here
+        ) from None
     decl = dict(_schema_shape(doc["schema"]))[col]
     bad = _check_violations(
         live,

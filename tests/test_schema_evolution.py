@@ -571,3 +571,12 @@ def test_case_variant_column_refused(spark, base_tbl):
     with pytest.raises(ValueError, match="case-variant"):
         tl.commit(spark, df, base_tbl, merge_schema=True)
     assert tl.current_version(spark, base_tbl) == 0
+    # r16 (ADVICE r15): TWO new columns differing only by case from
+    # EACH OTHER (neither clashing with the table) must hit the same
+    # curated refusal, not a downstream parquet-writer error
+    df2 = _mk(
+        spark, [(1, "a", 2.0, 3.0)], "k long, v string, X double, x double"
+    )
+    with pytest.raises(ValueError, match="case-variant"):
+        tl.commit(spark, df2, base_tbl, merge_schema=True)
+    assert tl.current_version(spark, base_tbl) == 0

@@ -2527,6 +2527,17 @@ def test_set_generated_validation(spark, tmp_path):
         tl.set_generated(spark, t, "nope", "a * 2")
     with pytest.raises(ValueError, match="references the column"):
         tl.set_generated(spark, t, "total", "total + 1")
+    # r16 (ADVICE r15) — the guard is resolver-based, not textual:
+    # case-variant and backquoted self-references are caught...
+    with pytest.raises(ValueError, match="references the column"):
+        tl.set_generated(spark, t, "total", "TOTAL + 1")
+    with pytest.raises(ValueError, match="references the column"):
+        tl.set_generated(spark, t, "total", "`total` + 1")
+    # ...while the column name inside a STRING LITERAL is fine
+    tl.set_generated(
+        spark, t, "total", "CASE WHEN 'total' = 'x' THEN 0.0 ELSE a * 2 END"
+    )
+    tl.drop_generated(spark, t, "total")
     # row (2, 3.0, 6.0) = a*2 OK; row 1 is NULL -> passes
     tl.set_generated(spark, t, "total", "a * 2")
     # now a table whose live rows DISAGREE refuses
