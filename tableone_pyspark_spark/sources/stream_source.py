@@ -326,13 +326,16 @@ def _arrow_types_cached(schema_json: str):
     return tuple((f.name, to_arrow_type(f.dataType)) for f in st.fields)
 
 
-def _column_or_nulls(batch, name: str, types: dict):
-    """The batch's column by name, or an all-null column of the
-    declared type when the file predates an additive evolution."""
+def _column_or_nulls(batch, name: str, types: dict, src: str | None = None):
+    """The batch's column under its PHYSICAL name (``src``, X157 —
+    defaults to the logical ``name`` for unmapped tables), or an
+    all-null column of the declared type when the file predates an
+    additive evolution."""
     import pyarrow as pa
 
-    if name in batch.schema.names:
-        return batch.column(name)
+    src = name if src is None else src
+    if src in batch.schema.names:
+        return batch.column(src)
     return pa.nulls(batch.num_rows, type=types[name])
 
 
@@ -340,6 +343,7 @@ def _read_file(
     partition: _FilePartition,
     field_names: list[str],
     schema_json: str,
+    colmap: dict | None = None,
 ):
     """Executor-side: one parquet file -> Arrow record batches in the
     table's column order, with deletion-vector positions masked out
@@ -361,6 +365,7 @@ def _read_file(
         # read crashed here)
         return
     types = _arrow_types(schema_json)
+    cm = colmap or {}
 
     # open through the pyarrow FileSystem layer (the log-resolution
     # path already does) so s3:// / hdfs:// tables read on executors
@@ -385,7 +390,7 @@ def _read_file(
             offset += n
             yield pa.RecordBatch.from_arrays(
                 [
-                    _column_or_nulls(batch, name, types)
+                    _column_or_nulls(batch, name, types, cm.get(name))
                     for name in field_names
                 ],
                 names=field_names,
@@ -396,6 +401,7 @@ def _read_file_cdf(
     partition: _CdfPartition,
     field_names: list[str],
     schema_json: str,
+    colmap: dict | None = None,
 ):
     """Executor-side change-feed read: the file's rows (or exactly the
     named positions), with ``_change_type`` / ``_commit_version``
@@ -410,6 +416,7 @@ def _read_file_cdf(
     if partition is None:
         return
     types = _arrow_types(schema_json)
+    cm = colmap or {}
     fsys, p = _pa_fs(partition.path)
     with fsys.open_input_file(p) as fh:
         pf = pq.ParquetFile(fh)
@@ -439,7 +446,7 @@ def _read_file_cdf(
             k = batch.num_rows
             yield pa.RecordBatch.from_arrays(
                 [
-                    _column_or_nulls(batch, name, types)
+                    _column_or_nulls(batch, name, types, cm.get(name))
                     for name in field_names
                 ]
                 + [
@@ -465,6 +472,9 @@ class _TablelogBatchReader(DataSourceReader):
         self._names = [
             f["name"] for f in json.loads(doc["schema"])["fields"]
         ]
+        # X157 column mapping: files store PHYSICAL names; this doc's
+        # sparse map restores the logical ones at read time
+        self._colmap = doc.get("colmap") or {}
 
     def partitions(self):
         return [
@@ -473,7 +483,9 @@ class _TablelogBatchReader(DataSourceReader):
         ]
 
     def read(self, partition):
-        yield from _read_file(partition, self._names, self._schema_json)
+        yield from _read_file(
+            partition, self._names, self._schema_json, self._colmap
+        )
 
 
 class _TablelogStreamReader(DataSourceStreamReader):
@@ -502,8 +514,14 @@ class _TablelogStreamReader(DataSourceStreamReader):
                     f"starting_version must be >= 0 or 'latest', got "
                     f"{starting_version}"
                 )
-        schema_json = _doc(table, cur)["schema"]
+        pin_doc = _doc(table, cur)
+        schema_json = pin_doc["schema"]
         self._schema_json = schema_json
+        # X157: the pinned version's column mapping — physical names
+        # never change, so it reads every deliverable version's files
+        # (versions whose LOGICAL shape differs, e.g. pre-rename ones,
+        # are refused by the shape gate below, Delta-parity)
+        self._colmap = pin_doc.get("colmap") or {}
         #: the version whose schema this stream pinned: versions AT OR
         #: BELOW it may deliver additive-SUBSET shapes (pre-evolution
         #: files legitimately lack the added columns — NULL-fill);
@@ -712,7 +730,9 @@ class _TablelogStreamReader(DataSourceStreamReader):
         return parts
 
     def read(self, partition):
-        yield from _read_file(partition, self._names, self._schema_json)
+        yield from _read_file(
+            partition, self._names, self._schema_json, self._colmap
+        )
 
     def commit(self, end):
         pass  # offsets are durable in the query checkpoint
@@ -934,7 +954,7 @@ class _TablelogCdfStreamReader(_TablelogStreamReader):
 
     def read(self, partition):
         yield from _read_file_cdf(
-            partition, self._names, self._schema_json
+            partition, self._names, self._schema_json, self._colmap
         )
 
 

@@ -257,6 +257,9 @@ def _publish(
     user_metadata: str | None = None,
     generated=_INHERIT,
     properties=_INHERIT,
+    colmap=_INHERIT,
+    retired=_INHERIT,
+    schema_change: dict | None = None,
 ) -> dict:
     """CREATE-exclusive publish of v{version}.json: exactly one of two
     racing writers can create the file (overwrite=False), the other
@@ -288,6 +291,13 @@ def _publish(
         properties = (
             prev_published.get("properties") if prev_published else None
         )
+    if colmap is _INHERIT:
+        # X157 column mapping inherits like constraints: a maintenance
+        # publish (delete/set_constraint/…) can never silently snap
+        # logical names back to physical ones
+        colmap = prev_published.get("colmap") if prev_published else None
+    if retired is _INHERIT:
+        retired = prev_published.get("retired") if prev_published else None
     committed_at = time.time()
     if prev_published and committed_at <= prev_published["committed_at"]:
         committed_at = prev_published["committed_at"] + 1e-6
@@ -306,6 +316,14 @@ def _publish(
         doc["generated"] = generated
     if properties:
         doc["properties"] = properties
+    if colmap:
+        doc["colmap"] = colmap
+    if retired:
+        doc["retired"] = retired
+    if schema_change:
+        # X157 — a rename/drop version announces itself so range
+        # readers (table_changes) can refuse spanning it loudly
+        doc["schema_change"] = schema_change
     if batch_id is not None:
         doc["batch_id"] = batch_id
     if stream_id is not None:
@@ -437,8 +455,35 @@ def _widened_struct(schema_json: str):
     return widen(StructType.fromJson(json.loads(schema_json)))
 
 
+def _colmap(doc: dict) -> dict:
+    """The version's SPARSE column mapping {logical: physical} (X157,
+    Delta's column mapping): entries exist only where the names
+    differ — an absent/empty map is the identity, which every table
+    that never renamed a column keeps forever (zero read overhead)."""
+    return doc.get("colmap") or {}
+
+
+def _phys(colmap: dict, name: str) -> str:
+    return colmap.get(name, name)
+
+
+def _to_physical(df: DataFrame, colmap: dict) -> DataFrame:
+    """``df`` with its columns renamed logical→physical — what every
+    DATA-FILE write runs through (X157): parquet files always store
+    PHYSICAL names, which never change after a column is created, so
+    one read mapping serves every file of every version."""
+    if not colmap or not any(c in colmap for c in df.columns):
+        return df
+    return df.select(
+        *[F.col(f"`{c}`").alias(_phys(colmap, c)) for c in df.columns]
+    )
+
+
 def _read_files(
-    spark: SparkSession, files: list[str], schema_json: str
+    spark: SparkSession,
+    files: list[str],
+    schema_json: str,
+    colmap: dict | None = None,
 ) -> DataFrame:
     """Read a version's data files THROUGH its doc's declared schema
     (widened) instead of footer inference. Identical to a plain
@@ -447,8 +492,32 @@ def _read_files(
     pre-evolution files (missing the new columns) with post-evolution
     ones — by-name resolution against the declared schema NULL-fills
     the gaps per file, where footer inference would pick one file's
-    schema at random and silently drop or crash on the rest."""
-    return spark.read.schema(_widened_struct(schema_json)).parquet(*files)
+    schema at random and silently drop or crash on the rest.
+
+    ``colmap`` (X157 column mapping): files store PHYSICAL names, so
+    the scan schema carries them and the result is projected back to
+    the declared LOGICAL names. Identity maps take the plain path —
+    and Spark's hidden ``_metadata`` pseudo-column resolves through
+    the projection (verified on Spark 4), so deletion vectors keep
+    working on mapped reads."""
+    st = _widened_struct(schema_json)
+    if not colmap:
+        return spark.read.schema(st).parquet(*files)
+    from pyspark.sql.types import StructField, StructType
+
+    phys = StructType(
+        [
+            StructField(_phys(colmap, f.name), f.dataType, True, f.metadata)
+            for f in st.fields
+        ]
+    )
+    raw = spark.read.schema(phys).parquet(*files)
+    return raw.select(
+        *[
+            F.col(f"`{_phys(colmap, f.name)}`").alias(f.name)
+            for f in st.fields
+        ]
+    )
 
 
 def _evolve_schema(table_schema_json: str, df_schema_json: str) -> str:
@@ -512,6 +581,29 @@ def _evolve_schema(table_schema_json: str, df_schema_json: str) -> str:
     return StructType(list(tbl.fields) + added).json()
 
 
+def _assign_physical(
+    new_logicals: list[str],
+    existing_physicals: list[str],
+    retired: list[str],
+) -> dict:
+    """X157 — physical names for columns entering the schema: the
+    logical name itself (the zero-overhead identity that keeps colmap
+    sparse) unless it collides case-insensitively with a live physical
+    name or a RETIRED one — a dropped column's physical data still
+    sits in old files, and re-using its name would silently resurrect
+    it (Delta's reason for uuid physical names). Collisions get a
+    uuid-suffixed physical name instead. Returns the sparse colmap
+    ADDITIONS only."""
+    taken = {p.lower() for p in retired}
+    taken |= {p.lower() for p in existing_physicals}
+    out: dict = {}
+    for name in new_logicals:
+        if name.lower() in taken:
+            out[name] = f"{name}__c{uuid.uuid4().hex[:8]}"
+        taken.add(out.get(name, name).lower())
+    return out
+
+
 _STATS_TYPES = (
     "tinyint", "smallint", "int", "bigint", "float", "double",
     "string", "date",
@@ -568,6 +660,7 @@ def _enforce_constraints(
     table: str,
     what: str,
     schema_json: str | None = None,
+    colmap: dict | None = None,
 ) -> None:
     """X149 write-path gate: raise (BEFORE any publish — the data dir
     stays an invisible orphan) if any new-file row violates a
@@ -577,11 +670,13 @@ def _enforce_constraints(
     never silently skip enforcement). ``schema_json`` (X152) reads the
     files through the declared table schema, so a missing-column
     append evaluates its constraints over NULL — the value readers
-    will actually see — instead of crashing on the absent column."""
+    will actually see — instead of crashing on the absent column;
+    ``colmap`` (X157) maps the files' physical names back to the
+    logical ones the constraint SQL references."""
     if not constraints or not files:
         return
     df = (
-        _read_files(spark, files, schema_json)
+        _read_files(spark, files, schema_json, colmap)
         if schema_json is not None
         else spark.read.parquet(*files)
     )
@@ -604,15 +699,17 @@ def _enforce_generated(
     table: str,
     what: str,
     schema_json: str | None = None,
+    colmap: dict | None = None,
 ) -> None:
     """X153 write-path gate: a write that SUPPLIES a generated column
     must agree with its expression on every new row (null-safe
     compare — Delta's GENERATED ALWAYS AS enforcement); raising here
-    leaves the data dir an invisible orphan, like the CHECK gate."""
+    leaves the data dir an invisible orphan, like the CHECK gate.
+    ``colmap`` (X157) restores logical names for the expressions."""
     if not generated or not files:
         return
     df = (
-        _read_files(spark, files, schema_json)
+        _read_files(spark, files, schema_json, colmap)
         if schema_json is not None
         else spark.read.parquet(*files)
     )
@@ -639,7 +736,10 @@ def _enforce_generated(
 
 
 def _collect_file_stats(
-    spark: SparkSession, files: list[str], stats_cols: list[str]
+    spark: SparkSession,
+    files: list[str],
+    stats_cols: list[str],
+    colmap: dict | None = None,
 ) -> dict:
     """Per-file (min, max, null_count) for ``stats_cols`` — ONE
     distributed pass over exactly this commit's files (grouped by
@@ -657,10 +757,34 @@ def _collect_file_stats(
     if not files:
         return {}
     df = spark.read.parquet(*files)
-    _check_stats_cols(df.schema, stats_cols)
+    if colmap:
+        # X157: the files store PHYSICAL names — scan those, but keep
+        # the stats doc keyed by LOGICAL names (what prune= and every
+        # downstream consumer speak)
+        cm = colmap
+        from pyspark.sql.types import StructType as _ST
+
+        phys_schema = df.schema
+        logical = _ST(
+            [
+                type(f)(
+                    next(
+                        (k for k, v in cm.items() if v == f.name), f.name
+                    ),
+                    f.dataType,
+                    f.nullable,
+                    f.metadata,
+                )
+                for f in phys_schema.fields
+            ]
+        )
+        _check_stats_cols(logical, stats_cols)
+    else:
+        cm = {}
+        _check_stats_cols(df.schema, stats_cols)
     aggs = [F.count(F.lit(1)).alias("__n")]
     for c in stats_cols:
-        q = f"`{c}`"
+        q = f"`{_phys(cm, c)}`"
         aggs += [
             F.min(q).alias(f"__mn_{c}"),
             F.max(q).alias(f"__mx_{c}"),
@@ -804,6 +928,15 @@ def commit(
                 if set(df.columns) == set(tbl_cols):
                     df = df.select(*tbl_cols)
     schema_json = df.schema.json()
+    # X157 column mapping: derive this commit's {logical: physical}
+    # map and retired-physical set from the base doc, BEFORE the data
+    # write — files always store physical names
+    base_colmap = dict(_colmap(pdoc0)) if prev is not None else {}
+    base_retired = (
+        list(pdoc0.get("retired") or []) if prev is not None else []
+    )
+    colmap = base_colmap
+    retired = base_retired
     if prev is not None and mode == "append":
         doc = pdoc0  # one metadata read per commit, not three (r15)
         if _schema_shape(doc["schema"]) != _schema_shape(schema_json):
@@ -819,39 +952,77 @@ def commit(
             # the write's new columns; non-additive changes raise
             # inside. The data files keep df's own layout — every
             # read path resolves by NAME against the doc schema.
+            old_names = {n for n, _ in _schema_shape(doc["schema"])}
             schema_json = _evolve_schema(doc["schema"], schema_json)
+            added = [
+                n
+                for n, _ in _schema_shape(schema_json)
+                if n not in old_names
+            ]
+            if added:
+                existing_phys = [
+                    _phys(base_colmap, n) for n in old_names
+                ]
+                colmap = {
+                    **base_colmap,
+                    **_assign_physical(added, existing_phys, retired),
+                }
         prev_files = doc["files"]
         prev_stats = doc.get("stats", {})
         prev_dv = doc.get("dv") or []
         tbl_constraints = doc.get("constraints")
     elif prev is not None:
         tbl_constraints = pdoc0.get("constraints")
+        # overwrite (X157): columns the table already has KEEP their
+        # physical names (a rename stays durable across overwrites);
+        # columns the overwrite drops retire theirs (conservative —
+        # old files survive in old versions' live sets via restore/
+        # clone, and a later re-add must not resurrect their data);
+        # genuinely new columns get collision-checked physicals
+        base_names = {n for n, _ in _schema_shape(pdoc0["schema"])}
+        kept = [c for c in df.columns if c in base_names]
+        dropped = sorted(base_names - set(df.columns))
+        fresh = [c for c in df.columns if c not in base_names]
+        colmap = {
+            c: base_colmap[c] for c in kept if c in base_colmap
+        }
+        retired = sorted(
+            set(base_retired)
+            | {_phys(base_colmap, c) for c in dropped}
+        )
+        if fresh:
+            existing_phys = [_phys(base_colmap, c) for c in kept]
+            colmap = {
+                **colmap,
+                **_assign_physical(fresh, existing_phys, retired),
+            }
     if stats_cols:
         # fail BEFORE the data write — a typo must not cost the commit
         _check_stats_cols(df.schema, stats_cols)
     data_dir = f"{table}/data/{uuid.uuid4().hex}"
-    df.write.parquet(data_dir)
+    _to_physical(df, colmap).write.parquet(data_dir)
     new_files = _list_parquet(spark, data_dir)
     if _audit is not None and new_files:
         # write-audit-publish seam (commit_audited): raising here
         # leaves the data dir unpublished — invisible to readers,
-        # vacuumed like any loser's dir
-        _audit(spark.read.parquet(*new_files))
+        # vacuumed like any loser's dir. The audit sees LOGICAL names
+        # (X157 — audit expectations are user code)
+        _audit(_read_files(spark, new_files, schema_json, colmap))
     # X149: persisted CHECK constraints gate every write path the same
     # way the audit seam does — new rows only (restore/optimize never
     # re-validate: their rows passed at write time, Delta's rule)
     _enforce_constraints(
         spark, tbl_constraints, new_files, table, mode,
-        schema_json=schema_json,
+        schema_json=schema_json, colmap=colmap,
     )
     _enforce_generated(
         spark, tbl_generated, new_files, table, mode,
-        schema_json=schema_json,
+        schema_json=schema_json, colmap=colmap,
     )
     new_stats: dict = {}
     if stats_cols:
         new_stats = _remap_stats(
-            _collect_file_stats(spark, new_files, stats_cols),
+            _collect_file_stats(spark, new_files, stats_cols, colmap),
             new_files,
         )
     stats = dict(prev_stats)
@@ -865,6 +1036,7 @@ def commit(
                 stats=stats, dv=prev_dv or None,
                 constraints=tbl_constraints,
                 user_metadata=user_metadata,
+                colmap=colmap or None, retired=retired or None,
             )
         except CommitConflict:
             # X148 — Delta's blind-append conflict resolution: two
@@ -909,6 +1081,19 @@ def commit(
                             "duplicate replay, not rebased"
                         ) from None
             doc = _version_doc(spark, table, newprev)
+            if (
+                _colmap(doc) != base_colmap
+                or (doc.get("retired") or []) != base_retired
+            ):
+                # X157: an interleaved rename/drop — OUR data files
+                # were written under the BASE mapping, and silently
+                # rebasing onto the new one could land rows under a
+                # stale (even retired) physical name. Surface the race.
+                raise CommitConflict(
+                    f"append to {table} raced a column-mapping change "
+                    "(rename/drop, or an addition that remapped) — "
+                    "re-derive the write against the new schema"
+                ) from None
             if _schema_shape(doc["schema"]) != _schema_shape(schema_json):
                 if not merge_schema:
                     raise ValueError(
@@ -920,10 +1105,15 @@ def commit(
                 # X152: re-evolve OUR columns onto the interleaved
                 # winner's schema (both writers may have evolved —
                 # the union of additive changes is itself additive);
-                # a non-additive interleave still raises inside.
+                # a non-additive interleave still raises inside. Our
+                # own added columns keep the physicals assigned above;
+                # the winner's additions ride ITS doc colmap (already
+                # equal to ours on the shared base — checked above) —
+                # but ITS new columns' mappings must be carried too.
                 schema_json = _evolve_schema(
                     doc["schema"], df.schema.json()
                 )
+                colmap = {**_colmap(doc), **colmap}
             prev_files = doc["files"]
             stats = dict(doc.get("stats", {}))
             stats.update(new_stats)
@@ -935,7 +1125,7 @@ def commit(
                 tbl_constraints = doc.get("constraints")
                 _enforce_constraints(
                     spark, tbl_constraints, new_files, table, mode,
-                    schema_json=schema_json,
+                    schema_json=schema_json, colmap=colmap,
                 )
             if doc.get("generated") != tbl_generated:
                 # an interleaved set_generated: our files were never
@@ -945,7 +1135,7 @@ def commit(
                 tbl_generated = doc.get("generated")
                 _enforce_generated(
                     spark, tbl_generated, new_files, table, mode,
-                    schema_json=schema_json,
+                    schema_json=schema_json, colmap=colmap,
                 )
             version = newprev + 1
     raise CommitConflict(
@@ -1104,8 +1294,9 @@ def read_version(
         )
     # read through the doc's declared schema — identical to footer
     # inference for uniform tables, NULL-fills per file after
-    # additive evolution (X152)
-    out = _read_files(spark, files, doc["schema"])
+    # additive evolution (X152); colmap restores logical names after
+    # a column rename (X157)
+    out = _read_files(spark, files, doc["schema"], _colmap(doc))
     dv = doc.get("dv") or []
     if dv:
         # deletion vectors (r12, the Delta DV / Iceberg positional-
@@ -1203,7 +1394,7 @@ def _live_view(spark: SparkSession, doc: dict) -> DataFrame:
     __dv_ri) positions attached — existing deletion vectors already
     anti-joined away (shared by :func:`delete_rows` /
     :func:`merge_rows`; review r14 de-duplication)."""
-    raw = _read_files(spark, doc["files"], doc["schema"])
+    raw = _read_files(spark, doc["files"], doc["schema"], _colmap(doc))
     fp, ri = _dv_cols(raw)
     live = raw.select("*", fp, ri)
     old_dv = doc.get("dv") or []
@@ -1391,17 +1582,18 @@ def merge_rows(
     # change-sized; a side that contributes nothing writes nothing.
     post_files: list[str] = []
     ins_files: list[str] = []
+    cm = _colmap(doc)  # X157: appended files store physical names
     if when_matched == "update":
         post = source.join(live_keys, keys, "inner").select(*source.columns)
         if not post.isEmpty():
             post_dir = f"{table}/data/{uuid.uuid4().hex}"
-            post.write.parquet(post_dir)
+            _to_physical(post, cm).write.parquet(post_dir)
             post_files = _list_parquet(spark, post_dir)
     if when_not_matched == "insert":
         ins = source.join(live_keys.distinct(), keys, "left_anti")
         if not ins.isEmpty():
             ins_dir = f"{table}/data/{uuid.uuid4().hex}"
-            ins.write.parquet(ins_dir)
+            _to_physical(ins, cm).write.parquet(ins_dir)
             ins_files = _list_parquet(spark, ins_dir)
 
     new_files: list[str] = post_files + ins_files
@@ -1411,10 +1603,12 @@ def merge_rows(
     # X153 generated columns are enforced the same way (the source
     # schema matches the table's, so the column is always supplied)
     _enforce_constraints(
-        spark, doc.get("constraints"), new_files, table, "merge"
+        spark, doc.get("constraints"), new_files, table, "merge",
+        schema_json=doc["schema"], colmap=cm,
     )
     _enforce_generated(
-        spark, doc.get("generated"), new_files, table, "merge"
+        spark, doc.get("generated"), new_files, table, "merge",
+        schema_json=doc["schema"], colmap=cm,
     )
 
     if not new_dv and not new_files:
@@ -1424,7 +1618,7 @@ def merge_rows(
     if stats_cols and new_files:
         stats.update(
             _remap_stats(
-                _collect_file_stats(spark, new_files, stats_cols),
+                _collect_file_stats(spark, new_files, stats_cols, cm),
                 new_files,
             )
         )
@@ -1792,6 +1986,7 @@ def clone(
         constraints=doc.get("constraints"),
         generated=doc.get("generated"),
         properties=doc.get("properties"),
+        colmap=doc.get("colmap"), retired=doc.get("retired"),
     )
 
 
@@ -2155,6 +2350,166 @@ def unset_property(spark: SparkSession, table: str, key: str) -> dict:
     )
 
 
+def _exprs_referencing(spark: SparkSession, doc: dict, col: str) -> list:
+    """X157 guard shared by rename/drop: the labels of every persisted
+    CHECK constraint or generated-column expression that REFERENCES
+    ``col``. Resolver-based (the set_generated r16 rule, never text
+    matching): each expression bound against the declared schema with
+    ``col`` dropped — a bind failure means the expression lost exactly
+    that name (they all bound fully when they were set)."""
+    from pyspark.sql.types import StructType
+
+    items = [
+        (f"CHECK constraint {n!r}", sql)
+        for n, sql in (doc.get("constraints") or {}).items()
+    ] + [
+        (f"generated column {c!r}", e)
+        for c, e in (doc.get("generated") or {}).items()
+    ]
+    if not items:
+        return []
+    probe = spark.createDataFrame(
+        [], StructType.fromJson(json.loads(doc["schema"]))
+    ).drop(col)
+    hits = []
+    for label, sql in items:
+        try:
+            probe.select(F.expr(sql))
+        except Exception:  # noqa: BLE001 — unresolved = references col
+            hits.append(label)
+    return hits
+
+
+def rename_column(
+    spark: SparkSession, table: str, old: str, new: str
+) -> dict:
+    """X157 — Delta's ``ALTER TABLE ... RENAME COLUMN`` under column
+    mapping: a METADATA-ONLY publish (one doc write, whatever the
+    table size) that renames the LOGICAL column while every data file
+    keeps the column's stable PHYSICAL name (pinned at creation, the
+    name files were written with). Reads of any version resolve
+    physical→logical through that version's own ``colmap``, so time
+    travel, clones, restores, DV reads, and the maintenance loop all
+    keep working across the rename; per-file skipping stats are
+    re-keyed so ``prune=`` works on the new name immediately.
+
+    Refused loudly when a persisted CHECK constraint or ANOTHER
+    generated column's expression references ``old`` (the expression
+    SQL pins the name — Delta's rule; drop the constraint/expression
+    first). A generated column being renamed ITSELF just re-keys its
+    entry. Downstream boundaries, both Delta-parity: ``table_changes``
+    refuses a range SPANNING the rename version (split there — the
+    rename version changes no rows), and streams pinned before it
+    refuse at delivery (restart at/after the rename)."""
+    if not new or "`" in new:
+        raise ValueError(f"invalid column name {new!r}")
+    cur = current_version(spark, table)
+    if cur is None:
+        raise ValueError(f"no such versioned table: {table}")
+    doc = _version_doc(spark, table, cur)
+    from pyspark.sql.types import StructField, StructType
+
+    st = StructType.fromJson(json.loads(doc["schema"]))
+    names = st.fieldNames()
+    if old not in names:
+        raise ValueError(f"no such column {old!r} — table has {names}")
+    if new == old:
+        raise ValueError(f"rename {old!r} to itself is a no-op — refused")
+    if new.lower() in {n.lower() for n in names if n != old}:
+        raise ValueError(
+            f"column {new!r} already exists (or differs only by case "
+            "from an existing column — ambiguous under "
+            "case-insensitive resolution)"
+        )
+    hits = _exprs_referencing(spark, doc, old)
+    if hits:
+        raise ValueError(
+            f"cannot rename {old!r}: referenced by {', '.join(hits)} — "
+            "their SQL pins the name; drop/re-create them around the "
+            "rename"
+        )
+    fields = [
+        StructField(new, f.dataType, f.nullable, f.metadata)
+        if f.name == old
+        else f
+        for f in st.fields
+    ]
+    cm = dict(_colmap(doc))
+    phys = cm.pop(old, old)
+    if phys != new:
+        cm[new] = phys
+    stats = doc.get("stats") or {}
+    new_stats = {
+        f: {(new if c == old else c): b for c, b in s.items()}
+        for f, s in stats.items()
+    }
+    gen = dict(doc.get("generated") or {})
+    if old in gen:
+        gen[new] = gen.pop(old)
+    return _publish(
+        spark, table, cur + 1, doc["files"], "append",
+        StructType(fields).json(),
+        stats=new_stats or None, dv=doc.get("dv") or None,
+        generated=gen or None,
+        colmap=cm or None, retired=doc.get("retired"),
+        schema_change={"op": "rename", "from": old, "to": new},
+    )
+
+
+def drop_column(spark: SparkSession, table: str, col: str) -> dict:
+    """X157 — Delta's ``ALTER TABLE ... DROP COLUMN`` under column
+    mapping: a METADATA-ONLY publish that removes the LOGICAL column;
+    no data file is rewritten (the physical column's bytes stay in
+    old files, unreferenced). The physical name is RETIRED: a later
+    ``merge_schema`` re-add of the same logical name gets a fresh
+    physical name, so the dropped data can never silently resurrect
+    (Delta's reason for mapped physical names). Dropping a generated
+    column drops its expression with it (Delta's rule); a column
+    referenced by a CHECK constraint or another generated expression
+    refuses — drop those first. Old versions still time-travel with
+    the column (each doc pins its own schema). The same
+    ``table_changes``/stream boundaries as :func:`rename_column`
+    apply."""
+    cur = current_version(spark, table)
+    if cur is None:
+        raise ValueError(f"no such versioned table: {table}")
+    doc = _version_doc(spark, table, cur)
+    from pyspark.sql.types import StructType
+
+    st = StructType.fromJson(json.loads(doc["schema"]))
+    names = st.fieldNames()
+    if col not in names:
+        raise ValueError(f"no such column {col!r} — table has {names}")
+    if len(names) == 1:
+        raise ValueError(f"cannot drop {col!r} — it is the last column")
+    gen = dict(doc.get("generated") or {})
+    gen.pop(col, None)  # dropping a generated column drops its expr
+    probe_doc = dict(doc)
+    probe_doc["generated"] = gen
+    hits = _exprs_referencing(spark, probe_doc, col)
+    if hits:
+        raise ValueError(
+            f"cannot drop {col!r}: referenced by {', '.join(hits)} — "
+            "drop the constraint/expression first"
+        )
+    cm = dict(_colmap(doc))
+    phys = cm.pop(col, col)
+    retired = sorted(set(doc.get("retired") or []) | {phys})
+    stats = doc.get("stats") or {}
+    new_stats = {
+        f: {c: b for c, b in s.items() if c != col}
+        for f, s in stats.items()
+    }
+    return _publish(
+        spark, table, cur + 1, doc["files"], "append",
+        StructType([f for f in st.fields if f.name != col]).json(),
+        stats=new_stats or None, dv=doc.get("dv") or None,
+        generated=gen or None,
+        colmap=cm or None, retired=retired,
+        schema_change={"op": "drop", "column": col},
+    )
+
+
 def table_properties(
     spark: SparkSession, table: str, version: int | None = None
 ) -> dict:
@@ -2203,6 +2558,8 @@ def describe_detail(
         "constraints": dict(doc.get("constraints") or {}),
         "generated": dict(doc.get("generated") or {}),
         "properties": dict(doc.get("properties") or {}),
+        "colmap": dict(doc.get("colmap") or {}),
+        "retired_columns": list(doc.get("retired") or []),
         "latest_checkpoint": max(
             (n for n in cks if n <= v), default=None
         ),
@@ -2256,6 +2613,7 @@ def restore(
     return _publish(
         spark, table, cur + 1, doc["files"], "overwrite", doc["schema"],
         stats=doc.get("stats") or None, dv=doc.get("dv") or None,
+        colmap=doc.get("colmap"), retired=doc.get("retired"),
     )
 
 
@@ -2502,6 +2860,20 @@ refresh_aggregate` consumes."""
     prev_doc = None  # carried across iterations — one read per doc
     for v in range(from_version + 1, hi + 1):
         doc = _version_doc(spark, table, v)
+        if doc.get("schema_change"):
+            # X157: a rename/drop version inside the range — the
+            # union across it would silently NULL-fill the old name on
+            # one side and the new on the other (the same hazard the
+            # TYPE gate refuses). The rename/drop version itself
+            # changes no rows, so consumers read up to v-1, then
+            # resume from v (Delta blocks CDF over non-additive schema
+            # changes the same way).
+            sc = doc["schema_change"]
+            raise ValueError(
+                f"table_changes range spans a column {sc.get('op')} "
+                f"at version {v} ({sc}) — split the range there: read "
+                f"to_version={v - 1}, then resume from_version={v}"
+            )
         clash = {op_col, version_col} & {
             name for name, _ in _schema_shape(doc["schema"])
         }
@@ -2519,7 +2891,9 @@ refresh_aggregate` consumes."""
             if not new_files:
                 prev_doc = doc
                 continue
-            ch = _read_files(spark, new_files, doc["schema"]).withColumn(
+            ch = _read_files(
+                spark, new_files, doc["schema"], _colmap(doc)
+            ).withColumn(
                 op_col, F.lit("I")
             )
         elif doc["mode"] in ("delete", "merge"):
@@ -2568,7 +2942,9 @@ refresh_aggregate` consumes."""
                 # the vector's touched files were live at v-1 and may
                 # predate an additive evolution — the declared-schema
                 # read NULL-fills them (X152)
-                raw = _read_files(spark, touched, doc["schema"])
+                raw = _read_files(
+                    spark, touched, doc["schema"], _colmap(doc)
+                )
                 fp, ri = _dv_cols(raw)
                 ch = (
                     raw.select("*", fp, ri)
@@ -2586,11 +2962,11 @@ refresh_aggregate` consumes."""
                     ins = None
                     if post:
                         ins = _read_files(
-                            spark, post, doc["schema"]
+                            spark, post, doc["schema"], _colmap(doc)
                         ).withColumn(op_col, F.lit("U_post"))
                     if rest:
                         fresh = _read_files(
-                            spark, rest, doc["schema"]
+                            spark, rest, doc["schema"], _colmap(doc)
                         ).withColumn(op_col, F.lit("I"))
                         ins = (
                             fresh
@@ -2599,7 +2975,7 @@ refresh_aggregate` consumes."""
                         )
                 else:
                     ins = _read_files(
-                        spark, new_files, doc["schema"]
+                        spark, new_files, doc["schema"], _colmap(doc)
                     ).withColumn(op_col, F.lit("I"))
                 ch = ins if ch is None else ch.unionByName(ins)
         elif not keys:
@@ -3018,6 +3394,8 @@ write_target_sized`'s sampled bytes-per-row estimate (one bounded
             "n_output_files": 0,
         }
     data_dir = f"{table}/data/{uuid.uuid4().hex}"
+    cm = _colmap(doc)  # X157: the rewrite stores physical names too
+    cur_w = _to_physical(cur, cm)
     if zorder_by:
         from tableone_pyspark_spark.sources.io import (
             write_hilbert_clustered,
@@ -3040,24 +3418,26 @@ write_target_sized`'s sampled bytes-per-row estimate (one bounded
             if n_live + n_del > 0:
                 live_bytes = int(live_bytes * n_live / (n_live + n_del))
         n_files = max(1, -(-live_bytes // target_bytes))
+        zb_phys = [_phys(cm, c) for c in zorder_by]
         if curve == "hilbert":
             write_hilbert_clustered(
-                cur, data_dir, zorder_by, n_files=int(n_files),
+                cur_w, data_dir, zb_phys, n_files=int(n_files),
                 mode="errorifexists",
             )
         else:
             write_zordered(
-                cur, data_dir, zorder_by, n_files=int(n_files),
+                cur_w, data_dir, zb_phys, n_files=int(n_files),
                 mode="errorifexists",
             )
     else:
         write_target_sized(
-            cur, data_dir, target_bytes, mode="errorifexists"
+            cur_w, data_dir, target_bytes, mode="errorifexists"
         )
     new_files = _list_parquet(spark, data_dir)
     stats = (
         _remap_stats(
-            _collect_file_stats(spark, new_files, stats_cols), new_files
+            _collect_file_stats(spark, new_files, stats_cols, cm),
+            new_files,
         )
         if stats_cols
         else None
@@ -3113,12 +3493,23 @@ write_target_sized`'s sampled bytes-per-row estimate (one bounded
                 if (
                     d["mode"] != "append"
                     or (d.get("dv") or []) != base_dv
+                    or d.get("schema_change")
                 ):
+                    # schema_change (X157): an interleaved rename/drop
+                    # is a metadata change our rewrite's stats keys
+                    # and schema predate — Delta's conflict matrix
+                    # fails OPTIMIZE against metadata changes too
                     raise CommitConflict(
                         f"table {table} moved past v{base} during "
                         "optimize with a non-append change "
-                        f"(v{v} is {d['mode']!r}) — the rewrite is "
-                        "stale; re-run on the new version"
+                        f"(v{v} is {d['mode']!r}"
+                        + (
+                            " + schema_change"
+                            if d.get("schema_change")
+                            else ""
+                        )
+                        + ") — the rewrite is stale; re-run on the "
+                        "new version"
                     ) from None
             head = nh
     raise CommitConflict(
