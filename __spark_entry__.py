@@ -3570,6 +3570,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 spark, t, 6, prune=[("o_totalprice", "<=", pcut)]
             )
             np_ = hpr_p.select(F.input_file_name()).distinct().count()
+            # r16 — X157 oracle grade (column mapping): v7 = a
+            # METADATA-ONLY rename o_totalprice→price. The files (all
+            # seven generations: appends, DV preimages, merge-free
+            # overwrite, two optimize rewrites) keep the stable
+            # PHYSICAL name; reads map physical→logical per version
+            # doc. Arms read the renamed head through BOTH engines —
+            # read_version (JVM scan) and the Python DataSource
+            # (arrow-side mapping) — then alias back so the output
+            # schema stays uniform; stats were re-keyed by the rename,
+            # pinned by a prune= on the NEW name losing nothing.
+            ren = tl.rename_column(spark, t, "o_totalprice", "price")
+            assert ren["version"] == 7, ren
+            ren_rv = tl.read_version(spark, t, 7).withColumnRenamed(
+                "price", "o_totalprice"
+            )
+            ren_ds = ds(t, 7).withColumnRenamed("price", "o_totalprice")
+            ren_pr = tl.read_version(
+                spark, t, 7, prune=[("price", "<=", pcut)]
+            )
+            ren_pr = ren_pr.where(
+                F.col("price") <= pcut
+            ).withColumnRenamed("price", "o_totalprice")
             # a half-range band over a 2-file layout can straddle both
             # files (seen at sf0.001) — the skip gate is meaningful
             # from 4 files up, and the grading SFs (0.01/0.1) are well
@@ -3600,6 +3622,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                         hpr_p.where(F.col("o_totalprice") <= pcut),
                     )
                 )
+                .unionByName(agg("ren_rv", ren_rv))
+                .unionByName(agg("ren_ds", ren_ds))
+                .unionByName(agg("ren_prune", ren_pr))
                 .collect()
             )
         finally:
@@ -6710,6 +6735,18 @@ def oracle_sql() -> dict[str, str]:
                 ),
                 (
                     "hprune_p",
+                    "o_orderkey % 3 IN (0, 1) AND p <= "
+                    "(SELECT MAX(CAST(o_totalprice AS DOUBLE)) / 2 "
+                    "FROM orders)",
+                ),
+                # r16 column-mapping arms (X157): the rename is
+                # metadata-only, so both read engines must still see
+                # the v1 slice verbatim; the pruned band re-uses the
+                # price cut through the re-keyed stats
+                ("ren_rv", "o_orderkey % 3 IN (0, 1)"),
+                ("ren_ds", "o_orderkey % 3 IN (0, 1)"),
+                (
+                    "ren_prune",
                     "o_orderkey % 3 IN (0, 1) AND p <= "
                     "(SELECT MAX(CAST(o_totalprice AS DOUBLE)) / 2 "
                     "FROM orders)",
