@@ -314,6 +314,51 @@ def test_drop_guards(spark, tmp_path):
         tl.drop_column(spark, t, "k")
 
 
+def test_rename_chains_and_physical_name_shadowing(spark, tmp_path):
+    """The subtle mapping cases: (a) rename chains keep resolving
+    through the ORIGINAL physical; (b) a logical name that equals
+    ANOTHER column's physical name stays unambiguous (reads select
+    physical names, which are unique by construction); (c) re-adding
+    a logical name whose identity physical is occupied gets a
+    suffixed physical."""
+    t = str(tmp_path / "cm_chain")
+    tl.commit(
+        spark,
+        spark.createDataFrame([(1, 10.0)], "a long, b double"),
+        t,
+    )
+    tl.rename_column(spark, t, "a", "x")   # physical of x stays 'a'
+    tl.rename_column(spark, t, "b", "a")   # logical 'a' = physical of x!
+    got = tl.read_version(spark, t).collect()[0]
+    assert (got["x"], got["a"]) == (1, 10.0)
+    doc = tl._version_doc(spark, t, tl.current_version(spark, t))
+    assert doc["colmap"] == {"x": "a", "a": "b"}
+    # appends still write the ORIGINAL physicals
+    tl.commit(spark, spark.createDataFrame([(2, 20.0)], "x long, a double"), t)
+    import pyarrow.parquet as pq
+
+    names = set()
+    import glob as _glob
+
+    for f in _glob.glob(f"{t}/data/*/*.parquet"):
+        names |= set(pq.read_schema(f).names)
+    assert names == {"a", "b"}, names
+    got = {r["x"]: r["a"] for r in tl.read_version(spark, t).collect()}
+    assert got == {1: 10.0, 2: 20.0}
+    # (c) a merge_schema add of logical 'b' (= x's retired-free but
+    # OCCUPIED physical 'b' of column a) must map to a fresh physical
+    tl.commit(
+        spark,
+        spark.createDataFrame([(3, 30.0, "s")], "x long, a double, b string"),
+        t,
+        merge_schema=True,
+    )
+    doc = tl._version_doc(spark, t, tl.current_version(spark, t))
+    assert doc["colmap"]["b"].startswith("b__c"), doc["colmap"]
+    got = {r["x"]: (r["a"], r["b"]) for r in tl.read_version(spark, t).collect()}
+    assert got == {1: (10.0, None), 2: (20.0, None), 3: (30.0, "s")}, got
+
+
 def test_rename_race_refuses_blind_append_rebase(spark, tmp_path, monkeypatch):
     """X148 x X157: a blind append whose slot race was lost to an
     interleaved RENAME must surface CommitConflict (its files were
