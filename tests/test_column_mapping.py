@@ -359,6 +359,125 @@ def test_rename_chains_and_physical_name_shadowing(spark, tmp_path):
     assert got == {1: (10.0, None), 2: (20.0, None), 3: (30.0, "s")}, got
 
 
+def test_colmap_differential_fuzz(spark, tmp_path):
+    """Model-based differential fuzz (the X131 cadence for new
+    kernels): seeded random sequences of append / rename / drop /
+    add-column / overwrite against a driver-side dict model — after
+    every op, read_version must equal the model exactly (names AND
+    values), and a final time-travel sweep must reproduce each
+    version's snapshot. Catches any seam where a write landed under
+    the wrong physical name or a read mapped the wrong direction."""
+    import random
+
+    for seed in (7, 23):
+        rng = random.Random(seed)
+        t = str(tmp_path / f"cm_fuzz_{seed}")
+        cols = ["c0", "c1"]  # model: list of logical names
+        next_key = [0]
+
+        def mkrows(n, cols_):
+            rows = []
+            for _ in range(n):
+                rows.append(
+                    tuple([next_key[0]] + [
+                        float(rng.randint(0, 99)) for _ in cols_[1:]
+                    ])
+                )
+                next_key[0] += 1
+            return rows
+
+        def schema_of(cols_):
+            return ", ".join(
+                [f"{cols_[0]} long"] + [f"{c} double" for c in cols_[1:]]
+            )
+
+        model: dict[int, dict] = {}  # key -> {col: value}
+        snapshots = []  # (version, cols, model copy)
+
+        rows = mkrows(3, cols)
+        tl.commit(spark, spark.createDataFrame(rows, schema_of(cols)), t)
+        for r in rows:
+            model[r[0]] = dict(zip(cols, r))
+        v = 0
+        snapshots.append((v, list(cols), {k: dict(m) for k, m in model.items()}))
+
+        n_cols = [2]  # fresh-name counter
+        for _ in range(10):
+            op = rng.choice(["append", "rename", "drop", "add", "overwrite"])
+            if op == "append":
+                rows = mkrows(2, cols)
+                tl.commit(
+                    spark, spark.createDataFrame(rows, schema_of(cols)), t
+                )
+                for r in rows:
+                    model[r[0]] = dict(zip(cols, r))
+            elif op == "rename" and len(cols) >= 2:
+                old = rng.choice(cols[1:])
+                n_cols[0] += 1
+                new = f"c{n_cols[0]}"
+                tl.rename_column(spark, t, old, new)
+                cols[cols.index(old)] = new
+                for m in model.values():
+                    m[new] = m.pop(old)
+            elif op == "drop" and len(cols) >= 3:
+                victim = rng.choice(cols[1:])
+                tl.drop_column(spark, t, victim)
+                cols.remove(victim)
+                for m in model.values():
+                    m.pop(victim)
+            elif op == "add":
+                n_cols[0] += 1
+                new = f"c{n_cols[0]}"
+                newcols = cols + [new]
+                rows = mkrows(2, newcols)
+                tl.commit(
+                    spark,
+                    spark.createDataFrame(rows, schema_of(newcols)),
+                    t,
+                    merge_schema=True,
+                )
+                for m in model.values():
+                    m[new] = None
+                for r in rows:
+                    model[r[0]] = dict(zip(newcols, r))
+                cols.append(new)
+            elif op == "overwrite":
+                rows = mkrows(2, cols)
+                tl.commit(
+                    spark,
+                    spark.createDataFrame(rows, schema_of(cols)),
+                    t,
+                    mode="overwrite",
+                )
+                model = {r[0]: dict(zip(cols, r)) for r in rows}
+            else:
+                continue
+            v = tl.current_version(spark, t)
+            got = {
+                r[cols[0]]: {c: r[c] for c in cols}
+                for r in tl.read_version(spark, t).collect()
+            }
+            want = {
+                k: {cols[0]: k, **{c: m[c] for c in cols if c != cols[0]}}
+                for k, m in model.items()
+            }
+            assert got == want, (seed, op, got, want)
+            snapshots.append(
+                (v, list(cols), {k: dict(m) for k, m in model.items()})
+            )
+        # time-travel sweep: every snapshot reproduces exactly
+        for sv, scols, smodel in snapshots:
+            got = {
+                r[scols[0]]: {c: r[c] for c in scols}
+                for r in tl.read_version(spark, t, sv).collect()
+            }
+            want = {
+                k: {scols[0]: k, **{c: m[c] for c in scols if c != scols[0]}}
+                for k, m in smodel.items()
+            }
+            assert got == want, (seed, sv, got, want)
+
+
 def test_rename_race_refuses_blind_append_rebase(spark, tmp_path, monkeypatch):
     """X148 x X157: a blind append whose slot race was lost to an
     interleaved RENAME must surface CommitConflict (its files were
