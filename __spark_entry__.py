@@ -3435,7 +3435,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # metadata doc carrying files+dv+stats), v4 = restore(t, 1)
         # (metadata-only rollback), v5 = optimize(zorder_by=
         # ["o_orderkey"], default stats_cols inherited from the base
-        # doc — the ADVICE r12 path). Arms and their oracle slices:
+        # doc — the ADVICE r12 path), v6 = optimize(curve="hilbert")
+        # over TWO dims with stats on both (r16, X156), v7 =
+        # rename_column(o_totalprice→price) — metadata-only over all
+        # seven file generations (r16, X157). Arms and their oracle
+        # slices:
         # v1_ds = k%3 in (0,1); v2_ds / v2_rv = v1 minus k%7==0
         # (DataSource-vs-read_version parity, shared oracle rows);
         # v3_rv = k%3==2 (time travel past the restore); clone_ds =
