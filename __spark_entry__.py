@@ -3596,6 +3596,55 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ren_pr = ren_pr.where(
                 F.col("price") <= pcut
             ).withColumnRenamed("price", "o_totalprice")
+
+            # r16 — X158 oracle grade (identity columns): a side table
+            # in the SAME staged root. v0 = empty with the identity
+            # column declared, then two appends OMITTING it (the k%3==2
+            # and k%7==0 orders slices). The allocation is the exact
+            # consecutive range [1, N] whatever the partitioning, so
+            # count / sum / max are SQL-expressible invariants (the
+            # per-row ASSIGNMENT is partitioning-dependent and is
+            # deliberately not graded — only the set is
+            # deterministic). Uniqueness and min are hard-gated here.
+            it = f"{root}/ident"
+            tl.commit(
+                spark,
+                spark.createDataFrame(
+                    [], "rid bigint, o_orderkey long, o_orderstatus string"
+                ),
+                it,
+            )
+            tl.set_identity(spark, it, "rid", start=1, step=1)
+            tl.commit(
+                spark,
+                orders.where(k % 3 == 2)
+                .select("o_orderkey", "o_orderstatus")
+                .coalesce(4),
+                it,
+            )
+            tl.commit(
+                spark,
+                orders.where(k % 7 == 0)
+                .select("o_orderkey", "o_orderstatus")
+                .coalesce(4),
+                it,
+            )
+            idf = tl.read_version(spark, it)
+            chk = idf.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.countDistinct("rid").alias("nd"),
+                F.min("rid").alias("mn"),
+            ).first()
+            assert chk["n"] == chk["nd"] and chk["mn"] == 1, chk
+            ident_arm = idf.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("rid").alias("key_sum"),
+                F.round(F.max("rid").cast("double"), 6).alias("max_price"),
+            ).select(
+                F.lit("ident").alias("arm"),
+                F.lit("ALL").alias("o_orderstatus"),
+                "n", "key_sum", "max_price",
+            )
             # a half-range band over a 2-file layout can straddle both
             # files (seen at sf0.001) — the skip gate is meaningful
             # from 4 files up, and the grading SFs (0.01/0.1) are well
@@ -3629,6 +3678,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .unionByName(agg("ren_rv", ren_rv))
                 .unionByName(agg("ren_ds", ren_ds))
                 .unionByName(agg("ren_prune", ren_pr))
+                .unionByName(ident_arm)
                 .collect()
             )
         finally:
@@ -6757,6 +6807,16 @@ def oracle_sql() -> dict[str, str]:
                 ),
             ]
         )
+        # r16 X158 identity arm: allocation over the two slices is the
+        # exact range [1, N], so the graded aggregates reduce to
+        # arithmetic over N = |k%3==2| + |k%7==0| (rows in both
+        # slices are appended twice — deliberate)
+        + " UNION ALL SELECT 'ident' AS arm, 'ALL' AS o_orderstatus, "
+        "count(*) AS n, "
+        "CAST((count(*) * (count(*) + 1)) // 2 AS BIGINT) AS key_sum, "
+        "CAST(count(*) AS DOUBLE) AS max_price FROM ("
+        "SELECT 1 AS x FROM base WHERE o_orderkey % 3 = 2 "
+        "UNION ALL SELECT 1 FROM base WHERE o_orderkey % 7 = 0)"
     )
 
     # X134 + X140 + X142 MV hard gate (supersedes the r13 mv_refresh

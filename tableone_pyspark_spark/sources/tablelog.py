@@ -260,6 +260,7 @@ def _publish(
     colmap=_INHERIT,
     retired=_INHERIT,
     schema_change: dict | None = None,
+    identity=_INHERIT,
 ) -> dict:
     """CREATE-exclusive publish of v{version}.json: exactly one of two
     racing writers can create the file (overwrite=False), the other
@@ -298,6 +299,12 @@ def _publish(
         colmap = prev_published.get("colmap") if prev_published else None
     if retired is _INHERIT:
         retired = prev_published.get("retired") if prev_published else None
+    if identity is _INHERIT:
+        # X158 identity metadata inherits too — a maintenance publish
+        # must never reset a watermark (duplicate ids would follow)
+        identity = (
+            prev_published.get("identity") if prev_published else None
+        )
     committed_at = time.time()
     if prev_published and committed_at <= prev_published["committed_at"]:
         committed_at = prev_published["committed_at"] + 1e-6
@@ -324,6 +331,8 @@ def _publish(
         # X157 — a rename/drop version announces itself so range
         # readers (table_changes) can refuse spanning it loudly
         doc["schema_change"] = schema_change
+    if identity:
+        doc["identity"] = identity
     if batch_id is not None:
         doc["batch_id"] = batch_id
     if stream_id is not None:
@@ -601,6 +610,113 @@ def _assign_physical(
         if name.lower() in taken:
             out[name] = f"{name}__c{uuid.uuid4().hex[:8]}"
         taken.add(out.get(name, name).lower())
+    return out
+
+
+def _identity_grid_ceil(value: int, start: int, step: int) -> int:
+    """The sequence member at-or-past ``value`` in the allocation
+    direction (X158 — the watermark alignment Delta's SYNC IDENTITY
+    performs): smallest member >= value for an ascending sequence,
+    largest member <= value for a descending one."""
+    if step > 0:
+        if value <= start:
+            return start
+        return start + -(-(value - start) // step) * step
+    if value >= start:
+        return start
+    return start + -(-(start - value) // (-step)) * step
+
+
+def _fill_identity(df: DataFrame, col: str, decl_type: str, nxt: int, step: int):
+    """X158 — allocate identity values for an omitted column: the
+    CONSECUTIVE range {nxt, nxt+step, …} assigned with a two-pass
+    partition-offset scheme (one metadata-sized count per partition →
+    driver cumsum → one arrow-batched ``mapInPandas``), never a global
+    sort or a single-partition window — the scalable zipWithIndex; at
+    100 TB a window over a constant key would funnel the whole write
+    through one task. The caller must pin ``df`` first
+    (``localCheckpoint``) so both passes see identical partitions.
+    Returns ``(filled_df, n_allocated)``; the new column lands LAST
+    (the caller restores table order, the generated-fill rule)."""
+    pid_col = "__idn_pid"
+    if pid_col in df.columns:
+        raise ValueError(
+            f"column {pid_col!r} collides with the identity internals — "
+            "rename it"
+        )
+    tmp = df.withColumn(pid_col, F.spark_partition_id())
+    counts = {r[0]: r[1] for r in tmp.groupBy(pid_col).count().collect()}
+    offsets: dict = {}
+    acc = 0
+    for p in sorted(counts):
+        offsets[p] = acc
+        acc += counts[p]
+    if acc == 0:
+        return df.withColumn(col, F.lit(None).cast(decl_type)), 0
+    out_schema = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields
+    ) + f", `{col}` {decl_type}"
+
+    def gen(batches):
+        import pandas as pd
+
+        seen = 0
+        base = None
+        for pdf in batches:
+            if base is None and len(pdf):
+                base = offsets[int(pdf[pid_col].iloc[0])]
+            vals = [nxt + step * (base + seen + i) for i in range(len(pdf))]
+            seen += len(pdf)
+            pdf = pdf.drop(columns=[pid_col])
+            pdf[col] = pd.Series(vals, dtype="int64")
+            yield pdf
+
+    return tmp.mapInPandas(gen, out_schema), acc
+
+
+def _advance_identity(
+    identity: dict, df: DataFrame, exclude: list | None = None
+) -> dict:
+    """X158 — watermark advance for SUPPLIED identity columns (Delta's
+    GENERATED BY DEFAULT): one agg over the change-sized frame per
+    write; NULL values refuse loudly (identity columns are implicitly
+    NOT NULL); the high-water moves past the supplied extreme in the
+    allocation direction (aligned to the sequence grid) and NEVER
+    retreats. Returns the updated identity dict."""
+    supplied = [
+        c
+        for c in identity
+        if c in df.columns and c not in (exclude or [])
+    ]
+    if not supplied:
+        return identity
+    aggs = []
+    for c in supplied:
+        q = F.col(f"`{c}`")
+        aggs += [
+            F.max(q).alias(f"__mx_{c}"),
+            F.min(q).alias(f"__mn_{c}"),
+            F.count(F.when(q.isNull(), 1)).alias(f"__nu_{c}"),
+        ]
+    row = df.agg(*aggs).first()
+    out = dict(identity)
+    for c in supplied:
+        if row[f"__nu_{c}"]:
+            raise ValueError(
+                f"identity column {c!r} supplied with NULL value(s) — "
+                "identity columns are NOT NULL; omit the column to "
+                "have values generated"
+            )
+        meta = out[c]
+        ext = row[f"__mx_{c}"] if meta["step"] > 0 else row[f"__mn_{c}"]
+        if ext is None:
+            continue
+        aligned = _identity_grid_ceil(int(ext), meta["start"], meta["step"])
+        high = meta["high"]
+        if (meta["step"] > 0 and aligned > high) or (
+            meta["step"] < 0 and aligned < high
+        ):
+            out[c] = {**meta, "high": aligned}
     return out
 
 
@@ -927,6 +1043,39 @@ def commit(
                 tbl_cols = [n for n, _ in _schema_shape(pdoc0["schema"])]
                 if set(df.columns) == set(tbl_cols):
                     df = df.select(*tbl_cols)
+    # X158 identity columns: a write OMITTING one gets the next
+    # consecutive range allocated (the df is pinned first so the
+    # two-pass offset assignment sees stable partitions); a write
+    # SUPPLYING one advances the watermark past its values (Delta's
+    # GENERATED BY DEFAULT) and refuses NULLs. The updated metadata
+    # publishes with this version.
+    tbl_identity = (
+        dict(pdoc0.get("identity") or {}) if prev is not None else {}
+    )
+    id_filled = False
+    if tbl_identity:
+        decl = dict(_schema_shape(pdoc0["schema"]))
+        need = [c for c in tbl_identity if c not in df.columns]
+        if need:
+            id_filled = True
+            df = df.localCheckpoint(eager=True)
+            for icol in need:
+                meta = tbl_identity[icol]
+                nxt = meta["high"] + meta["step"]
+                df, n_alloc = _fill_identity(
+                    df, icol, decl.get(icol, "bigint"), nxt, meta["step"]
+                )
+                if n_alloc:
+                    tbl_identity[icol] = {
+                        **meta,
+                        "high": nxt + meta["step"] * (n_alloc - 1),
+                    }
+            tbl_cols = [n for n, _ in _schema_shape(pdoc0["schema"])]
+            if set(df.columns) == set(tbl_cols):
+                df = df.select(*tbl_cols)
+        # freshly-allocated columns need no advance (their watermark
+        # moved above); only genuinely supplied ones pay the one agg
+        tbl_identity = _advance_identity(tbl_identity, df, exclude=need)
     schema_json = df.schema.json()
     # X157 column mapping: derive this commit's {logical: physical}
     # map and retired-physical set from the base doc, BEFORE the data
@@ -1037,6 +1186,7 @@ def commit(
                 constraints=tbl_constraints,
                 user_metadata=user_metadata,
                 colmap=colmap or None, retired=retired or None,
+                identity=tbl_identity or None,
             )
         except CommitConflict:
             # X148 — Delta's blind-append conflict resolution: two
@@ -1081,6 +1231,26 @@ def commit(
                             "duplicate replay, not rebased"
                         ) from None
             doc = _version_doc(spark, table, newprev)
+            if id_filled and (doc.get("identity") or {}) != (
+                pdoc0.get("identity") or {}
+            ):
+                # X158: our allocated range came from the BASE
+                # watermark; an interleaved writer that moved it may
+                # hold the same values — the data would collide, so
+                # this race can never rebase (Delta's identity
+                # conflict). A supplied-values write is safe: its
+                # watermark advance below re-derives from the head.
+                raise CommitConflict(
+                    f"append to {table} raced an identity allocation — "
+                    "the generated values may collide; re-run the "
+                    "write (a fresh allocation reads the new watermark)"
+                ) from None
+            if tbl_identity and not id_filled:
+                # re-advance from the interleaved head's watermark so
+                # the published metadata never retreats
+                tbl_identity = _advance_identity(
+                    dict(doc.get("identity") or tbl_identity), df
+                )
             if (
                 _colmap(doc) != base_colmap
                 or (doc.get("retired") or []) != base_retired
@@ -1622,6 +1792,11 @@ def merge_rows(
                 new_files,
             )
         )
+    # X158: the source shape matches the table's, so identity columns
+    # are always SUPPLIED here — refuse NULLs, advance the watermark
+    identity = dict(doc.get("identity") or {})
+    if identity and new_files:
+        identity = _advance_identity(identity, source)
     _publish(
         spark, table, base + 1, doc["files"] + new_files, "merge",
         doc["schema"], stats=stats or None, dv=(old_dv + new_dv) or None,
@@ -1631,6 +1806,7 @@ def merge_rows(
             "files_post": post_files,
         },
         user_metadata=user_metadata,
+        identity=identity or None,
     )
     return {
         "version": base + 1,
@@ -1987,6 +2163,7 @@ def clone(
         generated=doc.get("generated"),
         properties=doc.get("properties"),
         colmap=doc.get("colmap"), retired=doc.get("retired"),
+        identity=doc.get("identity"),
     )
 
 
@@ -2214,6 +2391,11 @@ def set_generated(
             f"generated column {col!r} not in the table schema "
             f"{names} — add it first (merge_schema=True append)"
         )
+    if col in (doc.get("identity") or {}):
+        raise ValueError(
+            f"column {col!r} is an identity column — a column cannot "
+            "be both identity and generated (X158)"
+        )
     live = read_version(spark, table, cur)
     live.select(F.expr(expr_sql))  # eager parse/bind — fail here
     # self-reference check through the RESOLVER, not text matching
@@ -2275,6 +2457,121 @@ def drop_generated(
         spark, table, cur + 1, doc["files"], "append", doc["schema"],
         stats=doc.get("stats") or None, dv=doc.get("dv") or None,
         constraints=doc.get("constraints"), generated=have or None,
+    )
+
+
+def set_identity(
+    spark: SparkSession,
+    table: str,
+    col: str,
+    start: int = 1,
+    step: int = 1,
+) -> dict:
+    """X158 — Delta's ``GENERATED BY DEFAULT AS IDENTITY``: persist an
+    identity sequence (``start``, ``step``) on an EXISTING bigint
+    column. Every subsequent write OMITTING the column gets the next
+    consecutive values allocated (a scalable two-pass zipWithIndex —
+    never a global sort); a write SUPPLYING it is accepted and the
+    watermark advances past its values in the allocation direction
+    (the BY DEFAULT semantics; NULLs refuse — identity columns are
+    implicitly NOT NULL). The watermark starts PAST the current live
+    values (Delta's SYNC IDENTITY alignment), so existing data never
+    collides with future allocations; existing NULLs stay NULL
+    (identity is not a backfill — same rule as generated columns).
+
+    Values are UNIQUE among all allocations and aligned supplied
+    values, but not gapless (Delta's contract: a failed write burns
+    its range). Concurrency: a racing allocation surfaces
+    CommitConflict instead of rebasing (two blind appends would have
+    allocated the same range — Delta's identity conflict); maintenance
+    publishes inherit the metadata like constraints. A column cannot
+    be both identity and GENERATED ALWAYS AS."""
+    if step == 0:
+        raise ValueError("identity step must be non-zero")
+    cur = current_version(spark, table)
+    if cur is None:
+        raise ValueError(f"no such versioned table: {table}")
+    doc = _version_doc(spark, table, cur)
+    shape = dict(_schema_shape(doc["schema"]))
+    if col not in shape:
+        raise ValueError(
+            f"identity column {col!r} not in the table schema "
+            f"{sorted(shape)} — add it first (merge_schema=True append)"
+        )
+    if shape[col] != "bigint":
+        raise ValueError(
+            f"identity column {col!r} has type {shape[col]} — identity "
+            "requires bigint"
+        )
+    if col in (doc.get("generated") or {}):
+        raise ValueError(
+            f"column {col!r} is GENERATED ALWAYS AS — a column cannot "
+            "be both generated and identity"
+        )
+    live = read_version(spark, table, cur)
+    q = F.col(f"`{col}`")
+    row = live.agg(F.max(q).alias("mx"), F.min(q).alias("mn")).first()
+    high = start - step  # nothing allocated yet
+    ext = row["mx"] if step > 0 else row["mn"]
+    if ext is not None:
+        aligned = _identity_grid_ceil(int(ext), start, step)
+        if (step > 0 and aligned > high) or (step < 0 and aligned < high):
+            high = aligned
+    merged = dict(doc.get("identity") or {})
+    merged[col] = {"start": int(start), "step": int(step), "high": int(high)}
+    return _publish(
+        spark, table, cur + 1, doc["files"], "append", doc["schema"],
+        stats=doc.get("stats") or None, dv=doc.get("dv") or None,
+        identity=merged,
+    )
+
+
+def drop_identity(spark: SparkSession, table: str, col: str) -> dict:
+    """X158 — stop identity allocation for ``col``: publishes a
+    files-unchanged version without its metadata; raises if the
+    column has none (the drop_generated rule — a silent no-op would
+    hide a typo)."""
+    cur = current_version(spark, table)
+    if cur is None:
+        raise ValueError(f"no such versioned table: {table}")
+    doc = _version_doc(spark, table, cur)
+    have = dict(doc.get("identity") or {})
+    if col not in have:
+        raise ValueError(
+            f"no identity sequence on {col!r} of {table} "
+            f"(present: {sorted(have) or 'none'})"
+        )
+    del have[col]
+    return _publish(
+        spark, table, cur + 1, doc["files"], "append", doc["schema"],
+        stats=doc.get("stats") or None, dv=doc.get("dv") or None,
+        identity=have or None,
+    )
+
+
+def sync_identity(spark: SparkSession, table: str, col: str) -> dict:
+    """X158 — Delta's ``ALTER TABLE ... SYNC IDENTITY``: re-align the
+    watermark with the column's live values (after a restore exposed
+    older data, or supplied values drifted). The watermark only ever
+    ADVANCES — syncing below previously-allocated values would hand
+    out duplicates."""
+    cur = current_version(spark, table)
+    if cur is None:
+        raise ValueError(f"no such versioned table: {table}")
+    doc = _version_doc(spark, table, cur)
+    have = dict(doc.get("identity") or {})
+    if col not in have:
+        raise ValueError(
+            f"no identity sequence on {col!r} of {table} "
+            f"(present: {sorted(have) or 'none'})"
+        )
+    live = read_version(spark, table, cur)
+    updated = _advance_identity({col: have[col]}, live)
+    have[col] = updated[col]
+    return _publish(
+        spark, table, cur + 1, doc["files"], "append", doc["schema"],
+        stats=doc.get("stats") or None, dv=doc.get("dv") or None,
+        identity=have,
     )
 
 
@@ -2446,11 +2743,14 @@ def rename_column(
     gen = dict(doc.get("generated") or {})
     if old in gen:
         gen[new] = gen.pop(old)
+    ident = dict(doc.get("identity") or {})
+    if old in ident:
+        ident[new] = ident.pop(old)  # X158: re-key, sequence intact
     return _publish(
         spark, table, cur + 1, doc["files"], "append",
         StructType(fields).json(),
         stats=new_stats or None, dv=doc.get("dv") or None,
-        generated=gen or None,
+        generated=gen or None, identity=ident or None,
         colmap=cm or None, retired=doc.get("retired"),
         schema_change={"op": "rename", "from": old, "to": new},
     )
@@ -2500,11 +2800,13 @@ def drop_column(spark: SparkSession, table: str, col: str) -> dict:
         f: {c: b for c, b in s.items() if c != col}
         for f, s in stats.items()
     }
+    ident = dict(doc.get("identity") or {})
+    ident.pop(col, None)  # X158: dropping the column drops its sequence
     return _publish(
         spark, table, cur + 1, doc["files"], "append",
         StructType([f for f in st.fields if f.name != col]).json(),
         stats=new_stats or None, dv=doc.get("dv") or None,
-        generated=gen or None,
+        generated=gen or None, identity=ident or None,
         colmap=cm or None, retired=retired,
         schema_change={"op": "drop", "column": col},
     )
@@ -2560,6 +2862,7 @@ def describe_detail(
         "properties": dict(doc.get("properties") or {}),
         "colmap": dict(doc.get("colmap") or {}),
         "retired_columns": list(doc.get("retired") or []),
+        "identity": dict(doc.get("identity") or {}),
         "latest_checkpoint": max(
             (n for n in cks if n <= v), default=None
         ),
@@ -2610,10 +2913,25 @@ def restore(
     if version == cur:
         return _version_doc(spark, table, cur)  # no-op: already there
     doc = _version_doc(spark, table, version)
+    # X158: the restored metadata's watermark must stay MONOTONE —
+    # values allocated by the rolled-back versions are burned forever
+    # (re-issuing them after a later re-insert would duplicate ids),
+    # exactly why sync_identity also only advances
+    rid = dict(doc.get("identity") or {})
+    if rid:
+        cur_id = _version_doc(spark, table, cur).get("identity") or {}
+        for c, m in rid.items():
+            cm_ = cur_id.get(c)
+            if cm_ and cm_.get("step") == m.get("step"):
+                if m["step"] > 0:
+                    rid[c] = {**m, "high": max(m["high"], cm_["high"])}
+                else:
+                    rid[c] = {**m, "high": min(m["high"], cm_["high"])}
     return _publish(
         spark, table, cur + 1, doc["files"], "overwrite", doc["schema"],
         stats=doc.get("stats") or None, dv=doc.get("dv") or None,
         colmap=doc.get("colmap"), retired=doc.get("retired"),
+        identity=rid or None,
     )
 
 
