@@ -3435,11 +3435,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # metadata doc carrying files+dv+stats), v4 = restore(t, 1)
         # (metadata-only rollback), v5 = optimize(zorder_by=
         # ["o_orderkey"], default stats_cols inherited from the base
-        # doc — the ADVICE r12 path), v6 = optimize(curve="hilbert")
-        # over TWO dims with stats on both (r16, X156), v7 =
+        # doc — the ADVICE r12 path), v6/v7 = persisted clustering
+        # policy (cluster.by + cluster.curve=hilbert properties —
+        # r16, X159), v8 = BARE optimize consuming it (a hilbert
+        # rewrite over TWO dims with stats on both — r16, X156), v9 =
         # rename_column(o_totalprice→price) — metadata-only over all
-        # seven file generations (r16, X157). Arms and their oracle
-        # slices:
+        # file generations, with the policy following the rename
+        # (r16, X157). Arms and their oracle slices:
         # v1_ds = k%3 in (0,1); v2_ds / v2_rv = v1 minus k%7==0
         # (DataSource-vs-read_version parity, shared oracle rows);
         # v3_rv = k%3==2 (time travel past the restore); clone_ds =
@@ -3545,33 +3547,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 f"{opt['n_output_files']} files read"
             )
 
-            # r16 — X156 oracle grade (VERDICT r15 ask #3, the
-            # zorder_skipping pattern on the Hilbert curve): v6 =
-            # optimize(curve="hilbert") of the SAME restored state
-            # over TWO dims (a 1-D Hilbert curve is just a sort; the
-            # curve only earns its 4x write cost multi-dim), stats on
-            # BOTH cluster columns. Arms: hopt_rv = content identity
-            # of the rewrite (the v1 slice again); hprune_k /
-            # hprune_p = band reads through prune= on EACH clustered
-            # column, with files-actually-skipped asserts — the
-            # tighter per-file rectangles must skip on BOTH dims.
+            # r16 — X156 + X159 oracle grade (VERDICT r15 ask #3, the
+            # zorder_skipping pattern on the Hilbert curve): the
+            # clustering policy is PERSISTED as table properties
+            # (v6/v7 — Delta liquid clustering's CLUSTER BY, X159) and
+            # a BARE optimize consumes it (v8) — a hilbert rewrite of
+            # the SAME restored state over TWO dims (a 1-D Hilbert
+            # curve is just a sort; the curve only earns its 4x write
+            # cost multi-dim), stats on BOTH cluster columns. Arms:
+            # hopt_rv = content identity of the rewrite (the v1 slice
+            # again); hprune_k / hprune_p = band reads through prune=
+            # on EACH clustered column, with files-actually-skipped
+            # asserts — the tighter per-file rectangles must skip on
+            # BOTH dims.
+            tl.set_property(
+                spark, t, "cluster.by", "o_orderkey,o_totalprice"
+            )  # v6
+            tl.set_property(spark, t, "cluster.curve", "hilbert")  # v7
             hopt = tl.optimize(
                 spark, t, target_bytes=8192,
-                zorder_by=["o_orderkey", "o_totalprice"],
-                curve="hilbert",
                 stats_cols=["o_orderkey", "o_totalprice"],
             )
-            assert hopt["version"] == 6, hopt
+            assert hopt["version"] == 8, hopt
             assert hopt["n_output_files"] >= 2, hopt
             hpr_k = tl.read_version(
-                spark, t, 6, prune=[("o_orderkey", "<=", cut)]
+                spark, t, 8, prune=[("o_orderkey", "<=", cut)]
             )
             nk = hpr_k.select(F.input_file_name()).distinct().count()
             # exact power-of-two halving: bit-identical in DuckDB
             pmx = orders.agg(F.max("o_totalprice")).first()[0]
             pcut = pmx / 2
             hpr_p = tl.read_version(
-                spark, t, 6, prune=[("o_totalprice", "<=", pcut)]
+                spark, t, 8, prune=[("o_totalprice", "<=", pcut)]
             )
             np_ = hpr_p.select(F.input_file_name()).distinct().count()
             # r16 — X157 oracle grade (column mapping): v7 = a
@@ -3585,13 +3592,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             # schema stays uniform; stats were re-keyed by the rename,
             # pinned by a prune= on the NEW name losing nothing.
             ren = tl.rename_column(spark, t, "o_totalprice", "price")
-            assert ren["version"] == 7, ren
-            ren_rv = tl.read_version(spark, t, 7).withColumnRenamed(
+            assert ren["version"] == 9, ren
+            # the persisted policy followed the rename (X159 x X157)
+            assert tl.table_properties(spark, t)["cluster.by"] == (
+                "o_orderkey,price"
+            )
+            ren_rv = tl.read_version(spark, t, 9).withColumnRenamed(
                 "price", "o_totalprice"
             )
-            ren_ds = ds(t, 7).withColumnRenamed("price", "o_totalprice")
+            ren_ds = ds(t, 9).withColumnRenamed("price", "o_totalprice")
             ren_pr = tl.read_version(
-                spark, t, 7, prune=[("price", "<=", pcut)]
+                spark, t, 9, prune=[("price", "<=", pcut)]
             )
             ren_pr = ren_pr.where(
                 F.col("price") <= pcut
@@ -3667,7 +3678,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .unionByName(agg("clone_ds", ds(c, 0)))
                 .unionByName(agg("opt_rv", tl.read_version(spark, t, 5)))
                 .unionByName(agg("prune", pruned.where(k <= cut)))
-                .unionByName(agg("hopt_rv", tl.read_version(spark, t, 6)))
+                .unionByName(agg("hopt_rv", tl.read_version(spark, t, 8)))
                 .unionByName(agg("hprune_k", hpr_k.where(k <= cut)))
                 .unionByName(
                     agg(

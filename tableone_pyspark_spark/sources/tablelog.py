@@ -2584,7 +2584,20 @@ _KNOWN_PROPERTIES = {
     "vacuum.keep_last": lambda v: int(v) >= 1,
     "vacuum.min_age_seconds": lambda v: float(v) >= 0,
     "checkpoint.every": lambda v: int(v) >= 1,
+    # X159 — persisted clustering keys (Delta liquid clustering's
+    # CLUSTER BY): a comma-separated column list + optional curve,
+    # consumed as optimize()'s defaults (explicit args always win)
+    "cluster.by": lambda v: bool(
+        v.strip() and all(c.strip() for c in v.split(","))
+    ),
+    "cluster.curve": lambda v: v in ("zorder", "hilbert"),
 }
+
+
+def _cluster_by_property(props: dict | None) -> list[str]:
+    """The persisted clustering column list (X159), [] when unset."""
+    raw = (props or {}).get("cluster.by", "")
+    return [c.strip() for c in raw.split(",") if c.strip()]
 
 
 def set_property(
@@ -2746,11 +2759,20 @@ def rename_column(
     ident = dict(doc.get("identity") or {})
     if old in ident:
         ident[new] = ident.pop(old)  # X158: re-key, sequence intact
+    props = dict(doc.get("properties") or {})
+    cb = _cluster_by_property(props)
+    if old in cb:
+        # X159: the persisted clustering policy follows the logical
+        # rename (column mapping keeps logical references current)
+        props["cluster.by"] = ",".join(
+            new if c == old else c for c in cb
+        )
     return _publish(
         spark, table, cur + 1, doc["files"], "append",
         StructType(fields).json(),
         stats=new_stats or None, dv=doc.get("dv") or None,
         generated=gen or None, identity=ident or None,
+        properties=props or None,
         colmap=cm or None, retired=doc.get("retired"),
         schema_change={"op": "rename", "from": old, "to": new},
     )
@@ -2782,6 +2804,12 @@ def drop_column(spark: SparkSession, table: str, col: str) -> dict:
         raise ValueError(f"no such column {col!r} — table has {names}")
     if len(names) == 1:
         raise ValueError(f"cannot drop {col!r} — it is the last column")
+    if col in _cluster_by_property(doc.get("properties")):
+        raise ValueError(
+            f"cannot drop {col!r}: it is a persisted clustering key "
+            "(cluster.by) — unset the property or re-cluster on other "
+            "columns first"
+        )
     gen = dict(doc.get("generated") or {})
     gen.pop(col, None)  # dropping a generated column drops its expr
     probe_doc = dict(doc)
@@ -3607,7 +3635,7 @@ def optimize(
     target_bytes: int = 128 * 1024 * 1024,
     stats_cols: list[str] | None = None,
     zorder_by: list[str] | None = None,
-    curve: str = "zorder",
+    curve: str | None = None,
 ) -> dict:
     """Delta-style ``OPTIMIZE``: rewrite the CURRENT version's live
     rows into ~``target_bytes`` files and publish the result as a new
@@ -3635,6 +3663,14 @@ write_target_sized`'s sampled bytes-per-row estimate (one bounded
     count spans tighter per-file rectangles (the layout behind
     Delta's liquid clustering); only meaningful with ``zorder_by``.
 
+    X159 (Delta liquid clustering's ``CLUSTER BY``): when
+    ``zorder_by`` is None, the table's persisted ``cluster.by`` /
+    ``cluster.curve`` properties supply the defaults — the TABLE owns
+    its clustering policy, so a bare ``optimize(table)`` from any
+    maintenance job re-clusters correctly (the vacuum-property rule:
+    explicit args always win; pass ``zorder_by=[]`` to explicitly
+    opt out into a plain compaction).
+
     ``zorder_by`` (Delta's ``OPTIMIZE ... ZORDER BY``): lay the
     rewrite out by the Morton key over those columns (numeric,
     string, date, or timestamp — r15) instead
@@ -3647,17 +3683,9 @@ write_target_sized`'s sampled bytes-per-row estimate (one bounded
     Returns ``{version, n_input_files, n_output_files}``."""
     from tableone_pyspark_spark.sources.compact import write_target_sized
 
-    if curve not in ("zorder", "hilbert"):
+    if curve is not None and curve not in ("zorder", "hilbert"):
         raise ValueError(
             f"curve must be zorder/hilbert, got {curve!r}"
-        )
-    if curve != "zorder" and not zorder_by:
-        # a non-default curve with no clustering columns would fall
-        # through to the arrival-order rewrite — the caller would
-        # believe the table was Hilbert-clustered (ADVICE r15)
-        raise ValueError(
-            f"curve={curve!r} needs zorder_by columns — without them "
-            "the rewrite is arrival-ordered, not clustered"
         )
     if target_bytes <= 0:
         # the zorder branch divides by this; the plain branch would
@@ -3667,6 +3695,27 @@ write_target_sized`'s sampled bytes-per-row estimate (one bounded
     if base is None:
         raise ValueError(f"no such versioned table: {table}")
     doc = _version_doc(spark, table, base)
+    # X159: resolve clustering defaults from the table's persisted
+    # policy — explicit args win, zorder_by=[] explicitly opts out
+    props = doc.get("properties") or {}
+    explicit_optout = zorder_by is not None and not zorder_by
+    if zorder_by is None:
+        zorder_by = _cluster_by_property(props) or None
+    if curve is None and explicit_optout:
+        # zorder_by=[] opts out of the whole persisted policy — the
+        # property curve is only meaningful with clustering columns
+        curve = "zorder"
+    else:
+        curve = curve or props.get("cluster.curve") or "zorder"
+    if curve != "zorder" and not zorder_by:
+        # a non-default curve with no clustering columns would fall
+        # through to the arrival-order rewrite — the caller would
+        # believe the table was Hilbert-clustered (ADVICE r15)
+        raise ValueError(
+            f"curve={curve!r} needs zorder_by columns (argument or "
+            "the cluster.by property) — without them the rewrite is "
+            "arrival-ordered, not clustered"
+        )
     if stats_cols is None:
         # default to the column set the base version's stats doc
         # covers, so a routine compaction preserves skipping quality

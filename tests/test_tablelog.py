@@ -2957,3 +2957,51 @@ def test_optimize_hilbert_curve(spark, tmp_path):
     # must refuse loudly, not fall through to an arrival-order rewrite
     with pytest.raises(ValueError, match="zorder_by"):
         tl.optimize(spark, t, curve="hilbert")
+
+
+def test_persisted_clustering_keys(spark, tmp_path):
+    """X159 — Delta liquid clustering's CLUSTER BY as table
+    properties: a bare optimize() consumes cluster.by/cluster.curve;
+    explicit args win; zorder_by=[] opts out; the policy follows a
+    column rename and blocks dropping a clustering key."""
+    orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    t = str(tmp_path / "liq_tbl")
+    tl.commit(
+        spark,
+        orders.select("o_orderkey", "o_custkey").repartition(4),
+        t,
+        stats_cols=["o_orderkey", "o_custkey"],
+    )
+    with pytest.raises(ValueError, match="invalid value"):
+        tl.set_property(spark, t, "cluster.curve", "peano")
+    with pytest.raises(ValueError, match="invalid value"):
+        tl.set_property(spark, t, "cluster.by", " , ")
+    tl.set_property(spark, t, "cluster.by", "o_orderkey,o_custkey")
+    tl.set_property(spark, t, "cluster.curve", "hilbert")
+    # a BARE optimize re-clusters by the persisted policy
+    opt = tl.optimize(spark, t, target_bytes=4096)
+    assert opt["n_output_files"] >= 3, opt
+    mx = orders.agg(F.max("o_orderkey")).first()[0]
+    for col, cut in (("o_orderkey", mx // 4), ("o_custkey", 50)):
+        pruned = tl.read_version(spark, t, prune=[(col, "<=", cut)])
+        n_read = pruned.select(F.input_file_name()).distinct().count()
+        assert n_read < opt["n_output_files"], (col, n_read, opt)
+    # explicit opt-out: zorder_by=[] is a plain compaction, no raise
+    # even though the property names a hilbert curve
+    tl.optimize(spark, t, target_bytes=1 << 20, zorder_by=[])
+    # the policy follows a rename...
+    tl.rename_column(spark, t, "o_custkey", "cust")
+    assert tl.table_properties(spark, t)["cluster.by"] == "o_orderkey,cust"
+    opt = tl.optimize(spark, t, target_bytes=4096)
+    assert opt["n_output_files"] >= 3
+    pruned = tl.read_version(spark, t, prune=[("cust", "<=", 50)])
+    assert (
+        pruned.select(F.input_file_name()).distinct().count()
+        < opt["n_output_files"]
+    )
+    # ...and blocks dropping a clustering key until unset
+    with pytest.raises(ValueError, match="cluster.by"):
+        tl.drop_column(spark, t, "cust")
+    tl.unset_property(spark, t, "cluster.by")
+    tl.drop_column(spark, t, "cust")
+    assert tl.read_version(spark, t).columns == ["o_orderkey"]
