@@ -139,10 +139,25 @@ def _current_version(table: str) -> int | None:
     return _log_listing(table)[0]
 
 
+#: X160 — this DataSource's supported reader features; byte-parity
+#: with tablelog.READER_FEATURES (kept local: planning workers must
+#: stay pyspark-free). A doc requiring more refuses loudly instead of
+#: misreading (e.g. NULL-filling a renamed column).
+_READER_FEATURES = frozenset({"colmap", "dv"})
+
+
 def _doc(table: str, version: int) -> dict:
     fsys, p = _pa_fs(table)
     with fsys.open_input_file(f"{p}/_log/v{version}.json") as f:
-        return json.loads(f.read().decode("utf-8"))
+        doc = json.loads(f.read().decode("utf-8"))
+    missing = set(doc.get("reader_requires") or []) - _READER_FEATURES
+    if missing:
+        raise ValueError(
+            f"version {version} of {table} requires reader features "
+            f"{sorted(missing)} this build does not support — upgrade "
+            "the library before reading this table"
+        )
+    return doc
 
 
 def _latest_checkpoint(table: str, max_version: int) -> int | None:

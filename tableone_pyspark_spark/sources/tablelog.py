@@ -152,6 +152,56 @@ def _log_maxima(
     return best, sorted(cks)
 
 
+#: X160 — protocol feature gates (Delta's reader/writer table
+#: features): every version doc STAMPS the features its readers and
+#: writers must understand, and this build refuses docs requiring
+#: features it lacks — a loud upgrade error instead of a silent
+#: misread (a reader without column mapping would NULL-fill every
+#: renamed column; a writer without generated-column support would
+#: publish rows that violate the persisted expressions). Old docs
+#: carry no stamp and always pass; old readers ignore the field —
+#: the gate protects every build FROM THIS ONE FORWARD.
+READER_FEATURES = frozenset({"colmap", "dv"})
+WRITER_FEATURES = READER_FEATURES | frozenset(
+    {"constraints", "generated", "identity", "properties"}
+)
+
+
+def _doc_feature_stamps(doc: dict) -> tuple[list, list]:
+    """(reader_requires, writer_requires) for a doc's content."""
+    rr = []
+    if doc.get("colmap"):
+        rr.append("colmap")
+    if doc.get("dv"):
+        rr.append("dv")
+    wr = list(rr)
+    for k in ("constraints", "generated", "identity", "properties"):
+        if doc.get(k):
+            wr.append(k)
+    return sorted(rr), sorted(wr)
+
+
+def _check_reader_features(doc: dict, table: str) -> None:
+    missing = set(doc.get("reader_requires") or []) - READER_FEATURES
+    if missing:
+        raise ValueError(
+            f"version {doc.get('version')} of {table} requires reader "
+            f"features {sorted(missing)} this build does not support — "
+            "upgrade the library before reading this table"
+        )
+
+
+def _check_writer_features(doc: dict, table: str) -> None:
+    missing = set(doc.get("writer_requires") or []) - WRITER_FEATURES
+    if missing:
+        raise ValueError(
+            f"version {doc.get('version')} of {table} requires writer "
+            f"features {sorted(missing)} this build does not support — "
+            "writing would break invariants a newer writer maintains; "
+            "upgrade the library"
+        )
+
+
 def current_version(spark: SparkSession, table: str) -> int | None:
     """Highest committed version, or None for a not-yet-created
     table. One directory listing of _log/ — metadata-sized."""
@@ -159,7 +209,12 @@ def current_version(spark: SparkSession, table: str) -> int | None:
 
 
 def _version_doc(spark: SparkSession, table: str, version: int) -> dict:
-    return _read_json(spark, f"{table}/_log/v{version}.json")
+    doc = _read_json(spark, f"{table}/_log/v{version}.json")
+    # X160: the one parse point every read AND write path flows
+    # through — a doc requiring reader features this build lacks must
+    # refuse before anything consumes its file list
+    _check_reader_features(doc, table)
+    return doc
 
 
 def _list_parquet(spark: SparkSession, root: str) -> list[str]:
@@ -277,6 +332,10 @@ def _publish(
     prev_published = (
         _version_doc(spark, table, version - 1) if version > 0 else None
     )
+    if prev_published is not None:
+        # X160: publishing on top of a doc maintained by a more
+        # capable writer would break its invariants — refuse
+        _check_writer_features(prev_published, table)
     if constraints is _INHERIT:
         constraints = (
             prev_published.get("constraints") if prev_published else None
@@ -352,6 +411,11 @@ def _publish(
         # audit string stamped on the version doc (job id, ticket,
         # pipeline run), surfaced by describe_detail and history
         doc["user_metadata"] = str(user_metadata)
+    rr, wr = _doc_feature_stamps(doc)
+    if rr:
+        doc["reader_requires"] = rr
+    if wr:
+        doc["writer_requires"] = wr
     _write_log_doc_exclusive(spark, table, f"v{version}.json", doc)
     ck_every = CHECKPOINT_EVERY
     if properties and "checkpoint.every" in properties:

@@ -478,6 +478,60 @@ def test_colmap_differential_fuzz(spark, tmp_path):
             assert got == want, (seed, sv, got, want)
 
 
+def test_protocol_feature_gates(spark, tmp_path):
+    """X160 — reader/writer feature stamps (Delta's protocol table
+    features): a mapped table's docs announce what readers/writers
+    must understand; plain tables stay stamp-free (old-doc
+    back-compat); a doc requiring UNKNOWN features refuses loudly on
+    every engine instead of misreading."""
+    import json as _json
+
+    t = str(tmp_path / "proto_tbl")
+    tl.commit(spark, spark.createDataFrame([(1, 2.0)], "k long, v double"), t)
+    d0 = tl._version_doc(spark, t, 0)
+    assert "reader_requires" not in d0 and "writer_requires" not in d0
+    tl.rename_column(spark, t, "v", "w")
+    d1 = tl._version_doc(spark, t, 1)
+    assert d1["reader_requires"] == ["colmap"]
+    assert "colmap" in d1["writer_requires"]
+    # appends inherit the stamps with the mapping
+    tl.commit(spark, spark.createDataFrame([(2, 3.0)], "k long, w double"), t)
+    assert tl._version_doc(spark, t, 2)["reader_requires"] == ["colmap"]
+
+    # forge a FUTURE reader feature: every read path refuses
+    cur = tl.current_version(spark, t)
+    forged = dict(tl._version_doc(spark, t, cur))
+    forged["version"] = cur + 1
+    forged["reader_requires"] = ["colmap", "rowtracking_v9"]
+    with open(f"{t}/_log/v{cur + 1}.json", "w") as fh:
+        _json.dump(forged, fh)
+    with pytest.raises(ValueError, match="rowtracking_v9"):
+        tl.read_version(spark, t)
+    from tableone_pyspark_spark.sources.stream_source import (
+        TablelogDataSource,
+    )
+
+    spark.dataSource.register(TablelogDataSource)
+    with pytest.raises(Exception, match="rowtracking_v9"):
+        spark.read.format("tablelog").load(t).collect()
+    # a write on top refuses too (the doc read refuses first)
+    with pytest.raises(ValueError, match="rowtracking_v9"):
+        tl.commit(
+            spark, spark.createDataFrame([(3, 4.0)], "k long, w double"), t
+        )
+
+    # forge a future WRITER-only feature: reads fine, writes refuse
+    forged["reader_requires"] = ["colmap"]
+    forged["writer_requires"] = ["colmap", "autocompact_v9"]
+    with open(f"{t}/_log/v{cur + 1}.json", "w") as fh:
+        _json.dump(forged, fh)
+    assert tl.read_version(spark, t).count() == 2
+    with pytest.raises(ValueError, match="autocompact_v9"):
+        tl.commit(
+            spark, spark.createDataFrame([(3, 4.0)], "k long, w double"), t
+        )
+
+
 def test_rename_race_refuses_blind_append_rebase(spark, tmp_path, monkeypatch):
     """X148 x X157: a blind append whose slot race was lost to an
     interleaved RENAME must surface CommitConflict (its files were
