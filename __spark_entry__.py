@@ -4131,24 +4131,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # R17 handoff: after this round the 50 r15-graded rows become the
     # stale-1 front (merge_suite, the stream rows, the dedup/ANN
     # carries — window_plan.py prints the exact order).
+    # R17 rotation (VERDICT r16 ask #1): zero stale-2s exist, so the
+    # front is exactly the 50 r15-graded stale-1s. merge_suite and
+    # the stale-1 stream rows LEAD — r16's tablelog diff (X157 column
+    # mapping, X158 identity, X159 persisted policy, X160 feature
+    # gates) touches merge_suite's staged commit/read paths and the
+    # stream readers (sources/stream_source.py + tablelog read seams),
+    # so they are the highest-information re-grades; the remaining 44
+    # follow in window_plan.py order. R17 additionally lands X161
+    # incremental OPTIMIZE + X162 disjoint delete/merge rebase + X163
+    # type widening inside merge_suite / tablelog pytest coverage —
+    # merge_suite's staged table is the graded oracle surface those
+    # commit paths run through.
+    # R18 handoff: after this round the 50 r16-graded rows become the
+    # stale-1 front (tablelog_lifecycle/wap_commit/mv_lifecycle
+    # leading again, since any r17 tablelog diff runs through their
+    # staged paths — window_plan.py prints the exact order).
     _front = [
-        # r15-changed staged paths lead (tablelog rewrite re-grades)
-        "tablelog_lifecycle", "wap_commit", "mv_lifecycle",
-        # the remaining 47 r14-graded stale-1s, window_plan.py order
-        "cont_stats_by_group", "ttest_stat", "anova_stat", "chi2_stat",
-        "tableone_unstrat", "tableone_orders", "weighted_quantiles_cont",
-        "tableone_strat_dataq", "tableone_beautify", "tableone_joined",
-        "top_orders", "sales_cube", "asof_suite", "user_sessions",
-        "event_funnel", "incremental_dedup_indexed", "compact_roundtrip",
-        "fence_single_eval", "lm_perplexity", "bloom_probe",
-        "dedup_clusters", "ivfpq_recall", "salted_collect",
-        "semantic_dedup_keep", "value_histogram", "hourly_anomalies",
-        "seasonality", "resample_gaps", "stream_enriched",
-        "stream_sessions_builtin", "profile_lineitem", "filter_funnel",
-        "corr_matrix", "chunk_docs", "price_cuts", "jpeg_decode_stats",
-        "gif_decode_stats", "stream_dedup", "stream_bloom",
-        "resize_stats", "pack_sequences", "sample_splits", "cms_counts",
-        "warc_pipeline", "stream_cms", "wds_shards", "snapshot_diff",
+        # r16-changed staged/stream paths lead (colmap/identity/
+        # gates diff re-grades)
+        "merge_suite", "stream_tableone", "stream_tableone_weighted",
+        "stream_sessions", "stream_join", "stream_drift",
+        # the remaining 44 r15-graded stale-1s, window_plan.py order
+        "cat_counts", "cat_pivot", "tableone_strat",
+        "tableone_weighted", "tableone_pvalues", "tableone_supplier",
+        "revenue_by_nation", "retention_cohorts", "text_stats",
+        "lang_confusion", "repetition_stats", "ccnet_buckets",
+        "span_dedup", "dsir_weights", "exact_dedup_keep",
+        "paragraph_dedup", "embedding_neardup", "lsh_recall",
+        "opq_recall", "skew_profile", "salted_join",
+        "quantize_profile", "tfidf_terms", "cluster_reps",
+        "cell_quality", "ml_minhash", "frame_stats",
+        "events_type_stats", "range_join_ship", "simhash_neardup",
+        "curate_documents", "mixture_weights", "phash_neardup",
+        "png_decode_stats", "audio_meta", "pii_profile",
+        "k_anon_orders", "decontam_stats", "dup_ngram_stats",
+        "quality_scores", "fuzzy_pairs", "pca_project",
+        "heavy_hitters", "nfc_keys",
     ]
     assert len(_front) == 50 and len(set(_front)) == 50
     assert set(_front) <= set(q), sorted(set(_front) - set(q))
