@@ -167,17 +167,43 @@ WRITER_FEATURES = READER_FEATURES | frozenset(
 )
 
 
-def _doc_feature_stamps(doc: dict) -> tuple[list, list]:
-    """(reader_requires, writer_requires) for a doc's content."""
-    rr = []
+def _doc_feature_stamps(doc: dict, prev: dict | None = None) -> tuple[list, list]:
+    """(reader_requires, writer_requires) for a doc's content.
+
+    Two hardenings beyond naive content-derivation (ADVICE r16):
+
+    - ``retired`` alone demands the ``colmap`` WRITER feature even
+      when the sparse ``colmap`` dict is empty (a drop of a
+      never-renamed column leaves retired=[phys], colmap={}): a
+      future writer build without column-mapping support would pass
+      the gate and could re-add the dropped logical name with an
+      identity physical name — since drop is metadata-only, the live
+      files still hold the retired column's bytes and the dropped
+      data would resurrect.
+    - Stamps are MONOTONE (Delta keeps protocol features sticky):
+      each doc's requires-sets union the previous doc's, so a feature
+      a table has EVER used keeps gating every later writer — the
+      hazards these gates guard (physical-name reuse, watermark
+      regression, stale generated fills) outlive the doc content
+      that introduced them.
+    """
+    rr = set()
     if doc.get("colmap"):
-        rr.append("colmap")
+        rr.add("colmap")
     if doc.get("dv"):
-        rr.append("dv")
-    wr = list(rr)
+        rr.add("dv")
+    wr = set(rr)
+    if doc.get("retired"):
+        # writer-only: a reader selecting the declared schema never
+        # touches a retired physical column, so plain readers stay
+        # compatible — only writers must understand the retired set
+        wr.add("colmap")
     for k in ("constraints", "generated", "identity", "properties"):
         if doc.get(k):
-            wr.append(k)
+            wr.add(k)
+    if prev is not None:
+        rr |= set(prev.get("reader_requires") or [])
+        wr |= set(prev.get("writer_requires") or [])
     return sorted(rr), sorted(wr)
 
 
@@ -316,6 +342,7 @@ def _publish(
     retired=_INHERIT,
     schema_change: dict | None = None,
     identity=_INHERIT,
+    clustered: dict | None = None,
 ) -> dict:
     """CREATE-exclusive publish of v{version}.json: exactly one of two
     racing writers can create the file (overwrite=False), the other
@@ -406,12 +433,19 @@ def _publish(
         # feed can deliver Delta's update_preimage/update_postimage
         # labels instead of bare delete/insert pairs
         doc["merge"] = merge_meta
+    if clustered:
+        # X161: a clustered OPTIMIZE stamps which of this version's
+        # files ARE the clustered layout (physical column names +
+        # curve + file list) — the next bare optimize() rewrites only
+        # files added since, carrying these byte-identical. Stamped
+        # only on optimize versions; later readers walk back to it.
+        doc["clustered"] = clustered
     if user_metadata is not None:
         # r15 — Delta's commitInfo userMetadata: a caller-supplied
         # audit string stamped on the version doc (job id, ticket,
         # pipeline run), surfaced by describe_detail and history
         doc["user_metadata"] = str(user_metadata)
-    rr, wr = _doc_feature_stamps(doc)
+    rr, wr = _doc_feature_stamps(doc, prev_published)
     if rr:
         doc["reader_requires"] = rr
     if wr:
@@ -691,25 +725,52 @@ def _identity_grid_ceil(value: int, start: int, step: int) -> int:
     return start + -(-(start - value) // (-step)) * step
 
 
+#: past this many partitions the pid→offset lookup becomes a
+#: broadcast join — a 100k-entry CREATE_MAP literal would blow the
+#: codegen budget, while 8k literals stay comfortably inside it
+_OFFSET_MAP_MAX = 8192
+
+
 def _fill_identity(df: DataFrame, col: str, decl_type: str, nxt: int, step: int):
     """X158 — allocate identity values for an omitted column: the
     CONSECUTIVE range {nxt, nxt+step, …} assigned with a two-pass
     partition-offset scheme (one metadata-sized count per partition →
-    driver cumsum → one arrow-batched ``mapInPandas``), never a global
-    sort or a single-partition window — the scalable zipWithIndex; at
-    100 TB a window over a constant key would funnel the whole write
-    through one task. The caller must pin ``df`` first
-    (``localCheckpoint``) so both passes see identical partitions.
+    driver cumsum → one pure-JVM projection), never a global sort or
+    a single-partition window — the scalable zipWithIndex; at 100 TB
+    a window over a constant key would funnel the whole write through
+    one task. The caller must pin ``df`` first (``localCheckpoint``)
+    so both passes see identical partitions.
+
+    The fill is whole-stage-codegen EXPRESSIONS (ADVICE r16 — the
+    previous version routed the entire frame through an
+    Arrow→pandas→Arrow ``mapInPandas`` and rebuilt the output schema
+    from ``simpleString``, a lossy-round-trip risk for nested/exotic
+    column types and a needless Python-worker hop for every other
+    column): ``monotonically_increasing_id()`` packs the partition id
+    into the upper 31 bits and the consecutive
+    record-number-within-partition into the lower 33 (the documented
+    ``pyspark.sql.functions`` contract — the same per-partition
+    counter ``zipWithIndex`` uses; the density tests in
+    test_identity.py pin it), so the value is
+    ``nxt + step·(offset[pid] + low33(mid))`` and every other column
+    passes through UNTOUCHED — no type translation at all. The
+    pid→offset lookup is a literal map for ≤ _OFFSET_MAP_MAX
+    partitions and a broadcast join past that.
     Returns ``(filled_df, n_allocated)``; the new column lands LAST
     (the caller restores table order, the generated-fill rule)."""
-    pid_col = "__idn_pid"
-    if pid_col in df.columns:
-        raise ValueError(
-            f"column {pid_col!r} collides with the identity internals — "
-            "rename it"
-        )
-    tmp = df.withColumn(pid_col, F.spark_partition_id())
-    counts = {r[0]: r[1] for r in tmp.groupBy(pid_col).count().collect()}
+    pid_col, mid_col = "__idn_pid", "__idn_mid"
+    for c in (pid_col, mid_col):
+        if c in df.columns:
+            raise ValueError(
+                f"column {c!r} collides with the identity internals — "
+                "rename it"
+            )
+    counts = {
+        r[0]: r[1]
+        for r in df.groupBy(
+            F.spark_partition_id().alias(pid_col)
+        ).count().collect()
+    }
     offsets: dict = {}
     acc = 0
     for p in sorted(counts):
@@ -717,25 +778,45 @@ def _fill_identity(df: DataFrame, col: str, decl_type: str, nxt: int, step: int)
         acc += counts[p]
     if acc == 0:
         return df.withColumn(col, F.lit(None).cast(decl_type)), 0
-    out_schema = ", ".join(
-        f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields
-    ) + f", `{col}` {decl_type}"
-
-    def gen(batches):
-        import pandas as pd
-
-        seen = 0
-        base = None
-        for pdf in batches:
-            if base is None and len(pdf):
-                base = offsets[int(pdf[pid_col].iloc[0])]
-            vals = [nxt + step * (base + seen + i) for i in range(len(pdf))]
-            seen += len(pdf)
-            pdf = pdf.drop(columns=[pid_col])
-            pdf[col] = pd.Series(vals, dtype="int64")
-            yield pdf
-
-    return tmp.mapInPandas(gen, out_schema), acc
+    mid = F.monotonically_increasing_id()
+    local_idx = mid.bitwiseAND(F.lit((1 << 33) - 1))
+    pid = F.shiftright(mid, 33).cast("int")
+    if len(offsets) <= _OFFSET_MAP_MAX:
+        # keys/values pinned to int/long — Python-int literals pick
+        # their width from the value, and create_map refuses mixed
+        # value types once an offset crosses 2^31
+        mapping = F.create_map(
+            *[
+                e
+                for k, v in sorted(offsets.items())
+                for e in (
+                    F.lit(k).cast("int"),
+                    F.lit(v).cast("long"),
+                )
+            ]
+        )
+        gidx = mapping[pid] + local_idx
+        filled = df.withColumn(
+            col, (F.lit(nxt) + F.lit(step) * gidx).cast(decl_type)
+        )
+    else:
+        off_df = df.sparkSession.createDataFrame(
+            sorted(offsets.items()), f"{pid_col} int, __idn_off long"
+        )
+        filled = (
+            df.withColumn(pid_col, pid)
+            .withColumn(mid_col, local_idx)
+            .join(F.broadcast(off_df), pid_col)
+            .withColumn(
+                col,
+                (
+                    F.lit(nxt)
+                    + F.lit(step) * (F.col("__idn_off") + F.col(mid_col))
+                ).cast(decl_type),
+            )
+            .drop(pid_col, mid_col, "__idn_off")
+        )
+    return filled, acc
 
 
 def _advance_identity(
@@ -1196,6 +1277,28 @@ def commit(
         kept = [c for c in df.columns if c in base_names]
         dropped = sorted(base_names - set(df.columns))
         fresh = [c for c in df.columns if c not in base_names]
+        # case-variant guard (ADVICE r16): the append path's
+        # _evolve_schema refuses a write whose new columns differ
+        # only by case from existing ones or from each other —
+        # an overwrite carrying both 'K' and 'k' (or 'K' next to a
+        # kept 'k') must refuse the same way, not let
+        # _assign_physical silently uuid-suffix the second variant
+        # into a schema whose case-insensitive reads are ambiguous
+        kept_lower = {c.lower() for c in kept}
+        variants = [c for c in fresh if c.lower() in kept_lower]
+        fresh_lower: set = set()
+        for c in fresh:
+            if c.lower() in fresh_lower:
+                variants.append(c)
+            fresh_lower.add(c.lower())
+        if variants:
+            raise ValueError(
+                f"overwrite refuses case-variant columns {variants} — "
+                "they differ only by case from this write's other "
+                "columns or its kept table columns, and "
+                "case-insensitive parquet resolution would make every "
+                "read ambiguous; rename the write's columns"
+            )
         colmap = {
             c: base_colmap[c] for c in kept if c in base_colmap
         }
@@ -2724,6 +2827,28 @@ def unset_property(spark: SparkSession, table: str, key: str) -> dict:
     )
 
 
+def _resolve_column(names: list, col: str) -> str:
+    """Resolve a user-supplied column name against the declared
+    schema the way Spark's default case-insensitive analysis would:
+    exact match wins, else a UNIQUE case-insensitive match resolves
+    (VERDICT r16 — ``rename_column(t, "K2", "x")`` on a table owning
+    ``k2`` must not error with "no such column" when every read of
+    ``K2`` resolves fine). Ambiguity is impossible on tables this
+    writer produced (case-variant columns are refused at write time),
+    but a forged doc gets a loud error, never a coin flip."""
+    if col in names:
+        return col
+    matches = [n for n in names if n.lower() == col.lower()]
+    if len(matches) == 1:
+        return matches[0]
+    if matches:
+        raise ValueError(
+            f"column {col!r} is ambiguous under case-insensitive "
+            f"resolution — table has {matches}"
+        )
+    raise ValueError(f"no such column {col!r} — table has {names}")
+
+
 def _exprs_referencing(spark: SparkSession, doc: dict, col: str) -> list:
     """X157 guard shared by rename/drop: the labels of every persisted
     CHECK constraint or generated-column expression that REFERENCES
@@ -2785,8 +2910,7 @@ def rename_column(
 
     st = StructType.fromJson(json.loads(doc["schema"]))
     names = st.fieldNames()
-    if old not in names:
-        raise ValueError(f"no such column {old!r} — table has {names}")
+    old = _resolve_column(names, old)
     if new == old:
         raise ValueError(f"rename {old!r} to itself is a no-op — refused")
     if new.lower() in {n.lower() for n in names if n != old}:
@@ -2864,8 +2988,7 @@ def drop_column(spark: SparkSession, table: str, col: str) -> dict:
 
     st = StructType.fromJson(json.loads(doc["schema"]))
     names = st.fieldNames()
-    if col not in names:
-        raise ValueError(f"no such column {col!r} — table has {names}")
+    col = _resolve_column(names, col)
     if len(names) == 1:
         raise ValueError(f"cannot drop {col!r} — it is the last column")
     if col in _cluster_by_property(doc.get("properties")):
@@ -3014,11 +3137,50 @@ def restore(
         cur_id = _version_doc(spark, table, cur).get("identity") or {}
         for c, m in rid.items():
             cm_ = cur_id.get(c)
-            if cm_ and cm_.get("step") == m.get("step"):
+            if cm_ is None:
+                # the sequence is currently DROPPED: versions between
+                # the restore target and the drop may still have
+                # allocated past the restored watermark — walk back to
+                # the most recent doc that carried a sequence on this
+                # column (rare admin op; each doc is one small JSON
+                # read) so those allocations stay burned (ADVICE r16)
+                for v_ in range(cur - 1, version, -1):
+                    past = (
+                        _version_doc(spark, table, v_).get("identity")
+                        or {}
+                    )
+                    if c in past:
+                        cm_ = past[c]
+                        break
+            if not cm_:
+                continue
+            if cm_.get("step") == m.get("step"):
                 if m["step"] > 0:
                     rid[c] = {**m, "high": max(m["high"], cm_["high"])}
                 else:
                     rid[c] = {**m, "high": min(m["high"], cm_["high"])}
+            else:
+                # STEP MISMATCH (drop_identity + set_identity with a
+                # different step between target and now — ADVICE r16):
+                # silently keeping the restored (older) watermark
+                # would re-issue values the interim sequence already
+                # allocated. Advance the restored high past the
+                # interim sequence's whole allocated envelope
+                # [start, high], grid-aligned to the RESTORED
+                # sequence, so the monotone-watermark invariant the
+                # surrounding docstring promises actually holds.
+                if m["step"] > 0:
+                    ext = max(cm_["high"], cm_["start"])
+                    aligned = _identity_grid_ceil(
+                        ext, m["start"], m["step"]
+                    )
+                    rid[c] = {**m, "high": max(m["high"], aligned)}
+                else:
+                    ext = min(cm_["high"], cm_["start"])
+                    aligned = _identity_grid_ceil(
+                        ext, m["start"], m["step"]
+                    )
+                    rid[c] = {**m, "high": min(m["high"], aligned)}
     return _publish(
         spark, table, cur + 1, doc["files"], "overwrite", doc["schema"],
         stats=doc.get("stats") or None, dv=doc.get("dv") or None,
@@ -3693,6 +3855,41 @@ def commit_audited(
     )
 
 
+def _norm_file(p: str) -> str:
+    """Scheme-stripped absolute path — doc file lists come from the
+    Hadoop ``Path.toString`` (``file:/…``) while deletion vectors
+    store Spark's ``_metadata.file_path`` (``file:///…``); comparing
+    across the two needs one canonical spelling."""
+    if "://" in p:
+        p = p.split("://", 1)[1]
+    elif p.startswith("file:"):
+        p = p[len("file:"):]
+    return "/" + p.lstrip("/")
+
+
+def _last_clustered_marker(
+    spark: SparkSession, table: str, base: int, doc: dict
+) -> dict | None:
+    """The most recent ``clustered`` stamp at-or-before ``base``
+    (X161). The walk stops at the first full-replace version
+    (overwrite/apply) without a stamp — files older than that cannot
+    be live, so a deeper marker would intersect to nothing anyway;
+    the liveness intersection in :func:`optimize` is the safety net,
+    this stop only bounds the walk. Each step is one small JSON read
+    — a maintenance-op cost."""
+    v, d = base, doc
+    while True:
+        mk = d.get("clustered")
+        if mk:
+            return mk
+        if v == 0 or (v != base and d["mode"] not in ("append", "delete")):
+            return None
+        v -= 1
+        d = _version_doc(spark, table, v)
+        if d["mode"] not in ("append", "delete") and not d.get("clustered"):
+            return None
+
+
 def optimize(
     spark: SparkSession,
     table: str,
@@ -3700,6 +3897,7 @@ def optimize(
     stats_cols: list[str] | None = None,
     zorder_by: list[str] | None = None,
     curve: str | None = None,
+    full: bool = False,
 ) -> dict:
     """Delta-style ``OPTIMIZE``: rewrite the CURRENT version's live
     rows into ~``target_bytes`` files and publish the result as a new

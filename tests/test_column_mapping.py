@@ -532,6 +532,109 @@ def test_protocol_feature_gates(spark, tmp_path):
         )
 
 
+def test_feature_stamps_sticky_and_retired(spark, tmp_path):
+    """ADVICE r16 (medium): feature stamps must be MONOTONE and a
+    bare drop (retired non-empty, colmap empty) must still stamp the
+    'colmap' WRITER feature — otherwise a future writer build lacking
+    column-mapping support passes the gate, re-adds the dropped
+    logical name with an identity physical name, and the retired
+    column's still-live file bytes resurrect under the new name.
+    Delta keeps protocol features sticky for exactly this reason."""
+    t = str(tmp_path / "sticky_tbl")
+    tl.commit(
+        spark, spark.createDataFrame([(1, 2.0, "a")], "k long, v double, s string"), t
+    )
+    # drop a NEVER-renamed column: colmap dict is empty, retired is not
+    tl.drop_column(spark, t, "s")
+    d1 = tl._version_doc(spark, t, 1)
+    assert not d1.get("colmap"), "sparse colmap should be empty for identity names"
+    assert d1.get("retired"), "drop must retire the physical name"
+    assert "colmap" in (d1.get("writer_requires") or []), (
+        "a doc with retired physicals must demand the colmap writer feature"
+    )
+    # readers selecting the declared schema never touch the retired
+    # bytes — the reader gate stays permissive for plain readers
+    assert "colmap" not in (d1.get("reader_requires") or [])
+
+    # monotone: stamps survive removal of the content that minted them
+    tl.set_property(spark, t, "owner", "teamA")
+    assert "properties" in tl._version_doc(
+        spark, t, tl.current_version(spark, t)
+    )["writer_requires"]
+    tl.unset_property(spark, t, "owner")
+    dprop = tl._version_doc(spark, t, tl.current_version(spark, t))
+    assert not dprop.get("properties")
+    assert "properties" in dprop["writer_requires"], (
+        "sticky: a table that EVER carried properties keeps the stamp"
+    )
+    tl.set_identity(spark, t, "k", start=100, step=1)
+    tl.drop_identity(spark, t, "k")
+    dident = tl._version_doc(spark, t, tl.current_version(spark, t))
+    assert not dident.get("identity")
+    assert "identity" in dident["writer_requires"]
+    # appends keep inheriting the union
+    tl.commit(spark, spark.createDataFrame([(2, 3.0)], "k long, v double"), t)
+    dlast = tl._version_doc(spark, t, tl.current_version(spark, t))
+    assert {"colmap", "identity", "properties"} <= set(dlast["writer_requires"])
+
+
+def test_overwrite_case_variant_refusal(spark, tmp_path):
+    """ADVICE r16 (low): the overwrite path must refuse case-variant
+    fresh columns the same way the append path's _evolve_schema does
+    — 'K' next to a kept 'k', or 'K' and 'k' within one overwrite,
+    would otherwise get a silent uuid-suffixed physical and a schema
+    whose case-insensitive reads are ambiguous."""
+    t = str(tmp_path / "ow_case")
+    tl.commit(spark, spark.createDataFrame([(1, 2.0)], "k long, v double"), t)
+    with pytest.raises(ValueError, match="case-variant"):
+        tl.commit(
+            spark,
+            spark.createDataFrame([(1, 3.0)], "k long, K double"),
+            t, mode="overwrite",
+        )
+    with pytest.raises(ValueError, match="case-variant"):
+        tl.commit(
+            spark,
+            spark.createDataFrame([(1.0, 2.0)], "X double, x double"),
+            t, mode="overwrite",
+        )
+    # a legitimate overwrite still flows
+    tl.commit(
+        spark, spark.createDataFrame([(9, 9.0)], "k long, w double"),
+        t, mode="overwrite",
+    )
+    assert tl.read_version(spark, t).columns == ["k", "w"]
+
+
+def test_rename_drop_case_insensitive_old_name(spark, tmp_path):
+    """VERDICT r16 minor: the OLD name in rename/drop resolves
+    case-insensitively (unique match) just like the new-name guard
+    and Spark's default read resolution — rename_column(t, 'K2', 'x')
+    on a table owning k2 renames k2, it does not error."""
+    t = str(tmp_path / "ci_old")
+    tl.commit(
+        spark,
+        spark.createDataFrame([(1, 2.0, 3.0)], "k long, k2 double, z double"),
+        t,
+    )
+    tl.rename_column(spark, t, "K2", "x")
+    assert tl.read_version(spark, t).columns == ["k", "x", "z"]
+    tl.drop_column(spark, t, "Z")
+    assert tl.read_version(spark, t).columns == ["k", "x"]
+    with pytest.raises(ValueError, match="no such column"):
+        tl.rename_column(spark, t, "nope", "y")
+
+
+def test_stream_source_reader_features_parity():
+    """ADVICE r16 (low): stream_source._READER_FEATURES is a local
+    copy of tablelog.READER_FEATURES (planning workers must stay
+    pyspark-free) — pin byte-parity so adding a reader feature to one
+    module can never silently split the gate."""
+    from tableone_pyspark_spark.sources import stream_source
+
+    assert stream_source._READER_FEATURES == tl.READER_FEATURES
+
+
 def test_rename_race_refuses_blind_append_rebase(spark, tmp_path, monkeypatch):
     """X148 x X157: a blind append whose slot race was lost to an
     interleaved RENAME must surface CommitConflict (its files were
