@@ -3886,8 +3886,6 @@ def _last_clustered_marker(
             return None
         v -= 1
         d = _version_doc(spark, table, v)
-        if d["mode"] not in ("append", "delete") and not d.get("clustered"):
-            return None
 
 
 def optimize(
@@ -3942,7 +3940,25 @@ write_target_sized`'s sampled bytes-per-row estimate (one bounded
     a z-ordered rewrite without stats skips nothing). File count =
     ceil(live bytes / target_bytes), one extra range shuffle.
 
-    Returns ``{version, n_input_files, n_output_files}``."""
+    X161 (Delta's incremental clustering): a clustered rewrite stamps
+    a ``clustered`` marker (physical columns + curve + file list) on
+    the version it publishes; the NEXT clustered optimize with the
+    SAME policy rewrites only the files added since — the marker's
+    still-live, DV-untouched files carry BYTE-IDENTICAL into the new
+    version, so routine bare ``optimize()`` under a persisted
+    ``cluster.by`` costs ∝ new data, not table size (at 100 TB the
+    difference between a nightly job and an impossibility). The
+    carried files form their own clustered stratum: each file keeps
+    its narrow per-column min/max rectangle, so ``prune=`` reads skip
+    exactly as before; new data is clustered among itself (Delta's
+    incremental OPTIMIZE makes the same trade — no global re-sort).
+    ``full=True`` forces the whole-table rewrite (Delta's ``OPTIMIZE
+    FULL``); a policy change (different columns or curve) does too.
+    Files touched by a live deletion vector are always rewritten —
+    the published version carries no vectors.
+
+    Returns ``{version, n_input_files (rewritten), n_output_files,
+    n_clustered_carried}``."""
     from tableone_pyspark_spark.sources.compact import write_target_sized
 
     if curve is not None and curve not in ("zorder", "hilbert"):
@@ -4002,12 +4018,62 @@ write_target_sized`'s sampled bytes-per-row estimate (one bounded
             "version": base,
             "n_input_files": 0,
             "n_output_files": 0,
+            "n_clustered_carried": 0,
         }
-    # read THROUGH read_version so deletion vectors are materialized
-    # by the rewrite (the optimized version carries none)
-    cur = read_version(spark, table, base)
     dv = doc.get("dv") or []
-    if dv and cur.isEmpty():
+    cm = _colmap(doc)  # X157: the rewrite stores physical names too
+    zb_phys = [_phys(cm, c) for c in zorder_by] if zorder_by else []
+    # X161: with an unchanged clustering policy, the last clustered
+    # rewrite's still-live, DV-untouched files carry byte-identical —
+    # only the files added since get rewritten. The marker compares
+    # in PHYSICAL column space, so renames don't force a full rewrite.
+    carried_clustered: list[str] = []
+    if zorder_by and not full:
+        marker = _last_clustered_marker(spark, table, base, doc)
+        if (
+            marker
+            and marker.get("curve") == curve
+            and marker.get("by") == zb_phys
+        ):
+            live = set(doc["files"])
+            mfiles = [f for f in marker["files"] if f in live]
+            if mfiles and dv:
+                touched = {
+                    _norm_file(r[0])
+                    for r in _dv_frame(spark, dv)
+                    .select("__dv_fp")
+                    .distinct()
+                    .collect()
+                }
+                mfiles = [
+                    f for f in mfiles if _norm_file(f) not in touched
+                ]
+            carried_clustered = mfiles
+    carried_set = set(carried_clustered)
+    rewrite_files = [f for f in doc["files"] if f not in carried_set]
+    carried_stats = {
+        f: st
+        for f, st in (doc.get("stats") or {}).items()
+        if f in carried_set
+    }
+    if not rewrite_files and not dv:
+        # everything live is already clustered under this policy —
+        # the routine maintenance call is FREE (no publish)
+        return {
+            "version": base,
+            "n_input_files": 0,
+            "n_output_files": 0,
+            "n_clustered_carried": len(carried_clustered),
+        }
+    # read THROUGH the DV anti-join so deletion vectors are
+    # materialized by the rewrite (the optimized version carries none)
+    if carried_clustered:
+        cur = _read_files(spark, rewrite_files, doc["schema"], cm)
+        if dv:
+            cur = _apply_dv(spark, cur, dv)
+    else:
+        cur = read_version(spark, table, base)
+    if cur.isEmpty() and not carried_clustered:
         # every row is DV-deleted: the materialized table is empty —
         # publish an empty overwrite (the writers below would raise
         # on an empty frame; self-review r12)
@@ -4021,11 +4087,15 @@ write_target_sized`'s sampled bytes-per-row estimate (one bounded
             "version": base + 1,
             "n_input_files": len(doc["files"]),
             "n_output_files": 0,
+            "n_clustered_carried": 0,
         }
     data_dir = f"{table}/data/{uuid.uuid4().hex}"
-    cm = _colmap(doc)  # X157: the rewrite stores physical names too
     cur_w = _to_physical(cur, cm)
-    if zorder_by:
+    if cur.isEmpty():
+        # the whole rewrite set is DV-deleted but clustered files
+        # survive: publish the carried layout alone (no data write)
+        pass
+    elif zorder_by:
         from tableone_pyspark_spark.sources.io import (
             write_hilbert_clustered,
             write_zordered,
@@ -4034,20 +4104,20 @@ write_target_sized`'s sampled bytes-per-row estimate (one bounded
         fs, _ = _fs(spark, table)
         live_bytes = sum(
             fs.getFileStatus(_path(spark, f)).getLen()
-            for f in doc["files"]
+            for f in rewrite_files
         )
         if dv:
             # raw file lengths include DV-deleted rows; scale by the
             # surviving fraction or a 90%-deleted table would get
             # ~10x too many undersized files (self-review r12). One
             # count over the small vectors + one over the
-            # materialized view — maintenance-op cost.
+            # materialized view — maintenance-op cost. (All DV rows
+            # target the rewrite set — carried files are DV-free.)
             n_del = spark.read.parquet(*dv).count()
             n_live = cur.count()
             if n_live + n_del > 0:
                 live_bytes = int(live_bytes * n_live / (n_live + n_del))
         n_files = max(1, -(-live_bytes // target_bytes))
-        zb_phys = [_phys(cm, c) for c in zorder_by]
         if curve == "hilbert":
             write_hilbert_clustered(
                 cur_w, data_dir, zb_phys, n_files=int(n_files),
@@ -4062,13 +4132,19 @@ write_target_sized`'s sampled bytes-per-row estimate (one bounded
         write_target_sized(
             cur_w, data_dir, target_bytes, mode="errorifexists"
         )
-    new_files = _list_parquet(spark, data_dir)
+    new_files = [] if cur.isEmpty() else _list_parquet(spark, data_dir)
     stats = (
         _remap_stats(
             _collect_file_stats(spark, new_files, stats_cols, cm),
             new_files,
         )
-        if stats_cols
+        if stats_cols and new_files
+        else None
+    )
+    marker_out = (
+        {"by": zb_phys, "curve": curve,
+         "files": new_files + carried_clustered}
+        if zorder_by
         else None
     )
     # r15 — maintenance-vs-ingest concurrency (Delta's conflict
@@ -4088,8 +4164,11 @@ write_target_sized`'s sampled bytes-per-row estimate (one bounded
         try:
             if head == base:
                 _publish(
-                    spark, table, base + 1, new_files, "overwrite",
-                    doc["schema"], stats=stats,
+                    spark, table, base + 1,
+                    new_files + carried_clustered, "overwrite",
+                    doc["schema"],
+                    stats={**(stats or {}), **carried_stats} or None,
+                    clustered=marker_out,
                 )
                 carried: list[str] = []
             else:
@@ -4103,15 +4182,19 @@ write_target_sized`'s sampled bytes-per-row estimate (one bounded
                     if f in set(carried)
                 }
                 _publish(
-                    spark, table, head + 1, new_files + carried,
+                    spark, table, head + 1,
+                    new_files + carried_clustered + carried,
                     "overwrite", hdoc["schema"],
-                    stats={**(stats or {}), **hstats} or None,
+                    stats={**(stats or {}), **carried_stats, **hstats}
+                    or None,
+                    clustered=marker_out,
                 )
             return {
                 "version": (base if head == base else head) + 1,
-                "n_input_files": len(doc["files"]),
+                "n_input_files": len(rewrite_files),
                 "n_output_files": len(new_files),
                 "n_carried_files": len(carried),
+                "n_clustered_carried": len(carried_clustered),
             }
         except CommitConflict:
             nh = current_version(spark, table)

@@ -3005,3 +3005,126 @@ def test_persisted_clustering_keys(spark, tmp_path):
     tl.unset_property(spark, t, "cluster.by")
     tl.drop_column(spark, t, "cust")
     assert tl.read_version(spark, t).columns == ["o_orderkey"]
+
+
+def test_optimize_incremental_clustering(spark, tmp_path):
+    """X161 — incremental clustered OPTIMIZE (Delta's incremental
+    liquid clustering): under an unchanged policy, a second optimize
+    rewrites ONLY files added since the last clustered rewrite; the
+    previously-clustered files carry BYTE-IDENTICAL (same paths, same
+    modification times); pruned reads keep skipping across the merged
+    layout; and a third bare call with nothing new is FREE (no
+    publish)."""
+    orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    t = str(tmp_path / "inc_tbl")
+    half = orders.where(F.col("o_orderkey") % 2 == 0)
+    rest = orders.where(F.col("o_orderkey") % 2 == 1)
+    tl.commit(
+        spark,
+        half.select("o_orderkey", "o_custkey").repartition(4),
+        t, stats_cols=["o_orderkey", "o_custkey"],
+    )
+    tl.set_property(spark, t, "cluster.by", "o_orderkey,o_custkey")
+    opt1 = tl.optimize(spark, t, target_bytes=4096)           # full
+    assert opt1["n_output_files"] >= 3 and opt1["n_clustered_carried"] == 0
+    doc1 = tl._version_doc(spark, t, opt1["version"])
+    assert doc1["clustered"]["by"] == ["o_orderkey", "o_custkey"]
+    clustered_files = set(doc1["clustered"]["files"])
+    assert clustered_files == set(doc1["files"])
+    fs, _ = tl._fs(spark, t)
+    mtimes_before = {
+        f: fs.getFileStatus(tl._path(spark, f)).getModificationTime()
+        for f in clustered_files
+    }
+    # append new data, then a bare optimize: rewrite ∝ new data
+    tl.commit(
+        spark,
+        rest.select("o_orderkey", "o_custkey").repartition(3),
+        t, stats_cols=["o_orderkey", "o_custkey"],
+    )
+    opt2 = tl.optimize(spark, t, target_bytes=4096)
+    assert opt2["n_clustered_carried"] == len(clustered_files), opt2
+    assert opt2["n_input_files"] == 3, opt2  # only the appended files
+    doc2 = tl._version_doc(spark, t, opt2["version"])
+    # carried files: same paths, same bytes on disk (never rewritten)
+    assert clustered_files < set(doc2["files"])
+    for f in clustered_files:
+        assert (
+            fs.getFileStatus(tl._path(spark, f)).getModificationTime()
+            == mtimes_before[f]
+        ), f"clustered file rewritten: {f}"
+    # content identity across the merged layout
+    assert tl.read_version(spark, t).count() == orders.count()
+    # carried stats survive: pruned reads skip files in BOTH strata
+    # (with this few files the z-split lands on the custkey bits, so
+    # prune on that dimension)
+    mx = orders.agg(F.max("o_custkey")).first()[0]
+    cut = int(mx * 0.25)
+    pruned = tl.read_version(spark, t, prune=[("o_custkey", "<=", cut)])
+    n_read = pruned.select(F.input_file_name()).distinct().count()
+    assert n_read < len(doc2["files"]), (n_read, len(doc2["files"]))
+    # prune is file-level skipping — the row filter on top is exact
+    assert (
+        pruned.where(F.col("o_custkey") <= cut).count()
+        == orders.where(F.col("o_custkey") <= cut).count()
+    )
+    # third bare call: nothing new — FREE, no version published
+    head = tl.current_version(spark, t)
+    opt3 = tl.optimize(spark, t, target_bytes=4096)
+    assert opt3["n_output_files"] == 0 and opt3["version"] == head
+    assert opt3["n_clustered_carried"] == len(doc2["files"])
+    assert tl.current_version(spark, t) == head
+    # full=True forces the whole-table rewrite
+    opt4 = tl.optimize(spark, t, target_bytes=4096, full=True)
+    assert opt4["n_clustered_carried"] == 0
+    assert opt4["n_input_files"] == len(doc2["files"])
+    assert tl.read_version(spark, t).count() == orders.count()
+
+
+def test_optimize_incremental_policy_change_and_dv(spark, tmp_path):
+    """X161 guards: a policy change (columns or curve) voids the
+    marker (full rewrite); a DV touching a clustered file forces that
+    file back into the rewrite set and the published version carries
+    no vectors."""
+    orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    t = str(tmp_path / "inc_guard")
+    tl.commit(
+        spark,
+        orders.select("o_orderkey", "o_custkey").repartition(4),
+        t, stats_cols=["o_orderkey"],
+    )
+    opt1 = tl.optimize(
+        spark, t, target_bytes=4096, zorder_by=["o_orderkey"],
+    )
+    assert opt1["n_clustered_carried"] == 0
+    # curve change → full rewrite even though columns match
+    opt2 = tl.optimize(
+        spark, t, target_bytes=4096, zorder_by=["o_orderkey"],
+        curve="hilbert",
+    )
+    assert opt2["n_clustered_carried"] == 0
+    assert opt2["n_input_files"] == opt1["n_output_files"]
+    # same policy again → free no-op
+    opt3 = tl.optimize(
+        spark, t, target_bytes=4096, zorder_by=["o_orderkey"],
+        curve="hilbert",
+    )
+    assert opt3["n_output_files"] == 0
+    # DV-delete rows living in SOME clustered files, then re-optimize:
+    # touched files are rewritten (they leave the carry set), the
+    # published version carries no dv, and the deleted rows are gone
+    n_before = tl.read_version(spark, t).count()
+    lo = orders.agg(F.min("o_orderkey")).first()[0]
+    rep = tl.delete_rows(spark, t, F.col("o_orderkey") == lo)
+    assert rep["n_deleted"] >= 1
+    opt4 = tl.optimize(
+        spark, t, target_bytes=4096, zorder_by=["o_orderkey"],
+        curve="hilbert",
+    )
+    assert 0 < opt4["n_clustered_carried"] < opt2["n_output_files"], opt4
+    assert opt4["n_input_files"] >= 1
+    doc4 = tl._version_doc(spark, t, opt4["version"])
+    assert not doc4.get("dv")
+    assert tl.read_version(spark, t).count() == n_before - rep["n_deleted"]
+    got = tl.read_version(spark, t).where(F.col("o_orderkey") == lo)
+    assert got.count() == 0
