@@ -1487,6 +1487,63 @@ def commit(
 #: contention, not data work
 APPEND_REBASE_RETRIES = 6
 
+
+def _publish_rebasing_over_appends(
+    spark: SparkSession, table: str, base: int, doc: dict, publish_at, op: str
+):
+    """X162 — shared row-level-op rebase (Delta's WriteSerializable
+    conflict matrix for DELETE/MERGE vs blind appends): a deletion
+    vector targets positions in the BASE version's files, and a blind
+    append only ADDS files, so an interleaved append can never
+    invalidate the vector — re-publish on the new head instead of
+    raising. Semantically this serializes the delete/merge BEFORE the
+    appends that beat it to the slot (appended rows matching the
+    predicate/keys survive — the phantom-row reordering
+    WriteSerializable permits; Delta's default isolation makes the
+    same trade for blind appends). Anything else interleaved still
+    refuses: another delete/merge (the dv changed — concurrent
+    vectors were matched against different live views), an
+    overwrite/optimize/restore (the base files the vector points into
+    were replaced), or a rename/drop ``schema_change`` (the X148
+    refusal precedent).
+
+    ``publish_at(head, hdoc)`` performs the actual publish at
+    ``head + 1`` from the head's doc and returns the op's report."""
+    head, base_dv = base, doc.get("dv") or []
+    for _ in range(APPEND_REBASE_RETRIES):
+        try:
+            hdoc = doc if head == base else _version_doc(spark, table, head)
+            return publish_at(head, hdoc)
+        except CommitConflict:
+            nh = current_version(spark, table)
+            if nh is None or nh <= head:
+                raise
+            for v in range(head + 1, nh + 1):
+                d = _version_doc(spark, table, v)
+                if (
+                    d["mode"] != "append"
+                    or (d.get("dv") or []) != base_dv
+                    or d.get("schema_change")
+                ):
+                    raise CommitConflict(
+                        f"table {table} moved past v{base} during {op} "
+                        f"with a non-append change (v{v} is "
+                        f"{d['mode']!r}"
+                        + (
+                            " + schema_change"
+                            if d.get("schema_change")
+                            else ""
+                        )
+                        + f") — the {op}'s positions are stale; re-run "
+                        "on the new version"
+                    ) from None
+            head = nh
+    raise CommitConflict(
+        f"{op} of {table} lost {APPEND_REBASE_RETRIES} consecutive "
+        "slot races — pathological contention; retry with backoff"
+    )
+
+
 _PRUNE_OPS = ("=", "<", "<=", ">", ">=")
 
 
@@ -1702,9 +1759,11 @@ def delete_rows(spark: SparkSession, table: str, predicate) -> dict:
     vectors already applied, so re-deleting is a no-op), entirely
     distributed — matched positions go straight to parquet, never
     through the driver. A no-match delete publishes nothing. Race
-    safety: the new version targets base+1, so a concurrent commit
-    wins the CREATE-exclusive slot and this delete raises
-    :class:`CommitConflict` (its vector dir is an invisible orphan).
+    safety (X162): a slot race lost to BLIND APPENDS rebases onto the
+    new head (the vector targets base files; appends only add — see
+    :func:`_publish_rebasing_over_appends` for the WriteSerializable
+    phantom-row trade); any other interleaved change raises
+    :class:`CommitConflict` (the vector dir is an invisible orphan).
     Returns ``{version, n_deleted}``."""
     base = current_version(spark, table)
     if base is None:
@@ -1717,13 +1776,23 @@ def delete_rows(spark: SparkSession, table: str, predicate) -> dict:
     )
     if n == 0:
         return {"version": base, "n_deleted": 0}
-    _publish(
-        spark, table, base + 1, doc["files"], "delete", doc["schema"],
-        stats=doc.get("stats") or None,
-        dv=(doc.get("dv") or []) + new_dv,
-        constraints=doc.get("constraints"),
+
+    # X162: a lost slot race against blind appends rebases (the
+    # vector targets base files, appends only add) — see
+    # _publish_rebasing_over_appends for the isolation trade
+    def _pub(head: int, hdoc: dict) -> dict:
+        _publish(
+            spark, table, head + 1, hdoc["files"], "delete",
+            hdoc["schema"],
+            stats=hdoc.get("stats") or None,
+            dv=(hdoc.get("dv") or []) + new_dv,
+            constraints=hdoc.get("constraints"),
+        )
+        return {"version": head + 1, "n_deleted": int(n)}
+
+    return _publish_rebasing_over_appends(
+        spark, table, base, doc, _pub, "delete"
     )
-    return {"version": base + 1, "n_deleted": int(n)}
 
 
 def _live_view(spark: SparkSession, doc: dict) -> DataFrame:
@@ -1819,11 +1888,14 @@ def merge_rows(
     expressed in an append stream; the new files then deliver
     at-least-once like Delta's ignoreChanges).
 
-    Race safety: the publish targets base+1 (CREATE-exclusive slot);
-    a concurrent commit wins and this merge raises
-    :class:`CommitConflict` — its data/vector dirs are invisible
-    orphans, vacuumable. Returns ``{version, n_deleted,
-    n_inserted}`` (a no-op merge publishes nothing)."""
+    Race safety (X162): the publish targets base+1 (CREATE-exclusive
+    slot); a race lost to BLIND APPENDS rebases onto the new head
+    (the retraction vector targets base files; appends only add —
+    see :func:`_publish_rebasing_over_appends` for the
+    WriteSerializable phantom-row trade); any other interleaved
+    change raises :class:`CommitConflict` — the merge's data/vector
+    dirs are invisible orphans, vacuumable. Returns ``{version,
+    n_deleted, n_inserted}`` (a no-op merge publishes nothing)."""
     if when_matched not in ("update", "delete"):
         raise ValueError(
             f"when_matched must be update/delete, got {when_matched!r}"
@@ -1885,7 +1957,6 @@ def merge_rows(
         return {"version": base, "n_deleted": 0, "n_inserted": 0}
 
     src_keys = source.select(*keys).na.drop(subset=keys).distinct()
-    old_dv = doc.get("dv") or []
 
     # retraction vector: positions of live target rows matched by key
     # — against the CURRENT view (existing vectors pre-applied), the
@@ -1951,35 +2022,48 @@ def merge_rows(
     if not new_dv and not new_files:
         return {"version": base, "n_deleted": 0, "n_inserted": 0}
 
-    stats = dict(doc.get("stats") or {})
-    if stats_cols and new_files:
-        stats.update(
-            _remap_stats(
-                _collect_file_stats(spark, new_files, stats_cols, cm),
-                new_files,
-            )
+    fresh_stats = (
+        _remap_stats(
+            _collect_file_stats(spark, new_files, stats_cols, cm),
+            new_files,
         )
-    # X158: the source shape matches the table's, so identity columns
-    # are always SUPPLIED here — refuse NULLs, advance the watermark
-    identity = dict(doc.get("identity") or {})
-    if identity and new_files:
-        identity = _advance_identity(identity, source)
-    _publish(
-        spark, table, base + 1, doc["files"] + new_files, "merge",
-        doc["schema"], stats=stats or None, dv=(old_dv + new_dv) or None,
-        constraints=doc.get("constraints"),
-        merge_meta={
-            "when_matched": when_matched,
-            "files_post": post_files,
-        },
-        user_metadata=user_metadata,
-        identity=identity or None,
+        if stats_cols and new_files
+        else {}
     )
-    return {
-        "version": base + 1,
-        "n_deleted": int(n_del),
-        "n_inserted": int(n_ins),
-    }
+
+    # X162: a lost slot race against blind appends rebases — the
+    # retraction vector targets base files, appends only add files;
+    # the publish re-derives stats/identity from the HEAD doc so an
+    # interleaved append's files keep their stats and watermark
+    def _pub(head: int, hdoc: dict) -> dict:
+        stats = {**(hdoc.get("stats") or {}), **fresh_stats}
+        # X158: the source shape matches the table's, so identity
+        # columns are always SUPPLIED here — refuse NULLs, advance
+        # the head's watermark
+        identity = dict(hdoc.get("identity") or {})
+        if identity and new_files:
+            identity = _advance_identity(identity, source)
+        _publish(
+            spark, table, head + 1, hdoc["files"] + new_files, "merge",
+            hdoc["schema"], stats=stats or None,
+            dv=((hdoc.get("dv") or []) + new_dv) or None,
+            constraints=hdoc.get("constraints"),
+            merge_meta={
+                "when_matched": when_matched,
+                "files_post": post_files,
+            },
+            user_metadata=user_metadata,
+            identity=identity or None,
+        )
+        return {
+            "version": head + 1,
+            "n_deleted": int(n_del),
+            "n_inserted": int(n_ins),
+        }
+
+    return _publish_rebasing_over_appends(
+        spark, table, base, doc, _pub, "merge"
+    )
 
 
 #: versions between automatic checkpoint docs (X139 — the Delta

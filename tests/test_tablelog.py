@@ -3128,3 +3128,130 @@ def test_optimize_incremental_policy_change_and_dv(spark, tmp_path):
     assert tl.read_version(spark, t).count() == n_before - rep["n_deleted"]
     got = tl.read_version(spark, t).where(F.col("o_orderkey") == lo)
     assert got.count() == 0
+
+
+def test_delete_rebases_across_blind_appends(spark, tmp_path, monkeypatch):
+    """X162 — Delta's WriteSerializable matrix for DELETE vs blind
+    append: a DV delete losing the publish slot to a concurrent blind
+    append rebases onto the new head (its vector targets base files;
+    the append only added). The appended rows survive even when they
+    match the predicate — the delete serializes BEFORE the append
+    (the documented phantom-row trade). A race lost to another
+    delete still refuses."""
+    t = str(tmp_path / "del_race")
+    tl.commit(
+        spark,
+        spark.range(100).select(F.col("id").alias("k")).repartition(4),
+        t,
+    )  # v0
+    orig = tl._write_log_doc_exclusive
+    state = {"raced": False}
+
+    def racy(s, table_, name, doc):
+        if not state["raced"] and table_ == t and name.startswith("v"):
+            state["raced"] = True
+            monkeypatch.setattr(tl, "_write_log_doc_exclusive", orig)
+            # the winner appends rows INSIDE the delete's predicate
+            tl.commit(
+                spark, spark.range(5, 8).select(F.col("id").alias("k")), t
+            )  # v1
+            monkeypatch.setattr(tl, "_write_log_doc_exclusive", racy)
+        return orig(s, table_, name, doc)
+
+    monkeypatch.setattr(tl, "_write_log_doc_exclusive", racy)
+    rep = tl.delete_rows(spark, t, F.col("k") < 10)
+    monkeypatch.setattr(tl, "_write_log_doc_exclusive", orig)
+    assert state["raced"] and rep["version"] == 2, rep
+    assert rep["n_deleted"] == 10
+    got = sorted(r["k"] for r in tl.read_version(spark, t).collect())
+    # base rows 0..9 deleted; the append's 5,6,7 SURVIVE (phantoms)
+    assert got == [5, 6, 7] + list(range(10, 100))
+    d2 = tl._version_doc(spark, t, 2)
+    assert d2["mode"] == "delete" and d2.get("dv")
+
+    # a race lost to ANOTHER DELETE refuses (vectors matched against
+    # different live views)
+    state["raced"] = False
+
+    def racy_del(s, table_, name, doc):
+        if not state["raced"] and table_ == t and name.startswith("v"):
+            state["raced"] = True
+            monkeypatch.setattr(tl, "_write_log_doc_exclusive", orig)
+            tl.delete_rows(spark, t, F.col("k") == 99)
+            monkeypatch.setattr(tl, "_write_log_doc_exclusive", racy_del)
+        return orig(s, table_, name, doc)
+
+    monkeypatch.setattr(tl, "_write_log_doc_exclusive", racy_del)
+    with pytest.raises(tl.CommitConflict, match="non-append"):
+        tl.delete_rows(spark, t, F.col("k") == 50)
+    monkeypatch.setattr(tl, "_write_log_doc_exclusive", orig)
+    # nothing corrupted: the winner's delete is the head
+    got = sorted(r["k"] for r in tl.read_version(spark, t).collect())
+    assert got == [5, 6, 7] + list(range(10, 99))
+
+
+def test_merge_rebases_across_blind_appends(spark, tmp_path, monkeypatch):
+    """X162 — MERGE vs blind append: same rebase rule; the interleaved
+    append's files and stats carry through the merge's head publish;
+    a race lost to a rename (schema_change) still refuses."""
+    t = str(tmp_path / "mrg_race")
+    tl.commit(
+        spark,
+        spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, "c")], "k long, v string"
+        ).repartition(2),
+        t,
+    )  # v0
+    orig = tl._write_log_doc_exclusive
+    state = {"raced": False}
+
+    def racy(s, table_, name, doc):
+        if not state["raced"] and table_ == t and name.startswith("v"):
+            state["raced"] = True
+            monkeypatch.setattr(tl, "_write_log_doc_exclusive", orig)
+            tl.commit(
+                spark,
+                spark.createDataFrame([(9, "z")], "k long, v string"),
+                t,
+                stats_cols=["k"],
+            )  # v1
+            monkeypatch.setattr(tl, "_write_log_doc_exclusive", racy)
+        return orig(s, table_, name, doc)
+
+    monkeypatch.setattr(tl, "_write_log_doc_exclusive", racy)
+    rep = tl.merge_rows(
+        spark, t,
+        spark.createDataFrame([(2, "B"), (4, "d")], "k long, v string"),
+        keys=["k"],
+    )
+    monkeypatch.setattr(tl, "_write_log_doc_exclusive", orig)
+    assert state["raced"] and rep["version"] == 2, rep
+    assert rep["n_deleted"] == 1 and rep["n_inserted"] == 2
+    got = {r["k"]: r["v"] for r in tl.read_version(spark, t).collect()}
+    # 2 updated, 4 inserted, the raced append's 9 carried through
+    assert got == {1: "a", 2: "B", 3: "c", 4: "d", 9: "z"}
+    # the interleaved append's stats survive the rebase
+    d2 = tl._version_doc(spark, t, 2)
+    assert any("k" in s for s in (d2.get("stats") or {}).values())
+
+    # a race lost to a RENAME refuses — the merge's files and vector
+    # were written under the old mapping decisions
+    state["raced"] = False
+
+    def racy_ren(s, table_, name, doc):
+        if not state["raced"] and table_ == t and name.startswith("v"):
+            state["raced"] = True
+            monkeypatch.setattr(tl, "_write_log_doc_exclusive", orig)
+            tl.rename_column(spark, t, "v", "w")
+            monkeypatch.setattr(tl, "_write_log_doc_exclusive", racy_ren)
+        return orig(s, table_, name, doc)
+
+    monkeypatch.setattr(tl, "_write_log_doc_exclusive", racy_ren)
+    with pytest.raises(tl.CommitConflict, match="non-append"):
+        tl.merge_rows(
+            spark, t,
+            spark.createDataFrame([(1, "A")], "k long, v string"),
+            keys=["k"],
+        )
+    monkeypatch.setattr(tl, "_write_log_doc_exclusive", orig)
+    assert tl.read_version(spark, t).columns == ["k", "w"]
