@@ -3608,6 +3608,82 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 F.col("price") <= pcut
             ).withColumnRenamed("price", "o_totalprice")
 
+            # r17 — X161 oracle grade (INCREMENTAL clustered
+            # OPTIMIZE, VERDICT r16 ask #2): v10 appends the k%3==2
+            # slice under the renamed schema; v11 is a BARE optimize
+            # consuming the persisted hilbert policy — the v8
+            # 'clustered' marker compares in PHYSICAL column space,
+            # so it survives the v9 rename, and the rewrite touches
+            # ONLY the appended files: v8's clustered output carries
+            # BYTE-IDENTICAL (mtime hard-gated below) and a repeat
+            # bare call is a FREE no-op (no publish — the routine
+            # maintenance cost the feature exists for). Arms: inc_rv
+            # = content identity across the MERGED layout (all three
+            # k%3 slices — and since the carried files ARE v8's
+            # rewrite output, this checksum strictly SUBSUMES the
+            # former hopt_rv arm, which it REPLACES per the
+            # no-net-arm-growth rule; the hilbert layout's pruning
+            # quality stays graded by hprune_k/hprune_p); inc_prune =
+            # the o_orderkey band through prune= across BOTH strata
+            # (carried stats + fresh stats must skip together).
+            d10 = tl.commit(
+                spark,
+                orders.where(k % 3 == 2)
+                .select(
+                    "o_orderkey", "o_orderstatus",
+                    F.col("o_totalprice").alias("price"),
+                )
+                .coalesce(8),
+                t,
+            )  # v10
+            n_appended = len(
+                [f for f in d10["files"] if f not in set(ren["files"])]
+            )
+            marker_files = tl._version_doc(spark, t, 8)["clustered"][
+                "files"
+            ]
+            fs_, _ = tl._fs(spark, t)
+            mt_before = {
+                f: fs_.getFileStatus(
+                    tl._path(spark, f)
+                ).getModificationTime()
+                for f in marker_files
+            }
+            inc = tl.optimize(spark, t, target_bytes=8192)
+            assert inc["version"] == 11, inc
+            assert (
+                inc["n_clustered_carried"] == hopt["n_output_files"]
+            ), inc
+            assert inc["n_input_files"] == n_appended, inc
+            for f_, m_ in mt_before.items():
+                assert (
+                    fs_.getFileStatus(
+                        tl._path(spark, f_)
+                    ).getModificationTime()
+                    == m_
+                ), f"clustered file rewritten: {f_}"
+            noop = tl.optimize(spark, t, target_bytes=8192)
+            assert noop["n_output_files"] == 0, noop
+            assert tl.current_version(spark, t) == 11
+            inc_rv = tl.read_version(spark, t, 11).withColumnRenamed(
+                "price", "o_totalprice"
+            )
+            inc_pr_raw = tl.read_version(
+                spark, t, 11, prune=[("o_orderkey", "<=", cut)]
+            )
+            d11 = tl._version_doc(spark, t, 11)
+            n_inc_read = (
+                inc_pr_raw.select(F.input_file_name()).distinct().count()
+            )
+            if len(d11["files"]) >= 4:
+                assert n_inc_read < len(d11["files"]), (
+                    f"merged-layout prune skipped nothing: "
+                    f"{n_inc_read} of {len(d11['files'])} files read"
+                )
+            inc_pr = inc_pr_raw.where(k <= cut).withColumnRenamed(
+                "price", "o_totalprice"
+            )
+
             # r16 — X158 oracle grade (identity columns): a side table
             # in the SAME staged root. v0 = empty with the identity
             # column declared, then two appends OMITTING it (the k%3==2
@@ -3678,7 +3754,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .unionByName(agg("clone_ds", ds(c, 0)))
                 .unionByName(agg("opt_rv", tl.read_version(spark, t, 5)))
                 .unionByName(agg("prune", pruned.where(k <= cut)))
-                .unionByName(agg("hopt_rv", tl.read_version(spark, t, 8)))
+                .unionByName(agg("inc_rv", inc_rv))
+                .unionByName(agg("inc_prune", inc_pr))
                 .unionByName(agg("hprune_k", hpr_k.where(k <= cut)))
                 .unionByName(
                     agg(
@@ -6807,11 +6884,23 @@ def oracle_sql() -> dict[str, str]:
                     "o_orderkey % 3 IN (0, 1) AND o_orderkey <= "
                     "(SELECT MAX(o_orderkey) // 2 FROM orders)",
                 ),
-                # r16 hilbert arms (X156): the rewrite is content-
-                # identical to the v1 slice; the band arms halve on
-                # each clustered column (MAX/2 is a power-of-two
-                # division — bit-exact on both engines)
-                ("hopt_rv", "o_orderkey % 3 IN (0, 1)"),
+                # r17 X161 arms (incremental clustered optimize):
+                # inc_rv = the MERGED layout after v10's k%3==2
+                # append + the bare incremental optimize — all three
+                # slices, i.e. every order; since the carried files
+                # are v8's hilbert rewrite output byte-identical,
+                # this checksum subsumes the r16 hopt_rv arm it
+                # replaced. inc_prune = the key band across both
+                # strata (carried + fresh stats skip together).
+                ("inc_rv", "1 = 1"),
+                (
+                    "inc_prune",
+                    "o_orderkey <= "
+                    "(SELECT MAX(o_orderkey) // 2 FROM orders)",
+                ),
+                # r16 hilbert band arms (X156): halve on each
+                # clustered column (MAX/2 is a power-of-two division
+                # — bit-exact on both engines)
                 (
                     "hprune_k",
                     "o_orderkey % 3 IN (0, 1) AND o_orderkey <= "

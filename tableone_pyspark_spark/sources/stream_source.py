@@ -141,9 +141,10 @@ def _current_version(table: str) -> int | None:
 
 #: X160 — this DataSource's supported reader features; byte-parity
 #: with tablelog.READER_FEATURES (kept local: planning workers must
-#: stay pyspark-free). A doc requiring more refuses loudly instead of
-#: misreading (e.g. NULL-filling a renamed column).
-_READER_FEATURES = frozenset({"colmap", "dv"})
+#: stay pyspark-free; test_column_mapping pins the equality). A doc
+#: requiring more refuses loudly instead of misreading (e.g.
+#: NULL-filling a renamed column).
+_READER_FEATURES = frozenset({"colmap", "dv", "widen"})
 
 
 def _doc(table: str, version: int) -> dict:
@@ -242,17 +243,32 @@ def _shape(schema_json: str) -> list[tuple]:
     return [(f.name, f.dataType.simpleString()) for f in st.fields]
 
 
+#: X163 — simpleString widenings, byte-parity with
+#: tablelog._WIDENINGS (kept local: planning workers must stay
+#: pyspark-free; test_type_widening pins the equality)
+_TYPE_WIDENINGS = {
+    "tinyint": ("smallint", "int", "bigint", "double"),
+    "smallint": ("int", "bigint", "double"),
+    "int": ("bigint", "double"),
+    "float": ("double",),
+}
+
+
 def _shape_deliverable(delivered: list[tuple], pinned: list[tuple]) -> bool:
     """Whether a version with shape ``delivered`` can be expressed in
-    a stream pinned to shape ``pinned``: identical, or an ADDITIVE-
+    a stream pinned to shape ``pinned``: identical, an ADDITIVE-
     EVOLUTION SUBSET — every delivered column exists in the pinned
     shape at the same type (X152; the executor readers NULL-fill the
-    missing evolved columns). A version carrying columns the pinned
-    shape lacks, or a retyped column, is NOT deliverable — the stream
-    must be restarted at the change (the output schema cannot grow
-    mid-stream)."""
+    missing evolved columns) — or NARROWER along a lossless widening
+    (X163; the executor readers cast the arrow batches up). A version
+    carrying columns the pinned shape lacks, or an incompatibly
+    retyped column, is NOT deliverable — the stream must be restarted
+    at the change (the output schema cannot grow mid-stream)."""
     p = dict(pinned)
-    return all(p.get(n) == t for n, t in delivered)
+    return all(
+        p.get(n) == t or p.get(n) in _TYPE_WIDENINGS.get(t, ())
+        for n, t in delivered
+    )
 
 
 def _dv_position_map(
@@ -341,16 +357,51 @@ def _arrow_types_cached(schema_json: str):
     return tuple((f.name, to_arrow_type(f.dataType)) for f in st.fields)
 
 
+#: X163 — the lossless arrow up-casts mirroring
+#: tablelog._WIDENINGS (pyarrow type str() spellings: float32 prints
+#: 'float', float64 prints 'double')
+_ARROW_WIDENINGS = {
+    "int8": ("int16", "int32", "int64", "double"),
+    "int16": ("int32", "int64", "double"),
+    "int32": ("int64", "double"),
+    "float": ("double",),
+}
+
+
 def _column_or_nulls(batch, name: str, types: dict, src: str | None = None):
     """The batch's column under its PHYSICAL name (``src``, X157 —
     defaults to the logical ``name`` for unmapped tables), or an
     all-null column of the declared type when the file predates an
-    additive evolution."""
+    additive evolution. A file storing a type NARROWER than the
+    declared one casts UP (X163 type widening — lossless by the
+    widening matrix); any other mismatch raises loudly — a pinned
+    stream whose table widened after the pin must restart at the
+    widening version, never silently down-cast."""
     import pyarrow as pa
 
     src = name if src is None else src
     if src in batch.schema.names:
-        return batch.column(src)
+        col = batch.column(src)
+        want = types[name]
+        if col.type != want:
+            ct, wt = str(col.type), str(want)
+            if wt in _ARROW_WIDENINGS.get(ct, ()):
+                return col.cast(want)  # X163: narrow file, wide schema
+            if ct in _ARROW_WIDENINGS.get(wt, ()):
+                # the FILE is wider than the pinned schema — a silent
+                # down-cast would truncate; only a stream pinned
+                # before a type widening can get here
+                raise ValueError(
+                    f"column {name!r}: file stores {col.type} but the "
+                    f"pinned schema expects {want} — the table's type "
+                    "widened after this stream pinned its schema; "
+                    "restart the stream at the widening version"
+                )
+            # any other difference (nested nullability flags, etc.):
+            # hand the column through unchanged — the arrow→JVM
+            # conversion has been the authority on these long before
+            # X163 and widening never changes nesting
+        return col
     return pa.nulls(batch.num_rows, type=types[name])
 
 

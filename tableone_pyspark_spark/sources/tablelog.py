@@ -161,10 +161,28 @@ def _log_maxima(
 #: publish rows that violate the persisted expressions). Old docs
 #: carry no stamp and always pass; old readers ignore the field —
 #: the gate protects every build FROM THIS ONE FORWARD.
-READER_FEATURES = frozenset({"colmap", "dv"})
+READER_FEATURES = frozenset({"colmap", "dv", "widen"})
 WRITER_FEATURES = READER_FEATURES | frozenset(
     {"constraints", "generated", "identity", "properties"}
 )
+
+#: X163 — the LOSSLESS type widenings merge_schema accepts (Delta's
+#: type widening): the integer chain, float→double, and the integer
+#: types that embed exactly in a double's 53-bit mantissa. bigint→
+#: double is NOT here (loses precision past 2^53); nothing ever
+#: narrows. Old files keep their narrow physical type — Spark 4's
+#: parquet reader promotes natively, the Python DataSource casts the
+#: arrow batches (stream_source._column_or_nulls).
+_WIDENINGS = {
+    "tinyint": ("smallint", "int", "bigint", "double"),
+    "smallint": ("int", "bigint", "double"),
+    "int": ("bigint", "double"),
+    "float": ("double",),
+}
+
+
+def _is_widening(frm: str, to: str) -> bool:
+    return to in _WIDENINGS.get(frm, ())
 
 
 def _doc_feature_stamps(doc: dict, prev: dict | None = None) -> tuple[list, list]:
@@ -192,6 +210,12 @@ def _doc_feature_stamps(doc: dict, prev: dict | None = None) -> tuple[list, list
         rr.add("colmap")
     if doc.get("dv"):
         rr.add("dv")
+    if doc.get("widened"):
+        # X163: live files store types NARROWER than the declared
+        # schema — a reader without widening promotion would fail (or
+        # worse, misread through a cached file schema); writers must
+        # not re-narrow
+        rr.add("widen")
     wr = set(rr)
     if doc.get("retired"):
         # writer-only: a reader selecting the declared schema never
@@ -343,6 +367,7 @@ def _publish(
     schema_change: dict | None = None,
     identity=_INHERIT,
     clustered: dict | None = None,
+    widened=_INHERIT,
 ) -> dict:
     """CREATE-exclusive publish of v{version}.json: exactly one of two
     racing writers can create the file (overwrite=False), the other
@@ -385,6 +410,14 @@ def _publish(
         colmap = prev_published.get("colmap") if prev_published else None
     if retired is _INHERIT:
         retired = prev_published.get("retired") if prev_published else None
+    if widened is _INHERIT:
+        # X163: which columns' live files may store a NARROWER type
+        # than the declared schema — inherits like colmap (a
+        # maintenance publish must never shed the record while narrow
+        # files are still reachable through restore/time travel)
+        widened = (
+            prev_published.get("widened") if prev_published else None
+        )
     if identity is _INHERIT:
         # X158 identity metadata inherits too — a maintenance publish
         # must never reset a watermark (duplicate ids would follow)
@@ -413,6 +446,8 @@ def _publish(
         doc["colmap"] = colmap
     if retired:
         doc["retired"] = retired
+    if widened:
+        doc["widened"] = widened
     if schema_change:
         # X157 — a rename/drop version announces itself so range
         # readers (table_changes) can refuse spanning it loudly
@@ -634,26 +669,59 @@ def _evolve_schema(table_schema_json: str, df_schema_json: str) -> str:
     in dataframe order (forced nullable — old files NULL-fill them).
     A write MISSING some table columns is fine (the table schema
     keeps them — this write's files are NULL-filled on read, Delta's
-    missing-column append rule); a TYPE change raises (no retyping);
-    order-only difference leaves the schema unchanged. Returns the
-    evolved schema json."""
-    from pyspark.sql.types import StructField, StructType
+    missing-column append rule); order-only difference leaves the
+    schema unchanged. TYPE changes (X163, Delta's type widening): a
+    write whose column is WIDER along a lossless :data:`_WIDENINGS`
+    path widens the DECLARED type (old narrow files promote at read
+    time); a write NARROWER along such a path keeps the declared
+    type (the caller casts the dataframe up before writing); any
+    other retyping raises. Returns the evolved schema json."""
+    from pyspark.sql.types import (
+        DoubleType,
+        IntegerType,
+        LongType,
+        ShortType,
+        StructField,
+        StructType,
+    )
 
     tbl = StructType.fromJson(json.loads(table_schema_json))
     new = StructType.fromJson(json.loads(df_schema_json))
     new_types = {f.name: f.dataType.simpleString() for f in new.fields}
-    retyped = [
-        (f.name, f.dataType.simpleString(), new_types[f.name])
-        for f in tbl.fields
-        if f.name in new_types
-        and f.dataType.simpleString() != new_types[f.name]
-    ]
+    retyped = []
+    widen_to: dict[str, str] = {}
+    for f in tbl.fields:
+        if f.name not in new_types:
+            continue
+        old_t, new_t = f.dataType.simpleString(), new_types[f.name]
+        if old_t == new_t:
+            continue
+        if _is_widening(old_t, new_t):
+            widen_to[f.name] = new_t  # declared type widens
+        elif _is_widening(new_t, old_t):
+            pass  # narrow write — caller casts the df up (X163)
+        else:
+            retyped.append((f.name, old_t, new_t))
     if retyped:
         raise ValueError(
             f"merge_schema is additive-only: column type changes "
-            f"{retyped} are refused — this format has no retyping; "
-            "overwrite or migrate explicitly"
+            f"{retyped} are refused (only the lossless widenings "
+            f"{sorted(_WIDENINGS)} evolve, X163) — overwrite or "
+            "migrate explicitly"
         )
+    _atom = {
+        "smallint": ShortType(),
+        "int": IntegerType(),
+        "bigint": LongType(),
+        "double": DoubleType(),
+    }
+    tbl_fields = [
+        StructField(f.name, _atom[widen_to[f.name]], f.nullable, f.metadata)
+        if f.name in widen_to
+        else f
+        for f in tbl.fields
+    ]
+    tbl = StructType(tbl_fields)
     have = {f.name for f in tbl.fields}
     added = [
         StructField(f.name, f.dataType, True, f.metadata)
@@ -1229,10 +1297,16 @@ def commit(
     base_retired = (
         list(pdoc0.get("retired") or []) if prev is not None else []
     )
+    # X163: the doc's widened-column record — an OVERWRITE clears it
+    # (it replaces every live file at this write's width); an append
+    # inherits the base's and adds this write's accepted widenings
+    widened_now: dict = {}
+    tbl_widened: dict = {}
     colmap = base_colmap
     retired = base_retired
     if prev is not None and mode == "append":
         doc = pdoc0  # one metadata read per commit, not three (r15)
+        tbl_widened = dict(doc.get("widened") or {})
         if _schema_shape(doc["schema"]) != _schema_shape(schema_json):
             if not merge_schema:
                 raise ValueError(
@@ -1248,6 +1322,27 @@ def commit(
             # read path resolves by NAME against the doc schema.
             old_names = {n for n, _ in _schema_shape(doc["schema"])}
             schema_json = _evolve_schema(doc["schema"], schema_json)
+            # X163 — the type differences _evolve_schema ACCEPTED are
+            # widenings. A df column NARROWER than the (possibly just
+            # widened) declared type is cast UP before the write, so
+            # this commit's files always store the declared width
+            # (Delta's store-assignment upcast — lossless by the
+            # _WIDENINGS construction); a df column equal to a
+            # freshly-widened declared type is recorded on the doc so
+            # readers know older live files promote.
+            decl_types = dict(_schema_shape(schema_json))
+            for c, t in _schema_shape(df.schema.json()):
+                if c in decl_types and t != decl_types[c]:
+                    df = df.withColumn(
+                        c, F.col(f"`{c}`").cast(decl_types[c])
+                    )
+            old_types = dict(_schema_shape(doc["schema"]))
+            widened_now = {
+                c: [old_types[c], t2]
+                for c, t2 in decl_types.items()
+                if c in old_types and old_types[c] != t2
+            }
+            tbl_widened.update(widened_now)
             added = [
                 n
                 for n, _ in _schema_shape(schema_json)
@@ -1354,6 +1449,7 @@ def commit(
                 user_metadata=user_metadata,
                 colmap=colmap or None, retired=retired or None,
                 identity=tbl_identity or None,
+                widened=tbl_widened or None,
             )
         except CommitConflict:
             # X148 — Delta's blind-append conflict resolution: two
@@ -1451,6 +1547,11 @@ def commit(
                     doc["schema"], df.schema.json()
                 )
                 colmap = {**_colmap(doc), **colmap}
+            # X163: the winner's widened record merges with ours (our
+            # files were written at the BASE declared width — if the
+            # winner widened past it they promote like any older file,
+            # and the winner's own record already covers that column)
+            tbl_widened = {**(doc.get("widened") or {}), **widened_now}
             prev_files = doc["files"]
             stats = dict(doc.get("stats", {}))
             stats.update(new_stats)
@@ -3031,6 +3132,9 @@ def rename_column(
     ident = dict(doc.get("identity") or {})
     if old in ident:
         ident[new] = ident.pop(old)  # X158: re-key, sequence intact
+    wid = dict(doc.get("widened") or {})
+    if old in wid:
+        wid[new] = wid.pop(old)  # X163: the narrow files follow too
     props = dict(doc.get("properties") or {})
     cb = _cluster_by_property(props)
     if old in cb:
@@ -3047,6 +3151,7 @@ def rename_column(
         properties=props or None,
         colmap=cm or None, retired=doc.get("retired"),
         schema_change={"op": "rename", "from": old, "to": new},
+        widened=wid or None,
     )
 
 
@@ -3101,6 +3206,8 @@ def drop_column(spark: SparkSession, table: str, col: str) -> dict:
     }
     ident = dict(doc.get("identity") or {})
     ident.pop(col, None)  # X158: dropping the column drops its sequence
+    wid = dict(doc.get("widened") or {})
+    wid.pop(col, None)  # X163: nobody reads the dropped narrow files
     return _publish(
         spark, table, cur + 1, doc["files"], "append",
         StructType([f for f in st.fields if f.name != col]).json(),
@@ -3108,6 +3215,7 @@ def drop_column(spark: SparkSession, table: str, col: str) -> dict:
         generated=gen or None, identity=ident or None,
         colmap=cm or None, retired=retired,
         schema_change={"op": "drop", "column": col},
+        widened=wid or None,
     )
 
 
@@ -3449,12 +3557,24 @@ def _union_additive(a: DataFrame, b: DataFrame) -> DataFrame:
     range (the allowMissingColumns hazard) — and unionByName's own
     implicit coercion (long->double) would widen a same-name retyping
     just as silently, so types are checked even when the column sets
-    match."""
+    match. The one sanctioned exception (X163): a column whose types
+    differ by a LOSSLESS widening casts the narrow side up — a
+    change-feed range spanning a type-widening commit delivers at the
+    wide type, exactly what a consumer replaying onto the widened
+    table wants."""
     ta = {f.name: f.dataType.simpleString() for f in a.schema.fields}
     tb = {f.name: f.dataType.simpleString() for f in b.schema.fields}
-    conflicts = sorted(
+    diffs = sorted(
         (c, ta[c], tb[c]) for c in set(ta) & set(tb) if ta[c] != tb[c]
     )
+    conflicts = []
+    for c, t_a, t_b in diffs:
+        if _is_widening(t_a, t_b):
+            a = a.withColumn(c, F.col(f"`{c}`").cast(t_b))
+        elif _is_widening(t_b, t_a):
+            b = b.withColumn(c, F.col(f"`{c}`").cast(t_a))
+        else:
+            conflicts.append((c, t_a, t_b))
     if conflicts:
         raise ValueError(
             f"table_changes range spans a column TYPE change "
