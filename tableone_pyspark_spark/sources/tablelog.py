@@ -2516,6 +2516,14 @@ def clone(
         properties=doc.get("properties"),
         colmap=doc.get("colmap"), retired=doc.get("retired"),
         identity=doc.get("identity"),
+        # X163: the clone references the SOURCE's files — if any of
+        # them store a narrower type than the declared schema, the
+        # record (and its 'widen' reader stamp) must ride along or
+        # the clone under-gates old readers (self-review r17). The
+        # X161 marker carries too, so the clone's first bare optimize
+        # stays incremental.
+        widened=doc.get("widened"),
+        clustered=doc.get("clustered"),
     )
 
 
@@ -4100,6 +4108,7 @@ def optimize(
     zorder_by: list[str] | None = None,
     curve: str | None = None,
     full: bool = False,
+    min_file_bytes: int | None = None,
 ) -> dict:
     """Delta-style ``OPTIMIZE``: rewrite the CURRENT version's live
     rows into ~``target_bytes`` files and publish the result as a new
@@ -4143,6 +4152,17 @@ write_target_sized`'s sampled bytes-per-row estimate (one bounded
     ``stats_cols`` + ``read_version(prune=...)`` monetize (pass both;
     a z-ordered rewrite without stats skips nothing). File count =
     ceil(live bytes / target_bytes), one extra range shuffle.
+
+    X164 (Delta's OPTIMIZE file-selection, opt-in): ``min_file_bytes``
+    scopes a PLAIN compaction to files SMALLER than the threshold —
+    already-target-sized files carry byte-identical with their stats,
+    so routine compaction of a hot append table costs ∝ the small-file
+    tail, not the table (pass ``target_bytes // 2``, Delta's
+    minFileSize shape). Fewer than two small files (and no vectors)
+    is a FREE no-op — one file re-written alone is pure churn.
+    ``None`` (the default) keeps the full rewrite; DV-touched files
+    are always rewritten; refused alongside ``zorder_by`` (clustered
+    incrementality is marker-based, below).
 
     X161 (Delta's incremental clustering): a clustered rewrite stamps
     a ``clustered`` marker (physical columns + curve + file list) on
@@ -4227,6 +4247,29 @@ write_target_sized`'s sampled bytes-per-row estimate (one bounded
     dv = doc.get("dv") or []
     cm = _colmap(doc)  # X157: the rewrite stores physical names too
     zb_phys = [_phys(cm, c) for c in zorder_by] if zorder_by else []
+    if min_file_bytes is not None:
+        if zorder_by:
+            raise ValueError(
+                "min_file_bytes applies to PLAIN compaction only — a "
+                "clustered optimize is already incremental via its "
+                "clustered marker (X161); drop one of the two"
+            )
+        if min_file_bytes <= 0:
+            raise ValueError(
+                f"min_file_bytes must be positive, got {min_file_bytes}"
+            )
+
+    def _dv_touched() -> set:
+        if not dv:
+            return set()
+        return {
+            _norm_file(r[0])
+            for r in _dv_frame(spark, dv)
+            .select("__dv_fp")
+            .distinct()
+            .collect()
+        }
+
     # X161: with an unchanged clustering policy, the last clustered
     # rewrite's still-live, DV-untouched files carry byte-identical —
     # only the files added since get rewritten. The marker compares
@@ -4242,42 +4285,54 @@ write_target_sized`'s sampled bytes-per-row estimate (one bounded
             live = set(doc["files"])
             mfiles = [f for f in marker["files"] if f in live]
             if mfiles and dv:
-                touched = {
-                    _norm_file(r[0])
-                    for r in _dv_frame(spark, dv)
-                    .select("__dv_fp")
-                    .distinct()
-                    .collect()
-                }
+                touched = _dv_touched()
                 mfiles = [
                     f for f in mfiles if _norm_file(f) not in touched
                 ]
             carried_clustered = mfiles
-    carried_set = set(carried_clustered)
+    # X164: opt-in size-threshold carry for plain compaction —
+    # already-big, DV-untouched files are never candidates
+    carried_compact: list[str] = []
+    if min_file_bytes is not None and not full:
+        fs_sz, _ = _fs(spark, table)
+        touched = _dv_touched()
+        carried_compact = [
+            f
+            for f in doc["files"]
+            if fs_sz.getFileStatus(_path(spark, f)).getLen()
+            >= min_file_bytes
+            and _norm_file(f) not in touched
+        ]
+    carried_set = set(carried_clustered) | set(carried_compact)
     rewrite_files = [f for f in doc["files"] if f not in carried_set]
     carried_stats = {
         f: st
         for f, st in (doc.get("stats") or {}).items()
         if f in carried_set
     }
-    if not rewrite_files and not dv:
-        # everything live is already clustered under this policy —
-        # the routine maintenance call is FREE (no publish)
+    nothing_to_do = not rewrite_files or (
+        carried_compact and len(rewrite_files) < 2
+    )
+    if nothing_to_do and not dv:
+        # everything live is already clustered/target-sized under this
+        # policy (or one lone small file — re-writing it alone is pure
+        # churn): the routine maintenance call is FREE (no publish)
         return {
             "version": base,
             "n_input_files": 0,
             "n_output_files": 0,
             "n_clustered_carried": len(carried_clustered),
+            "n_compact_carried": len(carried_compact),
         }
     # read THROUGH the DV anti-join so deletion vectors are
     # materialized by the rewrite (the optimized version carries none)
-    if carried_clustered:
+    if carried_set:
         cur = _read_files(spark, rewrite_files, doc["schema"], cm)
         if dv:
             cur = _apply_dv(spark, cur, dv)
     else:
         cur = read_version(spark, table, base)
-    if cur.isEmpty() and not carried_clustered:
+    if cur.isEmpty() and not carried_set:
         # every row is DV-deleted: the materialized table is empty —
         # publish an empty overwrite (the writers below would raise
         # on an empty frame; self-review r12)
@@ -4292,6 +4347,7 @@ write_target_sized`'s sampled bytes-per-row estimate (one bounded
             "n_input_files": len(doc["files"]),
             "n_output_files": 0,
             "n_clustered_carried": 0,
+            "n_compact_carried": 0,
         }
     data_dir = f"{table}/data/{uuid.uuid4().hex}"
     cur_w = _to_physical(cur, cm)
@@ -4333,8 +4389,23 @@ write_target_sized`'s sampled bytes-per-row estimate (one bounded
                 mode="errorifexists",
             )
     else:
+        # coalesce the scan to ~ceil(bytes/target) partitions first
+        # (no shuffle): the file scan's bin-packing splits by
+        # bytes-per-core, so on a many-core driver a small-file set
+        # would otherwise re-emerge as one file PER SPLIT and the
+        # compaction never actually collapses (self-review r17);
+        # maxRecordsPerFile inside write_target_sized stays the
+        # safety SPLITTER for underestimated rows. DV-deleted bytes
+        # inflate the estimate — more, smaller files, the safe side.
+        fs_pb, _ = _fs(spark, table)
+        rewrite_bytes = sum(
+            fs_pb.getFileStatus(_path(spark, f)).getLen()
+            for f in rewrite_files
+        )
+        n_out = max(1, -(-rewrite_bytes // target_bytes))
         write_target_sized(
-            cur_w, data_dir, target_bytes, mode="errorifexists"
+            cur_w.coalesce(int(n_out)), data_dir, target_bytes,
+            mode="errorifexists",
         )
     new_files = [] if cur.isEmpty() else _list_parquet(spark, data_dir)
     stats = (
@@ -4369,8 +4440,8 @@ write_target_sized`'s sampled bytes-per-row estimate (one bounded
             if head == base:
                 _publish(
                     spark, table, base + 1,
-                    new_files + carried_clustered, "overwrite",
-                    doc["schema"],
+                    new_files + carried_clustered + carried_compact,
+                    "overwrite", doc["schema"],
                     stats={**(stats or {}), **carried_stats} or None,
                     clustered=marker_out,
                 )
@@ -4387,7 +4458,8 @@ write_target_sized`'s sampled bytes-per-row estimate (one bounded
                 }
                 _publish(
                     spark, table, head + 1,
-                    new_files + carried_clustered + carried,
+                    new_files + carried_clustered + carried_compact
+                    + carried,
                     "overwrite", hdoc["schema"],
                     stats={**(stats or {}), **carried_stats, **hstats}
                     or None,
@@ -4399,6 +4471,7 @@ write_target_sized`'s sampled bytes-per-row estimate (one bounded
                 "n_output_files": len(new_files),
                 "n_carried_files": len(carried),
                 "n_clustered_carried": len(carried_clustered),
+                "n_compact_carried": len(carried_compact),
             }
         except CommitConflict:
             nh = current_version(spark, table)

@@ -3255,3 +3255,84 @@ def test_merge_rebases_across_blind_appends(spark, tmp_path, monkeypatch):
         )
     monkeypatch.setattr(tl, "_write_log_doc_exclusive", orig)
     assert tl.read_version(spark, t).columns == ["k", "w"]
+
+
+def test_optimize_min_file_bytes_scopes_plain_compaction(spark, tmp_path):
+    """X164 — opt-in incremental PLAIN compaction (Delta's OPTIMIZE
+    minFileSize candidate selection): files >= min_file_bytes carry
+    byte-identical with their stats; only the small-file tail is
+    compacted; fewer than two candidates is a free no-op; DV-touched
+    files are always rewritten; default (None) keeps the full
+    rewrite; min_file_bytes + zorder_by refuses."""
+    orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    t = str(tmp_path / "mfb_tbl")
+    big = orders.select("o_orderkey", "o_custkey").coalesce(1)
+    tl.commit(spark, big, t, stats_cols=["o_orderkey"])       # v0: 1 big file
+    tl.commit(spark, orders.limit(40).select("o_orderkey", "o_custkey")
+              .repartition(4), t, stats_cols=["o_orderkey"])  # v1: 4 small
+    doc1 = tl._version_doc(spark, t, 1)
+    fs, _ = tl._fs(spark, t)
+    sizes = {f: fs.getFileStatus(tl._path(spark, f)).getLen()
+             for f in doc1["files"]}
+    thr = max(sizes.values())  # only the big v0 file is >= thr
+    mt_big = {f: fs.getFileStatus(tl._path(spark, f)).getModificationTime()
+              for f, sz in sizes.items() if sz >= thr}
+    assert len(mt_big) == 1
+    rep = tl.optimize(spark, t, target_bytes=1 << 20, min_file_bytes=thr)
+    assert rep["n_compact_carried"] == 1 and rep["n_input_files"] == 4, rep
+    for f, m in mt_big.items():
+        assert fs.getFileStatus(
+            tl._path(spark, f)).getModificationTime() == m
+    n_total = orders.count()
+    assert tl.read_version(spark, t).count() == n_total + 40
+    # carried stats survive for the big file
+    d2 = tl._version_doc(spark, t, rep["version"])
+    assert any(f in (d2.get("stats") or {}) for f in mt_big)
+    # everything target-sized now: free no-op (no publish)
+    head = tl.current_version(spark, t)
+    rep2 = tl.optimize(spark, t, target_bytes=1 << 20, min_file_bytes=1024)
+    assert rep2["n_output_files"] == 0 and tl.current_version(spark, t) == head
+    # one lone small file + big carries: still a no-op (pure churn)
+    tl.commit(spark, orders.limit(5).select("o_orderkey", "o_custkey")
+              .coalesce(1), t)
+    rep3 = tl.optimize(spark, t, target_bytes=1 << 20, min_file_bytes=1024)
+    assert rep3["n_output_files"] == 0, rep3
+    # a DV forces the touched big file back into the rewrite
+    lo = orders.agg(F.min("o_orderkey")).first()[0]
+    tl.delete_rows(spark, t, F.col("o_orderkey") == lo)
+    rep4 = tl.optimize(spark, t, target_bytes=1 << 20,
+                       min_file_bytes=1 << 30)
+    assert rep4["n_output_files"] >= 1, rep4
+    assert not tl._version_doc(spark, t, rep4["version"]).get("dv")
+    assert tl.read_version(spark, t).where(
+        F.col("o_orderkey") == lo).count() == 0
+    # validation
+    with pytest.raises(ValueError, match="PLAIN compaction only"):
+        tl.optimize(spark, t, min_file_bytes=1024, zorder_by=["o_orderkey"])
+    with pytest.raises(ValueError, match="positive"):
+        tl.optimize(spark, t, min_file_bytes=0)
+
+
+def test_clone_carries_widened_and_clustered(spark, tmp_path):
+    """Self-review r17: a shallow clone references the SOURCE's files
+    — the widened record (and its 'widen' reader stamp) and the X161
+    clustered marker must ride along, or the clone under-gates old
+    readers and pays a full re-cluster on its first bare optimize."""
+    t = str(tmp_path / "cw_src")
+    tl.commit(spark, spark.createDataFrame([(1, 2.5)], "k int, v float"), t)
+    tl.commit(spark, spark.createDataFrame([(2**40, 3.5)], "k bigint, v double"),
+              t, merge_schema=True)
+    tl.set_property(spark, t, "cluster.by", "k")
+    tl.optimize(spark, t, target_bytes=1 << 20)
+    c = str(tmp_path / "cw_dst")
+    tl.clone(spark, t, c)
+    d0 = tl._version_doc(spark, c, 0)
+    assert d0.get("widened") == {"k": ["int", "bigint"], "v": ["float", "double"]}
+    assert "widen" in (d0.get("reader_requires") or [])
+    assert d0.get("clustered"), "clone lost the clustered marker"
+    # the clone's first bare optimize is incremental (nothing new -> free)
+    rep = tl.optimize(spark, c, target_bytes=1 << 20)
+    assert rep["n_output_files"] == 0 and rep["n_clustered_carried"] >= 1, rep
+    assert sorted(r["k"] for r in tl.read_version(spark, c).collect()) == [
+        1, 2**40
+    ]
