@@ -362,6 +362,7 @@ def write_hilbert_clustered(
     bits: int = 10,
     mode: str = "overwrite",
     keep_key: bool = False,
+    options: dict | None = None,
 ) -> None:
     """Write parquet laid out by the HILBERT curve over ``cluster_by``
     — :func:`write_zordered`'s sibling with strictly better locality
@@ -380,7 +381,9 @@ def write_hilbert_clustered(
     )
     if not keep_key:
         staged = staged.drop("__h")
-    staged.write.mode(mode).format("parquet").save(path)
+    staged.write.mode(mode).options(**(options or {})).format(
+        "parquet"
+    ).save(path)
 
 
 def parquet_column_ranges(path: str, cols: list[str]) -> list[dict]:
@@ -420,6 +423,7 @@ def write_zordered(
     n_files: int = 32,
     bits: int = 16,
     mode: str = "overwrite",
+    options: dict | None = None,
 ) -> None:
     """Write parquet laid out by Z-order over ``zorder_by``: range
     partition on the interleaved key, sort within partitions, write.
@@ -436,6 +440,7 @@ def write_zordered(
         .sortWithinPartitions("__z")
         .drop("__z")
         .write.mode(mode)
+        .options(**(options or {}))
         .format("parquet")
         .save(path)
     )

@@ -1411,7 +1411,13 @@ def commit(
         # fail BEFORE the data write — a typo must not cost the commit
         _check_stats_cols(df.schema, stats_cols)
     data_dir = f"{table}/data/{uuid.uuid4().hex}"
-    _to_physical(df, colmap).write.parquet(data_dir)
+    # X165: the persisted bloom.cols policy stamps footer Bloom
+    # filters on every write — metadata-driven, zero coordination
+    bloom_opts = _bloom_write_options(
+        pdoc0.get("properties") if prev is not None else None,
+        colmap, schema_json,
+    )
+    _to_physical(df, colmap).write.options(**bloom_opts).parquet(data_dir)
     new_files = _list_parquet(spark, data_dir)
     if _audit is not None and new_files:
         # write-audit-publish seam (commit_audited): raising here
@@ -2092,17 +2098,24 @@ def merge_rows(
     post_files: list[str] = []
     ins_files: list[str] = []
     cm = _colmap(doc)  # X157: appended files store physical names
+    bloom_opts = _bloom_write_options(
+        doc.get("properties"), cm, doc["schema"]
+    )  # X165: merge's appended files honor the bloom policy too
     if when_matched == "update":
         post = source.join(live_keys, keys, "inner").select(*source.columns)
         if not post.isEmpty():
             post_dir = f"{table}/data/{uuid.uuid4().hex}"
-            _to_physical(post, cm).write.parquet(post_dir)
+            _to_physical(post, cm).write.options(**bloom_opts).parquet(
+                post_dir
+            )
             post_files = _list_parquet(spark, post_dir)
     if when_not_matched == "insert":
         ins = source.join(live_keys.distinct(), keys, "left_anti")
         if not ins.isEmpty():
             ins_dir = f"{table}/data/{uuid.uuid4().hex}"
-            _to_physical(ins, cm).write.parquet(ins_dir)
+            _to_physical(ins, cm).write.options(**bloom_opts).parquet(
+                ins_dir
+            )
             ins_files = _list_parquet(spark, ins_dir)
 
     new_files: list[str] = post_files + ins_files
@@ -2951,7 +2964,45 @@ _KNOWN_PROPERTIES = {
         v.strip() and all(c.strip() for c in v.split(","))
     ),
     "cluster.curve": lambda v: v in ("zorder", "hilbert"),
+    # X165 — persisted parquet Bloom-filter policy (the X96 writer as
+    # TABLE metadata): every commit/merge/optimize write stamps
+    # split-block Bloom filters on these columns' footers, so
+    # equality probes on high-cardinality columns prune row groups
+    # on ANY engine that reads parquet footers
+    "bloom.cols": lambda v: bool(
+        v.strip() and all(c.strip() for c in v.split(","))
+    ),
+    "bloom.fpp": lambda v: 0.0 < float(v) < 1.0,
+    "bloom.ndv": lambda v: int(v) >= 1,
 }
+
+
+def _bloom_write_options(
+    props: dict | None, colmap: dict, schema_json: str
+) -> dict:
+    """X165 — the parquet writer options a table's persisted
+    ``bloom.cols`` policy demands, keyed by PHYSICAL column name
+    (files store physical names, X157). Columns the current schema
+    lacks are skipped — a policy must never fail a write after
+    schema drift (the stats-default rule)."""
+    raw = (props or {}).get("bloom.cols", "")
+    cols = [c.strip() for c in raw.split(",") if c.strip()]
+    if not cols:
+        return {}
+    names = {n for n, _ in _schema_shape(schema_json)}
+    fpp = (props or {}).get("bloom.fpp")
+    ndv = (props or {}).get("bloom.ndv")
+    out: dict = {}
+    for c in cols:
+        if c not in names:
+            continue
+        p = _phys(colmap, c)
+        out[f"parquet.bloom.filter.enabled#{p}"] = "true"
+        if fpp is not None:
+            out[f"parquet.bloom.filter.fpp#{p}"] = str(float(fpp))
+        if ndv is not None:
+            out[f"parquet.bloom.filter.expected.ndv#{p}"] = str(int(ndv))
+    return out
 
 
 def _cluster_by_property(props: dict | None) -> list[str]:
@@ -3151,6 +3202,16 @@ def rename_column(
         props["cluster.by"] = ",".join(
             new if c == old else c for c in cb
         )
+    bc = [
+        c.strip()
+        for c in (props.get("bloom.cols") or "").split(",")
+        if c.strip()
+    ]
+    if old in bc:
+        # X165: the bloom policy follows the rename the same way
+        props["bloom.cols"] = ",".join(
+            new if c == old else c for c in bc
+        )
     return _publish(
         spark, table, cur + 1, doc["files"], "append",
         StructType(fields).json(),
@@ -3216,6 +3277,22 @@ def drop_column(spark: SparkSession, table: str, col: str) -> dict:
     ident.pop(col, None)  # X158: dropping the column drops its sequence
     wid = dict(doc.get("widened") or {})
     wid.pop(col, None)  # X163: nobody reads the dropped narrow files
+    props = dict(doc.get("properties") or {})
+    bc = [
+        c.strip()
+        for c in (props.get("bloom.cols") or "").split(",")
+        if c.strip() and c.strip() != col
+    ]
+    if props.get("bloom.cols") and bc != [
+        c.strip() for c in props["bloom.cols"].split(",") if c.strip()
+    ]:
+        # X165: the dropped column leaves the bloom policy (unlike
+        # cluster.by, which blocks the drop — a stale bloom entry
+        # would only linger as a silently-skipped name)
+        if bc:
+            props["bloom.cols"] = ",".join(bc)
+        else:
+            props.pop("bloom.cols", None)
     return _publish(
         spark, table, cur + 1, doc["files"], "append",
         StructType([f for f in st.fields if f.name != col]).json(),
@@ -3224,6 +3301,7 @@ def drop_column(spark: SparkSession, table: str, col: str) -> dict:
         colmap=cm or None, retired=retired,
         schema_change={"op": "drop", "column": col},
         widened=wid or None,
+        properties=props or None,
     )
 
 
@@ -3278,6 +3356,13 @@ def describe_detail(
         "colmap": dict(doc.get("colmap") or {}),
         "retired_columns": list(doc.get("retired") or []),
         "identity": dict(doc.get("identity") or {}),
+        "widened": dict(doc.get("widened") or {}),
+        "clustered_by": (doc.get("clustered") or {}).get("by") or [],
+        "n_clustered_files": len(
+            (doc.get("clustered") or {}).get("files") or []
+        ),
+        "reader_requires": list(doc.get("reader_requires") or []),
+        "writer_requires": list(doc.get("writer_requires") or []),
         "latest_checkpoint": max(
             (n for n in cks if n <= v), default=None
         ),
@@ -4351,6 +4436,8 @@ write_target_sized`'s sampled bytes-per-row estimate (one bounded
         }
     data_dir = f"{table}/data/{uuid.uuid4().hex}"
     cur_w = _to_physical(cur, cm)
+    # X165: rewrites re-stamp the bloom policy's footers
+    bloom_opts = _bloom_write_options(props, cm, doc["schema"])
     if cur.isEmpty():
         # the whole rewrite set is DV-deleted but clustered files
         # survive: publish the carried layout alone (no data write)
@@ -4381,12 +4468,12 @@ write_target_sized`'s sampled bytes-per-row estimate (one bounded
         if curve == "hilbert":
             write_hilbert_clustered(
                 cur_w, data_dir, zb_phys, n_files=int(n_files),
-                mode="errorifexists",
+                mode="errorifexists", options=bloom_opts or None,
             )
         else:
             write_zordered(
                 cur_w, data_dir, zb_phys, n_files=int(n_files),
-                mode="errorifexists",
+                mode="errorifexists", options=bloom_opts or None,
             )
     else:
         # coalesce the scan to ~ceil(bytes/target) partitions first
@@ -4405,7 +4492,7 @@ write_target_sized`'s sampled bytes-per-row estimate (one bounded
         n_out = max(1, -(-rewrite_bytes // target_bytes))
         write_target_sized(
             cur_w.coalesce(int(n_out)), data_dir, target_bytes,
-            mode="errorifexists",
+            mode="errorifexists", **bloom_opts,
         )
     new_files = [] if cur.isEmpty() else _list_parquet(spark, data_dir)
     stats = (

@@ -3336,3 +3336,60 @@ def test_clone_carries_widened_and_clustered(spark, tmp_path):
     assert sorted(r["k"] for r in tl.read_version(spark, c).collect()) == [
         1, 2**40
     ]
+
+
+def test_bloom_policy_on_table_writes(spark, tmp_path):
+    """X165 — persisted parquet Bloom-filter policy (the X96 writer as
+    table metadata): bloom.cols/bloom.fpp/bloom.ndv properties stamp
+    footer Bloom filters on every commit/merge/optimize write —
+    presence asserted via the footer-bytes delta against a policy-free
+    control write of the same data; equality reads stay exact; the
+    policy follows a rename and sheds a dropped column; invalid
+    values refuse at set."""
+    t = str(tmp_path / "bloom_tbl")
+    c = str(tmp_path / "bloom_ctl")
+    rows = spark.range(100_000).select(
+        (F.col("id") * 7919 % 1_000_003).alias("k"),
+        (F.col("id") % 7).alias("v"),
+    ).coalesce(1)
+    tl.commit(spark, rows, t)                    # v0: policy-free
+    tl.set_property(spark, t, "bloom.cols", "k")
+    tl.set_property(spark, t, "bloom.ndv", "100000")
+    tl.commit(spark, rows, t)                    # v3: bloom-stamped
+    tl.commit(spark, rows, c)                    # control, no policy
+    fs, _ = tl._fs(spark, t)
+
+    def tot(files):
+        return sum(
+            fs.getFileStatus(tl._path(spark, f)).getLen() for f in files
+        )
+
+    d0 = tl._version_doc(spark, t, 0)["files"]
+    d3 = tl._version_doc(spark, t, tl.current_version(spark, t))["files"]
+    new = [f for f in d3 if f not in set(d0)]
+    ctl = tl._version_doc(spark, c, 0)["files"]
+    assert tot(new) > tot(ctl) * 1.1, (
+        "bloom-stamped files are not measurably larger than the "
+        f"control: {tot(new)} vs {tot(ctl)}"
+    )
+    # equality read exact across bloom + non-bloom files
+    probe = rows.limit(1).collect()[0]["k"]
+    got = tl.read_version(spark, t).where(F.col("k") == probe)
+    assert got.count() == 2  # the row exists in v0 AND v3 files
+    # optimize rewrite keeps the footers (size delta vs control again)
+    rep = tl.optimize(spark, t, target_bytes=64 << 20)
+    dopt = tl._version_doc(spark, t, rep["version"])["files"]
+    assert tot(dopt) > 2 * tot(ctl) * 1.1, (tot(dopt), tot(ctl))
+    # the policy follows a rename...
+    tl.rename_column(spark, t, "k", "kid")
+    assert tl.table_properties(spark, t)["bloom.cols"] == "kid"
+    # ...and sheds a dropped column
+    tl.drop_column(spark, t, "kid")
+    assert "bloom.cols" not in tl.table_properties(spark, t)
+    # validation
+    with pytest.raises(ValueError, match="invalid value"):
+        tl.set_property(spark, t, "bloom.fpp", "1.5")
+    with pytest.raises(ValueError, match="invalid value"):
+        tl.set_property(spark, t, "bloom.ndv", "0")
+    with pytest.raises(ValueError, match="invalid value"):
+        tl.set_property(spark, t, "bloom.cols", " , ")
