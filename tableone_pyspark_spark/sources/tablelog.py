@@ -1445,7 +1445,7 @@ def commit(
     stats = dict(prev_stats)
     stats.update(new_stats)
     version = 0 if prev is None else prev + 1
-    for _ in range(APPEND_REBASE_RETRIES):
+    for attempt in range(APPEND_REBASE_RETRIES):
         try:
             return _publish(
                 spark, table, version, prev_files + new_files, mode,
@@ -1477,6 +1477,10 @@ def commit(
             #     silent merge would hide).
             if mode != "append" or expected_base is not None or prev is None:
                 raise
+            # back off BEFORE re-reading the head (jittered, grows
+            # per attempt) — the retry must target the FRESH head, so
+            # the sleep has to precede the read, never follow it
+            _rebase_backoff(attempt)
             newprev = current_version(spark, table)
             if newprev is None or newprev < version:
                 raise  # not a slot race we can reason about
@@ -1589,10 +1593,32 @@ def commit(
 
 
 #: how many consecutive lost slot races a BLIND append re-bases
-#: through before giving up (X148) — each retry is one doc read + one
-#: doc write, so the cap bounds metadata I/O under pathological
-#: contention, not data work
-APPEND_REBASE_RETRIES = 6
+#: through before giving up (X148) — each retry is a few doc reads +
+#: one doc write, so the cap bounds metadata I/O under pathological
+#: contention, not data work. 20 with the jittered backoff below
+#: makes an N-writer herd converge (p(all-lose) ~ 0.5^20 per writer
+#: in the 5-writer soak) while worst-case added latency stays ~15 s;
+#: Delta's commit loop allows millions of attempts for the same
+#: reason — the retry is cheap, surfacing a spurious conflict is not
+APPEND_REBASE_RETRIES = 20
+
+#: base of the jittered exponential backoff between lost-slot retries
+#: (r17, found by a 5-writer concurrency soak: zero-backoff retries
+#: under N-way contention can lose all APPEND_REBASE_RETRIES races in
+#: a row even though every writer would fit — the classic thundering
+#: herd; Delta clients back off the same way). Uniform jitter in
+#: (0, base·2^attempt], capped at 2^4.
+REBASE_BACKOFF_BASE = 0.05
+
+
+def _rebase_backoff(attempt: int) -> None:
+    import random as _random
+
+    time.sleep(
+        _random.uniform(
+            0.0, REBASE_BACKOFF_BASE * (2 ** min(attempt, 4))
+        )
+    )
 
 
 def _publish_rebasing_over_appends(
@@ -1617,11 +1643,14 @@ def _publish_rebasing_over_appends(
     ``publish_at(head, hdoc)`` performs the actual publish at
     ``head + 1`` from the head's doc and returns the op's report."""
     head, base_dv = base, doc.get("dv") or []
-    for _ in range(APPEND_REBASE_RETRIES):
+    for attempt in range(APPEND_REBASE_RETRIES):
         try:
             hdoc = doc if head == base else _version_doc(spark, table, head)
             return publish_at(head, hdoc)
         except CommitConflict:
+            # back off BEFORE re-reading the head — sleeping after
+            # would hand the retry a stale target under steady traffic
+            _rebase_backoff(attempt)
             nh = current_version(spark, table)
             if nh is None or nh <= head:
                 raise
@@ -4522,7 +4551,7 @@ write_target_sized`'s sampled bytes-per-row estimate (one bounded
     head = base
     base_files = set(doc["files"])
     base_dv = doc.get("dv") or []
-    for _ in range(APPEND_REBASE_RETRIES):
+    for attempt in range(APPEND_REBASE_RETRIES):
         try:
             if head == base:
                 _publish(
@@ -4561,6 +4590,7 @@ write_target_sized`'s sampled bytes-per-row estimate (one bounded
                 "n_compact_carried": len(carried_compact),
             }
         except CommitConflict:
+            _rebase_backoff(attempt)  # before the head re-read
             nh = current_version(spark, table)
             if nh is None or nh <= head:
                 raise

@@ -3393,3 +3393,40 @@ def test_bloom_policy_on_table_writes(spark, tmp_path):
         tl.set_property(spark, t, "bloom.ndv", "0")
     with pytest.raises(ValueError, match="invalid value"):
         tl.set_property(spark, t, "bloom.cols", " , ")
+
+
+def test_blind_append_survives_deep_race_streak(spark, tmp_path, monkeypatch):
+    """r17 concurrency-soak finding: a 5-writer herd with zero
+    backoff could lose all retries in a row even though every writer
+    would fit. Pin the fix — jittered backoff BEFORE the head re-read
+    + a deeper retry budget: a blind append that loses TEN straight
+    slot races (an interleaved winner before every attempt) still
+    lands, with every interleaved append's rows intact."""
+    monkeypatch.setattr(tl, "REBASE_BACKOFF_BASE", 0.001)  # keep it fast
+    t = str(tmp_path / "streak")
+    tl.commit(spark, spark.range(3).select(F.col("id").alias("k")), t)
+    orig = tl._write_log_doc_exclusive
+    state = {"steals": 0}
+
+    def racy(s, table_, name, doc):
+        if table_ == t and name.startswith("v") and state["steals"] < 10:
+            state["steals"] += 1
+            n = state["steals"]
+            monkeypatch.setattr(tl, "_write_log_doc_exclusive", orig)
+            tl.commit(
+                spark,
+                spark.range(100 + n, 101 + n).select(F.col("id").alias("k")),
+                t,
+            )
+            monkeypatch.setattr(tl, "_write_log_doc_exclusive", racy)
+        return orig(s, table_, name, doc)
+
+    monkeypatch.setattr(tl, "_write_log_doc_exclusive", racy)
+    rep = tl.commit(
+        spark, spark.range(50, 53).select(F.col("id").alias("k")), t
+    )
+    monkeypatch.setattr(tl, "_write_log_doc_exclusive", orig)
+    assert state["steals"] == 10
+    assert rep["version"] == 11, rep  # v0 + 10 stolen + ours
+    got = sorted(r["k"] for r in tl.read_version(spark, t).collect())
+    assert got == [0, 1, 2, 50, 51, 52] + list(range(101, 111))
