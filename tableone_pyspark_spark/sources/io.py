@@ -260,23 +260,28 @@ def hilbert_frame(
     jumps), so range-partitioned files span tighter rectangles —
     measurably better multi-column skipping at the same file count.
 
-    Built as a CHAIN of withColumn projections, one per transform
-    step: each step's expressions reference the previous step's
-    ATTRIBUTES, never re-inline its subtree — inlining would grow the
-    expression tree exponentially in ``bits * len(cols)`` (Column
-    trees copy on reference; review-derived design). ``bits *
-    len(cols)`` must fit in 63 value bits, like the Morton key.
+    The transform itself runs as ONE vectorized Arrow projection
+    (r17 optimization, guide §4.2): the range-scaled int64 axes are
+    computed by Catalyst expressions, shipped to a ``pandas_udf`` as
+    Arrow batches, and the Skilling loop runs over whole NumPy int64
+    arrays — pure integer bitwise ops, so the values are IDENTICAL to
+    the previous chained-projection Catalyst build (pinned by
+    ``tests/test_io.py`` against the pure-Python twin, and by a new
+    direct chain-vs-NumPy differential). The previous build
+    materialized one ``withColumns`` step per transform stage to stop
+    exponential expression re-inlining; that cost ~22 sequential
+    driver-side plan analyses (~4.7 s of pure plan construction per
+    call at bits=10 × 2 cols, before any data moved) plus a 22-Project
+    plan every optimizer pass had to walk. One opaque projection node
+    removes both, and at scale hands the bit-twiddling to NumPy over
+    whole batches instead of row-at-a-time codegen.
 
-    The OPTIMIZER is held to the same rule (r16 fix): the ``out``
-    column is fenced with :func:`~tableone_pyspark_spark.plans.fence.
-    once_long`, because ``PushPredicateThroughNonJoin`` substitutes
-    Project aliases while pushing a filter down — a predicate on
-    ``out`` would descend the chain re-inlining every stage's subtree
-    (the same exponential blowup, observed as a driver OOM at 1 g AND
-    8 g heaps). The non-deterministic identity makes the top Project
-    ineligible for pushdown, so filters on ANY column evaluate above
-    the chain; filter/cluster BEFORE calling this on the write path
-    (``write_hilbert_clustered`` does)."""
+    The OPTIMIZER fence is retained unchanged (r16 contract): the
+    ``out`` column is wrapped in :func:`~tableone_pyspark_spark.plans.
+    fence.once_long`, so ``PushPredicateThroughNonJoin`` never
+    substitutes the alias — filters on ANY column evaluate above this
+    projection, exactly as before; filter/cluster BEFORE calling this
+    on the write path (``write_hilbert_clustered`` does)."""
     import warnings
 
     from pyspark.sql import functions as F
@@ -300,58 +305,56 @@ def hilbert_frame(
             "internals — rename them"
         )
     scaled = _scaled_axes(df, cols, bits)
-    work = df
-    for name, expr in zip(names, scaled):
-        work = work.withColumn(name, expr)
-    x = [F.col(nm) for nm in names]
+    h_udf = F.pandas_udf(
+        lambda *axes: _hilbert_index_batch(axes, bits), "long"
+    )
+    from tableone_pyspark_spark.plans.fence import once_long
 
-    def step(assigns: dict):
-        nonlocal work
-        work = work.withColumns(
-            {nm: ex for nm, ex in assigns.items()}
-        )
+    return df.withColumn(out, once_long(h_udf(*scaled)))
 
+
+def _hilbert_index_batch(axes, bits: int):
+    """Skilling axes-to-transpose + MSB-first interleave over whole
+    NumPy int64 arrays — the vectorized executor half of
+    :func:`hilbert_frame`. Mirrors the published algorithm (and the
+    retired Catalyst chain) operation-for-operation on int64, so the
+    returned distances are bit-identical to both; inputs are the
+    already range-scaled non-null axes in [0, 2^bits)."""
+    import numpy as np
+    import pandas as pd
+
+    X = [a.to_numpy(dtype=np.int64, copy=True) for a in axes]
+    n = len(X)
     # inverse-undo pass: top bit down to bit 1
     q = 1 << (bits - 1)
     while q > 1:
         p_mask = q - 1
         for i in range(n):
-            cond = x[i].bitwiseAND(F.lit(q)) != 0
-            t = (x[0].bitwiseXOR(x[i])).bitwiseAND(F.lit(p_mask))
-            new0 = F.when(cond, x[0].bitwiseXOR(F.lit(p_mask))).otherwise(
-                x[0].bitwiseXOR(t)
-            )
-            if i == 0:
-                step({names[0]: new0})
-            else:
-                newi = F.when(cond, x[i]).otherwise(x[i].bitwiseXOR(t))
-                step({names[0]: new0, names[i]: newi})
+            cond = (X[i] & q) != 0
+            t = (X[0] ^ X[i]) & p_mask
+            new0 = np.where(cond, X[0] ^ p_mask, X[0] ^ t)
+            if i != 0:
+                X[i] = np.where(cond, X[i], X[i] ^ t)
+            X[0] = new0
         q >>= 1
-    # gray encode across dims
+    # gray encode across dims (sequential — each uses the updated
+    # previous dim, matching the per-step chain semantics)
     for i in range(1, n):
-        step({names[i]: x[i].bitwiseXOR(x[i - 1])})
+        X[i] = X[i] ^ X[i - 1]
     # trailing exchange: t accumulates from the LAST dim's bits
-    t_expr = F.lit(0).cast("long")
+    t_acc = np.zeros(len(X[0]), dtype=np.int64)
     q = 1 << (bits - 1)
     while q > 1:
-        t_expr = F.when(
-            x[n - 1].bitwiseAND(F.lit(q)) != 0,
-            t_expr.bitwiseXOR(F.lit(q - 1)),
-        ).otherwise(t_expr)
+        t_acc = np.where((X[n - 1] & q) != 0, t_acc ^ (q - 1), t_acc)
         q >>= 1
-    step({"__ht": t_expr})
-    ht = F.col("__ht")
-    step({nm: F.col(nm).bitwiseXOR(ht) for nm in names})
+    for i in range(n):
+        X[i] = X[i] ^ t_acc
     # MSB-first interleave of the transposed axes
-    h = F.lit(0).cast("long")
+    h = np.zeros(len(X[0]), dtype=np.int64)
     for qq in range(bits - 1, -1, -1):
         for i in range(n):
-            h = F.shiftleft(h, 1).bitwiseOR(
-                F.shiftright(x[i], qq).bitwiseAND(F.lit(1))
-            )
-    from tableone_pyspark_spark.plans.fence import once_long
-
-    return work.withColumn(out, once_long(h)).drop("__ht", *names)
+            h = (h << 1) | ((X[i] >> qq) & 1)
+    return pd.Series(h)
 
 
 def write_hilbert_clustered(

@@ -2124,31 +2124,43 @@ def merge_rows(
     # the change feed can label them update_postimage (Delta's CDF
     # change types) instead of bare inserts. Both writes stay
     # change-sized; a side that contributes nothing writes nothing.
-    post_files: list[str] = []
-    ins_files: list[str] = []
     cm = _colmap(doc)  # X157: appended files store physical names
     bloom_opts = _bloom_write_options(
         doc.get("properties"), cm, doc["schema"]
     )  # X165: merge's appended files honor the bloom policy too
+
+    def _write_side(side: DataFrame) -> tuple[list[str], int]:
+        # r17: write FIRST, then footer-count and clean an empty dir
+        # up — the `_write_deletion_vector` pattern. The previous
+        # `isEmpty()` pre-check executed the live-view join TWICE per
+        # contributing side (once for the probe, once for the write);
+        # at 100 TB that is two full target-key scans instead of one.
+        # Observable behavior is unchanged: a side that contributes
+        # nothing still records nothing.
+        side_dir = f"{table}/data/{uuid.uuid4().hex}"
+        _to_physical(side, cm).write.options(**bloom_opts).parquet(
+            side_dir
+        )
+        files = _list_parquet(spark, side_dir)
+        n = spark.read.parquet(*files).count() if files else 0
+        if n == 0:
+            fs, _ = _fs(spark, table)
+            fs.delete(_path(spark, side_dir), True)
+            return [], 0
+        return files, int(n)
+
+    post_files: list[str] = []
+    ins_files: list[str] = []
+    n_post = n_insd = 0
     if when_matched == "update":
         post = source.join(live_keys, keys, "inner").select(*source.columns)
-        if not post.isEmpty():
-            post_dir = f"{table}/data/{uuid.uuid4().hex}"
-            _to_physical(post, cm).write.options(**bloom_opts).parquet(
-                post_dir
-            )
-            post_files = _list_parquet(spark, post_dir)
+        post_files, n_post = _write_side(post)
     if when_not_matched == "insert":
         ins = source.join(live_keys.distinct(), keys, "left_anti")
-        if not ins.isEmpty():
-            ins_dir = f"{table}/data/{uuid.uuid4().hex}"
-            _to_physical(ins, cm).write.options(**bloom_opts).parquet(
-                ins_dir
-            )
-            ins_files = _list_parquet(spark, ins_dir)
+        ins_files, n_insd = _write_side(ins)
 
     new_files: list[str] = post_files + ins_files
-    n_ins = spark.read.parquet(*new_files).count() if new_files else 0
+    n_ins = n_post + n_insd
     # X149: a merge's appended postimage/insert rows pass the same
     # persisted CHECK gate as plain commits (retractions need none);
     # X153 generated columns are enforced the same way (the source
@@ -4446,7 +4458,11 @@ write_target_sized`'s sampled bytes-per-row estimate (one bounded
             cur = _apply_dv(spark, cur, dv)
     else:
         cur = read_version(spark, table, base)
-    if cur.isEmpty() and not carried_set:
+    # ONE emptiness probe (r17: this was re-evaluated at three sites,
+    # each a fresh limit-1 job over the DV-anti-join view — guide §1.2,
+    # don't compute things twice)
+    cur_empty = cur.isEmpty()
+    if cur_empty and not carried_set:
         # every row is DV-deleted: the materialized table is empty —
         # publish an empty overwrite (the writers below would raise
         # on an empty frame; self-review r12)
@@ -4467,7 +4483,7 @@ write_target_sized`'s sampled bytes-per-row estimate (one bounded
     cur_w = _to_physical(cur, cm)
     # X165: rewrites re-stamp the bloom policy's footers
     bloom_opts = _bloom_write_options(props, cm, doc["schema"])
-    if cur.isEmpty():
+    if cur_empty:
         # the whole rewrite set is DV-deleted but clustered files
         # survive: publish the carried layout alone (no data write)
         pass
@@ -4523,7 +4539,7 @@ write_target_sized`'s sampled bytes-per-row estimate (one bounded
             cur_w.coalesce(int(n_out)), data_dir, target_bytes,
             mode="errorifexists", **bloom_opts,
         )
-    new_files = [] if cur.isEmpty() else _list_parquet(spark, data_dir)
+    new_files = [] if cur_empty else _list_parquet(spark, data_dir)
     stats = (
         _remap_stats(
             _collect_file_stats(spark, new_files, stats_cols, cm),

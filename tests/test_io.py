@@ -318,6 +318,34 @@ def _hilbert_twin(coords, bits):
     return h
 
 
+def test_hilbert_numpy_kernel_matches_twin_at_production_width():
+    """r17 — the vectorized NumPy kernel behind hilbert_frame (the
+    chained-projection replacement) is bit-identical to the published
+    Skilling twin at PRODUCTION width (bits=10) in 2-D and 3-D, on
+    deterministic pseudo-random coordinates including the corners."""
+    import numpy as np
+    import pandas as pd
+
+    from tableone_pyspark_spark.sources.io import _hilbert_index_batch
+
+    rng = np.random.default_rng(20260817)
+    for n, bits in ((2, 10), (3, 10), (2, 3), (1, 10)):
+        side = 1 << bits
+        coords = rng.integers(0, side, size=(4096, n), dtype=np.int64)
+        corners = np.array(
+            [[0] * n, [side - 1] * n, [0] + [side - 1] * (n - 1)],
+            dtype=np.int64,
+        )
+        coords = np.vstack([coords, corners])
+        axes = [pd.Series(coords[:, i]) for i in range(n)]
+        got = _hilbert_index_batch(axes, bits).to_numpy()
+        want = np.array(
+            [_hilbert_twin(list(row), bits) for row in coords],
+            dtype=np.int64,
+        )
+        assert (got == want).all(), (n, bits)
+
+
 def test_hilbert_frame_matches_twin_and_is_bijective(spark):
     """r15 — the Catalyst Hilbert transform equals the published
     Skilling algorithm cell-for-cell (2-D and 3-D grids), after the
