@@ -97,9 +97,13 @@ def winnow_fingerprints(
     one. Hashes are the cross-engine polynomial family, so the whole
     operator is SQL-oracle-exact.
 
-    Shingles stay in document order (posexplode — NOT the distinct set
-    ``word_shingles`` emits); the sliding minimum is a rows-window over
-    each doc partition: one shuffle on the id, linear per partition.
+    The whole construction is per-document, so it runs as ONE Arrow
+    kernel with ZERO shuffles (r17, guide §4.2): tokenize, hash
+    shingles by per-word Horner combination, slide the window minimum
+    and de-duplicate per doc inside the batch — bit-identical integer
+    arithmetic to the Catalyst twin (`_winnow_fingerprints_catalyst`,
+    kept as the differential pin), which needed a posexplode, a
+    per-doc window shuffle+sort and a distinct shuffle.
     Returns distinct (id, fingerprint).
 
     The fingerprint table is a session-memoized per-corpus artifact
@@ -115,9 +119,114 @@ def winnow_fingerprints(
     )
 
 
+_WINNOW_WORD_CACHE: dict = {}
+_POLY_MOD = (1 << 31) - 1
+
+
+def _winnow_word_entry(w: str):
+    """(h, f, a) for word ``w`` under the base-31 Horner fold:
+    ``h`` = poly_hash(w); appending ``" w"`` to a prefix with hash x
+    yields ``(x * f + a) % p`` where ``f = 31^(len(w)+1)`` and
+    ``a = poly_hash(" w") = 32·31^len(w) + h``. Cached across batches
+    (worker-persistent module global; natural-text vocabularies are
+    Zipfian so the cache carries most of the per-word cost)."""
+    e = _WINNOW_WORD_CACHE.get(w)
+    if e is None:
+        p = _POLY_MOD
+        h = 0
+        for ch in w:
+            h = (h * 31 + ord(ch)) % p
+        pw = pow(31, len(w), p)
+        e = (h, (31 * pw) % p, (32 * pw + h) % p)
+        if len(_WINNOW_WORD_CACHE) > 2_000_000:
+            _WINNOW_WORD_CACHE.clear()
+        _WINNOW_WORD_CACHE[w] = e
+    return e
+
+
+def _winnow_kernel(n: int, window: int):
+    """mapInArrow kernel: (id, __t1_text) batches -> distinct
+    (id, fingerprint) pairs. Pure integer arithmetic — bit-identical
+    to the Catalyst construction (differential-pinned)."""
+
+    def fn(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        from tableone_pyspark_spark.functions.text import py_norm_words
+
+        p = _POLY_MOD
+        for batch in batches:
+            ids = batch.column(0)
+            texts = batch.column(1).to_pylist()
+            ndocs = len(texts)
+            if ndocs == 0:
+                continue
+            entries = []  # flattened (h, f, a) word entries
+            nw = np.empty(ndocs, dtype=np.int64)
+            for di, t in enumerate(texts):
+                ws = py_norm_words(t)
+                nw[di] = len(ws)
+                for w in ws:
+                    entries.append(_winnow_word_entry(w))
+            k = np.maximum(nw - (n - 1), 0)  # shingles per doc
+            total = int(k.sum())
+            if total == 0 or total < 1:
+                continue
+            ent = np.asarray(entries, dtype=np.int64)
+            H, FF, AA = ent[:, 0], ent[:, 1], ent[:, 2]
+            starts = np.concatenate(([0], np.cumsum(nw)[:-1]))
+            cum = np.concatenate(([0], np.cumsum(k)))
+            doc_of = np.repeat(np.arange(ndocs, dtype=np.int64), k)
+            pos = np.arange(total, dtype=np.int64) - np.repeat(cum[:-1], k)
+            i0 = np.repeat(starts, k) + pos
+            h = H[i0]
+            for j in range(1, n):
+                ij = i0 + j
+                h = (h * FF[ij] + AA[ij]) % p
+            if total < window:
+                m = None
+            else:
+                m = h[window - 1 :].copy()
+                for j in range(1, window):
+                    np.minimum(m, h[window - 1 - j : total - j], out=m)
+                valid = doc_of[window - 1 :] == doc_of[: total - window + 1]
+                md = doc_of[window - 1 :][valid]
+                mv = m[valid]
+            if m is None or len(mv) == 0:
+                continue
+            key = (md << 31) | mv  # fingerprint < 2^31-1 fits 31 bits
+            u = np.unique(key)
+            out_doc = (u >> 31).astype(np.int64)
+            out_fp = (u & p).astype(np.int64)
+            yield pa.RecordBatch.from_arrays(
+                [ids.take(pa.array(out_doc)), pa.array(out_fp, pa.int64())],
+                schema=pa.schema(
+                    [pa.field("id", ids.type), pa.field("fingerprint", pa.int64())]
+                ),
+            )
+
+    return fn
+
+
 def _winnow_fingerprints_build(
     df: DataFrame, text_col: str, id_col: str, n: int, window: int
 ) -> DataFrame:
+    sel = rebalance(df.select(id_col, text_col)).select(
+        F.col(id_col).alias("id"), F.col(text_col).alias("__t1_text")
+    )
+    id_type = sel.schema["id"].dataType.simpleString()
+    return sel.mapInArrow(
+        _winnow_kernel(n, window), f"id {id_type}, fingerprint long"
+    )
+
+
+def _winnow_fingerprints_catalyst(
+    df: DataFrame, text_col: str, id_col: str, n: int, window: int
+) -> DataFrame:
+    """Pre-r17 pure-Catalyst construction — kept as the differential
+    twin pinning the Arrow kernel's bit-exactness (tests), not used on
+    any query path."""
     words = F.split(normalize_text(F.col(text_col)), " ")
     k = F.size(words) - (n - 1)
     grams = F.when(

@@ -65,6 +65,35 @@ def test_winnow_shared_run_guarantee(docs):
     assert (2, 3) in pairs
 
 
+def test_winnow_kernel_matches_catalyst_twin(spark):
+    """r17: the zero-shuffle Arrow winnow kernel must be bit-identical
+    to the pre-r17 pure-Catalyst construction (kept as the twin) on
+    the real corpus AND adversarial inputs (unicode incl. astral
+    plane, whitespace variants, nulls, short docs, repetition), for
+    the default and a non-default (n, window)."""
+    real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    adv = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h"),
+            (2, ""),
+            (3, None),
+            (4, "x y z"),
+            (5, "x y z w"),
+            (6, "x y z w v u"),
+            (7, "Héllo   WÖRLD\t中文 emoji \U0001f389 test ß more words here"),
+            (8, "a a a a a a a a a a"),
+            (9, " leading and trailing  \n spaces \t tabs "),
+            (10, "word " * 500),
+        ],
+        "doc_id long, text string",
+    )
+    for df, n, window in ((real, 3, 4), (adv, 3, 4), (adv, 2, 2)):
+        a = tm._winnow_fingerprints_build(df, "text", "doc_id", n, window)
+        b = tm._winnow_fingerprints_catalyst(df, "text", "doc_id", n, window)
+        assert a.exceptAll(b).count() == 0
+        assert b.exceptAll(a).count() == 0
+
+
 def test_winnow_short_docs_empty(spark):
     d = spark.createDataFrame([(1, "just five words is not"), (2, "tiny")], "doc_id long, text string")
     # doc 2 has < n words; doc 1 has 5 words → 3 shingles < window=4 →
