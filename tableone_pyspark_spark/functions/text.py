@@ -147,6 +147,33 @@ def py_norm_words(t: str | None) -> list[str]:
     ]
 
 
+_POLY_WORD_CACHES: dict = {}
+
+
+def poly_word_entry(w: str, base: int = 31, mod: int = (1 << 31) - 1):
+    """(h, f, a) for word ``w`` under the ``base``-Horner fold of
+    :func:`poly_hash`: ``h = poly_hash(w)``; appending ``" w"`` to a
+    prefix with hash ``x`` yields ``(x*f + a) % mod`` where
+    ``f = base^(len(w)+1)`` and ``a = 32·base^len(w) + h`` (32 =
+    ``ord(' ')``). Lets Arrow kernels combine word-level hashes into
+    space-joined shingle hashes with two modmuls per word instead of a
+    char fold per shingle. Cached per (base, word) across batches
+    (worker-persistent module global; natural-text vocabularies are
+    Zipfian, so the cache carries most of the per-word cost)."""
+    cache = _POLY_WORD_CACHES.setdefault((base, mod), {})
+    e = cache.get(w)
+    if e is None:
+        h = 0
+        for ch in w:
+            h = (h * base + ord(ch)) % mod
+        pw = pow(base, len(w), mod)
+        e = (h, (base * pw) % mod, (32 * pw + h) % mod)
+        if len(cache) > 2_000_000:
+            cache.clear()
+        cache[w] = e
+    return e
+
+
 def fingerprint(c: Column) -> Column:
     """64-bit content fingerprint of the normalized text (xxhash64 —
     engine-specific values; use for grouping, not cross-engine compare)."""

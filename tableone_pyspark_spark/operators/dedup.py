@@ -792,6 +792,116 @@ def paragraph_dedup(
     )
 
 
+def _span_occ_kernel(k: int):
+    """mapInArrow kernel: (id, __t1_text) batches -> (id, pos, h1, h2)
+    for EVERY k-token window of the normalized token stream (pos =
+    0-based window start, the posexplode convention). Hashes are the
+    two cross-engine polynomial bases (31, 131), combined from cached
+    per-word entries with two vectorized modmuls per word instead of a
+    char fold per window string — bit-identical to the Catalyst
+    construction (differential-pinned)."""
+
+    def fn(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        from tableone_pyspark_spark.functions.text import (
+            poly_word_entry,
+            py_norm_words,
+        )
+
+        p = (1 << 31) - 1
+        for batch in batches:
+            ids = batch.column(0)
+            texts = batch.column(1).to_pylist()
+            ndocs = len(texts)
+            if ndocs == 0:
+                continue
+            e1 = []  # per-word (h, f, a), base 31
+            e2 = []  # per-word (h, f, a), base 131
+            nw = np.empty(ndocs, dtype=np.int64)
+            for di, t in enumerate(texts):
+                ws = py_norm_words(t)
+                nw[di] = len(ws)
+                for w in ws:
+                    e1.append(poly_word_entry(w, 31))
+                    e2.append(poly_word_entry(w, 131))
+            kk = np.maximum(nw - (k - 1), 0)  # windows per doc
+            total = int(kk.sum())
+            if total == 0:
+                continue
+            a1 = np.asarray(e1, dtype=np.int64)
+            a2 = np.asarray(e2, dtype=np.int64)
+            starts = np.concatenate(([0], np.cumsum(nw)[:-1]))
+            cum = np.concatenate(([0], np.cumsum(kk)))
+            doc_of = np.repeat(np.arange(ndocs, dtype=np.int64), kk)
+            pos = np.arange(total, dtype=np.int64) - np.repeat(cum[:-1], kk)
+            i0 = np.repeat(starts, kk) + pos
+            h1 = a1[i0, 0]
+            h2 = a2[i0, 0]
+            for j in range(1, k):
+                ij = i0 + j
+                h1 = (h1 * a1[ij, 1] + a1[ij, 2]) % p
+                h2 = (h2 * a2[ij, 1] + a2[ij, 2]) % p
+            yield pa.RecordBatch.from_arrays(
+                [
+                    ids.take(pa.array(doc_of)),
+                    pa.array(pos.astype(np.int32), pa.int32()),
+                    pa.array(h1, pa.int64()),
+                    pa.array(h2, pa.int64()),
+                ],
+                schema=pa.schema(
+                    [
+                        pa.field("id", ids.type),
+                        pa.field("pos", pa.int32()),
+                        pa.field("h1", pa.int64()),
+                        pa.field("h2", pa.int64()),
+                    ]
+                ),
+            )
+
+    return fn
+
+
+def _span_occurrences(
+    df: DataFrame, text_col: str, id_col: str, k: int
+) -> DataFrame:
+    """(id, pos, h1, h2) per k-token window — ONE Arrow projection,
+    zero shuffles (r17, guide §4.2). Replaces the posexplode +
+    double char-fold construction (kept as
+    :func:`_span_occurrences_catalyst` for the differential pin)."""
+    sel = rebalance(df.select(id_col, text_col)).select(
+        F.col(id_col).alias("id"), F.col(text_col).alias("__t1_text")
+    )
+    id_type = sel.schema["id"].dataType.simpleString()
+    return sel.mapInArrow(
+        _span_occ_kernel(k), f"id {id_type}, pos int, h1 long, h2 long"
+    )
+
+
+def _span_occurrences_catalyst(
+    df: DataFrame, text_col: str, id_col: str, k: int
+) -> DataFrame:
+    """Pre-r17 pure-Catalyst occurrence melt — the differential twin
+    pinning :func:`_span_occurrences` (tests only)."""
+    from tableone_pyspark_spark.functions.text import word_grams
+
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+    words_col = F.filter(F.split(normalize_text(txt), " "), lambda w: w != "")
+    docs = rebalance(df.select(id_col, text_col)).select(
+        F.col(id_col).alias("id"), words_col.alias("words")
+    )
+    grams = docs.select(
+        "id", F.posexplode(word_grams(F.col("words"), k)).alias("pos", "g")
+    )
+    return grams.select(
+        "id",
+        "pos",
+        poly_hash(F.col("g"), base=31).alias("h1"),
+        poly_hash(F.col("g"), base=131).alias("h2"),
+    )
+
+
 def remove_duplicate_spans(
     df: DataFrame,
     text_col: str,
@@ -806,11 +916,13 @@ def remove_duplicate_spans(
     Pipeline, 100 TB story:
       1. melt every k-token window, hashed with TWO independent
          cross-engine polynomial hashes (62-bit (h1, h2) key) so the
-         shuffle carries 16 B/window instead of k words. Hashing costs
-         O(k) char-folds per window (linear in corpus size, k× CPU) —
-         deliberately NOT a Catalyst fold-based rolling hash: array-
-         accumulator folds copy their accumulator per element
-         (quadratic), measured catastrophically slower.
+         shuffle carries 16 B/window instead of k words. The melt is
+         ONE zero-shuffle Arrow kernel (:func:`_span_occurrences`):
+         per-word hash entries are cached across batches and combined
+         with two vectorized modmuls per word instead of a char fold
+         per window string — bit-identical to the Catalyst
+         construction (differential-pinned against
+         :func:`_span_occurrences_catalyst`).
       2. one groupBy (h1, h2) keeping min(struct(id, pos)) — the
          deterministic globally-first occurrence (lexicographic on
          (id, pos)).
@@ -844,8 +956,6 @@ def remove_duplicate_spans(
     """
     from pyspark.sql import Window
 
-    from tableone_pyspark_spark.functions.text import word_grams
-
     if k < 2:
         raise ValueError("span window k must be >= 2 tokens")
     txt = F.coalesce(F.col(text_col), F.lit(""))
@@ -856,15 +966,7 @@ def remove_duplicate_spans(
         F.col(id_col).alias("id"), words_col.alias("words")
     )
 
-    grams = docs.select(
-        "id", F.posexplode(word_grams(F.col("words"), k)).alias("pos", "g")
-    )
-    occ = grams.select(
-        "id",
-        "pos",
-        poly_hash(F.col("g"), base=31).alias("h1"),
-        poly_hash(F.col("g"), base=131).alias("h2"),
-    )
+    occ = _span_occurrences(df, text_col, id_col, k)
     firsts = occ.groupBy("h1", "h2").agg(
         F.min(F.struct("id", "pos")).alias("first"),
         F.count(F.lit(1)).alias("n_occ"),

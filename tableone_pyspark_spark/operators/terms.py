@@ -119,29 +119,7 @@ def winnow_fingerprints(
     )
 
 
-_WINNOW_WORD_CACHE: dict = {}
 _POLY_MOD = (1 << 31) - 1
-
-
-def _winnow_word_entry(w: str):
-    """(h, f, a) for word ``w`` under the base-31 Horner fold:
-    ``h`` = poly_hash(w); appending ``" w"`` to a prefix with hash x
-    yields ``(x * f + a) % p`` where ``f = 31^(len(w)+1)`` and
-    ``a = poly_hash(" w") = 32·31^len(w) + h``. Cached across batches
-    (worker-persistent module global; natural-text vocabularies are
-    Zipfian so the cache carries most of the per-word cost)."""
-    e = _WINNOW_WORD_CACHE.get(w)
-    if e is None:
-        p = _POLY_MOD
-        h = 0
-        for ch in w:
-            h = (h * 31 + ord(ch)) % p
-        pw = pow(31, len(w), p)
-        e = (h, (31 * pw) % p, (32 * pw + h) % p)
-        if len(_WINNOW_WORD_CACHE) > 2_000_000:
-            _WINNOW_WORD_CACHE.clear()
-        _WINNOW_WORD_CACHE[w] = e
-    return e
 
 
 def _winnow_kernel(n: int, window: int):
@@ -153,7 +131,10 @@ def _winnow_kernel(n: int, window: int):
         import numpy as np
         import pyarrow as pa
 
-        from tableone_pyspark_spark.functions.text import py_norm_words
+        from tableone_pyspark_spark.functions.text import (
+            poly_word_entry,
+            py_norm_words,
+        )
 
         p = _POLY_MOD
         for batch in batches:
@@ -168,7 +149,7 @@ def _winnow_kernel(n: int, window: int):
                 ws = py_norm_words(t)
                 nw[di] = len(ws)
                 for w in ws:
-                    entries.append(_winnow_word_entry(w))
+                    entries.append(poly_word_entry(w))
             k = np.maximum(nw - (n - 1), 0)  # shingles per doc
             total = int(k.sum())
             if total == 0 or total < 1:

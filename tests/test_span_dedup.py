@@ -130,3 +130,34 @@ def test_null_text_defined_row_and_cr_not_collapsed(spark):
     # copy does NOT match its LF twin
     rows = [(1, "one two three four"), (2, "one two\r three four")]
     _run(spark, rows, 4)  # differential: both sides agree \r blocks the match
+
+
+def test_arrow_occurrence_kernel_matches_catalyst(spark):
+    # r17: the window melt runs as one Arrow kernel; pin it
+    # bit-identical ((id, pos, h1, h2) multiset) to the pure-Catalyst
+    # posexplode + char-fold construction it replaced, across unicode,
+    # \r, NULL, empty, and shorter-than-k docs
+    from tableone_pyspark_spark.operators.dedup import (
+        _span_occurrences,
+        _span_occurrences_catalyst,
+    )
+
+    rows = [
+        (1, "alpha beta gamma delta epsilon alpha beta gamma"),
+        (2, "Ünïcode wörds    collapse\tand\nlowercase Straße ok"),
+        (3, "carriage\rreturn stays one token x y z"),
+        (4, None),
+        (5, ""),
+        (6, "short doc"),
+        (7, " ".join(f"w{i % 7}" for i in range(200))),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for k in (2, 3, 10):
+        got = sorted(
+            tuple(r) for r in _span_occurrences(df, "text", "doc_id", k).collect()
+        )
+        ref = sorted(
+            tuple(r)
+            for r in _span_occurrences_catalyst(df, "text", "doc_id", k).collect()
+        )
+        assert got == ref and len(got) > 0
