@@ -157,10 +157,10 @@ def ccnet_buckets(
     * ``"sketch"`` (default, the 100 TB path): the two cut VALUES come
       from ONE bounded aggregation — ``percentile_approx``'s mergeable
       GK sketch (state O(accuracy), partial-aggregated map-side, no
-      sort anywhere) — and bucketing is two literal comparisons
-      broadcast against the 1-row cut frame. No task ever sees more
-      than its own partition; the plan has NO window operator (pinned
-      in tests). The sketch is EXACT ``quantile_disc`` while the
+      sort anywhere) — collected as two scalar literals, and bucketing
+      (including the unscored arm) is one literal when-chain over the
+      materialized scored frame. No task ever sees more than its own
+      partition; the plan has NO window operator (pinned in tests). The sketch is EXACT ``quantile_disc`` while the
       scored frame is under ``accuracy`` rows (the engine's
       established data-mode property), rank-bounded approximate
       beyond. Equal-ppl ties land in one bucket together (value
@@ -177,18 +177,34 @@ def ccnet_buckets(
         raise ValueError(f"cuts must satisfy 0 < lo < hi < 1, got {cuts}")
     if mode not in ("sketch", "rank"):
         raise ValueError(f"mode must be 'sketch' or 'rank', got {mode!r}")
+    # The scored frame is (id, ppl)-sized — tiny next to the corpus its
+    # upstream (lm_perplexity's melt + model joins) scans — but it
+    # feeds the cut aggregation AND the bucketing projection AND the
+    # unscored arm: left lazy, the whole upstream DAG executes once per
+    # consumer (r17 measured 3× for the sketch path). Materialize it
+    # once; self-cleaning when the checkpointed frame is collected.
+    ppl = ppl.localCheckpoint(eager=True)
     scored = ppl.where(F.col(ppl_col).isNotNull())
     if mode == "sketch":
-        cuts_row = scored.agg(
+        row = scored.agg(
             F.percentile_approx(
                 F.col(ppl_col), [float(lo), float(hi)], F.lit(accuracy)
             ).alias("_c")
-        )
-        ranked = scored.crossJoin(F.broadcast(cuts_row)).select(
+        ).collect()[0]["_c"]
+        # empty scored frame: percentile is NULL and no non-null row
+        # exists to bucket — any total comparison works (NaN <= never)
+        c0, c1 = (row[0], row[1]) if row is not None else (float("nan"),) * 2
+        # the cut VALUES become literals (the p-value literal-anchor
+        # precedent): bucketing is ONE projection over the checkpointed
+        # frame — no crossJoin, no union re-executing the upstream, and
+        # the unscored arm folds into the same when-chain (row-identical
+        # to the former ranked ∪ unscored)
+        return ppl.select(
             F.col(id_col).alias("id"),
             F.col(ppl_col).alias("ppl"),
-            F.when(F.col(ppl_col) <= F.col("_c")[0], F.lit("head"))
-            .when(F.col(ppl_col) <= F.col("_c")[1], F.lit("middle"))
+            F.when(F.col(ppl_col).isNull(), F.lit("unscored"))
+            .when(F.col(ppl_col) <= F.lit(c0), F.lit("head"))
+            .when(F.col(ppl_col) <= F.lit(c1), F.lit("middle"))
             .otherwise(F.lit("tail"))
             .alias("bucket"),
         )

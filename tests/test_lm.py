@@ -147,7 +147,9 @@ def test_ccnet_buckets_sketch_plan_has_no_window(spark):
     """VERDICT r8's one scale-shape flag: the default mode must not
     funnel the scored frame through a global single-partition sort.
     The sketch plan carries NO Window operator and NO global Sort;
-    the cut values ride a 1-row broadcast."""
+    since r17 the cut values are collected literals and bucketing is
+    one projection over the checkpointed scored frame — no joins,
+    no union, no second execution of the upstream DAG."""
     from tableone_pyspark_spark.operators.lm import ccnet_buckets
 
     df = spark.createDataFrame(
@@ -156,7 +158,8 @@ def test_ccnet_buckets_sketch_plan_has_no_window(spark):
     plan = ccnet_buckets(df)._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan
     assert "percent_rank" not in plan
-    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "Exchange" not in plan  # literal cuts: pure projection, no join
+    assert "Union" not in plan  # unscored arm folded into the when-chain
     # rank mode keeps the deterministic reference shape
     rplan = (
         ccnet_buckets(df, mode="rank")
