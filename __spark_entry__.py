@@ -3042,8 +3042,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ts_v0 = tl.read_version(spark, t, as_of=mid)
 
             # X144's change feed: the merge versions deliver exact
-            # positional preimages (D) and postimage/insert files (I)
-            tc = tl.table_changes(spark, t, 0, 2)
+            # positional preimages (D) and postimage/insert files (I).
+            # r17: the feed is change-sized but feeds THREE graded
+            # arms — left lazy, the whole preimage/postimage
+            # derivation (DV anti-joins over the staged files) re-ran
+            # once per arm in the final union; materialize it once
+            # (guide §3.3 plan truncation, the merge_suite-out
+            # localCheckpoint precedent below)
+            tc = tl.table_changes(spark, t, 0, 2).localCheckpoint(
+                eager=True
+            )
             cdf_del_v1 = (
                 tc.where((F.col("commit_version") == 1)
                          & (F.col("op") == "D")).select(*data_cols)
@@ -3187,7 +3195,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             # OVERWRITE too (inherited table metadata)
             rep9 = tl.commit(spark, ow, t, mode="overwrite")
             assert rep9["version"] == 9, rep9
-            tc_ow = tl.table_changes(spark, t, 8, 9)  # keyless
+            # keyless; materialized once for its two graded arms (r17)
+            tc_ow = tl.table_changes(spark, t, 8, 9).localCheckpoint(
+                eager=True
+            )
             ow_del = tc_ow.where(F.col("op") == "D").select(
                 *data_cols, "note", "k2"
             )

@@ -1961,14 +1961,22 @@ def _write_deletion_vector(
         F.col("__dv_ri").alias("row_index"),
     )
     dv_dir = f"{table}/dv/{uuid.uuid4().hex}"
-    matched.write.parquet(dv_dir)
-    new_dv = _list_parquet(spark, dv_dir)
-    n = spark.read.parquet(*new_dv).count() if new_dv else 0
+    # r17: the write job itself reports the position count through an
+    # Observation (CollectMetrics rides the write plan) — the previous
+    # read-back count() re-scanned the fresh vector files as a second
+    # job per DV write
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    matched.observe(obs, F.count(F.lit(1)).alias("__n")).write.parquet(
+        dv_dir
+    )
+    n = int(obs.get["__n"])
     if n == 0:
         fs, _ = _fs(spark, table)
         fs.delete(_path(spark, dv_dir), True)
         return [], 0
-    return new_dv, int(n)
+    return _list_parquet(spark, dv_dir), n
 
 
 def merge_rows(
@@ -2073,23 +2081,39 @@ def merge_rows(
     # one target row is non-deterministic. One small agg over the
     # change-sized source (NULL keys exempt — they never match; the
     # reserved alias keeps a key column literally named 'count'
-    # unambiguous — review r14).
-    dup = (
-        source.select(*keys)
-        .na.drop(subset=keys)
-        .groupBy(*keys)
+    # unambiguous — review r14). r17: the duplicate probe and the
+    # emptiness probe are ONE job — max per-key multiplicity (non-null
+    # keys only) and the total row count fall out of the same
+    # two-level aggregation; the offending key tuple is only looked up
+    # on the error path, where cost is irrelevant.
+    _nonnull = F.lit(True)
+    for _k in keys:
+        _nonnull = _nonnull & F.col(f"`{_k}`").isNotNull()
+    probe = (
+        source.groupBy(*keys)
         .agg(F.count(F.lit(1)).alias("__mg_cnt"))
-        .where(F.col("__mg_cnt") > 1)
-        .limit(1)
-        .collect()
+        .agg(
+            F.sum("__mg_cnt").alias("__mg_n"),
+            F.max(F.when(_nonnull, F.col("__mg_cnt"))).alias("__mg_mx"),
+        )
+        .collect()[0]
     )
-    if dup:
+    if (probe["__mg_mx"] or 0) > 1:
+        dup = (
+            source.select(*keys)
+            .na.drop(subset=keys)
+            .groupBy(*keys)
+            .agg(F.count(F.lit(1)).alias("__mg_cnt"))
+            .where(F.col("__mg_cnt") > 1)
+            .limit(1)
+            .collect()
+        )
         raise ValueError(
             f"duplicate source key tuple {tuple(dup[0][k] for k in keys)} "
             "— MERGE with multiple source matches per target row is "
             "non-deterministic; dedupe the source first"
         )
-    if source.isEmpty():
+    if not (probe["__mg_n"] or 0):
         return {"version": base, "n_deleted": 0, "n_inserted": 0}
 
     src_keys = source.select(*keys).na.drop(subset=keys).distinct()
@@ -2102,11 +2126,8 @@ def merge_rows(
     # actually fits (review r14).
     new_dv: list[str] = []
     n_del = 0
-    if doc["files"]:
-        new_dv, n_del = _write_deletion_vector(
-            spark, table, doc,
-            lambda live: live.join(src_keys, keys, "left_semi"),
-        )
+    # (the vector write itself is scheduled below, concurrent with the
+    # two append-side writes — all three read the same immutable base)
 
     # rows to append. Delta MERGE multiplicity (review r14): a
     # duplicate-keyed TARGET gets EACH of its matched rows updated, so
@@ -2130,34 +2151,73 @@ def merge_rows(
     )  # X165: merge's appended files honor the bloom policy too
 
     def _write_side(side: DataFrame) -> tuple[list[str], int]:
-        # r17: write FIRST, then footer-count and clean an empty dir
-        # up — the `_write_deletion_vector` pattern. The previous
-        # `isEmpty()` pre-check executed the live-view join TWICE per
-        # contributing side (once for the probe, once for the write);
-        # at 100 TB that is two full target-key scans instead of one.
-        # Observable behavior is unchanged: a side that contributes
-        # nothing still records nothing.
+        # r17: write FIRST, then clean an empty dir up — the
+        # `_write_deletion_vector` pattern. The previous `isEmpty()`
+        # pre-check executed the live-view join TWICE per contributing
+        # side (once for the probe, once for the write); at 100 TB
+        # that is two full target-key scans instead of one. The row
+        # count rides the write job itself via an Observation, so no
+        # read-back count() job either. Observable behavior is
+        # unchanged: a side that contributes nothing records nothing.
+        from pyspark.sql import Observation
+
         side_dir = f"{table}/data/{uuid.uuid4().hex}"
+        obs = Observation()
+        side = side.observe(obs, F.count(F.lit(1)).alias("__n"))
         _to_physical(side, cm).write.options(**bloom_opts).parquet(
             side_dir
         )
-        files = _list_parquet(spark, side_dir)
-        n = spark.read.parquet(*files).count() if files else 0
+        n = int(obs.get["__n"])
         if n == 0:
             fs, _ = _fs(spark, table)
             fs.delete(_path(spark, side_dir), True)
             return [], 0
-        return files, int(n)
+        return _list_parquet(spark, side_dir), n
+
+    # The three change-sized writes — retraction vector, update
+    # postimages, fresh inserts — are independent jobs over the same
+    # immutable base version: schedule them concurrently (guide §2.6
+    # overlap; the sufficient-stats pool precedent) so each job's
+    # scheduling tail back-fills the others instead of serializing
+    # three target-side scans end to end.
+    from concurrent.futures import ThreadPoolExecutor
 
     post_files: list[str] = []
     ins_files: list[str] = []
     n_post = n_insd = 0
-    if when_matched == "update":
-        post = source.join(live_keys, keys, "inner").select(*source.columns)
-        post_files, n_post = _write_side(post)
-    if when_not_matched == "insert":
-        ins = source.join(live_keys.distinct(), keys, "left_anti")
-        ins_files, n_insd = _write_side(ins)
+    with ThreadPoolExecutor(max_workers=3) as _pool:
+        f_dv = (
+            _pool.submit(
+                _write_deletion_vector, spark, table, doc,
+                lambda live: live.join(src_keys, keys, "left_semi"),
+            )
+            if doc["files"]
+            else None
+        )
+        f_post = (
+            _pool.submit(
+                _write_side,
+                source.join(live_keys, keys, "inner").select(
+                    *source.columns
+                ),
+            )
+            if when_matched == "update"
+            else None
+        )
+        f_ins = (
+            _pool.submit(
+                _write_side,
+                source.join(live_keys.distinct(), keys, "left_anti"),
+            )
+            if when_not_matched == "insert"
+            else None
+        )
+        if f_dv is not None:
+            new_dv, n_del = f_dv.result()
+        if f_post is not None:
+            post_files, n_post = f_post.result()
+        if f_ins is not None:
+            ins_files, n_insd = f_ins.result()
 
     new_files: list[str] = post_files + ins_files
     n_ins = n_post + n_insd
