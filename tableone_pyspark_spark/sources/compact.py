@@ -50,14 +50,81 @@ def _fs_and_path(spark: SparkSession, path: str):
     return p.getFileSystem(conf), p, jvm, conf
 
 
+def _default_fs_is_local(spark: SparkSession) -> bool:
+    # memoized per session: scheme-less paths resolve against
+    # fs.defaultFS, so only a file: default makes them driver-local
+    cached = getattr(spark, "_t1_default_fs_local", None)
+    if cached is None:
+        conf = spark._jsc.hadoopConfiguration()
+        d = conf.get("fs.defaultFS") or "file:///"
+        cached = d.startswith("file:")
+        spark._t1_default_fs_local = cached
+    return cached
+
+
+def as_local(spark: SparkSession, path: str) -> str | None:
+    """The driver-visible local-filesystem path for ``path`` when it
+    PROVABLY lives there (explicit ``file:`` scheme, or scheme-less
+    with a ``file:`` default FS), else None — callers then fall back
+    to the Hadoop FS API unchanged. Every metadata read through py4j
+    costs tens of ms in JVM round-trips (guide §5: the driver should
+    do no avoidable work), and a commit-log walk makes dozens; direct
+    ``os`` calls are ~100× cheaper. HDFS/object-store paths always
+    return None — the optimization never changes WHERE bytes come
+    from, only which client reads them."""
+    if path.startswith("file:"):
+        from urllib.parse import unquote, urlparse
+
+        return unquote(urlparse(path).path) or None
+    head = path.split("/", 1)[0]
+    if "://" in path or ":" in head:
+        return None
+    return path if _default_fs_is_local(spark) else None
+
+
 def list_data_files(spark: SparkSession, path: str) -> list[tuple[str, int]]:
     """(path, bytes) for every visible leaf data file under ``path``
     (recursive; `_`/`.`-prefixed bookkeeping files skipped). A
-    ``key=value`` directory raises — hive layouts compact per leaf."""
+    ``key=value`` directory raises — hive layouts compact per leaf.
+    Provably-local paths walk via ``os.scandir`` (the Hadoop
+    LocalFileSystem round-trips py4j per directory); remote schemes
+    keep the FS API. Both walks return Hadoop-style ``file:`` URIs for
+    local files so downstream path handling is identical."""
+    lp = as_local(spark, path)
+    if lp is not None:
+        import os
+
+        if not os.path.exists(lp):
+            raise ValueError(f"no such path: {path}")
+        out: list[tuple[str, int]] = []
+        stack = [lp]
+        while stack:
+            cur = stack.pop()
+            with os.scandir(cur) as it:
+                for de in it:
+                    name = de.name
+                    if name.startswith("_") or name.startswith("."):
+                        continue
+                    if de.is_dir(follow_symlinks=True):
+                        if "=" in name:
+                            raise ValueError(
+                                f"hive-partitioned layout ({name}/): "
+                                "compact each leaf partition directory "
+                                "individually"
+                            )
+                        stack.append(de.path)
+                    else:
+                        out.append(
+                            (
+                                "file:" + os.path.abspath(de.path),
+                                de.stat(follow_symlinks=True).st_size,
+                            )
+                        )
+        return sorted(out)
     fs, root, jvm, _ = _fs_and_path(spark, path)
     if not fs.exists(root):
         raise ValueError(f"no such path: {path}")
-    out: list[tuple[str, int]] = []
+    out = []
     stack = [root]
     while stack:
         cur = stack.pop()

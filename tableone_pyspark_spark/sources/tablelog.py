@@ -110,6 +110,15 @@ def _path(spark: SparkSession, path: str):
 
 
 def _read_json(spark: SparkSession, path: str) -> dict:
+    # provably-local docs read directly (r17 — each py4j FS read costs
+    # ~25 ms of JVM round-trips and a log walk makes dozens; guide §5
+    # driver overhead); remote schemes keep the Hadoop API below
+    from tableone_pyspark_spark.sources.compact import as_local
+
+    lp = as_local(spark, path)
+    if lp is not None:
+        with open(lp, "rb") as fh:
+            return json.loads(fh.read().decode("utf-8"))
     fs, jvm = _fs(spark, path)
     stream = fs.open(_path(spark, path))
     try:
@@ -130,14 +139,31 @@ def _log_maxima(
     streaming-sink watermark hot path) must not pay two LIST calls
     per micro-batch (review r13; on an object store LIST is the
     expensive primitive)."""
+    from tableone_pyspark_spark.sources.compact import as_local
+
+    lp = as_local(spark, f"{table}/_log")
+    if lp is not None:
+        # r17 local fast path: one os.listdir instead of a py4j
+        # exists + listStatus round-trip pair
+        import os
+
+        try:
+            names = os.listdir(lp)
+        except FileNotFoundError:
+            return None, []
+        return _log_maxima_from_names(names)
     fs, _ = _fs(spark, table)
     log = _path(spark, f"{table}/_log")
     if not fs.exists(log):
         return None, []
+    names = [st.getPath().getName() for st in fs.listStatus(log)]
+    return _log_maxima_from_names(names)
+
+
+def _log_maxima_from_names(names: list[str]) -> tuple[int | None, list[int]]:
     best = None
     cks: list[int] = []
-    for st in fs.listStatus(log):
-        name = st.getPath().getName()
+    for name in names:
         if name.startswith("_checkpoint_v") and name.endswith(".json"):
             try:
                 cks.append(int(name[len("_checkpoint_v"):-5]))
@@ -275,6 +301,21 @@ def _list_parquet(spark: SparkSession, root: str) -> list[str]:
     from tableone_pyspark_spark.sources.compact import list_data_files
 
     return [p for p, _ in list_data_files(spark, root)]
+
+
+def _file_len(spark: SparkSession, path: str) -> int:
+    """File size in bytes — ``os.stat`` for provably-local files (a
+    ``getFileStatus`` py4j round-trip per file adds up over a commit's
+    file list; r17), the Hadoop FS API otherwise."""
+    from tableone_pyspark_spark.sources.compact import as_local
+
+    lp = as_local(spark, path)
+    if lp is not None:
+        import os
+
+        return os.stat(lp).st_size
+    fs, _ = _fs(spark, path)
+    return int(fs.getFileStatus(_path(spark, path)).getLen())
 
 
 def _rename_no_overwrite(spark, fs, jvm, src, dst) -> bool:
@@ -1064,16 +1105,139 @@ def _enforce_generated(
         )
 
 
+def _footer_file_stats(
+    spark: SparkSession,
+    files: list[str],
+    stats_cols: list[str],
+    colmap: dict | None,
+) -> dict | None:
+    """Per-file (min, max, null_count) straight from the parquet
+    FOOTERS (r17, the Iceberg writer-metrics idea): the files were
+    written moments ago by this engine, their footers already carry
+    exactly the statistics the version doc wants — re-deriving them
+    with a second distributed scan of every new row (the previous
+    shape) costs one full pass of the commit's data. Footer reads are
+    metadata-sized driver work.
+
+    Returns None whenever the footer route cannot reproduce the scan's
+    EXACT semantics — non-local files, pyarrow missing, a column type
+    outside the reproducible set, or any chunk lacking trustworthy
+    statistics — and the caller falls back to the distributed scan
+    unchanged. Reproducibility notes: parquet min_value/max_value use
+    unsigned-UTF-8-byte ordering for strings, which equals Spark's
+    UTF8String ordering and Python's code-point ordering; parquet-mr
+    omits min/max for float chunks containing NaN, which maps onto
+    this module's documented NaN-omission rule; ±Inf bounds are
+    omitted the same way the scan path omits them."""
+    from tableone_pyspark_spark.sources.compact import as_local
+
+    locs = []
+    for f in files:
+        lp = as_local(spark, f)
+        if lp is None:
+            return None
+        locs.append((f, lp))
+    try:
+        import pyarrow.parquet as _pq
+    except Exception:  # pragma: no cover - pyarrow ships with pyspark
+        return None
+    cm = colmap or {}
+    import datetime as _dt
+
+    def _col_kind(cs) -> str | None:
+        # the _STATS_TYPES set, in parquet terms; None = not
+        # reproducible here (timestamps, decimals, bool, int96, ...)
+        lt = str(cs.logical_type.type).upper()
+        pt = cs.physical_type
+        if lt == "DATE":
+            return "date"
+        if lt == "STRING":
+            return "string"
+        if lt in ("NONE", "INT"):
+            if pt == "INT32":
+                return "int"
+            if pt == "INT64":
+                return "int"
+        if lt == "NONE" and pt == "FLOAT":
+            return "float"
+        if lt == "NONE" and pt == "DOUBLE":
+            return "float"
+        return None
+
+    out: dict = {}
+    for f, lp in locs:
+        try:
+            md = _pq.ParquetFile(lp).metadata
+        except Exception:
+            return None
+        if md.num_rows == 0:
+            # the scan's groupBy(input_file_name) yields no row for an
+            # empty file — no stats entry
+            continue
+        idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+        st: dict = {}
+        for c in stats_cols:
+            p = _phys(cm, c)
+            if p not in idx:
+                return None
+            ci = idx[p]
+            kind = _col_kind(md.schema.column(ci))
+            if kind is None:
+                return None
+            mins: list = []
+            maxs: list = []
+            nulls = 0
+            nan_case = False
+            for rg in range(md.num_row_groups):
+                rgm = md.row_group(rg)
+                col = rgm.column(ci)
+                s = col.statistics
+                if s is None or not s.has_null_count:
+                    return None
+                nulls += s.null_count
+                if s.has_min_max:
+                    mins.append(s.min)
+                    maxs.append(s.max)
+                elif s.null_count == rgm.num_rows:
+                    pass  # all-null chunk contributes no bounds
+                elif kind == "float":
+                    # parquet writers drop min/max when NaN is present
+                    # — the scan path omits the column then too
+                    nan_case = True
+                else:
+                    return None  # bounds missing for no modeled reason
+            if nan_case:
+                continue
+            if not mins:
+                st[c] = [None, None, int(nulls)]  # all-null file
+                continue
+            mn, mx = min(mins), max(maxs)
+            if kind == "float" and not (
+                math.isfinite(mn) and math.isfinite(mx)
+            ):
+                continue  # the scan path's NaN/Inf omission rule
+            if isinstance(mn, float) and (math.isnan(mn) or math.isnan(mx)):
+                continue  # defensive: never publish NaN bounds
+            if isinstance(mn, _dt.date):
+                mn, mx = str(mn), str(mx)
+            st[c] = [mn, mx, int(nulls)]
+        out[f] = st
+    return out
+
+
 def _collect_file_stats(
     spark: SparkSession,
     files: list[str],
     stats_cols: list[str],
     colmap: dict | None = None,
 ) -> dict:
-    """Per-file (min, max, null_count) for ``stats_cols`` — ONE
-    distributed pass over exactly this commit's files (grouped by
-    ``input_file_name``), never a driver-side footer walk, so it works
-    on any FileSystem and costs one scan of the NEW data only (the
+    """Per-file (min, max, null_count) for ``stats_cols``. Fast path
+    (r17): provably-local files answer from their parquet FOOTERS —
+    metadata-sized driver work, zero data scanned. Everything else
+    (remote FS, a type or footer shape the fast path cannot reproduce
+    exactly) falls back to ONE distributed pass over exactly this
+    commit's files (grouped by ``input_file_name``), which works on
+    any FileSystem and costs one scan of the NEW data only (the
     Delta add-file-stats idea). Only orderable scalar types
     participate; others raise (no silent stat-less columns — callers
     asking for skipping stats must get them or know why not).
@@ -1085,6 +1249,9 @@ def _collect_file_stats(
     literal (ISO compares correctly as text)."""
     if not files:
         return {}
+    footer = _footer_file_stats(spark, files, stats_cols, colmap)
+    if footer is not None:
+        return footer
     df = spark.read.parquet(*files)
     if colmap:
         # X157: the files store PHYSICAL names — scan those, but keep
@@ -3470,12 +3637,8 @@ def describe_detail(
         "user_metadata": doc.get("user_metadata"),
     }
     if with_size:
-        fs, _ = _fs(spark, table)
         out["size_bytes"] = int(
-            sum(
-                fs.getFileStatus(_path(spark, f)).getLen()
-                for f in doc["files"]
-            )
+            sum(_file_len(spark, f) for f in doc["files"])
         )
     return out
 
@@ -4480,13 +4643,11 @@ write_target_sized`'s sampled bytes-per-row estimate (one bounded
     # already-big, DV-untouched files are never candidates
     carried_compact: list[str] = []
     if min_file_bytes is not None and not full:
-        fs_sz, _ = _fs(spark, table)
         touched = _dv_touched()
         carried_compact = [
             f
             for f in doc["files"]
-            if fs_sz.getFileStatus(_path(spark, f)).getLen()
-            >= min_file_bytes
+            if _file_len(spark, f) >= min_file_bytes
             and _norm_file(f) not in touched
         ]
     carried_set = set(carried_clustered) | set(carried_compact)
@@ -4553,11 +4714,7 @@ write_target_sized`'s sampled bytes-per-row estimate (one bounded
             write_zordered,
         )
 
-        fs, _ = _fs(spark, table)
-        live_bytes = sum(
-            fs.getFileStatus(_path(spark, f)).getLen()
-            for f in rewrite_files
-        )
+        live_bytes = sum(_file_len(spark, f) for f in rewrite_files)
         if dv:
             # raw file lengths include DV-deleted rows; scale by the
             # surviving fraction or a 90%-deleted table would get
@@ -4589,10 +4746,8 @@ write_target_sized`'s sampled bytes-per-row estimate (one bounded
         # maxRecordsPerFile inside write_target_sized stays the
         # safety SPLITTER for underestimated rows. DV-deleted bytes
         # inflate the estimate — more, smaller files, the safe side.
-        fs_pb, _ = _fs(spark, table)
         rewrite_bytes = sum(
-            fs_pb.getFileStatus(_path(spark, f)).getLen()
-            for f in rewrite_files
+            _file_len(spark, f) for f in rewrite_files
         )
         n_out = max(1, -(-rewrite_bytes // target_bytes))
         write_target_sized(

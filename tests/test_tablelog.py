@@ -420,6 +420,56 @@ def test_vacuum_dir_sweep_age_guard_and_bookkeeping(spark, tmp_path):
     assert tl.read_version(spark, t).count() == 3
 
 
+def test_footer_stats_match_scan_stats(spark, tmp_path):
+    """r17: _collect_file_stats answers from parquet footers when the
+    files are provably local — the values must be BIT-IDENTICAL to the
+    distributed-scan path across every reproducible shape (ints,
+    unicode strings, dates, all-null columns, multiple files), and the
+    NaN / ±Inf omission rules must agree; non-reproducible shapes fall
+    back (returned None)."""
+    d = str(tmp_path / "footer_diff")
+    df = spark.createDataFrame(
+        [
+            (1, 1.5, "aé\U0001f600", None, "2024-01-02"),
+            (2, float("nan"), "zz", 7, "2023-05-05"),
+            (5, float("inf"), "\r\n", 2, None),
+            (None, -3.25, None, None, "2023-01-01"),
+        ],
+        "k int, v double, s string, t bigint, ds string",
+    ).withColumn("d", F.col("ds").cast("date")).drop("ds")
+    df.repartition(2, "k").write.parquet(d)
+    files = tl._list_parquet(spark, d)
+    cols = ["k", "v", "s", "t", "d"]
+    foot = tl._footer_file_stats(spark, files, cols, None)
+    assert foot is not None, "local files must take the footer path"
+    scan = tl._collect_file_stats.__wrapped__(spark, files, cols) if hasattr(
+        tl._collect_file_stats, "__wrapped__"
+    ) else None
+    if scan is None:
+        # force the scan path for the differential
+        import tableone_pyspark_spark.sources.tablelog as _m
+
+        orig = _m._footer_file_stats
+        _m._footer_file_stats = lambda *a, **k: None
+        try:
+            scan = tl._collect_file_stats(spark, files, cols)
+        finally:
+            _m._footer_file_stats = orig
+    # keys may differ in URI form (file:/ vs file:///) — compare
+    # through the same normalization every caller applies
+    assert tl._remap_stats(foot, files) == tl._remap_stats(scan, files)
+    # a non-reproducible column type falls back instead of guessing
+    ts = spark.sql("SELECT timestamp'2024-01-01' AS ts")
+    d2 = str(tmp_path / "footer_ts")
+    ts.write.parquet(d2)
+    assert (
+        tl._footer_file_stats(
+            spark, tl._list_parquet(spark, d2), ["ts"], None
+        )
+        is None
+    )
+
+
 def test_commit_stats_and_pruned_reads(spark, tmp_path):
     """X133: commit(stats_cols=...) records per-file min/max/nulls in
     the version doc; read_version(prune=...) skips provably-excluded
