@@ -546,6 +546,27 @@ class _Writer:
         if self.nbits:
             self.write(0, 8 - self.nbits)
 
+    def write_bitarray(self, bits: np.ndarray) -> None:
+        """Append a 0/1 uint8 bit vector in one vectorized pass —
+        byte-identical to writing the same bits through :meth:`write`
+        one code at a time (differential-pinned)."""
+        if self.nbits:
+            pre = np.empty(self.nbits, dtype=np.uint8)
+            for i in range(self.nbits):
+                pre[i] = (self.acc >> (self.nbits - 1 - i)) & 1
+            bits = np.concatenate([pre, bits])
+            self.acc = 0
+            self.nbits = 0
+        rem = bits.size & 7
+        full = bits.size - rem
+        if full:
+            self.buf += np.packbits(bits[:full]).tobytes()
+        acc = 0
+        for b in bits[full:]:
+            acc = (acc << 1) | int(b)
+        self.acc = acc
+        self.nbits = rem
+
     def bytes(self) -> bytes:
         if self.nbits:
             raise ValueError("unaligned writer")
@@ -583,7 +604,74 @@ def _best_rice(res: list[int]) -> tuple[int, int]:
     return best_k, best_c
 
 
-def _write_residual(w: _Writer, res: list[int], k: int, raw_bits: int) -> None:
+def _zigzag_np(res: np.ndarray) -> np.ndarray:
+    """Vectorized zigzag, identical to ``((r << 1) ^ (r >> 63))`` on
+    Python ints for |r| < 2**62 (int64 arithmetic shift of a negative
+    is -1, exactly like Python's)."""
+    return (res << np.int64(1)) ^ (res >> np.int64(63))
+
+
+_RICE_KS = np.arange(31, dtype=np.int64)
+
+
+def _best_rice_np(u: np.ndarray, n: int) -> tuple[int, int]:
+    """Vectorized twin of :func:`_best_rice` over the zigzagged
+    residuals ``u`` — all 31 exact costs in one (n × 31) reduction,
+    then the same scan order, tie-breaking and early break, so the
+    selected (k, cost) is identical bit-for-bit."""
+    sums = (u[:, None] >> _RICE_KS[None, :]).sum(axis=0)
+    costs = sums + n * (1 + _RICE_KS)
+    best_k, best_c = 0, int(costs[0])
+    for k in range(1, 31):
+        c = int(costs[k])
+        if c < best_c:
+            best_k, best_c = k, c
+        elif c > best_c * 2:
+            break
+    return best_k, best_c
+
+
+def _write_residual(w: _Writer, res: np.ndarray, k: int, raw_bits: int) -> None:
+    """Residual section via one vectorized bit-pack. ``res`` is the
+    int64 residual vector; the emitted bits are identical to the
+    per-sample ``write_unary``/``write`` sequence (differential twin:
+    :func:`_write_residual_ref`)."""
+    method = 0 if k <= 14 and raw_bits <= 14 else 1
+    plen = 4 if method == 0 else 5
+    escape = (1 << plen) - 1
+    w.write(method, 2)
+    w.write(0, 4)  # partition order 0
+    if raw_bits:
+        w.write(escape, plen)
+        w.write(raw_bits, 5)
+        n = res.size
+        bits = np.empty((n, raw_bits), dtype=np.uint8)
+        for j in range(raw_bits):
+            # arithmetic >> keeps two's-complement low bits, exactly
+            # like write()'s `v & ((1 << n) - 1)` masking
+            bits[:, j] = ((res >> np.int64(raw_bits - 1 - j)) & np.int64(1)).astype(
+                np.uint8
+            )
+        w.write_bitarray(bits.reshape(-1))
+    else:
+        w.write(k, plen)
+        u = _zigzag_np(res)
+        q = (u >> np.int64(k)).astype(np.int64)
+        lens = q + 1 + k
+        starts = np.zeros(res.size, dtype=np.int64)
+        np.cumsum(lens[:-1], out=starts[1:])
+        bits = np.zeros(int(lens.sum()), dtype=np.uint8)
+        bits[starts + q] = 1  # unary terminator after q zeros
+        for j in range(k):
+            bits[starts + q + 1 + j] = (u >> np.int64(k - 1 - j)) & np.int64(1)
+        w.write_bitarray(bits)
+
+
+def _write_residual_ref(
+    w: _Writer, res: list[int], k: int, raw_bits: int
+) -> None:
+    """Pure-Python reference of :func:`_write_residual` (kept for the
+    byte-identity differential test)."""
     method = 0 if k <= 14 and raw_bits <= 14 else 1
     plen = 4 if method == 0 else 5
     escape = (1 << plen) - 1
@@ -603,7 +691,66 @@ def _write_residual(w: _Writer, res: list[int], k: int, raw_bits: int) -> None:
                 w.write(u, k)
 
 
-def _encode_subframe(w: _Writer, s: list[int], bps: int) -> None:
+def _encode_subframe(w: _Writer, s: np.ndarray, bps: int) -> None:
+    """Vectorized subframe encoder: residuals are k-th differences
+    (``np.diff`` — the fixed predictors ARE the binomial coefficients),
+    the Rice cost scan and the bit-pack run over whole arrays. Order/k
+    selection and output bits are identical to the pure-Python twin
+    :func:`_encode_subframe_ref` (differential-pinned)."""
+    arr = np.asarray(s, dtype=np.int64)
+    n = int(arr.size)
+    if np.all(arr == arr[0]):
+        w.write(0, 1)
+        w.write(0, 6)  # CONSTANT
+        w.write(0, 1)
+        w.write(int(arr[0]), bps)
+        return
+    verbatim_cost = 8 + n * bps  # subframe header + raw samples
+    best = None  # (cost, order, res, k, raw_bits)
+    for order in range(0, 5):
+        if order >= n:
+            break
+        res = np.diff(arr, n=order) if order else arr
+        k, rice_cost = _best_rice_np(_zigzag_np(res), int(res.size))
+        # residual-section bits, exactly as _write_residual lays them
+        # out: 2 (method) + 4 (partition order) + plen (param/escape),
+        # then rice codes — or escape: 5 (raw_bits field) + raw packing;
+        # plen mirrors _write_residual's method choice for each variant
+        rice_plen = 4 if k <= 14 else 5
+        cost, raw_bits = rice_plen + rice_cost, 0
+        mx = int(np.abs(res).max()) if res.size else 0
+        need = mx.bit_length() + 1 if mx else 0
+        if need and need <= 31:
+            raw_plen = 4 if k <= 14 and need <= 14 else 5
+            raw_cost = raw_plen + 5 + need * int(res.size)
+            if raw_cost < cost:
+                cost, raw_bits = raw_cost, need
+        total = 8 + order * bps + 2 + 4 + cost
+        if best is None or total < best[0]:
+            best = (total, order, res, k, raw_bits)
+    if best is not None and best[0] < verbatim_cost:
+        _, order, res, k, raw_bits = best
+        w.write(0, 1)
+        w.write(8 + order, 6)  # FIXED
+        w.write(0, 1)
+        for v in arr[:order]:
+            w.write(int(v), bps)
+        _write_residual(w, res, k, raw_bits)
+    else:
+        w.write(0, 1)
+        w.write(1, 6)  # VERBATIM
+        w.write(0, 1)
+        bits = np.empty((n, bps), dtype=np.uint8)
+        for j in range(bps):
+            bits[:, j] = ((arr >> np.int64(bps - 1 - j)) & np.int64(1)).astype(
+                np.uint8
+            )
+        w.write_bitarray(bits.reshape(-1))
+
+
+def _encode_subframe_ref(w: _Writer, s: list[int], bps: int) -> None:
+    """Pure-Python reference of :func:`_encode_subframe` (pre-r17 body,
+    kept verbatim for the byte-identity differential test)."""
     n = len(s)
     if all(v == s[0] for v in s):
         w.write(0, 1)
@@ -622,10 +769,6 @@ def _encode_subframe(w: _Writer, s: list[int], bps: int) -> None:
             for i in range(order, n)
         ]
         k, rice_cost = _best_rice(res)
-        # residual-section bits, exactly as _write_residual lays them
-        # out: 2 (method) + 4 (partition order) + plen (param/escape),
-        # then rice codes — or escape: 5 (raw_bits field) + raw packing;
-        # plen mirrors _write_residual's method choice for each variant
         rice_plen = 4 if k <= 14 else 5
         cost, raw_bits = rice_plen + rice_cost, 0
         mx = max((abs(r) for r in res), default=0)
@@ -645,7 +788,7 @@ def _encode_subframe(w: _Writer, s: list[int], bps: int) -> None:
         w.write(0, 1)
         for v in s[:order]:
             w.write(v, bps)
-        _write_residual(w, res, k, raw_bits)
+        _write_residual_ref(w, res, k, raw_bits)
     else:
         w.write(0, 1)
         w.write(1, 6)  # VERBATIM
@@ -735,20 +878,20 @@ def encode_flac(
         w.write(_crc8(hdr), 8)
 
         if stereo_mode == "indep":
-            subs = [(blk[:, c].tolist(), bits) for c in range(channels)]
+            subs = [(blk[:, c], bits) for c in range(channels)]
         else:
             left = blk[:, 0]
             right = blk[:, 1]
-            side = (left - right).tolist()
+            side = left - right
             if stereo_mode == "left-side":
-                subs = [(left.tolist(), bits), (side, bits + 1)]
+                subs = [(left, bits), (side, bits + 1)]
             elif stereo_mode == "right-side":
-                subs = [(side, bits + 1), (right.tolist(), bits)]
+                subs = [(side, bits + 1), (right, bits)]
             else:
-                mid = ((blk[:, 0] + blk[:, 1]) >> 1).tolist()
+                mid = (blk[:, 0] + blk[:, 1]) >> 1
                 subs = [(mid, bits), (side, bits + 1)]
         for samples, sub_bps in subs:
-            _encode_subframe(w, [int(v) for v in samples], sub_bps)
+            _encode_subframe(w, samples, sub_bps)
         w.align()
         body = bytes(w.buf)
         frames += body + struct.pack(">H", _crc16(body))

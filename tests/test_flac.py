@@ -409,3 +409,33 @@ def test_property_round_trip(seed, n, bits, channels, block, mode, smooth):
     out, rate, b = flac.decode_flac_int(p, verify_md5=True)
     assert (rate, b) == (8000, bits)
     assert np.array_equal(out.astype(np.int64), arr)
+
+
+@settings(max_examples=60, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    seed=st.integers(0, 2**32 - 1),
+    n=st.integers(1, 400),
+    mag=st.sampled_from([1, 4, 100, 30_000, 2**28, 2**33]),
+    bps=st.sampled_from([8, 16, 17, 24, 32, 33]),
+    misalign=st.integers(0, 31),
+    smooth=st.booleans(),
+)
+def test_subframe_vectorized_byte_identity(seed, n, mag, bps, misalign, smooth):
+    """r17: the vectorized subframe encoder (np.diff residuals, one-shot
+    Rice cost matrix, bulk bit-pack) emits EXACTLY the bytes of the
+    pure-Python reference — order/k/escape selection included — from
+    any writer bit phase."""
+    rng = np.random.default_rng(seed)
+    lim = min(mag, 2 ** (bps - 1) - 1)
+    if smooth:
+        s = np.clip(rng.integers(-50, 51, size=n).cumsum(), -lim - 1, lim)
+    else:
+        s = rng.integers(-lim - 1, lim + 1, size=n)
+    w1, w2 = flac._Writer(), flac._Writer()
+    w1.write(misalign, 5)
+    w2.write(misalign, 5)
+    flac._encode_subframe(w1, np.asarray(s, dtype=np.int64), bps)
+    flac._encode_subframe_ref(w2, [int(v) for v in s], bps)
+    w1.align()
+    w2.align()
+    assert w1.bytes() == w2.bytes()
