@@ -3653,13 +3653,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             marker_files = tl._version_doc(spark, t, 8)["clustered"][
                 "files"
             ]
-            fs_, _ = tl._fs(spark, t)
-            mt_before = {
-                f: fs_.getFileStatus(
+            # mtime gate via os.stat for provably-local files (r17,
+            # guide §5.3: the marker holds one file per ~target_bytes,
+            # and a py4j getFileStatus round-trip per file costed
+            # seconds over two passes; st_mtime_ns is STRICTER than
+            # Hadoop's ms). Non-local roots keep the FS API.
+            from tableone_pyspark_spark.sources.compact import (
+                as_local as _as_local,
+            )
+
+            def _mtime(f):
+                lp = _as_local(spark, f)
+                if lp is not None:
+                    import os as _os
+
+                    return _os.stat(lp).st_mtime_ns
+                fs_, _ = tl._fs(spark, f)
+                return fs_.getFileStatus(
                     tl._path(spark, f)
                 ).getModificationTime()
-                for f in marker_files
-            }
+
+            mt_before = {f: _mtime(f) for f in marker_files}
             inc = tl.optimize(spark, t, target_bytes=8192)
             assert inc["version"] == 11, inc
             assert (
@@ -3667,12 +3681,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ), inc
             assert inc["n_input_files"] == n_appended, inc
             for f_, m_ in mt_before.items():
-                assert (
-                    fs_.getFileStatus(
-                        tl._path(spark, f_)
-                    ).getModificationTime()
-                    == m_
-                ), f"clustered file rewritten: {f_}"
+                assert _mtime(f_) == m_, (
+                    f"clustered file rewritten: {f_}"
+                )
             noop = tl.optimize(spark, t, target_bytes=8192)
             assert noop["n_output_files"] == 0, noop
             assert tl.current_version(spark, t) == 11
