@@ -38,6 +38,38 @@ def _load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
+from contextlib import contextmanager  # noqa: E402
+
+
+@contextmanager
+def _stream_width(spark: SparkSession):
+    """Shuffle width for the stateful streaming queries (r17, guide
+    §2.2 "fewer, larger reduce partitions"). Every stateful operator
+    pays a fixed per-partition state-store cost per micro-batch (open,
+    commit, snapshot — a stream-stream join keeps FOUR stores per
+    partition), so running this suite's single small availableNow
+    batch over one state partition per core is pure fixed overhead:
+    measured solo at sf0.1/local[32], stream_join is 8-11 s with 32
+    state partitions and 3.3 s with 8 — identical results, the state
+    partition count is not observable in any output. Parameterized,
+    not core-derived: production jobs size state width by state volume
+    and throughput via SPARK_GRAFT_STREAM_SHUFFLE (set it to the
+    cluster's usual shuffle width for high-throughput streams); the
+    constant local default also keeps the driver's bench comparable
+    across SPARK_GRAFT_CPUS values. Scoped to the streaming start so
+    batch paths keep the session's width."""
+    import os
+
+    width = os.environ.get("SPARK_GRAFT_STREAM_SHUFFLE", "8")
+    key = "spark.sql.shuffle.partitions"
+    old = spark.conf.get(key)
+    spark.conf.set(key, width)
+    try:
+        yield
+    finally:
+        spark.conf.set(key, old)
+
+
 def _round6(df: DataFrame) -> DataFrame:
     """Round every double column except Index to 6 decimals."""
     return df.select(
@@ -1560,14 +1592,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         stream = events_stream(spark, sf_dir).select("ts", "user_id", "value")
         dim = _load(spark, sf_dir, "customer")
         out = streaming_enriched_stats(stream, dim)
-        query = (
-            out.writeStream.format("memory")
-            .queryName("stream_enriched_sink")
-            .outputMode("complete")
-            .trigger(availableNow=True)
-            .start()
-        )
-        query.awaitTermination()
+        with _stream_width(spark):
+            query = (
+                out.writeStream.format("memory")
+                .queryName("stream_enriched_sink")
+                .outputMode("complete")
+                .trigger(availableNow=True)
+                .start()
+            )
+            query.awaitTermination()
         res = spark.table("stream_enriched_sink")
         return res.select(
             F.col("window_start").cast("long").alias("window_start_epoch"),
@@ -1602,14 +1635,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             # is far under the 10k accuracy -> exact quantile_disc rows
             quartiles=True,
         )
-        query = (
-            out.writeStream.format("memory")
-            .queryName("stream_tableone_sink")
-            .outputMode("complete")
-            .trigger(availableNow=True)
-            .start()
-        )
-        query.awaitTermination()
+        with _stream_width(spark):
+            query = (
+                out.writeStream.format("memory")
+                .queryName("stream_tableone_sink")
+                .outputMode("complete")
+                .trigger(availableNow=True)
+                .start()
+            )
+            query.awaitTermination()
         res = spark.table("stream_tableone_sink")
         return res.select(
             F.col("window_start").cast("long").alias("window_start_epoch"),
@@ -1647,14 +1681,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             window="1 day",
             weight_col="w",
         )
-        query = (
-            out.writeStream.format("memory")
-            .queryName("stream_tableone_w_sink")
-            .outputMode("complete")
-            .trigger(availableNow=True)
-            .start()
-        )
-        query.awaitTermination()
+        with _stream_width(spark):
+            query = (
+                out.writeStream.format("memory")
+                .queryName("stream_tableone_w_sink")
+                .outputMode("complete")
+                .trigger(availableNow=True)
+                .start()
+            )
+            query.awaitTermination()
         res = spark.table("stream_tableone_w_sink")
         return res.select(
             F.col("window_start").cast("long").alias("window_start_epoch"),
@@ -1675,14 +1710,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         stream = events_stream(spark, sf_dir).select("user_id", "ts")
         out = streaming_sessionize(stream, gap_minutes=30)
-        qry = (
-            out.writeStream.format("memory")
-            .queryName("stream_sessions_sink")
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-        )
-        qry.awaitTermination()
+        with _stream_width(spark):
+            qry = (
+                out.writeStream.format("memory")
+                .queryName("stream_sessions_sink")
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            qry.awaitTermination()
         return spark.table("stream_sessions_sink")
 
     q["stream_sessions"] = stream_sessions
@@ -1693,14 +1729,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         stream = events_stream(spark, sf_dir).select("user_id", "ts")
         out = session_window_stats(stream, gap_minutes=30)
-        qry = (
-            out.writeStream.format("memory")
-            .queryName("stream_sessions_builtin_sink")
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-        )
-        qry.awaitTermination()
+        with _stream_width(spark):
+            qry = (
+                out.writeStream.format("memory")
+                .queryName("stream_sessions_builtin_sink")
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            qry.awaitTermination()
         return spark.table("stream_sessions_builtin_sink")
 
     q["stream_sessions_builtin"] = stream_sessions_builtin
@@ -1723,14 +1760,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out = streaming_interval_join(
             source("click"), source("purchase"), within_minutes=60
         )
-        qry = (
-            out.writeStream.format("memory")
-            .queryName("stream_join_sink")
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-        )
-        qry.awaitTermination()
+        with _stream_width(spark):
+            qry = (
+                out.writeStream.format("memory")
+                .queryName("stream_join_sink")
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            qry.awaitTermination()
         return spark.table("stream_join_sink")
 
     q["stream_join"] = stream_join
@@ -2131,14 +2169,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         doubled = src().union(src())
         out = streaming_dedup(doubled, ["event_id"], ts_col="ts")
-        qry = (
-            out.writeStream.format("memory")
-            .queryName("stream_dedup_sink")
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-        )
-        qry.awaitTermination()
+        with _stream_width(spark):
+            qry = (
+                out.writeStream.format("memory")
+                .queryName("stream_dedup_sink")
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            qry.awaitTermination()
         return spark.table("stream_dedup_sink").groupBy("event_type").agg(
             F.count(F.lit(1)).alias("n_unique")
         )
@@ -2164,14 +2203,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out = streaming_bloom_dedup(
             src, "user_id", ts_col="ts", m_bits=512, n_hashes=5, n_shards=4
         )
-        qry = (
-            out.writeStream.format("memory")
-            .queryName("stream_bloom_sink")
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-        )
-        qry.awaitTermination()
+        with _stream_width(spark):
+            qry = (
+                out.writeStream.format("memory")
+                .queryName("stream_bloom_sink")
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            qry.awaitTermination()
         return (
             spark.table("stream_bloom_sink")
             .groupBy("key")
@@ -2206,14 +2246,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ref_probs=[0.4, 0.3, 0.2, 0.05, 0.05],
             window="6 hours",
         )
-        qry = (
-            out.writeStream.format("memory")
-            .queryName("stream_drift_sink")
-            .outputMode("complete")
-            .trigger(availableNow=True)
-            .start()
-        )
-        qry.awaitTermination()
+        with _stream_width(spark):
+            qry = (
+                out.writeStream.format("memory")
+                .queryName("stream_drift_sink")
+                .outputMode("complete")
+                .trigger(availableNow=True)
+                .start()
+            )
+            qry.awaitTermination()
         return spark.table("stream_drift_sink").select(
             F.col("window_start").cast("long").alias("window_start_epoch"),
             "n",
@@ -2660,14 +2701,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out = streaming_cms_counts(
             src, "user_id", ts_col="ts", width=32, depth=3, n_shards=4
         )
-        qry = (
-            out.writeStream.format("memory")
-            .queryName("stream_cms_sink")
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-        )
-        qry.awaitTermination()
+        with _stream_width(spark):
+            qry = (
+                out.writeStream.format("memory")
+                .queryName("stream_cms_sink")
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            qry.awaitTermination()
         return spark.table("stream_cms_sink").select("key", "est")
 
     q["stream_cms"] = stream_cms
@@ -3885,14 +3927,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             # (before the overwrite — anchors the stream arm at a
             # state distinct from the batch arm's final; the feed
             # ALSO streams overwrites since X146, pytest-pinned)
-            qy = (
-                mv.streaming_refresh(
-                    spark, src, dst2, ["o_orderstatus"], ["val"], ckp
+            with _stream_width(spark):
+                qy = (
+                    mv.streaming_refresh(
+                        spark, src, dst2, ["o_orderstatus"], ["val"], ckp
+                    )
+                    .trigger(availableNow=True)
+                    .start()
                 )
-                .trigger(availableNow=True)
-                .start()
-            )
-            qy.awaitTermination()
+                qy.awaitTermination()
             stream_rows = (
                 tl.read_version(spark, dst2)
                 .select("o_orderstatus", "n", "sum_val", "nn_val")
