@@ -1961,9 +1961,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # literal-fold projection (operators/stats.py
         # fit_quantile_cuts/apply_quantile_cuts), checksum per bucket.
         li = _load(spark, sf_dir, "lineitem")
-        win = ops.winsorize_stats(
-            li, "l_extendedprice", lower=0.01, upper=0.99
-        ).selectExpr(
+        # r17 (guide §2.6): winsorize_stats and fit_quantile_cuts each
+        # run an EAGER exact-percentile aggregation over the same frame
+        # (independent single-reducer sort merges) — overlap the two
+        # fits on a 2-thread pool; same operator calls, same results
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            f_win = pool.submit(
+                ops.winsorize_stats, li, "l_extendedprice",
+                lower=0.01, upper=0.99,
+            )
+            f_cuts = pool.submit(
+                ops.fit_quantile_cuts, li, "l_extendedprice",
+                n_buckets=8, exact=True,
+            )
+            win_stats = f_win.result()
+            cuts = f_cuts.result()
+        win = win_stats.selectExpr(
             "stack(7, 'p_low', p_low, 'p_high', p_high, "
             "'n', CAST(n AS DOUBLE), 'n_below', CAST(n_below AS DOUBLE), "
             "'n_above', CAST(n_above AS DOUBLE), 'mean_before', mean_before, "
@@ -1973,9 +1988,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "metric",
             F.lit(None).cast("int").alias("bucket"),
             "val",
-        )
-        cuts = ops.fit_quantile_cuts(
-            li, "l_extendedprice", n_buckets=8, exact=True
         )
         cut_rows = spark.createDataFrame(
             [(i, c) for i, c in enumerate(cuts)], "bucket int, raw double"
@@ -3587,7 +3599,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             # X133: prune= must actually SKIP files on the z-ordered
             # rewrite (disjoint per-file key ranges + recorded stats)
             # and lose nothing (the filtered checksum arm)
-            mx = orders.agg(F.max(k)).first()[0]
+            # both cut points in ONE scan (r17: mx fed the key prune
+            # here and pmx the price prune below — two sequential
+            # full-column aggs over the same frame, guide §1.2)
+            mx, pmx = orders.agg(
+                F.max(k), F.max("o_totalprice")
+            ).first()
             cut = mx // 2
             pruned = tl.read_version(
                 spark, t, 5, prune=[("o_orderkey", "<=", cut)]
@@ -3628,7 +3645,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
             nk = hpr_k.select(F.input_file_name()).distinct().count()
             # exact power-of-two halving: bit-identical in DuckDB
-            pmx = orders.agg(F.max("o_totalprice")).first()[0]
             pcut = pmx / 2
             hpr_p = tl.read_version(
                 spark, t, 8, prune=[("o_totalprice", "<=", pcut)]
@@ -3810,29 +3826,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                     f"{hopt['n_output_files']} files read"
                 )
 
-            rows = (
-                agg("v1_ds", ds(t, 1))
-                .unionByName(agg("v2_ds", ds(t, 2)))
-                .unionByName(agg("v2_rv", tl.read_version(spark, t, 2)))
-                .unionByName(agg("v3_rv", tl.read_version(spark, t, 3)))
-                .unionByName(agg("clone_ds", ds(c, 0)))
-                .unionByName(agg("opt_rv", tl.read_version(spark, t, 5)))
-                .unionByName(agg("prune", pruned.where(k <= cut)))
-                .unionByName(agg("inc_rv", inc_rv))
-                .unionByName(agg("inc_prune", inc_pr))
-                .unionByName(agg("hprune_k", hpr_k.where(k <= cut)))
-                .unionByName(
-                    agg(
-                        "hprune_p",
-                        hpr_p.where(F.col("o_totalprice") <= pcut),
+            # r17 (guide §2.6): the 15 graded arms are independent
+            # bounded aggregations over the staged versions — collect
+            # them as CONCURRENT jobs instead of one 15-subtree union
+            # (the union compiled one mega-plan and ran the arms
+            # serially inside one job; a small pool back-fills the
+            # scheduler while each arm's tail finishes). Row multiset
+            # is identical: per-arm rows concatenated in the same arm
+            # order the union listed.
+            from concurrent.futures import ThreadPoolExecutor
+
+            arm_frames = [
+                agg("v1_ds", ds(t, 1)),
+                agg("v2_ds", ds(t, 2)),
+                agg("v2_rv", tl.read_version(spark, t, 2)),
+                agg("v3_rv", tl.read_version(spark, t, 3)),
+                agg("clone_ds", ds(c, 0)),
+                agg("opt_rv", tl.read_version(spark, t, 5)),
+                agg("prune", pruned.where(k <= cut)),
+                agg("inc_rv", inc_rv),
+                agg("inc_prune", inc_pr),
+                agg("hprune_k", hpr_k.where(k <= cut)),
+                agg("hprune_p", hpr_p.where(F.col("o_totalprice") <= pcut)),
+                agg("ren_rv", ren_rv),
+                agg("ren_ds", ren_ds),
+                agg("ren_prune", ren_pr),
+                ident_arm,
+            ]
+            with ThreadPoolExecutor(max_workers=8) as pool:
+                rows = [
+                    r
+                    for part in pool.map(
+                        lambda df: df.collect(), arm_frames
                     )
-                )
-                .unionByName(agg("ren_rv", ren_rv))
-                .unionByName(agg("ren_ds", ren_ds))
-                .unionByName(agg("ren_prune", ren_pr))
-                .unionByName(ident_arm)
-                .collect()
-            )
+                    for r in part
+                ]
         finally:
             shutil.rmtree(root, ignore_errors=True)
         return spark.createDataFrame(
