@@ -1052,7 +1052,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         target = d.where(split_bucket(F.col("doc_id"), "dsir-target") < 2000)
         tm = fit_hashed_ngram_model(target, "text", "doc_id")
         rm = fit_hashed_ngram_model(d, "text", "doc_id")
-        w = importance_weights(d, tm, rm, "text", "doc_id")
+        # per-doc weight frame: tiny next to the corpus it scores, but
+        # consumed TWICE below (the top-k probe side + the left join)
+        # — checkpoint so the scoring pass runs once (r17, the
+        # ccnet_buckets precedent)
+        w = importance_weights(d, tm, rm, "text", "doc_id").localCheckpoint(
+            eager=True
+        )
         sel = dsir_select(w, 50).select("id", F.lit(True).alias("sel"))
         return w.join(sel, "id", "left").select(
             "id",

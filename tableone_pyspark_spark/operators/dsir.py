@@ -133,6 +133,12 @@ def importance_weights(
             F.coalesce("cq", F.lit(0)).alias("cq"),
         )
     )
+    # materialize the joined models ONCE (r17, guide §5.4): the frame
+    # is ≤ n_buckets rows BY CONSTRUCTION (DSIR's whole point), but it
+    # sits under both the eager normalizer agg below AND the scoring
+    # join — left lazy, every downstream action re-ran both model
+    # fits (two more melt+hash corpus passes per action)
+    ratios = ratios.localCheckpoint(eager=True)
     tp = ratios.agg(F.sum("cp"), F.sum("cq")).collect()[0]
     np_, nq = float(tp[0] or 0), float(tp[1] or 0)
     av = alpha * n_buckets
