@@ -398,6 +398,88 @@ def simhash64(
 def _simhash64_build(
     df: DataFrame, text_col: str, id_col: str, hash_fn: str
 ) -> DataFrame:
+    if hash_fn == "poly":
+        # the cross-engine path runs as ONE zero-shuffle Arrow kernel
+        # (r17, guide §4.2): the Catalyst shape (below) exploded every
+        # word, char-folded poly_hash per occurrence and compiled a
+        # 64-expression conditional-sum aggregate — a giant codegen
+        # unit the single-run bench paid on every first run. The
+        # kernel is differential-pinned bit-identical to the retained
+        # Catalyst twin (tests/test_dedup.py).
+        return _simhash64_poly_kernel(df, text_col, id_col)
+    return _simhash64_catalyst(df, text_col, id_col, hash_fn)
+
+
+def _simhash64_poly_kernel(
+    df: DataFrame, text_col: str, id_col: str
+) -> DataFrame:
+    """Per-doc poly SimHash in one ``mapInPandas`` projection: word
+    hashes via the cached :func:`poly_word_entry` fold, 64
+    universal-hash bits as one (words × 64) vectorized modmul, ±1
+    votes summed per doc with ``np.add.reduceat``, sign bits packed
+    through uint64 (bit 63 reinterprets to the same negative long
+    Catalyst's ``shiftleft`` produces). Docs with no words emit no
+    row, exactly like the exploded groupBy."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    src = rebalance(df.select(id_col, text_col)).select(
+        F.col(id_col).alias("id"), F.col(text_col).alias("t")
+    )
+    coeffs = poly_coeffs(64)
+    schema = T.StructType(
+        [
+            T.StructField("id", src.schema["id"].dataType),
+            T.StructField("simhash", T.LongType()),
+        ]
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from tableone_pyspark_spark.functions.text import (
+            poly_word_entry,
+            py_norm_words,
+        )
+
+        A = np.asarray([a for a, _ in coeffs], dtype=np.int64)
+        B = np.asarray([b for _, b in coeffs], dtype=np.int64)
+        shifts = np.arange(64, dtype=np.uint64)
+        p = POLY_MOD
+        for pdf in batches:
+            ids, hs, counts = [], [], []
+            for i, t in zip(pdf["id"], pdf["t"]):
+                ws = py_norm_words(t)
+                if not ws:
+                    continue
+                ids.append(i)
+                counts.append(len(ws))
+                hs.extend(poly_word_entry(w)[0] for w in ws)
+            if not ids:
+                continue
+            h = np.asarray(hs, dtype=np.int64)
+            # (W, 64): h < 2^31 and a < 2^31, so h*a < 2^62 fits int64
+            bits = ((h[:, None] * A[None, :] + B[None, :]) % p) % 2
+            votes = 2 * bits - 1
+            offs = np.concatenate(
+                ([0], np.cumsum(np.asarray(counts))[:-1])
+            )
+            v = np.add.reduceat(votes, offs, axis=0)
+            sim = (
+                ((v > 0).astype(np.uint64) << shifts[None, :])
+                .sum(axis=1, dtype=np.uint64)
+                .view(np.int64)
+            )
+            yield pd.DataFrame({"id": ids, "simhash": sim})
+
+    return src.mapInPandas(kernel, schema)
+
+
+def _simhash64_catalyst(
+    df: DataFrame, text_col: str, id_col: str, hash_fn: str
+) -> DataFrame:
     words = (
         rebalance(df.select(id_col, text_col))
         .select(

@@ -154,6 +154,41 @@ def test_simhash_poly_locality_and_determinism(docs):
     assert ham(sig1[1], sig1[4]) > 16
 
 
+def test_simhash_poly_kernel_matches_catalyst_twin(spark):
+    """r17: the poly SimHash Arrow kernel must be BIT-IDENTICAL to the
+    retained Catalyst twin (exploded words + 64-expression conditional
+    sum) — the differential pin for the §4.2 rewrite. Covers unicode
+    (astral plane), \\r/\\t whitespace, NULL, empty, single-word and
+    corpus docs; docs with no words emit no row on either path."""
+    edge = spark.createDataFrame(
+        [
+            (1, "the quick brown fox"),
+            (2, ""),
+            (3, None),
+            (4, "   "),
+            (5, "one"),
+            (6, "café \U0001d11e astral\ttokens\r\nhere"),
+            (7, "a a a a repeated repeated"),
+        ],
+        "doc_id long, text string",
+    )
+    corpus = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).limit(200)
+    for d in (edge, corpus):
+        got = {
+            r["id"]: r["simhash"]
+            for r in dd._simhash64_poly_kernel(d, "text", "doc_id").collect()
+        }
+        want = {
+            r["id"]: r["simhash"]
+            for r in dd._simhash64_catalyst(
+                d, "text", "doc_id", "poly"
+            ).collect()
+        }
+        assert got == want
+
+
 def test_simhash_neardup_max_hamming_zero(docs):
     """max_hamming=0 → single 64-bit chunk (the mask literal used to
     overflow LongType); finds exactly the normalized-identical pair."""
