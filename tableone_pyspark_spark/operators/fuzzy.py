@@ -107,6 +107,87 @@ def _probe_keys(s: Column, k: int) -> Column:
     return F.flatten(F.transform(lens, per_len))
 
 
+def _index_keys_py(s: str, k: int) -> list[tuple[int, int, str]]:
+    """Python twin of :func:`_index_keys` (differential-pinned)."""
+    L = len(s)
+    return [
+        (L, i, s[(i * L) // (k + 1) : ((i + 1) * L) // (k + 1)])
+        for i in range(k + 1)
+    ]
+
+
+def _probe_keys_py(s: str, k: int) -> list[tuple[int, int, str]]:
+    """Python twin of :func:`_probe_keys` (differential-pinned)."""
+    Lb = len(s)
+    out: list[tuple[int, int, str]] = []
+    lo_len = max(Lb - k, k + 1)
+    for lp in range(lo_len, Lb + k + 1):
+        for i in range(k + 1):
+            p0 = (i * lp) // (k + 1)
+            li = ((i + 1) * lp) // (k + 1) - p0
+            lo = max(p0 - k, 0)
+            hi = min(p0 + k, Lb - li)
+            if li > 0 and hi >= lo:
+                for p in range(lo, hi + 1):
+                    out.append((lp, i, s[p : p + li]))
+    return out
+
+
+def _explode_keys_kernel(
+    df: DataFrame, id_name: str, text_name: str, k: int, probe: bool
+) -> DataFrame:
+    """(id, text) → (id, text, alen, i, seg) via the Python twins —
+    one zero-shuffle Arrow pass (r17, guide §4.2). The Catalyst
+    expressions (:func:`_index_keys`/:func:`_probe_keys`) build these
+    keys through nested ``transform``/``flatten``/``sequence`` lambdas,
+    which Spark evaluates INTERPRETED per element (higher-order
+    functions have no codegen) — measured ~4.7 ms/row at k=2 against
+    ~10 µs/row here. The twins are differential-pinned row-identical
+    in tests/test_fuzzy.py."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from tableone_pyspark_spark.plans.layout import rebalance
+
+    keys_of = _probe_keys_py if probe else _index_keys_py
+    src = rebalance(df)
+    schema = T.StructType(
+        [
+            T.StructField(id_name, src.schema[id_name].dataType),
+            T.StructField(text_name, T.StringType()),
+            T.StructField("alen", T.IntegerType()),
+            T.StructField("i", T.IntegerType()),
+            T.StructField("seg", T.StringType()),
+        ]
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, txts, alens, slots, segs = [], [], [], [], []
+            for rid, t in zip(pdf[id_name], pdf[text_name]):
+                for alen, i, seg in keys_of(t, k):
+                    ids.append(rid)
+                    txts.append(t)
+                    alens.append(alen)
+                    slots.append(i)
+                    segs.append(seg)
+            if not ids:
+                continue
+            yield pd.DataFrame(
+                {
+                    id_name: ids,
+                    text_name: txts,
+                    "alen": pd.array(alens, dtype="int32"),
+                    "i": pd.array(slots, dtype="int32"),
+                    "seg": segs,
+                }
+            )
+
+    return src.mapInPandas(kernel, schema)
+
+
 def fuzzy_join_pairs(
     left: DataFrame,
     right: DataFrame,
@@ -133,16 +214,13 @@ def fuzzy_join_pairs(
     b = right.select(
         F.col(id_r).alias("__idb"), F.col(text_r).alias("__tb")
     ).where(F.col("__tb").isNotNull())
-    # long band: segment index vs substring probe
-    ia = (
-        a.where(F.length("__ta") >= k + 1)
-        .select("__ida", "__ta", F.explode(_index_keys(F.col("__ta"), k)).alias("K"))
-        .select("__ida", "__ta", "K.alen", "K.i", "K.seg")
+    # long band: segment index vs substring probe — both generated by
+    # the Arrow kernel twins (r17; the Catalyst HOF expressions stay
+    # as the differential reference)
+    ia = _explode_keys_kernel(
+        a.where(F.length("__ta") >= k + 1), "__ida", "__ta", k, probe=False
     )
-    pb = (
-        b.select("__idb", "__tb", F.explode(_probe_keys(F.col("__tb"), k)).alias("K"))
-        .select("__idb", "__tb", "K.alen", "K.i", "K.seg")
-    )
+    pb = _explode_keys_kernel(b, "__idb", "__tb", k, probe=True)
     long_cand = ia.join(pb, ["alen", "i", "seg"]).select(
         "__ida", "__ta", "__idb", "__tb"
     )
