@@ -504,6 +504,141 @@ def correlation_matrix(df: DataFrame, cols: list[str]) -> DataFrame:
     )
 
 
+#: evidence hook: when set to a callable, exact_percentiles_dist passes
+#: it the final rank-extraction frame right before collecting it, so
+#: scripts/ can dump the distributed plan (the eager fit never appears
+#: in the returned query's explain). No effect when None (production).
+_RANK_PLAN_HOOK = None
+
+
+def exact_percentiles_dist(
+    df: DataFrame, col: str, probs: list[float], buckets: int = 256
+) -> list[float] | None:
+    """Distributed exact interpolated percentiles of ``col`` (cast to
+    double) — bit-identical to ``F.percentile(col, probs)`` WITHOUT its
+    single-reducer merge (r18, guide §2.6; the run_wq range-bucketed
+    parallel-prefix-sum shape from core/sufficient.py).
+
+    Spark's sort-based ``percentile`` aggregate ships every distinct
+    value of the whole column into ONE final merge task that sorts
+    them — a scale-killer for a global percentile over a near-unique
+    column. This helper keeps every step distributed:
+
+      1. one shuffle compresses rows to distinct (value, count) cells
+         (map-side combined — distinct values cross the wire, not rows);
+      2. min/max/count collected as three scalars (one columnar scan);
+      3. the global running count becomes per-bucket window cumsums
+         (``buckets``-way range bucketing, monotonic in x) plus a tiny
+         exclusive-prefix window over the per-bucket totals — long
+         arithmetic throughout, so cumulative counts are exact;
+      4. ONE final aggregation extracts the boundary value at each
+         requested rank (``min(x | cum >= k)`` — the same rank rule as
+         Percentile's binary search over accumulated counts);
+      5. Spark's ``getPercentile`` interpolation — position
+         ``p * (n-1)``, floor/ceil boundary keys, and BOTH of its
+         short-circuits (integral position; equal boundary keys) — is
+         replayed on the driver with the same double arithmetic
+         ``(higher-pos)*lo + (pos-lower)*hi``.
+
+    NULLs are ignored (as the aggregate does); NaN sorts above every
+    double (Spark ordering) via the top bucket; ±Inf endpoints disable
+    the range split (all finite values share bucket 0 — still a valid
+    monotonic assignment, just less parallel). Returns None when the
+    column has no non-null values (``percentile`` returns NULL).
+
+    Known ulp-level caveat, documented not fixed: a column holding BOTH
+    -0.0 and +0.0 may return the opposite zero sign than the aggregate
+    (groupBy normalizes -0.0 to 0.0; Percentile's hash map keeps them
+    distinct) — the values still compare equal. The single-reducer
+    aggregate stays in the tests as the differential reference twin.
+    """
+    import math
+
+    from pyspark.sql import Window
+
+    B = buckets
+    inf = float("inf")
+    vals = (
+        df.select(F.col(_q(col)).cast("double").alias("__x"))
+        .where(F.col("__x").isNotNull())
+    )
+    xc = F.col("__x")
+    srow = vals.agg(
+        F.min(F.when(~F.isnan(xc), xc)).alias("mn"),
+        F.max(F.when(~F.isnan(xc), xc)).alias("mx"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()[0]
+    total = int(srow["n"])
+    if total == 0:
+        return None
+    mn, mx = srow["mn"], srow["mx"]
+
+    # distinct-value cells: ONE data shuffle, map-side combined
+    counts = vals.groupBy("__x").agg(F.count(F.lit(1)).alias("__c"))
+
+    # monotonic-in-x bucket id from the collected span literals
+    edge = (
+        F.when(F.isnan(xc) | (xc == F.lit(inf)), F.lit(B - 1))
+        .when(xc == F.lit(-inf), F.lit(0))
+    )
+    if mn is not None and mx > mn and math.isfinite(mx - mn):
+        width = (mx - mn) / float(B)
+        bucket = edge.otherwise(
+            F.least(
+                F.lit(B - 1), F.floor((xc - F.lit(mn)) / F.lit(width))
+            ).cast("int")
+        )
+    else:
+        # single distinct value, all-NaN, or ±Inf endpoints: no usable
+        # range split — constant bucket for finite values (monotonic)
+        bucket = edge.otherwise(F.lit(0))
+    jb = counts.select("__x", "__c", bucket.cast("int").alias("__bk"))
+
+    # parallel prefix sum: local cumsum per bucket + tiny offset window
+    loc = F.sum("__c").over(Window.partitionBy("__bk").orderBy("__x"))
+    btot = jb.groupBy("__bk").agg(F.sum("__c").alias("__bsum"))
+    woff = Window.orderBy("__bk").rowsBetween(Window.unboundedPreceding, -1)
+    off = btot.select(
+        "__bk",
+        F.coalesce(F.sum("__bsum").over(woff), F.lit(0).cast("long")).alias(
+            "__off"
+        ),
+    )
+    ranked = jb.withColumn("__loc", loc).join(F.broadcast(off), "__bk")
+    cum = F.col("__loc") + F.col("__off")
+
+    # boundary ranks (Percentile: position = p * (n-1), lower/higher
+    # keys found at accumulated-count >= rank+1)
+    pos_lh = []
+    ks: set[int] = set()
+    for p in probs:
+        pos = (total - 1) * float(p)
+        lo_k, hi_k = math.floor(pos), math.ceil(pos)
+        pos_lh.append((pos, lo_k, hi_k))
+        ks.update((lo_k + 1, hi_k + 1))
+    aggs = [
+        F.min(F.when(cum >= F.lit(k), F.col("__x"))).alias(f"__k_{k}")
+        for k in sorted(ks)
+    ]
+    final = ranked.agg(*aggs)
+    if _RANK_PLAN_HOOK is not None:
+        _RANK_PLAN_HOOK(final)
+    row = final.collect()[0]
+
+    out: list[float] = []
+    for pos, lo_k, hi_k in pos_lh:
+        lo = row[f"__k_{lo_k + 1}"]
+        if hi_k == lo_k:
+            out.append(lo)
+            continue
+        hi = row[f"__k_{hi_k + 1}"]
+        if hi == lo:
+            out.append(lo)
+        else:
+            out.append((hi_k - pos) * lo + (pos - lo_k) * hi)
+    return out
+
+
 def winsorize_stats(
     df: DataFrame,
     col: str,
@@ -516,28 +651,34 @@ def winsorize_stats(
     the outlier-handling decision a feature pipeline makes before
     training.
 
-    Three bounded passes: a metadata-cheap row count (parquet sources
-    answer count(*) from footer stats without reading data), one
-    percentile aggregation, then one scalar aggregation of clip counts
-    and before/after means; nothing but the two thresholds ever reaches
-    the driver. Up to ``exact_cap`` rows the thresholds are exact
-    interpolated percentiles (sort-based aggregation buffer — O(distinct
-    values) in the final merge, fine at this size); above it the
-    aggregate switches to an accuracy-tuned ``percentile_approx`` sketch
-    (bounded memory, <=1/exact_cap relative rank error, data values
-    rather than interpolated) — the same cap-and-degrade contract as the
-    engine's quantile path (core/sufficient.py run_cont), so a
-    near-unique column at 100x scale can no longer blow the
-    single-reducer merge. Returns one row (p_low, p_high, n, n_below,
-    n_above, mean_before, mean_after).
+    Bounded passes: a metadata-cheap row count (parquet sources answer
+    count(*) from footer stats without reading data), the threshold
+    fit, then one scalar aggregation of clip counts and before/after
+    means; nothing but the two thresholds ever reaches the driver. Up
+    to ``exact_cap`` rows the thresholds are exact interpolated
+    percentiles via :func:`exact_percentiles_dist` (r18: the
+    distributed rank-selection shape — bit-identical to the sort-based
+    ``percentile`` aggregate, which the differential tests retain as
+    the reference twin, but with no single-reducer merge of the
+    distinct values); above the cap the fit switches to an
+    accuracy-tuned ``percentile_approx`` sketch (bounded memory,
+    <=1/exact_cap relative rank error, data values rather than
+    interpolated) — the same cap-and-degrade contract as the engine's
+    quantile path (core/sufficient.py run_cont). Returns one row
+    (p_low, p_high, n, n_below, n_above, mean_before, mean_after).
     """
     c = F.col(_q(col)).cast("double")
     if df.count() > exact_cap:
         pct = F.percentile_approx(c, [lower, upper], F.lit(exact_cap))
+        row = df.agg(pct.alias("p")).first()
+        p_low, p_high = float(row["p"][0]), float(row["p"][1])
     else:
-        pct = F.percentile(c, F.array(F.lit(lower), F.lit(upper)))
-    row = df.agg(pct.alias("p")).first()
-    p_low, p_high = float(row["p"][0]), float(row["p"][1])
+        res = exact_percentiles_dist(df, col, [lower, upper])
+        if res is None:
+            raise ValueError(
+                f"cannot winsorize: {col!r} has no non-null values"
+            )
+        p_low, p_high = float(res[0]), float(res[1])
     clipped = F.least(F.greatest(c, F.lit(p_low)), F.lit(p_high))
     return df.agg(
         F.round(F.lit(p_low), 6).alias("p_low"),
@@ -610,26 +751,31 @@ def fit_quantile_cuts(
     Default = ``percentile_approx``'s mergeable GK sketch in ONE
     bounded aggregation (state O(accuracy), no sort — the 100 TB path;
     EXACT ``quantile_disc`` while the frame is under ``accuracy`` rows,
-    the engine's established data-mode property). ``exact=True`` uses
-    sort-based ``percentile`` (interpolated) for bounded frames. NULLs
-    are ignored by both. Raises on an empty/all-null column (no cuts
-    to fit — an empty artifact applied later would silently one-bucket
+    the engine's established data-mode property). ``exact=True`` fits
+    exact interpolated percentiles via :func:`exact_percentiles_dist`
+    (r18: bit-identical to the sort-based ``percentile`` aggregate —
+    retained as the differential reference twin in the tests — but with
+    no single-reducer merge of the distinct values). NULLs are ignored
+    by both. Raises on an empty/all-null column (no cuts to fit — an
+    empty artifact applied later would silently one-bucket
     everything)."""
     if n_buckets < 2:
         raise ValueError(f"n_buckets must be >= 2, got {n_buckets}")
     probs = [i / n_buckets for i in range(1, n_buckets)]
     x = F.col(_q(col)).cast("double")
-    fn = (
-        F.percentile(x, F.array(*[F.lit(p) for p in probs]))
-        if exact
-        else F.percentile_approx(x, probs, F.lit(accuracy))
-    )
     # NaN passes isNotNull, sorts ABOVE every double in the sketch, and
     # would emit NaN cuts that defeat every downstream comparison
     # (x > NaN is False -> silently dead buckets; self-review r11)
-    row = (
-        df.where(x.isNotNull() & ~F.isnan(x)).agg(fn.alias("c")).collect()[0]
-    )
+    clean = df.where(x.isNotNull() & ~F.isnan(x))
+    if exact:
+        res = exact_percentiles_dist(clean, col, probs)
+        if res is None:
+            raise ValueError(
+                f"cannot fit cuts: {col!r} has no non-null values"
+            )
+        return [float(v) for v in res]
+    fn = F.percentile_approx(x, probs, F.lit(accuracy))
+    row = clean.agg(fn.alias("c")).collect()[0]
     if row["c"] is None:
         raise ValueError(f"cannot fit cuts: {col!r} has no non-null values")
     return [float(v) for v in row["c"]]

@@ -326,6 +326,65 @@ def test_winsorize_stats_clip_semantics(spark):
     assert r["mean_after"] == 50.5
 
 
+def test_exact_percentiles_dist_bit_identical_to_percentile(spark):
+    # r18: the distributed rank-selection path must be BIT-identical to
+    # Spark's single-reducer `percentile` aggregate (the retained
+    # differential reference twin) across duplicates, ties, NaN,
+    # negatives, single-value and tiny frames, and boundary probs.
+    import math
+    import random
+
+    rng = random.Random(18)
+    cases = [
+        [float(i) for i in range(1, 101)],                       # clean run
+        [rng.choice([1.0, 2.0, 5.5, -3.25]) for _ in range(500)],  # heavy ties
+        [rng.uniform(-1e6, 1e6) for _ in range(777)],             # near-unique
+        [rng.gauss(0, 1) for _ in range(257)] + [float("nan")] * 9,  # NaN tail
+        [42.5] * 11,                                              # single value
+        [1.0, 2.0],                                               # two values
+        [3.125],                                                  # one row
+        [float("nan")] * 5 + [7.0],                               # mostly NaN
+    ]
+    probs = [0.0, 0.01, 0.125, 0.25, 1 / 3, 0.5, 0.875, 0.99, 1.0]
+    for vals in cases:
+        df = spark.createDataFrame([(v,) for v in vals], "x double")
+        want = df.agg(
+            F.percentile(F.col("x"), F.array(*[F.lit(p) for p in probs]))
+        ).first()[0]
+        got = ops.exact_percentiles_dist(df, "x", probs)
+        assert len(got) == len(want)
+        for g, w in zip(got, want):
+            if isinstance(w, float) and math.isnan(w):
+                assert math.isnan(g)
+            else:
+                assert g == w, (g, w, vals[:5])
+    # NULL-only input: the aggregate returns NULL, the helper None
+    dfn = spark.createDataFrame([(None,)], "x double")
+    assert ops.exact_percentiles_dist(dfn, "x", [0.5]) is None
+
+
+def test_exact_fit_paths_match_percentile_twin_end_to_end(spark):
+    # r18 end-to-end pins: winsorize_stats' exact branch and
+    # fit_quantile_cuts(exact=True) must emit byte-identical results to
+    # the pre-r18 single-reducer F.percentile implementations
+    df = spark.range(5000).select(
+        ((F.col("id") * 37 % 1999) / F.lit(7.0)).alias("x")
+    )
+    # fit_quantile_cuts(exact): octiles, the price_cuts shape
+    probs = [i / 8 for i in range(1, 8)]
+    want = df.agg(
+        F.percentile(F.col("x"), F.array(*[F.lit(p) for p in probs]))
+    ).first()[0]
+    got = ops.fit_quantile_cuts(df, "x", n_buckets=8, exact=True)
+    assert got == [float(v) for v in want]
+    # winsorize_stats exact branch: thresholds equal the aggregate's
+    wr = ops.winsorize_stats(df, "x", lower=0.01, upper=0.99).collect()[0]
+    wp = df.agg(
+        F.percentile(F.col("x"), F.array(F.lit(0.01), F.lit(0.99)))
+    ).first()[0]
+    assert wr["p_low"] == round(wp[0], 6) and wr["p_high"] == round(wp[1], 6)
+
+
 def test_winsorize_stats_capped_path_bounded_rank_error(spark):
     # above exact_cap the thresholds come from an accuracy-tuned
     # percentile_approx sketch: data values within 1/exact_cap relative
