@@ -1846,47 +1846,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (line rule), doc_id%13 pages get "lorem ipsum", doc_id%17
         # pages a "{" line (page rules) — the oracle rebuilds the
         # identical page and replays the full recipe.
+        # r18 (guide §4.2): the page synthesis + c4_clean higher-order
+        # expression tree is interpreted (no codegen for transform/
+        # filter lambdas) and the non-codegen Project re-evaluates it
+        # once per struct-field reference (~15x per row in the r17
+        # plan dump). It now runs ONCE per row in an Arrow kernel
+        # (functions/text.py c4_page_kernel), bit-identical to the
+        # retained Catalyst twin (c4_clean(c4_page_catalyst(...)),
+        # differential-pinned in tests/test_text.py). The q/n_tokens
+        # predicate stays Catalyst, BELOW the kernel, so it still
+        # reaches the scan and the kernel only sees survivors.
+        from tableone_pyspark_spark.plans.layout import rebalance
+
         d = _load(spark, sf_dir, "documents")
-        ws = F.split(F.col("text"), " ")
-        wpl = (F.col("doc_id") % 4 + 2).cast("int")
-        n_lines = F.ceil(F.size(ws) / wpl).cast("int")
-        lines = F.transform(
-            F.sequence(F.lit(0), n_lines - 1),
-            lambda i: F.concat(
-                F.array_join(F.slice(ws, (i * wpl + 1).cast("int"), wpl), " "),
-                F.when(
-                    (F.col("doc_id") % 13 == 0) & (i == 0),
-                    F.lit(" lorem ipsum"),
-                ).otherwise(F.lit("")),
-                F.when(i % 7 == 6, F.lit(" javascript."))
-                .when(i % 5 == 4, F.lit(""))
-                .otherwise(F.lit(".")),
-            ),
-        )
-        paged = F.concat(
-            F.array_join(lines, "\n"),
-            F.when(F.col("doc_id") % 17 == 0, F.lit("\n{x}")).otherwise(
-                F.lit("")
-            ),
-        )
         scored = d.select(
             "doc_id",
             "lang",
             tx.token_count(F.col("text")).alias("n_tokens"),
-            tx.quality_score(F.col("text")).alias("q"),
-            tx.c4_clean(paged).alias("c4"),
+            F.round(tx.quality_score(F.col("text")), 6).alias("quality"),
+            "text",
+        ).where(
+            (tx.quality_score(F.col("text")) >= 0.55)
+            & tx.token_count(F.col("text")).between(10, 1000)
         )
-        return scored.where(
-            (F.col("q") >= 0.55) & F.col("n_tokens").between(10, 1000)
-        ).select(
+        out = tx.c4_page_kernel(rebalance(scored), "doc_id", "text")
+        return out.select(
             "doc_id",
             "lang",
             "n_tokens",
-            F.round("q", 6).alias("quality"),
-            F.col("c4.n_lines").alias("c4_n_lines"),
-            F.col("c4.n_kept").alias("c4_n_kept"),
-            F.col("c4.drop").alias("c4_drop"),
-            F.col("c4.text").alias("c4_text"),
+            "quality",
+            "c4_n_lines",
+            "c4_n_kept",
+            "c4_drop",
+            "c4_text",
         )
 
     q["curate_documents"] = curate_documents

@@ -440,6 +440,176 @@ def c4_clean(c: Column, min_words_per_line: int = 3, min_sentences: int = 5) -> 
     )
 
 
+# --- C4 page kernel (r18, guide §4.2) --------------------------------
+#
+# curate_documents synthesizes a page per document and runs c4_clean
+# over it. Catalyst evaluates that higher-order-function tree
+# INTERPRETED (no codegen for transform/filter lambdas), and the
+# non-codegen Project has no common-subexpression elimination, so the
+# whole synthesis+cleaning tree re-evaluates once per struct-field
+# reference (~15x per row in the measured plan). The kernel computes
+# everything ONCE per row in an Arrow batch; the Catalyst expressions
+# stay as the differential reference twin (pinned bit-identical in
+# tests/test_text.py).
+
+_C4_TERM_RE = _re.compile("[.!?][\"\u201d']?\\Z")
+_C4_WORD_RE = _re.compile(r"[^ \t\n]+")
+_C4_SENT_RE = _re.compile(r"[.!?]")
+_JAVA_LINE_TERM = ("\n", "\r", "\u0085", "\u2028", "\u2029")
+
+
+def _java_trim(s: str) -> str:
+    # Spark F.trim == UTF8String.trim(): strips ASCII space 0x20 ONLY
+    # (SPARK-17299), unlike Python str.strip()'s all-whitespace rule
+    return s.strip(" ")
+
+
+def _java_dollar_view(s: str) -> str:
+    # Java regex `$` (non-MULTILINE) matches at the end of input OR
+    # just before ONE final line terminator (\r\n counts as one unit);
+    # Python's `$` only honors a final \n — strip that terminator and
+    # anchor with \Z instead
+    if s.endswith("\r\n"):
+        return s[:-2]
+    if s and s[-1] in _JAVA_LINE_TERM:
+        return s[:-1]
+    return s
+
+
+def py_c4_page(doc_id, text):
+    """Pure-Python twin of the curate_documents page synthesis
+    (the Catalyst column from :func:`c4_page_catalyst`) — NULL in,
+    NULL out; non-negative doc_ids (the corpus contract; Java and
+    Python ``%`` agree only there)."""
+    import math
+
+    if text is None or doc_id is None:
+        return None
+    ws = text.split(" ")
+    wpl = int(doc_id) % 4 + 2
+    n_lines = math.ceil(len(ws) / wpl)
+    lorem = doc_id % 13 == 0
+    out = []
+    for i in range(n_lines):
+        line = " ".join(ws[i * wpl : i * wpl + wpl])
+        if lorem and i == 0:
+            line += " lorem ipsum"
+        if i % 7 == 6:
+            line += " javascript."
+        elif i % 5 == 4:
+            pass
+        else:
+            line += "."
+        out.append(line)
+    page = "\n".join(out)
+    if doc_id % 17 == 0:
+        page += "\n{x}"
+    return page
+
+
+def c4_page_catalyst(doc_id: Column, text: Column) -> Column:
+    """The page synthesis as a pure Catalyst column (the pre-r18
+    curate_documents expression, retained as the differential twin and
+    for oracle replay): doc_id%4+2 words per line ('.'-terminated),
+    every 5th line unterminated, every 7th line "javascript.",
+    doc_id%13 pages get "lorem ipsum", doc_id%17 pages a "{" line."""
+    ws = F.split(text, " ")
+    wpl = (doc_id % 4 + 2).cast("int")
+    n_lines = F.ceil(F.size(ws) / wpl).cast("int")
+    lines = F.transform(
+        F.sequence(F.lit(0), n_lines - 1),
+        lambda i: F.concat(
+            F.array_join(F.slice(ws, (i * wpl + 1).cast("int"), wpl), " "),
+            F.when(
+                (doc_id % 13 == 0) & (i == 0), F.lit(" lorem ipsum")
+            ).otherwise(F.lit("")),
+            F.when(i % 7 == 6, F.lit(" javascript."))
+            .when(i % 5 == 4, F.lit(""))
+            .otherwise(F.lit(".")),
+        ),
+    )
+    return F.concat(
+        F.array_join(lines, "\n"),
+        F.when(doc_id % 17 == 0, F.lit("\n{x}")).otherwise(F.lit("")),
+    )
+
+
+def py_c4_clean(
+    page, min_words_per_line: int = 3, min_sentences: int = 5
+):
+    """Pure-Python twin of :func:`c4_clean` — identical rules, NULL
+    page behaves as an empty page. Returns (text, n_lines, n_kept,
+    drop)."""
+    txt = page if page is not None else ""
+    lines = txt.split("\n")
+    kept = []
+    for line in lines:
+        t = _java_trim(line)
+        if (
+            _C4_TERM_RE.search(_java_dollar_view(t)) is not None
+            and len(_C4_WORD_RE.findall(t)) >= min_words_per_line
+            and "javascript" not in t.lower()
+        ):
+            kept.append(line)
+    kept_text = "\n".join(kept)
+    n_sent = len(_C4_SENT_RE.findall(kept_text))
+    drop = (
+        "lorem ipsum" in txt.lower()
+        or "{" in txt
+        or n_sent < min_sentences
+    )
+    return (
+        "" if drop else kept_text,
+        len(lines),
+        0 if drop else len(kept),
+        drop,
+    )
+
+
+def c4_page_kernel(df, doc_id_col: str, text_col: str):
+    """Append ``c4_clean(synthesized page)`` columns in ONE zero-shuffle
+    ``mapInArrow`` projection (r18, guide §4.2 — the span_dedup /
+    PassJoin kernel recipe). Output: every input column (pass-through,
+    zero-copy Arrow) + c4_text string, c4_n_lines int, c4_n_kept int,
+    c4_drop boolean. Bit-identical to
+    ``c4_clean(c4_page_catalyst(...))`` (differential-pinned)."""
+    names = df.columns
+    did, tid = names.index(doc_id_col), names.index(text_col)
+
+    def fn(batches):
+        import pyarrow as pa
+
+        for batch in batches:
+            ids = batch.column(did).to_pylist()
+            texts = batch.column(tid).to_pylist()
+            t_out, nl, nk, dr = [], [], [], []
+            for d, t in zip(ids, texts):
+                ct, cnl, cnk, cdr = py_c4_clean(py_c4_page(d, t))
+                t_out.append(ct)
+                nl.append(cnl)
+                nk.append(cnk)
+                dr.append(cdr)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    *batch.columns,
+                    pa.array(t_out, pa.string()),
+                    pa.array(nl, pa.int32()),
+                    pa.array(nk, pa.int32()),
+                    pa.array(dr, pa.bool_()),
+                ],
+                names=[*names, "c4_text", "c4_n_lines", "c4_n_kept", "c4_drop"],
+            )
+
+    in_fields = ", ".join(
+        f"`{n}` {df.schema[n].dataType.simpleString()}" for n in names
+    )
+    return df.mapInArrow(
+        fn,
+        in_fields
+        + ", c4_text string, c4_n_lines int, c4_n_kept int, c4_drop boolean",
+    )
+
+
 #: Gopher rule A1.1 stop words (Rae et al. 2021 list every word)
 GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
 

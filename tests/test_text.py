@@ -204,3 +204,91 @@ def test_rolling_fingerprint_is_bloom_h1(spark):
     ).collect()
     assert len(rows) == 500
     assert all(r["fp"] == r["h1"] for r in rows)
+
+
+def test_c4_page_kernel_matches_catalyst_twin(spark):
+    # r18: the Arrow c4 kernel (page synthesis + c4_clean once per row)
+    # must be BIT-identical to the retained Catalyst twin
+    # c4_clean(c4_page_catalyst(...)) — adversarial strings cover the
+    # Java-vs-Python seams the twin replicates: trim is space-only
+    # (\t/\r survive), `$` honors one final line terminator (\r,  
+    # etc), unicode closing quotes, lorem-ipsum case folding, "{"
+    # anywhere, empty/NULL text, and the corpus itself.
+    adversarial = [
+        (0, "lorem IPSUM everywhere plus words here"),     # %13==0 + case
+        (1, "a b c d e f g h i j k l m n o p q r s t"),
+        (2, ""),                                            # empty text
+        (3, None),                                          # NULL text
+        (4, "word " * 40),                                  # trailing space runs
+        (5, "ends with tab\tmid words more words here ok"),
+        (6, "quote” style words in here for lines ok"),
+        (7, "brace { in text words words words words"),
+        (13, "thirteen page lorem trigger words here yes"),  # %13==0
+        (17, "seventeen page brace trigger words here ok"),  # %17==0
+        (34, "both mods words here for testing more ok"),    # %17==0
+        (26, "lorem mod again words here for testing ok"),   # %13==0
+        (8, "\rcarriage\rreturns\rin\rtext words here ok"),
+        (9, "unicode éè café straße words here ok"),
+        (10, "astral \U0001F600 plane \U0001F680 words here ok ok"),
+        (11, "JavaScript JAVASCRIPT javascript words in text here"),
+        (12, "x"),                                          # single word
+    ]
+    docs = spark.createDataFrame(adversarial, "doc_id long, text string")
+    corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    for df in (docs, corpus.select("doc_id", "text")):
+        twin = df.select(
+            "doc_id",
+            tx.c4_clean(
+                tx.c4_page_catalyst(F.col("doc_id"), F.col("text"))
+            ).alias("c4"),
+        ).select(
+            "doc_id",
+            F.col("c4.text").alias("c4_text"),
+            F.col("c4.n_lines").alias("c4_n_lines"),
+            F.col("c4.n_kept").alias("c4_n_kept"),
+            F.col("c4.drop").alias("c4_drop"),
+        )
+        fast = tx.c4_page_kernel(df, "doc_id", "text").drop("text")
+        t = {r["doc_id"]: r for r in twin.collect()}
+        k = {r["doc_id"]: r for r in fast.collect()}
+        assert t.keys() == k.keys()
+        for did in t:
+            for c in ("c4_text", "c4_n_lines", "c4_n_kept", "c4_drop"):
+                assert t[did][c] == k[did][c], (did, c, t[did][c], k[did][c])
+
+
+def test_py_c4_clean_java_seams(spark):
+    # direct pins of the two Java-regex seams the Python twin must
+    # replicate: F.trim strips ASCII space only, and Java `$` matches
+    # before ONE final line terminator
+    cases = [
+        "three words here.",       # plain keep
+        "three words here.\r",     # Java $ sees the '.' before \r
+        "three words here.\t",     # \t survives trim -> no terminal '.'
+        "  three words here. ",    # spaces trimmed both ends
+        "three words here. ", # LS is a Java line terminator
+        "three words here!”", # closing typographic quote
+        "two words.",
+        "has javascript in line.",
+        "three words here?'",
+    ]
+    df = spark.createDataFrame([(i, s) for i, s in enumerate(cases)], "i long, s string")
+    want = {
+        r["i"]: r["ok"]
+        for r in df.select(
+            "i",
+            (
+                F.trim(F.col("s")).rlike("[.!?][\"”']?$")
+                & (tx.word_count(F.trim(F.col("s"))) >= 3)
+                & ~F.lower(F.trim(F.col("s"))).contains("javascript")
+            ).alias("ok"),
+        ).collect()
+    }
+    for i, s in enumerate(cases):
+        t = tx._java_trim(s)
+        got = (
+            tx._C4_TERM_RE.search(tx._java_dollar_view(t)) is not None
+            and len(tx._C4_WORD_RE.findall(t)) >= 3
+            and "javascript" not in t.lower()
+        )
+        assert got == want[i], (i, s, got, want[i])
