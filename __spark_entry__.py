@@ -41,33 +41,94 @@ def _load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 from contextlib import contextmanager  # noqa: E402
 
 
+import threading  # noqa: E402
+
+#: serializes overlapping stream starts (ADVICE r17: the width scope
+#: mutates session-global spark.sql.shuffle.partitions; a concurrent
+#: batch job inside the scope would silently plan with the stream
+#: width — the entry script never overlaps them, and this lock keeps
+#: two stream starts from clobbering each other's restore)
+_STREAM_WIDTH_LOCK = threading.Lock()
+
+#: target micro-batch input per state partition. Below ~256 KiB of
+#: batch input, the fixed per-partition state-store cost per
+#: micro-batch (open/commit/snapshot; a stream-stream join keeps FOUR
+#: stores per partition) dominates the partition's own work — measured
+#: solo at sf0.1/local[32], stream_join is 8-11 s with 32 state
+#: partitions and 3.3 s with 8 on a ~2 MB batch; stream_sessions
+#: prefers 8 over 4/2 (its per-key Python work still wants
+#: parallelism, hence the floor of 2 rather than 1).
+_STREAM_BYTES_PER_PARTITION = 256 * 1024
+
+
 @contextmanager
-def _stream_width(spark: SparkSession):
-    """Shuffle width for the stateful streaming queries (r17, guide
-    §2.2 "fewer, larger reduce partitions"). Every stateful operator
-    pays a fixed per-partition state-store cost per micro-batch (open,
-    commit, snapshot — a stream-stream join keeps FOUR stores per
-    partition), so running this suite's single small availableNow
-    batch over one state partition per core is pure fixed overhead:
-    measured solo at sf0.1/local[32], stream_join is 8-11 s with 32
-    state partitions and 3.3 s with 8 — identical results, the state
-    partition count is not observable in any output. Parameterized,
-    not core-derived: production jobs size state width by state volume
-    and throughput via SPARK_GRAFT_STREAM_SHUFFLE (set it to the
-    cluster's usual shuffle width for high-throughput streams); the
-    constant local default also keeps the driver's bench comparable
-    across SPARK_GRAFT_CPUS values. Scoped to the streaming start so
-    batch paths keep the session's width."""
+def _stream_width(spark: SparkSession, src_bytes: int | None = None):
+    """Shuffle width for the stateful streaming queries (r17/r18,
+    guide §2.2 "fewer, larger reduce partitions"). r18: the width is
+    DERIVED from the micro-batch input volume — one state partition
+    per ~256 KiB of source bytes, floored at 2 and capped at the
+    session's shuffle width — instead of the r17 constant 8, so a
+    high-throughput production stream gets the session's full width
+    while this suite's single tiny availableNow batch stops paying 32
+    state-store opens for 2 MB of input. The state partition count is
+    not observable in any result (11/11 stream oracles re-checked).
+    SPARK_GRAFT_STREAM_SHUFFLE still overrides (set it explicitly when
+    state volume is NOT proportional to input bytes — e.g. long
+    watermark retention accumulating state across many batches).
+    Scoped to the streaming start so batch paths keep the session's
+    width; the module lock serializes overlapping scopes."""
+    import logging
+    import math
     import os
 
-    width = os.environ.get("SPARK_GRAFT_STREAM_SHUFFLE", "8")
     key = "spark.sql.shuffle.partitions"
-    old = spark.conf.get(key)
-    spark.conf.set(key, width)
-    try:
-        yield
-    finally:
-        spark.conf.set(key, old)
+    with _STREAM_WIDTH_LOCK:
+        old = spark.conf.get(key)
+        width = os.environ.get("SPARK_GRAFT_STREAM_SHUFFLE")
+        if width is None:
+            if src_bytes and src_bytes > 0:
+                cap = int(old) if str(old).isdigit() else 200
+                width = str(
+                    max(
+                        2,
+                        min(
+                            cap,
+                            math.ceil(
+                                src_bytes / _STREAM_BYTES_PER_PARTITION
+                            ),
+                        ),
+                    )
+                )
+            else:
+                width = "8"  # no size hint: the r17 measured default
+            logging.getLogger(__name__).info(
+                "stream state width %s (src_bytes=%s, session width %s)",
+                width, src_bytes, old,
+            )
+        spark.conf.set(key, width)
+        try:
+            yield
+        finally:
+            spark.conf.set(key, old)
+
+
+def _src_file_bytes(*paths: str) -> int:
+    """Total size of the given files/directories (driver-visible test
+    fixtures only — the micro-batch volume hint for _stream_width)."""
+    import os
+
+    total = 0
+    for p in paths:
+        if os.path.isdir(p):
+            for root, _dirs, files in os.walk(p):
+                for f in files:
+                    try:
+                        total += os.path.getsize(os.path.join(root, f))
+                    except OSError:
+                        pass
+        elif os.path.exists(p):
+            total += os.path.getsize(p)
+    return total
 
 
 def _round6(df: DataFrame) -> DataFrame:
@@ -1598,7 +1659,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         stream = events_stream(spark, sf_dir).select("ts", "user_id", "value")
         dim = _load(spark, sf_dir, "customer")
         out = streaming_enriched_stats(stream, dim)
-        with _stream_width(spark):
+        with _stream_width(spark, _src_file_bytes(f"{sf_dir}/events.parquet")):
             query = (
                 out.writeStream.format("memory")
                 .queryName("stream_enriched_sink")
@@ -1641,7 +1702,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             # is far under the 10k accuracy -> exact quantile_disc rows
             quartiles=True,
         )
-        with _stream_width(spark):
+        with _stream_width(spark, _src_file_bytes(f"{sf_dir}/events.parquet")):
             query = (
                 out.writeStream.format("memory")
                 .queryName("stream_tableone_sink")
@@ -1687,7 +1748,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             window="1 day",
             weight_col="w",
         )
-        with _stream_width(spark):
+        with _stream_width(spark, _src_file_bytes(f"{sf_dir}/events.parquet")):
             query = (
                 out.writeStream.format("memory")
                 .queryName("stream_tableone_w_sink")
@@ -1716,7 +1777,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         stream = events_stream(spark, sf_dir).select("user_id", "ts")
         out = streaming_sessionize(stream, gap_minutes=30)
-        with _stream_width(spark):
+        with _stream_width(spark, _src_file_bytes(f"{sf_dir}/events.parquet")):
             qry = (
                 out.writeStream.format("memory")
                 .queryName("stream_sessions_sink")
@@ -1735,7 +1796,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         stream = events_stream(spark, sf_dir).select("user_id", "ts")
         out = session_window_stats(stream, gap_minutes=30)
-        with _stream_width(spark):
+        with _stream_width(spark, _src_file_bytes(f"{sf_dir}/events.parquet")):
             qry = (
                 out.writeStream.format("memory")
                 .queryName("stream_sessions_builtin_sink")
@@ -1766,7 +1827,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out = streaming_interval_join(
             source("click"), source("purchase"), within_minutes=60
         )
-        with _stream_width(spark):
+        with _stream_width(spark, _src_file_bytes(f"{sf_dir}/events.parquet")):
             qry = (
                 out.writeStream.format("memory")
                 .queryName("stream_join_sink")
@@ -2179,7 +2240,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         doubled = src().union(src())
         out = streaming_dedup(doubled, ["event_id"], ts_col="ts")
-        with _stream_width(spark):
+        # the batch is the source unioned with itself: 2x the bytes
+        with _stream_width(
+            spark, 2 * _src_file_bytes(f"{sf_dir}/events.parquet")
+        ):
             qry = (
                 out.writeStream.format("memory")
                 .queryName("stream_dedup_sink")
@@ -2213,7 +2277,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out = streaming_bloom_dedup(
             src, "user_id", ts_col="ts", m_bits=512, n_hashes=5, n_shards=4
         )
-        with _stream_width(spark):
+        with _stream_width(spark, _src_file_bytes(f"{sf_dir}/events.parquet")):
             qry = (
                 out.writeStream.format("memory")
                 .queryName("stream_bloom_sink")
@@ -2256,7 +2320,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ref_probs=[0.4, 0.3, 0.2, 0.05, 0.05],
             window="6 hours",
         )
-        with _stream_width(spark):
+        with _stream_width(spark, _src_file_bytes(f"{sf_dir}/events.parquet")):
             qry = (
                 out.writeStream.format("memory")
                 .queryName("stream_drift_sink")
@@ -2711,7 +2775,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out = streaming_cms_counts(
             src, "user_id", ts_col="ts", width=32, depth=3, n_shards=4
         )
-        with _stream_width(spark):
+        with _stream_width(spark, _src_file_bytes(f"{sf_dir}/events.parquet")):
             qry = (
                 out.writeStream.format("memory")
                 .queryName("stream_cms_sink")
@@ -3953,7 +4017,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             # (before the overwrite — anchors the stream arm at a
             # state distinct from the batch arm's final; the feed
             # ALSO streams overwrites since X146, pytest-pinned)
-            with _stream_width(spark):
+            # this stream drains the tablelog change feed, not the
+            # events fixture: size the hint from the source table dir
+            with _stream_width(spark, _src_file_bytes(src)):
                 qy = (
                     mv.streaming_refresh(
                         spark, src, dst2, ["o_orderstatus"], ["val"], ckp
