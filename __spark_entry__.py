@@ -2677,9 +2677,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # types. Archive build is one applyInPandas keyed by the
         # archive id (the write layout's inherent shuffle); parse back
         # is the production mapInPandas walk.
-        from tableone_pyspark_spark.functions.html import html_extract
-        from tableone_pyspark_spark.functions.url import canonical_url
-        from tableone_pyspark_spark.functions.warc import decode_body, warc_records
+        # r18 (guide §4.1): parse -> filter -> decode -> extract ->
+        # canonicalize fused into ONE mapInPandas kernel (warc_pages)
+        # so archive bytes cross the JVM<->Python boundary once; the
+        # unfused warc_records + decode_body + html_extract +
+        # canonical_url composition stays the differential twin
+        # (tests/test_warc.py pins bit-identity on this fixture shape)
+        from tableone_pyspark_spark.functions.warc import warc_pages
 
         d = _load(spark, sf_dir, "documents").select("doc_id", "text", "lang")
 
@@ -2742,17 +2746,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .groupBy("_arch")
             .applyInPandas(build, "archive_id int, payload binary")
         )
-        recs = warc_records(archives, "archive_id", "payload")
-        pages = recs.where(
-            (F.col("warc_type") == "response") & (F.col("http_status") == 200)
-        )
-        out = pages.select(
-            canonical_url(F.col("target_uri")).alias("url"),
-            html_extract(
-                decode_body(F.col("body"), F.col("content_type"))
-            ).alias("e"),
-        )
-        return out.select("url", "e.title", "e.text", "e.n_links", "e.n_tags")
+        out = warc_pages(archives, "archive_id", "payload")
+        return out.select("url", "title", "text", "n_links", "n_tags")
 
     q["warc_pipeline"] = warc_pipeline
 

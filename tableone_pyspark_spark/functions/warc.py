@@ -252,6 +252,61 @@ def warc_records(df: DataFrame, id_col: str, bin_col: str) -> DataFrame:
     return src.mapInPandas(kernel, WARC_SCHEMA)
 
 
+WARC_PAGES_SCHEMA = (
+    "id long, url string, title string, text string, "
+    "n_links int, n_tags int"
+)
+
+
+def warc_pages(df: DataFrame, id_col: str, bin_col: str) -> DataFrame:
+    """Archive payloads → extracted page rows in ONE Python pass (r18,
+    guide §4.1 "how many columns cross" / §4.2): ``parse_warc_py`` +
+    the response/200 filter + ``decode_body_py`` + ``html_extract_py``
+    + ``canonical_url_py`` composed inside a single ``mapInPandas``
+    kernel. The unfused pipeline pays THREE JVM↔Python crossings for
+    the same work — record rows (with body bytes) out of the parse
+    kernel, bodies back into the chained decode+extract+canonicalize
+    Arrow projection, results out again — plus the Arrow serialization
+    of every non-response record the filter then discards. Here the
+    archive bytes cross once and only final page rows come back.
+
+    Bit-identical to the unfused composition
+    ``warc_records → where(response ∧ 200) → canonical_url(uri),
+    html_extract(decode_body(body, content_type))`` — the composition
+    stays the differential reference twin (tests/test_warc.py); all
+    five Python twins remain the single source of truth for semantics.
+    """
+    from tableone_pyspark_spark.functions.html import html_extract_py
+    from tableone_pyspark_spark.functions.url import canonical_url_py
+    from tableone_pyspark_spark.plans.layout import rebalance
+
+    src = rebalance(
+        df.select(F.col(id_col).alias("id"), F.col(bin_col).alias("payload"))
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, payload in zip(pdf["id"], pdf["payload"]):
+                for r in parse_warc_py(bytes(payload)):
+                    if r["warc_type"] != "response" or r["http_status"] != 200:
+                        continue
+                    uri = r["target_uri"]
+                    url = None if uri is None else canonical_url_py(uri)
+                    doc = decode_body_py(r["body"], r["content_type"])
+                    ext = html_extract_py(doc)
+                    title, text, n_links, n_tags = (
+                        (None, None, None, None) if ext is None else ext
+                    )
+                    rows.append((int(i), url, title, text, n_links, n_tags))
+            yield pd.DataFrame(
+                rows,
+                columns=["id", "url", "title", "text", "n_links", "n_tags"],
+            )
+
+    return src.mapInPandas(kernel, WARC_PAGES_SCHEMA)
+
+
 def encode_warc(
     records: list[tuple[str, str, bytes]],
     gzip_members: bool = False,

@@ -138,3 +138,68 @@ def test_decode_body_charsets(spark):
         "id", decode_body(F.col("body"), F.col("ct")).alias("t")
     ).collect()}
     assert got[1] == "héllo" and got[2] is None
+
+
+def test_warc_pages_matches_unfused_composition(spark):
+    # r18: the fused one-crossing kernel (warc_pages) must be
+    # BIT-identical to the unfused reference composition
+    # warc_records -> where(response ∧ 200) -> canonical_url(uri) +
+    # html_extract(decode_body(body, content_type)) — covering the
+    # warc_pipeline fixture arms (utf-8 / latin-1 / BOM-over-lying-
+    # header, messy canonicalizable URIs, gzip + plain archives) AND
+    # rows the filter must drop (warcinfo/request records, a 404, an
+    # unparseable-HTTP response whose status is NULL)
+    from pyspark.sql import functions as F
+
+    from tableone_pyspark_spark.functions.html import html_extract
+    from tableone_pyspark_spark.functions.url import canonical_url
+    from tableone_pyspark_spark.functions.warc import decode_body, warc_pages
+
+    def page(body: bytes, ct: str, status: int = 200) -> bytes:
+        head = f"HTTP/1.1 {status} X\r\nContent-Type: {ct}\r\n\r\n"
+        return head.encode("latin-1") + body
+
+    html_a = "<html><head><title>Café A</title></head><body><p>texte ici café</p><p><a href='/x'>go</a></p></body></html>"
+    recs = [
+        ("warcinfo", None, b"software: test\r\n"),
+        ("request", "http://e.com/a", b"GET / HTTP/1.1\r\n\r\n"),
+        ("response", "HTTP://Example.COM:80/d/1?utm_source=x&b=1",
+         page(html_a.encode("utf-8"), "text/html; charset=utf-8")),
+        ("response", "http://example.com/latin",
+         page(html_a.encode("latin-1"), "text/html; charset=iso-8859-1")),
+        ("response", "http://example.com/bom",
+         page(b"\xef\xbb\xbf" + html_a.encode("utf-8"),
+              "text/html; charset=iso-8859-1")),  # BOM beats lying header
+        ("response", "http://example.com/404",
+         page(b"<html><body>gone</body></html>", "text/html", status=404)),
+        ("response", "http://example.com/garbage", b"not http at all"),
+        ("response", None,
+         page(b"<html><body><p>no uri</p></body></html>", "text/html")),
+    ]
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(encode_warc(recs))),
+            (2, bytearray(encode_warc(recs, gzip_members=True))),
+        ],
+        "id long, payload binary",
+    )
+    unfused = (
+        warc_records(df, "id", "payload")
+        .where(
+            (F.col("warc_type") == "response") & (F.col("http_status") == 200)
+        )
+        .select(
+            "id",
+            canonical_url(F.col("target_uri")).alias("url"),
+            html_extract(
+                decode_body(F.col("body"), F.col("content_type"))
+            ).alias("e"),
+        )
+        .select("id", "url", "e.title", "e.text", "e.n_links", "e.n_tags")
+    )
+    fused = warc_pages(df, "id", "payload")
+    srt = lambda t: (t[0], t[1] or "", t[3] or "")  # noqa: E731
+    want = sorted(map(tuple, unfused.collect()), key=srt)
+    got = sorted(map(tuple, fused.collect()), key=srt)
+    assert len(want) == 8  # 4 kept responses x 2 archives (404 + NULL-status dropped)
+    assert got == want
