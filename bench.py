@@ -92,11 +92,22 @@ def main() -> None:
     _warm = F.pandas_udf(lambda s: s * 2, "double")
     spark.range(32).select(_warm(F.col("id").cast("double"))).collect()
 
+    # r18 (VERDICT r17 ask #4): the coverage suite is single-run by
+    # default (unchanged contract), but under host CPU-steal bursts one
+    # contaminated run can charge 50 s to a 2 s query and decide a
+    # round's verdict. SPARK_GRAFT_BENCH_REPS=N (opt-in, additions
+    # only) re-times each coverage row N times and reports the MEDIAN
+    # in the contract key — same timed action, same methodology per
+    # run, robust location estimate across runs.
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "1")))
     qs = e.queries()
     for name in sorted(qs):
-        t0 = time.perf_counter()
-        qs[name](spark, sf_dir).collect()
-        timings[name] = round(time.perf_counter() - t0, 4)
+        runs = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            qs[name](spark, sf_dir).collect()
+            runs.append(time.perf_counter() - t0)
+        timings[name] = round(statistics.median(runs), 4)
 
     # Key order matters: the driver retains only the TAIL of bench output, so
     # the headline numbers (value, b1-b3) go LAST in the JSON line — the long
