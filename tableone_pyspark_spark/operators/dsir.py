@@ -137,7 +137,13 @@ def importance_weights(
     # is ≤ n_buckets rows BY CONSTRUCTION (DSIR's whole point), but it
     # sits under both the eager normalizer agg below AND the scoring
     # join — left lazy, every downstream action re-ran both model
-    # fits (two more melt+hash corpus passes per action)
+    # fits (two more melt+hash corpus passes per action).
+    # Cluster caveat (ADVICE r17): localCheckpoint blocks are NOT
+    # recoverable on executor loss and stay persisted for the life of
+    # the returned frame (the scoring join consumes them lazily, so
+    # they cannot be unpersisted here); a long-lived session that fits
+    # many models should release superseded frames via
+    # plans.layout.release_checkpoint once done scoring with them.
     ratios = ratios.localCheckpoint(eager=True)
     tp = ratios.agg(F.sum("cp"), F.sum("cq")).collect()[0]
     np_, nq = float(tp[0] or 0), float(tp[1] or 0)

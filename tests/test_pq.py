@@ -322,10 +322,12 @@ def test_opq_recall_comparable_and_sane(emb):
     rec = pq.opq_recall(emb, R, ocb, n_queries=8, k=5).collect()
     assert len(rec) == 8
     mean_rec = float(np.mean([r["recall"] for r in rec]))
-    # far above random (5/500 = 0.01); the exact value is a property of
-    # the regenerated fixture corpus, not the operator — r17's corpus
-    # sits at 0.175 where earlier generations cleared 0.2
-    assert mean_rec > 0.1
+    # far above random (5/500 = 0.01). r18 (ADVICE r17): pin the
+    # FIXTURE-SPECIFIC value instead of a loose floor — the r17 relax
+    # to >0.1 halved the regression-detection margin for real
+    # ADC/rotation bugs; this corpus deterministically measures 0.175,
+    # so any real recall regression now trips the band
+    assert mean_rec == pytest.approx(0.175, abs=0.05)
     for r in rec:
         assert r["recall"] == pytest.approx(r["n_hits"] / 5.0)
 
