@@ -4376,27 +4376,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # stale-1 front (tablelog_lifecycle/wap_commit/mv_lifecycle
     # leading again, since any r17 tablelog diff runs through their
     # staged paths — window_plan.py prints the exact order).
+    # R18 rotation (VERDICT r17 ask #8): zero stale-2s exist, so the
+    # front is the 50 r16-graded stale-1s per window_plan.py, with TWO
+    # adjustments. (a) The staged tablelog rows LEAD
+    # (tablelog_lifecycle/wap_commit/mv_lifecycle/snapshot_diff/
+    # compact_roundtrip — the r17 handoff note: any tablelog diff runs
+    # through their staged paths), then this round's changed compute
+    # paths (price_cuts — distributed exact percentiles;
+    # warc_pipeline — fused kernel) and the stream rows that re-grade
+    # the derived state width. (b) curate_documents was r17-graded but
+    # its compute path changed THIS round (Arrow c4 kernel), so it is
+    # kept in-window per the planner's keep-changed rule, displacing
+    # gif_decode_stats (stale-1; its image-decode family stays graded
+    # via jpeg_decode_stats + resize_stats in this same window).
+    # R19 handoff: the 50 r17-graded rows (plus gif_decode_stats,
+    # now stale-2 and due FIRST) become the next front.
     _front = [
-        # r16-changed staged/stream paths lead (colmap/identity/
-        # gates diff re-grades)
-        "merge_suite", "stream_tableone", "stream_tableone_weighted",
-        "stream_sessions", "stream_join", "stream_drift",
-        # the remaining 44 r15-graded stale-1s, window_plan.py order
-        "cat_counts", "cat_pivot", "tableone_strat",
-        "tableone_weighted", "tableone_pvalues", "tableone_supplier",
-        "revenue_by_nation", "retention_cohorts", "text_stats",
-        "lang_confusion", "repetition_stats", "ccnet_buckets",
-        "span_dedup", "dsir_weights", "exact_dedup_keep",
-        "paragraph_dedup", "embedding_neardup", "lsh_recall",
-        "opq_recall", "skew_profile", "salted_join",
-        "quantize_profile", "tfidf_terms", "cluster_reps",
-        "cell_quality", "ml_minhash", "frame_stats",
-        "events_type_stats", "range_join_ship", "simhash_neardup",
-        "curate_documents", "mixture_weights", "phash_neardup",
-        "png_decode_stats", "audio_meta", "pii_profile",
-        "k_anon_orders", "decontam_stats", "dup_ngram_stats",
-        "quality_scores", "fuzzy_pairs", "pca_project",
-        "heavy_hitters", "nfc_keys",
+        # staged tablelog paths lead
+        "tablelog_lifecycle", "wap_commit", "mv_lifecycle",
+        "snapshot_diff", "compact_roundtrip",
+        # r18-changed compute paths + derived-width stream rows
+        "price_cuts", "curate_documents", "warc_pipeline",
+        "stream_enriched", "stream_sessions_builtin", "stream_dedup",
+        "stream_bloom", "stream_cms",
+        # the remaining r16-graded stale-1s, window_plan.py order
+        "cont_stats_by_group", "ttest_stat", "anova_stat",
+        "chi2_stat", "tableone_unstrat", "tableone_orders",
+        "weighted_quantiles_cont", "tableone_strat_dataq",
+        "tableone_beautify", "tableone_joined", "top_orders",
+        "sales_cube", "asof_suite", "user_sessions", "event_funnel",
+        "incremental_dedup_indexed", "fence_single_eval",
+        "lm_perplexity", "bloom_probe", "dedup_clusters",
+        "ivfpq_recall", "salted_collect", "semantic_dedup_keep",
+        "value_histogram", "hourly_anomalies", "seasonality",
+        "resample_gaps", "profile_lineitem", "filter_funnel",
+        "corr_matrix", "chunk_docs", "jpeg_decode_stats",
+        "resize_stats", "pack_sequences", "sample_splits",
+        "cms_counts", "wds_shards",
     ]
     assert len(_front) == 50 and len(set(_front)) == 50
     assert set(_front) <= set(q), sorted(set(_front) - set(q))
